@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Social-graph analytics from the reference, re-expressed as Catalyst
+  * plans (SURVEY.md §2):
+  *
+  *   - length-2 path cardinalities — reference ExactCardinality.java /
+  *     ApproxCardinality.java (degree-product form, never enumerating);
+  *   - 2-path enumeration — SocialTriangle_RS.java Job1 (:39-106);
+  *   - directed triangle counting, reduce-side join strategy —
+  *     SocialTriangle_RS.java Jobs 1+2 (:195-242);
+  *   - directed triangle counting, replicated/broadcast strategy —
+  *     ReplicatedJoinDriver.java (:37-152).
+  *
+  * Bag semantics throughout: the reference never deduplicates, duplicate
+  * edges multiply counts (SURVEY.md §7.4). For count-only queries we
+  * collapse duplicates into a weighted edge relation (`groupBy(src,dst)
+  * .count`) and multiply weights — identical results, but join
+  * cardinality is bounded by DISTINCT edges, not raw edges, which is the
+  * difference between feasible and not at 100 TB with duplicate-heavy
+  * inputs.
+  */
+object GraphOps {
+
+  /** The edge relation `edges(src, dst)` = "src follows dst"
+    * (reference data model, SURVEY.md §1). The harness testdata has no
+    * edge list, so we derive a who-buys-from-whom graph:
+    * orders ⋈ lineitem on orderkey → (o_custkey, l_suppkey).
+    * NO dedup — bag semantics preserved. Only the two output columns are
+    * read from parquet (Catalyst prunes the rest).
+    */
+  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+  }
+
+  /** F1/F2 max-id range predicate. Strict `<` for SocialTriangle_RS
+    * (:32,49,143) and ApproxCardinality (:24,46); inclusive `<=` for
+    * ReplicatedJoinDriver (:31,63) — a per-program quirk preserved
+    * deliberately. The filter sits before every shuffle and reaches the
+    * parquet scan as a pushed predicate.
+    */
+  def filterMaxId(e: DataFrame, max: Long, inclusive: Boolean = false): DataFrame =
+    if (inclusive) e.filter(col("src") <= max && col("dst") <= max)
+    else e.filter(col("src") < max && col("dst") < max)
+
+  /** Distinct edges with multiplicities — the weighted-graph compression
+    * of the bag. One shuffle; map-side partial aggregation keeps the
+    * shuffle bounded by distinct (src,dst) pairs per partition.
+    */
+  def weightedEdges(e: DataFrame): DataFrame =
+    e.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Per-vertex (in-degree m, out-degree n) in ONE shuffle: tagged
+    * UNION ALL of the two projections + conditional sums — the exact
+    * Spark analogue of the reference's I/O-tag double emission
+    * (ExactCardinality.java:43-52, PathReducer :56-82), with partial
+    * aggregation replacing the hand-rolled reducer loop.
+    */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("src").as("vertex"), lit(0L).as("in_c"), lit(1L).as("out_c"))
+      .unionAll(
+        e.select(col("dst").as("vertex"), lit(1L).as("in_c"), lit(0L).as("out_c")))
+      .groupBy("vertex")
+      .agg(sum("in_c").as("m"), sum("out_c").as("n"))
+
+  /** ExactCardinality's per-vertex relation `(vertex, paths = m*n)` —
+    * every vertex that appears at all gets a row; one-sided vertices get
+    * 0 (the reference reducer writes unconditionally, E:79-81).
+    */
+  def path2PerVertex(e: DataFrame): DataFrame =
+    degrees(e).select(col("vertex"), (col("m") * col("n")).as("paths"))
+
+  /** Global 2-path count — the reference's Hadoop Counter (E:105-109)
+    * returned as a 1-row relation (results are data, not side channels).
+    */
+  def path2Total(e: DataFrame): DataFrame =
+    path2PerVertex(e)
+      .agg(coalesce(sum("paths"), lit(0L)).as("total_paths"))
+
+  /** J1: 2-path enumeration {(x,y,z) : x→y, y→z, x≠z} —
+    * SocialTriangle_RS Job1 (:39-106, x≠z at :97). Self-join on the
+    * middle vertex; the reference's per-key cross product with buffered
+    * lists becomes a shuffle join — no group is ever buffered, so
+    * celebrity vertices can't OOM a task (SURVEY.md §4 skew note).
+    */
+  def path2Triples(e: DataFrame): DataFrame = {
+    val out = e.select(col("src").as("x"), col("dst").as("y"))
+    val in = e.select(col("src").as("y2"), col("dst").as("z"))
+    out.join(in, col("y") === col("y2") && col("x") =!= col("z"))
+      .select(col("x"), col("y"), col("z"))
+  }
+
+  /** Directed triangle count, reduce-side strategy — SocialTriangle_RS
+    * Jobs 1+2. Semantics: count (e1,e2,e3) with x→y, y→z, x≠z, z→x over
+    * the `< max`-filtered bag, then floor-divide by 3 (:238-242; each
+    * 3-cycle is found once per rotation).
+    *
+    * Physical: computed on the weighted relation — sum of w1*w2*w3 over
+    * the distinct-edge joins equals the bag count exactly, while the
+    * shuffles carry only distinct edges. Both joins are shuffle
+    * (repartition) joins by default, mirroring the reference's
+    * reduce-side strategy; AQE may still broadcast a small side, which
+    * only improves it.
+    */
+  def trianglesRS(e0: DataFrame, max: Long = 50L): DataFrame = {
+    val e = weightedEdges(filterMaxId(e0, max))
+    val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
+    val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
+    val ca = e.select(col("dst").as("x"), col("src").as("z"), col("w").as("w3"))
+    val paths = ab.join(bc, "y").filter(col("x") =!= col("z"))
+    countDiv3(
+      paths.join(ca, Seq("x", "z"))
+        .agg(coalesce(sum(col("w1") * col("w2") * col("w3")), lit(0L)).as("cnt")))
+  }
+
+  /** Directed triangle count, replicated/broadcast strategy —
+    * ReplicatedJoinDriver. Faithful semantic differences vs trianglesRS
+    * (all from the reference, SURVEY.md §7.4):
+    *   - inclusive `<= max` filter (R:63) vs strict `<`;
+    *   - NO x≠z guard (R:85-116 has none);
+    *   - the closing edge is an EXISTENCE check, not a multiplicity —
+    *     `adj[t].contains(x)` (R:103) counts once however many z→x
+    *     duplicates exist. Hence the left-semi join below.
+    *
+    * Physical: both the y-hop and the closing check join against
+    * broadcast copies of the (filtered, weighted) edge set — the exact
+    * analogue of R's distributed-cache adjacency map. Zero shuffle of
+    * the probe side, matching the reference's map-only design
+    * (setNumReduceTasks(0), R:136). Valid under the same assumption the
+    * reference makes: the max-id-filtered subgraph fits in one node's
+    * memory.
+    */
+  def trianglesRep(e0: DataFrame, max: Long = 40L): DataFrame = {
+    val e = weightedEdges(filterMaxId(e0, max, inclusive = true))
+    val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
+    val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
+    val closing = e.select(col("dst").as("x"), col("src").as("z"))
+    countDiv3(
+      ab.join(broadcast(bc), "y")
+        .join(broadcast(closing), Seq("x", "z"), "left_semi")
+        .agg(coalesce(sum(col("w1") * col("w2")), lit(0L)).as("cnt")))
+  }
+
+  /** Grand total → `total div 3`, integer (floor) division applied AFTER
+    * the global sum (SocialTriangle_RS.java:242, ReplicatedJoinDriver
+    * .java:152). `div` keeps the arithmetic in LongType — no double
+    * round-trip.
+    */
+  private def countDiv3(cnt1row: DataFrame): DataFrame =
+    cnt1row.select(expr("cnt div 3").cast("long").as("triangles"))
+}

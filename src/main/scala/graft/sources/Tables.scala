@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders for the harness parquet testdata (TESTDATA.md) and the
+  * reference's raw CSV edge format.
+  */
+object Tables {
+
+  /** Load one harness table (`region nation customer supplier part orders
+    * lineitem events documents embeddings`) from an sf directory.
+    * Parquet scans get column pruning + predicate pushdown from Catalyst.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Schema of the reference's edge list: two integer ids per line,
+    * comma-separated, no header; column 0 follows column 1
+    * (reference: ExactCardinality.java:35-40, split at
+    * SocialTriangle_RS.java:44). Ids are LongType — the reference parses
+    * with Integer.parseInt but accumulates counts in longs.
+    */
+  val edgeCsvSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  /** Read an edges.csv in the reference's format. Explicit schema (never
+    * inferSchema — that is an extra full scan) and no header, matching
+    * TextInputFormat + split(",") (SocialTriangle_RS.java:44-46).
+    */
+  def edgesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(edgeCsvSchema).option("header", "false").csv(path)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Golden micro-graph fixtures (FIXTURES.md §4) + brute-force
+  * cross-strategy properties (SURVEY.md §5) on seeded random graphs.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  // ---- plain-Scala reference implementations (bag semantics) ----
+
+  def brutePath2Total(e: Seq[(Long, Long)]): Long = {
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    vs.map(v => e.count(_._2 == v).toLong * e.count(_._1 == v)).sum
+  }
+
+  def bruteTriples(e: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    for {
+      (x, y) <- e
+      (y2, z) <- e if y2 == y && x != z
+    } yield (x, y, z)
+
+  def bruteRS(e0: Seq[(Long, Long)], max: Long): Long = {
+    val e = e0.filter { case (s, d) => s < max && d < max }
+    val cnt = (for {
+      (x, y) <- e
+      (y2, z) <- e if y2 == y && x != z
+      (zc, xc) <- e if zc == z && xc == x
+    } yield 1).size.toLong
+    cnt / 3
+  }
+
+  def bruteRep(e0: Seq[(Long, Long)], max: Long): Long = {
+    val e = e0.filter { case (s, d) => s <= max && d <= max }
+    val cnt = (for {
+      (x, y) <- e
+      (y2, t) <- e if y2 == y
+      if e.exists { case (a, b) => a == t && b == x } // contains(), R:103
+    } yield 1).size.toLong
+    cnt / 3
+  }
+
+  // ---- golden fixtures ----
+
+  val tri3 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+
+  test("tri3: one directed triangle, both strategies") {
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(tri3: _*))) === 1L)
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(tri3: _*))) === 1L)
+    assert(singleLong(GraphOps.path2Total(edgeDf(tri3: _*))) === 3L)
+    assert(GraphOps.path2Triples(edgeDf(tri3: _*)).count() === 3L)
+  }
+
+  test("tri3_dup: duplicate edge multiplies (bag semantics), strategies diverge") {
+    val dup = tri3 :+ (1L, 2L)
+    // RS multiplies closing-edge multiplicities: 6/3 = 2
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(dup: _*))) === bruteRS(dup, 50))
+    assert(bruteRS(dup, 50) === 2L)
+    // Rep's contains() collapses closing multiplicity: 5/3 = 1
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(dup: _*))) === bruteRep(dup, 40))
+    assert(bruteRep(dup, 40) === 1L)
+  }
+
+  test("twocycle: x≠z kills the only 2-path back to start") {
+    val e = Seq((1L, 2L), (2L, 1L))
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(e: _*))) === 0L)
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(e: _*))) === 0L)
+    // degree product has no x≠z: total = 2 (semantic divergence to keep)
+    assert(singleLong(GraphOps.path2Total(edgeDf(e: _*))) === 2L)
+    assert(GraphOps.path2Triples(edgeDf(e: _*)).count() === 0L)
+  }
+
+  test("selfloop: degenerate paths, floor division, rep has no x≠z") {
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 1L))
+    // RS: 2 closed rotations → 2/3 = 0 (floor)
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(e: _*))) === bruteRS(e, 50))
+    assert(bruteRS(e, 50) === 0L)
+    // Rep: 4 closed probes (no x≠z) → 4/3 = 1 — faithful divergence
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(e: _*))) === bruteRep(e, 40))
+    assert(bruteRep(e, 40) === 1L)
+  }
+
+  test("boundary: strict < (RS) vs inclusive <= (Rep) at the MAX id") {
+    // triangle entirely at id MAX=5: strict < drops it, inclusive keeps it
+    val e = Seq((5L, 4L), (4L, 3L), (3L, 5L))
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(e: _*), max = 5)) === 0L)
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(e: _*), max = 5)) === 1L)
+    assert(singleLong(GraphOps.trianglesRS(edgeDf(e: _*), max = 6)) === 1L)
+  }
+
+  test("star: hub path2 = k², no group buffering") {
+    val k = 5L
+    val e = (1L to k).map(i => (100L + i, 0L)) ++ (1L to k).map(i => (0L, 200L + i))
+    val perVertex = GraphOps.path2PerVertex(edgeDf(e: _*))
+      .where("vertex = 0").collect()
+    assert(perVertex(0).getLong(1) === k * k)
+    // one-sided vertices still get a row with 0 paths (E:79-81)
+    assert(GraphOps.path2PerVertex(edgeDf(e: _*)).count() === 2 * k + 1)
+  }
+
+  test("empty edge set: totals are 0, not empty/null") {
+    val e = edgeDf().where("src > 0") // empty with right schema
+    assert(singleLong(GraphOps.path2Total(e)) === 0L)
+    assert(singleLong(GraphOps.trianglesRS(e)) === 0L)
+    assert(singleLong(GraphOps.trianglesRep(e)) === 0L)
+  }
+
+  // ---- randomized cross-strategy properties (seeded, deterministic) ----
+
+  def randomEdges(rng: scala.util.Random): List[(Long, Long)] =
+    List.fill(rng.nextInt(41))((rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+
+  test("property: spark results == brute force on random multigraphs") {
+    val rng = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val e = randomEdges(rng)
+      val df = edgeDf(e: _*)
+      withClue(s"edges=$e") {
+        assert(singleLong(GraphOps.path2Total(df)) === brutePath2Total(e))
+        assert(GraphOps.path2Triples(df).count() === bruteTriples(e).size.toLong)
+        assert(singleLong(GraphOps.trianglesRS(df, max = 8)) === bruteRS(e, 8))
+        assert(singleLong(GraphOps.trianglesRep(df, max = 8)) === bruteRep(e, 8))
+      }
+    }
+  }
+
+  test("property: RS == Rep on simple graphs without 2-cycles/self-loops") {
+    val rng = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val e0 = randomEdges(rng)
+      val e = e0.distinct
+        .filter { case (s, d) => s != d } // no self-loops
+        .filter { case (s, d) => !e0.contains((d, s)) } // no 2-cycles
+      val df = edgeDf(e: _*)
+      withClue(s"edges=$e") {
+        assert(
+          singleLong(GraphOps.trianglesRS(df, 100)) ===
+            singleLong(GraphOps.trianglesRep(df, 100)))
+      }
+    }
+  }
+}
