@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.GraphOps
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,7 +62,78 @@ object SparkEntry {
         .orderBy("x", "y", "z")),
     "triangles_rs" -> ((s, d) => GraphOps.trianglesRS(GraphOps.edges(s, d), MaxRS)),
     "triangles_rep" -> ((s, d) => GraphOps.trianglesRep(GraphOps.edges(s, d), MaxRep)),
+    // ---- LLM-data-pipeline extensions (documents / embeddings / events) ----
+    "text_tokens" -> ((s, d) =>
+      TextOps.tokenCounts(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextOps.quality(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
+        .orderBy("vec_a", "vec_b")),
+    "knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    "knn_lsh" -> ((s, d) =>
+      Similarity.knnLsh(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    "media_features" -> ((s, d) =>
+      Multimodal.mediaFeaturesSql(
+        Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+    "media_decode" -> ((s, d) =>
+      Multimodal.decodeStub(s,
+        Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
+        .orderBy("doc_id")),
+    "events_hourly" -> ((s, d) =>
+      EventWindows.hourly(Tables.table(s, d, "events"))
+        .orderBy("hour_epoch", "event_type")),
   )
+
+  // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
+  // every arithmetic step is replicated so results are bit-identical) --
+
+  /** PolyHash of a string expression (mirrors graft.functions.PolyHash). */
+  private def phSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
+      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * 131 + x) % 1000000007)"
+
+  /** Distinct word-3-gram shingle hashes per doc (mirrors
+    * Dedup.shingleHashes / minhash hs arrays).
+    */
+  private val HsCte =
+    "hs AS (SELECT doc_id, list_distinct(list_transform(" +
+      "list_transform(range(1, greatest(len(t) - 1, 1)), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), " +
+      s"s -> ${phSql("s")})) AS hs " +
+      "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents))"
+
+  /** Sequential-fold dot product with per-element double casts (mirrors
+    * VectorFunctions.dot — bit-identical IEEE arithmetic).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** LSH signature (mirrors VectorFunctions.lshSignature). */
+  private def lshSigSql(v: String): String =
+    (0 until Similarity.NPlanes).map { j =>
+      val comp = s"((($j * 64 + i + 1)::BIGINT * 1103515245 + 12345) " +
+        s"% 2147483648) / 2147483648.0 - 0.5"
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"range(0, len($v)), i -> $v[i+1]::DOUBLE * ($comp))), (acc, x) -> acc + x)"
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -97,5 +170,142 @@ object SparkEntry {
         "p AS (SELECT a.src AS x, b.dst AS z FROM e a JOIN e b ON a.dst = b.src) " +
         "SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles FROM p " +
         "WHERE EXISTS (SELECT 1 FROM e c WHERE c.dst = p.x AND c.src = p.z)"),
+    // ---- extensions ----
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents"),
+    "text_quality" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        "len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}-]')) AS np, " +
+        "len(regexp_extract_all(text, '\\b(the|a|an|of|and|or|to|in|is|it)\\b')) AS st " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(np AS BIGINT) AS n_punct, " +
+        "ns / GREATEST(nt, 1) AS avg_token_len, " +
+        "st / GREATEST(nt, 1) AS stopword_ratio, " +
+        "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
+        "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
+        "THEN 0.2 ELSE 0.0 END) AS quality FROM b"),
+    "text_langid" -> {
+      val markers = Seq(
+        "en" -> "\\b(the|a|of|and|is|to|in)\\b",
+        "de" -> "\\b(der|die|das|und|ist|ein|zu)\\b",
+        "es" -> "\\b(el|la|de|y|es|un|en)\\b",
+        "fr" -> "\\b(le|la|de|et|est|un|dans)\\b",
+        "zh" -> "[\\x{4e00}-\\x{9fff}]")
+      val scoreCols = markers.map { case (l, re) =>
+        s"len(regexp_extract_all(text, '$re')) AS s_$l"
+      }.mkString(", ")
+      val cases = markers.map { case (l, _) =>
+        s"CASE WHEN s_$l = b AND b > 0 THEN '$l' END"
+      }.mkString(", ")
+      val best = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      s"WITH s AS (SELECT doc_id, $scoreCols FROM documents), " +
+        s"g AS (SELECT *, $best AS b FROM s) " +
+        s"SELECT doc_id, COALESCE($cases, 'und') AS lang_guess FROM g"
+    },
+    "text_fingerprint" ->
+      (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),
+    "dedup_exact" ->
+      (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +
+        s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents) " +
+        "GROUP BY fingerprint"),
+    "dedup_ngram" ->
+      (s"WITH $HsCte, " +
+        "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
+        "FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared, " +
+        "CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb " +
+        "FROM shp JOIN sizes sa ON sa.doc_id = doc_a " +
+        "JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE shared * 5 >= (sa.n + sb.n - shared) * 4"),
+    "dedup_simhash" -> {
+      val bitSum = (0 until Dedup.SimBits).map { b =>
+        s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH th AS (SELECT doc_id, ${phSql("t")} AS h FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)), " +
+        s"sig AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM th GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    },
+    "dedup_minhash" -> {
+      val mhCols = Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh$i"
+      }.mkString(", ")
+      val bandCols = (0 until Dedup.LshBands).map { j =>
+        (0 until Dedup.LshRows)
+          .map(r => s"CAST(mh${j * Dedup.LshRows + r} AS VARCHAR)")
+          .mkString("", " || ',' || ", s" AS band$j")
+      }.mkString(", ")
+      val bandJoins = (0 until Dedup.LshBands).map { j =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a " +
+          s"JOIN banded b ON a.band$j = b.band$j AND a.doc_id < b.doc_id"
+      }.mkString(" UNION ALL ")
+      s"WITH $HsCte, " +
+        "nz AS (SELECT doc_id, hs FROM hs WHERE len(hs) > 0), " +
+        s"sig AS (SELECT doc_id, hs, $mhCols FROM nz), " +
+        s"banded AS (SELECT *, $bandCols FROM sig), " +
+        s"cand AS (SELECT DISTINCT doc_a, doc_b FROM ($bandJoins)) " +
+        "SELECT c.doc_a, c.doc_b, " +
+        "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS shared, " +
+        "CAST(len(ha.hs) AS BIGINT) AS na, CAST(len(hb.hs) AS BIGINT) AS nb " +
+        "FROM cand c JOIN nz ha ON ha.doc_id = c.doc_a " +
+        "JOIN nz hb ON hb.doc_id = c.doc_b " +
+        "WHERE len(list_intersect(ha.hs, hb.hs)) * 5 >= " +
+        "(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 4"
+    },
+    "embedding_neardup" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig FROM embeddings) " +
+        "SELECT vec_a, vec_b, cosine FROM (" +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine " +
+        "FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id) " +
+        "WHERE cosine >= 0.30"),
+    "knn_brute" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
+        "FROM e, q WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+        "FROM r WHERE rnk <= 5"),
+    "knn_lsh" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +
+        "FROM e WHERE vec_id < 10), " +
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
+        "FROM e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+        "FROM r WHERE rnk <= 5"),
+    "media_features" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CAST(length(text) AS BIGINT) AS n_bytes, " +
+        "CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
+        "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
+    // media_decode: mapPartitions stub — not SQL-expressible; rows-only check.
+    "events_hourly" ->
+      ("SELECT CAST(extract(epoch FROM time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "MAX(value) AS max_value, MIN(value) AS min_value " +
+        "FROM events GROUP BY 1, 2"),
   )
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `Array[Float]` embedding columns, built from
+  * codegen-friendly higher-order functions — no UDFs, no driver-side
+  * math.
+  *
+  * Determinism contract (shared with the DuckDB oracle): every float
+  * element is cast to double BEFORE multiplication, and sums are
+  * explicit sequential left-folds — both engines then produce
+  * bit-identical IEEE-754 doubles, so even threshold compares and
+  * rank orderings agree exactly.
+  */
+object VectorFunctions {
+
+  /** Sequential left-fold sum of a double array. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** dot(a, b) with per-element double casts. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column =
+    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity dot/(|a|·|b|). Callers should pre-compute norms
+    * when one side repeats (see Similarity.knnBrute).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Cosine from a precomputed dot and squared norms. */
+  def cosineFrom(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / (sqrt(n2a) * sqrt(n2b))
+
+  // ---- random-hyperplane LSH ----
+
+  /** Deterministic pseudo-random hyperplane component r(j, i) — a plain
+    * LCG mapped to [-0.5, 0.5), reproducible in ANSI SQL (integer ops +
+    * one double division only). j = plane index, i = dimension index.
+    */
+  def planeComponent(j: Int, i: Column): Column = {
+    val seed = (lit(j) * 64 + i + 1) * lit(1103515245L) + 12345L
+    (seed % 2147483648L).cast("double") / lit(2147483648.0) - lit(0.5)
+  }
+
+  /** Sign bit of the projection of `vec` onto pseudo-plane j. */
+  def planeBit(vec: Column, j: Int): Column = {
+    val proj = foldSum(
+      transform(vec, (x, i) => x.cast("double") * planeComponent(j, i)))
+    when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+  }
+
+  /** nPlanes-bit LSH signature: bucket key for approximate cosine
+    * neighbor search.
+    */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(j => planeBit(vec, j)).reduce(_ + _)
+}

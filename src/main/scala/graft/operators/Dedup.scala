@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.functions.PolyHashFunctions.poly_hash
+import graft.functions.TextFunctions.{tokens, word_shingles}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators over the `documents` table: exact,
+  * n-gram-Jaccard, SimHash and MinHash+LSH near-dup detection, plus
+  * embedding-cosine near-dup pairs. Design rules for 100 TB:
+  *
+  *   - never shuffle raw text: everything after the first projection
+  *     moves 64-bit hashes (PolyHash) instead of strings;
+  *   - never compare all pairs: candidate generation is always a
+  *     hash-bucket equi-join (shared shingle, SimHash band, MinHash LSH
+  *     band) so the shuffle keys are the buckets, and only bucket-mates
+  *     meet — the quadratic step is bounded per bucket;
+  *   - thresholds are integer arithmetic (5·shared ≥ 4·(na+nb−shared)
+  *     instead of shared/union ≥ 0.8) — no float compare drift against
+  *     the SQL oracle.
+  */
+object Dedup {
+
+  val ShingleN = 3
+
+  /** Distinct word-shingle PolyHash ARRAYS per doc: (doc_id, hs).
+    * Uses the native ShingleHash expression — the composed
+    * `transform(word_shingles(...), poly_hash)` form is semantically
+    * identical but runs interpreted per lambda element and slices the
+    * token array per position (O(len²) copies): ~20× slower at sf0.1.
+    */
+  private[graft] def shingleHashArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.ShingleHashFunctions.shingle_hash(col("toks"), ShingleN))
+          .as("hs"))
+
+  /** Distinct word-shingle PolyHashes per doc, exploded: (doc_id, h). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    shingleHashArrays(docs).select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Exact dedup: group by content fingerprint, keep the min doc_id.
+    * Shuffles (fingerprint, doc_id) longs only — not text.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(poly_hash(col("text")).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fingerprint", "n_copies")
+
+  /** Verified near-dup pairs by word-3-gram Jaccard ≥ 0.8. Candidates =
+    * pairs sharing ≥ 1 shingle hash (an equi-join on the shingle, never
+    * a cross join); shared counts by one aggregation; sizes joined back.
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    // The shingle pipeline (regexp split → n-grams → PolyHash → distinct)
+    // is the expensive part and feeds three consumers (both join sides +
+    // sizes): persist the compact (doc_id, h) long relation instead of
+    // recomputing it per branch.
+    val sh = shingleHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
+      .select("doc_a", "doc_b", "shared", "na", "nb")
+  }
+
+  // ---- SimHash ----
+
+  val SimBits = 30
+
+  /** 30-bit SimHash over the token multiset: bit b is set when the
+    * (+1/−1)-weighted sum of token-hash bit b is positive. One shuffle
+    * of (doc_id, token-hash); 30 conditional sums in a single
+    * HashAggregate.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), poly_hash(col("t")).as("h"))
+    val bitSums = (0 until SimBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val sig = (0 until SimBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 3. Candidate pairs come
+    * from 4 band equi-joins (8+8+7+7 bits): by pigeonhole, any pair at
+    * Hamming ≤ 3 agrees on at least one of 4 bands, so the banding is
+    * EXACT (no false negatives) while avoiding the all-pairs product.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = Seq((0, 8), (8, 8), (16, 7), (23, 7))
+    // Long format: one row per (doc, band) → a SINGLE equi-join on
+    // (band_idx, band_val) replaces 4 separate self-joins (and 8
+    // recomputations of the signature pipeline).
+    val bandVals = array(bands.map { case (off, width) =>
+      shiftright(col("simhash"), off).bitwiseAND((1L << width) - 1)
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- MinHash + LSH ----
+
+  val MinhashP: Long = 1000000007L
+
+  /** 16 fixed universal-hash parameter pairs (a, b) — literals so the
+    * SQL oracle can reproduce them exactly. a·h + b stays < 2^63 for
+    * h < 1e9+7.
+    */
+  val MinhashAB: Seq[(Long, Long)] = Seq(
+    (472882049L, 902538173L), (259336153L, 397705483L),
+    (149774463L, 610409889L), (817504243L, 55659149L),
+    (585121309L, 366254849L), (923439533L, 259994233L),
+    (704812369L, 118095893L), (331105859L, 807110387L),
+    (200029103L, 481930513L), (628034489L, 74845561L),
+    (866604509L, 943556227L), (467708869L, 690104083L),
+    (159085123L, 315234911L), (738245471L, 528031331L),
+    (61917101L, 174300283L), (996537379L, 651014189L))
+
+  val LshBands = 4
+  val LshRows = 4 // 4 bands × 4 rows = 16 minhashes
+
+  /** Per-doc MinHash signature columns mh0..mh15 (docs with ≥ 1 shingle
+    * only). Computed entirely inside one projection: distinct shingle
+    * hashes as an array, then array_min over each affine transform — no
+    * explode, no shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    // Native one-pass 16-way MinHash (null on empty → filtered), then
+    // unpack the signature array into mh0..mh15 (O(1) element_at).
+    val sigArr = graft.functions.ShingleHashFunctions.minhash_sig(
+      col("hs"), MinhashAB.map(_._1), MinhashAB.map(_._2), MinhashP)
+    val mhCols = MinhashAB.indices.map { i =>
+      element_at(col("sig"), i + 1).as(s"mh$i")
+    }
+    shingleHashArrays(docs)
+      .select(col("doc_id"), sigArr.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: mhCols: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: candidates share at least one of 4
+    * bands (4 rows each); candidates are then verified with the true
+    * Jaccard ≥ 0.8 integer test. The band join shuffles only
+    * (band-signature, doc_id); the verify join re-uses the shingle-hash
+    * relation.
+    */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    // Long-format bands: (doc_id, band_idx, band_sig) — the 16-minhash
+    // pipeline runs ONCE (persisted), and a single equi-join on
+    // (band_idx, band_sig) finds all band collisions.
+    val sig = minhashSignatures(docs)
+    val bandArr = array((0 until LshBands).map { j =>
+      concat_ws(",",
+        (0 until LshRows).map(r => col(s"mh${j * LshRows + r}")): _*)
+    }: _*)
+    val banded = sig
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_sig")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // Verify each candidate with the true Jaccard: fetch both docs'
+    // distinct shingle-hash ARRAYS (no explode — one array per side per
+    // pair) and intersect per row. Bounded by |candidates|. Persisted:
+    // consumed by both sides of the pair join.
+    val hs = shingleHashArrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("shared"),
+        size(col("hs_a")).cast("long").as("na"),
+        size(col("hs_b")).cast("long").as("nb"))
+      .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
+  }
+}

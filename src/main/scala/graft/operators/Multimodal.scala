@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, plus a batch-shaped stub decoder.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake — but everything Spark-side is
+  * real and tested: the schema, the binary column handling, the
+  * partition-iterator batch shape (the Scala analogue of a Pandas-UDF
+  * `mapInPandas`: one iterator in, one iterator out, never a whole
+  * partition materialized), and the pushed projections around it.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
+      width: Long, height: Long)
+
+  /** Stub-decoded features. In production `decode` would be the codec
+    * call; here it is a deterministic fake over the bytes.
+    */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+      first_byte: Long, byte_sum_mod: Long)
+
+  /** Derive a media table from documents: payload = UTF-8 bytes of the
+    * text (a stand-in for image/audio bytes), kind cycled by doc_id,
+    * fake dimensions from doc_id. The binary column is a real
+    * BinaryType column — everything downstream treats it as opaque.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 1).cast("long").as("width"),
+      (col("doc_id") % 480 + 1).cast("long").as("height"))
+
+  /** Column-only feature extraction over the binary payload (no UDF):
+    * byte length and first-byte value straight off BinaryType.
+    */
+  def mediaFeaturesSql(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("long")
+        .as("first_byte"),
+      col("width"), col("height"))
+
+  /** Batch-shaped stub decode: mapPartitions over typed rows — the
+    * iterator-in/iterator-out shape a real decoder (or a Pandas UDF via
+    * mapInPandas on the Python side) would use. The "decode" itself is
+    * a deterministic fake: first byte + byte-sum mod 251.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-batch setup would open the codec once per partition here
+        rows.map { r =>
+          val bytes = r.payload
+          // STUB decode — deterministic fake in place of a codec call
+          val first = if (bytes.nonEmpty) bytes(0).toLong & 0xffL else -1L
+          var s = 0L
+          var i = 0
+          while (i < bytes.length) { s = (s + (bytes(i) & 0xff)) % 251L; i += 1 }
+          MediaFeatures(r.doc_id, r.kind, bytes.length.toLong, first, s)
+        }
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: Array[Float], label).
+  *
+  * Two paths, mirroring how ANN is deployed:
+  *   - `knnBrute`: exact cosine top-k — the small-query-set baseline.
+  *     The query side is broadcast (a handful of vectors), so the big
+  *     side streams through one map stage: no shuffle of the corpus.
+  *   - `knnLsh`: random-hyperplane LSH — the scale path. Signatures are
+  *     one map stage; the join is an equi-join on the bucket key, so
+  *     only bucket-mates ever meet.
+  *   - `nearDupPairs`: embedding-cosine near-duplicate pairs via the
+  *     same LSH buckets (all-pairs within a bucket + threshold).
+  */
+object Similarity {
+
+  val DefaultK = 5
+  val DefaultQueries = 10L
+  val NPlanes = 8
+
+  /** Corpus with precomputed squared norms (computed once, not per
+    * pair).
+    */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  /** Exact top-k cosine neighbors for query vectors vec_id < nQueries,
+    * self excluded. Deterministic order: (cosine desc, neighbor asc).
+    */
+  def knnBrute(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val corpus = withNorm(emb)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Approximate top-k via nPlanes-bit random-hyperplane signatures:
+    * candidates = same bucket. May return fewer than k rows per query —
+    * the accuracy/recall trade LSH makes by construction.
+    */
+  def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val sig = withNorm(emb)
+      .withColumn("sig", lshSignature(col("embedding"), NPlanes))
+    val queries = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("sig").as("q_sig"))
+    val scored = sig.join(broadcast(queries),
+        col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates bucketed
+    * by LSH signature (vec_a < vec_b). The sf0.01 corpus's planted
+    * clusters peak near cosine 0.5, so the default threshold sits below
+    * that — high enough to be selective, low enough to return pairs.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.30): DataFrame = {
+    // sig pipeline (8 fold-projections per vector) feeds both join
+    // sides — compute once.
+    val sig = withNorm(emb)
+      .withColumn("sig", lshSignature(col("embedding"), NPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineFrom(dot(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

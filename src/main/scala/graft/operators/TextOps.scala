@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.PolyHashFunctions.poly_hash
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality / token-count / fingerprint layer a training-data pipeline
+  * runs before dedup. Everything is a narrow projection (no shuffle at
+  * all): at 100 TB these run as a single map stage with the parquet scan
+  * pruned to (doc_id, text).
+  */
+object TextOps {
+
+  /** (doc_id, n_tokens, n_chars) per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      token_count(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Quality features + composite score. Rational arithmetic only —
+    * bit-stable against the SQL oracle.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      token_count(col("text")).as("n_tokens"),
+      nonspace_chars(col("text")).as("nonspace"),
+      punct_count(col("text")).as("n_punct"),
+      stopword_count(col("text")).as("n_stop"))
+    base.select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("n_punct").cast("long").as("n_punct"),
+      (col("nonspace").cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"))
+        .as("avg_token_len"),
+      (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"))
+        .as("stopword_ratio"),
+      quality_score(col("n_tokens"), col("n_stop"), col("nonspace"))
+        .as("quality"))
+  }
+
+  /** Heuristic language ID (marker-word argmax; deterministic
+    * tie-break). The testdata's `lang` column is a synthetic label, not
+    * ground truth — this op's contract is determinism, not accuracy.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lang_guess(col("text")).as("lang_guess"))
+
+  /** Document fingerprint: PolyHash (custom codegen'd Catalyst
+    * expression) over the raw text — the exact-dedup / clustering key.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      poly_hash(col("text")).as("fingerprint"))
+}

@@ -13,7 +13,20 @@ object Tables {
     * Parquet scans get column pruning + predicate pushdown from Catalyst.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores ts as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as a long and rebuild
+    * a (microsecond) TimestampType column — exact for any sub-second
+    * aggregation granularity we use.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Schema of the reference's edge list: two integer ids per line,
     * comma-separated, no header; column 0 follows column 1

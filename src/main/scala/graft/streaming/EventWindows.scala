@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed aggregation over the `events` table — the streaming-shaped
+  * extension (the reference itself is pure batch, SURVEY.md §2.7).
+  *
+  * `hourly` is written against a plain DataFrame so the SAME transform
+  * runs in batch (for the oracle gate) and under Structured Streaming
+  * (`spark.readStream` in, `hourly` applied, watermark added by the
+  * caller) — tested both ways in EventWindowsSpec.
+  *
+  * Oracle-parity note: no floating-point SUM/AVG in the output — sums
+  * over doubles are accumulation-order-dependent across engines.
+  * min/max/count are order-insensitive and exact.
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour counts per event_type. hour_epoch = window start
+    * in epoch seconds (BIGINT — timestamp dtype drift between engines
+    * is avoided entirely).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .select(
+        col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"), col("n_users"),
+        col("max_value"), col("min_value"))
+
+  /** Streaming variant. Structured Streaming forbids exact distinct
+    * aggregation (unbounded state per group), so n_users becomes
+    * `approx_count_distinct` — the honest streaming trade. Watermark
+    * bounds state for append-mode sinks.
+    */
+  def hourlyStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .select(
+        col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"), col("n_users_approx"),
+        col("max_value"), col("min_value"))
+}
