@@ -98,6 +98,9 @@ object SparkEntry {
     "events_hourly" -> ((s, d) =>
       EventWindows.hourly(Tables.table(s, d, "events"))
         .orderBy("hour_epoch", "event_type")),
+    "events_sessions" -> ((s, d) =>
+      graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
+        .orderBy("user_id", "session_start_us")),
   )
 
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
@@ -307,5 +310,19 @@ object SparkEntry {
         "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "MAX(value) AS max_value, MIN(value) AS min_value " +
         "FROM events GROUP BY 1, 2"),
+    // gaps-and-islands twin of session_window: a session breaks when the
+    // gap to the previous event is >= 30 min; end = last event + gap
+    "events_sessions" -> {
+      val gapUs = graft.streaming.Sessionize.GapUs
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "o AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR " +
+        s"us - lag(us) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us)), " +
+        "g AS (SELECT user_id, us, SUM(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
+        "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, " +
+        s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
+    },
   )
 }

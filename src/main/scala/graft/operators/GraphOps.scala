@@ -57,16 +57,22 @@ object GraphOps {
   def weightedEdges(e: DataFrame): DataFrame =
     e.groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
-  /** Per-vertex (in-degree m, out-degree n) in ONE shuffle: tagged
-    * UNION ALL of the two projections + conditional sums — the exact
-    * Spark analogue of the reference's I/O-tag double emission
-    * (ExactCardinality.java:43-52, PathReducer :56-82), with partial
-    * aggregation replacing the hand-rolled reducer loop.
+  /** Per-vertex (in-degree m, out-degree n) in ONE shuffle AND one pass
+    * over the input: each edge generates its two tagged rows via a
+    * 2-element explode — the Spark analogue of the reference's I/O-tag
+    * double emission (ExactCardinality.java:43-52, PathReducer :56-82).
+    * A UNION-ALL of two projections computes the same thing but
+    * evaluates the edge relation (a join, at 100 TB) once per branch;
+    * the generator form reads it once. Partial aggregation replaces the
+    * hand-rolled reducer loop.
     */
   def degrees(e: DataFrame): DataFrame =
-    e.select(col("src").as("vertex"), lit(0L).as("in_c"), lit(1L).as("out_c"))
-      .unionAll(
-        e.select(col("dst").as("vertex"), lit(1L).as("in_c"), lit(0L).as("out_c")))
+    e.select(explode(array(
+        struct(col("src").as("vertex"), lit(0L).as("in_c"), lit(1L).as("out_c")),
+        struct(col("dst").as("vertex"), lit(1L).as("in_c"), lit(0L).as("out_c"))))
+        .as("t"))
+      .select(col("t.vertex").as("vertex"), col("t.in_c").as("in_c"),
+        col("t.out_c").as("out_c"))
       .groupBy("vertex")
       .agg(sum("in_c").as("m"), sum("out_c").as("n"))
 
@@ -110,7 +116,11 @@ object GraphOps {
     * only improves it.
     */
   def trianglesRS(e0: DataFrame, max: Long = 50L): DataFrame = {
+    // The compact weighted relation feeds all three join branches —
+    // persist it so the (scan → join → aggregate) prefix runs once, not
+    // three times. Bounded by distinct filtered edges.
     val e = weightedEdges(filterMaxId(e0, max))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
     val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
     val ca = e.select(col("dst").as("x"), col("src").as("z"), col("w").as("w3"))
@@ -139,6 +149,7 @@ object GraphOps {
     */
   def trianglesRep(e0: DataFrame, max: Long = 40L): DataFrame = {
     val e = weightedEdges(filterMaxId(e0, max, inclusive = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
     val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
     val closing = e.select(col("dst").as("x"), col("src").as("z"))

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session assembly over the events table — gap-based
+  * sessionization, the canonical stateful-streaming operator.
+  *
+  * Two implementations with identical output:
+  *   - `sessions`: built-in `session_window` — runs in batch (oracle-
+  *     checkable gaps-and-islands SQL twin) and in streaming;
+  *   - `sessionsStateful`: explicit `flatMapGroupsWithState` — the
+  *     escape hatch for session logic session_window can't express
+  *     (custom merge rules, per-session early emission). Kept
+  *     semantically identical here so the two are cross-checkable.
+  */
+object Sessionize {
+
+  val GapMinutes = 30L
+  val GapUs: Long = GapMinutes * 60L * 1000000L
+
+  /** Sessions per user: events closer than the gap merge. Output bounds
+    * in epoch microseconds (BIGINT — no timestamp dtype drift vs the
+    * oracle); session_end = last event + gap, matching session_window.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
+  case class Ev(user_id: Long, ts_us: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Same sessionization as explicit state-machine logic, run in batch
+    * mode (each group visited once, all sessions emitted) and cross-
+    * checked against `sessions`. A streaming deployment of this exact
+    * function would additionally hold the open session in state with an
+    * event-time timeout instead of flushing it at group end — the two
+    * variants differ only in that final flush.
+    */
+  def sessionsStateful(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Sort within group: batch iterators carry no order guarantee.
+          // Bounded by one user's events — the same buffer session_window
+          // keeps per key in its state store.
+          val ts = rows.map(_.ts_us).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(null)
+          ts.foreach { t =>
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last < GapUs =>
+                st = SessionState(s.start, t, s.n + 1)
+              case s =>
+                out += SessionOut(user, s.start, s.last + GapUs, s.n)
+                st = SessionState(t, t, 1)
+            }
+          }
+          if (st != null) out += SessionOut(user, st.start, st.last + GapUs, st.n)
+          state.remove()
+          out.iterator
+      }
+  }
+}

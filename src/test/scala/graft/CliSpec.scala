@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end runs of the four reference-equivalent CLI programs on a
+  * golden edges.csv (tri3 + a duplicate edge — FIXTURES.md §4).
+  */
+class CliSpec extends SparkSpec {
+
+  def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  lazy val edgesCsv: String = {
+    val dir = tempDir("graft-edges")
+    // reference format: src,dst — ids small enough for every MAX filter
+    Files.writeString(java.nio.file.Paths.get(s"$dir/edges.csv"),
+      "1,2\n2,3\n3,1\n1,2\n")
+    s"$dir/edges.csv"
+  }
+
+  def readTsv(dir: String): Seq[Array[String]] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .map(_.split("\t")).toSeq
+  }
+
+  test("ExactCardinalityApp writes per-vertex counts and prints total") {
+    spark // ensure shared session exists before app calls getOrCreate
+    val out = tempDir("graft-exact")
+    graft.cli.ExactCardinalityApp.main(Array(edgesCsv, out))
+    val rows = readTsv(out).map(r => r(0).toLong -> r(1).toLong).toMap
+    // degrees: v1 in=1(3→1) out=2(dups), v2 in=2 out=1, v3 in=1 out=1
+    assert(rows === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("SocialTriangleRSApp with intermediate dir writes triples and count") {
+    val mid = tempDir("graft-mid")
+    val out = tempDir("graft-rs")
+    graft.cli.SocialTriangleRSApp.main(Array(edgesCsv, mid, out))
+    assert(readTsv(out).map(_(0).toLong) === Seq(2L)) // 6/3 with dup edge
+    import scala.jdk.CollectionConverters._
+    val triples = Files.list(java.nio.file.Paths.get(mid)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(triples.size === 5) // 2+1+2 with the duplicated 1→2
+  }
+
+  test("ReplicatedJoinApp counts with EXISTS closing-edge semantics") {
+    val out = tempDir("graft-rep")
+    graft.cli.ReplicatedJoinApp.main(Array(edgesCsv, out))
+    assert(readTsv(out).map(_(0).toLong) === Seq(1L)) // 5/3 = 1
+  }
+
+  test("ApproxCardinalityApp filters above MAX") {
+    val dir = tempDir("graft-edges-big")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/edges.csv"),
+      "1,2\n2,1\n9999999,1\n") // third edge dropped by MAX=7,812,500
+    val out = tempDir("graft-approx")
+    graft.cli.ApproxCardinalityApp.main(Array(s"$dir/edges.csv", out))
+    val rows = readTsv(out).map(r => r(0).toLong -> r(1).toLong).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 1L))
+  }
+}

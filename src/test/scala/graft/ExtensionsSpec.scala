@@ -114,6 +114,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(feats(2L).first_byte === -1L)
   }
 
+  test("sessionize: session_window == flatMapGroupsWithState state machine") {
+    val ev = Tables_events(spark)
+    val a = graft.streaming.Sessionize.sessions(ev)
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq)
+    val b = graft.streaming.Sessionize.sessionsStateful(spark, ev).toDF()
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq)
+    assert(a.nonEmpty)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  private def Tables_events(s: org.apache.spark.sql.SparkSession) =
+    graft.sources.Tables.events(s, "/root/testdata/sf0.001")
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
