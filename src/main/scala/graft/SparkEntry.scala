@@ -88,6 +88,9 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    "knn_ivf" -> ((s, d) =>
+      Similarity.knnIvf(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
@@ -291,6 +294,27 @@ object SparkEntry {
         "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
         s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
         "FROM e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+        "FROM r WHERE rnk <= 5"),
+    "knn_ivf" ->
+      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+        s"c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2 FROM e " +
+        s"WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        "ranked AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, " +
+        s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) AS c_cos " +
+        "FROM e, c), " +
+        "cells AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY c_cos DESC, cent_id ASC) AS crank FROM ranked), " +
+        "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM cells WHERE crank = 1), " +
+        "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM cells " +
+        s"WHERE vec_id < 10 AND crank <= ${Similarity.IvfNProbe}), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +
+        "FROM assigned a JOIN probes p ON a.cell = p.cell " +
+        "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
         "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +

@@ -82,6 +82,55 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  val IvfCentroidStride = 40L // centroids := vec_id % stride == 0
+  val IvfNProbe = 2
+
+  /** IVF top-k: the corpus is partitioned into Voronoi cells around a
+    * centroid set (here: a deterministic subsample — real deployments
+    * train k-means; the *plumbing* is identical and stays
+    * oracle-checkable). Each vector is assigned to its nearest centroid
+    * (broadcast argmax — one map stage over the corpus); a query probes
+    * only the `nProbe` cells nearest to it. Join keys are cell ids, so
+    * the search meets |corpus|·nProbe/|cells| candidates instead of the
+    * whole corpus.
+    *
+    * Deterministic ordering everywhere: cosine desc, then id asc — and
+    * cosines are bit-identical with the oracle (sequential fold), so
+    * cell assignment ties break identically too.
+    */
+  def knnIvf(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe): DataFrame = {
+    val corpus = withNorm(emb)
+    val cents = corpus.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    // rank cells per vector once; corpus keeps rank 1, queries keep nProbe
+    val ranked = corpus.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
+          .as("c_cos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val cells = ranked.withColumn("crank", row_number().over(w))
+    val assigned = cells.filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
+    val probes = cells.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
+      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val scored = assigned
+      .join(broadcast(probes), "cell")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine"))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
