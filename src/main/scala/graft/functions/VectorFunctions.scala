@@ -19,13 +19,19 @@ object VectorFunctions {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** dot(a, b) with per-element double casts. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) with per-element double casts — native codegen kernel
+    * (DotProduct); bit-identical to the fold form below.
+    */
+  def dot(a: Column, b: Column): Column = VectorExprFunctions.dot_d(a, b)
+
+  /** Composed-builtin twin of `dot`, kept for cross-checking the native
+    * kernel in tests (identical sequential-fold arithmetic).
+    */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** Squared L2 norm. */
-  def norm2(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+  def norm2(a: Column): Column = VectorExprFunctions.dot_d(a, a)
 
   /** Cosine similarity dot/(|a|·|b|). Callers should pre-compute norms
     * when one side repeats (see Similarity.knnBrute).
@@ -56,8 +62,14 @@ object VectorFunctions {
   }
 
   /** nPlanes-bit LSH signature: bucket key for approximate cosine
-    * neighbor search.
+    * neighbor search — native codegen kernel (HyperplaneSig).
     */
   def lshSignature(vec: Column, nPlanes: Int): Column =
+    VectorExprFunctions.lsh_sig(vec, nPlanes)
+
+  /** Composed-builtin twin of `lshSignature`, kept for cross-checking
+    * the native kernel in tests.
+    */
+  def lshSignatureFold(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map(j => planeBit(vec, j)).reduce(_ + _)
 }

@@ -108,6 +108,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall too low: $recall")
   }
 
+  test("native vector kernels are bit-identical to the fold forms") {
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val both = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        dot(col("a.embedding"), col("b.embedding")).as("nat"),
+        dotFold(col("a.embedding"), col("b.embedding")).as("fold"),
+        lshSignature(col("a.embedding"), 8).as("sig_nat"),
+        lshSignatureFold(col("a.embedding"), 8).as("sig_fold"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("multimodal: decode stub preserves batch shape and features") {
     val docs = docsDf((1L, "abc"), (2L, ""), (3L, "zz"))
     val media = Multimodal.mediaTable(docs)
