@@ -179,6 +179,7 @@ object SparkEntry {
     // ---- extensions ----
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '\\S{1,4}')) AS BIGINT) AS n_subtokens, " +
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents"),
     "text_quality" ->
       ("WITH b AS (SELECT doc_id, " +

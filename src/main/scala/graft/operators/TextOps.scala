@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** (doc_id, n_tokens, n_chars) per document. */
+  /** (doc_id, n_tokens, n_subtokens, n_chars) per document.
+    * n_subtokens is the BPE-ish proxy: greedy ≤4-char chunks of each
+    * token (`\S{1,4}` matches), i.e. Σ ceil(len(token)/4) — a
+    * deterministic, regex-only stand-in for a real subword vocabulary.
+    */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       token_count(col("text")).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("\\S{1,4}")).cast("long").as("n_subtokens"),
       length(col("text")).cast("long").as("n_chars"))
 
   /** Quality features + composite score. Rational arithmetic only —

@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Source-layer behaviors: CSV edge format, TIMESTAMP_NANOS events,
+  * bucketed co-located joins.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("edgesCsv parses the reference format with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(dir.resolve("edges.csv"), "10,20\n30,40\n")
+    val df = Tables.edgesCsv(spark, dir.toString + "/edges.csv")
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("src", "long"), ("dst", "long")))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((10L, 20L), (30L, 40L)))
+  }
+
+  test("events loader converts TIMESTAMP_NANOS to usable timestamps") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+    assert(ev.count() > 0)
+  }
+
+  test("bucketed edges self-join plans without a shuffle Exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    Tables.writeBucketedEdges(e, "edges_bucketed", 4, key = "dst")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path (broadcast would win on a 4-row table
+    // and prove nothing about bucketing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("edges_bucketed")
+      // co-located join: both sides bucketed+sorted on dst
+      val joined = t.as("a").join(t.as("b"), col("a.dst") === col("b.dst"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join reading bucketed files:\n$plan")
+      assert(joined.count() === 6L) // per-dst squares: 1+1+4
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+    }
+  }
+}
