@@ -16,6 +16,13 @@ object Prof {
     t("minhashLsh full")(full.count())
     val ng = graft.operators.Dedup.ngramJaccard(docs)
     t("ngram full")(ng.count())
+    // salted-join drive on the real (skewed) edge relation
+    val e = graft.operators.GraphOps.edges(spark, "/root/testdata/sf0.1")
+    val probe = e
+    val build = e.select(col("dst").as("bsrc"), col("src").as("bdst")).limit(5000)
+    val plain = t("plain join")(probe.join(build, probe("dst") === build("bsrc")).count())
+    val salted = t("salted join")(graft.operators.Skew.saltedJoin(probe, build, "dst", "bsrc", 8).count())
+    println(s"PROF salted==plain: ${salted == plain} ($salted)")
     // candidate count
     spark.stop()
   }

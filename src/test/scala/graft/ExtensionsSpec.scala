@@ -25,6 +25,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === 1677554L)
   }
 
+  test("poly_hash unicode codepoints match DuckDB's unicode()/split('')") {
+    // values precomputed with DuckDB list_reduce over unicode(split(s,''))
+    val expected = Map(
+      "héllo wörld" -> 474620570L,
+      "naïve café ☃" -> 168191249L,
+      "a☃b" -> 2939476L)
+    val got = docsDf(expected.keys.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq: _*)
+      .select(col("text"), poly_hash(col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("token_count / shingles semantics") {
     val df = docsDf((1L, "  a b  c d "), (2L, "x"), (3L, ""))
     val counts = df.select(col("doc_id"), token_count(col("text")).as("n"))

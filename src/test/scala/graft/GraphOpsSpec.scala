@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.GraphOps
+import org.apache.spark.sql.functions.col
 
 /** Golden micro-graph fixtures (FIXTURES.md §4) + brute-force
   * cross-strategy properties (SURVEY.md §5) on seeded random graphs.
@@ -122,6 +123,21 @@ class GraphOpsSpec extends SparkSpec {
         assert(singleLong(GraphOps.trianglesRep(df, max = 8)) === bruteRep(e, 8))
       }
     }
+  }
+
+  test("salted join equals plain join on skewed multigraphs") {
+    val rng = new scala.util.Random(23)
+    // heavy skew: 80% of edges point at vertex 0
+    val e = List.fill(60)(
+      (rng.nextInt(10).toLong,
+        if (rng.nextInt(5) > 0) 0L else rng.nextInt(10).toLong))
+    val probe = edgeDf(e: _*)
+    val build = edgeDf(e.map { case (s, d) => (d, s) }: _*)
+    val plain = probe.join(build.withColumnRenamed("src", "bsrc"),
+      probe("dst") === col("bsrc")).count()
+    val salted = graft.operators.Skew.saltedJoin(
+      probe, build.withColumnRenamed("src", "bsrc"), "dst", "bsrc", 4).count()
+    assert(salted === plain)
   }
 
   test("property: RS == Rep on simple graphs without 2-cycles/self-loops") {
