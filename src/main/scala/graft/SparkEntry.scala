@@ -104,6 +104,9 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
+    "events_props" -> ((s, d) =>
+      EventWindows.propsStats(Tables.table(s, d, "events"))
+        .orderBy("event_type")),
   )
 
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
@@ -349,5 +352,11 @@ object SparkEntry {
         s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
     },
+    "events_props" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k, " +
+        "CAST(MAX(k) AS BIGINT) AS max_k FROM " +
+        "(SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+        "FROM events) GROUP BY event_type"),
   )
 }

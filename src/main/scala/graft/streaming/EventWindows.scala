@@ -34,6 +34,18 @@ object EventWindows {
         col("event_type"), col("n_events"), col("n_users"),
         col("max_value"), col("min_value"))
 
+  /** Semi-structured extraction: pull `k` out of the JSON `props`
+    * column and aggregate per event_type — integer aggregation only
+    * (exact across engines). `get_json_object` runs codegen'd; no UDF.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
   /** Streaming variant. Structured Streaming forbids exact distinct
     * aggregation (unbounded state per group), so n_users becomes
     * `approx_count_distinct` — the honest streaming trade. Watermark
