@@ -55,19 +55,25 @@ object Dedup {
     * a cross join); shared counts by one aggregation; sizes joined back.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    // The shingle pipeline (regexp split → n-grams → PolyHash → distinct)
-    // is the expensive part and feeds three consumers (both join sides +
-    // sizes): persist the compact (doc_id, h) long relation instead of
-    // recomputing it per branch.
-    val sh = shingleHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Each exploded row carries its doc's shingle count (free at the
+    // array stage — no size join later). Persisted: feeds both join
+    // sides.
+    val sh = shingleHashArrays(docs)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-band pruning (PPJoin-style): Jaccard ≥ 0.8 forces
+    // min(na,nb) ≥ (4/5)·max(na,nb), so incompatible pairs are dropped
+    // INSIDE the join, before the pair aggregation — same final result,
+    // far fewer aggregated rows on heterogeneous corpora.
     val shared = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
       .select("doc_a", "doc_b", "shared", "na", "nb")
   }
