@@ -134,6 +134,64 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     copy(child = newChild)
 }
 
+/** Native SimHash over a token array: for each of the low `bits` bits
+  * of each token's PolyHash, accumulate +1/−1 by bit value over the
+  * token MULTISET; output bit b is set when its sum is positive.
+  * Order-independent (a sum), so it equals the explode → groupBy →
+  * 30-conditional-sums formulation exactly — without the shuffle that
+  * formulation needs. Null for an empty token array (no signal), which
+  * the group-by form expresses by producing no row.
+  */
+object SimHashUtil {
+  def simhash(toks: ArrayData, bits: Int): Any = {
+    val n = toks.numElements()
+    if (n == 0) return null
+    val acc = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = PolyHashUtil.hash(toks.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash requires array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object simhashRes = graft.functions.SimHashUtil.simhash($c, $bits);
+         |${ev.isNull} = (simhashRes == null);
+         |${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) simhashRes).longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
 object ShingleHashFunctions {
   /** shingle_hash(tokens, n): array of PolyHashes of word n-grams. */
   def shingle_hash(toks: Column, n: Int): Column =
@@ -142,4 +200,8 @@ object ShingleHashFunctions {
   /** minhash_sig(hs, a, b, p): k-way MinHash signature (null if empty). */
   def minhash_sig(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), a, b, p))
+
+  /** simhash(tokens, bits): SimHash of the token multiset (null if empty). */
+  def simhash(toks: Column, bits: Int): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(toks), bits))
 }

@@ -83,11 +83,20 @@ object Dedup {
   val SimBits = 30
 
   /** 30-bit SimHash over the token multiset: bit b is set when the
-    * (+1/−1)-weighted sum of token-hash bit b is positive. One shuffle
-    * of (doc_id, token-hash); 30 conditional sums in a single
-    * HashAggregate.
+    * (+1/−1)-weighted sum of token-hash bit b is positive. Native
+    * per-row expression — ZERO shuffle (the explode → groupBy → 30
+    * conditional sums formulation, kept below for cross-checking,
+    * shuffles every token).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashFunctions.simhash(col("toks"), SimBits)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Aggregation-form twin of `simhash` (cross-check only). */
+  private[graft] def simhashViaAgg(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), poly_hash(col("t")).as("h"))
     val bitSums = (0 until SimBits).map { b =>

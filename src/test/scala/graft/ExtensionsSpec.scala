@@ -66,6 +66,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("native simhash == aggregation-form simhash on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nat = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAgg(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat === agg)
+  }
+
   test("simhash banded pairs == quadratic pairs (pigeonhole exactness)") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
