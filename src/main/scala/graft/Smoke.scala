@@ -16,6 +16,10 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     println(s"ENTRY_ROWS=${rows.length} FIRST=${rows.headOption.getOrElse("<none>")}")
+    // SQL surface: runtime function registration on an existing session
+    graft.plans.GraftSql.register(spark)
+    val h = spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
+    println(s"SQL_POLY_HASH=$h")
     spark.stop()
   }
 }

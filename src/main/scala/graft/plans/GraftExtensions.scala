@@ -90,3 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
   }
 }
+
+/** Runtime registration for sessions built WITHOUT the extensions
+  * config (notebooks, tests): `GraftSql.register(spark)` makes the
+  * engine's SQL functions available immediately.
+  */
+object GraftSql {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+      spark, "poly_hash", exprs => PolyHash(exprs.head))
+}
