@@ -79,6 +79,9 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.ngramJaccard(Tables.table(s, d, "documents")))
+        .orderBy("doc_id")),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -143,6 +146,19 @@ object SparkEntry {
         s"range(0, len($v)), i -> $v[i+1]::DOUBLE * ($comp))), (acc, x) -> acc + x)"
       s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
+  private val NgramPairsSql: String =
+    s"WITH $HsCte, " +
+      "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
+      "FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared, " +
+      "CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb " +
+      "FROM shp JOIN sizes sa ON sa.doc_id = doc_a " +
+      "JOIN sizes sb ON sb.doc_id = doc_b " +
+      "WHERE shared * 5 >= (sa.n + sb.n - shared) * 4"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -222,17 +238,16 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +
         s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents) " +
         "GROUP BY fingerprint"),
-    "dedup_ngram" ->
-      (s"WITH $HsCte, " +
-        "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "shp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared " +
-        "FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared, " +
-        "CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb " +
-        "FROM shp JOIN sizes sa ON sa.doc_id = doc_a " +
-        "JOIN sizes sb ON sb.doc_id = doc_b " +
-        "WHERE shared * 5 >= (sa.n + sb.n - shared) * 4"),
+    "dedup_ngram" -> NgramPairsSql,
+    "dedup_clusters" ->
+      ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
+        s"($NgramPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
+        "SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
+        "FROM reach GROUP BY u"),
     "dedup_simhash" -> {
       val bitSum = (0 until Dedup.SimBits).map { b =>
         s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +

@@ -78,6 +78,46 @@ object Dedup {
       .select("doc_a", "doc_b", "shared", "na", "nb")
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    * components with cluster_id = min doc_id in the component — the
+    * step between pair detection and "keep one survivor per group".
+    *
+    * Min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint. Iterations ~
+    * graph diameter (near-dup clusters are tiny); each round is one
+    * shuffle join + aggregate, all long columns. The driver-side loop
+    * is a convergence CHECK, not data movement (the same alternating-
+    * join shape GraphX/GraphFrames connected components use).
+    */
+  def dupClusters(pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
+    // pairs may be an expensive pipeline (the ngram join) — pin it so
+    // the symmetric union's two branches don't run it twice
+    val pairs = pairs0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node")).agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ----
 
   val SimBits = 30

@@ -75,6 +75,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(nat === agg)
   }
 
+  test("dupClusters resolves transitive chains to min-id components") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (via shared middle), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash banded pairs == quadratic pairs (pigeonhole exactness)") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
