@@ -120,3 +120,34 @@ object ReplicatedJoinApp {
     }
   }
 }
+
+/** Training-data pipeline entry point over a documents parquet: text
+  * stats + all dedup signals + resolved duplicate clusters, one output
+  * dir per relation. `runMain graft.cli.PipelineApp <documents.parquet>
+  * <outDir>`.
+  */
+object PipelineApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: PipelineApp <documents.parquet> <outDir>")
+    CliSupport.withSession("graft-pipeline") { spark =>
+      val docs = spark.read.parquet(args(0))
+      val out = args(1)
+      def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$out/$name")
+      w(graft.operators.TextOps.tokenCounts(docs), "tokens")
+      w(graft.operators.TextOps.quality(docs), "quality")
+      w(graft.operators.TextOps.langId(docs), "langid")
+      w(graft.operators.Dedup.exact(docs), "dedup_exact")
+      val pairs = graft.operators.Dedup.minhashLsh(docs)
+      w(pairs, "neardup_pairs")
+      val clusters = graft.operators.Dedup.dupClusters(pairs)
+      w(clusters, "dup_clusters")
+      // survivors: min doc per cluster + every unclustered doc
+      val losers = clusters.filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id")).select("doc_id")
+      w(docs.join(losers, Seq("doc_id"), "left_anti"), "survivors")
+      println(s"PIPELINE.DOCS:${docs.count()} PIPELINE.SURVIVORS:" +
+        s"${docs.join(losers, Seq("doc_id"), "left_anti").count()}")
+    }
+  }
+}
