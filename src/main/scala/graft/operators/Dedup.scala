@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.PolyHashFunctions.poly_hash
-import graft.functions.TextFunctions.{tokens, word_shingles}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 

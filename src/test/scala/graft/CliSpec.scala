@@ -53,6 +53,23 @@ class CliSpec extends SparkSpec {
     assert(readTsv(out).map(_(0).toLong) === Seq(1L)) // 5/3 = 1
   }
 
+  test("PipelineApp writes all seven relations with a consistent survivor set") {
+    spark
+    val out = tempDir("graft-pipeline")
+    graft.cli.PipelineApp.main(
+      Array("/root/testdata/sf0.001/documents.parquet", out))
+    val names = Seq("tokens", "quality", "langid", "dedup_exact",
+      "neardup_pairs", "dup_clusters", "survivors")
+    names.foreach { n =>
+      assert(spark.read.parquet(s"$out/$n").count() > 0, n)
+    }
+    val docs = spark.read.parquet(s"$out/tokens").count()
+    val survivors = spark.read.parquet(s"$out/survivors").count()
+    val clusters = spark.read.parquet(s"$out/dup_clusters")
+    val losers = clusters.filter("doc_id != cluster_id").count()
+    assert(survivors === docs - losers)
+  }
+
   test("ApproxCardinalityApp filters above MAX") {
     val dir = tempDir("graft-edges-big")
     Files.writeString(java.nio.file.Paths.get(s"$dir/edges.csv"),

@@ -50,6 +50,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh(3L) === Seq.empty)
   }
 
+  test("native shingle_hash == composed word_shingles + poly_hash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.ShingleHashFunctions.shingle_hash
+    val both = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        shingle_hash(col("toks"), 3).as("nat"),
+        transform(word_shingles(col("toks"), 3), s => poly_hash(s)).as("comp"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val df = docsDf((1L, "same text"), (2L, "same text"), (3L, "other"))
     val got = Dedup.exact(df).orderBy("doc_id")
