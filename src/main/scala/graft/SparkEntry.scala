@@ -101,6 +101,13 @@ object SparkEntry {
       Multimodal.decodeStub(s,
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
         .orderBy("doc_id")),
+    "media_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+    "media_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.mediaTable(Tables.table(s, d, "documents")))
+        .orderBy("doc_id", "frame_idx")),
     "events_hourly" -> ((s, d) =>
       EventWindows.hourly(Tables.table(s, d, "events"))
         .orderBy("hour_epoch", "event_type")),
@@ -347,6 +354,21 @@ object SparkEntry {
         "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
         "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
     // media_decode: mapPartitions stub — not SQL-expressible; rows-only check.
+    "media_resize" ->
+      ("SELECT doc_id, kind, width, height, " +
+        "CAST(LEAST(width, 256) AS BIGINT) AS out_width, " +
+        "CAST(GREATEST(1, (height * LEAST(width, 256)) // width) AS BIGINT) AS out_height " +
+        "FROM (SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
+        "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents)"),
+    "media_frames" ->
+      (s"SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+        "CAST((ph * 31 + frame_idx) % 1000000007 AS BIGINT) AS frame_hash FROM " +
+        s"(SELECT doc_id, ${phSql("text")} AS ph, " +
+        "unnest(range(0, doc_id % 5 + 1)) AS frame_idx " +
+        "FROM documents WHERE doc_id % 3 = 2)"),
     "events_hourly" ->
       ("SELECT CAST(extract(epoch FROM time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
         "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +

@@ -51,6 +51,33 @@ object Multimodal {
         .as("first_byte"),
       col("width"), col("height"))
 
+  /** Resize planning (stub): compute target dimensions capped at
+    * `maxSide` with integer-exact proportional scaling — the metadata
+    * half of a resize; the pixel half is the codec stub. Pure column
+    * arithmetic (LongType div), oracle-checkable.
+    */
+  def resizePlan(media: DataFrame, maxSide: Long = 256L): DataFrame =
+    media.select(
+      col("doc_id"), col("kind"), col("width"), col("height"),
+      least(col("width"), lit(maxSide)).as("out_width"),
+      greatest(lit(1L),
+        expr(s"(height * least(width, $maxSide)) div width")).as("out_height"))
+
+  /** Frame sampling (stub): videos explode into doc_id%5+1 frames with
+    * a deterministic per-frame fingerprint chained off the payload hash
+    * — the row-multiplying generator shape a real frame extractor has
+    * (one input row → n frame rows), with the decode itself stubbed.
+    */
+  def frameSample(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        graft.functions.PolyHashFunctions
+          .poly_hash(col("payload").cast("string")).as("payload_hash"),
+        explode(sequence(lit(0L), col("doc_id") % 5)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("payload_hash") * 31 + col("frame_idx")) % 1000000007L)
+          .as("frame_hash"))
+
   /** Batch-shaped stub decode: mapPartitions over typed rows — the
     * iterator-in/iterator-out shape a real decoder (or a Pandas UDF via
     * mapInPandas on the Python side) would use. The "decode" itself is
