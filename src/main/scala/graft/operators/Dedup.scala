@@ -96,8 +96,10 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // seed with min(self, min direct neighbor) — one propagation round
+    // folded into the initialization aggregate
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), col("u")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
