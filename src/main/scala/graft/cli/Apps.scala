@@ -137,17 +137,24 @@ object PipelineApp {
       w(graft.operators.TextOps.tokenCounts(docs), "tokens")
       w(graft.operators.TextOps.quality(docs), "quality")
       w(graft.operators.TextOps.langId(docs), "langid")
-      w(graft.operators.Dedup.exact(docs), "dedup_exact")
-      val pairs = graft.operators.Dedup.minhashLsh(docs)
+      val exact = graft.operators.Dedup.exact(docs)
+      w(exact, "dedup_exact")
+      // near-dedup runs on EXACT-dedup survivors: on duplicate-heavy
+      // corpora exact copies otherwise flood every LSH bucket (the
+      // standard exact-then-near pipeline order)
+      val exactSurvivors = docs.join(
+        exact.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = graft.operators.Dedup.minhashLsh(exactSurvivors)
       w(pairs, "neardup_pairs")
       val clusters = graft.operators.Dedup.dupClusters(pairs)
       w(clusters, "dup_clusters")
-      // survivors: min doc per cluster + every unclustered doc
+      // survivors: exact survivors minus non-minimum near-dup members
       val losers = clusters.filter(org.apache.spark.sql.functions.col("doc_id") =!=
         org.apache.spark.sql.functions.col("cluster_id")).select("doc_id")
-      w(docs.join(losers, Seq("doc_id"), "left_anti"), "survivors")
+      val survivors = exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
+      w(survivors, "survivors")
       println(s"PIPELINE.DOCS:${docs.count()} PIPELINE.SURVIVORS:" +
-        s"${docs.join(losers, Seq("doc_id"), "left_anti").count()}")
+        s"${survivors.count()}")
     }
   }
 }

@@ -101,22 +101,36 @@ object Similarity {
     * cell assignment ties break identically too.
     */
   def knnIvf(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe): DataFrame = {
+      nProbe: Int = IvfNProbe, centroidStride: Long = IvfCentroidStride): DataFrame = {
     val corpus = withNorm(emb)
-    val cents = corpus.filter(col("vec_id") % IvfCentroidStride === 0)
+    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
-    // rank cells per vector once; corpus keeps rank 1, queries keep nProbe
+    // score every (vector, centroid) pair — one broadcast map stage
     val ranked = corpus.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+      .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
           .as("c_cos"))
+    // cell ASSIGNMENT is an argmax — a partial-aggregating min over
+    // struct(-cos, cent_id), NOT a row_number window (a global sort of
+    // |corpus|·|cells| rows; measured 18 s vs 2 s at 20k×500 locally).
+    // Tie-break identical to the window form: highest cos, then lowest
+    // centroid id (negation of a double is exact, so order is
+    // bit-stable vs the oracle's ORDER BY c_cos DESC, cent_id ASC).
+    // tiny (one row per vector) but its input is the full scoring pass —
+    // pin it so downstream consumers don't recompute the scoring
+    val best = ranked.groupBy("vec_id")
+      .agg(min(struct((-col("c_cos")).as("nc"), col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = corpus.join(best, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+    // probe ranking only runs over the (tiny) query set
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val cells = ranked.withColumn("crank", row_number().over(w))
-    val assigned = cells.filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
-    val probes = cells.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
+    val probes = ranked.filter(col("vec_id") < nQueries)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
       .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
