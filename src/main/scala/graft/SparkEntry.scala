@@ -122,10 +122,15 @@ object SparkEntry {
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
   // every arithmetic step is replicated so results are bit-identical) --
 
-  /** PolyHash of a string expression (mirrors graft.functions.PolyHash). */
-  private def phSql(e: String): String =
+  /** PolyHash of a string expression (mirrors graft.functions.PolyHash;
+    * constants come FROM PolyHashUtil so they cannot drift).
+    */
+  private def phSql(e: String): String = {
+    val m = graft.functions.PolyHashUtil.Mult
+    val p = graft.functions.PolyHashUtil.Mod
     s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
-      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * 131 + x) % 1000000007)"
+      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p)"
+  }
 
   /** Distinct word-3-gram shingle hashes per doc (mirrors
     * Dedup.shingleHashes / minhash hs arrays).
@@ -212,7 +217,7 @@ object SparkEntry {
         "len(regexp_extract_all(text, '\\S+')) AS nt, " +
         "len(regexp_extract_all(text, '\\S')) AS ns, " +
         "len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}-]')) AS np, " +
-        "len(regexp_extract_all(text, '\\b(the|a|an|of|and|or|to|in|is|it)\\b')) AS st " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
         "FROM documents) " +
         "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(np AS BIGINT) AS n_punct, " +
         "ns / GREATEST(nt, 1) AS avg_token_len, " +
@@ -221,12 +226,8 @@ object SparkEntry {
         "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
         "THEN 0.2 ELSE 0.0 END) AS quality FROM b"),
     "text_langid" -> {
-      val markers = Seq(
-        "en" -> "\\b(the|a|of|and|is|to|in)\\b",
-        "de" -> "\\b(der|die|das|und|ist|ein|zu)\\b",
-        "es" -> "\\b(el|la|de|y|es|un|en)\\b",
-        "fr" -> "\\b(le|la|de|et|est|un|dans)\\b",
-        "zh" -> "[\\x{4e00}-\\x{9fff}]")
+      // the SAME marker table the Spark op uses — single source of truth
+      val markers = graft.functions.TextFunctions.LangMarkers
       val scoreCols = markers.map { case (l, re) =>
         s"len(regexp_extract_all(text, '$re')) AS s_$l"
       }.mkString(", ")
