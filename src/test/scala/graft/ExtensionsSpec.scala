@@ -198,6 +198,39 @@ class ExtensionsSpec extends SparkSpec {
   private def Tables_events(s: org.apache.spark.sql.SparkSession) =
     graft.sources.Tables.events(s, "/root/testdata/sf0.001")
 
+  test("streaming append mode: watermark closes windows across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    def batch(rows: (Long, String, Long, String, Double)*) =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    // batch 1: two events at 10:xx
+    batch((1L, "2024-01-01 10:05:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 10:50:00", 8L, "click", 2.0))
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.EventWindows.hourlyStreaming(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("append_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark (max 10:50 - 2h) hasn't passed the 10:00 window yet
+      assert(spark.sql("select * from append_out").count() === 0)
+      // batch 2: an event far enough ahead to close the 10:00 window
+      batch((3L, "2024-01-01 14:30:00", 9L, "view", 3.0))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable() // ingest + advance watermark
+      q.processAllAvailable() // emit closed windows
+      val out = spark.sql(
+        "select hour_epoch, event_type, n_events from append_out").collect()
+      assert(out.length === 1) // only the closed 10:00/click window
+      assert(out(0).getLong(2) === 2L)
+    } finally q.stop()
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
