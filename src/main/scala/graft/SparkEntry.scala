@@ -241,11 +241,17 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),
-    "dedup_exact" ->
-      (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
+    "dedup_exact" -> {
+      val m2 = graft.functions.PolyHashUtil.Mult2
+      val p2 = graft.functions.PolyHashUtil.Mod2
+      val ph2 = s"list_reduce(list_prepend(0::BIGINT, list_transform(split(text, ''), " +
+        s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m2 + x) % $p2)"
+      s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +
-        s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents) " +
-        "GROUP BY fingerprint"),
+        s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint, " +
+        s"CAST($ph2 AS BIGINT) AS fp2, length(text) AS len FROM documents) " +
+        "GROUP BY fingerprint, fp2, len"
+    },
     "dedup_ngram" -> NgramPairsSql,
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +

@@ -26,20 +26,32 @@ object PolyHashUtil {
   val Mod: Long = 1000000007L
   val Mult: Long = 131L
 
-  def hash(s: UTF8String): Long = {
+  /** Second independent parameter pair — combined with the primary
+    * hash (and length), collision probability per pair drops from
+    * ~1e-9 (a REAL problem at 10^9 documents: birthday bound ~4·10^4)
+    * to ~1e-18.
+    */
+  val Mod2: Long = 998244353L
+  val Mult2: Long = 257L
+
+  def hash(s: UTF8String): Long = hash(s, Mult, Mod)
+
+  def hash(s: UTF8String, mult: Long, mod: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * Mult + cp) % Mod
+      h = (h * mult + cp) % mod
       i += Character.charCount(cp)
     }
     h
   }
 }
 
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression,
+    mult: Long = PolyHashUtil.Mult, mod: Long = PolyHashUtil.Mod)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -50,10 +62,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       s"poly_hash requires a string argument, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
-    PolyHashUtil.hash(input.asInstanceOf[UTF8String])
+    PolyHashUtil.hash(input.asInstanceOf[UTF8String], mult, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHashUtil.hash($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHashUtil.hash($c, ${mult}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -63,4 +76,9 @@ object PolyHashFunctions {
   /** Column API: poly_hash(str) → long in [0, 1e9+7). */
   def poly_hash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  /** Secondary hash (independent constants) for double-hash keys. */
+  def poly_hash2(c: Column): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c),
+      PolyHashUtil.Mult2, PolyHashUtil.Mod2))
 }
