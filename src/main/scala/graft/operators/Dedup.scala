@@ -19,6 +19,13 @@ import org.apache.spark.storage.StorageLevel
   *   - thresholds are integer arithmetic (5·shared ≥ 4·(na+nb−shared)
   *     instead of shared/union ≥ 0.8) — no float compare drift against
   *     the SQL oracle.
+  *
+  * Hash-width note: EXACT dedup uses a collision-safe triple key (see
+  * `exact`). The near-dup operators hash shingles/tokens into the
+  * single 1e9+7 space deliberately — a rare shingle collision shifts an
+  * (already approximate) Jaccard estimate by ~1/|shingles|, it never
+  * false-merges documents by itself, because every candidate passes an
+  * explicit similarity threshold.
   */
 object Dedup {
 
