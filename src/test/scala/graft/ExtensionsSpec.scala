@@ -71,6 +71,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exact dedup does not false-merge a real poly_hash collision") {
+    // birthday-searched: distinct strings, identical primary hash
+    val a = "civrtgwouhdt"
+    val b = "hds obt qruv"
+    val fp = docsDf((1L, a), (2L, b))
+      .select(poly_hash(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) === fp(1), "fixture must collide on the primary hash")
+    // the (fp1, fp2, len) key keeps them apart
+    assert(Dedup.exact(docsDf((1L, a), (2L, b))).count() === 2L)
+  }
+
   test("ngram jaccard finds a planted near-dup and skips distinct docs") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy dog again and often"
