@@ -48,13 +48,21 @@ object ScaleRehearsal {
     t("dup_clusters from lsh")(
       operators.Dedup.dupClusters(operators.Dedup.minhashLsh(docs)).count())
 
-    // 20k embeddings: 10 replicas of sf0.1's 2k
+    // 20k / 80k embeddings: replicas of sf0.1's 2k. The centroid count
+    // caps at IvfMaxCells for both sizes, so the 80k run should take
+    // ~4× the 20k run (linear assignment), NOT 16× (the old quadratic
+    // vec_id-stride design).
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val emb = spark.range(10).crossJoin(emb0)
+    def embX(copies: Int) = spark.range(copies).crossJoin(emb0)
       .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
+    val emb = embX(10)
     t("knn_brute 20k vectors")(operators.Similarity.knnBrute(emb).count())
-    t("knn_ivf 20k vectors")(
-      operators.Similarity.knnIvf(emb, centroidStride = 143L).count())
+    t("knn_ivf 20k vectors")(operators.Similarity.knnIvf(emb).count())
+    t("knn_ivf 80k vectors")(operators.Similarity.knnIvf(embX(40)).count())
+    t("knn_lsh 20k vectors")(operators.Similarity.knnLsh(emb,
+      bandBits = operators.Similarity.bandBitsFor(20000L)).count())
+    t("neardup 20k vectors")(operators.Similarity.nearDupPairs(emb,
+      bandBits = operators.Similarity.bandBitsFor(20000L)).count())
     spark.stop()
   }
 }

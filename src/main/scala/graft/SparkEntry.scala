@@ -150,14 +150,19 @@ object SparkEntry {
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
 
   /** LSH signature (mirrors VectorFunctions.lshSignature). */
-  private def lshSigSql(v: String): String =
-    (0 until Similarity.NPlanes).map { j =>
+  private def lshSigSql(v: String, nPlanes: Int = Similarity.LshSigBits): String =
+    (0 until nPlanes).map { j =>
       val comp = s"((($j * 64 + i + 1)::BIGINT * 1103515245 + 12345) " +
         s"% 2147483648) / 2147483648.0 - 0.5"
       val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
         s"range(0, len($v)), i -> $v[i+1]::DOUBLE * ($comp))), (acc, x) -> acc + x)"
       s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Band j of an LSH signature (mirrors Similarity.bandCols). */
+  private def lshBandSql(sig: String, j: Int): String =
+    s"(($sig >> ${j * Similarity.LshBandBits}) & " +
+      s"${(1L << Similarity.LshBandBits) - 1})"
 
   /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
   private val NgramPairsSql: String =
@@ -301,14 +306,22 @@ object SparkEntry {
         "WHERE len(list_intersect(ha.hs, hb.hs)) * 5 >= " +
         "(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 4"
     },
-    "embedding_neardup" ->
-      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig FROM embeddings) " +
+    "embedding_neardup" -> {
+      val bandJoins = (0 until Similarity.LshBands).map { j =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
+          s"ON ${lshBandSql("a.sig", j)} = ${lshBandSql("b.sig", j)} " +
+          "AND a.vec_id < b.vec_id"
+      }.mkString(" UNION ALL ")
+      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
+        s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)) " +
         "SELECT vec_a, vec_b, cosine FROM (" +
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        s"${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine " +
-        "FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id) " +
-        "WHERE cosine >= 0.30"),
+        "SELECT c.vec_a, c.vec_b, " +
+        s"${dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a " +
+        "JOIN e eb ON eb.vec_id = c.vec_b) " +
+        "WHERE cosine >= 0.30"
+    },
     "knn_brute" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
         "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
@@ -319,22 +332,34 @@ object SparkEntry {
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
         "FROM r WHERE rnk <= 5"),
-    "knn_lsh" ->
-      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+    "knn_lsh" -> {
+      val bandJoins = (0 until Similarity.LshBands).map { j =>
+        s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
+          s"ON ${lshBandSql("e.sig", j)} = ${lshBandSql("q.q_sig", j)} " +
+          "AND e.vec_id <> q.query_id"
+      }.mkString(" UNION ALL ")
+      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
         s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
         "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +
         "FROM e WHERE vec_id < 10), " +
-        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
-        s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
-        "FROM e JOIN q ON e.sig = q.q_sig AND e.vec_id <> q.query_id), " +
+        s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
+        "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("q.q_emb", "e.embedding")} / (sqrt(q.q_n2) * sqrt(e.n2)) AS cosine " +
+        "FROM cand c JOIN e ON e.vec_id = c.vec_id " +
+        "JOIN q ON q.query_id = c.query_id), " +
         "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
-        "FROM r WHERE rnk <= 5"),
+        "FROM r WHERE rnk <= 5"
+    },
     "knn_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
-        s"c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2 FROM e " +
-        s"WHERE vec_id % ${Similarity.IvfCentroidStride} = 0), " +
+        s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
+        s"COUNT(*) // ${Similarity.IvfLeafTarget})) AS k FROM e), " +
+        "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+        "c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2 " +
+        "FROM ch, kk WHERE crn <= k), " +
         "ranked AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, " +
         s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) AS c_cos " +
         "FROM e, c), " +

@@ -1,34 +1,70 @@
 package graft.operators
 
+import graft.functions.PolyHashFunctions.poly_hash
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (vec_id,
   * embedding: Array[Float], label).
   *
-  * Two paths, mirroring how ANN is deployed:
+  * Three paths, mirroring how ANN is deployed:
   *   - `knnBrute`: exact cosine top-k — the small-query-set baseline.
   *     The query side is broadcast (a handful of vectors), so the big
   *     side streams through one map stage: no shuffle of the corpus.
-  *   - `knnLsh`: random-hyperplane LSH — the scale path. Signatures are
-  *     one map stage; the join is an equi-join on the bucket key, so
-  *     only bucket-mates ever meet.
+  *   - `knnLsh`: BANDED random-hyperplane LSH — the scale path.
+  *     Signatures are one map stage; candidates are pairs agreeing on
+  *     at least one of `bands` bit-bands of the signature (the same
+  *     band trick MinHash-LSH uses), so recall is 1−(1−p^b)^L instead
+  *     of the p^bits cliff of a single full-signature bucket, while
+  *     bucket size stays N/2^bandBits per band.
   *   - `nearDupPairs`: embedding-cosine near-duplicate pairs via the
-  *     same LSH buckets (all-pairs within a bucket + threshold).
+  *     same banded buckets; candidates verified with the exact cosine.
+  *
+  * Scale knobs: `bandBits` decides bucket granularity (buckets =
+  * 2^bandBits per band). The default (8 bits → 256 buckets) suits
+  * ~10^4-vector corpora; at larger N pass `bandBitsFor(n)` so bucket
+  * occupancy N/2^bandBits — and with it the bucket-internal candidate
+  * join — stays bounded. Bands stay fixed (recall depends on them, not
+  * on N).
   */
 object Similarity {
 
   val DefaultK = 5
   val DefaultQueries = 10L
-  val NPlanes = 8
+
+  /** Banded-LSH geometry: 4 bands × 8 bits = one 32-plane signature. */
+  val LshBands = 4
+  val LshBandBits = 8
+  val LshSigBits: Int = LshBands * LshBandBits
+
+  /** Band width for an N-vector corpus: keep ~`targetBucket` vectors
+    * per band bucket (bucket-internal pair work is quadratic in bucket
+    * size, so it must not grow with N). Capped at 16 bits/band so the
+    * 4-band signature still fits one long.
+    */
+  def bandBitsFor(n: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, buckets - 1))
+    math.min(16, math.max(LshBandBits, bits))
+  }
 
   /** Corpus with precomputed squared norms (computed once, not per
     * pair).
     */
   private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  /** Long-format band decomposition of the signature column: one row
+    * per (row, band) keyed by (band_idx, band_val) — a SINGLE equi-join
+    * on that pair then finds collisions in any band.
+    */
+  private def bandCols(sigCol: String, bands: Int, bandBits: Int) =
+    array((0 until bands).map { j =>
+      shiftright(col(sigCol), j * bandBits).bitwiseAND((1L << bandBits) - 1)
+    }: _*)
 
   /** Exact top-k cosine neighbors for query vectors vec_id < nQueries,
     * self excluded. Deterministic order: (cosine desc, neighbor asc).
@@ -45,55 +81,93 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Approximate top-k via nPlanes-bit random-hyperplane signatures:
-    * candidates = same bucket. May return fewer than k rows per query —
-    * the accuracy/recall trade LSH makes by construction.
+  /** Approximate top-k via banded hyperplane LSH: candidates agree with
+    * the query on ≥ 1 band. The query side is broadcast, so candidate
+    * generation is a map stage over the corpus; `distinct()` collapses
+    * multi-band hits (cosine is bit-deterministic, so the triple is
+    * duplicate-identical across bands). May return fewer than k rows
+    * per query — the recall trade LSH makes by construction.
     */
-  def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+  def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
     val sig = withNorm(emb)
-      .withColumn("sig", lshSignature(col("embedding"), NPlanes))
-    val queries = sig.filter(col("vec_id") < nQueries)
+      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
+    val banded = sig.select(col("vec_id"), col("embedding"), col("n2"),
+      posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
+    val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("sig").as("q_sig"))
-    val scored = sig.join(broadcast(queries),
-        col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+        col("n2").as("q_n2"), col("band_idx").as("q_band_idx"),
+        col("band_val").as("q_band_val"))
+    val scored = banded.join(broadcast(queries),
+        col("band_idx") === col("q_band_idx") &&
+          col("band_val") === col("q_band_val") &&
+          col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
+      .distinct()
     topK(scored, k)
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold, candidates bucketed
-    * by LSH signature (vec_a < vec_b). The sf0.01 corpus's planted
-    * clusters peak near cosine 0.5, so the default threshold sits below
-    * that — high enough to be selective, low enough to return pairs.
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
+    * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
+    * (band_idx, band_val, vec_id) — never embeddings — then the
+    * distinct candidate pairs fetch both embeddings back by vec_id for
+    * the exact-cosine verify. The sf0.01 corpus's planted clusters peak
+    * near cosine 0.5, so the default threshold sits below that — high
+    * enough to be selective, low enough to return pairs.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double = 0.30): DataFrame = {
-    // sig pipeline (8 fold-projections per vector) feeds both join
-    // sides — compute once.
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.30,
+      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
+    // signature pipeline feeds the band join AND both verify joins —
+    // compute once (consumers should clear caches when done; see
+    // graft.cli.CliSupport.clearCaches)
     val sig = withNorm(emb)
-      .withColumn("sig", lshSignature(col("embedding"), NPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.as("a").join(sig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineFrom(dot(col("a.embedding"), col("b.embedding")),
-          col("a.n2"), col("b.n2")).as("cosine"))
+      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("vec_id"),
+      posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("n2").as("n2_a")), "vec_a")
+      .join(sig.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("n2").as("n2_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineFrom(dot(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
   // ---- IVF (inverted-file) ANN ----
 
-  val IvfCentroidStride = 40L // centroids := vec_id % stride == 0
+  /** Fixed centroid budget: cells = min(IvfMaxCells, N/IvfLeafTarget).
+    * DECOUPLED from corpus size — the centroid broadcast is O(cells·d)
+    * bytes and the assignment pass scores N·cells pairs, both linear in
+    * N once the cap engages (the former vec_id-stride scheme made both
+    * quadratic: |centroids| grew with N).
+    */
+  val IvfMaxCells = 256
+  val IvfLeafTarget = 64L
   val IvfNProbe = 2
 
+  def ivfCells(n: Long): Int =
+    math.min(IvfMaxCells.toLong, math.max(1L, n / IvfLeafTarget)).toInt
+
   /** IVF top-k: the corpus is partitioned into Voronoi cells around a
-    * centroid set (here: a deterministic subsample — real deployments
-    * train k-means; the *plumbing* is identical and stays
+    * FIXED-SIZE centroid set — the `cells` vectors with the smallest
+    * (poly_hash(vec_id), vec_id), i.e. a deterministic pseudo-random
+    * sample, id-pinned so the SQL oracle reproduces it exactly (real
+    * deployments train k-means; the plumbing is identical and stays
     * oracle-checkable). Each vector is assigned to its nearest centroid
     * (broadcast argmax — one map stage over the corpus); a query probes
     * only the `nProbe` cells nearest to it. Join keys are cell ids, so
-    * the search meets |corpus|·nProbe/|cells| candidates instead of the
+    * the search meets |corpus|·nProbe/cells candidates instead of the
     * whole corpus.
     *
     * Deterministic ordering everywhere: cosine desc, then id asc — and
@@ -101,12 +175,20 @@ object Similarity {
     * cell assignment ties break identically too.
     */
   def knnIvf(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe, centroidStride: Long = IvfCentroidStride): DataFrame = {
+      nProbe: Int = IvfNProbe, nCells: Int = 0): DataFrame = {
     val corpus = withNorm(emb)
-    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
+    // one count job (parquet metadata-only) to size the centroid set
+    val cells = if (nCells > 0) nCells else ivfCells(emb.count())
+    // deterministic sample: top-`cells` by hash — a per-partition top-k
+    // + driver merge (TakeOrdered), never a global sort of the corpus
+    val cents = corpus
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
-    // score every (vector, centroid) pair — one broadcast map stage
+    // score every (vector, centroid) pair — one broadcast map stage,
+    // N·cells rows with cells capped at IvfMaxCells
     val ranked = corpus.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
@@ -114,18 +196,17 @@ object Similarity {
     // cell ASSIGNMENT is an argmax — a partial-aggregating min over
     // struct(-cos, cent_id), NOT a row_number window (a global sort of
     // |corpus|·|cells| rows; measured 18 s vs 2 s at 20k×500 locally).
+    // Map-side combine collapses the shuffle to one row per vector.
     // Tie-break identical to the window form: highest cos, then lowest
     // centroid id (negation of a double is exact, so order is
     // bit-stable vs the oracle's ORDER BY c_cos DESC, cent_id ASC).
-    // tiny (one row per vector) but its input is the full scoring pass —
-    // pin it so downstream consumers don't recompute the scoring
     val best = ranked.groupBy("vec_id")
       .agg(min(struct((-col("c_cos")).as("nc"), col("cent_id"))).as("b"))
       .select(col("vec_id"), col("b.cent_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = corpus.join(best, "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
-    // probe ranking only runs over the (tiny) query set
+    // probe ranking only runs over the (tiny) query set — the
+    // vec_id < nQueries filter pushes below the scoring join
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
     val probes = ranked.filter(col("vec_id") < nQueries)

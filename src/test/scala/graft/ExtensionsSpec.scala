@@ -155,8 +155,8 @@ class ExtensionsSpec extends SparkSpec {
     val bruteAll = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
     // LSH returns fewer, bucket-restricted neighbors; sanity: nonempty
     assert(lsh.nonEmpty)
-    // IVF with nProbe=2 of ~13 cells: full k rows per query and
-    // meaningful overlap with the exact top-k
+    // IVF (fixed hash-sampled centroid set, nProbe=2): full k rows per
+    // query and meaningful overlap with the exact top-k
     val ivf = Similarity.knnIvf(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ivf.size === 50)
