@@ -132,6 +132,14 @@ object SparkEntry {
       s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p)"
   }
 
+  /** Secondary PolyHash (independent constants — mirrors poly_hash2). */
+  private def phSql2(e: String): String = {
+    val m = graft.functions.PolyHashUtil.Mult2
+    val p = graft.functions.PolyHashUtil.Mod2
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
+      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p)"
+  }
+
   /** Distinct word-3-gram shingle hashes per doc (mirrors
     * Dedup.shingleHashes / minhash hs arrays).
     */
@@ -246,17 +254,12 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),
-    "dedup_exact" -> {
-      val m2 = graft.functions.PolyHashUtil.Mult2
-      val p2 = graft.functions.PolyHashUtil.Mod2
-      val ph2 = s"list_reduce(list_prepend(0::BIGINT, list_transform(split(text, ''), " +
-        s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m2 + x) % $p2)"
-      s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
+    "dedup_exact" ->
+      (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +
         s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint, " +
-        s"CAST($ph2 AS BIGINT) AS fp2, length(text) AS len FROM documents) " +
-        "GROUP BY fingerprint, fp2, len"
-    },
+        s"CAST(${phSql2("text")} AS BIGINT) AS fp2, length(text) AS len FROM documents) " +
+        "GROUP BY fingerprint, fp2, len"),
     "dedup_ngram" -> NgramPairsSql,
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
@@ -272,7 +275,7 @@ object SparkEntry {
         s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
           s"THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
-      s"WITH th AS (SELECT doc_id, ${phSql("t")} AS h FROM " +
+      s"WITH th AS (SELECT doc_id, ${phSql("t")} + (${phSql2("t")} << 30) AS h FROM " +
         "(SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)), " +
         s"sig AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM th GROUP BY doc_id) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -135,12 +135,19 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
 }
 
 /** Native SimHash over a token array: for each of the low `bits` bits
-  * of each token's PolyHash, accumulate +1/−1 by bit value over the
-  * token MULTISET; output bit b is set when its sum is positive.
+  * of each token's combined hash, accumulate +1/−1 by bit value over
+  * the token MULTISET; output bit b is set when its sum is positive.
   * Order-independent (a sum), so it equals the explode → groupBy →
-  * 30-conditional-sums formulation exactly — without the shuffle that
-  * formulation needs. Null for an empty token array (no signal), which
-  * the group-by form expresses by producing no row.
+  * per-bit-conditional-sums formulation exactly — without the shuffle
+  * that formulation needs. Null for an empty token array (no signal),
+  * which the group-by form expresses by producing no row.
+  *
+  * The per-token hash is 60 bits wide: two INDEPENDENT 30-bit PolyHash
+  * spaces packed as `h1 | h2 << 30` — each reproducible in exact
+  * integer SQL (the oracle computes the same two folds), which a
+  * single 64-bit multiply-mod hash would not be. Bits 0..29 equal the
+  * primary PolyHash bits, so `bits ≤ 30` callers see the pre-widening
+  * behavior unchanged.
   */
 object SimHashUtil {
   def simhash(toks: ArrayData, bits: Int): Any = {
@@ -149,7 +156,9 @@ object SimHashUtil {
     val acc = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val h = PolyHashUtil.hash(toks.getUTF8String(i))
+      val s = toks.getUTF8String(i)
+      val h = PolyHashUtil.hash(s) |
+        (PolyHashUtil.hash(s, PolyHashUtil.Mult2, PolyHashUtil.Mod2) << 30)
       var b = 0
       while (b < bits) {
         if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -181,10 +190,14 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two SimHash expressions in one whole-stage-codegen
+      // context must not declare the same local (janino would fail and
+      // silently fall back to interpreted execution)
+      val res = ctx.freshName("simhashRes")
       s"""
-         |Object simhashRes = graft.functions.SimHashUtil.simhash($c, $bits);
-         |${ev.isNull} = (simhashRes == null);
-         |${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) simhashRes).longValue();
+         |Object $res = graft.functions.SimHashUtil.simhash($c, $bits);
+         |${ev.isNull} = ($res == null);
+         |${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $res).longValue();
        """.stripMargin
     })
 

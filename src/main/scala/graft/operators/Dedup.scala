@@ -137,13 +137,22 @@ object Dedup {
 
   // ---- SimHash ----
 
-  val SimBits = 30
+  /** 60 signature bits = two independent 30-bit PolyHash spaces per
+    * token (`h1 | h2 << 30`, see SimHashUtil). Width matters at scale:
+    * the 4 bands below are 15 bits each → 2^15 = 32,768 buckets per
+    * band, so band-bucket occupancy is N/32,768 (the old 30-bit
+    * signature had 7–8-bit bands → 128–256 buckets, degenerating
+    * toward all-pairs at large N).
+    */
+  val SimBits = 60
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands // 15
 
-  /** 30-bit SimHash over the token multiset: bit b is set when the
+  /** 60-bit SimHash over the token multiset: bit b is set when the
     * (+1/−1)-weighted sum of token-hash bit b is positive. Native
-    * per-row expression — ZERO shuffle (the explode → groupBy → 30
-    * conditional sums formulation, kept below for cross-checking,
-    * shuffles every token).
+    * per-row expression — ZERO shuffle (the explode → groupBy →
+    * per-bit conditional sums formulation, kept below for
+    * cross-checking, shuffles every token).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -155,7 +164,10 @@ object Dedup {
   /** Aggregation-form twin of `simhash` (cross-check only). */
   private[graft] def simhashViaAgg(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), poly_hash(col("t")).as("h"))
+      .select(col("doc_id"),
+        (poly_hash(col("t")) +
+          shiftleft(graft.functions.PolyHashFunctions.poly_hash2(col("t")), 30))
+          .as("h"))
     val bitSums = (0 until SimBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$b")
@@ -168,13 +180,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3. Candidate pairs come
-    * from 4 band equi-joins (8+8+7+7 bits): by pigeonhole, any pair at
+    * from 4 band equi-joins (15 bits each): by pigeonhole, any pair at
     * Hamming ≤ 3 agrees on at least one of 4 bands, so the banding is
     * EXACT (no false negatives) while avoiding the all-pairs product.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = Seq((0, 8), (8, 8), (16, 7), (23, 7))
+    val bands = (0 until SimBands).map(j => (j * SimBandBits, SimBandBits))
     // Long format: one row per (doc, band) → a SINGLE equi-join on
     // (band_idx, band_val) replaces 4 separate self-joins (and 8
     // recomputations of the signature pipeline).
