@@ -110,6 +110,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: a 25-deep near-dup chain lands in ONE cluster") {
+    val s = spark
+    import s.implicits._
+    // path 100-101-...-124: component diameter 24 — deeper than any
+    // per-round propagation could cover without the pointer jump
+    val pairs = (0 until 24).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0 until 25).map(i => (100L + i) -> 100L).toMap)
+    // cache discipline: everything but the final label round is released
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("dupClusters: hitting maxIter raises instead of returning wrong labels") {
+    val s = spark
+    import s.implicits._
+    val pairs = (0 until 24).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, maxIter = 1).collect()
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("simhash banded pairs == quadratic pairs (pigeonhole exactness)") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
