@@ -125,19 +125,25 @@ object SparkEntry {
   /** PolyHash of a string expression (mirrors graft.functions.PolyHash;
     * constants come FROM PolyHashUtil so they cannot drift).
     */
+  // NB the empty-string guards: DuckDB's split('', '') is [''] (one
+  // empty element, unicode('') = -1), not [] — without the CASE the
+  // oracle would fold that phantom element and diverge from Spark on
+  // empty inputs.
   private def phSql(e: String): String = {
     val m = graft.functions.PolyHashUtil.Mult
     val p = graft.functions.PolyHashUtil.Mod
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
-      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p)"
+    s"(CASE WHEN $e = '' THEN 0 ELSE " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
+      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p) END)"
   }
 
   /** Secondary PolyHash (independent constants — mirrors poly_hash2). */
   private def phSql2(e: String): String = {
     val m = graft.functions.PolyHashUtil.Mult2
     val p = graft.functions.PolyHashUtil.Mod2
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
-      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p)"
+    s"(CASE WHEN $e = '' THEN 0 ELSE " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(split($e, ''), " +
+      s"c -> unicode(c)::BIGINT)), (a, x) -> (a * $m + x) % $p) END)"
   }
 
   /** Distinct word-3-gram shingle hashes per doc (mirrors
@@ -171,6 +177,24 @@ object SparkEntry {
   private def lshBandSql(sig: String, j: Int): String =
     s"(($sig >> ${j * Similarity.LshBandBits}) & " +
       s"${(1L << Similarity.LshBandBits) - 1})"
+
+  /** UTF-8 LEADING byte of code point `u` — pure integer arithmetic,
+    * so the oracle reproduces Spark's byte-level reads of the encoded
+    * BinaryType payload without any blob indexing.
+    */
+  private def utf8LeadSql(u: String): String =
+    s"(CASE WHEN $u < 128 THEN $u WHEN $u < 2048 THEN 192 + $u // 64 " +
+      s"WHEN $u < 65536 THEN 224 + $u // 4096 ELSE 240 + $u // 262144 END)"
+
+  /** Sum of ALL UTF-8 bytes of code point `u` (1–4 bytes). Modular
+    * addition is associative, so folding per-character sums mod 251
+    * equals the stub decoder's per-byte running mod.
+    */
+  private def utf8ByteSumSql(u: String): String =
+    s"(CASE WHEN $u < 128 THEN $u " +
+      s"WHEN $u < 2048 THEN 320 + $u // 64 + $u % 64 " +
+      s"WHEN $u < 65536 THEN 480 + $u // 4096 + ($u // 64) % 64 + $u % 64 " +
+      s"ELSE 624 + $u // 262144 + ($u // 4096) % 64 + ($u // 64) % 64 + $u % 64 END)"
 
   /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
   private val NgramPairsSql: String =
@@ -380,15 +404,32 @@ object SparkEntry {
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
         "FROM r WHERE rnk <= 5"),
+    // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
+    // (strlen) and first_byte the UTF-8 leading byte — byte semantics
+    // exactly, not character semantics (they differ on non-ASCII text).
     "media_features" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, " +
-        "CAST(length(text) AS BIGINT) AS n_bytes, " +
-        "CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        s"CAST(${utf8LeadSql("unicode(substr(text, 1, 1))")} AS BIGINT) AS first_byte, " +
         "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
         "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
-    // media_decode: mapPartitions stub — not SQL-expressible; rows-only check.
+    // the stub decoder's outputs are all pure functions of the UTF-8
+    // bytes — reproduced from code points (see utf8*Sql), so even the
+    // mapPartitions path gets a full hash check
+    "media_decode" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN strlen(text) = 0 THEN -1 ELSE " +
+        s"${utf8LeadSql("unicode(substr(text, 1, 1))")} END AS BIGINT) AS first_byte, " +
+        "CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE " +
+        "list_reduce(list_prepend(0::BIGINT, list_transform(split(text, ''), " +
+        s"c -> ${utf8ByteSumSql("unicode(c)::BIGINT")})), " +
+        "(a, x) -> (a + x) % 251) END AS BIGINT) AS byte_sum_mod " +
+        "FROM documents"),
     "media_resize" ->
       ("SELECT doc_id, kind, width, height, " +
         "CAST(LEAST(width, 256) AS BIGINT) AS out_width, " +

@@ -221,6 +221,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(feats(2L).first_byte === -1L)
   }
 
+  test("multimodal: byte (not character) semantics on non-ASCII text") {
+    val docs = docsDf((1L, "héllo"), (2L, "érase"), (3L, "☃"))
+    val feats = Multimodal.mediaFeaturesSql(Multimodal.mediaTable(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(feats(1L) === ((6L, 104L))) // é is 2 UTF-8 bytes; 'h' leads
+    assert(feats(2L) === ((6L, 195L))) // leading byte of é = 0xC3
+    assert(feats(3L) === ((3L, 226L))) // ☃ U+2603 = E2 98 83
+    val dec = Multimodal.decodeStub(spark, Multimodal.mediaTable(docs)).collect()
+      .map(f => f.doc_id -> f.byte_sum_mod).toMap
+    assert(dec(3L) === (0xE2L + 0x98L + 0x83L) % 251L)
+  }
+
   test("sessionize: session_window == flatMapGroupsWithState state machine") {
     val ev = Tables_events(spark)
     val a = graft.streaming.Sessionize.sessions(ev)
