@@ -33,61 +33,125 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * count-only plan every OLAP engine wants but Spark does not do by
   * itself.
   */
-object CountJoinToDegreeProduct extends Rule[LogicalPlan] {
+object CountJoinToDegreeProduct extends Rule[LogicalPlan] with PredicateHelper {
 
   private def isCountStar(e: Expression): Boolean = e match {
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) => true
     case _ => false
   }
 
-  /** Strip Projects that cannot change a count(1) result. */
+  /** Strip Projects that cannot change a count(1) result — including
+    * Projects whose aliases are consumed by the join keys above them
+    * (the count reads no columns, so any deterministic projection is
+    * count-transparent).
+    */
   private def stripProject(p: LogicalPlan): LogicalPlan = p match {
     case Project(exprs, child) if exprs.forall(_.deterministic) => stripProject(child)
     case other => other
+  }
+
+  /** The join condition as aligned per-side key lists — defined only
+    * when EVERY conjunct is an attribute equality across the two sides
+    * (a single residual non-equi conjunct, e.g. the x≠z guard, makes
+    * the count irreducible to degree products, so we bail).
+    */
+  private def equiKeys(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+      : Option[Seq[(Attribute, Attribute)]] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: Attribute, b: Attribute)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) => Some((a, b))
+      case EqualTo(b: Attribute, a: Attribute)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) => Some((a, b))
+      case _ => None
+    }
+    if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten.distinct)
+    else None
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, Seq(alias @ Alias(cnt, name)), child, _)
         if isCountStar(cnt) =>
       stripProject(child) match {
-        case Join(left, right, Inner, Some(EqualTo(lk: Attribute, rk: Attribute)), _)
-            if left.outputSet.contains(lk) && right.outputSet.contains(rk) =>
-          val cl = Alias(Count(Literal(1)).toAggregateExpression(), "cl")()
-          val cr = Alias(Count(Literal(1)).toAggregateExpression(), "cr")()
-          val lAgg = Aggregate(Seq(lk), Seq(lk, cl), left)
-          val rAgg = Aggregate(Seq(rk), Seq(rk, cr), right)
-          val join = Join(lAgg, rAgg, Inner,
-            Some(EqualTo(lk, rk)), JoinHint.NONE)
-          val sum = Sum(Multiply(cl.toAttribute, cr.toAttribute))
-            .toAggregateExpression()
-          // count over an empty join is 0, sum over no rows is null →
-          // coalesce; keep the original exprId so parents still resolve.
-          val out = Alias(Coalesce(Seq(sum, Literal(0L))), name)(
-            exprId = alias.exprId, qualifier = alias.qualifier)
-          Aggregate(Nil, Seq(out), join)
-        case Join(left, right, Inner,
-            Some(EqualTo(rk: Attribute, lk: Attribute)), _)
-            if left.outputSet.contains(lk) && right.outputSet.contains(rk) =>
-          // same, keys written right-side-first
-          apply(Aggregate(Nil, Seq(alias),
-            Join(left, right, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)))
+        case Join(left, right, Inner, Some(cond), _) =>
+          equiKeys(cond, left, right) match {
+            case Some(pairs) =>
+              // composite keys: group each side on ITS key tuple; the
+              // rejoined per-key counts multiply exactly as in the
+              // single-key case (Σ_key n_L(key)·n_R(key); a null in any
+              // key component never matches, and the per-side
+              // aggregates only produce keys that exist)
+              val lks = pairs.map(_._1).distinct
+              val rks = pairs.map(_._2).distinct
+              val cl = Alias(Count(Literal(1)).toAggregateExpression(), "cl")()
+              val cr = Alias(Count(Literal(1)).toAggregateExpression(), "cr")()
+              val lAgg = Aggregate(lks, lks :+ cl, left)
+              val rAgg = Aggregate(rks, rks :+ cr, right)
+              val join = Join(lAgg, rAgg, Inner,
+                Some(pairs.map { case (a, b) => EqualTo(a, b): Expression }
+                  .reduce(And)), JoinHint.NONE)
+              val sum = Sum(Multiply(cl.toAttribute, cr.toAttribute))
+                .toAggregateExpression()
+              // count over an empty join is 0, sum over no rows is null →
+              // coalesce; keep the original exprId so parents still resolve.
+              val out = Alias(Coalesce(Seq(sum, Literal(0L))), name)(
+                exprId = alias.exprId, qualifier = alias.qualifier)
+              Aggregate(Nil, Seq(out), join)
+            case None => agg
+          }
         case _ => agg
       }
   }
 }
 
-/** Session extensions: the degree-product rule + SQL-visible engine
-  * functions (`poly_hash`). Enable with
+/** The engine's SQL function surface — every custom expression the
+  * Column API offers, reachable from pure SQL with the same names the
+  * Scaladoc uses. Integer parameters must be literals (they shape the
+  * generated code); array-parameterized MinHash uses the engine's
+  * fixed 16-hash bank so SQL callers get the exact signatures the
+  * dedup operators (and the DuckDB oracle) compute.
+  */
+object GraftFunctions {
+  import graft.functions._
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+    case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (exprs => PolyHash(exprs.head)),
+    "poly_hash2" -> (exprs =>
+      PolyHash(exprs.head, PolyHashUtil.Mult2, PolyHashUtil.Mod2)),
+    "shingle_hash" -> (exprs =>
+      ShingleHash(exprs.head, intLit(exprs(1), "shingle_hash"))),
+    "simhash" -> (exprs => SimHash(exprs.head,
+      if (exprs.length > 1) intLit(exprs(1), "simhash")
+      else graft.operators.Dedup.SimBits)),
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head,
+      graft.operators.Dedup.MinhashAB.map(_._1),
+      graft.operators.Dedup.MinhashAB.map(_._2),
+      graft.operators.Dedup.MinhashP)),
+    "dot_d" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "lsh_sig" -> (exprs =>
+      HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))))
+}
+
+/** Session extensions: the degree-product rule + the full SQL function
+  * surface (GraftFunctions). Enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CountJoinToDegreeProduct)
-    e.injectFunction((
-      FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PolyHash].getName, name),
+        builder))
+    }
   }
 }
 
@@ -97,6 +161,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftSql {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
-      spark, "poly_hash", exprs => PolyHash(exprs.head))
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+        spark, name, builder)
+    }
 }

@@ -51,6 +51,34 @@ class ExtensionRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule fires on the triangle-closing TWO-key join (the J3 shape)") {
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 1L), (2L, 1L))
+    val paths = graft.operators.GraphOps.path2Triples(e).select("x", "z")
+    val closing = e.select(col("dst").as("x"), col("src").as("z"))
+    val naive = paths.join(closing, Seq("x", "z")).count()
+    val (opt, plan) = withRule {
+      val df = paths.join(closing, Seq("x", "z")).groupBy().count()
+      (df.collect()(0).getLong(0), df.queryExecution.optimizedPlan.toString)
+    }
+    assert(opt === naive)
+    assert(plan.contains("cl") && plan.contains("cr"),
+      s"two-key rewrite did not fire:\n$plan")
+  }
+
+  test("rule bails on joins with a residual non-equi conjunct") {
+    val e = edgeDf((1L, 2L), (2L, 3L), (2L, 1L))
+    val a = e.select(col("src").as("x"), col("dst").as("y"))
+    val b = e.select(col("src").as("y2"), col("dst").as("z"))
+    withRule {
+      // the x≠z guard makes the count irreducible to degree products
+      val df = a.join(b, col("y") === col("y2") && col("x") =!= col("z"))
+        .groupBy().count()
+      assert(!df.queryExecution.optimizedPlan.toString.contains("cl"))
+      assert(df.collect()(0).getLong(0) ===
+        a.join(b, col("y") === col("y2") && col("x") =!= col("z")).count())
+    }
+  }
+
   test("rule does NOT fire on grouped aggregates or distinct counts") {
     val e = edgeDf((1L, 2L), (2L, 3L))
     val a = e.select(col("dst").as("k"))

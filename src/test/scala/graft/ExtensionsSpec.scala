@@ -221,6 +221,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(feats(2L).first_byte === -1L)
   }
 
+  test("every engine function round-trips from pure SQL") {
+    graft.plans.GraftSql.register(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('abc') AS ph, poly_hash2('abc') AS ph2, " +
+        "shingle_hash(array('a','b','c'), 3) AS sh, " +
+        "simhash(array('a','b','c')) AS sim, " +
+        "minhash_sig(shingle_hash(array('a','b','c'), 3)) AS mh, " +
+        "dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+        "lsh_sig(array(1.0D, 2.0D), 8) AS sig").collect()(0)
+    assert(r.getLong(0) === 1677554L)
+    // each SQL result must equal its Column-API twin on the same input
+    import graft.functions.ShingleHashFunctions._
+    val twin = docsDf((1L, "a b c")).select(
+        poly_hash(col("text")).as("joined_ph"),
+        graft.functions.PolyHashFunctions.poly_hash2(lit("abc")).as("ph2"),
+        shingle_hash(tokens(col("text")), 3).as("sh"),
+        simhash(tokens(col("text")), Dedup.SimBits).as("sim"),
+        minhash_sig(shingle_hash(tokens(col("text")), 3),
+          Dedup.MinhashAB.map(_._1), Dedup.MinhashAB.map(_._2),
+          Dedup.MinhashP).as("mh"))
+      .collect()(0)
+    assert(r.getSeq[Long](2) === Seq(twin.getLong(0))) // one 3-shingle
+    assert(r.getLong(1) === twin.getLong(1))
+    assert(r.getSeq[Long](2) === twin.getSeq[Long](2))
+    assert(r.getLong(3) === twin.getLong(3))
+    assert(r.getSeq[Long](4) === twin.getSeq[Long](4))
+    assert(r.getDouble(5) === 11.0)
+    assert(r.getLong(6) === docsDf((1L, "x")).select(
+      graft.functions.VectorExprFunctions.lsh_sig(
+        array(lit(1.0), lit(2.0)), 8)).collect()(0).getLong(0))
+  }
+
   test("multimodal: byte (not character) semantics on non-ASCII text") {
     val docs = docsDf((1L, "héllo"), (2L, "érase"), (3L, "☃"))
     val feats = Multimodal.mediaFeaturesSql(Multimodal.mediaTable(docs)).collect()
