@@ -155,6 +155,10 @@ object PipelineApp {
       w(survivors, "survivors")
       println(s"PIPELINE.DOCS:${docs.count()} PIPELINE.SURVIVORS:" +
         s"${survivors.count()}")
+      // the dedup operators persisted their internal relations (shingle
+      // hashes, band tables, cluster labels) for reuse across the steps
+      // above — release them all now that every output is materialized
+      graft.Caches.clear(spark)
     }
   }
 }

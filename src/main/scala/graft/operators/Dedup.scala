@@ -181,7 +181,7 @@ object Dedup {
     }
     sym.unpersist(blocking = false)
     // back to SQL land: (doc_id, cluster_id). The final labels RDD
-    // stays persisted for the consumer's action; CliSupport.clearCaches
+    // stays persisted for the consumer's action; graft.Caches.clear
     // (or sparkContext-level unpersist) releases it afterwards.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

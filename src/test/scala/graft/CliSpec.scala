@@ -68,6 +68,10 @@ class CliSpec extends SparkSpec {
     val clusters = spark.read.parquet(s"$out/dup_clusters")
     val losers = clusters.filter("doc_id != cluster_id").count()
     assert(survivors === docs - losers)
+    // cache discipline: the end-to-end pipeline must not leak persisted
+    // blocks into the (shared, long-lived) session
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
   test("ApproxCardinalityApp filters above MAX") {
