@@ -39,11 +39,21 @@ object CliSupport {
     finally if (!preExisting) spark.stop()
   }
 
-  /** Tab-separated text sink — the reference's TextOutputFormat with
-    * separator "\t" (ExactCardinality.java:92).
+  /** Text sink with a configurable separator — the reference's
+    * TextOutputFormat: "\t" for the cardinality jobs
+    * (ExactCardinality.java:92) and "" (key and value simply
+    * concatenated) for the replicated join's output
+    * (ReplicatedJoinDriver.java:128). Spark's CSV writer requires a
+    * 1-char separator, so the empty-separator variant concatenates the
+    * columns into one text column — byte-identical to the reference's
+    * "" TextOutputFormat lines.
     */
-  def writeTsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("sep", "\t").csv(path)
+  def writeTsv(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    if (sep.isEmpty)
+      df.select(concat_ws("",
+          df.columns.map(c => col(c).cast("string")): _*).as("value"))
+        .write.mode("overwrite").text(path)
+    else df.write.mode("overwrite").option("sep", sep).csv(path)
 }
 
 /** Per-vertex and global length-2 path counts, unfiltered
@@ -115,7 +125,8 @@ object ReplicatedJoinApp {
     CliSupport.withSession("ReplicatedJoin") { spark =>
       val e = Tables.edgesCsv(spark, args(0))
       val result = GraphOps.trianglesRep(e, Max)
-      CliSupport.writeTsv(result, args(1))
+      // the reference sets the output separator to "" (R:128)
+      CliSupport.writeTsv(result, args(1), sep = "")
       println(s"CARDINALITY.finalCount:${result.collect()(0).getLong(0)}")
     }
   }

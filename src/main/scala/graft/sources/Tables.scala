@@ -20,6 +20,17 @@ object Tables {
     * Spark's vectorized reader rejects. Read nanos as a long and rebuild
     * a (microsecond) TimestampType column — exact for any sub-second
     * aggregation granularity we use.
+    *
+    * SIDE EFFECT, session-wide and deliberate: this sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared session
+    * and does NOT restore it. The flag is consulted again at EXECUTION
+    * time (each file footer's schema conversion), so a set/read/restore
+    * scope would make the returned — lazy — DataFrame fail once the
+    * scope closed. Consequence for other reads in the same session:
+    * nanos-typed parquet columns load as raw longs instead of raising
+    * AnalysisException; micro/milli timestamp columns are unaffected.
+    * Callers that need the default behavior back must re-set the flag
+    * after their LAST action on this table.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

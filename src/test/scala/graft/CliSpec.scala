@@ -74,6 +74,19 @@ class CliSpec extends SparkSpec {
       s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
+  test("writeTsv with empty separator concatenates columns (R:128 parity)") {
+    val s = spark
+    import s.implicits._
+    val out = tempDir("graft-emptysep")
+    graft.cli.CliSupport.writeTsv(
+      Seq((7L, 21L)).toDF("vertex", "paths"), out, sep = "")
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines === Seq("721")) // key and value, no separator between
+  }
+
   test("ApproxCardinalityApp filters above MAX") {
     val dir = tempDir("graft-edges-big")
     Files.writeString(java.nio.file.Paths.get(s"$dir/edges.csv"),

@@ -125,6 +125,44 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** The LITERAL execution model of the reference's replicated join
+    * (ReplicatedJoinDriver.java:45-116): the <= MAX subgraph as a
+    * Broadcast[Map] adjacency (its distributed cache file), a map-only
+    * pass over the edge bag (setNumReduceTasks(0)), per-edge walk of
+    * adj(y) with a contains() closing check, counter sum / 3. Test-only:
+    * the DataFrame trianglesRep must match this on any input.
+    */
+  def trianglesRepLiteral(e0: Seq[(Long, Long)], max: Long): Long = {
+    val edges = edgeDf(e0: _*).filter(col("src") <= max && col("dst") <= max)
+    val adj: Map[Long, Seq[Long]] = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).toSeq }
+    val bAdj = spark.sparkContext.broadcast(adj)
+    val total = edges.rdd.mapPartitions { it =>
+      val a = bAdj.value
+      it.map { r =>
+        val x = r.getLong(0); val y = r.getLong(1)
+        // bag multiplicity on the 2-hop, EXISTS on the closing edge
+        a.getOrElse(y, Nil).count(z => a.getOrElse(z, Nil).contains(x)).toLong
+      }
+    }.fold(0L)(_ + _)
+    total / 3
+  }
+
+  test("property: DataFrame trianglesRep == literal broadcast-adjacency twin") {
+    val rng = new scala.util.Random(91)
+    (1 to 8).foreach { _ =>
+      val e = randomEdges(rng)
+      withClue(s"edges=$e") {
+        assert(singleLong(GraphOps.trianglesRep(edgeDf(e: _*), max = 8)) ===
+          trianglesRepLiteral(e, max = 8))
+      }
+    }
+    // and on the golden fixtures incl. the duplicate-edge divergence case
+    assert(singleLong(GraphOps.trianglesRep(edgeDf(tri3 :+ (1L, 2L): _*))) ===
+      trianglesRepLiteral(tri3 :+ (1L, 2L), max = 40))
+  }
+
   test("salted join equals plain join on skewed multigraphs") {
     val rng = new scala.util.Random(23)
     // heavy skew: 80% of edges point at vertex 0
