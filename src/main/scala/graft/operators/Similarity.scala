@@ -187,29 +187,39 @@ object Similarity {
       .limit(cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
-    // score every (vector, centroid) pair — one broadcast map stage,
-    // N·cells rows with cells capped at IvfMaxCells
-    val ranked = corpus.join(broadcast(cents), lit(true))
+    // the centroid table is <= IvfMaxCells rows: collect it and ship it
+    // inside the task binary — exactly how trained k-means centroids
+    // travel in a production IVF. Ascending cent_id order gives the
+    // assignment expression its tie-break.
+    val centRows = cents.collect().sortBy(_.getLong(0))
+    if (centRows.isEmpty) {
+      // empty corpus → empty result with the output schema
+      return topK(corpus.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
+        .filter(lit(false)), k)
+    }
+    val centIds = centRows.map(_.getLong(0))
+    val centFlat = centRows.flatMap(
+      _.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val centN2 = centRows.map(_.getDouble(2))
+    // cell ASSIGNMENT is a per-row codegen expression over the centroid
+    // array: O(N) rows, ZERO shuffle. The earlier corpus×centroids
+    // broadcast join + argmax aggregate materialized N·cells wide rows
+    // (embeddings duplicated per centroid) — measured ~8× slower at
+    // 80k×256 and growing worse with N. Tie-break identical to the
+    // oracle's ORDER BY c_cos DESC, cent_id ASC (see IvfAssignUtil).
+    val assigned = corpus.select(
+      graft.functions.VectorExprFunctions
+        .ivf_assign(col("embedding"), centFlat, centN2, centIds).as("cell"),
+      col("vec_id"), col("embedding"), col("n2"))
+    // probe ranking runs only over the (tiny) query set × centroids
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val probes = corpus.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
           .as("c_cos"))
-    // cell ASSIGNMENT is an argmax — a partial-aggregating min over
-    // struct(-cos, cent_id), NOT a row_number window (a global sort of
-    // |corpus|·|cells| rows; measured 18 s vs 2 s at 20k×500 locally).
-    // Map-side combine collapses the shuffle to one row per vector.
-    // Tie-break identical to the window form: highest cos, then lowest
-    // centroid id (negation of a double is exact, so order is
-    // bit-stable vs the oracle's ORDER BY c_cos DESC, cent_id ASC).
-    val best = ranked.groupBy("vec_id")
-      .agg(min(struct((-col("c_cos")).as("nc"), col("cent_id"))).as("b"))
-      .select(col("vec_id"), col("b.cent_id").as("cell"))
-    val assigned = corpus.join(best, "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
-    // probe ranking only runs over the (tiny) query set — the
-    // vec_id < nQueries filter pushes below the scoring join
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val probes = ranked.filter(col("vec_id") < nQueries)
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nProbe)
       .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
