@@ -37,6 +37,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("knn_ivf assigns cells with ZERO joins on the corpus side") {
+    val plan = executedPlan("knn_ivf")
+    // the assignment expression runs inside a projection; the only
+    // joins left are the broadcast probe/query joins (and the tiny
+    // query×centroid nested loop) — never a corpus×centroid product
+    assert(plan.contains("ivfassign") || plan.contains("ivf_assign")
+      || plan.contains("IvfAssign"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("LSH band joins shuffle band keys, never embeddings (neardup)") {
+    val plan = SparkEntry.queries("embedding_neardup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // candidate generation is ids-first: the band self-join's output
+    // carries only ids — embeddings re-enter via the verify joins
+    assert(plan.contains("band_idx"), plan)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
