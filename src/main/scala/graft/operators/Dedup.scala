@@ -65,32 +65,63 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fingerprint", "n_copies")
 
-  /** Verified near-dup pairs by word-3-gram Jaccard ≥ 0.8. Candidates =
-    * pairs sharing ≥ 1 shingle hash (an equi-join on the shingle, never
-    * a cross join); shared counts by one aggregation; sizes joined back.
+  /** Verified near-dup pairs by word-3-gram Jaccard ≥ 0.8, with PPJoin
+    * PREFIX FILTERING for the candidate join.
+    *
+    * A plain shared-shingle equi-join buckets on EVERY shingle: one
+    * boilerplate shingle present in 10^5 documents yields a 10^10-pair
+    * bucket — the quadratic step is bounded per bucket only if buckets
+    * are bounded. Prefix filtering bounds them losslessly: order all
+    * shingles globally by (frequency asc, hash); a doc with n shingles
+    * exposes only its first n − ⌈0.8·n⌉ + 1 shingles (its "prefix") to
+    * the join. Exactness (Xiao et al., PPJoin): J(A,B) ≥ 0.8 implies
+    * |A∩B| ≥ (4/9)(na+nb) ≥ ⌈0.8·max(na,nb)⌉, so the globally-smallest
+    * shared shingle sits within BOTH prefixes — no qualifying pair is
+    * missed, while frequent shingles (large buckets) land in almost no
+    * prefix because the order puts rare shingles first.
+    *
+    * Candidates then verify with the exact distinct-intersection count,
+    * so results are identical to the naive join — the oracle SQL is
+    * unchanged. Costs one extra linear aggregation (shingle
+    * frequencies) + re-sort per doc; buys bounded join fan-out on
+    * boilerplate-heavy corpora.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    // Each exploded row carries its doc's shingle count (free at the
-    // array stage — no size join later). Persisted: feeds both join
-    // sides.
-    val sh = shingleHashArrays(docs)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
-        explode(col("hs")).as("h"))
+    val hsArr = shingleHashArrays(docs)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
+    val freq = hsArr.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f"))
+    // each doc's shingles re-sorted into the global (f, h) order;
+    // persisted: feeds both sides of the prefix join AND both sides of
+    // the verification (consumers release via graft.Caches.clear)
+    val sorted = hsArr
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      .join(freq, "h")
+      .groupBy("doc_id", "n")
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), col("n"),
+        transform(col("fh"), x => x.getField("h")).as("hs"))
+      .select(col("doc_id"), col("n"), col("hs"),
+        slice(col("hs"), lit(1),
+          (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int")).as("prefix"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Size-band pruning (PPJoin-style): Jaccard ≥ 0.8 forces
-    // min(na,nb) ≥ (4/5)·max(na,nb), so incompatible pairs are dropped
-    // INSIDE the join, before the pair aggregation — same final result,
-    // far fewer aggregated rows on heterogeneous corpora.
-    val shared = sh.as("a")
-      .join(sh.as("b"),
+    val pref = sorted.select(col("doc_id"), col("n"), explode(col("prefix")).as("h"))
+    // size-band pruning stays valid inside the candidate join:
+    // Jaccard ≥ 0.8 forces min(na,nb) ≥ (4/5)·max(na,nb)
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-    shared
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("na")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("shared"),
+        col("na"), col("nb"))
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
-      .select("doc_a", "doc_b", "shared", "na", "nb")
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected

@@ -110,6 +110,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("prefix-filtered ngram pairs == brute-force Jaccard ≥ 0.8 " +
+      "on a boilerplate-heavy corpus") {
+    val rng = new scala.util.Random(5)
+    // every doc shares one frequent boilerplate run (the bucket that a
+    // naive shared-shingle join would explode on) + a random tail
+    val common = "lorem ipsum dolor sit amet consectetur"
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 30).map { i =>
+      val tail = Vector.fill(6)(words(rng.nextInt(words.length))).mkString(" ")
+      (i.toLong, s"$common $tail")
+    } ++ Seq( // 12 tokens, last differs: 9 of 11 shingles shared → J=9/11
+      (100L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 s"),
+      (101L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 r"))
+    val got = Dedup.ngramJaccard(docsDf(docs: _*))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size
+      if inter * 5 >= (sa.size + sb.size - inter) * 4
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(brute.contains((100L, 101L))) // the planted near-dup pair
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("dupClusters: a 25-deep near-dup chain lands in ONE cluster") {
     val s = spark
     import s.implicits._
