@@ -87,8 +87,12 @@ object Dedup {
     * boilerplate-heavy corpora.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    // the shingle-hash pass feeds BOTH the frequency aggregation and
+    // the per-doc re-sort — pin it so tokenize+shingle (the dominant
+    // scalar cost) runs once, not twice
     val hsArr = shingleHashArrays(docs)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = hsArr.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f"))
     // each doc's shingles re-sorted into the global (f, h) order;
