@@ -342,6 +342,35 @@ class ExtensionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    batch((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.StreamDedup.exactStreaming(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // in-batch dup (doc 3) collapses
+      assert(spark.sql("select * from sdedup_out").count() === 2)
+      // cross-batch dup (doc 4 == doc 2's text) collapses; new text passes
+      batch((4L, "bbb"), (5L, "ccc")).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val texts = spark.sql("select text from sdedup_out")
+        .collect().map(_.getString(0)).sorted
+      assert(texts === Array("aaa", "bbb", "ccc"))
+      // parity: surviving keys == batch Dedup.exact's groups on the
+      // same corpus
+      val all = batch((1L, "aaa"), (2L, "bbb"), (3L, "aaa"),
+        (4L, "bbb"), (5L, "ccc"))
+      assert(Dedup.exact(all).count() === 3L)
+    } finally q.stop()
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
