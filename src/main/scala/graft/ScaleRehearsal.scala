@@ -44,6 +44,7 @@ object ScaleRehearsal {
     val docs = spark.range(10).crossJoin(docs0)
       .select((col("doc_id") + col("id") * 1000000L).as("doc_id"), col("text"))
     t("dedup_exact 50k docs")(operators.Dedup.exact(docs).count())
+    t("ngram_jaccard 50k docs")(operators.Dedup.ngramJaccard(docs).count())
     t("minhash_lsh 50k docs")(operators.Dedup.minhashLsh(docs).count())
     t("dup_clusters from lsh")(
       operators.Dedup.dupClusters(operators.Dedup.minhashLsh(docs)).count())
