@@ -82,6 +82,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccard(Tables.table(s, d, "documents")))
         .orderBy("doc_id")),
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.survivors(Tables.table(s, d, "documents"))
+        .select("doc_id").orderBy("doc_id")),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -147,14 +150,16 @@ object SparkEntry {
   }
 
   /** Distinct word-3-gram shingle hashes per doc (mirrors
-    * Dedup.shingleHashes / minhash hs arrays).
+    * Dedup.shingleHashes / minhash hs arrays) over any doc relation.
     */
-  private val HsCte =
+  private def hsCteFor(src: String): String =
     "hs AS (SELECT doc_id, list_distinct(list_transform(" +
       "list_transform(range(1, greatest(len(t) - 1, 1)), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), " +
       s"s -> ${phSql("s")})) AS hs " +
-      "FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents))"
+      s"FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM $src))"
+
+  private val HsCte = hsCteFor("documents")
 
   /** Sequential-fold dot product with per-element double casts (mirrors
     * VectorFunctions.dot — bit-identical IEEE arithmetic).
@@ -195,6 +200,38 @@ object SparkEntry {
       s"WHEN $u < 2048 THEN 320 + $u // 64 + $u % 64 " +
       s"WHEN $u < 65536 THEN 480 + $u // 4096 + ($u // 64) % 64 + $u % 64 " +
       s"ELSE 624 + $u // 262144 + ($u // 4096) % 64 + ($u // 64) % 64 + $u % 64 END)"
+
+  /** MinHash-LSH CTE chain (expects an `hs` CTE in scope) + the
+    * verified-pairs SELECT over it — shared by dedup_minhash and the
+    * end-to-end dedup_survivors oracle.
+    */
+  private val MinhashCtes: String = {
+    val mhCols = Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh$i"
+    }.mkString(", ")
+    val bandCols = (0 until Dedup.LshBands).map { j =>
+      (0 until Dedup.LshRows)
+        .map(r => s"CAST(mh${j * Dedup.LshRows + r} AS VARCHAR)")
+        .mkString("", " || ',' || ", s" AS band$j")
+    }.mkString(", ")
+    val bandJoins = (0 until Dedup.LshBands).map { j =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a " +
+        s"JOIN banded b ON a.band$j = b.band$j AND a.doc_id < b.doc_id"
+    }.mkString(" UNION ALL ")
+    "nz AS (SELECT doc_id, hs FROM hs WHERE len(hs) > 0), " +
+      s"sig AS (SELECT doc_id, hs, $mhCols FROM nz), " +
+      s"banded AS (SELECT *, $bandCols FROM sig), " +
+      s"cand AS (SELECT DISTINCT doc_a, doc_b FROM ($bandJoins))"
+  }
+
+  private val MinhashPairsSelect: String =
+    "SELECT c.doc_a, c.doc_b, " +
+      "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS shared, " +
+      "CAST(len(ha.hs) AS BIGINT) AS na, CAST(len(hb.hs) AS BIGINT) AS nb " +
+      "FROM cand c JOIN nz ha ON ha.doc_id = c.doc_a " +
+      "JOIN nz hb ON hb.doc_id = c.doc_b " +
+      "WHERE len(list_intersect(ha.hs, hb.hs)) * 5 >= " +
+      "(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 4"
 
   /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
   private val NgramPairsSql: String =
@@ -307,32 +344,24 @@ object SparkEntry {
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     },
-    "dedup_minhash" -> {
-      val mhCols = Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh$i"
-      }.mkString(", ")
-      val bandCols = (0 until Dedup.LshBands).map { j =>
-        (0 until Dedup.LshRows)
-          .map(r => s"CAST(mh${j * Dedup.LshRows + r} AS VARCHAR)")
-          .mkString("", " || ',' || ", s" AS band$j")
-      }.mkString(", ")
-      val bandJoins = (0 until Dedup.LshBands).map { j =>
-        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a " +
-          s"JOIN banded b ON a.band$j = b.band$j AND a.doc_id < b.doc_id"
-      }.mkString(" UNION ALL ")
-      s"WITH $HsCte, " +
-        "nz AS (SELECT doc_id, hs FROM hs WHERE len(hs) > 0), " +
-        s"sig AS (SELECT doc_id, hs, $mhCols FROM nz), " +
-        s"banded AS (SELECT *, $bandCols FROM sig), " +
-        s"cand AS (SELECT DISTINCT doc_a, doc_b FROM ($bandJoins)) " +
-        "SELECT c.doc_a, c.doc_b, " +
-        "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS shared, " +
-        "CAST(len(ha.hs) AS BIGINT) AS na, CAST(len(hb.hs) AS BIGINT) AS nb " +
-        "FROM cand c JOIN nz ha ON ha.doc_id = c.doc_a " +
-        "JOIN nz hb ON hb.doc_id = c.doc_b " +
-        "WHERE len(list_intersect(ha.hs, hb.hs)) * 5 >= " +
-        "(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 4"
-    },
+    "dedup_minhash" -> s"WITH $HsCte, $MinhashCtes $MinhashPairsSelect",
+    "dedup_survivors" ->
+      (s"WITH RECURSIVE " +
+        s"exacts AS (SELECT MIN(doc_id) AS doc_id FROM " +
+        s"(SELECT doc_id, ${phSql("text")} AS fp, ${phSql2("text")} AS fp2, " +
+        "length(text) AS len FROM documents) GROUP BY fp, fp2, len), " +
+        "docs0 AS (SELECT d.* FROM documents d JOIN exacts e ON d.doc_id = e.doc_id), " +
+        s"${hsCteFor("docs0")}, $MinhashCtes, " +
+        s"pairs AS ($MinhashPairsSelect), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "losers AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id) " +
+        "SELECT doc_id FROM docs0 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
     "embedding_neardup" -> {
       val bandJoins = (0 until Similarity.LshBands).map { j =>
         s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +

@@ -227,6 +227,21 @@ object Dedup {
       labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, schema)
   }
 
+  /** The full dedup pipeline as one operator: exact dedup → MinHash-LSH
+    * near-dup pairs over the exact survivors (exact copies would flood
+    * every LSH bucket — the standard exact-then-near order) → connected
+    * components → keep the min-doc_id survivor per cluster. Returns the
+    * surviving rows of `docs` unchanged.
+    */
+  def survivors(docs: DataFrame): DataFrame = {
+    val exactSurvivors = docs.join(
+      exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = dupClusters(minhashLsh(exactSurvivors))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 60 signature bits = two independent 30-bit PolyHash spaces per
