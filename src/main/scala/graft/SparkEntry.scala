@@ -94,6 +94,9 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    "knn_lsh_probe" -> ((s, d) =>
+      Similarity.knnLshMultiProbe(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
@@ -394,6 +397,32 @@ object SparkEntry {
           s"ON ${lshBandSql("e.sig", j)} = ${lshBandSql("q.q_sig", j)} " +
           "AND e.vec_id <> q.query_id"
       }.mkString(" UNION ALL ")
+      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +
+        "FROM e WHERE vec_id < 10), " +
+        s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
+        "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("q.q_emb", "e.embedding")} / (sqrt(q.q_n2) * sqrt(e.n2)) AS cosine " +
+        "FROM cand c JOIN e ON e.vec_id = c.vec_id " +
+        "JOIN q ON q.query_id = c.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+        "FROM r WHERE rnk <= 5"
+    },
+    "knn_lsh_probe" -> {
+      // per band j and per mask m (no-flip + every single-bit flip):
+      // an equi-join between the corpus band value and the query's
+      // PROBED band value — the UNION enumerates exactly the probes
+      // the Spark side explodes
+      val masks = 0L +: (0 until Similarity.LshBandBits).map(b => 1L << b)
+      val bandJoins = (for {
+        j <- 0 until Similarity.LshBands
+        m <- masks
+      } yield s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
+        s"ON ${lshBandSql("e.sig", j)} = xor(${lshBandSql("q.q_sig", j)}, $m) " +
+        "AND e.vec_id <> q.query_id").mkString(" UNION ALL ")
       s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
         s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
         "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +

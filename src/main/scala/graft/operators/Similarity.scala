@@ -109,6 +109,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-probe banded LSH top-k: every query probes, per band, its
+    * own band value AND all `bandBits` single-bit flips of it — the
+    * standard recall/latency knob of production LSH (per-band hit
+    * probability rises from p^b to p^b + b·p^(b-1)(1−p)) at the cost
+    * of (bandBits+1)× more QUERY-side probe keys. The corpus side is
+    * untouched: probes explode only the (tiny, broadcast) query set,
+    * and the join stays a pure equi-join on (band_idx, band_val).
+    */
+  def knnLshMultiProbe(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, bands: Int = LshBands,
+      bandBits: Int = LshBandBits): DataFrame = {
+    val sig = withNorm(emb)
+      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
+    val banded = sig.select(col("vec_id"), col("embedding"), col("n2"),
+      posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
+    val masks = 0L +: (0 until bandBits).map(b => 1L << b)
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("band_idx").as("q_band_idx"),
+        explode(array(masks.map(m =>
+          col("band_val").bitwiseXOR(lit(m))): _*)).as("q_probe_val"))
+    val scored = banded.join(broadcast(queries),
+        col("band_idx") === col("q_band_idx") &&
+          col("band_val") === col("q_probe_val") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine"))
+      .distinct()
+    topK(scored, k)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

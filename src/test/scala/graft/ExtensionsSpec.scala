@@ -211,6 +211,12 @@ class ExtensionsSpec extends SparkSpec {
     val bruteAll = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
     // LSH returns fewer, bucket-restricted neighbors; sanity: nonempty
     assert(lsh.nonEmpty)
+    // multi-probe: strictly more candidates than plain banded LSH →
+    // its result PAIRS are a superset and recall vs brute can only rise
+    val mp = Similarity.knnLshMultiProbe(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mp.size >= lsh.size)
+    assert((mp & bruteAll).size >= (lsh & bruteAll).size)
     // IVF (fixed hash-sampled centroid set, nProbe=2): full k rows per
     // query and meaningful overlap with the exact top-k
     val ivf = Similarity.knnIvf(emb).collect()
