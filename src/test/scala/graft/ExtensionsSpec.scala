@@ -226,6 +226,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall too low: $recall")
   }
 
+  test("IvfAssign expression == join+argmax cell assignment") {
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val cents = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val centRows = cents.collect().sortBy(_.getLong(0))
+    val viaExpr = corpus.select(col("vec_id"),
+        graft.functions.VectorExprFunctions.ivf_assign(col("embedding"),
+          centRows.flatMap(_.getSeq[Number](1).map(_.doubleValue()).toArray),
+          centRows.map(_.getDouble(2)), centRows.map(_.getLong(0))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference formulation: score all pairs, keep the argmax row
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val viaJoin = corpus.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
+          .as("c_cos"))
+      .withColumn("crank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("crank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaJoin)
+  }
+
   test("native vector kernels are bit-identical to the fold forms") {
     import graft.functions.VectorFunctions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
