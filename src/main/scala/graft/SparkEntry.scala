@@ -71,6 +71,10 @@ object SparkEntry {
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_vocab" -> ((s, d) =>
+      TextOps.topTokens(Tables.table(s, d, "documents"))),
+    "text_corpus_stats" -> ((s, d) =>
+      TextOps.corpusStats(Tables.table(s, d, "documents"))),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
@@ -318,6 +322,16 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),
+    "text_vocab" ->
+      ("SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"),
+    "text_corpus_stats" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COALESCE(SUM(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS total_tokens, " +
+        "CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars, " +
+        "CAST(COALESCE(MAX(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS max_tokens " +
+        "FROM documents"),
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +

@@ -63,4 +63,26 @@ object TextOps {
     docs.select(
       col("doc_id"),
       poly_hash(col("text")).as("fingerprint"))
+
+  /** Exact top-k vocabulary by frequency (count desc, token asc).
+    * Map-side partial counts bound the shuffle by distinct tokens per
+    * partition; the final top-k is a TakeOrdered merge (k rows per
+    * partition to the driver), never a global sort of the vocabulary.
+    */
+  def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** One-row corpus summary — integer aggregates only (sums of longs
+    * are order-insensitive and exact; no float means across rows).
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(token_count(col("text")).cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("t")), lit(0L)).as("total_tokens"),
+        coalesce(sum(col("c")), lit(0L)).as("total_chars"),
+        coalesce(max(col("t")), lit(0L)).as("max_tokens"))
 }
