@@ -268,11 +268,15 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+  /** Per-query rank-≤-k via the custom TopKPerKey operator: same hash
+    * distribution the window row_number form needs, but a bounded
+    * k-element heap per query instead of sorting (and buffering) every
+    * candidate row. The (cosine desc, neighbor asc) order is total, so
+    * ranks equal row_number exactly — the oracle's ORDER BY + rnk <= k
+    * stays bit-identical.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
-  }
 }

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.LongType
+
+/** Top-k rows per key — a whole-operator extension (logical node +
+  * planner strategy + physical node, the full custom-operator stack
+  * from SparkSessionExtensions).
+  *
+  * Spark's idiomatic form — `row_number() OVER (PARTITION BY key ORDER
+  * BY ...)` then `filter(rank <= k)` — hash-partitions by key and then
+  * SORTS EVERY ROW of every key group, buffering each group, only to
+  * discard all but k rows. This operator keeps the same hash
+  * distribution requirement (Catalyst still inserts the Exchange) but
+  * replaces sort-then-discard with a bounded k-element heap per key:
+  * no sort, no per-group buffering beyond k rows, no spill pressure —
+  * O(n log k) comparisons instead of O(n log n), with memory k·|keys
+  * per partition| instead of |rows per partition|.
+  *
+  * Rank semantics equal `row_number` exactly when the ordering is a
+  * total order (as in the kNN queries: cosine desc, neighbor asc);
+  * on ties at the k boundary the survivor among equal rows is
+  * arbitrary — same as `row_number` itself.
+  */
+case class TopKPerKeyPlan(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
+    rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+/** Plans TopKPerKeyPlan → TopKPerKeyExec; injected by GraftExtensions
+  * and (idempotently) by `TopK.perKey` for sessions built without the
+  * extensions config.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  /** Rows of one key must meet in one partition — Catalyst inserts the
+    * hash Exchange; NO required ordering (the heap replaces the sort).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val outAttrs = output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // codegen'd comparator; lt(a, b) = a sorts before b = a is better
+      val ord: Ordering[InternalRow] =
+        GenerateOrdering.generate(sortOrder, childOutput)
+      // max-heap per key: head = worst retained row (first to evict)
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.lt(row, heap.head)) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      heaps.iterator.flatMap { case (_, heap) =>
+        // dequeueAll emits worst-first; reverse = rank 1..k order
+        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+        ranked.iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, (i + 1).toLong)
+          outProj(joined(row, rankRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level API: `TopK.perKey(df, Seq("key"), Seq(col("x").desc,
+  * col("id").asc), k)` → df's columns + a `rank` column (1-based).
+  */
+object TopK {
+
+  private def ensure(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+  }
+
+  def perKey(df: DataFrame, keyNames: Seq[String], order: Seq[Column], k: Int,
+      rankName: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    ensure(spark)
+    // route the order columns through a throwaway sortWithinPartitions
+    // so the ANALYZER produces fully-resolved catalyst SortOrders (the
+    // raw Column holds a lazy column-node wrapper, not an expression
+    // tied to df's attributes); we then lift its order and child.
+    val sorted = df.sortWithinPartitions(order: _*).queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
+    val child = sorted.child
+    val keyAttrs = keyNames.map { n =>
+      child.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(
+          s"topKPerKey: no column '$n' in ${child.output.map(_.name)}"))
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    ColumnBridge.ofRows(spark,
+      TopKPerKeyPlan(keyAttrs, sorted.order, k, rankAttr, child))
+  }
+}
