@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band_idx"), plan)
   }
 
+  test("text_vocab plans as TakeOrdered, never a global sort") {
+    val plan = executedPlan("text_vocab")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bandBitsFor grows with log N and caps at 16") {
+    import graft.operators.Similarity.bandBitsFor
+    assert(bandBitsFor(1000L) === 8)          // floor: never below default
+    assert(bandBitsFor(1L << 20) === 14)      // 2^20/64 = 2^14 buckets
+    assert(bandBitsFor(1000000000L) === 16)   // cap: 4 bands × 16 ≤ 64 bits
+    assert(bandBitsFor(0L) === 8)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
