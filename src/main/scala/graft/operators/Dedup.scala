@@ -162,26 +162,35 @@ object Dedup {
     */
   def dupClusters(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = pairs0.sparkSession
-    val parts = math.max(1,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val part = new org.apache.spark.HashPartitioner(parts)
     // symmetric neighbor relation in ONE pass over the (possibly
     // expensive — e.g. the ngram join) pair pipeline: flatMap emits
     // both directions, so nothing is scanned twice and the pair
     // DataFrame needs no persist.
-    val sym = pairs0.select(col("doc_a"), col("doc_b")).rdd
+    val raw = pairs0.select(col("doc_a"), col("doc_b")).rdd
       .flatMap { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         Iterator((a, b), (b, a))
       }
-      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the loop's partitioner to the DATA, not the session default:
+    // every round runs ~3 jobs over the label table, so a near-empty
+    // pair graph must not pay 32 tasks × rounds of scheduling overhead,
+    // while a 10^9-edge graph still gets full parallelism
+    val maxParts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val symEdges = raw.count()
+    val parts = math.max(1,
+      math.min(maxParts.toLong, symEdges / 500000L + 1L).toInt)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val sym = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // seed: label(u) = min(u, min neighbor) — one propagation round
     // folded into initialization; reduceByKey keeps `part`
     var labels = sym.reduceByKey(part, math.min(_, _))
       .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
         preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize sym + seed, then drop the raw copy
+    raw.unpersist(blocking = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
