@@ -90,9 +90,9 @@ object Dedup {
     // the shingle-hash pass feeds BOTH the frequency aggregation and
     // the per-doc re-sort — pin it so tokenize+shingle (the dominant
     // scalar cost) runs once, not twice
-    val hsArr = shingleHashArrays(docs)
+    val hsArr = graft.Caches.track(shingleHashArrays(docs)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val freq = hsArr.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f"))
     // each doc's shingles re-sorted into the global (f, h) order;
@@ -109,6 +109,7 @@ object Dedup {
         slice(col("hs"), lit(1),
           (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int")).as("prefix"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(sorted)
     val pref = sorted.select(col("doc_id"), col("n"), explode(col("prefix")).as("h"))
     // size-band pruning stays valid inside the candidate join:
     // Jaccard ≥ 0.8 forces min(na,nb) ≥ (4/5)·max(na,nb)
@@ -175,7 +176,12 @@ object Dedup {
     // size the loop's partitioner to the DATA, not the session default:
     // every round runs ~3 jobs over the label table, so a near-empty
     // pair graph must not pay 32 tasks × rounds of scheduling overhead,
-    // while a 10^9-edge graph still gets full parallelism
+    // while a large graph keeps full fan-out. Caveat: one giant
+    // converged component funnels its pointer-jump rows through the
+    // partition owning its min label — linear work on one task per
+    // round (not quadratic); corpora dominated by a single
+    // billion-member near-dup component would want large-star/
+    // small-star sharding instead
     val maxParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val symEdges = raw.count()
@@ -226,7 +232,8 @@ object Dedup {
     sym.unpersist(blocking = false)
     // back to SQL land: (doc_id, cluster_id). The final labels RDD
     // stays persisted for the consumer's action; graft.Caches.clear
-    // (or sparkContext-level unpersist) releases it afterwards.
+    // releases it afterwards (it is tracked below).
+    graft.Caches.trackRdd(labels)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -243,8 +250,11 @@ object Dedup {
     * surviving rows of `docs` unchanged.
     */
   def survivors(docs: DataFrame): DataFrame = {
-    val exactSurvivors = docs.join(
-      exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    // the exact-dedup pass (full-corpus aggregation + semi-join) feeds
+    // BOTH the near-dup stage and the final anti-join — pin it
+    val exactSurvivors = graft.Caches.track(docs.join(
+        exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val clusters = dupClusters(minhashLsh(exactSurvivors))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
@@ -301,7 +311,8 @@ object Dedup {
     * EXACT (no false negatives) while avoiding the all-pairs product.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.Caches.track(
+      simhash(docs).persist(StorageLevel.MEMORY_AND_DISK))
     val bands = (0 until SimBands).map(j => (j * SimBandBits, SimBandBits))
     // Long format: one row per (doc, band) → a SINGLE equi-join on
     // (band_idx, band_val) replaces 4 separate self-joins (and 8
@@ -380,9 +391,9 @@ object Dedup {
       concat_ws(",",
         (0 until LshRows).map(r => col(s"mh${j * LshRows + r}")): _*)
     }: _*)
-    val banded = sig
+    val banded = graft.Caches.track(sig
       .select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_sig")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -394,7 +405,8 @@ object Dedup {
     // distinct shingle-hash ARRAYS (no explode — one array per side per
     // pair) and intersect per row. Bounded by |candidates|. Persisted:
     // consumed by both sides of the pair join.
-    val hs = shingleHashArrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = graft.Caches.track(
+      shingleHashArrays(docs).persist(StorageLevel.MEMORY_AND_DISK))
     candidates
       .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")

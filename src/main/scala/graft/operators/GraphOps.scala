@@ -119,8 +119,8 @@ object GraphOps {
     // The compact weighted relation feeds all three join branches —
     // persist it so the (scan → join → aggregate) prefix runs once, not
     // three times. Bounded by distinct filtered edges.
-    val e = weightedEdges(filterMaxId(e0, max))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caches.track(weightedEdges(filterMaxId(e0, max))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
     val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
     val ca = e.select(col("dst").as("x"), col("src").as("z"), col("w").as("w3"))
@@ -148,8 +148,8 @@ object GraphOps {
     * memory.
     */
   def trianglesRep(e0: DataFrame, max: Long = 40L): DataFrame = {
-    val e = weightedEdges(filterMaxId(e0, max, inclusive = true))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caches.track(weightedEdges(filterMaxId(e0, max, inclusive = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
     val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
     val closing = e.select(col("dst").as("x"), col("src").as("z"))

@@ -81,50 +81,18 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Approximate top-k via banded hyperplane LSH: candidates agree with
-    * the query on ≥ 1 band. The query side is broadcast, so candidate
-    * generation is a map stage over the corpus; `distinct()` collapses
-    * multi-band hits (cosine is bit-deterministic, so the triple is
-    * duplicate-identical across bands). May return fewer than k rows
-    * per query — the recall trade LSH makes by construction.
+  /** Shared banded-LSH top-k core: per band, each query probes its band
+    * value XOR every mask in `masks`. The query side is broadcast, so
+    * candidate generation is a map stage over the corpus; `distinct()`
+    * collapses multi-band/multi-probe hits (cosine is bit-deterministic,
+    * so the triple is duplicate-identical across hits).
     */
-  def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
+  private def lshTopK(emb: DataFrame, k: Int, nQueries: Long, bands: Int,
+      bandBits: Int, masks: Seq[Long]): DataFrame = {
     val sig = withNorm(emb)
       .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
     val banded = sig.select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
-    val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("band_idx").as("q_band_idx"),
-        col("band_val").as("q_band_val"))
-    val scored = banded.join(broadcast(queries),
-        col("band_idx") === col("q_band_idx") &&
-          col("band_val") === col("q_band_val") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
-          .as("cosine"))
-      .distinct()
-    topK(scored, k)
-  }
-
-  /** Multi-probe banded LSH top-k: every query probes, per band, its
-    * own band value AND all `bandBits` single-bit flips of it — the
-    * standard recall/latency knob of production LSH (per-band hit
-    * probability rises from p^b to p^b + b·p^(b-1)(1−p)) at the cost
-    * of (bandBits+1)× more QUERY-side probe keys. The corpus side is
-    * untouched: probes explode only the (tiny, broadcast) query set,
-    * and the join stays a pure equi-join on (band_idx, band_val).
-    */
-  def knnLshMultiProbe(emb: DataFrame, k: Int = DefaultK,
-      nQueries: Long = DefaultQueries, bands: Int = LshBands,
-      bandBits: Int = LshBandBits): DataFrame = {
-    val sig = withNorm(emb)
-      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
-    val banded = sig.select(col("vec_id"), col("embedding"), col("n2"),
-      posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
-    val masks = 0L +: (0 until bandBits).map(b => 1L << b)
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("band_idx").as("q_band_idx"),
@@ -141,6 +109,28 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Approximate top-k via banded hyperplane LSH: candidates agree with
+    * the query on ≥ 1 band (the no-flip probe only). May return fewer
+    * than k rows per query — the recall trade LSH makes by
+    * construction.
+    */
+  def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame =
+    lshTopK(emb, k, nQueries, bands, bandBits, Seq(0L))
+
+  /** Multi-probe banded LSH top-k: every query probes, per band, its
+    * own band value AND all `bandBits` single-bit flips of it — the
+    * standard recall/latency knob of production LSH (per-band hit
+    * probability rises from p^b to p^b + b·p^(b-1)(1−p)) at the cost
+    * of (bandBits+1)× more QUERY-side probe keys. The corpus side is
+    * untouched.
+    */
+  def knnLshMultiProbe(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, bands: Int = LshBands,
+      bandBits: Int = LshBandBits): DataFrame =
+    lshTopK(emb, k, nQueries, bands, bandBits,
+      0L +: (0 until bandBits).map(b => 1L << b))
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the
@@ -152,11 +142,10 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.30,
       bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
     // signature pipeline feeds the band join AND both verify joins —
-    // compute once (consumers should clear caches when done; see
-    // graft.cli.CliSupport.clearCaches)
-    val sig = withNorm(emb)
+    // compute once (consumers release via graft.Caches.clear)
+    val sig = graft.Caches.track(withNorm(emb)
       .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = sig.select(col("vec_id"),
       posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -234,6 +223,11 @@ object Similarity {
     val centFlat = centRows.flatMap(
       _.getSeq[Number](1).map(_.doubleValue()).toArray)
     val centN2 = centRows.map(_.getDouble(2))
+    // the probe side also needs the centroid relation — rebuild it from
+    // the ALREADY-COLLECTED rows instead of re-executing the selection
+    // subplan (which would re-scan + re-hash the whole corpus)
+    val centLocal = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cents.schema)
     // cell ASSIGNMENT is a per-row codegen expression over the centroid
     // array: O(N) rows, ZERO shuffle. The earlier corpus×centroids
     // broadcast join + argmax aggregate materialized N·cells wide rows
@@ -248,7 +242,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
     val probes = corpus.filter(col("vec_id") < nQueries)
-      .join(broadcast(cents), lit(true))
+      .join(broadcast(centLocal), lit(true))
       .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
           .as("c_cos"))

@@ -120,22 +120,32 @@ object GraftFunctions {
       s"$fn expects a literal integer argument, got $other")
   }
 
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> (exprs => PolyHash(exprs.head)),
-    "poly_hash2" -> (exprs =>
-      PolyHash(exprs.head, PolyHashUtil.Mult2, PolyHashUtil.Mod2)),
-    "shingle_hash" -> (exprs =>
-      ShingleHash(exprs.head, intLit(exprs(1), "shingle_hash"))),
-    "simhash" -> (exprs => SimHash(exprs.head,
-      if (exprs.length > 1) intLit(exprs(1), "simhash")
-      else graft.operators.Dedup.SimBits)),
-    "minhash_sig" -> (exprs => MinHashSig(exprs.head,
-      graft.operators.Dedup.MinhashAB.map(_._1),
-      graft.operators.Dedup.MinhashAB.map(_._2),
-      graft.operators.Dedup.MinhashP)),
-    "dot_d" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "lsh_sig" -> (exprs =>
-      HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))))
+  /** (name, implementing expression class — for DESCRIBE FUNCTION —
+    * and builder) per SQL function.
+    */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("poly_hash", classOf[PolyHash],
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)),
+    ("poly_hash2", classOf[PolyHash],
+      (exprs: Seq[Expression]) =>
+        PolyHash(exprs.head, PolyHashUtil.Mult2, PolyHashUtil.Mod2)),
+    ("shingle_hash", classOf[ShingleHash],
+      (exprs: Seq[Expression]) =>
+        ShingleHash(exprs.head, intLit(exprs(1), "shingle_hash"))),
+    ("simhash", classOf[SimHash],
+      (exprs: Seq[Expression]) => SimHash(exprs.head,
+        if (exprs.length > 1) intLit(exprs(1), "simhash")
+        else graft.operators.Dedup.SimBits)),
+    ("minhash_sig", classOf[MinHashSig],
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        graft.operators.Dedup.MinhashAB.map(_._1),
+        graft.operators.Dedup.MinhashAB.map(_._2),
+        graft.operators.Dedup.MinhashP)),
+    ("dot_d", classOf[DotProduct],
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    ("lsh_sig", classOf[HyperplaneSig],
+      (exprs: Seq[Expression]) =>
+        HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))))
 }
 
 /** Session extensions: the degree-product rule + the full SQL function
@@ -147,10 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CountJoinToDegreeProduct)
     e.injectPlannerStrategy(_ => TopKStrategy)
-    GraftFunctions.builders.foreach { case (name, builder) =>
+    GraftFunctions.builders.foreach { case (name, clazz, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[PolyHash].getName, name),
+        new ExpressionInfo(clazz.getName, name),
         builder))
     }
   }
@@ -162,7 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftSql {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftFunctions.builders.foreach { case (name, builder) =>
+    GraftFunctions.builders.foreach { case (name, _, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(
         spark, name, builder)
     }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.LongType
   * total order (as in the kNN queries: cosine desc, neighbor asc);
   * on ties at the k boundary the survivor among equal rows is
   * arbitrary — same as `row_number` itself.
+  *
+  * MEMORY CONTRACT: retained state is k rows × distinct keys per
+  * partition, held in plain JVM collections with NO spill path (the
+  * window form spills via UnsafeExternalSorter but buffers whole
+  * groups). Use this operator when k·|keys per partition| is bounded
+  * (top-k per query, per user, per session — the engine's uses);
+  * prefer the window form for huge-cardinality keys with large k.
   */
 case class TopKPerKeyPlan(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
@@ -133,9 +140,14 @@ object TopK {
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val child = sorted.child
     val keyAttrs = keyNames.map { n =>
-      child.output.find(_.name == n)
-        .getOrElse(throw new IllegalArgumentException(
-          s"topKPerKey: no column '$n' in ${child.output.map(_.name)}"))
+      child.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"topKPerKey: no column '$n' in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"topKPerKey: ambiguous column '$n' (${many.size} matches) — " +
+            "disambiguate with aliases before calling")
+      }
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     ColumnBridge.ofRows(spark,
