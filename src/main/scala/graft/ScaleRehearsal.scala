@@ -25,6 +25,7 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       val r = f
       println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
+      Caches.clear(spark) // each phase measured against a clean cache
     }
 
     // 10M directed edges over 2M vertices, skewed dst (celebrities)

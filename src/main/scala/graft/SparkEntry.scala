@@ -73,6 +73,8 @@ object SparkEntry {
       TextOps.fingerprints(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_vocab" -> ((s, d) =>
       TextOps.topTokens(Tables.table(s, d, "documents"))),
+    "text_split" -> ((s, d) =>
+      TextOps.hashSplit(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
     "dedup_exact" -> ((s, d) =>
@@ -322,6 +324,9 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),
+    "text_split" ->
+      (s"SELECT doc_id, CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 10 " +
+        "THEN 'val' ELSE 'train' END AS split FROM documents"),
     "text_vocab" ->
       ("SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM " +
         "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) " +

@@ -75,6 +75,18 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Deterministic train/validation split by id hash: stable across
+    * runs, clusters and engines (no RNG, no sampling drift) — the
+    * standard way to carve held-out sets from a training corpus. A doc
+    * lands in 'val' iff poly_hash(doc_id) mod 100 < valPct, so the
+    * split survives re-partitioning and incremental corpus growth
+    * (existing docs never switch sides). Pure projection — no shuffle.
+    */
+  def hashSplit(docs: DataFrame, valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"),
+      when(poly_hash(col("doc_id").cast("string")) % 100 < valPct, "val")
+        .otherwise("train").as("split"))
+
   /** One-row corpus summary — integer aggregates only (sums of longs
     * are order-insensitive and exact; no float means across rows).
     */
