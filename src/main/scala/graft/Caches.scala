@@ -18,6 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Caches {
 
+  // STRONG references, deliberately: a weak registry can be GC'd
+  // before clear() runs, orphaning still-persisted blocks until the
+  // async ContextCleaner notices — non-deterministic cleanup. The
+  // entries are tiny (plan references); the contract is that consumers
+  // call clear() after each query's action, which drains the queue.
   private val dfs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val rdds = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
 

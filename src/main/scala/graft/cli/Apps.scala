@@ -110,6 +110,7 @@ object SocialTriangleRSApp {
       val result = GraphOps.trianglesRS(e, Max)
       CliSupport.writeTsv(result, args.last)
       println(s"TRIANGLECOUNT.COUNT:${result.collect()(0).getLong(0)}")
+      graft.Caches.clear(spark)
     }
   }
 }
@@ -128,6 +129,7 @@ object ReplicatedJoinApp {
       // the reference sets the output separator to "" (R:128)
       CliSupport.writeTsv(result, args(1), sep = "")
       println(s"CARDINALITY.finalCount:${result.collect()(0).getLong(0)}")
+      graft.Caches.clear(spark)
     }
   }
 }

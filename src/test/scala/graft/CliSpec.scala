@@ -74,6 +74,23 @@ class CliSpec extends SparkSpec {
       s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
   }
 
+  test("Caches.clear releases graft caches but NEVER a host session's own") {
+    val s = spark
+    import s.implicits._
+    val hostDf = Seq((1L, "host")).toDF("id", "tag")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hostDf.count()
+    // a graft operator that persists internally (tracked)
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    graft.operators.Dedup.ngramJaccard(docs).count()
+    graft.Caches.clear(spark)
+    // the host's cache survives; graft's tracked caches are gone
+    assert(hostDf.storageLevel.useMemory, "host cache was evicted")
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      s"expected only the host cache, got ${spark.sparkContext.getPersistentRDDs.size}")
+    hostDf.unpersist(blocking = false)
+  }
+
   test("writeTsv with empty separator concatenates columns (R:128 parity)") {
     val s = spark
     import s.implicits._
