@@ -30,16 +30,22 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    // stop Spark BEFORE emitting, so no stray shutdown log line can land
+    // after the JSON — the harness scrapes the log tail for it
+    spark.stop()
     // stdout passes through sbt, which prefixes every line with
     // "[info] " — so ALSO write the raw line to a file the harness (or
-    // a human) can read without scraping the log tail
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // a human) can read without scraping the log tail. SPARK_GRAFT_BENCH_OUT
+    // overrides the destination; BENCH_LAST.json in the cwd is always
+    // written as the stable fallback path.
+    val outPaths = "BENCH_LAST.json" +: sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
+    outPaths.distinct.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
-    spark.stop()
+    // the JSON line is the FINAL stdout line of the run
+    println(json)
   }
 }

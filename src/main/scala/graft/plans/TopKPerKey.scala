@@ -36,6 +36,10 @@ import org.apache.spark.sql.types.LongType
   * groups). Use this operator when k·|keys per partition| is bounded
   * (top-k per query, per user, per session — the engine's uses);
   * prefer the window form for huge-cardinality keys with large k.
+  * The contract is ENFORCED: a partition retaining more than
+  * `spark.graft.topk.maxRowsPerPartition` rows (default 8388608) fails
+  * fast with a message pointing at the window form, instead of
+  * degrading into an opaque executor OOM.
   */
 case class TopKPerKeyPlan(keys: Seq[Attribute], order: Seq[SortOrder], k: Int,
     rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
@@ -77,6 +81,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs = keys
     val sortOrder = order
     val outAttrs = output
+    // memory-contract guard, resolved on the driver: retaining more
+    // rows than this per partition means the key cardinality broke the
+    // "bounded k·|keys|" assumption — fail with advice, don't OOM
+    val maxRetained = conf
+      .getConfString("spark.graft.topk.maxRowsPerPartition", "8388608").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd comparator; lt(a, b) = a sorts before b = a is better
@@ -85,6 +94,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // max-heap per key: head = worst retained row (first to evict)
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      var retained = 0L
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.getOrElse(key, null)
@@ -92,8 +102,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) {
+        if (heap.size < kk) {
+          retained += 1
+          if (retained > maxRetained) throw new IllegalStateException(
+            s"TopKPerKey retained > $maxRetained rows in one partition " +
+              s"(k=$kk × too many distinct keys) — this operator holds " +
+              "k rows per key on-heap with no spill path. Use the " +
+              "row_number window form for high-cardinality keys, or " +
+              "raise spark.graft.topk.maxRowsPerPartition")
+          heap.enqueue(row.copy())
+        } else if (ord.lt(row, heap.head)) {
           heap.dequeue()
           heap.enqueue(row.copy())
         }
@@ -139,8 +157,11 @@ object TopK {
     val sorted = df.sortWithinPartitions(order: _*).queryExecution.analyzed
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
     val child = sorted.child
+    // key lookup honors the session's name-resolution semantics
+    // (spark.sql.caseSensitive), like every other DataFrame API
+    val resolver = spark.sessionState.analyzer.resolver
     val keyAttrs = keyNames.map { n =>
-      child.output.filter(_.name == n) match {
+      child.output.filter(a => resolver(a.name, n)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"topKPerKey: no column '$n' in ${child.output.map(_.name)}")

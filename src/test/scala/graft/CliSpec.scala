@@ -91,6 +91,23 @@ class CliSpec extends SparkSpec {
     hostDf.unpersist(blocking = false)
   }
 
+  test("Caches.scoped isolates a lease from clear() and releases on exit") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    graft.Caches.scoped {
+      graft.operators.Dedup.ngramJaccard(docs).count()
+      // caches are leased to THIS scope: a concurrent consumer's
+      // clear() (default lease) must not unpersist them
+      graft.Caches.clear(spark)
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "scoped caches were drained by a foreign clear()")
+    }
+    // scope exit released everything it tracked
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"scoped lease leaked: ${spark.sparkContext.getPersistentRDDs.size}")
+  }
+
   test("writeTsv with empty separator concatenates columns (R:128 parity)") {
     val s = spark
     import s.implicits._

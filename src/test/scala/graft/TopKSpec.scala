@@ -60,6 +60,32 @@ class TopKSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("+- Sort"), plan)
   }
 
+  test("key names resolve with the session's (case-insensitive) resolver") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 2.0), (1L, 11L, 3.0)).toDF("Key_Id", "id", "score")
+    val got = TopK.perKey(df, Seq("key_id"),
+      Seq(col("score").desc, col("id").asc), 1)
+    assert(got.count() === 1L)
+  }
+
+  test("memory-contract guard fails fast when retained rows exceed the cap") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.topk.maxRowsPerPartition", "10")
+    try {
+      // 100 distinct keys × k=1 > 10 retained rows in some partition
+      val df = (0L until 100L).map(i => (i, i, i.toDouble)).toDF("key", "id", "score")
+        .coalesce(1)
+      val e = intercept[org.apache.spark.SparkException] {
+        TopK.perKey(df, Seq("key"), Seq(col("score").desc), 1).count()
+      }
+      assert(e.getMessage.contains("maxRowsPerPartition") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxRowsPerPartition")),
+        e.getMessage)
+    } finally s.conf.unset("spark.graft.topk.maxRowsPerPartition")
+  }
+
   test("downstream operations compose over the custom node") {
     val s = spark
     import s.implicits._
