@@ -59,12 +59,49 @@ object ScaleRehearsal {
       .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
     val emb = embX(10)
     t("knn_brute 20k vectors")(operators.Similarity.knnBrute(emb).count())
-    t("knn_ivf 20k vectors")(operators.Similarity.knnIvf(emb).count())
-    t("knn_ivf 80k vectors")(operators.Similarity.knnIvf(embX(40)).count())
-    t("knn_lsh 20k vectors")(operators.Similarity.knnLsh(emb,
-      bandBits = operators.Similarity.bandBitsFor(20000L)).count())
-    t("neardup 20k vectors")(operators.Similarity.nearDupPairs(emb,
-      bandBits = operators.Similarity.bandBitsFor(20000L)).count())
+    t("knn_ivf 20k vectors")(
+      operators.Similarity.knnIvf(emb, corpusSize = 20000L).count())
+    t("knn_ivf 80k vectors")(
+      operators.Similarity.knnIvf(embX(40), corpusSize = 80000L).count())
+    // corpusSize is passed because embX frames are crossJoin-derived —
+    // letting the adaptive default count() them would be a full scan
+    t("knn_lsh 20k vectors")(
+      operators.Similarity.knnLsh(emb, corpusSize = 20000L).count())
+    t("knn_lsh 80k vectors")(
+      operators.Similarity.knnLsh(embX(40), corpusSize = 80000L).count())
+    t("neardup 20k vectors")(
+      operators.Similarity.nearDupPairs(emb, corpusSize = 20000L).count())
+
+    // The adaptive-width contract made measurable: mean band-bucket
+    // occupancy should stay ~flat 20k → 80k (the width grows with
+    // log2 N, so N/2^bb holds near LshTargetBucket), instead of
+    // growing 4× as a static width would let it.
+    def bucketStats(e: org.apache.spark.sql.DataFrame, n: Long): String = {
+      import operators.Similarity._
+      val bb = bandBitsFor(n)
+      val sig = e.select(graft.functions.VectorFunctions
+        .lshSignature(col("embedding"), LshSigBits).as("sig"))
+      val bands = array((0 until LshBands).map { j =>
+        shiftright(col("sig"), j * LshBandStride).bitwiseAND((1L << bb) - 1)
+      }: _*)
+      val occ = sig.select(posexplode(bands).as(Seq("band_idx", "band_val")))
+        .groupBy("band_idx", "band_val").count()
+        .agg(avg("count"), max("count")).collect()(0)
+      f"bb=$bb mean=${occ.getDouble(0)}%.1f max=${occ.getLong(1)}"
+    }
+    // replica corpora: raw occupancy scales with the replication factor
+    // by construction (identical vectors share every bucket) — these
+    // lines show the width keeping the DISTINCT-signature spread bounded
+    t("lsh bucket occupancy 20k")(bucketStats(emb, 20000L))
+    t("lsh bucket occupancy 80k")(bucketStats(embX(40), 80000L))
+    // uniform corpora: the clean contract — mean ≈ N/2^bb ≈ the 64
+    // target at BOTH sizes (a static 8-bit width would read ~78 → ~312)
+    def synthEmb(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "cast(pmod(hash(id * 16 + i), 1000) / 499.5 - 1.0 as float))")
+        .as("embedding"))
+    t("lsh occupancy 20k uniform")(bucketStats(synthEmb(20000L), 20000L))
+    t("lsh occupancy 80k uniform")(bucketStats(synthEmb(80000L), 80000L))
     spark.stop()
   }
 }

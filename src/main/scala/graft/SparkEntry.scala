@@ -177,20 +177,47 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
 
-  /** LSH signature (mirrors VectorFunctions.lshSignature). */
-  private def lshSigSql(v: String, nPlanes: Int = Similarity.LshSigBits): String =
+  /** LSH signature (mirrors VectorFunctions.lshSignature / the
+    * HyperplaneSig kernel): per plane j, the multiply-mod-prime +
+    * xor-shift component mixer — constants come FROM VectorExprUtil so
+    * the three copies cannot drift.
+    */
+  private def lshSigSql(v: String, nPlanes: Int = Similarity.LshSigBits): String = {
+    import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
     (0 until nPlanes).map { j =>
-      val comp = s"((($j * 64 + i + 1)::BIGINT * 1103515245 + 12345) " +
-        s"% 2147483648) / 2147483648.0 - 0.5"
+      val h1 = s"((($j * 64 + i + 1)::BIGINT * $PlaneMul1) % $PlaneM31)"
+      val h2 = s"xor($h1, $h1 >> 15)"
+      val h3 = s"(($h2 * $PlaneMul2) % $PlaneM31)"
+      val h4 = s"xor($h3, $h3 >> 13)"
+      val h5 = s"(($h4 * $PlaneMul3) % $PlaneM31)"
+      val comp = s"($h5 / $PlaneM31.0 - 0.5)"
       val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
-        s"range(0, len($v)), i -> $v[i+1]::DOUBLE * ($comp))), (acc, x) -> acc + x)"
+        s"range(0, len($v)), i -> $v[i+1]::DOUBLE * $comp)), (acc, x) -> acc + x)"
       s"(CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
 
-  /** Band j of an LSH signature (mirrors Similarity.bandCols). */
-  private def lshBandSql(sig: String, j: Int): String =
-    s"(($sig >> ${j * Similarity.LshBandBits}) & " +
-      s"${(1L << Similarity.LshBandBits) - 1})"
+  /** Band j of an LSH signature (mirrors Similarity.bandCols): bands
+    * sit at the FIXED 15-bit stride; `bb` — a column in scope holding
+    * the corpus-adaptive width — masks the low bits actually compared.
+    */
+  private def lshBandSql(sig: String, j: Int, bb: String): String =
+    s"(($sig >> ${j * Similarity.LshBandStride}) & ((1::BIGINT << $bb) - 1))"
+
+  /** 1-row CTE body computing the corpus-adaptive band width `bb` from
+    * COUNT(*) — the SQL twin of Similarity.bandBitsFor. The clamped
+    * ceil-log2 is integer threshold counting
+    * (floor + Σ_k [buckets > 2^k]), never floating log2, so the two
+    * formulas agree on every n (property-tested in PlanSpec).
+    */
+  private def lshBandBitsSql(src: String): String = {
+    val steps = (Similarity.LshBandBits until Similarity.LshBandStride)
+      .map(k => s"(CASE WHEN buckets > ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"SELECT (${Similarity.LshBandBits} + $steps) AS bb FROM " +
+      s"(SELECT GREATEST(1, COUNT(*) // ${Similarity.LshTargetBucket}) " +
+      s"AS buckets FROM $src)"
+  }
 
   /** UTF-8 LEADING byte of code point `u` — pure integer arithmetic,
     * so the oracle reproduces Spark's byte-level reads of the encoded
@@ -387,11 +414,12 @@ object SparkEntry {
     "embedding_neardup" -> {
       val bandJoins = (0 until Similarity.LshBands).map { j =>
         s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
-          s"ON ${lshBandSql("a.sig", j)} = ${lshBandSql("b.sig", j)} " +
+          s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
           "AND a.vec_id < b.vec_id"
       }.mkString(" UNION ALL ")
-      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
+      s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+        s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
         s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)) " +
         "SELECT vec_a, vec_b, cosine FROM (" +
         "SELECT c.vec_a, c.vec_b, " +
@@ -413,12 +441,13 @@ object SparkEntry {
     "knn_lsh" -> {
       val bandJoins = (0 until Similarity.LshBands).map { j =>
         s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
-          s"ON ${lshBandSql("e.sig", j)} = ${lshBandSql("q.q_sig", j)} " +
+          s"ON ${lshBandSql("e.sig", j, "e.bb")} = ${lshBandSql("q.q_sig", j, "q.bb")} " +
           "AND e.vec_id <> q.query_id"
       }.mkString(" UNION ALL ")
-      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +
+      s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+        s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig, bb " +
         "FROM e WHERE vec_id < 10), " +
         s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
         "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
@@ -431,20 +460,29 @@ object SparkEntry {
         "FROM r WHERE rnk <= 5"
     },
     "knn_lsh_probe" -> {
-      // per band j and per mask m (no-flip + every single-bit flip):
-      // an equi-join between the corpus band value and the query's
-      // PROBED band value — the UNION enumerates exactly the probes
-      // the Spark side explodes
-      val masks = 0L +: (0 until Similarity.LshBandBits).map(b => 1L << b)
+      // per band j and per flipped bit b (plus the no-flip probe): an
+      // equi-join between the corpus band value and the query's PROBED
+      // band value. The UNION enumerates the MAXIMUM probe set (all
+      // LshBandStride flips); each flip branch self-disables with
+      // `b < bb` when the corpus-adaptive width doesn't reach that bit
+      // — exactly the masks the Spark side explodes at runtime.
+      val flips = -1 +: (0 until Similarity.LshBandStride)
       val bandJoins = (for {
         j <- 0 until Similarity.LshBands
-        m <- masks
-      } yield s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
-        s"ON ${lshBandSql("e.sig", j)} = xor(${lshBandSql("q.q_sig", j)}, $m) " +
-        "AND e.vec_id <> q.query_id").mkString(" UNION ALL ")
-      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig " +
+        b <- flips
+      } yield {
+        val probe =
+          if (b < 0) lshBandSql("q.q_sig", j, "q.bb")
+          else s"xor(${lshBandSql("q.q_sig", j, "q.bb")}, ${1L << b})"
+        val guard = if (b < 0) "" else s" AND $b < q.bb"
+        s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
+          s"ON ${lshBandSql("e.sig", j, "e.bb")} = $probe " +
+          s"AND e.vec_id <> q.query_id$guard"
+      }).mkString(" UNION ALL ")
+      s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+        s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig, bb " +
         "FROM e WHERE vec_id < 10), " +
         s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
         "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +

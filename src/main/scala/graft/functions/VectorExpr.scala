@@ -33,9 +33,37 @@ object VectorExprUtil {
     acc
   }
 
+  /** Plane component r(j, i) ∈ [-0.5, 0.5): three multiply-mod-prime
+    * rounds interleaved with xor-shifts over the 31-bit space — the
+    * murmur-finalizer shape, downsized so every product stays < 2^62
+    * (ANSI-SQL BIGINT never wraps; DuckDB errors on overflow, so a
+    * 64-bit mixer is not oracle-reproducible). The xor rounds are what
+    * matters: a bare LCG/Lehmer chain is affine in the index, which
+    * makes plane j+1 ≈ plane j + const — measured plane-pair |cos| up
+    * to 0.999 and ~13× the uniform candidate-join cost at 80k vectors;
+    * this mixer matches true-random planes on both metrics.
+    * Single source of truth shared by the codegen kernel, the
+    * composed-Column twin (VectorFunctions.planeComponent), and the
+    * oracle SQL generator (SparkEntry.lshSigSql) — change all three
+    * together.
+    */
+  val PlaneM31 = 2147483647L
+  val PlaneMul1 = 1103515245L
+  val PlaneMul2 = 784588716L
+  val PlaneMul3 = 367579L
+
+  def planeComponent(j: Int, i: Int): Double = {
+    var h = (j * 64 + i + 1).toLong * PlaneMul1 % PlaneM31
+    h ^= h >> 15
+    h = h * PlaneMul2 % PlaneM31
+    h ^= h >> 13
+    h = h * PlaneMul3 % PlaneM31
+    h.toDouble / PlaneM31 - 0.5
+  }
+
   /** nPlanes-bit hyperplane signature — equals
-    * VectorFunctions.lshSignature: plane component from the integer LCG
-    * ((j·64+i+1)·1103515245+12345) mod 2^31, mapped to [-0.5, 0.5).
+    * VectorFunctions.lshSignature; plane components from
+    * `planeComponent` above.
     */
   def lshSig(v: ArrayData, vF: Boolean, nPlanes: Int): Long = {
     val n = v.numElements()
@@ -45,9 +73,7 @@ object VectorExprUtil {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val seed = (j * 64 + i + 1).toLong * 1103515245L + 12345L
-        val r = (seed % 2147483648L).toDouble / 2147483648.0 - 0.5
-        acc += elem(v, vF, i) * r
+        acc += elem(v, vF, i) * planeComponent(j, i)
         i += 1
       }
       if (acc > 0) sig |= (1L << j)

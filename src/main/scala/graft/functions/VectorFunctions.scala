@@ -45,13 +45,20 @@ object VectorFunctions {
 
   // ---- random-hyperplane LSH ----
 
-  /** Deterministic pseudo-random hyperplane component r(j, i) — a plain
-    * LCG mapped to [-0.5, 0.5), reproducible in ANSI SQL (integer ops +
-    * one double division only). j = plane index, i = dimension index.
+  /** Deterministic pseudo-random hyperplane component r(j, i) — the
+    * multiply-mod-prime / xor-shift mixer (see
+    * VectorExprUtil.planeComponent, the single source of truth),
+    * reproducible in ANSI SQL (integer ops, xor, shift, one double
+    * division). j = plane index, i = dimension index.
     */
   def planeComponent(j: Int, i: Column): Column = {
-    val seed = (lit(j) * 64 + i + 1) * lit(1103515245L) + 12345L
-    (seed % 2147483648L).cast("double") / lit(2147483648.0) - lit(0.5)
+    import VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
+    val h1 = ((lit(j) * 64 + i + 1).cast("long") * PlaneMul1) % PlaneM31
+    val h2 = h1.bitwiseXOR(shiftright(h1, 15))
+    val h3 = (h2 * PlaneMul2) % PlaneM31
+    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
+    val h5 = (h4 * PlaneMul3) % PlaneM31
+    h5.cast("double") / lit(PlaneM31.toDouble) - lit(0.5)
   }
 
   /** Sign bit of the projection of `vec` onto pseudo-plane j. */

@@ -24,32 +24,69 @@ import org.apache.spark.storage.StorageLevel
   *     same banded buckets; candidates verified with the exact cosine.
   *
   * Scale knobs: `bandBits` decides bucket granularity (buckets =
-  * 2^bandBits per band). The default (8 bits → 256 buckets) suits
-  * ~10^4-vector corpora; at larger N pass `bandBitsFor(n)` so bucket
-  * occupancy N/2^bandBits — and with it the bucket-internal candidate
-  * join — stays bounded. Bands stay fixed (recall depends on them, not
-  * on N).
+  * 2^bandBits per band). The DEFAULT is corpus-adaptive: pass
+  * `AdaptiveBandBits` (0) and the operator sizes the width from the
+  * corpus count via `bandBitsFor(n)` so bucket occupancy N/2^bandBits —
+  * and with it the bucket-internal candidate join — stays bounded as N
+  * grows. Bands stay fixed (recall depends on them, not on N).
+  *
+  * SIGNATURE LAYOUT (fixed, independent of the adaptive width): 4 bands
+  * × `LshBandStride` = 15 planes each, 60 planes total. Band j occupies
+  * signature bits [15j, 15j+15); an adaptive width b ≤ 15 uses the LOW
+  * b bits of each band. Fixing the layout while varying only the mask
+  * keeps the (static) SQL oracle reproducible: the oracle computes the
+  * same 60-plane signature text and derives b from COUNT(*) at query
+  * time, instead of needing a differently-shaped signature per corpus
+  * size. Cost: at the 8-bit floor, 7 of each band's 15 planes go
+  * unused (~2× signature compute vs a minimal 32-plane layout) — a
+  * per-row map-stage cost that buys bounded bucket sizes at every N
+  * with zero plan-shape change.
   */
 object Similarity {
 
   val DefaultK = 5
   val DefaultQueries = 10L
 
-  /** Banded-LSH geometry: 4 bands × 8 bits = one 32-plane signature. */
+  /** Banded-LSH geometry: 4 bands × 15-plane stride = one 60-plane
+    * signature (fits a long with the sign bit clear).
+    */
   val LshBands = 4
-  val LshBandBits = 8
-  val LshSigBits: Int = LshBands * LshBandBits
+  val LshBandStride = 15
+  val LshBandBits = 8 // FLOOR of the adaptive band width
+  val LshSigBits: Int = LshBands * LshBandStride
+
+  /** Sentinel band width: resolve from the corpus count at build time. */
+  val AdaptiveBandBits = 0
+
+  /** Target per-band bucket occupancy the adaptive width aims for. */
+  val LshTargetBucket = 64L
 
   /** Band width for an N-vector corpus: keep ~`targetBucket` vectors
     * per band bucket (bucket-internal pair work is quadratic in bucket
-    * size, so it must not grow with N). Capped at 16 bits/band so the
-    * 4-band signature still fits one long.
+    * size, so it must not grow with N). Clamped to
+    * [LshBandBits, LshBandStride] so the width always fits the fixed
+    * 15-bit band layout.
+    *
+    * Mirrored by SparkEntry.lshBandBitsSql — the SQL twin is
+    * 8 + Σ_{k=8..14} [buckets > 2^k], equal to this clamp (property
+    * test in PlanSpec); change the two together.
     */
-  def bandBitsFor(n: Long, targetBucket: Long = 64L): Int = {
+  def bandBitsFor(n: Long, targetBucket: Long = LshTargetBucket): Int = {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, buckets - 1))
-    math.min(16, math.max(LshBandBits, bits))
+    math.min(LshBandStride, math.max(LshBandBits, bits))
   }
+
+  /** Resolve an explicit-or-adaptive band width: positive `bandBits`
+    * pins it; `AdaptiveBandBits` derives it from `corpusSize` when the
+    * caller already knows N (skipping the job), else from one count()
+    * — metadata-only on plain parquet scans, a full scan on derived
+    * inputs (same caveat as knnIvf's sizing count).
+    */
+  private def resolveBandBits(emb: DataFrame, bandBits: Int,
+      corpusSize: Long): Int =
+    if (bandBits > 0) bandBits
+    else bandBitsFor(if (corpusSize >= 0L) corpusSize else emb.count())
 
   /** Corpus with precomputed squared norms (computed once, not per
     * pair).
@@ -59,11 +96,12 @@ object Similarity {
 
   /** Long-format band decomposition of the signature column: one row
     * per (row, band) keyed by (band_idx, band_val) — a SINGLE equi-join
-    * on that pair then finds collisions in any band.
+    * on that pair then finds collisions in any band. Bands sit at the
+    * fixed 15-bit stride; `bandBits` masks the low bits actually used.
     */
   private def bandCols(sigCol: String, bands: Int, bandBits: Int) =
     array((0 until bands).map { j =>
-      shiftright(col(sigCol), j * bandBits).bitwiseAND((1L << bandBits) - 1)
+      shiftright(col(sigCol), j * LshBandStride).bitwiseAND((1L << bandBits) - 1)
     }: _*)
 
   /** Exact top-k cosine neighbors for query vectors vec_id < nQueries,
@@ -90,7 +128,7 @@ object Similarity {
   private def lshTopK(emb: DataFrame, k: Int, nQueries: Long, bands: Int,
       bandBits: Int, masks: Seq[Long]): DataFrame = {
     val sig = withNorm(emb)
-      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
+      .withColumn("sig", lshSignature(col("embedding"), bands * LshBandStride))
     val banded = sig.select(col("vec_id"), col("embedding"), col("n2"),
       posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
     val queries = banded.filter(col("vec_id") < nQueries)
@@ -112,24 +150,30 @@ object Similarity {
   /** Approximate top-k via banded hyperplane LSH: candidates agree with
     * the query on ≥ 1 band (the no-flip probe only). May return fewer
     * than k rows per query — the recall trade LSH makes by
-    * construction.
+    * construction. Band width defaults to corpus-adaptive (see
+    * `bandBitsFor`); pass `corpusSize` when N is already known to skip
+    * the sizing count.
     */
   def knnLsh(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame =
-    lshTopK(emb, k, nQueries, bands, bandBits, Seq(0L))
+      bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
+      corpusSize: Long = -1L): DataFrame =
+    lshTopK(emb, k, nQueries, bands,
+      resolveBandBits(emb, bandBits, corpusSize), Seq(0L))
 
   /** Multi-probe banded LSH top-k: every query probes, per band, its
     * own band value AND all `bandBits` single-bit flips of it — the
     * standard recall/latency knob of production LSH (per-band hit
     * probability rises from p^b to p^b + b·p^(b-1)(1−p)) at the cost
     * of (bandBits+1)× more QUERY-side probe keys. The corpus side is
-    * untouched.
+    * untouched. Band width defaults to corpus-adaptive.
     */
   def knnLshMultiProbe(emb: DataFrame, k: Int = DefaultK,
       nQueries: Long = DefaultQueries, bands: Int = LshBands,
-      bandBits: Int = LshBandBits): DataFrame =
-    lshTopK(emb, k, nQueries, bands, bandBits,
-      0L +: (0 until bandBits).map(b => 1L << b))
+      bandBits: Int = AdaptiveBandBits, corpusSize: Long = -1L): DataFrame = {
+    val bb = resolveBandBits(emb, bandBits, corpusSize)
+    lshTopK(emb, k, nQueries, bands, bb,
+      0L +: (0 until bb).map(b => 1L << b))
+  }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
@@ -140,14 +184,16 @@ object Similarity {
     * enough to be selective, low enough to return pairs.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.30,
-      bands: Int = LshBands, bandBits: Int = LshBandBits): DataFrame = {
+      bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
+      corpusSize: Long = -1L): DataFrame = {
+    val bb = resolveBandBits(emb, bandBits, corpusSize)
     // signature pipeline feeds the band join AND both verify joins —
     // compute once (consumers release via graft.Caches.clear)
     val sig = graft.Caches.track(withNorm(emb)
-      .withColumn("sig", lshSignature(col("embedding"), bands * bandBits))
+      .withColumn("sig", lshSignature(col("embedding"), bands * LshBandStride))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = sig.select(col("vec_id"),
-      posexplode(bandCols("sig", bands, bandBits)).as(Seq("band_idx", "band_val")))
+      posexplode(bandCols("sig", bands, bb)).as(Seq("band_idx", "band_val")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -194,12 +240,23 @@ object Similarity {
     * Deterministic ordering everywhere: cosine desc, then id asc — and
     * cosines are bit-identical with the oracle (sequential fold), so
     * cell assignment ties break identically too.
+    *
+    * EAGER evaluation semantics: building this DataFrame runs up to
+    * three driver-side jobs (a sizing count unless `nCells`/`corpusSize`
+    * pins it, the TakeOrdered centroid selection, and its ≤ cells-row
+    * collect), freezing the centroids against the input AT BUILD TIME.
+    * The sizing count is metadata-only for a plain parquet scan but a
+    * FULL SCAN for derived inputs (joins, generated frames) — callers
+    * holding such inputs should pass `corpusSize` (or `nCells`) to skip
+    * it.
     */
   def knnIvf(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe, nCells: Int = 0): DataFrame = {
+      nProbe: Int = IvfNProbe, nCells: Int = 0,
+      corpusSize: Long = -1L): DataFrame = {
     val corpus = withNorm(emb)
-    // one count job (parquet metadata-only) to size the centroid set
-    val cells = if (nCells > 0) nCells else ivfCells(emb.count())
+    val cells =
+      if (nCells > 0) nCells
+      else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
     // deterministic sample: top-`cells` by hash — a per-partition top-k
     // + driver merge (TakeOrdered), never a global sort of the corpus
     val cents = corpus

@@ -60,12 +60,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("bandBitsFor grows with log N and caps at 16") {
+  test("bandBitsFor grows with log N and caps at the 15-bit stride") {
     import graft.operators.Similarity.bandBitsFor
     assert(bandBitsFor(1000L) === 8)          // floor: never below default
     assert(bandBitsFor(1L << 20) === 14)      // 2^20/64 = 2^14 buckets
-    assert(bandBitsFor(1000000000L) === 16)   // cap: 4 bands × 16 ≤ 64 bits
+    assert(bandBitsFor(1000000000L) === 15)   // cap: the fixed band stride
     assert(bandBitsFor(0L) === 8)
+  }
+
+  test("bandBitsFor equals its SQL threshold-counting twin on every n") {
+    // the oracle derives bb as floor + Σ_k [buckets > 2^k] (see
+    // SparkEntry.lshBandBitsSql); prove that form equals the
+    // leading-zeros clamp for boundary and random corpus sizes
+    import graft.operators.Similarity
+    def sqlTwin(n: Long): Int = {
+      val buckets = math.max(1L, n / Similarity.LshTargetBucket)
+      Similarity.LshBandBits +
+        (Similarity.LshBandBits until Similarity.LshBandStride)
+          .count(k => buckets > (1L << k))
+    }
+    val boundary = for {
+      k <- 0 to 40
+      d <- Seq(-1L, 0L, 1L)
+    } yield (1L << k) * Similarity.LshTargetBucket + d
+    val rng = new scala.util.Random(20260812L)
+    val random = Seq.fill(500)(math.abs(rng.nextLong()) % (1L << 50))
+    (Seq(0L, 1L, 63L, 64L, 65L) ++ boundary ++ random).foreach { n =>
+      assert(Similarity.bandBitsFor(n) === sqlTwin(n), s"n=$n")
+    }
   }
 
   test("poly_hash is SQL-callable after runtime registration") {
