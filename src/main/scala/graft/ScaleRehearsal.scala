@@ -50,6 +50,21 @@ object ScaleRehearsal {
     t("dup_clusters from lsh")(
       operators.Dedup.dupClusters(operators.Dedup.minhashLsh(docs)).count())
 
+    // one GIANT near-dup component (10^6 members: 30% direct hub links
+    // + a random recursive tree) — the old pointer-doubling loop
+    // funneled every member's jump row through the min-label partition
+    // each round; star contraction + the heavy-hub broadcast rewrite
+    // resolves it with bounded per-partition work. heavyDegree is
+    // lowered so the 300k-degree hub actually takes the broadcast path
+    // at this scale. Result 0 = every member rooted at the hub.
+    val giant = spark.range(1L, 1000000L).select(
+      col("id").as("doc_a"),
+      when(pmod(hash(col("id")), lit(10)) < 3, lit(0L))
+        .otherwise(pmod(hash(col("id") * 17 + 3), col("id"))).as("doc_b"))
+    t("dup_clusters giant 1e6")(
+      operators.Dedup.dupClusters(giant, heavyDegree = 100000L)
+        .filter(col("cluster_id") =!= 0L).count())
+
     // 20k / 80k embeddings: replicas of sf0.1's 2k. The centroid count
     // caps at IvfMaxCells for both sizes, so the 80k run should take
     // ~4× the 20k run (linear assignment), NOT 16× (the old quadratic

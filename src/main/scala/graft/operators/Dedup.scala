@@ -129,107 +129,220 @@ object Dedup {
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
   }
 
+  /** Checkpoint cadence for `dupClusters` when a checkpoint dir is
+    * given: lineage (and with it the recompute horizon after executor
+    * loss) is truncated every this many star rounds.
+    */
+  val ClusterCheckpointEvery = 8
+
+  /** (min neighbor, degree) per key in one combine-safe pass — the
+    * shared aggregation of both star operations. Map-side partial
+    * aggregation means a billion-degree hub costs each MAP task O(1)
+    * state; the hub's reduce task receives one pre-combined pair per
+    * upstream partition, never the raw adjacency.
+    */
+  private def minAndDegree(
+      edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner)
+    : org.apache.spark.rdd.RDD[(Long, (Long, Long))] =
+    edges.aggregateByKey((Long.MaxValue, 0L), part)(
+      { case ((m, d), v) => (math.min(m, v), d + 1L) },
+      { case ((m1, d1), (m2, d2)) => (math.min(m1, m2), d1 + d2) })
+
+  /** One star rewrite: every edge (u, v) in `keyed` (grouped by u)
+    * becomes (v, m(u)) where m comes from `agg`; `emit` decides
+    * per-edge emission + change accounting. Keys with degree ≥
+    * `heavyDegree` take the BROADCAST path — their (few, ≤ 2E/H by
+    * counting) min-labels ship to every task and their edges rewrite
+    * map-side wherever they already sit, so no reduce partition ever
+    * receives a hub's full adjacency. Light keys take the ordinary
+    * co-partitioned join.
+    */
+  private def starRewrite(
+      keyed: org.apache.spark.rdd.RDD[(Long, Long)],
+      agg: org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+      part: org.apache.spark.Partitioner,
+      heavyDegree: Long,
+      emit: (Long, Long, Long) => Iterator[(Long, Long)])
+    : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val heavyB = keyed.sparkContext.broadcast(
+      agg.filter(_._2._2 >= heavyDegree)
+        .map { case (u, (mn, _)) => (u, mn) }
+        .collectAsMap().toMap)
+    val heavyOut = keyed.mapPartitions { it =>
+      val h = heavyB.value
+      it.flatMap { case (u, v) =>
+        h.get(u) match {
+          case Some(mn) => emit(u, v, mn)
+          case None => Iterator.empty
+        }
+      }
+    }
+    val lightOut = keyed
+      .mapPartitions { it =>
+        val h = heavyB.value
+        it.filter { case (u, _) => !h.contains(u) }
+      }
+      .join(agg, part)
+      .flatMap { case (u, (v, (mn, _))) => emit(u, v, mn) }
+    heavyOut.union(lightOut)
+  }
+
+  /** Large-star: every node u connects its strictly LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Replaces the whole edge set; preserves
+    * connectivity and the node set. Returns (output, persisted agg) —
+    * the CALLER unpersists the agg once the output is materialized
+    * (the heavy-key collect inside already ran it once; dropping it
+    * earlier would recompute the aggregation for the light-key join).
+    */
+  private def largeStar(
+      edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner,
+      heavyDegree: Long,
+      changed: org.apache.spark.util.LongAccumulator)
+    : (org.apache.spark.rdd.RDD[(Long, Long)],
+       org.apache.spark.rdd.RDD[(Long, (Long, Long))]) = {
+    val sym = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    val agg = minAndDegree(sym, part).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = starRewrite(sym, agg, part, heavyDegree, { (u, v, mn) =>
+      if (v > u) {
+        val m = math.min(u, mn)
+        if (m != u) changed.add(1L)
+        Iterator((v, m))
+      } else Iterator.empty
+    })
+    (out, agg)
+  }
+
+  /** Small-star: every node u connects its SMALLER neighbors (and
+    * itself) to m(u) = min of those neighbors. Grouping is by the
+    * LARGER endpoint, so a converged star's hub never owns a reduce
+    * group — its edges live in its leaves' singleton groups.
+    */
+  private def smallStar(
+      edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner,
+      heavyDegree: Long,
+      changed: org.apache.spark.util.LongAccumulator)
+    : (org.apache.spark.rdd.RDD[(Long, Long)],
+       org.apache.spark.rdd.RDD[(Long, (Long, Long))]) = {
+    val dir = edges.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
+    val agg = minAndDegree(dir, part).persist(StorageLevel.MEMORY_AND_DISK)
+    // the (u, m(u)) star edge itself — one per group, straight from the
+    // aggregate (m(u) < u always: every group key has a smaller nbr)
+    val selfEdges = agg.map { case (u, (mn, _)) => (u, mn) }
+    val out = starRewrite(dir, agg, part, heavyDegree, { (_, v, mn) =>
+      if (v != mn) { changed.add(1L); Iterator((v, mn)) }
+      else Iterator.empty // (mn, mn) self-loop; u—mn covered by selfEdges
+    })
+    (selfEdges.union(out), agg)
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     * components with cluster_id = min doc_id in the component — the
     * step between pair detection and "keep one survivor per group".
     *
-    * Min-label propagation with POINTER DOUBLING: each round every
-    * node adopts the minimum of (its label, its neighbors' labels,
-    * its label's label). The label(label(u)) jump doubles the
-    * propagation horizon per round, so convergence takes ~log2 of the
-    * component diameter — a 1000-doc near-dup chain (boilerplate
-    * series in crawl corpora) resolves in ~10 rounds, not 1000.
-    * Monotonicity argument: every adopted label is the id of a node in
-    * the same component and labels only decrease, so the fixpoint is
-    * exactly the component minimum.
+    * ALTERNATING STAR CONTRACTION (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round applies
+    * large-star (hook every node's larger neighbors to its
+    * neighborhood min) then small-star (hook its smaller neighbors to
+    * their min). Both operations preserve connectivity and only ever
+    * lower the smaller endpoint of an edge, so the fixpoint is exactly
+    * the per-component star rooted at the component's minimum id;
+    * convergence is O(log²) rounds in the worst case and ~5 in
+    * practice. Unlike min-label pointer doubling — whose converged
+    * giant component funnels EVERY member's pointer-jump row through
+    * the one partition owning the min label, every round — star
+    * contraction has no per-round step keyed by the root: the
+    * neighborhood min uses map-side combining (aggregateByKey) and the
+    * edge rewrite broadcasts the few ≥`heavyDegree` hubs' labels so
+    * their edges rewrite in place (see `starRewrite`). The default
+    * threshold 2E/parts bounds the broadcast at ~2·parts entries by
+    * counting, while guaranteeing no reduce partition owns more than
+    * one light key's adjacency above the mean.
     *
-    * The iterative core is the engine's one deliberate RDD section:
-    * a Catalyst loop would re-reference the label relation twice per
-    * round, DOUBLING the logical plan tree each iteration (exponential
-    * analysis cost — measured as the dominant cost of the old
-    * DataFrame form), and gives no handle to unpersist superseded
-    * rounds. The RDD loop keys everything with one HashPartitioner, so
-    * each round's joins are narrow (no re-shuffle of the label table),
-    * and each round unpersists the round before it.
+    * The iterative core is the engine's one deliberate RDD section: a
+    * Catalyst loop would re-reference the edge relation per round,
+    * doubling the logical plan each iteration (exponential analysis
+    * cost — measured as dominant in the old DataFrame form), and gives
+    * no handle to unpersist superseded rounds. Convergence detection
+    * rides on a LongAccumulator flagged during the rewrite itself
+    * (zero is reliable: a truly converged round increments in no task,
+    * so speculative re-runs cannot flip it), costing no extra job.
     *
-    * Throws IllegalStateException if `maxIter` rounds don't reach the
-    * fixpoint (never silently returns wrong labels); with pointer
-    * doubling the default 30 covers any component diameter < 2^30 —
-    * in practice hitting it means the pair graph itself is degenerate.
-    * On a multi-node cluster, persisted rounds bound recomputation
-    * after executor loss only as far back as surviving blocks; jobs
-    * that must survive node failure should set a reliable checkpoint
-    * dir and checkpoint every ~8 rounds.
+    * Throws IllegalStateException if `maxIter` rounds don't converge
+    * (never silently returns wrong labels). `checkpointDir`, when set,
+    * truncates lineage every `ClusterCheckpointEvery` rounds with a
+    * RELIABLE checkpoint — without it, executor loss late in a long
+    * run can recompute all the way back to the pair join (persisted
+    * rounds help only as far as surviving blocks).
     */
-  def dupClusters(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
+  def dupClusters(pairs0: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = ClusterCheckpointEvery,
+      heavyDegree: Long = 0L): DataFrame = {
     val spark = pairs0.sparkSession
-    // symmetric neighbor relation in ONE pass over the (possibly
-    // expensive — e.g. the ngram join) pair pipeline: flatMap emits
-    // both directions, so nothing is scanned twice and the pair
-    // DataFrame needs no persist.
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // canonical (small, large) undirected edges in ONE pass over the
+    // (possibly expensive — e.g. the ngram join) pair pipeline;
+    // self-pairs dropped (they never affect components)
     val raw = pairs0.select(col("doc_a"), col("doc_b")).rdd
       .flatMap { r =>
         val a = r.getLong(0); val b = r.getLong(1)
-        Iterator((a, b), (b, a))
+        if (a == b) Iterator.empty
+        else if (a < b) Iterator((a, b)) else Iterator((b, a))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     // size the loop's partitioner to the DATA, not the session default:
-    // every round runs ~3 jobs over the label table, so a near-empty
-    // pair graph must not pay 32 tasks × rounds of scheduling overhead,
-    // while a large graph keeps full fan-out. Caveat: one giant
-    // converged component funnels its pointer-jump rows through the
-    // partition owning its min label — linear work on one task per
-    // round (not quadratic); corpora dominated by a single
-    // billion-member near-dup component would want large-star/
-    // small-star sharding instead
+    // every round runs ~4 jobs over the edge set, so a near-empty pair
+    // graph must not pay 32 tasks × rounds of scheduling overhead,
+    // while a large graph keeps full fan-out
     val maxParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val symEdges = raw.count()
+    val nEdges = raw.count()
     val parts = math.max(1,
-      math.min(maxParts.toLong, symEdges / 500000L + 1L).toInt)
+      math.min(maxParts.toLong, nEdges / 250000L + 1L).toInt)
     val part = new org.apache.spark.HashPartitioner(parts)
-    val sym = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    // seed: label(u) = min(u, min neighbor) — one propagation round
-    // folded into initialization; reduceByKey keeps `part`
-    var labels = sym.reduceByKey(part, math.min(_, _))
-      .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
-        preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize sym + seed, then drop the raw copy
-    raw.unpersist(blocking = false)
+    val hvy =
+      if (heavyDegree > 0L) heavyDegree
+      else math.max(1024L, 2L * nEdges / parts)
+    var edges = raw
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor-min: edge (x, y) sends label(x) to y (sym holds both
-      // directions, so every node hears all neighbors)
-      val nmin = sym.join(labels, part)
-        .map { case (_, (y, lx)) => (y, lx) }
-        .reduceByKey(part, math.min(_, _))
-      // pointer jump: label(u) <- label(label(u))
-      val jump = labels.map { case (u, l) => (l, u) }
-        .join(labels, part)
-        .map { case (_, (u, l2)) => (u, l2) }
-      val next = labels.union(nmin).union(jump)
-        .reduceByKey(part, math.min(_, _))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // same partitioner on both sides -> narrow join; the count also
-      // fully materializes `next`, so the old round can be dropped
-      val changed = next.join(labels, part)
-        .filter { case (_, (n, o)) => n != o }.count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
+      val acc = sc.longAccumulator(s"graft.dupClusters.changed.$iter")
+      val (ls0, lsAgg) = largeStar(edges, part, hvy, acc)
+      val ls = ls0.persist(StorageLevel.MEMORY_AND_DISK)
+      val (next0, ssAgg) = smallStar(ls, part, hvy, acc)
+      val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined &&
+        (iter + 1) % math.max(1, checkpointEvery) == 0) next.checkpoint()
+      next.count() // materialize (and checkpoint); accumulator now set
+      lsAgg.unpersist(blocking = false)
+      ssAgg.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = acc.value == 0L
       iter += 1
     }
     if (!converged) {
-      sym.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       throw new IllegalStateException(
-        s"dupClusters did not converge after $maxIter rounds — " +
-          "the near-dup graph has a component of diameter >= 2^" +
-          s"$maxIter or the pair input is unstable; raise maxIter")
+        s"dupClusters did not converge after $maxIter star rounds — " +
+          "the pair input is unstable or degenerate; raise maxIter")
     }
-    sym.unpersist(blocking = false)
+    // converged edge set = {(member, root)} stars. Labels: members from
+    // the star edges, roots labeled to themselves; reduceByKey collapses
+    // the multiset duplicates star rounds may leave behind.
+    val members = edges.reduceByKey(part, math.min(_, _))
+    val labels = members
+      .union(members.map { case (_, r) => (r, r) })
+      .reduceByKey(part, math.min(_, _))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize so the star rounds can be dropped
+    edges.unpersist(blocking = false)
     // back to SQL land: (doc_id, cluster_id). The final labels RDD
     // stays persisted for the consumer's action; graft.Caches.clear
     // releases it afterwards (it is tracked below).

@@ -156,6 +156,55 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("dupClusters: heavy-hub broadcast path == join path (star + chain + cross links)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // a 200-leaf star around node 0 (every leaf's min is the hub), a
+    // 30-deep chain, and random cross links merging some of each
+    val star = (1 to 200).map(i => (0L, 500L + i))
+    val chain = (0 until 30).map(i => (1000L + i, 1001L + i))
+    val cross = Seq((501L, 1000L)) ++
+      (0 until 20).map(_ => (500L + rng.nextInt(200) + 1, 2000L + rng.nextInt(50)))
+    val pairs = (star ++ chain ++ cross).toDF("doc_a", "doc_b")
+    val viaJoin = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // heavyDegree = 2 pushes nearly every key through the broadcast
+    // rewrite — labels must be identical
+    val viaBroadcast = Dedup.dupClusters(pairs, heavyDegree = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin === viaBroadcast)
+    assert(viaJoin(700L) === 0L) // star leaf → hub-rooted component
+    assert(viaJoin(1029L) === 0L) // chain tail, linked via 501—1000
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("dupClusters: checkpointDir truncates lineage, labels unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = (0 until 40).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+      val plain = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // checkpoint EVERY round so the reliable-checkpoint path is
+      // actually exercised, not just plumbed
+      val ckpt = Dedup.dupClusters(pairs, checkpointDir = Some(dir),
+        checkpointEvery = 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(plain === ckpt)
+      assert(ckpt === (0 until 41).map(i => (100L + i) -> 100L).toMap)
+      // the dir must hold at least one materialized rdd checkpoint
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("part-")),
+        "no checkpoint files written")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("dupClusters: hitting maxIter raises instead of returning wrong labels") {
     val s = spark
     import s.implicits._
