@@ -65,10 +65,10 @@ object ScaleRehearsal {
       operators.Dedup.dupClusters(giant, heavyDegree = 100000L)
         .filter(col("cluster_id") =!= 0L).count())
 
-    // 20k / 80k embeddings: replicas of sf0.1's 2k. The centroid count
-    // caps at IvfMaxCells for both sizes, so the 80k run should take
-    // ~4× the 20k run (linear assignment), NOT 16× (the old quadratic
-    // vec_id-stride design).
+    // 20k / 80k embeddings: replicas of sf0.1's 2k. Cells grow as √N
+    // (141 → 282), so per-query probe work 2·N/cells grows as √N —
+    // sublinear — while the 2-level assignment keeps per-row cost at
+    // ~2·N^(1/4) dot products.
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     def embX(copies: Int) = spark.range(copies).crossJoin(emb0)
       .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
@@ -78,6 +78,13 @@ object ScaleRehearsal {
       operators.Similarity.knnIvf(emb, corpusSize = 20000L).count())
     t("knn_ivf 80k vectors")(
       operators.Similarity.knnIvf(embX(40), corpusSize = 80000L).count())
+    // the sublinear-candidates contract, measured: candidates met per
+    // run should grow ~2× from 20k to 80k (≈ nProbe·Q·N/cells = √N
+    // growth), not 4× (linear) — the count IS the probe's join size
+    t("ivf candidates 20k")(
+      operators.Similarity.ivfScored(emb, corpusSize = 20000L).count())
+    t("ivf candidates 80k")(
+      operators.Similarity.ivfScored(embX(40), corpusSize = 80000L).count())
     // corpusSize is passed because embX frames are crossJoin-derived —
     // letting the adaptive default count() them would be a full scan
     t("knn_lsh 20k vectors")(

@@ -494,22 +494,39 @@ object SparkEntry {
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
         "FROM r WHERE rnk <= 5"
     },
+    // two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
+    // first ⌈√k⌉ of the same hash order; every argmax is a
+    // (cos DESC, id ASC) row_number — bit-identical to the Scala
+    // grouping + the IvfAssign2 kernel's ascending-iteration strict->
     "knn_ivf" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
         s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
-        s"COUNT(*) // ${Similarity.IvfLeafTarget})) AS k FROM e), " +
+        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
         "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
         s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
-        "c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2 " +
+        "c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2, crn " +
         "FROM ch, kk WHERE crn <= k), " +
-        "ranked AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, " +
-        s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) AS c_cos " +
-        "FROM e, c), " +
-        "cells AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY c_cos DESC, cent_id ASC) AS crank FROM ranked), " +
-        "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM cells WHERE crank = 1), " +
-        "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM cells " +
-        s"WHERE vec_id < 10 AND crank <= ${Similarity.IvfNProbe}), " +
+        "co AS (SELECT cent_id AS a_id, c_emb AS a_emb, c_n2 AS a_n2 " +
+        "FROM c, kk WHERE crn <= CAST(CEIL(SQRT(k)) AS BIGINT)), " +
+        "fgr AS (SELECT c.cent_id, co.a_id, row_number() OVER (PARTITION BY c.cent_id " +
+        s"ORDER BY ${dotSql("c.c_emb", "co.a_emb")} / (sqrt(c.c_n2) * sqrt(co.a_n2)) DESC, " +
+        "co.a_id ASC) AS arnk FROM c, co), " +
+        "fg AS (SELECT cent_id, a_id FROM fgr WHERE arnk = 1), " +
+        "vcr AS (SELECT e.vec_id, co.a_id, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${dotSql("e.embedding", "co.a_emb")} / (sqrt(e.n2) * sqrt(co.a_n2)) DESC, " +
+        "co.a_id ASC) AS arnk FROM e, co), " +
+        "vc AS (SELECT vec_id, a_id FROM vcr WHERE arnk = 1), " +
+        "far AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, row_number() OVER " +
+        "(PARTITION BY e.vec_id ORDER BY " +
+        s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
+        "c.cent_id ASC) AS crank FROM e JOIN vc ON vc.vec_id = e.vec_id " +
+        "JOIN fg ON fg.a_id = vc.a_id JOIN c ON c.cent_id = fg.cent_id), " +
+        "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM far WHERE crank = 1), " +
+        "pr AS (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
+        "c.cent_id ASC) AS crank FROM e, c WHERE e.vec_id < 10), " +
+        "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
+        s"WHERE crank <= ${Similarity.IvfNProbe}), " +
         "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
         "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
         s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +

@@ -97,6 +97,80 @@ object VectorExprUtil {
   * test, so ties keep the lowest id.
   */
 object IvfAssignUtil {
+
+  /** Two-level IVF assignment: nearest COARSE anchor first, then
+    * nearest FINE centroid within that anchor's group — O(√cells +
+    * cells/√cells) dot products per row instead of O(cells), which is
+    * what lets the cell count grow as √N without the assignment pass
+    * becoming the bottleneck. `flat`/`cn2`/`ids` hold the fine
+    * centroids REORDERED group-contiguously (ascending cent_id inside
+    * a group); `groupStart`/`groupLen` index the groups, parallel to
+    * the anchors in `coarseFlat`/`coarseN2` (ascending anchor id).
+    * Ties at both levels: higher cosine wins, then the LOWER id
+    * (ascending iteration + strict `>`), mirroring the oracle's
+    * `ORDER BY cos DESC, id ASC` row_number twin.
+    *
+    * An anchor's group can be empty only when another anchor with a
+    * smaller id has the identical direction — and then the coarse
+    * argmax can never pick the larger-id twin (every vector's cosines
+    * to the two are equal, so the tie-break picks the smaller id);
+    * the defensive fallback scans all fine centroids anyway.
+    */
+  def assign2(v: ArrayData, vF: Boolean,
+      coarseFlat: Array[Double], coarseN2: Array[Double],
+      flat: Array[Double], cn2: Array[Double], ids: Array[Long],
+      groupStart: Array[Int], groupLen: Array[Int]): Long = {
+    val nc = coarseN2.length
+    val k = ids.length
+    val dim = if (k == 0) 0 else flat.length / k
+    val m = math.min(v.numElements(), dim)
+    var n2 = 0.0
+    var i = 0
+    while (i < v.numElements()) {
+      val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+      n2 += x * x
+      i += 1
+    }
+    val sqrtN2 = math.sqrt(n2)
+    var bestC = 0
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < nc) {
+      val off = j * dim
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * coarseFlat(off + i)
+        i += 1
+      }
+      val cos = dot / (sqrtN2 * math.sqrt(coarseN2(j)))
+      if (cos > bestCos) { bestCos = cos; bestC = j }
+      j += 1
+    }
+    val (lo, hi) =
+      if (nc > 0 && groupLen(bestC) > 0)
+        (groupStart(bestC), groupStart(bestC) + groupLen(bestC))
+      else (0, k)
+    var best = lo
+    bestCos = Double.NegativeInfinity
+    j = lo
+    while (j < hi) {
+      val off = j * dim
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * flat(off + i)
+        i += 1
+      }
+      val cos = dot / (sqrtN2 * math.sqrt(cn2(j)))
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    ids(best)
+  }
+
   def assign(v: ArrayData, vF: Boolean, flat: Array[Double],
       cn2: Array[Double], ids: Array[Long]): Long = {
     val k = ids.length
@@ -216,6 +290,48 @@ case class IvfAssign(child: Expression, centsFlat: Array[Double],
     copy(child = newChild)
 }
 
+/** Two-level (coarse→fine) IVF cell assignment — see
+  * IvfAssignUtil.assign2 for the kernel contract and tie-break story.
+  */
+case class IvfAssign2(child: Expression,
+    coarseFlat: Array[Double], coarseN2: Array[Double],
+    centsFlat: Array[Double], cn2: Array[Double], ids: Array[Long],
+    groupStart: Array[Int], groupLen: Array[Int]) extends UnaryExpression {
+  import VectorExprTypes._
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType) && ids.nonEmpty && coarseN2.nonEmpty &&
+      groupStart.length == coarseN2.length &&
+      groupLen.length == coarseN2.length) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "ivf_assign2 requires array<float|double>, >= 1 fine centroid, " +
+        ">= 1 coarse anchor and group indexes parallel to the anchors")
+
+  private def vF = isFloatArr(child.dataType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    IvfAssignUtil.assign2(v.asInstanceOf[ArrayData], vF,
+      coarseFlat, coarseN2, centsFlat, cn2, ids, groupStart, groupLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coFlatRef = ctx.addReferenceObj("ivfCoarse", coarseFlat, "double[]")
+    val coN2Ref = ctx.addReferenceObj("ivfCoarseN2", coarseN2, "double[]")
+    val flatRef = ctx.addReferenceObj("ivfCents", centsFlat, "double[]")
+    val cn2Ref = ctx.addReferenceObj("ivfCn2", cn2, "double[]")
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    val gsRef = ctx.addReferenceObj("ivfGroupStart", groupStart, "int[]")
+    val glRef = ctx.addReferenceObj("ivfGroupLen", groupLen, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfAssignUtil.assign2($c, $vF, $coFlatRef, " +
+        s"$coN2Ref, $flatRef, $cn2Ref, $idsRef, $gsRef, $glRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign2 =
+    copy(child = newChild)
+}
+
 object VectorExprFunctions {
   def dot_d(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -227,4 +343,10 @@ object VectorExprFunctions {
   def ivf_assign(v: Column, centsFlat: Array[Double], cn2: Array[Double],
       ids: Array[Long]): Column =
     ColumnBridge.column(IvfAssign(ColumnBridge.expression(v), centsFlat, cn2, ids))
+
+  def ivf_assign2(v: Column, coarseFlat: Array[Double], coarseN2: Array[Double],
+      centsFlat: Array[Double], cn2: Array[Double], ids: Array[Long],
+      groupStart: Array[Int], groupLen: Array[Int]): Column =
+    ColumnBridge.column(IvfAssign2(ColumnBridge.expression(v), coarseFlat,
+      coarseN2, centsFlat, cn2, ids, groupStart, groupLen))
 }

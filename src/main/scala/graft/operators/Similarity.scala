@@ -213,29 +213,46 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----
 
-  /** Fixed centroid budget: cells = min(IvfMaxCells, N/IvfLeafTarget).
-    * DECOUPLED from corpus size — the centroid broadcast is O(cells·d)
-    * bytes and the assignment pass scores N·cells pairs, both linear in
-    * N once the cap engages (the former vec_id-stride scheme made both
-    * quadratic: |centroids| grew with N).
+  /** Centroid budget: cells = clamp(⌊√N⌋, 1, IvfMaxCells) — the
+    * standard IVF balance point (√N cells of √N vectors each, so both
+    * the per-query probe cost and the per-cell scan grow as √N). The
+    * cap bounds the centroid broadcast (cells·d doubles) and the
+    * driver-side grouping; past it, cells plateau and per-cell size
+    * grows linearly again (at 10⁹ vectors: 4096 cells ≈ 244k
+    * vectors/cell — the point where a production system re-trains
+    * with a deeper index, not a wider one).
+    *
+    * Assignment cost is kept off the √N growth path by the TWO-LEVEL
+    * assign (IvfAssignUtil.assign2): each row scores ⌈√cells⌉ coarse
+    * anchors plus its anchor's ~cells/⌈√cells⌉ fine group — ~2·N^(1/4)
+    * dot products per row instead of √N.
     */
-  val IvfMaxCells = 256
-  val IvfLeafTarget = 64L
+  val IvfMaxCells = 4096
   val IvfNProbe = 2
 
   def ivfCells(n: Long): Int =
-    math.min(IvfMaxCells.toLong, math.max(1L, n / IvfLeafTarget)).toInt
+    math.min(IvfMaxCells.toLong,
+      math.max(1L, math.sqrt(n.toDouble).toLong)).toInt
+
+  /** Coarse anchor count for a given fine cell count — ⌈√cells⌉, the
+    * 2-level sweet spot. SQL twin: CEIL(SQRT(k)) (same IEEE double
+    * sqrt on both sides).
+    */
+  def ivfCoarseCells(cells: Int): Int =
+    math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   /** IVF top-k: the corpus is partitioned into Voronoi cells around a
     * FIXED-SIZE centroid set — the `cells` vectors with the smallest
     * (poly_hash(vec_id), vec_id), i.e. a deterministic pseudo-random
     * sample, id-pinned so the SQL oracle reproduces it exactly (real
     * deployments train k-means; the plumbing is identical and stays
-    * oracle-checkable). Each vector is assigned to its nearest centroid
-    * (broadcast argmax — one map stage over the corpus); a query probes
-    * only the `nProbe` cells nearest to it. Join keys are cell ids, so
-    * the search meets |corpus|·nProbe/cells candidates instead of the
-    * whole corpus.
+    * oracle-checkable). Each vector is assigned TWO-LEVEL: nearest of
+    * ⌈√cells⌉ coarse anchors first, then nearest fine centroid within
+    * that anchor's group (one map stage over the corpus, ~2·N^(1/4)
+    * dot products per row); a query probes the `nProbe` fine cells
+    * nearest to it (ranked globally — the query set is tiny). Join
+    * keys are cell ids, so the search meets |corpus|·nProbe/cells
+    * candidates instead of the whole corpus.
     *
     * Deterministic ordering everywhere: cosine desc, then id asc — and
     * cosines are bit-identical with the oracle (sequential fold), so
@@ -252,7 +269,18 @@ object Similarity {
     */
   def knnIvf(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
       nProbe: Int = IvfNProbe, nCells: Int = 0,
-      corpusSize: Long = -1L): DataFrame = {
+      corpusSize: Long = -1L): DataFrame =
+    topK(ivfScored(emb, nQueries, nProbe, nCells, corpusSize), k)
+
+  /** The candidate (query, neighbor, cosine) relation knnIvf ranks —
+    * exposed inside the package so ScaleRehearsal can measure the
+    * candidate-count-vs-N curve directly (its count is exactly the
+    * number of pairs the probe meets; sublinear growth in N is the
+    * IVF scale contract).
+    */
+  private[graft] def ivfScored(emb: DataFrame,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L): DataFrame = {
     val corpus = withNorm(emb)
     val cells =
       if (nCells > 0) nCells
@@ -272,12 +300,12 @@ object Similarity {
     val centRows = cents.collect().sortBy(_.getLong(0))
     if (centRows.isEmpty) {
       // empty corpus → empty result with the output schema
-      return topK(corpus.select(col("vec_id").as("query_id"),
+      return corpus.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
-        .filter(lit(false)), k)
+        .filter(lit(false))
     }
     val centIds = centRows.map(_.getLong(0))
-    val centFlat = centRows.flatMap(
+    val centEmb = centRows.map(
       _.getSeq[Number](1).map(_.doubleValue()).toArray)
     val centN2 = centRows.map(_.getDouble(2))
     // the probe side also needs the centroid relation — rebuild it from
@@ -285,15 +313,62 @@ object Similarity {
     // subplan (which would re-scan + re-hash the whole corpus)
     val centLocal = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(centRows: _*), cents.schema)
-    // cell ASSIGNMENT is a per-row codegen expression over the centroid
-    // array: O(N) rows, ZERO shuffle. The earlier corpus×centroids
-    // broadcast join + argmax aggregate materialized N·cells wide rows
-    // (embeddings duplicated per centroid) — measured ~8× slower at
-    // 80k×256 and growing worse with N. Tie-break identical to the
-    // oracle's ORDER BY c_cos DESC, cent_id ASC (see IvfAssignUtil).
+    // ---- two-level assignment model, built driver-side over the
+    // (≤ IvfMaxCells) collected centroids. Coarse anchors are the
+    // FIRST ⌈√cells⌉ centroids of the same (poly_hash(id), id) order
+    // that selected the fine set — recomputed locally with the same
+    // PolyHash arithmetic, no extra cluster job. Every cosine below is
+    // the identical sequential double fold the oracle's dotSql uses,
+    // with the identical (cos desc, id asc) tie-break, so the grouping
+    // is bit-reproducible in SQL.
+    val kc = ivfCoarseCells(centRows.length)
+    val anchorIdx: Array[Int] = centIds.indices
+      .sortBy { i =>
+        (graft.functions.PolyHashUtil.hash(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(centIds(i).toString)), centIds(i))
+      }
+      .take(kc)
+      .sortBy(centIds) // ascending anchor id = argmax iteration order
+      .toArray
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val groupOf: IndexedSeq[Int] = centIds.indices.map { f =>
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var j = 0
+      while (j < anchorIdx.length) {
+        val a = anchorIdx(j)
+        val cos = dotSeq(centEmb(f), centEmb(a)) /
+          (math.sqrt(centN2(f)) * math.sqrt(centN2(a)))
+        if (cos > bestCos) { bestCos = cos; best = j }
+        j += 1
+      }
+      best
+    }
+    // group-contiguous fine layout (ascending cent_id inside a group —
+    // the indices arrive ascending, so append order preserves it)
+    val members =
+      Array.fill(anchorIdx.length)(new scala.collection.mutable.ArrayBuffer[Int])
+    centIds.indices.foreach(f => members(groupOf(f)) += f)
+    val order: Array[Int] = members.flatMap(_.toArray)
+    val groupLen = members.map(_.length)
+    val groupStart = groupLen.scanLeft(0)(_ + _).dropRight(1)
+    // cell ASSIGNMENT is a per-row codegen expression over the in-task
+    // centroid arrays: O(N) rows, ZERO shuffle, ~2·N^(1/4) dot products
+    // per row via the coarse→fine split. (The broadcast-join + argmax
+    // alternative materialized N·cells wide rows through a shuffle —
+    // measured ~8× slower at 80k×256 and growing worse with N.)
     val assigned = corpus.select(
-      graft.functions.VectorExprFunctions
-        .ivf_assign(col("embedding"), centFlat, centN2, centIds).as("cell"),
+      graft.functions.VectorExprFunctions.ivf_assign2(col("embedding"),
+        anchorIdx.flatMap(centEmb(_)), anchorIdx.map(centN2),
+        order.flatMap(centEmb(_)), order.map(centN2), order.map(centIds),
+        groupStart, groupLen).as("cell"),
       col("vec_id"), col("embedding"), col("n2"))
     // probe ranking runs only over the (tiny) query set × centroids
     val w = Window.partitionBy("vec_id")
@@ -316,7 +391,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
-    topK(scored, k)
+    scored
   }
 
   /** Per-query rank-≤-k via the custom TopKPerKey operator: same hash

@@ -275,6 +275,74 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall too low: $recall")
   }
 
+  test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val rows = corpus.filter(col("vec_id") < 12).collect().sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val embs = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val n2s = rows.map(_.getDouble(2))
+    val anchorIdx = Array(0, 3, 7) // arbitrary ascending-id anchors
+    // group fine by nearest anchor with the Catalyst window machinery —
+    // independent of the kernel's loop
+    val s = spark
+    import s.implicits._
+    val fine = rows.zipWithIndex
+      .map { case (r, i) => (ids(i), embs(i).toSeq, n2s(i)) }
+      .toSeq.toDF("cent_id", "c_emb", "c_n2")
+    val coarse = anchorIdx.toSeq.map(i => (ids(i), embs(i).toSeq, n2s(i)))
+      .toDF("a_id", "a_emb", "a_n2")
+    def argmaxW(p: String) = Window.partitionBy(p)
+      .orderBy(col("cos").desc, col("rid").asc)
+    val fg = fine.crossJoin(coarse)
+      .select(col("cent_id"), col("a_id").as("rid"),
+        cosineFrom(dot(col("c_emb"), col("a_emb")), col("c_n2"), col("a_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(argmaxW("cent_id")))
+      .filter(col("rnk") === 1)
+      .select(col("cent_id"), col("rid").as("a_id"))
+    val vc = corpus.crossJoin(coarse)
+      .select(col("vec_id"), col("a_id").as("rid"),
+        cosineFrom(dot(col("embedding"), col("a_emb")), col("n2"), col("a_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(argmaxW("vec_id")))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("rid").as("a_id"))
+    val ref = corpus.join(vc, "vec_id")
+      .join(fg.withColumnRenamed("cent_id", "f_id"), "a_id")
+      .join(fine.withColumnRenamed("cent_id", "f_id"), "f_id")
+      .select(col("vec_id"), col("f_id").as("rid"),
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")).as("cos"))
+      .withColumn("rnk", row_number().over(argmaxW("vec_id")))
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kernel path: group-contiguous layout exactly as knnIvf builds it
+    val groupOf = ids.indices.map { f =>
+      var best = 0; var bc = Double.NegativeInfinity
+      anchorIdx.indices.foreach { j =>
+        val a = anchorIdx(j)
+        val d = embs(f).zip(embs(a)).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        val cos = d / (math.sqrt(n2s(f)) * math.sqrt(n2s(a)))
+        if (cos > bc) { bc = cos; best = j }
+      }
+      best
+    }
+    val members = Array.fill(anchorIdx.length)(new scala.collection.mutable.ArrayBuffer[Int])
+    ids.indices.foreach(f => members(groupOf(f)) += f)
+    val order = members.flatMap(_.toArray)
+    val groupLen = members.map(_.length)
+    val groupStart = groupLen.scanLeft(0)(_ + _).dropRight(1)
+    val got = corpus.select(col("vec_id"),
+        graft.functions.VectorExprFunctions.ivf_assign2(col("embedding"),
+          anchorIdx.flatMap(embs(_)), anchorIdx.map(n2s),
+          order.flatMap(embs(_)), order.map(n2s), order.map(ids),
+          groupStart, groupLen).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
+
   test("IvfAssign expression == join+argmax cell assignment") {
     import graft.functions.VectorFunctions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
