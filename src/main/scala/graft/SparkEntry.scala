@@ -77,6 +77,9 @@ object SparkEntry {
       TextOps.hashSplit(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
+    "text_normalize" -> ((s, d) =>
+      TextOps.normalize(Tables.table(s, d, "documents"))
+        .select("doc_id", "text").orderBy("doc_id")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
@@ -364,6 +367,9 @@ object SparkEntry {
         "CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars, " +
         "CAST(COALESCE(MAX(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS max_tokens " +
         "FROM documents"),
+    "text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
+        "'\\s+', ' ', 'g')) AS text FROM documents"),
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +

@@ -87,6 +87,19 @@ object TextOps {
       when(poly_hash(col("doc_id").cast("string")) % 100 < valPct, "val")
         .otherwise("train").as("split"))
 
+  /** Opt-in text canonicalization BEFORE dedup: Unicode NFC +
+    * lowercase + whitespace collapse + trim, applied in place to
+    * `textCol` with every other column preserved — so the near-dup
+    * family composes directly over it ("The  Cat" and "the cat" then
+    * share every shingle; raw they share none). Kept OUT of the dedup
+    * operators themselves on purpose: canonicalization changes what
+    * "duplicate" means, and a pipeline must choose it explicitly.
+    * Pure projection — no shuffle, one map stage at any scale.
+    */
+  def normalize(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      graft.functions.TextNormFunctions.norm_text(col(textCol)))
+
   /** One-row corpus summary — integer aggregates only (sums of longs
     * are order-insensitive and exact; no float means across rows).
     */

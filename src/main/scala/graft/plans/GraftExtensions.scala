@@ -145,7 +145,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
     ("lsh_sig", classOf[HyperplaneSig],
       (exprs: Seq[Expression]) =>
-        HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))))
+        HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))),
+    ("nfc_norm", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 }
 
 /** Session extensions: the degree-product rule + the full SQL function

@@ -156,6 +156,30 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("normalize: NFC + lowercase + whitespace collapse semantics") {
+    val got = TextOps.normalize(docsDf(
+        (1L, "  The   QUICK\tBrown\nFox  "),
+        (2L, "Café"), // precomposed é
+        (3L, "Café"), // e + combining acute — NFC-equal to 2
+        (4L, "")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "the quick brown fox")
+    assert(got(2L) === "café")
+    assert(got(3L) === got(2L)) // decomposed form canonicalizes
+    assert(got(4L) === "")
+  }
+
+  test("normalize: case/whitespace variants near-dup ONLY after normalization") {
+    val docs = docsDf(
+      (1L, "The Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
+      (2L, "the  quick brown fox jumps over the lazy dog again today"))
+    assert(Dedup.ngramJaccard(docs).count() === 0L) // raw: zero shared shingles
+    val pairs = Dedup.ngramJaccard(TextOps.normalize(docs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // normalized: identical docs
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("dupClusters: heavy-hub broadcast path == join path (star + chain + cross links)") {
     val s = spark
     import s.implicits._
@@ -409,7 +433,8 @@ class ExtensionsSpec extends SparkSpec {
         "simhash(array('a','b','c')) AS sim, " +
         "minhash_sig(shingle_hash(array('a','b','c'), 3)) AS mh, " +
         "dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
-        "lsh_sig(array(1.0D, 2.0D), 8) AS sig").collect()(0)
+        "lsh_sig(array(1.0D, 2.0D), 8) AS sig, " +
+        "nfc_norm('Café') AS nfc").collect()(0)
     assert(r.getLong(0) === 1677554L)
     // each SQL result must equal its Column-API twin on the same input
     import graft.functions.ShingleHashFunctions._
@@ -431,6 +456,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(6) === docsDf((1L, "x")).select(
       graft.functions.VectorExprFunctions.lsh_sig(
         array(lit(1.0), lit(2.0)), 8)).collect()(0).getLong(0))
+    // the SQL literal above is the DECOMPOSED form (e + U+0301); NFC
+    // composes it to the precomposed code point
+    assert(r.getString(7) === "Café")
   }
 
   test("multimodal: byte (not character) semantics on non-ASCII text") {
