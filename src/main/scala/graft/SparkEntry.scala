@@ -94,6 +94,11 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(Tables.table(s, d, "documents"))
         .select("doc_id").orderBy("doc_id")),
+    // the streaming near-dup filter's batch twin, with arrival order =
+    // doc_id — survivors share no LSH band with any earlier doc
+    "dedup_stream_neardup" -> ((s, d) =>
+      graft.streaming.StreamDedup.nearDupArrivalBatch(
+        Tables.table(s, d, "documents"), "doc_id").orderBy("doc_id")),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -400,6 +405,13 @@ object SparkEntry {
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     },
     "dedup_minhash" -> s"WITH $HsCte, $MinhashCtes $MinhashPairsSelect",
+    // survivors = docs that are nobody's later band-mate: cand already
+    // holds every (earlier, later) band collision as (doc_a < doc_b);
+    // shingle-less docs never enter banded, so they always survive
+    "dedup_stream_neardup" ->
+      (s"WITH $HsCte, $MinhashCtes " +
+        "SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_b FROM cand)"),
     "dedup_survivors" ->
       (s"WITH RECURSIVE " +
         s"exacts AS (SELECT MIN(doc_id) AS doc_id FROM " +

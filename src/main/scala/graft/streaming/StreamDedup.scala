@@ -52,4 +52,83 @@ object StreamDedup {
     withContentKey(docs)
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(Seq("fingerprint", "fp2", "len"))
+
+  /** MinHash-LSH band keys per document: (doc_id, ts, band_idx,
+    * band_sig) — the same `LshBands`×`LshRows` banding (and the same
+    * band-signature text) the batch `Dedup.minhashLsh` buckets on.
+    * Documents too short to shingle get a per-doc "uniq:<id>" key in
+    * every band: they collide with nothing, so they always pass the
+    * near-dup filter (an empty doc is nobody's near-duplicate).
+    * Shared by the streaming operator and its batch twin so the two
+    * can never drift.
+    */
+  private[graft] def bandKeys(docs: DataFrame, tsCol: String): DataFrame = {
+    import graft.operators.Dedup
+    val hs = docs.select(col("doc_id"), col(tsCol).as("ts"),
+      array_distinct(graft.functions.ShingleHashFunctions.shingle_hash(
+        graft.functions.TextFunctions.tokens(col("text")), Dedup.ShingleN))
+        .as("hs"))
+    val sigArr = graft.functions.ShingleHashFunctions.minhash_sig(
+      col("hs"), Dedup.MinhashAB.map(_._1), Dedup.MinhashAB.map(_._2),
+      Dedup.MinhashP)
+    val bandArr = array((0 until Dedup.LshBands).map { j =>
+      concat_ws(",", (0 until Dedup.LshRows).map(r =>
+        element_at(col("sig"), j * Dedup.LshRows + r + 1)): _*)
+    }: _*)
+    val uniqArr = array(Seq.fill(Dedup.LshBands)(
+      concat(lit("uniq:"), col("doc_id").cast("string"))): _*)
+    hs.select(col("doc_id"), col("ts"), sigArr.as("sig"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(when(col("sig").isNotNull, bandArr).otherwise(uniqArr))
+          .as(Seq("band_idx", "band_sig")))
+  }
+
+  /** Streaming NEAR-dup filter: a document is emitted iff ALL of its
+    * LSH band signatures are fresh within the watermark horizon —
+    * i.e. it is not an LSH candidate-pair of ANY earlier-arriving
+    * document (kept or dropped; candidate chains collapse to their
+    * first arrival). Two chained append-mode stateful stages:
+    * `dropDuplicatesWithinWatermark` on (band_idx, band_sig) keeps
+    * each band key's first claimant — state is one ~40-byte band key
+    * per distinct signature, never shingle sets or text — and a
+    * windowed per-doc count then passes exactly the docs that kept
+    * all `LshBands` rows. Emission waits for the window to close
+    * (watermark > window end), the standard append-mode latency.
+    *
+    * CANDIDATE-level semantics, deliberately: the batch pipeline
+    * verifies candidates with the exact Jaccard, but verification
+    * needs both docs' shingle sets — unbounded state. At ingest time
+    * the LSH false-positive rate (a dissimilar doc sharing one band)
+    * is the accepted price of bounded state; tune it with more rows
+    * per band. Within one micro-batch, same-band arrival order is
+    * nondeterministic (Spark keeps an arbitrary claimant) — feed
+    * conflicting docs in separate micro-batches where ordering
+    * matters. Batch twin: `nearDupArrivalBatch`.
+    */
+  def nearDupStreaming(docs: DataFrame, tsCol: String,
+      horizon: String = "1 hour", windowDur: String = "1 minute"): DataFrame =
+    bandKeys(docs, tsCol)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(Seq("band_idx", "band_sig"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_fresh_bands"))
+      .filter(col("n_fresh_bands") === graft.operators.Dedup.LshBands)
+      .select(col("doc_id"), col("window.start").as("win_start"))
+
+  /** Batch twin of `nearDupStreaming` (parity tests, backfills):
+    * survivors are the docs none of whose band keys appear on any
+    * earlier doc, "earlier" = (ts, doc_id) lexicographic — the order
+    * a stream fed one-doc-per-micro-batch in ts order resolves to.
+    */
+  def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame = {
+    val b = bandKeys(docs, tsCol)
+    val dups = b.as("late").join(b.as("early"),
+        col("late.band_idx") === col("early.band_idx") &&
+          col("late.band_sig") === col("early.band_sig") &&
+          (col("early.ts") < col("late.ts") ||
+            (col("early.ts") === col("late.ts") &&
+              col("early.doc_id") < col("late.doc_id"))))
+      .select(col("late.doc_id").as("doc_id")).distinct()
+    docs.join(dups, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
 }

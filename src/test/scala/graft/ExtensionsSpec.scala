@@ -549,6 +549,58 @@ class ExtensionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: LSH band state drops planted near-dups, parity with batch twin") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sneardup").toString
+    val base = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "ts_s", "text")
+        .select(col("doc_id"), to_timestamp(col("ts_s")).as("ts"), col("text"))
+    // one doc per micro-batch where ordering matters: 1 = original,
+    // 2 = exact copy (all bands collide), 3 = distinct, 4 = near-copy
+    // of 1 (shares most shingles → ≥ 1 band), 5 = too short to shingle
+    val feed = Seq(
+      (1L, "2024-01-01 10:00:30", base),
+      (2L, "2024-01-01 10:02:30", base),
+      (3L, "2024-01-01 10:04:30", "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"),
+      (4L, "2024-01-01 10:06:30", base.replace("x12", "z12")),
+      (5L, "2024-01-01 10:08:30", "hi"))
+    val schema = batch(feed.head).schema
+    batch(feed.head).write.mode("append").parquet(dir)
+    val q = graft.streaming.StreamDedup.nearDupStreaming(
+        spark.readStream.schema(schema).parquet(dir),
+        "ts", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("sneardup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      feed.tail.foreach { r =>
+        batch(r).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      // sentinel far ahead: watermark passes every real window
+      batch((99L, "2024-01-01 13:00:00", "s1 s2 s3")).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val streamed = spark.sql("select doc_id from sneardup_out")
+        .collect().map(_.getLong(0)).filter(_ < 99L).sorted.toSeq
+      // batch twin on the same corpus (same arrival order by ts)
+      val twin = graft.streaming.StreamDedup.nearDupArrivalBatch(
+          batch(feed: _*), "ts")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === twin)
+      assert(streamed.contains(1L) && streamed.contains(3L))
+      assert(streamed.contains(5L)) // shingle-less docs always pass
+      assert(!streamed.contains(2L)) // exact copy: every band collides
+      // doc 4 shares 9 of 10 distinct shingles with doc 1 — whether a
+      // band collides is fixed by the minhash constants; assert the
+      // stream agrees with the twin rather than pinning the outcome,
+      // and that the twin itself flags it (planted to collide)
+      assert(!twin.contains(4L), "planted near-copy did not collide in any band")
+    } finally q.stop()
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
