@@ -80,6 +80,19 @@ object SparkEntry {
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.table(s, d, "documents"))
         .select("doc_id", "text").orderBy("doc_id")),
+    // decontamination vs a probe "benchmark" = docs with doc_id < 10
+    // (probes excluded from the report — they trivially self-hit)
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      TextOps.contamination(docs,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 10)
+        .orderBy("doc_id")
+    }),
+    "text_pack" -> ((s, d) =>
+      TextOps.packSequences(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
@@ -375,6 +388,33 @@ object SparkEntry {
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
         "'\\s+', ' ', 'g')) AS text FROM documents"),
+    "text_contamination" ->
+      (s"WITH $HsCte, " +
+        "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+        "probe AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10) " +
+        "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles " +
+        "FROM sh s JOIN probe p ON s.h = p.h WHERE s.doc_id >= 10 " +
+        "GROUP BY s.doc_id"),
+    "text_pack" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "CAST(cum // 2048 AS BIGINT) AS seq_id, " +
+        "CAST(cum % 2048 AS BIGINT) AS seq_off FROM c"),
+    // NON-distinct shingle hash list (hsCteFor would list_distinct it)
+    "text_repetition" ->
+      ("WITH r AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t " +
+        "FROM documents), " +
+        "hh AS (SELECT doc_id, list_transform(list_transform(" +
+        "range(1, greatest(len(t) - 1, 1)), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), " +
+        s"s -> ${phSql("s")}) AS hs FROM r) " +
+        "SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, " +
+        "CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct, " +
+        "(len(hs) - len(list_distinct(hs))) / GREATEST(len(hs), 1) AS dup_ratio " +
+        "FROM hh"),
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +

@@ -4,6 +4,7 @@ import graft.functions.PolyHashFunctions.poly_hash
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis operators over the `documents` table — the language-ID /
   * quality / token-count / fingerprint layer a training-data pipeline
@@ -99,6 +100,97 @@ object TextOps {
   def normalize(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol,
       graft.functions.TextNormFunctions.norm_text(col(textCol)))
+
+  /** Benchmark DECONTAMINATION: documents sharing ≥ 1 word-3-gram
+    * shingle with any probe (evaluation-set) document, with the count
+    * of distinct shared shingle hashes — the standard "remove eval
+    * contamination from training data" check. Returns ONLY the
+    * contaminated docs (drop them with a left_anti join on doc_id).
+    *
+    * Scale shape: the probe side (a benchmark suite — thousands of
+    * docs, ~10⁵-10⁶ shingles) is `broadcast()`, so the corpus side is
+    * ONE map stage — exploded shingles meet the broadcast hash set and
+    * non-hits die in place; only actual hits (rare by construction)
+    * reach the per-doc count shuffle. The corpus is never shuffled and
+    * never holds more than one row in flight.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame): DataFrame = {
+    def shingles(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.ShingleHashFunctions
+        .shingle_hash(tokens(col("text")), Dedup.ShingleN))).as("h"))
+    val probeShingles = shingles(probes).select("h").distinct()
+    shingles(docs)
+      .join(broadcast(probeShingles), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** SEQUENCE PACKING plan: concat-and-chunk every document (in
+    * doc_id order) into fixed `seqLen`-token training sequences; each
+    * doc gets the sequence id and in-sequence offset where it STARTS
+    * (docs may span sequences — this is the placement plan the
+    * materialization step consumes). Equivalent to
+    * `SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)` — but a global-order window funnels the whole
+    * corpus through ONE partition, so this computes the prefix sum the
+    * distributed way: range-repartition by doc_id (partition i holds
+    * strictly smaller ids than partition i+1), one tiny pass collects
+    * per-partition token totals (one row per partition), and a second
+    * pass streams each partition with its exclusive prefix offset.
+    * The corpus is shuffled ONCE (the range partitioning); the
+    * driver-side state is #partitions longs.
+    *
+    * The range-partitioned relation is pinned (RangePartitioner
+    * SAMPLES its boundaries — unpinned, the two passes could see
+    * different partitionings); released via `graft.Caches.clear`.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs
+      .select(col("doc_id"), token_count(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    val partSums = parted
+      .mapPartitions { it =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _).dropRight(1)
+    val offB = spark.sparkContext.broadcast(offsets)
+    parted
+      .mapPartitions { it =>
+        var cum = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, n) =>
+          val start = cum
+          cum += n
+          (id, n, start / seqLen, start % seqLen)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "seq_id", "seq_off")
+  }
+
+  /** Boilerplate/REPETITION signal: per doc, total vs distinct
+    * word-3-gram shingles and the duplicate fraction — high values
+    * mark the template-heavy pages quality filters drop. Shuffle-free
+    * projection; one float division (bit-stable engine-to-engine).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val hs = graft.functions.ShingleHashFunctions
+      .shingle_hash(tokens(col("text")), Dedup.ShingleN)
+    docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        ((col("n_shingles") - col("n_distinct")).cast("double") /
+          greatest(col("n_shingles"), lit(1)).cast("double")).as("dup_ratio"))
+  }
 
   /** One-row corpus summary — integer aggregates only (sums of longs
     * are order-insensitive and exact; no float means across rows).

@@ -180,6 +180,54 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("contamination: probe-shingle hits only, distinct-count semantics") {
+    val probes = docsDf((100L, "alpha beta gamma delta"))
+    val docs = docsDf(
+      // shares 2 distinct shingles: (alpha beta gamma), (beta gamma delta)
+      (1L, "zz alpha beta gamma delta yy"),
+      // repeated hit shingle counts ONCE (distinct per doc)
+      (2L, "alpha beta gamma xx alpha beta gamma"),
+      (3L, "one two three four"), // no overlap
+      (4L, "al pha be ta")) // no overlap (different shingles)
+    val got = TextOps.contamination(docs, probes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("packSequences: distributed prefix sum == window cumsum reference") {
+    val rng = new scala.util.Random(7)
+    val docs = docsDf((0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(40))("w").mkString(" "))
+    }: _*)
+    val got = TextOps.packSequences(docs, seqLen = 64L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // single-threaded reference
+    val counts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").count(_.nonEmpty))
+      .sortBy(_._1)
+    var cum = 0L
+    val ref = counts.map { case (id, n) =>
+      val r = (id, (n.toLong, cum / 64L, cum % 64L))
+      cum += n
+      r
+    }.toMap
+    assert(got === ref)
+    assert(got.values.map(_._2).max > 10) // really spans many sequences
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("repetition: duplicate-shingle fraction") {
+    val got = TextOps.repetition(docsDf(
+        (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct
+        (2L, "u v w x y z"), // 4 shingles, all distinct
+        (3L, "hi"))) // too short: 0 shingles
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((7L, 3L, 4.0 / 7.0)))
+    assert(got(2L) === ((4L, 4L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("dupClusters: heavy-hub broadcast path == join path (star + chain + cross links)") {
     val s = spark
     import s.implicits._
