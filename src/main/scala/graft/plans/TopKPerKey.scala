@@ -150,16 +150,29 @@ object TopK {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     ensure(spark)
-    // route the order columns through a throwaway sortWithinPartitions
-    // so the ANALYZER produces fully-resolved catalyst SortOrders (the
-    // raw Column holds a lazy column-node wrapper, not an expression
-    // tied to df's attributes); we then lift its order and child.
-    val sorted = df.sortWithinPartitions(order: _*).queryExecution.analyzed
-      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
-    val child = sorted.child
+    val child = df.queryExecution.analyzed
     // key lookup honors the session's name-resolution semantics
     // (spark.sql.caseSensitive), like every other DataFrame API
     val resolver = spark.sessionState.analyzer.resolver
+    // Order resolution must go through the ANALYZER: a Column is a
+    // lazy column-node wrapper (sql.internal.SortOrder node, not a
+    // catalyst SortOrder — it doesn't even serialize), so we resolve a
+    // throwaway sortWithinPartitions and lift its SortOrders. The
+    // analyzed shape is VALIDATED, not cast: if a Spark upgrade stops
+    // producing a bare Sort over this child (e.g. starts wrapping a
+    // Project), this fails with a message instead of a
+    // ClassCastException or a silently different plan.
+    val ord: Seq[SortOrder] =
+      df.sortWithinPartitions(order: _*).queryExecution.analyzed match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+            if s.child.output == child.output => s.order
+        case other => throw new IllegalStateException(
+          "topKPerKey: could not lift resolved order columns against " +
+            s"${child.output.map(_.name).mkString("[", ", ", "]")} " +
+            s"(analyzer produced ${other.nodeName}, expected Sort over the " +
+            "same output) — order expressions must reference the " +
+            "DataFrame's existing columns")
+      }
     val keyAttrs = keyNames.map { n =>
       child.output.filter(a => resolver(a.name, n)) match {
         case Seq(a) => a
@@ -172,6 +185,6 @@ object TopK {
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     ColumnBridge.ofRows(spark,
-      TopKPerKeyPlan(keyAttrs, sorted.order, k, rankAttr, child))
+      TopKPerKeyPlan(keyAttrs, ord, k, rankAttr, child))
   }
 }
