@@ -55,6 +55,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band_idx"), plan)
   }
 
+  test("text_normalize is a shuffle-free projection") {
+    val plan = executedPlan("text_normalize")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("nfcnormalize") || plan.contains("nfc_norm"), plan)
+  }
+
+  test("contamination broadcasts the probe side; the corpus is never shuffled wide") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val plan = operators.TextOps.contamination(docs,
+        docs.filter(col("doc_id") < 10))
+      .queryExecution.executedPlan.toString
+    // probe shingles travel as a broadcast build side — the corpus
+    // meets them in one map stage; no sort-merge join anywhere
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("packSequences shuffles the corpus exactly once (range partitioning)") {
+    val plan = operators.TextOps.packSequences(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    // the ONE shuffle is the range partitioning (the cached relation's
+    // stored plan re-prints it); crucially no hash-partitioned shuffle
+    // and no global single-partition Sort/Window ever appears
+    assert(plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("text_vocab plans as TakeOrdered, never a global sort") {
     val plan = executedPlan("text_vocab")
     assert(plan.contains("TakeOrderedAndProject"), plan)
