@@ -50,6 +50,15 @@ object ScaleRehearsal {
     t("dup_clusters from lsh")(
       operators.Dedup.dupClusters(operators.Dedup.minhashLsh(docs)).count())
 
+    // decontamination at 50k docs vs a 500-doc "benchmark": probe side
+    // broadcast, corpus in one map stage
+    t("contamination 50k docs")(
+      operators.TextOps.contamination(docs,
+        docs0.filter(col("doc_id") < 500)).count())
+    // sequence packing at 50k docs: ONE range shuffle + 2-pass prefix
+    t("pack_sequences 50k docs")(
+      operators.TextOps.packSequences(docs).count())
+
     // one GIANT near-dup component (10^6 members: 30% direct hub links
     // + a random recursive tree) — the old pointer-doubling loop
     // funneled every member's jump row through the min-label partition

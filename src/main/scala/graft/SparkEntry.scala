@@ -115,6 +115,17 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
+    // vector-side end-to-end dedup: near-dup pairs → connected
+    // components (star contraction) — the embedding twin of
+    // dedup_clusters, composing the two operators unchanged
+    "embedding_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dupClusters(
+          Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
@@ -303,6 +314,27 @@ object SparkEntry {
       "JOIN sizes sb ON sb.doc_id = doc_b " +
       "WHERE shared * 5 >= (sa.n + sb.n - shared) * 4"
 
+  /** embedding_neardup oracle — shared by embedding_clusters (its
+    * pairs input), exactly as the ngram oracle feeds dedup_clusters.
+    */
+  private val EmbNearDupSql: String = {
+    val bandJoins = (0 until Similarity.LshBands).map { j =>
+      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
+        s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
+        "AND a.vec_id < b.vec_id"
+    }.mkString(" UNION ALL ")
+    s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+      s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+      s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
+      s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)) " +
+      "SELECT vec_a, vec_b, cosine FROM (" +
+      "SELECT c.vec_a, c.vec_b, " +
+      s"${dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine " +
+      "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a " +
+      "JOIN e eb ON eb.vec_id = c.vec_b) " +
+      "WHERE cosine >= 0.30"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -469,23 +501,16 @@ object SparkEntry {
         "losers AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id) " +
         "SELECT doc_id FROM docs0 " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
-    "embedding_neardup" -> {
-      val bandJoins = (0 until Similarity.LshBands).map { j =>
-        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
-          s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
-          "AND a.vec_id < b.vec_id"
-      }.mkString(" UNION ALL ")
-      s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
-        s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
-        s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)) " +
-        "SELECT vec_a, vec_b, cosine FROM (" +
-        "SELECT c.vec_a, c.vec_b, " +
-        s"${dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine " +
-        "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a " +
-        "JOIN e eb ON eb.vec_id = c.vec_b) " +
-        "WHERE cosine >= 0.30"
-    },
+    "embedding_neardup" -> EmbNearDupSql,
+    "embedding_clusters" ->
+      (s"WITH RECURSIVE pairs AS (SELECT vec_a AS u0, vec_b AS v0 FROM " +
+        s"($EmbNearDupSql) t), " +
+        "sym AS (SELECT u0 AS u, v0 AS v FROM pairs " +
+        "UNION ALL SELECT v0, u0 FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
+        "SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
+        "FROM reach GROUP BY u"),
     "knn_brute" ->
       (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
         "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
