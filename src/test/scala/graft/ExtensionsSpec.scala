@@ -277,6 +277,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters == union-find on random graphs (property)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val n = 30 + rng.nextInt(120)
+      val nEdges = rng.nextInt(2 * n)
+      val pairs = (0 until nEdges).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // union-find reference with min-id path resolution
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.dupClusters(pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, edges=${pairs.size})")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("dupClusters: hitting maxIter raises instead of returning wrong labels") {
     val s = spark
     import s.implicits._
