@@ -44,6 +44,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq
     val med = names.map(n => n -> median(samples.map(_(n)))).toMap
+    // stdout line stays SHORT: the harness captures a bounded log tail,
+    // and a line carrying per-query min/max at full double precision
+    // overflowed it (head truncated → unparseable). Medians at 4
+    // decimals go to stdout; the full-precision medians + min/max land
+    // in BENCH_LAST.json only.
+    def r4(x: Double): String = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = names.map(n => s"\"" + n + "\":" + r4(med(n)))
+      .mkString("{", ",", "}")
     val qs = names.map(n => s"\"" + n + "\":" + med(n))
       .mkString("{", ",", "}")
     val minmax = names.map { n =>
@@ -51,6 +60,9 @@ object Bench {
       s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
     }.mkString("{", ",", "}")
     val total = if (med.nonEmpty) med.values.sum else 0.0
+    val stdoutJson =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,""" +
+        s""""reps":$reps,"sf":"$sfDir"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_minmax":$minmax,"reps":$reps,"sf":"$sfDir"}"""
@@ -69,7 +81,7 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
-    // the JSON line is the FINAL stdout line of the run
-    println(json)
+    // the (short) JSON line is the FINAL stdout line of the run
+    println(stdoutJson)
   }
 }

@@ -599,11 +599,19 @@ object SparkEntry {
         s"ORDER BY ${dotSql("e.embedding", "co.a_emb")} / (sqrt(e.n2) * sqrt(co.a_n2)) DESC, " +
         "co.a_id ASC) AS arnk FROM e, co), " +
         "vc AS (SELECT vec_id, a_id FROM vcr WHERE arnk = 1), " +
+        // fine-candidate set with the kernel's empty-group fallback
+        // (IvfAssignUtil.assign2): normally the anchor's group members;
+        // when rounding hands a vector an anchor owning NO fine
+        // centroids (same-direction anchor twins), ALL fine centroids
+        "fcand AS (SELECT vc.vec_id, fg.cent_id FROM vc " +
+        "JOIN fg ON fg.a_id = vc.a_id " +
+        "UNION ALL SELECT vc.vec_id, c.cent_id FROM vc, c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.a_id = vc.a_id)), " +
         "far AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, row_number() OVER " +
         "(PARTITION BY e.vec_id ORDER BY " +
         s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
-        "c.cent_id ASC) AS crank FROM e JOIN vc ON vc.vec_id = e.vec_id " +
-        "JOIN fg ON fg.a_id = vc.a_id JOIN c ON c.cent_id = fg.cent_id), " +
+        "c.cent_id ASC) AS crank FROM e JOIN fcand ON fcand.vec_id = e.vec_id " +
+        "JOIN c ON c.cent_id = fcand.cent_id), " +
         "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM far WHERE crank = 1), " +
         "pr AS (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id " +
         s"ORDER BY ${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +

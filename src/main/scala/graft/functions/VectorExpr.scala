@@ -110,11 +110,13 @@ object IvfAssignUtil {
     * (ascending iteration + strict `>`), mirroring the oracle's
     * `ORDER BY cos DESC, id ASC` row_number twin.
     *
-    * An anchor's group can be empty only when another anchor with a
-    * smaller id has the identical direction — and then the coarse
-    * argmax can never pick the larger-id twin (every vector's cosines
-    * to the two are equal, so the tie-break picks the smaller id);
-    * the defensive fallback scans all fine centroids anyway.
+    * An anchor's group is empty only when another anchor with a
+    * smaller id has the same direction — and while mathematically the
+    * coarse argmax then never picks the larger-id twin, the two
+    * cosines are computed through SEPARATE dot/sqrt evaluations whose
+    * rounding can differ, so the twin CAN win in float arithmetic.
+    * The fallback (scan all fine centroids, id tie-break) handles it,
+    * and the SQL oracle mirrors it (`fcand` in the knn_ivf twin).
     */
   def assign2(v: ArrayData, vF: Boolean,
       coarseFlat: Array[Double], coarseN2: Array[Double],
@@ -165,7 +167,14 @@ object IvfAssignUtil {
         i += 1
       }
       val cos = dot / (sqrtN2 * math.sqrt(cn2(j)))
-      if (cos > bestCos) { bestCos = cos; best = j }
+      // explicit id tie-break: inside a group ascending iteration +
+      // strict `>` would suffice, but the empty-group FALLBACK scans
+      // the group-contiguous layout (NOT ascending id) — the id test
+      // keeps both paths equal to the oracle's ORDER BY cos DESC,
+      // cent_id ASC
+      if (cos > bestCos || (cos == bestCos && ids(j) < ids(best))) {
+        bestCos = cos; best = j
+      }
       j += 1
     }
     ids(best)

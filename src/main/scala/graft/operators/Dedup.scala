@@ -164,7 +164,8 @@ object Dedup {
       part: org.apache.spark.Partitioner,
       heavyDegree: Long,
       emit: (Long, Long, Long) => Iterator[(Long, Long)])
-    : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    : (org.apache.spark.rdd.RDD[(Long, Long)],
+       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
     val heavyB = keyed.sparkContext.broadcast(
       agg.filter(_._2._2 >= heavyDegree)
         .map { case (u, (mn, _)) => (u, mn) }
@@ -185,15 +186,16 @@ object Dedup {
       }
       .join(agg, part)
       .flatMap { case (u, (v, (mn, _))) => emit(u, v, mn) }
-    heavyOut.union(lightOut)
+    (heavyOut.union(lightOut), heavyB)
   }
 
   /** Large-star: every node u connects its strictly LARGER neighbors to
     * m(u) = min(Γ(u) ∪ {u}). Replaces the whole edge set; preserves
-    * connectivity and the node set. Returns (output, persisted agg) —
-    * the CALLER unpersists the agg once the output is materialized
-    * (the heavy-key collect inside already ran it once; dropping it
-    * earlier would recompute the aggregation for the light-key join).
+    * connectivity and the node set. Returns (output, persisted agg,
+    * heavy-key broadcast) — the CALLER unpersists the agg and destroys
+    * the broadcast once the output is materialized (the heavy-key
+    * collect inside already ran the agg once; dropping it earlier
+    * would recompute the aggregation for the light-key join).
     */
   private def largeStar(
       edges: org.apache.spark.rdd.RDD[(Long, Long)],
@@ -201,17 +203,18 @@ object Dedup {
       heavyDegree: Long,
       changed: org.apache.spark.util.LongAccumulator)
     : (org.apache.spark.rdd.RDD[(Long, Long)],
-       org.apache.spark.rdd.RDD[(Long, (Long, Long))]) = {
+       org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
     val sym = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
     val agg = minAndDegree(sym, part).persist(StorageLevel.MEMORY_AND_DISK)
-    val out = starRewrite(sym, agg, part, heavyDegree, { (u, v, mn) =>
+    val (out, bc) = starRewrite(sym, agg, part, heavyDegree, { (u, v, mn) =>
       if (v > u) {
         val m = math.min(u, mn)
         if (m != u) changed.add(1L)
         Iterator((v, m))
       } else Iterator.empty
     })
-    (out, agg)
+    (out, agg, bc)
   }
 
   /** Small-star: every node u connects its SMALLER neighbors (and
@@ -225,17 +228,18 @@ object Dedup {
       heavyDegree: Long,
       changed: org.apache.spark.util.LongAccumulator)
     : (org.apache.spark.rdd.RDD[(Long, Long)],
-       org.apache.spark.rdd.RDD[(Long, (Long, Long))]) = {
+       org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
     val dir = edges.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
     val agg = minAndDegree(dir, part).persist(StorageLevel.MEMORY_AND_DISK)
     // the (u, m(u)) star edge itself — one per group, straight from the
     // aggregate (m(u) < u always: every group key has a smaller nbr)
     val selfEdges = agg.map { case (u, (mn, _)) => (u, mn) }
-    val out = starRewrite(dir, agg, part, heavyDegree, { (_, v, mn) =>
+    val (out, bc) = starRewrite(dir, agg, part, heavyDegree, { (_, v, mn) =>
       if (v != mn) { changed.add(1L); Iterator((v, mn)) }
       else Iterator.empty // (mn, mn) self-loop; u—mn covered by selfEdges
     })
-    (selfEdges.union(out), agg)
+    (selfEdges.union(out), agg, bc)
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected
@@ -284,15 +288,24 @@ object Dedup {
     val spark = pairs0.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    // canonical (small, large) undirected edges in ONE pass over the
-    // (possibly expensive — e.g. the ngram join) pair pipeline;
-    // self-pairs dropped (they never affect components)
-    val raw = pairs0.select(col("doc_a"), col("doc_b")).rdd
-      .flatMap { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
+    // ONE pass over the (possibly expensive — e.g. the ngram join)
+    // pair pipeline, split into canonical (small, large) undirected
+    // edges and self-pair ids. A self-pair (a, a) carries no edge but
+    // DOES assert a is its own singleton component — its id re-enters
+    // the label set at the end (current in-repo producers emit strict
+    // a < b pairs, but the operator must not depend on that).
+    val raw0 = pairs0.select(col("doc_a"), col("doc_b")).rdd
+      .map { r => (r.getLong(0), r.getLong(1)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = raw0
+      .flatMap { case (a, b) =>
         if (a == b) Iterator.empty
         else if (a < b) Iterator((a, b)) else Iterator((b, a))
       }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val selfIds = raw0
+      .flatMap { case (a, b) => if (a == b) Iterator(a) else Iterator.empty }
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // size the loop's partitioner to the DATA, not the session default:
     // every round runs ~4 jobs over the edge set, so a near-empty pair
@@ -301,31 +314,60 @@ object Dedup {
     val maxParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val nEdges = raw.count()
+    val nSelf = selfIds.count() // materialize both splits, then drop raw0
+    raw0.unpersist(blocking = false)
     val parts = math.max(1,
       math.min(maxParts.toLong, nEdges / 250000L + 1L).toInt)
     val part = new org.apache.spark.HashPartitioner(parts)
     val hvy =
       if (heavyDegree > 0L) heavyDegree
       else math.max(1024L, 2L * nEdges / parts)
+    // one large-star + small-star round: materializes the next edge
+    // set, releases the previous round's caches AND the two heavy-key
+    // broadcasts (GC-driven ContextCleaner is too lazy for a
+    // many-round loop), returns (next, changed-count)
+    def starRound(cur: org.apache.spark.rdd.RDD[(Long, Long)], iterNo: Int)
+      : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
+      val acc = sc.longAccumulator(s"graft.dupClusters.changed.$iterNo")
+      val (ls0, lsAgg, lsB) = largeStar(cur, part, hvy, acc)
+      val ls = ls0.persist(StorageLevel.MEMORY_AND_DISK)
+      val (next0, ssAgg, ssB) = smallStar(ls, part, hvy, acc)
+      val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined &&
+        (iterNo + 1) % math.max(1, checkpointEvery) == 0) next.checkpoint()
+      next.count() // materialize (and checkpoint); accumulator now set
+      // unpersist, NOT destroy: `next`'s lineage still references the
+      // broadcasts (task closures re-serialize them whenever a cached
+      // block is lost or a later action re-walks the chain), and a
+      // destroyed broadcast fails that serialization outright.
+      // unpersist frees every executor-side copy now — the dominant
+      // cost ADVICE flagged — and leaves the driver value re-fetchable.
+      lsB.unpersist(blocking = false)
+      ssB.unpersist(blocking = false)
+      lsAgg.unpersist(blocking = false)
+      ssAgg.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
+      (next, acc.value)
+    }
     var edges = raw
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val acc = sc.longAccumulator(s"graft.dupClusters.changed.$iter")
-      val (ls0, lsAgg) = largeStar(edges, part, hvy, acc)
-      val ls = ls0.persist(StorageLevel.MEMORY_AND_DISK)
-      val (next0, ssAgg) = smallStar(ls, part, hvy, acc)
-      val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
-      if (checkpointDir.isDefined &&
-        (iter + 1) % math.max(1, checkpointEvery) == 0) next.checkpoint()
-      next.count() // materialize (and checkpoint); accumulator now set
-      lsAgg.unpersist(blocking = false)
-      ssAgg.unpersist(blocking = false)
-      ls.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      val (next, changed) = starRound(edges, iter)
       edges = next
-      converged = acc.value == 0L
+      converged = changed == 0L
       iter += 1
+    }
+    if (!converged) {
+      // the accumulator only PROVES convergence at zero — task retries,
+      // speculation, or recomputation of evicted blocks can inflate a
+      // non-zero count past reality. Before declaring failure, spend
+      // one recheck round: if it reports zero, the loop had in fact
+      // converged and the extra round changed nothing.
+      val (next, changed) = starRound(edges, iter)
+      edges = next
+      converged = changed == 0L
     }
     if (!converged) {
       edges.unpersist(blocking = false)
@@ -334,15 +376,20 @@ object Dedup {
           "the pair input is unstable or degenerate; raise maxIter")
     }
     // converged edge set = {(member, root)} stars. Labels: members from
-    // the star edges, roots labeled to themselves; reduceByKey collapses
-    // the multiset duplicates star rounds may leave behind.
+    // the star edges, roots labeled to themselves, self-pair-only docs
+    // as their own singleton components (min keeps the real root when a
+    // self-paired doc also has edges: root ≤ every member id);
+    // reduceByKey collapses the multiset duplicates star rounds may
+    // leave behind.
     val members = edges.reduceByKey(part, math.min(_, _))
-    val labels = members
-      .union(members.map { case (_, r) => (r, r) })
+    val withRoots = members.union(members.map { case (_, r) => (r, r) })
+    val labels = (if (nSelf > 0L) withRoots.union(selfIds.map(i => (i, i)))
+                  else withRoots)
       .reduceByKey(part, math.min(_, _))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize so the star rounds can be dropped
     edges.unpersist(blocking = false)
+    selfIds.unpersist(blocking = false)
     // back to SQL land: (doc_id, cluster_id). The final labels RDD
     // stays persisted for the consumer's action; graft.Caches.clear
     // releases it afterwards (it is tracked below).

@@ -110,6 +110,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters keeps self-pair-only docs as singleton components") {
+    val s = spark
+    import s.implicits._
+    // 7 appears ONLY as a self-pair → its own singleton component;
+    // 2's self-pair must not shadow its real component (min(1) wins)
+    val pairs = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("dupClusters on a self-pair-only input (no real edges)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((5L, 5L), (9L, 9L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("prefix-filtered ngram pairs == brute-force Jaccard ≥ 0.8 " +
       "on a boilerplate-heavy corpus") {
     val rng = new scala.util.Random(5)
