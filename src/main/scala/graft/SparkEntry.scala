@@ -93,6 +93,13 @@ object SparkEntry {
       TextOps.packSequences(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "text_quota" -> ((s, d) =>
+      TextOps.quotaSample(Tables.table(s, d, "documents"))
+        .orderBy("lang", "rank")),
+    "text_deciles" -> ((s, d) =>
+      TextOps.lengthDeciles(Tables.table(s, d, "documents")).orderBy("decile")),
+    "text_vocab_hll" -> ((s, d) =>
+      TextOps.vocabHll(Tables.table(s, d, "documents"))),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
@@ -447,6 +454,55 @@ object SparkEntry {
         "CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct, " +
         "(len(hs) - len(list_distinct(hs))) / GREATEST(len(hs), 1) AS dup_ratio " +
         "FROM hh"),
+    // same quality formula (and float op order) as text_quality; the
+    // per-language row_number twin of the TopKPerKey heap
+    "text_quota" ->
+      ("WITH b AS (SELECT doc_id, lang, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, lang, " +
+        "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
+        "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
+        "THEN 0.2 ELSE 0.0 END) AS quality FROM b), " +
+        "r AS (SELECT doc_id, lang, quality, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rnk FROM s) " +
+        "SELECT doc_id, lang, quality, CAST(rnk AS BIGINT) AS \"rank\" " +
+        "FROM r WHERE rnk <= 25"),
+    // bucket of global rank r (1-based) = (r-1)*buckets // N — integer
+    // outputs only, so the distributed two-pass rank is hash-exact
+    "text_deciles" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents), " +
+        "n AS (SELECT GREATEST(COUNT(*), 1) AS n FROM t), " +
+        "r AS (SELECT nt, row_number() OVER (ORDER BY nt, doc_id) AS rnk FROM t) " +
+        "SELECT CAST((rnk - 1) * 10 // n.n AS BIGINT) AS decile, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(MIN(nt) AS BIGINT) AS min_tokens, " +
+        "CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
+        "CAST(SUM(nt) AS BIGINT) AS sum_tokens " +
+        "FROM r, n GROUP BY 1"),
+    "text_vocab_hll" -> {
+      val m = graft.operators.TextOps.HllBuckets
+      val cap = graft.operators.TextOps.HllCap
+      val p2 = (1L << cap).toDouble // 2^cap, exact in double
+      s"WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token " +
+        "FROM documents), " +
+        s"h AS (SELECT ${phSql("token")} * ${graft.functions.PolyHashUtil.Mod2} + " +
+        s"${phSql2("token")} AS h FROM tok), " +
+        s"br AS (SELECT h % $m AS bucket, h // $m AS rest FROM h), " +
+        s"rh AS (SELECT bucket, CASE WHEN rest = 0 THEN $cap ELSE " +
+        s"LEAST($cap, bit_count((rest & (-rest)) - 1) + 1) END AS rho FROM br), " +
+        "mx AS (SELECT bucket, MAX(rho) AS mr FROM rh GROUP BY bucket), " +
+        "agg AS (SELECT COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM mx) " +
+        s"SELECT CAST($m AS BIGINT) AS m, CAST($m - nz AS BIGINT) AS n_empty, " +
+        s"CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS BIGINT) AS harmonic_scaled, " +
+        s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
+        s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
+        "FROM agg"
+    },
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +

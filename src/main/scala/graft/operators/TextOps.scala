@@ -202,4 +202,163 @@ object TextOps {
         coalesce(sum(col("t")), lit(0L)).as("total_tokens"),
         coalesce(sum(col("c")), lit(0L)).as("total_chars"),
         coalesce(max(col("t")), lit(0L)).as("max_tokens"))
+
+  /** Stratified quality quota: the `perLang` highest-quality docs per
+    * language (composite `quality_score`, ties to the lower doc_id) —
+    * the per-source/per-language cap every corpus-mixing recipe needs.
+    * Runs through the custom TopKPerKey physical operator: one shuffle
+    * on `lang`, a bounded k-heap per language instead of a sort —
+    * where the window row_number form buffers (and spills) EVERY doc
+    * of a language inside one task, the heap holds `perLang` rows no
+    * matter how skewed the language mix is (real corpora are ~half
+    * English — exactly the key a window sort dies on at 100 TB).
+    */
+  def quotaSample(docs: DataFrame, perLang: Int = 25): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"), col("lang"),
+      quality_score(token_count(col("text")), stopword_count(col("text")),
+        nonspace_chars(col("text"))).as("quality"))
+    graft.plans.TopK.perKey(scored, Seq("lang"),
+      Seq(col("quality").desc, col("doc_id").asc), perLang)
+  }
+
+  /** Exact decile (or any `buckets`-ile) statistics over per-doc token
+    * counts: global rank by (n_tokens, doc_id) via range partition +
+    * per-partition counts + a driver-side scan-left of offsets — the
+    * same two-pass distributed rank packSequences uses, NEVER a
+    * single-partition global window. Bucket of rank r (1-based) is
+    * ⌊(r−1)·buckets/N⌋; all outputs are integers (min/max/sum of
+    * longs), so the oracle comparison is exact.
+    */
+  def lengthDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs
+      .select(col("doc_id"), token_count(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("n_tokens"), col("doc_id"))
+      .sortWithinPartitions("n_tokens", "doc_id")
+      .as[(Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    val partCounts = parted
+      .mapPartitions { it =>
+        var c = 0L
+        it.foreach(_ => c += 1L)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = math.max(1L, partCounts.sum)
+    val offsets = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val b = buckets.toLong
+    parted
+      .mapPartitions { it =>
+        var r = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (_, nt) =>
+          r += 1L
+          ((r - 1L) * b / n, nt)
+        }
+      }
+      .toDF("decile", "n_tokens")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  // ---- HyperLogLog distinct-token sketch ----
+
+  /** Bucket count (power of two). 512 buckets ≈ 4.6% standard error —
+    * sketch state is 512 bytes regardless of corpus size.
+    */
+  val HllBuckets = 512
+
+  /** Max rank: rho is capped so the scaled harmonic term 2^(HllCap−rho)
+    * stays an exact BIGINT and the total Σ ≤ m·2^HllCap ≤ 2^57 cannot
+    * overflow. 48 leaves headroom over the ~51 usable hash bits.
+    */
+  val HllCap = 48
+
+  /** HyperLogLog estimate of the DISTINCT token count — the sketch
+    * path for "how big is the vocabulary" when the exact groupBy
+    * (`topTokens`-style) shuffle is not worth it. At 100 TB the whole
+    * job is one map stage + a 512-group partial-max aggregate: no
+    * distinct, no shuffle of tokens, state is m bytes, and duplicate
+    * tokens are free (max is idempotent — the reason sketches beat
+    * exact counting here).
+    *
+    * ORACLE-EXACT BY CONSTRUCTION: every cross-row aggregate is
+    * integer (MAX(rho) per bucket, COUNT, Σ 2^(HllCap−rho) as BIGINT —
+    * powers of two, so no float-order drift), and the one float
+    * expression (the standard α_m·m²/Σ2^−rho estimator) is a single
+    * deterministic IEEE evaluation over those integers, identical in
+    * the generated SQL twin. The classic small-range linear-counting
+    * correction needs ln(), whose last-ulp behavior differs across
+    * libm implementations (measured on this container: JVM Math.log
+    * and DuckDB ln disagree by 1 ulp at 2 of the 511 possible m/V
+    * arguments for m = 512) — so the correction is NOT folded into
+    * the hash-checked output; `vocabHllEstimate` applies it
+    * driver-side, and `n_empty` lets any consumer do the same.
+    *
+    * Output (one row): m, n_empty (V), harmonic_scaled
+    * (Σ_buckets 2^(HllCap−rho), empty buckets contributing 2^HllCap),
+    * est_raw (double).
+    *
+    * Hash: 60-bit combine of the two independent PolyHashes
+    * (h = ph1·Mod2 + ph2 < 2^60); bucket = h mod m, rank = trailing
+    * zeros of h ÷ m, + 1 (bit_count((x & −x) − 1) + 1 — both engines
+    * compute it with the same pure-integer idiom).
+    */
+  def vocabHll(docs: DataFrame): DataFrame = {
+    import graft.functions.PolyHashFunctions.poly_hash2
+    val m = HllBuckets
+    val cap = HllCap
+    // `div`, not `/`: h is up to ~2^60 and Column./ is DOUBLE division
+    // (loses low bits past 2^53 — exactly the bits rho reads)
+    val mx = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .select((poly_hash(col("token")) *
+        lit(graft.functions.PolyHashUtil.Mod2) +
+        poly_hash2(col("token"))).as("h"))
+      .select((col("h") % lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0L, lit(cap))
+          .otherwise(least(lit(cap),
+            bit_count(col("rest").bitwiseAND(-col("rest")) - 1L)
+              .cast("int") + 1))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mr"))
+    val agg = mx.agg(
+      count(lit(1)).as("nz"),
+      coalesce(sum(expr(s"shiftleft(1L, $cap - mr)")), lit(0L))
+        .as("sp"))
+    // α_m · m² · 2^cap / Σ — one fixed-order float expression; the SQL
+    // twin is generated from the same constants
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    agg.select(
+      lit(m.toLong).as("m"),
+      (lit(m.toLong) - col("nz")).as("n_empty"),
+      (col("sp") + (lit(m.toLong) - col("nz")) * shiftleft(lit(1L), cap))
+        .as("harmonic_scaled"))
+      .select(col("m"), col("n_empty"), col("harmonic_scaled"),
+        (alpha * lit((m.toLong * m).toDouble) * lit(math.pow(2.0, cap)) /
+          col("harmonic_scaled").cast("double")).as("est_raw"))
+  }
+
+  /** The full HLL estimate with the standard small-range correction:
+    * raw ≤ 2.5·m with empty buckets present → linear counting
+    * m·ln(m/V). The one ln() runs DRIVER-side on the sketch's single
+    * row, deliberately outside the oracle-hashed query surface (see
+    * vocabHll's Scaladoc for the measured cross-libm ulp drift that
+    * would otherwise be a latent hash mismatch).
+    */
+  def vocabHllEstimate(docs: DataFrame): Double = {
+    val r = vocabHll(docs).collect()(0)
+    val m = r.getAs[Long]("m").toDouble
+    val v = r.getAs[Long]("n_empty").toDouble
+    val raw = r.getAs[Double]("est_raw")
+    if (raw <= 2.5 * m && v > 0.0) m * math.log(m / v) else raw
+  }
 }

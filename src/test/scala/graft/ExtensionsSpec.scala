@@ -728,4 +728,69 @@ class ExtensionsSpec extends SparkSpec {
       assert(streamed.map(_.toSeq).toSeq === batchProj.toSeq)
     } finally q.stop()
   }
+
+  test("quotaSample (TopKPerKey heap) == window row_number reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.quotaSample(docs, perLang = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val scored = TextOps.quality(docs).select("doc_id", "quality")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id").asc)
+    val ref = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("quality"), r.getAs[Long]("rank")))
+      .toSet
+    assert(got.nonEmpty && got === ref)
+  }
+
+  test("lengthDeciles == single-node sort-rank reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.lengthDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val nt = docs
+      .select(col("doc_id"), token_count(col("text")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = nt.sortBy { case (id, n) => (n, id) }
+    val n = sorted.length.toLong
+    val ref = sorted.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong * 10L / n, t) }
+      .groupBy(_._1)
+      .map { case (d, xs) =>
+        val ts = xs.map(_._2)
+        (d, ts.length.toLong, ts.min, ts.max, ts.sum)
+      }
+      .toSet
+    assert(got === ref)
+  }
+
+  test("vocabHll: duplicate docs leave the sketch state unchanged") {
+    // MAX per bucket is idempotent — the whole point of the sketch:
+    // re-observing a token costs nothing and changes nothing
+    def state(df: DataFrame) = TextOps.vocabHll(df).collect()(0).toSeq
+    assert(state(docsDf((1L, "x y z w"), (2L, "x y z w"), (3L, "y z"))) ===
+      state(docsDf((1L, "x y z w"))))
+  }
+
+  test("vocabHll: corrected estimate tracks the true distinct count") {
+    // small corpus → linear-counting regime
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = docs.select(explode(tokens(col("text"))).as("t"))
+      .distinct().count().toDouble
+    val est = TextOps.vocabHllEstimate(docs)
+    assert(math.abs(est - truth) <= math.max(5.0, 0.25 * truth),
+      s"est=$est truth=$truth")
+    // 5000 distinct synthetic tokens → raw-estimator regime (no
+    // correction path); m=512 gives ~4.6% stderr, assert within 20%
+    val big = docsDf((0 until 50).map(i =>
+      (i.toLong, (0 until 100).map(j => s"tok_${i}_$j").mkString(" "))): _*)
+    val bigEst = TextOps.vocabHllEstimate(big)
+    assert(math.abs(bigEst - 5000.0) <= 1000.0, s"bigEst=$bigEst")
+  }
 }
