@@ -135,6 +135,14 @@ object Dedup {
     */
   val ClusterCheckpointEvery = 8
 
+  /** Edge-count ceiling for `dupClusters`' single-task union-find fast
+    * path — the same 250k edges (~4 MB of longs) the star loop's
+    * partition sizing allots to one partition, so the fast path only
+    * fires on graphs the distributed loop would have run at parts = 1
+    * anyway (all scheduling overhead, no parallelism).
+    */
+  val ClusterLocalEdges = 250000L
+
   /** (min neighbor, degree) per key in one combine-safe pass — the
     * shared aggregation of both star operations. Map-side partial
     * aggregation means a billion-degree hub costs each MAP task O(1)
@@ -280,11 +288,23 @@ object Dedup {
     * RELIABLE checkpoint — without it, executor loss late in a long
     * run can recompute all the way back to the pair join (persisted
     * rounds help only as far as surviving blocks).
+    *
+    * SMALL-GRAPH FAST PATH: when the canonical edge count is ≤
+    * `localThreshold` (default `ClusterLocalEdges` = the same 250k
+    * edges the loop's partition sizing allots to ONE partition, ~4 MB)
+    * the component resolution runs as a single union-find pass in one
+    * task instead of ~log² rounds × 4 distributed jobs each — after
+    * LSH banding + verification, real pair graphs are typically tiny
+    * even when the corpus is not, and the iterative path's cost is
+    * then pure scheduling overhead. Star contraction remains the path
+    * for everything larger; tests pin `localThreshold = 0` where they
+    * exercise it explicitly.
     */
   def dupClusters(pairs0: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = ClusterCheckpointEvery,
-      heavyDegree: Long = 0L): DataFrame = {
+      heavyDegree: Long = 0L,
+      localThreshold: Long = ClusterLocalEdges): DataFrame = {
     val spark = pairs0.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
@@ -350,45 +370,78 @@ object Dedup {
       cur.unpersist(blocking = false)
       (next, acc.value)
     }
-    var edges = raw
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val (next, changed) = starRound(edges, iter)
-      edges = next
-      converged = changed == 0L
-      iter += 1
-    }
-    if (!converged) {
-      // the accumulator only PROVES convergence at zero — task retries,
-      // speculation, or recomputation of evicted blocks can inflate a
-      // non-zero count past reality. Before declaring failure, spend
-      // one recheck round: if it reports zero, the loop had in fact
-      // converged and the extra round changed nothing.
-      val (next, changed) = starRound(edges, iter)
-      edges = next
-      converged = changed == 0L
-    }
-    if (!converged) {
-      edges.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"dupClusters did not converge after $maxIter star rounds — " +
-          "the pair input is unstable or degenerate; raise maxIter")
-    }
-    // converged edge set = {(member, root)} stars. Labels: members from
-    // the star edges, roots labeled to themselves, self-pair-only docs
-    // as their own singleton components (min keeps the real root when a
-    // self-paired doc also has edges: root ≤ every member id);
-    // reduceByKey collapses the multiset duplicates star rounds may
-    // leave behind.
-    val members = edges.reduceByKey(part, math.min(_, _))
-    val withRoots = members.union(members.map { case (_, r) => (r, r) })
+    // which cached RDD still needs releasing once `labels` materializes
+    var releaseAfter: org.apache.spark.rdd.RDD[_] = raw
+    val withRoots: org.apache.spark.rdd.RDD[(Long, Long)] =
+      if (nEdges <= localThreshold) {
+        // SMALL-GRAPH FAST PATH — one union-find pass in one task.
+        // Min-id union (parent(max-root) := min-root) makes every root
+        // its component's minimum, exactly the star fixpoint's labels.
+        raw.coalesce(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            var p = parent.getOrElse(r, r)
+            while (p != r) { r = p; p = parent.getOrElse(r, r) }
+            var c = x // path compression
+            while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent.update(a, a)
+            if (!parent.contains(b)) parent.update(b, b)
+            val ra = find(a)
+            val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+            }
+          }
+          parent.keys.toArray.iterator.map(k => (k, find(k)))
+        }
+      } else {
+        var edges = raw
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          val (next, changed) = starRound(edges, iter)
+          edges = next
+          converged = changed == 0L
+          iter += 1
+        }
+        if (!converged) {
+          // the accumulator only PROVES convergence at zero — task
+          // retries, speculation, or recomputation of evicted blocks
+          // can inflate a non-zero count past reality. Before declaring
+          // failure, spend one recheck round: if it reports zero, the
+          // loop had in fact converged and the extra round changed
+          // nothing.
+          val (next, changed) = starRound(edges, iter)
+          edges = next
+          converged = changed == 0L
+        }
+        if (!converged) {
+          edges.unpersist(blocking = false)
+          selfIds.unpersist(blocking = false)
+          throw new IllegalStateException(
+            s"dupClusters did not converge after $maxIter star rounds — " +
+              "the pair input is unstable or degenerate; raise maxIter")
+        }
+        releaseAfter = edges
+        // converged edge set = {(member, root)} stars: members from the
+        // star edges, roots labeled to themselves (the final reduce
+        // collapses the multiset duplicates star rounds leave behind)
+        val members = edges.reduceByKey(part, math.min(_, _))
+        members.union(members.map { case (_, r) => (r, r) })
+      }
+    // self-pair-only docs re-enter as their own singleton components
+    // (min keeps the real root when a self-paired doc also has edges:
+    // root ≤ every member id)
     val labels = (if (nSelf > 0L) withRoots.union(selfIds.map(i => (i, i)))
                   else withRoots)
       .reduceByKey(part, math.min(_, _))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize so the star rounds can be dropped
-    edges.unpersist(blocking = false)
+    labels.count() // materialize so the inputs can be dropped
+    releaseAfter.unpersist(blocking = false)
     selfIds.unpersist(blocking = false)
     // back to SQL land: (doc_id, cluster_id). The final labels RDD
     // stays persisted for the consumer's action; graft.Caches.clear

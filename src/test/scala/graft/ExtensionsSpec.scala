@@ -167,7 +167,7 @@ class ExtensionsSpec extends SparkSpec {
     // per-round propagation could cover without the pointer jump
     val pairs = (0 until 24).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val got = Dedup.dupClusters(pairs).collect()
+    val got = Dedup.dupClusters(pairs, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0 until 25).map(i => (100L + i) -> 100L).toMap)
     // cache discipline: everything but the final label round is released
@@ -259,11 +259,12 @@ class ExtensionsSpec extends SparkSpec {
     val cross = Seq((501L, 1000L)) ++
       (0 until 20).map(_ => (500L + rng.nextInt(200) + 1, 2000L + rng.nextInt(50)))
     val pairs = (star ++ chain ++ cross).toDF("doc_a", "doc_b")
-    val viaJoin = Dedup.dupClusters(pairs).collect()
+    val viaJoin = Dedup.dupClusters(pairs, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // heavyDegree = 2 pushes nearly every key through the broadcast
     // rewrite — labels must be identical
-    val viaBroadcast = Dedup.dupClusters(pairs, heavyDegree = 2L).collect()
+    val viaBroadcast = Dedup.dupClusters(pairs, heavyDegree = 2L,
+        localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaJoin === viaBroadcast)
     assert(viaJoin(700L) === 0L) // star leaf → hub-rooted component
@@ -277,12 +278,13 @@ class ExtensionsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     try {
       val pairs = (0 until 40).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
-      val plain = Dedup.dupClusters(pairs).collect()
+      val plain = Dedup.dupClusters(pairs, localThreshold = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       // checkpoint EVERY round so the reliable-checkpoint path is
-      // actually exercised, not just plumbed
+      // actually exercised, not just plumbed (localThreshold = 0:
+      // checkpointing lives in the star loop)
       val ckpt = Dedup.dupClusters(pairs, checkpointDir = Some(dir),
-        checkpointEvery = 1).collect()
+        checkpointEvery = 1, localThreshold = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(plain === ckpt)
       assert(ckpt === (0 until 41).map(i => (100L + i) -> 100L).toMap)
@@ -317,9 +319,15 @@ class ExtensionsSpec extends SparkSpec {
       }
       val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
         .map(v => v -> find(v.toInt).toLong).toMap
-      val got = Dedup.dupClusters(pairs.toDF("doc_a", "doc_b")).collect()
+      val df = pairs.toDF("doc_a", "doc_b")
+      val gotFast = Dedup.dupClusters(df).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"trial $trial (n=$n, edges=${pairs.size})")
+      assert(gotFast === expected,
+        s"fast path, trial $trial (n=$n, edges=${pairs.size})")
+      val gotStar = Dedup.dupClusters(df, localThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar === expected,
+        s"star path, trial $trial (n=$n, edges=${pairs.size})")
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
@@ -329,7 +337,7 @@ class ExtensionsSpec extends SparkSpec {
     import s.implicits._
     val pairs = (0 until 24).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      Dedup.dupClusters(pairs, maxIter = 1).collect()
+      Dedup.dupClusters(pairs, maxIter = 1, localThreshold = 0L).collect()
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
