@@ -133,6 +133,40 @@ object ScaleRehearsal {
         .as("embedding"))
     t("lsh occupancy 20k uniform")(bucketStats(synthEmb(20000L), 20000L))
     t("lsh occupancy 80k uniform")(bucketStats(synthEmb(80000L), 80000L))
+
+    // ---- round-5 operators ----
+    // stratified quota under EXTREME language skew: ~90% of 50k docs
+    // land in one language — the window row_number form would buffer
+    // all ~45k of them in a single task's sort; the TopKPerKey heap
+    // holds 100 rows per key regardless. Result = rows kept (≤ 100
+    // per distinct lang).
+    val docsSkew = docs.select(col("doc_id"), col("text"),
+      when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
+        .otherwise(concat(lit("l"), pmod(hash(col("doc_id") * 13 + 1),
+          lit(20)))).as("lang"))
+    t("quota 50k docs 90% skew")(
+      operators.TextOps.quotaSample(docsSkew, perLang = 100).count())
+    // corpus mixing at 50k docs: pure projection + epoch generator,
+    // zero shuffle (result ≈ 50k × mean epochs of the rate table)
+    t("mix 50k docs")(
+      operators.TextOps.mixCorpus(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(hash(col("doc_id")), lit(20)))),
+        SparkEntry.MixPpm).count())
+    // exact deciles at 50k docs: one range shuffle + 2-pass rank — the
+    // same machinery as pack_sequences, never a global window
+    t("length_deciles 50k docs")(
+      operators.TextOps.lengthDeciles(docs).count())
+    // HLL duplicate-insensitivity AT SCALE: the 10×-replicated corpus
+    // must produce the IDENTICAL sketch state as its 5k base (MAX per
+    // bucket is idempotent) — and the whole job is a map stage into a
+    // 512-group aggregate, no token shuffle. Result = state equality.
+    t("vocab_hll 50k == 5k state")({
+      val a = operators.TextOps.vocabHll(docs).collect()(0)
+      val b = operators.TextOps.vocabHll(
+        docs0.limit(5000).select(col("doc_id"), col("text"))).collect()(0)
+      a.getLong(2) == b.getLong(2) && a.getLong(1) == b.getLong(1)
+    })
     spark.stop()
   }
 }

@@ -39,6 +39,13 @@ object SparkEntry {
   val MaxRep = 40L // ReplicatedJoinDriver.java:31 — inclusive <=
   val MaxApprox = 78L // ApproxCardinality.java:24 — strict <
 
+  /** Mix rates for the `text_mix` gate query: srcI → (I+1)/10 epochs
+    * in ppm — src0 keeps 10% of its docs, src9 all, src19 two full
+    * epochs. Shared by the Spark query AND the oracle generator.
+    */
+  val MixPpm: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> 100000L * (i + 1)).toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("triangles_rs")(spark, "/root/testdata/sf0.001")
@@ -96,6 +103,9 @@ object SparkEntry {
     "text_quota" -> ((s, d) =>
       TextOps.quotaSample(Tables.table(s, d, "documents"))
         .orderBy("lang", "rank")),
+    "text_mix" -> ((s, d) =>
+      TextOps.mixCorpus(Tables.table(s, d, "documents"), MixPpm)
+        .orderBy("doc_id", "epoch")),
     "text_deciles" -> ((s, d) =>
       TextOps.lengthDeciles(Tables.table(s, d, "documents")).orderBy("decile")),
     "text_vocab_hll" -> ((s, d) =>
@@ -470,6 +480,30 @@ object SparkEntry {
         "(PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rnk FROM s) " +
         "SELECT doc_id, lang, quality, CAST(rnk AS BIGINT) AS \"rank\" " +
         "FROM r WHERE rnk <= 25"),
+    // the mix table's CASE is generated from the same MixPpm map the
+    // Spark query passes — srcI gets (I+1)/10 epochs, covering both
+    // down-sampling (< 1e6 ppm) and multi-epoch up-sampling (> 1e6)
+    "text_mix" -> {
+      import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
+      val den = TextOps.MixDen
+      val cases = MixPpm.toSeq.sortBy(_._1)
+        .map { case (s, p) => s"WHEN '$s' THEN ${p}" }.mkString(" ")
+      // the same plane-mixer scramble the Spark side applies (a rolling
+      // PolyHash is affine in the last id digit — see TextOps.mixCorpus)
+      s"WITH p0 AS (SELECT doc_id, source, " +
+        s"CAST(CASE source $cases ELSE $den END AS BIGINT) AS ppm, " +
+        s"${phSql2("('mix:' || CAST(doc_id AS VARCHAR))")} AS x0 FROM documents), " +
+        s"p1 AS (SELECT *, (x0 * $PlaneMul1) % $PlaneM31 AS x1 FROM p0), " +
+        "p2 AS (SELECT *, xor(x1, x1 >> 15) AS x2 FROM p1), " +
+        s"p3 AS (SELECT *, (x2 * $PlaneMul2) % $PlaneM31 AS x3 FROM p2), " +
+        "p4 AS (SELECT *, xor(x3, x3 >> 13) AS x4 FROM p3), " +
+        s"p AS (SELECT doc_id, source, ppm, " +
+        s"((x4 * $PlaneMul3) % $PlaneM31) % $den AS h FROM p4), " +
+        s"c AS (SELECT doc_id, source, ppm // $den + " +
+        s"CASE WHEN h < ppm % $den THEN 1 ELSE 0 END AS n FROM p) " +
+        "SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM " +
+        "(SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM c WHERE n > 0)"
+    },
     // bucket of global rank r (1-based) = (r-1)*buckets // N — integer
     // outputs only, so the distributed two-pass rank is hash-exact
     "text_deciles" ->

@@ -347,6 +347,57 @@ object TextOps {
           col("harmonic_scaled").cast("double")).as("est_raw"))
   }
 
+  /** Denominator for `mixCorpus` rates: rates are integer parts-per-
+    * million, so membership is a pure integer compare — no float
+    * thresholds to drift between engines.
+    */
+  val MixDen = 1000000L
+
+  /** Deterministic corpus MIXING: per-source sampling weights as the
+    * number of training epochs in ppm (500000 = half the docs,
+    * 2300000 = every doc twice and 30% of docs a third time) — the
+    * up/down-weighting step that turns N raw corpora into one training
+    * mix. A doc gets `ppm div 1e6` guaranteed epochs plus one more iff
+    * its id-hash lands under the fractional remainder, so the choice
+    * is stable under corpus growth and re-partitioning (same property
+    * as `hashSplit`, but on the INDEPENDENT second PolyHash — a doc's
+    * train/val side and its mix membership never correlate). A rolling
+    * PolyHash alone is AFFINE in the last id digit (consecutive ids →
+    * consecutive hashes — measured 96/100 of ids 0..297 under a 50%
+    * threshold mod 1e6), so the value goes through the engine's
+    * multiply-mod-prime + xor-shift mixer (VectorExprUtil's plane
+    * mixer shape) before the threshold compare; "mix:" is domain
+    * separation. Output is one row per (doc, epoch). Pure projection
+    * + generator: no shuffle, one map stage at any scale.
+    */
+  def mixCorpus(docs: DataFrame, ratesPpm: Map[String, Long],
+      defaultPpm: Long = MixDen): DataFrame = {
+    import graft.functions.PolyHashFunctions.poly_hash2
+    require(ratesPpm.values.forall(_ >= 0L) && defaultPpm >= 0L,
+      "mixCorpus rates must be non-negative ppm")
+    val ppm =
+      if (ratesPpm.isEmpty) lit(defaultPpm)
+      else coalesce(element_at(typedLit(ratesPpm), col("source")),
+        lit(defaultPpm))
+    val h = {
+      import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
+      val x0 = poly_hash2(concat(lit("mix:"), col("doc_id").cast("string")))
+      val x1 = x0 * PlaneMul1 % PlaneM31
+      val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+      val x3 = x2 * PlaneMul2 % PlaneM31
+      val x4 = x3.bitwiseXOR(shiftright(x3, 13))
+      x4 * PlaneMul3 % PlaneM31 % MixDen
+    }
+    docs.select(col("doc_id"), col("source"), ppm.as("ppm"), h.as("h"))
+      .select(col("doc_id"), col("source"),
+        (expr(s"ppm div $MixDen") +
+          when(col("h") < col("ppm") % MixDen, 1L).otherwise(0L))
+          .as("n_copies"))
+      .filter(col("n_copies") > 0L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("epoch"))
+  }
+
   /** The full HLL estimate with the standard small-range correction:
     * raw ≤ 2.5·m with empty buckets present → linear counting
     * m·ln(m/V). The one ln() runs DRIVER-side on the sketch's single

@@ -778,6 +778,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("mixCorpus: epoch semantics for down-, full- and up-sampling") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 300L).map { i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    }.toDF("doc_id", "source")
+    val rates = Map("a" -> 2500000L, "b" -> 400000L) // c → default 1.0
+    val got = TextOps.mixCorpus(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val copies = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val bySrc = got.groupBy(_._2)
+    // a: 2.5 epochs → every a-doc has 2 or 3 copies, epochs 0..n-1
+    val aDocs = (0L until 300L by 3L).toSet
+    assert(aDocs.forall(d => copies.get(d).exists(c => c == 2 || c == 3)))
+    val aShare = bySrc("a").length.toDouble / aDocs.size
+    assert(aShare > 2.2 && aShare < 2.8, s"a epochs/doc = $aShare")
+    // b: 0.4 → subset of docs, exactly 1 copy each
+    val bCopies = bySrc("b").groupBy(_._1).view.mapValues(_.length)
+    assert(bCopies.values.forall(_ == 1))
+    assert(bySrc("b").length > 20 && bySrc("b").length < 60)
+    // c: default 1.0 → every c-doc exactly once, epoch 0
+    assert(bySrc("c").length === 100 && bySrc("c").forall(_._3 == 0L))
+    // epochs are dense from 0
+    got.groupBy(t => t._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // determinism: the exact same row multiset on a re-run
+    val again = TextOps.mixCorpus(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("vocabHll: duplicate docs leave the sketch state unchanged") {
     // MAX per bucket is idempotent — the whole point of the sketch:
     // re-observing a token costs nothing and changes nothing
