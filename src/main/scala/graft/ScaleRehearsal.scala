@@ -102,6 +102,23 @@ object ScaleRehearsal {
       operators.Similarity.knnLsh(embX(40), corpusSize = 80000L).count())
     t("neardup 20k vectors")(
       operators.Similarity.nearDupPairs(emb, corpusSize = 20000L).count())
+    // ANN quality, not just speed: recall@5 of each approximate index
+    // against the brute-force ranking on the same corpus (fraction of
+    // true top-5 neighbor pairs the index reproduces)
+    def recall(corpus: org.apache.spark.sql.DataFrame,
+        approx: org.apache.spark.sql.DataFrame): String = {
+      val truth = operators.Similarity.knnBrute(corpus)
+        .select(col("query_id"), col("neighbor_id"))
+      val n = truth.count()
+      val hit = truth.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      f"$hit/$n = ${hit.toDouble / n}%.2f"
+    }
+    // replica corpus: clones dominate the top-5 — near-free recall
+    t("lsh recall@5 20k")(
+      recall(emb, operators.Similarity.knnLsh(emb, corpusSize = 20000L)))
+    t("ivf recall@5 20k")(
+      recall(emb, operators.Similarity.knnIvf(emb, corpusSize = 20000L)))
 
     // The adaptive-width contract made measurable: mean band-bucket
     // occupancy should stay ~flat 20k → 80k (the width grows with
@@ -133,6 +150,19 @@ object ScaleRehearsal {
         .as("embedding"))
     t("lsh occupancy 20k uniform")(bucketStats(synthEmb(20000L), 20000L))
     t("lsh occupancy 80k uniform")(bucketStats(synthEmb(80000L), 80000L))
+    // the HARD recall case — near-uniform vectors, no planted clones,
+    // so the indexes have to find genuinely close neighbors. Multiprobe
+    // should recover most of what plain LSH banding misses.
+    val uni = graft.Caches.track(
+      synthEmb(20000L).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    t("lsh recall@5 20k uniform")(
+      recall(uni, operators.Similarity.knnLsh(uni, corpusSize = 20000L)))
+    t("lsh+probe recall@5 uniform")(
+      recall(uni, operators.Similarity.knnLshMultiProbe(uni, corpusSize = 20000L)))
+    t("ivf recall@5 20k uniform")(
+      recall(uni, operators.Similarity.knnIvf(uni, corpusSize = 20000L)))
+    t("ivf nprobe=8 recall uniform")(
+      recall(uni, operators.Similarity.knnIvf(uni, nProbe = 8, corpusSize = 20000L)))
 
     // ---- round-5 operators ----
     // stratified quota under EXTREME language skew: ~90% of 50k docs

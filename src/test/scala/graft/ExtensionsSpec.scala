@@ -810,6 +810,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("mixCorpus is stream-safe: streaming output == batch output") {
+    // the mix is a stateless projection + generator, so the SAME
+    // operator body runs under Structured Streaming — new corpus
+    // shards can be weighted into the training mix as they land
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 20}"))
+      .toDF("doc_id", "source")
+    val rates = SparkEntry.MixPpm
+    val batch = TextOps.mixCorpus(docs, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = TextOps.mixCorpus(streamIn, rates)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select doc_id, source, epoch from mix_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(streamed === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("vocabHll: duplicate docs leave the sketch state unchanged") {
     // MAX per bucket is idempotent — the whole point of the sketch:
     // re-observing a token costs nothing and changes nothing
