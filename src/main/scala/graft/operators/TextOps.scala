@@ -213,12 +213,13 @@ object TextOps {
     * matter how skewed the language mix is (real corpora are ~half
     * English — exactly the key a window sort dies on at 100 TB).
     */
-  def quotaSample(docs: DataFrame, perLang: Int = 25): DataFrame = {
+  def quotaSample(docs: DataFrame, perLang: Int = 25,
+      keyCol: String = "lang"): DataFrame = {
     val scored = docs.select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col(keyCol),
       quality_score(token_count(col("text")), stopword_count(col("text")),
         nonspace_chars(col("text"))).as("quality"))
-    graft.plans.TopK.perKey(scored, Seq("lang"),
+    graft.plans.TopK.perKey(scored, Seq(keyCol),
       Seq(col("quality").desc, col("doc_id").asc), perLang)
   }
 

@@ -91,6 +91,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("text_quota runs through TopKPerKey, never a Window sort") {
+    val plan = operators.TextOps.quotaSample(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the scan feeding it is pruned to the three referenced columns
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      plan)
+  }
+
+  test("text_mix is a shuffle-free projection + generator") {
+    val plan = operators.TextOps.mixCorpus(
+        sources.Tables.table(spark, sf, "documents"), SparkEntry.MixPpm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"), plan)
+  }
+
+  test("text_vocab_hll reads ONLY text and aggregates map-side first") {
+    val plan = operators.TextOps.vocabHll(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+    // partial (bucket) aggregation happens before the one bucket
+    // shuffle — tokens themselves are never shuffled
+    assert(plan.contains("Exchange hashpartitioning(bucket"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(token"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(h"), plan)
+  }
+
+  test("lengthDeciles ranks via range partitioning, never a global window") {
+    val plan = operators.TextOps.lengthDeciles(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("bandBitsFor grows with log N and caps at the 15-bit stride") {
     import graft.operators.Similarity.bandBitsFor
     assert(bandBitsFor(1000L) === 8)          // floor: never below default
