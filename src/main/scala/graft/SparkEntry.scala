@@ -112,6 +112,8 @@ object SparkEntry {
       TextOps.vocabHll(Tables.table(s, d, "documents"))),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "dedup_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -536,6 +538,32 @@ object SparkEntry {
         s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
+    },
+    // repeated-substring spans: the oracle hashes each k-char window
+    // DIRECTLY (substr + the phSql fold) — the Spark side's ROLLING
+    // hash must land on the identical mod-p values; span stats via the
+    // same sorted-positions arithmetic (first window k, later windows
+    // min(k, gap); new span iff gap > k)
+    "dedup_spans" -> {
+      val k = graft.operators.Dedup.SpanGramChars
+      s"WITH g AS (SELECT doc_id, i - 1 AS pos, " +
+        s"${phSql(s"substr(text, i::INT, $k)")} * " +
+        s"${graft.functions.PolyHashUtil.Mod2} + " +
+        s"${phSql2(s"substr(text, i::INT, $k)")} AS h " +
+        s"FROM (SELECT doc_id, text, unnest(range(1, length(text) - $k + 2)) AS i " +
+        s"FROM documents WHERE length(text) >= $k)), " +
+        "rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), " +
+        "hits AS (SELECT doc_id, pos FROM g JOIN rep USING (h)), " +
+        "ps AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM hits GROUP BY doc_id) " +
+        "SELECT doc_id, " +
+        "CAST(list_reduce(list_prepend(0::BIGINT, list_transform(ps, (x, i) -> " +
+        s"CASE WHEN i = 1 THEN 1::BIGINT WHEN x - ps[i-1] > $k THEN 1::BIGINT " +
+        "ELSE 0::BIGINT END)), (a, b) -> a + b) AS BIGINT) AS n_spans, " +
+        "CAST(list_reduce(list_prepend(0::BIGINT, list_transform(ps, (x, i) -> " +
+        s"CASE WHEN i = 1 THEN ${k}::BIGINT " +
+        s"ELSE LEAST(${k}::BIGINT, (x - ps[i-1])::BIGINT) END)), " +
+        "(a, b) -> a + b) AS BIGINT) AS covered_chars, " +
+        "CAST(len(ps) AS BIGINT) AS n_hits FROM ps"
     },
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +

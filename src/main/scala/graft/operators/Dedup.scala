@@ -474,6 +474,63 @@ object Dedup {
     exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  // ---- corpus-level repeated substrings ----
+
+  /** Default window for `repeatedSpans`: 30 code points ≈ a clause —
+    * long enough that a corpus-repeated window is real boilerplate
+    * (memorization risk), short enough to catch template fragments.
+    */
+  val SpanGramChars = 30
+
+  /** SUB-document dedup signal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): find every k-code-point
+    * window whose text occurs ≥ `minOccur` times ACROSS THE CORPUS,
+    * merge each doc's hit windows into maximal spans, and report per
+    * doc: `n_spans` (maximal repeated regions), `covered_chars` (total
+    * code points inside them — what span-removal would delete) and
+    * `n_hits` (repeated window positions). Docs with no repeated
+    * window are absent (nothing to remove).
+    *
+    * Plan shape at 100 TB: ONE map stage computes all window hashes
+    * via the rolling `char_gram_hash` expression (O(len) per doc, not
+    * O(len·k)); the only data shuffled is (hash, doc_id, pos) triples
+    * — never text — keyed by the 64-bit window hash, so repeated-gram
+    * detection is an aggregation, and the hit join is an equi-join on
+    * the same key. Span merging is per-doc array arithmetic: with hit
+    * positions sorted, a window at p_i starts a new span iff
+    * p_i − p_{i−1} > k, and contributes min(k, p_i − p_{i−1}) covered
+    * code points (k for the first) — no per-char explosion, no window
+    * function.
+    *
+    * The window key is the combined ~60-bit double hash (see
+    * CharGramHashUtil: a single 30-bit space measurably false-merged
+    * windows even at sf0.01), so a false repeated-window mark needs a
+    * ~1e-18 collision — negligible at any realistic corpus size.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = SpanGramChars,
+      minOccur: Long = 2L): DataFrame = {
+    import graft.functions.CharGramHashFunctions.char_gram_hash
+    // the gram relation feeds both the frequency agg and the hit join
+    val grams = graft.Caches.track(docs
+      .select(col("doc_id"),
+        posexplode(char_gram_hash(col("text"), k)).as(Seq("pos", "h")))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val rep = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccur).select("h")
+    val ps = grams.join(rep, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    ps.select(col("doc_id"),
+      expr(s"aggregate(transform(ps, (x, i) -> IF(i = 0, 1L, " +
+          s"IF(x - element_at(ps, i) > $k, 1L, 0L))), 0L, (a, b) -> a + b)")
+        .as("n_spans"),
+      expr(s"aggregate(transform(ps, (x, i) -> IF(i = 0, ${k}L, " +
+          s"LEAST(${k}L, CAST(x - element_at(ps, i) AS BIGINT)))), " +
+          "0L, (a, b) -> a + b)")
+        .as("covered_chars"),
+      size(col("ps")).cast("long").as("n_hits"))
+  }
+
   // ---- SimHash ----
 
   /** 60 signature bits = two independent 30-bit PolyHash spaces per

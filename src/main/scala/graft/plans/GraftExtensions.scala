@@ -147,7 +147,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         HyperplaneSig(exprs.head, intLit(exprs(1), "lsh_sig"))),
     ("nfc_norm", classOf[NfcNormalize],
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    ("char_gram_hash", classOf[CharGramHash],
+      (exprs: Seq[Expression]) =>
+        CharGramHash(exprs.head, intLit(exprs(1), "char_gram_hash"))))
 }
 
 /** Session extensions: the degree-product rule + the full SQL function

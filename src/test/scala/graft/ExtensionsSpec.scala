@@ -100,6 +100,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(nat === agg)
   }
 
+  test("char_gram_hash rolling == direct double PolyHash of each window") {
+    import graft.functions.CharGramHashFunctions.char_gram_hash
+    import graft.functions.PolyHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("hello world hello world", "naïve café ☃ naïve café ☃!",
+      "ab", "", "emoji 👍🏽 pair 👍🏽 emoji", "aaaaaaaaaa")
+    val k = 5
+    val got = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      .select(col("doc_id"), char_gram_hash(col("text"), k).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cps = t.codePoints.toArray
+      val exp = (0 to cps.length - k).map { s =>
+        val w = new String(cps.slice(s, s + k), 0, k)
+        PolyHashUtil.hash(UTF8String.fromString(w)) * PolyHashUtil.Mod2 +
+          PolyHashUtil.hash(UTF8String.fromString(w),
+            PolyHashUtil.Mult2, PolyHashUtil.Mod2)
+      }
+      assert(got(i.toLong) === exp, s"text '$t'")
+    }
+  }
+
+  test("repeatedSpans == brute-force window-count reference") {
+    // S (40 unique chars) shared by docs 1 and 2 at different offsets;
+    // doc 3 has no corpus-repeated window; doc 4 repeats its own S2
+    // twice (within-doc counts toward the corpus threshold)
+    val S = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+    val S2 = "αβγδεζηθικλμνξοπρστυφχψω⊕⊖⊗⊘⊙⊚⊛⊜⊝∀∁∂∃∄∅∆∇∈"
+    val uniqA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ%^&*()_+={}~"
+    val fill3 = "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞß"
+    val fill4 = "ĀāĂăĄąĆćĈĉĊċČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģ"
+    val texts = Map(1L -> (uniqA + S), 2L -> (S + uniqA.toLowerCase),
+      3L -> fill3, 4L -> (S2 + fill4 + S2))
+    val k = graft.operators.Dedup.SpanGramChars
+    // reference: corpus-wide window counts over code points
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val winsOf = texts.view.mapValues { t =>
+      val cps = t.codePoints.toArray
+      (0 to cps.length - k).map(s => new String(cps.slice(s, s + k), 0, k))
+    }.toMap
+    winsOf.values.flatten.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1)
+    val expected = winsOf.flatMap { case (id, ws) =>
+      val ps = ws.zipWithIndex.collect { case (w, p) if counts(w) >= 2 => p }
+      if (ps.isEmpty) None
+      else {
+        val spans = 1 + ps.sliding(2).count {
+          case Seq(a, b) => b - a > k; case _ => false }
+        val covered = k + ps.sliding(2).map {
+          case Seq(a, b) => math.min(k, b - a); case _ => 0 }.sum
+        Some(id -> (spans.toLong, covered.toLong, ps.length.toLong))
+      }
+    }
+    val got = Dedup.repeatedSpans(
+        docsDf(texts.toSeq.sortBy(_._1): _*), k)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.contains(1L) && got.contains(4L) && !got.contains(3L))
+    assert(got(4L)._1 === 2L) // two separate spans (filler > k apart)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     val s = spark
     import s.implicits._
@@ -537,7 +599,8 @@ class ExtensionsSpec extends SparkSpec {
         "minhash_sig(shingle_hash(array('a','b','c'), 3)) AS mh, " +
         "dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
         "lsh_sig(array(1.0D, 2.0D), 8) AS sig, " +
-        "nfc_norm('Café') AS nfc").collect()(0)
+        "nfc_norm('Café') AS nfc, " +
+        "char_gram_hash('abcd', 3) AS cg").collect()(0)
     assert(r.getLong(0) === 1677554L)
     // each SQL result must equal its Column-API twin on the same input
     import graft.functions.ShingleHashFunctions._
@@ -562,6 +625,9 @@ class ExtensionsSpec extends SparkSpec {
     // the SQL literal above is the DECOMPOSED form (e + U+0301); NFC
     // composes it to the precomposed code point
     assert(r.getString(7) === "Café")
+    assert(r.getSeq[Long](8) === docsDf((1L, "abcd")).select(
+      graft.functions.CharGramHashFunctions.char_gram_hash(col("text"), 3))
+      .collect()(0).getSeq[Long](0))
   }
 
   test("multimodal: byte (not character) semantics on non-ASCII text") {
