@@ -176,6 +176,13 @@ object ScaleRehearsal {
           lit(20)))).as("lang"))
     t("quota 50k docs 90% skew")(
       operators.TextOps.quotaSample(docsSkew, perLang = 100).count())
+    // repeated-substring spans at 50k docs — the 10× replication makes
+    // EVERY window corpus-repeated (maximal hit density: each doc one
+    // full-length span), so this is the worst case for both the
+    // window-hash aggregation (~34M windows) and the per-doc position
+    // collect. Only 24-byte (hash, doc, pos) triples ever shuffle.
+    t("repeated_spans 50k docs")(
+      operators.Dedup.repeatedSpans(docs).count())
     // corpus mixing at 50k docs: pure projection + epoch generator,
     // zero shuffle (result ≈ 50k × mean epochs of the rate table)
     t("mix 50k docs")(

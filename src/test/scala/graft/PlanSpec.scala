@@ -123,6 +123,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(h"), plan)
   }
 
+  test("dedup_spans shuffles only window-hash triples, never text") {
+    val plan = operators.Dedup.repeatedSpans(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    assert(plan.contains("chargramhash") || plan.contains("char_gram_hash"), plan)
+    // exchanges carry h / doc_id keys only — text stays in the map stage
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+    assert(!plan.contains("Window"), plan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
