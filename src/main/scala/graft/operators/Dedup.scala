@@ -507,8 +507,11 @@ object Dedup {
     * windows even at sf0.01), so a false repeated-window mark needs a
     * ~1e-18 collision — negligible at any realistic corpus size.
     */
-  def repeatedSpans(docs: DataFrame, k: Int = SpanGramChars,
-      minOccur: Long = 2L): DataFrame = {
+  /** Per-doc SORTED repeated-window positions — the shared subplan of
+    * `repeatedSpans` (stats) and `spansRemoved` (application).
+    */
+  private def hitPositions(docs: DataFrame, k: Int,
+      minOccur: Long): DataFrame = {
     import graft.functions.CharGramHashFunctions.char_gram_hash
     // the gram relation feeds both the frequency agg and the hit join
     val grams = graft.Caches.track(docs
@@ -517,9 +520,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val rep = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccur).select("h")
-    val ps = grams.join(rep, "h")
+    grams.join(rep, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
+  }
+
+  def repeatedSpans(docs: DataFrame, k: Int = SpanGramChars,
+      minOccur: Long = 2L): DataFrame = {
+    val ps = hitPositions(docs, k, minOccur)
     ps.select(col("doc_id"),
       expr(s"aggregate(transform(ps, (x, i) -> IF(i = 0, 1L, " +
           s"IF(x - element_at(ps, i) > $k, 1L, 0L))), 0L, (a, b) -> a + b)")
@@ -529,6 +537,40 @@ object Dedup {
           "0L, (a, b) -> a + b)")
         .as("covered_chars"),
       size(col("ps")).cast("long").as("n_hits"))
+  }
+
+  /** APPLY sub-document dedup: every corpus-repeated span (as found by
+    * `repeatedSpans`) is CUT from the text — the Lee-et-al. removal
+    * step itself, returning (doc_id, clean_text) for every doc
+    * (untouched docs pass through). Span boundaries come from the
+    * sorted hit positions by pure array arithmetic (a position starts
+    * a span iff its gap to the previous exceeds k; ends mirror it),
+    * and the kept text is the zip of the complementary segments —
+    * `substring` is code-point-indexed identically in Spark
+    * (UTF8String) and DuckDB, which is what makes CLEANED TEXT
+    * hash-checkable, not just span counts.
+    *
+    * Note both copies of a repeated span are removed (no survivor
+    * copy) — the conservative memorization-scrubbing variant; keeping
+    * one canonical copy would need a global owner election per span
+    * cluster, a different (and rarely needed) contract.
+    */
+  def spansRemoved(docs: DataFrame, k: Int = SpanGramChars,
+      minOccur: Long = 2L): DataFrame = {
+    val spans = hitPositions(docs, k, minOccur).select(col("doc_id"),
+      expr(s"filter(transform(ps, (x, i) -> " +
+          s"IF(i = 0 OR x - element_at(ps, i) > $k, x, -1)), v -> v >= 0)")
+        .as("starts"),
+      expr(s"filter(transform(ps, (x, i) -> IF(i = size(ps) - 1 OR " +
+          s"element_at(ps, i + 2) - x > $k, x + $k, -1)), v -> v >= 0)")
+        .as("ends"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, col("text"))
+          .otherwise(expr("array_join(zip_with(" +
+            "concat(array(0), ends), concat(starts, array(length(text))), " +
+            "(s, e) -> substring(text, s + 1, e - s)), '')"))
+          .as("clean_text"))
   }
 
   // ---- SimHash ----

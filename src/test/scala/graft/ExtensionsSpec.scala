@@ -159,6 +159,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.contains(1L) && got.contains(4L) && !got.contains(3L))
     assert(got(4L)._1 === 2L) // two separate spans (filler > k apart)
+
+    // and the APPLY step: clean text = code points outside the union
+    // of [p, p+k) over that doc's repeated-window positions
+    val expectedClean = texts.map { case (id, t) =>
+      val cps = t.codePoints.toArray
+      val hit = winsOf(id).zipWithIndex
+        .collect { case (w, p) if counts(w) >= 2 => p }
+      val covered = hit.flatMap(p => p until p + k).toSet
+      id -> new String(cps.zipWithIndex.collect {
+        case (cp, i) if !covered(i) => cp }.flatMap(c => Character.toChars(c)))
+    }
+    val gotClean = Dedup.spansRemoved(
+        docsDf(texts.toSeq.sortBy(_._1): _*), k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotClean === expectedClean)
+    assert(gotClean(3L) === fill3) // untouched doc passes through
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
