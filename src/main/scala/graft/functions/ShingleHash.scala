@@ -205,10 +205,68 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED-ASCENDING distinct long arrays by a single
+  * merge pass — the verification kernel of the near-dup family.
+  * `size(array_intersect(a, b))` is semantically identical on distinct
+  * inputs but builds a hash set + result array PER PAIR; candidate
+  * verification runs once per candidate pair (dedup's hottest loop
+  * after candidate generation), so the zero-allocation merge matters.
+  * Callers sort each doc's array ONCE (`sort_array` per doc, not per
+  * pair) — the expression itself assumes, and does not check, order.
+  */
+object SortedIntersectUtil {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two array<long> arguments, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectUtil.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectUtil.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleHashFunctions {
   /** shingle_hash(tokens, n): array of PolyHashes of word n-grams. */
   def shingle_hash(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(toks), n))
+
+  /** sorted_intersect_size(a, b): |A ∩ B| of sorted distinct arrays. */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** minhash_sig(hs, a, b, p): k-way MinHash signature (null if empty). */
   def minhash_sig(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =

@@ -105,7 +105,11 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("n"),
         transform(col("fh"), x => x.getField("h")).as("hs"))
-      .select(col("doc_id"), col("n"), col("hs"),
+      // hss: the same shingles re-sorted by VALUE once per doc, so the
+      // per-pair verification can be a zero-allocation merge instead
+      // of array_intersect's per-pair hash set (hs itself stays in the
+      // global (f, h) prefix order)
+      .select(col("doc_id"), col("n"), sort_array(col("hs")).as("hss"),
         slice(col("hs"), lit(1),
           (col("n") - expr("(4 * n + 4) div 5") + 1).cast("int")).as("prefix"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,12 +123,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sorted.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      .join(sorted.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"),
         col("n").as("na")), "doc_a")
-      .join(sorted.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      .join(sorted.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"),
         col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("shared"),
+        graft.functions.ShingleHashFunctions
+          .sorted_intersect_size(col("hs_a"), col("hs_b")).as("shared"),
         col("na"), col("nb"))
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
   }
@@ -717,13 +722,15 @@ object Dedup {
     // distinct shingle-hash ARRAYS (no explode — one array per side per
     // pair) and intersect per row. Bounded by |candidates|. Persisted:
     // consumed by both sides of the pair join.
-    val hs = graft.Caches.track(
-      shingleHashArrays(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    val hs = graft.Caches.track(shingleHashArrays(docs)
+      .select(col("doc_id"), sort_array(col("hs")).as("hs")) // sort ONCE
+      .persist(StorageLevel.MEMORY_AND_DISK))
     candidates
       .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("shared"),
+        graft.functions.ShingleHashFunctions
+          .sorted_intersect_size(col("hs_a"), col("hs_b")).as("shared"),
         size(col("hs_a")).cast("long").as("na"),
         size(col("hs_b")).cast("long").as("nb"))
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)

@@ -150,7 +150,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
     ("char_gram_hash", classOf[CharGramHash],
       (exprs: Seq[Expression]) =>
-        CharGramHash(exprs.head, intLit(exprs(1), "char_gram_hash"))))
+        CharGramHash(exprs.head, intLit(exprs(1), "char_gram_hash"))),
+    ("sorted_intersect_size", classOf[SortedIntersectSize],
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
 }
 
 /** Session extensions: the degree-product rule + the full SQL function

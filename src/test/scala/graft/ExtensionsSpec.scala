@@ -122,6 +122,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size == size(array_intersect) on random distinct arrays") {
+    import graft.functions.ShingleHashFunctions.sorted_intersect_size
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def arr() = Seq.fill(rng.nextInt(60))(rng.nextInt(80).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ ((200L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((201L, Seq(3L), Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        sorted_intersect_size(col("a"), col("b")).as("merge"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+
   test("repeatedSpans == brute-force window-count reference") {
     // S (40 unique chars) shared by docs 1 and 2 at different offsets;
     // doc 3 has no corpus-repeated window; doc 4 repeats its own S2
@@ -616,7 +635,8 @@ class ExtensionsSpec extends SparkSpec {
         "dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
         "lsh_sig(array(1.0D, 2.0D), 8) AS sig, " +
         "nfc_norm('Café') AS nfc, " +
-        "char_gram_hash('abcd', 3) AS cg").collect()(0)
+        "char_gram_hash('abcd', 3) AS cg, " +
+        "sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS si").collect()(0)
     assert(r.getLong(0) === 1677554L)
     // each SQL result must equal its Column-API twin on the same input
     import graft.functions.ShingleHashFunctions._
@@ -644,6 +664,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](8) === docsDf((1L, "abcd")).select(
       graft.functions.CharGramHashFunctions.char_gram_hash(col("text"), 3))
       .collect()(0).getSeq[Long](0))
+    assert(r.getLong(9) === 2L)
   }
 
   test("multimodal: byte (not character) semantics on non-ASCII text") {
