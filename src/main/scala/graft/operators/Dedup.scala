@@ -496,16 +496,21 @@ object Dedup {
     * `n_hits` (repeated window positions). Docs with no repeated
     * window are absent (nothing to remove).
     *
-    * Plan shape at 100 TB: ONE map stage computes all window hashes
+    * Plan shape at 100 TB: a map stage computes all window hashes
     * via the rolling `char_gram_hash` expression (O(len) per doc, not
     * O(len·k)); the only data shuffled is (hash, doc_id, pos) triples
     * — never text — keyed by the 64-bit window hash, so repeated-gram
-    * detection is an aggregation, and the hit join is an equi-join on
-    * the same key. Span merging is per-doc array arithmetic: with hit
-    * positions sorted, a window at p_i starts a new span iff
-    * p_i − p_{i−1} > k, and contributes min(k, p_i − p_{i−1}) covered
-    * code points (k for the first) — no per-char explosion, no window
-    * function.
+    * detection is an aggregation, and the hit join is a left-semi
+    * equi-join on the same key. The gram stream is RECOMPUTED for the
+    * hit join rather than cached: a per-character relation cached for
+    * a 100 TB corpus is itself multi-PB (~20× the text), while the
+    * rolling hash is one cheap map pass over the parquet scan — the
+    * early aggregate shrinks everything that persists across stages
+    * to the repeated-hash key set. Span merging is per-doc array
+    * arithmetic: with hit positions sorted, a window at p_i starts a
+    * new span iff p_i − p_{i−1} > k, and contributes
+    * min(k, p_i − p_{i−1}) covered code points (k for the first) — no
+    * per-char explosion, no window function.
     *
     * The window key is the combined ~60-bit double hash (see
     * CharGramHashUtil: a single 30-bit space measurably false-merged
@@ -518,14 +523,14 @@ object Dedup {
   private def hitPositions(docs: DataFrame, k: Int,
       minOccur: Long): DataFrame = {
     import graft.functions.CharGramHashFunctions.char_gram_hash
-    // the gram relation feeds both the frequency agg and the hit join
-    val grams = graft.Caches.track(docs
-      .select(col("doc_id"),
-        posexplode(char_gram_hash(col("text"), k)).as(Seq("pos", "h")))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // the gram relation feeds both the frequency agg and the hit
+    // join; each use recomputes it (one map stage over the scan) —
+    // persisting it would cache one row per corpus character
+    def grams = docs.select(col("doc_id"),
+      posexplode(char_gram_hash(col("text"), k)).as(Seq("pos", "h")))
     val rep = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccur).select("h")
-    grams.join(rep, "h")
+    grams.join(rep, Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
   }
