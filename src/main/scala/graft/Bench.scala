@@ -26,8 +26,17 @@ object Bench {
     // whichever query it overlapped.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the named
+    // queries — for adjudicating a single query's regression in
+    // isolation, away from the 45-query session's cache/GC churn.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -42,7 +51,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val names = SparkEntry.queries.keys.toSeq
+    val names = queries.keys.toSeq
     val med = names.map(n => n -> median(samples.map(_(n)))).toMap
     // stdout line stays SHORT: the harness captures a bounded log tail,
     // and a line carrying per-query min/max at full double precision

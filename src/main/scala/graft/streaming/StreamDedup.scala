@@ -119,16 +119,28 @@ object StreamDedup {
     * survivors are the docs none of whose band keys appear on any
     * earlier doc, "earlier" = (ts, doc_id) lexicographic — the order
     * a stream fed one-doc-per-micro-batch in ts order resolves to.
+    *
+    * Shape: a window-min over each band key finds its first claimant
+    * (exactly `dropDuplicatesWithinWatermark`'s keep rule with an
+    * unbounded horizon), then a per-doc ALL-bands-won aggregate. One
+    * shingle+minhash pass and two key shuffles — the earlier
+    * formulation self-joined `bandKeys` against itself, which
+    * recomputed the full minhash pipeline for both sides and shuffled
+    * a band-key equi-join plus distinct plus anti-join; at corpus
+    * scale the window form moves strictly fewer bytes and reads the
+    * text once. Band-key groups are dup-cluster sized, so the window
+    * partition never concentrates the corpus on one task.
     */
   def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = bandKeys(docs, tsCol)
-    val dups = b.as("late").join(b.as("early"),
-        col("late.band_idx") === col("early.band_idx") &&
-          col("late.band_sig") === col("early.band_sig") &&
-          (col("early.ts") < col("late.ts") ||
-            (col("early.ts") === col("late.ts") &&
-              col("early.doc_id") < col("late.doc_id"))))
-      .select(col("late.doc_id").as("doc_id")).distinct()
-    docs.join(dups, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val firstClaim = min(struct(col("ts"), col("doc_id")))
+      .over(Window.partitionBy(col("band_idx"), col("band_sig")))
+    b.withColumn("won",
+        struct(col("ts"), col("doc_id")) === firstClaim)
+      .groupBy(col("doc_id"))
+      .agg(min(col("won")).as("all_won"))
+      .filter(col("all_won"))
+      .select(col("doc_id"))
   }
 }
