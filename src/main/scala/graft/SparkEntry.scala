@@ -116,6 +116,9 @@ object SparkEntry {
       Dedup.repeatedSpans(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans_clean" -> ((s, d) =>
       Dedup.spansRemoved(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    "dedup_spans_keepone" -> ((s, d) =>
+      Dedup.spansRemovedKeepOne(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -579,6 +582,36 @@ object SparkEntry {
         s"FROM documents WHERE length(text) >= $k)), " +
         "rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), " +
         "hits AS (SELECT doc_id, pos FROM g JOIN rep USING (h)), " +
+        "ps AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM hits GROUP BY doc_id), " +
+        "sl AS (SELECT doc_id, " +
+        "list_filter(list_transform(ps, (x, i) -> CASE WHEN i = 1 OR " +
+        s"x - ps[i-1] > $k THEN x ELSE -1 END), v -> v >= 0) AS starts, " +
+        "list_filter(list_transform(ps, (x, i) -> CASE WHEN i = len(ps) OR " +
+        s"ps[i+1] - x > $k THEN x + $k ELSE -1 END), v -> v >= 0) AS ends " +
+        "FROM ps) " +
+        "SELECT d.doc_id, CASE WHEN sl.starts IS NULL THEN d.text ELSE " +
+        "array_to_string(list_transform(list_zip(" +
+        "list_prepend(0::BIGINT, sl.ends), " +
+        "list_append(sl.starts, length(d.text)::BIGINT)), " +
+        "z -> substr(d.text, (z[1] + 1)::INT, (z[2] - z[1])::INT)), '') " +
+        "END AS clean_text FROM documents d LEFT JOIN sl USING (doc_id)"
+    },
+    // keep-one-survivor variant: rn = 1 within each repeated hash
+    // (ordered by doc_id, pos) is the canonical owner and is NOT cut;
+    // only rn > 1 occurrences feed the span arithmetic
+    "dedup_spans_keepone" -> {
+      val k = graft.operators.Dedup.SpanGramChars
+      s"WITH g AS (SELECT doc_id, i - 1 AS pos, " +
+        s"${phSql(s"substr(text, i::INT, $k)")} * " +
+        s"${graft.functions.PolyHashUtil.Mod2} + " +
+        s"${phSql2(s"substr(text, i::INT, $k)")} AS h " +
+        s"FROM (SELECT doc_id, text, unnest(range(1, length(text) - $k + 2)) AS i " +
+        s"FROM documents WHERE length(text) >= $k)), " +
+        "hits AS (SELECT doc_id, pos FROM (" +
+        "SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY h) AS cnt FROM g) " +
+        "WHERE cnt >= 2 AND rn > 1), " +
         "ps AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM hits GROUP BY doc_id), " +
         "sl AS (SELECT doc_id, " +
         "list_filter(list_transform(ps, (x, i) -> CASE WHEN i = 1 OR " +

@@ -566,8 +566,50 @@ object Dedup {
     * cluster, a different (and rarely needed) contract.
     */
   def spansRemoved(docs: DataFrame, k: Int = SpanGramChars,
+      minOccur: Long = 2L): DataFrame =
+    cutSpans(docs, hitPositions(docs, k, minOccur), k)
+
+  /** Keep-ONE-survivor span removal — the Lee-et-al. canonical-copy
+    * contract: for every corpus-repeated window, the lexicographically
+    * first occurrence (min (doc_id, pos)) is the OWNER and is kept;
+    * only non-owner occurrences are cut. `spansRemoved` above is the
+    * conservative scrub (both copies go); this variant preserves one
+    * canonical copy of each repeated region so the corpus keeps the
+    * content exactly once.
+    *
+    * Same scale shape as `spansRemoved`: the owner election rides the
+    * existing per-hash aggregate (min of a 16-byte struct next to the
+    * count — no extra shuffle), and the hit join stays keyed on the
+    * window hash; only the aggregated `rep` side widens by the owner
+    * column. Nothing corpus-sized is persisted here either.
+    */
+  def spansRemovedKeepOne(docs: DataFrame, k: Int = SpanGramChars,
       minOccur: Long = 2L): DataFrame = {
-    val spans = hitPositions(docs, k, minOccur).select(col("doc_id"),
+    import graft.functions.CharGramHashFunctions.char_gram_hash
+    // recomputed per use, exactly like hitPositions — see the
+    // determinism note there
+    def grams = docs.select(col("doc_id"),
+      posexplode(char_gram_hash(col("text"), k)).as(Seq("pos", "h")))
+    val rep = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("owner"))
+      .filter(col("cnt") >= minOccur)
+      .select(col("h"), col("owner"))
+    val ps = grams.join(rep, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("owner"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    cutSpans(docs, ps, k)
+  }
+
+  /** Shared APPLY step: merge sorted hit positions `ps` into maximal
+    * spans (start iff gap > k, end mirrored) and return every doc with
+    * those spans cut from its text (docs absent from `ps` pass
+    * through).
+    */
+  private def cutSpans(docs: DataFrame, hitPs: DataFrame,
+      k: Int): DataFrame = {
+    val spans = hitPs.select(col("doc_id"),
       expr(s"filter(transform(ps, (x, i) -> " +
           s"IF(i = 0 OR x - element_at(ps, i) > $k, x, -1)), v -> v >= 0)")
         .as("starts"),

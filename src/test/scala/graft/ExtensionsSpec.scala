@@ -197,6 +197,91 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("spansRemovedKeepOne keeps the lexicographically-first copy of every span") {
+    // same fixture as the brute-force test above: S shared by docs 1
+    // and 2; doc 4 repeats S2 within itself; doc 3 untouched
+    val S = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+    val S2 = "αβγδεζηθικλμνξοπρστυφχψω⊕⊖⊗⊘⊙⊚⊛⊜⊝∀∁∂∃∄∅∆∇∈"
+    val uniqA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ%^&*()_+={}~"
+    val fill3 = "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞß"
+    val fill4 = "ĀāĂăĄąĆćĈĉĊċČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģ"
+    val k = graft.operators.Dedup.SpanGramChars
+    val got = Dedup.spansRemovedKeepOne(docsDf(
+        1L -> (uniqA + S), 2L -> (S + uniqA.toLowerCase),
+        3L -> fill3, 4L -> (S2 + fill4 + S2)), k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns every S window ((1, p) < (2, p')) → fully kept
+    assert(got(1L) === uniqA + S)
+    // doc 2's copy of S is the non-owner → cut; its tail is unique
+    assert(got(2L) === uniqA.toLowerCase)
+    assert(got(3L) === fill3)
+    // within-doc repeat: first S2 occurrence owns (min pos) → second cut
+    assert(got(4L) === S2 + fill4)
+    // contrast: the scrub variant cuts BOTH copies everywhere
+    val scrub = Dedup.spansRemoved(docsDf(
+        1L -> (uniqA + S), 2L -> (S + uniqA.toLowerCase),
+        3L -> fill3, 4L -> (S2 + fill4 + S2)), k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrub(1L) === uniqA && scrub(4L) === fill4)
+  }
+
+  test("spans property: stats/scrub/keep-one agree with brute force on random corpora") {
+    // randomized cross-check of the three span operators against one
+    // straight-line reference, plus the internal identity
+    //   covered_chars(repeatedSpans) == len(text) - len(spansRemoved)
+    // — the operators share hitPositions but diverge in span
+    // arithmetic, so drift between them otherwise only shows if an
+    // oracle happens to catch it
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    val k = 8
+    // corpora are concatenations from a shared fragment pool — random
+    // independent strings would never repeat a k-window
+    val fragGen = Gen.choose(4, 20).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+    val corpusGen = for {
+      pool <- Gen.listOfN(6, fragGen)
+      nDocs <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(3, Gen.oneOf(pool)).map(_.mkString))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val texts = corpus.toMap
+      // reference: positions of corpus-repeated k-windows per doc
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      val winsOf = texts.view.mapValues(t =>
+        (0 to t.length - k).map(p => t.substring(p, p + k))).toMap
+      winsOf.values.flatten.foreach(w => counts(w) = counts.getOrElse(w, 0) + 1)
+      val hitsOf = winsOf.map { case (id, ws) =>
+        id -> ws.zipWithIndex.collect { case (w, p) if counts(w) >= 2 => p } }
+      // keep-one reference: drop each window's (doc, pos)-min occurrence
+      val owner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for (id <- texts.keys.toSeq.sorted; (w, p) <- winsOf(id).zipWithIndex)
+        if (counts(w) >= 2 && !owner.contains(w)) owner(w) = (id, p)
+      val keepHitsOf = winsOf.map { case (id, ws) =>
+        id -> ws.zipWithIndex.collect {
+          case (w, p) if counts(w) >= 2 && owner(w) != ((id, p)) => p } }
+      def cut(t: String, ps: Seq[Int]): String = {
+        val covered = ps.flatMap(p => p until p + k).toSet
+        t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      }
+      val df = docsDf(corpus: _*)
+      val stats = Dedup.repeatedSpans(df, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val clean = Dedup.spansRemoved(df, k).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val keep = Dedup.spansRemovedKeepOne(df, k).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.forall { case (id, t) =>
+        clean(id) == cut(t, hitsOf(id)) &&
+          keep(id) == cut(t, keepHitsOf(id)) &&
+          stats.getOrElse(id, 0L) == (t.length - clean(id).length).toLong &&
+          keep(id).length >= clean(id).length
+      }
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,23 @@ class PlanSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("spans pair persists nothing — the per-character gram relation stays streaming") {
+    // round-6 removed the corpus-sized gram persist (one gram row per
+    // CHARACTER of the corpus, multi-PB at 100 TB); this guard pins
+    // the no-persist shape so an "optimization" can't reintroduce it
+    for (df <- Seq(
+        operators.Dedup.repeatedSpans(
+          sources.Tables.table(spark, sf, "documents")),
+        operators.Dedup.spansRemoved(
+          sources.Tables.table(spark, sf, "documents")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("InMemoryTableScan"), plan)
+      assert(!plan.contains("InMemoryRelation"), plan)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "spans operators left persisted RDDs behind")
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
