@@ -112,7 +112,10 @@ object ScaleRehearsal {
       val n = truth.count()
       val hit = truth.join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi").count()
-      f"$hit/$n = ${hit.toDouble / n}%.2f"
+      // an empty truth set (degenerate corpus) is a rehearsal bug, not
+      // a 100% — surface it instead of printing NaN
+      if (n == 0) "0/0 = EMPTY TRUTH SET"
+      else f"$hit/$n = ${hit.toDouble / n}%.2f"
     }
     // replica corpus: clones dominate the top-5 — near-free recall
     t("lsh recall@5 20k")(

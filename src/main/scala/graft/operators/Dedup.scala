@@ -310,6 +310,15 @@ object Dedup {
       checkpointEvery: Int = ClusterCheckpointEvery,
       heavyDegree: Long = 0L,
       localThreshold: Long = ClusterLocalEdges): DataFrame = {
+    // the fast path materializes up to localThreshold edges into ONE
+    // task's LongMap (~48 B/entry with parent slots); bound it so a
+    // caller can't aim a corpus-sized graph at a single executor.
+    // 1<<25 edges ≈ 1.6 GB of map — already past where the star loop
+    // wins; the default (250k) is 128× under the cap.
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold " +
+        "(the single-task union-find fast path holds the whole edge " +
+        "list in one JVM map; use the distributed star loop for more)")
     val spark = pairs0.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)

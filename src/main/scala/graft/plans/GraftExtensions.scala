@@ -151,6 +151,10 @@ object GraftFunctions {
     ("char_gram_hash", classOf[CharGramHash],
       (exprs: Seq[Expression]) =>
         CharGramHash(exprs.head, intLit(exprs(1), "char_gram_hash"))),
+    // PRECONDITION: both arguments must be SORTED-ASCENDING DISTINCT
+    // array<long> — the kernel is a single merge pass that does not
+    // check order and silently undercounts on unsorted input. Sort
+    // once per row (sort_array), not per pair. See SortedIntersectUtil.
     ("sorted_intersect_size", classOf[SortedIntersectSize],
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
 }

@@ -130,6 +130,17 @@ object StreamDedup {
     * scale the window form moves strictly fewer bytes and reads the
     * text once. Band-key groups are dup-cluster sized, so the window
     * partition never concentrates the corpus on one task.
+    *
+    * PRECONDITIONS (matching what a stream can actually carry):
+    * `tsCol` must be non-null on every row — a streaming source
+    * cannot watermark a null event time, and here a null would sort
+    * FIRST in the `min(struct(ts, doc_id))` claimant election,
+    * claiming bands and eliminating non-null-ts docs (the old
+    * anti-join form made null-ts rows inert instead). `doc_id` must
+    * be unique — duplicate input rows for one doc_id are collapsed
+    * by the per-doc aggregate, where the old form passed them
+    * through. Enforce upstream; neither holds for free on raw batch
+    * tables.
     */
   def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

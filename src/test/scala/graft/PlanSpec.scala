@@ -143,6 +143,8 @@ class PlanSpec extends SparkSpec {
         operators.Dedup.repeatedSpans(
           sources.Tables.table(spark, sf, "documents")),
         operators.Dedup.spansRemoved(
+          sources.Tables.table(spark, sf, "documents")),
+        operators.Dedup.spansRemovedKeepOne(
           sources.Tables.table(spark, sf, "documents")))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("InMemoryTableScan"), plan)
