@@ -74,6 +74,40 @@ object ScaleRehearsal {
       operators.Dedup.dupClusters(giant, heavyDegree = 100000L)
         .filter(col("cluster_id") =!= 0L).count())
 
+    // one DEEP 400k-node chain: the worst case for star-ROUND COUNT
+    // (the giant component above is wide but shallow), and >
+    // ClusterLocalEdges so the distributed loop runs, not the fast
+    // path. The checkpointed run uses the DEFAULT cadence — the round
+    // count must cross ClusterCheckpointEvery, so the reliable-
+    // checkpoint path is rehearsed at depth with real truncation
+    // points, and its labels must match the unchecked run (all 0, the
+    // chain's min id — so mislabeled counts ARE the comparison).
+    val deepPath = spark.range(0L, 400000L).select(
+      col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    t("deep chain 400k, no ckpt")({
+      val bad = operators.Dedup.dupClusters(deepPath)
+        .filter(col("cluster_id") =!= 0L).count()
+      require(bad == 0L, s"$bad mislabeled")
+      s"mislabeled=0 rounds=${operators.Dedup.lastStarRounds.get}"
+    })
+    t("deep chain 400k, ckpt@dflt")({
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-ckpt")
+      try {
+        val bad = operators.Dedup.dupClusters(deepPath,
+            checkpointDir = Some(dir.toString))
+          .filter(col("cluster_id") =!= 0L).count()
+        require(bad == 0L, s"$bad mislabeled")
+        val rounds = operators.Dedup.lastStarRounds.get
+        require(rounds > operators.Dedup.ClusterCheckpointEvery,
+          s"only $rounds rounds — cadence never crossed, deepen the chain")
+        def walk(f: java.io.File): Iterator[java.io.File] =
+          Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
+        val parts = walk(dir.toFile).count(_.getName.startsWith("part-"))
+        require(parts > 0, "no checkpoint files written")
+        s"mislabeled=0 rounds=$rounds ckptFiles=$parts"
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
+
     // 20k / 80k embeddings: replicas of sf0.1's 2k. Cells grow as √N
     // (141 → 282), so per-query probe work 2·N/cells grows as √N —
     // sublinear — while the 2-level assignment keeps per-row cost at

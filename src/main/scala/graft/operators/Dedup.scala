@@ -140,6 +140,15 @@ object Dedup {
     */
   val ClusterCheckpointEvery = 8
 
+  /** DIAGNOSTIC: star rounds the most recent `dupClusters` call on
+    * this JVM ran (0 = the single-task fast path; −1 = never ran).
+    * Driver-side observability for rehearsals/tests — e.g. proving a
+    * deep graph actually crossed `ClusterCheckpointEvery` — not part
+    * of the operator contract, and not meaningful under concurrent
+    * dupClusters calls.
+    */
+  val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Edge-count ceiling for `dupClusters`' single-task union-find fast
     * path — the same 250k edges (~4 MB of longs) the star loop's
     * partition sizing allots to one partition, so the fast path only
@@ -388,6 +397,7 @@ object Dedup {
     var releaseAfter: org.apache.spark.rdd.RDD[_] = raw
     val withRoots: org.apache.spark.rdd.RDD[(Long, Long)] =
       if (nEdges <= localThreshold) {
+        lastStarRounds.set(0)
         // SMALL-GRAPH FAST PATH — one union-find pass in one task.
         // Min-id union (parent(max-root) := min-root) makes every root
         // its component's minimum, exactly the star fixpoint's labels.
@@ -432,6 +442,7 @@ object Dedup {
           val (next, changed) = starRound(edges, iter)
           edges = next
           converged = changed == 0L
+          iter += 1
         }
         if (!converged) {
           edges.unpersist(blocking = false)
@@ -440,6 +451,7 @@ object Dedup {
             s"dupClusters did not converge after $maxIter star rounds — " +
               "the pair input is unstable or degenerate; raise maxIter")
         }
+        lastStarRounds.set(iter)
         releaseAfter = edges
         // converged edge set = {(member, root)} stars: members from the
         // star edges, roots labeled to themselves (the final reduce

@@ -143,19 +143,35 @@ object GraphOps {
     * broadcast copies of the (filtered, weighted) edge set — the exact
     * analogue of R's distributed-cache adjacency map. Zero shuffle of
     * the probe side, matching the reference's map-only design
-    * (setNumReduceTasks(0), R:136). Valid under the same assumption the
-    * reference makes: the max-id-filtered subgraph fits in one node's
-    * memory.
+    * (setNumReduceTasks(0), R:136).
+    *
+    * The reference ASSUMES the max-id-filtered subgraph fits in one
+    * node's memory (its distributed cache would OOM otherwise). Here
+    * that assumption is MEASURED, not inherited: the filtered edge set
+    * is persisted (all three join branches reuse it), counted, and the
+    * broadcast hints apply only while its estimated bytes fit the
+    * session's `spark.sql.autoBroadcastJoinThreshold`. Above it — or
+    * with broadcasting disabled (-1) — the hints are dropped and the
+    * planner falls back to shuffle joins (AQE may still re-plan from
+    * runtime sizes): identical semantics, graceful degradation instead
+    * of a driver OOM on a hint the data outgrew.
     */
   def trianglesRep(e0: DataFrame, max: Long = 40L): DataFrame = {
     val e = graft.Caches.track(weightedEdges(filterMaxId(e0, max, inclusive = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    // ~48 B/row: 3 longs in an UnsafeRow plus broadcast-collection
+    // overhead, rounded up — the count materializes the persisted
+    // relation the branches below reuse anyway
+    val fits = threshold > 0L && e.count() * 48L <= threshold
+    def rep(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
     val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
     val closing = e.select(col("dst").as("x"), col("src").as("z"))
     countDiv3(
-      ab.join(broadcast(bc), "y")
-        .join(broadcast(closing), Seq("x", "z"), "left_semi")
+      ab.join(rep(bc), "y")
+        .join(rep(closing), Seq("x", "z"), "left_semi")
         .agg(coalesce(sum(col("w1") * col("w2")), lit(0L)).as("cnt")))
   }
 

@@ -145,24 +145,40 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKStrategy
   }
 
-  def perKey(df: DataFrame, keyNames: Seq[String], order: Seq[Column], k: Int,
-      rankName: String = "rank"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val spark = df.sparkSession
-    ensure(spark)
+  /** Order resolution. DIRECT path first: ColumnBridge converts each
+    * order Column to its catalyst expression (`col("x").desc` → a
+    * catalyst SortOrder over an UnresolvedAttribute; a bare column
+    * defaults to Ascending, like Dataset.sort), and the attributes
+    * resolve against the df's analyzed output by name — no throwaway
+    * plan. That covers every in-engine use (orders over existing /
+    * pre-projected columns). Orders the direct path CANNOT fully
+    * resolve — e.g. function calls, which need the analyzer's
+    * FunctionRegistry — fall back to lifting the SortOrders from an
+    * analyzed throwaway sortWithinPartitions; that analyzed shape is
+    * VALIDATED, not cast, so a Spark upgrade changing it fails with a
+    * message instead of a ClassCastException or a silently different
+    * plan. Returns (orders, usedAnalyzerFallback) — the flag exists
+    * for the spec pinning which path serves which input.
+    */
+  private[graft] def resolveOrders(df: DataFrame, order: Seq[Column])
+      : (Seq[SortOrder], Boolean) = {
     val child = df.queryExecution.analyzed
-    // key lookup honors the session's name-resolution semantics
-    // (spark.sql.caseSensitive), like every other DataFrame API
-    val resolver = spark.sessionState.analyzer.resolver
-    // Order resolution must go through the ANALYZER: a Column is a
-    // lazy column-node wrapper (sql.internal.SortOrder node, not a
-    // catalyst SortOrder — it doesn't even serialize), so we resolve a
-    // throwaway sortWithinPartitions and lift its SortOrders. The
-    // analyzed shape is VALIDATED, not cast: if a Spark upgrade stops
-    // producing a bare Sort over this child (e.g. starts wrapping a
-    // Project), this fails with a message instead of a
-    // ClassCastException or a silently different plan.
-    val ord: Seq[SortOrder] =
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def resolveDirect(c: Column): SortOrder = {
+      val so = ColumnBridge.convertedExpression(df.sparkSession, c) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, Ascending)
+      }
+      so.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          child.resolve(u.nameParts, resolver) match {
+            case Some(a: Alias) => a.child // nested-field access
+            case Some(ne) => ne
+            case None => u // leave unresolved → triggers the fallback
+          }
+      }.asInstanceOf[SortOrder]
+    }
+    def analyzerLift(): Seq[SortOrder] =
       df.sortWithinPartitions(order: _*).queryExecution.analyzed match {
         case s: org.apache.spark.sql.catalyst.plans.logical.Sort
             if s.child.output == child.output => s.order
@@ -173,6 +189,23 @@ object TopK {
             "same output) — order expressions must reference the " +
             "DataFrame's existing columns")
       }
+    val direct = order.map(resolveDirect)
+    if (direct.forall(so =>
+        so.resolved && so.references.subsetOf(child.outputSet)))
+      (direct, false)
+    else (analyzerLift(), true)
+  }
+
+  def perKey(df: DataFrame, keyNames: Seq[String], order: Seq[Column], k: Int,
+      rankName: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    ensure(spark)
+    val child = df.queryExecution.analyzed
+    // key lookup honors the session's name-resolution semantics
+    // (spark.sql.caseSensitive), like every other DataFrame API
+    val resolver = spark.sessionState.analyzer.resolver
+    val (ord, _) = resolveOrders(df, order)
     val keyAttrs = keyNames.map { n =>
       child.output.filter(a => resolver(a.name, n)) match {
         case Seq(a) => a

@@ -14,6 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion through the session's
+    * ColumnNodeToExpressionConverter. `expression` above returns a
+    * LAZY ColumnNodeExpression wrapper — fine inside a plan the
+    * analyzer will rewrite, wrong when the caller needs the converted
+    * tree itself (it doesn't even serialize): a `col("x").desc` only
+    * becomes a catalyst SortOrder through THIS path.
+    */
+  def convertedExpression(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   /** Register a temp SQL function on an EXISTING session (the
     * SparkSessionExtensions path only applies at session build time).
     * `sessionState` is private[sql]; this shim is the supported way in.

@@ -106,6 +106,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(singleLong(GraphOps.trianglesRep(e)) === 0L)
   }
 
+  test("trianglesRep degrades to shuffle joins past the broadcast threshold") {
+    // the reference assumes the filtered subgraph fits one node's
+    // memory; trianglesRep measures that against the session's
+    // autoBroadcastJoinThreshold and drops the broadcast hints above
+    // it — same answer, no forced broadcast the data outgrew
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val rng = new scala.util.Random(7)
+    val e = List.fill(60)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+    val df = edgeDf(e: _*)
+    try {
+      spark.conf.set(key, (64 * 1024 * 1024).toString)
+      // in the optimized plan a broadcast() hint survives as the
+      // join's JoinHint: `rightHint=(strategy=broadcast)`
+      val hinted = GraphOps.trianglesRep(df, max = 8)
+      assert(hinted.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"), "small subgraph must keep the hints")
+      spark.conf.set(key, "64") // bytes — anything real exceeds it
+      val fallback = GraphOps.trianglesRep(df, max = 8)
+      assert(!fallback.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"), "oversized subgraph must drop the hints")
+      assert(singleLong(fallback) === bruteRep(e, 8))
+      assert(singleLong(hinted) === bruteRep(e, 8))
+      spark.conf.set(key, "-1") // broadcasting disabled → also fallback
+      assert(singleLong(GraphOps.trianglesRep(df, max = 8)) === bruteRep(e, 8))
+    } finally spark.conf.set(key, prev)
+  }
+
   // ---- randomized cross-strategy properties (seeded, deterministic) ----
 
   def randomEdges(rng: scala.util.Random): List[(Long, Long)] =

@@ -60,6 +60,41 @@ class TopKSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("+- Sort"), plan)
   }
 
+  test("order resolution: attribute orders resolve directly, no throwaway plan") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 2.0), (2L, 20L, 1.0)).toDF("key", "id", "score")
+    val (ord, usedFallback) = TopK.resolveOrders(df,
+      Seq(col("score").desc_nulls_last, col("id").asc, col("key")))
+    assert(!usedFallback, "plain attribute orders must not need the analyzer")
+    assert(ord.forall(_.resolved))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsLast}
+    assert(ord.map(_.direction) === Seq(Descending, Ascending, Ascending))
+    assert(ord.head.nullOrdering === NullsLast)
+  }
+
+  test("order resolution: function orders take the analyzer fallback, parity holds") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, -2.0), (1L, 11L, 1.0), (1L, 12L, 3.0), (2L, 20L, -9.0),
+      (2L, 21L, 4.0)).toDF("key", "id", "score")
+    // abs() is an UnresolvedFunction until the analyzer runs — the
+    // direct path must hand it off instead of failing or mis-resolving
+    val (ord, usedFallback) = TopK.resolveOrders(df,
+      Seq(abs(col("score")).desc, col("id").asc))
+    assert(usedFallback && ord.forall(_.resolved))
+    val got = TopK.perKey(df, Seq("key"),
+        Seq(abs(col("score")).desc, col("id").asc), 2)
+      .select("key", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(abs(col("score")).desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2).select("key", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("key names resolve with the session's (case-insensitive) resolver") {
     val s = spark
     import s.implicits._
