@@ -87,6 +87,22 @@ object SparkEntry {
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.table(s, d, "documents"))
         .select("doc_id", "text").orderBy("doc_id")),
+    // PII scrub over docs AUGMENTED with deterministic synthetic PII
+    // (email, SSN/phone shapes, IPv4 derived from doc_id — the same
+    // expression the oracle builds), so the redaction provably fires
+    // and the CLEANED text is hash-compared, not just row counts
+    "text_pii" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val aug = Tables.table(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" u"), col("doc_id").cast("string"), lit("@ex.org 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" 555.867."),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+          .as("text"))
+      TextOps.scrubPii(aug).orderBy("doc_id")
+    }),
     // decontamination vs a probe "benchmark" = docs with doc_id < 10
     // (probes excluded from the report — they trivially self-hit)
     "text_contamination" -> ((s, d) => {
@@ -136,6 +152,17 @@ object SparkEntry {
     "dedup_stream_neardup" -> ((s, d) =>
       graft.streaming.StreamDedup.nearDupArrivalBatch(
         Tables.table(s, d, "documents"), "doc_id").orderBy("doc_id")),
+    // incremental admission: even doc_ids play the ingested corpus,
+    // odd ones the fresh batch — the split deliberately interleaves
+    // ids so corpus-before-fresh is decided by the epoch, not id order
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      graft.streaming.StreamDedup.nearDupIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -297,7 +324,12 @@ object SparkEntry {
     * verified-pairs SELECT over it — shared by dedup_minhash and the
     * end-to-end dedup_survivors oracle.
     */
-  private val MinhashCtes: String = {
+  /** MinHash/LSH candidate CTEs with a parameterized "a precedes b"
+    * predicate over the banded aliases `a`/`b` — `doc_a` is always the
+    * earlier side. The plain pair queries order by doc_id; the
+    * incremental-admission oracle orders by (epoch, doc_id).
+    */
+  private def minhashCtesEarlier(earlier: String): String = {
     val mhCols = Dedup.MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh$i"
     }.mkString(", ")
@@ -308,13 +340,15 @@ object SparkEntry {
     }.mkString(", ")
     val bandJoins = (0 until Dedup.LshBands).map { j =>
       s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a " +
-        s"JOIN banded b ON a.band$j = b.band$j AND a.doc_id < b.doc_id"
+        s"JOIN banded b ON a.band$j = b.band$j AND ($earlier)"
     }.mkString(" UNION ALL ")
     "nz AS (SELECT doc_id, hs FROM hs WHERE len(hs) > 0), " +
       s"sig AS (SELECT doc_id, hs, $mhCols FROM nz), " +
       s"banded AS (SELECT *, $bandCols FROM sig), " +
       s"cand AS (SELECT DISTINCT doc_a, doc_b FROM ($bandJoins))"
   }
+
+  private val MinhashCtes: String = minhashCtesEarlier("a.doc_id < b.doc_id")
 
   private val MinhashPairsSelect: String =
     "SELECT c.doc_a, c.doc_b, " +
@@ -444,6 +478,19 @@ object SparkEntry {
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
         "'\\s+', ' ', 'g')) AS text FROM documents"),
+    // same augmentation expression, then the SAME pattern chain in the
+    // same order (patterns are single-sourced from TextOps.PiiPatterns)
+    "text_pii" -> {
+      val aug = "text || ' u' || CAST(doc_id AS VARCHAR) || " +
+        "'@ex.org 123-45-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 555.867.' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 10.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.7'"
+      val scrubbed = TextOps.PiiPatterns.foldLeft(aug) {
+        case (e, (pat, tag)) => s"regexp_replace($e, '$pat', '$tag', 'g')"
+      }
+      s"SELECT doc_id, $scrubbed AS text FROM documents"
+    },
     "text_contamination" ->
       (s"WITH $HsCte, " +
         "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
@@ -663,6 +710,16 @@ object SparkEntry {
       (s"WITH $HsCte, $MinhashCtes " +
         "SELECT doc_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_b FROM cand)"),
+    // fresh (odd) docs surviving the two-epoch first-claimant
+    // election: eliminated iff any band is shared with a doc earlier
+    // by (epoch, doc_id); corpus (even) docs are not returned
+    "dedup_incremental" ->
+      (s"WITH $HsCte, " +
+        minhashCtesEarlier(
+          "a.doc_id % 2 < b.doc_id % 2 OR " +
+            "(a.doc_id % 2 = b.doc_id % 2 AND a.doc_id < b.doc_id)") + " " +
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT doc_b FROM cand)"),
     "dedup_survivors" ->
       (s"WITH RECURSIVE " +
         s"exacts AS (SELECT MIN(doc_id) AS doc_id FROM " +

@@ -101,6 +101,35 @@ object TextOps {
     docs.withColumn(textCol,
       graft.functions.TextNormFunctions.norm_text(col(textCol)))
 
+  /** PII redaction patterns, applied IN THIS ORDER (order matters —
+    * the SSN shape would otherwise be half-eaten by the phone shape).
+    * The regex dialect is the intersection Java regex (Spark codegen)
+    * and RE2 (DuckDB, Go tooling) agree on: plain character classes,
+    * bounded counts, word boundaries — no backreferences, no
+    * lookaround — so the scrub is reproducible across engines and the
+    * DuckDB oracle can hash-check CLEANED TEXT, not just counts.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** PII scrub — the training-data redaction pass: emails, SSN-shaped
+    * and phone-shaped numbers, IPv4 literals replaced with typed
+    * placeholder tags. Pure per-row projection: shuffle-free,
+    * whole-stage-codegen'd chain of `regexp_replace`, so it scales as
+    * a map over the corpus scan with nothing on the wire but the
+    * output. Pattern-match redaction is the deterministic BASELINE
+    * layer (what you can hash-verify); an NER-model pass would ride
+    * the same projection shape via mapInPandas like Multimodal's
+    * decode slot.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    })
+
   /** Benchmark DECONTAMINATION: documents sharing ≥ 1 word-3-gram
     * shingle with any probe (evaluation-set) document, with the count
     * of distinct shared shingle hashes — the standard "remove eval

@@ -142,6 +142,41 @@ object StreamDedup {
     * through. Enforce upstream; neither holds for free on raw batch
     * tables.
     */
+  /** INCREMENTAL near-dup admission — the realistic dedup mode at
+    * corpus scale, where the ingested corpus is never re-deduplicated
+    * and each fresh batch is admitted against it: returns the docs of
+    * `fresh` none of whose LSH band keys appear on ANY corpus doc or
+    * on an earlier fresh doc (earlier = doc_id order, the tie-break a
+    * one-doc-per-micro-batch stream resolves to). Corpus docs claim
+    * their bands unconditionally — a fresh doc colliding with corpus
+    * content is dropped even when that corpus doc was itself a
+    * duplicate (candidate chains collapse to first ingestion, exactly
+    * like `nearDupStreaming`).
+    *
+    * Implemented as `nearDupArrivalBatch`'s first-claimant election
+    * with a two-epoch arrival stamp, so the scale shape is unchanged:
+    * one text scan over the union, band-key-sized shuffles, no
+    * partition ever holds more than a dup-cluster of band rows. At
+    * 100 TB the corpus side does not need its text again — its
+    * (doc_id, band) keys are what the election consumes, so a real
+    * deployment stores band keys at ingest and unions them in below
+    * the signature step; the operator's join keys are identical.
+    *
+    * PRECONDITIONS: `corpus` and `fresh` doc_id sets are disjoint,
+    * and ids are unique within each (see `nearDupArrivalBatch`).
+    */
+  def nearDupIncremental(corpus: DataFrame, fresh: DataFrame): DataFrame = {
+    val tagged = corpus
+      .select(col("doc_id"), col("text"), lit(0L).as("arrival"))
+      .unionByName(fresh
+        .select(col("doc_id"), col("text"), lit(1L).as("arrival")))
+    // the election returns every all-bands-won doc across both epochs;
+    // the ids-only semi-join keeps the fresh side (broadcast-sized
+    // whenever the batch is, and never wider than ids)
+    nearDupArrivalBatch(tagged, "arrival")
+      .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = bandKeys(docs, tsCol)

@@ -892,6 +892,43 @@ class ExtensionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup: corpus epoch outranks id order") {
+    val s = spark
+    import s.implicits._
+    val base = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val novel = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12"
+    // corpus ids are HIGHER than the fresh ids — the epoch, not the
+    // id order, must decide who claims the bands
+    val corpus = Seq((10L, base), (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, base), // exact copy of corpus doc 10 → dropped despite 1 < 10
+      (3L, novel), // novel → admitted
+      (5L, novel), // copy of fresh doc 3 (earlier in-batch) → dropped
+      (7L, "hi")) // shingle-less: unique per-doc bands → admitted
+      .toDF("doc_id", "text")
+    val got = graft.streaming.StreamDedup.nearDupIncremental(corpus, fresh)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(3L, 7L))
+    // corpus docs are never returned, even when they'd win their bands
+    assert(!got.contains(10L) && !got.contains(12L))
+  }
+
+  test("scrubPii: typed tags, order-sensitive shapes, non-PII untouched") {
+    val got = operators.TextOps.scrubPii(docsDf(
+        1L -> "mail a.b+c@x-y.co.uk now",
+        2L -> "ssn 123-45-6789 phone 555-867-5309 or 555.867.5309",
+        3L -> "ip 10.0.0.7 not 1234.5.6.7",
+        4L -> "clean text, version 1.2 stays"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "mail <EMAIL> now")
+    // the SSN shape must win before the phone shape can half-eat it
+    assert(got(2L) === "ssn <SSN> phone <PHONE> or <PHONE>")
+    // 4-digit first octet: no word boundary match — not an IPv4
+    assert(got(3L) === "ip <IP> not 1234.5.6.7")
+    assert(got(4L) === "clean text, version 1.2 stays")
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
