@@ -212,6 +212,19 @@ object SparkEntry {
     "events_props" -> ((s, d) =>
       EventWindows.propsStats(Tables.table(s, d, "events"))
         .orderBy("event_type")),
+    // as-of alignment: every view picks the user's latest click at or
+    // before it; clicks pre-aggregated to one row per (user, ts) — the
+    // determinism precondition both engines share
+    "events_asof" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      operators.AsofJoin.asofJoin(views, clicks,
+        Seq("user_id"), "ts", Seq("click_id")).orderBy("event_id")
+    }),
   )
 
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
@@ -930,5 +943,15 @@ object SparkEntry {
         "CAST(MAX(k) AS BIGINT) AS max_k FROM " +
         "(SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
         "FROM events) GROUP BY event_type"),
+    // DuckDB's NATIVE ASOF JOIN — a fully independent formulation of
+    // the union-merge window the Spark operator runs
+    "events_asof" ->
+      ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts, c.click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts >= c.ts"),
   )
 }

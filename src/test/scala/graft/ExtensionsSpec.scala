@@ -929,6 +929,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(4L) === "clean text, version 1.2 stays")
   }
 
+  test("asofJoin: inclusive ties, per-key isolation, row-not-value match semantics") {
+    val s = spark
+    import s.implicits._
+    // probe at ts=5 with build at ts=5 → matched (inclusive <=);
+    // probe before any build → null; keys never bleed into each other
+    val build = Seq(
+      (1L, 10L, Some(100L)), (1L, 20L, None), (1L, 30L, Some(300L)),
+      (2L, 15L, Some(999L)))
+      .toDF("k", "ts", "v")
+    val probe = Seq(
+      (11L, 1L, 5L), // before all builds → null
+      (12L, 1L, 10L), // tie with build ts=10 → inclusive match
+      (13L, 1L, 25L), // latest build ROW (ts=20) has v=null → null v,
+      // NOT the older non-null 100 — row semantics
+      (14L, 1L, 99L), // after all → ts=30 row
+      (15L, 2L, 14L), // other key, before its build → null
+      (16L, 2L, 15L))
+      .toDF("event_id", "k", "ts")
+    val got = operators.AsofJoin.asofJoin(probe, build, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got === Map(11L -> None, 12L -> Some(100L), 13L -> None,
+      14L -> Some(300L), 15L -> None, 16L -> Some(999L)))
+    // plan shape: one window, NO join node — the union-merge form
+    val plan = operators.AsofJoin.asofJoin(probe, build, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
