@@ -108,6 +108,36 @@ object ScaleRehearsal {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     })
 
+    // as-of join at 10M probe / 5M build rows over 100k keys, with ONE
+    // hot key carrying 10% of both sides (1.5M rows in a single window
+    // partition) — the documented celebrity-key caveat, measured. Build
+    // ts = id keeps (k, ts) unique, the operator's precondition.
+    val asofBuild = spark.range(5000000L).select(
+      when(pmod(col("id"), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(100000)).cast("long")).as("k"),
+      col("id").as("ts"), col("id").as("v"))
+    val asofProbe = spark.range(10000000L).select(
+      col("id").as("event_id"),
+      when(pmod(col("id"), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id") * 13 + 1), lit(100000)).cast("long"))
+        .as("k"),
+      pmod(hash(col("id") * 7 + 3), lit(5000000)).cast("long").as("ts"))
+    // aggregate over the MATCHED VALUES, not count(): a bare count
+    // lets column pruning delete the unused window node entirely and
+    // the phase would time the union, not the as-of election
+    t("asof 10M probe, 10% hot key")(
+      operators.AsofJoin.asofJoin(asofProbe, asofBuild,
+          Seq("k"), "ts", Seq("v"))
+        .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
+        .collect()(0).toSeq)
+    // skew-proof form on the same inputs: 100 ts-buckets cut the hot
+    // key's 1.5M-row window partition to ~15k rows per task
+    t("asof bucketed, same hot key")(
+      operators.AsofJoin.asofJoinBucketed(asofProbe, asofBuild,
+          Seq("k"), "ts", Seq("v"), 50000L)
+        .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
+        .collect()(0).toSeq)
+
     // 20k / 80k embeddings: replicas of sf0.1's 2k. Cells grow as √N
     // (141 → 282), so per-query probe work 2·N/cells grows as √N —
     // sublinear — while the 2-level assignment keeps per-row cost at

@@ -225,6 +225,19 @@ object SparkEntry {
       operators.AsofJoin.asofJoin(views, clicks,
         Seq("user_id"), "ts", Seq("click_id")).orderBy("event_id")
     }),
+    // the skew-proof form: same semantics, window partitioned by
+    // (user, hour bucket) with carry-in — must equal events_asof
+    // exactly, so it shares that oracle verbatim
+    "events_asof_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      operators.AsofJoin.asofJoinBucketed(views, clicks,
+        Seq("user_id"), "ts", Seq("click_id"), 3600L).orderBy("event_id")
+    }),
   )
 
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
@@ -946,6 +959,14 @@ object SparkEntry {
     // DuckDB's NATIVE ASOF JOIN — a fully independent formulation of
     // the union-merge window the Spark operator runs
     "events_asof" ->
+      ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts, c.click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts >= c.ts"),
+    "events_asof_bucketed" -> // execution detail only — same semantics
       ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
         "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
         "views AS (SELECT event_id, user_id, ts FROM events " +

@@ -68,4 +68,88 @@ object AsofJoin {
       .select(probeCols.map(col) ++
         valueCols.map(c => col(s"__asof_m.$c").as(c)): _*)
   }
+
+  /** SKEW-PROOF as-of join — identical results to `asofJoin`, but the
+    * window partition is `(keys, time-bucket)` instead of `(keys)`, so
+    * a celebrity key's history splits across `history span /
+    * bucketWidth` partitions instead of funneling into one task. This
+    * is the 100 TB path for market-data-shaped inputs (few instruments
+    * × billions of ticks).
+    *
+    * The boundary problem — a probe row whose latest build row lives
+    * in an EARLIER bucket — is solved with a carry-in: per (key,
+    * bucket) the bucket's closing (max-ts) build row is aggregated
+    * (one row per non-empty bucket), a bucket-granular running-last
+    * window computes each probe bucket's latest earlier closing (rows
+    * here are per-BUCKET, thousands of× smaller than the data, so the
+    * per-key partition is trivially small), and that carry enters the
+    * final per-(key, bucket) election as a synthetic build row
+    * sorting before everything in the bucket (null ts, nulls-first).
+    * Three bounded shuffles instead of one unbounded one.
+    *
+    * `tsCol` must be non-null and castable to long (timestamps bucket
+    * at second granularity); pick `bucketWidth` so a key's densest
+    * bucket fits a task comfortably — at 1M rows/key/day, an hour
+    * bucket is ~42k rows. Same build-side uniqueness precondition as
+    * `asofJoin`.
+    */
+  def asofJoinBucketed(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
+    require(keys.nonEmpty, "asofJoinBucketed needs at least one key column")
+    require(valueCols.nonEmpty, "asofJoinBucketed needs at least one value column")
+    val probeCols = probe.columns.toSeq
+    require(!probeCols.exists(valueCols.contains),
+      s"value columns ${valueCols.mkString(", ")} must not collide with " +
+        s"probe columns ${probeCols.mkString(", ")}")
+    def bkt(c: org.apache.spark.sql.Column) =
+      floor(c.cast("long") / bucketWidth).as("__asof_bkt")
+    val vStruct = struct(valueCols.map(col): _*)
+    val b = build.select(
+      (keys.map(col) :+ col(tsCol)) ++
+        Seq(vStruct.as("__asof_v"), bkt(col(tsCol))): _*)
+    val vType = b.schema("__asof_v").dataType
+    // one closing row per non-empty (key, bucket): its latest build row
+    val closings = b.groupBy(keys.map(col) :+ col("__asof_bkt"): _*)
+      .agg(max_by(col("__asof_v"), col(tsCol)).as("__asof_cv"))
+    // per probe bucket, the latest closing of any STRICTLY earlier
+    // bucket: probe-bucket markers (tag 0) sort before same-bucket
+    // closings (tag 1), and the frame stops at -1 — bucket-level rows
+    // only, so this per-key window holds buckets, not events
+    val pBkts = probe
+      .select(keys.map(col) :+ bkt(col(tsCol)): _*).distinct()
+      .withColumn("__asof_cv", lit(null).cast(vType))
+      .withColumn("__asof_pb", lit(0))
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_bkt").asc, col("__asof_pb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = pBkts
+      .unionByName(closings.withColumn("__asof_pb", lit(1)))
+      .withColumn("__asof_carry",
+        last(col("__asof_cv"), ignoreNulls = true).over(wCarry))
+      .filter(col("__asof_pb") === 0 && col("__asof_carry").isNotNull)
+    // synthetic carry rows sort FIRST in their bucket via null ts +
+    // nulls-first, and lose to any real in-bucket build row — which is
+    // strictly newer than anything a carry can hold
+    val synth = carry.select(
+      (keys.map(col) :+ lit(null).cast(probe.schema(tsCol).dataType).as(tsCol)) ++
+        Seq(col("__asof_carry").as("__asof_v"), lit(-1).as("__asof_tag"),
+          col("__asof_bkt")): _*)
+    val bTagged = b.withColumn("__asof_tag", lit(0))
+    val p = probe.select(
+      (keys.map(col) :+ col(tsCol)) ++
+        Seq(lit(null).cast(vType).as("__asof_v"), lit(1).as("__asof_tag"),
+          bkt(col(tsCol))) ++
+        probeCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+    val w = Window.partitionBy(keys.map(col) :+ col("__asof_bkt"): _*)
+      .orderBy(col(tsCol).asc_nulls_first, col("__asof_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(bTagged, allowMissingColumns = true)
+      .unionByName(synth, allowMissingColumns = true)
+      .withColumn("__asof_m", last(col("__asof_v"), ignoreNulls = true).over(w))
+      .filter(col("__asof_tag") === 1)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => col(s"__asof_m.$c").as(c)): _*)
+  }
 }

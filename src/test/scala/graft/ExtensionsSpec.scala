@@ -959,6 +959,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("asofJoinBucketed == asofJoin on random data, across bucket widths") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      // duplicate (k, ts) on the PROBE side is fine; the build side is
+      // deduped to honor the operators' shared uniqueness precondition
+      val build = List.fill(120)(
+          (rng.nextInt(5).toLong, rng.nextInt(40).toLong, rng.nextLong(1000)))
+        .groupBy(t => (t._1, t._2)).values.map(_.head).toList
+        .toDF("k", "ts", "v")
+      val probe = List.tabulate(200)(i =>
+          (i.toLong, rng.nextInt(5).toLong, rng.nextInt(40).toLong))
+        .toDF("event_id", "k", "ts")
+      val plain = operators.AsofJoin.asofJoin(
+          probe, build, Seq("k"), "ts", Seq("v"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // width 1 (every ts its own bucket), a mid width, and one wider
+      // than the whole ts range (degenerates to the plain partition)
+      for (width <- Seq(1L, 7L, 1000L)) {
+        val bucketed = operators.AsofJoin.asofJoinBucketed(
+            probe, build, Seq("k"), "ts", Seq("v"), width)
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        assert(bucketed === plain, s"width=$width")
+      }
+    }
+    // the final election really partitions by (key, bucket) — the
+    // skew-kill contract, visible in the window spec
+    val plan = operators.AsofJoin.asofJoinBucketed(
+        Seq((1L, 1L, 1L)).toDF("event_id", "k", "ts"),
+        Seq((1L, 1L, 1L)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"), 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__asof_bkt"), plan)
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._

@@ -154,6 +154,26 @@ class PlanSpec extends SparkSpec {
       "spans operators left persisted RDDs behind")
   }
 
+  test("text_pii is a shuffle-free codegen'd projection") {
+    // redaction is per-row regexp_replace — any Exchange or Window
+    // here means someone broke the map-only shape
+    // the gate's orderBy contributes a range exchange; beyond that no
+    // hash exchange, no window, no join may appear
+    val plan = executedPlan("text_pii")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("dedup_incremental shuffles band keys and ids, never text") {
+    val plan = executedPlan("dedup_incremental")
+    // the election shuffles (band_idx, band_sig) and doc_id keys only;
+    // text stays in the map stage feeding the signature expression
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
