@@ -163,6 +163,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    // the 100 TB deployment form: the corpus enters as its STORED
+    // (doc_id, band_idx, band_sig) relation (bandKeysOf at ingest),
+    // so admission scans only the fresh batch's text — must be
+    // hash-identical to dedup_incremental, whose oracle it shares
+    "dedup_incremental_keys" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      graft.streaming.StreamDedup.nearDupIncrementalKeys(
+          graft.streaming.StreamDedup.bandKeysOf(
+            docs.filter(col("doc_id") % 2 === 0)),
+          docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -740,6 +753,15 @@ object SparkEntry {
     // election: eliminated iff any band is shared with a doc earlier
     // by (epoch, doc_id); corpus (even) docs are not returned
     "dedup_incremental" ->
+      (s"WITH $HsCte, " +
+        minhashCtesEarlier(
+          "a.doc_id % 2 < b.doc_id % 2 OR " +
+            "(a.doc_id % 2 = b.doc_id % 2 AND a.doc_id < b.doc_id)") + " " +
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT doc_b FROM cand)"),
+    // the keys path is an execution detail (stored corpus band keys
+    // instead of corpus text) — same election, same oracle
+    "dedup_incremental_keys" ->
       (s"WITH $HsCte, " +
         minhashCtesEarlier(
           "a.doc_id % 2 < b.doc_id % 2 OR " +

@@ -156,11 +156,13 @@ object StreamDedup {
     * Implemented as `nearDupArrivalBatch`'s first-claimant election
     * with a two-epoch arrival stamp, so the scale shape is unchanged:
     * one text scan over the union, band-key-sized shuffles, no
-    * partition ever holds more than a dup-cluster of band rows. At
-    * 100 TB the corpus side does not need its text again — its
-    * (doc_id, band) keys are what the election consumes, so a real
-    * deployment stores band keys at ingest and unions them in below
-    * the signature step; the operator's join keys are identical.
+    * partition ever holds more than a dup-cluster of band rows.
+    *
+    * This overload RE-SIGNATURES the corpus text on every batch — fine
+    * for backfills; a production ingest loop should persist
+    * `bandKeysOf(admitted docs)` once at ingest time and admit each
+    * batch with `nearDupIncrementalKeys`, which consumes the stored
+    * keys and scans only the fresh batch's text.
     *
     * PRECONDITIONS: `corpus` and `fresh` doc_id sets are disjoint,
     * and ids are unique within each (see `nearDupArrivalBatch`).
@@ -173,13 +175,57 @@ object StreamDedup {
     // the election returns every all-bands-won doc across both epochs;
     // the ids-only semi-join keeps the fresh side (broadcast-sized
     // whenever the batch is, and never wider than ids)
-    nearDupArrivalBatch(tagged, "arrival")
+    electAllWon(bandKeys(tagged, "arrival"))
       .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame = {
+  /** The ingest-time export for `nearDupIncrementalKeys`: one
+    * (doc_id, band_idx, band_sig) row per LSH band of each document —
+    * ~40 B/band × `LshBands` per doc, the ONLY state incremental
+    * admission ever needs about the corpus. Persist this relation when
+    * a batch is admitted (append `bandKeysOf(admitted)`) and the corpus
+    * text is never re-scanned by dedup again. Band signatures are the
+    * exact text `bandKeys` (and so the batch/streaming operators)
+    * compute, so keys written by any graft version interoperate with
+    * all of them.
+    */
+  def bandKeysOf(docs: DataFrame): DataFrame =
+    bandKeys(docs.withColumn("__graft_ts", lit(0L)), "__graft_ts")
+      .select(col("doc_id"), col("band_idx"), col("band_sig"))
+
+  /** Incremental near-dup admission over PRE-COMPUTED corpus band keys
+    * — the 100 TB deployment form of `nearDupIncremental`: identical
+    * results (property-pinned in tests), but the corpus side is the
+    * stored `(doc_id, band_idx, band_sig)` relation from `bandKeysOf`,
+    * so each admission cycle shingles and minhashes ONLY the fresh
+    * batch's text. Per-batch cost is then
+    * O(|fresh| + |corpus band keys touched|) I/O instead of a
+    * full-corpus text scan — with bucketed/partitioned key storage the
+    * scan side is a pure columnar read of three narrow columns.
+    *
+    * PRECONDITIONS: `corpusKeys` doc_ids are disjoint from `fresh`'s,
+    * `fresh` ids are unique, and `corpusKeys` holds EVERY band row of
+    * every corpus doc (exactly what `bandKeysOf` emits — dropping rows
+    * weakens the filter silently).
+    */
+  def nearDupIncrementalKeys(corpusKeys: DataFrame, fresh: DataFrame): DataFrame = {
+    val ck = corpusKeys.select(col("doc_id"), lit(0L).as("ts"),
+      col("band_idx"), col("band_sig"))
+    val fk = bandKeys(fresh.withColumn("__graft_ts", lit(1L)), "__graft_ts")
+    electAllWon(ck.unionByName(fk))
+      .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame =
+    electAllWon(bandKeys(docs, tsCol))
+
+  /** The first-claimant election shared by every batch/incremental
+    * variant: over a (doc_id, ts, band_idx, band_sig) relation, a doc
+    * survives iff it is the (ts, doc_id)-minimal claimant of ALL its
+    * band keys. Shuffles band keys then ids — never text.
+    */
+  private def electAllWon(b: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bandKeys(docs, tsCol)
     val firstClaim = min(struct(col("ts"), col("doc_id")))
       .over(Window.partitionBy(col("band_idx"), col("band_sig")))
     b.withColumn("won",

@@ -912,6 +912,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Seq(3L, 7L))
     // corpus docs are never returned, even when they'd win their bands
     assert(!got.contains(10L) && !got.contains(12L))
+    // the stored-keys path (ingest persists bandKeysOf; admission never
+    // re-reads corpus text) must be row-identical on the same fixture
+    val viaKeys = graft.streaming.StreamDedup.nearDupIncrementalKeys(
+        graft.streaming.StreamDedup.bandKeysOf(corpus), fresh)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaKeys === got)
+  }
+
+  test("incremental admission over stored band keys equals the text path on a real corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val viaText = graft.streaming.StreamDedup
+      .nearDupIncremental(corpus, fresh)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaKeys = graft.streaming.StreamDedup.nearDupIncrementalKeys(
+        graft.streaming.StreamDedup.bandKeysOf(corpus), fresh)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaText.nonEmpty)
+    assert(viaKeys === viaText)
   }
 
   test("scrubPii: typed tags, order-sensitive shapes, non-PII untouched") {

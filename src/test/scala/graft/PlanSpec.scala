@@ -174,6 +174,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("nearDupIncrementalKeys scans ONLY the fresh batch's text — the corpus side reads stored band keys") {
+    // the 100 TB contract: with corpus band keys persisted at ingest
+    // (bandKeysOf), an admission cycle's only text scan is the fresh
+    // batch; the corpus enters as a 3-narrow-column key read
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft_bandkeys").toString + "/keys"
+    graft.streaming.StreamDedup.bandKeysOf(
+        docs.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(keysDir)
+    val plan = graft.streaming.StreamDedup.nearDupIncrementalKeys(
+        spark.read.parquet(keysDir),
+        docs.filter(col("doc_id") % 2 === 1))
+      .queryExecution.executedPlan.toString
+    // exactly one scan reads text (the fresh side)...
+    assert("text:string".r.findAllIn(plan).size === 1, plan)
+    // ...the corpus side reads the key relation, nothing wider
+    assert(plan.contains(
+      "ReadSchema: struct<doc_id:bigint,band_idx:int,band_sig:string>"), plan)
+    // and the election still shuffles keys/ids only
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
