@@ -39,6 +39,13 @@ object SparkEntry {
   val MaxRep = 40L // ReplicatedJoinDriver.java:31 — inclusive <=
   val MaxApprox = 78L // ApproxCardinality.java:24 — strict <
 
+  /** Tolerance for the `events_asof_tol` gate query: 30 minutes in
+    * MICROSECONDS (the query aligns on `unix_micros(ts)` columns, the
+    * exact-integer grain both engines share). Same constant MUST
+    * appear in the oracle SQL.
+    */
+  val AsofTolUs = 1800000000L
+
   /** Mix rates for the `text_mix` gate query: srcI → (I+1)/10 epochs
     * in ppm — src0 keeps 10% of its docs, src9 all, src19 two full
     * epochs. Shared by the Spark query AND the oracle generator.
@@ -250,6 +257,36 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       operators.AsofJoin.asofJoinBucketed(views, clicks,
         Seq("user_id"), "ts", Seq("click_id"), 3600L).orderBy("event_id")
+    }),
+    // the FORWARD variant: every view picks the user's earliest click
+    // at or after it — the lookahead alignment
+    "events_asof_fwd" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      operators.AsofJoin.asofJoinForward(views, clicks,
+        Seq("user_id"), "ts", Seq("click_id")).orderBy("event_id")
+    }),
+    // the TOLERANCE variant: backward match, but clicks more than
+    // 30 min before the view are nulled out. Aligned on unix_micros
+    // columns — the exact-integer grain (timestamps would tolerance-
+    // compare at cast-to-second granularity)
+    "events_asof_tol" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      operators.AsofJoin.asofJoinTolerance(views, clicks,
+        Seq("user_id"), "ts_us", Seq("click_id"), AsofTolUs)
+        .orderBy("event_id")
     }),
   )
 
@@ -996,5 +1033,28 @@ object SparkEntry {
         "SELECT v.event_id, v.user_id, v.ts, c.click_id " +
         "FROM views v ASOF LEFT JOIN clicks c " +
         "ON v.user_id = c.user_id AND v.ts >= c.ts"),
+    // forward as-of: DuckDB's native ASOF with the inequality flipped
+    "events_asof_fwd" ->
+      ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts, c.click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts <= c.ts"),
+    // tolerance as-of: the nearest earlier click is the ONLY possible
+    // in-tolerance match (anything else is older still), so native
+    // ASOF + a CASE on the distance is exact
+    "events_asof_tol" ->
+      ("WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+        "MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts_us, " +
+        s"CASE WHEN v.ts_us - c.ts_us <= $AsofTolUs THEN c.click_id END " +
+        "AS click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts_us >= c.ts_us"),
   )
 }

@@ -32,24 +32,79 @@ import org.apache.spark.sql.functions._
   * bucket's closing build row). Running-`last` is O(1) state per row —
   * no frame re-scan.
   *
-  * PRECONDITION: `(keys, tsCol)` must be unique on the build side
-  * (pre-aggregate otherwise) — with duplicates the surviving row on a
-  * tie is partition-order-dependent, the same determinism condition
-  * DuckDB's native ASOF JOIN imposes, which is what the oracle runs.
+  * PRECONDITIONS (all variants): `(keys, tsCol)` must be unique on the
+  * build side (pre-aggregate otherwise) — with duplicates the
+  * surviving row on a tie is partition-order-dependent, the same
+  * determinism condition DuckDB's native ASOF JOIN imposes, which is
+  * what the oracle runs. `tsCol` must be NON-NULL on both sides: a
+  * null-ts build row would sort first under the ascending window and
+  * silently become the match for probes preceding every real build
+  * (DuckDB's ASOF never matches a NULL ts). Null KEYS group with each
+  * other via `partitionBy` — SQL join semantics would match them with
+  * nothing; filter them out upstream if that is the contract you need.
+  * No input column may start with `__asof_` (the operator's internal
+  * namespace; enforced).
   */
 object AsofJoin {
 
+  private def requireNoReserved(probe: DataFrame, build: DataFrame): Unit = {
+    val clash = (probe.columns ++ build.columns).filter(_.startsWith("__asof_"))
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with the operator's " +
+        "reserved __asof_ namespace — rename them")
+  }
+
+  /** Backward-inclusive as-of join: each probe row gets the LATEST
+    * build row with `build.ts <= probe.ts`, per key (null values when
+    * no build precedes). The 90% case.
+    */
   def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      tsCol: String, valueCols: Seq[String]): DataFrame = {
+      tsCol: String, valueCols: Seq[String]): DataFrame =
+    asofKernel(probe, build, keys, tsCol, valueCols,
+      forward = false, tolerance = None)
+
+  /** Forward-inclusive as-of join: each probe row gets the EARLIEST
+    * build row with `build.ts >= probe.ts`, per key — the
+    * next-event/lookahead alignment (e.g. each order picks the next
+    * price tick). Same shape as the backward form with the window
+    * order reversed: descending ts, build-before-probe on ties.
+    */
+  def asofJoinForward(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame =
+    asofKernel(probe, build, keys, tsCol, valueCols,
+      forward = true, tolerance = None)
+
+  /** Tolerance-bounded as-of join: as `asofJoin` (or `asofJoinForward`
+    * with `forward = true`), but a match farther than `tolerance` from
+    * the probe is nulled out — `|probe.ts − build.ts| <= tolerance` in
+    * the UNITS OF `tsCol` CAST TO LONG (seconds for timestamps; pass
+    * numeric ts columns — e.g. `unix_micros(ts)` — for finer grains).
+    * The as-of match itself is unchanged, so only a post-filter runs on
+    * top of the same single-window plan: if the nearest build row is
+    * out of tolerance, every other one is farther still.
+    */
+  def asofJoinTolerance(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      tolerance: Long, forward: Boolean = false): DataFrame = {
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    asofKernel(probe, build, keys, tsCol, valueCols, forward,
+      tolerance = Some(tolerance))
+  }
+
+  private def asofKernel(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    requireNoReserved(probe, build)
     val probeCols = probe.columns.toSeq
     require(!probeCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(", ")} must not collide with " +
         s"probe columns ${probeCols.mkString(", ")}")
-    // tagged union: build rows carry the value struct, probe rows a
-    // typed null of it; probe-only columns ride as nulls on build rows
-    val vStruct = struct(valueCols.map(col): _*)
+    // tagged union: build rows carry the value struct (plus their own
+    // ts, for the tolerance post-filter), probe rows a typed null of
+    // it; probe-only columns ride as nulls on build rows
+    val vStruct = struct(col(tsCol).as("__asof_bts") +: valueCols.map(col): _*)
     val b = build.select(
       (keys.map(col) :+ col(tsCol).as(tsCol)) ++
         Seq(vStruct.as("__asof_v"), lit(0).as("__asof_tag")): _*)
@@ -59,14 +114,28 @@ object AsofJoin {
         Seq(lit(null).cast(bSchema).as("__asof_v"), lit(1).as("__asof_tag")) ++
         probeCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
     val union = p.unionByName(b, allowMissingColumns = true)
+    // backward: ascending ts → running last = latest earlier build;
+    // forward: DESCENDING ts → running last = earliest later build.
+    // Build rows (tag 0) sort before probe rows on equal ts either
+    // way, which is exactly the inclusive bound.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__asof_tag").asc)
+      .orderBy(tsOrder, col("__asof_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = valueCols.map { c =>
+      tolerance match {
+        case Some(tol) =>
+          val dt = col(tsCol).cast("long") -
+            col("__asof_m.__asof_bts").cast("long")
+          val within = if (forward) -dt <= tol else dt <= tol
+          when(within, col(s"__asof_m.$c")).as(c)
+        case None => col(s"__asof_m.$c").as(c)
+      }
+    }
     union
       .withColumn("__asof_m", last(col("__asof_v"), ignoreNulls = true).over(w))
       .filter(col("__asof_tag") === 1)
-      .select(probeCols.map(col) ++
-        valueCols.map(c => col(s"__asof_m.$c").as(c)): _*)
+      .select(probeCols.map(col) ++ matched: _*)
   }
 
   /** SKEW-PROOF as-of join — identical results to `asofJoin`, but the
@@ -91,7 +160,9 @@ object AsofJoin {
     * at second granularity); pick `bucketWidth` so a key's densest
     * bucket fits a task comfortably — at 1M rows/key/day, an hour
     * bucket is ~42k rows. Same build-side uniqueness precondition as
-    * `asofJoin`.
+    * `asofJoin`. Bucketing is pure LONG arithmetic (floor via
+    * pmod-adjusted integral division, never a double round-trip), so
+    * nanosecond-epoch magnitudes beyond 2^53 bucket exactly.
     */
   def asofJoinBucketed(probe: DataFrame, build: DataFrame,
       keys: Seq[String], tsCol: String, valueCols: Seq[String],
@@ -99,16 +170,24 @@ object AsofJoin {
     require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
     require(keys.nonEmpty, "asofJoinBucketed needs at least one key column")
     require(valueCols.nonEmpty, "asofJoinBucketed needs at least one value column")
+    requireNoReserved(probe, build)
     val probeCols = probe.columns.toSeq
     require(!probeCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(", ")} must not collide with " +
         s"probe columns ${probeCols.mkString(", ")}")
-    def bkt(c: org.apache.spark.sql.Column) =
-      floor(c.cast("long") / bucketWidth).as("__asof_bkt")
+    // floor(ts / width) in exact long arithmetic: subtracting the
+    // POSITIVE remainder makes the numerator a sign-correct multiple of
+    // the width, so the truncating `div` is an exact division — no
+    // double rounding at any ts magnitude, and correct for negative ts
+    val bkt = {
+      val t = s"cast(`$tsCol` as bigint)"
+      expr(s"($t - pmod($t, ${bucketWidth}L)) div ${bucketWidth}L")
+        .as("__asof_bkt")
+    }
     val vStruct = struct(valueCols.map(col): _*)
     val b = build.select(
       (keys.map(col) :+ col(tsCol)) ++
-        Seq(vStruct.as("__asof_v"), bkt(col(tsCol))): _*)
+        Seq(vStruct.as("__asof_v"), bkt): _*)
     val vType = b.schema("__asof_v").dataType
     // one closing row per non-empty (key, bucket): its latest build row
     val closings = b.groupBy(keys.map(col) :+ col("__asof_bkt"): _*)
@@ -118,7 +197,7 @@ object AsofJoin {
     // closings (tag 1), and the frame stops at -1 — bucket-level rows
     // only, so this per-key window holds buckets, not events
     val pBkts = probe
-      .select(keys.map(col) :+ bkt(col(tsCol)): _*).distinct()
+      .select(keys.map(col) :+ bkt: _*).distinct()
       .withColumn("__asof_cv", lit(null).cast(vType))
       .withColumn("__asof_pb", lit(0))
     val wCarry = Window.partitionBy(keys.map(col): _*)
@@ -140,7 +219,7 @@ object AsofJoin {
     val p = probe.select(
       (keys.map(col) :+ col(tsCol)) ++
         Seq(lit(null).cast(vType).as("__asof_v"), lit(1).as("__asof_tag"),
-          bkt(col(tsCol))) ++
+          bkt) ++
         probeCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
     val w = Window.partitionBy(keys.map(col) :+ col("__asof_bkt"): _*)
       .orderBy(col(tsCol).asc_nulls_first, col("__asof_tag").asc)

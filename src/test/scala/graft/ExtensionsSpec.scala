@@ -1019,6 +1019,108 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("__asof_bkt"), plan)
   }
 
+  test("asofJoinForward: inclusive ties, earliest-later ROW, null after last build") {
+    val s = spark
+    import s.implicits._
+    val build = Seq(
+      (1L, 10L, Some(100L)), (1L, 20L, None), (1L, 30L, Some(300L)),
+      (2L, 15L, Some(999L)))
+      .toDF("k", "ts", "v")
+    val probe = Seq(
+      (11L, 1L, 5L), // earliest later build is ts=10
+      (12L, 1L, 10L), // tie → inclusive match
+      (13L, 1L, 15L), // next build ROW (ts=20) has v=null → null v,
+      // NOT the later non-null 300 — row semantics
+      (14L, 1L, 99L), // after all builds → null
+      (15L, 2L, 16L), // other key, after its only build → null
+      (16L, 2L, 15L))
+      .toDF("event_id", "k", "ts")
+    val got = operators.AsofJoin.asofJoinForward(
+        probe, build, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got === Map(11L -> Some(100L), 12L -> Some(100L), 13L -> None,
+      14L -> None, 15L -> None, 16L -> Some(999L)))
+    // same no-join union-merge plan as the backward form
+    val plan = operators.AsofJoin.asofJoinForward(
+        probe, build, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("asof backward/forward/tolerance == brute-force reference on random data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    val buildRows = List.fill(150)(
+        (rng.nextInt(5).toLong, rng.nextInt(60).toLong, rng.nextLong(1000)))
+      .groupBy(t => (t._1, t._2)).values.map(_.head).toList
+    val probeRows = List.tabulate(250)(i =>
+      (i.toLong, rng.nextInt(5).toLong, rng.nextInt(60).toLong))
+    val build = buildRows.toDF("k", "ts", "v")
+    val probe = probeRows.toDF("event_id", "k", "ts")
+    val byKey = buildRows.groupBy(_._1)
+    def refBwd(k: Long, ts: Long, tol: Long): Option[Long] =
+      byKey.getOrElse(k, Nil).filter(b => b._2 <= ts && ts - b._2 <= tol)
+        .sortBy(_._2).lastOption.map(_._3)
+    def refFwd(k: Long, ts: Long, tol: Long): Option[Long] =
+      byKey.getOrElse(k, Nil).filter(b => b._2 >= ts && b._2 - ts <= tol)
+        .sortBy(_._2).headOption.map(_._3)
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val cases: Seq[(String, Map[Long, Option[Long]], (Long, Long) => Option[Long])] = Seq(
+      ("bwd", run(operators.AsofJoin.asofJoin(
+        probe, build, Seq("k"), "ts", Seq("v"))),
+        (k, ts) => refBwd(k, ts, Long.MaxValue)),
+      ("fwd", run(operators.AsofJoin.asofJoinForward(
+        probe, build, Seq("k"), "ts", Seq("v"))),
+        (k, ts) => refFwd(k, ts, Long.MaxValue)),
+      ("bwd tol=7", run(operators.AsofJoin.asofJoinTolerance(
+        probe, build, Seq("k"), "ts", Seq("v"), 7L)),
+        (k, ts) => refBwd(k, ts, 7L)),
+      ("fwd tol=7", run(operators.AsofJoin.asofJoinTolerance(
+        probe, build, Seq("k"), "ts", Seq("v"), 7L, forward = true)),
+        (k, ts) => refFwd(k, ts, 7L)))
+    for ((name, got, ref) <- cases; (id, k, ts) <- probeRows)
+      assert(got(id) === ref(k, ts), s"$name: probe $id (k=$k, ts=$ts)")
+  }
+
+  test("asof rejects reserved __asof_ input columns; bucketing is exact beyond 2^53") {
+    val s = spark
+    import s.implicits._
+    val build = Seq((1L, 10L, 100L)).toDF("k", "ts", "v")
+    val badProbe = Seq((1L, 1L, 5L)).toDF("__asof_tag", "k", "ts")
+    intercept[IllegalArgumentException] {
+      operators.AsofJoin.asofJoin(badProbe, build, Seq("k"), "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      operators.AsofJoin.asofJoinBucketed(
+        badProbe, build, Seq("k"), "ts", Seq("v"), 7L)
+    }
+    // nanosecond-epoch magnitudes: doubles can no longer represent
+    // every long, so the old floor(ts / width) double division could
+    // misbucket boundary rows; the integral form must equal the plain
+    // operator exactly
+    val base = 3000000000000000000L // ~2^61.4
+    val rng = new scala.util.Random(48)
+    val bigBuild = List.tabulate(40)(i => (1L, base + i * 3L, i.toLong))
+      .toDF("k", "ts", "v")
+    val bigProbe = List.tabulate(80)(i =>
+        (i.toLong, 1L, base + rng.nextInt(130).toLong - 5L))
+      .toDF("event_id", "k", "ts")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val plain = run(operators.AsofJoin.asofJoin(
+      bigProbe, bigBuild, Seq("k"), "ts", Seq("v")))
+    for (width <- Seq(1L, 7L, 64L))
+      assert(run(operators.AsofJoin.asofJoinBucketed(
+        bigProbe, bigBuild, Seq("k"), "ts", Seq("v"), width)) === plain,
+        s"width=$width")
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
