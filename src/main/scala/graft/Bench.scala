@@ -43,46 +43,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val samples: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // between timings: drop the finished query's caches so later
-        // queries aren't measured against a session full of dead blocks
-        Caches.clear(spark)
-        name -> dt
-      }
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val names = queries.keys.toSeq
-    val med = names.map(n => n -> median(samples.map(_(n)))).toMap
-    // stdout line stays SHORT: the harness captures a bounded log tail,
-    // and a line carrying per-query min/max at full double precision
-    // overflowed it (head truncated → unparseable). Medians at 4
-    // decimals go to stdout; the full-precision medians + min/max land
-    // in BENCH_LAST.json only.
-    def r4(x: Double): String = BigDecimal(x)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsShort = names.map(n => s"\"" + n + "\":" + r4(med(n)))
-      .mkString("{", ",", "}")
-    val qs = names.map(n => s"\"" + n + "\":" + med(n))
-      .mkString("{", ",", "}")
-    val minmax = names.map { n =>
-      val xs = samples.map(_(n))
-      s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
-    }.mkString("{", ",", "}")
-    val total = if (med.nonEmpty) med.values.sum else 0.0
-    val stdoutJson =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,""" +
-        s""""reps":$reps,"sf":"$sfDir"}"""
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_minmax":$minmax,"reps":$reps,"sf":"$sfDir"}"""
+    val samples = sample(spark, sfDir, queries, reps)
+    val (stdoutJson, json, allFailed) =
+      render(queries.keys.toSeq, samples, reps, sfDir)
     // stop Spark BEFORE emitting, so no stray shutdown log line can land
     // after the JSON — the harness scrapes the log tail for it
     spark.stop()
@@ -100,5 +63,84 @@ object Bench {
     }
     // the (short) JSON line is the FINAL stdout line of the run
     println(stdoutJson)
+    // a query that failed EVERY rep means the run measured nothing for
+    // it — fail loudly so a broken query can't masquerade as a fast one
+    if (allFailed.nonEmpty) {
+      System.err.println(
+        s"[bench] queries failed every rep: ${allFailed.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  /** One interleaved timing pass per rep: `Some(seconds)` on success,
+    * `None` when the query threw — a failure is an ERROR to report, not
+    * a (suspiciously fast) time-to-exception sample to aggregate.
+    */
+  private[graft] def sample(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      reps: Int): Seq[Map[String, Option[Double]]] =
+    (1 to reps).map { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // between timings: drop the finished query's caches so later
+        // queries aren't measured against a session full of dead blocks
+        Caches.clear(spark)
+        name -> (if (ok) Some(dt) else None)
+      }
+    }
+
+  /** Render the two JSON lines (short stdout form, full-precision file
+    * form) + the names that failed every rep. Medians are over
+    * SUCCESSFUL samples only; a query with zero successes reports -1
+    * and shows up in the `errors` field (failure counts per query),
+    * which is always present so parsers need no fallback.
+    */
+  private[graft] def render(names: Seq[String],
+      samples: Seq[Map[String, Option[Double]]], reps: Int,
+      sfDir: String): (String, String, Seq[String]) = {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val okSamples: Map[String, Seq[Double]] =
+      names.map(n => n -> samples.flatMap(_(n))).toMap
+    val errCount: Map[String, Int] =
+      names.map(n => n -> samples.count(_(n).isEmpty)).toMap
+    val med = names.map { n =>
+      n -> (if (okSamples(n).nonEmpty) median(okSamples(n)) else -1.0)
+    }.toMap
+    val allFailed = names.filter(n => okSamples(n).isEmpty).sorted
+    // stdout line stays SHORT: the harness captures a bounded log tail,
+    // and a line carrying per-query min/max at full double precision
+    // overflowed it (head truncated → unparseable). Medians at 4
+    // decimals go to stdout; the full-precision medians + min/max land
+    // in BENCH_LAST.json only.
+    def r4(x: Double): String = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = names.map(n => s"\"" + n + "\":" + r4(med(n)))
+      .mkString("{", ",", "}")
+    val qs = names.map(n => s"\"" + n + "\":" + med(n))
+      .mkString("{", ",", "}")
+    val errs = names.filter(errCount(_) > 0)
+      .map(n => s"\"" + n + "\":" + errCount(n))
+      .mkString("{", ",", "}")
+    val minmax = names.map { n =>
+      val xs = okSamples(n)
+      if (xs.nonEmpty) s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
+      else s"\"" + n + "\":[-1,-1]"
+    }.mkString("{", ",", "}")
+    val total = med.values.filter(_ >= 0).sum
+    val stdoutJson =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,""" +
+        s""""errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_minmax":$minmax,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    (stdoutJson, json, allFailed)
   }
 }

@@ -555,15 +555,19 @@ object SparkEntry {
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
         "'\\s+', ' ', 'g')) AS text FROM documents"),
     // same augmentation expression, then the SAME pattern chain in the
-    // same order (patterns are single-sourced from TextOps.PiiPatterns)
+    // same order (patterns are single-sourced from TextOps.PiiPatterns;
+    // single quotes escaped as '' for the splice — today's patterns
+    // carry none, but a future one must not break the oracle silently)
     "text_pii" -> {
+      def sq(s: String): String = s.replace("'", "''")
       val aug = "text || ' u' || CAST(doc_id AS VARCHAR) || " +
         "'@ex.org 123-45-' || " +
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 555.867.' || " +
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 10.0.' || " +
         "CAST(doc_id % 256 AS VARCHAR) || '.7'"
       val scrubbed = TextOps.PiiPatterns.foldLeft(aug) {
-        case (e, (pat, tag)) => s"regexp_replace($e, '$pat', '$tag', 'g')"
+        case (e, (pat, tag)) =>
+          s"regexp_replace($e, '${sq(pat)}', '${sq(tag)}', 'g')"
       }
       s"SELECT doc_id, $scrubbed AS text FROM documents"
     },

@@ -159,8 +159,11 @@ object GraphOps {
   def trianglesRep(e0: DataFrame, max: Long = 40L): DataFrame = {
     val e = graft.Caches.track(weightedEdges(filterMaxId(e0, max, inclusive = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val threshold =
-      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    // read through the OWNING session's conf, not the thread-active
+    // SQLConf.get — in multi-session apps the wrong session's threshold
+    // could otherwise decide the broadcast hint
+    val threshold = org.apache.spark.sql.graft.ColumnBridge
+      .sqlConf(e0.sparkSession).autoBroadcastJoinThreshold
     // ~48 B/row: 3 longs in an UnsafeRow plus broadcast-collection
     // overhead, rounded up — the count materializes the persisted
     // relation the branches below reuse anyway

@@ -124,6 +124,17 @@ object TextOps {
     * layer (what you can hash-verify); an NER-model pass would ride
     * the same projection shape via mapInPandas like Multimodal's
     * decode slot.
+    *
+    * OVER-REDACTION is the designed bias — shapes match, semantics
+    * don't: `"see release 10.0.1.7 of the kernel"` becomes
+    * `"see release <IP> of the kernel"` (version strings are
+    * IPv4-shaped), `999.999.999.999` redacts despite octets > 255, and
+    * any 123-45-6789-shaped order number becomes `<SSN>`. For a scrub
+    * that feeds model training this is the safe direction (a false
+    * redaction costs a token; a missed SSN leaks), and tightening it
+    * (octet ranges, checksum validation, NER context) belongs in a
+    * higher layer — the hash-verifiable regex baseline stays simple on
+    * purpose.
     */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, PiiPatterns.foldLeft(col(textCol)) {

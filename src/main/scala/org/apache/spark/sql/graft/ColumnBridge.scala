@@ -34,6 +34,17 @@ object ColumnBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** The OWNING session's SQLConf (`sessionState` is private[sql]) —
+    * for reading config pinned to the session a DataFrame belongs to.
+    * The thread-local `SQLConf.get` can resolve to a DIFFERENT
+    * session's conf in multi-session apps (whichever session was
+    * active on the calling thread), so plan-construction-time
+    * decisions must read through this instead.
+    */
+  def sqlConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.internal.SQLConf =
+    spark.sessionState.conf
+
   /** DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
     * private[sql]) — the way a custom logical operator enters the
     * public Column/DataFrame world.
