@@ -313,6 +313,19 @@ object Similarity {
     // subplan (which would re-scan + re-hash the whole corpus)
     val centLocal = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(centRows: _*), cents.schema)
+    ivfFromCentroids(corpus, centIds, centEmb, centN2, centLocal,
+      nQueries, nProbe)
+  }
+
+  /** The IVF machinery downstream of centroid choice — anchor layout,
+    * codegen two-level assignment, probe ranking, candidate scoring —
+    * shared verbatim by the hash-anchor (`ivfScored`) and the trained
+    * (`ivfScoredTrained`) paths, so training changes ONLY which
+    * centroid vectors exist, never the plan shape.
+    */
+  private def ivfFromCentroids(corpus: DataFrame, centIds: Array[Long],
+      centEmb: Array[Array[Double]], centN2: Array[Double],
+      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
     // ---- two-level assignment model, built driver-side over the
     // (≤ IvfMaxCells) collected centroids. Coarse anchors are the
     // FIRST ⌈√cells⌉ centroids of the same (poly_hash(id), id) order
@@ -321,7 +334,7 @@ object Similarity {
     // the identical sequential double fold the oracle's dotSql uses,
     // with the identical (cos desc, id asc) tie-break, so the grouping
     // is bit-reproducible in SQL.
-    val kc = ivfCoarseCells(centRows.length)
+    val kc = ivfCoarseCells(centIds.length)
     val anchorIdx: Array[Int] = centIds.indices
       .sortBy { i =>
         (graft.functions.PolyHashUtil.hash(
@@ -392,6 +405,148 @@ object Similarity {
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
     scored
+  }
+
+  /** Training-sample budget for `knnIvfTrained`: rows collected to the
+    * driver for Lloyd (cap × dim floats — 16k × 256d ≈ 16 MB). More
+    * sample buys better centroids, not better worst-case complexity:
+    * training cost is O(cap · cells · iters) driver-side regardless
+    * of N.
+    */
+  val IvfTrainSampleCap = 16384
+  val IvfLloydIters = 5
+
+  /** IVF top-k over TRAINED centroids: same index machinery as
+    * `knnIvf`, but the centroid set is refined with `lloydIters`
+    * rounds of driver-side spherical k-means over a deterministic
+    * corpus sample (the first `sampleCap` rows of the same
+    * (poly_hash(id), id) order; initialization = the first `cells` of
+    * them, i.e. exactly the untrained layout). On clustered real-world
+    * embedding distributions hash-order anchors skew — dense regions
+    * get too few cells, so their cells grow and probe-side candidate
+    * counts with them; Lloyd moves centroids toward the density and
+    * evens the cells out. Everything stays deterministic (fixed
+    * iteration order, cosine ties break toward the lower cell index,
+    * empty cells keep their previous centroid), so two builds over the
+    * same input produce identical indexes — but the centroids are now
+    * FITTED data, not SQL-derivable hash picks, so this variant has no
+    * DuckDB oracle; `knnIvf` remains the hash-checked twin and the
+    * rehearsal harness measures this one's recall/candidate profile.
+    *
+    * Same eager-evaluation semantics as `knnIvf` (a sizing count
+    * unless pinned, plus the sample collect at build time).
+    */
+  def knnIvfTrained(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L,
+      lloydIters: Int = IvfLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame =
+    topK(ivfScoredTrained(emb, nQueries, nProbe, nCells, corpusSize,
+      lloydIters, sampleCap), k)
+
+  private[graft] def ivfScoredTrained(emb: DataFrame,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L,
+      lloydIters: Int = IvfLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame = {
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    val corpus = withNorm(emb)
+    val cells =
+      if (nCells > 0) nCells
+      else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
+    // deterministic training sample: the same TakeOrdered hash-prefix
+    // the untrained path selects centroids from, just deeper
+    val cap = math.max(cells, sampleCap)
+    val sampleRows = corpus
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cap)
+      .select(col("embedding"))
+      .collect()
+    if (sampleRows.isEmpty) {
+      return corpus.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
+        .filter(lit(false))
+    }
+    val pts = sampleRows.map(
+      _.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val trained = lloydCosine(pts, pts.take(math.min(cells, pts.length)),
+      lloydIters)
+    // round to FLOAT once and derive everything (kernel arrays, probe
+    // relation, norms) from the rounded values, so the two sides of
+    // the index see bit-identical centroids — matching how the
+    // untrained path's float corpus rows behave
+    val centEmbF: Array[Array[Float]] = trained.map(_.map(_.toFloat))
+    val centEmb = centEmbF.map(_.map(_.toDouble))
+    val centN2 = centEmb.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    val centIds = Array.tabulate(centEmb.length)(_.toLong)
+    val s = emb.sparkSession
+    import s.implicits._
+    val centLocal = centIds.toSeq.map(i =>
+        (i, centEmbF(i.toInt), centN2(i.toInt)))
+      .toDF("cent_id", "c_emb", "c_n2")
+    ivfFromCentroids(corpus, centIds, centEmb, centN2, centLocal,
+      nQueries, nProbe)
+  }
+
+  /** Deterministic spherical-k-means refinement, driver-side: assign
+    * every sample point to its max-cosine centroid (ties and zero
+    * norms break toward the LOWER index), recompute each centroid as
+    * the plain mean of its members (cosine is scale-invariant, so the
+    * mean assigns identically to the normalized mean), and keep a
+    * centroid that attracted nothing — `iters` times, in fixed array
+    * order, with no randomness anywhere.
+    */
+  private def lloydCosine(points: Array[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
+    val dim = points(0).length
+    var cents = init.map(_.clone())
+    def n2(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    val pn = points.map(v => math.sqrt(n2(v)))
+    var it = 0
+    while (it < iters) {
+      val cn = cents.map(v => math.sqrt(n2(v)))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var p = 0
+      while (p < points.length) {
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val denom = pn(p) * cn(j)
+          val cos =
+            if (denom == 0.0) -1.0
+            else {
+              var acc = 0.0; var i = 0
+              while (i < dim) { acc += points(p)(i) * cents(j)(i); i += 1 }
+              acc / denom
+            }
+          if (cos > bestCos) { bestCos = cos; best = j }
+          j += 1
+        }
+        val tgt = sums(best)
+        var i = 0
+        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0L) cents(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+      it += 1
+    }
+    cents
   }
 
   /** Per-query rank-≤-k via the custom TopKPerKey operator: same hash

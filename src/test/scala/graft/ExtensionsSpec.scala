@@ -584,6 +584,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall too low: $recall")
   }
 
+  test("knnIvfTrained: deterministic, and on a clustered corpus beats the hash-anchor layout") {
+    // 2000 vectors in 25 tight clusters (dim 16): centers from the
+    // cluster id's hash, points = center + small id-hash noise — fully
+    // deterministic, no RNG. This is the distribution hash-order
+    // anchors skew on: dense regions get however many anchors the hash
+    // happens to drop there.
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val truth = Similarity.knnBrute(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(p: Set[(Long, Long)]): Double =
+      (p & truth).size.toDouble / truth.size
+    val untrained = pairs(Similarity.knnIvf(emb, corpusSize = 2000L))
+    val trained = pairs(Similarity.knnIvfTrained(emb, corpusSize = 2000L))
+    // deterministic: a second build returns the identical result set
+    assert(trained ===
+      pairs(Similarity.knnIvfTrained(emb, corpusSize = 2000L)))
+    // trained centroids must not lose recall on the clustered corpus...
+    val (rT, rU) = (recallOf(trained), recallOf(untrained))
+    assert(rT >= rU, s"trained recall $rT < untrained $rU")
+    // ...while meeting no more candidates than the skewed hash layout
+    // lets through (balanced cells are the point of training)
+    val candU = Similarity.ivfScored(emb, corpusSize = 2000L).count()
+    val candT = Similarity.ivfScoredTrained(emb, corpusSize = 2000L).count()
+    assert(candT <= candU * 2,
+      s"trained candidates $candT vs untrained $candU")
+    // sanity that the comparison is non-degenerate
+    assert(rT >= 0.5, s"trained recall unexpectedly low: $rT")
+  }
+
   test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
