@@ -75,6 +75,11 @@ object Bench {
   /** One interleaved timing pass per rep: `Some(seconds)` on success,
     * `None` when the query threw — a failure is an ERROR to report, not
     * a (suspiciously fast) time-to-exception sample to aggregate.
+    * The catch is `Throwable`, not `NonFatal`: a query-local fatal
+    * (StackOverflowError from deep codegen, LinkageError from a bad
+    * generated class) must be RECORDED and the remaining queries still
+    * timed — only truly process-fatal errors, where continuing would
+    * measure a corrupted JVM, abort the whole run.
     */
   private[graft] def sample(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
@@ -84,7 +89,13 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case scala.util.control.NonFatal(_) => false }
+          catch {
+            case e @ (_: OutOfMemoryError | _: InterruptedException) =>
+              throw e
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getClass.getName}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // between timings: drop the finished query's caches so later
         // queries aren't measured against a session full of dead blocks

@@ -288,6 +288,36 @@ object SparkEntry {
         Seq("user_id"), "ts_us", Seq("click_id"), AsofTolUs)
         .orderBy("event_id")
     }),
+    // skew-proof FORWARD form: (user, hour bucket) partitions with the
+    // opening-row carry reversed — must equal events_asof_fwd exactly,
+    // so it shares that oracle verbatim
+    "events_asof_fwd_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      operators.AsofJoin.asofJoinBucketedForward(views, clicks,
+        Seq("user_id"), "ts", Seq("click_id"), 3600L).orderBy("event_id")
+    }),
+    // skew-proof TOLERANCE form on the micros grain; bucket width =
+    // one hour in micros — must equal events_asof_tol exactly, so it
+    // shares that oracle verbatim
+    "events_asof_tol_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      operators.AsofJoin.asofJoinBucketedTolerance(views, clicks,
+        Seq("user_id"), "ts_us", Seq("click_id"), 3600000000L, AsofTolUs)
+        .orderBy("event_id")
+    }),
   )
 
   // ---- oracle SQL fragment generators (mirror the Spark ops exactly;
@@ -1050,6 +1080,25 @@ object SparkEntry {
     // in-tolerance match (anything else is older still), so native
     // ASOF + a CASE on the distance is exact
     "events_asof_tol" ->
+      ("WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+        "MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts_us, " +
+        s"CASE WHEN v.ts_us - c.ts_us <= $AsofTolUs THEN c.click_id END " +
+        "AS click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts_us >= c.ts_us"),
+    "events_asof_fwd_bucketed" -> // execution detail only — same semantics
+      ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts, c.click_id " +
+        "FROM views v ASOF LEFT JOIN clicks c " +
+        "ON v.user_id = c.user_id AND v.ts <= c.ts"),
+    "events_asof_tol_bucketed" -> // execution detail only — same semantics
       ("WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
         "MAX(event_id) AS click_id " +
         "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,13 +160,68 @@ object AsofJoin {
     * at second granularity); pick `bucketWidth` so a key's densest
     * bucket fits a task comfortably — at 1M rows/key/day, an hour
     * bucket is ~42k rows. Same build-side uniqueness precondition as
-    * `asofJoin`. Bucketing is pure LONG arithmetic (floor via
-    * pmod-adjusted integral division, never a double round-trip), so
-    * nanosecond-epoch magnitudes beyond 2^53 bucket exactly.
+    * `asofJoin`. Bucketing is pure LONG arithmetic (a floor-corrected
+    * integral `div`, never a double round-trip), so nanosecond-epoch
+    * magnitudes beyond 2^53 — and any ts down to Long.MinValue —
+    * bucket exactly.
     */
   def asofJoinBucketed(probe: DataFrame, build: DataFrame,
       keys: Seq[String], tsCol: String, valueCols: Seq[String],
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long): DataFrame =
+    bucketedKernel(probe, build, keys, tsCol, valueCols, bucketWidth,
+      forward = false, tolerance = None)
+
+  /** Skew-proof FORWARD as-of join — identical results to
+    * `asofJoinForward`, same bucketed shape as `asofJoinBucketed` with
+    * every direction reversed: the carry is each bucket's OPENING
+    * (min-ts) build row, carried backward from strictly LATER buckets,
+    * and the in-bucket election runs descending so a probe matches the
+    * earliest build row at or after it.
+    */
+  def asofJoinBucketedForward(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      bucketWidth: Long): DataFrame =
+    bucketedKernel(probe, build, keys, tsCol, valueCols, bucketWidth,
+      forward = true, tolerance = None)
+
+  /** Skew-proof tolerance-bounded as-of join — identical results to
+    * `asofJoinTolerance` (either direction). The matched build row's
+    * own ts rides inside the carried struct, so the tolerance check is
+    * exact even when the match crossed a bucket boundary via the
+    * carry; like the plain variant it adds only a projection on top of
+    * the bucketed plan.
+    */
+  def asofJoinBucketedTolerance(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      bucketWidth: Long, tolerance: Long,
+      forward: Boolean = false): DataFrame = {
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    bucketedKernel(probe, build, keys, tsCol, valueCols, bucketWidth,
+      forward, tolerance = Some(tolerance))
+  }
+
+  /** floor(ts / width) in exact long arithmetic, built from Column
+    * operators (a spliced SQL string would break on column names
+    * containing backticks): integral `div` truncates toward zero, so
+    * a negative ts with a nonzero remainder is nudged one bucket down
+    * — the correction subtracts at most 1 from a quotient of smaller
+    * magnitude than ts, so no intermediate can overflow at ANY long
+    * ts, including within `width` of Long.MinValue (where the
+    * pmod-subtraction form wrapped).
+    */
+  private def bucketOf(tsCol: String, width: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tl = col(tsCol).cast("long")
+    val q = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(tl), Literal(width)))
+    (q - when(tl % width < 0, lit(1L)).otherwise(lit(0L))).as("__asof_bkt")
+  }
+
+  private def bucketedKernel(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], tsCol: String, valueCols: Seq[String],
+      bucketWidth: Long, forward: Boolean,
+      tolerance: Option[Long]): DataFrame = {
     require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
     require(keys.nonEmpty, "asofJoinBucketed needs at least one key column")
     require(valueCols.nonEmpty, "asofJoinBucketed needs at least one value column")
@@ -175,42 +230,46 @@ object AsofJoin {
     require(!probeCols.exists(valueCols.contains),
       s"value columns ${valueCols.mkString(", ")} must not collide with " +
         s"probe columns ${probeCols.mkString(", ")}")
-    // floor(ts / width) in exact long arithmetic: subtracting the
-    // POSITIVE remainder makes the numerator a sign-correct multiple of
-    // the width, so the truncating `div` is an exact division — no
-    // double rounding at any ts magnitude, and correct for negative ts
-    val bkt = {
-      val t = s"cast(`$tsCol` as bigint)"
-      expr(s"($t - pmod($t, ${bucketWidth}L)) div ${bucketWidth}L")
-        .as("__asof_bkt")
-    }
-    val vStruct = struct(valueCols.map(col): _*)
+    val bkt = bucketOf(tsCol, bucketWidth)
+    // the carried struct holds the build row's own ts (`__asof_bts`)
+    // alongside its values — the tolerance post-filter needs it, and
+    // it must survive the carry across bucket boundaries
+    val vStruct = struct(col(tsCol).as("__asof_bts") +: valueCols.map(col): _*)
     val b = build.select(
       (keys.map(col) :+ col(tsCol)) ++
         Seq(vStruct.as("__asof_v"), bkt): _*)
     val vType = b.schema("__asof_v").dataType
-    // one closing row per non-empty (key, bucket): its latest build row
+    // one boundary row per non-empty (key, bucket): backward carries
+    // the bucket's CLOSING (max-ts) build row forward, forward carries
+    // its OPENING (min-ts) row backward
+    val boundaryAgg =
+      if (forward) min_by(col("__asof_v"), col(tsCol))
+      else max_by(col("__asof_v"), col(tsCol))
     val closings = b.groupBy(keys.map(col) :+ col("__asof_bkt"): _*)
-      .agg(max_by(col("__asof_v"), col(tsCol)).as("__asof_cv"))
-    // per probe bucket, the latest closing of any STRICTLY earlier
-    // bucket: probe-bucket markers (tag 0) sort before same-bucket
-    // closings (tag 1), and the frame stops at -1 — bucket-level rows
-    // only, so this per-key window holds buckets, not events
+      .agg(boundaryAgg.as("__asof_cv"))
+    // per probe bucket, the boundary row of the nearest STRICTLY
+    // earlier (backward) / later (forward) non-empty bucket:
+    // probe-bucket markers (tag 0) sort before same-bucket boundary
+    // rows (tag 1) in traversal order, and the frame stops at -1 —
+    // bucket-level rows only, so this per-key window holds buckets,
+    // not events
     val pBkts = probe
       .select(keys.map(col) :+ bkt: _*).distinct()
       .withColumn("__asof_cv", lit(null).cast(vType))
       .withColumn("__asof_pb", lit(0))
+    val bktOrder = if (forward) col("__asof_bkt").desc else col("__asof_bkt").asc
     val wCarry = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__asof_bkt").asc, col("__asof_pb").asc)
+      .orderBy(bktOrder, col("__asof_pb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = pBkts
       .unionByName(closings.withColumn("__asof_pb", lit(1)))
       .withColumn("__asof_carry",
         last(col("__asof_cv"), ignoreNulls = true).over(wCarry))
       .filter(col("__asof_pb") === 0 && col("__asof_carry").isNotNull)
-    // synthetic carry rows sort FIRST in their bucket via null ts +
-    // nulls-first, and lose to any real in-bucket build row — which is
-    // strictly newer than anything a carry can hold
+    // synthetic carry rows sort FIRST in their bucket's traversal via
+    // null ts + nulls-first, and lose to any real in-bucket build row
+    // — which is strictly closer to the probe than anything a carry
+    // can hold (strictly newer backward, strictly earlier forward)
     val synth = carry.select(
       (keys.map(col) :+ lit(null).cast(probe.schema(tsCol).dataType).as(tsCol)) ++
         Seq(col("__asof_carry").as("__asof_v"), lit(-1).as("__asof_tag"),
@@ -221,14 +280,28 @@ object AsofJoin {
         Seq(lit(null).cast(vType).as("__asof_v"), lit(1).as("__asof_tag"),
           bkt) ++
         probeCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+    // backward ascends (running last = latest earlier build), forward
+    // descends (running last = earliest later build); build rows sort
+    // before probe rows on equal ts either way = the inclusive bound
+    val tsOrder =
+      if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc_nulls_first
     val w = Window.partitionBy(keys.map(col) :+ col("__asof_bkt"): _*)
-      .orderBy(col(tsCol).asc_nulls_first, col("__asof_tag").asc)
+      .orderBy(tsOrder, col("__asof_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = valueCols.map { c =>
+      tolerance match {
+        case Some(tol) =>
+          val dt = col(tsCol).cast("long") -
+            col("__asof_m.__asof_bts").cast("long")
+          val within = if (forward) -dt <= tol else dt <= tol
+          when(within, col(s"__asof_m.$c")).as(c)
+        case None => col(s"__asof_m.$c").as(c)
+      }
+    }
     p.unionByName(bTagged, allowMissingColumns = true)
       .unionByName(synth, allowMissingColumns = true)
       .withColumn("__asof_m", last(col("__asof_v"), ignoreNulls = true).over(w))
       .filter(col("__asof_tag") === 1)
-      .select(probeCols.map(col) ++
-        valueCols.map(c => col(s"__asof_m.$c").as(c)): _*)
+      .select(probeCols.map(col) ++ matched: _*)
   }
 }

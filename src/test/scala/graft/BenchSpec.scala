@@ -48,6 +48,24 @@ class BenchSpec extends SparkSpec {
     assert(!stdoutJson.contains("\"flaky\":-1"), stdoutJson)
   }
 
+  test("a query-local fatal error is recorded; the run continues to later queries") {
+    // a StackOverflowError (e.g. from pathologically deep codegen) is
+    // fatal-but-query-local: the old NonFatal catch let it abort the
+    // whole run before any JSON was emitted — it must instead become an
+    // errors entry while the remaining queries still get timed
+    val queries = scala.collection.immutable.ListMap(
+      "deep" -> q(_ => throw new StackOverflowError("deliberate")),
+      "after" -> q(s => s.range(5).toDF()))
+    val samples = Bench.sample(spark, "unused", queries, reps = 2)
+    assert(samples.forall(_("deep").isEmpty))
+    assert(samples.forall(_("after").isDefined))
+    // process-fatal errors still abort: a dead JVM must not keep timing
+    val oom = Map("oom" -> q(_ => throw new OutOfMemoryError("deliberate")))
+    intercept[OutOfMemoryError] {
+      Bench.sample(spark, "unused", oom, reps = 1)
+    }
+  }
+
   test("an all-green run renders an empty errors object") {
     val queries = Map("good" -> q(s => s.range(3).toDF()))
     val samples = Bench.sample(spark, "unused", queries, reps = 1)

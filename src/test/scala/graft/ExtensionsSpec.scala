@@ -1054,6 +1054,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("__asof_bkt"), plan)
   }
 
+  test("bucketed gate queries equal their plain twins on the real events table") {
+    // the gate queries run over TimestampType ts (the property tests
+    // above use long ts) — pin the bucketed variants to their plain
+    // twins on the actual table the driver verifies against
+    val d = "/root/testdata/sf0.001"
+    def rows(q: String) =
+      SparkEntry.queries(q)(spark, d).collect().map(_.toSeq).toSeq
+    assert(rows("events_asof_fwd_bucketed") === rows("events_asof_fwd"))
+    assert(rows("events_asof_tol_bucketed") === rows("events_asof_tol"))
+    assert(rows("events_asof_bucketed") === rows("events_asof"))
+    assert(rows("events_asof_fwd_bucketed").nonEmpty)
+  }
+
+  test("bucketed forward/tolerance == their plain twins on random data, across widths") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(29)
+    (1 to 3).foreach { _ =>
+      val build = List.fill(120)(
+          (rng.nextInt(5).toLong, rng.nextInt(40).toLong, rng.nextLong(1000)))
+        .groupBy(t => (t._1, t._2)).values.map(_.head).toList
+        .toDF("k", "ts", "v")
+      val probe = List.tabulate(200)(i =>
+          (i.toLong, rng.nextInt(5).toLong, rng.nextInt(40).toLong))
+        .toDF("event_id", "k", "ts")
+      def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val fwdPlain = run(operators.AsofJoin.asofJoinForward(
+        probe, build, Seq("k"), "ts", Seq("v")))
+      val tolBwdPlain = run(operators.AsofJoin.asofJoinTolerance(
+        probe, build, Seq("k"), "ts", Seq("v"), 7L))
+      val tolFwdPlain = run(operators.AsofJoin.asofJoinTolerance(
+        probe, build, Seq("k"), "ts", Seq("v"), 7L, forward = true))
+      // width 1 (every ts its own bucket), a mid width smaller than the
+      // tolerance (carries must cross in-tolerance boundaries), a width
+      // larger than it, and one wider than the whole ts range
+      for (width <- Seq(1L, 5L, 13L, 1000L)) {
+        assert(run(operators.AsofJoin.asofJoinBucketedForward(
+          probe, build, Seq("k"), "ts", Seq("v"), width)) === fwdPlain,
+          s"forward width=$width")
+        assert(run(operators.AsofJoin.asofJoinBucketedTolerance(
+          probe, build, Seq("k"), "ts", Seq("v"), width, 7L)) === tolBwdPlain,
+          s"tol-bwd width=$width")
+        assert(run(operators.AsofJoin.asofJoinBucketedTolerance(
+          probe, build, Seq("k"), "ts", Seq("v"), width, 7L,
+          forward = true)) === tolFwdPlain,
+          s"tol-fwd width=$width")
+      }
+    }
+  }
+
   test("asofJoinForward: inclusive ties, earliest-later ROW, null after last build") {
     val s = spark
     import s.implicits._
@@ -1154,6 +1206,20 @@ class ExtensionsSpec extends SparkSpec {
       assert(run(operators.AsofJoin.asofJoinBucketed(
         bigProbe, bigBuild, Seq("k"), "ts", Seq("v"), width)) === plain,
         s"width=$width")
+    // ts WITHIN bucketWidth of Long.MinValue: the old pmod-subtraction
+    // bucket form wrapped here (t - pmod(t, w) < Long.MinValue); the
+    // floor-corrected div must agree with the plain operator exactly
+    val loBuild = List.tabulate(6)(i => (1L, Long.MinValue + i * 2L, i.toLong))
+      .toDF("k", "ts", "v")
+    val loProbe = List.tabulate(12)(i =>
+        (i.toLong, 1L, Long.MinValue + i.toLong))
+      .toDF("event_id", "k", "ts")
+    val loPlain = run(operators.AsofJoin.asofJoin(
+      loProbe, loBuild, Seq("k"), "ts", Seq("v")))
+    for (width <- Seq(3L, 7L))
+      assert(run(operators.AsofJoin.asofJoinBucketed(
+        loProbe, loBuild, Seq("k"), "ts", Seq("v"), width)) === loPlain,
+        s"minvalue width=$width")
   }
 
   test("events: batch hourly == streaming hourly (same transform)") {
