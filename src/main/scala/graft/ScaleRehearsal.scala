@@ -137,6 +137,18 @@ object ScaleRehearsal {
           Seq("k"), "ts", Seq("v"), 50000L)
         .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
         .collect()(0).toSeq)
+    // forward direction under the same 10% hot key: the plain form
+    // funnels identically, the bucketed form must hold the same cut
+    t("asof fwd plain, hot key")(
+      operators.AsofJoin.asofJoinForward(asofProbe, asofBuild,
+          Seq("k"), "ts", Seq("v"))
+        .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
+        .collect()(0).toSeq)
+    t("asof fwd bucketed, hot key")(
+      operators.AsofJoin.asofJoinBucketedForward(asofProbe, asofBuild,
+          Seq("k"), "ts", Seq("v"), 50000L)
+        .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
+        .collect()(0).toSeq)
 
     // 20k / 80k embeddings: replicas of sf0.1's 2k. Cells grow as √N
     // (141 → 282), so per-query probe work 2·N/cells grows as √N —
@@ -187,6 +199,36 @@ object ScaleRehearsal {
     t("ivf recall@5 20k")(
       recall(emb, operators.Similarity.knnIvf(emb, corpusSize = 20000L)))
 
+    // trained IVF at 100k CLUSTERED vectors (50 tight hash-derived
+    // clusters, dim 16 — the distribution hash-order anchors skew on):
+    // the standing recall/candidate record for the Lloyd-trained
+    // index vs the untrained hash-anchor layout. Driver training cost
+    // is bounded (16k sample × √N cells × 5 iters) and included in
+    // the timing.
+    val clustered = graft.Caches.track(
+      spark.range(100000L).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), i -> cast(" +
+          "pmod(hash(id % 50 * 16 + i), 1000) / 499.5 - 1.0 + " +
+          "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+          .as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    t("ivf untrained 100k clustered")(
+      operators.Similarity.knnIvf(clustered, corpusSize = 100000L).count())
+    t("ivf trained 100k clustered")(
+      operators.Similarity.knnIvfTrained(clustered, corpusSize = 100000L)
+        .count())
+    t("ivf cand 100k untrained")(
+      operators.Similarity.ivfScored(clustered, corpusSize = 100000L).count())
+    t("ivf cand 100k trained")(
+      operators.Similarity.ivfScoredTrained(clustered, corpusSize = 100000L)
+        .count())
+    t("ivf recall@5 100k untrained")(
+      recall(clustered,
+        operators.Similarity.knnIvf(clustered, corpusSize = 100000L)))
+    t("ivf recall@5 100k trained")(
+      recall(clustered,
+        operators.Similarity.knnIvfTrained(clustered, corpusSize = 100000L)))
+
     // The adaptive-width contract made measurable: mean band-bucket
     // occupancy should stay ~flat 20k → 80k (the width grows with
     // log2 N, so N/2^bb holds near LshTargetBucket), instead of
@@ -230,6 +272,38 @@ object ScaleRehearsal {
       recall(uni, operators.Similarity.knnIvf(uni, corpusSize = 20000L)))
     t("ivf nprobe=8 recall uniform")(
       recall(uni, operators.Similarity.knnIvf(uni, nProbe = 8, corpusSize = 20000L)))
+
+    // ---- incremental admission: the chained production loop ----
+    // 3 sequential admission cycles over the 50k replica corpus (every
+    // doc has 9 clones, so later batches are mostly rejections): keys
+    // of EVERY ingested doc — admitted or not — append to a parquet
+    // relation, and each cycle's only text scan is its own batch. The
+    // invariant (chained == one-shot election with batch-index
+    // arrival) is asserted, not just timed — at this scale AND in the
+    // unit suite.
+    t("incr admission 3x ~17k")({
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-keys")
+      try {
+        val keysDir = dir.toString + "/keys"
+        graft.streaming.StreamDedup.bandKeysOf(docs.limit(0))
+          .write.parquet(keysDir)
+        var admitted = 0L
+        for (i <- 0 until 3) {
+          val batch = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          admitted += graft.streaming.StreamDedup
+            .nearDupIncrementalKeys(spark.read.parquet(keysDir), batch)
+            .count()
+          graft.streaming.StreamDedup.bandKeysOf(batch)
+            .write.mode("append").parquet(keysDir)
+        }
+        val oneShot = graft.streaming.StreamDedup.nearDupArrivalBatch(
+            docs.withColumn("arrival", pmod(col("doc_id"), lit(3))),
+            "arrival").count()
+        require(admitted == oneShot,
+          s"chained $admitted != one-shot $oneShot")
+        s"admitted=$admitted == one-shot"
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
 
     // ---- round-5 operators ----
     // stratified quota under EXTREME language skew: ~90% of 50k docs

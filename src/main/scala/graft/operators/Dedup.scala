@@ -742,6 +742,22 @@ object Dedup {
   val LshBands = 4
   val LshRows = 4 // 4 bands × 4 rows = 16 minhashes
 
+  /** Deterministic fingerprint of every constant a persisted band-key
+    * relation depends on (shingle width, minhash parameters, banding
+    * layout). `StreamDedup.bandKeysOf` stamps it onto each persisted
+    * row and `nearDupIncrementalKeys` fails loudly on a mismatch —
+    * keys produced under different constants would silently stop
+    * matching fresh signatures and weaken the dedup filter to a no-op.
+    * Pure driver-side arithmetic (a 64-bit polynomial fold over the
+    * canonical constant string), stable across JVMs and versions.
+    */
+  val LshParamsFingerprint: Long = {
+    val canonical = Seq(ShingleN, MinhashP,
+      MinhashAB.map { case (a, b) => s"$a:$b" }.mkString(","),
+      LshBands, LshRows).mkString("|")
+    canonical.foldLeft(1125899906842597L)((h, c) => h * 31L + c.toLong)
+  }
+
   /** Per-doc MinHash signature columns mh0..mh15 (docs with ≥ 1 shingle
     * only). Computed entirely inside one projection: distinct shingle
     * hashes as an array, then array_min over each affine transform — no

@@ -500,11 +500,25 @@ object Similarity {
     * mean assigns identically to the normalized mean), and keep a
     * centroid that attracted nothing — `iters` times, in fixed array
     * order, with no randomness anywhere.
+    *
+    * The O(points × cells × dim) assignment loop dominates (up to
+    * ~8.6e10 FLOPs per iteration at the 16384 × 4096 × 256 worst
+    * case) and each point's argmax is independent, so it fans out
+    * over a parallel stream into a per-point assignment array;
+    * accumulation then runs sequentially in fixed index order, so the
+    * result is bit-identical to the single-threaded loop. Expensive
+    * trainings announce themselves on stderr instead of stalling the
+    * driver silently.
     */
   private def lloydCosine(points: Array[Array[Double]],
       init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     if (init.isEmpty || points.isEmpty) return init.map(_.clone())
     val dim = points(0).length
+    val flopsPerIter = points.length.toDouble * init.length * dim
+    if (flopsPerIter * iters > 1e10)
+      System.err.println(f"[graft] IVF training: ${points.length} pts × " +
+        f"${init.length} cells × $dim dims × $iters iters ≈ " +
+        f"${flopsPerIter * iters}%.1e FLOPs on the driver (parallel)")
     var cents = init.map(_.clone())
     def n2(v: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -512,32 +526,38 @@ object Similarity {
       acc
     }
     val pn = points.map(v => math.sqrt(n2(v)))
+    val assign = new Array[Int](points.length)
     var it = 0
     while (it < iters) {
       val cn = cents.map(v => math.sqrt(n2(v)))
+      val cur = cents
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { p =>
+          var best = -1
+          var bestCos = Double.NegativeInfinity
+          var j = 0
+          while (j < cur.length) {
+            val denom = pn(p) * cn(j)
+            val cos =
+              if (denom == 0.0) -1.0
+              else {
+                var acc = 0.0; var i = 0
+                while (i < dim) { acc += points(p)(i) * cur(j)(i); i += 1 }
+                acc / denom
+              }
+            if (cos > bestCos) { bestCos = cos; best = j }
+            j += 1
+          }
+          assign(p) = best
+        }
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
       var p = 0
       while (p < points.length) {
-        var best = -1
-        var bestCos = Double.NegativeInfinity
-        var j = 0
-        while (j < cents.length) {
-          val denom = pn(p) * cn(j)
-          val cos =
-            if (denom == 0.0) -1.0
-            else {
-              var acc = 0.0; var i = 0
-              while (i < dim) { acc += points(p)(i) * cents(j)(i); i += 1 }
-              acc / denom
-            }
-          if (cos > bestCos) { bestCos = cos; best = j }
-          j += 1
-        }
-        val tgt = sums(best)
+        val tgt = sums(assign(p))
         var i = 0
         while (i < dim) { tgt(i) += points(p)(i); i += 1 }
-        counts(best) += 1
+        counts(assign(p)) += 1
         p += 1
       }
       cents = cents.indices.map { j =>

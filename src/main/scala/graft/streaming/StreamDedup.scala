@@ -160,12 +160,14 @@ object StreamDedup {
     *
     * This overload RE-SIGNATURES the corpus text on every batch — fine
     * for backfills; a production ingest loop should persist
-    * `bandKeysOf(admitted docs)` once at ingest time and admit each
-    * batch with `nearDupIncrementalKeys`, which consumes the stored
-    * keys and scans only the fresh batch's text.
+    * `bandKeysOf(batch)` once at ingest time and admit each batch
+    * with `nearDupIncrementalKeys`, which consumes the stored keys
+    * and scans only the fresh batch's text.
     *
     * PRECONDITIONS: `corpus` and `fresh` doc_id sets are disjoint,
     * and ids are unique within each (see `nearDupArrivalBatch`).
+    * `corpus` must be every doc EVER INGESTED — admitted or rejected
+    * — not just the surviving set (see `bandKeysOf` for why).
     */
   def nearDupIncremental(corpus: DataFrame, fresh: DataFrame): DataFrame = {
     val tagged = corpus
@@ -180,18 +182,39 @@ object StreamDedup {
   }
 
   /** The ingest-time export for `nearDupIncrementalKeys`: one
-    * (doc_id, band_idx, band_sig) row per LSH band of each document —
-    * ~40 B/band × `LshBands` per doc, the ONLY state incremental
-    * admission ever needs about the corpus. Persist this relation when
-    * a batch is admitted (append `bandKeysOf(admitted)`) and the corpus
-    * text is never re-scanned by dedup again. Band signatures are the
-    * exact text `bandKeys` (and so the batch/streaming operators)
-    * compute, so keys written by any graft version interoperate with
-    * all of them.
+    * (doc_id, band_idx, band_sig, lsh_params_fp) row per LSH band of
+    * each document — ~40 B/band × `LshBands` per doc, the ONLY state
+    * incremental admission ever needs about the corpus.
+    *
+    * THE PRODUCTION LOOP appends `bandKeysOf(batch)` — the WHOLE
+    * fresh batch, admitted AND rejected docs — after each admission,
+    * and the corpus text is never re-scanned by dedup again.
+    * Persisting every ingested doc's keys (not just the admitted
+    * set's) is a deliberate semantic choice: it makes chained
+    * admission equal the one-shot `nearDupArrivalBatch` election over
+    * the full stream regardless of how the stream was cut into
+    * batches, and equal to what `nearDupStreaming`'s state store does
+    * (`dropDuplicatesWithinWatermark` retains a band's first claimant
+    * whether or not that doc was emitted). Candidate CHAINS then
+    * collapse to their first arrival: if B was rejected as a near-dup
+    * of A, a later C colliding only with B is still rejected.
+    * Appending only admitted keys would instead admit C — a
+    * greedy "corpus-consistent" semantics that is smaller state but
+    * makes the admitted set depend on batch boundaries; the
+    * divergence is pinned in tests so the choice stays visible.
+    *
+    * Band signatures are the exact text `bandKeys` (and so the
+    * batch/streaming operators) compute, so persisted keys
+    * interoperate across graft versions AS LONG AS the LSH constants
+    * are unchanged — `lsh_params_fp` stamps the constants'
+    * fingerprint on every row, and `nearDupIncrementalKeys` fails
+    * loudly when stored keys were produced under different constants
+    * (silently non-matching keys would weaken the filter to a no-op).
     */
   def bandKeysOf(docs: DataFrame): DataFrame =
     bandKeys(docs.withColumn("__graft_ts", lit(0L)), "__graft_ts")
-      .select(col("doc_id"), col("band_idx"), col("band_sig"))
+      .select(col("doc_id"), col("band_idx"), col("band_sig"),
+        lit(graft.operators.Dedup.LshParamsFingerprint).as("lsh_params_fp"))
 
   /** Incremental near-dup admission over PRE-COMPUTED corpus band keys
     * — the 100 TB deployment form of `nearDupIncremental`: identical
@@ -205,12 +228,30 @@ object StreamDedup {
     *
     * PRECONDITIONS: `corpusKeys` doc_ids are disjoint from `fresh`'s,
     * `fresh` ids are unique, and `corpusKeys` holds EVERY band row of
-    * every corpus doc (exactly what `bandKeysOf` emits — dropping rows
-    * weakens the filter silently).
+    * every doc ever ingested — admitted or rejected, exactly what
+    * appending `bandKeysOf(batch)` per batch accumulates (dropping
+    * rows, or persisting only admitted docs' keys, changes which
+    * candidate chains collapse — see `bandKeysOf`).
+    *
+    * When `corpusKeys` carries the `lsh_params_fp` column `bandKeysOf`
+    * emits, every row is checked against the current constants — a
+    * mismatch (keys persisted by a build with different LSH
+    * parameters) raises rather than silently admitting near-dups. The
+    * check is a constant comparison inside the existing projection:
+    * no extra scan, no measurable cost. A bare 3-column relation
+    * (pre-fingerprint persists) skips the check.
     */
   def nearDupIncrementalKeys(corpusKeys: DataFrame, fresh: DataFrame): DataFrame = {
+    val fp = graft.operators.Dedup.LshParamsFingerprint
+    val sigChecked =
+      if (!corpusKeys.columns.contains("lsh_params_fp")) col("band_sig")
+      else when(col("lsh_params_fp") === lit(fp), col("band_sig"))
+        .otherwise(raise_error(concat(
+          lit("stored band keys were produced under different LSH " +
+            "parameters (fingerprint "), col("lsh_params_fp").cast("string"),
+          lit(s" != current $fp) — re-export bandKeysOf with this build"))))
     val ck = corpusKeys.select(col("doc_id"), lit(0L).as("ts"),
-      col("band_idx"), col("band_sig"))
+      col("band_idx"), sigChecked.as("band_sig"))
     val fk = bandKeys(fresh.withColumn("__graft_ts", lit(1L)), "__graft_ts")
     electAllWon(ck.unionByName(fk))
       .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")

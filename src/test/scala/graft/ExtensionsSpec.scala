@@ -971,6 +971,109 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaKeys === viaText)
   }
 
+  test("chained multi-batch admission == one-shot election over the whole stream") {
+    // THE production loop, rehearsed end to end with real persistence:
+    // cut the corpus into 3 batches, admit each against the stored key
+    // relation, append bandKeysOf(batch) — ALL fresh docs, admitted or
+    // not — and re-read the grown relation from parquet for the next
+    // cycle. The admitted union must equal the single-shot
+    // nearDupArrivalBatch election over the full corpus with
+    // batch-index arrival stamps: admission must not depend on where
+    // the stream was cut.
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft_chain_keys").toString + "/keys"
+    val emptyKeys = graft.streaming.StreamDedup.bandKeysOf(docs.limit(0))
+    emptyKeys.write.parquet(keysDir)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    for (i <- 0 to 2) {
+      val batch = docs.filter(col("doc_id") % 3 === i)
+      val stored = spark.read.parquet(keysDir)
+      admitted ++= graft.streaming.StreamDedup
+        .nearDupIncrementalKeys(stored, batch)
+        .collect().map(_.getLong(0))
+      graft.streaming.StreamDedup.bandKeysOf(batch)
+        .write.mode("append").parquet(keysDir)
+    }
+    val oneShot = graft.streaming.StreamDedup.nearDupArrivalBatch(
+        docs.withColumn("arrival", col("doc_id") % 3), "arrival")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted.nonEmpty && admitted.size < docs.count())
+    assert(admitted.sorted.toSeq === oneShot)
+  }
+
+  test("persisting ALL batch keys (not admitted-only) is what collapses candidate chains") {
+    // planted A→B→C chain (searched offline against the frozen LSH
+    // constants): B = A's text + C's text shares a band with A AND a
+    // band with C, while A and C share none. With the documented loop
+    // (append bandKeysOf of the WHOLE batch) C is rejected — B claimed
+    // C's band at ingest even though B itself was rejected — exactly
+    // the one-shot election. Persisting only ADMITTED docs' keys
+    // would admit C: the pinned divergence that makes the choice in
+    // bandKeysOf's contract deliberate.
+    val s = spark
+    import s.implicits._
+    val aText = (0 to 11).map(i => s"a59x$i").mkString(" ")
+    val cText = (0 to 11).map(i => s"c59y$i").mkString(" ")
+    val bText = aText + " " + cText
+    def bandsOf(text: String) = graft.streaming.StreamDedup
+      .bandKeysOf(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("band_idx", "band_sig").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // fixture preconditions — fail loudly if the constants ever change
+    val (bA, bB, bC) = (bandsOf(aText), bandsOf(bText), bandsOf(cText))
+    assert((bA & bB).nonEmpty, "planted A~B band collision vanished")
+    assert((bB & bC).nonEmpty, "planted B~C band collision vanished")
+    assert((bA & bC).isEmpty, "A and C must not collide directly")
+    val batch1 = Seq((1L, aText)).toDF("doc_id", "text")
+    val batch2 = Seq((2L, bText)).toDF("doc_id", "text")
+    val batch3 = Seq((3L, cText)).toDF("doc_id", "text")
+    def admit(keys: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.streaming.StreamDedup.nearDupIncrementalKeys(keys, b)
+        .collect().map(_.getLong(0)).toSeq
+    import graft.streaming.StreamDedup.bandKeysOf
+    // documented loop: keys accumulate for every ingested doc
+    val keysAll12 = bandKeysOf(batch1).unionByName(bandKeysOf(batch2))
+    assert(admit(bandKeysOf(batch1.limit(0)), batch1) === Seq(1L))
+    assert(admit(bandKeysOf(batch1), batch2) === Seq())    // B ~ A → out
+    assert(admit(keysAll12, batch3) === Seq())             // C ~ B → out
+    // one-shot election over the full stream agrees: only A survives
+    val oneShot = graft.streaming.StreamDedup.nearDupArrivalBatch(
+        batch1.unionByName(batch2).unionByName(batch3)
+          .withColumn("arrival", col("doc_id")), "arrival")
+      .collect().map(_.getLong(0)).toSeq
+    assert(oneShot === Seq(1L))
+    // admitted-only persistence DIVERGES: B's keys were never stored,
+    // so C sails through — the semantics bandKeysOf's doc warns about
+    assert(admit(bandKeysOf(batch1), batch3) === Seq(3L))
+  }
+
+  test("nearDupIncrementalKeys raises on a stale params fingerprint") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((10L, "k1 k2 k3 k4 k5 k6")).toDF("doc_id", "text")
+    val fresh = Seq((1L, "n1 n2 n3 n4 n5 n6")).toDF("doc_id", "text")
+    val goodKeys = graft.streaming.StreamDedup.bandKeysOf(corpus)
+    assert(goodKeys.columns.contains("lsh_params_fp"))
+    // current-fingerprint keys pass
+    graft.streaming.StreamDedup.nearDupIncrementalKeys(goodKeys, fresh).count()
+    // keys stamped by "another build" must fail loudly, not weaken
+    val staleKeys = goodKeys.withColumn("lsh_params_fp", lit(12345L))
+    val e = intercept[Exception] {
+      graft.streaming.StreamDedup.nearDupIncrementalKeys(staleKeys, fresh)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different LSH parameters")), e)
+    // a bare pre-fingerprint relation (no column) still works
+    graft.streaming.StreamDedup.nearDupIncrementalKeys(
+      goodKeys.drop("lsh_params_fp"), fresh).count()
+  }
+
   test("scrubPii: typed tags, order-sensitive shapes, non-PII untouched") {
     val got = operators.TextOps.scrubPii(docsDf(
         1L -> "mail a.b+c@x-y.co.uk now",

@@ -190,9 +190,11 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // exactly one scan reads text (the fresh side)...
     assert("text:string".r.findAllIn(plan).size === 1, plan)
-    // ...the corpus side reads the key relation, nothing wider
+    // ...the corpus side reads the key relation — 3 narrow key columns
+    // plus the constant params fingerprint the staleness check consumes
     assert(plan.contains(
-      "ReadSchema: struct<doc_id:bigint,band_idx:int,band_sig:string>"), plan)
+      "ReadSchema: struct<doc_id:bigint,band_idx:int,band_sig:string," +
+        "lsh_params_fp:bigint>"), plan)
     // and the election still shuffles keys/ids only
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
