@@ -46,6 +46,37 @@ object SparkEntry {
     */
   val AsofTolUs = 1800000000L
 
+  /** Splice-time guard for regexes shared verbatim between Spark
+    * (Java regex) and the DuckDB oracle (RE2): rejects the constructs
+    * the two dialects DISAGREE on — lookaround, atomic/named groups
+    * (both unsupported or differently spelled in RE2), backreferences
+    * (unsupported in RE2), possessive quantifiers (Java-only), and
+    * inline flag groups (subtly different defaults). Conservative by
+    * design: a pattern tripping it needs a rewrite into the plain
+    * intersection dialect (character classes, bounded counts, `\b`),
+    * not a relaxation here — a dialect mismatch would make the oracle
+    * scrub text differently from the engine and fail the hash gate
+    * confusingly far from the cause.
+    */
+  private[graft] def assertPortableRegex(pat: String): String = {
+    val banned = Seq(
+      "(?=" -> "lookahead", "(?!" -> "negative lookahead",
+      "(?<" -> "lookbehind or named group", "(?>" -> "atomic group",
+      "*+" -> "possessive quantifier", "++" -> "possessive quantifier",
+      "?+" -> "possessive quantifier", "}+" -> "possessive quantifier",
+      "(?P" -> "named group", "(?i" -> "inline flag group",
+      "(?m" -> "inline flag group", "(?s" -> "inline flag group",
+      "(?x" -> "inline flag group", "(?u" -> "inline flag group")
+    banned.foreach { case (tok, what) =>
+      require(!pat.contains(tok),
+        s"PII pattern '$pat' uses $what ('$tok') — outside the " +
+          "Java∩RE2 dialect the oracle splice requires")
+    }
+    require(!"""\\[1-9]""".r.findFirstIn(pat).isDefined,
+      s"PII pattern '$pat' uses a backreference — unsupported in RE2")
+    pat
+  }
+
   /** Mix rates for the `text_mix` gate query: srcI → (I+1)/10 epochs
     * in ppm — src0 keeps 10% of its docs, src9 all, src19 two full
     * epochs. Shared by the Spark query AND the oracle generator.
@@ -597,7 +628,8 @@ object SparkEntry {
         "CAST(doc_id % 256 AS VARCHAR) || '.7'"
       val scrubbed = TextOps.PiiPatterns.foldLeft(aug) {
         case (e, (pat, tag)) =>
-          s"regexp_replace($e, '${sq(pat)}', '${sq(tag)}', 'g')"
+          s"regexp_replace($e, '${sq(assertPortableRegex(pat))}', " +
+            s"'${sq(tag)}', 'g')"
       }
       s"SELECT doc_id, $scrubbed AS text FROM documents"
     },

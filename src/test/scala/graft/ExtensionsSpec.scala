@@ -1074,6 +1074,21 @@ class ExtensionsSpec extends SparkSpec {
       goodKeys.drop("lsh_params_fp"), fresh).count()
   }
 
+  test("the oracle splice rejects regex constructs outside the Java∩RE2 dialect") {
+    // every shipped pattern must pass (the text_pii oracle splices
+    // them verbatim into DuckDB SQL)...
+    operators.TextOps.PiiPatterns.foreach { case (pat, _) =>
+      assert(SparkEntry.assertPortableRegex(pat) === pat)
+    }
+    // ...and each dialect-divergent construct is rejected at splice
+    // time, not discovered as a confusing hash mismatch later
+    for (bad <- Seq("(?=x)y", "a(?!b)", "(?<tag>x)", "(?<=a)b",
+        "(?>ab)c", "[0-9]++", "(a)\\1", "(?i)ssn"))
+      intercept[IllegalArgumentException] {
+        SparkEntry.assertPortableRegex(bad)
+      }
+  }
+
   test("scrubPii: typed tags, order-sensitive shapes, non-PII untouched") {
     val got = operators.TextOps.scrubPii(docsDf(
         1L -> "mail a.b+c@x-y.co.uk now",
