@@ -214,6 +214,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    // the EXACT twin of dedup_incremental_keys: admission against the
+    // stored 24-byte content-key relation (exactKeysOf at ingest) —
+    // fresh odd docs admitted iff their triple matches no even doc's,
+    // min-doc_id claimant per in-batch duplicate group
+    "dedup_incremental_exact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      graft.streaming.StreamDedup.exactIncrementalKeys(
+          graft.streaming.StreamDedup.exactKeysOf(
+            docs.filter(col("doc_id") % 2 === 0)),
+          docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -821,6 +834,16 @@ object SparkEntry {
         s"(SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint, " +
         s"CAST(${phSql2("text")} AS BIGINT) AS fp2, length(text) AS len FROM documents) " +
         "GROUP BY fingerprint, fp2, len"),
+    "dedup_incremental_exact" ->
+      (s"WITH k AS (SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint, " +
+        s"CAST(${phSql2("text")} AS BIGINT) AS fp2, " +
+        "CAST(length(text) AS BIGINT) AS len FROM documents), " +
+        "c AS (SELECT fingerprint, fp2, len FROM k WHERE doc_id % 2 = 0), " +
+        "f AS (SELECT * FROM k WHERE doc_id % 2 = 1) " +
+        "SELECT CAST(MIN(f.doc_id) AS BIGINT) AS doc_id FROM f " +
+        "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fingerprint = f.fingerprint " +
+        "AND c.fp2 = f.fp2 AND c.len = f.len) " +
+        "GROUP BY f.fingerprint, f.fp2, f.len"),
     "dedup_ngram" -> NgramPairsSql,
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +

@@ -257,6 +257,48 @@ object StreamDedup {
       .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
+  /** Ingest-time export for EXACT incremental admission: the 24-byte
+    * content-key triple per doc (same collision story as
+    * `withContentKey`). Unlike the near-dup band keys, persisting
+    * ADMITTED docs' keys suffices here: exact duplication is
+    * transitive — a rejected doc's triple EQUALS some stored doc's
+    * triple, so any future doc colliding with the rejected one
+    * collides with the stored one too. The relation can therefore
+    * stay one row per distinct content ever admitted, and
+    * `exactIncrementalKeys` is batch-cut-invariant either way
+    * (pinned in tests). Contrast `bandKeysOf`, where near-dup
+    * similarity is NOT transitive and all ingested docs' keys must
+    * persist.
+    */
+  def exactKeysOf(docs: DataFrame): DataFrame =
+    withContentKey(docs)
+      .select(col("doc_id"), col("fingerprint"), col("fp2"), col("len"))
+
+  /** EXACT incremental admission over stored content keys — the
+    * ingest-time form of `Dedup.exact` for a corpus that is never
+    * re-deduplicated: returns the docs of `fresh` whose content
+    * triple appears on no stored key, keeping the min-doc_id
+    * claimant per triple within the batch (the tie-break a
+    * one-doc-per-micro-batch stream resolves to; same rule as
+    * `Dedup.exact`'s survivor election).
+    *
+    * Scale shape: the fresh batch's text is hashed in one map stage
+    * (never shuffled); the anti-join and the in-batch election move
+    * 24-byte triples + ids only. The corpus side is a pure 3-column
+    * columnar read — bucket or sort the stored relation by
+    * `fingerprint` so the join co-locates without shuffling the
+    * corpus keys (the same layout note as the band-key relation;
+    * see COVERAGE.md). PRECONDITIONS: corpus/fresh doc_ids disjoint,
+    * `fresh` ids unique.
+    */
+  def exactIncrementalKeys(corpusKeys: DataFrame, fresh: DataFrame): DataFrame =
+    withContentKey(fresh)
+      .join(corpusKeys.select("fingerprint", "fp2", "len"),
+        Seq("fingerprint", "fp2", "len"), "left_anti")
+      .groupBy("fingerprint", "fp2", "len")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
   def nearDupArrivalBatch(docs: DataFrame, tsCol: String): DataFrame =
     electAllWon(bandKeys(docs, tsCol))
 

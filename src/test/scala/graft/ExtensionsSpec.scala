@@ -1005,6 +1005,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(admitted.sorted.toSeq === oneShot)
   }
 
+  test("chained exact admission == one-shot; admitted-only keys suffice (transitivity)") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamDedup._
+    // plant exact cross-batch duplicates: clones of every 7th doc
+    // under fresh ids, so triples repeat across batch boundaries
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val all = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def batch(i: Int) = all.filter(col("doc_id") % 3 === i)
+    // chain twice: appending keys of the WHOLE batch vs only the
+    // ADMITTED docs' keys — for exact dedup they must agree (a
+    // rejected doc's triple equals a stored one, so its keys are
+    // redundant), unlike the near-dup case pinned below
+    def chain(admittedOnly: Boolean): Seq[Long] = {
+      var keys = exactKeysOf(all.limit(0))
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      for (i <- 0 to 2) {
+        val adm = exactIncrementalKeys(keys, batch(i))
+        out ++= adm.collect().map(_.getLong(0))
+        val toStore =
+          if (admittedOnly) batch(i).join(adm, Seq("doc_id"), "left_semi")
+          else batch(i)
+        keys = keys.unionByName(exactKeysOf(toStore))
+      }
+      out.sorted.toSeq
+    }
+    // one-shot reference: min (batch, doc_id) claimant per triple
+    val oneShot = exactKeysOf(all)
+      .withColumn("b", col("doc_id") % 3)
+      .groupBy("fingerprint", "fp2", "len")
+      .agg(min(struct(col("b"), col("doc_id"))).as("w"))
+      .select(col("w.doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaAll = chain(admittedOnly = false)
+    assert(viaAll === chain(admittedOnly = true))
+    assert(viaAll === oneShot)
+    // non-vacuous: the planted clones actually deduplicated
+    assert(viaAll.size.toLong < all.count())
+  }
+
   test("persisting ALL batch keys (not admitted-only) is what collapses candidate chains") {
     // planted A→B→C chain (searched offline against the frozen LSH
     // constants): B = A's text + C's text shares a band with A AND a

@@ -199,6 +199,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
 
+  test("exactIncrementalKeys scans ONLY the fresh batch's text — corpus side reads 3 long columns") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft_exactkeys").toString + "/keys"
+    graft.streaming.StreamDedup.exactKeysOf(
+        docs.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(keysDir)
+    val plan = graft.streaming.StreamDedup.exactIncrementalKeys(
+        spark.read.parquet(keysDir),
+        docs.filter(col("doc_id") % 2 === 1))
+      .queryExecution.executedPlan.toString
+    // exactly one scan reads text (the fresh side); column pruning
+    // drops even the stored doc_id — the corpus enters as 24 B/doc
+    assert("text:string".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains(
+      "ReadSchema: struct<fingerprint:bigint,fp2:bigint,len:bigint>"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
