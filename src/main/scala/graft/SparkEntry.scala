@@ -332,6 +332,27 @@ object SparkEntry {
         Seq("user_id"), "ts_us", Seq("click_id"), AsofTolUs)
         .orderBy("event_id")
     }),
+    // interval-containment join: every view inside some click's
+    // 30-minute attribution window [click_ts, click_ts + tol], via
+    // the bucket-decomposed equi-join (width = the window length, so
+    // each interval replicates to ≤ 2 buckets) — the theta-join
+    // semantics, without the per-key cross product
+    "events_click_windows" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("win_start"),
+          col("event_id"))
+        .groupBy("user_id", "win_start").agg(max("event_id").as("click_id"))
+        .withColumn("win_end", col("win_start") + AsofTolUs)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      operators.IntervalJoin.intervalJoin(views, clicks,
+          Seq("user_id"), "ts_us", "win_start", "win_end", AsofTolUs)
+        .select("event_id", "user_id", "ts_us", "click_id")
+        .orderBy("event_id", "click_id")
+    }),
     // skew-proof FORWARD form: (user, hour bucket) partitions with the
     // opening-row carry reversed — must equal events_asof_fwd exactly,
     // so it shares that oracle verbatim
@@ -1145,6 +1166,18 @@ object SparkEntry {
         "AS click_id " +
         "FROM views v ASOF LEFT JOIN clicks c " +
         "ON v.user_id = c.user_id AND v.ts_us >= c.ts_us"),
+    // the interval join's semantics ARE the theta-join — the oracle
+    // says it literally; the operator's bucket decomposition is the
+    // execution strategy under hash-equality to this
+    "events_click_windows" ->
+      ("WITH clicks AS (SELECT user_id, epoch_us(ts) AS win_start, " +
+        "MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT v.event_id, v.user_id, v.ts_us, c.click_id " +
+        "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
+        s"AND v.ts_us >= c.win_start AND v.ts_us <= c.win_start + $AsofTolUs"),
     "events_asof_fwd_bucketed" -> // execution detail only — same semantics
       ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
         "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +

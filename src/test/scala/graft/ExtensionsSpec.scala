@@ -1382,6 +1382,74 @@ class ExtensionsSpec extends SparkSpec {
         s"minvalue width=$width")
   }
 
+  test("intervalJoin == brute-force theta join on random data, across widths") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val ivRows = List.tabulate(80) { i =>
+      val st = rng.nextInt(60).toLong - 10L
+      // spans 0..3 buckets at width 7; a few inverted rows match nothing
+      val en = if (i % 11 == 0) st - 3L else st + rng.nextInt(20).toLong
+      (i.toLong, rng.nextInt(4).toLong, st, en)
+    }
+    val ptRows = List.tabulate(150)(i =>
+      (1000L + i, rng.nextInt(4).toLong, rng.nextInt(70).toLong - 15L))
+    val intervals = ivRows.toDF("iv_id", "k", "st", "en")
+    val points = ptRows.toDF("pt_id", "k", "ts")
+    val expect = (for {
+      (pid, pk, ts) <- ptRows
+      (iid, ik, st, en) <- ivRows
+      if pk == ik && ts >= st && ts <= en
+    } yield (pid, iid)).toSet
+    assert(expect.nonEmpty)
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val got = operators.IntervalJoin.intervalJoin(
+          points, intervals, Seq("k"), "ts", "st", "en", width)
+        .select("pt_id", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly-once production: no dedup pass exists, so a pair
+      // appearing twice would be a real bug, not a cosmetic one
+      assert(got.length === got.toSet.size, s"duplicate pairs at width=$width")
+      assert(got.toSet === expect, s"width=$width")
+    }
+    // plan shape: an equi-join on (key, bucket) — never a nested loop,
+    // never a cartesian — with the containment predicate as residual
+    val plan = operators.IntervalJoin.intervalJoin(
+        points, intervals, Seq("k"), "ts", "st", "en", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("__ivj_bkt"), plan)
+  }
+
+  test("intervalJoin rejects colliding/reserved columns; null keys match nothing") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, Some(1L), 5L)).toDF("pt_id", "k", "ts")
+    val intervals = Seq((9L, Some(1L), 0L, 10L)).toDF("iv_id", "k", "st", "en")
+    intercept[IllegalArgumentException] {
+      operators.IntervalJoin.intervalJoin(points,
+        intervals.withColumnRenamed("iv_id", "pt_id"),
+        Seq("k"), "ts", "st", "en", 7L)
+    }
+    intercept[IllegalArgumentException] {
+      operators.IntervalJoin.intervalJoin(
+        points.withColumn("__ivj_x", lit(1)), intervals,
+        Seq("k"), "ts", "st", "en", 7L)
+    }
+    // SQL join semantics on null keys: a null-key point inside a
+    // null-key interval still matches nothing
+    val np = Seq((1L, None: Option[Long], 5L)).toDF("pt_id", "k", "ts")
+    val ni = Seq((9L, None: Option[Long], 0L, 10L)).toDF("iv_id", "k", "st", "en")
+    assert(operators.IntervalJoin.intervalJoin(
+      np, ni, Seq("k"), "ts", "st", "en", 7L).count() === 0L)
+    // inclusive bounds on both ends
+    val got = operators.IntervalJoin.intervalJoin(
+        Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 11L)).toDF("pt_id", "k", "ts"),
+        intervals.na.drop(), Seq("k"), "ts", "st", "en", 7L)
+      .select("pt_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L))
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
