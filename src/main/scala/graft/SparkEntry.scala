@@ -230,6 +230,20 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
+    // the vector twin of dedup_incremental_keys: odd vectors admitted
+    // iff none of their hyperplane-LSH bands (at the PINNED width —
+    // stored keys cannot re-widen with corpus growth) appear on an
+    // even vector or an earlier odd one; candidate-level, corpus
+    // embeddings never read
+    "embedding_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.nearDupIncrementalVec(
+          Similarity.vecBandKeysOf(
+            emb.filter(col("vec_id") % 2 === 0), Similarity.LshBandBits),
+          emb.filter(col("vec_id") % 2 === 1), Similarity.LshBandBits)
+        .orderBy("vec_id")
+    }),
     // vector-side end-to-end dedup: near-dup pairs → connected
     // components (star contraction) — the embedding twin of
     // dedup_clusters, composing the two operators unchanged
@@ -933,6 +947,22 @@ object SparkEntry {
         "SELECT doc_id FROM docs0 " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
     "embedding_neardup" -> EmbNearDupSql,
+    "embedding_incremental" -> {
+      // first-claimant election over hyperplane bands at the pinned
+      // width: "earlier" = (epoch, vec_id) lexicographic, exactly the
+      // dedup_incremental election transposed to vector signatures
+      val bb = Similarity.LshBandBits.toString
+      val bandEq = (0 until Similarity.LshBands).map(j =>
+        s"${lshBandSql("a.sig", j, bb)} = ${lshBandSql("b.sig", j, bb)}")
+        .mkString("(", " OR ", ")")
+      s"WITH e AS (SELECT vec_id, ${lshSigSql("embedding")} AS sig " +
+        "FROM embeddings), " +
+        "cand AS (SELECT DISTINCT b.vec_id AS vb FROM e a JOIN e b " +
+        s"ON $bandEq AND (a.vec_id % 2 < b.vec_id % 2 OR " +
+        "(a.vec_id % 2 = b.vec_id % 2 AND a.vec_id < b.vec_id))) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1 " +
+        "AND vec_id NOT IN (SELECT vb FROM cand)"
+    },
     "embedding_clusters" ->
       (s"WITH RECURSIVE pairs AS (SELECT vec_a AS u0, vec_b AS v0 FROM " +
         s"($EmbNearDupSql) t), " +

@@ -211,6 +211,79 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Ingest-time export of hyperplane-LSH band keys for INCREMENTAL
+    * embedding admission — the vector twin of
+    * `StreamDedup.bandKeysOf`: one (vec_id, band_idx, band_val,
+    * band_bits) row per band per vector, ~20 B × `LshBands` per
+    * vector, the only corpus state `nearDupIncrementalVec` needs.
+    *
+    * `bandBits` must be PINNED by the pipeline (no adaptive default):
+    * the batch operators widen the band mask as the corpus grows
+    * (`bandBitsFor`), but keys persisted at one width never match
+    * keys computed at another — an incremental corpus must choose its
+    * width once, sized for the corpus it expects to GROW INTO (wider
+    * = fewer false candidates, slightly more misses). The chosen
+    * width is stamped on every row and admission raises on mismatch.
+    *
+    * Same persistence rule as the text band keys: append keys of the
+    * WHOLE batch, admitted and rejected vectors alike (candidate
+    * chains collapse to first ingestion; see `bandKeysOf`). Zero (or
+    * all-negative-projection) vectors all share signature 0 and so
+    * collide with each other — filter degenerate vectors upstream if
+    * that is not the contract you want.
+    */
+  def vecBandKeysOf(emb: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= LshBandStride,
+      s"bandBits must be in [1, $LshBandStride], got $bandBits")
+    emb
+      .select(col("vec_id"),
+        lshSignature(col("embedding"), LshSigBits).as("sig"))
+      .select(col("vec_id"),
+        posexplode(bandCols("sig", LshBands, bandBits))
+          .as(Seq("band_idx", "band_val")))
+      .withColumn("band_bits", lit(bandBits))
+  }
+
+  /** Incremental embedding admission over stored band keys: returns
+    * the vectors of `fresh` none of whose LSH bands appear on any
+    * corpus vector or earlier fresh vector (earlier = vec_id order).
+    * CANDIDATE-level semantics, deliberately — the same bounded-state
+    * trade as `StreamDedup.nearDupStreaming` and the text keys form:
+    * a dissimilar vector sharing one band is a false rejection at the
+    * LSH rate (tune with wider `bandBits`), and verification (which
+    * needs corpus embeddings, not keys) stays in the batch operators
+    * (`nearDupPairs` → `Dedup.dupClusters`). Per-batch cost:
+    * one signature pass over the fresh vectors, band-key- and
+    * id-width shuffles, a narrow columnar corpus read — corpus
+    * embeddings are never touched.
+    *
+    * PRECONDITIONS: corpus/fresh vec_ids disjoint, `fresh` ids
+    * unique, `corpusKeys` holds every band row of every vector ever
+    * ingested at THIS `bandBits` (enforced via the stamped column).
+    */
+  def nearDupIncrementalVec(corpusKeys: DataFrame, fresh: DataFrame,
+      bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= LshBandStride,
+      s"bandBits must be in [1, $LshBandStride], got $bandBits")
+    val bv =
+      if (!corpusKeys.columns.contains("band_bits")) col("band_val")
+      else when(col("band_bits") === lit(bandBits), col("band_val"))
+        .otherwise(raise_error(concat(
+          lit("stored vector band keys were exported at band_bits "),
+          col("band_bits").cast("string"),
+          lit(s" != this admission's $bandBits — the width is pinned " +
+            "at ingest; re-export vecBandKeysOf to change it"))))
+    val ck = corpusKeys.select(col("vec_id").as("doc_id"),
+      lit(0L).as("ts"), col("band_idx"), bv.as("band_sig"))
+    val fk = vecBandKeysOf(fresh, bandBits)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("ts"),
+        col("band_idx"), col("band_val").as("band_sig"))
+    graft.streaming.StreamDedup.electAllWon(ck.unionByName(fk))
+      .join(fresh.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id").as("vec_id"))
+  }
+
   // ---- IVF (inverted-file) ANN ----
 
   /** Centroid budget: cells = clamp(⌊√N⌋, 1, IvfMaxCells) — the

@@ -303,11 +303,13 @@ object StreamDedup {
     electAllWon(bandKeys(docs, tsCol))
 
   /** The first-claimant election shared by every batch/incremental
-    * variant: over a (doc_id, ts, band_idx, band_sig) relation, a doc
-    * survives iff it is the (ts, doc_id)-minimal claimant of ALL its
-    * band keys. Shuffles band keys then ids — never text.
+    * variant — including the EMBEDDING twin in
+    * `Similarity.nearDupIncrementalVec`: over a (doc_id, ts,
+    * band_idx, band_sig) relation, a doc survives iff it is the
+    * (ts, doc_id)-minimal claimant of ALL its band keys. Shuffles
+    * band keys then ids — never text (or vectors).
     */
-  private def electAllWon(b: DataFrame): DataFrame = {
+  private[graft] def electAllWon(b: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val firstClaim = min(struct(col("ts"), col("doc_id")))
       .over(Window.partitionBy(col("band_idx"), col("band_sig")))

@@ -1005,6 +1005,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(admitted.sorted.toSeq === oneShot)
   }
 
+  test("incremental vector admission: epoch outranks id, width pinned, parquet round-trip") {
+    val s = spark
+    import s.implicits._
+    def vec(f: Int => Float) = Array.tabulate(8)(f)
+    val v1 = vec(i => if (i == 0) 1f else 0.1f * i)
+    val v3 = vec(i => if (i == 3) -1f else 0.2f * (i - 4))
+    // corpus ids HIGHER than fresh ids: the epoch must decide
+    val corpus = Seq((10L, v1), (12L, vec(i => 0.5f - 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1L, v1), // identical to corpus vec 10 → identical sig → rejected
+      (3L, v3), // novel → admitted (fixture checked non-colliding below)
+      (5L, v3)) // in-batch copy of vec 3 → rejected
+      .toDF("vec_id", "embedding")
+    import operators.Similarity
+    val bb = Similarity.LshBandBits
+    // fixture precondition: v3 shares no band with either corpus vector
+    val bands = Similarity.vecBandKeysOf(
+        corpus.unionByName(Seq((3L, v3)).toDF("vec_id", "embedding")), bb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b3 = bands.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet
+    val bc = bands.filter(_._1 != 3L).map(t => (t._2, t._3)).toSet
+    assert((b3 & bc).isEmpty, "planted novel vector collides — repick fixture")
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft_veckeys").toString + "/keys"
+    Similarity.vecBandKeysOf(corpus, bb).write.parquet(keysDir)
+    val got = Similarity.nearDupIncrementalVec(
+        spark.read.parquet(keysDir), fresh, bb)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(3L))
+    // a mismatched pinned width raises instead of silently not matching
+    val e = intercept[Exception] {
+      Similarity.nearDupIncrementalVec(
+        spark.read.parquet(keysDir), fresh, bb + 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("band_bits")), e)
+  }
+
   test("chained exact admission == one-shot; admitted-only keys suffice (transitivity)") {
     val s = spark
     import s.implicits._

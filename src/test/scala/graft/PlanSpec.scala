@@ -218,6 +218,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
 
+  test("nearDupIncrementalVec reads corpus band keys, never corpus embeddings") {
+    val emb = sources.Tables.table(spark, sf, "embeddings")
+    val keysDir = java.nio.file.Files
+      .createTempDirectory("graft_veckeys_plan").toString + "/keys"
+    graft.operators.Similarity.vecBandKeysOf(
+        emb.filter(col("vec_id") % 2 === 0),
+        graft.operators.Similarity.LshBandBits)
+      .write.mode("overwrite").parquet(keysDir)
+    val plan = graft.operators.Similarity.nearDupIncrementalVec(
+        spark.read.parquet(keysDir),
+        emb.filter(col("vec_id") % 2 === 1),
+        graft.operators.Similarity.LshBandBits)
+      .queryExecution.executedPlan.toString
+    // exactly one scan reads the embedding array (the fresh side); the
+    // corpus enters as the narrow key relation
+    assert("embedding:array".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,band_idx:int," +
+      "band_val:bigint,band_bits:int>"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
