@@ -1490,6 +1490,62 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === Seq(1L, 2L))
   }
 
+  test("streaming interval join matches across micro-batches; parity with batch operator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sivj").toString
+    def ptBatch(rows: (Long, Long, String)*) =
+      rows.toDF("pt_id", "k", "ts_s")
+        .select(col("pt_id"), col("k"), to_timestamp(col("ts_s")).as("ts"))
+    def ivRows = Seq(
+      (100L, 1L, "2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+      (101L, 1L, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+      (102L, 2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+    val intervals = ivRows.toDF("iv_id", "k", "st_s", "en_s")
+      .select(col("iv_id"), col("k"), to_timestamp(col("st_s")).as("st"),
+        to_timestamp(col("en_s")).as("en"))
+    val pts = Seq(
+      (1L, 1L, "2024-01-01 10:10:00"), // inside 100 only
+      (2L, 1L, "2024-01-01 10:18:00"), // inside 100 AND 101 (overlap)
+      (3L, 1L, "2024-01-01 10:50:00"), // inside nothing (after both)
+      (4L, 2L, "2024-01-01 10:30:00"), // inside 102 (other key)
+      (5L, 2L, "2024-01-01 11:30:00")) // after 102
+    // ---- STREAM-STREAM: intervals are a stream too (the real
+    // deployment shape — live campaign windows joining live events);
+    // points arrive across two micro-batches ----
+    val ivDir = java.nio.file.Files.createTempDirectory("graft-sivj-iv").toString
+    intervals.write.mode("append").parquet(ivDir)
+    val ivSchema = spark.read.parquet(ivDir).schema
+    ptBatch(pts.take(2): _*).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.StreamIntervalJoin.intervalJoinStreaming(
+        spark.readStream.schema(schema).parquet(dir),
+        spark.readStream.schema(ivSchema).parquet(ivDir),
+        Seq("k"), "ts", "st", "en", maxSpan = "1 hour")
+      .select("pt_id", "iv_id")
+      .writeStream.format("memory").queryName("sivj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ptBatch(pts.drop(2): _*).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql("select pt_id, iv_id from sivj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === Set((1L, 100L), (2L, 100L), (2L, 101L), (4L, 102L)))
+      // ---- parity: the batch operator on the same data (micros) ----
+      val batchGot = operators.IntervalJoin.intervalJoin(
+          ptBatch(pts: _*).select(col("pt_id"), col("k"),
+            unix_micros(col("ts")).as("ts_us")),
+          intervals.select(col("iv_id"), col("k"),
+            unix_micros(col("st")).as("st_us"),
+            unix_micros(col("en")).as("en_us")),
+          Seq("k"), "ts_us", "st_us", "en_us", 600000000L)
+        .select("pt_id", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchGot === streamed)
+    } finally q.stop()
+  }
+
   test("events: batch hourly == streaming hourly (same transform)") {
     val s = spark
     import s.implicits._
