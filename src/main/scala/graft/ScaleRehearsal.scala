@@ -150,6 +150,27 @@ object ScaleRehearsal {
         .agg(count(col("v")).as("matched"), count(lit(1)).as("n"))
         .collect()(0).toSeq)
 
+    // interval join at 10M points × 100k intervals over 100k keys,
+    // with the SAME 10% hot key on both sides — spans 5k-15k over a
+    // 5M ts range (≈0.2% hit rate; the hot key still yields ~20M
+    // real pairs), width 10000 keeps interval replication ~2×. The
+    // naive theta-join here is a 1M×10k per-key cross product on the
+    // hot key BEFORE filtering; the bucket decomposition never forms
+    // it — hot-key traffic spreads across ~500 time buckets.
+    val ivals = spark.range(100000L).select(
+      col("id").as("iv_id"),
+      when(pmod(col("id"), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id") * 29 + 11), lit(100000)).cast("long"))
+        .as("k"),
+      pmod(hash(col("id") * 3 + 5), lit(5000000)).cast("long").as("st"))
+      .withColumn("en", col("st") + 5000L +
+        pmod(hash(col("iv_id") * 7), lit(10000)).cast("long"))
+    t("interval join 10M pts, hot key")(
+      operators.IntervalJoin.intervalJoin(
+          asofProbe.select(col("event_id"), col("k"), col("ts")),
+          ivals, Seq("k"), "ts", "st", "en", 10000L)
+        .agg(count(lit(1)).as("pairs")).collect()(0).getLong(0))
+
     // 20k / 80k embeddings: replicas of sf0.1's 2k. Cells grow as √N
     // (141 → 282), so per-query probe work 2·N/cells grows as √N —
     // sublinear — while the 2-level assignment keeps per-row cost at
@@ -228,6 +249,32 @@ object ScaleRehearsal {
     t("ivf recall@5 100k trained")(
       recall(clustered,
         operators.Similarity.knnIvfTrained(clustered, corpusSize = 100000L)))
+    // incremental embedding admission at 100k corpus / 10k fresh:
+    // stored band keys only (width pinned at 10 bits ≈ the
+    // bandBitsFor(100k) choice), fresh batch signatures once
+    t("vec admission 100k+10k")({
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-veck")
+      try {
+        val keysDir = dir.toString + "/keys"
+        operators.Similarity.vecBandKeysOf(clustered, 10)
+          .write.parquet(keysDir)
+        val freshV = spark.range(100000L, 110000L).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 15), i -> cast(" +
+            "pmod(hash(id * 16 + i + 7), 1000) / 499.5 - 1.0 as float))")
+            .as("embedding"))
+        val cand = operators.Similarity.nearDupIncrementalVec(
+          spark.read.parquet(keysDir), freshV, 10).count()
+        // the VERIFIED form on the same inputs: band collisions only
+        // nominate, exact cosine confirms — on a uniform fresh batch
+        // (nothing genuinely similar) admission should be ~total,
+        // against the candidate-level form's dense-bucket collapse
+        val ver = operators.Similarity.nearDupIncrementalVecVerified(
+          spark.read.parquet(keysDir), clustered, freshV, 10).count()
+        require(ver >= cand, s"verified $ver < candidate-level $cand")
+        s"cand=$cand verified=$ver of 10000"
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
 
     // The adaptive-width contract made measurable: mean band-bucket
     // occupancy should stay ~flat 20k → 80k (the width grows with

@@ -244,6 +244,19 @@ object SparkEntry {
           emb.filter(col("vec_id") % 2 === 1), Similarity.LshBandBits)
         .orderBy("vec_id")
     }),
+    // the corpus-scale form: band collisions only NOMINATE; an exact
+    // cosine >= 0.30 against the candidate confirms the rejection —
+    // corpus embeddings are read for collided ids only
+    "embedding_incremental_verified" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.nearDupIncrementalVecVerified(
+          Similarity.vecBandKeysOf(
+            emb.filter(col("vec_id") % 2 === 0), Similarity.LshBandBits),
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), Similarity.LshBandBits)
+        .orderBy("vec_id")
+    }),
     // vector-side end-to-end dedup: near-dup pairs → connected
     // components (star contraction) — the embedding twin of
     // dedup_clusters, composing the two operators unchanged
@@ -962,6 +975,28 @@ object SparkEntry {
         "(a.vec_id % 2 = b.vec_id % 2 AND a.vec_id < b.vec_id))) " +
         "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1 " +
         "AND vec_id NOT IN (SELECT vb FROM cand)"
+    },
+    "embedding_incremental_verified" -> {
+      // same candidate election, then the exact-cosine confirm: a
+      // later vector is rejected only when a band-colliding earlier
+      // one is ACTUALLY similar (the sequential-fold dot keeps the
+      // threshold compare bit-identical across engines)
+      val bb = Similarity.LshBandBits.toString
+      val bandEq = (0 until Similarity.LshBands).map(j =>
+        s"${lshBandSql("a.sig", j, bb)} = ${lshBandSql("b.sig", j, bb)}")
+        .mkString("(", " OR ", ")")
+      s"WITH e AS (SELECT vec_id, embedding, " +
+        s"${dotSql("embedding", "embedding")} AS n2, " +
+        s"${lshSigSql("embedding")} AS sig FROM embeddings), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb " +
+        s"FROM e a JOIN e b ON $bandEq AND (a.vec_id % 2 < b.vec_id % 2 " +
+        "OR (a.vec_id % 2 = b.vec_id % 2 AND a.vec_id < b.vec_id))), " +
+        "rej AS (SELECT DISTINCT c.vb FROM cand c " +
+        "JOIN e ea ON ea.vec_id = c.va JOIN e eb ON eb.vec_id = c.vb " +
+        s"WHERE ${dotSql("ea.embedding", "eb.embedding")} / " +
+        "(sqrt(ea.n2) * sqrt(eb.n2)) >= 0.30) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1 " +
+        "AND vec_id NOT IN (SELECT vb FROM rej)"
     },
     "embedding_clusters" ->
       (s"WITH RECURSIVE pairs AS (SELECT vec_a AS u0, vec_b AS v0 FROM " +

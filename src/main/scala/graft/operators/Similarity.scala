@@ -263,6 +263,14 @@ object Similarity {
     */
   def nearDupIncrementalVec(corpusKeys: DataFrame, fresh: DataFrame,
       bandBits: Int): DataFrame = {
+    // NB: candidate-level admission is only usable while band buckets
+    // stay sparse — the hyperplane band space is 2^bandBits (≤ 2^15),
+    // so at ~100k+ corpus vectors nearly every fresh vector shares a
+    // band with SOMETHING and admission over-rejects (measured in
+    // ScaleRehearsal: 51 of 10k fresh admitted against a 100k uniform
+    // corpus). Past that density use `nearDupIncrementalVecVerified`,
+    // which keeps this operator's candidate generation but confirms
+    // with exact cosine before rejecting.
     require(bandBits >= 1 && bandBits <= LshBandStride,
       s"bandBits must be in [1, $LshBandStride], got $bandBits")
     val bv =
@@ -282,6 +290,82 @@ object Similarity {
       .join(fresh.select(col("vec_id").as("doc_id")), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id").as("vec_id"))
+  }
+
+  /** VERIFIED incremental embedding admission — the form that holds
+    * at corpus scale: band keys generate candidates exactly as
+    * `nearDupIncrementalVec`, but a fresh vector is rejected only
+    * when an exact cosine against the candidate confirms similarity
+    * (`>= threshold`) — a band collision alone no longer rejects, so
+    * the dense-bucket over-rejection of the candidate-level form
+    * (ScaleRehearsal: 51/10k admitted at 100k corpus) disappears.
+    *
+    * The price is reading the CANDIDATE corpus vectors: `corpusEmb`
+    * (the corpus table itself — id → embedding) is joined only for
+    * ids that collided in some band, so with an id-partitioned/
+    * bucketed corpus table the read is point-lookup-shaped, never a
+    * corpus scan. State stays the band-key relation; nothing else
+    * persists. In-batch chains collapse to first arrival like every
+    * operator in this family: a verified pair rejects the LATER
+    * vec_id whether or not the earlier one was itself admitted
+    * (batch-cut-invariant given whole-batch key persistence).
+    *
+    * Zero-norm vectors produce NaN cosines and are never rejected by
+    * the verify (no meaningful similarity exists); filter degenerate
+    * vectors upstream if they should not be admitted.
+    *
+    * PRECONDITIONS: those of `nearDupIncrementalVec`, plus
+    * `corpusEmb` must contain every vec_id present in `corpusKeys`.
+    */
+  def nearDupIncrementalVecVerified(corpusKeys: DataFrame,
+      corpusEmb: DataFrame, fresh: DataFrame, bandBits: Int,
+      threshold: Double = 0.30): DataFrame = {
+    require(bandBits >= 1 && bandBits <= LshBandStride,
+      s"bandBits must be in [1, $LshBandStride], got $bandBits")
+    val bv =
+      if (!corpusKeys.columns.contains("band_bits")) col("band_val")
+      else when(col("band_bits") === lit(bandBits), col("band_val"))
+        .otherwise(raise_error(concat(
+          lit("stored vector band keys were exported at band_bits "),
+          col("band_bits").cast("string"),
+          lit(s" != this admission's $bandBits — the width is pinned " +
+            "at ingest; re-export vecBandKeysOf to change it"))))
+    val fNorm = withNorm(fresh)
+    val fk = vecBandKeysOf(fresh, bandBits)
+      .select(col("vec_id"), col("band_idx"), col("band_val"))
+    val ck = corpusKeys.select(col("vec_id").as("__corp_id"),
+      col("band_idx"), bv.as("band_val"))
+    // corpus candidates: ids only through the band join, embeddings
+    // fetched afterwards for the collided ids alone
+    val corpCand = fk.join(ck, Seq("band_idx", "band_val"))
+      .select(col("vec_id"), col("__corp_id")).distinct()
+    val rejectedByCorpus = corpCand
+      .join(corpusEmb.select(col("vec_id").as("__corp_id"),
+        col("embedding").as("__c_emb")), "__corp_id")
+      .join(fNorm.select(col("vec_id"), col("embedding").as("__f_emb"),
+        col("n2").as("__f_n2")), "vec_id")
+      .filter(cosineFrom(dot(col("__f_emb"), col("__c_emb")),
+        col("__f_n2"), norm2(col("__c_emb"))) >= threshold)
+      .select(col("vec_id"))
+    // in-batch candidates: earlier fresh id rejects the later one on a
+    // verified pair, admitted or not (chain collapse)
+    val inBatch = fk.as("a").join(fk.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("__early"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val rejectedInBatch = inBatch
+      .join(fNorm.select(col("vec_id").as("__early"),
+        col("embedding").as("__e_emb"), col("n2").as("__e_n2")), "__early")
+      .join(fNorm.select(col("vec_id"), col("embedding").as("__f_emb"),
+        col("n2").as("__f_n2")), "vec_id")
+      .filter(cosineFrom(dot(col("__e_emb"), col("__f_emb")),
+        col("__e_n2"), col("__f_n2")) >= threshold)
+      .select(col("vec_id"))
+    fresh.select(col("vec_id"))
+      .join(rejectedByCorpus.unionByName(rejectedInBatch), Seq("vec_id"),
+        "left_anti")
   }
 
   // ---- IVF (inverted-file) ANN ----

@@ -1045,6 +1045,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("band_bits")), e)
   }
 
+  test("verified vector admission rejects on similarity, not on band collision alone") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val v1 = Array.tabulate(8)(i => if (i == 0) 1f else 0.1f * i)
+    val v2 = Array.tabulate(8)(i => 0.5f - 0.1f * i)
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    assert(math.abs(cos(v3, v1)) < 0.3 && math.abs(cos(v3, v2)) < 0.3)
+    val corpus = Seq((10L, v1), (12L, v2)).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1L, v1), // identical to corpus → cosine 1.0 → rejected
+      (3L, v3), // dissimilar to corpus → admitted even if bands collide
+      (5L, v3)) // identical to earlier fresh 3 → in-batch verified reject
+      .toDF("vec_id", "embedding")
+    val bb = Similarity.LshBandBits
+    val got = Similarity.nearDupIncrementalVecVerified(
+        Similarity.vecBandKeysOf(corpus, bb), corpus, fresh, bb)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(3L))
+    // on a real corpus the verified form admits a strict SUPERSET of
+    // the candidate-level form (verified rejections ⊆ band collisions)
+    // — the dense-bucket over-rejection the verify exists to remove
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val keys = Similarity.vecBandKeysOf(even, bb)
+    val cand = Similarity.nearDupIncrementalVec(keys, odd, bb)
+      .collect().map(_.getLong(0)).toSet
+    val ver = Similarity.nearDupIncrementalVecVerified(keys, even, odd, bb)
+      .collect().map(_.getLong(0)).toSet
+    assert(cand.subsetOf(ver))
+    assert(ver.size > cand.size, s"verified ${ver.size} vs cand ${cand.size}")
+  }
+
   test("chained exact admission == one-shot; admitted-only keys suffice (transitivity)") {
     val s = spark
     import s.implicits._
