@@ -91,6 +91,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "edges" -> ((s, d) => GraphOps.edges(s, d).orderBy("src", "dst")),
+    // fixed-point integer PageRank on the follower graph — 5 sweeps,
+    // ranks scaled by 1e6; exact long arithmetic end to end, so the
+    // oracle hash-matches bit for bit (a float PageRank could not)
+    "pagerank" -> ((s, d) =>
+      GraphOps.pageRank(GraphOps.edges(s, d)).orderBy("vertex")),
     "path2_exact" -> ((s, d) =>
       GraphOps.path2PerVertex(GraphOps.edges(s, d)).orderBy("vertex")),
     "path2_exact_total" -> ((s, d) =>
@@ -597,6 +602,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "edges" ->
       s"SELECT src, dst FROM ($EdgesCte)",
+    "pagerank" -> {
+      // iterations unrolled as chained CTEs (standard SQL forbids
+      // aggregation in a recursive term); constants single-sourced
+      // from GraphOps so the two sides cannot drift
+      val scale = GraphOps.PageRankScale
+      val base = 15L * scale / 100L
+      val sweeps = (1 to GraphOps.PageRankIters).map { i =>
+        s"pr$i AS (SELECT verts.v, $base + (85 * COALESCE(inc.m, 0)) // 100 AS r " +
+          "FROM verts LEFT JOIN (" +
+          s"SELECT e.dst AS v, SUM(p.r // deg.d) AS m FROM dedges e " +
+          s"JOIN pr${i - 1} p ON p.v = e.src JOIN deg ON deg.v = e.src " +
+          "GROUP BY e.dst) inc ON inc.v = verts.v)"
+      }.mkString(", ")
+      s"WITH dedges AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "verts AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges), " +
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM dedges GROUP BY src), " +
+        s"pr0 AS (SELECT v, $scale AS r FROM verts), $sweeps " +
+        s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
+        s"FROM pr${GraphOps.PageRankIters}"
+    },
     "path2_exact" ->
       (s"WITH edges AS ($EdgesCte), deg AS ($DegCte) " +
         "SELECT vertex, CAST(m * n AS BIGINT) AS paths FROM deg"),

@@ -185,4 +185,70 @@ object GraphOps {
     */
   private def countDiv3(cnt1row: DataFrame): DataFrame =
     cnt1row.select(expr("cnt div 3").cast("long").as("triangles"))
+
+  /** FIXED-POINT integer PageRank over the follower graph — influence
+    * ranking, the iterative-graph extension the reference's analytics
+    * stop just short of. Deliberately integer end to end: ranks are
+    * scaled longs (`scale` = 1.0), per-edge contributions are
+    * truncating `rank div out_degree`, and the damping update is
+    * `(15·scale) div 100 + (85·Σcontrib) div 100` — every operation
+    * is exact and order-independent (long addition commutes), so the
+    * result is bit-identical across engines and partitionings, which
+    * a floating-point PageRank can never promise (per-vertex float
+    * sums are accumulation-order-dependent — the repo's float-parity
+    * rule). The truncation loss per step is < 1/scale per vertex —
+    * pick `scale` for the precision you need.
+    *
+    * Semantics: DISTINCT edges (a repeated follow edge is one edge —
+    * unlike the reference's bag-semantics counts, influence does not
+    * multiply with duplicate rows; documented divergence), uniform
+    * initial rank `scale`, fixed `iters` sweeps, dangling vertices
+    * (out-degree 0) leak their mass — the simple PageRank variant,
+    * chosen because mass-redistribution needs a per-iteration global
+    * scalar that would serialize the plan.
+    *
+    * Scale shape: each sweep is one equi-join (ranks ⋈ edges on src —
+    * ranks are vertex-sized, edges the big side) and one groupBy(dst)
+    * with map-side partial sums; lineage grows linearly in `iters`,
+    * so for deep runs pass a localCheckpoint cadence like
+    * `Dedup.dupClusters` does — at the default 5 sweeps it is
+    * unnecessary.
+    */
+  def pageRank(e: DataFrame, iters: Int = PageRankIters,
+      scale: Long = PageRankScale): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val dedges = e.select("src", "dst").distinct()
+    val verts = dedges.select(col("src").as("v"))
+      .union(dedges.select(col("dst").as("v"))).distinct()
+    val deg = dedges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+    var ranks = verts.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val inbound = dedges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r div d").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      ranks = verts.join(inbound, Seq("v"), "left")
+        .select(col("v"),
+          (lit(15L * scale / 100L) +
+            (lit(85L) * coalesce(col("m"), lit(0L))).divLong(100L)).as("r"))
+    }
+    ranks.select(col("v").as("vertex"), col("r").cast("long").as("rank_fp"))
+  }
+
+  val PageRankIters = 5
+  val PageRankScale = 1000000L
+
+  /** Integer division on long Columns (`div` keeps LongType; `/` would
+    * detour through doubles and break exactness past 2^53).
+    */
+  private implicit class LongDiv(private val c: org.apache.spark.sql.Column) {
+    def divLong(k: Long): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(IntegralDivide(ColumnBridge.expression(c), Literal(k)))
+    }
+  }
 }

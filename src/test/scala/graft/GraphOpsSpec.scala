@@ -206,6 +206,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("pageRank == driver-side integer reference on random graphs") {
+    // the same fixed-point arithmetic, computed sequentially in plain
+    // Scala — exact longs, so equality is bitwise, not approximate
+    def ref(edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+      val dedges = edges.distinct
+      val verts = dedges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = dedges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      var r = verts.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val in = dedges
+          .map { case (s, d) => d -> r(s) / deg(s) }
+          .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+        r = verts.map(v => v ->
+          (15L * scale / 100L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val rng = new scala.util.Random(41)
+    (1 to 3).foreach { _ =>
+      // duplicates included deliberately: pageRank de-dups edges
+      val e = List.fill(80)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      val got = GraphOps.pageRank(edgeDf(e: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ref(e, GraphOps.PageRankIters, GraphOps.PageRankScale)
+      withClue(s"edges=$e") { assert(got === want) }
+    }
+    // a sink (out-degree 0) leaks mass but still receives rank; a
+    // source (in-degree 0) holds the damping base after sweep 1
+    val chain = GraphOps.pageRank(edgeDf((1L, 2L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain(1L) === 150000L)
+    assert(chain(3L) > chain(1L))
+  }
+
   test("property: RS == Rep on simple graphs without 2-cycles/self-loops") {
     val rng = new scala.util.Random(7)
     (1 to 6).foreach { _ =>
