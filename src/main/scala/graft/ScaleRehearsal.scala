@@ -38,6 +38,12 @@ object ScaleRehearsal {
       operators.GraphOps.trianglesRS(edges, max = 2000).collect()(0).getLong(0))
     t("triangles_rep 10M max=1500")(
       operators.GraphOps.trianglesRep(edges, max = 1500).collect()(0).getLong(0))
+    // 5 integer sweeps over 2M vertices / 10M edges; result = the
+    // checksum of all ranks (exact long sum — any nondeterminism or
+    // drift across partitionings would move it)
+    t("pagerank 10M edges 5 sweeps")(
+      operators.GraphOps.pageRank(edges)
+        .agg(sum(col("rank_fp"))).collect()(0).getLong(0))
 
     // 50k documents: 10 replicas of sf0.1 (every doc has 9 exact dups)
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -265,14 +271,19 @@ object ScaleRehearsal {
             .as("embedding"))
         val cand = operators.Similarity.nearDupIncrementalVec(
           spark.read.parquet(keysDir), freshV, 10).count()
-        // the VERIFIED form on the same inputs: band collisions only
-        // nominate, exact cosine confirms — on a uniform fresh batch
-        // (nothing genuinely similar) admission should be ~total,
-        // against the candidate-level form's dense-bucket collapse
+        // the VERIFIED form on the same inputs at a NEAR-DUP threshold
+        // (0.9; at 16 dims a random pair clears 0.3 ~11% of the time,
+        // so a low threshold is dominated by true chance-similarity
+        // against 100k candidates): band collisions only nominate,
+        // exact cosine confirms — the uniform fresh batch holds no
+        // real near-dups, so admission should be ~total against the
+        // candidate-level form's dense-bucket collapse
         val ver = operators.Similarity.nearDupIncrementalVecVerified(
-          spark.read.parquet(keysDir), clustered, freshV, 10).count()
+          spark.read.parquet(keysDir), clustered, freshV, 10,
+          threshold = 0.9).count()
         require(ver >= cand, s"verified $ver < candidate-level $cand")
-        s"cand=$cand verified=$ver of 10000"
+        require(ver >= 9000, s"verified admission collapsed: $ver of 10000")
+        s"cand=$cand verified@0.9=$ver of 10000"
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     })
 

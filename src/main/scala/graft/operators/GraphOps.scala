@@ -225,10 +225,15 @@ object GraphOps {
       .agg(count(lit(1)).as("d"))
     var ranks = verts.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
+      // per-out-edge contribution is computed on the VERTEX-sized
+      // relation (ranks ⋈ deg) before touching edges — the edge-sized
+      // join runs once per sweep, not twice; the identical dedges
+      // shuffle is exchange-reused across sweeps within the action
+      val contrib = ranks.join(deg, "v")
+        .select(col("v").as("src"), expr("r div d").as("c"))
       val inbound = dedges
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), expr("r div d").as("c"))
+        .join(contrib, "src")
+        .select(col("dst").as("v"), col("c"))
         .groupBy("v").agg(sum(col("c")).as("m"))
       ranks = verts.join(inbound, Seq("v"), "left")
         .select(col("v"),
