@@ -39,6 +39,14 @@ object SparkEntry {
   val MaxRep = 40L // ReplicatedJoinDriver.java:31 — inclusive <=
   val MaxApprox = 78L // ApproxCardinality.java:24 — strict <
 
+  /** Sparsifier modulus for the `graph_components` gate: keeps ~1/40
+    * of edges, which splits the (otherwise fully-connected) derived
+    * graph into ~24 components at sf0.01 — a non-degenerate partition
+    * the oracle's reachability closure can still afford. Same constant
+    * MUST appear in oracleSql.
+    */
+  val ComponentsMod = 40L
+
   /** Tolerance for the `events_asof_tol` gate query: 30 minutes in
     * MICROSECONDS (the query aligns on `unix_micros(ts)` columns, the
     * exact-integer grain both engines share). Same constant MUST
@@ -96,6 +104,20 @@ object SparkEntry {
     // oracle hash-matches bit for bit (a float PageRank could not)
     "pagerank" -> ((s, d) =>
       GraphOps.pageRank(GraphOps.edges(s, d)).orderBy("vertex")),
+    // weakly-connected components on a deterministic sparse slice of
+    // the follower graph (the full derived graph is one giant
+    // component — the slice makes the partition non-degenerate, the
+    // same scaled-constant trick as the Max* filters); component label
+    // = min reachable vertex id, via the dedup family's star
+    // contraction kernel
+    "graph_components" -> ((s, d) =>
+      GraphOps.components(
+        GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("vertex")),
+    "graph_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(GraphOps.edges(s, d)).orderBy("out_degree")),
+    "graph_mutual" -> ((s, d) =>
+      GraphOps.mutualFollows(GraphOps.edges(s, d))),
     "path2_exact" -> ((s, d) =>
       GraphOps.path2PerVertex(GraphOps.edges(s, d)).orderBy("vertex")),
     "path2_exact_total" -> ((s, d) =>
@@ -622,6 +644,26 @@ object SparkEntry {
         s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
         s"FROM pr${GraphOps.PageRankIters}"
     },
+    "graph_components" ->
+      // min-reachable-id via transitive closure — affordable only on
+      // the sparsified slice, which is the point of ComponentsMod
+      (s"WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0), " +
+        "sym AS (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
+        "SELECT u AS vertex, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component " +
+        "FROM reach GROUP BY u"),
+    "graph_degree_hist" ->
+      (s"WITH edges AS ($EdgesCte), deg AS ($DegCte) " +
+        "SELECT CAST(n AS BIGINT) AS out_degree, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg GROUP BY n"),
+    "graph_mutual" ->
+      (s"WITH de AS (SELECT DISTINCT src, dst FROM ($EdgesCte) WHERE src <> dst) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS mutual_pairs " +
+        "FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src " +
+        "WHERE a.src < a.dst"),
     "path2_exact" ->
       (s"WITH edges AS ($EdgesCte), deg AS ($DegCte) " +
         "SELECT vertex, CAST(m * n AS BIGINT) AS paths FROM deg"),

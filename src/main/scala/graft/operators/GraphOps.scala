@@ -246,6 +246,84 @@ object GraphOps {
   val PageRankIters = 5
   val PageRankScale = 1000000L
 
+  /** WEAKLY-connected components over the follower graph — "who is in
+    * the same social universe", the classic reachability partition the
+    * reference's path/triangle analytics stop short of. Edge direction
+    * is ignored (weak connectivity); output is one `(vertex, component)`
+    * row per vertex that appears in any edge, `component` = the minimum
+    * vertex id reachable through undirected edges — a canonical,
+    * engine-independent label.
+    *
+    * Physical: pure reuse of the dedup family's cluster resolution
+    * (`Dedup.dupClusters` — alternating large-star/small-star
+    * contraction with heavy-hub broadcast rewrite and a single-task
+    * union-find fast path under `localThreshold` edges). Connected
+    * components IS dup-cluster resolution with edges instead of
+    * near-dup pairs, so the graph operator and the dedup pipeline share
+    * one battle-tested kernel: O(log n) rounds, per-round shuffles
+    * bounded by the (deduplicated) edge relation, no giant-component
+    * partition funnel. Duplicate and self edges are collapsed/ignored
+    * by the kernel (component structure is invariant under both).
+    */
+  def components(e: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame =
+    Dedup.dupClusters(
+        e.select(col("src").as("doc_a"), col("dst").as("doc_b")),
+        maxIter, checkpointDir)
+      .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))
+
+  /** Deterministic structural edge sampler: keeps the edges whose
+    * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
+    * that is stable across runs, partitionings and engines (no RNG),
+    * the graph analogue of `TextOps.hashSplit`. Used to carve sparse
+    * test slices (the gate query needs a MULTI-component graph — the
+    * full derived graph is one giant component) and as the standard
+    * cheap sparsifier for "shape of the graph" exploratory queries at
+    * scale. Requires non-negative ids (the testdata's contract; `%` is
+    * sign-preserving on negatives).
+    */
+  def sparsifyEdges(e: DataFrame, mod: Long): DataFrame = {
+    require(mod > 0, s"mod must be positive, got $mod")
+    e.filter((col("src") * 31L + col("dst")) % mod === 0L)
+  }
+
+  /** Out-degree histogram — `(out_degree, n_vertices)`, including the
+    * out-degree-0 row for vertices that only ever appear as a
+    * destination (the reference's reducer writes one-sided vertices
+    * unconditionally; same convention here via `degrees`). Bag
+    * semantics: duplicate edges count separately, like the path2
+    * family. Two aggregations: the first shuffles vertex-sized rows,
+    * the second shuffles at most one row per DISTINCT degree — a
+    * power-law graph has O(hundreds) distinct degrees at any corpus
+    * size, so the second stage is trivially small and the histogram is
+    * driver-safe to collect.
+    */
+  def degreeHistogram(e: DataFrame): DataFrame =
+    degrees(e)
+      .groupBy(col("n").as("out_degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+
+  /** Mutual-follow count: the number of unordered pairs {a, b} with
+    * BOTH a→b and b→a present (a ≠ b; duplicate edges count once —
+    * reciprocity is a property of the distinct edge set). The
+    * reciprocity numerator of social-graph analysis.
+    *
+    * Physical: distinct edges once, then a left-semi self-join against
+    * the reversed relation — the semi join carries only (src, dst)
+    * pairs, never multiplies rows, and AQE may broadcast the smaller
+    * side; counting `src < dst` halves symmetric matches without a
+    * distinct. One distinct shuffle + one join shuffle, both bounded
+    * by distinct edges.
+    */
+  def mutualFollows(e: DataFrame): DataFrame = {
+    val de = e.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst"))
+    val rev = de.select(col("dst").as("src"), col("src").as("dst"))
+    de.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("mutual_pairs"))
+  }
+
   /** Integer division on long Columns (`div` keeps LongType; `/` would
     * detour through doubles and break exactness past 2^53).
     */

@@ -240,6 +240,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain(3L) > chain(1L))
   }
 
+  test("components == driver-side union-find on random graphs") {
+    def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    val rng = new scala.util.Random(31)
+    (1 to 4).foreach { _ =>
+      // sparse on a wide id range so several components form; self
+      // loops and duplicates included (components must ignore both)
+      val e = List.fill(25)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      val got = GraphOps.components(edgeDf(e: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"edges=$e") { assert(got === refComponents(e)) }
+    }
+  }
+
+  test("degreeHistogram: bag semantics, zero-out-degree bucket") {
+    // 1→2, 1→2, 1→3, 3→1: out-degrees 1:3, 3:1, 2:0
+    val h = GraphOps.degreeHistogram(
+        edgeDf((1L, 2L), (1L, 2L), (1L, 3L), (3L, 1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(3L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("mutualFollows: distinct edges, self-loops excluded") {
+    // mutual pairs {1,2} (duplicated edges count once) and {2,3};
+    // 4→4 self-loop and one-way 1→3 contribute nothing
+    val m = GraphOps.mutualFollows(edgeDf(
+      (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (4L, 4L), (1L, 3L)))
+    assert(singleLong(m) === 2L)
+    assert(singleLong(GraphOps.mutualFollows(edgeDf((1L, 2L)))) === 0L)
+  }
+
+  test("sparsifyEdges: exact deterministic slice") {
+    val e = Seq((0L, 0L), (1L, 9L), (2L, 2L), (5L, 5L), (3L, 1L))
+    // (src*31 + dst) % 4 == 0: (0,0)→0, (1,9)→40%4=0, (2,2)→64%4=0,
+    // (5,5)→160%4=0, (3,1)→94%4=2
+    val kept = GraphOps.sparsifyEdges(edgeDf(e: _*), 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((0L, 0L), (1L, 9L), (2L, 2L), (5L, 5L)))
+  }
+
   test("property: RS == Rep on simple graphs without 2-cycles/self-loops") {
     val rng = new scala.util.Random(7)
     (1 to 6).foreach { _ =>
