@@ -191,6 +191,14 @@ object SparkEntry {
       TextOps.lengthDeciles(Tables.table(s, d, "documents")).orderBy("decile")),
     "text_vocab_hll" -> ((s, d) =>
       TextOps.vocabHll(Tables.table(s, d, "documents"))),
+    // Count-Min token-frequency sketch as a relation, at the GATE
+    // width (16) so the tiny sf0.01 vocabulary actually collides
+    "text_cms" -> ((s, d) =>
+      TextOps.cmsTokens(Tables.table(s, d, "documents"),
+        width = TextOps.CmsGateWidth).orderBy("row_idx", "bucket")),
+    "text_cms_topk" -> ((s, d) =>
+      TextOps.cmsEstimateTopK(Tables.table(s, d, "documents"),
+        width = TextOps.CmsGateWidth).orderBy("token")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans" -> ((s, d) =>
@@ -860,6 +868,40 @@ object SparkEntry {
         s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
+    },
+    "text_cms" -> {
+      val w = graft.operators.TextOps.CmsGateWidth
+      val branches = (0 until graft.operators.TextOps.CmsDepth).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS row_idx, " +
+          s"CAST(${phSql(s"('cms$i:' || token)")} % $w AS BIGINT) AS bucket " +
+          "FROM tok"
+      }.mkString(" UNION ALL ")
+      "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token " +
+        s"FROM documents), rb AS ($branches) " +
+        "SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM rb GROUP BY 1, 2"
+    },
+    "text_cms_topk" -> {
+      val w = graft.operators.TextOps.CmsGateWidth
+      def branches(src: String) =
+        (0 until graft.operators.TextOps.CmsDepth).map { i =>
+          s"SELECT token, n, CAST($i AS BIGINT) AS row_idx, " +
+            s"CAST(${phSql(s"('cms$i:' || token)")} % $w AS BIGINT) AS bucket " +
+            s"FROM $src"
+        }.mkString(" UNION ALL ")
+      "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token), " +
+        s"tcb AS (${branches("tc")}), " +
+        "sketch AS (SELECT row_idx, bucket, SUM(n) AS cnt FROM tcb " +
+        "GROUP BY 1, 2), " +
+        "top AS (SELECT token, n FROM tc ORDER BY n DESC, token ASC " +
+        s"LIMIT ${graft.operators.TextOps.CmsTopK}), " +
+        s"tb AS (${branches("top")}) " +
+        "SELECT t.token, CAST(t.n AS BIGINT) AS n_exact, " +
+        "CAST(MIN(s.cnt) AS BIGINT) AS n_est " +
+        "FROM tb t JOIN sketch s ON s.row_idx = t.row_idx " +
+        "AND s.bucket = t.bucket GROUP BY 1, 2"
     },
     // repeated-substring spans: the oracle hashes each k-char window
     // DIRECTLY (substr + the phSql fold) — the Spark side's ROLLING

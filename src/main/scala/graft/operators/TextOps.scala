@@ -453,4 +453,86 @@ object TextOps {
     val raw = r.getAs[Double]("est_raw")
     if (raw <= 2.5 * m && v > 0.0) m * math.log(m / v) else raw
   }
+
+  /** Count-Min sketch geometry: `CmsDepth` independent hash rows ×
+    * `CmsWidth` buckets. The default sizes the sketch at 4×65536 long
+    * counters (2 MB) — error ≤ 2·total/width per estimate with
+    * probability 1−(1/2)^depth, the standard CM bound. The GATE width
+    * is deliberately tiny (16) so the sf0.01 vocabulary actually
+    * collides and the overcount path is exercised, the same
+    * scaled-constant trick as MaxRS. Row i's hash is the engine's
+    * PolyHash over `"cms<i>:" + token` — salting the string, not the
+    * multiplier, keeps every row reproducible in the oracle's SQL
+    * dialect with the one shared hash implementation.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 65536
+  val CmsGateWidth = 16
+  val CmsTopK = 50
+
+  private def cmsRows(token: org.apache.spark.sql.Column, depth: Int,
+      width: Int): org.apache.spark.sql.Column =
+    array((0 until depth).map { i =>
+      struct(lit(i.toLong).as("row_idx"),
+        (poly_hash(concat(lit(s"cms$i:"), token)) % width).as("bucket"))
+    }: _*)
+
+  /** The Count-Min sketch of corpus token frequencies, AS A RELATION:
+    * one `(row_idx, bucket, cnt)` row per non-empty counter. This is
+    * the bounded-state answer to "how often does any given token
+    * occur" at 100 TB: the sketch is ≤ depth×width rows NO MATTER the
+    * corpus or vocabulary size (a trillion-token corpus with a
+    * billion-term vocabulary still sketches to 2 MB), it shuffles only
+    * (row, bucket) keys with map-side partial counting — the
+    * vocabulary itself is never materialized, unlike `topTokens` — and
+    * two sketches merge by adding counters, so per-shard sketches
+    * union into the corpus sketch for free (the same mergeability
+    * argument as `vocabHll`).
+    */
+  def cmsTokens(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .select(explode(cmsRows(col("token"), depth, width)).as("rb"))
+      .groupBy(col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimates from the sketch for the exact top-k tokens:
+    * `(token, n_exact, n_est)` with `n_est` = min over rows of the
+    * token's counter — never below `n_exact` (CM sketches only ever
+    * OVERcount), equal when none of the token's buckets collide. The
+    * side-by-side exact/estimate is the calibration view a pipeline
+    * uses to pick sketch geometry before trusting it at full scale.
+    *
+    * One aggregation pass: per-token counts are computed once
+    * (cache-leased), then feed BOTH the top-k head and the sketch —
+    * summing per-token counts into (row, bucket) counters yields
+    * byte-identical counters to sketching the raw token stream, so no
+    * second corpus scan runs. The sketch side of the final lookup is
+    * broadcast: it is ≤ depth×width rows by construction.
+    */
+  def cmsEstimateTopK(docs: DataFrame, k: Int = CmsTopK, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tokCounts = graft.Caches.track(
+      docs.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sketch = tokCounts
+      .select(col("n"), explode(cmsRows(col("token"), depth, width)).as("rb"))
+      .groupBy(col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
+      .agg(sum("n").as("cnt"))
+    tokCounts
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+      .select(col("token"), col("n"),
+        explode(cmsRows(col("token"), depth, width)).as("rb"))
+      .select(col("token"), col("n"),
+        col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row_idx", "bucket"))
+      .groupBy("token", "n")
+      .agg(min("cnt").as("n_est"))
+      .select(col("token"), col("n").as("n_exact"), col("n_est"))
+  }
 }

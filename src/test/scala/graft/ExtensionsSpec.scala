@@ -1740,4 +1740,39 @@ class ExtensionsSpec extends SparkSpec {
     val bigEst = TextOps.vocabHllEstimate(big)
     assert(math.abs(bigEst - 5000.0) <= 1000.0, s"bigEst=$bigEst")
   }
+
+  test("cmsTokens: counters sum to total tokens; sketches merge by addition") {
+    val a = docsDf((1L, "x y x"), (2L, "y z"))
+    val b = docsDf((3L, "z z w"))
+    def m(df: DataFrame) = TextOps.cmsTokens(df, width = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ma, mb) = (m(a), m(b))
+    // every row of the sketch accounts for every token occurrence
+    (0 until TextOps.CmsDepth).foreach { i =>
+      assert(ma.collect { case ((r, _), c) if r == i => c }.sum === 5L)
+    }
+    // merged corpus sketch == counter-wise sum of the shard sketches
+    val merged = m(a.unionByName(b))
+    val added = (ma.keySet ++ mb.keySet).map(k =>
+      k -> (ma.getOrElse(k, 0L) + mb.getOrElse(k, 0L))).toMap
+    assert(merged === added)
+  }
+
+  test("cmsEstimateTopK: estimates never undercount, exact at ample width") {
+    val docs = docsDf((0 until 30).map(i =>
+      (i.toLong, s"tok$i common ${if (i % 2 == 0) "even" else "odd"}")): _*)
+    // width 4 forces collisions among 33 distinct tokens
+    val tight = TextOps.cmsEstimateTopK(docs, k = 10, width = 4).collect()
+    assert(tight.length === 10)
+    tight.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // a comfortably wide sketch of a tiny vocabulary collides nowhere,
+    // so every estimate is exact — and the top token is 'common' (30)
+    val wide = TextOps.cmsEstimateTopK(docs, k = 10, width = 4096).collect()
+    wide.foreach(r => assert(r.getLong(2) === r.getLong(1)))
+    val common = wide.find(_.getString(0) == "common").get
+    assert(common.getLong(1) === 30L)
+  }
 }
