@@ -199,6 +199,9 @@ object SparkEntry {
     "text_cms_topk" -> ((s, d) =>
       TextOps.cmsEstimateTopK(Tables.table(s, d, "documents"),
         width = TextOps.CmsGateWidth).orderBy("token")),
+    "text_salient" -> ((s, d) =>
+      TextOps.salientTerms(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "token")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans" -> ((s, d) =>
@@ -902,6 +905,20 @@ object SparkEntry {
         "CAST(MIN(s.cnt) AS BIGINT) AS n_est " +
         "FROM tb t JOIN sketch s ON s.row_idx = t.row_idx " +
         "AND s.bucket = t.bucket GROUP BY 1, 2"
+    },
+    "text_salient" -> {
+      val scale = graft.operators.TextOps.TfidfScale
+      val k = graft.operators.TextOps.TfidfTopK
+      "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) " +
+        "AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        s"s AS (SELECT doc_id, tf.token, (tf * $scale) // df AS score " +
+        "FROM tf JOIN dfx ON tf.token = dfx.token), " +
+        "r AS (SELECT doc_id, token, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn FROM s) " +
+        "SELECT doc_id, token, CAST(score AS BIGINT) AS tfidf_fp " +
+        s"FROM r WHERE rn <= $k"
     },
     // repeated-substring spans: the oracle hashes each k-char window
     // DIRECTLY (substr + the phSql fold) — the Spark side's ROLLING

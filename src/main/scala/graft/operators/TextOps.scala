@@ -454,6 +454,47 @@ object TextOps {
     if (raw <= 2.5 * m && v > 0.0) m * math.log(m / v) else raw
   }
 
+  /** Fixed-point scale and per-doc term count for `salientTerms`. */
+  val TfidfScale = 1000000L
+  val TfidfTopK = 3
+
+  /** Salient terms per document — the top-`k` tokens by an INTEGER
+    * tf-idf score: `score = (tf · TfidfScale) div df` (tf = the
+    * token's occurrences in the doc, df = how many docs contain it).
+    * Dividing by df instead of multiplying by idf = N/df drops the
+    * constant corpus-size factor N, which cannot change any per-doc
+    * ranking — and keeps every intermediate within long range at any
+    * corpus size (tf·scale ≤ 2^63 needs only tf < 9·10^12), where the
+    * N-bearing form overflows at ~10^10 docs. Exact integer arithmetic
+    * end to end, so rankings and the gate hash are engine-stable; ties
+    * break by token ascending.
+    *
+    * Scale shape: one tokenize pass → per-(doc, token) counts
+    * (cache-leased — it feeds both the df aggregation and the scoring
+    * join), df is vocabulary-sized, and the score join shuffles on
+    * `token` (vocabulary keys, zipfian but bounded by per-doc distinct
+    * tokens per group on the tf side). The per-doc top-k runs on
+    * `TopKPerKey` — k-bounded heaps, NO window sort of the corpus.
+    */
+  def salientTerms(docs: DataFrame, k: Int = TfidfTopK,
+      scale: Long = TfidfScale): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val tf = graft.Caches.track(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfRel, "token")
+      .select(col("doc_id"), col("token"),
+        expr(s"(tf * ${scale}L) div df").as("tfidf_fp"))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+        Seq(col("tfidf_fp").desc, col("token").asc), k)
+      // the heap's rank is derivable from (tfidf_fp desc, token asc) —
+      // dropped so the gate schema carries no redundant column
+      .select("doc_id", "token", "tfidf_fp")
+  }
+
   /** Count-Min sketch geometry: `CmsDepth` independent hash rows ×
     * `CmsWidth` buckets. The default sizes the sketch at 4×65536 long
     * counters (2 MB) — error ≤ 2·total/width per estimate with

@@ -1741,6 +1741,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(bigEst - 5000.0) <= 1000.0, s"bigEst=$bigEst")
   }
 
+  test("salientTerms == driver-side integer tf-idf brute force") {
+    val rows = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "apple date date date"),
+      (4L, "unique"))
+    def brute(k: Int): Set[(Long, String, Long)] = {
+      val tf = rows.flatMap { case (id, t) =>
+        t.split("\\s+").groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+      }
+      val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      tf.map { case (id, w, f) => (id, w, f * TextOps.TfidfScale / df(w)) }
+        .groupBy(_._1).flatMap { case (_, ts) =>
+          ts.sortBy(t => (-t._3, t._2)).take(k)
+        }.toSet
+    }
+    val got = TextOps.salientTerms(docsDf(rows: _*), k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === brute(2))
+    // 'unique' (df=1) scores a full TfidfScale — the idf ceiling
+    assert(got.contains((4L, "unique", TextOps.TfidfScale)))
+  }
+
   test("cmsTokens: counters sum to total tokens; sketches merge by addition") {
     val a = docsDf((1L, "x y x"), (2L, "y z"))
     val b = docsDf((3L, "z z w"))
