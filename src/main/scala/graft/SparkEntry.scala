@@ -335,6 +335,9 @@ object SparkEntry {
     "events_hourly" -> ((s, d) =>
       EventWindows.hourly(Tables.table(s, d, "events"))
         .orderBy("hour_epoch", "event_type")),
+    "events_hourly_users" -> ((s, d) =>
+      EventWindows.hourlyUsersHll(Tables.table(s, d, "events"))
+        .orderBy("hour_epoch")),
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
@@ -1290,6 +1293,30 @@ object SparkEntry {
         s"(SELECT doc_id, ${phSql("text")} AS ph, " +
         "unnest(range(0, doc_id % 5 + 1)) AS frame_idx " +
         "FROM documents WHERE doc_id % 3 = 2)"),
+    "events_hourly_users" -> {
+      // the text_vocab_hll pipeline, grouped by hour — same constants,
+      // same integer state, same single-expression raw estimator
+      val m = graft.operators.TextOps.HllBuckets
+      val cap = graft.operators.TextOps.HllCap
+      val p2 = (1L << cap).toDouble
+      "WITH e AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "CAST(user_id AS VARCHAR) AS uid FROM events), " +
+        s"h AS (SELECT hour_epoch, ${phSql("uid")} * " +
+        s"${graft.functions.PolyHashUtil.Mod2} + ${phSql2("uid")} AS h FROM e), " +
+        s"br AS (SELECT hour_epoch, h % $m AS bucket, h // $m AS rest FROM h), " +
+        s"rh AS (SELECT hour_epoch, bucket, CASE WHEN rest = 0 THEN $cap ELSE " +
+        s"LEAST($cap, bit_count((rest & (-rest)) - 1) + 1) END AS rho FROM br), " +
+        "mx AS (SELECT hour_epoch, bucket, MAX(rho) AS mr FROM rh GROUP BY 1, 2), " +
+        "agg AS (SELECT hour_epoch, COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM mx GROUP BY 1) " +
+        s"SELECT hour_epoch, CAST($m AS BIGINT) AS m, " +
+        s"CAST($m - nz AS BIGINT) AS n_empty, " +
+        s"CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS BIGINT) AS harmonic_scaled, " +
+        s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
+        s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
+        "FROM agg"
+    },
     "events_hourly" ->
       ("SELECT CAST(extract(epoch FROM time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
         "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +

@@ -351,41 +351,58 @@ object TextOps {
     * zeros of h ÷ m, + 1 (bit_count((x & −x) − 1) + 1 — both engines
     * compute it with the same pure-integer idiom).
     */
-  def vocabHll(docs: DataFrame): DataFrame = {
+  def vocabHll(docs: DataFrame): DataFrame =
+    hllState(docs.select(explode(tokens(col("text"))).as("token")),
+      Nil, col("token"))
+
+  /** The grouped HLL kernel behind `vocabHll` (empty `groups` = the
+    * one-row global sketch) and `EventWindows.hourlyUsersHll` (one
+    * sketch per group): per group, the integer HLL state + raw
+    * estimate over `item` (a string column; hash = the same 60-bit
+    * dual-PolyHash combine). Grouping multiplies nothing: the two
+    * shuffles carry (groups, bucket, rho-max) then (groups, counters)
+    * — ≤ m rows per group regardless of item cardinality, with
+    * map-side partial MAX doing the heavy collapse. That is the whole
+    * case for sketch-per-group over `countDistinct` at 100 TB: exact
+    * distinct shuffles every (group, item) pair once; this shuffles at
+    * most `m` counters per group.
+    */
+  private[graft] def hllState(rel: DataFrame, groups: Seq[String],
+      item: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.PolyHashFunctions.poly_hash2
     val m = HllBuckets
     val cap = HllCap
+    val g = groups.map(col)
     // `div`, not `/`: h is up to ~2^60 and Column./ is DOUBLE division
     // (loses low bits past 2^53 — exactly the bits rho reads)
-    val mx = docs
-      .select(explode(tokens(col("text"))).as("token"))
-      .select((poly_hash(col("token")) *
+    val mx = rel
+      .select(g :+ (poly_hash(item) *
         lit(graft.functions.PolyHashUtil.Mod2) +
-        poly_hash2(col("token"))).as("h"))
-      .select((col("h") % lit(m.toLong)).as("bucket"),
-        expr(s"h div ${m}L").as("rest"))
-      .select(col("bucket"),
+        poly_hash2(item)).as("h"): _*)
+      .select(g ++ Seq((col("h") % lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("rest")): _*)
+      .select(g ++ Seq(col("bucket"),
         when(col("rest") === 0L, lit(cap))
           .otherwise(least(lit(cap),
             bit_count(col("rest").bitwiseAND(-col("rest")) - 1L)
               .cast("int") + 1))
-          .as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("mr"))
-    val agg = mx.agg(
+          .as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*).agg(max(col("rho")).as("mr"))
+    val agg = mx.groupBy(g: _*).agg(
       count(lit(1)).as("nz"),
       coalesce(sum(expr(s"shiftleft(1L, $cap - mr)")), lit(0L))
         .as("sp"))
     // α_m · m² · 2^cap / Σ — one fixed-order float expression; the SQL
     // twin is generated from the same constants
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    agg.select(
-      lit(m.toLong).as("m"),
-      (lit(m.toLong) - col("nz")).as("n_empty"),
-      (col("sp") + (lit(m.toLong) - col("nz")) * shiftleft(lit(1L), cap))
-        .as("harmonic_scaled"))
-      .select(col("m"), col("n_empty"), col("harmonic_scaled"),
+    agg.select(g ++ Seq(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("nz")).as("n_empty"),
+        (col("sp") + (lit(m.toLong) - col("nz")) * shiftleft(lit(1L), cap))
+          .as("harmonic_scaled")): _*)
+      .select(g ++ Seq(col("m"), col("n_empty"), col("harmonic_scaled"),
         (alpha * lit((m.toLong * m).toDouble) * lit(math.pow(2.0, cap)) /
-          col("harmonic_scaled").cast("double")).as("est_raw"))
+          col("harmonic_scaled").cast("double")).as("est_raw")): _*)
   }
 
   /** Denominator for `mixCorpus` rates: rates are integer parts-per-

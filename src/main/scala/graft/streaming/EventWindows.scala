@@ -34,6 +34,26 @@ object EventWindows {
         col("event_type"), col("n_events"), col("n_users"),
         col("max_value"), col("min_value"))
 
+  /** Distinct users per hour as an HLL SKETCH per window — the
+    * bounded-state form of `hourly`'s exact `countDistinct`: one
+    * integer sketch state (+ raw estimate) row per hour, shuffling at
+    * most `HllBuckets` counters per hour instead of every distinct
+    * (hour, user) pair. At 100 TB of events the exact form's shuffle
+    * is corpus-sized; this one is `hours × 512` rows — and per-hour
+    * states merge by bucket-wise MAX, so daily/weekly rollups come
+    * from the hourly sketches without touching events again. Hour
+    * bucketing and the epoch-seconds output convention match
+    * `hourly`; the estimate/correction contract matches `vocabHll`
+    * (raw estimator in the row, linear-counting correction left to
+    * the consumer via `n_empty`).
+    */
+  def hourlyUsersHll(events: DataFrame): DataFrame =
+    graft.operators.TextOps.hllState(
+      events.select(
+        date_trunc("HOUR", col("ts")).cast("long").as("hour_epoch"),
+        col("user_id").cast("string").as("uid")),
+      Seq("hour_epoch"), col("uid"))
+
   /** Semi-structured extraction: pull `k` out of the JSON `props`
     * column and aggregate per event_type — integer aggregation only
     * (exact across engines). `get_json_object` runs codegen'd; no UDF.

@@ -1741,6 +1741,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(bigEst - 5000.0) <= 1000.0, s"bigEst=$bigEst")
   }
 
+  test("hourlyUsersHll: per-hour state == global sketch of that hour's slice") {
+    import graft.streaming.EventWindows
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(offsetMin: Int) =
+      new java.sql.Timestamp(base.getTime + offsetMin * 60000L)
+    // hour A: users 1,2,2,3 — hour B: users 2,4
+    val events = spark.createDataFrame(Seq(
+      (1L, ts(0)), (2L, ts(5)), (2L, ts(59)), (3L, ts(30)),
+      (2L, ts(70)), (4L, ts(90)))).toDF("user_id", "ts")
+    val got = EventWindows.hourlyUsersHll(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 2)
+    // the same kernel run globally over one hour's slice must agree —
+    // grouping only partitions the stream, it never changes a state
+    def globalState(users: Seq[Long]) = {
+      val docs = docsDf(users.zipWithIndex.map { case (u, i) =>
+        (i.toLong, u.toString) }: _*)
+      val r = TextOps.vocabHll(docs).collect()(0)
+      (r.getLong(1), r.getLong(2))
+    }
+    // resolve hour keys from the result (timezone-agnostic): the two
+    // hours are adjacent, first = users {1,2,3}, second = {2,4}
+    val Seq(hourA, hourB) = got.keySet.toSeq.sorted
+    assert(hourB === hourA + 3600)
+    assert(got(hourA) === globalState(Seq(1L, 2L, 2L, 3L)))
+    assert(got(hourB) === globalState(Seq(2L, 4L)))
+  }
+
   test("salientTerms == driver-side integer tf-idf brute force") {
     val rows = Seq(
       (1L, "apple banana apple cherry"),
