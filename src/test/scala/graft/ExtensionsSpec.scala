@@ -1809,6 +1809,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(merged === added)
   }
 
+  test("cmsTokens runs unchanged on a stream: complete-mode state == batch") {
+    // the sketch IS a streaming aggregation — same code path at ingest
+    // time; counters in the state store, no text retained
+    val docs = docsDf((1L, "x y x"), (2L, "y z w"), (3L, "z z"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+    val batch = TextOps.cmsTokens(docs, width = 8).collect().map(key).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = TextOps.cmsTokens(streamIn, width = 8)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("select row_idx, bucket, cnt from cms_stream")
+        .collect().map(key).toMap
+      assert(streamed === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cmsEstimateTopK: estimates never undercount, exact at ample width") {
     val docs = docsDf((0 until 30).map(i =>
       (i.toLong, s"tok$i common ${if (i % 2 == 0) "even" else "odd"}")): _*)
