@@ -44,6 +44,16 @@ object ScaleRehearsal {
     t("pagerank 10M edges 5 sweeps")(
       operators.GraphOps.pageRank(edges)
         .agg(sum(col("rank_fp"))).collect()(0).getLong(0))
+    // components on a 1/8 slice (~1.25M edges over 2M vertices) —
+    // past the union-find fast path's 250k-edge bound, so the
+    // DISTRIBUTED star loop runs, on a fragmented (many-component)
+    // graph rather than dup_clusters' giant/deep shapes below
+    t("components 10M/8 sparse")(
+      operators.GraphOps.components(
+          operators.GraphOps.sparsifyEdges(edges, 8L))
+        .agg(countDistinct(col("component"))).collect()(0).getLong(0))
+    t("mutual_follows 10M edges")(
+      operators.GraphOps.mutualFollows(edges).collect()(0).getLong(0))
 
     // 50k documents: 10 replicas of sf0.1 (every doc has 9 exact dups)
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -64,6 +74,20 @@ object ScaleRehearsal {
     // sequence packing at 50k docs: ONE range shuffle + 2-pass prefix
     t("pack_sequences 50k docs")(
       operators.TextOps.packSequences(docs).count())
+    // CM sketch at full default width (4×65536) and the tf-idf top-k —
+    // both bounded by sketch geometry / vocabulary, not corpus size
+    t("cms_sketch 50k docs")(
+      operators.TextOps.cmsTokens(docs).count())
+    t("salient_terms 50k docs")(
+      operators.TextOps.salientTerms(docs).count())
+    // per-hour HLL over 10M synthetic events (1M users, 30 days of
+    // hours): the shuffle after partial agg is ≤ hours×512 counters
+    val bigEvents = spark.range(10000000L).select(
+      timestamp_seconds(lit(1700000000L) +
+        pmod(hash(col("id")), lit(720 * 3600))).as("ts"),
+      pmod(hash(col("id") * 13 + 5), lit(1000000)).cast("long").as("user_id"))
+    t("hourly_users_hll 10M events")(
+      graft.streaming.EventWindows.hourlyUsersHll(bigEvents).count())
 
     // one GIANT near-dup component (10^6 members: 30% direct hub links
     // + a random recursive tree) — the old pointer-doubling loop

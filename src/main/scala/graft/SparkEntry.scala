@@ -338,6 +338,9 @@ object SparkEntry {
     "events_hourly_users" -> ((s, d) =>
       EventWindows.hourlyUsersHll(Tables.table(s, d, "events"))
         .orderBy("hour_epoch")),
+    "events_funnel" -> ((s, d) =>
+      EventWindows.funnel(Tables.table(s, d, "events"))
+        .orderBy("stage_idx")),
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
@@ -1293,6 +1296,25 @@ object SparkEntry {
         s"(SELECT doc_id, ${phSql("text")} AS ph, " +
         "unnest(range(0, doc_id % 5 + 1)) AS frame_idx " +
         "FROM documents WHERE doc_id % 3 = 2)"),
+    "events_funnel" -> {
+      // chained per-stage thresholds: s_i = each user's earliest
+      // stage-i event strictly after their s_{i-1} threshold
+      val stages = graft.streaming.EventWindows.FunnelStages
+      val ctes = stages.zipWithIndex.map { case (s, i) =>
+        if (i == 0)
+          s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events " +
+            s"WHERE event_type = '$s' GROUP BY 1)"
+        else
+          s"s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t " +
+            s"FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id " +
+            s"WHERE e.event_type = '$s' AND epoch_us(e.ts) > p.t GROUP BY 1)"
+      }.mkString(", ")
+      val sel = stages.zipWithIndex.map { case (s, i) =>
+        s"SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage, " +
+          s"(SELECT COUNT(*) FROM s$i) AS n_users"
+      }.mkString(" UNION ALL ")
+      s"WITH $ctes $sel"
+    },
     "events_hourly_users" -> {
       // the text_vocab_hll pipeline, grouped by hour — same constants,
       // same integer state, same single-expression raw estimator

@@ -54,6 +54,54 @@ object EventWindows {
         col("user_id").cast("string").as("uid")),
       Seq("hour_epoch"), col("uid"))
 
+  /** Stage sequence for the `events_funnel` gate query. Same constant
+    * MUST appear in the oracle SQL.
+    */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered conversion funnel: how many users performed stage 1, then
+    * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    * strictly after that earliest qualifying stage-2 event, and so on —
+    * the greedy earliest-qualifying-event semantics every funnel tool
+    * uses (deterministic: each threshold is a MIN over int64
+    * microseconds). Output: one `(stage_idx, stage, n_users)` row per
+    * stage, n_users non-increasing.
+    *
+    * Scale shape: events are filtered to the funnel's types and
+    * projected to 3 narrow columns ONCE (cache-leased), then each
+    * stage is one user-keyed equi-join of that relation against the
+    * previous stage's per-user threshold (user-sized, NOT event-sized)
+    * followed by a map-side-combined min. k stages = k bounded
+    * shuffles of the filtered relation — never a per-user sort or a
+    * collect of event lists, so a celebrity user costs nothing special.
+    */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val e = graft.Caches.track(events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var thr = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+    var rows = thr.agg(count(lit(1)).as("n_users"))
+      .select(lit(0L).as("stage_idx"), lit(stages.head).as("stage"),
+        col("n_users"))
+    stages.tail.zipWithIndex.foreach { case (s, i) =>
+      thr = e.filter(col("event_type") === s)
+        .join(thr, "user_id")
+        .filter(col("us") > col("t"))
+        .groupBy("user_id").agg(min(col("us")).as("t"))
+      rows = rows.unionByName(thr.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("stage_idx"), lit(s).as("stage"),
+          col("n_users")))
+    }
+    rows
+  }
+
   /** Semi-structured extraction: pull `k` out of the JSON `props`
     * column and aggregate per event_type — integer aggregation only
     * (exact across engines). `get_json_object` runs codegen'd; no UDF.

@@ -1741,6 +1741,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(bigEst - 5000.0) <= 1000.0, s"bigEst=$bigEst")
   }
 
+  test("funnel: strict-order greedy semantics, non-increasing counts") {
+    import graft.streaming.EventWindows
+    def ev(u: Long, t: Int, ty: String) =
+      (u, new java.sql.Timestamp(1700000000000L + t * 1000L), ty)
+    val events = spark.createDataFrame(Seq(
+      // u1 completes in order; u2 clicks BEFORE its view (that click
+      // must not count) then buys after a later click; u3 views only;
+      // u4 stops after click; u6's click ties its view's ts exactly
+      // (strict > rejects it); u5 never enters the funnel
+      ev(1L, 0, "view"), ev(1L, 1, "click"), ev(1L, 2, "purchase"),
+      ev(2L, 0, "click"), ev(2L, 1, "view"), ev(2L, 2, "click"),
+        ev(2L, 3, "purchase"),
+      ev(3L, 0, "view"),
+      ev(4L, 5, "view"), ev(4L, 6, "click"),
+      ev(6L, 7, "view"), ev(6L, 7, "click"),
+      ev(5L, 9, "error"))).toDF("user_id", "ts", "event_type")
+    val got = EventWindows.funnel(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Seq((0L, "view", 5L), (1L, "click", 3L),
+      (2L, "purchase", 2L)))
+    // single-stage funnel degenerates to distinct-user count
+    val one = EventWindows.funnel(events, Seq("error")).collect()
+    assert(one.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((0L, "error", 1L)))
+  }
+
   test("hourlyUsersHll: per-hour state == global sketch of that hour's slice") {
     import graft.streaming.EventWindows
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
