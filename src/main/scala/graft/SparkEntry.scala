@@ -318,6 +318,14 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // DELIBERATELY no oracleSql entry: the Lloyd-fitted centroids are
+    // not SQL-derivable, so the driver records a rows-only check — the
+    // point of listing it is bench visibility (a trained-path perf
+    // regression was previously invisible to the driver) plus the
+    // clustered-corpus recall test and rehearsal record
+    "knn_ivf_trained" -> ((s, d) =>
+      Similarity.knnIvfTrained(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
@@ -341,6 +349,9 @@ object SparkEntry {
     "events_funnel" -> ((s, d) =>
       EventWindows.funnel(Tables.table(s, d, "events"))
         .orderBy("stage_idx")),
+    "events_retention" -> ((s, d) =>
+      EventWindows.retention(Tables.table(s, d, "events"))
+        .orderBy("cohort_day", "day_offset")),
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
@@ -1314,6 +1325,16 @@ object SparkEntry {
           s"(SELECT COUNT(*) FROM s$i) AS n_users"
       }.mkString(" UNION ALL ")
       s"WITH $ctes $sel"
+    },
+    "events_retention" -> {
+      val mx = graft.streaming.EventWindows.RetentionMaxOffset
+      "WITH d AS (SELECT DISTINCT user_id, " +
+        "epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM d JOIN c ON d.user_id = c.user_id " +
+        s"WHERE day - cohort_day <= $mx GROUP BY 1, 2"
     },
     "events_hourly_users" -> {
       // the text_vocab_hll pipeline, grouped by hour — same constants,

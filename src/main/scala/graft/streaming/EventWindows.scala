@@ -102,6 +102,41 @@ object EventWindows {
     rows
   }
 
+  /** Offset horizon for the `events_retention` gate query. Same
+    * constant MUST appear in the oracle SQL.
+    */
+  val RetentionMaxOffset = 7L
+
+  /** Cohort retention: users cohorted by their FIRST active day (UTC
+    * epoch-day = `unix_micros div 86400e6`, exact integer), then one
+    * `(cohort_day, day_offset, n_users)` row per cohort × offset with
+    * at least one active user, `day_offset <= maxOffset`. Offset 0 is
+    * the cohort size; n_users at higher offsets is the classic
+    * retention curve. A user counts once per active day (distinct
+    * (user, day) first), so event volume never inflates retention.
+    *
+    * Scale shape: one distinct over (user, day) — the only shuffle
+    * proportional to activity, and map-side partial distinct collapses
+    * each user's same-day events before it — then a user-keyed join
+    * against the user-sized cohort relation and a final aggregation on
+    * (cohort, offset) keys (≤ days × maxOffset groups). No windows, no
+    * per-user buffers.
+    */
+  def retention(events: DataFrame,
+      maxOffset: Long = RetentionMaxOffset): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val days = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Semi-structured extraction: pull `k` out of the JSON `props`
     * column and aggregate per event_type — integer aggregation only
     * (exact across engines). `get_json_object` runs codegen'd; no UDF.

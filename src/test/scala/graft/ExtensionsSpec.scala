@@ -1767,6 +1767,27 @@ class ExtensionsSpec extends SparkSpec {
       Seq((0L, "error", 1L)))
   }
 
+  test("retention: first-day cohorts, one count per active day, offset cap") {
+    import graft.streaming.EventWindows
+    val day = 86400000L // ms
+    def ev(u: Long, d: Int, ms: Long) =
+      (u, new java.sql.Timestamp(d * day + ms))
+    val events = spark.createDataFrame(Seq(
+      // u1: days 0,1,9 (9 beyond the offset cap of 7); three same-day
+      // events on day 0 count once; u2: days 1,2; u3: day 0 only
+      ev(1L, 0, 0L), ev(1L, 0, 5000L), ev(1L, 0, 9000L), ev(1L, 1, 0L),
+        ev(1L, 9, 0L),
+      ev(2L, 1, 100L), ev(2L, 2, 200L),
+      ev(3L, 0, 50L))).toDF("user_id", "ts")
+    val got = EventWindows.retention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 2L, // cohort day0: u1, u3
+      (0L, 1L) -> 1L, // u1 back on day 1
+      (1L, 0L) -> 1L, // cohort day1: u2
+      (1L, 1L) -> 1L)) // u2 back on day 2
+  }
+
   test("hourlyUsersHll: per-hour state == global sketch of that hour's slice") {
     import graft.streaming.EventWindows
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")

@@ -277,6 +277,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_cms: one pruned text scan, tokens never shuffled") {
+    val plan = operators.TextOps.cmsTokens(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+    // the ONE shuffle is keyed on (row_idx, bucket) — prints as the
+    // struct-field grouping expressions — and partial counting has
+    // already collapsed the token stream to ≤ depth×width rows
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("graph_mutual: ONE edge-relation shuffle (canonical-pair agg, no self-join)") {
+    val plan = operators.GraphOps.mutualFollows(
+        operators.GraphOps.edges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one hash shuffle on the pair key, plus the final 1-row agg
+    assert(plan.contains("Exchange hashpartitioning(lo"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("salientTerms runs through TopKPerKey, never a Window sort") {
+    val plan = operators.TextOps.salientTerms(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("retention: the only activity-sized shuffle is the (user, day) distinct") {
+    val plan = graft.streaming.EventWindows.retention(
+        sources.Tables.table(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    // events scan pruned to (ts, user_id) — the wide columns
+    // (event_type, value, props) never leave parquet; no window
+    assert(plan.contains("user_id"), plan)
+    assert(!plan.contains("event_type") && !plan.contains("props"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
