@@ -1767,6 +1767,64 @@ class ExtensionsSpec extends SparkSpec {
       Seq((0L, "error", 1L)))
   }
 
+  test("property: funnel == sequential brute force on random event streams") {
+    import graft.streaming.EventWindows
+    val stages = Seq("a", "b", "c")
+    def brute(evs: Seq[(Long, Long, String)]): Seq[Long] = {
+      val byUser = evs.groupBy(_._1)
+      stages.indices.map { k =>
+        byUser.values.count { es =>
+          // greedy: earliest qualifying event per stage, strictly after
+          var thr = Long.MinValue
+          var ok = true
+          stages.take(k + 1).zipWithIndex.foreach { case (s, i) =>
+            if (ok) {
+              val cand = es.filter(e => e._3 == s &&
+                (if (i == 0) true else e._2 > thr)).map(_._2)
+              if (cand.isEmpty) ok = false else thr = cand.min
+            }
+          }
+          ok
+        }.toLong
+      }
+    }
+    val rng = new scala.util.Random(43)
+    (1 to 3).foreach { _ =>
+      val evs = Seq.fill(300)((rng.nextInt(20).toLong,
+        rng.nextInt(50).toLong * 1000000L, // whole-second micros
+        Seq("a", "b", "c", "x")(rng.nextInt(4))))
+      val df = spark.createDataFrame(evs.map { case (u, us, ty) =>
+        (u, new java.sql.Timestamp(us / 1000L), ty)
+      }).toDF("user_id", "ts", "event_type")
+      val got = EventWindows.funnel(df, stages).collect()
+        .sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      withClue(s"events=${evs.take(20)}...") { assert(got === brute(evs)) }
+    }
+  }
+
+  test("property: retention == brute force on random activity") {
+    import graft.streaming.EventWindows
+    val rng = new scala.util.Random(47)
+    (1 to 3).foreach { _ =>
+      val evs = Seq.fill(200)((rng.nextInt(15).toLong, rng.nextInt(20)))
+      def brute(mx: Long): Map[(Long, Long), Long] = {
+        val days = evs.map { case (u, d) => (u, d.toLong) }.distinct
+        val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        days.map { case (u, d) => (cohort(u), d - cohort(u)) }
+          .filter(_._2 <= mx)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }
+      val df = spark.createDataFrame(evs.map { case (u, d) =>
+        (u, new java.sql.Timestamp(d * 86400000L + 7200000L))
+      }).toDF("user_id", "ts")
+      Seq(0L, 7L, 30L).foreach { mx =>
+        val got = EventWindows.retention(df, mx).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        withClue(s"mx=$mx evs=${evs.take(20)}...") { assert(got === brute(mx)) }
+      }
+    }
+  }
+
   test("retention: first-day cohorts, one count per active day, offset cap") {
     import graft.streaming.EventWindows
     val day = 86400000L // ms
