@@ -92,6 +92,29 @@ object SparkEntry {
   val MixPpm: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> 100000L * (i + 1)).toMap
 
+  /** Funnel oracle: chained per-stage thresholds — s_i = each user's
+    * earliest stage-i event strictly after their s_{i-1} threshold.
+    * Shared verbatim by `events_funnel` and its state-machine twin
+    * `events_funnel_stateful`.
+    */
+  private lazy val funnelOracle: String = {
+    val stages = graft.streaming.EventWindows.FunnelStages
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events " +
+          s"WHERE event_type = '$s' GROUP BY 1)"
+      else
+        s"s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t " +
+          s"FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id " +
+          s"WHERE e.event_type = '$s' AND epoch_us(e.ts) > p.t GROUP BY 1)"
+    }.mkString(", ")
+    val sel = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage, " +
+        s"(SELECT COUNT(*) FROM s$i) AS n_users"
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $sel"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("triangles_rs")(spark, "/root/testdata/sf0.001")
@@ -352,6 +375,11 @@ object SparkEntry {
     "events_retention" -> ((s, d) =>
       EventWindows.retention(Tables.table(s, d, "events"))
         .orderBy("cohort_day", "day_offset")),
+    // the funnel's mapGroupsWithState twin — must be count-identical
+    // to events_funnel, whose oracle it shares
+    "events_funnel_stateful" -> ((s, d) =>
+      EventWindows.funnelStateful(s, Tables.table(s, d, "events"))
+        .orderBy("stage_idx")),
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
@@ -1307,25 +1335,11 @@ object SparkEntry {
         s"(SELECT doc_id, ${phSql("text")} AS ph, " +
         "unnest(range(0, doc_id % 5 + 1)) AS frame_idx " +
         "FROM documents WHERE doc_id % 3 = 2)"),
-    "events_funnel" -> {
-      // chained per-stage thresholds: s_i = each user's earliest
-      // stage-i event strictly after their s_{i-1} threshold
-      val stages = graft.streaming.EventWindows.FunnelStages
-      val ctes = stages.zipWithIndex.map { case (s, i) =>
-        if (i == 0)
-          s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events " +
-            s"WHERE event_type = '$s' GROUP BY 1)"
-        else
-          s"s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t " +
-            s"FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id " +
-            s"WHERE e.event_type = '$s' AND epoch_us(e.ts) > p.t GROUP BY 1)"
-      }.mkString(", ")
-      val sel = stages.zipWithIndex.map { case (s, i) =>
-        s"SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage, " +
-          s"(SELECT COUNT(*) FROM s$i) AS n_users"
-      }.mkString(" UNION ALL ")
-      s"WITH $ctes $sel"
-    },
+    "events_funnel" -> funnelOracle,
+    // the state-machine form is an execution detail (per-user
+    // mapGroupsWithState scan instead of chained joins) — same greedy
+    // thresholds, same oracle
+    "events_funnel_stateful" -> funnelOracle,
     "events_retention" -> {
       val mx = graft.streaming.EventWindows.RetentionMaxOffset
       "WITH d AS (SELECT DISTINCT user_id, " +

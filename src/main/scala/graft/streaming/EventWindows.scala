@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Windowed aggregation over the `events` table — the streaming-shaped
   * extension (the reference itself is pure batch, SURVEY.md §2.7).
@@ -135,6 +136,73 @@ object EventWindows {
       .filter(col("day_offset") <= maxOffset)
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  case class FunnelEv(user_id: Long, us: Long, stage_idx: Int)
+  case class FunnelProgress(reached: Int, thr: Long)
+
+  /** The funnel as an explicit per-user STATE MACHINE
+    * (`mapGroupsWithState`) — the escape hatch for funnel logic the
+    * join form can't express (per-stage time windows, abandon/reset
+    * rules, early per-user emission at ingest). Kept semantically
+    * identical to `funnel` here so the two are cross-checkable: a
+    * forward scan in (ts, stage) order advancing one stage per
+    * qualifying event computes exactly the greedy
+    * earliest-qualifying-event thresholds. Output schema and counts
+    * match `funnel`; the gate query shares its oracle.
+    *
+    * Batch mode visits each user once (events buffered and sorted
+    * in-group — bounded by one user's events, the same buffer
+    * session_window holds); a streaming deployment keeps
+    * `FunnelProgress` (8+4 bytes) per user in the state store and
+    * needs only the stage counts aggregated downstream.
+    */
+  def funnelStateful(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, stages: Seq[String] = FunnelStages): DataFrame = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val reached = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        stageIdx.as("stage_idx"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, (Long, Int)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        // deterministic replay order: ts, then stage index on ties —
+        // a same-ts later stage still fails the strict > threshold
+        val sorted = rows.toArray.sortBy(e => (e.us, e.stage_idx))
+        var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+        sorted.foreach { e =>
+          if (st.reached < stages.size && e.stage_idx == st.reached &&
+              (st.reached == 0 || e.us > st.thr))
+            st = FunnelProgress(st.reached + 1, e.us)
+        }
+        state.update(st)
+        (user, st.reached)
+      }
+    // a user reaching stage r counts toward stages 0..r-1; the
+    // right-join against the stages.size-row relation restores
+    // zero-user stages (the join form emits them as 0, so must we)
+    val names = typedLit(stages)
+    val stageRel = spark.range(stages.size).select(
+      col("id").as("stage_idx"),
+      element_at(names, col("id").cast("int") + 1).as("stage"))
+    reached.toDF("user_id", "reached")
+      .filter(col("reached") > 0)
+      .select(explode(sequence(lit(0L), col("reached").cast("long") - 1L))
+        .as("stage_idx"))
+      .groupBy("stage_idx")
+      .agg(count(lit(1)).as("n_users"))
+      .join(stageRel, Seq("stage_idx"), "right")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /** Semi-structured extraction: pull `k` out of the JSON `props`

@@ -1802,6 +1802,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStateful == funnel on fixtures and random streams (incl. empty stages)") {
+    import graft.streaming.EventWindows
+    def cmp(df: org.apache.spark.sql.DataFrame, stages: Seq[String]): Unit = {
+      val a = EventWindows.funnel(df, stages).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val b = EventWindows.funnelStateful(spark, df, stages).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(a === b, s"join=$a state=$b")
+    }
+    val rng = new scala.util.Random(53)
+    (1 to 3).foreach { _ =>
+      val evs = Seq.fill(250)((rng.nextInt(15).toLong,
+        new java.sql.Timestamp(rng.nextInt(40).toLong * 1000L),
+        Seq("a", "b", "c", "x")(rng.nextInt(4))))
+      cmp(spark.createDataFrame(evs).toDF("user_id", "ts", "event_type"),
+        Seq("a", "b", "c"))
+    }
+    // a stage no user ever reaches must appear as an explicit 0 row
+    val tiny = spark.createDataFrame(Seq(
+      (1L, new java.sql.Timestamp(0L), "a"))).toDF("user_id", "ts", "event_type")
+    cmp(tiny, Seq("a", "b"))
+    val z = EventWindows.funnelStateful(spark, tiny, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(z === Seq((0L, "a", 1L), (1L, "b", 0L)))
+  }
+
   test("property: retention == brute force on random activity") {
     import graft.streaming.EventWindows
     val rng = new scala.util.Random(47)
