@@ -71,6 +71,11 @@ object ScaleRehearsal {
     t("contamination 50k docs")(
       operators.TextOps.contamination(docs,
         docs0.filter(col("doc_id") < 500)).count())
+    // same screen through the fixed 8 KB bloom prefilter — the form
+    // that survives a probe side too big to broadcast
+    t("contamination_bloom 50k")(
+      operators.TextOps.contaminationBloom(docs,
+        docs0.filter(col("doc_id") < 500)).count())
     // sequence packing at 50k docs: ONE range shuffle + 2-pass prefix
     t("pack_sequences 50k docs")(
       operators.TextOps.packSequences(docs).count())

@@ -115,6 +115,19 @@ object SparkEntry {
     s"WITH $ctes $sel"
   }
 
+  /** Contamination oracle (shared verbatim by `text_contamination`
+    * and its bloom-prefiltered twin — the prefilter has no false
+    * negatives and the exact join removes its false positives, so the
+    * two queries are output-identical by construction).
+    */
+  private lazy val contaminationOracle: String =
+    s"WITH $HsCte, " +
+      "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+      "probe AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10) " +
+      "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles " +
+      "FROM sh s JOIN probe p ON s.h = p.h WHERE s.doc_id >= 10 " +
+      "GROUP BY s.doc_id"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("triangles_rs")(spark, "/root/testdata/sf0.001")
@@ -196,6 +209,13 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       TextOps.contamination(docs,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 10)
+        .orderBy("doc_id")
+    }),
+    "text_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      TextOps.contaminationBloom(docs,
           docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10))
         .filter(org.apache.spark.sql.functions.col("doc_id") >= 10)
         .orderBy("doc_id")
@@ -817,13 +837,11 @@ object SparkEntry {
       }
       s"SELECT doc_id, $scrubbed AS text FROM documents"
     },
-    "text_contamination" ->
-      (s"WITH $HsCte, " +
-        "sh AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
-        "probe AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10) " +
-        "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles " +
-        "FROM sh s JOIN probe p ON s.h = p.h WHERE s.doc_id >= 10 " +
-        "GROUP BY s.doc_id"),
+    "text_contamination" -> contaminationOracle,
+    // the bloom prefilter is an execution detail (fixed 8 KB bit array
+    // instead of a broadcast probe set; exact join removes every bloom
+    // false positive) — same output, same oracle
+    "text_contamination_bloom" -> contaminationOracle,
     "text_pack" ->
       ("WITH t AS (SELECT doc_id, " +
         "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), " +

@@ -165,6 +165,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Bloom-filter geometry for `contaminationBloom`: 2^16 bits
+    * (1024 longs, 8 KB) × 2 probes. With ~10^5-10^6 probe shingles the
+    * false-positive rate is ~(n/B)^2 (≈2% at n=10^5) — every false
+    * positive is removed by the exact join, so geometry only tunes how
+    * much corpus survives the prefilter, never correctness.
+    */
+  val BloomBitsLog2 = 16
+  private val BloomB = 1L << BloomBitsLog2
+
+  /** Decontamination via a BLOOM prefilter — identical output to
+    * `contamination` (same oracle), different scale regime: that
+    * operator broadcasts the probe shingle SET, which dies when the
+    * probe side stops being broadcast-small (screening one large
+    * corpus against another). Here the probe set is folded into a
+    * FIXED 8 KB bit array — bounded by geometry, not data — the corpus
+    * stream is prefiltered against it in its map stage (two bit tests
+    * per shingle; no false negatives, so nothing real is lost), and
+    * only the surviving sliver reaches the exact shingle join, which
+    * can now be an ordinary shuffle join of two small relations. The
+    * one driver collect is ≤ 2^BloomBitsLog2/64 rows by construction.
+    */
+  def contaminationBloom(docs: DataFrame, probes: DataFrame): DataFrame = {
+    def shingles(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.ShingleHashFunctions
+        .shingle_hash(tokens(col("text")), Dedup.ShingleN))).as("h"))
+    val ps = shingles(probes).select("h").distinct()
+    // two probe positions from independent bit ranges of the shingle
+    // hash (h < 2^30 ≥ 2×BloomBitsLog2 bits); h ≥ 0 so % is a bucket
+    def positions(rel: DataFrame): DataFrame = rel
+      .withColumn("p1", expr(s"h % $BloomB"))
+      .withColumn("p2", expr(s"(h div $BloomB) % $BloomB"))
+    val words = positions(ps)
+      .select(explode(array(col("p1"), col("p2"))).as("bit"))
+      .select(expr("bit div 64").as("word_idx"), expr("bit % 64").as("b"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(shiftleft(1L, CAST(b AS INT)))").as("bits"))
+      .collect()
+    val lutArr = Array.fill((BloomB / 64L).toInt)(0L)
+    words.foreach(r => lutArr(r.getLong(0).toInt) = r.getLong(1))
+    val lut = typedLit(lutArr.toSeq)
+    def hit(p: String) =
+      (element_at(lut, expr(s"CAST($p div 64 AS INT)") + 1)
+        .bitwiseAND(expr(s"shiftleft(1L, CAST($p % 64 AS INT))")) =!= 0L)
+    positions(shingles(docs))
+      .filter(hit("p1") && hit("p2"))
+      .select("doc_id", "h")
+      .join(ps, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** SEQUENCE PACKING plan: concat-and-chunk every document (in
     * doc_id order) into fixed `seqLen`-token training sequences; each
     * doc gets the sequence id and in-sequence offset where it STARTS

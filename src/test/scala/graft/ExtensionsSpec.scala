@@ -1802,6 +1802,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationBloom == contamination (prefilter loses nothing real)") {
+    // real corpus slice: probes = docs < 10 screened against the rest
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val probes = docs.filter(col("doc_id") < 10)
+    def m(df: DataFrame) = df.filter(col("doc_id") >= 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = m(TextOps.contamination(docs, probes))
+    val bloom = m(TextOps.contaminationBloom(docs, probes))
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the comparison must not be vacuous
+    // disjoint corpora: nothing survives the prefilter or the join
+    val a = docsDf((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+    val b = docsDf((10L, "kk ll mm nn oo"))
+    assert(TextOps.contaminationBloom(a, b).count() === 0L)
+  }
+
   test("funnelStateful == funnel on fixtures and random streams (incl. empty stages)") {
     import graft.streaming.EventWindows
     def cmp(df: org.apache.spark.sql.DataFrame, stages: Seq[String]): Unit = {
