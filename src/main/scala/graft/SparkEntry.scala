@@ -146,6 +146,9 @@ object SparkEntry {
     // same scaled-constant trick as the Max* filters); component label
     // = min reachable vertex id, via the dedup family's star
     // contraction kernel
+    // bag-semantics twin: repeated edges are weight (buys-from volume)
+    "pagerank_weighted" -> ((s, d) =>
+      GraphOps.pageRankWeighted(GraphOps.edges(s, d)).orderBy("vertex")),
     "graph_components" -> ((s, d) =>
       GraphOps.components(
         GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
@@ -716,6 +719,27 @@ object SparkEntry {
       s"WITH dedges AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
         "verts AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges), " +
         "deg AS (SELECT src AS v, COUNT(*) AS d FROM dedges GROUP BY src), " +
+        s"pr0 AS (SELECT v, $scale AS r FROM verts), $sweeps " +
+        s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
+        s"FROM pr${GraphOps.PageRankIters}"
+    },
+    "pagerank_weighted" -> {
+      // the pagerank oracle with the weighted compression: per-edge
+      // contribution = (rank // total-out-weight) * w — truncate
+      // before multiply, exactly like the operator
+      val scale = GraphOps.PageRankScale
+      val base = 15L * scale / 100L
+      val sweeps = (1 to GraphOps.PageRankIters).map { i =>
+        s"pr$i AS (SELECT verts.v, $base + (85 * COALESCE(inc.m, 0)) // 100 AS r " +
+          "FROM verts LEFT JOIN (" +
+          s"SELECT e.dst AS v, SUM((p.r // tw.tw) * e.w) AS m FROM we e " +
+          s"JOIN pr${i - 1} p ON p.v = e.src JOIN tw ON tw.v = e.src " +
+          "GROUP BY e.dst) inc ON inc.v = verts.v)"
+      }.mkString(", ")
+      s"WITH we AS (SELECT src, dst, COUNT(*) AS w FROM ($EdgesCte) " +
+        "GROUP BY 1, 2), " +
+        "verts AS (SELECT src AS v FROM we UNION SELECT dst FROM we), " +
+        "tw AS (SELECT src AS v, SUM(w) AS tw FROM we GROUP BY 1), " +
         s"pr0 AS (SELECT v, $scale AS r FROM verts), $sweeps " +
         s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
         s"FROM pr${GraphOps.PageRankIters}"

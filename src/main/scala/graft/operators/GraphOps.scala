@@ -246,6 +246,49 @@ object GraphOps {
   val PageRankIters = 5
   val PageRankScale = 1000000L
 
+  /** WEIGHTED fixed-point PageRank — the bag-semantics twin of
+    * `pageRank`: a repeated edge is WEIGHT, not noise (on the derived
+    * buys-from graph, influence weighted by order volume). Per sweep
+    * each vertex first truncates its rank by its total out-weight
+    * (`r div totW`, computed on the vertex-sized relation), then every
+    * edge carries `quot · w` — truncate-BEFORE-multiply keeps every
+    * intermediate ≤ r (no overflow at any weight skew, where
+    * `r·w div totW` overflows once r·w crosses 2^63) and stays exact
+    * long arithmetic end to end, so results are bit-identical across
+    * engines and partitionings. Same damping, dangling-leak and
+    * distinct-vertex conventions as `pageRank`; `pageRank` ==
+    * `pageRankWeighted` on any multiplicity-free edge set (every
+    * w = 1, totW = out-degree — pinned in tests).
+    *
+    * Scale shape identical to `pageRank` except the edge relation is
+    * the WEIGHTED compression (`weightedEdges`) — shuffles are bounded
+    * by distinct edges even when the bag is duplicate-heavy.
+    */
+  def pageRankWeighted(e: DataFrame, iters: Int = PageRankIters,
+      scale: Long = PageRankScale): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val we = weightedEdges(e.select("src", "dst"))
+    val verts = we.select(col("src").as("v"))
+      .union(we.select(col("dst").as("v"))).distinct()
+    val totW = we.groupBy(col("src").as("v"))
+      .agg(sum(col("w")).as("tw"))
+    var ranks = verts.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val quot = ranks.join(totW, "v")
+        .select(col("v").as("src"), expr("r div tw").as("q"))
+      val inbound = we
+        .join(quot, "src")
+        .select(col("dst").as("v"), (col("q") * col("w")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      ranks = verts.join(inbound, Seq("v"), "left")
+        .select(col("v"),
+          (lit(15L * scale / 100L) +
+            (lit(85L) * coalesce(col("m"), lit(0L))).divLong(100L)).as("r"))
+    }
+    ranks.select(col("v").as("vertex"), col("r").cast("long").as("rank_fp"))
+  }
+
   /** WEAKLY-connected components over the follower graph — "who is in
     * the same social universe", the classic reachability partition the
     * reference's path/triangle analytics stop short of. Edge direction

@@ -240,6 +240,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain(3L) > chain(1L))
   }
 
+  test("pageRankWeighted: == plain on simple graphs; weights shift rank") {
+    val rng = new scala.util.Random(37)
+    (1 to 3).foreach { _ =>
+      // simple graph (distinct edges): every w = 1, so the two
+      // operators MUST agree bit for bit
+      val e = List.fill(40)((rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+        .distinct
+      val plain = GraphOps.pageRank(edgeDf(e: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val weighted = GraphOps.pageRankWeighted(edgeDf(e: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"edges=$e") { assert(weighted === plain) }
+    }
+    // 1 follows 2 (×9) and 3 (×1): weighted sends 2 ninefold 3's
+    // inbound mass; the plain twin splits it evenly
+    val skew = Seq.fill(9)((1L, 2L)) :+ (1L, 3L)
+    val w = GraphOps.pageRankWeighted(edgeDf(skew: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = GraphOps.pageRank(edgeDf(skew: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(2L) > w(3L))
+    assert(p(2L) === p(3L))
+    // mass is conserved up to truncation in both: sum over vertices
+    // stays within V of scale·V after the damping mix
+    assert(w.values.sum <= 3L * GraphOps.PageRankScale)
+  }
+
   test("components == driver-side union-find on random graphs") {
     def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
