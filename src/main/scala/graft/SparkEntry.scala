@@ -172,6 +172,9 @@ object SparkEntry {
         GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS))
         .orderBy("x", "y", "z")),
     "triangles_rs" -> ((s, d) => GraphOps.trianglesRS(GraphOps.edges(s, d), MaxRS)),
+    "triangles_vertex" -> ((s, d) =>
+      GraphOps.trianglesPerVertex(GraphOps.edges(s, d), MaxRS)
+        .orderBy("vertex")),
     "triangles_rep" -> ((s, d) => GraphOps.trianglesRep(GraphOps.edges(s, d), MaxRep)),
     // ---- LLM-data-pipeline extensions (documents / embeddings / events) ----
     "text_tokens" -> ((s, d) =>
@@ -788,6 +791,15 @@ object SparkEntry {
         "JOIN e b ON a.dst = b.src AND a.src <> b.dst) " +
         "SELECT CAST(COALESCE(COUNT(*), 0) // 3 AS BIGINT) AS triangles " +
         "FROM p JOIN e c ON c.dst = p.x AND c.src = p.z"),
+    "triangles_vertex" ->
+      // per-anchor cycle counts with bag multiplicity: the join
+      // multiplies duplicate edge triples, so COUNT(*) per x equals
+      // the weighted sum the operator computes
+      (s"WITH e AS (SELECT * FROM ($EdgesCte) WHERE src < $MaxRS AND dst < $MaxRS), " +
+        "p AS (SELECT a.src AS x, b.dst AS z FROM e a " +
+        "JOIN e b ON a.dst = b.src AND a.src <> b.dst) " +
+        "SELECT p.x AS vertex, CAST(COUNT(*) AS BIGINT) AS triangles " +
+        "FROM p JOIN e c ON c.dst = p.x AND c.src = p.z GROUP BY p.x"),
     "triangles_rep" ->
       (s"WITH e AS (SELECT * FROM ($EdgesCte) WHERE src <= $MaxRep AND dst <= $MaxRep), " +
         "p AS (SELECT a.src AS x, b.dst AS z FROM e a JOIN e b ON a.dst = b.src) " +

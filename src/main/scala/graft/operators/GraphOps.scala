@@ -178,6 +178,33 @@ object GraphOps {
         .agg(coalesce(sum(col("w1") * col("w2")), lit(0L)).as("cnt")))
   }
 
+  /** PER-VERTEX directed triangle counts — the local-clustering
+    * numerator: for each vertex x, the number of (e1, e2, e3) edge
+    * triples closing a cycle x→y→z→x under `trianglesRS`'s exact
+    * semantics (`< max` filter, x ≠ z residual, bag multiplicities
+    * multiply). Each 3-cycle THROUGH x is anchored at x exactly once,
+    * so there is no /3 here — summing this relation gives 3× the
+    * global count (one per rotation), which is exactly the invariant
+    * the spec pins against `trianglesRS`.
+    *
+    * Physical: the same weighted three-branch join pipeline as
+    * `trianglesRS` (one persisted distinct-edge relation feeding all
+    * branches), with the final aggregation keyed by the anchor
+    * vertex instead of global — same shuffles plus one vertex-keyed
+    * aggregation whose output is vertex-sized.
+    */
+  def trianglesPerVertex(e0: DataFrame, max: Long = 50L): DataFrame = {
+    val e = graft.Caches.track(weightedEdges(filterMaxId(e0, max))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ab = e.select(col("src").as("x"), col("dst").as("y"), col("w").as("w1"))
+    val bc = e.select(col("src").as("y"), col("dst").as("z"), col("w").as("w2"))
+    val ca = e.select(col("dst").as("x"), col("src").as("z"), col("w").as("w3"))
+    ab.join(bc, "y").filter(col("x") =!= col("z"))
+      .join(ca, Seq("x", "z"))
+      .groupBy(col("x").as("vertex"))
+      .agg(sum(col("w1") * col("w2") * col("w3")).as("triangles"))
+  }
+
   /** Grand total → `total div 3`, integer (floor) division applied AFTER
     * the global sum (SocialTriangle_RS.java:242, ReplicatedJoinDriver
     * .java:152). `div` keeps the arithmetic in LongType — no double

@@ -240,6 +240,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain(3L) > chain(1L))
   }
 
+  test("trianglesPerVertex: sums to 3x the global count; brute per-anchor") {
+    def brutePerVertex(e0: Seq[(Long, Long)], max: Long): Map[Long, Long] = {
+      val e = e0.filter { case (s, d) => s < max && d < max }
+      (for {
+        (x, y) <- e
+        (y2, z) <- e if y2 == y && x != z
+        (zc, xc) <- e if zc == z && xc == x
+      } yield x).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val e = List.fill(60)((rng.nextInt(8).toLong, rng.nextInt(8).toLong))
+      val got = GraphOps.trianglesPerVertex(edgeDf(e: _*), 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"edges=$e") {
+        assert(got === brutePerVertex(e, 100))
+        // rotation invariant: per-anchor counts sum to 3× the /3 total
+        assert(got.values.sum ===
+          3L * singleLong(GraphOps.trianglesRS(edgeDf(e: _*), 100)) +
+            got.values.sum % 3)
+      }
+    }
+  }
+
   test("pageRankWeighted: == plain on simple graphs; weights shift rank") {
     val rng = new scala.util.Random(37)
     (1 to 3).foreach { _ =>
