@@ -401,6 +401,9 @@ object SparkEntry {
     "events_retention" -> ((s, d) =>
       EventWindows.retention(Tables.table(s, d, "events"))
         .orderBy("cohort_day", "day_offset")),
+    "events_quantiles" -> ((s, d) =>
+      TextOps.groupedQuantiles(Tables.table(s, d, "events"),
+        "event_type", "value", "event_id").orderBy("event_type", "pct")),
     // the funnel's mapGroupsWithState twin — must be count-identical
     // to events_funnel, whose oracle it shares
     "events_funnel_stateful" -> ((s, d) =>
@@ -1394,6 +1397,20 @@ object SparkEntry {
     // mapGroupsWithState scan instead of chained joins) — same greedy
     // thresholds, same oracle
     "events_funnel_stateful" -> funnelOracle,
+    "events_quantiles" -> {
+      // the same integer rank target — (pct·n + 99) // 100 — selects
+      // the same element; ROW_NUMBER over (value, event_id) is the
+      // same total order the range partitioning sorts by
+      val pctsSql = graft.operators.TextOps.QuantilePcts
+        .map(p => s"($p)").mkString(", ")
+      "WITH r AS (SELECT event_type, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n " +
+        "FROM events WHERE value IS NOT NULL) " +
+        s"SELECT event_type, CAST(p.pct AS BIGINT) AS pct, value AS value_at " +
+        s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
+        "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
+    },
     "events_retention" -> {
       val mx = graft.streaming.EventWindows.RetentionMaxOffset
       "WITH d AS (SELECT DISTINCT user_id, " +

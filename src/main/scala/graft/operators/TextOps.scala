@@ -456,6 +456,83 @@ object TextOps {
           col("harmonic_scaled").cast("double")).as("est_raw")): _*)
   }
 
+  /** Percentile points for the `events_quantiles` gate. Same constants
+    * MUST appear in the oracle SQL.
+    */
+  val QuantilePcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** EXACT per-group quantiles by order statistic — p50/p90/p99 of a
+    * value per dimension, the observability staple: for each group,
+    * the element at rank `max(1, ceil(pct·n/100))` of `(value, id)`
+    * order (the rank target is computed in INTEGER arithmetic,
+    * `(pct·n + 99) div 100`, so no float-rounding drift can pick a
+    * neighboring element). Selection, not arithmetic — the returned
+    * double is a bit-exact element of the input, so even float values
+    * hash-match across engines. Null values are excluded (the two
+    * engines disagree on null sort order; a null quantile is
+    * meaningless anyway).
+    *
+    * This is `lengthDeciles`' two-pass distributed rank GENERALIZED to
+    * grouped form — groups ride the range partitioning key, so one
+    * group's rows may span partitions and NO per-group window sort
+    * ever funnels a hot group through one task (the difference between
+    * this and `PARTITION BY group ORDER BY value` at 100 TB, where one
+    * dimension value can hold half the corpus). Driver state is one
+    * (partition, group) count pair per occupied pair — partitions ×
+    * distinct groups, dimension-sized by assumption (event types,
+    * languages, sources... for high-cardinality groups use the
+    * per-key heap operator instead).
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"pcts must be distinct: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"), col(idCol).cast("long").as("i"))
+      .repartitionByRange(col("g"), col("v"), col("i"))
+      .sortWithinPartitions("g", "v", "i")
+      .as[(String, Double, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    // pass 1: per-(partition, group) counts — the only driver state
+    val counts = parted.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (g, _, _) => m(g) = m.getOrElse(g, 0L) + 1L }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      m.toList.map { case (g, c) => (pid, g, c) }.iterator
+    }.collect()
+    val totals = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val offsets: Map[(Int, String), Long] = counts.map { case (pid, g, _) =>
+      (pid, g) -> counts.collect {
+        case (p2, g2, c2) if g2 == g && p2 < pid => c2
+      }.sum
+    }.toMap
+    // rank targets per group, integer-exact: max(1, (pct·n + 99) div 100);
+    // several pcts may share a rank in tiny groups — emit one row each
+    val targets: Map[String, Map[Long, Seq[Int]]] = totals.map { case (g, n) =>
+      g -> pcts.map(p => math.max(1L, (p.toLong * n + 99L) / 100L) -> p)
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }.toMap
+    val bc = spark.sparkContext.broadcast((offsets, targets))
+    // pass 2: stream each partition with its per-group prefix offset
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (offs, tgts) = bc.value
+      val rk = scala.collection.mutable.Map[String, Long]()
+      it.flatMap { case (g, v, _) =>
+        val r = rk.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
+        rk(g) = r
+        tgts.getOrElse(g, Map.empty).getOrElse(r, Nil)
+          .map(p => (g, p.toLong, v))
+      }
+    }.toDF(groupCol, "pct", "value_at")
+  }
+
   /** Denominator for `mixCorpus` rates: rates are integer parts-per-
     * million, so membership is a pure integer compare — no float
     * thresholds to drift between engines.

@@ -1802,6 +1802,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantiles == brute-force order statistics, nulls excluded") {
+    val rng = new scala.util.Random(61)
+    val rows = Seq.tabulate(400) { i =>
+      (i.toLong, Seq("a", "b", "c")(rng.nextInt(3)),
+        if (rng.nextInt(20) == 0) null
+        else java.lang.Double.valueOf(rng.nextInt(1000) / 7.0))
+    }
+    val df = spark.createDataFrame(rows).toDF("event_id", "event_type", "value")
+    def brute(pcts: Seq[Int]): Set[(String, Long, Double)] = {
+      rows.filter(_._3 != null)
+        .groupBy(_._2).flatMap { case (g, rs) =>
+          val sorted = rs.map(r => (r._3.doubleValue, r._1)).sorted
+          pcts.map { p =>
+            val r = math.max(1L, (p.toLong * sorted.size + 99L) / 100L)
+            (g, p.toLong, sorted((r - 1).toInt)._1)
+          }
+        }.toSet
+    }
+    val got = TextOps.groupedQuantiles(df, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute(TextOps.QuantilePcts))
+    // tiny group: every pct resolves to the single element, 1 row per pct
+    val one = spark.createDataFrame(Seq((1L, "x", 3.5)))
+      .toDF("event_id", "event_type", "value")
+    val tiny = TextOps.groupedQuantiles(one, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tiny === TextOps.QuantilePcts.map(p => ("x", p.toLong, 3.5)).toSet)
+  }
+
   test("contaminationBloom == contamination (prefilter loses nothing real)") {
     // real corpus slice: probes = docs < 10 screened against the rest
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
