@@ -251,6 +251,9 @@ object SparkEntry {
     "text_salient" -> ((s, d) =>
       TextOps.salientTerms(Tables.table(s, d, "documents"))
         .orderBy("doc_id", "token")),
+    "text_cooccur" -> ((s, d) =>
+      TextOps.cooccurrence(Tables.table(s, d, "documents"))
+        .orderBy("t1", "t2")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans" -> ((s, d) =>
@@ -973,6 +976,19 @@ object SparkEntry {
         s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
+    },
+    "text_cooccur" -> {
+      val k = graft.operators.TextOps.CooccurTopK
+      "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) " +
+        "AS token FROM documents), " +
+        "top AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok " +
+        s"GROUP BY token ORDER BY n DESC, token ASC LIMIT $k)), " +
+        "dt AS (SELECT DISTINCT doc_id, token FROM tok " +
+        "JOIN top USING (token)) " +
+        "SELECT a.token AS t1, b.token AS t2, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token " +
+        "GROUP BY 1, 2"
     },
     "text_cms" -> {
       val w = graft.operators.TextOps.CmsGateWidth

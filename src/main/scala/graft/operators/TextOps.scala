@@ -456,6 +456,45 @@ object TextOps {
           col("harmonic_scaled").cast("double")).as("est_raw")): _*)
   }
 
+  /** Vocabulary size for the `text_cooccur` gate. Same constant MUST
+    * appear in the oracle SQL.
+    */
+  val CooccurTopK = 100
+
+  /** Token CO-OCCURRENCE counts over the top-`k` vocabulary — for each
+    * unordered pair of top-k tokens, the number of documents containing
+    * BOTH (the raw statistic behind PMI weighting, word-vector
+    * pretraining and collocation mining). Pairs are canonical
+    * (`t1 < t2` lexicographically); a document counts once per pair no
+    * matter how often either token repeats.
+    *
+    * Scale shape: the top-k head (broadcast, k rows) prefilters the
+    * exploded token stream in its map stage, so everything downstream
+    * is bounded by k, not vocabulary: per-doc distinct surviving
+    * tokens collect into one ≤k-element sorted array (one doc-keyed
+    * shuffle of slim rows), pairs generate map-side from the array
+    * (≤ k(k−1)/2 per doc), and the final count shuffles at most
+    * k(k−1)/2 distinct keys after partial aggregation. The full-vocab
+    * pair matrix — quadratic in VOCABULARY, the thing that kills
+    * naive co-occurrence at corpus scale — is never formed.
+    */
+  def cooccurrence(docs: DataFrame, k: Int = CooccurTopK): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val top = topTokens(docs, k).select("token")
+    val lists = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("token"))
+      .join(broadcast(top), "token")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("token"))).as("ts"))
+    lists
+      .select(col("ts"), posexplode(col("ts")).as(Seq("i", "t1")))
+      .select(col("i"), col("t1"), posexplode(col("ts")).as(Seq("j", "t2")))
+      .filter(col("i") < col("j"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Percentile points for the `events_quantiles` gate. Same constants
     * MUST appear in the oracle SQL.
     */

@@ -1802,6 +1802,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrence == brute force; repeats count once; non-top tokens excluded") {
+    val rows = Seq(
+      (1L, "x y x z rare1"), (2L, "x y"), (3L, "y z"), (4L, "x z"),
+      (5L, "rare2 rare2"))
+    // k=3 keeps {x:4, y:3, z:3} (occurrence counts incl. repeats);
+    // rare1 (1) and rare2 (2) fall outside the head
+    def brute(k: Int): Map[(String, String), Long] = {
+      val counts = rows.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size).toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(k).map(_._1).toSet
+      rows.flatMap { case (_, t) =>
+        val ts = t.split(" ").distinct.filter(counts).sorted
+        for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val got = TextOps.cooccurrence(docsDf(rows: _*), k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === brute(3))
+    assert(got === Map(("x", "y") -> 2L, ("x", "z") -> 2L, ("y", "z") -> 2L))
+  }
+
   test("groupedQuantiles == brute-force order statistics, nulls excluded") {
     val rng = new scala.util.Random(61)
     val rows = Seq.tabulate(400) { i =>
