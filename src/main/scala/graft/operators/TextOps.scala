@@ -165,13 +165,18 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
-  /** Bloom-filter geometry for `contaminationBloom`: 2^16 bits
-    * (1024 longs, 8 KB) × 2 probes. With ~10^5-10^6 probe shingles the
-    * false-positive rate is ~(n/B)^2 (≈2% at n=10^5) — every false
-    * positive is removed by the exact join, so geometry only tunes how
-    * much corpus survives the prefilter, never correctness.
+  /** Bloom-filter geometry for `contaminationBloom`: 2^20 bits
+    * (16384 longs, 128 KB) × 2 independent probes. Standard Bloom
+    * arithmetic: with n distinct probe shingles inserted, the set-bit
+    * fraction is ρ = 1 − e^(−2n/B) and the false-positive rate ρ² —
+    * ≈ 3% at n = 10^5; by n ≈ 10^6 the array saturates (ρ → 1) and
+    * the prefilter degrades to a pass-through. Every false positive
+    * is removed by the exact join, so geometry only tunes how much
+    * corpus survives the prefilter, never correctness — size
+    * B ≳ 10·n bits (raise `BloomBitsLog2`) to keep the prefilter
+    * selective at a larger probe corpus.
     */
-  val BloomBitsLog2 = 16
+  val BloomBitsLog2 = 20
   private val BloomB = 1L << BloomBitsLog2
 
   /** Decontamination via a BLOOM prefilter — identical output to
@@ -191,11 +196,21 @@ object TextOps {
       explode(array_distinct(graft.functions.ShingleHashFunctions
         .shingle_hash(tokens(col("text")), Dedup.ShingleN))).as("h"))
     val ps = shingles(probes).select("h").distinct()
-    // two probe positions from independent bit ranges of the shingle
-    // hash (h < 2^30 ≥ 2×BloomBitsLog2 bits); h ≥ 0 so % is a bucket
-    def positions(rel: DataFrame): DataFrame = rel
-      .withColumn("p1", expr(s"h % $BloomB"))
-      .withColumn("p2", expr(s"(h div $BloomB) % $BloomB"))
+    // probe 1 = low bits of the shingle hash; probe 2 = low bits of an
+    // INDEPENDENT full-width remix of it (the plane-mixer shape —
+    // multiply-mod-M31 + xor-shift, twice). h is PolyHash mod 1e9+7,
+    // i.e. < 2^30: a high-bits second probe like (h div B) % B would
+    // carry only 30 − BloomBitsLog2 bits of entropy and address a
+    // fraction of the array, silently saturating probe 2 first. No
+    // overflow anywhere: h·Mul1 < 2^61, x1 < 2^31, x1'·Mul2 < 2^61.
+    def positions(rel: DataFrame): DataFrame = {
+      import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2}
+      val x1 = col("h") * PlaneMul1 % PlaneM31
+      val x2 = x1.bitwiseXOR(shiftright(x1, 15)) * PlaneMul2 % PlaneM31
+      rel
+        .withColumn("p1", col("h") % BloomB)
+        .withColumn("p2", x2 % BloomB)
+    }
     val words = positions(ps)
       .select(explode(array(col("p1"), col("p2"))).as("bit"))
       .select(expr("bit div 64").as("word_idx"), expr("bit % 64").as("b"))
@@ -546,11 +561,30 @@ object TextOps {
       m.toList.map { case (g, c) => (pid, g, c) }.iterator
     }.collect()
     val totals = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    val offsets: Map[(Int, String), Long] = counts.map { case (pid, g, _) =>
-      (pid, g) -> counts.collect {
-        case (p2, g2, c2) if g2 == g && p2 < pid => c2
-      }.sum
-    }.toMap
+    // per-group running prefix over (group, pid)-sorted counts — one
+    // O(n log n) pass over the |partitions × occupied groups| entries
+    // (a nested re-scan here is O(n²) driver CPU: negligible at
+    // dimension-sized groups, a driver stall at thousands × thousands)
+    val offsets: Map[(Int, String), Long] = {
+      val b = Map.newBuilder[(Int, String), Long]
+      var curG: String = null
+      var run = 0L
+      // null-safe group order (groupCol may be null; nulls sort first —
+      // any total order works, contiguity per group is all that matters)
+      counts.sortWith { case ((p1, g1, _), (p2, g2, _)) =>
+        val gc =
+          if (g1 == null && g2 == null) 0
+          else if (g1 == null) -1
+          else if (g2 == null) 1
+          else g1.compareTo(g2)
+        gc < 0 || (gc == 0 && p1 < p2)
+      }.foreach { case (pid, g, c) =>
+        if (g != curG) { curG = g; run = 0L }
+        b += ((pid, g) -> run)
+        run += c
+      }
+      b.result()
+    }
     // rank targets per group, integer-exact: max(1, (pct·n + 99) div 100);
     // several pcts may share a rank in tiny groups — emit one row each
     val targets: Map[String, Map[Long, Seq[Int]]] = totals.map { case (g, n) =>

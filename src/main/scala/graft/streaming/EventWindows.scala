@@ -21,6 +21,14 @@ object EventWindows {
   /** Tumbling 1-hour counts per event_type. hour_epoch = window start
     * in epoch seconds (BIGINT — timestamp dtype drift between engines
     * is avoided entirely).
+    *
+    * SCALE NOTE: `countDistinct(user_id)` is exact — the gate
+    * semantics — and shuffles every distinct (hour, user) pair, i.e.
+    * activity-sized at 100 TB. `hourlyUsersHll` is the designed scale
+    * twin: the same hour buckets with a bounded ≤`HllBuckets`-counter
+    * sketch per hour (and bucket-wise-MAX rollups for free); reach for
+    * it whenever exact per-hour distincts stop being worth that
+    * shuffle.
     */
   def hourly(events: DataFrame): DataFrame =
     events
@@ -43,15 +51,20 @@ object EventWindows {
     * is corpus-sized; this one is `hours × 512` rows — and per-hour
     * states merge by bucket-wise MAX, so daily/weekly rollups come
     * from the hourly sketches without touching events again. Hour
-    * bucketing and the epoch-seconds output convention match
-    * `hourly`; the estimate/correction contract matches `vocabHll`
-    * (raw estimator in the row, linear-counting correction left to
-    * the consumer via `n_empty`).
+    * bucketing is the SAME epoch-aligned `window(ts, '1 hour')`
+    * expression `hourly` groups by — timezone-independent, so the two
+    * operators agree in every session timezone (a `date_trunc('HOUR')`
+    * bucket would truncate in the session zone and drift 30 minutes
+    * from the epoch grid under a +05:30-style offset); the
+    * estimate/correction contract matches `vocabHll` (raw estimator
+    * in the row, linear-counting correction left to the consumer via
+    * `n_empty`).
     */
   def hourlyUsersHll(events: DataFrame): DataFrame =
     graft.operators.TextOps.hllState(
       events.select(
-        date_trunc("HOUR", col("ts")).cast("long").as("hour_epoch"),
+        window(col("ts"), "1 hour").getField("start").cast("long")
+          .as("hour_epoch"),
         col("user_id").cast("string").as("uid")),
       Seq("hour_epoch"), col("uid"))
 
@@ -152,10 +165,13 @@ object EventWindows {
     * match `funnel`; the gate query shares its oracle.
     *
     * Batch mode visits each user once (events buffered and sorted
-    * in-group — bounded by one user's events, the same buffer
-    * session_window holds); a streaming deployment keeps
-    * `FunnelProgress` (8+4 bytes) per user in the state store and
-    * needs only the stage counts aggregated downstream.
+    * in-group — bounded by ONE user's funnel-typed events, the same
+    * buffer session_window holds; a celebrity user with millions of
+    * funnel events concentrates that sort in a single task, which is
+    * exactly the load the join-form `funnel` spreads — prefer `funnel`
+    * unless you need per-user state rules); a streaming deployment
+    * keeps `FunnelProgress` (8+4 bytes) per user in the state store
+    * and needs only the stage counts aggregated downstream.
     */
   def funnelStateful(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, stages: Seq[String] = FunnelStages): DataFrame = {

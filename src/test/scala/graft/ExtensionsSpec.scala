@@ -1852,6 +1852,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(tiny === TextOps.QuantilePcts.map(p => ("x", p.toLong, 3.5)).toSet)
   }
 
+  test("groupedQuantiles at high group cardinality (prefix-sum offsets)") {
+    // 600 groups spread over the 32 range partitions: the old nested
+    // offset scan was quadratic in |partitions × occupied groups| on
+    // the driver; the prefix-sum build is one sorted pass. Same
+    // brute-force contract as the base test, at the cardinality the
+    // docstring now explicitly tolerates.
+    val rows = Seq.tabulate(6000) { i =>
+      (i.toLong, s"g${i % 600}",
+        java.lang.Double.valueOf((i * 7919 % 1000) / 3.0))
+    }
+    val df = spark.createDataFrame(rows).toDF("event_id", "event_type", "value")
+    val brute: Set[(String, Long, Double)] =
+      rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.map(r => (r._3.doubleValue, r._1)).sorted
+        TextOps.QuantilePcts.map { p =>
+          val r = math.max(1L, (p.toLong * sorted.size + 99L) / 100L)
+          (g, p.toLong, sorted((r - 1).toInt)._1)
+        }
+      }.toSet
+    val got = TextOps.groupedQuantiles(df, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+  }
+
   test("contaminationBloom == contamination (prefilter loses nothing real)") {
     // real corpus slice: probes = docs < 10 screened against the rest
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
