@@ -378,6 +378,20 @@ object SparkEntry {
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // the train-once/serve-many form: fitted centroids round-trip disk
+    // as a relation (centroidsOf → parquet → knnIvfFromStored) INSIDE
+    // the query — the store/reload/fingerprint machinery is what this
+    // gate drives. Like knn_ivf_trained, DELIBERATELY no oracleSql
+    // (fitted centroids aren't SQL-derivable): rows-only check here;
+    // byte-equality to in-session training is pinned in ExtensionsSpec
+    "knn_ivf_stored" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_cents_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(dir)
+      Similarity.knnIvfFromStored(s.read.parquet(dir), emb)
+        .orderBy("query_id", "rank")
+    }),
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),

@@ -605,7 +605,22 @@ object Similarity {
       nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
       nCells: Int = 0, corpusSize: Long = -1L,
       lloydIters: Int = IvfLloydIters,
-      sampleCap: Int = IvfTrainSampleCap): DataFrame = {
+      sampleCap: Int = IvfTrainSampleCap): DataFrame =
+    serveFromCentroidArrays(emb,
+      trainCentroids(emb, nCells, corpusSize, lloydIters, sampleCap),
+      nQueries, nProbe)
+
+  /** The driver-side training core shared by `ivfScoredTrained` and
+    * `centroidsOf`: deterministic hash-prefix sample → Lloyd → FLOAT
+    * rounding (everything downstream — kernel arrays, probe relation,
+    * norms, the persisted relation — derives from the float values, so
+    * in-session serving and a parquet round-trip see bit-identical
+    * centroids; float arrays round-trip parquet exactly). Returns the
+    * empty array on an empty corpus.
+    */
+  private def trainCentroids(emb: DataFrame, nCells: Int,
+      corpusSize: Long, lloydIters: Int,
+      sampleCap: Int): Array[Array[Float]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     val corpus = withNorm(emb)
     val cells =
@@ -620,20 +635,28 @@ object Similarity {
       .limit(cap)
       .select(col("embedding"))
       .collect()
-    if (sampleRows.isEmpty) {
+    if (sampleRows.isEmpty) return Array.empty
+    val pts = sampleRows.map(
+      _.getSeq[Number](0).map(_.doubleValue()).toArray)
+    lloydCosine(pts, pts.take(math.min(cells, pts.length)), lloydIters)
+      .map(_.map(_.toFloat))
+  }
+
+  /** Serve the IVF index from an in-memory FLOAT centroid array
+    * (trained this session or reloaded from the stored relation):
+    * cent_id = array index, every derived quantity computed from the
+    * float values — the single definition both paths share, so
+    * store→reload→serve is bit-identical to in-session serving.
+    */
+  private def serveFromCentroidArrays(emb: DataFrame,
+      centEmbF: Array[Array[Float]], nQueries: Long,
+      nProbe: Int): DataFrame = {
+    val corpus = withNorm(emb)
+    if (centEmbF.isEmpty) {
       return corpus.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
         .filter(lit(false))
     }
-    val pts = sampleRows.map(
-      _.getSeq[Number](0).map(_.doubleValue()).toArray)
-    val trained = lloydCosine(pts, pts.take(math.min(cells, pts.length)),
-      lloydIters)
-    // round to FLOAT once and derive everything (kernel arrays, probe
-    // relation, norms) from the rounded values, so the two sides of
-    // the index see bit-identical centroids — matching how the
-    // untrained path's float corpus rows behave
-    val centEmbF: Array[Array[Float]] = trained.map(_.map(_.toFloat))
     val centEmb = centEmbF.map(_.map(_.toDouble))
     val centN2 = centEmb.map { v =>
       var acc = 0.0; var i = 0
@@ -647,6 +670,96 @@ object Similarity {
         (i, centEmbF(i.toInt), centN2(i.toInt)))
       .toDF("cent_id", "c_emb", "c_n2")
     ivfFromCentroids(corpus, centIds, centEmb, centN2, centLocal,
+      nQueries, nProbe)
+  }
+
+  /** Fingerprint of every constant the STORED centroid relation's
+    * serving contract depends on: the anchor-selection hash (coarse
+    * anchors are re-derived from `poly_hash(cent_id)` at load time, so
+    * the PolyHash constants decide which stored centroids anchor the
+    * two-level assignment) and the cell-count cap. Lloyd's training
+    * knobs are deliberately ABSENT — they shape the centroid DATA, not
+    * the serving arithmetic, and an index trained with different
+    * iters/sample is still a valid index. Same canonical-string fold
+    * as `Dedup.LshParamsFingerprint`.
+    */
+  val IvfParamsFingerprint: Long = {
+    val canonical = Seq("ivf-centroids-v1",
+      graft.functions.PolyHashUtil.Mult, graft.functions.PolyHashUtil.Mod,
+      IvfMaxCells).mkString("|")
+    canonical.foldLeft(1125899906842597L)((h, c) => h * 31L + c.toLong)
+  }
+
+  /** Train-once export of the fitted IVF centroids AS A RELATION —
+    * `(cent_id, embedding: Array[Float], ivf_params_fp)`, ≤
+    * `IvfMaxCells` rows — the ANN twin of the dedup family's
+    * `bandKeysOf` on-disk contract. A production pipeline trains ONCE
+    * (this call: the sample collect + driver Lloyd), persists the
+    * relation (parquet float arrays round-trip exactly), and serves
+    * every later batch/query with `knnIvfFromStored` — no per-query
+    * re-training, no training-sample scan. `ivf_params_fp` stamps the
+    * serving constants on every row; loading raises on mismatch
+    * rather than silently mis-anchoring the two-level assignment.
+    *
+    * EAGER evaluation semantics like `knnIvfTrained` (a sizing count
+    * unless `nCells`/`corpusSize` pins it, plus the sample collect) —
+    * the relation is a small LOCAL DataFrame of the fitted values,
+    * frozen at build time.
+    */
+  def centroidsOf(emb: DataFrame, nCells: Int = 0, corpusSize: Long = -1L,
+      lloydIters: Int = IvfLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame = {
+    val cents = trainCentroids(emb, nCells, corpusSize, lloydIters, sampleCap)
+    val s = emb.sparkSession
+    import s.implicits._
+    cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, IvfParamsFingerprint) }
+      .toDF("cent_id", "embedding", "ivf_params_fp")
+  }
+
+  /** IVF top-k SERVED FROM STORED CENTROIDS — the reload half of the
+    * `centroidsOf` contract: collects the (≤ `IvfMaxCells`-row by
+    * contract, enforced) centroid relation, verifies every row's
+    * `ivf_params_fp` against this build's constants (raises on
+    * mismatch — a silently different anchor hash would degrade recall
+    * with no error anywhere), and runs the exact serving machinery
+    * `knnIvfTrained` runs — same kernel, same probe ranking, same
+    * tie-breaks — so results are bit-identical to serving the
+    * just-trained index (round-trip-pinned in tests). A bare
+    * 2-column relation (no fingerprint column) skips the check, like
+    * the band-keys loader.
+    */
+  def knnIvfFromStored(centroids: DataFrame, emb: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe): DataFrame =
+    topK(ivfScoredFromStored(centroids, emb, nQueries, nProbe), k)
+
+  private[graft] def ivfScoredFromStored(centroids: DataFrame,
+      emb: DataFrame, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe): DataFrame = {
+    val hasFp = centroids.columns.contains("ivf_params_fp")
+    val cols = Seq(col("cent_id"), col("embedding")) ++
+      (if (hasFp) Seq(col("ivf_params_fp")) else Nil)
+    val rows = centroids.select(cols: _*).collect()
+    require(rows.length <= IvfMaxCells,
+      s"stored centroid relation has ${rows.length} rows — the contract " +
+        s"caps it at IvfMaxCells = $IvfMaxCells (is this really a " +
+        "centroidsOf export?)")
+    if (hasFp) rows.foreach { r =>
+      val fp = r.getLong(2)
+      require(fp == IvfParamsFingerprint,
+        s"stored centroids were exported under ivf_params_fp $fp != this " +
+          s"build's $IvfParamsFingerprint — the serving constants changed; " +
+          "re-export centroidsOf with this build")
+    }
+    val byId = rows.sortBy(_.getLong(0))
+    byId.map(_.getLong(0)).zipWithIndex.foreach { case (id, i) =>
+      require(id == i.toLong,
+        s"stored centroid ids must be exactly 0..n-1 (centroidsOf's " +
+          s"layout); found id $id at position $i")
+    }
+    serveFromCentroidArrays(emb,
+      byId.map(_.getSeq[Number](1).map(_.floatValue()).toArray),
       nQueries, nProbe)
   }
 

@@ -619,6 +619,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(rT >= 0.5, s"trained recall unexpectedly low: $rT")
   }
 
+  test("centroidsOf → parquet → knnIvfFromStored ≡ in-session knnIvfTrained") {
+    // the clustered corpus from the trained test — the distribution
+    // where the fitted centroids actually differ from the hash anchors
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val insession = Similarity.knnIvfTrained(emb, corpusSize = 2000L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt").toString + "/cents"
+    val cents = Similarity.centroidsOf(emb, corpusSize = 2000L)
+    assert(cents.columns.toSeq ===
+      Seq("cent_id", "embedding", "ivf_params_fp"))
+    cents.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // the store/reload serve is BIT-identical to in-session training:
+    // same ids, same ranks, same float-derived cosines to the last ulp
+    val served = Similarity.knnIvfFromStored(reloaded, emb)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served === insession)
+    assert(served.nonEmpty)
+    // fingerprint mismatch raises loudly instead of mis-anchoring
+    val tampered = reloaded.withColumn("ivf_params_fp",
+      col("ivf_params_fp") + 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnIvfFromStored(tampered, emb)
+    }
+    assert(ex.getMessage.contains("ivf_params_fp"))
+    // a bare pre-fingerprint relation (2 columns) skips the check
+    val bare = Similarity.knnIvfFromStored(
+      reloaded.select("cent_id", "embedding"), emb)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bare === insession)
+    // non-contiguous ids are rejected (not silently re-indexed)
+    val holes = reloaded.filter(col("cent_id") =!= 1L)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.knnIvfFromStored(holes, emb)
+    }
+    assert(ex2.getMessage.contains("0..n-1"))
+  }
+
   test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
