@@ -421,6 +421,20 @@ object SparkEntry {
     "events_quantiles" -> ((s, d) =>
       TextOps.groupedQuantiles(Tables.table(s, d, "events"),
         "event_type", "value", "event_id").orderBy("event_type", "pct")),
+    // the MERGEABLE quantile-sketch state (deterministic log-bucket
+    // grid, integer-only — see QuantileSketch): one bounded counter
+    // relation per event_type, counters sum across shards/windows
+    "events_qsketch" -> ((s, d) =>
+      operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
+        Seq("event_type"), "value").orderBy("event_type", "bucket")),
+    // percentiles read from the sketch state: rank rule identical to
+    // events_quantiles, answer = the micro-unit interval [ulo, uhi]
+    // provably containing the exact order statistic
+    "events_qsketch_quantiles" -> ((s, d) =>
+      operators.QuantileSketch.quantiles(
+        operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
+          Seq("event_type"), "value"),
+        Seq("event_type")).orderBy("event_type", "pct")),
     // the funnel's mapGroupsWithState twin — must be count-identical
     // to events_funnel, whose oracle it shares
     "events_funnel_stateful" -> ((s, d) =>
@@ -719,6 +733,50 @@ object SparkEntry {
       "JOIN e eb ON eb.vec_id = c.vec_b) " +
       "WHERE cosine >= 0.30"
   }
+
+  /** Quantile-sketch CTE chain (mirrors QuantileSketch.bucketOfU —
+    * bit-smear floor(log2) + HdrHistogram sub-buckets, two-sided):
+    * from a CTE `qv(event_type, u)` of micro-unit values to
+    * `qb(event_type, bucket)`. Constants come FROM QuantileSketch so
+    * the two sides cannot drift. GREATEST guards keep the unselected
+    * CASE branch's shift amounts non-negative (DuckDB evaluates
+    * vectorized lanes the CASE discards).
+    */
+  private def qsBucketCtes: String = {
+    val s = graft.operators.QuantileSketch.QsSubBucketsLog2
+    val S = graft.operators.QuantileSketch.QsSubBuckets
+    s"qa AS (SELECT event_type, u, abs(u) AS a FROM qv), " +
+      "q1 AS (SELECT *, a | (a >> 1) AS m1 FROM qa), " +
+      "q2 AS (SELECT *, m1 | (m1 >> 2) AS m2 FROM q1), " +
+      "q3 AS (SELECT *, m2 | (m2 >> 4) AS m3 FROM q2), " +
+      "q4 AS (SELECT *, m3 | (m3 >> 8) AS m4 FROM q3), " +
+      "q5 AS (SELECT *, m4 | (m4 >> 16) AS m5 FROM q4), " +
+      "q6 AS (SELECT *, m5 | (m5 >> 32) AS m6 FROM q5), " +
+      // bit_count returns TINYINT in DuckDB — widen BEFORE the *S
+      "qe AS (SELECT *, CAST(bit_count(m6) AS BIGINT) - 1 AS e FROM q6), " +
+      s"qm AS (SELECT *, CASE WHEN a < ${2 * S} THEN a ELSE " +
+      s"(e - $s) * $S + (a >> GREATEST(e - $s, 0)) END AS mag FROM qe), " +
+      "qb AS (SELECT event_type, " +
+      "CASE WHEN u < 0 THEN -mag ELSE mag END AS bucket FROM qm)"
+  }
+
+  /** Inclusive micro-unit bounds of a sketch bucket (mirrors
+    * QuantileSketch.uLo/uHi); `b` is an expression in scope.
+    */
+  private def qsMagLo(b: String): String = {
+    val S = graft.operators.QuantileSketch.QsSubBuckets
+    s"(CASE WHEN $b < ${2 * S} THEN $b ELSE " +
+      s"(($b % $S + $S) << GREATEST($b // $S - 1, 0)) END)"
+  }
+  private def qsMagHi(b: String): String = {
+    val S = graft.operators.QuantileSketch.QsSubBuckets
+    s"(CASE WHEN $b < ${2 * S} THEN $b ELSE " +
+      s"((($b % $S + $S + 1) << GREATEST($b // $S - 1, 0)) - 1) END)"
+  }
+  private def qsULo(b: String): String =
+    s"(CASE WHEN $b < 0 THEN -${qsMagHi(s"(-($b))")} ELSE ${qsMagLo(b)} END)"
+  private def qsUHi(b: String): String =
+    s"(CASE WHEN $b < 0 THEN -${qsMagLo(s"(-($b))")} ELSE ${qsMagHi(b)} END)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1440,6 +1498,36 @@ object SparkEntry {
         s"SELECT event_type, CAST(p.pct AS BIGINT) AS pct, value AS value_at " +
         s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
         "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
+    },
+    "events_qsketch" -> {
+      val fp = graft.operators.QuantileSketch.QsParamsFingerprint
+      val scale = graft.operators.QuantileSketch.QsScale
+      s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
+        "AS u FROM events WHERE value IS NOT NULL), " +
+        s"$qsBucketCtes " +
+        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"CAST($fp AS BIGINT) AS qs_params_fp FROM qb GROUP BY 1, 2"
+    },
+    "events_qsketch_quantiles" -> {
+      val scale = graft.operators.QuantileSketch.QsScale
+      val pctsSql = graft.operators.TextOps.QuantilePcts
+        .map(p => s"($p)").mkString(", ")
+      s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
+        "AS u FROM events WHERE value IS NOT NULL), " +
+        s"$qsBucketCtes, " +
+        "st AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM qb GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, bucket, cnt, " +
+        "SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum, " +
+        "SUM(cnt) OVER (PARTITION BY event_type) AS n FROM st) " +
+        "SELECT event_type, CAST(p.pct AS BIGINT) AS pct, " +
+        "CAST(n AS BIGINT) AS n, " +
+        s"CAST(${qsULo("bucket")} AS BIGINT) AS ulo_fp, " +
+        s"CAST(${qsUHi("bucket")} AS BIGINT) AS uhi_fp " +
+        s"FROM c JOIN (VALUES $pctsSql) p(pct) " +
+        "ON c.cum >= GREATEST(1, (p.pct * c.n + 99) // 100) " +
+        "AND c.cum - c.cnt < GREATEST(1, (p.pct * c.n + 99) // 100)"
     },
     "events_retention" -> {
       val mx = graft.streaming.EventWindows.RetentionMaxOffset

@@ -1898,6 +1898,79 @@ class ExtensionsSpec extends SparkSpec {
     assert(tiny === TextOps.QuantilePcts.map(p => ("x", p.toLong, 3.5)).toSet)
   }
 
+  test("quantile sketch: bucket monotone in u, bounds invert the bucket") {
+    import graft.operators.QuantileSketch
+    // tricky micro-unit values: powers of two ±1 (bucket boundaries),
+    // the exact-region edge, zero, and the negative mirrors
+    val pows = (0 to 61).map(1L << _)
+    val us = (pows.flatMap(p => Seq(p - 1, p, p + 1)) ++
+      Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, 127L, 128L)).distinct
+    val all = (us ++ us.map(-_)).distinct.sorted
+    val df = spark.createDataFrame(all.map(Tuple1(_))).toDF("u")
+    val rows = df
+      .select(col("u"), QuantileSketch.bucketOfU(col("u")).as("b"))
+      .select(col("u"), col("b"),
+        QuantileSketch.uLo(col("b")).as("lo"),
+        QuantileSketch.uHi(col("b")).as("hi"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rows.foreach { case (u, b, lo, hi) =>
+      assert(lo <= u && u <= hi, s"u=$u bucket=$b bounds=[$lo,$hi]")
+    }
+    // monotone: bucket never decreases as u increases
+    rows.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(b1, b2) => assert(b1 <= b2)
+      case _ =>
+    }
+    // relative width bound: past the exact region, bucket width ≤ 1/S
+    // of the magnitude
+    val S = QuantileSketch.QsSubBuckets
+    rows.filter(r => math.abs(r._1) >= 2 * S).foreach { case (u, b, lo, hi) =>
+      val width = hi - lo + 1
+      val mag = math.min(math.abs(lo), math.abs(hi))
+      assert(width * S <= mag + S,
+        s"u=$u bucket=$b width=$width mag=$mag")
+    }
+  }
+
+  test("quantile sketch: shard merge exact; quantile interval contains the exact order statistic") {
+    import graft.operators.QuantileSketch
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val full = QuantileSketch.sketch(ev, Seq("event_type"), "value")
+    def rowsOf(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // mergeability: three event_id shards, merged counters == one-shot
+    val shards = (0 until 3).map(i =>
+      QuantileSketch.sketch(ev.filter(col("event_id") % 3 === i),
+        Seq("event_type"), "value"))
+    assert(rowsOf(QuantileSketch.merge(shards, Seq("event_type")))
+      === rowsOf(full))
+    // calibration: the EXACT per-group order statistic lands inside
+    // the sketch's reported micro-unit interval for every (group, pct)
+    val exact = graft.operators.TextOps
+      .groupedQuantiles(ev, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val qs = QuantileSketch.quantiles(full, Seq("event_type")).collect()
+    assert(qs.nonEmpty)
+    assert(qs.length === exact.size)
+    qs.foreach { r =>
+      val (g, pct) = (r.getString(0), r.getLong(1))
+      val (ulo, uhi) = (r.getLong(3), r.getLong(4))
+      val v = exact((g, pct))
+      val u = math.floor(v * QuantileSketch.QsScale).toLong
+      assert(ulo <= u && u <= uhi,
+        s"group=$g pct=$pct exact=$v u=$u interval=[$ulo,$uhi]")
+    }
+    // fingerprint guard: a state from a different grid raises loudly
+    val tampered = full.withColumn("qs_params_fp", col("qs_params_fp") + 1L)
+    val ex = intercept[Exception] {
+      QuantileSketch.quantiles(tampered, Seq("event_type")).collect()
+    }
+    assert(ex.getMessage.contains("qs_params_fp"))
+  }
+
   test("groupedQuantiles at high group cardinality (prefix-sum offsets)") {
     // 600 groups spread over the 32 range partitions: the old nested
     // offset scan was quadratic in |partitions × occupied groups| on
