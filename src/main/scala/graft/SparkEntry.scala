@@ -54,6 +54,12 @@ object SparkEntry {
     */
   val AsofTolUs = 1800000000L
 
+  /** View-side window length for the `events_window_overlap` gate:
+    * 10 minutes in MICROSECONDS. Same constant MUST appear in the
+    * oracle SQL.
+    */
+  val ViewWinUs = 600000000L
+
   /** Splice-time guard for regexes shared verbatim between Spark
     * (Java regex) and the DuckDB oracle (RE2): rejects the constructs
     * the two dialects DISAGREE on — lookaround, atomic/named groups
@@ -522,6 +528,28 @@ object SparkEntry {
           Seq("user_id"), "ts_us", "win_start", "win_end", AsofTolUs)
         .select("event_id", "user_id", "ts_us", "click_id")
         .orderBy("event_id", "click_id")
+    }),
+    // interval×interval OVERLAP join: each view's 10-minute window
+    // against each click's 30-minute attribution window (same user) —
+    // pairs whose windows intersect, via the bucket-decomposed
+    // equi-join with the keep-at-max(start)-bucket exactly-once trick
+    "events_window_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("win_start"),
+          col("event_id"))
+        .groupBy("user_id", "win_start").agg(max("event_id").as("click_id"))
+        .withColumn("win_end", col("win_start") + AsofTolUs)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("v_start"))
+        .withColumn("v_end", col("v_start") + ViewWinUs)
+      operators.IntervalJoin.intervalOverlapJoin(views, clicks,
+          Seq("user_id"), "v_start", "v_end", "win_start", "win_end",
+          AsofTolUs)
+        .select("view_id", "user_id", "v_start", "click_id", "win_start")
+        .orderBy("view_id", "click_id")
     }),
     // skew-proof FORWARD form: (user, hour bucket) partitions with the
     // opening-row carry reversed — must equal events_asof_fwd exactly,
@@ -1642,6 +1670,20 @@ object SparkEntry {
         "SELECT v.event_id, v.user_id, v.ts_us, c.click_id " +
         "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
         s"AND v.ts_us >= c.win_start AND v.ts_us <= c.win_start + $AsofTolUs"),
+    // the overlap join's semantics ARE the interval-intersection
+    // theta-join — stated literally; the bucket decomposition +
+    // max(start)-bucket residual is the execution strategy under
+    // hash-equality to this
+    "events_window_overlap" ->
+      ("WITH clicks AS (SELECT user_id, epoch_us(ts) AS win_start, " +
+        "MAX(event_id) AS click_id " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "views AS (SELECT event_id AS view_id, user_id, " +
+        "epoch_us(ts) AS v_start FROM events WHERE event_type = 'view') " +
+        "SELECT v.view_id, v.user_id, v.v_start, c.click_id, c.win_start " +
+        "FROM views v JOIN clicks c ON v.user_id = c.user_id " +
+        s"AND v.v_start <= c.win_start + $AsofTolUs " +
+        s"AND c.win_start <= v.v_start + $ViewWinUs"),
     "events_asof_fwd_bucketed" -> // execution detail only — same semantics
       ("WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id " +
         "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +

@@ -100,4 +100,58 @@ object IntervalJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__ivj_bkt")
   }
+
+  /** INTERVAL×INTERVAL overlap join: every (left, right) pair with
+    * equal `keys` whose intervals INTERSECT — `lStart <= rEnd AND
+    * rStart <= lEnd`, both bounds inclusive — the session-vs-campaign
+    * / range-vs-range companion of the points-in-intervals operator.
+    *
+    * Same bucket decomposition, one new wrinkle: BOTH sides replicate
+    * to every bucket they overlap, so an intersecting pair now meets
+    * in every bucket their spans share (possibly many). Exactly-once
+    * output comes from the classic trick: a pair is kept ONLY in the
+    * bucket of `max(lStart, rStart)` — the bucket where their overlap
+    * begins, which both replicas provably cover whenever the pair
+    * intersects (max(lStart, rStart) ≤ min(lEnd, rEnd) lies inside
+    * both spans) — a cheap residual INSIDE the hash join, never a
+    * dedup shuffle after it.
+    *
+    * Scale notes: as for `intervalJoin` — plain equi-join on
+    * `(keys, bucket)` (AQE-sized, skew-splittable; a hot key spreads
+    * over its time buckets), replication cost linear in
+    * span/bucketWidth on EACH side, so pick `bucketWidth` near the
+    * typical span of the WIDER relation and split corpus-spanning
+    * outliers upstream. Inverted/null-bounded rows on either side
+    * match nothing; null keys match nothing (SQL join semantics).
+    *
+    * PRECONDITIONS: left/right column names disjoint apart from
+    * `keys`; no `__ivj_` columns (both enforced).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
+    require(keys.nonEmpty, "intervalOverlapJoin needs at least one key column")
+    val reserved = (left.columns ++ right.columns)
+      .filter(_.startsWith("__ivj_"))
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with the operator's " +
+        "reserved __ivj_ namespace — rename them")
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"left and right columns must be disjoint apart from the join " +
+        s"keys; both sides carry ${overlap.mkString(", ")}")
+    def replicated(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+      .withColumn("__ivj_bkt",
+        explode(sequence(bucketOf(col(s), bucketWidth),
+          bucketOf(col(e), bucketWidth))))
+    replicated(left, lStart, lEnd)
+      .join(replicated(right, rStart, rEnd), keys :+ "__ivj_bkt")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__ivj_bkt") ===
+          bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
+      .drop("__ivj_bkt")
+  }
 }

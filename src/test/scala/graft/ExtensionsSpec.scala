@@ -1546,6 +1546,64 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("__ivj_bkt"), plan)
   }
 
+  test("intervalOverlapJoin == brute-force intersection theta join, across widths") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(47)
+    // two interval relations with negative coords, touching endpoints,
+    // zero-length spans, and a few inverted (match-nothing) rows
+    val aRows = List.tabulate(70) { i =>
+      val st = rng.nextInt(60).toLong - 10L
+      val en = if (i % 13 == 0) st - 2L else st + rng.nextInt(18).toLong
+      (i.toLong, rng.nextInt(4).toLong, st, en)
+    }
+    val bRows = List.tabulate(90) { i =>
+      val st = rng.nextInt(70).toLong - 15L
+      val en = if (i % 11 == 0) st - 1L else st + rng.nextInt(12).toLong
+      (1000L + i, rng.nextInt(4).toLong, st, en)
+    }
+    val a = aRows.toDF("a_id", "k", "a_st", "a_en")
+    val b = bRows.toDF("b_id", "k", "b_st", "b_en")
+    val expect = (for {
+      (aid, ak, ast, aen) <- aRows
+      (bid, bk, bst, ben) <- bRows
+      if ak == bk && ast <= aen && bst <= ben && ast <= ben && bst <= aen
+    } yield (aid, bid)).toSet
+    assert(expect.nonEmpty)
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val got = operators.IntervalJoin.intervalOverlapJoin(
+          a, b, Seq("k"), "a_st", "a_en", "b_st", "b_en", width)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly-once: a pair meets in every shared bucket but must be
+      // emitted only from the max(start) bucket — duplicates = real bug
+      assert(got.length === got.toSet.size, s"duplicate pairs at width=$width")
+      assert(got.toSet === expect, s"width=$width")
+    }
+    // plan shape: equi-join on (key, bucket), residual inside — never
+    // a nested loop or cartesian
+    val plan = operators.IntervalJoin.intervalOverlapJoin(
+        a, b, Seq("k"), "a_st", "a_en", "b_st", "b_en", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("__ivj_bkt"), plan)
+    // guards: reserved namespace, colliding columns, null keys
+    intercept[IllegalArgumentException] {
+      operators.IntervalJoin.intervalOverlapJoin(
+        a.withColumn("__ivj_x", lit(1)), b,
+        Seq("k"), "a_st", "a_en", "b_st", "b_en", 7L)
+    }
+    intercept[IllegalArgumentException] {
+      operators.IntervalJoin.intervalOverlapJoin(
+        a, b.withColumnRenamed("b_id", "a_id"),
+        Seq("k"), "a_st", "a_en", "b_st", "b_en", 7L)
+    }
+    val na = Seq((1L, None: Option[Long], 0L, 10L)).toDF("a_id", "k", "a_st", "a_en")
+    val nb = Seq((9L, None: Option[Long], 5L, 6L)).toDF("b_id", "k", "b_st", "b_en")
+    assert(operators.IntervalJoin.intervalOverlapJoin(
+      na, nb, Seq("k"), "a_st", "a_en", "b_st", "b_en", 7L).count() === 0L)
+  }
+
   test("intervalJoin rejects colliding/reserved columns; null keys match nothing") {
     val s = spark
     import s.implicits._
