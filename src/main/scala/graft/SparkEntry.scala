@@ -182,6 +182,12 @@ object SparkEntry {
       GraphOps.trianglesPerVertex(GraphOps.edges(s, d), MaxRS)
         .orderBy("vertex")),
     "triangles_rep" -> ((s, d) => GraphOps.trianglesRep(GraphOps.edges(s, d), MaxRep)),
+    // local clustering coefficient on the < MaxRS distinct subgraph:
+    // directed 3-cycles through v over ordered neighbor pairs, as the
+    // scaled integer cc_fp (exact long arithmetic — hash-checkable)
+    "graph_clustering" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(GraphOps.edges(s, d), MaxRS)
+        .orderBy("vertex")),
     // ---- LLM-data-pipeline extensions (documents / embeddings / events) ----
     "text_tokens" -> ((s, d) =>
       TextOps.tokenCounts(Tables.table(s, d, "documents")).orderBy("doc_id")),
@@ -911,6 +917,23 @@ object SparkEntry {
         "p AS (SELECT a.src AS x, b.dst AS z FROM e a JOIN e b ON a.dst = b.src) " +
         "SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles FROM p " +
         "WHERE EXISTS (SELECT 1 FROM e c WHERE c.dst = p.x AND c.src = p.z)"),
+    "graph_clustering" -> {
+      val sc = GraphOps.CcScale
+      s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE src < $MaxRS AND dst < $MaxRS), " +
+        "p AS (SELECT a.src AS x, b.dst AS z FROM e a " +
+        "JOIN e b ON a.dst = b.src AND a.src <> b.dst), " +
+        "tri AS (SELECT p.x AS vertex, COUNT(*) AS t FROM p " +
+        "JOIN e c ON c.dst = p.x AND c.src = p.z GROUP BY p.x), " +
+        "nb AS (SELECT v AS vertex, COUNT(*) AS n FROM (" +
+        "SELECT src AS v, dst AS u FROM e WHERE src <> dst " +
+        "UNION SELECT dst, src FROM e WHERE src <> dst) GROUP BY v) " +
+        "SELECT nb.vertex, CAST(COALESCE(t, 0) AS BIGINT) AS triangles, " +
+        "CAST(n AS BIGINT) AS n_nbrs, " +
+        s"CAST(CASE WHEN n < 2 THEN 0 ELSE (COALESCE(t, 0) * $sc) // " +
+        "(n * (n - 1)) END AS BIGINT) AS cc_fp " +
+        "FROM nb LEFT JOIN tri ON tri.vertex = nb.vertex"
+    },
     // ---- extensions ----
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +

@@ -205,6 +205,59 @@ object GraphOps {
       .agg(sum(col("w1") * col("w2") * col("w3")).as("triangles"))
   }
 
+  /** Fixed-point scale for `clusteringCoefficient` (same convention as
+    * `rank_fp`/`tfidf_fp`).
+    */
+  val CcScale = 1000000L
+
+  /** LOCAL CLUSTERING COEFFICIENT per vertex — how close each vertex's
+    * neighborhood is to closing into cycles: for each vertex v of the
+    * `< max`-filtered DISTINCT edge set,
+    *   cc = (directed 3-cycles through v) / (n·(n−1)),
+    * n = v's distinct undirected neighbors (u ≠ v with v→u or u→v),
+    * n·(n−1) = ordered neighbor pairs — the directed-cycle variant of
+    * the classic coefficient (cycles only, not all directed-triangle
+    * motifs; `trianglesRS`'s exact cycle rule, including its
+    * self-loop quirk). Reported as the scaled integer
+    * `cc_fp = (triangles · CcScale) div (n·(n−1))` — exact long
+    * arithmetic end to end (a float division would be the only
+    * engine-drift risk), 0 when n < 2. DISTINCT edges deliberately:
+    * a coefficient is a topology statistic, duplicate rows are not
+    * more topology (same divergence note as `pageRank`; triangles
+    * needs < 9.2·10^12 before the scale multiply overflows).
+    *
+    * Physical: `trianglesPerVertex` on the deduplicated relation (its
+    * weighted pipeline with every w = 1) for the numerator; the
+    * neighbor count is one generator-shaped union + distinct +
+    * vertex-keyed count (shuffles bounded by distinct edges); the
+    * final join is vertex-sized on both sides. Vertices with edges
+    * but no triangles report 0 (left join, like `path2PerVertex`'s
+    * one-sided convention).
+    */
+  def clusteringCoefficient(e0: DataFrame, max: Long = 50L,
+      scale: Long = CcScale): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val de = graft.Caches.track(
+      filterMaxId(e0.select("src", "dst"), max).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tri = trianglesPerVertex(de, max)
+      .select(col("vertex").as("v"), col("triangles"))
+    val nbrs = de.filter(col("src") =!= col("dst"))
+      .select(col("src").as("v"), col("dst").as("u"))
+      .union(de.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+      .groupBy("v").agg(count(lit(1)).as("n_nbrs"))
+    nbrs.join(tri, Seq("v"), "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("n_nbrs"),
+        when(col("n_nbrs") < 2L, lit(0L))
+          .otherwise(expr(s"(coalesce(triangles, 0L) * ${scale}L) div " +
+            "(n_nbrs * (n_nbrs - 1L))"))
+          .as("cc_fp"))
+  }
+
   /** Grand total → `total div 3`, integer (floor) division applied AFTER
     * the global sum (SocialTriangle_RS.java:242, ReplicatedJoinDriver
     * .java:152). `div` keeps the arithmetic in LongType — no double

@@ -264,6 +264,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficient: fixture with known values; brute on random multigraphs") {
+    // fixture: 3-cycle 1→2→3→1, pendant 1→4, isolated mutual pair 5↔6,
+    // a duplicate edge (must collapse) and a self-loop (not a neighbor)
+    val fx = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (1L, 4L),
+      (5L, 6L), (6L, 5L), (2L, 2L))
+    val got = GraphOps.clusteringCoefficient(edgeDf(fx: _*), 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, 3L, 166666L)), // 1 cycle / (3·2) ordered pairs
+      2L -> ((1L, 2L, 500000L)),
+      3L -> ((1L, 2L, 500000L)),
+      4L -> ((0L, 1L, 0L)), // pendant: n < 2 → 0
+      5L -> ((0L, 1L, 0L)),
+      6L -> ((0L, 1L, 0L))))
+    // brute-force property on random multigraphs, with the < max
+    // filter active (ids 0..7, max 6)
+    def brute(e0: Seq[(Long, Long)], max: Long): Map[Long, (Long, Long, Long)] = {
+      val e = e0.filter { case (s, d) => s < max && d < max }.distinct
+      val tri = (for {
+        (x, y) <- e
+        (y2, z) <- e if y2 == y && x != z
+        (zc, xc) <- e if zc == z && xc == x
+      } yield x).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nbrs = e.filter(p => p._1 != p._2)
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      nbrs.map { case (v, n) =>
+        val t = tri.getOrElse(v, 0L)
+        v -> ((t, n, if (n < 2) 0L else t * GraphOps.CcScale / (n * (n - 1))))
+      }.toMap
+    }
+    val rng = new scala.util.Random(53)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(60)((rng.nextInt(8).toLong, rng.nextInt(8).toLong))
+      val g = GraphOps.clusteringCoefficient(edgeDf(e: _*), 6)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      withClue(s"edges=$e") { assert(g === brute(e, 6)) }
+    }
+  }
+
   test("pageRankWeighted: == plain on simple graphs; weights shift rank") {
     val rng = new scala.util.Random(37)
     (1 to 3).foreach { _ =>
