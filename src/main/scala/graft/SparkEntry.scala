@@ -47,6 +47,14 @@ object SparkEntry {
     */
   val ComponentsMod = 40L
 
+  /** Sparsifier modulus for the `graph_scc` gate: thins the (otherwise
+    * single-giant-SCC) < MaxRS subgraph to ~1/5 of its edges, which at
+    * sf0.01 yields 7 SCCs — 4 multi-vertex, largest 20 — a
+    * non-degenerate partition (measured; the same scaled-constant
+    * trick as ComponentsMod). Same constant MUST appear in oracleSql.
+    */
+  val SccMod = 5L
+
   /** Tolerance for the `events_asof_tol` gate query: 30 minutes in
     * MICROSECONDS (the query aligns on `unix_micros(ts)` columns, the
     * exact-integer grain both engines share). Same constant MUST
@@ -182,6 +190,16 @@ object SparkEntry {
       GraphOps.trianglesPerVertex(GraphOps.edges(s, d), MaxRS)
         .orderBy("vertex")),
     "triangles_rep" -> ((s, d) => GraphOps.trianglesRep(GraphOps.edges(s, d), MaxRep)),
+    // directed SCC on a deterministic 1/SccMod slice of the < MaxRS
+    // subgraph (unsliced it is one giant SCC; sliced it breaks into a
+    // real multi-SCC partition — see SccMod); label = min mutually-
+    // reachable vertex id, via forward/backward min-label partition
+    // refinement
+    "graph_scc" -> ((s, d) =>
+      GraphOps.stronglyConnectedComponents(
+        GraphOps.sparsifyEdges(
+          GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS), SccMod))
+        .orderBy("vertex")),
     // local clustering coefficient on the < MaxRS distinct subgraph:
     // directed 3-cycles through v over ordered neighbor pairs, as the
     // scaled integer cc_fp (exact long arithmetic — hash-checkable)
@@ -917,6 +935,20 @@ object SparkEntry {
         "p AS (SELECT a.src AS x, b.dst AS z FROM e a JOIN e b ON a.dst = b.src) " +
         "SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles FROM p " +
         "WHERE EXISTS (SELECT 1 FROM e c WHERE c.dst = p.x AND c.src = p.z)"),
+    "graph_scc" ->
+      // min mutually-reachable id via the directed transitive closure —
+      // affordable on the < MaxRS subgraph (≤ MaxRS vertices)
+      (s"WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE src < $MaxRS AND dst < $MaxRS " +
+        s"AND (src * 31 + dst) % $SccMod = 0), " +
+        "verts AS (SELECT src AS v FROM base UNION SELECT dst FROM base), " +
+        "reach(u, w) AS (SELECT src, dst FROM base " +
+        "UNION SELECT r.u, b.dst FROM reach r JOIN base b ON r.w = b.src), " +
+        "mut AS (SELECT a.u AS v, a.w FROM reach a " +
+        "JOIN reach b ON a.u = b.w AND a.w = b.u) " +
+        "SELECT verts.v AS vertex, " +
+        "CAST(LEAST(verts.v, COALESCE(MIN(mut.w), verts.v)) AS BIGINT) AS scc " +
+        "FROM verts LEFT JOIN mut ON mut.v = verts.v GROUP BY verts.v"),
     "graph_clustering" -> {
       val sc = GraphOps.CcScale
       s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +

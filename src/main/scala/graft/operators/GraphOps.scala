@@ -395,6 +395,206 @@ object GraphOps {
         maxIter, checkpointDir)
       .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))
 
+  /** STRONGLY-connected components — the directed refinement of
+    * `components`: one `(vertex, scc)` row per vertex appearing in any
+    * edge, `scc` = the minimum vertex id MUTUALLY reachable (v →* u
+    * and u →* v) — a canonical, engine-independent label like the
+    * weak form's.
+    *
+    * Algorithm — relational forward-backward with min-id pivots,
+    * partitions refined in parallel:
+    *   1. within each partition (initially: everything), propagate
+    *      min vertex id FORWARD to a fixpoint (`fwd(v)` = min same-
+    *      partition ancestor of v, incl. itself) and BACKWARD
+    *      (`bwd(v)` = min same-partition descendant);
+    *   2. `fwd(v) = bwd(v) = m` ⟺ m →* v and v →* m within the
+    *      partition ⟺ v ∈ SCC(m) — those vertices SETTLE with label
+    *      m (which is provably the SCC's minimum: every member is an
+    *      ancestor, so fwd ≤ min(SCC), and fwd = m ∈ SCC);
+    *   3. survivors re-partition by their `(fwd, bwd)` pair. A pair
+    *      class never splits an SCC (same-SCC vertices share ancestor/
+    *      descendant sets within their partition — the whole SCC sits
+    *      in one partition by induction, and its internal edges are
+    *      same-partition edges), and classes from different partitions
+    *      cannot collide (a label is a vertex OF its partition).
+    * Each round settles at least the min-id vertex's SCC of EVERY
+    * live partition (fwd(min) = bwd(min) = min trivially), so rounds
+    * ≤ #SCCs; in practice the (fwd, bwd) refinement splits partitions
+    * aggressively and a handful of rounds suffice (`maxIter` guards;
+    * exceeding it raises rather than returning a partial labeling).
+    *
+    * Scale shape: state is the vertex-sized `(v, pf, pb)` relation;
+    * each inner sweep is one edge ⋈ label equi-join + a map-side-
+    * combined min per destination — O(diameter-within-partition)
+    * sweeps per round, the label-propagation trade (pointer-doubling
+    * converges in log rounds but squares the edge relation; wrong
+    * trade at 100 TB). Every loop state is `localCheckpoint`ed: each
+    * round's plan starts from materialized blocks, not a lineage
+    * chain `maxIter` deep. Self-loops and duplicate edges are
+    * collapsed/ignored (SCC structure is invariant); a vertex with
+    * only self-loops is its own singleton component.
+    *
+    * SMALL-GRAPH FAST PATH (the `dupClusters` pattern): at or below
+    * `localThreshold` distinct edges, one task runs an ITERATIVE
+    * Tarjan (explicit stacks — no recursion-depth bound) instead of
+    * rounds × sweeps of distributed jobs, whose scheduling overhead
+    * dominates tiny graphs. Same min-id labels by construction;
+    * equality with the distributed loop is property-pinned
+    * (`localThreshold = 0` forces the loop in tests).
+    */
+  val SccLocalEdges = 250000L
+
+  def stronglyConnectedComponents(e: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold " +
+        "(the single-task Tarjan holds the whole edge list in one JVM; " +
+        "use the distributed refinement loop for more)")
+    val spark = e.sparkSession
+    val edges = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (edges.count() <= localThreshold) {
+      import spark.implicits._
+      return edges.as[(Long, Long)].rdd.coalesce(1)
+        .mapPartitions(it => tarjanLocal(it))
+        .toDF("vertex", "scc")
+    }
+    val verts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct()
+    // min-label propagation to fixpoint along rel's fromCol → toCol,
+    // seeded with each vertex's own id; rel only ever connects same-
+    // partition vertices, so labels cannot leak across partitions
+    def minFix(rel: DataFrame, seed: DataFrame, fromCol: String,
+        toCol: String): DataFrame = {
+      var lab = seed.select(col("v"), col("v").as("lab"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0L) {
+        val inMin = rel
+          .join(lab.select(col("v").as(fromCol), col("lab").as("slab")),
+            fromCol)
+          .groupBy(col(toCol).as("v")).agg(min("slab").as("m"))
+        val next = lab.join(inMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("lab"), coalesce(col("m"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        changed = next.join(lab.select(col("v"), col("lab").as("old")), "v")
+          .filter(col("lab") < col("old")).count()
+        lab.unpersist(blocking = false)
+        lab = next
+      }
+      lab
+    }
+    var active = verts.select(col("v"), lit(0L).as("pf"), lit(0L).as("pb"))
+      .localCheckpoint(true)
+    var nActive = active.count()
+    var settled = List.empty[DataFrame]
+    var iter = 0
+    while (nActive > 0L && iter < maxIter) {
+      // edges inside one live partition (self-loops are no-ops for
+      // min propagation and need no special casing)
+      val ae = edges
+        .join(active.select(col("v").as("src"), col("pf"), col("pb")), "src")
+        .join(active.select(col("v").as("dst"), col("pf").as("qf"),
+          col("pb").as("qb")), "dst")
+        .filter(col("pf") === col("qf") && col("pb") === col("qb"))
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val fwd = minFix(ae, active, "src", "dst")
+      val bwd = minFix(ae, active, "dst", "src")
+      val lab = active.select("v")
+        .join(fwd.select(col("v"), col("lab").as("f")), "v")
+        .join(bwd.select(col("v"), col("lab").as("b")), "v")
+        .localCheckpoint(true)
+      fwd.unpersist(blocking = false)
+      bwd.unpersist(blocking = false)
+      ae.unpersist(blocking = false)
+      settled ::= lab.filter(col("f") === col("b"))
+        .select(col("v").as("vertex"), col("f").as("scc"))
+        .localCheckpoint(true)
+      val prev = active
+      active = lab.filter(col("f") =!= col("b"))
+        .select(col("v"), col("f").as("pf"), col("b").as("pb"))
+        .localCheckpoint(true)
+      nActive = active.count()
+      prev.unpersist(blocking = false)
+      lab.unpersist(blocking = false)
+      iter += 1
+    }
+    if (nActive > 0L)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents did not converge after $maxIter " +
+          "rounds — pathological SCC nesting; raise maxIter")
+    settled.reduceOption(_ unionByName _)
+      .getOrElse(verts.select(col("v").as("vertex"), col("v").as("scc"))
+        .filter(lit(false)))
+  }
+
+  /** Single-task ITERATIVE Tarjan over an edge iterator — explicit
+    * pending/low stacks instead of recursion (a 250k-edge chain would
+    * blow the JVM stack recursively), min member id as the component
+    * label (Tarjan's grouping, the min-id relabel of each popped
+    * component). Self-loops and duplicates are no-ops.
+    */
+  private def tarjanLocal(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val vertsB = mutable.LinkedHashSet.empty[Long]
+    it.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+      vertsB += s
+      vertsB += d
+    }
+    val index = mutable.LongMap.empty[Int]
+    val low = mutable.LongMap.empty[Int]
+    val onStack = mutable.LongMap.empty[Unit]
+    val tstack = mutable.ArrayBuffer.empty[Long]
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var counter = 0
+    val empty = mutable.ArrayBuffer.empty[Long]
+    vertsB.foreach { root =>
+      if (!index.contains(root)) {
+        // pending frames: (vertex, next child offset)
+        val pv = mutable.ArrayBuffer.empty[Long]
+        val pi = mutable.ArrayBuffer.empty[Int]
+        pv += root; pi += 0
+        while (pv.nonEmpty) {
+          val v = pv.last
+          if (pi.last == 0 && !index.contains(v)) {
+            index(v) = counter; low(v) = counter; counter += 1
+            tstack += v; onStack(v) = ()
+          }
+          val kids = adj.getOrElse(v, empty)
+          if (pi.last < kids.length) {
+            val w = kids(pi.last)
+            pi(pi.length - 1) += 1
+            if (!index.contains(w)) { pv += w; pi += 0 }
+            else if (onStack.contains(w))
+              low(v) = math.min(low(v), index(w))
+          } else {
+            pv.remove(pv.length - 1); pi.remove(pi.length - 1)
+            if (pv.nonEmpty)
+              low(pv.last) = math.min(low(pv.last), low(v))
+            if (low(v) == index(v)) {
+              // pop the component, label with its min member id
+              var cut = tstack.length - 1
+              while (tstack(cut) != v) cut -= 1
+              val comp = tstack.slice(cut, tstack.length)
+              tstack.remove(cut, tstack.length - cut)
+              comp.foreach(w => onStack.remove(w))
+              val m = comp.min
+              comp.foreach(w => out += ((w, m)))
+            }
+          }
+        }
+      }
+    }
+    out.iterator
+  }
+
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
     * that is stable across runs, partitionings and engines (no RNG),

@@ -264,6 +264,69 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("stronglyConnectedComponents: fixtures + Tarjan on random digraphs") {
+    // driver-side Tarjan (recursive; test graphs are tiny) → the same
+    // min-id-per-SCC labeling the operator promises
+    def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val vs = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val idx = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack = scala.collection.mutable.Stack[Long]()
+      val out = scala.collection.mutable.Map[Long, Long]()
+      var counter = 0
+      def strong(v: Long): Unit = {
+        idx(v) = counter; low(v) = counter; counter += 1
+        stack.push(v); onStack += v
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (!idx.contains(w)) { strong(w); low(v) = math.min(low(v), low(w)) }
+          else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+        }
+        if (low(v) == idx(v)) {
+          val comp = scala.collection.mutable.ArrayBuffer[Long]()
+          var w = -1L
+          while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+          val m = comp.min
+          comp.foreach(out(_) = m)
+        }
+      }
+      vs.foreach(v => if (!idx.contains(v)) strong(v))
+      out.toMap
+    }
+    // BOTH execution paths: the single-task Tarjan fast path (default
+    // threshold) and the distributed refinement loop (threshold 0)
+    def run(edges: Seq[(Long, Long)], threshold: Long): Map[Long, Long] =
+      GraphOps.stronglyConnectedComponents(edgeDf(edges: _*),
+          localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def runBoth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val fast = run(edges, GraphOps.SccLocalEdges)
+      val dist = run(edges, 0L)
+      assert(fast === dist, s"fast path != distributed loop on $edges")
+      fast
+    }
+    // fixture: two 2-cycles bridged one-way, a 3-cycle, a self-loop
+    // singleton, duplicate edges — known SCCs {1,2}, {3,4}, {5,6,7},
+    // {8}, {9}, {10}
+    val fx = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 8L), (9L, 10L))
+    assert(runBoth(fx) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+    // the counterexample that breaks naive (fwd, bwd)-pair labeling:
+    // 0→5→1, 0→6→1 — vertices 5 and 6 share (min ancestor, min
+    // descendant) = (0, 1) but are distinct singleton SCCs; the
+    // refinement round must separate them
+    val cx = Seq((0L, 5L), (5L, 1L), (0L, 6L), (6L, 1L))
+    assert(runBoth(cx) === Map(0L -> 0L, 1L -> 1L, 5L -> 5L, 6L -> 6L))
+    // random digraphs (dense enough for real multi-vertex SCCs)
+    val rng = new scala.util.Random(59)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(70)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      withClue(s"edges=$e") { assert(runBoth(e) === tarjan(e)) }
+    }
+  }
+
   test("clusteringCoefficient: fixture with known values; brute on random multigraphs") {
     // fixture: 3-cycle 1→2→3→1, pendant 1→4, isolated mutual pair 5↔6,
     // a duplicate edge (must collapse) and a self-loop (not a neighbor)
