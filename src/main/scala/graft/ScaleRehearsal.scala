@@ -422,6 +422,61 @@ object ScaleRehearsal {
     // same machinery as pack_sequences, never a global window
     t("length_deciles 50k docs")(
       operators.TextOps.lengthDeciles(docs).count())
+    // ---- round-11 operators ----
+    // directed SCC at ~300k distinct edges over 100k vertices — PAST
+    // SccLocalEdges, so the DISTRIBUTED refinement loop runs (the
+    // gate's slice takes the single-task Tarjan path). Mean degree 3
+    // gives a giant strongly-connected core + periphery: real
+    // multi-round refinement, log-ish diameter for the inner
+    // fixpoints. Result = (vertices, distinct SCC labels).
+    val sccEdges = spark.range(300000L).select(
+      pmod(hash(col("id")), lit(100000)).cast("long").as("src"),
+      pmod(hash(col("id") * 31 + 7), lit(100000)).cast("long").as("dst"))
+    t("scc 300k edges distributed")({
+      val r = operators.GraphOps.stronglyConnectedComponents(sccEdges,
+          localThreshold = 0L)
+        .agg(count(lit(1)), countDistinct(col("scc"))).collect()(0)
+      s"verts=${r.getLong(0)} sccs=${r.getLong(1)}"
+    })
+    // interval OVERLAP join: 1M left intervals (span 2k) × 100k right
+    // intervals (span 5k-15k) over 100k keys with the same 10% hot
+    // key on both sides — pairs meet in many shared buckets, the
+    // max(start)-bucket residual dedups in-join; hot-key traffic
+    // spreads across time buckets exactly like the containment join
+    val leftIv = spark.range(1000000L).select(
+      col("id").as("l_id"),
+      when(pmod(col("id"), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id") * 13 + 1), lit(100000)).cast("long"))
+        .as("k"),
+      pmod(hash(col("id") * 7 + 3), lit(5000000)).cast("long").as("l_st"))
+      .withColumn("l_en", col("l_st") + 2000L)
+    t("interval overlap 1M, hot key")(
+      operators.IntervalJoin.intervalOverlapJoin(
+          leftIv, ivals, Seq("k"), "l_st", "l_en", "st", "en", 10000L)
+        .agg(count(lit(1)).as("pairs")).collect()(0).getLong(0))
+    // mergeable quantile sketch over 10M values × 1,000 groups: the
+    // one shuffle carries ≤ occupied-buckets × groups counters after
+    // map-side combine; 4 hash shards merged by counter addition must
+    // equal the one-shot state EXACTLY (the rollup contract, asserted
+    // at scale)
+    val qvals = spark.range(10000000L).select(
+      pmod(hash(col("id") * 13 + 5), lit(1000)).cast("string").as("g"),
+      (pmod(hash(col("id") * 3 + 1), lit(2000000)).cast("double") / 7.0 -
+        100000.0).as("value"))
+    t("qsketch 10M x 1k groups")({
+      val one = operators.QuantileSketch.sketch(qvals, Seq("g"), "value")
+      val shards = (0 until 4).map(i =>
+        operators.QuantileSketch.sketch(
+          qvals.filter(pmod(hash(col("value")), lit(4)) === i),
+          Seq("g"), "value"))
+      val merged = operators.QuantileSketch.merge(shards, Seq("g"))
+      val diff = merged.unionByName(one)
+        .groupBy("g", "bucket").agg(sum(col("cnt")).as("s"),
+          count(lit(1)).as("c"), max(col("cnt")).as("mx"))
+        .filter(col("c") =!= 2 || col("s") =!= col("mx") * 2).count()
+      require(diff == 0L, s"$diff (group, bucket) counters diverged")
+      s"state rows=${one.count()} shard-merge exact"
+    })
     // HLL duplicate-insensitivity AT SCALE: the 10×-replicated corpus
     // must produce the IDENTICAL sketch state as its 5k base (MAX per
     // bucket is idempotent) — and the whole job is a map stage into a

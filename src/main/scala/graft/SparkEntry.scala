@@ -465,6 +465,21 @@ object SparkEntry {
         operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
           Seq("event_type"), "value"),
         Seq("event_type")).orderBy("event_type", "pct")),
+    // the ROLLUP deployment shape: per-day sketch states merged by
+    // counter addition into the corpus state — must be byte-identical
+    // to sketching in one shot, so it shares events_qsketch's oracle
+    // (merge is the whole point of the sketch family; this drives it
+    // through the driver gate, not just the spec)
+    "events_qsketch_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.table(s, d, "events")
+        .withColumn("__day", expr("unix_micros(ts) div 86400000000"))
+      val daily = operators.QuantileSketch.sketch(ev,
+        Seq("event_type", "__day"), "value")
+      operators.QuantileSketch.merge(Seq(daily.drop("__day")),
+          Seq("event_type"))
+        .orderBy("event_type", "bucket")
+    }),
     // the funnel's mapGroupsWithState twin — must be count-identical
     // to events_funnel, whose oracle it shares
     "events_funnel_stateful" -> ((s, d) =>
@@ -829,6 +844,20 @@ object SparkEntry {
     s"(CASE WHEN $b < 0 THEN -${qsMagHi(s"(-($b))")} ELSE ${qsMagLo(b)} END)"
   private def qsUHi(b: String): String =
     s"(CASE WHEN $b < 0 THEN -${qsMagLo(s"(-($b))")} ELSE ${qsMagHi(b)} END)"
+
+  /** Shared by `events_qsketch` and its merged-rollup twin (counter
+    * addition is exact, so the rollup is output-identical).
+    */
+  private lazy val qsketchStateOracle: String = {
+    val fp = graft.operators.QuantileSketch.QsParamsFingerprint
+    val scale = graft.operators.QuantileSketch.QsScale
+    s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
+      "AS u FROM events WHERE value IS NOT NULL), " +
+      s"$qsBucketCtes " +
+      "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
+      "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+      s"CAST($fp AS BIGINT) AS qs_params_fp FROM qb GROUP BY 1, 2"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1582,16 +1611,10 @@ object SparkEntry {
         s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
         "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
     },
-    "events_qsketch" -> {
-      val fp = graft.operators.QuantileSketch.QsParamsFingerprint
-      val scale = graft.operators.QuantileSketch.QsScale
-      s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
-        "AS u FROM events WHERE value IS NOT NULL), " +
-        s"$qsBucketCtes " +
-        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
-        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
-        s"CAST($fp AS BIGINT) AS qs_params_fp FROM qb GROUP BY 1, 2"
-    },
+    "events_qsketch" -> qsketchStateOracle,
+    // per-day states merged by counter addition == the one-shot sketch
+    // (mergeability is exact) — execution detail, same oracle
+    "events_qsketch_rollup" -> qsketchStateOracle,
     "events_qsketch_quantiles" -> {
       val scale = graft.operators.QuantileSketch.QsScale
       val pctsSql = graft.operators.TextOps.QuantilePcts

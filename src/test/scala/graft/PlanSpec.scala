@@ -238,6 +238,21 @@ class PlanSpec extends SparkSpec {
       "band_val:bigint,band_bits:int>"), plan)
   }
 
+  test("events_qsketch: map-side partial counts; null filter reaches the scan") {
+    val plan = executedPlan("events_qsketch")
+    // partial + final HashAggregate around one (group, bucket)
+    // exchange — counters collapse map-side, values never shuffle raw
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("IsNotNull(value)"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("events_window_overlap: equi-join on (key, bucket), no nested loop") {
+    val plan = executedPlan("events_window_overlap")
+    assert(plan.contains("__ivj_bkt"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
