@@ -200,6 +200,16 @@ object SparkEntry {
         GraphOps.sparsifyEdges(
           GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS), SccMod))
         .orderBy("vertex")),
+    // the SCC-level DAG of the same sliced subgraph: edges mapped to
+    // component labels, intra-component edges dropped — acyclic by
+    // construction (property-pinned), the relation topological /
+    // dependency analyses consume
+    "graph_scc_dag" -> ((s, d) => {
+      val e = GraphOps.sparsifyEdges(
+        GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS), SccMod)
+      GraphOps.sccCondensation(e, GraphOps.stronglyConnectedComponents(e))
+        .orderBy("scc_src", "scc_dst")
+    }),
     // local clustering coefficient on the < MaxRS distinct subgraph:
     // directed 3-cycles through v over ordered neighbor pairs, as the
     // scaled integer cc_fp (exact long arithmetic — hash-checkable)
@@ -978,6 +988,24 @@ object SparkEntry {
         "SELECT verts.v AS vertex, " +
         "CAST(LEAST(verts.v, COALESCE(MIN(mut.w), verts.v)) AS BIGINT) AS scc " +
         "FROM verts LEFT JOIN mut ON mut.v = verts.v GROUP BY verts.v"),
+    "graph_scc_dag" ->
+      // same closure-derived labeling, then edges mapped to labels and
+      // intra-component rows dropped
+      (s"WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE src < $MaxRS AND dst < $MaxRS " +
+        s"AND (src * 31 + dst) % $SccMod = 0), " +
+        "verts AS (SELECT src AS v FROM base UNION SELECT dst FROM base), " +
+        "reach(u, w) AS (SELECT src, dst FROM base " +
+        "UNION SELECT r.u, b.dst FROM reach r JOIN base b ON r.w = b.src), " +
+        "mut AS (SELECT a.u AS v, a.w FROM reach a " +
+        "JOIN reach b ON a.u = b.w AND a.w = b.u), " +
+        "scc AS (SELECT verts.v AS vertex, " +
+        "LEAST(verts.v, COALESCE(MIN(mut.w), verts.v)) AS lbl " +
+        "FROM verts LEFT JOIN mut ON mut.v = verts.v GROUP BY verts.v) " +
+        "SELECT DISTINCT CAST(a.lbl AS BIGINT) AS scc_src, " +
+        "CAST(b.lbl AS BIGINT) AS scc_dst " +
+        "FROM base JOIN scc a ON a.vertex = base.src " +
+        "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
     "graph_clustering" -> {
       val sc = GraphOps.CcScale
       s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +

@@ -427,10 +427,17 @@ object GraphOps {
     * each inner sweep is one edge ⋈ label equi-join + a map-side-
     * combined min per destination — O(diameter-within-partition)
     * sweeps per round, the label-propagation trade (pointer-doubling
-    * converges in log rounds but squares the edge relation; wrong
-    * trade at 100 TB). Every loop state is `localCheckpoint`ed: each
-    * round's plan starts from materialized blocks, not a lineage
-    * chain `maxIter` deep. Self-loops and duplicate edges are
+    * on the EDGE relation converges in log rounds but squares it —
+    * wrong trade at 100 TB; the label-map pointer jumps below get the
+    * log factor at vertex-sized cost instead). Every loop state is
+    * eagerly truncated through the STATS-FREE local checkpoint
+    * (`ColumnBridge.statsFreeLocalCheckpoint`): each round's plan
+    * starts from materialized blocks with default statistics —
+    * `Dataset.localCheckpoint` would propagate each origin plan's
+    * COMPUTED sizeInBytes into the next round, compounding it
+    * multiplicatively until the optimizer livelocks on million-digit
+    * BigInt products (measured ×4 digits per sweep; details at the
+    * bridge helper). Self-loops and duplicate edges are
     * collapsed/ignored (SCC structure is invariant); a vertex with
     * only self-loops is its own singleton component.
     *
@@ -463,64 +470,80 @@ object GraphOps {
     }
     val verts = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v"))).distinct()
+    // EAGER stats-free lineage truncation for every loop state:
+    // Dataset.localCheckpoint would hand each LogicalRDD the origin
+    // plan's COMPUTED statistics, which a state-joins-into-next-state
+    // loop compounds multiplicatively until the optimizer livelocks
+    // multiplying million-digit sizeInBytes BigInts (measured:
+    // ×4 digits per sweep; see ColumnBridge.statsFreeLocalCheckpoint).
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(df)
+    def drop(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
     // min-label propagation to fixpoint along rel's fromCol → toCol,
     // seeded with each vertex's own id; rel only ever connects same-
-    // partition vertices, so labels cannot leak across partitions
+    // partition vertices, so labels cannot leak across partitions.
+    // Each round is one EDGE sweep (labels hop one edge) followed by
+    // two POINTER JUMPS — lab(v) := min(lab(v), lab(lab(v))), a
+    // vertex-sized self-join that composes the known-ancestor map with
+    // itself, halving remaining ancestor-chain depth per jump (jumps
+    // only ever surface genuine ancestors, by transitivity, so the
+    // fixpoint is unchanged) — O(log diameter) rounds instead of
+    // O(diameter), with the extra work vertex-sized, not edge-sized.
     def minFix(rel: DataFrame, seed: DataFrame, fromCol: String,
         toCol: String): DataFrame = {
-      var lab = seed.select(col("v"), col("v").as("lab"))
-        .localCheckpoint(true)
+      def jump(l: DataFrame): DataFrame = l
+        .join(l.select(col("v").as("lab"), col("lab").as("lab2")), "lab")
+        .select(col("v"), least(col("lab"), col("lab2")).as("lab"))
+      var lab = ck(seed.select(col("v"), col("v").as("lab")))
       var changed = 1L
       while (changed > 0L) {
         val inMin = rel
           .join(lab.select(col("v").as(fromCol), col("lab").as("slab")),
             fromCol)
           .groupBy(col(toCol).as("v")).agg(min("slab").as("m"))
-        val next = lab.join(inMin, Seq("v"), "left")
+        val swept = ck(lab.join(inMin, Seq("v"), "left")
           .select(col("v"),
-            least(col("lab"), coalesce(col("m"), col("lab"))).as("lab"))
-          .localCheckpoint(true)
+            least(col("lab"), coalesce(col("m"), col("lab"))).as("lab")))
+        val next = ck(jump(jump(swept)))
         changed = next.join(lab.select(col("v"), col("lab").as("old")), "v")
           .filter(col("lab") < col("old")).count()
-        lab.unpersist(blocking = false)
+        drop(swept)
+        drop(lab)
         lab = next
       }
       lab
     }
-    var active = verts.select(col("v"), lit(0L).as("pf"), lit(0L).as("pb"))
-      .localCheckpoint(true)
+    var active = ck(verts.select(col("v"), lit(0L).as("pf"),
+      lit(0L).as("pb")))
     var nActive = active.count()
     var settled = List.empty[DataFrame]
     var iter = 0
     while (nActive > 0L && iter < maxIter) {
       // edges inside one live partition (self-loops are no-ops for
       // min propagation and need no special casing)
-      val ae = edges
+      val ae = ck(edges
         .join(active.select(col("v").as("src"), col("pf"), col("pb")), "src")
         .join(active.select(col("v").as("dst"), col("pf").as("qf"),
           col("pb").as("qb")), "dst")
         .filter(col("pf") === col("qf") && col("pb") === col("qb"))
-        .select("src", "dst")
-        .localCheckpoint(true)
+        .select("src", "dst"))
       val fwd = minFix(ae, active, "src", "dst")
       val bwd = minFix(ae, active, "dst", "src")
-      val lab = active.select("v")
+      val lab = ck(active.select("v")
         .join(fwd.select(col("v"), col("lab").as("f")), "v")
-        .join(bwd.select(col("v"), col("lab").as("b")), "v")
-        .localCheckpoint(true)
-      fwd.unpersist(blocking = false)
-      bwd.unpersist(blocking = false)
-      ae.unpersist(blocking = false)
-      settled ::= lab.filter(col("f") === col("b"))
-        .select(col("v").as("vertex"), col("f").as("scc"))
-        .localCheckpoint(true)
+        .join(bwd.select(col("v"), col("lab").as("b")), "v"))
+      drop(fwd)
+      drop(bwd)
+      drop(ae)
+      settled ::= ck(lab.filter(col("f") === col("b"))
+        .select(col("v").as("vertex"), col("f").as("scc")))
       val prev = active
-      active = lab.filter(col("f") =!= col("b"))
-        .select(col("v"), col("f").as("pf"), col("b").as("pb"))
-        .localCheckpoint(true)
+      active = ck(lab.filter(col("f") =!= col("b"))
+        .select(col("v"), col("f").as("pf"), col("b").as("pb")))
       nActive = active.count()
-      prev.unpersist(blocking = false)
-      lab.unpersist(blocking = false)
+      drop(prev)
+      drop(lab)
       iter += 1
     }
     if (nActive > 0L)
@@ -594,6 +617,32 @@ object GraphOps {
     }
     out.iterator
   }
+
+  /** CONDENSATION of the directed graph: the SCC-level DAG — one
+    * `(scc_src, scc_dst)` row per pair of DISTINCT components joined
+    * by at least one edge. Provably acyclic (a cycle of components
+    * would merge them into one SCC — property-pinned), which is what
+    * makes it the graph a pipeline actually consumes after SCC:
+    * topological scheduling, cycle-free dependency analysis, reach
+    * queries that no longer need cycle guards. Composes with the
+    * existing operators unchanged (`components`, `pageRank`,
+    * `degreeHistogram` all run on the condensed relation).
+    *
+    * Physical: two vertex-keyed equi-joins mapping each distinct edge
+    * endpoint to its component label, an intra-component filter, and
+    * a distinct bounded by the condensation's own edge count. `scc`
+    * is any `(vertex, scc)` labeling covering the edge set — pass
+    * `stronglyConnectedComponents(e)` (or a stored copy of it: the
+    * labeling is a relation like every other state in this engine).
+    */
+  def sccCondensation(e: DataFrame, scc: DataFrame): DataFrame =
+    e.select("src", "dst").distinct()
+      .join(scc.select(col("vertex").as("src"), col("scc").as("scc_src")),
+        "src")
+      .join(scc.select(col("vertex").as("dst"), col("scc").as("scc_dst")),
+        "dst")
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .select(col("scc_src"), col("scc_dst")).distinct()
 
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice

@@ -54,4 +54,45 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Eager local checkpoint WITHOUT origin-stats propagation — for
+    * ITERATIVE dataframe loops. `Dataset.localCheckpoint` truncates
+    * LINEAGE but (Spark 4) hands the new `LogicalRDD` the original
+    * plan's computed statistics, so a loop that joins checkpointed
+    * state into the next state COMPOUNDS sizeInBytes multiplicatively
+    * across iterations: the BigInt's digit count roughly multiplies
+    * per round (measured ×4/sweep in the SCC fixpoint — 80 → 407,285
+    * digits in seven sweeps), until every optimizer stats lookup
+    * (join-selection, runtime-filter injection) spends MINUTES
+    * multiplying million-digit integers and the driver livelocks at
+    * 100% of one core. This helper materializes the plan's
+    * InternalRow RDD (copied — unsafe rows are reused buffers), marks
+    * it localCheckpoint'ed, forces it, and rebuilds the DataFrame
+    * through `internalCreateDataFrame` — a fresh LogicalRDD with
+    * DEFAULT stats, so each iteration's plan starts from a constant-
+    * size estimate. Release blocks early via `unpersistCheckpoint`
+    * (GC/ContextCleaner otherwise reclaims them lazily).
+    */
+  def statsFreeLocalCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cdf = df
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cdf.sparkSession
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    spark.internalCreateDataFrame(rdd, cdf.schema)
+  }
+
+  /** Eagerly drop the checkpoint blocks behind a
+    * `statsFreeLocalCheckpoint` frame (no-op on anything else). After
+    * this the frame CANNOT be recomputed — only call once every
+    * consumer is done.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -325,6 +325,27 @@ class GraphOpsSpec extends SparkSpec {
       val e = List.fill(70)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
       withClue(s"edges=$e") { assert(runBoth(e) === tarjan(e)) }
     }
+    // condensation: label-mapped distinct inter-SCC edges, and ACYCLIC
+    // (running SCC on the condensation must yield only singletons —
+    // a component cycle would have merged them)
+    (1 to 2).foreach { _ =>
+      val e = List.fill(70)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      val labels = tarjan(e)
+      val expect = e.map { case (s, d) => (labels(s), labels(d)) }
+        .filter(p => p._1 != p._2).distinct.toSet
+      val dag = GraphOps.sccCondensation(edgeDf(e: _*),
+          GraphOps.stronglyConnectedComponents(edgeDf(e: _*)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      withClue(s"edges=$e") {
+        assert(dag.length === dag.toSet.size)
+        assert(dag.toSet === expect)
+        if (dag.nonEmpty) {
+          val dagScc = tarjan(dag.toSeq)
+          assert(dagScc.values.toSeq.distinct.size === dagScc.size,
+            s"condensation not acyclic: $dagScc")
+        }
+      }
+    }
   }
 
   test("clusteringCoefficient: fixture with known values; brute on random multigraphs") {
