@@ -432,6 +432,17 @@ object SparkEntry {
       Similarity.knnIvfFromStored(s.read.parquet(dir), emb)
         .orderBy("query_id", "rank")
     }),
+    // the INGEST leg of the same contract: every corpus vector's cell
+    // under the trained index — the column a production corpus
+    // persists/buckets by so serving probes become cell-pruned reads.
+    // Rows-only like its train/serve siblings (fitted centroids aren't
+    // SQL-derivable); the assignment is pinned against a driver-side
+    // two-level reference in ExtensionsSpec
+    "knn_ivf_assign" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.ivfAssignFromStored(Similarity.centroidsOf(emb), emb)
+        .orderBy("vec_id")
+    }),
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
@@ -475,18 +486,17 @@ object SparkEntry {
         operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
           Seq("event_type"), "value"),
         Seq("event_type")).orderBy("event_type", "pct")),
-    // the ROLLUP deployment shape: per-day sketch states merged by
-    // counter addition into the corpus state — must be byte-identical
-    // to sketching in one shot, so it shares events_qsketch's oracle
-    // (merge is the whole point of the sketch family; this drives it
-    // through the driver gate, not just the spec)
+    // the ROLLUP deployment shape: per-day WINDOWED sketch states
+    // (the batch==streaming transform) merged by counter addition
+    // into the corpus state — must be byte-identical to sketching in
+    // one shot, so it shares events_qsketch's oracle (merge is the
+    // whole point of the sketch family; this drives sketchWindowed +
+    // merge through the driver gate, not just the spec)
     "events_qsketch_rollup" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val ev = Tables.table(s, d, "events")
-        .withColumn("__day", expr("unix_micros(ts) div 86400000000"))
-      val daily = operators.QuantileSketch.sketch(ev,
-        Seq("event_type", "__day"), "value")
-      operators.QuantileSketch.merge(Seq(daily.drop("__day")),
+      val daily = operators.QuantileSketch.sketchWindowed(
+        Tables.table(s, d, "events"), Seq("event_type"), "value", "ts",
+        "1 day")
+      operators.QuantileSketch.merge(Seq(daily.drop("window_epoch")),
           Seq("event_type"))
         .orderBy("event_type", "bucket")
     }),

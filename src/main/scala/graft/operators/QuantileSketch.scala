@@ -149,6 +149,32 @@ object QuantileSketch {
       .withColumn("qs_params_fp", lit(QsParamsFingerprint))
   }
 
+  /** WINDOWED sketch states — the streaming / time-rollup shape: one
+    * sketch state per (window start, groups…). The SAME transform
+    * runs in batch (feeding `merge` rollups — hour → day → corpus)
+    * and under Structured Streaming (`readStream` in, a watermark on
+    * `tsCol` added by the caller; the aggregation is an incremental
+    * count, the sketch-family property that makes it legal where
+    * exact quantile state would be unbounded) — parity pinned in
+    * ExtensionsSpec. `window_epoch` is the epoch-aligned window start
+    * in seconds, `hourly`'s timezone-independent convention. Late or
+    * re-emitted windows are harmless downstream: `merge` adds
+    * counters, which is exactly the correction late data needs.
+    */
+  def sketchWindowed(df: DataFrame, groups: Seq[String], valueCol: String,
+      tsCol: String, windowLen: String = "1 hour"): DataFrame = {
+    val keys = window(col(tsCol), windowLen).as("w") +: groups.map(col) :+
+      bucketOfU(
+        floor(col(valueCol).cast("double") * QsScale.toDouble).cast("long"))
+      .as("bucket")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("window_epoch") +:
+        groups.map(col) :+ col("bucket") :+ col("cnt") :+
+        lit(QsParamsFingerprint).as("qs_params_fp"): _*)
+  }
+
   /** Guard a state's counters against grid drift: a stored state from
     * a build with different constants raises instead of merging
     * garbage. Bare 3-column relations (no fp) skip the check.

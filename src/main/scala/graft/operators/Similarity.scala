@@ -480,17 +480,20 @@ object Similarity {
     * (`ivfScoredTrained`) paths, so training changes ONLY which
     * centroid vectors exist, never the plan shape.
     */
-  private def ivfFromCentroids(corpus: DataFrame, centIds: Array[Long],
-      centEmb: Array[Array[Double]], centN2: Array[Double],
-      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
-    // ---- two-level assignment model, built driver-side over the
-    // (≤ IvfMaxCells) collected centroids. Coarse anchors are the
-    // FIRST ⌈√cells⌉ centroids of the same (poly_hash(id), id) order
-    // that selected the fine set — recomputed locally with the same
-    // PolyHash arithmetic, no extra cluster job. Every cosine below is
-    // the identical sequential double fold the oracle's dotSql uses,
-    // with the identical (cos desc, id asc) tie-break, so the grouping
-    // is bit-reproducible in SQL.
+  /** The two-level cell-assignment EXPRESSION over an in-task centroid
+    * set — anchor layout recomputed driver-side from the ids (the
+    * FIRST ⌈√cells⌉ centroids of (poly_hash(id), id) order), then the
+    * codegen `ivf_assign2` kernel: ~2·N^(1/4) dot products per row,
+    * zero shuffle. Shared by the serving path (`ivfFromCentroids`)
+    * and the ingest path (`ivfAssignFromStored`), so a cell id
+    * persisted at ingest is BY CONSTRUCTION the cell the search
+    * probes. Every cosine is the identical sequential double fold the
+    * oracle's dotSql uses, with the identical (cos desc, id asc)
+    * tie-break, so the grouping is bit-reproducible in SQL.
+    */
+  private def assignCellExpr(centIds: Array[Long],
+      centEmb: Array[Array[Double]],
+      centN2: Array[Double]): org.apache.spark.sql.Column = {
     val kc = ivfCoarseCells(centIds.length)
     val anchorIdx: Array[Int] = centIds.indices
       .sortBy { i =>
@@ -529,16 +532,22 @@ object Similarity {
     val order: Array[Int] = members.flatMap(_.toArray)
     val groupLen = members.map(_.length)
     val groupStart = groupLen.scanLeft(0)(_ + _).dropRight(1)
+    graft.functions.VectorExprFunctions.ivf_assign2(col("embedding"),
+      anchorIdx.flatMap(centEmb(_)), anchorIdx.map(centN2),
+      order.flatMap(centEmb(_)), order.map(centN2), order.map(centIds),
+      groupStart, groupLen)
+  }
+
+  private def ivfFromCentroids(corpus: DataFrame, centIds: Array[Long],
+      centEmb: Array[Array[Double]], centN2: Array[Double],
+      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
     // cell ASSIGNMENT is a per-row codegen expression over the in-task
     // centroid arrays: O(N) rows, ZERO shuffle, ~2·N^(1/4) dot products
     // per row via the coarse→fine split. (The broadcast-join + argmax
     // alternative materialized N·cells wide rows through a shuffle —
     // measured ~8× slower at 80k×256 and growing worse with N.)
     val assigned = corpus.select(
-      graft.functions.VectorExprFunctions.ivf_assign2(col("embedding"),
-        anchorIdx.flatMap(centEmb(_)), anchorIdx.map(centN2),
-        order.flatMap(centEmb(_)), order.map(centN2), order.map(centIds),
-        groupStart, groupLen).as("cell"),
+      assignCellExpr(centIds, centEmb, centN2).as("cell"),
       col("vec_id"), col("embedding"), col("n2"))
     // probe ranking runs only over the (tiny) query set × centroids
     val w = Window.partitionBy("vec_id")
@@ -736,7 +745,17 @@ object Similarity {
 
   private[graft] def ivfScoredFromStored(centroids: DataFrame,
       emb: DataFrame, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe): DataFrame = {
+      nProbe: Int = IvfNProbe): DataFrame =
+    serveFromCentroidArrays(emb, loadStoredCentroids(centroids),
+      nQueries, nProbe)
+
+  /** The stored-centroid loader both consumers share (`knnIvfFromStored`
+    * serving, `ivfAssignFromStored` ingest): bounded collect, loud
+    * fingerprint / cap / id-contiguity guards, float arrays in
+    * cent_id order.
+    */
+  private def loadStoredCentroids(
+      centroids: DataFrame): Array[Array[Float]] = {
     val hasFp = centroids.columns.contains("ivf_params_fp")
     val cols = Seq(col("cent_id"), col("embedding")) ++
       (if (hasFp) Seq(col("ivf_params_fp")) else Nil)
@@ -758,9 +777,36 @@ object Similarity {
         s"stored centroid ids must be exactly 0..n-1 (centroidsOf's " +
           s"layout); found id $id at position $i")
     }
-    serveFromCentroidArrays(emb,
-      byId.map(_.getSeq[Number](1).map(_.floatValue()).toArray),
-      nQueries, nProbe)
+    byId.map(_.getSeq[Number](1).map(_.floatValue()).toArray)
+  }
+
+  /** INGEST-side cell assignment from the stored index — the third leg
+    * of the train-once contract: `centroidsOf` (train + export) →
+    * `ivfAssignFromStored` (stamp every incoming vector's cell at
+    * ingest, persist it alongside the vector) → `knnIvfFromStored`
+    * (serve). Returns `(vec_id, cell)`; the assignment expression is
+    * the EXACT object the serving path builds (shared
+    * `assignCellExpr`), so a cell persisted at ingest equals the cell
+    * the search-side assignment would compute — a corpus partitioned/
+    * bucketed by this column turns each query's probe into a
+    * cell-pruned read instead of a full assignment pass. One map
+    * stage over `emb`, zero shuffle; same fingerprint/cap/contiguity
+    * guards as serving (shared loader).
+    */
+  def ivfAssignFromStored(centroids: DataFrame, emb: DataFrame): DataFrame = {
+    val centEmbF = loadStoredCentroids(centroids)
+    if (centEmbF.isEmpty)
+      return emb.select(col("vec_id"), col("vec_id").as("cell"))
+        .filter(lit(false))
+    val centEmb = centEmbF.map(_.map(_.toDouble))
+    val centN2 = centEmb.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    val centIds = Array.tabulate(centEmb.length)(_.toLong)
+    emb.select(col("vec_id"),
+      assignCellExpr(centIds, centEmb, centN2).as("cell"))
   }
 
   /** Deterministic spherical-k-means refinement, driver-side: assign

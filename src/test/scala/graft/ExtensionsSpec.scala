@@ -665,6 +665,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("0..n-1"))
   }
 
+  test("ivfAssignFromStored == driver-side two-level reference; total and deterministic") {
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), i -> cast(" +
+        "pmod(hash(id % 12 * 8 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 8 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val cents = Similarity.centroidsOf(emb, corpusSize = 300L)
+    val got = Similarity.ivfAssignFromStored(cents, emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total: every vector assigned exactly once, to a stored cent_id
+    assert(got.size === 300)
+    val centRows = cents.collect().sortBy(_.getLong(0))
+    val centIds = centRows.map(_.getLong(0)).toSet
+    assert(got.values.toSet.subsetOf(centIds))
+    // independent reference: recompute the coarse→fine argmax chain in
+    // plain Scala from the STORED relation (anchors = first ⌈√k⌉ of
+    // (poly_hash(id), id) order; ties toward the lower id; empty-group
+    // fallback scans all fine centroids)
+    val ce = centRows.map(_.getSeq[Number](1).map(_.floatValue.toDouble).toArray)
+    val cn = ce.map(v => v.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double) =
+      dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    val k = ce.length
+    val kc = Similarity.ivfCoarseCells(k)
+    val anchors = (0 until k).sortBy(i =>
+        (graft.functions.PolyHashUtil.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)),
+          i.toLong))
+      .take(kc).sorted
+    val groupOf = (0 until k).map { f =>
+      anchors.zipWithIndex.map { case (a, j) =>
+        (-cos(ce(f), cn(f), ce(a), cn(a)), j)
+      }.min._2
+    }
+    emb.collect().foreach { r =>
+      val v = r.getSeq[Number](1).map(_.floatValue.toDouble).toArray
+      val nv = v.map(x => x * x).sum
+      val aj = anchors.zipWithIndex.map { case (a, j) =>
+        (-cos(v, nv, ce(a), cn(a)), j)
+      }.min._2
+      val grp = (0 until k).filter(groupOf(_) == aj)
+      val pool = if (grp.nonEmpty) grp else (0 until k)
+      val best = pool.map(f => (-cos(v, nv, ce(f), cn(f)), f.toLong)).min._2
+      assert(got(r.getLong(0)) === best,
+        s"vec ${r.getLong(0)}: got ${got(r.getLong(0))} expected $best")
+    }
+  }
+
   test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
@@ -2027,6 +2077,48 @@ class ExtensionsSpec extends SparkSpec {
       QuantileSketch.quantiles(tampered, Seq("event_type")).collect()
     }
     assert(ex.getMessage.contains("qs_params_fp"))
+  }
+
+  test("quantile sketch: windowed batch == streaming; window merge == one-shot") {
+    import graft.operators.QuantileSketch
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 250.25),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", -0.5),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 11:06:00"), "view", 1.5))
+      .toDF("event_id", "ts", "event_type", "value")
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = rows(QuantileSketch.sketchWindowed(
+      ev, Seq("event_type"), "value", "ts"))
+    assert(batch.nonEmpty && batch.map(_._1).size >= 2)
+    // the SAME transform under Structured Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs-stream").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val q = QuantileSketch.sketchWindowed(
+        spark.readStream.schema(ev.schema).parquet(dir)
+          .withWatermark("ts", "2 hours"),
+        Seq("event_type"), "value", "ts")
+      .writeStream.format("memory").queryName("qs_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("qs_out")) === batch)
+    } finally q.stop()
+    // hourly windowed states merged == the one-shot (windowless) state
+    val merged = QuantileSketch.merge(
+        Seq(QuantileSketch.sketchWindowed(ev, Seq("event_type"), "value", "ts")
+          .drop("window_epoch")),
+        Seq("event_type"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = QuantileSketch.sketch(ev, Seq("event_type"), "value")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged === oneShot)
   }
 
   test("groupedQuantiles at high group cardinality (prefix-sum offsets)") {
