@@ -210,6 +210,17 @@ object SparkEntry {
       GraphOps.sccCondensation(e, GraphOps.stronglyConnectedComponents(e))
         .orderBy("scc_src", "scc_dst")
     }),
+    // dependency WAVES of the same condensation: SCC → condensation →
+    // longest-path levels, the full cycle-safe scheduling pipeline in
+    // one gate
+    "graph_scc_levels" -> ((s, d) => {
+      val e = GraphOps.sparsifyEdges(
+        GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS), SccMod)
+      GraphOps.topoLevels(
+          GraphOps.sccCondensation(e,
+            GraphOps.stronglyConnectedComponents(e)))
+        .orderBy("vertex")
+    }),
     // local clustering coefficient on the < MaxRS distinct subgraph:
     // directed 3-cycles through v over ordered neighbor pairs, as the
     // scaled integer cc_fp (exact long arithmetic — hash-checkable)
@@ -1016,6 +1027,29 @@ object SparkEntry {
         "CAST(b.lbl AS BIGINT) AS scc_dst " +
         "FROM base JOIN scc a ON a.vertex = base.src " +
         "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
+    "graph_scc_levels" ->
+      // levels via the recursive path-length enumeration: every (v, l)
+      // pair reachable by some path, MAX per vertex = longest path —
+      // terminates because the condensation is acyclic
+      (s"WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE src < $MaxRS AND dst < $MaxRS " +
+        s"AND (src * 31 + dst) % $SccMod = 0), " +
+        "verts AS (SELECT src AS v FROM base UNION SELECT dst FROM base), " +
+        "reach(u, w) AS (SELECT src, dst FROM base " +
+        "UNION SELECT r.u, b.dst FROM reach r JOIN base b ON r.w = b.src), " +
+        "mut AS (SELECT a.u AS v, a.w FROM reach a " +
+        "JOIN reach b ON a.u = b.w AND a.w = b.u), " +
+        "scc AS (SELECT verts.v AS vertex, " +
+        "LEAST(verts.v, COALESCE(MIN(mut.w), verts.v)) AS lbl " +
+        "FROM verts LEFT JOIN mut ON mut.v = verts.v GROUP BY verts.v), " +
+        "dag AS (SELECT DISTINCT a.lbl AS s, b.lbl AS d FROM base " +
+        "JOIN scc a ON a.vertex = base.src " +
+        "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl), " +
+        "dv AS (SELECT s AS v FROM dag UNION SELECT d FROM dag), " +
+        "lv(v, l) AS (SELECT v, 0 FROM dv " +
+        "UNION SELECT dag.d, lv.l + 1 FROM lv JOIN dag ON dag.s = lv.v) " +
+        "SELECT v AS vertex, CAST(MAX(l) AS BIGINT) AS level " +
+        "FROM lv GROUP BY v"),
     "graph_clustering" -> {
       val sc = GraphOps.CcScale
       s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +

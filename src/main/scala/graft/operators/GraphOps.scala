@@ -451,6 +451,18 @@ object GraphOps {
     */
   val SccLocalEdges = 250000L
 
+  /** EAGER stats-free lineage truncation for iterative loop states:
+    * `Dataset.localCheckpoint` would hand each LogicalRDD the origin
+    * plan's COMPUTED statistics, which a state-joins-into-next-state
+    * loop compounds multiplicatively until the optimizer livelocks
+    * multiplying million-digit sizeInBytes BigInts (measured ×4
+    * digits per sweep; see ColumnBridge.statsFreeLocalCheckpoint).
+    */
+  private def ck(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(df)
+  private def drop(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
+
   def stronglyConnectedComponents(e: DataFrame, maxIter: Int = 50,
       localThreshold: Long = SccLocalEdges): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
@@ -470,16 +482,6 @@ object GraphOps {
     }
     val verts = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v"))).distinct()
-    // EAGER stats-free lineage truncation for every loop state:
-    // Dataset.localCheckpoint would hand each LogicalRDD the origin
-    // plan's COMPUTED statistics, which a state-joins-into-next-state
-    // loop compounds multiplicatively until the optimizer livelocks
-    // multiplying million-digit sizeInBytes BigInts (measured:
-    // ×4 digits per sweep; see ColumnBridge.statsFreeLocalCheckpoint).
-    def ck(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(df)
-    def drop(df: DataFrame): Unit =
-      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
     // min-label propagation to fixpoint along rel's fromCol → toCol,
     // seeded with each vertex's own id; rel only ever connects same-
     // partition vertices, so labels cannot leak across partitions.
@@ -643,6 +645,124 @@ object GraphOps {
         "dst")
       .filter(col("scc_src") =!= col("scc_dst"))
       .select(col("scc_src"), col("scc_dst")).distinct()
+
+  /** TOPOLOGICAL LEVELS of a DAG — longest-path layering: each vertex's
+    * level = the length of the longest path reaching it (sources = 0),
+    * i.e. the earliest "wave" it can run in when every edge is a
+    * dependency and waves execute in parallel. The natural consumer of
+    * `sccCondensation`: SCC → condensation → levels is the classic
+    * cycle-safe dependency-scheduling pipeline. One `(vertex, level)`
+    * row per vertex appearing in any edge.
+    *
+    * Physical: iterative relaxation — per sweep, one edge ⋈ level
+    * equi-join and a map-side-combined MAX per destination, with all
+    * state vertex-sized and stats-free-checkpointed. Levels only ever
+    * increase and are bounded by the DAG DEPTH, so sweeps = depth (a
+    * condensation is usually shallow); on a CYCLIC input levels grow
+    * forever, so exceeding `maxIter` raises with a not-a-DAG
+    * diagnosis rather than returning garbage — feed arbitrary graphs
+    * through `sccCondensation` first. At or below `localThreshold`
+    * distinct edges, one task runs the memoized longest-path DP
+    * directly (explicit stack, on-path cycle DETECTION raises
+    * immediately) — condensations are usually tiny relative to their
+    * graphs, so this is the common case; both paths are
+    * property-pinned equal.
+    */
+  def topoLevels(dag: DataFrame, srcCol: String = "scc_src",
+      dstCol: String = "scc_dst", maxIter: Int = 200,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold")
+    val spark = dag.sparkSession
+    val edges = graft.Caches.track(
+      dag.select(col(srcCol).as("s"), col(dstCol).as("d")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (edges.count() <= localThreshold) {
+      import spark.implicits._
+      return edges.as[(Long, Long)].rdd.coalesce(1)
+        .mapPartitions(it => levelsLocal(it))
+        .toDF("vertex", "level")
+    }
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d").as("v"))).distinct()
+    var lv = ck(verts.withColumn("level", lit(0L)))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0L && iter < maxIter) {
+      val upd = edges
+        .join(lv.select(col("v").as("s"), col("level").as("sl")), "s")
+        .groupBy(col("d").as("v")).agg(max(col("sl") + 1L).as("m"))
+      val next = ck(lv.join(upd, Seq("v"), "left")
+        .select(col("v"),
+          greatest(col("level"), coalesce(col("m"), col("level")))
+            .as("level")))
+      changed = next.join(lv.select(col("v"), col("level").as("old")), "v")
+        .filter(col("level") > col("old")).count()
+      drop(lv)
+      lv = next
+      iter += 1
+    }
+    if (changed > 0L)
+      throw new IllegalStateException(
+        s"topoLevels did not converge after $maxIter sweeps — the input " +
+          "has a cycle (or is deeper than maxIter); run sccCondensation " +
+          "first, or raise maxIter for genuinely deep DAGs")
+    lv.select(col("v").as("vertex"), col("level"))
+  }
+
+  /** Single-task memoized longest-path DP over an edge iterator —
+    * explicit stack (no recursion-depth bound), on-path cycle
+    * detection (an in-progress parent reached again = a cycle: raise
+    * the same not-a-DAG error the distributed loop gives, immediately).
+    */
+  private def levelsLocal(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    def cycle(): Nothing = throw new IllegalStateException(
+      "topoLevels input has a cycle — not a DAG; run sccCondensation first")
+    val inc = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val verts = mutable.LinkedHashSet.empty[Long]
+    it.foreach { case (s, d) =>
+      if (s == d) cycle()
+      inc.getOrElseUpdate(d, mutable.ArrayBuffer.empty[Long]) += s
+      verts += s
+      verts += d
+    }
+    val lvl = mutable.LongMap.empty[Long]
+    val state = mutable.LongMap.empty[Int] // 1 = in progress, 2 = done
+    val empty = mutable.ArrayBuffer.empty[Long]
+    verts.foreach { root =>
+      if (state.getOrElse(root, 0) == 0) {
+        val pv = mutable.ArrayBuffer(root)
+        val pi = mutable.ArrayBuffer(0)
+        state(root) = 1
+        while (pv.nonEmpty) {
+          val v = pv.last
+          val parents = inc.getOrElse(v, empty)
+          if (pi.last < parents.length) {
+            val u = parents(pi.last)
+            pi(pi.length - 1) += 1
+            state.getOrElse(u, 0) match {
+              case 0 => state(u) = 1; pv += u; pi += 0
+              case 1 => cycle()
+              case _ => ()
+            }
+          } else {
+            // every parent is DONE here (pushed parents pop before v;
+            // in-progress parents would have raised)
+            var m = 0L
+            parents.foreach(u => m = math.max(m, lvl(u) + 1L))
+            lvl(v) = m
+            state(v) = 2
+            pv.remove(pv.length - 1)
+            pi.remove(pi.length - 1)
+          }
+        }
+      }
+    }
+    lvl.iterator
+  }
 
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice

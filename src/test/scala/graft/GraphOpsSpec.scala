@@ -348,6 +348,59 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("topoLevels: brute longest-path on random DAGs; cycle raises; SCC pipeline composes") {
+    def bruteLevels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.distinct
+      val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+      val incoming = e.groupBy(_._2)
+      val memo = scala.collection.mutable.Map[Long, Long]()
+      def lvl(v: Long): Long = memo.getOrElseUpdate(v,
+        incoming.get(v).map(_.map(p => lvl(p._1) + 1L).max).getOrElse(0L))
+      vs.map(v => v -> lvl(v)).toMap
+    }
+    def run(edges: Seq[(Long, Long)], threshold: Long): Map[Long, Long] =
+      GraphOps.topoLevels(
+          edgeDf(edges: _*).select(col("src").as("scc_src"),
+            col("dst").as("scc_dst")),
+          localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def runBoth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val fast = run(edges, GraphOps.SccLocalEdges)
+      val dist = run(edges, 0L)
+      assert(fast === dist, s"fast path != distributed loop on $edges")
+      fast
+    }
+    // random DAGs: orient random pairs low → high (acyclic by
+    // construction), duplicates collapse
+    val rng = new scala.util.Random(67)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(80) {
+        val a = rng.nextInt(15).toLong
+        val b = rng.nextInt(15).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      withClue(s"edges=$e") { assert(runBoth(e) === bruteLevels(e)) }
+    }
+    // a cycle must raise on BOTH paths, never return garbage levels
+    Seq(GraphOps.SccLocalEdges, 0L).foreach { th =>
+      val ex = intercept[Exception] {
+        GraphOps.topoLevels(
+          edgeDf((1L, 2L), (2L, 3L), (3L, 1L)).select(
+            col("src").as("scc_src"), col("dst").as("scc_dst")),
+          maxIter = 10, localThreshold = th).collect()
+      }
+      assert(ex.getMessage.contains("cycle"), s"threshold=$th: $ex")
+    }
+    // the full pipeline on a cyclic digraph: SCC → condensation →
+    // levels. 1↔2 → 3↔4 → 5; components {1,2}=level 0, {3,4}=1, {5}=2
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L))
+    val dag = GraphOps.sccCondensation(edgeDf(g: _*),
+      GraphOps.stronglyConnectedComponents(edgeDf(g: _*)))
+    val lv = GraphOps.topoLevels(dag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv === Map(1L -> 0L, 3L -> 1L, 5L -> 2L))
+  }
+
   test("clusteringCoefficient: fixture with known values; brute on random multigraphs") {
     // fixture: 3-cycle 1→2→3→1, pendant 1→4, isolated mutual pair 5↔6,
     // a duplicate edge (must collapse) and a self-loop (not a neighbor)
