@@ -47,6 +47,13 @@ object SparkEntry {
     */
   val ComponentsMod = 40L
 
+  /** Seed-set bound and hop budget for the `graph_hops` gate: seeds =
+    * vertices with id < HopSeedMax appearing in any edge; distances
+    * capped at HopMax sweeps. Same constants MUST appear in oracleSql.
+    */
+  val HopSeedMax = 5L
+  val HopMax = 3
+
   /** Sparsifier modulus for the `graph_scc` gate: thins the (otherwise
     * single-giant-SCC) < MaxRS subgraph to ~1/5 of its edges, which at
     * sf0.01 yields 7 SCCs — 4 multi-vertex, largest 20 — a
@@ -209,6 +216,17 @@ object SparkEntry {
         GraphOps.filterMaxId(GraphOps.edges(s, d), MaxRS), SccMod)
       GraphOps.sccCondensation(e, GraphOps.stronglyConnectedComponents(e))
         .orderBy("scc_src", "scc_dst")
+    }),
+    // bounded multi-source BFS: distance to the nearest low-id seed
+    // within HopMax directed hops — exact integer layers, min per
+    // vertex; unreached vertices absent
+    "graph_hops" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = GraphOps.edges(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") < HopSeedMax).distinct()
+      GraphOps.hopDistances(e, seeds, HopMax).orderBy("vertex")
     }),
     // dependency WAVES of the same condensation: SCC → condensation →
     // longest-path levels, the full cycle-safe scheduling pipeline in
@@ -1027,6 +1045,17 @@ object SparkEntry {
         "CAST(b.lbl AS BIGINT) AS scc_dst " +
         "FROM base JOIN scc a ON a.vertex = base.src " +
         "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
+    "graph_hops" ->
+      // bounded walk enumeration: every (vertex, depth ≤ HopMax) pair
+      // on some path from a seed, MIN per vertex = BFS distance
+      (s"WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "seeds AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        s"UNION ALL SELECT dst FROM e) WHERE v < $HopSeedMax), " +
+        "walk(v, dd) AS (SELECT v, 0 FROM seeds " +
+        "UNION SELECT e.dst, walk.dd + 1 FROM walk " +
+        s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopMax) " +
+        "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
+        "FROM walk GROUP BY v"),
     "graph_scc_levels" ->
       // levels via the recursive path-length enumeration: every (v, l)
       // pair reachable by some path, MAX per vertex = longest path —

@@ -764,6 +764,50 @@ object GraphOps {
     lvl.iterator
   }
 
+  /** Bounded MULTI-SOURCE HOP DISTANCE — for every vertex within
+    * `maxHops` directed hops of any seed, the length of the shortest
+    * such path (`dist` = 0 for seeds): the contamination-radius /
+    * influence-propagation / "how far is everything from the trusted
+    * set" primitive. One `(vertex, dist)` row per reached vertex;
+    * vertices farther than `maxHops` are absent (the bound IS the
+    * operator's state contract — unbounded frontiers on a 100 TB
+    * graph are a different query).
+    *
+    * Physical: exactly `maxHops` min-relaxation sweeps — per sweep
+    * one edge ⋈ frontier equi-join + a map-side-combined MIN per
+    * destination + a full-outer merge into the known-distance
+    * relation (new vertices enter, known ones keep their min) — with
+    * every state stats-free-checkpointed (the iterative-loop rule;
+    * see `ColumnBridge.statsFreeLocalCheckpoint`). State is bounded
+    * by reached vertices, sweeps by the constant `maxHops`:
+    * distances are exact BFS layers, deterministic at any
+    * partitioning. `sources` is any one-column relation of vertex
+    * ids (column `v`); seeds absent from the edge relation still
+    * report dist 0.
+    */
+  def hopDistances(e: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 1000,
+      s"maxHops must be in [0, 1000], got $maxHops")
+    val edges = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = ck(sources.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)))
+    for (_ <- 1 to maxHops) {
+      val relaxed = edges
+        .join(dist.select(col("v").as("src"), col("dist").as("sd")), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("sd") + 1L).as("nd"))
+      val prev = dist
+      dist = ck(dist.join(relaxed, Seq("v"), "full")
+        .select(col("v"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist")))
+      drop(prev)
+    }
+    dist.select(col("v").as("vertex"), col("dist"))
+  }
+
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
     * that is stable across runs, partitionings and engines (no RNG),

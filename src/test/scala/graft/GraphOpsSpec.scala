@@ -348,6 +348,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hopDistances == brute bounded BFS on random digraphs") {
+    def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+        maxHops: Int): Map[Long, Long] = {
+      val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map[Long, Long]()
+      seeds.foreach(dist(_) = 0L)
+      var frontier = seeds
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(!dist.contains(_))
+        frontier.foreach(dist(_) = h.toLong)
+      }
+      dist.toMap
+    }
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(71)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(60)((rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      val seeds = Set(0L, 1L, 2L)
+      for (hops <- Seq(0, 1, 3)) {
+        val got = GraphOps.hopDistances(edgeDf(e: _*),
+            seeds.toSeq.toDF("v"), hops)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"edges=$e hops=$hops") {
+          assert(got === bruteBfs(e, seeds, hops))
+        }
+      }
+    }
+    // a seed absent from the edge relation still reports dist 0; an
+    // unreached vertex is absent
+    val got = GraphOps.hopDistances(edgeDf((1L, 2L), (3L, 4L)),
+        Seq(1L, 99L).toDF("v"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L))
+  }
+
   test("topoLevels: brute longest-path on random DAGs; cycle raises; SCC pipeline composes") {
     def bruteLevels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val e = edges.distinct
