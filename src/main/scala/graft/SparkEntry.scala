@@ -323,6 +323,11 @@ object SparkEntry {
     "text_cooccur" -> ((s, d) =>
       TextOps.cooccurrence(Tables.table(s, d, "documents"))
         .orderBy("t1", "t2")),
+    // top-k vocabulary overlap between sources — the mixCorpus
+    // weight-design diagnostic; integer counts, deterministic top-k
+    "text_source_overlap" -> ((s, d) =>
+      TextOps.sourceVocabOverlap(Tables.table(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans" -> ((s, d) =>
@@ -1274,6 +1279,23 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_docs " +
         "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token " +
         "GROUP BY 1, 2"
+    },
+    "text_source_overlap" -> {
+      val k = graft.operators.TextOps.SourceOverlapK
+      "WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) " +
+        "AS token FROM documents), " +
+        "c AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2), " +
+        "r AS (SELECT source, token, row_number() OVER (PARTITION BY source " +
+        "ORDER BY n DESC, token ASC) AS rn FROM c), " +
+        s"t AS (SELECT source, token FROM r WHERE rn <= $k), " +
+        "sz AS (SELECT source, COUNT(*) AS ksz FROM t GROUP BY 1) " +
+        "SELECT a.source AS src_a, b.source AS src_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS shared, " +
+        "CAST(sa.ksz AS BIGINT) AS ka, CAST(sb.ksz AS BIGINT) AS kb " +
+        "FROM t a JOIN t b ON a.token = b.token AND a.source < b.source " +
+        "JOIN sz sa ON sa.source = a.source " +
+        "JOIN sz sb ON sb.source = b.source " +
+        "GROUP BY 1, 2, sa.ksz, sb.ksz"
     },
     "text_cms" -> {
       val w = graft.operators.TextOps.CmsGateWidth

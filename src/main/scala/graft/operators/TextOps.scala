@@ -713,6 +713,51 @@ object TextOps {
       .select("doc_id", "token", "tfidf_fp")
   }
 
+  /** Top-k width for `sourceVocabOverlap`. Same constant MUST appear
+    * in the oracle SQL.
+    */
+  val SourceOverlapK = 20
+
+  /** SOURCE-vocabulary overlap — for each unordered pair of sources
+    * sharing at least one top-`k` token, how many of their top-`k`
+    * vocabularies coincide (`shared`, plus each side's actual top
+    * size `ka`/`kb` ≤ k, so shared/(ka+kb−shared) is the Jaccard):
+    * the corpus-mixing diagnostic (`mixCorpus` weights want to know
+    * which sources are near-duplicates of each other and which bring
+    * genuinely new vocabulary). Integer outputs only; top-k ties
+    * break (count desc, token asc), so the pairs are
+    * engine-deterministic.
+    *
+    * Scale shape: per-(source, token) counts with map-side partials
+    * (bounded by per-source vocabularies), the per-source top-k
+    * through the `TopKPerKey` bounded heap (never a window sort — the
+    * same half-the-corpus-is-one-source skew story as `quotaSample`),
+    * and everything downstream operates on ≤ sources·k rows — the
+    * pair join is trivially small at any corpus size.
+    */
+  def sourceVocabOverlap(docs: DataFrame,
+      k: Int = SourceOverlapK): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val top = graft.Caches.track(
+      graft.plans.TopK.perKey(counts, Seq("source"),
+          Seq(col("n").desc, col("token").asc), k)
+        .select("source", "token")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("ksz"))
+    top.select(col("source").as("sa"), col("token"))
+      .join(top.select(col("source").as("sb"), col("token")), "token")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("source").as("sa"), col("ksz").as("ka")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("ksz").as("kb")), "sb")
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("shared"), col("ka"), col("kb"))
+  }
+
   /** Count-Min sketch geometry: `CmsDepth` independent hash rows ×
     * `CmsWidth` buckets. The default sizes the sketch at 4×65536 long
     * counters (2 MB) — error ≤ 2·total/width per estimate with

@@ -2079,6 +2079,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("qs_params_fp"))
   }
 
+  test("sourceVocabOverlap == brute top-k Jaccard counts") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "a b c d", "s1"), (2L, "a a b e", "s1"),
+      (3L, "a b x y", "s2"), (4L, "x y z", "s2"),
+      (5L, "p q", "s3"), (6L, "q r", "s3"),
+      (7L, "isolated tokens only", "s4"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    def brute(k: Int): Set[(String, String, Long, Long, Long)] = {
+      val tops = rows.groupBy(_._3).view.mapValues { ds =>
+        ds.flatMap(_._2.split(" ")).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+          .sortBy { case (t, n) => (-n, t) }.take(k).map(_._1).toSet
+      }.toMap
+      (for {
+        a <- tops.keys; b <- tops.keys if a < b
+        sh = (tops(a) & tops(b)).size if sh > 0
+      } yield (a, b, sh.toLong, tops(a).size.toLong, tops(b).size.toLong))
+        .toSet
+    }
+    for (k <- Seq(2, 3, 100)) {
+      val got = TextOps.sourceVocabOverlap(docs, k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      withClue(s"k=$k") { assert(got === brute(k)) }
+    }
+    // s4 shares nothing → appears in no pair
+    val full = TextOps.sourceVocabOverlap(docs, 100).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(!full.exists(p => p._1 == "s4" || p._2 == "s4"))
+    assert(full.nonEmpty)
+  }
+
   test("quantile sketch: windowed batch == streaming; window merge == one-shot") {
     import graft.operators.QuantileSketch
     val s = spark
