@@ -47,6 +47,12 @@ object SparkEntry {
     */
   val ComponentsMod = 40L
 
+  /** Probe values for the `events_qsketch_cdf` gate. Same constants
+    * (micro-units + probe buckets, both resolved driver-side) MUST
+    * appear in the oracle SQL.
+    */
+  val CdfProbes: Seq[Double] = Seq(-5.0, 0.0, 1.5, 100.0)
+
   /** Seed-set bound and hop budget for the `graph_hops` gate: seeds =
     * vertices with id < HopSeedMax appearing in any edge; distances
     * capped at HopMax sweeps. Same constants MUST appear in oracleSql.
@@ -520,6 +526,14 @@ object SparkEntry {
         operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
           Seq("event_type"), "value"),
         Seq("event_type")).orderBy("event_type", "pct")),
+    // the INVERSE sketch query: per probe value, the rank interval
+    // [rank_lo, rank_hi] provably containing the exact below-probe
+    // count — CDF = rank/n; probe buckets resolve at plan build
+    "events_qsketch_cdf" -> ((s, d) =>
+      operators.QuantileSketch.cdfBounds(
+        operators.QuantileSketch.sketch(Tables.table(s, d, "events"),
+          Seq("event_type"), "value"),
+        Seq("event_type"), CdfProbes).orderBy("event_type", "probe_fp")),
     // the ROLLUP deployment shape: per-day WINDOWED sketch states
     // (the batch==streaming transform) merged by counter addition
     // into the corpus state — must be byte-identical to sketching in
@@ -1735,6 +1749,26 @@ object SparkEntry {
         "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
     },
     "events_qsketch" -> qsketchStateOracle,
+    "events_qsketch_cdf" -> {
+      val scale = graft.operators.QuantileSketch.QsScale
+      // probe micro-units AND buckets are spliced constants — computed
+      // by the same driver-side mirror the Spark plan uses
+      val branches = CdfProbes.map { p =>
+        val fp = graft.operators.QuantileSketch.toMicro(p)
+        val pb = graft.operators.QuantileSketch.bucketOfULong(fp)
+        s"SELECT event_type, CAST($fp AS BIGINT) AS probe_fp, " +
+          "CAST(SUM(cnt) AS BIGINT) AS n, " +
+          s"CAST(COALESCE(SUM(CASE WHEN bucket < $pb THEN cnt END), 0) " +
+          "AS BIGINT) AS rank_lo, " +
+          s"CAST(COALESCE(SUM(CASE WHEN bucket <= $pb THEN cnt END), 0) " +
+          "AS BIGINT) AS rank_hi FROM st GROUP BY event_type"
+      }.mkString(" UNION ALL ")
+      s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
+        "AS u FROM events WHERE value IS NOT NULL), " +
+        s"$qsBucketCtes, " +
+        "st AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        s"FROM qb GROUP BY 1, 2) $branches"
+    },
     // per-day states merged by counter addition == the one-shot sketch
     // (mergeability is exact) — execution detail, same oracle
     "events_qsketch_rollup" -> qsketchStateOracle,

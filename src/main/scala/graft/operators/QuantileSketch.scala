@@ -107,6 +107,28 @@ object QuantileSketch {
   private[graft] def bucketOfU(u: Column): Column =
     when(u < 0L, -magBucket(-u)).otherwise(magBucket(u))
 
+  /** Driver-side Scala mirror of `bucketOfU` — for turning PROBE
+    * values into constant bucket ids at plan-build time (`cdfBounds`)
+    * and into spliced constants in the oracle SQL. Property-pinned
+    * equal to the Column expression on boundary values.
+    */
+  private[graft] def bucketOfULong(u: Long): Long = {
+    def mag(a: Long): Long =
+      if (a < 2L * QsSubBuckets) a
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(a)
+        val sh = e - QsSubBucketsLog2
+        sh * QsSubBuckets + (a >> sh)
+      }
+    if (u < 0L) -mag(-u) else mag(u)
+  }
+
+  /** Micro-units of a double value — ONE IEEE multiply + floor, the
+    * identical arithmetic `sketch` applies per row.
+    */
+  private[graft] def toMicro(v: Double): Long =
+    math.floor(v * QsScale.toDouble).toLong
+
   private def magLo(b: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
     val lvl = ColumnBridge.column(IntegralDivide(
@@ -203,6 +225,42 @@ object QuantileSketch {
       .groupBy(groups.map(col) :+ col("bucket"): _*)
       .agg(sum("cnt").as("cnt"))
       .withColumn("qs_params_fp", lit(QsParamsFingerprint))
+  }
+
+  /** CDF (percentile-RANK) bounds from the state — the inverse of
+    * `quantiles`: for each group and probe value p, the interval
+    * `[rank_lo, rank_hi]` provably containing the count of the
+    * group's values v' with `floor(v'·QsScale) < floor(p·QsScale)`
+    * (and equally the ≤ count): `rank_lo` = counters strictly below
+    * the probe's bucket (all certainly smaller), `rank_hi` adds the
+    * probe's own bucket (the unknown split). Width ≤ one bucket's
+    * count — the same one-bucket uncertainty `quantiles` carries on
+    * the value axis, here on the rank axis. Divide by `n` for the
+    * CDF. Probe buckets resolve at PLAN BUILD time (driver-side
+    * `bucketOfULong`), so the whole query is one conditional
+    * aggregation over the state relation — no window, no join; state
+    * rows × probes is the only blow-up and both factors are bounded.
+    */
+  def cdfBounds(state: DataFrame, groups: Seq[String],
+      probes: Seq[Double]): DataFrame = {
+    require(probes.nonEmpty, "cdfBounds needs at least one probe")
+    require(probes.distinct.size == probes.size,
+      s"probes must be distinct: $probes")
+    val g = groups.map(col)
+    val probeRel = typedLit(probes.map { p =>
+      val fp = toMicro(p)
+      (fp, bucketOfULong(fp))
+    })
+    state.select(g :+ col("bucket") :+ cntChecked(state).as("cnt"): _*)
+      .withColumn("__p", explode(probeRel))
+      .select(g ++ Seq(col("bucket"), col("cnt"),
+        col("__p._1").as("probe_fp"), col("__p._2").as("pb")): _*)
+      .groupBy(g :+ col("probe_fp"): _*)
+      .agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("bucket") < col("pb"), col("cnt"))),
+          lit(0L)).as("rank_lo"),
+        coalesce(sum(when(col("bucket") <= col("pb"), col("cnt"))),
+          lit(0L)).as("rank_hi"))
   }
 
   /** Quantiles FROM the state: per group and pct, the bucket holding

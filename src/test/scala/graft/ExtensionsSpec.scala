@@ -2025,6 +2025,9 @@ class ExtensionsSpec extends SparkSpec {
       .sortBy(_._1)
     rows.foreach { case (u, b, lo, hi) =>
       assert(lo <= u && u <= hi, s"u=$u bucket=$b bounds=[$lo,$hi]")
+      // the driver-side Scala mirror (probe-bucket constants for
+      // cdfBounds and the oracle) agrees with the Column expression
+      assert(QuantileSketch.bucketOfULong(u) === b, s"mirror drift at u=$u")
     }
     // monotone: bucket never decreases as u increases
     rows.map(_._2).toSeq.sliding(2).foreach {
@@ -2077,6 +2080,28 @@ class ExtensionsSpec extends SparkSpec {
       QuantileSketch.quantiles(tampered, Seq("event_type")).collect()
     }
     assert(ex.getMessage.contains("qs_params_fp"))
+    // CDF bounds: for every (group, probe), the EXACT below-probe and
+    // at-or-below-probe counts land inside [rank_lo, rank_hi]
+    val probes = Seq(-5.0, 0.0, 1.5, 100.0, 1e9)
+    val raw = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val cdf = QuantileSketch.cdfBounds(full, Seq("event_type"), probes)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cdf.nonEmpty)
+    probes.foreach { p =>
+      val fp = QuantileSketch.toMicro(p)
+      raw.groupBy(_._1).foreach { case (g, vs) =>
+        val us = vs.map(v => QuantileSketch.toMicro(v._2))
+        val (n, lo, hi) = cdf((g, fp))
+        assert(n === us.length.toLong)
+        val lt = us.count(_ < fp).toLong
+        val le = us.count(_ <= fp).toLong
+        assert(lo <= lt && le <= hi,
+          s"group=$g probe=$p lt=$lt le=$le bounds=[$lo,$hi]")
+      }
+    }
   }
 
   test("sourceVocabOverlap == brute top-k Jaccard counts") {
