@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingle hasher: from a token array, produce the
   * PolyHash of every n-consecutive-token shingle "tok_i tok_i+1 …"

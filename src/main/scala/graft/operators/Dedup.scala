@@ -44,10 +44,6 @@ object Dedup {
           graft.functions.ShingleHashFunctions.shingle_hash(col("toks"), ShingleN))
           .as("hs"))
 
-  /** Distinct word-shingle PolyHashes per doc, exploded: (doc_id, h). */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    shingleHashArrays(docs).select(col("doc_id"), explode(col("hs")).as("h"))
-
   /** Exact dedup: group by content fingerprint, keep the min doc_id.
     * Shuffles longs only — never text. The group key is
     * (hash1, hash2, length) with INDEPENDENT hash constants: a single
