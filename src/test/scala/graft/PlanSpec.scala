@@ -253,6 +253,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("text_source_overlap runs through TopKPerKey, never a Window sort") {
+    val plan = executedPlan("text_source_overlap")
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("events_qsketch_cdf: one conditional aggregation — no window, no probe join") {
+    val plan = executedPlan("events_qsketch_cdf")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("lengthDeciles ranks via range partitioning, never a global window") {
     val plan = operators.TextOps.lengthDeciles(
         sources.Tables.table(spark, sf, "documents"))
