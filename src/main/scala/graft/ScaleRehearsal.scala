@@ -477,6 +477,19 @@ object ScaleRehearsal {
       require(diff == 0L, s"$diff (group, bucket) counters diverged")
       s"state rows=${one.count()} shard-merge exact"
     })
+    // bounded multi-source BFS on the 10M-edge graph: 100 seeds, 3
+    // hops — per sweep one edge ⋈ frontier join + map-side MIN; the
+    // distance relation stays reached-set-bounded (≤ vertices)
+    t("hop distances 10M, 3 hops")(
+      operators.GraphOps.hopDistances(edges,
+        spark.range(100L).select(col("id").as("v")), 3).count())
+    // source-vocabulary overlap at 50k docs × 20 synthetic sources:
+    // per-source top-k through the bounded heap, pair stage ≤
+    // sources·k rows — corpus size is irrelevant past the count stage
+    t("source overlap 50k docs")(
+      operators.TextOps.sourceVocabOverlap(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(hash(col("doc_id")), lit(20))))).count())
     // HLL duplicate-insensitivity AT SCALE: the 10×-replicated corpus
     // must produce the IDENTICAL sketch state as its 5k base (MAX per
     // bucket is idempotent) — and the whole job is a map stage into a
