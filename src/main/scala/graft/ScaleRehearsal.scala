@@ -284,6 +284,34 @@ object ScaleRehearsal {
     t("ivf recall@5 100k trained")(
       recall(clustered,
         operators.Similarity.knnIvfTrained(clustered, corpusSize = 100000L)))
+    // CELL-PRUNED serving at 100k: centroids and the cell-stamped
+    // corpus round-trip parquet, then serving joins candidates on the
+    // persisted cell column (no assignment kernel at serve time). The
+    // candidate count must EQUAL the in-session trained path's — the
+    // stamped cells are the same cells by construction — and sit at
+    // ~corpus·nProbe/cells, the pruning contract.
+    t("ivf pruned serve 100k (store→stamp→serve)")({
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivfp")
+      try {
+        val cd = dir.toString + "/cents"
+        operators.Similarity.centroidsOf(clustered, corpusSize = 100000L)
+          .write.parquet(cd)
+        val cents = spark.read.parquet(cd)
+        val ad = dir.toString + "/assigned"
+        clustered.join(
+            operators.Similarity.ivfAssignFromStored(cents, clustered),
+            "vec_id")
+          .write.parquet(ad)
+        val cand = operators.Similarity.ivfScoredFromAssigned(
+          cents, spark.read.parquet(ad)).count()
+        val candInSession = operators.Similarity.ivfScoredTrained(
+          clustered, corpusSize = 100000L).count()
+        require(cand == candInSession,
+          s"pruned candidates $cand != in-session trained $candInSession")
+        s"candidates $cand (== in-session trained; corpus 100000)"
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
+
     // incremental embedding admission at 100k corpus / 10k fresh:
     // stored band keys only (width pinned at 10 bits ≈ the
     // bandBitsFor(100k) choice), fresh batch signatures once

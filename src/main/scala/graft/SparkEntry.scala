@@ -68,6 +68,19 @@ object SparkEntry {
     */
   val SccMod = 5L
 
+  /** Per-run scratch dir for the stored-IVF gates (`knn_ivf_stored`,
+    * `knn_ivf_pruned`): keyed by the Spark application id so two
+    * concurrent harness runs over the same data dir never race on one
+    * path, while stays deterministic within a run (the reloaded
+    * relation is byte-identical either way — overwrite mode, fitted
+    * content). Real deployments store the index once in a managed
+    * location; the tmpdir round-trip is what the gate exercises.
+    */
+  private def ivfTmpDir(s: SparkSession, d: String, leaf: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + s.sparkContext.applicationId + "_" +
+        Integer.toHexString(d.hashCode) + "_" + leaf).getAbsolutePath
+
   /** Tolerance for the `events_asof_tol` gate query: 30 minutes in
     * MICROSECONDS (the query aligns on `unix_micros(ts)` columns, the
     * exact-integer grain both engines share). Same constant MUST
@@ -466,8 +479,7 @@ object SparkEntry {
     // byte-equality to in-session training is pinned in ExtensionsSpec
     "knn_ivf_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_cents_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      val dir = ivfTmpDir(s, d, "cents")
       Similarity.centroidsOf(emb).write.mode("overwrite").parquet(dir)
       Similarity.knnIvfFromStored(s.read.parquet(dir), emb)
         .orderBy("query_id", "rank")
@@ -482,6 +494,24 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.ivfAssignFromStored(Similarity.centroidsOf(emb), emb)
         .orderBy("vec_id")
+    }),
+    // the PAYOFF leg of train-once: centroids AND the cell-stamped
+    // corpus round-trip parquet, then serving joins candidates on the
+    // persisted cell column — the corpus side runs NO assignment
+    // expression (PlanSpec-guarded), modeling a corpus bucketed by
+    // cell at ingest. Rows-only like its siblings (fitted centroids
+    // aren't SQL-derivable); byte-equality to knnIvfFromStored is
+    // pinned in ExtensionsSpec
+    "knn_ivf_pruned" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val centDir = ivfTmpDir(s, d, "cents")
+      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(centDir)
+      val cents = s.read.parquet(centDir)
+      val corpusDir = ivfTmpDir(s, d, "assigned")
+      emb.join(Similarity.ivfAssignFromStored(cents, emb), "vec_id")
+        .write.mode("overwrite").parquet(corpusDir)
+      Similarity.knnIvfFromAssigned(cents, s.read.parquet(corpusDir))
+        .orderBy("query_id", "rank")
     }),
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(

@@ -549,10 +549,23 @@ object Similarity {
     val assigned = corpus.select(
       assignCellExpr(centIds, centEmb, centN2).as("cell"),
       col("vec_id"), col("embedding"), col("n2"))
-    // probe ranking runs only over the (tiny) query set × centroids
+    probeAndScore(assigned, corpus, centLocal, nQueries, nProbe)
+  }
+
+  /** Probe ranking + candidate scoring downstream of cell assignment —
+    * shared by every IVF serving form (`ivfFromCentroids`, which
+    * assigns cells inline, and `ivfScoredFromAssigned`, which reads a
+    * PERSISTED cell column). `assigned` carries `(cell, vec_id,
+    * embedding, n2)`; `querySource` carries `(vec_id, embedding, n2)`
+    * (extra columns ignored). Probe ranking runs only over the (tiny)
+    * query set × centroids; candidates are the cell equi-join, so the
+    * search meets |corpus|·nProbe/cells rows instead of the corpus.
+    */
+  private def probeAndScore(assigned: DataFrame, querySource: DataFrame,
+      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val probes = corpus.filter(col("vec_id") < nQueries)
+    val probes = querySource.filter(col("vec_id") < nQueries)
       .join(broadcast(centLocal), lit(true))
       .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
@@ -560,17 +573,16 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nProbe)
       .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
-    val queries = corpus.filter(col("vec_id") < nQueries)
+    val queries = querySource.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"))
-    val scored = assigned
+    assigned
       .join(broadcast(probes), "cell")
       .join(broadcast(queries), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
-    scored
   }
 
   /** Training-sample budget for `knnIvfTrained`: rows collected to the
@@ -807,6 +819,62 @@ object Similarity {
     val centIds = Array.tabulate(centEmb.length)(_.toLong)
     emb.select(col("vec_id"),
       assignCellExpr(centIds, centEmb, centN2).as("cell"))
+  }
+
+  /** IVF top-k served from a PRE-ASSIGNED corpus — the payoff leg of
+    * the train-once contract: `centroidsOf` (train + export) →
+    * `ivfAssignFromStored` (stamp cells at ingest) →
+    * `knnIvfFromAssigned` (serve from the stamped corpus).
+    * `assignedCorpus` is `(vec_id, embedding, cell)` — the embeddings
+    * table with the persisted cell column joined/stored alongside —
+    * and the corpus side of the search runs NO assignment expression
+    * at all: candidates are the plain `cell` equi-join against each
+    * query's nProbe probe cells (PlanSpec-guarded), so a corpus
+    * partitioned/bucketed by `cell` turns every probe into a
+    * cell-pruned read of ~|corpus|·nProbe/cells rows. Queries come
+    * from the same relation (`vec_id < nQueries`); probe ranking and
+    * cosine arithmetic are the exact expressions `knnIvfFromStored`
+    * uses, and the cell column is BY CONSTRUCTION the one serving
+    * would compute (shared `assignCellExpr`), so results are
+    * bit-identical to `knnIvfFromStored` over the same centroids
+    * (spec-pinned).
+    *
+    * CONTRACT: `cell` must have been stamped by `ivfAssignFromStored`
+    * under this same centroid relation — the fingerprint guard catches
+    * a centroid/constant mismatch at load, but a stale assignment
+    * (corpus re-stamped under different centroids) is the caller's
+    * pipeline invariant, exactly as for any persisted index column.
+    */
+  def knnIvfFromAssigned(centroids: DataFrame, assignedCorpus: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe): DataFrame =
+    topK(ivfScoredFromAssigned(centroids, assignedCorpus, nQueries, nProbe), k)
+
+  private[graft] def ivfScoredFromAssigned(centroids: DataFrame,
+      assignedCorpus: DataFrame, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe): DataFrame = {
+    require(assignedCorpus.columns.contains("cell"),
+      "assignedCorpus must carry the persisted `cell` column from " +
+        "ivfAssignFromStored — for an unstamped corpus use knnIvfFromStored")
+    val centEmbF = loadStoredCentroids(centroids)
+    val corpus = assignedCorpus.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"), col("cell"))
+    if (centEmbF.isEmpty) {
+      return corpus.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
+        .filter(lit(false))
+    }
+    val centN2 = centEmbF.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+    val s = assignedCorpus.sparkSession
+    import s.implicits._
+    val centLocal = centEmbF.indices.map(i =>
+        (i.toLong, centEmbF(i), centN2(i)))
+      .toDF("cent_id", "c_emb", "c_n2")
+    probeAndScore(corpus, corpus, centLocal, nQueries, nProbe)
   }
 
   /** Deterministic spherical-k-means refinement, driver-side: assign

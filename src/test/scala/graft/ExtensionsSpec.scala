@@ -715,6 +715,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("knnIvfFromAssigned over the stamped corpus ≡ knnIvfFromStored; candidates are cell-pruned") {
+    // the clustered corpus from the stored test — same distribution,
+    // so the three legs compose end-to-end: train → stamp → serve
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val cents = Similarity.centroidsOf(emb, corpusSize = 2000L)
+    val assigned = emb.join(Similarity.ivfAssignFromStored(cents, emb), "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pruned = rows(Similarity.knnIvfFromAssigned(cents, assigned))
+    val stored = rows(Similarity.knnIvfFromStored(cents, emb))
+    // BIT-identical: same ids, ranks, cosines to the last ulp — the
+    // persisted cell column equals the cell serving would compute
+    assert(pruned === stored)
+    assert(pruned.nonEmpty)
+    // pruning contract: the candidate relation meets ~corpus·nProbe/
+    // cells rows, not the corpus (cells ≈ √2000 = 44, nProbe = 2 →
+    // perfectly balanced ≈ 91 candidates per query; 4× slack for skew)
+    val cells = cents.count()
+    val cand = Similarity.ivfScoredFromAssigned(cents, assigned).count()
+    val queries = Similarity.DefaultQueries
+    assert(cand <= queries * 2000L * Similarity.IvfNProbe / cells * 4,
+      s"candidates $cand not pruned (corpus 2000, cells $cells)")
+    // an unstamped corpus raises instead of silently mis-serving
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnIvfFromAssigned(cents, emb)
+    }
+    assert(ex.getMessage.contains("cell"))
+  }
+
   test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
