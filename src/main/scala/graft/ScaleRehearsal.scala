@@ -505,12 +505,69 @@ object ScaleRehearsal {
       require(diff == 0L, s"$diff (group, bucket) counters diverged")
       s"state rows=${one.count()} shard-merge exact"
     })
+    // the STREAMING leg of the windowed sketch EXECUTED at scale — the
+    // same transform under readStream (file source + watermark) into a
+    // memory sink must reproduce the batch state EXACTLY: 2M values ×
+    // 10 groups × 24 hourly windows. Complete-mode is legal because
+    // the state is (window × group × occupied-bucket)-bounded — the
+    // sketch-family property, here exercised, not argued.
+    t("qsketch streaming twin 2M")({
+      val sev = spark.range(2000000L).select(
+        timestamp_seconds(lit(1700000000L) +
+          pmod(hash(col("id") * 11 + 3), lit(24 * 3600))).as("ts"),
+        pmod(hash(col("id") * 13 + 5), lit(10)).cast("string").as("g"),
+        (pmod(hash(col("id") * 3 + 1), lit(2000000)).cast("double") / 7.0 -
+          100000.0).as("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-qss")
+      try {
+        val pq = dir.toString + "/ev"
+        sev.write.parquet(pq)
+        val stored = spark.read.parquet(pq)
+        val batch = operators.QuantileSketch.sketchWindowed(
+          stored, Seq("g"), "value", "ts")
+        val q = operators.QuantileSketch.sketchWindowed(
+            spark.readStream.schema(stored.schema).parquet(pq)
+              .withWatermark("ts", "2 hours"),
+            Seq("g"), "value", "ts")
+          .writeStream.format("memory").queryName("scale_qs_stream")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          val streamed = spark.table("scale_qs_stream")
+          val diff = streamed
+            .unionByName(batch.select(streamed.columns.map(col): _*))
+            .groupBy("window_epoch", "g", "bucket")
+            .agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"),
+              max(col("cnt")).as("mx"))
+            .filter(col("c") =!= 2 || col("s") =!= col("mx") * 2).count()
+          require(diff == 0L,
+            s"$diff (window, group, bucket) rows diverged")
+          s"state rows=${streamed.count()} batch==stream exact"
+        } finally q.stop()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
     // bounded multi-source BFS on the 10M-edge graph: 100 seeds, 3
-    // hops — per sweep one edge ⋈ frontier join + map-side MIN; the
-    // distance relation stays reached-set-bounded (≤ vertices)
+    // hops — per sweep one edge ⋈ FRONTIER join (only the previous
+    // sweep's discoveries), a left-anti first-touch probe, early exit
+    // on an empty frontier; the distance relation stays
+    // reached-set-bounded (≤ vertices)
     t("hop distances 10M, 3 hops")(
       operators.GraphOps.hopDistances(edges,
         spark.range(100L).select(col("id").as("v")), 3).count())
+    // the DEEP-hop budget the frontier-delta form exists for: a 1000-
+    // hop budget on the same graph costs only reach-many sweeps (the
+    // graph saturates in a handful of layers, then the loop exits) —
+    // the full-relation re-join form would run 1000 sweeps × reached-
+    // set joins. Result = reached count at saturation, and it must
+    // equal the 3-hop count's superset check (monotone reach).
+    t("hop distances 10M, 1000-hop budget (early exit)")({
+      val n3 = operators.GraphOps.hopDistances(edges,
+        spark.range(100L).select(col("id").as("v")), 3).count()
+      val nAll = operators.GraphOps.hopDistances(edges,
+        spark.range(100L).select(col("id").as("v")), 1000).count()
+      require(nAll >= n3, s"deep reach $nAll < 3-hop reach $n3")
+      s"reached $nAll (3-hop $n3)"
+    })
     // source-vocabulary overlap at 50k docs × 20 synthetic sources:
     // per-source top-k through the bounded heap, pair stage ≤
     // sources·k rows — corpus size is irrelevant past the count stage

@@ -524,12 +524,37 @@ object GraphOps {
     while (nActive > 0L && iter < maxIter) {
       // edges inside one live partition (self-loops are no-ops for
       // min propagation and need no special casing)
-      val ae = ck(edges
+      val ae0 = ck(edges
         .join(active.select(col("v").as("src"), col("pf"), col("pb")), "src")
         .join(active.select(col("v").as("dst"), col("pf").as("qf"),
           col("pb").as("qb")), "dst")
         .filter(col("pf") === col("qf") && col("pb") === col("qb"))
         .select("src", "dst"))
+      // TRIM: every SCC lies inside ONE partition (its members share
+      // both min-labels), so a vertex on any cycle has an intra-
+      // partition in-edge AND out-edge. An active vertex missing
+      // either is a singleton SCC — settle it NOW (label = own id,
+      // the min-member convention) instead of carrying it through two
+      // min-label fixpoints; on sparse graphs this peels most of the
+      // round-1 bulk (tree fringes, DAG tails) in two distincts and
+      // three semi-joins. Self-loop-only vertices survive the trim
+      // and settle via the fixpoint (f == b == own id), which needs
+      // no special casing.
+      val cyc = ck(ae0.select(col("src").as("v")).distinct()
+        .join(ae0.select(col("dst").as("v")).distinct(), Seq("v"),
+          "left_semi"))
+      settled ::= ck(active.select("v")
+        .join(cyc, Seq("v"), "left_anti")
+        .select(col("v").as("vertex"), col("v").as("scc")))
+      val preTrim = active
+      active = ck(active.join(cyc, Seq("v"), "left_semi"))
+      drop(preTrim)
+      val ae = ck(ae0
+        .join(cyc.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(cyc.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+      drop(ae0)
+      drop(cyc)
       val fwd = minFix(ae, active, "src", "dst")
       val bwd = minFix(ae, active, "dst", "src")
       val lab = ck(active.select("v")
@@ -773,17 +798,25 @@ object GraphOps {
     * operator's state contract — unbounded frontiers on a 100 TB
     * graph are a different query).
     *
-    * Physical: exactly `maxHops` min-relaxation sweeps — per sweep
-    * one edge ⋈ frontier equi-join + a map-side-combined MIN per
-    * destination + a full-outer merge into the known-distance
-    * relation (new vertices enter, known ones keep their min) — with
-    * every state stats-free-checkpointed (the iterative-loop rule;
-    * see `ColumnBridge.statsFreeLocalCheckpoint`). State is bounded
-    * by reached vertices, sweeps by the constant `maxHops`:
-    * distances are exact BFS layers, deterministic at any
-    * partitioning. `sources` is any one-column relation of vertex
-    * ids (column `v`); seeds absent from the edge relation still
-    * report dist 0.
+    * Physical: FRONTIER-DELTA sweeps — unit-weight BFS reaches every
+    * vertex at its exact layer, so only vertices FIRST reached at
+    * sweep k−1 can discover anything at sweep k. Per sweep: one
+    * edge ⋈ FRONTIER equi-join (work proportional to the edges
+    * incident to the frontier, not to everything reached — the
+    * difference between O(Σ_k |frontier_k|·deg) and
+    * O(hops · reached · deg) at a deep hop budget), a distinct over
+    * the frontier's destinations, and one left-anti probe against the
+    * known-distance relation (first touch wins, dist = the sweep
+    * number); the loop EXITS EARLY when a sweep discovers nothing, so
+    * `maxHops` past the graph's reach costs zero extra sweeps. Every
+    * state is stats-free-checkpointed (the iterative-loop rule; see
+    * `ColumnBridge.statsFreeLocalCheckpoint`); equality with a
+    * full-relation min-relaxation reference is property-pinned across
+    * random graphs and hop budgets. State is bounded by reached
+    * vertices, sweeps by `maxHops` and the reach. Distances are exact
+    * BFS layers, deterministic at any partitioning. `sources` is any
+    * one-column relation of vertex ids (column `v`); seeds absent
+    * from the edge relation still report dist 0.
     */
   def hopDistances(e: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
@@ -794,17 +827,24 @@ object GraphOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var dist = ck(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
-    for (_ <- 1 to maxHops) {
-      val relaxed = edges
-        .join(dist.select(col("v").as("src"), col("dist").as("sd")), "src")
-        .groupBy(col("dst").as("v")).agg(min(col("sd") + 1L).as("nd"))
+    var frontier = dist // sweep 0's "just reached" set IS the seed set
+    var hop = 0
+    var exhausted = maxHops == 0 || frontier.isEmpty
+    while (!exhausted) {
+      hop += 1
+      val newFrontier = ck(edges
+        .join(frontier.select(col("v").as("src")), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop.toLong)))
+      if (frontier ne dist) drop(frontier)
+      frontier = newFrontier
       val prev = dist
-      dist = ck(dist.join(relaxed, Seq("v"), "full")
-        .select(col("v"),
-          least(coalesce(col("dist"), col("nd")),
-            coalesce(col("nd"), col("dist"))).as("dist")))
+      dist = ck(dist.unionByName(newFrontier))
       drop(prev)
+      exhausted = hop == maxHops || frontier.isEmpty
     }
+    if (frontier ne dist) drop(frontier)
     dist.select(col("v").as("vertex"), col("dist"))
   }
 

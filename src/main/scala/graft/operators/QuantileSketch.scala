@@ -49,11 +49,16 @@ import org.apache.spark.sql.graft.ColumnBridge
   * State per group ≤ 2·(64−s)·S + 2S buckets (≈ 4k at s = 5) and in
   * practice ∝ the value range actually occupied.
   *
-  * Contract: null values are excluded (as `groupedQuantiles`); |v|
-  * must stay below 2^63/QsScale ≈ 9.2·10^12 (micro-unit overflow —
-  * scale is a constant by design so stored states can't silently mix
-  * grids; `qs_params_fp` stamps it and consumers raise on mismatch,
-  * the `bandKeysOf`/`centroidsOf` persistence pattern).
+  * Contract: null AND non-finite values are excluded (nulls as
+  * `groupedQuantiles`; NaN would floor to bucket 0 and ±Infinity
+  * saturate into a garbage bucket under Spark's non-ANSI
+  * double→long cast, silently skewing every quantile — the filter
+  * makes the sketch a statement about the FINITE values, the same
+  * contract a percentile over a corpus with sensor glitches wants);
+  * finite |v| must stay below 2^63/QsScale ≈ 9.2·10^12 (micro-unit
+  * overflow — scale is a constant by design so stored states can't
+  * silently mix grids; `qs_params_fp` stamps it and consumers raise
+  * on mismatch, the `bandKeysOf`/`centroidsOf` persistence pattern).
   */
 object QuantileSketch {
 
@@ -162,13 +167,23 @@ object QuantileSketch {
     */
   def sketch(df: DataFrame, groups: Seq[String], valueCol: String): DataFrame = {
     val g = groups.map(col)
-    df.filter(col(valueCol).isNotNull)
+    df.filter(finiteValue(valueCol))
       .select(g :+ bucketOfU(
         floor(col(valueCol).cast("double") * QsScale.toDouble).cast("long"))
         .as("bucket"): _*)
       .groupBy(g :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("qs_params_fp", lit(QsParamsFingerprint))
+  }
+
+  /** The admission predicate of the finiteness contract: non-null AND
+    * finite (NaN and ±Infinity have no bucket on the grid — see the
+    * object docstring).
+    */
+  private def finiteValue(valueCol: String): Column = {
+    val v = col(valueCol).cast("double")
+    v.isNotNull && !isnan(v) &&
+      v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
   }
 
   /** WINDOWED sketch states — the streaming / time-rollup shape: one
@@ -189,7 +204,7 @@ object QuantileSketch {
       bucketOfU(
         floor(col(valueCol).cast("double") * QsScale.toDouble).cast("long"))
       .as("bucket")
-    df.filter(col(valueCol).isNotNull)
+    df.filter(finiteValue(valueCol))
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").cast("long").as("window_epoch") +:

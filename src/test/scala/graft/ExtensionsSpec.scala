@@ -2135,6 +2135,24 @@ class ExtensionsSpec extends SparkSpec {
           s"group=$g probe=$p lt=$lt le=$le bounds=[$lo,$hi]")
       }
     }
+    // finiteness contract: NaN/±Infinity rows are excluded (no bucket
+    // on the grid), so a poisoned corpus sketches identically to its
+    // finite subset — batch and windowed forms alike
+    val poisoned = ev.select(col("event_type"), col("ts"), col("value"))
+      .unionByName(spark.range(3).select(
+        lit("click").as("event_type"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        element_at(array(lit(Double.NaN), lit(Double.PositiveInfinity),
+          lit(Double.NegativeInfinity)), (col("id") + 1).cast("int"))
+          .as("value")))
+    assert(rowsOf(QuantileSketch.sketch(poisoned, Seq("event_type"), "value"))
+      === rowsOf(full))
+    def wrows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wrows(QuantileSketch.sketchWindowed(
+        poisoned, Seq("event_type"), "value", "ts"))
+      === wrows(QuantileSketch.sketchWindowed(
+        ev, Seq("event_type"), "value", "ts")))
   }
 
   test("sourceVocabOverlap == brute top-k Jaccard counts") {

@@ -368,7 +368,10 @@ class GraphOpsSpec extends SparkSpec {
     (1 to 3).foreach { _ =>
       val e = List.fill(60)((rng.nextInt(20).toLong, rng.nextInt(20).toLong))
       val seeds = Set(0L, 1L, 2L)
-      for (hops <- Seq(0, 1, 3)) {
+      // 50 overshoots the 20-vertex graph's reach — the frontier-delta
+      // loop must EXIT EARLY with the full-reach answer, identically
+      // to the brute reference run to exhaustion
+      for (hops <- Seq(0, 1, 3, 50)) {
         val got = GraphOps.hopDistances(edgeDf(e: _*),
             seeds.toSeq.toDF("v"), hops)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
