@@ -72,6 +72,18 @@ object ColumnBridge {
     * DEFAULT stats, so each iteration's plan starts from a constant-
     * size estimate. Release blocks early via `unpersistCheckpoint`
     * (GC/ContextCleaner otherwise reclaims them lazily).
+    *
+    * FAULT-TOLERANCE TRADE (deliberate): local checkpoints live in
+    * executor block stores, not a reliable store, and the eager
+    * release drops blocks a downstream retry might still want — so an
+    * EXECUTOR LOSS mid-loop aborts the whole operator instead of
+    * recomputing (lineage is gone by construction). The iterative
+    * operators' loops are minutes, not hours, so rerunning the
+    * operator is the cheap branch of the trade; a deployment where
+    * executor churn makes mid-loop loss routine should swap `ck` for
+    * reliable `checkpoint()` against the cluster checkpoint dir (same
+    * stats-free rebuild applies) and defer each `drop` until the next
+    * state AND its consuming shuffle have fully materialized.
     */
   def statsFreeLocalCheckpoint(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
