@@ -460,6 +460,8 @@ object GraphOps {
     */
   private def ck(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(df)
+  private def ckCounted(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpointCounted(df)
   private def drop(df: DataFrame): Unit =
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
 
@@ -547,30 +549,36 @@ object GraphOps {
         .join(cyc, Seq("v"), "left_anti")
         .select(col("v").as("vertex"), col("v").as("scc")))
       val preTrim = active
-      active = ck(active.join(cyc, Seq("v"), "left_semi"))
+      val (trimmed, nTrimmed) = ckCounted(
+        active.join(cyc, Seq("v"), "left_semi"))
+      active = trimmed
+      nActive = nTrimmed
       drop(preTrim)
-      val ae = ck(ae0
-        .join(cyc.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(cyc.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst"))
+      if (nActive > 0L) { // trim may have settled everything this round
+        val ae = ck(ae0
+          .join(cyc.select(col("v").as("src")), Seq("src"), "left_semi")
+          .join(cyc.select(col("v").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"))
+        val fwd = minFix(ae, active, "src", "dst")
+        val bwd = minFix(ae, active, "dst", "src")
+        val lab = ck(active.select("v")
+          .join(fwd.select(col("v"), col("lab").as("f")), "v")
+          .join(bwd.select(col("v"), col("lab").as("b")), "v"))
+        drop(fwd)
+        drop(bwd)
+        drop(ae)
+        settled ::= ck(lab.filter(col("f") === col("b"))
+          .select(col("v").as("vertex"), col("f").as("scc")))
+        val prev = active
+        val (refined, nRefined) = ckCounted(lab.filter(col("f") =!= col("b"))
+          .select(col("v"), col("f").as("pf"), col("b").as("pb")))
+        active = refined
+        nActive = nRefined
+        drop(prev)
+        drop(lab)
+      }
       drop(ae0)
       drop(cyc)
-      val fwd = minFix(ae, active, "src", "dst")
-      val bwd = minFix(ae, active, "dst", "src")
-      val lab = ck(active.select("v")
-        .join(fwd.select(col("v"), col("lab").as("f")), "v")
-        .join(bwd.select(col("v"), col("lab").as("b")), "v"))
-      drop(fwd)
-      drop(bwd)
-      drop(ae)
-      settled ::= ck(lab.filter(col("f") === col("b"))
-        .select(col("v").as("vertex"), col("f").as("scc")))
-      val prev = active
-      active = ck(lab.filter(col("f") =!= col("b"))
-        .select(col("v"), col("f").as("pf"), col("b").as("pb")))
-      nActive = active.count()
-      drop(prev)
-      drop(lab)
       iter += 1
     }
     if (nActive > 0L)
@@ -825,14 +833,17 @@ object GraphOps {
     val edges = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var dist = ck(sources.select(col("v")).distinct()
+    val (dist0, nSeeds) = ckCounted(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
+    var dist = dist0
     var frontier = dist // sweep 0's "just reached" set IS the seed set
     var hop = 0
-    var exhausted = maxHops == 0 || frontier.isEmpty
+    var exhausted = maxHops == 0 || nSeeds == 0L
     while (!exhausted) {
       hop += 1
-      val newFrontier = ck(edges
+      // the checkpoint's forcing count doubles as the emptiness signal
+      // — no separate per-sweep job
+      val (newFrontier, nNew) = ckCounted(edges
         .join(frontier.select(col("v").as("src")), "src")
         .select(col("dst").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
@@ -842,7 +853,7 @@ object GraphOps {
       val prev = dist
       dist = ck(dist.unionByName(newFrontier))
       drop(prev)
-      exhausted = hop == maxHops || frontier.isEmpty
+      exhausted = hop == maxHops || nNew == 0L
     }
     if (frontier ne dist) drop(frontier)
     dist.select(col("v").as("vertex"), col("dist"))

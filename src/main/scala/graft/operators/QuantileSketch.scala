@@ -55,15 +55,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   * double→long cast, silently skewing every quantile — the filter
   * makes the sketch a statement about the FINITE values, the same
   * contract a percentile over a corpus with sensor glitches wants);
-  * finite |v| must stay below 2^63/QsScale ≈ 9.2·10^12 (micro-unit
-  * overflow — scale is a constant by design so stored states can't
-  * silently mix grids; `qs_params_fp` stamps it and consumers raise
-  * on mismatch, the `bandKeysOf`/`centroidsOf` persistence pattern).
+  * finite |v| must stay below `QsMaxAbs` = 9.2·10^12 (just under
+  * 2^63/QsScale) — a larger value RAISES at execution rather than
+  * saturating the micro-unit cast into a wrong bucket, because
+  * unlike NaN it is a real measurement whose silent exclusion or
+  * misplacement would skew the answer. Scale is a constant by design
+  * so stored states can't silently mix grids; `qs_params_fp` stamps
+  * it and consumers raise on mismatch, the `bandKeysOf`/
+  * `centroidsOf` persistence pattern.
   */
 object QuantileSketch {
 
   /** Fixed-point scale: micro-units. */
   val QsScale = 1000000L
+
+  /** Largest admissible finite |v| — conservatively below
+    * 2^63/QsScale ≈ 9.223·10^12 so `v · QsScale` can never reach the
+    * double→long saturation region (values within an ulp of the true
+    * limit would saturate monotonically here but error in the SQL
+    * oracle's strict cast — the conservative bound keeps both engines
+    * in loud agreement).
+    */
+  val QsMaxAbs: Double = 9.2e12
 
   /** Sub-bucket bits per power of two: S = 32 → ≤ 1/32 ≈ 3.1% relative
     * bucket width.
@@ -167,10 +180,14 @@ object QuantileSketch {
     */
   def sketch(df: DataFrame, groups: Seq[String], valueCol: String): DataFrame = {
     val g = groups.map(col)
+    // the guarded micro conversion gets its OWN projection: bucketOfU
+    // references its input many times, and a raise_error-bearing
+    // branch is ineligible for codegen subexpression elimination — as
+    // a named column it evaluates once per row (CollapseProject keeps
+    // non-cheap multi-referenced expressions un-inlined)
     df.filter(finiteValue(valueCol))
-      .select(g :+ bucketOfU(
-        floor(col(valueCol).cast("double") * QsScale.toDouble).cast("long"))
-        .as("bucket"): _*)
+      .select(g :+ microOf(valueCol).as("qs_u"): _*)
+      .select(g :+ bucketOfU(col("qs_u")).as("bucket"): _*)
       .groupBy(g :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("qs_params_fp", lit(QsParamsFingerprint))
@@ -184,6 +201,20 @@ object QuantileSketch {
     val v = col(valueCol).cast("double")
     v.isNotNull && !isnan(v) &&
       v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity
+  }
+
+  /** Micro-unit conversion with the range guard: a finite value past
+    * `QsMaxAbs` RAISES (see the contract in the object docstring)
+    * instead of riding the saturating double→long cast into a wrong
+    * bucket.
+    */
+  private def microOf(valueCol: String): Column = {
+    val v = col(valueCol).cast("double")
+    when(abs(v) < lit(QsMaxAbs),
+      floor(v * QsScale.toDouble).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("quantile-sketch value "), v.cast("string"),
+        lit(s" overflows the micro-unit grid — |v| must be < $QsMaxAbs"))))
   }
 
   /** WINDOWED sketch states — the streaming / time-rollup shape: one
@@ -201,10 +232,11 @@ object QuantileSketch {
   def sketchWindowed(df: DataFrame, groups: Seq[String], valueCol: String,
       tsCol: String, windowLen: String = "1 hour"): DataFrame = {
     val keys = window(col(tsCol), windowLen).as("w") +: groups.map(col) :+
-      bucketOfU(
-        floor(col(valueCol).cast("double") * QsScale.toDouble).cast("long"))
-      .as("bucket")
+      bucketOfU(col("qs_u")).as("bucket")
+    // guarded micro conversion in its own projection — see sketch()
     df.filter(finiteValue(valueCol))
+      .select(col(tsCol) +: groups.map(col) :+
+        microOf(valueCol).as("qs_u"): _*)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").cast("long").as("window_epoch") +:

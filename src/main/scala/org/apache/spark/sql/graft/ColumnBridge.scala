@@ -86,14 +86,24 @@ object ColumnBridge {
     * state AND its consuming shuffle have fully materialized.
     */
   def statsFreeLocalCheckpoint(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    statsFreeLocalCheckpointCounted(df)._1
+
+  /** `statsFreeLocalCheckpoint` + the row count of the materialized
+    * state, for free: the forcing action IS a count, so iterative
+    * loops that need their convergence/emptiness signal anyway
+    * (BFS frontier size, SCC active count) read it from here instead
+    * of paying a separate counting job per sweep.
+    */
+  def statsFreeLocalCheckpointCounted(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
     val cdf = df
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cdf.sparkSession
     val rdd = cdf.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
-    spark.internalCreateDataFrame(rdd, cdf.schema)
+    val n = rdd.count()
+    (spark.internalCreateDataFrame(rdd, cdf.schema), n)
   }
 
   /** Eagerly drop the checkpoint blocks behind a

@@ -2153,6 +2153,15 @@ class ExtensionsSpec extends SparkSpec {
         poisoned, Seq("event_type"), "value", "ts"))
       === wrows(QuantileSketch.sketchWindowed(
         ev, Seq("event_type"), "value", "ts")))
+    // a FINITE value past the micro-unit range raises loudly — it is a
+    // real measurement, so neither silent exclusion nor a saturated
+    // bucket is acceptable
+    val over = ev.select(col("event_type"),
+      (col("value") + lit(1.0e13)).as("value"))
+    val exOver = intercept[Exception] {
+      QuantileSketch.sketch(over, Seq("event_type"), "value").collect()
+    }
+    assert(exOver.getMessage.contains("micro-unit"))
   }
 
   test("sourceVocabOverlap == brute top-k Jaccard counts") {
