@@ -298,17 +298,29 @@ object ScaleRehearsal {
           .write.parquet(cd)
         val cents = spark.read.parquet(cd)
         val ad = dir.toString + "/assigned"
-        clustered.join(
-            operators.Similarity.ivfAssignFromStored(cents, clustered),
-            "vec_id")
-          .write.parquet(ad)
+        val assigned = clustered.join(
+          operators.Similarity.ivfAssignFromStored(cents, clustered),
+          "vec_id")
+        assigned.write.partitionBy("cell").parquet(ad)
+        val stored = spark.read.schema(assigned.schema).parquet(ad)
         val cand = operators.Similarity.ivfScoredFromAssigned(
-          cents, spark.read.parquet(ad)).count()
+          cents, stored).count()
         val candInSession = operators.Similarity.ivfScoredTrained(
           clustered, corpusSize = 100000L).count()
         require(cand == candInSession,
           s"pruned candidates $cand != in-session trained $candInSession")
-        s"candidates $cand (== in-session trained; corpus 100000)"
+        // the STATIC-pruned serve reads only the probed cells' files
+        // (partition filter — plan-asserted here, not just in PlanSpec)
+        val static = operators.Similarity.ivfScoredFromAssigned(
+          cents, stored, staticPrune = true)
+        val plan = static.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters: [cell"),
+          "static-pruned serve lost its partition filter:\n" + plan)
+        val candStatic = static.count()
+        require(candStatic == cand,
+          s"static-pruned candidates $candStatic != lazy $cand")
+        s"candidates $cand (== in-session trained, == static-pruned; " +
+          "corpus 100000, partition-filtered read)"
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     })
 

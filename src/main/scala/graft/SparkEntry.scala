@@ -496,21 +496,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     // the PAYOFF leg of train-once: centroids AND the cell-stamped
-    // corpus round-trip parquet, then serving joins candidates on the
-    // persisted cell column — the corpus side runs NO assignment
-    // expression (PlanSpec-guarded), modeling a corpus bucketed by
-    // cell at ingest. Rows-only like its siblings (fitted centroids
-    // aren't SQL-derivable); byte-equality to knnIvfFromStored is
-    // pinned in ExtensionsSpec
+    // corpus (cell + n2 persisted at ingest) round-trip parquet with
+    // the corpus PARTITIONED BY cell, then the static-pruned serve
+    // pushes the probed cells into the scan as a partition filter —
+    // the corpus side runs NO assignment expression and READS only
+    // the probed cells' files (both PlanSpec-guarded). Rows-only like
+    // its siblings (fitted centroids aren't SQL-derivable);
+    // byte-equality to knnIvfFromStored is pinned in ExtensionsSpec
     "knn_ivf_pruned" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val centDir = ivfTmpDir(s, d, "cents")
       Similarity.centroidsOf(emb).write.mode("overwrite").parquet(centDir)
       val cents = s.read.parquet(centDir)
       val corpusDir = ivfTmpDir(s, d, "assigned")
-      emb.join(Similarity.ivfAssignFromStored(cents, emb), "vec_id")
-        .write.mode("overwrite").parquet(corpusDir)
-      Similarity.knnIvfFromAssigned(cents, s.read.parquet(corpusDir))
+      val assigned = emb.join(Similarity.ivfAssignFromStored(cents, emb),
+        "vec_id")
+      // repartition by cell before the partitioned write: one task per
+      // cell group → one file per cell instead of tasks × cells tiny
+      // files (the standard partitioned-write discipline; at 100 TB
+      // this is what keeps per-cell file counts sane)
+      assigned.repartition(org.apache.spark.sql.functions.col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(corpusDir)
+      // explicit schema so the partition column keeps its LongType —
+      // inference would read the dir names as ints and the resulting
+      // cast would defeat file-level pruning
+      Similarity.knnIvfFromAssigned(cents,
+          s.read.schema(assigned.schema).parquet(corpusDir),
+          staticPrune = true)
         .orderBy("query_id", "rank")
     }),
     "media_features" -> ((s, d) =>

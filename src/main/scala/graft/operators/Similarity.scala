@@ -562,10 +562,20 @@ object Similarity {
     * search meets |corpus|·nProbe/cells rows instead of the corpus.
     */
   private def probeAndScore(assigned: DataFrame, querySource: DataFrame,
-      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
+      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame =
+    scoreCandidates(assigned,
+      probeRank(querySource, centLocal, nQueries, nProbe),
+      queriesOf(querySource, nQueries))
+
+  /** Each query's nProbe nearest cells — `(cell, query_id)`, ≤
+    * nQueries·nProbe rows; runs only over the (tiny) query set ×
+    * centroids.
+    */
+  private def probeRank(querySource: DataFrame, centLocal: DataFrame,
+      nQueries: Long, nProbe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id").asc)
-    val probes = querySource.filter(col("vec_id") < nQueries)
+    querySource.filter(col("vec_id") < nQueries)
       .join(broadcast(centLocal), lit(true))
       .select(col("vec_id"), col("cent_id"),
         cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
@@ -573,9 +583,20 @@ object Similarity {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nProbe)
       .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
-    val queries = querySource.filter(col("vec_id") < nQueries)
+  }
+
+  private def queriesOf(querySource: DataFrame, nQueries: Long): DataFrame =
+    querySource.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"))
+
+  /** Candidate scoring downstream of probe ranking — the cell
+    * equi-join pairs every corpus vector with the queries probing its
+    * cell, so the search meets |corpus|·nProbe/cells rows instead of
+    * the corpus.
+    */
+  private def scoreCandidates(assigned: DataFrame, probes: DataFrame,
+      queries: DataFrame): DataFrame =
     assigned
       .join(broadcast(probes), "cell")
       .join(broadcast(queries), "query_id")
@@ -583,7 +604,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
-  }
 
   /** Training-sample budget for `knnIvfTrained`: rows collected to the
     * driver for Lloyd (cap × dim floats — 16k × 256d ≈ 16 MB). More
@@ -794,22 +814,28 @@ object Similarity {
 
   /** INGEST-side cell assignment from the stored index — the third leg
     * of the train-once contract: `centroidsOf` (train + export) →
-    * `ivfAssignFromStored` (stamp every incoming vector's cell at
-    * ingest, persist it alongside the vector) → `knnIvfFromStored`
-    * (serve). Returns `(vec_id, cell)`; the assignment expression is
-    * the EXACT object the serving path builds (shared
-    * `assignCellExpr`), so a cell persisted at ingest equals the cell
-    * the search-side assignment would compute — a corpus partitioned/
-    * bucketed by this column turns each query's probe into a
-    * cell-pruned read instead of a full assignment pass. One map
-    * stage over `emb`, zero shuffle; same fingerprint/cap/contiguity
-    * guards as serving (shared loader).
+    * `ivfAssignFromStored` (stamp every incoming vector's index
+    * columns at ingest, persist them alongside the vector) →
+    * `knnIvfFromAssigned` (serve cell-pruned). Returns `(vec_id,
+    * cell, n2)`: the assignment expression is the EXACT object the
+    * serving path builds (shared `assignCellExpr`), so a cell
+    * persisted at ingest equals the cell the search-side assignment
+    * would compute, and `n2` is the squared norm serving's cosine
+    * needs — persisting it means the serve side touches NO
+    * per-vector arithmetic outside the probed cells (doubles
+    * round-trip parquet exactly, so the cosine is bit-identical to
+    * computing the norm at serve time). A corpus partitioned/
+    * bucketed by `cell` turns each query's probe into a cell-pruned
+    * READ (dynamic partition pruning on the probe join — rehearsed)
+    * instead of a full assignment pass. One map stage over `emb`,
+    * zero shuffle; same fingerprint/cap/contiguity guards as serving
+    * (shared loader).
     */
   def ivfAssignFromStored(centroids: DataFrame, emb: DataFrame): DataFrame = {
     val centEmbF = loadStoredCentroids(centroids)
     if (centEmbF.isEmpty)
-      return emb.select(col("vec_id"), col("vec_id").as("cell"))
-        .filter(lit(false))
+      return emb.select(col("vec_id"), col("vec_id").as("cell"),
+        lit(0.0).as("n2")).filter(lit(false))
     val centEmb = centEmbF.map(_.map(_.toDouble))
     val centN2 = centEmb.map { v =>
       var acc = 0.0; var i = 0
@@ -818,7 +844,8 @@ object Similarity {
     }
     val centIds = Array.tabulate(centEmb.length)(_.toLong)
     emb.select(col("vec_id"),
-      assignCellExpr(centIds, centEmb, centN2).as("cell"))
+      assignCellExpr(centIds, centEmb, centN2).as("cell"),
+      norm2(col("embedding")).as("n2"))
   }
 
   /** IVF top-k served from a PRE-ASSIGNED corpus — the payoff leg of
@@ -847,18 +874,32 @@ object Similarity {
     */
   def knnIvfFromAssigned(centroids: DataFrame, assignedCorpus: DataFrame,
       k: Int = DefaultK, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe): DataFrame =
-    topK(ivfScoredFromAssigned(centroids, assignedCorpus, nQueries, nProbe), k)
+      nProbe: Int = IvfNProbe, staticPrune: Boolean = false): DataFrame =
+    topK(ivfScoredFromAssigned(centroids, assignedCorpus, nQueries, nProbe,
+      staticPrune), k)
+
+  /** Cap on the probe relation a `staticPrune` serve may collect —
+    * queries × nProbe rows; the eager path exists for interactive
+    * query batches, which are tiny by definition.
+    */
+  val IvfMaxStaticProbes = 65536
 
   private[graft] def ivfScoredFromAssigned(centroids: DataFrame,
       assignedCorpus: DataFrame, nQueries: Long = DefaultQueries,
-      nProbe: Int = IvfNProbe): DataFrame = {
+      nProbe: Int = IvfNProbe, staticPrune: Boolean = false): DataFrame = {
     require(assignedCorpus.columns.contains("cell"),
       "assignedCorpus must carry the persisted `cell` column from " +
         "ivfAssignFromStored — for an unstamped corpus use knnIvfFromStored")
     val centEmbF = loadStoredCentroids(centroids)
-    val corpus = assignedCorpus.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"), col("cell"))
+    // a persisted n2 (stamped at ingest next to cell) spares the serve
+    // side every per-vector norm outside the probed cells; doubles
+    // round-trip parquet exactly, so either path is bit-identical
+    val corpus =
+      if (assignedCorpus.columns.contains("n2"))
+        assignedCorpus.select(col("vec_id"), col("embedding"), col("n2"),
+          col("cell"))
+      else assignedCorpus.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"), col("cell"))
     if (centEmbF.isEmpty) {
       return corpus.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
@@ -874,7 +915,35 @@ object Similarity {
     val centLocal = centEmbF.indices.map(i =>
         (i.toLong, centEmbF(i), centN2(i)))
       .toDF("cent_id", "c_emb", "c_n2")
-    probeAndScore(corpus, corpus, centLocal, nQueries, nProbe)
+    if (!staticPrune)
+      return probeAndScore(corpus, corpus, centLocal, nQueries, nProbe)
+    // STATIC prune: the probe relation is tiny by contract (queries ×
+    // nProbe), so resolve it EAGERLY — one driver job over queries ×
+    // centroids — and push the probed cells into the corpus scan as a
+    // literal `cell IN (...)` predicate. On a corpus PARTITIONED BY
+    // `cell` that is file-level partition pruning: the serve reads
+    // ONLY the probed cells' files (PlanSpec/rehearsal-pinned), the
+    // physical contract the ingest stamp exists for. Results are
+    // bit-identical to the lazy join form — same probe relation, same
+    // candidates, same arithmetic. EAGER evaluation semantics like
+    // knnIvf (the probe job runs at build time, freezing probes
+    // against the input).
+    val probeRows = probeRank(corpus, centLocal, nQueries, nProbe).collect()
+    require(probeRows.length <= IvfMaxStaticProbes,
+      s"staticPrune collected ${probeRows.length} probe rows — the cap " +
+        s"is IvfMaxStaticProbes = $IvfMaxStaticProbes (queries × nProbe " +
+        "must stay driver-small; use the default lazy form for bulk " +
+        "query relations)")
+    if (probeRows.isEmpty) {
+      return corpus.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("n2").as("cosine"))
+        .filter(lit(false))
+    }
+    val localProbes = probeRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("cell", "query_id")
+    val probedCells = probeRows.map(_.getLong(0)).distinct.toSeq
+    scoreCandidates(corpus.filter(col("cell").isin(probedCells: _*)),
+      localProbes, queriesOf(corpus, nQueries))
   }
 
   /** Deterministic spherical-k-means refinement, driver-side: assign

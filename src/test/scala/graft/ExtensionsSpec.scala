@@ -733,6 +733,10 @@ class ExtensionsSpec extends SparkSpec {
     // persisted cell column equals the cell serving would compute
     assert(pruned === stored)
     assert(pruned.nonEmpty)
+    // the STATIC-pruned serve (probed cells resolved eagerly and
+    // pushed into the corpus scan) is the same result again
+    assert(rows(Similarity.knnIvfFromAssigned(cents, assigned,
+      staticPrune = true)) === stored)
     // pruning contract: the candidate relation meets ~corpus·nProbe/
     // cells rows, not the corpus (cells ≈ √2000 = 44, nProbe = 2 →
     // perfectly balanced ≈ 91 candidates per query; 4× slack for skew)

@@ -47,15 +47,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("knn_ivf_pruned serves from the persisted cell column: cell equi-join, NO assignment expression") {
+  test("knn_ivf_pruned reads ONLY the probed cells: partition filter, NO assignment expression") {
     val plan = executedPlan("knn_ivf_pruned")
-    // the corpus side reads the stamped parquet and joins candidates
-    // on `cell` — the whole point of stamping at ingest is that NO
-    // per-row assignment kernel runs at serve time
+    // the corpus side reads the stamped, cell-partitioned parquet and
+    // joins candidates on `cell` — the whole point of stamping at
+    // ingest is that NO per-row assignment kernel runs at serve time
     assert(!plan.contains("ivfassign") && !plan.contains("ivf_assign")
       && !plan.contains("IvfAssign"), plan)
     assert(plan.contains("BroadcastHashJoin") && plan.contains("cell"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // ...and the static-pruned serve pushes the probed cells into the
+    // scan as a PARTITION filter — file-level pruning, not a post-scan
+    // predicate
+    assert(plan.contains("PartitionFilters: [cell"), plan)
   }
 
   test("LSH band joins shuffle band keys, never embeddings (neardup)") {
