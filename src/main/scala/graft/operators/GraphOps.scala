@@ -816,9 +816,12 @@ object GraphOps {
     * the frontier's destinations, and one left-anti probe against the
     * known-distance relation (first touch wins, dist = the sweep
     * number); the loop EXITS EARLY when a sweep discovers nothing, so
-    * `maxHops` past the graph's reach costs zero extra sweeps. Every
-    * state is stats-free-checkpointed (the iterative-loop rule; see
-    * `ColumnBridge.statsFreeLocalCheckpoint`); equality with a
+    * `maxHops` past the graph's reach costs zero extra sweeps. Each
+    * LAYER is stats-free-checkpointed (the iterative-loop rule; see
+    * `ColumnBridge.statsFreeLocalCheckpoint`) and the distance
+    * relation is their lazy union, compacted every `HopCompactLayers`
+    * sweeps — per-sweep checkpoint work is frontier-sized, not
+    * reached-sized; equality with a
     * full-relation min-relaxation reference is property-pinned across
     * random graphs and hop budgets. State is bounded by reached
     * vertices, sweeps by `maxHops` and the reach. Distances are exact
@@ -826,6 +829,14 @@ object GraphOps {
     * one-column relation of vertex ids (column `v`); seeds absent
     * from the edge relation still report dist 0.
     */
+  /** Sweeps between distance-relation compactions in `hopDistances`:
+    * bounds the union view's plan width while keeping the per-sweep
+    * checkpoint work frontier-sized (a compaction copies the reached
+    * set once per `HopCompactLayers` sweeps — amortized O(reached/32)
+    * per sweep instead of O(reached) every sweep).
+    */
+  val HopCompactLayers = 32
+
   def hopDistances(e: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 1000,
@@ -833,10 +844,16 @@ object GraphOps {
     val edges = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val (dist0, nSeeds) = ckCounted(sources.select(col("v")).distinct()
+    val (seed, nSeeds) = ckCounted(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
-    var dist = dist0
-    var frontier = dist // sweep 0's "just reached" set IS the seed set
+    // the distance relation is the UNION of checkpointed layer frames
+    // — never re-checkpointed per sweep (that would copy O(reached)
+    // rows every sweep; only the O(frontier) layer is new work). The
+    // union view is compacted every `HopCompactLayers` sweeps so plan
+    // width stays bounded at deep hop budgets.
+    var layers = List(seed)
+    var dist = seed // lazy union over `layers`
+    var frontier = seed // sweep 0's "just reached" set IS the seed set
     var hop = 0
     var exhausted = maxHops == 0 || nSeeds == 0L
     while (!exhausted) {
@@ -848,14 +865,21 @@ object GraphOps {
         .select(col("dst").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
         .withColumn("dist", lit(hop.toLong)))
-      if (frontier ne dist) drop(frontier)
       frontier = newFrontier
-      val prev = dist
-      dist = ck(dist.unionByName(newFrontier))
-      drop(prev)
+      layers ::= newFrontier
+      dist = dist.unionByName(newFrontier)
+      if (layers.length >= HopCompactLayers) {
+        val compact = ck(dist)
+        layers.foreach(drop)
+        layers = List(compact)
+        dist = compact
+        // the frontier frame was one of the dropped layers — recover
+        // it from the compacted relation (dist == hop ⇔ first reached
+        // this sweep)
+        frontier = compact.filter(col("dist") === lit(hop.toLong))
+      }
       exhausted = hop == maxHops || nNew == 0L
     }
-    if (frontier ne dist) drop(frontier)
     dist.select(col("v").as("vertex"), col("dist"))
   }
 

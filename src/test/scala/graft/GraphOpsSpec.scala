@@ -386,6 +386,13 @@ class GraphOpsSpec extends SparkSpec {
         Seq(1L, 99L).toDF("v"), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L))
+    // an 80-vertex chain crosses the HopCompactLayers boundary twice —
+    // the layer-compaction path (including frontier recovery from the
+    // compacted relation) must produce the same exact layers
+    val chain = (0L until 79L).map(i => (i, i + 1L))
+    val deep = GraphOps.hopDistances(edgeDf(chain: _*), Seq(0L).toDF("v"), 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep === (0L to 79L).map(v => v -> v).toMap)
   }
 
   test("topoLevels: brute longest-path on random DAGs; cycle raises; SCC pipeline composes") {
