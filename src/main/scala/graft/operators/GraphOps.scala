@@ -465,6 +465,17 @@ object GraphOps {
   private def drop(df: DataFrame): Unit =
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
 
+  /** Exact overflow-proof sum of a long column (decimal(38,0) — ids
+    * near 2^63 times billions of vertices cannot wrap): the MONOTONE-
+    * SUM convergence signal for label/level fixpoints. One map-side
+    * partial aggregation over the checkpointed state, no join, no
+    * wide shuffle. Empty relations sum to 0.
+    */
+  private def decSum(df: DataFrame, c: String): java.math.BigDecimal = {
+    val r = df.agg(sum(col(c).cast("decimal(38,0)"))).collect()(0)
+    if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+  }
+
   def stronglyConnectedComponents(e: DataFrame, maxIter: Int = 50,
       localThreshold: Long = SccLocalEdges): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
@@ -500,8 +511,14 @@ object GraphOps {
         .join(l.select(col("v").as("lab"), col("lab").as("lab2")), "lab")
         .select(col("v"), least(col("lab"), col("lab2")).as("lab"))
       var lab = ck(seed.select(col("v"), col("v").as("lab")))
-      var changed = 1L
-      while (changed > 0L) {
+      // convergence via the MONOTONE SUM: labels only ever decrease
+      // and the vertex set is fixed, so Σlab moved ⇔ some label moved
+      // — one map-side decimal aggregation over the checkpointed
+      // state per sweep, instead of a next⋈previous join-and-count
+      // shuffle
+      var prevSum = decSum(lab, "lab")
+      var converged = false
+      while (!converged) {
         val inMin = rel
           .join(lab.select(col("v").as(fromCol), col("lab").as("slab")),
             fromCol)
@@ -510,8 +527,9 @@ object GraphOps {
           .select(col("v"),
             least(col("lab"), coalesce(col("m"), col("lab"))).as("lab")))
         val next = ck(jump(jump(swept)))
-        changed = next.join(lab.select(col("v"), col("lab").as("old")), "v")
-          .filter(col("lab") < col("old")).count()
+        val nextSum = decSum(next, "lab")
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         drop(swept)
         drop(lab)
         lab = next
@@ -720,9 +738,11 @@ object GraphOps {
     val verts = edges.select(col("s").as("v"))
       .union(edges.select(col("d").as("v"))).distinct()
     var lv = ck(verts.withColumn("level", lit(0L)))
-    var changed = 1L
+    // monotone-sum convergence, as minFix (levels only ever increase)
+    var prevSum = decSum(lv, "level")
+    var converged = false
     var iter = 0
-    while (changed > 0L && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val upd = edges
         .join(lv.select(col("v").as("s"), col("level").as("sl")), "s")
         .groupBy(col("d").as("v")).agg(max(col("sl") + 1L).as("m"))
@@ -730,13 +750,14 @@ object GraphOps {
         .select(col("v"),
           greatest(col("level"), coalesce(col("m"), col("level")))
             .as("level")))
-      changed = next.join(lv.select(col("v"), col("level").as("old")), "v")
-        .filter(col("level") > col("old")).count()
+      val nextSum = decSum(next, "level")
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       drop(lv)
       lv = next
       iter += 1
     }
-    if (changed > 0L)
+    if (!converged)
       throw new IllegalStateException(
         s"topoLevels did not converge after $maxIter sweeps — the input " +
           "has a cycle (or is deeper than maxIter); run sccCondensation " +
