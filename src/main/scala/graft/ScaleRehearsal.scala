@@ -301,7 +301,9 @@ object ScaleRehearsal {
         val assigned = clustered.join(
           operators.Similarity.ivfAssignFromStored(cents, clustered),
           "vec_id")
-        assigned.write.partitionBy("cell").parquet(ad)
+        // repartition by cell first — one file per cell instead of
+        // tasks × cells tiny files (same discipline as the gate)
+        assigned.repartition(col("cell")).write.partitionBy("cell").parquet(ad)
         val stored = spark.read.schema(assigned.schema).parquet(ad)
         val cand = operators.Similarity.ivfScoredFromAssigned(
           cents, stored).count()

@@ -179,6 +179,8 @@ object QuantileSketch {
     * bucket), the same boundedness argument as `cmsTokens`).
     */
   def sketch(df: DataFrame, groups: Seq[String], valueCol: String): DataFrame = {
+    require(!groups.contains("qs_u") && valueCol != "qs_u",
+      "qs_u is the sketch's internal micro-unit column — rename the input")
     val g = groups.map(col)
     // the guarded micro conversion gets its OWN projection: bucketOfU
     // references its input many times, and a raise_error-bearing
@@ -231,6 +233,8 @@ object QuantileSketch {
     */
   def sketchWindowed(df: DataFrame, groups: Seq[String], valueCol: String,
       tsCol: String, windowLen: String = "1 hour"): DataFrame = {
+    require(!groups.contains("qs_u") && valueCol != "qs_u" && tsCol != "qs_u",
+      "qs_u is the sketch's internal micro-unit column — rename the input")
     val keys = window(col(tsCol), windowLen).as("w") +: groups.map(col) :+
       bucketOfU(col("qs_u")).as("bucket")
     // guarded micro conversion in its own projection — see sketch()

@@ -737,6 +737,17 @@ class ExtensionsSpec extends SparkSpec {
     // pushed into the corpus scan) is the same result again
     assert(rows(Similarity.knnIvfFromAssigned(cents, assigned,
       staticPrune = true)) === stored)
+    // INCREMENTAL ingest: a fresh batch stamped SEPARATELY under the
+    // same stored index unions with the earlier stamped corpus and
+    // serves identically — assignment is per-row, so the stamped
+    // relation grows append-only with no re-indexing
+    val embA = emb.filter(col("vec_id") < 1500)
+    val embB = emb.filter(col("vec_id") >= 1500)
+    val assignedInc = embA
+      .join(Similarity.ivfAssignFromStored(cents, embA), "vec_id")
+      .unionByName(
+        embB.join(Similarity.ivfAssignFromStored(cents, embB), "vec_id"))
+    assert(rows(Similarity.knnIvfFromAssigned(cents, assignedInc)) === stored)
     // pruning contract: the candidate relation meets ~corpus·nProbe/
     // cells rows, not the corpus (cells ≈ √2000 = 44, nProbe = 2 →
     // perfectly balanced ≈ 91 candidates per query; 4× slack for skew)
