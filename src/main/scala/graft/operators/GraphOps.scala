@@ -818,6 +818,14 @@ object GraphOps {
     lvl.iterator
   }
 
+  /** Sweeps between distance-relation compactions in `hopDistances`:
+    * bounds the union view's plan width while keeping the per-sweep
+    * checkpoint work frontier-sized (a compaction copies the reached
+    * set once per `HopCompactLayers` sweeps — amortized O(reached/32)
+    * per sweep instead of O(reached) every sweep).
+    */
+  val HopCompactLayers = 32
+
   /** Bounded MULTI-SOURCE HOP DISTANCE — for every vertex within
     * `maxHops` directed hops of any seed, the length of the shortest
     * such path (`dist` = 0 for seeds): the contamination-radius /
@@ -850,14 +858,6 @@ object GraphOps {
     * one-column relation of vertex ids (column `v`); seeds absent
     * from the edge relation still report dist 0.
     */
-  /** Sweeps between distance-relation compactions in `hopDistances`:
-    * bounds the union view's plan width while keeping the per-sweep
-    * checkpoint work frontier-sized (a compaction copies the reached
-    * set once per `HopCompactLayers` sweeps — amortized O(reached/32)
-    * per sweep instead of O(reached) every sweep).
-    */
-  val HopCompactLayers = 32
-
   def hopDistances(e: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 1000,

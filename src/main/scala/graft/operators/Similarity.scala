@@ -826,10 +826,11 @@ object Similarity {
     * round-trip parquet exactly, so the cosine is bit-identical to
     * computing the norm at serve time). A corpus partitioned/
     * bucketed by `cell` turns each query's probe into a cell-pruned
-    * READ (dynamic partition pruning on the probe join — rehearsed)
-    * instead of a full assignment pass. One map stage over `emb`,
-    * zero shuffle; same fingerprint/cap/contiguity guards as serving
-    * (shared loader).
+    * READ (`knnIvfFromAssigned(staticPrune = true)` pushes the probed
+    * cells into the scan as a partition filter — PlanSpec- and
+    * rehearsal-pinned) instead of a full assignment pass. One map
+    * stage over `emb`, zero shuffle; same fingerprint/cap/contiguity
+    * guards as serving (shared loader).
     */
   def ivfAssignFromStored(centroids: DataFrame, emb: DataFrame): DataFrame = {
     val centEmbF = loadStoredCentroids(centroids)
@@ -852,18 +853,25 @@ object Similarity {
     * the train-once contract: `centroidsOf` (train + export) →
     * `ivfAssignFromStored` (stamp cells at ingest) →
     * `knnIvfFromAssigned` (serve from the stamped corpus).
-    * `assignedCorpus` is `(vec_id, embedding, cell)` — the embeddings
-    * table with the persisted cell column joined/stored alongside —
-    * and the corpus side of the search runs NO assignment expression
-    * at all: candidates are the plain `cell` equi-join against each
-    * query's nProbe probe cells (PlanSpec-guarded), so a corpus
-    * partitioned/bucketed by `cell` turns every probe into a
-    * cell-pruned read of ~|corpus|·nProbe/cells rows. Queries come
-    * from the same relation (`vec_id < nQueries`); probe ranking and
-    * cosine arithmetic are the exact expressions `knnIvfFromStored`
-    * uses, and the cell column is BY CONSTRUCTION the one serving
-    * would compute (shared `assignCellExpr`), so results are
-    * bit-identical to `knnIvfFromStored` over the same centroids
+    * `assignedCorpus` is `(vec_id, embedding, cell[, n2])` — the
+    * embeddings table with the persisted index columns joined/stored
+    * alongside (a persisted `n2` is used as-is; absent, the norm is
+    * recomputed, bit-identically) — and the corpus side of the
+    * search runs NO assignment expression at all: candidates are the
+    * plain `cell` equi-join against each query's nProbe probe cells
+    * (PlanSpec-guarded), so a corpus partitioned/bucketed by `cell`
+    * turns every probe into a cell-pruned read of
+    * ~|corpus|·nProbe/cells rows. With `staticPrune = true` the probe
+    * relation (queries × nProbe — tiny by contract, capped at
+    * `IvfMaxStaticProbes`, loudly) resolves EAGERLY and the probed
+    * cells push into the corpus scan as a literal partition filter:
+    * on a `partitionBy("cell")` corpus the serve READS only the
+    * probed cells' files. Queries come from the same relation
+    * (`vec_id < nQueries`); probe ranking and cosine arithmetic are
+    * the exact expressions `knnIvfFromStored` uses, and the cell
+    * column is BY CONSTRUCTION the one serving would compute (shared
+    * `assignCellExpr`), so results are bit-identical to
+    * `knnIvfFromStored` over the same centroids, both modes
     * (spec-pinned).
     *
     * CONTRACT: `cell` must have been stamped by `ivfAssignFromStored`
