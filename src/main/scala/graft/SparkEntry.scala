@@ -76,10 +76,35 @@ object SparkEntry {
     * content). Real deployments store the index once in a managed
     * location; the tmpdir round-trip is what the gate exercises.
     */
-  private def ivfTmpDir(s: SparkSession, d: String, leaf: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
+  private def ivfTmpDir(s: SparkSession, d: String, leaf: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivf_" + s.sparkContext.applicationId + "_" +
-        Integer.toHexString(d.hashCode) + "_" + leaf).getAbsolutePath
+        Integer.toHexString(d.hashCode) + "_" + leaf)
+    registerTmpCleanup(f)
+    f.getAbsolutePath
+  }
+
+  /** JVM-exit cleanup for the per-appId IVF scratch dirs: without it
+    * every harness run leaves a fresh `graft_ivf_<appId>_*` tree
+    * (including a full cell-partitioned copy of the embeddings
+    * corpus) under tmpdir forever — app-id keying prevents races but
+    * means nothing ever overwrites in place. Deletion can't happen
+    * inside the gate (the returned DataFrame reads the dir lazily,
+    * after the gate body returns), so a shutdown hook is the earliest
+    * safe point. Idempotent per path; recursive delete, children
+    * first.
+    */
+  private val tmpCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerTmpCleanup(f: java.io.File): Unit =
+    if (tmpCleanupRegistered.add(f.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    }
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
 
   /** Tolerance for the `events_asof_tol` gate query: 30 minutes in
     * MICROSECONDS (the query aligns on `unix_micros(ts)` columns, the
@@ -368,6 +393,17 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(Tables.table(s, d, "documents"))
         .select("doc_id").orderBy("doc_id")),
+    // QUALITY-aware survivor policy over the same ngram-Jaccard
+    // clustering the dedup_clusters gate uses: per cluster keep the
+    // argmax-quality member (tie → min doc_id), singletons survive —
+    // "keep the BEST copy", scored by the text_quality signal
+    "dedup_survivors_best" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      Dedup.survivorsBest(docs,
+          Dedup.dupClusters(Dedup.ngramJaccard(docs)),
+          TextOps.quality(docs).select("doc_id", "quality"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // the streaming near-dup filter's batch twin, with arrival order =
     // doc_id — survivors share no LSH band with any earlier doc
     "dedup_stream_neardup" -> ((s, d) =>
@@ -877,6 +913,17 @@ object SparkEntry {
       "WHERE len(list_intersect(ha.hs, hb.hs)) * 5 >= " +
       "(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) * 4"
 
+  /** The quality-score formula in oracle SQL, over a CTE exposing
+    * `nt` (tokens), `ns` (non-space chars), `st` (stopwords) — single
+    * source for text_quality, text_quota and dedup_survivors_best so
+    * the float op ORDER cannot drift between them (same ops in the
+    * same order ⇒ bit-identical doubles ⇒ identical argmax).
+    */
+  private val QualitySqlExpr: String =
+    "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
+      "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
+      "THEN 0.2 ELSE 0.0 END)"
+
   /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
   private val NgramPairsSql: String =
     s"WITH $HsCte, " +
@@ -961,8 +1008,12 @@ object SparkEntry {
   private lazy val qsketchStateOracle: String = {
     val fp = graft.operators.QuantileSketch.QsParamsFingerprint
     val scale = graft.operators.QuantileSketch.QsScale
+    // isfinite(), not `value = value`: DuckDB orders NaN equal to
+    // itself (NaN = NaN is TRUE there), so the usual self-equality
+    // NaN test silently admits what QuantileSketch.sketch excludes —
+    // the oracle must state the identical finiteness contract
     s"WITH qv AS (SELECT event_type, CAST(floor(value * $scale.0) AS BIGINT) " +
-      "AS u FROM events WHERE value IS NOT NULL), " +
+      "AS u FROM events WHERE value IS NOT NULL AND isfinite(value)), " +
       s"$qsBucketCtes " +
       "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, " +
       "CAST(COUNT(*) AS BIGINT) AS cnt, " +
@@ -1172,9 +1223,7 @@ object SparkEntry {
         "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(np AS BIGINT) AS n_punct, " +
         "ns / GREATEST(nt, 1) AS avg_token_len, " +
         "st / GREATEST(nt, 1) AS stopword_ratio, " +
-        "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
-        "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
-        "THEN 0.2 ELSE 0.0 END) AS quality FROM b"),
+        s"$QualitySqlExpr AS quality FROM b"),
     "text_langid" -> {
       // the SAME marker table the Spark op uses — single source of truth
       val markers = graft.functions.TextFunctions.LangMarkers
@@ -1259,9 +1308,7 @@ object SparkEntry {
         s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
         "FROM documents), " +
         "s AS (SELECT doc_id, lang, " +
-        "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
-        "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
-        "THEN 0.2 ELSE 0.0 END) AS quality FROM b), " +
+        s"$QualitySqlExpr AS quality FROM b), " +
         "r AS (SELECT doc_id, lang, quality, row_number() OVER " +
         "(PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rnk FROM s) " +
         "SELECT doc_id, lang, quality, CAST(rnk AS BIGINT) AS \"rank\" " +
@@ -1565,6 +1612,30 @@ object SparkEntry {
         "FROM reach GROUP BY u), " +
         "losers AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id) " +
         "SELECT doc_id FROM docs0 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
+    // the dedup_clusters labelling joined with the text_quality score
+    // (QualitySqlExpr — same float op order), winner per cluster by
+    // (quality DESC, doc_id ASC), everyone else in the labelling loses
+    "dedup_survivors_best" ->
+      ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
+        s"($NgramPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
+        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
+        "losers AS (SELECT doc_id FROM w WHERE rn > 1) " +
+        "SELECT doc_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {

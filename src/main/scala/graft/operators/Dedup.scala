@@ -496,6 +496,46 @@ object Dedup {
     exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** QUALITY-AWARE survivor selection: given a cluster labelling
+    * (`doc_id`, `cluster_id` — e.g. `dupClusters` output) and a score
+    * relation (`doc_id`, `scoreCol` — e.g. `TextOps.quality`), keep
+    * per cluster the HIGHEST-scoring member (tie → min `doc_id`, so
+    * the choice is deterministic at any partitioning) and every doc
+    * outside the labelling (singletons have nothing to lose to).
+    * Returns the surviving rows of `docs` unchanged — the "keep the
+    * BEST copy, not the first-seen copy" policy a training-data
+    * pipeline actually wants (the boilerplate-ridden early crawl of a
+    * page should lose to its clean recrawl even when its id is
+    * smaller).
+    *
+    * Physical: the winner per cluster is ONE `max_by` aggregation
+    * over the cluster-sized labelling (argmax key = (score, −doc_id)
+    * struct — lexicographic struct ordering encodes the tie-break, no
+    * window, no sort); losers = labelling ∖ winners via a left-anti
+    * join, and the final survivor set is one more left-anti join
+    * against `docs`. Nothing here touches text and every shuffle is
+    * keyed by `cluster_id` or `doc_id` — at 100 TB the labelling is
+    * pairs-sized (docs that collided in some candidate bucket), so
+    * the aggregation input is far smaller than the corpus.
+    *
+    * Contract: `scores` must cover every labelled `doc_id` (an inner
+    * join drops unscored members — they could neither win nor lose,
+    * silently surviving); ids are non-negative (the testdata
+    * contract; −doc_id must not wrap).
+    */
+  def survivorsBest(docs: DataFrame, clusters: DataFrame,
+      scores: DataFrame, scoreCol: String = "quality"): DataFrame = {
+    val scored = clusters.select("doc_id", "cluster_id")
+      .join(scores.select(col("doc_id"), col(scoreCol).as("__score")),
+        "doc_id")
+    val winners = scored.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("__score"), -col("doc_id"))).as("doc_id"))
+    val losers = scored.select("doc_id")
+      .join(winners.select("doc_id"), Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- corpus-level repeated substrings ----
 
   /** Default window for `repeatedSpans`: 30 code points ≈ a clause —

@@ -901,6 +901,18 @@ object GraphOps {
       }
       exhausted = hop == maxHops || nNew == 0L
     }
+    // final compaction: return ONE checkpointed relation, not a lazy
+    // union over up to HopCompactLayers-1 live layer frames — a
+    // long-lived caller would otherwise pin O(layers) executor
+    // block-store entries and carry a 31-wide union plan into every
+    // downstream job. One reached-sized copy, then the layer frames
+    // are released.
+    if (layers.length > 1) {
+      val compact = ck(dist)
+      layers.foreach(drop)
+      layers = List(compact)
+      dist = compact
+    }
     dist.select(col("v").as("vertex"), col("dist"))
   }
 

@@ -175,6 +175,41 @@ object Similarity {
       0L +: (0 until bb).map(b => 1L << b))
   }
 
+  // ---- ANN evaluation ----
+
+  /** Recall@k of an approximate top-k relation against the exact one —
+    * the ONE number that tells you whether an ANN index is still
+    * honest. Both inputs are `(query_id, …, neighbor_id, …)` top-k
+    * relations (`knnLsh`/`knnIvf`/… vs `knnBrute` over the same corpus
+    * and k); returns a single row `(n_queries, hits, total, recall)`
+    * where `hits` counts exact (query, neighbor) pairs the approximate
+    * side also returned and `recall = hits / total`. Keeping this ON
+    * the driver-gated path means a recall regression (an index change
+    * that keeps row counts stable while returning worse neighbors)
+    * fails a hash compare instead of shipping silently — row-count
+    * checks can't see neighbor QUALITY.
+    *
+    * Physical: one equi-join on `(query_id, neighbor_id)` (broadcast-
+    * sized: both sides are queries × k) marking exact pairs the
+    * approximate side hit, then a single global aggregation — no
+    * cross join, no collect. Assumes `approx` has no duplicate
+    * (query, neighbor) pairs (true of any top-k relation; duplicates
+    * would overcount hits).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ap, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      .select(col("n_queries"), col("hits"), col("total"),
+        (col("hits").cast("double") / col("total").cast("double"))
+          .as("recall"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the
@@ -812,6 +847,30 @@ object Similarity {
     byId.map(_.getSeq[Number](1).map(_.floatValue()).toArray)
   }
 
+  /** Content hash of a loaded centroid set — FNV-1a over the exact
+    * float BITS (plus shape), so two centroid relations hash equal iff
+    * they decode to the identical vectors in the identical order.
+    * Stamped onto every `ivfAssignFromStored` output row as
+    * `ivf_cents_fp` and re-derived from the loaded centroids at serve
+    * time: `knnIvfFromAssigned` refuses a corpus whose stamp doesn't
+    * match (a re-trained index with a stale stamped corpus would
+    * otherwise serve silently WRONG neighbors — the cells simply
+    * don't mean the same thing anymore). This is the content-level
+    * complement of `ivf_params_fp`, which only pins the build
+    * CONSTANTS, not the fitted vectors.
+    */
+  private[graft] def centroidContentFp(cents: Array[Array[Float]]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(cents.length.toLong)
+    cents.foreach { v =>
+      mix(v.length.toLong)
+      v.foreach(f =>
+        mix(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL))
+    }
+    h
+  }
+
   /** INGEST-side cell assignment from the stored index — the third leg
     * of the train-once contract: `centroidsOf` (train + export) →
     * `ivfAssignFromStored` (stamp every incoming vector's index
@@ -834,9 +893,11 @@ object Similarity {
     */
   def ivfAssignFromStored(centroids: DataFrame, emb: DataFrame): DataFrame = {
     val centEmbF = loadStoredCentroids(centroids)
+    val centsFp = centroidContentFp(centEmbF)
     if (centEmbF.isEmpty)
       return emb.select(col("vec_id"), col("vec_id").as("cell"),
-        lit(0.0).as("n2")).filter(lit(false))
+        lit(0.0).as("n2"), lit(centsFp).as("ivf_cents_fp"))
+        .filter(lit(false))
     val centEmb = centEmbF.map(_.map(_.toDouble))
     val centN2 = centEmb.map { v =>
       var acc = 0.0; var i = 0
@@ -846,7 +907,8 @@ object Similarity {
     val centIds = Array.tabulate(centEmb.length)(_.toLong)
     emb.select(col("vec_id"),
       assignCellExpr(centIds, centEmb, centN2).as("cell"),
-      norm2(col("embedding")).as("n2"))
+      norm2(col("embedding")).as("n2"),
+      lit(centsFp).as("ivf_cents_fp"))
   }
 
   /** IVF top-k served from a PRE-ASSIGNED corpus — the payoff leg of

@@ -524,6 +524,53 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("survivorsBest keeps the argmax-quality member per cluster (tie → min id)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // cluster 1 = {1,2,3}: 3 has top score; cluster 4 = {4,5}: tied →
+    // min id 4 wins; 9 is unlabelled → survives untouched
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (4L, 0.7), (5L, 0.7),
+      (9L, 0.0)).toDF("doc_id", "quality")
+    val got = Dedup.survivorsBest(docs, clusters, scores)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L, 4L, 9L))
+  }
+
+  test("survivorsBest: one survivor per cluster, survivors ⊆ docs (property)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1913)
+    (0 until 4).foreach { trial =>
+      val n = 40 + rng.nextInt(80)
+      val nClusters = 1 + rng.nextInt(8)
+      // labelled docs get a random cluster; ~half the ids stay unlabelled
+      val labelled = (0 until n).filter(_ => rng.nextBoolean())
+        .map(i => (i.toLong, rng.nextInt(nClusters).toLong * 1000L))
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val clusters = labelled.toDF("doc_id", "cluster_id")
+      // coarse score grid forces frequent ties → exercises the
+      // (−doc_id) tie-break leg, not just the score leg
+      val scores = (0 until n)
+        .map(i => (i.toLong, rng.nextInt(3) / 2.0)).toDF("doc_id", "quality")
+      val got = Dedup.survivorsBest(docs, clusters, scores)
+        .collect().map(_.getLong(0)).toSet
+      val scoreOf = scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val byCluster = labelled.groupBy(_._2)
+      val expectedWinners = byCluster.values.map { members =>
+        members.map(_._1).minBy(id => (-scoreOf(id), id))
+      }.toSet
+      val unlabelled = (0 until n).map(_.toLong).toSet -- labelled.map(_._1).toSet
+      assert(got === expectedWinners ++ unlabelled, s"trial $trial (n=$n)")
+      // exactly one survivor per non-empty cluster
+      byCluster.foreach { case (cid, members) =>
+        assert(members.map(_._1).count(got) === 1, s"cluster $cid, trial $trial")
+      }
+    }
+  }
+
   test("simhash banded pairs == quadratic pairs (pigeonhole exactness)") {
     val docs = docsDf(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
