@@ -325,6 +325,74 @@ object ScaleRehearsal {
           "corpus 100000, partition-filtered read)"
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     })
+    // the INGEST story the pruned gate implies, rehearsed end-to-end:
+    // a fresh 10k batch stamped via ivfAssignFromStored under the SAME
+    // stored index appends into the existing partitionBy("cell")
+    // corpus dir. Asserts (a) serving the appended dir ≡ re-stamping
+    // the 110k union from scratch (bit-identical rows), and (b) the
+    // append touched ONLY new files — every pre-append data file
+    // survives byte-identical in place (name + length), which is what
+    // makes the append O(batch) at 100 TB instead of O(corpus)
+    t("ivf cell-partition append 100k+10k")({
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivfap")
+      try {
+        val cd = dir.toString + "/cents"
+        operators.Similarity.centroidsOf(clustered, corpusSize = 100000L)
+          .write.parquet(cd)
+        val cents = spark.read.parquet(cd)
+        val ad = dir.toString + "/assigned"
+        val base = clustered.join(
+          operators.Similarity.ivfAssignFromStored(cents, clustered),
+          "vec_id")
+        base.repartition(col("cell")).write.partitionBy("cell").parquet(ad)
+        def dataFiles(): Map[String, Long] = {
+          def walk(f: java.io.File): Iterator[java.io.File] =
+            if (f.isDirectory) Option(f.listFiles()).iterator
+              .flatMap(_.iterator).flatMap(walk)
+            else Iterator(f)
+          walk(new java.io.File(ad))
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getAbsolutePath -> f.length()).toMap
+        }
+        val before = dataFiles()
+        val fresh = spark.range(100000L, 110000L).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 15), i -> cast(" +
+            "pmod(hash(id % 50 * 16 + i), 1000) / 499.5 - 1.0 + " +
+            "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+            .as("embedding"))
+        fresh.join(operators.Similarity.ivfAssignFromStored(cents, fresh),
+            "vec_id")
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(ad)
+        val after = dataFiles()
+        val touched = before.filter { case (p, len) =>
+          !after.get(p).contains(len) }
+        require(touched.isEmpty,
+          s"append rewrote ${touched.size} pre-existing files: " +
+            touched.keys.take(3).mkString(", "))
+        require(after.size > before.size,
+          s"append added no data files (${before.size} -> ${after.size})")
+        val stored = spark.read.schema(base.schema).parquet(ad)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val servedAppend = rows(
+          operators.Similarity.knnIvfFromAssigned(cents, stored))
+        val union = clustered.unionByName(fresh)
+        val servedRestamp = rows(operators.Similarity.knnIvfFromAssigned(
+          cents,
+          union.join(
+            operators.Similarity.ivfAssignFromStored(cents, union),
+            "vec_id")))
+        require(servedAppend == servedRestamp && servedAppend.nonEmpty,
+          s"appended-dir serve (${servedAppend.size} rows) != " +
+            s"re-stamped-union serve (${servedRestamp.size} rows)")
+        s"append added ${after.size - before.size} files, " +
+          s"${before.size} untouched; serve ≡ re-stamped union " +
+          s"(${servedAppend.size} rows)"
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    })
 
     // incremental embedding admission at 100k corpus / 10k fresh:
     // stored band keys only (width pinned at 10 bits ≈ the

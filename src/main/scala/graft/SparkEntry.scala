@@ -60,6 +60,18 @@ object SparkEntry {
   val HopSeedMax = 5L
   val HopMax = 3
 
+  /** Deep-diameter variant (`graph_hops_deep`): BFS over 7 disjoint
+    * step-7 doc_id chains (documents self-joined on
+    * `doc_id + HopDeepStep`), seeds = the chain heads (doc_id <
+    * HopDeepStep), budget HopDeepMax. Chains run ≥ 70 layers at every
+    * sf, so — unlike the shallow gate — the 32-sweep layer compaction
+    * AND the hop-budget exit (not the empty-frontier exit) are on the
+    * oracle-checked path, not just in rehearsal. Same constants MUST
+    * appear in oracleSql.
+    */
+  val HopDeepStep = 7L
+  val HopDeepMax = 64
+
   /** Sparsifier modulus for the `graph_scc` gate: thins the (otherwise
     * single-giant-SCC) < MaxRS subgraph to ~1/5 of its edges, which at
     * sf0.01 yields 7 SCCs — 4 multi-vertex, largest 20 — a
@@ -271,6 +283,23 @@ object SparkEntry {
         .union(e.select(col("dst").as("v")))
         .filter(col("v") < HopSeedMax).distinct()
       GraphOps.hopDistances(e, seeds, HopMax).orderBy("vertex")
+    }),
+    // DEEP-diameter BFS: the same operator with a 64-hop budget over a
+    // long-chain graph (documents self-joined at stride HopDeepStep ⇒
+    // 7 disjoint ~N/7-deep paths), so the frontier-delta sweep loop,
+    // the HopCompactLayers=32 compaction and the budget-cap exit all
+    // run on the hash-checked path — the shallow gate exits at 3
+    // sweeps and never compacts
+    "graph_hops_deep" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents").select(col("doc_id"))
+      val e = docs.join(
+          docs.select((col("doc_id") - HopDeepStep).as("doc_id")), "doc_id")
+        .select(col("doc_id").as("src"),
+          (col("doc_id") + HopDeepStep).as("dst"))
+      val seeds = docs.filter(col("doc_id") < HopDeepStep)
+        .select(col("doc_id").as("v"))
+      GraphOps.hopDistances(e, seeds, HopDeepMax).orderBy("vertex")
     }),
     // dependency WAVES of the same condensation: SCC → condensation →
     // longest-path levels, the full cycle-safe scheduling pipeline in
@@ -499,6 +528,16 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // ANN HONESTY as a gate: recall@5 of the hash-anchored IVF index
+    // against the exact brute-force ranking, one row — an index change
+    // that keeps row counts stable while serving WORSE neighbors now
+    // fails the hash compare instead of shipping silently (row-count
+    // checks can't see neighbor quality). Fully oracled: both sides
+    // are SQL-derivable, unlike the Lloyd-trained family
+    "knn_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnIvf(emb), Similarity.knnBrute(emb))
+    }),
     // DELIBERATELY no oracleSql entry: the Lloyd-fitted centroids are
     // not SQL-derivable, so the driver records a rows-only check — the
     // point of listing it is bench visibility (a trained-path perf
@@ -958,6 +997,71 @@ object SparkEntry {
       "WHERE cosine >= 0.30"
   }
 
+  /** knn_brute oracle — shared by knn_recall (its exact side). */
+  private val KnnBruteSql: String =
+    s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+      "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+      s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
+      "FROM e, q WHERE e.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
+
+  /** knn_ivf oracle — shared by knn_recall (its approximate side).
+    * Two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
+    * first ⌈√k⌉ of the same hash order; every argmax is a
+    * (cos DESC, id ASC) row_number — bit-identical to the Scala
+    * grouping + the IvfAssign2 kernel's ascending-iteration strict->.
+    */
+  private val KnnIvfSql: String =
+    s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+      s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
+      "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
+      "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+      "c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2, crn " +
+      "FROM ch, kk WHERE crn <= k), " +
+      "co AS (SELECT cent_id AS a_id, c_emb AS a_emb, c_n2 AS a_n2 " +
+      "FROM c, kk WHERE crn <= CAST(CEIL(SQRT(k)) AS BIGINT)), " +
+      "fgr AS (SELECT c.cent_id, co.a_id, row_number() OVER (PARTITION BY c.cent_id " +
+      s"ORDER BY ${dotSql("c.c_emb", "co.a_emb")} / (sqrt(c.c_n2) * sqrt(co.a_n2)) DESC, " +
+      "co.a_id ASC) AS arnk FROM c, co), " +
+      "fg AS (SELECT cent_id, a_id FROM fgr WHERE arnk = 1), " +
+      "vcr AS (SELECT e.vec_id, co.a_id, row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY ${dotSql("e.embedding", "co.a_emb")} / (sqrt(e.n2) * sqrt(co.a_n2)) DESC, " +
+      "co.a_id ASC) AS arnk FROM e, co), " +
+      "vc AS (SELECT vec_id, a_id FROM vcr WHERE arnk = 1), " +
+      // fine-candidate set with the kernel's empty-group fallback
+      // (IvfAssignUtil.assign2): normally the anchor's group members;
+      // when rounding hands a vector an anchor owning NO fine
+      // centroids (same-direction anchor twins), ALL fine centroids
+      "fcand AS (SELECT vc.vec_id, fg.cent_id FROM vc " +
+      "JOIN fg ON fg.a_id = vc.a_id " +
+      "UNION ALL SELECT vc.vec_id, c.cent_id FROM vc, c " +
+      "WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.a_id = vc.a_id)), " +
+      "far AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, row_number() OVER " +
+      "(PARTITION BY e.vec_id ORDER BY " +
+      s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
+      "c.cent_id ASC) AS crank FROM e JOIN fcand ON fcand.vec_id = e.vec_id " +
+      "JOIN c ON c.cent_id = fcand.cent_id), " +
+      "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM far WHERE crank = 1), " +
+      "pr AS (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY ${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
+      "c.cent_id ASC) AS crank FROM e, c WHERE e.vec_id < 10), " +
+      "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
+      s"WHERE crank <= ${Similarity.IvfNProbe}), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +
+      "FROM assigned a JOIN probes p ON a.cell = p.cell " +
+      "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
+
   /** Quantile-sketch CTE chain (mirrors QuantileSketch.bucketOfU —
     * bit-smear floor(log2) + HdrHistogram sub-buckets, two-sided):
     * from a CTE `qv(event_type, u)` of micro-unit values to
@@ -1166,6 +1270,20 @@ object SparkEntry {
         "walk(v, dd) AS (SELECT v, 0 FROM seeds " +
         "UNION SELECT e.dst, walk.dd + 1 FROM walk " +
         s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopMax) " +
+        "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
+        "FROM walk GROUP BY v"),
+    "graph_hops_deep" ->
+      // same min-over-reachable-depths form at the 64-hop budget over
+      // the stride-7 doc_id chain graph; UNION dedup bounds the state
+      // at (vertex, depth) pairs, and the chains are simple paths so
+      // each vertex carries exactly one depth
+      (s"WITH RECURSIVE e AS (SELECT a.doc_id AS src, b.doc_id AS dst " +
+        "FROM documents a JOIN documents b " +
+        s"ON b.doc_id = a.doc_id + $HopDeepStep), " +
+        s"seeds AS (SELECT doc_id AS v FROM documents WHERE doc_id < $HopDeepStep), " +
+        "walk(v, dd) AS (SELECT v, 0 FROM seeds " +
+        "UNION SELECT e.dst, walk.dd + 1 FROM walk " +
+        s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopDeepMax) " +
         "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
         "FROM walk GROUP BY v"),
     "graph_scc_levels" ->
@@ -1685,16 +1803,7 @@ object SparkEntry {
         "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
         "SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
         "FROM reach GROUP BY u"),
-    "knn_brute" ->
-      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
-        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
-        s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
-        "FROM e, q WHERE e.vec_id <> q.query_id), " +
-        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
-        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
-        "FROM r WHERE rnk <= 5"),
+    "knn_brute" -> KnnBruteSql,
     "knn_lsh" -> {
       val bandJoins = (0 until Similarity.LshBands).map { j =>
         s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
@@ -1755,52 +1864,25 @@ object SparkEntry {
     // first ⌈√k⌉ of the same hash order; every argmax is a
     // (cos DESC, id ASC) row_number — bit-identical to the Scala
     // grouping + the IvfAssign2 kernel's ascending-iteration strict->
-    "knn_ivf" ->
-      (s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
-        s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
-        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
-        "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
-        s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
-        "c AS (SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2, crn " +
-        "FROM ch, kk WHERE crn <= k), " +
-        "co AS (SELECT cent_id AS a_id, c_emb AS a_emb, c_n2 AS a_n2 " +
-        "FROM c, kk WHERE crn <= CAST(CEIL(SQRT(k)) AS BIGINT)), " +
-        "fgr AS (SELECT c.cent_id, co.a_id, row_number() OVER (PARTITION BY c.cent_id " +
-        s"ORDER BY ${dotSql("c.c_emb", "co.a_emb")} / (sqrt(c.c_n2) * sqrt(co.a_n2)) DESC, " +
-        "co.a_id ASC) AS arnk FROM c, co), " +
-        "fg AS (SELECT cent_id, a_id FROM fgr WHERE arnk = 1), " +
-        "vcr AS (SELECT e.vec_id, co.a_id, row_number() OVER (PARTITION BY e.vec_id " +
-        s"ORDER BY ${dotSql("e.embedding", "co.a_emb")} / (sqrt(e.n2) * sqrt(co.a_n2)) DESC, " +
-        "co.a_id ASC) AS arnk FROM e, co), " +
-        "vc AS (SELECT vec_id, a_id FROM vcr WHERE arnk = 1), " +
-        // fine-candidate set with the kernel's empty-group fallback
-        // (IvfAssignUtil.assign2): normally the anchor's group members;
-        // when rounding hands a vector an anchor owning NO fine
-        // centroids (same-direction anchor twins), ALL fine centroids
-        "fcand AS (SELECT vc.vec_id, fg.cent_id FROM vc " +
-        "JOIN fg ON fg.a_id = vc.a_id " +
-        "UNION ALL SELECT vc.vec_id, c.cent_id FROM vc, c " +
-        "WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.a_id = vc.a_id)), " +
-        "far AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id, row_number() OVER " +
-        "(PARTITION BY e.vec_id ORDER BY " +
-        s"${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
-        "c.cent_id ASC) AS crank FROM e JOIN fcand ON fcand.vec_id = e.vec_id " +
-        "JOIN c ON c.cent_id = fcand.cent_id), " +
-        "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 FROM far WHERE crank = 1), " +
-        "pr AS (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id " +
-        s"ORDER BY ${dotSql("e.embedding", "c.c_emb")} / (sqrt(e.n2) * sqrt(c.c_n2)) DESC, " +
-        "c.cent_id ASC) AS crank FROM e, c WHERE e.vec_id < 10), " +
-        "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
-        s"WHERE crank <= ${Similarity.IvfNProbe}), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
-        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
-        s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +
-        "FROM assigned a JOIN probes p ON a.cell = p.cell " +
-        "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
-        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
-        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
-        "FROM r WHERE rnk <= 5"),
+    "knn_ivf" -> KnnIvfSql,
+    // recall@5 of the IVF ranking against the brute-force one: both
+    // component rankings are the exact oracle SQL of their own gates
+    // (KnnBruteSql / KnnIvfSql — shared vals, so the three gates
+    // cannot drift), left-joined on (query, neighbor) pairs and
+    // reduced to one row; integer hits/total divide exactly in
+    // doubles, so the recall fraction is hash-comparable
+    "knn_recall" ->
+      (s"WITH ex AS (SELECT query_id, neighbor_id FROM ($KnnBruteSql)), " +
+        s"ap AS (SELECT query_id, neighbor_id FROM ($KnnIvfSql)), " +
+        "j AS (SELECT ex.query_id, ex.neighbor_id, " +
+        "CASE WHEN ap.query_id IS NULL THEN 0 ELSE 1 END AS hit " +
+        "FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id " +
+        "AND ap.neighbor_id = ex.neighbor_id) " +
+        "SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries, " +
+        "CAST(SUM(hit) AS BIGINT) AS hits, " +
+        "CAST(COUNT(*) AS BIGINT) AS total, " +
+        "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
+        "FROM j"),
     // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
     // (strlen) and first_byte the UTF-8 leading byte — byte semantics
     // exactly, not character semantics (they differ on non-ASCII text).

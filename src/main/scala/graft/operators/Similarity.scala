@@ -937,10 +937,15 @@ object Similarity {
     * (spec-pinned).
     *
     * CONTRACT: `cell` must have been stamped by `ivfAssignFromStored`
-    * under this same centroid relation — the fingerprint guard catches
-    * a centroid/constant mismatch at load, but a stale assignment
-    * (corpus re-stamped under different centroids) is the caller's
-    * pipeline invariant, exactly as for any persisted index column.
+    * under this same centroid relation — and the contract is CHECKED,
+    * not just documented: the build-constant fingerprint guard catches
+    * a params mismatch at load, and the per-row `ivf_cents_fp` stamp
+    * (a content hash of the fitted centroid vectors) is verified
+    * against the loaded centroids on every row the serve reads,
+    * raising loudly on a corpus stamped under different centroids
+    * instead of silently serving neighbors from cells that no longer
+    * mean the same thing (spec-pinned; pre-stamp corpora without the
+    * column skip the check).
     */
   def knnIvfFromAssigned(centroids: DataFrame, assignedCorpus: DataFrame,
       k: Int = DefaultK, nQueries: Long = DefaultQueries,
@@ -961,15 +966,42 @@ object Similarity {
       "assignedCorpus must carry the persisted `cell` column from " +
         "ivfAssignFromStored — for an unstamped corpus use knnIvfFromStored")
     val centEmbF = loadStoredCentroids(centroids)
+    // STALENESS GUARD: when the corpus carries the `ivf_cents_fp`
+    // stamp (ivfAssignFromStored output), every row's stamp must equal
+    // the content hash of the centroids NOW loaded — a corpus stamped
+    // under re-trained centroids would otherwise serve silently WRONG
+    // neighbors (its cells no longer mean the same thing). The check
+    // rides the serve's own scan as a per-row expression (one long
+    // compare; no extra job, no full-column pre-scan — at 100 TB only
+    // the rows actually read are checked, which are exactly the rows
+    // whose cells are trusted), raising loudly on the first stale row.
+    // It wraps `n2` — NOT `cell` (that must stay the raw partition
+    // column or the staticPrune `cell IN (...)` file-level pruning
+    // dies) and NOT `vec_id` (the query-set `< nQueries` pushdown
+    // rides it); n2 is never filtered or joined on, only consumed by
+    // the cosine arithmetic, so the guard costs one long compare per
+    // scored row and changes no plan shape. Pre-stamp corpora (no such
+    // column) skip the check, like the params fingerprint on bare
+    // centroid relations.
+    val guardN2: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (assignedCorpus.columns.contains("ivf_cents_fp")) {
+        val expected = lit(centroidContentFp(centEmbF))
+        n2c => when(col("ivf_cents_fp") === expected, n2c)
+          .otherwise(raise_error(format_string(
+            "graft: assignedCorpus row stamped ivf_cents_fp=%s but the " +
+              "loaded centroids hash to %s — stale cell stamp " +
+              "(re-trained index?); re-run ivfAssignFromStored",
+            col("ivf_cents_fp"), expected))).as("n2")
+      } else identity
     // a persisted n2 (stamped at ingest next to cell) spares the serve
     // side every per-vector norm outside the probed cells; doubles
     // round-trip parquet exactly, so either path is bit-identical
     val corpus =
       if (assignedCorpus.columns.contains("n2"))
-        assignedCorpus.select(col("vec_id"), col("embedding"), col("n2"),
-          col("cell"))
+        assignedCorpus.select(col("vec_id"), col("embedding"),
+          guardN2(col("n2")), col("cell"))
       else assignedCorpus.select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("n2"), col("cell"))
+        guardN2(norm2(col("embedding")).as("n2")), col("cell"))
     if (centEmbF.isEmpty) {
       return corpus.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("n2").as("cosine"))

@@ -16,10 +16,16 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as a long and rebuild
-    * a (microsecond) TimestampType column — exact for any sub-second
-    * aggregation granularity we use.
+  /** The events table's `ts` column has shipped in TWO physical
+    * layouts across harness testdata generations — parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * outright) and TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
+    * loads as TIMESTAMP_NTZ). This loader normalizes either to the
+    * same output contract every downstream operator assumes: `ts` as
+    * (microsecond) TimestampType UTC instants — exact for any
+    * sub-second aggregation granularity we use. Branching on the
+    * LOADED dtype (not the sf dir) keeps the engine agnostic to which
+    * generation of testdata it is pointed at.
     *
     * SIDE EFFECT, session-wide and deliberate: this sets
     * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared session
@@ -31,12 +37,34 @@ object Tables {
     * AnalysisException; micro/milli timestamp columns are unaffected.
     * Callers that need the default behavior back must re-set the flag
     * after their LAST action on this table.
+    *
+    * The NTZ→LTZ cast reinterprets the stored wall-clock as a SESSION-
+    * TIMEZONE instant, so it is only identity when the session runs
+    * UTC — which every entry point pins (Verify/SparkSpec set
+    * `spark.sql.session.timeZone=UTC` explicitly; the harness boxes
+    * run `Etc/UTC` for Bench). The require makes a non-UTC caller fail
+    * loudly instead of silently shifting every event time.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos via the flag
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), not UTC-adjusted
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).getRules ==
+            java.time.ZoneOffset.UTC.getRules,
+          s"events: NTZ→timestamp cast needs a UTC session, got $tz " +
+            "(set spark.sql.session.timeZone=UTC)")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampType => raw // already instant-typed
+      case other =>
+        throw new IllegalArgumentException(
+          s"events: unsupported physical type for ts: $other")
+    }
   }
 
   /** Schema of the reference's edge list: two integer ids per line,

@@ -631,6 +631,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall too low: $recall")
   }
 
+  test("recallAtK: exact arithmetic on a hand-built fixture, and the gate's floor on sf0.001") {
+    import spark.implicits._
+    // fixture: 2 queries × 3 exact neighbors; approx hits 2 of q1's
+    // and 1 of q2's → hits=3, total=6, recall=0.5 exactly
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (2L, 20L), (2L, 98L), (2L, 97L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2L)   // n_queries
+    assert(r(0).getLong(1) === 3L)   // hits
+    assert(r(0).getLong(2) === 6L)   // total
+    assert(r(0).getDouble(3) === 0.5)
+    // the knn_recall GATE's value, floored: recall@5 of the
+    // hash-anchored IVF vs brute on the real sf0.001 embeddings must
+    // not silently regress below the bar the index has always cleared
+    // (CORRECTNESS hash-pins the exact value at sf0.01; this pins a
+    // floor the moment anyone retunes IvfNProbe/IvfMaxCells)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val gate = Similarity.recallAtK(
+      Similarity.knnIvf(emb), Similarity.knnBrute(emb)).collect()(0)
+    assert(gate.getLong(2) === 50L) // 10 queries × k=5 exact pairs
+    assert(gate.getDouble(3) >= 0.3,
+      s"knn_recall gate value fell below floor: ${gate.getDouble(3)}")
+    // recallAtK must agree with the independent set-intersection form
+    val ivf = Similarity.knnIvf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.knnBrute(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gate.getLong(1) === (ivf & brute).size.toLong)
+  }
+
   test("knnIvfTrained: deterministic, and on a clustered corpus beats the hash-anchor layout") {
     // 2000 vectors in 25 tight clusters (dim 16): centers from the
     // cluster id's hash, points = center + small id-hash noise — fully
@@ -808,6 +841,48 @@ class ExtensionsSpec extends SparkSpec {
       Similarity.knnIvfFromAssigned(cents, emb)
     }
     assert(ex.getMessage.contains("cell"))
+  }
+
+  test("knnIvfFromAssigned raises on a corpus stamped under DIFFERENT centroids (stale ivf_cents_fp)") {
+    // corpus A stamped under A's trained centroids...
+    val embA = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val centsA = Similarity.centroidsOf(embA, corpusSize = 2000L)
+    val assignedA = embA
+      .join(Similarity.ivfAssignFromStored(centsA, embA), "vec_id")
+    // ...then the index is RE-TRAINED on a shifted corpus (same build
+    // constants → same ivf_params_fp; different fitted vectors →
+    // different content hash). Serving the stale-stamped corpus under
+    // the new centroids must fail LOUDLY, in both serve modes — this
+    // is exactly the silent-wrong-neighbors scenario the stamp exists
+    // to kill.
+    val embB = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i + 1), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 98), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val centsB = Similarity.centroidsOf(embB, corpusSize = 2000L)
+    // the raise_error surfaces wrapped in task/job failure layers —
+    // search the whole cause chain for the stamp's name
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val exLazy = intercept[Exception] {
+      Similarity.knnIvfFromAssigned(centsB, assignedA).collect()
+    }
+    assert(chain(exLazy).contains("ivf_cents_fp"), chain(exLazy))
+    val exStatic = intercept[Exception] {
+      Similarity.knnIvfFromAssigned(centsB, assignedA, staticPrune = true)
+        .collect()
+    }
+    assert(chain(exStatic).contains("ivf_cents_fp"), chain(exStatic))
+    // and the MATCHING centroids still serve: the guard is a stamp
+    // check, not a tax on the valid path
+    assert(Similarity.knnIvfFromAssigned(centsA, assignedA).collect()
+      .nonEmpty)
   }
 
   test("IvfAssign2 two-level kernel == window-based coarse→fine reference") {

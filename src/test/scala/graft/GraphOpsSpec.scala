@@ -569,6 +569,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(kept === Set((0L, 0L), (1L, 9L), (2L, 2L), (5L, 5L)))
   }
 
+  test("graph_hops_deep gate: chain layers exact through compaction and the budget-cap exit") {
+    // the gate's own shape at sf0.001: 500 docs, stride 7 ⇒ 7 disjoint
+    // chains ~70 deep — the BFS passes TWO 32-layer compactions and
+    // exits on the 64-hop budget, never the empty frontier, so this
+    // pins exactly the machinery the shallow gate (3 hops) never runs
+    val got = SparkEntry.queries("graph_hops_deep")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every layer 0..64 holds exactly the 7 chain members: vertex v has
+    // dist v/7 when v/7 <= 64 (integer division — v mod 7 names the
+    // chain, v/7 its position), deeper vertices are absent
+    val expect = (0L until 500L).filter(_ / 7 <= 64)
+      .map(v => (v, v / 7)).toSet
+    assert(got.toSet === expect)
+    assert(got.length === expect.size) // no duplicate vertex rows
+    assert(got.map(_._2).max === 64L)  // the budget bound, reached
+  }
+
   test("property: RS == Rep on simple graphs without 2-cycles/self-loops") {
     val rng = new scala.util.Random(7)
     (1 to 6).foreach { _ =>

@@ -3,8 +3,9 @@ package graft
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Source-layer behaviors: CSV edge format, TIMESTAMP_NANOS events,
-  * bucketed co-located joins.
+/** Source-layer behaviors: CSV edge format, events ts normalization
+  * (TIMESTAMP_NANOS or MICROS-NTZ testdata generations), bucketed
+  * co-located joins.
   */
 class SourcesSpec extends SparkSpec {
 
@@ -18,7 +19,7 @@ class SourcesSpec extends SparkSpec {
       Set((10L, 20L), (30L, 40L)))
   }
 
-  test("events loader converts TIMESTAMP_NANOS to usable timestamps") {
+  test("events loader normalizes ts to TimestampType instants") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType.typeName === "timestamp")
     assert(ev.count() > 0)
