@@ -650,6 +650,32 @@ object ScaleRehearsal {
       require(nAll >= n3, s"deep reach $nAll < 3-hop reach $n3")
       s"reached $nAll (3-hop $n3)"
     })
+    // DEEP-DIAMETER regime, the one hopStride exists for: 1000
+    // disjoint 128-deep chains (128k vertices). Narrow layers (1000
+    // rows) make per-layer stage/job overhead the whole cost at
+    // stride 1; stride 8 joins the frontier against the precomputed
+    // k≤8-hop relation, one super-sweep per 8 layers — same exact
+    // layers (equality asserted on count AND the dist checksum), ~8×
+    // fewer scheduled stages/checkpoints. The A/B below is the
+    // standing record for the stride claim.
+    t("hop chains 128-deep: stride 1 vs 8")({
+      val chain = spark.range(128000L).select(col("id").as("src"),
+        (col("id") + 1000L).as("dst")).filter(col("dst") < 128000L)
+      val seeds = spark.range(1000L).select(col("id").as("v"))
+      def run(stride: Int): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val d = operators.GraphOps.hopDistances(chain, seeds, 200, stride)
+        val r = d.agg(count(lit(1)), sum(col("dist"))).collect()(0)
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      val (n1, s1, t1) = run(1)
+      val (n8, s8, t8) = run(8)
+      require(n1 == n8 && s1 == s8,
+        s"stride changed the result: ($n1,$s1) vs ($n8,$s8)")
+      require(n1 == 128000L, s"chain reach wrong: $n1")
+      f"stride1 $t1%.1f s, stride8 $t8%.1f s (${t1 / t8}%.1fx), " +
+        s"$n1 reached, dist-sum $s1"
+    })
     // source-vocabulary overlap at 50k docs × 20 synthetic sources:
     // per-source top-k through the bounded heap, pair stage ≤
     // sources·k rows — corpus size is irrelevant past the count stage

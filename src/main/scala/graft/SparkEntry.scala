@@ -64,7 +64,7 @@ object SparkEntry {
     * step-7 doc_id chains (documents self-joined on
     * `doc_id + HopDeepStep`), seeds = the chain heads (doc_id <
     * HopDeepStep), budget HopDeepMax. Chains run ≥ 70 layers at every
-    * sf, so — unlike the shallow gate — the 32-sweep layer compaction
+    * sf, so — unlike the shallow gate — the 16-frame layer compaction
     * AND the hop-budget exit (not the empty-frontier exit) are on the
     * oracle-checked path, not just in rehearsal. Same constants MUST
     * appear in oracleSql.
@@ -287,9 +287,12 @@ object SparkEntry {
     // DEEP-diameter BFS: the same operator with a 64-hop budget over a
     // long-chain graph (documents self-joined at stride HopDeepStep ⇒
     // 7 disjoint ~N/7-deep paths), so the frontier-delta sweep loop,
-    // the HopCompactLayers=32 compaction and the budget-cap exit all
-    // run on the hash-checked path — the shallow gate exits at 3
-    // sweeps and never compacts
+    // the 16-frame layer compaction and the budget-cap exit all run on
+    // the hash-checked path — the shallow gate exits at 3 sweeps and
+    // never compacts. hopStride = 4 is the deep-diameter posture (4
+    // BFS layers per materialized super-sweep; 16 frames at the 64-hop
+    // budget → exactly one compaction), measured 20.5 → ~6 s at local
+    // scale where per-layer job overhead dominates
     "graph_hops_deep" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents").select(col("doc_id"))
@@ -299,7 +302,8 @@ object SparkEntry {
           (col("doc_id") + HopDeepStep).as("dst"))
       val seeds = docs.filter(col("doc_id") < HopDeepStep)
         .select(col("doc_id").as("v"))
-      GraphOps.hopDistances(e, seeds, HopDeepMax).orderBy("vertex")
+      GraphOps.hopDistances(e, seeds, HopDeepMax, hopStride = 4)
+        .orderBy("vertex")
     }),
     // dependency WAVES of the same condensation: SCC → condensation →
     // longest-path levels, the full cycle-safe scheduling pipeline in
@@ -537,6 +541,11 @@ object SparkEntry {
     "knn_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnIvf(emb), Similarity.knnBrute(emb))
+    }),
+    // the banded-LSH index under the same honesty gate
+    "knn_recall_lsh" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnLsh(emb), Similarity.knnBrute(emb))
     }),
     // DELIBERATELY no oracleSql entry: the Lloyd-fitted centroids are
     // not SQL-derivable, so the driver records a rows-only check — the
@@ -1008,6 +1017,47 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
+
+  /** knn_lsh oracle — shared by knn_recall_lsh (its approximate side). */
+  private val KnnLshSql: String = {
+    val bandJoins = (0 until Similarity.LshBands).map { j =>
+      s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
+        s"ON ${lshBandSql("e.sig", j, "e.bb")} = ${lshBandSql("q.q_sig", j, "q.bb")} " +
+        "AND e.vec_id <> q.query_id"
+    }.mkString(" UNION ALL ")
+    s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+      s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+      s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig, bb " +
+      "FROM e WHERE vec_id < 10), " +
+      s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
+      "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
+      s"${dotSql("q.q_emb", "e.embedding")} / (sqrt(q.q_n2) * sqrt(e.n2)) AS cosine " +
+      "FROM cand c JOIN e ON e.vec_id = c.vec_id " +
+      "JOIN q ON q.query_id = c.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
+  }
+
+  /** Recall-gate oracle shape over any (exact, approx) oracle pair:
+    * LEFT JOIN the exact top-k pairs against the approximate side's,
+    * reduce to one (n_queries, hits, total, recall) row. Integer
+    * hits/total divide exactly in doubles → hash-comparable.
+    */
+  private def recallSql(exactSql: String, approxSql: String): String =
+    s"WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)), " +
+      s"ap AS (SELECT query_id, neighbor_id FROM ($approxSql)), " +
+      "j AS (SELECT ex.query_id, ex.neighbor_id, " +
+      "CASE WHEN ap.query_id IS NULL THEN 0 ELSE 1 END AS hit " +
+      "FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id " +
+      "AND ap.neighbor_id = ex.neighbor_id) " +
+      "SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries, " +
+      "CAST(SUM(hit) AS BIGINT) AS hits, " +
+      "CAST(COUNT(*) AS BIGINT) AS total, " +
+      "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
+      "FROM j"
 
   /** knn_ivf oracle — shared by knn_recall (its approximate side).
     * Two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
@@ -1804,27 +1854,7 @@ object SparkEntry {
         "SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
         "FROM reach GROUP BY u"),
     "knn_brute" -> KnnBruteSql,
-    "knn_lsh" -> {
-      val bandJoins = (0 until Similarity.LshBands).map { j =>
-        s"SELECT q.query_id, e.vec_id FROM e JOIN q " +
-          s"ON ${lshBandSql("e.sig", j, "e.bb")} = ${lshBandSql("q.q_sig", j, "q.bb")} " +
-          "AND e.vec_id <> q.query_id"
-      }.mkString(" UNION ALL ")
-      s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
-        s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
-        s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2, sig AS q_sig, bb " +
-        "FROM e WHERE vec_id < 10), " +
-        s"cand AS (SELECT DISTINCT query_id, vec_id FROM ($bandJoins)), " +
-        "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("q.q_emb", "e.embedding")} / (sqrt(q.q_n2) * sqrt(e.n2)) AS cosine " +
-        "FROM cand c JOIN e ON e.vec_id = c.vec_id " +
-        "JOIN q ON q.query_id = c.query_id), " +
-        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
-        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
-        "FROM r WHERE rnk <= 5"
-    },
+    "knn_lsh" -> KnnLshSql,
     "knn_lsh_probe" -> {
       // per band j and per flipped bit b (plus the no-flip probe): an
       // equi-join between the corpus band value and the query's PROBED
@@ -1865,24 +1895,12 @@ object SparkEntry {
     // (cos DESC, id ASC) row_number — bit-identical to the Scala
     // grouping + the IvfAssign2 kernel's ascending-iteration strict->
     "knn_ivf" -> KnnIvfSql,
-    // recall@5 of the IVF ranking against the brute-force one: both
-    // component rankings are the exact oracle SQL of their own gates
-    // (KnnBruteSql / KnnIvfSql — shared vals, so the three gates
-    // cannot drift), left-joined on (query, neighbor) pairs and
-    // reduced to one row; integer hits/total divide exactly in
-    // doubles, so the recall fraction is hash-comparable
-    "knn_recall" ->
-      (s"WITH ex AS (SELECT query_id, neighbor_id FROM ($KnnBruteSql)), " +
-        s"ap AS (SELECT query_id, neighbor_id FROM ($KnnIvfSql)), " +
-        "j AS (SELECT ex.query_id, ex.neighbor_id, " +
-        "CASE WHEN ap.query_id IS NULL THEN 0 ELSE 1 END AS hit " +
-        "FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id " +
-        "AND ap.neighbor_id = ex.neighbor_id) " +
-        "SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries, " +
-        "CAST(SUM(hit) AS BIGINT) AS hits, " +
-        "CAST(COUNT(*) AS BIGINT) AS total, " +
-        "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
-        "FROM j"),
+    // recall@5 of the IVF / LSH rankings against the brute-force one:
+    // every component ranking is the exact oracle SQL of its own gate
+    // (the shared KnnBruteSql/KnnIvfSql/KnnLshSql vals, so the gates
+    // cannot drift), composed through the one recallSql shape
+    "knn_recall" -> recallSql(KnnBruteSql, KnnIvfSql),
+    "knn_recall_lsh" -> recallSql(KnnBruteSql, KnnLshSql),
     // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
     // (strlen) and first_byte the UTF-8 leading byte — byte semantics
     // exactly, not character semantics (they differ on non-ASCII text).

@@ -818,13 +818,17 @@ object GraphOps {
     lvl.iterator
   }
 
-  /** Sweeps between distance-relation compactions in `hopDistances`:
-    * bounds the union view's plan width while keeping the per-sweep
-    * checkpoint work frontier-sized (a compaction copies the reached
-    * set once per `HopCompactLayers` sweeps — amortized O(reached/32)
-    * per sweep instead of O(reached) every sweep).
+  /** Materialized frames between distance-relation compactions in
+    * `hopDistances`: bounds the union view's plan width while keeping
+    * the per-sweep checkpoint work frontier-sized (a compaction copies
+    * the reached set once per `HopCompactLayers` frames — amortized
+    * O(reached/16) per frame instead of O(reached) every frame). With
+    * `hopStride` > 1 each frame holds several BFS layers, so 16 frames
+    * already cover 16·stride hops — half the former 32-frame bound
+    * keeps the same worst-case plan width at a deep budget while
+    * letting a 64-hop stride-4 run exercise the compaction path.
     */
-  val HopCompactLayers = 32
+  val HopCompactLayers = 16
 
   /** Bounded MULTI-SOURCE HOP DISTANCE — for every vertex within
     * `maxHops` directed hops of any seed, the length of the shortest
@@ -849,28 +853,100 @@ object GraphOps {
     * LAYER is stats-free-checkpointed (the iterative-loop rule; see
     * `ColumnBridge.statsFreeLocalCheckpoint`) and the distance
     * relation is their lazy union, compacted every `HopCompactLayers`
-    * sweeps — per-sweep checkpoint work is frontier-sized, not
+    * frames — per-sweep checkpoint work is frontier-sized, not
     * reached-sized; equality with a
     * full-relation min-relaxation reference is property-pinned across
-    * random graphs and hop budgets. State is bounded by reached
-    * vertices, sweeps by `maxHops` and the reach. Distances are exact
-    * BFS layers, deterministic at any partitioning. `sources` is any
-    * one-column relation of vertex ids (column `v`); seeds absent
-    * from the edge relation still report dist 0.
+    * random graphs, hop budgets and strides. State is bounded by
+    * reached vertices, sweeps by `maxHops` and the reach. Distances
+    * are exact BFS layers, deterministic at any partitioning.
+    * `sources` is any one-column relation of vertex ids (column `v`);
+    * seeds absent from the edge relation still report dist 0.
+    *
+    * `hopStride` batches that many BFS layers into ONE materialized
+    * super-sweep through a PRECOMPUTED multi-hop edge relation
+    * `E≤s(src, dst, k)` — the distinct k-step reachability pairs for
+    * k = 1..stride, each built once by a self-join chain before the
+    * loop and cached. A super-sweep is then a single
+    * `frontier ⋈ E≤s` join, a `min(hop + k)` first-touch election and
+    * one anti-join against the known relation: ~5 scheduled stages
+    * for `stride` layers instead of (2-3 stages + a checkpoint +
+    * a count job) PER layer. Exactness: every shortest path to a
+    * vertex first reached in (hop, hop+s] crosses the hop-layer
+    * frontier at its layer-`hop` vertex, whose remaining sub-path has
+    * length j ≤ s, so the candidate appears with k = j and the min
+    * elects exactly hop + j (property-pinned across random digraphs,
+    * budgets and strides). The TRADE is the k-hop relation itself:
+    * |E_k| is bounded by distinct k-step PAIRS — edge-sized on
+    * deep-sparse graphs (chains, roads, pipelines, DAG schedules; the
+    * regime stride exists for), but on bushy graphs it densifies
+    * toward V², which is why the DEFAULT stays 1 (pure frontier-delta
+    * sweeps, no precompute, no densification risk). Measured at
+    * local[32] on the 64-hop chain gate: 20.5 s at stride 1 — the
+    * per-layer stage/job floor (~40 ms/exchange under AQE) utterly
+    * dominating microseconds of real work — vs 5-7 s at stride 4
+    * (job count 381 → 102; an earlier lazy-chain formulation of the
+    * same batching saved almost nothing because the per-super-sweep
+    * union recomputed every chain prefix — AQE does not reuse stages
+    * across union branches).
     */
   def hopDistances(e: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, hopStride: Int = 1): DataFrame = {
     require(maxHops >= 0 && maxHops <= 1000,
       s"maxHops must be in [0, 1000], got $maxHops")
-    val edges = graft.Caches.track(
+    require(hopStride >= 1 && hopStride <= 64,
+      s"hopStride must be in [1, 64], got $hopStride")
+    // RIGHT-SIZE the edge cache to its measured row count: the loop
+    // rescans this cache once per layer, so a 5k-row edge relation
+    // cached at the session's 32 shuffle partitions pays 32 task
+    // launches per sweep for microseconds of work each — at a 64-hop
+    // budget that is thousands of pure-overhead task launches. One
+    // counting pass (the persist must be forced anyway) picks
+    // ~500k-row cache partitions, floor 1; big graphs keep their
+    // parallelism untouched. Same sizing you'd do on a cluster —
+    // partition count follows data size, not the session default.
+    val big = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nEdges = big.count()
+    val targetParts = math.max(1L, nEdges / 500000L)
+    val edges =
+      if (targetParts < big.rdd.getNumPartitions) {
+        val small = graft.Caches.track(big.coalesce(targetParts.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        small.count()
+        big.unpersist(blocking = false)
+        small
+      } else big
+    // the multi-hop relation for stride > 1 (see docstring): E_k =
+    // distinct k-step pairs, each self-join materialized ONCE and
+    // right-sized like the edge cache; the lazy union carries the k
+    // tag. Stride 1 degenerates to the plain edge relation at k = 1.
+    val hopRel: DataFrame =
+      if (hopStride == 1) edges.withColumn("k", lit(1L))
+      else {
+        var frames = List(edges.withColumn("k", lit(1L)))
+        var ek = edges
+        var k = 1
+        while (k < hopStride) {
+          k += 1
+          val next = graft.Caches.track(ek.as("a")
+            .join(edges.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+            .distinct()
+            .coalesce(targetParts.toInt)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          next.count()
+          frames ::= next.withColumn("k", lit(k.toLong))
+          ek = next
+        }
+        frames.reduce(_.unionByName(_))
+      }
     val (seed, nSeeds) = ckCounted(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
-    // the distance relation is the UNION of checkpointed layer frames
-    // — never re-checkpointed per sweep (that would copy O(reached)
-    // rows every sweep; only the O(frontier) layer is new work). The
-    // union view is compacted every `HopCompactLayers` sweeps so plan
+    // the distance relation is the UNION of checkpointed frames —
+    // never re-checkpointed per sweep (that would copy O(reached)
+    // rows every sweep; only the O(new layers) frame is new work). The
+    // union view is compacted every `HopCompactLayers` frames so plan
     // width stays bounded at deep hop budgets.
     var layers = List(seed)
     var dist = seed // lazy union over `layers`
@@ -878,33 +954,40 @@ object GraphOps {
     var hop = 0
     var exhausted = maxHops == 0 || nSeeds == 0L
     while (!exhausted) {
-      hop += 1
-      // the checkpoint's forcing count doubles as the emptiness signal
-      // — no separate per-sweep job
-      val (newFrontier, nNew) = ckCounted(edges
+      val steps = math.min(hopStride, maxHops - hop)
+      // ONE join expands all `steps` layers; min(hop + k) elects each
+      // vertex's first touch; the checkpoint's forcing count doubles
+      // as the emptiness signal — no separate per-sweep job
+      val reach = if (steps == hopStride) hopRel
+        else hopRel.filter(col("k") <= lit(steps.toLong))
+      val (newLayers, nNew) = ckCounted(reach
         .join(frontier.select(col("v").as("src")), "src")
-        .select(col("dst").as("v")).distinct()
-        .join(dist, Seq("v"), "left_anti")
-        .withColumn("dist", lit(hop.toLong)))
-      frontier = newFrontier
-      layers ::= newFrontier
-      dist = dist.unionByName(newFrontier)
+        .select(col("dst").as("v"), (col("k") + lit(hop.toLong)).as("dist"))
+        .groupBy("v").agg(min("dist").as("dist"))
+        .join(dist, Seq("v"), "left_anti"))
+      hop += steps
+      layers ::= newLayers
+      dist = dist.unionByName(newLayers)
+      // next super-sweep expands from the LAST layer only (vertices
+      // first reached at `hop`); earlier layers in this frame already
+      // expanded inside the cᵢ chain
+      frontier = newLayers.filter(col("dist") === lit(hop.toLong))
       if (layers.length >= HopCompactLayers) {
         val compact = ck(dist)
         layers.foreach(drop)
         layers = List(compact)
         dist = compact
-        // the frontier frame was one of the dropped layers — recover
+        // the frontier's frame was one of the dropped layers — recover
         // it from the compacted relation (dist == hop ⇔ first reached
-        // this sweep)
+        // at the last completed sweep)
         frontier = compact.filter(col("dist") === lit(hop.toLong))
       }
       exhausted = hop == maxHops || nNew == 0L
     }
     // final compaction: return ONE checkpointed relation, not a lazy
     // union over up to HopCompactLayers-1 live layer frames — a
-    // long-lived caller would otherwise pin O(layers) executor
-    // block-store entries and carry a 31-wide union plan into every
+    // long-lived caller would otherwise pin O(frames) executor
+    // block-store entries and carry a 15-wide union plan into every
     // downstream job. One reached-sized copy, then the layer frames
     // are released.
     if (layers.length > 1) {

@@ -14,7 +14,31 @@ object Tables {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
+    else if (name == "embeddings") embeddings(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The embeddings table, with the `embedding` element type pinned to
+    * FloatType. Defensive dtype normalization, same lesson as `events`:
+    * a testdata regeneration flipped `ts`'s physical type between
+    * rounds and broke every events plan, and the embedding column is
+    * the only other column whose physical type plausibly drifts
+    * (float↔double vectors). The cast is applied ONLY when the loaded
+    * element type differs — the expected float layout takes the plain
+    * scan path untouched (no expression wrapping vec_id/label, no
+    * pushdown impact).
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding", org.apache.spark.sql.functions
+          .col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings: unsupported type for embedding: $other")
+    }
+  }
 
   /** The events table's `ts` column has shipped in TWO physical
     * layouts across harness testdata generations — parquet

@@ -370,12 +370,15 @@ class GraphOpsSpec extends SparkSpec {
       val seeds = Set(0L, 1L, 2L)
       // 50 overshoots the 20-vertex graph's reach — the frontier-delta
       // loop must EXIT EARLY with the full-reach answer, identically
-      // to the brute reference run to exhaustion
-      for (hops <- Seq(0, 1, 3, 50)) {
+      // to the brute reference run to exhaustion. Strides > 1 (layer
+      // batching, incl. one NOT dividing the budget and one past it)
+      // must be invisible in the result on arbitrary digraphs — back
+      // edges, diamonds and revisits land on the same exact layers
+      for (hops <- Seq(0, 1, 3, 50); stride <- Seq(1, 3, 8)) {
         val got = GraphOps.hopDistances(edgeDf(e: _*),
-            seeds.toSeq.toDF("v"), hops)
+            seeds.toSeq.toDF("v"), hops, hopStride = stride)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        withClue(s"edges=$e hops=$hops") {
+        withClue(s"edges=$e hops=$hops stride=$stride") {
           assert(got === bruteBfs(e, seeds, hops))
         }
       }
@@ -386,13 +389,19 @@ class GraphOpsSpec extends SparkSpec {
         Seq(1L, 99L).toDF("v"), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L))
-    // an 80-vertex chain crosses the HopCompactLayers boundary twice —
-    // the layer-compaction path (including frontier recovery from the
+    // an 80-vertex chain crosses the 16-frame HopCompactLayers
+    // boundary (4× at stride 1, once at stride 4) — the
+    // layer-compaction path (including frontier recovery from the
     // compacted relation) must produce the same exact layers
     val chain = (0L until 79L).map(i => (i, i + 1L))
-    val deep = GraphOps.hopDistances(edgeDf(chain: _*), Seq(0L).toDF("v"), 100)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(deep === (0L to 79L).map(v => v -> v).toMap)
+    for (stride <- Seq(1, 4)) {
+      val deep = GraphOps.hopDistances(edgeDf(chain: _*), Seq(0L).toDF("v"),
+          100, hopStride = stride)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"stride=$stride") {
+        assert(deep === (0L to 79L).map(v => v -> v).toMap)
+      }
+    }
   }
 
   test("topoLevels: brute longest-path on random DAGs; cycle raises; SCC pipeline composes") {
@@ -570,10 +579,12 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("graph_hops_deep gate: chain layers exact through compaction and the budget-cap exit") {
-    // the gate's own shape at sf0.001: 500 docs, stride 7 ⇒ 7 disjoint
-    // chains ~70 deep — the BFS passes TWO 32-layer compactions and
-    // exits on the 64-hop budget, never the empty frontier, so this
-    // pins exactly the machinery the shallow gate (3 hops) never runs
+    // the gate's own shape at sf0.001: 500 docs, chain step 7 ⇒ 7
+    // disjoint chains ~70 deep — at hopStride 4 the BFS materializes
+    // 16 super-sweep frames, passes the 16-frame compaction (with
+    // frontier recovery) and exits on the 64-hop budget, never the
+    // empty frontier, so this pins exactly the machinery the shallow
+    // gate (3 hops) never runs
     val got = SparkEntry.queries("graph_hops_deep")(
         spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
