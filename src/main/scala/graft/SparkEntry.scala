@@ -337,6 +337,11 @@ object SparkEntry {
       TextOps.hashSplit(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
+    // pre-embedding chunking: fixed 256-char windows, 64-char overlap
+    // — shuffle-free generator projection, chunk text hash-compared
+    "text_chunks" -> ((s, d) =>
+      TextOps.chunkDocs(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.table(s, d, "documents"))
         .select("doc_id", "text").orderBy("doc_id")),
@@ -1421,6 +1426,20 @@ object SparkEntry {
         "CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars, " +
         "CAST(COALESCE(MAX(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS max_tokens " +
         "FROM documents"),
+    // chunk starts via unnest(generate_series) — generate_series can't
+    // take lateral column args as a table function in DuckDB, the
+    // unnest-in-select form can; constants from TextOps so the window
+    // geometry cannot drift
+    "text_chunks" -> {
+      val w = graft.operators.TextOps.ChunkWindow
+      val stride = w - graft.operators.TextOps.ChunkOverlap
+      s"WITH st AS (SELECT doc_id, text, unnest(generate_series(0, " +
+        s"GREATEST(len(text) - 1, 0), $stride)) AS start FROM documents) " +
+        s"SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_idx, " +
+        s"substr(text, CAST(start AS INT) + 1, $w) AS chunk, " +
+        s"CAST(len(substr(text, CAST(start AS INT) + 1, $w)) AS BIGINT) AS n_chars " +
+        "FROM st"
+    },
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
         "'\\s+', ' ', 'g')) AS text FROM documents"),

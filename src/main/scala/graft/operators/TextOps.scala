@@ -281,6 +281,41 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "seq_id", "seq_off")
   }
 
+  /** Chunk window / overlap for the `text_chunks` gate — same
+    * constants MUST appear in the oracle SQL.
+    */
+  val ChunkWindow = 256
+  val ChunkOverlap = 64
+
+  /** CHUNKING for embedding / retrieval pipelines: every document
+    * splits into fixed `window`-character chunks whose starts advance
+    * by `window - overlap` (consecutive chunks share `overlap` chars
+    * of context — the standard pre-embedding step, so a sentence cut
+    * by one boundary survives intact in the neighbor chunk). One
+    * `(doc_id, chunk_idx, chunk, n_chars)` row per chunk; the tail
+    * chunk is short, an empty document yields exactly one empty chunk
+    * (starts = sequence(0, max(len−1, 0), stride) — total, like every
+    * ingest operator here). Shuffle-free: a generator expression per
+    * row (codegen'd sequence + posexplode + substring), so at 100 TB
+    * it is a pure map stage whose output feeds the embedder /
+    * chunk-level dedup directly; chunk_idx is derivable (start /
+    * stride) but materialized for downstream group-bys.
+    */
+  def chunkDocs(docs: DataFrame, window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap (window $window)")
+    val stride = window - overlap
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), posexplode(sequence(lit(0L),
+        greatest(length(col("text")).cast("long") - 1L, lit(0L)),
+        lit(stride.toLong))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        expr(s"substring(text, cast(col + 1 as int), $window)").as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+
   /** Boilerplate/REPETITION signal: per doc, total vs distinct
     * word-3-gram shingles and the duplicate fraction — high values
     * mark the template-heavy pages quality filters drop. Shuffle-free

@@ -419,6 +419,37 @@ class ExtensionsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("chunkDocs == brute sliding-window reference; empty doc yields one empty chunk") {
+    val rng = new scala.util.Random(17)
+    val alpha = "abcdefgh \n\t"
+    val docs = docsDf(((0 until 80).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(900))(alpha(rng.nextInt(alpha.length)))
+        .mkString)
+    } :+ (999L, "")): _*)
+    val (w, ov) = (100, 30)
+    val got = TextOps.chunkDocs(docs, w, ov)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val ref = docs.select("doc_id", "text").collect().flatMap { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val starts = 0 to math.max(t.length - 1, 0) by (w - ov)
+      starts.zipWithIndex.map { case (s, i) =>
+        val c = t.substring(s, math.min(s + w, t.length))
+        (id, i.toLong) -> (c, c.length.toLong)
+      }
+    }.toMap
+    assert(got === ref)
+    assert(got((999L, 0L)) === (("", 0L))) // empty doc → one empty chunk
+    // overlap contract: consecutive chunks share the trailing `ov`
+    // chars wherever the earlier chunk is full-width
+    got.foreach { case ((id, i), (c, _)) =>
+      got.get((id, i + 1)).foreach { case (next, _) =>
+        if (c.length == w)
+          assert(c.takeRight(ov) === next.take(ov), s"doc $id chunk $i")
+      }
+    }
+  }
+
   test("repetition: duplicate-shingle fraction") {
     val got = TextOps.repetition(docsDf(
         (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct
