@@ -442,6 +442,24 @@ object SparkEntry {
           TextOps.quality(docs).select("doc_id", "quality"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // the same quality-argmax survivor policy applied CROSS-MODAL:
+    // clusters come from embedding near-dups (cosine ≥ 0.30 over the
+    // banded LSH candidates), the score from the text-side quality
+    // signal (vec_id ≡ doc_id — the same entity in two modalities);
+    // survivor universe = the EMBEDDED docs (unembedded docs are
+    // outside the clustering and would trivially "survive")
+    "embedding_survivors_best" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val emb = Tables.table(s, d, "embeddings")
+      val embedded = docs.join(
+        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.survivorsBest(embedded,
+          Dedup.dupClusters(Similarity.nearDupPairs(emb)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
+          TextOps.quality(docs).select("doc_id", "quality"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // the streaming near-dup filter's batch twin, with arrival order =
     // doc_id — survivors share no LSH band with any earlier doc
     "dedup_stream_neardup" -> ((s, d) =>
@@ -1824,6 +1842,32 @@ object SparkEntry {
         "losers AS (SELECT doc_id FROM w WHERE rn > 1) " +
         "SELECT doc_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
+    // the cross-modal survivor policy: embedding-near-dup clusters
+    // (EmbNearDupSql recursive closure — shared with
+    // embedding_clusters) scored by QualitySqlExpr (shared with
+    // text_quality / dedup_survivors_best), winner per cluster by
+    // (quality DESC, doc_id ASC); universe = embedded docs
+    "embedding_survivors_best" ->
+      (s"WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ($EmbNearDupSql) t), " +
+        "sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs " +
+        "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
+        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
+        "losers AS (SELECT doc_id FROM w WHERE rn > 1) " +
+        "SELECT e.vec_id AS doc_id FROM embeddings e " +
+        "WHERE e.vec_id IN (SELECT doc_id FROM documents) " +
+        "AND e.vec_id NOT IN (SELECT doc_id FROM losers)"),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned
