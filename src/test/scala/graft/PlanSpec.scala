@@ -37,6 +37,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("text_chunks is a shuffle-free generator projection reading only (doc_id, text)") {
+    val plan = executedPlan("text_chunks")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Generate"), plan) // the posexplode generator
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
   test("knn_ivf assigns cells with ZERO joins on the corpus side") {
     val plan = executedPlan("knn_ivf")
     // the assignment expression runs inside a projection; the only
