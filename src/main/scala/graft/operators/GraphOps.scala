@@ -908,7 +908,12 @@ object GraphOps {
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nEdges = big.count()
-    val targetParts = math.max(1L, nEdges / 500000L)
+    // ~128k rows per cache partition: small enough that a mid-size
+    // graph (sf0.1's 600k distinct edges) keeps a few-way parallel
+    // scan — an earlier 500k-row divisor collapsed it to ONE partition
+    // and cost graph_hops ~25% — large enough that a 5k-row chain
+    // relation still lands on a single task
+    val targetParts = math.max(1L, (nEdges + 127999L) / 128000L)
     val edges =
       if (targetParts < big.rdd.getNumPartitions) {
         val small = graft.Caches.track(big.coalesce(targetParts.toInt)
