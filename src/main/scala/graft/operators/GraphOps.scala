@@ -900,9 +900,9 @@ object GraphOps {
     // cached at the session's 32 shuffle partitions pays 32 task
     // launches per sweep for microseconds of work each — at a 64-hop
     // budget that is thousands of pure-overhead task launches. One
-    // counting pass (the persist must be forced anyway) picks
-    // ~500k-row cache partitions, floor 1; big graphs keep their
-    // parallelism untouched. Same sizing you'd do on a cluster —
+    // counting pass (the persist must be forced anyway) right-sizes
+    // the cache partitions to the row count, floor 1; big graphs keep
+    // their parallelism untouched. Same sizing you'd do on a cluster —
     // partition count follows data size, not the session default.
     val big = graft.Caches.track(
       e.select("src", "dst").distinct()
@@ -925,14 +925,17 @@ object GraphOps {
     // the multi-hop relation for stride > 1 (see docstring): E_k =
     // distinct k-step pairs, each self-join materialized ONCE and
     // right-sized like the edge cache; the lazy union carries the k
-    // tag. Stride 1 degenerates to the plain edge relation at k = 1.
+    // tag. Stride 1 degenerates to the plain edge relation at k = 1;
+    // a budget below the stride caps the precompute (E_k past maxHops
+    // could never match a sweep's k-filter).
+    val effStride = math.min(hopStride, math.max(maxHops, 1))
     val hopRel: DataFrame =
-      if (hopStride == 1) edges.withColumn("k", lit(1L))
+      if (effStride == 1) edges.withColumn("k", lit(1L))
       else {
         var frames = List(edges.withColumn("k", lit(1L)))
         var ek = edges
         var k = 1
-        while (k < hopStride) {
+        while (k < effStride) {
           k += 1
           val next = graft.Caches.track(ek.as("a")
             .join(edges.as("b"), col("a.dst") === col("b.src"))
@@ -959,11 +962,11 @@ object GraphOps {
     var hop = 0
     var exhausted = maxHops == 0 || nSeeds == 0L
     while (!exhausted) {
-      val steps = math.min(hopStride, maxHops - hop)
+      val steps = math.min(effStride, maxHops - hop)
       // ONE join expands all `steps` layers; min(hop + k) elects each
       // vertex's first touch; the checkpoint's forcing count doubles
       // as the emptiness signal — no separate per-sweep job
-      val reach = if (steps == hopStride) hopRel
+      val reach = if (steps == effStride) hopRel
         else hopRel.filter(col("k") <= lit(steps.toLong))
       val (newLayers, nNew) = ckCounted(reach
         .join(frontier.select(col("v").as("src")), "src")
@@ -974,8 +977,8 @@ object GraphOps {
       layers ::= newLayers
       dist = dist.unionByName(newLayers)
       // next super-sweep expands from the LAST layer only (vertices
-      // first reached at `hop`); earlier layers in this frame already
-      // expanded inside the cᵢ chain
+      // first reached at `hop`): every earlier layer in this frame was
+      // already expanded through E≤s within the same super-sweep
       frontier = newLayers.filter(col("dist") === lit(hop.toLong))
       if (layers.length >= HopCompactLayers) {
         val compact = ck(dist)
