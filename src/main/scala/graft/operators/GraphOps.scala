@@ -895,33 +895,34 @@ object GraphOps {
       s"maxHops must be in [0, 1000], got $maxHops")
     require(hopStride >= 1 && hopStride <= 64,
       s"hopStride must be in [1, 64], got $hopStride")
-    // RIGHT-SIZE the edge cache to its measured row count: the loop
-    // rescans this cache once per layer, so a 5k-row edge relation
-    // cached at the session's 32 shuffle partitions pays 32 task
-    // launches per sweep for microseconds of work each — at a 64-hop
-    // budget that is thousands of pure-overhead task launches. One
-    // counting pass (the persist must be forced anyway) right-sizes
-    // the cache partitions to the row count, floor 1; big graphs keep
-    // their parallelism untouched. Same sizing you'd do on a cluster —
-    // partition count follows data size, not the session default.
+    // RIGHT-SIZE the edge cache to its measured row count — but only
+    // in the deep-budget stride regime, where the loop rescans this
+    // cache once per super-sweep for many sweeps: there a 5k-row
+    // relation cached at the session's 32 shuffle partitions pays 32
+    // task launches per scan for microseconds of work each. The
+    // sizing pass costs one count plus (for genuinely tiny relations,
+    // < 128k rows at ~32k rows per kept partition) one re-cached
+    // copy; a stride-1 caller — typically a shallow budget over a big
+    // graph, where per-task work is real — skips the whole pass and
+    // keeps the plain persist, zero extra jobs. Same sizing you'd do
+    // on a cluster: partition count follows data size, not the
+    // session default.
     val big = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nEdges = big.count()
-    // ~128k rows per cache partition: small enough that a mid-size
-    // graph (sf0.1's 600k distinct edges) keeps a few-way parallel
-    // scan — an earlier 500k-row divisor collapsed it to ONE partition
-    // and cost graph_hops ~25% — large enough that a 5k-row chain
-    // relation still lands on a single task
-    val targetParts = math.max(1L, (nEdges + 127999L) / 128000L)
-    val edges =
-      if (targetParts < big.rdd.getNumPartitions) {
-        val small = graft.Caches.track(big.coalesce(targetParts.toInt)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        small.count()
-        big.unpersist(blocking = false)
-        small
-      } else big
+    val (edges, targetParts) =
+      if (hopStride == 1) (big, 0L)
+      else {
+        val nEdges = big.count()
+        val parts = math.max(1L, nEdges / 32768L)
+        if (nEdges < 131072L && parts < big.rdd.getNumPartitions) {
+          val small = graft.Caches.track(big.coalesce(parts.toInt)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          small.count()
+          big.unpersist(blocking = false)
+          (small, parts)
+        } else (big, parts)
+      }
     // the multi-hop relation for stride > 1 (see docstring): E_k =
     // distinct k-step pairs, each self-join materialized ONCE and
     // right-sized like the edge cache; the lazy union carries the k
