@@ -693,6 +693,19 @@ class ExtensionsSpec extends SparkSpec {
     val brute = Similarity.knnBrute(emb).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(gate.getLong(1) === (ivf & brute).size.toLong)
+    // the LSH sibling gate (knn_recall_lsh): plain banded LSH is
+    // candidate-STARVED on the near-uniform real embeddings (measured
+    // 0.04 here, 0.08 at sf0.01 — the number that motivates
+    // knn_lsh_probe), so its floor only catches total collapse; the
+    // driver's hash pin on the gate value is the real drift guard
+    val lshGate = Similarity.recallAtK(
+      Similarity.knnLsh(emb), Similarity.knnBrute(emb)).collect()(0)
+    assert(lshGate.getLong(2) === 50L)
+    assert(lshGate.getDouble(3) > 0.0,
+      s"knn_recall_lsh collapsed to zero recall")
+    assert(lshGate.getDouble(3) < gate.getDouble(3),
+      "plain LSH unexpectedly beat IVF on this corpus — revisit the " +
+        "starvation comment above")
   }
 
   test("knnIvfTrained: deterministic, and on a clustered corpus beats the hash-anchor layout") {
