@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, Snapshot, TextOps}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -232,6 +232,12 @@ object SparkEntry {
         .orderBy("vertex")),
     "graph_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphOps.edges(s, d)).orderBy("out_degree")),
+    // k-core: iterative degree-≥-k peeling of the undirected simple
+    // graph to its fixpoint; the oracle unrolls KCoreMaxRounds peel
+    // steps (identity past the fixpoint), the operator raises if it
+    // ever needs more — so the two cannot silently diverge
+    "graph_kcore" -> ((s, d) =>
+      GraphOps.kCore(GraphOps.edges(s, d)).orderBy("node_id")),
     "graph_mutual" -> ((s, d) =>
       GraphOps.mutualFollows(GraphOps.edges(s, d))),
     "path2_exact" -> ((s, d) =>
@@ -387,6 +393,12 @@ object SparkEntry {
     "text_mix" -> ((s, d) =>
       TextOps.mixCorpus(Tables.table(s, d, "documents"), MixPpm)
         .orderBy("doc_id", "epoch")),
+    // DSIR-style hashed-token importance vs the English slice as the
+    // target distribution — integer ppm ratios, broadcast weight table
+    "text_importance" -> ((s, d) =>
+      TextOps.importanceWeights(Tables.table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en")
+        .orderBy("doc_id")),
     "text_deciles" -> ((s, d) =>
       TextOps.lengthDeciles(Tables.table(s, d, "documents")).orderBy("decile")),
     "text_vocab_hll" -> ((s, d) =>
@@ -502,6 +514,37 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    // snapshot maintenance: latest-wins merge of a synthetic change
+    // batch (rev1 text for doc_id%5==0 at version 1; tombstones for
+    // doc_id%7==3 at version 2 — versions distinct so the overlap ids
+    // resolve deterministically) into the current corpus — one key
+    // shuffle, max_by((version, side)), winning tombstones dropped
+    "docs_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = Tables.table(s, d, "documents")
+      val cur = docs.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val changes = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("rev1: "), col("text")))
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      Snapshot.mergeLatest(cur, changes).orderBy("doc_id")
+    }),
+    // the refresh AUDIT: fingerprint diff of the merged snapshot
+    // against the original — upserted ids report changed, tombstoned
+    // ids report removed; (key, 64-bit fp) is all that shuffles
+    "docs_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = Tables.table(s, d, "documents")
+      val cur = docs.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val changes = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("rev1: "), col("text")))
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      Snapshot.snapshotDiff(docs, Snapshot.mergeLatest(cur, changes))
+        .orderBy("doc_id")
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -554,6 +597,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // full-corpus kNN JOIN (every vector's top-k, not a query subset) —
+    // the SemDeDup-style primitive; ids-only band self-join, one exact
+    // cosine per unordered candidate pair, TopKPerKey ranking
+    "knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
     // ANN HONESTY as a gate: recall@5 of the hash-anchored IVF index
     // against the exact brute-force ranking, one row — an index change
@@ -1082,6 +1131,51 @@ object SparkEntry {
       "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
       "FROM j"
 
+  /** docs_merge oracle — the synthetic change batch + latest-wins
+    * merge as one relation; shared verbatim by docs_diff (its `after`
+    * side). row_number over (version DESC, side DESC) is the SQL twin
+    * of mergeLatest's max_by((version, side)) — both resolve each key
+    * to the single highest (version, side) row, and the version/side
+    * pairs are distinct by construction of the batch.
+    */
+  private val MergedSnapshotSql: String =
+    "SELECT doc_id, text, lang, source, n_chars, version FROM (" +
+      "SELECT u.*, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY version DESC, side DESC) AS rn FROM (" +
+      "SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(0 AS BIGINT) AS version, FALSE AS deleted, 0 AS side FROM documents " +
+      "UNION ALL SELECT doc_id, 'rev1: ' || text, lang, source, n_chars, " +
+      "CAST(1 AS BIGINT), FALSE, 1 FROM documents WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id, text, lang, source, n_chars, " +
+      "CAST(2 AS BIGINT), TRUE, 1 FROM documents WHERE doc_id % 7 = 3" +
+      ") u) WHERE rn = 1 AND NOT deleted"
+
+  /** knn_graph oracle — the EmbNearDupSql candidate machinery (band
+    * self-join in canonical lo<hi orientation, DISTINCT) scored once
+    * per pair, mirrored, then ranked per query like KnnLshSql.
+    */
+  private val KnnGraphSql: String = {
+    val bandJoins = (0 until Similarity.LshBands).map { j =>
+      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
+        s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
+        "AND a.vec_id < b.vec_id"
+    }.mkString(" UNION ALL ")
+    s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+      s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
+      s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
+      s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)), " +
+      "h AS (SELECT c.vec_a, c.vec_b, " +
+      s"${dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine " +
+      "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a " +
+      "JOIN e eb ON eb.vec_id = c.vec_b), " +
+      "s AS (SELECT vec_a AS query_id, vec_b AS neighbor_id, cosine FROM h " +
+      "UNION ALL SELECT vec_b AS query_id, vec_a AS neighbor_id, cosine FROM h), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
+  }
+
   /** knn_ivf oracle — shared by knn_recall (its approximate side).
     * Two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
     * first ⌈√k⌉ of the same hash order; every argmax is a
@@ -1255,6 +1349,33 @@ object SparkEntry {
         "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
         "SELECT u AS vertex, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component " +
         "FROM reach GROUP BY u"),
+    // unrolled peeling twin of GraphOps.kCore: e0 = the symmetrized
+    // simple graph, then KCoreMaxRounds rounds of "keep edges whose
+    // BOTH endpoints currently have degree >= k" — the peel step is
+    // the identity at the fixpoint, and the operator RAISES if the
+    // bound is ever insufficient, so equal-by-unrolling is sound
+    "graph_kcore" -> {
+      val k = graft.operators.GraphOps.KCoreK
+      val rounds = graft.operators.GraphOps.KCoreMaxRounds
+      // every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+      // CTEs by default, and e_i referencing e_{i-1} three times makes
+      // the inlined plan EXPONENTIAL in the unroll depth (observed as
+      // fd exhaustion re-opening the base parquet thousands of times)
+      val cte = new StringBuilder
+      cte ++= "WITH base AS MATERIALIZED " +
+        s"(SELECT src, dst FROM ($EdgesCte) WHERE src <> dst), "
+      cte ++= "e0 AS MATERIALIZED " +
+        "(SELECT src, dst FROM base UNION SELECT dst, src FROM base)"
+      for (i <- 1 to rounds) {
+        cte ++= s", k$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1} " +
+          s"GROUP BY src HAVING COUNT(*) >= $k)"
+        cte ++= s", e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e " +
+          s"JOIN k$i a ON e.src = a.v JOIN k$i b ON e.dst = b.v)"
+      }
+      cte ++= s" SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree " +
+        s"FROM e$rounds GROUP BY src"
+      cte.result()
+    },
     "graph_degree_hist" ->
       (s"WITH edges AS ($EdgesCte), deg AS ($DegCte) " +
         "SELECT CAST(n AS BIGINT) AS out_degree, " +
@@ -1555,6 +1676,29 @@ object SparkEntry {
         "CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
         "CAST(SUM(nt) AS BIGINT) AS sum_tokens " +
         "FROM r, n GROUP BY 1"),
+    // twin of TextOps.importanceWeights: same \S+ tokens, same
+    // poly_hash % buckets, same two-stage integer ppm ratio (DuckDB //
+    // == Spark div on non-negative longs), same add-one smoothing and
+    // 1e9 cap, same token-count-weighted integer mean
+    "text_importance" -> {
+      val b = graft.operators.TextOps.ImportanceBuckets
+      val sc = graft.operators.TextOps.ImportanceScale
+      val cap = graft.operators.TextOps.ImportanceCap
+      s"WITH tk AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t, " +
+        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
+        s"tkb AS (SELECT doc_id, is_t, ${phSql("token")} % $b AS bucket FROM tk), " +
+        "bc AS (SELECT bucket, COUNT(*) AS raw_n, SUM(is_t) AS tgt_n " +
+        "FROM tkb GROUP BY bucket), " +
+        "tot AS (SELECT COUNT(*) AS raw_tot, SUM(is_t) AS tgt_tot FROM tkb), " +
+        s"w AS (SELECT bucket, LEAST(((tgt_n + 1) * $sc // (tgt_tot + $b)) * $sc " +
+        s"// GREATEST((raw_n + 1) * $sc // (raw_tot + $b), 1), $cap) AS w " +
+        "FROM bc, tot), " +
+        "ds AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS sw " +
+        "FROM tkb t JOIN w USING (bucket) GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(ds.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(ds.sw // ds.n_tokens, 0) AS BIGINT) AS imp_ppm " +
+        "FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id"
+    },
     "text_vocab_hll" -> {
       val m = graft.operators.TextOps.HllBuckets
       val cap = graft.operators.TextOps.HllCap
@@ -1735,6 +1879,19 @@ object SparkEntry {
         "z -> substr(d.text, (z[1] + 1)::INT, (z[2] - z[1])::INT)), '') " +
         "END AS clean_text FROM documents d LEFT JOIN sl USING (doc_id)"
     },
+    "docs_merge" -> MergedSnapshotSql,
+    // diff audits the SAME merged relation (shared MergedSnapshotSql
+    // body, so the two gates cannot drift); the oracle compares text
+    // directly where the operator compares PolyHash fingerprints —
+    // identical verdicts absent a 1e-9 collision
+    "docs_diff" ->
+      (s"WITH m AS ($MergedSnapshotSql), " +
+        "j AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, " +
+        "CASE WHEN b.doc_id IS NULL THEN 'added' " +
+        "WHEN a.doc_id IS NULL THEN 'removed' " +
+        "WHEN a.text <> b.text THEN 'changed' END AS change " +
+        "FROM documents b FULL OUTER JOIN m a ON a.doc_id = b.doc_id) " +
+        "SELECT doc_id, change FROM j WHERE change IS NOT NULL"),
     "dedup_exact" ->
       (s"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies FROM " +
@@ -1953,6 +2110,7 @@ object SparkEntry {
         "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
         "FROM r WHERE rnk <= 5"
     },
+    "knn_graph" -> KnnGraphSql,
     // two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
     // first ⌈√k⌉ of the same hash order; every argmax is a
     // (cos DESC, id ASC) row_number — bit-identical to the Scala

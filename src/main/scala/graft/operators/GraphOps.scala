@@ -395,6 +395,77 @@ object GraphOps {
         maxIter, checkpointDir)
       .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))
 
+  /** Peel threshold / round bound for the `graph_kcore` gate. The
+    * derived purchase graph peels in 2 rounds at every tested SF; the
+    * bound exists for pathological inputs (chains peel O(V) deep) and
+    * is replayed EXACTLY by the gate's unrolled SQL oracle — applying
+    * the peel step past the fixpoint is the identity, so oracle and
+    * operator agree whenever the operator converges within it.
+    */
+  val KCoreK = 35
+  val KCoreMaxRounds = 12
+
+  /** k-CORE of the undirected simple graph (Seidman 1983): the maximal
+    * subgraph in which every vertex keeps degree ≥ k — the standard
+    * "dense enough to matter" prefilter before community/motif work,
+    * and the graph twin of quality-thresholding a corpus. Returns one
+    * `(node_id, degree)` row per surviving vertex with its WITHIN-CORE
+    * degree (all ≥ k; empty when no core exists).
+    *
+    * Iterative peeling as repeated relational algebra: symmetrize +
+    * simplify the bag ONCE (both orientations, self-loops dropped,
+    * duplicates collapsed — so degree is a plain COUNT per src over
+    * the undirected relation), then each round recomputes degrees and
+    * LEFT SEMI-joins the edge relation down to endpoints of degree
+    * ≥ k. The edge count is strictly decreasing while live, so
+    * convergence is a count-equality check on the state each round
+    * checkpoints anyway — no join-based change detection. Exceeding
+    * `maxRounds` raises rather than returning a non-fixpoint
+    * (components/SCC convention).
+    *
+    * Scale shape: state is the shrinking undirected edge relation;
+    * each round is one map-side-combined degree aggregation
+    * (vertex-sized output) + two semi-join filters — no vertex ever
+    * buffers its neighborhood, no global sort, and the quadratic
+    * neighborhood-materialization a collect_set formulation would pay
+    * on hub vertices never appears. Loop states go through the
+    * stats-free local checkpoint (see `ck`) with the superseded frame
+    * released each round.
+    */
+  def kCore(e: DataFrame, k: Int = KCoreK,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val sym = e.filter(col("src") =!= col("dst"))
+    var (und, nEdges) = ckCounted(
+      sym.select(col("src"), col("dst"))
+        .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore did not reach a fixpoint in $maxRounds rounds — " +
+            "raise maxRounds (and the oracle's unroll depth with it)")
+      val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val (next, nNext) = ckCounted(
+        und.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      rounds += 1
+      converged = nNext == nEdges
+      drop(und)
+      und = next
+      nEdges = nNext
+    }
+    val core = und.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node_id"), col("degree"))
+    // hand back a plan-independent frame so the caller can release
+    // nothing: the loop's last state is the only live checkpoint
+    core
+  }
+
   /** STRONGLY-connected components — the directed refinement of
     * `components`: one `(vertex, scc)` row per vertex appearing in any
     * edge, `scc` = the minimum vertex id MUTUALLY reachable (v →* u

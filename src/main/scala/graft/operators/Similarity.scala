@@ -175,6 +175,56 @@ object Similarity {
       0L +: (0 until bb).map(b => 1L << b))
   }
 
+  /** Full-corpus kNN GRAPH: every vector's approximate top-k cosine
+    * neighbors — the kNN-join primitive semantic-dedup (SemDeDup-style
+    * "which kept doc is each doc closest to") and diversity/coverage
+    * analyses build on. Unlike `knnLsh` (a broadcast QUERY SET probing
+    * the corpus), both sides here are the corpus, so the plan is the
+    * ids-first band SELF-join `nearDupPairs` uses: the band join
+    * shuffles ONLY (band_idx, band_val, vec_id) — never embeddings —
+    * candidate pairs are generated once in canonical (lo < hi)
+    * orientation and distinct'd, each pair's exact cosine is computed
+    * ONCE, and the scored pair is mirrored (cosine is symmetric) so
+    * each endpoint ranks the other. Per-vector top-k runs through the
+    * heap-based TopKPerKey physical operator — no sort, k-bounded
+    * memory per key.
+    *
+    * Scale: candidates per vector are bounded by bands × bucket
+    * occupancy, and the adaptive band width keeps occupancy ~constant
+    * as N grows (`bandBitsFor`) — the all-pairs N² never appears at
+    * any stage. Vectors whose buckets contain no partner simply have
+    * no rows (the recall trade every LSH index makes); recall follows
+    * the same 1−(1−p^b)^L band curve as `knnLsh`.
+    */
+  def knnGraph(emb: DataFrame, k: Int = DefaultK, bands: Int = LshBands,
+      bandBits: Int = AdaptiveBandBits, corpusSize: Long = -1L): DataFrame = {
+    val bb = resolveBandBits(emb, bandBits, corpusSize)
+    val sig = graft.Caches.track(withNorm(emb)
+      .withColumn("sig", lshSignature(col("embedding"), bands * LshBandStride))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val banded = sig.select(col("vec_id"),
+      posexplode(bandCols("sig", bands, bb)).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val half = cand
+      .join(sig.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("n2").as("n2_a")), "vec_a")
+      .join(sig.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("n2").as("n2_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineFrom(dot(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b"))
+          .as("cosine"))
+    val scored = half.select(col("vec_a").as("query_id"),
+        col("vec_b").as("neighbor_id"), col("cosine"))
+      .unionAll(half.select(col("vec_b").as("query_id"),
+        col("vec_a").as("neighbor_id"), col("cosine")))
+    topK(scored, k)
+  }
+
   // ---- ANN evaluation ----
 
   /** Recall@k of an approximate top-k relation against the exact one —

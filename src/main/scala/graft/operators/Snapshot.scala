@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.PolyHashFunctions.poly_hash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for an evolving corpus: latest-wins merge
+  * (upsert + delete) of a change batch into the current snapshot, and
+  * content-fingerprint diff between two snapshots — the two primitives
+  * an incremental training-data pipeline refreshes its corpus with
+  * (recrawls, takedown deletes, re-processing runs) and audits the
+  * refresh by.
+  *
+  * The reference has no mutation story (its MR jobs are one-shot
+  * scans, e.g. reference Path2/SocialTriangle drivers); these are
+  * beyond-reference operators in the LLM-pipeline family. Design rules
+  * at 100 TB:
+  *
+  *   - merge is ONE key shuffle: union + per-key `max_by` over a
+  *     (version, side) struct — no window sort, no per-key row
+  *     buffering beyond the single winner each task tracks;
+  *   - diff never shuffles text: both sides project to
+  *     (key, 64-bit PolyHash fingerprint) FIRST, so the full-outer
+  *     join moves 16 bytes/row regardless of payload width.
+  */
+object Snapshot {
+
+  /** Latest-wins merge of `changes` into `current`.
+    *
+    * Both relations carry (`keyCol`, `versionCol`, `deletedCol`,
+    * payload…) with IDENTICAL schemas. For each key the row with the
+    * highest (version, side) wins, where side breaks version ties in
+    * favor of `changes`; a winning tombstone (`deletedCol` = true)
+    * drops the key from the result. Determinism contract: within each
+    * input, (key, version) identifies at most one row — the operator
+    * cannot (and does not) order two same-version rows on the same
+    * side.
+    *
+    * Physical: tagged `unionByName` → single hash aggregation keyed by
+    * `keyCol` with `max_by(payload_struct, (version, side))` — Spark's
+    * struct ordering compares fields left-to-right, giving exactly the
+    * lexicographic (version, side) maximum with map-side partial
+    * aggregation; one shuffle of payload-width rows, no window.
+    */
+  def mergeLatest(current: DataFrame, changes: DataFrame,
+      keyCol: String = "doc_id", versionCol: String = "version",
+      deletedCol: String = "deleted"): DataFrame = {
+    require(current.columns.sorted.sameElements(changes.columns.sorted),
+      s"mergeLatest schema mismatch: ${current.columns.mkString(",")} vs " +
+        changes.columns.mkString(","))
+    val payloadCols = current.columns.filter(_ != keyCol).toSeq
+    val tagged = current.withColumn("__side", lit(0))
+      .unionByName(changes.withColumn("__side", lit(1)))
+    tagged.groupBy(col(keyCol))
+      .agg(max_by(
+        struct(payloadCols.map(col): _*),
+        struct(col(versionCol), col("__side"))).as("__win"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__win.$c").as(c)): _*)
+      .filter(!col(deletedCol))
+      .drop(deletedCol)
+  }
+
+  /** Content diff between two snapshots of the same keyed relation:
+    * one row per key whose membership or content changed, labeled
+    * `added` (in `after` only), `removed` (in `before` only) or
+    * `changed` (in both, `contentCol` differs).
+    *
+    * Comparison is by 64-bit PolyHash fingerprint of `contentCol`, so
+    * the join shuffles (key, fingerprint) pairs only — the text itself
+    * never moves. A fingerprint collision (~1e-9 per changed pair)
+    * reports a changed row as unchanged; acceptable for audit/refresh
+    * accounting, use a wider key before acting destructively on the
+    * result.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, side: String) = df.select(
+      col(keyCol), poly_hash(col(contentCol)).as(s"__fp_$side"))
+    fp(before, "b").join(fp(after, "a"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_b").isNull, lit("added"))
+          .when(col("__fp_a").isNull, lit("removed"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("changed"))
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.PolyHashFunctions.poly_hash
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -873,5 +873,74 @@ object TextOps {
       .groupBy("token", "n")
       .agg(min("cnt").as("n_est"))
       .select(col("token"), col("n").as("n_exact"), col("n_est"))
+  }
+
+  /** Hashed-token buckets for `importanceWeights`. 4096 keeps the
+    * weight table broadcast-trivial (≤ 64 KB) while still separating
+    * the frequent-token mass; raise for finer-grained reweighting.
+    */
+  val ImportanceBuckets = 4096
+
+  /** ppm scale shared by both stages of the importance ratio. */
+  val ImportanceScale = 1000000L
+
+  /** Importance-ratio cap: 1000× enrichment (1e9 ppm). Bounds the
+    * per-token weight so one ultra-rare bucket cannot dominate a
+    * document's score, and keeps the per-doc weighted sum far from
+    * Long overflow (cap × tokens-per-doc ≤ 1e9 × ~1e6 < 2^63).
+    */
+  val ImportanceCap = 1000000000L
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169
+    * — the hashed n-gram variant): how much more a document's tokens
+    * look like a TARGET distribution than like the raw corpus. Tokens
+    * hash into `buckets` buckets; each bucket gets the add-one-
+    * smoothed ratio of its target-share to its corpus-share, and a
+    * document scores the token-count-weighted MEAN bucket ratio —
+    * >1e6 ppm means "more target-like than average". Pipelines rank
+    * or threshold on the score to up-sample target-like data.
+    *
+    * All arithmetic is integer (two-stage ppm division, ratio capped
+    * at `ImportanceCap`) — no log-likelihoods, so scores are
+    * bit-identical across engines/partitionings at the cost of ppm
+    * quantization (a bucket rarer than ~1-per-million of either
+    * distribution saturates). Documented bound: per-bucket token
+    * counts below ~9e12 (Long.Max / ppm scale) — at 1e13 corpus
+    * tokens raise `buckets` accordingly.
+    *
+    * Physical: one token explode feeds one bucket-count aggregation
+    * (≤ `buckets` rows after map-side combine) plus its 1-row total;
+    * the weight table joins back token-level as a BROADCAST, so the
+    * only corpus-sized shuffle is the final per-doc aggregation.
+    * Docs with no tokens score 0 via the closing left join.
+    */
+  def importanceWeights(docs: DataFrame, target: Column,
+      buckets: Int = ImportanceBuckets): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val s = ImportanceScale
+    val tkb = graft.Caches.track(docs
+      .select(col("doc_id"), target.cast("long").as("is_t"),
+        explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("is_t"),
+        (poly_hash(col("token")) % buckets).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val bucketCounts = tkb.groupBy("bucket")
+      .agg(count(lit(1)).as("raw_n"), sum(col("is_t")).as("tgt_n"))
+    val totals = tkb.agg(count(lit(1)).as("raw_tot"),
+      sum(col("is_t")).as("tgt_tot"))
+    val weights = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        least(
+          expr(s"((tgt_n + 1) * $s div (tgt_tot + $buckets)) * $s " +
+            s"div greatest((raw_n + 1) * $s div (raw_tot + $buckets), 1)"),
+          lit(ImportanceCap)).as("w"))
+    val perDoc = tkb.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(expr("sw div n_tokens"), lit(0L)).as("imp_ppm"))
   }
 }

@@ -2637,4 +2637,60 @@ class ExtensionsSpec extends SparkSpec {
     val common = wide.find(_.getString(0) == "common").get
     assert(common.getLong(1) === 30L)
   }
+
+  test("importanceWeights: target-heavy tokens outscore raw-only; empty doc scores 0") {
+    // target = docs 1,2. 'tgt' appears only in target docs, 'raw'
+    // only outside, 'both' everywhere — so a doc of 'tgt' must
+    // outscore a doc of 'both' must outscore a doc of 'raw'.
+    val docs = docsDf(
+      (1L, "tgt tgt both"), (2L, "tgt both"),
+      (3L, "raw raw both"), (4L, "raw both"),
+      (5L, "tgt"), (6L, "raw"), (7L, "both"), (8L, ""))
+    val out = TextOps.importanceWeights(docs, col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(8L) === ((0L, 0L)), "empty doc must score 0 over 0 tokens")
+    val (pureTgt, pureBoth, pureRaw) = (out(5L)._2, out(7L)._2, out(6L)._2)
+    assert(pureTgt > pureBoth && pureBoth > pureRaw,
+      s"ordering violated: tgt=$pureTgt both=$pureBoth raw=$pureRaw")
+    // mean-of-buckets: mixed docs sit between their pure extremes
+    assert(out(1L)._2 > out(3L)._2)
+    assert(out(1L)._2 <= pureTgt && out(3L)._2 >= pureRaw)
+    // deterministic under re-evaluation
+    val again = TextOps.importanceWeights(docs, col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === out)
+  }
+
+  test("knnGraph: self-free, rank-contiguous, pair-symmetric cosines, clustered recall") {
+    // the clustered corpus from the trained-IVF tests: bucket-mates
+    // collide on bands, so the kNN graph should mostly stay in-cluster
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val g = Similarity.knnGraph(emb, corpusSize = 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // no self rows; at most k per query; ranks contiguous from 1
+    assert(g.forall { case (q, _, n, _) => q != n })
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= Similarity.DefaultK)
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).map(_.toLong),
+        s"query $q ranks not contiguous")
+    }
+    // mirrored pairs carry the identical cosine (scored once, mirrored)
+    val cosOf = g.map { case (q, _, n, c) => ((q, n), c) }.toMap
+    g.foreach { case (q, _, n, c) =>
+      cosOf.get((n, q)).foreach(c2 => assert(c2 === c,
+        s"asymmetric cosine for ($q,$n)"))
+    }
+    // recall@k vs the all-queries brute-force graph: the clustered
+    // corpus is the favorable case for banded LSH — require a real
+    // floor plus a collapse guard (mirrors the knn_recall_lsh pins)
+    val truth = Similarity.knnBrute(emb, nQueries = 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = g.map { case (q, _, n, _) => (q, n) }.toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.3, s"knnGraph clustered-corpus recall $recall < 0.3")
+  }
 }

@@ -613,4 +613,57 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("kCore: clique survives, chain cascade peels over many rounds, bound raises") {
+    // 6-clique (degree 5 each) + a 12-vertex tail chain hanging off
+    // vertex 1: at k=2 the chain peels one vertex per round from the
+    // open end — a genuinely multi-round cascade — while the clique
+    // (and the chain-to-clique attachment) is untouched until the
+    // chain is gone
+    val clique = for {
+      a <- 1L to 6L; b <- 1L to 6L if a < b
+    } yield (a, b)
+    val chain = (0 until 12).map(i => (10L + i, 11L + i)) :+ ((1L, 10L))
+    val g = edgeDf(clique ++ chain: _*)
+    val core2 = GraphOps.kCore(g, k = 2, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2.keySet === (1L to 6L).toSet, s"2-core = $core2")
+    assert(core2(1L) === 5L && core2(2L) === 5L)
+    // k exceeding the clique degree → empty core, not an error
+    assert(GraphOps.kCore(g, k = 6, maxRounds = 20).count() === 0L)
+    // an insufficient round budget raises instead of returning a
+    // non-fixpoint (the oracle-unrolling soundness contract)
+    val ex = intercept[IllegalStateException] {
+      GraphOps.kCore(g, k = 2, maxRounds = 3).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
+  test("kCore == driver-side brute peeling on random multigraphs") {
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(8)
+      val edges = Seq.fill(40 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + rnd.nextInt(3)
+      // reference: iterative set-based peel on the simple undirected graph
+      var und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      var stable = false
+      while (!stable) {
+        val deg = und.groupBy(_._1).map { case (v, es) => (v, es.length) }
+        val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        stable = next.length == und.length
+        und = next
+      }
+      val expect = und.groupBy(_._1)
+        .map { case (v, es) => (v, es.length.toLong) }
+      val got = GraphOps.kCore(edgeDf(edges: _*), k = k, maxRounds = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      withClue(s"trial $trial n=$n k=$k edges=$edges") {
+        assert(got === expect)
+      }
+    }
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.DataFrame
+
+/** Snapshot.mergeLatest / snapshotDiff semantics on hand-built
+  * fixtures: latest-wins resolution, cross-side tie-breaks, tombstone
+  * drops and re-inserts, and diff labeling.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def snap(rows: (Long, String, Long, Boolean)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "version", "deleted")
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("mergeLatest: upsert, tombstone, insert, cross-side tie → changes wins") {
+    val current = snap(
+      (1L, "one", 0L, false),
+      (2L, "two", 0L, false),
+      (3L, "three", 0L, false),
+      (4L, "four", 0L, false))
+    val changes = snap(
+      (2L, "two-v1", 1L, false),  // upsert
+      (3L, "gone", 1L, true),     // tombstone drops the key
+      (5L, "five", 1L, false),    // fresh insert
+      (4L, "four-chg", 0L, false)) // SAME version as current → side breaks
+    val out = Snapshot.mergeLatest(current, changes)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "one", 0L),
+      (2L, "two-v1", 1L),
+      (4L, "four-chg", 0L),
+      (5L, "five", 1L)))
+  }
+
+  test("mergeLatest: a later re-insert outlives an earlier tombstone") {
+    val current = snap((1L, "one", 0L, false))
+    val changes = snap(
+      (1L, "dead", 1L, true),
+      (1L, "reborn", 2L, false))
+    val out = Snapshot.mergeLatest(current, changes).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "reborn", 2L)))
+    // and the reverse stacking: tombstone ABOVE the re-insert removes
+    val out2 = Snapshot.mergeLatest(current,
+      snap((1L, "reborn", 1L, false), (1L, "dead", 2L, true))).collect()
+    assert(out2.isEmpty)
+  }
+
+  test("mergeLatest: empty change batch is identity (minus the deleted col)") {
+    val current = snap((1L, "one", 0L, false), (2L, "two", 3L, false))
+    val out = Snapshot.mergeLatest(current, snap())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "one", 0L), (2L, "two", 3L)))
+  }
+
+  test("snapshotDiff: added / removed / changed labeled, unchanged silent") {
+    val before = docs((1L, "a"), (2L, "b"), (3L, "c"))
+    val after = docs((2L, "b"), (3L, "c-changed"), (4L, "d"))
+    val out = Snapshot.snapshotDiff(before, after)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshotDiff of a snapshot against itself is empty") {
+    val s = docs((1L, "a"), (2L, "b"))
+    assert(Snapshot.snapshotDiff(s, s).count() === 0L)
+  }
+}
