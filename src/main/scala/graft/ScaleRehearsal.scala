@@ -693,6 +693,52 @@ object ScaleRehearsal {
         docs0.limit(5000).select(col("doc_id"), col("text"))).collect()(0)
       a.getLong(2) == b.getLong(2) && a.getLong(1) == b.getLong(1)
     })
+    // ---- round-13 additions: kNN graph, k-core, snapshot merge,
+    // importance weighting ----
+
+    // full-corpus kNN join on the replica corpus: every band bucket
+    // holds ≥ copies clones — the candidate-generation worst case the
+    // header describes, now in the SELF-join (both sides corpus) form
+    t("knn_graph 20k vectors")(
+      operators.Similarity.knnGraph(emb, corpusSize = 20000L).count())
+    t("knn_graph 80k vectors")(
+      operators.Similarity.knnGraph(embX(40), corpusSize = 80000L).count())
+
+    // k-core on a 1M-edge uniform graph (100k vertices, mean
+    // undirected degree ~20): k at the mean forces a real multi-round
+    // cascade instead of a single trim
+    val kcEdges = spark.range(1000000L).select(
+      pmod(hash(col("id")), lit(100000)).cast("long").as("src"),
+      pmod(hash(col("id") * 31 + 7), lit(100000)).cast("long").as("dst"))
+    // two regimes around the uniform graph's sharp core-collapse
+    // threshold: just below it a DEEP cascade (~20+ rounds) ends in a
+    // large surviving core; above it the graph wipes to empty fast
+    t("kcore 1M edges k=14 (cascade)")(
+      operators.GraphOps.kCore(kcEdges, k = 14, maxRounds = 60).count())
+    t("kcore 1M edges k=20 (collapse)")(
+      operators.GraphOps.kCore(kcEdges, k = 20, maxRounds = 30).count())
+
+    // snapshot refresh at 50k: a 20% upsert + 5% tombstone batch
+    // through the one-shuffle merge, then the fingerprint-only diff
+    t("merge+diff 50k docs")({
+      val cur = docs.withColumn("version", lit(0L))
+        .withColumn("deleted", lit(false))
+      val changes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(lit("rev1: "), col("text")))
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 1)
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      val merged = operators.Snapshot.mergeLatest(cur, changes)
+      val diff = operators.Snapshot.snapshotDiff(docs, merged)
+      s"merged=${merged.count()} diff=${diff.count()}"
+    })
+
+    // importance weighting at 50k: one token pass + broadcast weight
+    // table; target = the docs whose id-hash lands in a 10% slice
+    t("importance 50k docs")(
+      operators.TextOps.importanceWeights(docs,
+        pmod(hash(col("doc_id")), lit(10)) === 0).count())
+
     spark.stop()
   }
 }

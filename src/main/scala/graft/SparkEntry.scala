@@ -431,6 +431,12 @@ object SparkEntry {
     "dedup_spans_keepone" -> ((s, d) =>
       Dedup.spansRemovedKeepOne(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
+    // text twin of knn_graph: top-k similar docs by n-gram Jaccard —
+    // rare-shingle candidate generation, exact sorted-merge verify,
+    // integer-ppm scores, TopKPerKey ranking
+    "doc_knn" -> ((s, d) =>
+      Dedup.docKnn(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "rank")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -469,6 +475,26 @@ object SparkEntry {
       Dedup.survivorsBest(embedded,
           Dedup.dupClusters(Similarity.nearDupPairs(emb)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
+          TextOps.quality(docs).select("doc_id", "quality"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // SemDeDup (Abbas et al. 2023): semantic dedup through the
+    // kNN-GRAPH — candidate edges are each vector's top-k neighbors
+    // (not every band collision), thresholded at cosine ≥ 0.30, then
+    // the standard cluster → keep-best-quality pipeline. The k-cap
+    // bounds per-vector candidate fanout independently of how dense a
+    // semantic neighborhood is — the property that makes this the
+    // scale form of embedding_survivors_best
+    "embedding_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val emb = Tables.table(s, d, "embeddings")
+      val pairs = Similarity.knnGraph(emb)
+        .filter(col("cosine") >= 0.30)
+        .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+      val embedded = docs.join(
+        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.survivorsBest(embedded, Dedup.dupClusters(pairs),
           TextOps.quality(docs).select("doc_id", "quality"))
         .select("doc_id").orderBy("doc_id")
     }),
@@ -684,6 +710,11 @@ object SparkEntry {
     "media_features" -> ((s, d) =>
       Multimodal.mediaFeaturesSql(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+    // binary twin of dedup_exact: only (md5, length) shuffles, the
+    // payload bytes never leave the scan stage
+    "media_dedup" -> ((s, d) =>
+      Multimodal.mediaDedup(
+        Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
     "media_decode" -> ((s, d) =>
       Multimodal.decodeStub(s,
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
@@ -695,6 +726,10 @@ object SparkEntry {
       Multimodal.frameSample(
         Multimodal.mediaTable(Tables.table(s, d, "documents")))
         .orderBy("doc_id", "frame_idx")),
+    // per-hour heavy hitters through the TopKPerKey physical operator
+    "events_hourly_top" -> ((s, d) =>
+      EventWindows.hourlyTopUsers(Tables.table(s, d, "events"))
+        .orderBy("hour_epoch", "rank")),
     "events_hourly" -> ((s, d) =>
       EventWindows.hourly(Tables.table(s, d, "events"))
         .orderBy("hour_epoch", "event_type")),
@@ -710,6 +745,21 @@ object SparkEntry {
     "events_quantiles" -> ((s, d) =>
       TextOps.groupedQuantiles(Tables.table(s, d, "events"),
         "event_type", "value", "event_id").orderBy("event_type", "pct")),
+    // sessionize → per-hour-of-day duration order statistics: the
+    // exact-rank machinery composed over a derived relation (sid is a
+    // tie-break only — a rare collision ties ALL sort keys and both
+    // engines then select the same duration value)
+    "events_session_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val sess = graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
+        .select(expr("(session_start_us div 3600000000) % 24").as("hour_of_day"),
+          (col("session_end_us") - col("session_start_us")).as("duration_us"),
+          (col("session_start_us") + col("user_id")).as("sid"))
+      TextOps.groupedQuantiles(sess, "hour_of_day", "duration_us", "sid")
+        .select(col("hour_of_day").cast("long").as("hour_of_day"),
+          col("pct"), col("value_at"))
+        .orderBy("hour_of_day", "pct")
+    }),
     // the MERGEABLE quantile-sketch state (deterministic log-bucket
     // grid, integer-only — see QuantileSketch): one bounded counter
     // relation per event_type, counters sum across shards/windows
@@ -1130,6 +1180,22 @@ object SparkEntry {
       "CAST(COUNT(*) AS BIGINT) AS total, " +
       "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
       "FROM j"
+
+  /** events_sessions oracle — gaps-and-islands twin of session_window;
+    * shared by events_session_quantiles (its session source).
+    */
+  private val SessionsSql: String = {
+    val gapUs = graft.streaming.Sessionize.GapUs
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+      "o AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR " +
+      s"us - lag(us) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY us)), " +
+      "g AS (SELECT user_id, us, SUM(brk) OVER " +
+      "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
+      "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, " +
+      s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
+  }
 
   /** docs_merge oracle — the synthetic change batch + latest-wins
     * merge as one relation; shared verbatim by docs_diff (its `after`
@@ -1909,6 +1975,37 @@ object SparkEntry {
         "AND c.fp2 = f.fp2 AND c.len = f.len) " +
         "GROUP BY f.fingerprint, f.fp2, f.len"),
     "dedup_ngram" -> NgramPairsSql,
+    // text twin of knn_graph over the shared HsCte shingle relation:
+    // rare-shingle (df <= maxDf) candidates, exact list_intersect
+    // verify (the sorted-merge kernel's twin on distinct lists),
+    // integer-ppm score, mirrored, ranked
+    "doc_knn" -> {
+      val k = Dedup.DocKnnK
+      val maxDf = Dedup.DocKnnMaxDf
+      s"WITH $HsCte, " +
+        "nn AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hs), " +
+        "ex AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+        s"rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $maxDf), " +
+        "exr AS (SELECT ex.doc_id, ex.h FROM ex JOIN rare USING (h)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM exr a JOIN exr b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "sh AS (SELECT c.doc_a, c.doc_b, " +
+        "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS shared, " +
+        "na.n + nb.n AS nanb FROM cand c " +
+        "JOIN hs ha ON ha.doc_id = c.doc_a JOIN hs hb ON hb.doc_id = c.doc_b " +
+        "JOIN nn na ON na.doc_id = c.doc_a JOIN nn nb ON nb.doc_id = c.doc_b), " +
+        "sc AS (SELECT doc_a, doc_b, shared, nanb - shared AS union_size, " +
+        "shared * 1000000 // (nanb - shared) AS jacc_ppm FROM sh), " +
+        "s AS (SELECT doc_a AS doc_id, doc_b AS neighbor_id, shared, " +
+        "union_size, jacc_ppm FROM sc " +
+        "UNION ALL SELECT doc_b, doc_a, shared, union_size, jacc_ppm FROM sc), " +
+        "r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY jacc_ppm DESC, neighbor_id ASC) AS rnk FROM s) " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+        "shared, CAST(union_size AS BIGINT) AS union_size, " +
+        "CAST(jacc_ppm AS BIGINT) AS jacc_ppm " +
+        s"FROM r WHERE rnk <= $k"
+    },
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
         s"($NgramPairsSql) t), " +
@@ -2006,6 +2103,31 @@ object SparkEntry {
     // (quality DESC, doc_id ASC); universe = embedded docs
     "embedding_survivors_best" ->
       (s"WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ($EmbNearDupSql) t), " +
+        "sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs " +
+        "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
+        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
+        "losers AS (SELECT doc_id FROM w WHERE rn > 1) " +
+        "SELECT e.vec_id AS doc_id FROM embeddings e " +
+        "WHERE e.vec_id IN (SELECT doc_id FROM documents) " +
+        "AND e.vec_id NOT IN (SELECT doc_id FROM losers)"),
+    // embedding_survivors_best with the pair source swapped for the
+    // kNN-graph: the SAME closure/quality/argmax tail over edges from
+    // KnnGraphSql (top-k capped) thresholded at cosine >= 0.30
+    "embedding_semdedup" ->
+      (s"WITH RECURSIVE pairs AS (SELECT query_id AS vec_a, neighbor_id AS vec_b " +
+        s"FROM ($KnnGraphSql) g WHERE cosine >= 0.30), " +
         "sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs " +
         "UNION ALL SELECT vec_b, vec_a FROM pairs), " +
         "reach(u, v) AS (SELECT u, v FROM sym " +
@@ -2133,6 +2255,15 @@ object SparkEntry {
         s"CAST(${utf8LeadSql("unicode(substr(text, 1, 1))")} AS BIGINT) AS first_byte, " +
         "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
         "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
+    // md5 over the UTF-8 payload bytes: DuckDB's md5(VARCHAR) hashes
+    // the string's UTF-8 encoding — byte-identical to Spark's
+    // md5(encode(text, 'UTF-8')); strlen = UTF-8 byte length
+    "media_dedup" ->
+      ("SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, " +
+        "md5(text) AS payload_md5, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_copies " +
+        "FROM documents GROUP BY 2, 3"),
     // the stub decoder's outputs are all pure functions of the UTF-8
     // bytes — reproduced from code points (see utf8*Sql), so even the
     // mapPartitions path gets a full hash check
@@ -2260,6 +2391,20 @@ object SparkEntry {
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
     },
+    // same epoch-aligned hour bucket as events_hourly; row_number is
+    // the SQL twin of the TopKPerKey heap's (count desc, user asc)
+    "events_hourly_top" -> {
+      val k = graft.streaming.EventWindows.HourlyTopK
+      "WITH c AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "user_id, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT hour_epoch, user_id, n_events, row_number() OVER " +
+        "(PARTITION BY hour_epoch ORDER BY n_events DESC, user_id ASC) AS rnk " +
+        "FROM c) " +
+        "SELECT hour_epoch, CAST(rnk AS BIGINT) AS \"rank\", user_id, n_events " +
+        s"FROM r WHERE rnk <= $k"
+    },
     "events_hourly" ->
       ("SELECT CAST(extract(epoch FROM time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
         "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, " +
@@ -2268,17 +2413,25 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2"),
     // gaps-and-islands twin of session_window: a session breaks when the
     // gap to the previous event is >= 30 min; end = last event + gap
-    "events_sessions" -> {
-      val gapUs = graft.streaming.Sessionize.GapUs
-      "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
-        "o AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR " +
-        s"us - lag(us) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk FROM e " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY us)), " +
-        "g AS (SELECT user_id, us, SUM(brk) OVER " +
-        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
-        "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, " +
-        s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
+    "events_sessions" -> SessionsSql,
+    // session-duration order statistics by hour-of-day of session
+    // start: SessionsSql composed into the events_quantiles rank
+    // machinery — same (pct·n + 99) // 100 target, same (value, id)
+    // total order the range partitioning sorts by
+    "events_session_quantiles" -> {
+      val pctsSql = graft.operators.TextOps.QuantilePcts
+        .map(p => s"($p)").mkString(", ")
+      s"WITH s AS ($SessionsSql), " +
+        "d AS (SELECT (session_start_us // 3600000000) % 24 AS hour_of_day, " +
+        "session_end_us - session_start_us AS dur, " +
+        "session_start_us + user_id AS sid FROM s), " +
+        "r AS (SELECT hour_of_day, dur, " +
+        "ROW_NUMBER() OVER (PARTITION BY hour_of_day ORDER BY dur, sid) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY hour_of_day) AS n FROM d) " +
+        "SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day, " +
+        "CAST(p.pct AS BIGINT) AS pct, CAST(dur AS DOUBLE) AS value_at " +
+        s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
+        "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
     },
     "events_props" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

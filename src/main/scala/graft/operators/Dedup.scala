@@ -130,6 +130,72 @@ object Dedup {
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
   }
 
+  /** docKnn defaults: top-k width, and the absolute document-frequency
+    * cap above which a shingle is too common to nominate candidates
+    * (boilerplate shingles connect everything to everything — they are
+    * dropped from candidate GENERATION only; the exact intersection
+    * still counts them, so scores are unaffected for pairs that any
+    * rare shingle nominates).
+    */
+  val DocKnnK = 5
+  val DocKnnMaxDf = 50L
+
+  /** Top-k most-similar documents per document by word-3-gram Jaccard
+    * — the TEXT twin of `Similarity.knnGraph` (similar-document
+    * retrieval / cluster seeding), and the threshold-free sibling of
+    * `ngramJaccard`. Without a similarity threshold there is no PPJoin
+    * prefix to bound the candidate join, so candidates are pairs
+    * sharing at least one RARE shingle (document frequency ≤ `maxDf`):
+    * bucket fanout is ≤ maxDf² per shingle by construction, and a pair
+    * sharing only ubiquitous boilerplate is exactly the pair a top-k
+    * similarity ranking is allowed to miss. Candidates then verify
+    * with the exact zero-allocation sorted-merge intersection, score
+    * as integer `jacc_ppm = shared·1e6 div union`, and rank through
+    * the heap-based TopKPerKey operator — each unordered pair is
+    * verified once and mirrored, the all-pairs N² never forms.
+    *
+    * Output: `(doc_id, rank, neighbor_id, shared, union_size,
+    * jacc_ppm)` — all integers, rank by (jacc_ppm desc, neighbor asc).
+    */
+  def docKnn(docs: DataFrame, k: Int = DocKnnK,
+      maxDf: Long = DocKnnMaxDf): DataFrame = {
+    val hs = graft.Caches.track(shingleHashArrays(docs)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        sort_array(col("hs")).as("hss"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val ex = hs.select(col("doc_id"), explode(col("hss")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val exr = ex.join(rare, "h")
+    val cand = exr.as("a").join(exr.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val half = cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"),
+        col("n").as("na")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleHashFunctions
+          .sorted_intersect_size(col("hs_a"), col("hs_b")).as("shared"),
+        (col("na") + col("nb")).as("nanb"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("nanb") - col("shared")).as("union_size"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("union_size"),
+        expr("shared * 1000000 div union_size").as("jacc_ppm"))
+    val scored = half.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("neighbor_id"), col("shared"), col("union_size"),
+        col("jacc_ppm"))
+      .unionAll(half.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor_id"), col("shared"), col("union_size"),
+        col("jacc_ppm")))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+        Seq(col("jacc_ppm").desc, col("neighbor_id").asc), k)
+      .select("doc_id", "rank", "neighbor_id", "shared", "union_size",
+        "jacc_ppm")
+  }
+
   /** Checkpoint cadence for `dupClusters` when a checkpoint dir is
     * given: lineage (and with it the recompute horizon after executor
     * loss) is truncated every this many star rounds.

@@ -51,6 +51,26 @@ object Multimodal {
         .as("first_byte"),
       col("width"), col("height"))
 
+  /** Exact media dedup — the binary twin of `Dedup.exact`: one row
+    * per distinct payload with the min-doc_id survivor and the copy
+    * count, keyed by (md5 digest, byte length). Only the 32-hex-char
+    * digest + length shuffle — the payload bytes never leave the scan
+    * stage, which is the entire point at 100 TB of media. md5 (not
+    * PolyHash) because it is the one digest both engines compute
+    * bit-identically over raw bytes, and 128 bits makes the
+    * collision-pairs-a-non-event bar (~1e-38 per pair) without a
+    * second hash; length is belt-and-braces plus a useful output.
+    * Content-addressing by digest is also the storage layout real
+    * media lakes use, so the survivor relation doubles as the object
+    * index.
+    */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("payload_md5", "n_bytes")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "payload_md5", "n_bytes", "n_copies")
+
   /** Resize planning (stub): compute target dimensions capped at
     * `maxSide` with integer-exact proportional scaling — the metadata
     * half of a resize; the pixel half is the codec stub. Pure column

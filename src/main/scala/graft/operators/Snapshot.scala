@@ -60,6 +60,30 @@ object Snapshot {
       .drop(deletedCol)
   }
 
+  /** Latest-wins keyed state over ONE update stream — the
+    * streaming-runnable core of `mergeLatest` (which adds the
+    * two-relation side tie-break): per key, the highest-`versionCol`
+    * row wins and a winning tombstone suppresses the key. The SAME
+    * transform runs in batch (backfills, the parity oracle) and under
+    * Structured Streaming (`readStream` in, update/complete mode out) —
+    * it is one declarative aggregation, so the state store holds
+    * exactly one payload row per key, and a tombstoned key re-emits
+    * the moment a higher-version re-insert arrives. Determinism
+    * contract: versions are unique per key across the stream (there is
+    * no arrival-order tie-break — micro-batch boundaries must not
+    * decide winners).
+    */
+  def latestState(updates: DataFrame, keyCol: String = "doc_id",
+      versionCol: String = "version", deletedCol: String = "deleted"): DataFrame = {
+    val payloadCols = updates.columns.filter(_ != keyCol).toSeq
+    updates.groupBy(col(keyCol))
+      .agg(max_by(
+        struct(payloadCols.map(col): _*), col(versionCol)).as("__win"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__win.$c").as(c)): _*)
+      .filter(!col(deletedCol))
+      .drop(deletedCol)
+  }
+
   /** Content diff between two snapshots of the same keyed relation:
     * one row per key whose membership or content changed, labeled
     * `added` (in `after` only), `removed` (in `before` only) or

@@ -68,6 +68,33 @@ object EventWindows {
         col("user_id").cast("string").as("uid")),
       Seq("hour_epoch"), col("uid"))
 
+  /** k for the `events_hourly_top` gate. */
+  val HourlyTopK = 3
+
+  /** Per-hour heavy hitters: each hour's top-k users by event count
+    * (count desc, user_id asc — fully deterministic). The per-window
+    * twin of the corpus-global CMS/top-k machinery, and the query
+    * every ops dashboard runs ("who dominated this window?").
+    *
+    * Scale shape: the only event-sized operation is the map-side-
+    * combined (hour, user) count; the ranking then runs through the
+    * heap-based TopKPerKey physical operator — k-bounded memory per
+    * hour, NO window sort, so a month of hours × millions of users
+    * never materializes a per-partition sort buffer. Hour bucketing is
+    * the same epoch-aligned `window(ts, '1 hour')` the other hourly
+    * operators use (see `hourlyUsersHll`'s timezone note).
+    */
+  def hourlyTopUsers(events: DataFrame, k: Int = HourlyTopK): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("user_id"), col("n_events"))
+    graft.plans.TopK.perKey(counts, Seq("hour_epoch"),
+        Seq(col("n_events").desc, col("user_id").asc), k)
+      .select("hour_epoch", "rank", "user_id", "n_events")
+  }
+
   /** Stage sequence for the `events_funnel` gate query. Same constant
     * MUST appear in the oracle SQL.
     */

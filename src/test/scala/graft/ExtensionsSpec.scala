@@ -2638,6 +2638,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(common.getLong(1) === 30L)
   }
 
+  test("docKnn == brute-force rare-shingle Jaccard top-k on random docs") {
+    val rnd = new scala.util.Random(13081426)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docs = (1L to 40L).map { i =>
+      val len = 4 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    val maxDf = 10L
+    // driver-side reference on exact string shingles (operator hashes
+    // them — equal modulo a ~1e-9 PolyHash collision)
+    val sh = docs.map { case (id, text) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sh.values.flatten.groupBy(identity).map { case (s, o) => (s, o.size) }
+    val rare = df.collect { case (s, d) if d <= maxDf => s }.toSet
+    val ids = docs.map(_._1)
+    val expect = ids.flatMap { a =>
+      val cands = ids.filter(b => b != a && (sh(a) & sh(b) & rare).nonEmpty)
+      val scored = cands.map { b =>
+        val shared = (sh(a) & sh(b)).size.toLong
+        val union = sh(a).size + sh(b).size - shared
+        (b, shared, union, shared * 1000000L / union)
+      }
+      scored.sortBy(t => (-t._4, t._1)).take(k).zipWithIndex.map {
+        case ((b, s, u, j), i) => (a, i + 1L, b, s, u, j)
+      }
+    }.toSet
+    val got = Dedup.docKnn(docsDf(docs: _*), k = k, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+  }
+
+  test("mediaDedup: identical payloads collapse to the min-id survivor") {
+    val media = operators.Multimodal.mediaTable(docsDf(
+      (1L, "same bytes"), (2L, "same bytes"), (5L, "same bytes"),
+      (3L, "unique"), (4L, "")))
+    val out = operators.Multimodal.mediaDedup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // (survivor, n_bytes, n_copies): 1 survives its 3-copy group
+    assert(out === Set((1L, 10L, 3L), (3L, 6L, 1L), (4L, 0L, 1L)))
+  }
+
   test("importanceWeights: target-heavy tokens outscore raw-only; empty doc scores 0") {
     // target = docs 1,2. 'tgt' appears only in target docs, 'raw'
     // only outside, 'both' everywhere — so a doc of 'tgt' must

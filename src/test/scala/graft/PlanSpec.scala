@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band_idx"), plan)
   }
 
+  test("knn_graph candidate self-join is ids-first (band keys, no embeddings)") {
+    val plan = SparkEntry.queries("knn_graph")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // same ids-first discipline as neardup: the band self-join output
+    // carries ids only; embeddings re-enter via the two verify joins,
+    // and the ranking runs through TopKPerKey (no window sort)
+    assert(plan.contains("band_idx"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("text_normalize is a shuffle-free projection") {
     val plan = executedPlan("text_normalize")
     assert(!plan.contains("Exchange hashpartitioning"), plan)
@@ -356,6 +368,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
     assert(!plan.contains("Window"), plan)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("hourlyTopUsers runs through TopKPerKey, never a Window sort; scan pruned") {
+    val plan = graft.streaming.EventWindows.hourlyTopUsers(
+        sources.Tables.table(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    // events scan pruned to (ts, user_id) — value/props never leave parquet
+    assert(plan.contains("ReadSchema") && !plan.contains("props"), plan)
   }
 
   test("retention: the only activity-sized shuffle is the (user, day) distinct") {

@@ -78,4 +78,33 @@ class SnapshotSpec extends SparkSpec {
     val s = docs((1L, "a"), (2L, "b"))
     assert(Snapshot.snapshotDiff(s, s).count() === 0L)
   }
+
+  test("latestState: streaming complete-mode state == batch over the same updates") {
+    // updates arrive out of version order and across micro-batch
+    // boundaries: upsert, tombstone, re-insert after tombstone,
+    // tombstone-last — the winner per key must only depend on version
+    val updates = snap(
+      (1L, "one-v0", 0L, false), (1L, "one-v2", 2L, false),
+      (1L, "one-v1", 1L, false),                    // 1 → one-v2
+      (2L, "two-v0", 0L, false), (2L, "dead", 1L, true),
+      (2L, "reborn", 2L, false),                    // 2 → reborn
+      (3L, "three-v1", 1L, false), (3L, "gone", 2L, true)) // 3 → absent
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = rows(Snapshot.latestState(updates))
+    assert(batch === Set((1L, "one-v2", 2L), (2L, "reborn", 2L)))
+    // identical transform under Structured Streaming (the parquet
+    // files land as separate micro-batches in arbitrary order)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    updates.repartition(3).write.mode("overwrite").parquet(dir)
+    val q = Snapshot.latestState(
+        spark.readStream.schema(updates.schema).parquet(dir))
+      .writeStream.format("memory").queryName("snap_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.sql(
+        "select doc_id, text, version from snap_stream")) === batch)
+    } finally q.stop()
+  }
 }
