@@ -238,6 +238,10 @@ object SparkEntry {
     // ever needs more — so the two cannot silently diverge
     "graph_kcore" -> ((s, d) =>
       GraphOps.kCore(GraphOps.edges(s, d)).orderBy("node_id")),
+    // degree-mixing moment sums (Newman assortativity numerators):
+    // all-integer one-row relation; r itself is consumer arithmetic
+    "graph_assortativity" -> ((s, d) =>
+      GraphOps.assortativityMoments(GraphOps.edges(s, d))),
     "graph_mutual" -> ((s, d) =>
       GraphOps.mutualFollows(GraphOps.edges(s, d))),
     "path2_exact" -> ((s, d) =>
@@ -393,6 +397,10 @@ object SparkEntry {
     "text_mix" -> ((s, d) =>
       TextOps.mixCorpus(Tables.table(s, d, "documents"), MixPpm)
         .orderBy("doc_id", "epoch")),
+    // BPE merge-candidate counting kernel: corpus-weighted adjacent
+    // char-pair counts over the DISTINCT word vocabulary
+    "text_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.table(s, d, "documents"))),
     // DSIR-style hashed-token importance vs the English slice as the
     // target distribution — integer ppm ratios, broadcast weight table
     "text_importance" -> ((s, d) =>
@@ -1442,6 +1450,17 @@ object SparkEntry {
         s"FROM e$rounds GROUP BY src"
       cte.result()
     },
+    "graph_assortativity" ->
+      (s"WITH base AS (SELECT src, dst FROM ($EdgesCte) WHERE src <> dst), " +
+        "und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base), " +
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY src), " +
+        "j AS (SELECT du.d AS x, dv.d AS y FROM und e " +
+        "JOIN deg du ON e.src = du.v JOIN deg dv ON e.dst = dv.v) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, " +
+        "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y, " +
+        "CAST(SUM(x * y) AS BIGINT) AS sum_xy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sum_x2, " +
+        "CAST(SUM(y * y) AS BIGINT) AS sum_y2 FROM j"),
     "graph_degree_hist" ->
       (s"WITH edges AS ($EdgesCte), deg AS ($DegCte) " +
         "SELECT CAST(n AS BIGINT) AS out_degree, " +
@@ -1742,6 +1761,19 @@ object SparkEntry {
         "CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
         "CAST(SUM(nt) AS BIGINT) AS sum_tokens " +
         "FROM r, n GROUP BY 1"),
+    // twin of bpePairCounts: same \S+ words, frequency-weighted char
+    // bigrams over the distinct vocabulary (range(1, length) is empty
+    // below 2 chars, mirroring the length >= 2 filter)
+    "text_bpe_pairs" -> {
+      val k = graft.operators.TextOps.BpeTopK
+      "WITH w AS (SELECT token, COUNT(*) AS f FROM " +
+        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) " +
+        "GROUP BY token), " +
+        "p AS (SELECT unnest(list_transform(range(1, length(token)), " +
+        "i -> substr(token, CAST(i AS BIGINT), 2))) AS pair, f FROM w) " +
+        "SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair " +
+        s"ORDER BY n DESC, pair ASC LIMIT $k"
+    },
     // twin of TextOps.importanceWeights: same \S+ tokens, same
     // poly_hash % buckets, same two-stage integer ppm ratio (DuckDB //
     // == Spark div on non-negative longs), same add-one smoothing and

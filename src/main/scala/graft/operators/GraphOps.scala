@@ -466,6 +466,42 @@ object GraphOps {
     core
   }
 
+  /** Degree-assortativity MOMENT SUMS of the undirected simple graph:
+    * one row `(n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2)` where
+    * (x, y) = (deg(u), deg(v)) over every directed orientation of
+    * every undirected edge — the six integers Pearson's r (Newman
+    * 2002's assortativity coefficient) is a pure function of. The
+    * division/sqrt stays CONSUMER-side (driver or notebook) by the
+    * float-parity design rule: no cross-row float aggregation ever
+    * reaches an oracle-hashed output, while integer sums are
+    * order-independent and exact. By symmetry sum_x = sum_y and
+    * sum_x2 = sum_y2 — kept as separate columns so the relation reads
+    * as the textbook moment table.
+    *
+    * Physical: one symmetrize+distinct, one vertex-sized degree
+    * aggregation, two edge⋈degree equi-joins (vertex side
+    * broadcast-eligible), one global aggregation — no per-vertex
+    * neighborhood materialization. Overflow bound: sums are Longs, so
+    * Σ x·y must stay below 2^63 (~deg² · edges < 9.2e18) — at extreme
+    * hub degrees cast the moment columns to decimal(38,0) first; the
+    * testdata and rehearsal graphs sit orders of magnitude under it.
+    */
+  def assortativityMoments(e: DataFrame): DataFrame = {
+    val sym = e.filter(col("src") =!= col("dst"))
+    val und = sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("src"), col("d").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+  }
+
   /** STRONGLY-connected components — the directed refinement of
     * `components`: one `(vertex, scc)` row per vertex appearing in any
     * edge, `scc` = the minimum vertex id MUTUALLY reachable (v →* u

@@ -875,6 +875,37 @@ object TextOps {
       .select(col("token"), col("n").as("n_exact"), col("n_est"))
   }
 
+  /** Top-k width for `bpePairCounts`. */
+  val BpeTopK = 50
+
+  /** The BPE merge-candidate statistic (Sennrich et al. 2016,
+    * arXiv:1508.07909): corpus-weighted adjacent-character-pair counts
+    * — the counting kernel a byte-pair-encoding tokenizer trainer runs
+    * every merge iteration (here over the raw character vocabulary,
+    * i.e. iteration 0; subsequent iterations re-run the same kernel
+    * over the re-segmented word vocabulary from a driver loop). The
+    * top pair is the next merge a trainer would pick.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the map-side-combined
+    * word-frequency count; pair explosion then runs over the DISTINCT
+    * word vocabulary weighted by frequency — vocabulary-sized, not
+    * corpus-sized (a word seen a billion times explodes once). Final
+    * top-k is a TakeOrdered merge, never a global sort.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = BpeTopK): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    words
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), " +
+          "i -> substring(token, CAST(i AS INT), 2))")).as("pair"),
+        col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Hashed-token buckets for `importanceWeights`. 4096 keeps the
     * weight table broadcast-trivial (≤ 64 KB) while still separating
     * the frequent-token mass; raise for finer-grained reweighting.
@@ -925,10 +956,13 @@ object TextOps {
       .select(col("doc_id"), col("is_t"),
         (poly_hash(col("token")) % buckets).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val bucketCounts = tkb.groupBy("bucket")
+    val bucketCounts = graft.Caches.track(tkb.groupBy("bucket")
       .agg(count(lit(1)).as("raw_n"), sum(col("is_t")).as("tgt_n"))
-    val totals = tkb.agg(count(lit(1)).as("raw_tot"),
-      sum(col("is_t")).as("tgt_tot"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // totals roll up from the ≤`buckets`-row bucket relation — never a
+    // second corpus-sized aggregation
+    val totals = bucketCounts.agg(sum(col("raw_n")).as("raw_tot"),
+      sum(col("tgt_n")).as("tgt_tot"))
     val weights = bucketCounts.crossJoin(broadcast(totals))
       .select(col("bucket"),
         least(

@@ -2638,6 +2638,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(common.getLong(1) === 30L)
   }
 
+  test("bpePairCounts: frequency-weighted char bigrams, 1-char words excluded") {
+    // 'aaab' (f=2) contributes aa twice per occurrence; 'x' (1 char)
+    // contributes nothing
+    val docs = docsDf((1L, "aaab cd x"), (2L, "aaab x"))
+    val out = TextOps.bpePairCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("aa", 4L), ("ab", 2L), ("cd", 1L)))
+  }
+
   test("docKnn == brute-force rare-shingle Jaccard top-k on random docs") {
     val rnd = new scala.util.Random(13081426)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",

@@ -614,6 +614,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("assortativityMoments: path fixture exact; symmetric; brute on random graphs") {
+    // P3 path 1-2-3: und orientations (1,2),(2,1),(2,3),(3,2) with
+    // degrees 1,2,1 → n=4, Σx=Σy=6, Σxy=8, Σx²=Σy²=10
+    val p3 = GraphOps.assortativityMoments(edgeDf((1L, 2L), (2L, 3L)))
+      .collect()(0)
+    assert((0 to 5).map(p3.getLong) === Seq(4L, 6L, 6L, 8L, 10L, 10L))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(30)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val deg = und.groupBy(_._1).map { case (v, es) => (v, es.length.toLong) }
+      val xy = und.map { case (u, v) => (deg(u), deg(v)) }
+      val expect = Seq(xy.length.toLong, xy.map(_._1).sum, xy.map(_._2).sum,
+        xy.map(t => t._1 * t._2).sum, xy.map(t => t._1 * t._1).sum,
+        xy.map(t => t._2 * t._2).sum)
+      val got = GraphOps.assortativityMoments(edgeDf(edges: _*)).collect()(0)
+      assert((0 to 5).map(got.getLong) === expect, s"edges=$edges")
+      assert(got.getLong(1) === got.getLong(2)) // symmetry
+    }
+  }
+
   test("kCore: clique survives, chain cascade peels over many rounds, bound raises") {
     // 6-clique (degree 5 each) + a 12-vertex tail chain hanging off
     // vertex 1: at k=2 the chain peels one vertex per round from the
