@@ -174,8 +174,10 @@ object SparkEntry {
     * Shared verbatim by `events_funnel` and its state-machine twin
     * `events_funnel_stateful`.
     */
-  private lazy val funnelOracle: String = {
+  private def funnelOracleFor(windowUs: Option[Long]): String = {
     val stages = graft.streaming.EventWindows.FunnelStages
+    val windowPred =
+      windowUs.map(w => s" AND epoch_us(e.ts) <= p.t + $w").getOrElse("")
     val ctes = stages.zipWithIndex.map { case (s, i) =>
       if (i == 0)
         s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events " +
@@ -183,7 +185,8 @@ object SparkEntry {
       else
         s"s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t " +
           s"FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id " +
-          s"WHERE e.event_type = '$s' AND epoch_us(e.ts) > p.t GROUP BY 1)"
+          s"WHERE e.event_type = '$s' AND epoch_us(e.ts) > p.t$windowPred " +
+          "GROUP BY 1)"
     }.mkString(", ")
     val sel = stages.zipWithIndex.map { case (s, i) =>
       s"SELECT CAST($i AS BIGINT) AS stage_idx, '$s' AS stage, " +
@@ -191,6 +194,7 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     s"WITH $ctes $sel"
   }
+  private lazy val funnelOracle: String = funnelOracleFor(None)
 
   /** Contamination oracle (shared verbatim by `text_contamination`
     * and its bloom-prefiltered twin — the prefilter has no false
@@ -554,28 +558,15 @@ object SparkEntry {
     // resolve deterministically) into the current corpus — one key
     // shuffle, max_by((version, side)), winning tombstones dropped
     "docs_merge" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, concat, lit}
-      val docs = Tables.table(s, d, "documents")
-      val cur = docs.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
-      val changes = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("text", concat(lit("rev1: "), col("text")))
-        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
-        .unionByName(docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
       Snapshot.mergeLatest(cur, changes).orderBy("doc_id")
     }),
     // the refresh AUDIT: fingerprint diff of the merged snapshot
     // against the original — upserted ids report changed, tombstoned
     // ids report removed; (key, 64-bit fp) is all that shuffles
     "docs_diff" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, concat, lit}
       val docs = Tables.table(s, d, "documents")
-      val cur = docs.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
-      val changes = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("text", concat(lit("rev1: "), col("text")))
-        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
-        .unionByName(docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      val (cur, changes) = mergeFixture(docs)
       Snapshot.snapshotDiff(docs, Snapshot.mergeLatest(cur, changes))
         .orderBy("doc_id")
     }),
@@ -746,6 +737,12 @@ object SparkEntry {
         .orderBy("hour_epoch")),
     "events_funnel" -> ((s, d) =>
       EventWindows.funnel(Tables.table(s, d, "events"))
+        .orderBy("stage_idx")),
+    // the conversion-window refinement: stage k counts only within
+    // 24h of the stage-(k-1) threshold — same greedy chain, one more
+    // predicate per stage join
+    "events_funnel_windowed" -> ((s, d) =>
+      EventWindows.funnelWindowed(Tables.table(s, d, "events"))
         .orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
       EventWindows.retention(Tables.table(s, d, "events"))
@@ -1188,6 +1185,24 @@ object SparkEntry {
       "CAST(COUNT(*) AS BIGINT) AS total, " +
       "CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall " +
       "FROM j"
+
+  /** The synthetic (current, changes) pair the docs_merge/docs_diff
+    * gates share: rev1 upserts for doc_id%5==0 at version 1,
+    * tombstones for doc_id%7==3 at version 2 — versions distinct so
+    * the overlap ids resolve deterministically. Mirrored verbatim by
+    * MergedSnapshotSql.
+    */
+  private def mergeFixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val cur = docs.withColumn("version", lit(0L))
+      .withColumn("deleted", lit(false))
+    val changes = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(lit("rev1: "), col("text")))
+      .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+    (cur, changes)
+  }
 
   /** events_sessions oracle — gaps-and-islands twin of session_window;
     * shared by events_session_quantiles (its session source).
@@ -2331,6 +2346,10 @@ object SparkEntry {
     // mapGroupsWithState scan instead of chained joins) — same greedy
     // thresholds, same oracle
     "events_funnel_stateful" -> funnelOracle,
+    // same CTE chain with the 24h conversion-window predicate spliced
+    // into each stage join — the constant comes FROM the operator
+    "events_funnel_windowed" -> funnelOracleFor(
+      Some(graft.streaming.EventWindows.FunnelWindowUs)),
     "events_quantiles" -> {
       // the same integer rank target — (pct·n + 99) // 100 — selects
       // the same element; ROW_NUMBER over (value, event_id) is the

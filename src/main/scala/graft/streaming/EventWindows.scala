@@ -117,7 +117,36 @@ object EventWindows {
     * collect of event lists, so a celebrity user costs nothing special.
     */
   def funnel(events: DataFrame,
-      stages: Seq[String] = FunnelStages): DataFrame = {
+      stages: Seq[String] = FunnelStages): DataFrame =
+    funnelChain(events, stages, None)
+
+  /** Per-stage conversion window for the `events_funnel_windowed`
+    * gate: 24 hours in MICROSECONDS. Same constant MUST appear in the
+    * oracle SQL.
+    */
+  val FunnelWindowUs = 86400000000L
+
+  /** `funnel` with a per-stage conversion WINDOW — stage k counts only
+    * if it happens within `windowUs` of the user's stage-(k−1)
+    * threshold (the Amplitude-style funnel refinement; an unwindowed
+    * funnel credits a purchase months after the click). Semantics stay
+    * GREEDY earliest-qualifying: each threshold is the min qualifying
+    * event after the previous one — a deliberately deterministic
+    * contract, not an optimal event-matching (a later stage-1 event
+    * could sometimes rescue a conversion greedy forgoes; every
+    * mainstream funnel tool makes the same trade). Identical plan
+    * shape and scale story as `funnel` — the window is one extra
+    * predicate inside each stage join.
+    */
+  def funnelWindowed(events: DataFrame,
+      stages: Seq[String] = FunnelStages,
+      windowUs: Long = FunnelWindowUs): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    funnelChain(events, stages, Some(windowUs))
+  }
+
+  private def funnelChain(events: DataFrame, stages: Seq[String],
+      windowUs: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got $stages")
@@ -132,9 +161,13 @@ object EventWindows {
       .select(lit(0L).as("stage_idx"), lit(stages.head).as("stage"),
         col("n_users"))
     stages.tail.zipWithIndex.foreach { case (s, i) =>
+      val qualifies = windowUs match {
+        case Some(w) => col("us") > col("t") && col("us") <= col("t") + w
+        case None => col("us") > col("t")
+      }
       thr = e.filter(col("event_type") === s)
         .join(thr, "user_id")
-        .filter(col("us") > col("t"))
+        .filter(qualifies)
         .groupBy("user_id").agg(min(col("us")).as("t"))
       rows = rows.unionByName(thr.agg(count(lit(1)).as("n_users"))
         .select(lit((i + 1).toLong).as("stage_idx"), lit(s).as("stage"),

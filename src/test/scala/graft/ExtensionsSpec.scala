@@ -2170,6 +2170,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("property: funnelWindowed == brute with window; huge window == plain funnel") {
+    import graft.streaming.EventWindows
+    val stages = Seq("a", "b", "c")
+    def brute(evs: Seq[(Long, Long, String)], w: Long): Seq[Long] = {
+      val byUser = evs.groupBy(_._1)
+      stages.indices.map { k =>
+        byUser.values.count { es =>
+          var thr = Long.MinValue
+          var ok = true
+          stages.take(k + 1).zipWithIndex.foreach { case (s, i) =>
+            if (ok) {
+              val cand = es.filter(e => e._3 == s &&
+                (if (i == 0) true else e._2 > thr && e._2 <= thr + w))
+                .map(_._2)
+              if (cand.isEmpty) ok = false else thr = cand.min
+            }
+          }
+          ok
+        }.toLong
+      }
+    }
+    val rng = new scala.util.Random(47)
+    (1 to 3).foreach { _ =>
+      val evs = Seq.fill(300)((rng.nextInt(20).toLong,
+        rng.nextInt(50).toLong * 1000000L,
+        Seq("a", "b", "c", "x")(rng.nextInt(4))))
+      val df = spark.createDataFrame(evs.map { case (u, us, ty) =>
+        (u, new java.sql.Timestamp(us / 1000L), ty)
+      }).toDF("user_id", "ts", "event_type")
+      val w = 5000000L // 5 s — bites on the 0-49 s event grid
+      val got = EventWindows.funnelWindowed(df, stages, w).collect()
+        .sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      withClue(s"events=${evs.take(20)}...") { assert(got === brute(evs, w)) }
+      // non-increasing, and never exceeds the unwindowed funnel
+      val plain = EventWindows.funnel(df, stages).collect()
+        .sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      got.zip(plain).foreach { case (g, p) => assert(g <= p) }
+      // a window wider than the whole stream == no window at all
+      val wide = EventWindows.funnelWindowed(df, stages, 1000000000L)
+        .collect().sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      assert(wide === plain)
+    }
+  }
+
   test("cooccurrence == brute force; repeats count once; non-top tokens excluded") {
     val rows = Seq(
       (1L, "x y x z rare1"), (2L, "x y"), (3L, "y z"), (4L, "x z"),
