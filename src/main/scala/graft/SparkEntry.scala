@@ -405,6 +405,11 @@ object SparkEntry {
     // char-pair counts over the DISTINCT word vocabulary
     "text_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.table(s, d, "documents"))),
+    // curriculum binning: per-doc quality-rank decile via the
+    // distributed two-pass rank (no global window)
+    "text_quality_deciles" -> ((s, d) =>
+      TextOps.qualityDeciles(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     // DSIR-style hashed-token importance vs the English slice as the
     // target distribution — integer ppm ratios, broadcast weight table
     "text_importance" -> ((s, d) =>
@@ -455,6 +460,13 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    // data-governance view: ngram near-dup pairs rolled up by
+    // canonically-ordered source pair — which sources leak into which
+    "dedup_cross_source" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      Dedup.pairSourceMatrix(Dedup.ngramJaccard(docs), docs)
+        .orderBy("source_a", "source_b")
+    }),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccard(Tables.table(s, d, "documents")))
         .orderBy("doc_id")),
@@ -725,6 +737,11 @@ object SparkEntry {
       Multimodal.frameSample(
         Multimodal.mediaTable(Tables.table(s, d, "documents")))
         .orderBy("doc_id", "frame_idx")),
+    // sliding 1h/15min windows — each event fans into 4 windows in
+    // the map stage, then the usual partial-agg counts
+    "events_sliding" -> ((s, d) =>
+      EventWindows.hourlySliding(Tables.table(s, d, "events"))
+        .orderBy("win_epoch", "event_type")),
     // per-hour heavy hitters through the TopKPerKey physical operator
     "events_hourly_top" -> ((s, d) =>
       EventWindows.hourlyTopUsers(Tables.table(s, d, "events"))
@@ -1776,6 +1793,18 @@ object SparkEntry {
         "CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
         "CAST(SUM(nt) AS BIGINT) AS sum_tokens " +
         "FROM r, n GROUP BY 1"),
+    // per-doc decile stamp: same (quality, doc_id) total order and the
+    // same (rn-1)*buckets//n bucket arithmetic as the rank machinery
+    "text_quality_deciles" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "r AS (SELECT doc_id, row_number() OVER (ORDER BY quality, doc_id) AS rn, " +
+        "COUNT(*) OVER () AS n FROM q) " +
+        "SELECT doc_id, CAST((rn - 1) * 10 // n AS BIGINT) AS decile FROM r"),
     // twin of bpePairCounts: same \S+ words, frequency-weighted char
     // bigrams over the distinct vocabulary (range(1, length) is empty
     // below 2 chars, mirroring the length >= 2 filter)
@@ -2053,6 +2082,16 @@ object SparkEntry {
         "CAST(jacc_ppm AS BIGINT) AS jacc_ppm " +
         s"FROM r WHERE rnk <= $k"
     },
+    // the shared NgramPairsSql joined to each side's source;
+    // LEAST/GREATEST canonicalization matches the operator's
+    "dedup_cross_source" ->
+      (s"WITH p AS (SELECT doc_a, doc_b FROM ($NgramPairsSql) t) " +
+        "SELECT LEAST(sa.source, sb.source) AS source_a, " +
+        "GREATEST(sa.source, sb.source) AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM p JOIN documents sa ON sa.doc_id = p.doc_a " +
+        "JOIN documents sb ON sb.doc_id = p.doc_b " +
+        "GROUP BY 1, 2"),
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
         s"($NgramPairsSql) t), " +
@@ -2441,6 +2480,18 @@ object SparkEntry {
         s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
+    },
+    // sliding twin: every event belongs to exactly 60/slide windows,
+    // enumerated by the VALUES fanout — start = 15min-floor minus
+    // k·15min, always within the hour by construction
+    "events_sliding" -> {
+      val slideS = graft.streaming.EventWindows.SlideMinutes * 60L
+      val fanout = 3600L / slideS
+      val ks = (0L until fanout).map(k => s"($k)").mkString(", ")
+      s"SELECT CAST((epoch_us(ts) // ${slideS * 1000000L}) * $slideS " +
+        s"- k.k * $slideS AS BIGINT) AS win_epoch, event_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events " +
+        s"FROM events, (VALUES $ks) k(k) GROUP BY 1, 2"
     },
     // same epoch-aligned hour bucket as events_hourly; row_number is
     // the SQL twin of the TopKPerKey heap's (count desc, user asc)

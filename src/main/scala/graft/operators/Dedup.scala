@@ -130,6 +130,30 @@ object Dedup {
       .filter(col("shared") * 5 >= (col("na") + col("nb") - col("shared")) * 4)
   }
 
+  /** Cross-source duplication MATRIX: near-dup pairs rolled up by the
+    * (canonically ordered) source pair — the data-governance view that
+    * tells a corpus owner which sources leak into which ("is src3 a
+    * scrape of src7?") and how much of the dedup budget is
+    * intra-source boilerplate. `pairs` is any (doc_a, doc_b) near-dup
+    * relation (ngram/simhash/minhash/embedding — caller's choice);
+    * sources come from `docs`. least/greatest canonicalization makes
+    * the matrix upper-triangular, so (a,b) and (b,a) pairs land in one
+    * cell. Two doc-keyed equi-joins against the (doc_id, source)
+    * projection + one ≤sources²-group aggregation — text never moves.
+    */
+  def pairSourceMatrix(pairs: DataFrame, docs: DataFrame,
+      srcCol: String = "source"): DataFrame = {
+    val src = docs.select(col("doc_id"), col(srcCol))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col(srcCol).as("__sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col(srcCol).as("__sb")),
+        "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** docKnn defaults: top-k width, and the absolute document-frequency
     * cap above which a shingle is too common to nominate candidates
     * (boilerplate shingles connect everything to everything — they are

@@ -409,6 +409,49 @@ object TextOps {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Per-document QUALITY decile stamp — curriculum binning: each doc
+    * labeled with its rank-decile under the `quality` score (0 = worst
+    * tenth, 9 = best), the column a curriculum/filtering pipeline
+    * samples or phases training on. Same distributed two-pass rank as
+    * `lengthDeciles` (range partition + per-partition offsets — the
+    * only driver state is #partitions longs; no global window), but
+    * emitting the per-ROW stamp instead of per-bucket stats. Ties
+    * break on doc_id, so the stamp is total and engine-independent
+    * (quality itself is the sequential-fold float both engines compute
+    * bit-identically — see the float-parity design rule).
+    */
+  def qualityDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = quality(docs).select(col("doc_id"), col("quality"))
+      .repartitionByRange(col("quality"), col("doc_id"))
+      .sortWithinPartitions("quality", "doc_id")
+      .as[(Long, Double)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    val partCounts = parted
+      .mapPartitions { it =>
+        var c = 0L
+        it.foreach(_ => c += 1L)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = math.max(1L, partCounts.sum)
+    val offsets = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val b = buckets.toLong
+    parted
+      .mapPartitions { it =>
+        var r = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, _) =>
+          r += 1L
+          (id, (r - 1L) * b / n)
+        }
+      }
+      .toDF("doc_id", "decile")
+  }
+
   // ---- HyperLogLog distinct-token sketch ----
 
   /** Bucket count (power of two). 512 buckets ≈ 4.6% standard error —

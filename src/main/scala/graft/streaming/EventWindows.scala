@@ -68,6 +68,32 @@ object EventWindows {
         col("user_id").cast("string").as("uid")),
       Seq("hour_epoch"), col("uid"))
 
+  /** Slide width for `hourlySliding` (minutes). */
+  val SlideMinutes = 15
+
+  /** SLIDING 1-hour counts per event_type, advancing every
+    * `slideMinutes` — the smoothed-rate view tumbling windows can't
+    * give (a spike straddling a tumble boundary halves; a slide
+    * catches it whole in some window). Each event replicates into
+    * 60/slide windows via the `window()` generator — a map-stage
+    * fanout, then the same map-side-combined aggregation as `hourly`;
+    * under `readStream` + a watermark the identical transform runs as
+    * a streaming windowed aggregation (the `hourly` batch≡streaming
+    * story, slid). Epoch-aligned starts, emitted as BIGINT seconds
+    * like every hourly gate.
+    */
+  def hourlySliding(events: DataFrame,
+      slideMinutes: Int = SlideMinutes): DataFrame = {
+    require(slideMinutes > 0 && 60 % slideMinutes == 0,
+      s"slideMinutes must divide 60, got $slideMinutes")
+    events
+      .groupBy(window(col("ts"), "1 hour", s"$slideMinutes minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("win_epoch"),
+        col("event_type"), col("n_events"))
+  }
+
   /** k for the `events_hourly_top` gate. */
   val HourlyTopK = 3
 

@@ -2682,6 +2682,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(common.getLong(1) === 30L)
   }
 
+  test("hourlySliding: every event lands in exactly 60/slide windows; slide=60 == tumbling") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(rnd.nextInt(20000000) * 1000L),
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("event_id", "ts", "event_type")
+    val slid = graft.streaming.EventWindows.hourlySliding(events).collect()
+    assert(slid.map(_.getLong(2)).sum === 4L * 200)
+    // epoch-aligned 15-min grid
+    slid.foreach(r => assert(r.getLong(0) % 900L === 0L))
+    // slide = 60 min degenerates to the tumbling hourly counts
+    val tumb = graft.streaming.EventWindows.hourlySliding(events, 60).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hourly = events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).getTime / 1000L,
+        r.getString(1)) -> r.getLong(2)).toMap
+    assert(tumb === hourly)
+  }
+
+  test("pairSourceMatrix: canonical source pairs, counts per cell") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "s2"), (2L, "s1"), (3L, "s1"), (4L, "s3"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (2L, 1L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.pairSourceMatrix(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2) and (2,1) both canonicalize to (s1, s2)
+    assert(out === Map(("s1", "s2") -> 2L, ("s1", "s1") -> 1L,
+      ("s2", "s3") -> 1L))
+  }
+
+  test("qualityDeciles: balanced 0..9 stamp, best-quality doc in the top bucket") {
+    val docs = docsDf((1L to 40L).map(i =>
+      (i, Seq.fill(i.toInt)("word").mkString(" "))): _*)
+    val out = TextOps.qualityDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 40)
+    val byDecile = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDecile.keySet === (0L to 9L).toSet)
+    byDecile.values.foreach(c => assert(c === 4))
+    // quality grows with token count up to the 100-token cap, so doc
+    // 40 (longest here) must sit in the top decile and doc 1 in the
+    // bottom
+    assert(out.toMap.apply(40L) === 9L)
+    assert(out.toMap.apply(1L) === 0L)
+  }
+
   test("bpePairCounts: frequency-weighted char bigrams, 1-char words excluded") {
     // 'aaab' (f=2) contributes aa twice per occurrence; 'x' (1 char)
     // contributes nothing
