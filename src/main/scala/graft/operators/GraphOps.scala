@@ -466,6 +466,62 @@ object GraphOps {
     core
   }
 
+  /** linkPrediction defaults: middle-degree cap and top-k width. */
+  val LinkPredMidCap = 100L
+  val LinkPredK = 3
+
+  /** LINK PREDICTION by degree-capped common-neighbor Jaccard: for
+    * each vertex, the top-k non-adjacent vertices ranked by
+    * `jacc_ppm = shared·1e6 div (deg(a) + deg(b) − shared)` where
+    * `shared` counts common neighbors reached through middles of
+    * degree ≤ `midMaxDeg` — the classic neighborhood-overlap
+    * recommender ("accounts you may know", co-purchase suggestions).
+    *
+    * The middle-degree cap is the SCALE decision, not a shortcut: an
+    * uncapped hub of degree d manufactures d² candidate pairs (the
+    * path2 quadratic) while contributing near-zero signal — sharing a
+    * celebrity neighbor predicts nothing. Capping middles bounds the
+    * candidate join at midMaxDeg × |und| rows and is the standard
+    * trade every production link-prediction pipeline makes; the cap
+    * only affects WHICH common neighbors count (the `shared`
+    * numerator), denominators use full degrees. Deterministic by
+    * construction — integer scores, (jacc_ppm desc, candidate asc)
+    * ranking through TopKPerKey, each unordered pair scored once and
+    * mirrored.
+    */
+  def linkPrediction(e: DataFrame, midMaxDeg: Long = LinkPredMidCap,
+      k: Int = LinkPredK): DataFrame = {
+    val sym = e.filter(col("src") =!= col("dst"))
+    val und = graft.Caches.track(sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val mid = und
+      .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
+      .select(col("src").as("m"), col("dst").as("x"))
+    val cand = mid.as("a").join(mid.as("b"),
+        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
+      .agg(count(lit(1)).as("shared"))
+    // predicted links are NEW links: drop already-adjacent pairs
+    val fresh = cand.join(
+      und.select(col("src").as("va"), col("dst").as("vb")),
+      Seq("va", "vb"), "left_anti")
+    val half = fresh
+      .join(deg.select(col("src").as("va"), col("d").as("da")), "va")
+      .join(deg.select(col("src").as("vb"), col("d").as("db")), "vb")
+      .select(col("va"), col("vb"), col("shared"),
+        expr("shared * 1000000 div (da + db - shared)").as("jacc_ppm"))
+    val scored = half.select(col("va").as("node_id"),
+        col("vb").as("candidate_id"), col("shared"), col("jacc_ppm"))
+      .unionAll(half.select(col("vb").as("node_id"),
+        col("va").as("candidate_id"), col("shared"), col("jacc_ppm")))
+    graft.plans.TopK.perKey(scored, Seq("node_id"),
+        Seq(col("jacc_ppm").desc, col("candidate_id").asc), k)
+      .select("node_id", "rank", "candidate_id", "shared", "jacc_ppm")
+  }
+
   /** Degree-assortativity MOMENT SUMS of the undirected simple graph:
     * one row `(n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2)` where
     * (x, y) = (deg(u), deg(v)) over every directed orientation of

@@ -614,6 +614,44 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("linkPrediction == brute capped common-neighbor Jaccard; adjacent pairs excluded") {
+    val rnd = new scala.util.Random(4711)
+    for (trial <- 1 to 4) {
+      val n = 14
+      val edges = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val cap = 4L
+      val k = 3
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val nbr = und.groupBy(_._1).map { case (v, es) => (v, es.map(_._2).toSet) }
+      val deg = nbr.map { case (v, s) => (v, s.size.toLong) }
+      val ids = nbr.keySet.toSeq.sorted
+      val expect = ids.flatMap { a =>
+        val cands = ids.filter(b => b > a && !nbr(a).contains(b))
+          .map { b =>
+            val shared = (nbr(a) & nbr(b)).count(m => deg(m) <= cap).toLong
+            (b, shared)
+          }.filter(_._2 > 0)
+        cands.map { case (b, shared) =>
+          (a, b, shared, shared * 1000000L / (deg(a) + deg(b) - shared))
+        }
+      }
+      val mirrored = expect.flatMap { case (a, b, s, j) =>
+        Seq((a, b, s, j), (b, a, s, j))
+      }
+      val topk = mirrored.groupBy(_._1).toSeq.flatMap { case (v, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(k).zipWithIndex.map {
+          case ((_, c, s, j), i) => (v, i + 1L, c, s, j)
+        }
+      }.toSet
+      val got = GraphOps.linkPrediction(edgeDf(edges: _*), midMaxDeg = cap,
+          k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      withClue(s"trial $trial edges=$edges") { assert(got === topk) }
+    }
+  }
+
   test("assortativityMoments: path fixture exact; symmetric; brute on random graphs") {
     // P3 path 1-2-3: und orientations (1,2),(2,1),(2,3),(3,2) with
     // degrees 1,2,1 → n=4, Σx=Σy=6, Σxy=8, Σx²=Σy²=10
