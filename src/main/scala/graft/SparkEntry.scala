@@ -249,6 +249,14 @@ object SparkEntry {
     // ever needs more — so the two cannot silently diverge
     "graph_kcore" -> ((s, d) =>
       GraphOps.kCore(GraphOps.edges(s, d)).orderBy("node_id")),
+    // full coreness decomposition by monotone successive peeling on
+    // the sparsified slice (max observed coreness 3; operator raises
+    // past CorenessMaxK/CorenessMaxRounds, the oracle unrolls exactly
+    // those bounds)
+    "graph_coreness" -> ((s, d) =>
+      GraphOps.coreness(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("node_id")),
     // degree-mixing moment sums (Newman assortativity numerators):
     // all-integer one-row relation; r itself is consumer arithmetic
     "graph_assortativity" -> ((s, d) =>
@@ -668,6 +676,15 @@ object SparkEntry {
     "knn_recall_lsh" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnLsh(emb), Similarity.knnBrute(emb))
+    }),
+    // the kNN GRAPH under the honesty gate: recall@5 against the
+    // ALL-QUERIES brute ranking (every vector is a query — N² dots,
+    // audit-scale by construction; at real corpus sizes this gate runs
+    // on a sampled slice, the graph itself stays LSH-bounded)
+    "knn_graph_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnGraph(emb),
+        Similarity.knnBrute(emb, nQueries = Long.MaxValue))
     }),
     // DELIBERATELY no oracleSql entry: the Lloyd-fitted centroids are
     // not SQL-derivable, so the driver records a rows-only check — the
@@ -1163,10 +1180,14 @@ object SparkEntry {
       "WHERE cosine >= 0.30"
   }
 
-  /** knn_brute oracle — shared by knn_recall (its exact side). */
-  private val KnnBruteSql: String =
+  /** knn_brute oracle body over an arbitrary query-set predicate —
+    * the `vec_id < 10` instance is the knn_brute gate (shared by
+    * knn_recall's exact side); the all-queries instance (`TRUE`) is
+    * knn_graph_recall's exact side.
+    */
+  private def knnBruteSqlFor(queryPred: String): String =
     s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
-      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+      s"q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE $queryPred), " +
       "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
       s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
       "FROM e, q WHERE e.vec_id <> q.query_id), " +
@@ -1174,6 +1195,8 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
+
+  private val KnnBruteSql: String = knnBruteSqlFor("vec_id < 10")
 
   /** knn_lsh oracle — shared by knn_recall_lsh (its approximate side). */
   private val KnnLshSql: String = {
@@ -1493,6 +1516,43 @@ object SparkEntry {
       }
       cte ++= s" SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree " +
         s"FROM e$rounds GROUP BY src"
+      cte.result()
+    },
+    // unrolled successive-peeling twin of GraphOps.coreness: levels
+    // 2..CorenessMaxK each unroll CorenessMaxRounds peel rounds over
+    // the previous level's fixpoint (identity once converged/empty);
+    // coreness = 1 + |{levels whose fixpoint keeps the vertex}|.
+    // Every CTE MATERIALIZED — see graph_kcore's exponential-inline
+    // note
+    "graph_coreness" -> {
+      val kMax = graft.operators.GraphOps.CorenessMaxK
+      val r = graft.operators.GraphOps.CorenessMaxRounds
+      val cte = new StringBuilder
+      cte ++= s"WITH sp AS MATERIALIZED (SELECT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), "
+      cte ++= "e1 AS MATERIALIZED " +
+        "(SELECT src, dst FROM sp UNION SELECT dst, src FROM sp)"
+      var prev = "e1"
+      for (k <- 2 to kMax) {
+        for (i <- 1 to r) {
+          val src = if (i == 1) prev else s"e${k}_${i - 1}"
+          cte ++= s", k${k}_$i AS MATERIALIZED (SELECT src AS v FROM $src " +
+            s"GROUP BY src HAVING COUNT(*) >= $k)"
+          cte ++= s", e${k}_$i AS MATERIALIZED (SELECT e.src, e.dst " +
+            s"FROM $src e JOIN k${k}_$i a ON e.src = a.v " +
+            s"JOIN k${k}_$i b ON e.dst = b.v)"
+        }
+        cte ++= s", verts$k AS MATERIALIZED " +
+          s"(SELECT DISTINCT src AS v FROM e${k}_$r)"
+        prev = s"e${k}_$r"
+      }
+      val unions = (2 to kMax).map(k => s"SELECT v FROM verts$k")
+        .mkString(" UNION ALL ")
+      cte ++= s", extra AS (SELECT v, COUNT(*) AS cnt FROM ($unions) GROUP BY v)"
+      cte ++= " SELECT v1.v AS node_id, " +
+        "CAST(1 + COALESCE(extra.cnt, 0) AS BIGINT) AS coreness " +
+        "FROM (SELECT DISTINCT src AS v FROM e1) v1 " +
+        "LEFT JOIN extra ON extra.v = v1.v"
       cte.result()
     },
     "graph_link_prediction" -> {
@@ -2367,6 +2427,7 @@ object SparkEntry {
     // cannot drift), composed through the one recallSql shape
     "knn_recall" -> recallSql(KnnBruteSql, KnnIvfSql),
     "knn_recall_lsh" -> recallSql(KnnBruteSql, KnnLshSql),
+    "knn_graph_recall" -> recallSql(knnBruteSqlFor("TRUE"), KnnGraphSql),
     // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
     // (strlen) and first_byte the UTF-8 leading byte — byte semantics
     // exactly, not character semantics (they differ on non-ASCII text).

@@ -432,20 +432,35 @@ object GraphOps {
     * stats-free local checkpoint (see `ck`) with the superseded frame
     * released each round.
     */
-  def kCore(e: DataFrame, k: Int = KCoreK,
-      maxRounds: Int = KCoreMaxRounds): DataFrame = {
-    require(k >= 1, s"kCore: k must be >= 1, got $k")
+  /** The checkpointed symmetrize+simplify shared by the peeling
+    * operators: both orientations, self-loops dropped, duplicates
+    * collapsed; returns (state, edge count).
+    */
+  private def undSimple(e: DataFrame): (DataFrame, Long) = {
     val sym = e.filter(col("src") =!= col("dst"))
-    var (und, nEdges) = ckCounted(
+    ckCounted(
       sym.select(col("src"), col("dst"))
         .union(sym.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
+  }
+
+  /** Peel a checkpointed undirected simple state to its k-core
+    * fixpoint (degree-< k endpoints removed until stable). CONSUMES
+    * the input state (its frame is dropped once superseded); returns
+    * the checkpointed fixpoint and its edge count. Raises past
+    * `maxRounds` — the oracle-unrolling soundness contract shared by
+    * `kCore` and `coreness`.
+    */
+  private def peelTo(und0: DataFrame, nEdges0: Long, k: Int,
+      maxRounds: Int): (DataFrame, Long) = {
+    var und = und0
+    var nEdges = nEdges0
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
-          s"kCore did not reach a fixpoint in $maxRounds rounds — " +
+          s"k=$k peel did not reach a fixpoint in $maxRounds rounds — " +
             "raise maxRounds (and the oracle's unroll depth with it)")
       val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
@@ -459,11 +474,77 @@ object GraphOps {
       und = next
       nEdges = nNext
     }
-    val core = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    (und, nEdges)
+  }
+
+  def kCore(e: DataFrame, k: Int = KCoreK,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val (und0, n0) = undSimple(e)
+    val (und, _) = peelTo(und0, n0, k, maxRounds)
+    und.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node_id"), col("degree"))
-    // hand back a plan-independent frame so the caller can release
-    // nothing: the loop's last state is the only live checkpoint
-    core
+  }
+
+  /** coreness bounds: max level the operator will peel to before
+    * raising (actual max coreness on the gate's sparsified slice is 3
+    * at every tested SF), and the per-level round budget (10 observed
+    * at sf0.1; the oracle unrolls exactly these bounds).
+    */
+  val CorenessMaxK = 6
+  val CorenessMaxRounds = 16
+
+  /** Full CORENESS decomposition (Seidman/Batagelj-Zaversnik core
+    * numbers): one `(node_id, coreness)` row per vertex, coreness =
+    * the largest k whose k-core contains the vertex. Computed by
+    * MONOTONE successive peeling — the k-core of the (k−1)-core IS
+    * the k-core of the original graph, so each level peels the
+    * previous level's (strictly shrinking, checkpointed) state, never
+    * the full graph again. Every vertex appearing in an edge has
+    * coreness ≥ 1; coreness = 1 + (number of levels k ≥ 2 whose
+    * fixpoint still contains the vertex), assembled from the
+    * vertex-sized per-level survivor relations in one union +
+    * aggregation at the end. Raises if the graph outlives `maxK`
+    * levels or any level outlives `maxRounds` peel rounds (the
+    * unrolled-oracle soundness contract).
+    *
+    * Scale shape: identical per-round relational algebra to `kCore`
+    * (vertex-sized degree agg + two semi-joins on checkpointed
+    * state); total work is Σ_k rounds_k sweeps over a state that only
+    * shrinks. The per-level vertex snapshots are the only extra state
+    * — ≤ maxK vertex-sized checkpoints.
+    */
+  def coreness(e: DataFrame, maxK: Int = CorenessMaxK,
+      maxRounds: Int = CorenessMaxRounds): DataFrame = {
+    var (und, nEdges) = undSimple(e)
+    // materialize the level-1 vertex set BEFORE peeling consumes the
+    // state it derives from
+    val verts1 = ck(und.select(col("src").as("node_id")).distinct())
+    var levelVerts = List.empty[DataFrame]
+    var k = 2
+    while (nEdges > 0L) {
+      if (k > maxK)
+        throw new IllegalStateException(
+          s"coreness exceeds maxK=$maxK — raise maxK (and the " +
+            "oracle's level unroll with it)")
+      val (next, nNext) = peelTo(und, nEdges, k, maxRounds)
+      und = next
+      nEdges = nNext
+      if (nEdges > 0L)
+        levelVerts ::= ck(und.select(col("src").as("node_id")).distinct())
+      k += 1
+    }
+    val counts =
+      if (levelVerts.isEmpty) null
+      else levelVerts.reduce(_ unionAll _)
+        .groupBy("node_id").agg(count(lit(1)).as("__extra"))
+    val base = verts1
+    val joined =
+      if (counts == null) base.select(col("node_id"), lit(1L).as("coreness"))
+      else base.join(counts, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(1L) + coalesce(col("__extra"), lit(0L))).as("coreness"))
+    joined
   }
 
   /** linkPrediction defaults: middle-degree cap and top-k width. */

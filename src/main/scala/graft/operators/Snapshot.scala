@@ -74,14 +74,28 @@ object Snapshot {
     * decide winners).
     */
   def latestState(updates: DataFrame, keyCol: String = "doc_id",
+      versionCol: String = "version", deletedCol: String = "deleted"): DataFrame =
+    latestStateChangelog(updates, keyCol, versionCol, deletedCol)
+      .filter(!col(deletedCol))
+      .drop(deletedCol)
+
+  /** `latestState` with the tombstone VISIBLE: same per-key
+    * latest-version election, but winning tombstones are returned
+    * (with `deletedCol` retained) instead of dropped — the CHANGELOG
+    * form a delete-aware sink consumes (upsert rows where deleted =
+    * false, issue deletes where true). In update-mode streaming this
+    * is the variant that actually propagates deletions: `latestState`
+    * simply stops emitting a tombstoned key, which an idempotent
+    * upsert sink would never notice. Same single aggregation, same
+    * state bound, same determinism contract (unique versions per key).
+    */
+  def latestStateChangelog(updates: DataFrame, keyCol: String = "doc_id",
       versionCol: String = "version", deletedCol: String = "deleted"): DataFrame = {
     val payloadCols = updates.columns.filter(_ != keyCol).toSeq
     updates.groupBy(col(keyCol))
       .agg(max_by(
         struct(payloadCols.map(col): _*), col(versionCol)).as("__win"))
       .select(col(keyCol) +: payloadCols.map(c => col(s"__win.$c").as(c)): _*)
-      .filter(!col(deletedCol))
-      .drop(deletedCol)
   }
 
   /** Content diff between two snapshots of the same keyed relation:

@@ -706,6 +706,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(lshGate.getDouble(3) < gate.getDouble(3),
       "plain LSH unexpectedly beat IVF on this corpus — revisit the " +
         "starvation comment above")
+    // the kNN-GRAPH gate (knn_graph_recall): all vectors are queries,
+    // exact side = all-queries brute. Same starvation bar as plain
+    // LSH on this corpus (measured 0.07 at sf0.01) — collapse guard
+    // here, hash pin driver-side, and the clustered-corpus knnGraph
+    // test holds the real >= 0.3 recall floor
+    val graphGate = Similarity.recallAtK(
+      Similarity.knnGraph(emb),
+      Similarity.knnBrute(emb, nQueries = Long.MaxValue)).collect()(0)
+    assert(graphGate.getLong(0) === emb.count())
+    assert(graphGate.getLong(2) === emb.count() * 5L)
+    assert(graphGate.getDouble(3) > 0.0,
+      s"knn_graph_recall collapsed to zero recall")
   }
 
   test("knnIvfTrained: deterministic, and on a clustered corpus beats the hash-anchor layout") {

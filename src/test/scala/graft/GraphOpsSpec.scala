@@ -699,6 +699,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("coreness: clique+chain fixture; == brute successive peel; consistent with kCore") {
+    // 6-clique + 12-vertex tail chain off vertex 1: clique members
+    // have coreness 5, every chain vertex (a tree) coreness 1
+    val clique = for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield (a, b)
+    val chain = (0 until 12).map(i => (10L + i, 11L + i)) :+ ((1L, 10L))
+    val g = edgeDf(clique ++ chain: _*)
+    val cor = GraphOps.coreness(g, maxK = 8, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 6L).foreach(v => assert(cor(v) === 5L, s"vertex $v"))
+    (10L to 22L).foreach(v => assert(cor(v) === 1L, s"vertex $v"))
+    // brute on random multigraphs + the kCore consistency law:
+    // {v : coreness(v) >= k} == vertices of kCore(k)
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(6)
+      val edges = Seq.fill(40 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      var und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val expect = scala.collection.mutable.Map[Long, Long]()
+      und.map(_._1).distinct.foreach(v => expect(v) = 1L)
+      var k = 2L
+      while (und.nonEmpty) {
+        var stable = false
+        while (!stable) {
+          val deg = und.groupBy(_._1).map { case (v, es) => (v, es.length) }
+          val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+          val next = und.filter(e => keep(e._1) && keep(e._2))
+          stable = next.length == und.length
+          und = next
+        }
+        und.map(_._1).distinct.foreach(v => expect(v) = k)
+        k += 1
+      }
+      val df = edgeDf(edges: _*)
+      val got = GraphOps.coreness(df, maxK = 20, maxRounds = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      withClue(s"trial $trial edges=$edges") {
+        assert(got === expect.toMap)
+        val k2 = GraphOps.kCore(df, k = 2, maxRounds = 50)
+          .collect().map(_.getLong(0)).toSet
+        assert(got.collect { case (v, c) if c >= 2L => v }.toSet === k2)
+      }
+    }
+  }
+
   test("kCore == driver-side brute peeling on random multigraphs") {
     val rnd = new scala.util.Random(20260814)
     for (trial <- 1 to 5) {

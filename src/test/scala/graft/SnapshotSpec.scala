@@ -79,6 +79,22 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.snapshotDiff(s, s).count() === 0L)
   }
 
+  test("latestStateChangelog: tombstones visible; latestState == changelog minus deletes") {
+    val updates = snap(
+      (1L, "one-v0", 0L, false), (1L, "one-v1", 1L, false),
+      (2L, "two-v0", 0L, false), (2L, "dead", 1L, true),
+      (3L, "gone", 0L, true))
+    val log = Snapshot.latestStateChangelog(updates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // a delete-aware sink sees BOTH the live winner and the tombstones
+    assert(log === Set((1L, "one-v1", 1L, false), (2L, "dead", 1L, true),
+      (3L, "gone", 0L, true)))
+    val live = Snapshot.latestState(updates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(live === Set((1L, "one-v1", 1L)))
+  }
+
   test("latestState: streaming complete-mode state == batch over the same updates") {
     // updates arrive out of version order and across micro-batch
     // boundaries: upsert, tombstone, re-insert after tombstone,
