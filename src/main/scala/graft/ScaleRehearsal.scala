@@ -718,6 +718,25 @@ object ScaleRehearsal {
     t("kcore 1M edges k=20 (collapse)")(
       operators.GraphOps.kCore(kcEdges, k = 20, maxRounds = 30).count())
 
+    // coreness on the same 1M-edge uniform graph: k=14 sits just
+    // below the collapse threshold, so the decomposition walks the
+    // full deep-cascade level before the wipe — every level's peel on
+    // strictly shrinking state
+    t("coreness 1M edges")(
+      operators.GraphOps.coreness(kcEdges, maxK = 40, maxRounds = 60)
+        .groupBy("coreness").count().count())
+
+    // link prediction at 1M edges (100k vertices, mean degree ~20 —
+    // all middles under the cap: the worst admissible fanout)
+    t("link_prediction 1M edges")(
+      operators.GraphOps.linkPrediction(kcEdges, midMaxDeg = 30).count())
+
+    // doc kNN on the replica corpus: every shingle's doc-frequency is
+    // a multiple of 10, so the rare-shingle df cap must be cleared by
+    // clone groups — candidate buckets hold >= 10 docs by construction
+    t("doc_knn 50k docs")(
+      operators.Dedup.docKnn(docs, maxDf = 60L).count())
+
     // snapshot refresh at 50k: a 20% upsert + 5% tombstone batch
     // through the one-shuffle merge, then the fingerprint-only diff
     t("merge+diff 50k docs")({

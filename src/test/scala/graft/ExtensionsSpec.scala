@@ -2716,6 +2716,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(tumb === hourly)
   }
 
+  test("hourlySliding runs unchanged on a stream: complete-mode state == batch") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 120).map { i =>
+      (i.toLong, new java.sql.Timestamp(rnd.nextInt(10000000) * 1000L),
+        if (i % 3 == 0) "a" else "b")
+    }.toDF("event_id", "ts", "event_type")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) -> r.getLong(2)
+    val batch = graft.streaming.EventWindows.hourlySliding(events)
+      .collect().map(key).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.hourlySliding(
+        spark.readStream.schema(events.schema).parquet(dir))
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "select win_epoch, event_type, n_events from slide_stream")
+        .collect().map(key).toMap
+      assert(streamed === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("pairSourceMatrix: canonical source pairs, counts per cell") {
     val s = spark
     import s.implicits._
