@@ -377,6 +377,18 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextOps.chunkDocs(Tables.table(s, d, "documents"))
         .orderBy("doc_id", "chunk_idx")),
+    // winnowing fingerprints: per-window minima of the rolling k-gram
+    // hash — shuffle-free selection, the MOSS-style overlap index key
+    "text_winnow" -> ((s, d) =>
+      TextOps.winnowing(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "fp")),
+    // top-100 bigram counts + Kneser-Ney continuation counts — the
+    // n-gram LM statistic table; pairs generated inside a projection
+    "text_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLm(Tables.table(s, d, "documents"))
+        .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+          org.apache.spark.sql.functions.col("w1"),
+          org.apache.spark.sql.functions.col("w2"))),
     "text_normalize" -> ((s, d) =>
       TextOps.normalize(Tables.table(s, d, "documents"))
         .select("doc_id", "text").orderBy("doc_id")),
@@ -602,6 +614,18 @@ object SparkEntry {
       val (cur, changes) = mergeFixture(docs)
       Snapshot.snapshotDiff(docs, Snapshot.mergeLatest(cur, changes))
         .orderBy("doc_id")
+    }),
+    // SCD2 history over the same synthetic change stream: validity
+    // intervals per (doc, version) — the point-in-time audit form;
+    // one doc-keyed window, tombstones visible, is_current re-derives
+    // the changelog winners
+    "docs_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
+      Snapshot.scd2History(cur.unionByName(changes))
+        .select(col("doc_id"), col("version"), col("deleted"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("doc_id", "version")
     }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
@@ -856,6 +880,12 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
+    // per-user burstiness profile: adjacent-gap stats over each user's
+    // sorted timestamps — one user-keyed shuffle, all-integer output;
+    // the automated-traffic signal a curation pass filters on
+    "events_interarrival" -> ((s, d) =>
+      graft.streaming.Sessionize.interArrival(Tables.table(s, d, "events"))
+        .orderBy("user_id")),
     "events_props" -> ((s, d) =>
       EventWindows.propsStats(Tables.table(s, d, "events"))
         .orderBy("event_type")),
@@ -1793,6 +1823,41 @@ object SparkEntry {
         s"CAST(len(substr(text, CAST(start AS INT) + 1, $w)) AS BIGINT) AS n_chars " +
         "FROM st"
     },
+    // winnowing oracle: the dedup_spans per-position direct-hash CTE,
+    // then a w-row rolling MIN window per doc — partial windows at the
+    // start are excluded (full-window semantics) EXCEPT the final
+    // position of a doc with fewer than w k-grams, which mirrors the
+    // Spark side's least(w-1, n-1) window-end lower bound
+    "text_winnow" -> {
+      val k = graft.operators.TextOps.WinnowGramChars
+      val w = graft.operators.TextOps.WinnowWindow
+      s"WITH g AS (SELECT doc_id, i - 1 AS pos, " +
+        s"${phSql(s"substr(text, i::INT, $k)")} * " +
+        s"${graft.functions.PolyHashUtil.Mod2} + " +
+        s"${phSql2(s"substr(text, i::INT, $k)")} AS h " +
+        s"FROM (SELECT doc_id, text, unnest(range(1, length(text) - $k + 2)) AS i " +
+        s"FROM documents WHERE length(text) >= $k)), " +
+        "m AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id " +
+        s"ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp, " +
+        "MAX(pos) OVER (PARTITION BY doc_id) AS mx FROM g) " +
+        "SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM m " +
+        s"WHERE pos >= ${w - 1} OR pos = mx"
+    },
+    // bigram-LM oracle: adjacent pairs via unnest(generate_series)
+    // (empty for single-token docs), counts, continuation counts over
+    // the distinct-bigram relation, deterministic top-k total order
+    "text_bigram_lm" -> {
+      val k = graft.operators.TextOps.BigramTopK
+      "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), " +
+        "ix AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t), " +
+        "p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM ix), " +
+        "bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM p GROUP BY 1, 2), " +
+        "cont AS (SELECT w2, COUNT(*) AS w2_contexts FROM bi GROUP BY 1), " +
+        s"top AS (SELECT w1, w2, cnt FROM bi ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT $k) " +
+        "SELECT top.w1, top.w2, CAST(top.cnt AS BIGINT) AS cnt, " +
+        "CAST(cont.w2_contexts AS BIGINT) AS w2_contexts " +
+        "FROM top JOIN cont USING (w2)"
+    },
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), " +
         "'\\s+', ' ', 'g')) AS text FROM documents"),
@@ -2119,6 +2184,25 @@ object SparkEntry {
         "END AS clean_text FROM documents d LEFT JOIN sl USING (doc_id)"
     },
     "docs_merge" -> MergedSnapshotSql,
+    // LEAD-window twin of Snapshot.scd2History over the same synthetic
+    // change stream (the MergedSnapshotSql union without the side
+    // column — SCD2 keys intervals by version alone); open intervals
+    // carry the Scd2Open sentinel, is_current = open AND NOT deleted
+    "docs_scd2" -> {
+      val open = Snapshot.Scd2Open
+      "WITH u AS (" +
+        "SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted " +
+        "FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), FALSE " +
+        "FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), TRUE " +
+        "FROM documents WHERE doc_id % 7 = 3), " +
+        "h AS (SELECT doc_id, version, deleted, version AS valid_from, " +
+        s"COALESCE(LEAD(version) OVER (PARTITION BY doc_id " +
+        s"ORDER BY version), $open) AS valid_to FROM u) " +
+        "SELECT doc_id, version, deleted, valid_from, valid_to, " +
+        s"(valid_to = $open AND NOT deleted) AS is_current FROM h"
+    },
     // diff audits the SAME merged relation (shared MergedSnapshotSql
     // body, so the two gates cannot drift); the oracle compares text
     // directly where the operator compares PolyHash fingerprints —
@@ -2614,6 +2698,22 @@ object SparkEntry {
     // gaps-and-islands twin of session_window: a session breaks when the
     // gap to the previous event is >= 30 min; end = last event + gap
     "events_sessions" -> SessionsSql,
+    // lag-window twin of Sessionize.interArrival; gap multiset is
+    // well-defined under timestamp ties (sorted sequence is unique),
+    // -1 sentinels instead of engine nulls for single-event users
+    "events_interarrival" -> {
+      val rapid = graft.streaming.Sessionize.RapidGapUs
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "g AS (SELECT user_id, us, us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) AS gap FROM e) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(gap) AS BIGINT) AS n_gaps, " +
+        "CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_us, " +
+        "CAST(COALESCE(MAX(gap), -1) AS BIGINT) AS max_gap_us, " +
+        "CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us, " +
+        s"CAST(SUM(CASE WHEN gap < $rapid THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_rapid FROM g GROUP BY user_id"
+    },
     // session-duration order statistics by hour-of-day of session
     // start: SessionsSql composed into the events_quantiles rank
     // machinery — same (pct·n + 99) // 100 target, same (value, id)

@@ -98,6 +98,48 @@ object Snapshot {
       .select(col(keyCol) +: payloadCols.map(c => col(s"__win.$c").as(c)): _*)
   }
 
+  /** `valid_to` sentinel for an open (still-current) SCD2 interval —
+    * Long.MaxValue rather than NULL so the history relation stays
+    * filterable with plain range predicates (`valid_to > v`) and
+    * hash-comparable across engines without a null-ordering story.
+    */
+  val Scd2Open: Long = Long.MaxValue
+
+  /** Slowly-changing-dimension (type 2) history assembly: turns a bag
+    * of versioned updates (upserts + tombstones, the same shape
+    * `mergeLatest` consumes) into validity intervals — one row per
+    * (key, version) with `valid_from` = its version, `valid_to` = the
+    * key's next version (`Scd2Open` if none), and `is_current` marking
+    * the open non-deleted row. This is the POINT-IN-TIME form of the
+    * corpus: "which text did doc X have at version v" becomes a range
+    * predicate (`valid_from <= v AND v < valid_to`), the lookup shape
+    * a training-data audit ("what exactly did the March run train on")
+    * needs and `latestState` by construction cannot answer.
+    *
+    * Tombstones stay VISIBLE as closed-or-open intervals with
+    * `deletedCol` = true (an open tombstone means "currently absent"),
+    * so the history composes with `latestStateChangelog`: filtering
+    * `is_current` re-derives exactly the changelog's winners.
+    * Determinism contract: (key, version) unique, as in `mergeLatest`.
+    *
+    * Scale shape: ONE shuffle keyed by `keyCol` (the window
+    * partition); per-key state is the key's version count (corpus
+    * refreshes are shallow — a handful of revisions per doc), so the
+    * keyed sort never approaches a task's spill budget, unlike
+    * event-keyed windows.
+    */
+  def scd2History(updates: DataFrame, keyCol: String = "doc_id",
+      versionCol: String = "version", deletedCol: String = "deleted"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(versionCol)
+    updates
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(versionCol), 1).over(w), lit(Scd2Open)))
+      .withColumn("is_current",
+        col("valid_to") === Scd2Open && !col(deletedCol))
+  }
+
   /** Content diff between two snapshots of the same keyed relation:
     * one row per key whose membership or content changed, labeled
     * `added` (in `after` only), `removed` (in `before` only) or

@@ -65,6 +65,89 @@ object TextOps {
       col("doc_id"),
       poly_hash(col("text")).as("fingerprint"))
 
+  /** Winnowing geometry (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * k-gram size in code points and window width in consecutive
+    * k-grams. w=4 selects ~1/4 of positions (expected density 2/(w+1))
+    * while guaranteeing any match of length ≥ k + w − 1 chars shares a
+    * fingerprint. Same constants MUST appear in the oracle SQL.
+    */
+  val WinnowGramChars = 8
+  val WinnowWindow = 4
+
+  /** Winnowing document fingerprints: the DISTINCT set of per-window
+    * minimum rolling k-gram hashes — the position-robust selection
+    * MOSS-style overlap detection indexes by (insertion/deletion moves
+    * positions, but the selected hash VALUES are locally stable,
+    * unlike every-nth-position sampling). For each doc: all windows of
+    * `w` consecutive k-gram hashes contribute their minimum; a doc
+    * with fewer than `w` k-grams (but ≥ 1) contributes the minimum of
+    * what it has, so every doc of length ≥ k yields ≥ 1 fingerprint.
+    * Output `(doc_id, fp)`, distinct per doc.
+    *
+    * Value-set semantics on purpose: selecting VALUES (not positions)
+    * needs no rightmost-tie rule, so the result is a pure function of
+    * the hash sequence and hash-checkable cross-engine. The combined
+    * ~60-bit double hash is `CharGramHash`'s (collision odds and the
+    * rolling O(n) map-stage argument documented there).
+    *
+    * Scale shape: shuffle-FREE — one projection (rolling hashes +
+    * array window minima + distinct, all inside the generator
+    * expression) then explode; at 100 TB this is a map stage over the
+    * (doc_id, text) scan, and the fingerprint index it feeds is a
+    * (fp → doc) groupBy exactly like `Dedup.exact`'s.
+    */
+  def winnowing(docs: DataFrame, k: Int = WinnowGramChars,
+      w: Int = WinnowWindow): DataFrame = {
+    require(k >= 1, s"winnowing needs k >= 1, got $k")
+    require(w >= 1, s"winnowing needs w >= 1, got $w")
+    val hs = graft.functions.CharGramHashFunctions
+      .char_gram_hash(col("text"), k)
+    docs
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(least(lit(w - 1), size(col("hs")) - 1),
+            size(col("hs")) - 1),
+          i => array_min(slice(col("hs"),
+            greatest(i + lit(2 - w), lit(1)), lit(w)))))).as("fp"))
+  }
+
+  /** Top-k bigram language-model counts with Kneser-Ney continuation
+    * counts — the statistic table an n-gram LM (or a data-quality
+    * perplexity filter) trains from. For the `k` most frequent word
+    * bigrams (count desc, then lexicographic): the raw count and the
+    * right word's continuation count N1+(·, w2) = number of DISTINCT
+    * left contexts w2 appears after — the quantity Kneser-Ney
+    * smoothing replaces raw unigram frequency with (Kneser & Ney,
+    * ICASSP 1995). All-integer output.
+    *
+    * Scale shape: adjacent pairs are generated INSIDE a projection
+    * (array transform over the token array — no posexplode self-join),
+    * so the only corpus-sized shuffle is the (w1, w2) count with
+    * map-side combine; continuation counts are a second aggregation
+    * over the already-distinct bigram relation (vocabulary-sized, not
+    * corpus-sized), and the final join puts the k-row top side against
+    * it — broadcast by size. The top-k itself is a TakeOrdered merge,
+    * never a global sort.
+    */
+  def bigramLm(docs: DataFrame, k: Int = BigramTopK): DataFrame = {
+    val pairs = docs.select(tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("w2_contexts"))
+    bi.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(k)
+      .join(cont, "w2")
+      .select(col("w1"), col("w2"), col("cnt"), col("w2_contexts"))
+  }
+
+  val BigramTopK = 100
+
   /** Exact top-k vocabulary by frequency (count desc, token asc).
     * Map-side partial counts bound the shuffle by distinct tokens per
     * partition; the final top-k is a TakeOrdered merge (k rows per

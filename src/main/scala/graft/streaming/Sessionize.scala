@@ -35,6 +35,53 @@ object Sessionize {
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Gaps under this count as "rapid-fire" in `interArrival` — a
+    * bot/scraper signal for data curation (a human browse session
+    * rarely emits sub-second event trains). Same constant MUST appear
+    * in the oracle SQL.
+    */
+  val RapidGapUs = 1000000L
+
+  /** Per-user inter-arrival statistics — the burstiness profile a
+    * curation pipeline filters automated traffic by (and the
+    * event-rate sanity check run before sessionizing at all). For each
+    * user: event count, adjacent-gap count, min/max gap, total span,
+    * and the number of sub-`RapidGapUs` gaps. All outputs are exact
+    * integers (microseconds / counts) — no float aggregation, per the
+    * repo's float-parity rule.
+    *
+    * Gap semantics: gaps are consecutive differences of the user's
+    * timestamps sorted ascending. Equal timestamps produce zero-length
+    * gaps; the multiset of gaps is order-independent because the
+    * sorted sequence is (ties contribute the same zero gaps whichever
+    * row "comes first"), so every aggregate here is deterministic even
+    * though `lag` itself isn't total-ordered under ties. Single-event
+    * users report n_gaps = 0 and min/max gap = -1 (sentinel — the
+    * oracle cannot distinguish engine nulls portably).
+    *
+    * Scale shape: ONE shuffle keyed by user_id (the window partition),
+    * spillable sort within each user's partition slice, then a
+    * map-side-combinable aggregation on the same key — no global
+    * window, no collect. A celebrity user funnels through one task's
+    * sort, the same caveat as `sessions`; the time-bucketed carry-in
+    * trick `AsofJoin.asofJoinBucketed` uses is the escape hatch if a
+    * single key's event count ever exceeds one task's spill budget.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        coalesce(min(col("gap")), lit(-1L)).as("min_gap_us"),
+        coalesce(max(col("gap")), lit(-1L)).as("max_gap_us"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        sum(when(col("gap") < RapidGapUs, 1L).otherwise(0L)).as("n_rapid"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)

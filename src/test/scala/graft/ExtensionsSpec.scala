@@ -1121,6 +1121,86 @@ class ExtensionsSpec extends SparkSpec {
     assert(dec(3L) === (0xE2L + 0x98L + 0x83L) % 251L)
   }
 
+  test("interArrival: fixture gaps (ties → zero gaps, single event → sentinels)") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 10L), (1L, 25L), (2L, 5L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val out = graft.streaming.Sessionize.interArrival(ev)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // user 1: sorted gaps are 10, 0, 15 (all rapid); user 2: singleton
+    assert(out.toSeq === Seq(
+      (1L, 4L, 3L, 0L, 15L, 25L, 3L),
+      (2L, 1L, 0L, -1L, -1L, 0L, 0L)))
+  }
+
+  test("interArrival == brute sorted-diff stats on random event sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val rows = Seq.fill(400)((rnd.nextInt(12).toLong,
+      rnd.nextInt(3000000).toLong * 2))
+    val ev = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.streaming.Sessionize.interArrival(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val gaps = ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      u -> ((ts.size.toLong, gaps.size.toLong,
+        if (gaps.isEmpty) -1L else gaps.min,
+        if (gaps.isEmpty) -1L else gaps.max,
+        ts.last - ts.head,
+        gaps.count(_ < graft.streaming.Sessionize.RapidGapUs).toLong))
+    }
+    assert(got === want)
+  }
+
+  test("winnowing: brute window-min reference + the ≥1-fingerprint guarantee") {
+    val rnd = new scala.util.Random(13)
+    // short alphabet manufactures repeated k-grams; lengths straddle
+    // k (=4 here) and k+w-1 so partial-window docs are exercised
+    val docs = (0L until 40L).map(i => (i,
+      Seq.fill(rnd.nextInt(30))("ab" (rnd.nextInt(2))).mkString))
+    val k = 4
+    val w = 3
+    val df = docsDf(docs: _*)
+    val got = TextOps.winnowing(df, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = df.select(col("doc_id"),
+        graft.functions.CharGramHashFunctions.char_gram_hash(col("text"), k)
+          .as("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = hashes.toSeq.flatMap { case (id, hs) =>
+      if (hs.isEmpty) Seq.empty
+      else {
+        val lo = math.min(w - 1, hs.size - 1)
+        (lo until hs.size).map { i =>
+          id -> hs.slice(math.max(0, i - w + 1), i + 1).min
+        }.distinct
+      }
+    }.toSet
+    assert(got === want)
+    // every doc with at least one k-gram yields at least one fingerprint
+    val withGram = hashes.filter(_._2.nonEmpty).keySet
+    assert(got.map(_._1) === withGram)
+  }
+
+  test("bigramLm: counts + Kneser-Ney continuation counts on a fixture") {
+    val docs = docsDf((1L, "a b a b c"), (2L, "b c"), (3L, "solo"))
+    val out = TextOps.bigramLm(docs, 10)
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // bigrams: (a,b)×2, (b,c)×2, (b,a)×1; continuation counts: every
+    // right word here follows exactly one distinct left word
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 1L), ("b", "c", 2L, 1L), ("b", "a", 1L, 1L)))
+  }
+
   test("sessionize: session_window == flatMapGroupsWithState state machine") {
     val ev = Tables_events(spark)
     val a = graft.streaming.Sessionize.sessions(ev)

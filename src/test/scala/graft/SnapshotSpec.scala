@@ -95,6 +95,42 @@ class SnapshotSpec extends SparkSpec {
     assert(live === Set((1L, "one-v1", 1L)))
   }
 
+  test("scd2History: intervals chain, tombstones visible, is_current == latestState") {
+    val updates = snap(
+      (1L, "one", 0L, false), (1L, "one-v3", 3L, false),
+      (2L, "two", 0L, false), (2L, "dead", 5L, true),
+      (3L, "three", 2L, false))
+    val out = Snapshot.scd2History(updates)
+      .orderBy("doc_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+        r.getAs[Boolean]("is_current"), r.getBoolean(3)))
+    val open = Snapshot.Scd2Open
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 3L, false, false),
+      (1L, 3L, 3L, open, true, false),
+      (2L, 0L, 0L, 5L, false, false),
+      (2L, 5L, 5L, open, false, true), // open tombstone: current absence
+      (3L, 2L, 2L, open, true, false)))
+    // law: the is_current slice IS latestState (same keys, same text)
+    val cur = Snapshot.scd2History(updates)
+      .filter(org.apache.spark.sql.functions.col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ls = Snapshot.latestState(updates).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur === ls)
+    // every version row appears exactly once, intervals partition
+    // [first_version, open) per key: next valid_from == prior valid_to
+    val byKey = out.groupBy(_._1)
+    byKey.values.foreach { iv =>
+      iv.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 === b._3)
+        case _ =>
+      }
+      assert(iv.last._4 === open)
+    }
+  }
+
   test("latestState: streaming complete-mode state == batch over the same updates") {
     // updates arrive out of version order and across micro-batch
     // boundaries: upsert, tombstone, re-insert after tombstone,
