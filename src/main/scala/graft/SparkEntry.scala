@@ -39,6 +39,13 @@ object SparkEntry {
   val MaxRep = 40L // ReplicatedJoinDriver.java:31 — inclusive <=
   val MaxApprox = 78L // ApproxCardinality.java:24 — strict <
 
+  /** Seed-set bound for the `pagerank_personalized` gate: seeds = the
+    * graph vertices with id < PprSeedMax (8 keeps a handful of seeds
+    * at every sf — vertex ids start at 0 on both the customer and
+    * supplier ranges). Same constant MUST appear in oracleSql.
+    */
+  val PprSeedMax = 8L
+
   /** Sparsifier modulus for the `graph_components` gate: keeps ~1/40
     * of edges, which splits the (otherwise fully-connected) derived
     * graph into ~24 components at sf0.01 — a non-degenerate partition
@@ -228,6 +235,17 @@ object SparkEntry {
     // oracle hash-matches bit for bit (a float PageRank could not)
     "pagerank" -> ((s, d) =>
       GraphOps.pageRank(GraphOps.edges(s, d)).orderBy("vertex")),
+    // random-walk-with-restart relevance to the seed set (vertex id <
+    // PprSeedMax): teleport mass lands only on seeds, rank decays with
+    // distance — same exact-long machinery as pagerank
+    "pagerank_personalized" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = GraphOps.edges(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") < PprSeedMax).distinct()
+      GraphOps.pageRankPersonalized(e, seeds).orderBy("vertex")
+    }),
     // weakly-connected components on a deterministic sparse slice of
     // the follower graph (the full derived graph is one giant
     // component — the slice makes the partition non-degenerate, the
@@ -627,6 +645,12 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("doc_id", "version")
     }),
+    // SQ8 storage compression: per-dimension min/max grid, one row per
+    // (vec_id, dim) with the int8 code + reconstruction-error ppm —
+    // dim-keyed stats agg + a broadcast-join map stage
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.table(s, d, "embeddings"))
+        .orderBy("vec_id", "dim")),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -1507,6 +1531,27 @@ object SparkEntry {
         "verts AS (SELECT src AS v FROM we UNION SELECT dst FROM we), " +
         "tw AS (SELECT src AS v, SUM(w) AS tw FROM we GROUP BY 1), " +
         s"pr0 AS (SELECT v, $scale AS r FROM verts), $sweeps " +
+        s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
+        s"FROM pr${GraphOps.PageRankIters}"
+    },
+    "pagerank_personalized" -> {
+      // the pagerank oracle with seed-gated teleportation: pr0 = scale
+      // on seeds only, restart term = s · base each sweep
+      val scale = GraphOps.PageRankScale
+      val base = 15L * scale / 100L
+      val sweeps = (1 to GraphOps.PageRankIters).map { i =>
+        s"pr$i AS (SELECT sv.v, sv.s * $base + (85 * COALESCE(inc.m, 0)) // 100 AS r " +
+          "FROM sv LEFT JOIN (" +
+          s"SELECT e.dst AS v, SUM(p.r // deg.d) AS m FROM dedges e " +
+          s"JOIN pr${i - 1} p ON p.v = e.src JOIN deg ON deg.v = e.src " +
+          "GROUP BY e.dst) inc ON inc.v = sv.v)"
+      }.mkString(", ")
+      s"WITH dedges AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "verts AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges), " +
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM dedges GROUP BY src), " +
+        s"sv AS (SELECT v, CASE WHEN v < $PprSeedMax THEN 1 ELSE 0 END AS s " +
+        "FROM verts), " +
+        s"pr0 AS (SELECT v, s * $scale AS r FROM sv), $sweeps " +
         s"SELECT v AS vertex, CAST(r AS BIGINT) AS rank_fp " +
         s"FROM pr${GraphOps.PageRankIters}"
     },
@@ -2414,6 +2459,21 @@ object SparkEntry {
         "SELECT e.vec_id AS doc_id FROM embeddings e " +
         "WHERE e.vec_id IN (SELECT doc_id FROM documents) " +
         "AND e.vec_id NOT IN (SELECT doc_id FROM losers)"),
+    // SQ8 oracle: same per-dim min/max grid; every double op is the
+    // SAME left-to-right chain as the Spark expression (float-parity —
+    // min/max have no accumulation order, floor/clamp are exact)
+    "embedding_quantize" ->
+      ("WITH x AS (SELECT vec_id, embedding, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+        "v AS (SELECT vec_id, i - 1 AS dim, " +
+        "CAST(embedding[i] AS DOUBLE) AS x FROM x), " +
+        "st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY dim), " +
+        "q AS (SELECT vec_id, v.dim, x, mn, mx, " +
+        "CASE WHEN mx > mn THEN LEAST(CAST(floor((x - mn) * 255.0 / (mx - mn)) " +
+        "AS BIGINT), 255) ELSE 0 END AS code FROM v JOIN st ON st.dim = v.dim) " +
+        "SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code, " +
+        "CAST(floor(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0)) " +
+        "* 1000000.0) AS BIGINT) AS err_ppm FROM q"),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned

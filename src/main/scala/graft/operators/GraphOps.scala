@@ -326,6 +326,55 @@ object GraphOps {
   val PageRankIters = 5
   val PageRankScale = 1000000L
 
+  /** PERSONALIZED fixed-point PageRank — random-walk-with-restart
+    * relevance to a SEED set, the "more like these" ranking a
+    * retrieval/curation pipeline uses where global PageRank answers
+    * the wrong question (global importance, not importance *to these
+    * seeds*). Teleportation mass lands ONLY on seeds: seed vertices
+    * start at `scale` and receive the 15% restart term each sweep,
+    * non-seeds start at 0 and accumulate walk mass alone, so rank
+    * decays with distance from the seed set. Same exact-long
+    * arithmetic, DISTINCT-edge semantics, dangling-leak convention and
+    * sweep shape as `pageRank` (whose docstring carries the
+    * bit-stability argument); `seeds` outside the graph's vertex set
+    * are ignored.
+    *
+    * Scale shape identical to `pageRank` — the seed flag is one extra
+    * vertex-sized left-semi-derived column, carried through the
+    * vertex-sized relation; per sweep still exactly one edge-sized
+    * join + one map-side-combined aggregation.
+    */
+  def pageRankPersonalized(e: DataFrame, seeds: DataFrame,
+      iters: Int = PageRankIters, scale: Long = PageRankScale): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val dedges = e.select("src", "dst").distinct()
+    val verts = dedges.select(col("src").as("v"))
+      .union(dedges.select(col("dst").as("v"))).distinct()
+    val deg = dedges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+    val vflag = verts.join(
+        seeds.select(col("v")).distinct().withColumn("s", lit(1L)),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("s"), lit(0L)).as("s"))
+    var ranks = vflag.select(col("v"), (col("s") * scale).as("r"),
+      col("s"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "v")
+        .select(col("v").as("src"), expr("r div d").as("c"))
+      val inbound = dedges
+        .join(contrib, "src")
+        .select(col("dst").as("v"), col("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      ranks = vflag.join(inbound, Seq("v"), "left")
+        .select(col("v"),
+          (col("s") * lit(15L * scale / 100L) +
+            (lit(85L) * coalesce(col("m"), lit(0L))).divLong(100L)).as("r"),
+          col("s"))
+    }
+    ranks.select(col("v").as("vertex"), col("r").cast("long").as("rank_fp"))
+  }
+
   /** WEIGHTED fixed-point PageRank — the bag-semantics twin of
     * `pageRank`: a repeated edge is WEIGHT, not noise (on the derived
     * buys-from graph, influence weighted by order volume). Per sweep

@@ -260,6 +260,47 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Scalar int8 quantization of the embedding corpus — the 4×
+    * memory/bandwidth compression an ANN serving tier stores vectors
+    * in (FAISS's SQ8 storage class). Per DIMENSION the corpus min/max
+    * define a linear 0..255 grid; each element maps to
+    * `floor((x − mn) · 255 / (mx − mn))` clamped to 255 (mn == mx →
+    * code 0), and `err_ppm` reports the per-element reconstruction
+    * error `⌊|x − dequant(code)| · 1e6⌋` — the audit column a pipeline
+    * alerts on before switching retrieval to quantized vectors.
+    * Output one row per (vec_id, dim): exploded rather than an array
+    * column so the result is plainly hash-comparable and the error
+    * distribution is directly queryable.
+    *
+    * Float parity: min/max are order-independent (no summation), and
+    * every per-element expression is a fixed left-to-right chain of
+    * double ops mirrored token-for-token in the oracle SQL — floor and
+    * clamp are exact, so the integer outputs are bit-stable across
+    * engines and partitionings.
+    *
+    * Scale shape: one (dim)-keyed aggregation over the exploded corpus
+    * (map-side combine; #dims groups), then the codes pass is a map
+    * stage — the per-dim stats table (#dims rows) joins broadcast. At
+    * 100 TB both stages stream; nothing corpus-sized shuffles beyond
+    * the dim-keyed partial-aggregate rows.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val stats = x.groupBy("dim").agg(min(col("x")).as("mn"),
+      max(col("x")).as("mx"))
+    x.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("mx") > col("mn"),
+        least(floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
+          lit(255L))).otherwise(lit(0L)).cast("long"))
+      .withColumn("err_ppm",
+        floor(abs(col("x") - (col("mn") + col("code").cast("double") *
+          (col("mx") - col("mn")) / lit(255.0))) * lit(1000000.0)).cast("long"))
+      .select(col("vec_id"), col("dim"), col("code"), col("err_ppm"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

@@ -1121,6 +1121,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(dec(3L) === (0xE2L + 0x98L + 0x83L) % 251L)
   }
 
+  test("quantizeInt8: brute double reference on real embeddings; grid bounds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val mn = (0 until dims).map(d => vecs.values.map(_(d).toDouble).min)
+    val mx = (0 until dims).map(d => vecs.values.map(_(d).toDouble).max)
+    val want = vecs.flatMap { case (id, v) =>
+      (0 until dims).map { d =>
+        val x = v(d).toDouble
+        val code = if (mx(d) > mn(d))
+          math.min(math.floor((x - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong, 255L)
+        else 0L
+        val err = math.floor(
+          math.abs(x - (mn(d) + code.toDouble * (mx(d) - mn(d)) / 255.0)) *
+            1000000.0).toLong
+        (id, d.toLong) -> ((code, err))
+      }
+    }
+    assert(got === want)
+    // every code is on the 0..255 grid; reconstruction error is within
+    // one grid step (+1 ppm for the floor)
+    got.foreach { case ((id, d), (code, err)) =>
+      assert(code >= 0L && code <= 255L)
+      val step = (mx(d.toInt) - mn(d.toInt)) / 255.0 * 1000000.0
+      withClue(s"vec $id dim $d") { assert(err <= step.toLong + 1L) }
+    }
+  }
+
   test("interArrival: fixture gaps (ties → zero gaps, single event → sentinels)") {
     val s = spark
     import s.implicits._

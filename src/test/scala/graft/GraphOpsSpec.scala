@@ -240,6 +240,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain(3L) > chain(1L))
   }
 
+  test("pageRankPersonalized: sequential reference; all-seeds == pageRank; decay") {
+    def ref(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+        scale: Long): Map[Long, Long] = {
+      val dedges = edges.distinct
+      val verts = dedges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = dedges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      def s(v: Long) = if (seeds(v)) 1L else 0L
+      var r = verts.map(v => v -> s(v) * scale).toMap
+      for (_ <- 1 to iters) {
+        val in = dedges
+          .map { case (a, b) => b -> r(a) / deg(a) }
+          .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+        r = verts.map(v => v ->
+          (s(v) * (15L * scale / 100L) + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val s0 = spark
+    import s0.implicits._
+    def seedDf(vs: Long*) = vs.toDF("v")
+    val rng = new scala.util.Random(47)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(80)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      val seeds = (0L to 3L).toSet
+      val got = GraphOps.pageRankPersonalized(edgeDf(e: _*), seedDf(seeds.toSeq: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ref(e, seeds, GraphOps.PageRankIters, GraphOps.PageRankScale)
+      withClue(s"edges=$e") { assert(got === want) }
+      // seeding EVERY vertex recovers plain pageRank exactly
+      val all = GraphOps.pageRankPersonalized(edgeDf(e: _*),
+        seedDf(e.flatMap(p => Seq(p._1, p._2)).distinct: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = GraphOps.pageRank(edgeDf(e: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(all === plain)
+    }
+    // distance decay on a seeded chain; a vertex unreachable from the
+    // seed (and not a seed) holds exactly zero mass
+    val chain = GraphOps.pageRankPersonalized(
+      edgeDf((1L, 2L), (2L, 3L), (9L, 8L)), seedDf(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain(1L) > chain(2L) && chain(2L) > chain(3L))
+    assert(chain(8L) === 0L && chain(9L) === 0L)
+  }
+
   test("trianglesPerVertex: sums to 3x the global count; brute per-anchor") {
     def brutePerVertex(e0: Seq[(Long, Long)], max: Long): Map[Long, Long] = {
       val e = e0.filter { case (s, d) => s < max && d < max }
