@@ -46,6 +46,13 @@ object SparkEntry {
     */
   val PprSeedMax = 8L
 
+  /** Probe version for the `docs_pit` gate — sits strictly between
+    * the fixture's rev1 upserts (version 1) and its tombstones
+    * (version 2), so the slice shows upserts applied but deletes not
+    * yet. Same constant MUST appear in oracleSql.
+    */
+  val PitVersion = 1L
+
   /** Sparsifier modulus for the `graph_components` gate: keeps ~1/40
     * of edges, which splits the (otherwise fully-connected) derived
     * graph into ~24 components at sf0.01 — a non-degenerate partition
@@ -645,6 +652,18 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("doc_id", "version")
     }),
+    // the point-in-time query SCD2 exists for: the corpus exactly as
+    // it stood at PitVersion — upserts ≤ PitVersion applied, later
+    // tombstones not yet; a range predicate over the history relation
+    "docs_pit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
+      Snapshot.scd2History(cur.unionByName(changes))
+        .filter(col("valid_from") <= PitVersion &&
+          col("valid_to") > PitVersion && !col("deleted"))
+        .select(col("doc_id"), col("text"), col("version"))
+        .orderBy("doc_id")
+    }),
     // SQ8 storage compression: per-dimension min/max grid, one row per
     // (vec_id, dim) with the int8 code + reconstruction-error ppm —
     // dim-keyed stats agg + a broadcast-join map stage
@@ -913,6 +932,12 @@ object SparkEntry {
     "events_props" -> ((s, d) =>
       EventWindows.propsStats(Tables.table(s, d, "events"))
         .orderBy("event_type")),
+    // rate-anomaly statistics: hourly counts vs the trailing-24h
+    // baseline per type — RANGE window over the hours-sized relation,
+    // integer spike ratio, thresholding left to the consumer
+    "events_anomaly" -> ((s, d) =>
+      EventWindows.hourlyAnomaly(Tables.table(s, d, "events"))
+        .orderBy("event_type", "hour_epoch")),
     // as-of alignment: every view picks the user's latest click at or
     // before it; clicks pre-aggregated to one row per (user, ts) — the
     // determinism precondition both engines share
@@ -2459,6 +2484,24 @@ object SparkEntry {
         "SELECT e.vec_id AS doc_id FROM embeddings e " +
         "WHERE e.vec_id IN (SELECT doc_id FROM documents) " +
         "AND e.vec_id NOT IN (SELECT doc_id FROM losers)"),
+    // PIT oracle: the docs_scd2 union WITH text, LEAD intervals, then
+    // the containment predicate at PitVersion
+    "docs_pit" -> {
+      val open = Snapshot.Scd2Open
+      "WITH u AS (" +
+        "SELECT doc_id, text, CAST(0 AS BIGINT) AS version, " +
+        "FALSE AS deleted FROM documents " +
+        "UNION ALL SELECT doc_id, 'rev1: ' || text, CAST(1 AS BIGINT), " +
+        "FALSE FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, text, CAST(2 AS BIGINT), TRUE " +
+        "FROM documents WHERE doc_id % 7 = 3), " +
+        "h AS (SELECT doc_id, text, version, deleted, " +
+        "version AS valid_from, COALESCE(LEAD(version) OVER " +
+        s"(PARTITION BY doc_id ORDER BY version), $open) AS valid_to FROM u) " +
+        "SELECT doc_id, text, version FROM h " +
+        s"WHERE valid_from <= $PitVersion AND valid_to > $PitVersion " +
+        "AND NOT deleted"
+    },
     // SQ8 oracle: same per-dim min/max grid; every double op is the
     // SAME left-to-right chain as the Spark expression (float-parity —
     // min/max have no accumulation order, floor/clamp are exact)
@@ -2755,6 +2798,26 @@ object SparkEntry {
         "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "MAX(value) AS max_value, MIN(value) AS min_value " +
         "FROM events GROUP BY 1, 2"),
+    // trailing-baseline RANGE window twin of hourlyAnomaly: absent
+    // hours contribute zero (RANGE, not ROWS), ratio in ppm with the
+    // -1 cold-start sentinel
+    "events_anomaly" -> {
+      val t = EventWindows.AnomalyTrailingHours
+      "WITH h AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, hour_epoch, cnt, " +
+        "COALESCE(SUM(cnt) OVER tw, 0) AS baseline_cnt, " +
+        "COALESCE(COUNT(*) OVER tw, 0) AS n_baseline_hours FROM h " +
+        "WINDOW tw AS (PARTITION BY event_type ORDER BY hour_epoch " +
+        s"RANGE BETWEEN ${t * 3600} PRECEDING AND 3600 PRECEDING)) " +
+        "SELECT hour_epoch, event_type, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(baseline_cnt AS BIGINT) AS baseline_cnt, " +
+        "CAST(n_baseline_hours AS BIGINT) AS n_baseline_hours, " +
+        "CAST(CASE WHEN baseline_cnt = 0 THEN -1 " +
+        s"ELSE cnt * $t * 1000000 // baseline_cnt END AS BIGINT) AS ratio_ppm " +
+        "FROM w"
+    },
     // gaps-and-islands twin of session_window: a session breaks when the
     // gap to the previous event is >= 30 min; end = last event + gap
     "events_sessions" -> SessionsSql,

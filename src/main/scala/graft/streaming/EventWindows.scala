@@ -94,6 +94,52 @@ object EventWindows {
         col("event_type"), col("n_events"))
   }
 
+  /** Trailing-baseline span (hours) for `hourlyAnomaly`. Same constant
+    * MUST appear in the oracle SQL.
+    */
+  val AnomalyTrailingHours = 24
+
+  /** Hourly rate-anomaly statistics per event type — the ingest-spike
+    * / outage detector a pipeline runs over its event firehose. Each
+    * (hour, type) bucket reports its count, the trailing
+    * `AnomalyTrailingHours`-hour baseline total, how many of those
+    * trailing hour-slots actually had events, and the spike ratio
+    * `cnt · trailing · 1e6 div baseline` (current vs trailing MEAN
+    * assuming a full window, in ppm; -1 when the baseline is empty —
+    * cold start). The spike/dip THRESHOLD is deliberately the
+    * consumer's: this operator emits exact integer statistics, not
+    * policy. Cold-start caveat: buckets whose trailing span is only
+    * partially covered (n_baseline_hours < trailing) inflate the
+    * ratio — gate on n_baseline_hours before alerting.
+    *
+    * Scale shape: the only event-sized operation is the map-side-
+    * combined (hour, type) count (same epoch-aligned hour bucket as
+    * every hourly operator); the baseline pass is a RANGE window
+    * keyed by event_type over the HOURS-sized count relation — state
+    * per key is the trailing-span row slice, i.e. ≤ trailing rows,
+    * and the relation a year of data feeds it is 8 760 rows per type,
+    * not events. RANGE (not ROWS) on the epoch key makes absent hours
+    * contribute zero instead of silently stretching the window.
+    */
+  def hourlyAnomaly(events: DataFrame,
+      trailingHours: Int = AnomalyTrailingHours): DataFrame = {
+    require(trailingHours >= 1,
+      s"trailingHours must be >= 1, got $trailingHours")
+    val h = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_epoch")
+      .rangeBetween(-trailingHours * 3600L, -3600L)
+    h.withColumn("baseline_cnt", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .withColumn("n_baseline_hours",
+        coalesce(count(lit(1)).over(win), lit(0L)))
+      .withColumn("ratio_ppm", when(col("baseline_cnt") === 0L, lit(-1L))
+        .otherwise(expr(s"cnt * ${trailingHours}L * 1000000L div baseline_cnt")))
+  }
+
   /** k for the `events_hourly_top` gate. */
   val HourlyTopK = 3
 

@@ -1153,6 +1153,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hourlyAnomaly: trailing RANGE baseline (absent hours = 0, cold start = -1)") {
+    val s = spark
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    // type A: 10, 10, 40 events in hours 0, 1, 2; then 5 in hour 30 —
+    // whose trailing 24h span [6, 29] is EMPTY (RANGE semantics: the
+    // three early hours must not slide in the way a ROWS frame would)
+    val rows = Seq.fill(10)(0L) ++ Seq.fill(10)(1L) ++ Seq.fill(40)(2L) ++
+      Seq.fill(5)(30L)
+    val ev = rows.zipWithIndex
+      .map { case (h, i) => (i.toLong, h * hourUs + (i % 60).toLong * 1000000L) }
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit("A").as("event_type"))
+    val out = graft.streaming.EventWindows.hourlyAnomaly(ev).collect()
+      .map(r => r.getAs[Long]("hour_epoch") / 3600L ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("baseline_cnt"),
+          r.getAs[Long]("n_baseline_hours"), r.getAs[Long]("ratio_ppm"))))
+      .toMap
+    assert(out(0L) === ((10L, 0L, 0L, -1L)))
+    assert(out(1L) === ((10L, 10L, 1L, 10L * 24L * 1000000L / 10L)))
+    assert(out(2L) === ((40L, 20L, 2L, 40L * 24L * 1000000L / 20L)))
+    assert(out(30L) === ((5L, 0L, 0L, -1L)))
+  }
+
   test("interArrival: fixture gaps (ties → zero gaps, single event → sentinels)") {
     val s = spark
     import s.implicits._

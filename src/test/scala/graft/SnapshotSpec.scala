@@ -119,6 +119,13 @@ class SnapshotSpec extends SparkSpec {
     val ls = Snapshot.latestState(updates).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(cur === ls)
+    // point-in-time slice at version 4: doc1 shows v3, doc2 still v0
+    // (its tombstone lands at v5), doc3 shows v2
+    val pit = Snapshot.scd2History(updates)
+      .filter(org.apache.spark.sql.functions.expr(
+        "valid_from <= 4 AND valid_to > 4 AND NOT deleted"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pit === Set((1L, "one-v3"), (2L, "two"), (3L, "three")))
     // every version row appears exactly once, intervals partition
     // [first_version, open) per key: next valid_from == prior valid_to
     val byKey = out.groupBy(_._1)
