@@ -670,6 +670,27 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.table(s, d, "embeddings"))
         .orderBy("vec_id", "dim")),
+    // product quantization: per-block nearest hash-anchored codeword
+    // (squared L2, sequential fold) — map-only, codebook as literals
+    "embedding_pq" -> ((s, d) =>
+      Similarity.pqCodes(Tables.table(s, d, "embeddings"))
+        .orderBy("vec_id", "block")),
+    // exact squared-L2 brute top-k — the Euclidean metric baseline
+    // (knn_brute is cosine); integer l2_fp scores, broadcast queries
+    "knn_brute_l2" -> ((s, d) =>
+      Similarity.knnBruteL2(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // PQ serving: ADC top-k — per-query LUTs over the codebook, each
+    // candidate scored by `blocks` table lookups; map-only corpus pass
+    "knn_pq" -> ((s, d) =>
+      Similarity.knnPq(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // PQ honesty: recall@5 of ADC against the exact-L2 ranking (the
+    // metric PQ actually approximates) — one hash-checked row
+    "knn_pq_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnPq(emb), Similarity.knnBruteL2(emb))
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -1114,6 +1135,76 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** Squared-L2 between two list columns over block `blk` of `blocks`
+    * equal slices (pass blk = 0, blocks = 1 for full width) — the same
+    * left fold as dotSql; shared by the PQ family and knn_brute_l2.
+    */
+  private def l2BlockSql(a: String, b: String, blk: Int, blocks: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"range($blk * (len($a) // $blocks) + 1, " +
+      s"${blk + 1} * (len($a) // $blocks) + 1), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** Shared CTE prefix for the PQ oracles: the corpus plus the
+    * hash-anchored codebook (codeword j = rank j in the
+    * (poly_hash(vec_id), vec_id) order — Similarity.pqCodebookOf's
+    * ordered collect).
+    */
+  private lazy val PqCodebookCte: String =
+    "e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+      "c AS (SELECT crn - 1 AS code, embedding AS c_emb FROM ch " +
+      s"WHERE crn <= ${Similarity.PqCodebookSize})"
+
+  /** knn_brute_l2 oracle — exact squared-L2 ranking, full-width fold. */
+  private lazy val KnnBruteL2Sql: String =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+      s"CAST(floor(${l2BlockSql("q.q_emb", "e.embedding", 0, 1)} " +
+      "* 1000000.0) AS BIGINT) AS l2_fp " +
+      "FROM e, q WHERE e.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) AS rnk FROM s) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, l2_fp " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_pq oracle — corpus codes (the embedding_pq argmin), per-query
+    * block×code LUTs floored per cell, ADC = exact integer SUM of the
+    * `blocks` looked-up cells; shared by knn_pq_recall's approx side.
+    */
+  private lazy val KnnPqSql: String = {
+    val blocks = Similarity.PqBlocks
+    val codeBranches = (0 until blocks).map { b =>
+      s"SELECT e.vec_id, $b AS block, c.code, " +
+        s"${l2BlockSql("e.embedding", "c.c_emb", b, blocks)} AS d2 FROM e, c"
+    }.mkString(" UNION ALL ")
+    val lutBranches = (0 until blocks).map { b =>
+      s"SELECT q.query_id, $b AS block, c.code, " +
+        s"CAST(floor(${l2BlockSql("q.q_emb", "c.c_emb", b, blocks)} " +
+        "* 1000000.0) AS BIGINT) AS d_fp FROM q, c"
+    }.mkString(" UNION ALL ")
+    s"WITH $PqCodebookCte, " +
+      s"dd AS ($codeBranches), " +
+      "codes AS (SELECT vec_id, block, code FROM (SELECT vec_id, block, code, " +
+      "row_number() OVER (PARTITION BY vec_id, block ORDER BY d2 ASC, code ASC) AS rn " +
+      "FROM dd) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      s"lut AS ($lutBranches), " +
+      "adc AS (SELECT l.query_id, s.vec_id AS neighbor_id, " +
+      "CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp FROM codes s " +
+      "JOIN lut l ON l.block = s.block AND l.code = s.code " +
+      "WHERE s.vec_id <> l.query_id GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) AS rnk FROM adc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, adc_fp " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
+  }
 
   /** LSH signature (mirrors VectorFunctions.lshSignature / the
     * HyperplaneSig kernel): per plane j, the multiply-mod-prime +
@@ -2517,6 +2608,28 @@ object SparkEntry {
         "SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code, " +
         "CAST(floor(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0)) " +
         "* 1000000.0) AS BIGINT) AS err_ppm FROM q"),
+    // PQ oracle: codeword j = rank j in the shared hash order; one
+    // UNION ALL branch per block, each squared-L2 the same
+    // list_reduce left fold as dotSql; argmin = row_number (d2, code)
+    "embedding_pq" -> {
+      val blocks = Similarity.PqBlocks
+      val branches = (0 until blocks).map { b =>
+        s"SELECT e.vec_id, $b AS block, c.code, " +
+          s"${l2BlockSql("e.embedding", "c.c_emb", b, blocks)} AS d2 FROM e, c"
+      }.mkString(" UNION ALL ")
+      s"WITH $PqCodebookCte, " +
+        s"d AS ($branches), " +
+        "r AS (SELECT vec_id, block, code, d2, row_number() OVER " +
+        "(PARTITION BY vec_id, block ORDER BY d2 ASC, code ASC) AS rn FROM d) " +
+        "SELECT vec_id, CAST(block AS BIGINT) AS block, " +
+        "CAST(code AS BIGINT) AS code, " +
+        "CAST(floor(d2 * 1000000.0) AS BIGINT) AS dist_fp FROM r WHERE rn = 1"
+    },
+    "knn_brute_l2" -> KnnBruteL2Sql,
+    "knn_pq" -> KnnPqSql,
+    // PQ honesty: both sides SQL-derivable (hash-anchored codebook),
+    // recall measured against the exact-L2 ranking ADC approximates
+    "knn_pq_recall" -> recallSql(KnnBruteL2Sql, KnnPqSql),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned

@@ -119,6 +119,34 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Exact top-k by SQUARED-L2 distance — the Euclidean twin of
+    * `knnBrute` (which ranks by cosine), and the exact baseline
+    * `knnPq`'s ADC distances approximate: PQ recall must be judged
+    * against the metric PQ actually computes, not a different one.
+    * Scores are integer `l2_fp` = ⌊d²·1e6⌋ via the same per-row
+    * sequential zip_with/aggregate fold the PQ expressions use (and
+    * the oracle's list_reduce mirrors) — bit-stable, no cross-row
+    * float aggregation. Same broadcast-the-query-side scan shape as
+    * `knnBrute`: one map stage over the corpus, TopKPerKey ranking.
+    */
+  def knnBruteL2(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(aggregate(
+          zip_with(col("q_emb"), col("embedding"), (a, b) => {
+            val t = a.cast("double") - b.cast("double")
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+          .cast("long").as("l2_fp"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
   /** Shared banded-LSH top-k core: per band, each query probes its band
     * value XOR every mask in `masks`. The query side is broadcast, so
     * candidate generation is a map stage over the corpus; `distinct()`
@@ -299,6 +327,168 @@ object Similarity {
         floor(abs(col("x") - (col("mn") + col("code").cast("double") *
           (col("mx") - col("mn")) / lit(255.0))) * lit(1000000.0)).cast("long"))
       .select(col("vec_id"), col("dim"), col("code"), col("err_ppm"))
+  }
+
+  /** PQ geometry: subspace count and per-subspace codebook size.
+    * 4 blocks × 16 codewords compresses a 64-dim float vector to
+    * 4 × 4 bits of codes — the 64× compression class (Jégou, Douze &
+    * Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011). Same constants MUST appear in the oracle SQL.
+    */
+  val PqBlocks = 4
+  val PqCodebookSize = 16
+
+  /** Product-quantization code assignment — the memory-compression
+    * layer under billion-scale ANN serving (FAISS's IVFPQ storage):
+    * the vector splits into `blocks` contiguous subvectors, each
+    * assigned to its nearest codeword (squared L2, tie → smaller
+    * code) in a per-block codebook. Codebooks here are HASH-ANCHORED:
+    * the `codebook` corpus vectors with the smallest
+    * (poly_hash(vec_id), vec_id) contribute their subvectors — the
+    * same deterministic pseudo-random selection `knnIvf` pins its
+    * cells to, id-pinned so the SQL oracle reproduces the fit exactly
+    * (a production deployment trains per-block k-means; the
+    * assignment plumbing — and everything downstream of it — is
+    * identical and stays oracle-checkable). Output one row per
+    * (vec_id, block): the code and `dist_fp` = ⌊d² · 1e6⌋, the
+    * quantization-error audit column.
+    *
+    * Float parity: each squared-L2 is a per-row SEQUENTIAL left fold
+    * (`0.0 + t_lo + … + t_hi`) mirrored token-for-token by the
+    * oracle's list_reduce; the argmin compares those bit-identical
+    * doubles, so code assignment (and its tie-break) agrees exactly.
+    *
+    * Scale shape: map-ONLY — the codebook (blocks × codebook × dim/
+    * blocks doubles) ships as literals inside the projection, the
+    * per-block argmin runs in the scan stage, and nothing shuffles at
+    * any corpus size; the generator explode is blocks× fanout of
+    * id-sized rows. EAGER semantics like `knnIvf`: building the frame
+    * runs the codebook selection (TakeOrdered + ≤`codebook`-row
+    * collect), freezing it against the input at build time.
+    */
+  def pqCodes(emb: DataFrame, blocks: Int = PqBlocks,
+      codebook: Int = PqCodebookSize): DataFrame = {
+    require(blocks >= 1, s"pqCodes needs blocks >= 1, got $blocks")
+    require(codebook >= 1, s"pqCodes needs codebook >= 1, got $codebook")
+    val cw = pqCodebookOf(emb, codebook)
+    if (cw.isEmpty) {
+      return emb.select(col("vec_id"), lit(0L).as("block"),
+        lit(0L).as("code"), lit(0L).as("dist_fp")).filter(lit(false))
+    }
+    val perBlock = pqBlockDists(col("embedding"), cw, blocks)
+      .zipWithIndex.map { case (dists, b) =>
+        struct(lit(b.toLong).as("block"),
+          (array_position(dists, array_min(dists)) - 1L).as("code"),
+          floor(array_min(dists) * lit(1000000.0)).cast("long").as("dist_fp"))
+      }
+    emb.select(col("vec_id"), explode(array(perBlock: _*)).as("q"))
+      .select(col("vec_id"), col("q.block").as("block"),
+        col("q.code").as("code"), col("q.dist_fp").as("dist_fp"))
+  }
+
+  /** The hash-anchored PQ codebook as driver-side FULL vectors (blocks
+    * slice them): the `codebook` corpus rows with the smallest
+    * (poly_hash(vec_id), vec_id), codeword j = position j in that
+    * order. ≤ `codebook` rows collected — the same driver-bounded
+    * collect class as knnIvf's centroid table.
+    */
+  private[graft] def pqCodebookOf(emb: DataFrame,
+      codebook: Int): Array[Array[Double]] =
+    emb.withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(codebook)
+      .select(col("vec_id"), col("embedding"))
+      .collect() // ordered collect: row j IS codeword j
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+
+  /** Per-block squared-L2 distance arrays (one array<double> column of
+    * `codebook` entries per block) from a vector column to the literal
+    * codebook. Loop-generating array expressions, NOT an unrolled term
+    * tree: a fully-unrolled blocks×codebook×bw sum (with the argmin
+    * re-referencing it) overflows janino's codegen — transform/
+    * zip_with/aggregate emit bounded loops instead, with the identical
+    * `0.0 + t_lo + …` left-fold order the oracle's list_reduce uses.
+    */
+  private def pqBlockDists(x: org.apache.spark.sql.Column,
+      cw: Array[Array[Double]], blocks: Int): Seq[org.apache.spark.sql.Column] = {
+    val dim = cw.head.length
+    require(dim % blocks == 0,
+      s"embedding dim $dim not divisible into $blocks PQ blocks")
+    val bw = dim / blocks
+    (0 until blocks).map { b =>
+      val lo = b * bw // 0-based first dim of the block
+      val sub = slice(x, lo + 1, bw)
+      val cbLit = array(cw.toSeq.map(c =>
+        array((lo until lo + bw).map(i => lit(c(i))): _*)): _*)
+      transform(cbLit, c =>
+        aggregate(
+          zip_with(sub, c, (a, cd) => {
+            val t = a.cast("double") - cd
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v))
+    }
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * PQ SERVING path (Jégou et al. 2011, §IV): the corpus is met only
+    * through its per-block codes; each query precomputes a
+    * block×codebook lookup table of EXACT squared-L2 distances from
+    * its raw subvectors to every codeword, and a candidate's distance
+    * is the sum of `blocks` table lookups — never a full-width vector
+    * op against corpus data. Scores are integer `adc_fp` (per-cell
+    * ⌊d²·1e6⌋, summed over blocks — the floor happens per LUT cell, so
+    * the sum is exact long arithmetic and order-independent), ranked
+    * (adc_fp asc, neighbor asc) through TopKPerKey.
+    *
+    * Scale shape: map-ONLY against the corpus — the per-query LUTs
+    * (queries × blocks × codebook longs) are computed driver-side
+    * from the ≤`nQueries` collected query rows (the same broadcast-
+    * the-tiny-query-side economics as knnBrute) and ship as literal
+    * arrays inside the projection; each corpus row computes its codes
+    * and sums `blocks` element_at lookups per query. No join, no
+    * shuffle before the k-bounded TopKPerKey heap. Compose with IVF
+    * cell pruning for the IVFPQ both-worlds layout — the codes here
+    * are exactly what an IVFPQ posting list stores.
+    */
+  def knnPq(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      blocks: Int = PqBlocks, codebook: Int = PqCodebookSize): DataFrame = {
+    val cw = pqCodebookOf(emb, codebook)
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    if (cw.isEmpty || qRows.isEmpty) {
+      return emb.select(col("vec_id").as("query_id"), lit(1L).as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("adc_fp"))
+        .filter(lit(false))
+    }
+    val dim = cw.head.length
+    val bw = dim / blocks
+    val codeCols = pqBlockDists(col("embedding"), cw, blocks)
+      .map(d => array_position(d, array_min(d)) - 1L)
+    val scored = qRows.sortBy(_.getLong(0)).toSeq.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      val adc = (0 until blocks).map { b =>
+        val lut: Array[Long] = cw.map { c =>
+          // same ascending-index += fold as the assignment expression
+          // and the oracle's list_reduce — bit-identical doubles
+          var acc = 0.0
+          var i = b * bw
+          while (i < (b + 1) * bw) { val t = q(i) - c(i); acc += t * t; i += 1 }
+          math.floor(acc * 1000000.0).toLong
+        }
+        element_at(lit(lut), (codeCols(b) + 1L).cast("int"))
+      }.foldLeft(lit(0L))(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc_fp"))
+    }
+    val cand = emb.select(col("vec_id").as("neighbor_id"),
+        explode(array(scored: _*)).as("s"))
+      .filter(col("s.query_id") =!= col("neighbor_id"))
+      .select(col("s.query_id").as("query_id"), col("neighbor_id"),
+        col("s.adc_fp").as("adc_fp"))
+    graft.plans.TopK.perKey(cand, Seq("query_id"),
+        Seq(col("adc_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "adc_fp")
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the

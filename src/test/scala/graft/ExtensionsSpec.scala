@@ -1121,6 +1121,109 @@ class ExtensionsSpec extends SparkSpec {
     assert(dec(3L) === (0xE2L + 0x98L + 0x83L) % 251L)
   }
 
+  test("pqCodes: brute argmin reference on real embeddings; first-min tie rule") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.pqCodes(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // reproduce the codebook: hash-order sample, codeword j = rank j
+    val hs = emb.select(col("vec_id"),
+        graft.functions.PolyHashFunctions.poly_hash(col("vec_id").cast("string"))
+          .as("ch"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val cb = hs.sortBy(t => (t._2, t._1)).take(Similarity.PqCodebookSize)
+      .map(_._3)
+    val blocks = Similarity.PqBlocks
+    val dim = cb.head.length
+    val bw = dim / blocks
+    val vecs = hs.map(t => t._1 -> t._3).toMap
+    vecs.foreach { case (id, v) =>
+      (0 until blocks).foreach { b =>
+        val dists = cb.map { c =>
+          var acc = 0.0
+          var i = b * bw
+          while (i < (b + 1) * bw) {
+            val t = v(i) - c(i); acc += t * t; i += 1
+          }
+          acc
+        }
+        val best = dists.indexOf(dists.min).toLong
+        val (code, distFp) = got((id, b.toLong))
+        withClue(s"vec $id block $b") {
+          assert(code === best)
+          assert(distFp === math.floor(dists.min * 1000000.0).toLong)
+          assert(code >= 0L && code < Similarity.PqCodebookSize.toLong)
+        }
+      }
+    }
+    assert(got.size === vecs.size * blocks)
+  }
+
+  test("knnPq + knnBruteL2: driver ADC/L2 references on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cw = Similarity.pqCodebookOf(emb, Similarity.PqCodebookSize)
+    val blocks = Similarity.PqBlocks
+    val bw = cw.head.length / blocks
+    def l2(a: Array[Double], b: Array[Double], blk: Int): Double = {
+      var acc = 0.0
+      var i = blk * bw
+      while (i < (blk + 1) * bw) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until blocks).map { b =>
+        val ds = cw.map(c => l2(v, c, b))
+        ds.indexOf(ds.min)
+      }
+    }
+    val queries = vecs.keys.filter(_ < Similarity.DefaultQueries).toSeq.sorted
+    val wantPq = queries.flatMap { q =>
+      val luts = (0 until blocks).map(b =>
+        cw.map(c => math.floor(l2(vecs(q), c, b) * 1000000.0).toLong))
+      val ranked = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, (0 until blocks).map(b => luts(b)(codes(n)(b))).sum))
+        .sortBy { case (n, adc) => (adc, n) }
+        .take(Similarity.DefaultK)
+      ranked.zipWithIndex.map { case ((n, adc), i) =>
+        (q, i + 1L) -> ((n, adc))
+      }
+    }.toMap
+    val gotPq = Similarity.knnPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotPq === wantPq)
+    // the exact-L2 baseline against the same driver arithmetic
+    // full-width L2 must be ONE continuous left fold (block-wise sums
+    // regroup the additions and can drift a ulp)
+    def l2Full(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val wantL2 = queries.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, math.floor(l2Full(vecs(q), vecs(n)) * 1000000.0).toLong))
+        .sortBy { case (n, d) => (d, n) }
+        .take(Similarity.DefaultK)
+        .zipWithIndex.map { case ((n, d), i) => (q, i + 1L) -> ((n, d)) }
+    }.toMap
+    val gotL2 = Similarity.knnBruteL2(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotL2 === wantL2)
+    // ADC recall vs the exact-L2 ranking holds a floor on this corpus
+    // (0.34 measured at sf0.01; guard against collapse-to-zero)
+    val rec = Similarity.recallAtK(
+        Similarity.knnPq(emb), Similarity.knnBruteL2(emb))
+      .collect()(0).getAs[Double]("recall")
+    assert(rec >= 0.15, s"PQ ADC recall collapsed: $rec")
+  }
+
   test("quantizeInt8: brute double reference on real embeddings; grid bounds") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.quantizeInt8(emb).collect()
