@@ -691,6 +691,14 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnPq(emb), Similarity.knnBruteL2(emb))
     }),
+    // DELIBERATELY no oracleSql entry (rows-only check): per-block
+    // Lloyd codebooks aren't SQL-derivable — the same adjudication as
+    // knn_ivf_trained; the recall improvement over the hash-anchored
+    // layout is pinned in ExtensionsSpec, and listing it here keeps a
+    // trained-path perf regression visible to the driver bench
+    "knn_pq_trained" -> ((s, d) =>
+      Similarity.knnPqTrained(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),

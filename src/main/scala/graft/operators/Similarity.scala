@@ -375,7 +375,7 @@ object Similarity {
       return emb.select(col("vec_id"), lit(0L).as("block"),
         lit(0L).as("code"), lit(0L).as("dist_fp")).filter(lit(false))
     }
-    val perBlock = pqBlockDists(col("embedding"), cw, blocks)
+    val perBlock = pqBlockDists(col("embedding"), pqSliceBlocks(cw, blocks))
       .zipWithIndex.map { case (dists, b) =>
         struct(lit(b.toLong).as("block"),
           (array_position(dists, array_min(dists)) - 1L).as("code"),
@@ -401,25 +401,36 @@ object Similarity {
       .collect() // ordered collect: row j IS codeword j
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
 
-  /** Per-block squared-L2 distance arrays (one array<double> column of
-    * `codebook` entries per block) from a vector column to the literal
-    * codebook. Loop-generating array expressions, NOT an unrolled term
-    * tree: a fully-unrolled blocks×codebook×bw sum (with the argmin
-    * re-referencing it) overflows janino's codegen — transform/
-    * zip_with/aggregate emit bounded loops instead, with the identical
-    * `0.0 + t_lo + …` left-fold order the oracle's list_reduce uses.
+  /** Slice full-width codeword vectors into the per-block codebook
+    * layout `pqBlockDists` consumes: blocks × codebook × (dim/blocks).
     */
-  private def pqBlockDists(x: org.apache.spark.sql.Column,
-      cw: Array[Array[Double]], blocks: Int): Seq[org.apache.spark.sql.Column] = {
+  private def pqSliceBlocks(cw: Array[Array[Double]],
+      blocks: Int): Seq[Array[Array[Double]]] = {
     val dim = cw.head.length
     require(dim % blocks == 0,
       s"embedding dim $dim not divisible into $blocks PQ blocks")
     val bw = dim / blocks
-    (0 until blocks).map { b =>
+    (0 until blocks).map(b => cw.map(_.slice(b * bw, (b + 1) * bw)))
+  }
+
+  /** Per-block squared-L2 distance arrays (one array<double> column of
+    * `codebook` entries per block) from a vector column to the literal
+    * per-block codebooks (`cbs(b)(j)` = codeword j of block b, all
+    * blocks equal width). Loop-generating array expressions, NOT an
+    * unrolled term tree: a fully-unrolled blocks×codebook×bw sum (with
+    * the argmin re-referencing it) overflows janino's codegen —
+    * transform/zip_with/aggregate emit bounded loops instead, with the
+    * identical `0.0 + t_lo + …` left-fold order the oracle's
+    * list_reduce uses.
+    */
+  private def pqBlockDists(x: org.apache.spark.sql.Column,
+      cbs: Seq[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] = {
+    val bw = cbs.head.head.length
+    cbs.zipWithIndex.map { case (cb, b) =>
       val lo = b * bw // 0-based first dim of the block
       val sub = slice(x, lo + 1, bw)
-      val cbLit = array(cw.toSeq.map(c =>
-        array((lo until lo + bw).map(i => lit(c(i))): _*)): _*)
+      val cbLit = array(cb.toSeq.map(c =>
+        array(c.toSeq.map(lit): _*)): _*)
       transform(cbLit, c =>
         aggregate(
           zip_with(sub, c, (a, cd) => {
@@ -454,27 +465,38 @@ object Similarity {
   def knnPq(emb: DataFrame, k: Int = DefaultK, nQueries: Long = DefaultQueries,
       blocks: Int = PqBlocks, codebook: Int = PqCodebookSize): DataFrame = {
     val cw = pqCodebookOf(emb, codebook)
+    if (cw.isEmpty) return knnPqEmpty(emb)
+    knnPqFrom(emb, pqSliceBlocks(cw, blocks), k, nQueries)
+  }
+
+  private def knnPqEmpty(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("query_id"), lit(1L).as("rank"),
+      col("vec_id").as("neighbor_id"), lit(0L).as("adc_fp"))
+      .filter(lit(false))
+
+  /** ADC serving from explicit per-block codebooks — the single
+    * definition `knnPq` (hash-anchored) and `knnPqTrained` (per-block
+    * Lloyd) share, so the two layouts differ ONLY in codeword data.
+    */
+  private def knnPqFrom(emb: DataFrame, cbs: Seq[Array[Array[Double]]],
+      k: Int, nQueries: Long): DataFrame = {
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
-    if (cw.isEmpty || qRows.isEmpty) {
-      return emb.select(col("vec_id").as("query_id"), lit(1L).as("rank"),
-        col("vec_id").as("neighbor_id"), lit(0L).as("adc_fp"))
-        .filter(lit(false))
-    }
-    val dim = cw.head.length
-    val bw = dim / blocks
-    val codeCols = pqBlockDists(col("embedding"), cw, blocks)
+    if (qRows.isEmpty) return knnPqEmpty(emb)
+    val blocks = cbs.length
+    val bw = cbs.head.head.length
+    val codeCols = pqBlockDists(col("embedding"), cbs)
       .map(d => array_position(d, array_min(d)) - 1L)
     val scored = qRows.sortBy(_.getLong(0)).toSeq.map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
       val adc = (0 until blocks).map { b =>
-        val lut: Array[Long] = cw.map { c =>
+        val lut: Array[Long] = cbs(b).map { c =>
           // same ascending-index += fold as the assignment expression
           // and the oracle's list_reduce — bit-identical doubles
           var acc = 0.0
-          var i = b * bw
-          while (i < (b + 1) * bw) { val t = q(i) - c(i); acc += t * t; i += 1 }
+          var i = 0
+          while (i < bw) { val t = q(b * bw + i) - c(i); acc += t * t; i += 1 }
           math.floor(acc * 1000000.0).toLong
         }
         element_at(lit(lut), (codeCols(b) + 1L).cast("int"))
@@ -489,6 +511,94 @@ object Similarity {
     graft.plans.TopK.perKey(cand, Seq("query_id"),
         Seq(col("adc_fp").asc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "adc_fp")
+  }
+
+  /** Lloyd iterations for the trained PQ codebooks. */
+  val PqLloydIters = 5
+
+  /** TRAINED per-block codebooks: k-means (squared-L2, the metric PQ
+    * quantizes under) run independently per block over the same
+    * deterministic hash-prefix sample `trainCentroids` uses — init =
+    * the first `codebook` sample subvectors (the hash-anchored layout,
+    * so zero iterations reproduce `knnPq` exactly), ties → lower code,
+    * an emptied cluster keeps its previous codeword. Driver-side and
+    * deterministic like the IVF Lloyd (fixed iteration order, no RNG):
+    * re-training on the same corpus is bit-identical.
+    */
+  private[graft] def pqTrainCodebooks(emb: DataFrame, blocks: Int = PqBlocks,
+      codebook: Int = PqCodebookSize, iters: Int = PqLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): Seq[Array[Array[Double]]] = {
+    val cap = math.max(codebook, sampleCap)
+    val sampleRows = emb
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cap)
+      .select(col("embedding"))
+      .collect()
+    if (sampleRows.isEmpty) return Seq.empty
+    val pts = sampleRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    pqSliceBlocks(pts, blocks).map { sub =>
+      lloydL2(sub, sub.take(math.min(codebook, sub.length)), iters)
+    }
+  }
+
+  /** Standard Lloyd under squared-L2: assign each point to its nearest
+    * centroid (first-min tie), recompute means; an empty cluster keeps
+    * its previous centroid. Deterministic — sequential arithmetic in
+    * fixed index order.
+    */
+  private def lloydL2(points: Array[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
+    val dim = points(0).length
+    var cents = init.map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val assign = points.map { p =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cents.length) {
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { val t = p(i) - cents(j)(i); acc += t * t; i += 1 }
+          if (acc < bestD) { bestD = acc; best = j }
+          j += 1
+        }
+        best
+      }
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var p = 0
+      while (p < points.length) {
+        val tgt = sums(assign(p))
+        var i = 0
+        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
+        counts(assign(p)) += 1
+        p += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0L) old
+        else sums(j).map(_ / counts(j))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** ADC top-k over the TRAINED per-block codebooks — `knnPq` with
+    * k-means codewords instead of the hash-anchored sample; the
+    * serving plan is byte-identical (same `knnPqFrom`). DELIBERATELY
+    * no SQL oracle (the Lloyd fit is not SQL-derivable — the same
+    * adjudication as `knnIvfTrained`); the recall-vs-hash-anchored
+    * improvement is pinned in ExtensionsSpec.
+    */
+  def knnPqTrained(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, blocks: Int = PqBlocks,
+      codebook: Int = PqCodebookSize): DataFrame = {
+    val cbs = pqTrainCodebooks(emb, blocks, codebook)
+    if (cbs.isEmpty) return knnPqEmpty(emb)
+    knnPqFrom(emb, cbs, k, nQueries)
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the

@@ -1224,6 +1224,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.15, s"PQ ADC recall collapsed: $rec")
   }
 
+  test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, Similarity.knnBruteL2(emb))
+        .collect()(0).getAs[Double]("recall")
+    val anchored = recall(Similarity.knnPq(emb))
+    val trained = recall(Similarity.knnPqTrained(emb))
+    // deterministic data + deterministic Lloyd → stable values; the
+    // trained fit must not fall below the anchored layout, and must
+    // hold a floor of its own
+    assert(trained >= anchored,
+      s"trained PQ recall $trained below hash-anchored $anchored")
+    assert(trained >= 0.2, s"trained PQ recall collapsed: $trained")
+    // zero Lloyd iterations ARE the hash-anchored layout: init is the
+    // first-codebook sample prefix, so the serving plans coincide
+    val cbs0 = Similarity.pqTrainCodebooks(emb, iters = 0)
+    val viaInit = Similarity.pqCodebookOf(emb, Similarity.PqCodebookSize)
+    val dim = viaInit.head.length
+    val bw = dim / Similarity.PqBlocks
+    (0 until Similarity.PqBlocks).foreach { b =>
+      val want = viaInit.map(_.slice(b * bw, (b + 1) * bw).toSeq).toSeq
+      assert(cbs0(b).map(_.toSeq).toSeq === want)
+    }
+  }
+
   test("quantizeInt8: brute double reference on real embeddings; grid bounds") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.quantizeInt8(emb).collect()
