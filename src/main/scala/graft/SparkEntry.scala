@@ -292,6 +292,12 @@ object SparkEntry {
       GraphOps.linkPrediction(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), LinkPredMod))
         .orderBy("node_id", "rank")),
+    // tie strength for every existing edge on the same sparsified
+    // slice: zero-shared edges are the bridges, so all edges report
+    "graph_tie_strength" -> ((s, d) =>
+      GraphOps.tieStrength(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), LinkPredMod))
+        .orderBy("src", "dst")),
     "graph_mutual" -> ((s, d) =>
       GraphOps.mutualFollows(GraphOps.edges(s, d))),
     "path2_exact" -> ((s, d) =>
@@ -675,6 +681,12 @@ object SparkEntry {
     "embedding_pq" -> ((s, d) =>
       Similarity.pqCodes(Tables.table(s, d, "embeddings"))
         .orderBy("vec_id", "block")),
+    // per-label integer centroids: elements quantized to ppm FIRST so
+    // the per-(label, dim) sums are exact long arithmetic — the class-
+    // prototype / SemDeDup-cluster-diagnostic primitive
+    "embedding_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.table(s, d, "embeddings"))
+        .orderBy("label", "dim")),
     // exact squared-L2 brute top-k — the Euclidean metric baseline
     // (knn_brute is cosine); integer l2_fp scores, broadcast queries
     "knn_brute_l2" -> ((s, d) =>
@@ -1778,6 +1790,27 @@ object SparkEntry {
         "CAST(shared AS BIGINT) AS shared, CAST(jacc_ppm AS BIGINT) AS jacc_ppm " +
         s"FROM r WHERE rnk <= $k"
     },
+    // tie-strength oracle: the link-prediction CTEs with the adjacency
+    // LEFT join instead of the NOT EXISTS anti-join — every canonical
+    // edge reports, zero-shared bridges included
+    "graph_tie_strength" -> {
+      val cap = graft.operators.GraphOps.LinkPredMidCap
+      s"WITH sp AS (SELECT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $LinkPredMod = 0 AND src <> dst), " +
+        "und AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp), " +
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY src), " +
+        "mid AS (SELECT u.src AS m, u.dst AS x FROM und u " +
+        s"JOIN deg ON deg.v = u.src WHERE deg.d <= $cap), " +
+        "cand AS (SELECT a.x AS va, b.x AS vb, COUNT(*) AS sh " +
+        "FROM mid a JOIN mid b ON a.m = b.m AND a.x < b.x GROUP BY 1, 2), " +
+        "ec AS (SELECT src AS va, dst AS vb FROM und WHERE src < dst) " +
+        "SELECT ec.va AS src, ec.vb AS dst, " +
+        "CAST(COALESCE(c.sh, 0) AS BIGINT) AS shared, " +
+        "CAST(COALESCE(c.sh, 0) * 1000000 // " +
+        "(da.d + db.d - COALESCE(c.sh, 0)) AS BIGINT) AS jacc_ppm " +
+        "FROM ec LEFT JOIN cand c ON c.va = ec.va AND c.vb = ec.vb " +
+        "JOIN deg da ON da.v = ec.va JOIN deg db ON db.v = ec.vb"
+    },
     "graph_assortativity" ->
       (s"WITH base AS (SELECT src, dst FROM ($EdgesCte) WHERE src <> dst), " +
         "und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base), " +
@@ -2633,6 +2666,18 @@ object SparkEntry {
         "CAST(code AS BIGINT) AS code, " +
         "CAST(floor(d2 * 1000000.0) AS BIGINT) AS dist_fp FROM r WHERE rn = 1"
     },
+    // quantize-first centroid oracle: identical ⌊x·1e6⌋ chain, exact
+    // integer sums; `//` == the operator's pmod-adjusted floor div
+    "embedding_centroids" ->
+      ("WITH v AS (SELECT label, " +
+        "unnest(generate_series(1, len(embedding))) AS i, embedding " +
+        "FROM embeddings), " +
+        "q AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim, " +
+        "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM v) " +
+        "SELECT label, CAST(dim AS BIGINT) AS dim, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_ppm, " +
+        "CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm " +
+        "FROM q GROUP BY 1, 2"),
     "knn_brute_l2" -> KnnBruteL2Sql,
     "knn_pq" -> KnnPqSql,
     // PQ honesty: both sides SQL-derivable (hash-anchored codebook),

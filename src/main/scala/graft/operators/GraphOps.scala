@@ -652,6 +652,52 @@ object GraphOps {
       .select("node_id", "rank", "candidate_id", "shared", "jacc_ppm")
   }
 
+  /** TIE STRENGTH (edge embeddedness): for every EXISTING undirected
+    * edge, the common-neighbor count and neighborhood Jaccard — the
+    * Granovetter strong/weak-tie signal (an edge whose endpoints share
+    * no other neighbors is a BRIDGE between social contexts; one
+    * embedded in a dense mutual neighborhood is a strong intra-
+    * community tie). The classic uses: community-boundary detection
+    * and tie-strength-weighted graph sparsification ("keep the
+    * bridges"). The complement of `linkPrediction` — same capped
+    * common-neighbor machinery, but scored pairs are the ADJACENT ones
+    * it anti-joins away, and every edge reports (zero-shared edges are
+    * the interesting bridges, so a semi-join would discard exactly the
+    * signal). Same `midMaxDeg` middle cap with the same justification
+    * (an uncapped hub middle manufactures the d² path2 quadratic while
+    * carrying near-zero tie signal); denominators use full degrees;
+    * integer jacc_ppm, canonical src < dst orientation.
+    *
+    * Scale shape: the capped self-join + one (pair)-keyed count, a
+    * left join back to the canonical edge list, two vertex-sized
+    * degree joins — bounded exactly like `linkPrediction`, minus its
+    * anti-join and TopKPerKey.
+    */
+  def tieStrength(e: DataFrame, midMaxDeg: Long = LinkPredMidCap): DataFrame = {
+    val sym = e.filter(col("src") =!= col("dst"))
+    val und = graft.Caches.track(sym.select(col("src"), col("dst"))
+      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val mid = und
+      .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
+      .select(col("src").as("m"), col("dst").as("x"))
+    val cand = mid.as("a").join(mid.as("b"),
+        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
+      .agg(count(lit(1)).as("sh"))
+    val edgesC = und.filter(col("src") < col("dst"))
+      .select(col("src").as("va"), col("dst").as("vb"))
+    edgesC.join(cand, Seq("va", "vb"), "left")
+      .join(deg.select(col("src").as("va"), col("d").as("da")), "va")
+      .join(deg.select(col("src").as("vb"), col("d").as("db")), "vb")
+      .select(col("va").as("src"), col("vb").as("dst"),
+        coalesce(col("sh"), lit(0L)).as("shared"),
+        expr("coalesce(sh, 0) * 1000000 div (da + db - coalesce(sh, 0))")
+          .as("jacc_ppm"))
+  }
+
   /** Degree-assortativity MOMENT SUMS of the undirected simple graph:
     * one row `(n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2)` where
     * (x, y) = (deg(u), deg(v)) over every directed orientation of

@@ -601,6 +601,42 @@ object Similarity {
     knnPqFrom(emb, cbs, k, nQueries)
   }
 
+  /** Quantization grain for `labelCentroids` element sums (ppm). */
+  val CentroidQuantPpm = 1000000L
+
+  /** Per-label embedding centroids with INTEGER arithmetic — the
+    * cluster-diagnostic / class-prototype primitive (SemDeDup prunes
+    * within k-means clusters by distance-to-centroid; label-balance
+    * audits compare class prototypes). A float mean is a cross-row
+    * float sum — accumulation-order-dependent, so it can never sit on
+    * a hash-checked output (the repo's float-parity rule). Instead
+    * each element quantizes FIRST (`⌊x · 1e6⌋`, exact per-row), and
+    * the per-(label, dim) output is the exact long sum of those
+    * quanta plus the count and their integer-div mean — deterministic
+    * across engines and partitionings, with quantization error ≤ 1ppm
+    * per element, and consumers can recover a float centroid as
+    * `mean_ppm / 1e6`.
+    *
+    * Scale shape: one map-side-combined aggregation keyed by
+    * (label, dim) over the exploded corpus — labels × dims groups; at
+    * 100 TB the partial aggregates bound the shuffle, nothing else
+    * moves.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label"): DataFrame =
+    emb
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(CentroidQuantPpm.toDouble))
+          .cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_ppm"))
+      // TRUNCATING division on either sign: Spark's `div` and DuckDB's
+      // `//` both truncate toward zero on integers (verified: -7//2 =
+      // -3 in DuckDB), so the plain quotient is engine-identical —
+      // consumers wanting floor semantics derive it from sum + count
+      .withColumn("mean_ppm", expr("sum_ppm div n_vecs"))
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

@@ -1224,6 +1224,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.15, s"PQ ADC recall collapsed: $rec")
   }
 
+  test("labelCentroids: exact quantized sums; mean within 1ppm of the float mean") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = emb.collect().map(r =>
+      (r.getInt(2).toLong, r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    val want = rows.groupBy(_._1).flatMap { case (lbl, vs) =>
+      (0 until dims).map { d =>
+        val qs = vs.map(v => math.floor(v._2(d) * 1000000.0).toLong)
+        (lbl, d.toLong) -> ((vs.size.toLong, qs.sum, qs.sum / vs.size))
+      }
+    }
+    assert(got === want)
+    // integer mean tracks the float mean to ~1ppm + 1ulp of div
+    rows.groupBy(_._1).foreach { case (lbl, vs) =>
+      (0 until dims).foreach { d =>
+        val fm = vs.map(_._2(d)).sum / vs.size * 1000000.0
+        val im = got((lbl, d.toLong))._3.toDouble
+        assert(math.abs(fm - im) <= 2.0,
+          s"label $lbl dim $d: float-mean ppm $fm vs integer $im")
+      }
+    }
+  }
+
   test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(approx: org.apache.spark.sql.DataFrame): Double =

@@ -285,6 +285,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain(8L) === 0L && chain(9L) === 0L)
   }
 
+  test("tieStrength: brute common-neighbor reference; bridges report zero") {
+    def brute(e0: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long)] = {
+      val und = e0.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, p.swap)).distinct
+      val nbr = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      und.filter(p => p._1 < p._2).map { case (a, b) =>
+        val sh = (nbr(a) intersect nbr(b)).size.toLong
+        val j = sh * 1000000L / (nbr(a).size + nbr(b).size - sh)
+        (a, b) -> ((sh, j))
+      }.toMap
+    }
+    val rng = new scala.util.Random(53)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(60)((rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+      // cap above any possible degree → the brute (uncapped) semantics
+      val got = GraphOps.tieStrength(edgeDf(e: _*), midMaxDeg = 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      withClue(s"edges=$e") { assert(got === brute(e)) }
+    }
+    // a pure bridge: two triangles joined by one edge — the joining
+    // edge shares no neighbors, every triangle edge shares exactly one
+    val bridge = GraphOps.tieStrength(edgeDf(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bridge((3L, 4L)) === 0L)
+    assert(bridge((1L, 2L)) === 1L && bridge((4L, 5L)) === 1L)
+  }
+
   test("trianglesPerVertex: sums to 3x the global count; brute per-anchor") {
     def brutePerVertex(e0: Seq[(Long, Long)], max: Long): Map[Long, Long] = {
       val e = e0.filter { case (s, d) => s < max && d < max }
