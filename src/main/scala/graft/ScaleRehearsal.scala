@@ -758,6 +758,103 @@ object ScaleRehearsal {
       operators.TextOps.importanceWeights(docs,
         pmod(hash(col("doc_id")), lit(10)) === 0).count())
 
+    // ---- round-13 second-wave additions: PQ, winnowing, interarrival,
+    // anomaly, PPR, tie strength, SCD2 ----
+
+    // PQ code assignment at 80k vectors: map-only (codebook literals
+    // in the projection) — the row count is corpus×blocks exactly
+    t("pq_codes 80k vectors")({
+      val n = operators.Similarity.pqCodes(embX(40)).count()
+      require(n == 80000L * operators.Similarity.PqBlocks,
+        s"pq rows $n != corpus × blocks")
+      n
+    })
+    // ADC serving at 80k: per-query LUT lookups against every corpus
+    // row straight into the k-bounded heap — candidate count is N per
+    // query by construction (PQ compresses, IVF prunes; compose for
+    // IVFPQ), so wall time scaling ~linear in N is the contract here
+    t("knn_pq 80k vectors")(
+      operators.Similarity.knnPq(embX(40)).count())
+    // trained vs hash-anchored ADC recall on the 20k replica corpus.
+    // NOT an ordering pin here: with 10 exact clones per vector both
+    // layouts drown in adc_fp TIES among the zero-distance clones,
+    // and the (adc, id) tie-break picks different-but-equally-close
+    // ids (first run measured anchored 1.00, trained 0.94 — a
+    // tie-resolution artifact, not worse codewords; the ordering pin
+    // lives in ExtensionsSpec on the clone-free corpus). Here both
+    // layouts must simply stay far from collapse.
+    t("pq trained vs anchored 20k")({
+      val exact = operators.Similarity.knnBruteL2(emb)
+      val a = operators.Similarity.recallAtK(
+        operators.Similarity.knnPq(emb), exact).collect()(0).getDouble(3)
+      val tr = operators.Similarity.recallAtK(
+        operators.Similarity.knnPqTrained(emb), exact).collect()(0).getDouble(3)
+      require(a >= 0.5 && tr >= 0.5,
+        s"ADC recall collapsed on the clone corpus: anchored $a trained $tr")
+      f"anchored $a%.3f trained $tr%.3f"
+    })
+
+    // winnowing at 50k replica docs: shuffle-free selection projection;
+    // the replica corpus means every fingerprint repeats ≥ 10× — the
+    // index-build groupBy after it stays bounded by distinct values
+    t("winnowing 50k docs")(
+      operators.TextOps.winnowing(docs).count())
+
+    // inter-arrival at 10M events / 1M users: one user-keyed window
+    // shuffle + same-key aggregation
+    t("interarrival 10M events")(
+      graft.streaming.Sessionize.interArrival(bigEvents).count())
+
+    // hourly anomaly across 30 days × 5 types: the RANGE window runs
+    // over ≤ hours×types rows no matter how many events fed them
+    t("hourly_anomaly 10M events")(
+      graft.streaming.EventWindows.hourlyAnomaly(
+        bigEvents.withColumn("event_type",
+          concat(lit("t"), pmod(hash(col("user_id")), lit(5))))).count())
+
+    // personalized PageRank at 10M edges: same sweep shape as the
+    // pagerank phase above plus one vertex-sized seed-flag join;
+    // checksum = exact long sum (nondeterminism would move it)
+    t("ppr 10M edges 5 sweeps")(
+      operators.GraphOps.pageRankPersonalized(edges,
+        spark.range(100L).select(col("id").as("v")))
+        .agg(sum(col("rank_fp"))).collect()(0).getLong(0))
+
+    // tie strength at 1M edges, all middles admissible (the worst
+    // fanout the cap allows on the uniform graph) — every edge must
+    // report exactly once in canonical orientation
+    t("tie_strength 1M edges")({
+      val n = operators.GraphOps.tieStrength(kcEdges, midMaxDeg = 30L).count()
+      val und = kcEdges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .union(kcEdges.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().filter(col("src") < col("dst")).count()
+      require(n == und, s"tie rows $n != canonical edges $und")
+      n
+    })
+
+    // SCD2 history + point-in-time slice at 50k: one doc-keyed window
+    // over the 20%-upsert/5%-tombstone change stream, then the PIT
+    // range predicate — the slice at v1 must equal the corpus count
+    // (tombstones land at v2, no doc is yet deleted)
+    t("scd2 + pit 50k docs")({
+      val cur = docs.withColumn("version", lit(0L))
+        .withColumn("deleted", lit(false))
+      val changes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(lit("rev1: "), col("text")))
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 1)
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(true)))
+      val hist = operators.Snapshot.scd2History(cur.unionByName(changes))
+      val nHist = hist.count()
+      val pit = hist.filter(expr("valid_from <= 1 AND valid_to > 1 AND NOT deleted"))
+        .count()
+      val nDocs = docs.count()
+      require(pit == nDocs, s"PIT slice $pit != corpus $nDocs")
+      s"history=$nHist pit=$pit"
+    })
+
     spark.stop()
   }
 }

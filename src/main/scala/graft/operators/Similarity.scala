@@ -487,6 +487,19 @@ object Similarity {
     val bw = cbs.head.head.length
     val codeCols = pqBlockDists(col("embedding"), cbs)
       .map(d => array_position(d, array_min(d)) - 1L)
+    // MATERIALIZE the codes relation before the ADC projection — this
+    // is the PQ index a real deployment stores (IVFPQ posting lists
+    // hold exactly these codes). Without the persist barrier Catalyst
+    // collapses the projections and re-inlines the full per-block
+    // assignment into EVERY query's lookup expression; higher-order
+    // array functions run interpreted (outside whole-stage codegen)
+    // with no cross-expression CSE, so the assignment re-ran
+    // queries×blocks times per row — measured 302 s for 80k×10 at
+    // rehearsal, ~3 s with the barrier.
+    val codesWide = graft.Caches.track(
+      emb.select(col("vec_id"),
+        array(codeCols.map(c => (c + 1L).cast("int")): _*).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scored = qRows.sortBy(_.getLong(0)).toSeq.map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
@@ -499,11 +512,11 @@ object Similarity {
           while (i < bw) { val t = q(b * bw + i) - c(i); acc += t * t; i += 1 }
           math.floor(acc * 1000000.0).toLong
         }
-        element_at(lit(lut), (codeCols(b) + 1L).cast("int"))
+        element_at(lit(lut), element_at(col("codes"), b + 1))
       }.foldLeft(lit(0L))(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc_fp"))
     }
-    val cand = emb.select(col("vec_id").as("neighbor_id"),
+    val cand = codesWide.select(col("vec_id").as("neighbor_id"),
         explode(array(scored: _*)).as("s"))
       .filter(col("s.query_id") =!= col("neighbor_id"))
       .select(col("s.query_id").as("query_id"), col("neighbor_id"),
