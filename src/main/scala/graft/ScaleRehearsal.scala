@@ -775,6 +775,11 @@ object ScaleRehearsal {
     // IVFPQ), so wall time scaling ~linear in N is the contract here
     t("knn_pq 80k vectors")(
       operators.Similarity.knnPq(embX(40)).count())
+    // IVFPQ at 80k: the multiplicative composition — candidates per
+    // query drop to N·nProbe/cells before the LUT lookups ever run,
+    // so this must come in well under the full-scan ADC above
+    t("knn_ivf_pq 80k vectors")(
+      operators.Similarity.knnIvfPq(embX(40), corpusSize = 80000L).count())
     // trained vs hash-anchored ADC recall on the 20k replica corpus.
     // NOT an ordering pin here: with 10 exact clones per vector both
     // layouts drown in adc_fp TIES among the zero-distance clones,

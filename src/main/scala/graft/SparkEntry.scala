@@ -711,6 +711,19 @@ object SparkEntry {
     "knn_pq_trained" -> ((s, d) =>
       Similarity.knnPqTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // IVFPQ: the production composition — IVF cells prune the search,
+    // PQ codes compress the candidates to LUT lookups; both quantizers
+    // hash-anchored so the WHOLE layout is oracle-checked end to end
+    "knn_ivf_pq" -> ((s, d) =>
+      Similarity.knnIvfPq(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // IVFPQ honesty: recall@5 vs exact L2 — prices BOTH prunings
+    // (probed-cells misses + quantization misses) in one row
+    "knn_ivf_pq_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnIvfPq(emb),
+        Similarity.knnBruteL2(emb))
+    }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -1514,8 +1527,14 @@ object SparkEntry {
     * (cos DESC, id ASC) row_number — bit-identical to the Scala
     * grouping + the IvfAssign2 kernel's ascending-iteration strict->.
     */
-  private val KnnIvfSql: String =
-    s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+  /** The IVF assignment + probe CTE chain (no WITH prefix) shared by
+    * KnnIvfSql and KnnIvfPqSql: corpus cells via the two-level
+    * coarse→fine assignment (with the empty-group fallback), each
+    * query's nProbe cells, and the query relation — everything up to
+    * the metric-specific scoring tail.
+    */
+  private lazy val IvfCoreCtes: String =
+    s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
       s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
       "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
       "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
@@ -1551,7 +1570,10 @@ object SparkEntry {
       "c.cent_id ASC) AS crank FROM e, c WHERE e.vec_id < 10), " +
       "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
       s"WHERE crank <= ${Similarity.IvfNProbe}), " +
-      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10)"
+
+  private val KnnIvfSql: String =
+    s"WITH $IvfCoreCtes, " +
       "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
       s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +
       "FROM assigned a JOIN probes p ON a.cell = p.cell " +
@@ -1560,6 +1582,45 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
+
+  /** knn_ivf_pq oracle — the IVF core (cells + probes) with the PQ ADC
+    * scoring tail: PQ codebook/codes/LUT CTEs renamed p* to avoid
+    * colliding with the IVF chain's names, candidates restricted to
+    * probed cells, ADC the exact integer LUT sum.
+    */
+  private lazy val KnnIvfPqSql: String = {
+    val blocks = Similarity.PqBlocks
+    val codeBranches = (0 until blocks).map { b =>
+      s"SELECT e.vec_id, $b AS block, pc.code, " +
+        s"${l2BlockSql("e.embedding", "pc.c_emb", b, blocks)} AS d2 FROM e, pc"
+    }.mkString(" UNION ALL ")
+    val lutBranches = (0 until blocks).map { b =>
+      s"SELECT q.query_id, $b AS block, pc.code, " +
+        s"CAST(floor(${l2BlockSql("q.q_emb", "pc.c_emb", b, blocks)} " +
+        "* 1000000.0) AS BIGINT) AS d_fp FROM q, pc"
+    }.mkString(" UNION ALL ")
+    s"WITH $IvfCoreCtes, " +
+      "pch AS (SELECT e.vec_id, e.embedding, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(e.vec_id AS VARCHAR)")}, e.vec_id) AS prn FROM e), " +
+      "pc AS (SELECT prn - 1 AS code, embedding AS c_emb FROM pch " +
+      s"WHERE prn <= ${Similarity.PqCodebookSize}), " +
+      s"pd AS ($codeBranches), " +
+      "codes AS (SELECT vec_id, block, code FROM (SELECT vec_id, block, code, " +
+      "row_number() OVER (PARTITION BY vec_id, block ORDER BY d2 ASC, code ASC) AS rn " +
+      "FROM pd) WHERE rn = 1), " +
+      s"lut AS ($lutBranches), " +
+      "adc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp " +
+      "FROM assigned a JOIN probes p ON a.cell = p.cell " +
+      "JOIN codes s ON s.vec_id = a.vec_id " +
+      "JOIN lut l ON l.query_id = p.query_id AND l.block = s.block " +
+      "AND l.code = s.code " +
+      "WHERE a.vec_id <> p.query_id GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) AS rnk FROM adc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, adc_fp " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
+  }
 
   /** Quantile-sketch CTE chain (mirrors QuantileSketch.bucketOfU —
     * bit-smear floor(log2) + HdrHistogram sub-buckets, two-sided):
@@ -2683,6 +2744,8 @@ object SparkEntry {
     // PQ honesty: both sides SQL-derivable (hash-anchored codebook),
     // recall measured against the exact-L2 ranking ADC approximates
     "knn_pq_recall" -> recallSql(KnnBruteL2Sql, KnnPqSql),
+    "knn_ivf_pq" -> KnnIvfPqSql,
+    "knn_ivf_pq_recall" -> recallSql(KnnBruteL2Sql, KnnIvfPqSql),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned

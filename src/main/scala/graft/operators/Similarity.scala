@@ -526,6 +526,92 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc_fp")
   }
 
+  /** IVFPQ: cell-pruned ADC — the production billion-scale ANN layout
+    * (Jégou et al. 2011 §V; FAISS's IndexIVFPQ): IVF's coarse
+    * quantizer prunes the search to each query's `nProbe` cells, and
+    * PQ codes compress what remains to `blocks` table lookups per
+    * candidate. The index this builds — `(cell, vec_id, codes)`,
+    * persisted — IS an IVFPQ posting-list layout: at serve time the
+    * corpus embeddings are never touched (cells from the assignment
+    * expression at build, distances from per-query LUTs at query).
+    * Both quantizers here are the hash-anchored deterministic fits
+    * (knnIvf's cells, pqCodes' codebook), so the WHOLE composition is
+    * SQL-derivable and oracle-checked end to end — swap in
+    * `centroidsOf`/`pqTrainCodebooks` for the trained production form;
+    * the plumbing is identical.
+    *
+    * Candidate count per query is |corpus|·nProbe/cells (the IVF
+    * contract) and each candidate costs `blocks` integer lookups (the
+    * PQ contract) — the multiplicative composition of the two
+    * prunings. Scores are the same exact-integer `adc_fp` as `knnPq`;
+    * like every pruned index it may return fewer than k rows per
+    * query. Ranking (adc_fp asc, neighbor asc) via TopKPerKey.
+    */
+  def knnIvfPq(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L, blocks: Int = PqBlocks,
+      codebook: Int = PqCodebookSize): DataFrame = {
+    val corpus = withNorm(emb)
+    val cells =
+      if (nCells > 0) nCells
+      else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
+    val cents = corpus
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val centRows = cents.collect().sortBy(_.getLong(0))
+    val cw = pqCodebookOf(emb, codebook)
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    if (centRows.isEmpty || cw.isEmpty || qRows.isEmpty) return knnPqEmpty(emb)
+    val centIds = centRows.map(_.getLong(0))
+    val centEmb = centRows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val centN2 = centRows.map(_.getDouble(2))
+    val centLocal = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cents.schema)
+    val cbs = pqSliceBlocks(cw, blocks)
+    val bw = cbs.head.head.length
+    // 1-based code positions, stored directly as element_at indices
+    val codeCols = pqBlockDists(col("embedding"), cbs)
+      .map(d => array_position(d, array_min(d)).cast("int"))
+    // the IVFPQ index: one map pass assigns the cell AND the codes;
+    // persisted behind the same barrier knnPqFrom needs (projection
+    // collapse would re-inline the interpreted assignment per lookup)
+    val index = graft.Caches.track(corpus.select(
+        assignCellExpr(centIds, centEmb, centN2).as("cell"),
+        col("vec_id"), array(codeCols: _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val probes = probeRank(corpus, centLocal, nQueries, nProbe)
+    // per-query LUTs flattened to blocks×codebook longs (same
+    // ascending += fold as everywhere in the PQ family)
+    val lutMap: Map[Long, Seq[Long]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      qid -> (0 until blocks).flatMap { b =>
+        cbs(b).map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < bw) { val t = q(b * bw + i) - c(i); acc += t * t; i += 1 }
+          math.floor(acc * 1000000.0).toLong
+        }
+      }.toSeq
+    }.toMap
+    val lutLit = typedlit(lutMap)
+    val adc = (0 until blocks).map { b =>
+      element_at(element_at(lutLit, col("query_id")),
+        lit(b * codebook) + element_at(col("codes"), b + 1))
+    }.foldLeft(lit(0L))(_ + _)
+    val cand = index.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_fp"))
+    graft.plans.TopK.perKey(cand, Seq("query_id"),
+        Seq(col("adc_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "adc_fp")
+  }
+
   /** Lloyd iterations for the trained PQ codebooks. */
   val PqLloydIters = 5
 

@@ -1250,6 +1250,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("knnIvfPq: ADC scores agree with knnPq pairwise; ranks monotone; recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // same quantizer ⇒ any pair IVFPQ surfaces must carry the exact
+    // adc_fp the driver reference computes (shared codebook, shared
+    // fold); ranks must be monotone in (adc_fp, neighbor) per query
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cw = Similarity.pqCodebookOf(emb, Similarity.PqCodebookSize)
+    val blocks = Similarity.PqBlocks
+    val bw = cw.head.length / blocks
+    def l2(a: Array[Double], b: Array[Double], blk: Int): Double = {
+      var acc = 0.0
+      var i = blk * bw
+      while (i < (blk + 1) * bw) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until blocks).map { b =>
+        val ds = cw.map(c => l2(v, c, b)); ds.indexOf(ds.min)
+      }
+    }
+    def adcOf(q: Long, n: Long): Long =
+      (0 until blocks).map { b =>
+        val lutb = cw.map(c =>
+          math.floor(l2(vecs(q), c, b) * 1000000.0).toLong)
+        lutb(codes(n)(b))
+      }.sum
+    val rows = Similarity.knnIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, n, adc) =>
+      withClue(s"query $q neighbor $n") { assert(adc === adcOf(q, n)) }
+    }
+    rows.groupBy(_._1).values.foreach { per =>
+      val byRank = per.sortBy(_._2).map(t => (t._4, t._3))
+      assert(byRank === byRank.sorted)
+    }
+    // both prunings priced: stays above the collapse floor
+    val rec = Similarity.recallAtK(Similarity.knnIvfPq(emb),
+      Similarity.knnBruteL2(emb)).collect()(0).getAs[Double]("recall")
+    assert(rec >= 0.15, s"IVFPQ recall collapsed: $rec")
+  }
+
   test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(approx: org.apache.spark.sql.DataFrame): Double =
