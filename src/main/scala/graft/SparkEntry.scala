@@ -408,6 +408,12 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextOps.chunkDocs(Tables.table(s, d, "documents"))
         .orderBy("doc_id", "chunk_idx")),
+    // deterministic contrastive negatives: slot i's negative = the doc
+    // at hash-rank poly_hash(id ":" i) mod N — reproducible across
+    // engines/partitionings, self-collisions dropped
+    "text_negatives" -> ((s, d) =>
+      TextOps.negatives(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "slot")),
     // winnowing fingerprints: per-window minima of the rolling k-gram
     // hash — shuffle-free selection, the MOSS-style overlap index key
     "text_winnow" -> ((s, d) =>
@@ -627,6 +633,20 @@ object SparkEntry {
             docs.filter(col("doc_id") % 2 === 0)),
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
+    }),
+    // asymmetric containment over docs AUGMENTED with deterministic
+    // excerpts (first 160 chars of every 10th doc as a new doc) — the
+    // quote/wrapper relation symmetric Jaccard is blind to, provably
+    // fired and hash-compared like text_pii's synthetic PII
+    "dedup_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          substring(col("text"), 1, 160).as("text")))
+      Dedup.containmentPairs(aug).orderBy("doc_id", "container_id")
     }),
     // snapshot maintenance: latest-wins merge of a synthetic change
     // batch (rev1 text for doc_id%5==0 at version 1; tombstones for
@@ -2086,6 +2106,22 @@ object SparkEntry {
         s"CAST(len(substr(text, CAST(start AS INT) + 1, $w)) AS BIGINT) AS n_chars " +
         "FROM st"
     },
+    // negatives oracle: dense hash-order rank via row_number, the same
+    // permutation probe arithmetic, self-collisions dropped
+    "text_negatives" -> {
+      val k = graft.operators.TextOps.NegativesK
+      s"WITH rk AS (SELECT doc_id, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(doc_id AS VARCHAR)")}, doc_id) - 1 AS rnk " +
+        "FROM documents), " +
+        "nn AS (SELECT COUNT(*) AS n FROM documents), " +
+        s"slots AS (SELECT unnest(range(0, $k)) AS slot), " +
+        "pr AS (SELECT doc_id, slot, " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':' || CAST(slot AS VARCHAR)")} " +
+        "% n AS neg_rank FROM rk, nn, slots) " +
+        "SELECT p.doc_id, CAST(p.slot AS BIGINT) AS slot, " +
+        "r2.doc_id AS neg_id FROM pr p JOIN rk r2 ON r2.rnk = p.neg_rank " +
+        "WHERE r2.doc_id <> p.doc_id"
+    },
     // winnowing oracle: the dedup_spans per-position direct-hash CTE,
     // then a w-row rolling MIN window per doc — partial windows at the
     // start are excluded (full-window semantics) EXCEPT the final
@@ -2445,6 +2481,34 @@ object SparkEntry {
         "list_append(sl.starts, length(d.text)::BIGINT)), " +
         "z -> substr(d.text, (z[1] + 1)::INT, (z[2] - z[1])::INT)), '') " +
         "END AS clean_text FROM documents d LEFT JOIN sl USING (doc_id)"
+    },
+    // containment oracle: the docKnn candidate/verify machinery over
+    // the excerpt-augmented corpus, both directions scored from one
+    // intersection, per-direction threshold
+    "dedup_containment" -> {
+      val th = Dedup.ContainmentPpm
+      val maxDf = Dedup.DocKnnMaxDf
+      "WITH aug AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, substr(text, 1, 160) " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        s"${hsCteFor("aug")}, " +
+        "nn AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hs), " +
+        "ex AS (SELECT doc_id, unnest(hs) AS h FROM hs), " +
+        s"rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= $maxDf), " +
+        "exr AS (SELECT ex.doc_id, ex.h FROM ex JOIN rare USING (h)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM exr a JOIN exr b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "sh AS (SELECT c.doc_a, c.doc_b, " +
+        "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS shared, " +
+        "na.n AS na, nb.n AS nb FROM cand c " +
+        "JOIN hs ha ON ha.doc_id = c.doc_a JOIN hs hb ON hb.doc_id = c.doc_b " +
+        "JOIN nn na ON na.doc_id = c.doc_a JOIN nn nb ON nb.doc_id = c.doc_b), " +
+        "s AS (SELECT doc_a AS doc_id, doc_b AS container_id, shared, " +
+        "na AS n_doc FROM sh " +
+        "UNION ALL SELECT doc_b, doc_a, shared, nb FROM sh) " +
+        "SELECT doc_id, container_id, shared, n_doc, " +
+        "CAST(shared * 1000000 // n_doc AS BIGINT) AS containment_ppm FROM s " +
+        s"WHERE shared * 1000000 // n_doc >= $th"
     },
     "docs_merge" -> MergedSnapshotSql,
     // LEAD-window twin of Snapshot.scd2History over the same synthetic

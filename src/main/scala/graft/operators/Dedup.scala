@@ -220,6 +220,61 @@ object Dedup {
         "jacc_ppm")
   }
 
+  /** Containment threshold (ppm) for `containmentPairs`. */
+  val ContainmentPpm = 800000L
+
+  /** ASYMMETRIC near-dup: shingle-set containment |A∩B| / |A| — the
+    * quote/excerpt/wrapper detector symmetric Jaccard is blind to (a
+    * 200-word article pasted inside a 5 000-word page scores Jaccard
+    * ≈ 0.04 but containment ≈ 1.0; near-dup dedup keeps both, a
+    * containment pass flags the inclusion). One row per DIRECTED
+    * relation that clears the threshold: `doc_id` is mostly inside
+    * `container_id` (`shared` of its `n_doc` distinct shingles
+    * appear there), in exact integer ppm. Broder's containment
+    * coefficient, the same word-shingle universe as `ngramJaccard` /
+    * `docKnn`.
+    *
+    * Candidates share ≥ 1 RARE shingle (corpus df ≤ `maxDf`) —
+    * `docKnn`'s df-bounded fanout trick, which containment NEEDS:
+    * Jaccard's size-band prefix pruning is unavailable precisely
+    * because the two sizes may differ wildly (that asymmetry is the
+    * signal). Recall caveat (documented trade): a containment pair
+    * sharing only ubiquitous shingles is invisible — true excerpts
+    * share their source's rare shingles in practice. Verify is the
+    * zero-allocation sorted-merge intersection, once per unordered
+    * pair, both directions scored from the same `shared`.
+    */
+  def containmentPairs(docs: DataFrame, thresholdPpm: Long = ContainmentPpm,
+      maxDf: Long = DocKnnMaxDf): DataFrame = {
+    val hs = graft.Caches.track(shingleHashArrays(docs)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        sort_array(col("hs")).as("hss"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val ex = hs.select(col("doc_id"), explode(col("hss")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val exr = ex.join(rare, "h")
+    val cand = exr.as("a").join(exr.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val half = cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hss").as("hs_a"),
+        col("n").as("na")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hss").as("hs_b"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ShingleHashFunctions
+          .sorted_intersect_size(col("hs_a"), col("hs_b")).as("shared"),
+        col("na"), col("nb"))
+    half.select(col("doc_a").as("doc_id"), col("doc_b").as("container_id"),
+        col("shared"), col("na").as("n_doc"))
+      .unionAll(half.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("container_id"), col("shared"), col("nb").as("n_doc")))
+      .withColumn("containment_ppm", expr("shared * 1000000 div n_doc"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+  }
+
   /** Checkpoint cadence for `dupClusters` when a checkpoint dir is
     * given: lineage (and with it the recompute horizon after executor
     * loss) is truncated every this many star rounds.

@@ -535,6 +535,72 @@ object TextOps {
       .toDF("doc_id", "decile")
   }
 
+  /** Negatives per document for `negatives`. */
+  val NegativesK = 4
+
+  /** Deterministic contrastive NEGATIVE sampling: for every document,
+    * `k` pseudo-random other documents — the in-batch-negatives
+    * supplement a contrastive embedding-training pipeline draws
+    * (SimCLR/CLIP-style training needs negatives; drawing them with an
+    * RNG makes runs irreproducible and engine-dependent, the same
+    * reason `hashSplit` exists). Slot i's negative is the document
+    * whose HASH-ORDER rank equals poly_hash(doc_id ":" i) mod N — a
+    * fixed pseudo-random permutation probe, stable across runs,
+    * partitionings and engines. Self-collisions are dropped (a doc
+    * occasionally yields k−1 negatives — the honest contract; remap
+    * rules would cascade). Near-dup exclusion composes externally:
+    * anti-join the output against any pairs relation (`ngramJaccard`,
+    * `knnGraph` edges) — not baked in, because which relation defines
+    * "too similar to be a negative" is the pipeline's choice.
+    *
+    * Scale shape: the dense hash-rank is the `lengthDeciles` two-pass
+    * range-partition machinery (driver state = #partitions longs, no
+    * global window); probes are a k× generator fanout of id-sized
+    * rows; the lookup is one equi-join on rank. Nothing wider than
+    * (id, rank) ever shuffles.
+    */
+  def negatives(docs: DataFrame, k: Int = NegativesK): DataFrame = {
+    require(k >= 1, s"negatives needs k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs
+      .select(col("doc_id"), poly_hash(col("doc_id").cast("string")).as("hh"))
+      .repartitionByRange(col("hh"), col("doc_id"))
+      .sortWithinPartitions("hh", "doc_id")
+      .as[(Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    val partCounts = parted
+      .mapPartitions { it =>
+        var c = 0L
+        it.foreach(_ => c += 1L)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = math.max(1L, partCounts.sum)
+    val offsets = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val ranked = parted
+      .mapPartitions { it =>
+        var r = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, _) => r += 1L; (id, r - 1L) }
+      }
+      .toDF("doc_id", "rank")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(ranked)
+    val probes = ranked
+      .select(col("doc_id"),
+        explode(array((0 until k).map(i => lit(i.toLong)): _*)).as("slot"))
+      .withColumn("neg_rank",
+        pmod(poly_hash(concat(col("doc_id").cast("string"), lit(":"),
+          col("slot").cast("string"))), lit(n)))
+    probes
+      .join(ranked.select(col("rank").as("neg_rank"),
+        col("doc_id").as("neg_id")), "neg_rank")
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("slot"), col("neg_id"))
+  }
+
   // ---- HyperLogLog distinct-token sketch ----
 
   /** Bucket count (power of two). 512 buckets ≈ 4.6% standard error —

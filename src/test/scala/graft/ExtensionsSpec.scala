@@ -1224,6 +1224,74 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.15, s"PQ ADC recall collapsed: $rec")
   }
 
+  test("negatives: brute permutation-probe reference; stable under repartitioning") {
+    val docs = docsDf((0L until 40L).map(i => (i * 7L, s"doc $i")): _*)
+    val k = 3
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.negatives(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(docs)
+    // brute: rank docs by (poly_hash(id), id), probe the permutation
+    val hashes = docs.select(col("doc_id"),
+        poly_hash(col("doc_id").cast("string"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = hashes.sortBy(t => (t._2, t._1)).map(_._1)
+    val n = ranked.length
+    val probeH = docs.select(col("doc_id"),
+        explode(array((0 until k).map(i => lit(i.toLong)): _*)).as("slot"))
+      .select(col("doc_id"), col("slot"),
+        poly_hash(concat(col("doc_id").cast("string"), lit(":"),
+          col("slot").cast("string"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = probeH.flatMap { case (id, slot, h) =>
+      val neg = ranked((h % n + n).toInt % n)
+      if (neg == id) None else Some((id, slot) -> neg)
+    }.toMap
+    assert(got === want)
+    assert(got.values.toSet.subsetOf(ranked.toSet))
+    got.foreach { case ((id, _), neg) => assert(neg !== id) }
+    // partitioning must not move a single negative
+    assert(run(docs.repartition(13)) === got)
+  }
+
+  test("containmentPairs: one-way excerpt flagged; brute containment reference") {
+    // an excerpt inside a much longer doc: containment(excerpt→host)
+    // ≈ 1 but Jaccard tiny — exactly the asymmetric case
+    val host = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val out = Dedup.containmentPairs(
+      docsDf((1L, host), (2L, excerpt), (3L, other)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out.contains((2L, 1L))) // excerpt mostly inside host
+    assert(out((2L, 1L)) === 1000000L) // every shingle shared
+    assert(!out.contains((1L, 2L))) // host NOT inside excerpt
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // brute reference on random short docs (tiny vocab → real overlap)
+    val rnd = new scala.util.Random(29)
+    val docs = (0L until 30L).map(i => (i,
+      Seq.fill(6 + rnd.nextInt(20))("abcd" (rnd.nextInt(4)).toString)
+        .mkString(" ")))
+    def shingles(t: String): Set[Seq[String]] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).toSeq.toSet
+    val want = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs if a != b
+      sa = shingles(ta)
+      if sa.nonEmpty
+      sh = (sa intersect shingles(tb)).size.toLong
+      c = sh * 1000000L / sa.size
+      if c >= Dedup.ContainmentPpm
+    } yield (a, b) -> c).toMap
+    // the brute reference ignores the rare-shingle candidate cap, so
+    // lift the df cap above the corpus size to align recall
+    val got = Dedup.containmentPairs(docsDf(docs: _*), maxDf = 10000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got === want)
+  }
+
   test("labelCentroids: exact quantized sums; mean within 1ppm of the float mean") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.labelCentroids(emb).collect()
