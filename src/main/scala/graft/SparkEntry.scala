@@ -408,6 +408,18 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextOps.chunkDocs(Tables.table(s, d, "documents"))
         .orderBy("doc_id", "chunk_idx")),
+    // per-source quality drift: p50/p90/p99 of the quality score per
+    // source through the exact-rank machinery — the governance view
+    // that catches one source's quality collapsing inside a healthy
+    // corpus-wide distribution
+    "text_quality_by_source" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val q = TextOps.quality(docs).select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      TextOps.groupedQuantiles(q, "source", "quality", "doc_id")
+        .orderBy("source", "pct")
+    }),
     // deterministic contrastive negatives: slot i's negative = the doc
     // at hash-rank poly_hash(id ":" i) mod N — reproducible across
     // engines/partitionings, self-collisions dropped
@@ -1012,6 +1024,12 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) =>
       EventWindows.hourlyAnomaly(Tables.table(s, d, "events"))
         .orderBy("event_type", "hour_epoch")),
+    // multi-touch attribution: per conversion, the trailing-24h click
+    // touches (count + first/last ids; zero-touch conversions report
+    // with sentinels) — interval join, never a per-user cross product
+    "events_attribution" -> ((s, d) =>
+      EventWindows.attribution(Tables.table(s, d, "events"))
+        .orderBy("conv_id")),
     // as-of alignment: every view picks the user's latest click at or
     // before it; clicks pre-aggregated to one row per (user, ts) — the
     // determinism precondition both engines share
@@ -2106,6 +2124,24 @@ object SparkEntry {
         s"CAST(len(substr(text, CAST(start AS INT) + 1, $w)) AS BIGINT) AS n_chars " +
         "FROM st"
     },
+    // per-source quality quantiles: the text_quality b CTE with source
+    // carried through, then the events_quantiles rank-target selection
+    "text_quality_by_source" -> {
+      val pctsSql = graft.operators.TextOps.QuantilePcts
+        .map(p => s"($p)").mkString(", ")
+      "WITH b AS (SELECT doc_id, source, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, source, $QualitySqlExpr AS quality FROM b), " +
+        "r AS (SELECT source, quality, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM q) " +
+        "SELECT source, CAST(p.pct AS BIGINT) AS pct, quality AS value_at " +
+        s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
+        "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
+    },
     // negatives oracle: dense hash-order rank via row_number, the same
     // permutation probe arithmetic, self-collisions dropped
     "text_negatives" -> {
@@ -3110,6 +3146,33 @@ object SparkEntry {
         "CAST(CASE WHEN baseline_cnt = 0 THEN -1 " +
         s"ELSE cnt * $t * 1000000 // baseline_cnt END AS BIGINT) AS ratio_ppm " +
         "FROM w"
+    },
+    // attribution oracle: literal theta join for the touch pairing,
+    // first/last via row_number over (click_us, click_id), zero-touch
+    // conversions kept by the LEFT join with the same sentinels
+    "events_attribution" -> {
+      val w = EventWindows.FunnelWindowUs
+      "WITH cv AS (SELECT user_id, event_id AS conv_id, " +
+        "epoch_us(ts) AS conv_us FROM events WHERE event_type = 'purchase'), " +
+        "ck AS (SELECT user_id, event_id AS click_id, " +
+        "epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT cv.conv_id, ck.click_id, ck.click_us FROM cv " +
+        "JOIN ck ON ck.user_id = cv.user_id " +
+        s"AND ck.click_us >= cv.conv_us - $w AND ck.click_us <= cv.conv_us), " +
+        "r AS (SELECT conv_id, click_id, " +
+        "row_number() OVER (PARTITION BY conv_id " +
+        "ORDER BY click_us ASC, click_id ASC) AS rf, " +
+        "row_number() OVER (PARTITION BY conv_id " +
+        "ORDER BY click_us DESC, click_id DESC) AS rl FROM j), " +
+        "a AS (SELECT conv_id, COUNT(*) AS n_touches, " +
+        "MAX(CASE WHEN rf = 1 THEN click_id END) AS first_click_id, " +
+        "MAX(CASE WHEN rl = 1 THEN click_id END) AS last_click_id " +
+        "FROM r GROUP BY conv_id) " +
+        "SELECT cv.conv_id, cv.user_id, " +
+        "CAST(COALESCE(a.n_touches, 0) AS BIGINT) AS n_touches, " +
+        "CAST(COALESCE(a.first_click_id, -1) AS BIGINT) AS first_click_id, " +
+        "CAST(COALESCE(a.last_click_id, -1) AS BIGINT) AS last_click_id " +
+        "FROM cv LEFT JOIN a ON a.conv_id = cv.conv_id"
     },
     // gaps-and-islands twin of session_window: a session breaks when the
     // gap to the previous event is >= 30 min; end = last event + gap

@@ -140,6 +140,51 @@ object EventWindows {
         .otherwise(expr(s"cnt * ${trailingHours}L * 1000000L div baseline_cnt")))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION summary: for every conversion (purchase
+    * event), the click touches inside its trailing `windowUs`
+    * attribution window — touch count plus the first- and last-touch
+    * click ids, the three numbers every position-based attribution
+    * model (first/last/U-shaped) is computed from. Zero-touch
+    * conversions REPORT (n_touches = 0, ids = -1 sentinel): organic
+    * conversions are the denominator an attribution report needs, so
+    * the touch join is LEFT. Deterministic: first/last are argmin/
+    * argmax over the (click_us, click_id) struct — same-microsecond
+    * clicks break by id.
+    *
+    * Scale shape: the touch pairing is `IntervalJoin.intervalJoin`
+    * (bucket-decomposed equi-join on (user, time-bucket) — never a
+    * per-user cross product), then one conversion-keyed aggregation
+    * with map-side combine and one left join back to the conversion
+    * relation. Window length = `FunnelWindowUs` by default — the same
+    * 24 h the windowed funnel uses.
+    */
+  def attribution(events: DataFrame,
+      windowUs: Long = FunnelWindowUs): DataFrame = {
+    require(windowUs > 0L, s"windowUs must be positive, got $windowUs")
+    val convs = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us"))
+      .withColumn("win_start", col("conv_us") - windowUs)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val touched = graft.operators.IntervalJoin.intervalJoin(
+        clicks, convs, Seq("user_id"), "click_us", "win_start", "conv_us",
+        windowUs)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"),
+        min_by(col("click_id"),
+          struct(col("click_us"), col("click_id"))).as("first_click_id"),
+        max_by(col("click_id"),
+          struct(col("click_us"), col("click_id"))).as("last_click_id"))
+    convs.select(col("conv_id"), col("user_id"))
+      .join(touched, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("user_id"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("first_click_id"), lit(-1L)).as("first_click_id"),
+        coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"))
+  }
+
   /** k for the `events_hourly_top` gate. */
   val HourlyTopK = 3
 

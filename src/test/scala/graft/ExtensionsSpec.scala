@@ -1419,6 +1419,68 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("quality-by-source composition: monotone pcts, values from the source's set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = TextOps.quality(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val out = TextOps.groupedQuantiles(q, "source", "quality", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val bySrc = q.collect()
+      .map(r => r.getString(2) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val byPct = rows.sortBy(_._2).map(_._3)
+      assert(byPct === byPct.sorted, s"pcts not monotone for $src")
+      rows.foreach { case (_, _, v) =>
+        assert(bySrc(src).contains(v), s"$src quantile $v not an element")
+      }
+    }
+  }
+
+  test("attribution: fixture windows (zero-touch sentinel, boundary inclusion, brute)") {
+    val s = spark
+    import s.implicits._
+    def ev(rows: (Long, Long, String, Long)*) = // (event_id, user, type, us)
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    val w = graft.streaming.EventWindows.FunnelWindowUs
+    val fix = ev(
+      (1L, 7L, "click", 100L), (2L, 7L, "click", 200L),
+      (3L, 7L, "purchase", 200L + w), // clicks 1 drops (just outside? 100 >= 200+w-w=200? no: 100 < 200 → outside), 2 at boundary stays
+      (4L, 8L, "purchase", 500L), // zero-touch
+      (5L, 9L, "click", 400L), (6L, 9L, "click", 400L), // same-us tie
+      (7L, 9L, "purchase", 450L))
+    val out = graft.streaming.EventWindows.attribution(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // conv 3's window is [200, 200+w]: click 2 sits exactly on the
+    // lower bound (inclusive), click 1 at 100 is outside
+    assert(out(3L) === ((1L, 2L, 2L)))
+    assert(out(4L) === ((0L, -1L, -1L)))
+    // same-microsecond clicks: id breaks first/last deterministically
+    assert(out(7L) === ((2L, 5L, 6L)))
+    // brute on random events: every (conv, click) pair in-window
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(i => (i.toLong, rnd.nextInt(6).toLong,
+      if (rnd.nextInt(3) == 0) "purchase" else "click",
+      rnd.nextInt(200).toLong * (w / 100)))
+    val got = graft.streaming.EventWindows.attribution(ev(rows: _*))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val clicks = rows.filter(_._3 == "click")
+    val want = rows.filter(_._3 == "purchase").map { case (cid, u, _, cus) =>
+      val in = clicks.filter(c => c._2 == u && c._4 >= cus - w && c._4 <= cus)
+      if (in.isEmpty) cid -> ((0L, -1L, -1L))
+      else cid -> ((in.size.toLong,
+        in.minBy(c => (c._4, c._1))._1, in.maxBy(c => (c._4, c._1))._1))
+    }.toMap
+    assert(got === want)
+  }
+
   test("hourlyAnomaly: trailing RANGE baseline (absent hours = 0, cold start = -1)") {
     val s = spark
     import s.implicits._
