@@ -724,6 +724,21 @@ object SparkEntry {
     "knn_brute_l2" -> ((s, d) =>
       Similarity.knnBruteL2(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // matryoshka-style truncated retrieval: exact L2 over the first
+    // TruncDims dims only — 4x less bandwidth per comparison
+    "knn_brute_l2_trunc" -> ((s, d) =>
+      Similarity.knnBruteL2(Tables.table(s, d, "embeddings"),
+          dims = Similarity.TruncDims)
+        .orderBy("query_id", "rank")),
+    // truncation honesty: recall@5 of prefix-dim retrieval against the
+    // full-width ranking — the number that decides whether serving
+    // from a vector prefix is acceptable for this corpus
+    "knn_trunc_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnBruteL2(emb, dims = Similarity.TruncDims),
+        Similarity.knnBruteL2(emb))
+    }),
     // PQ serving: ADC top-k — per-query LUTs over the codebook, each
     // candidate scored by `blocks` table lookups; map-only corpus pass
     "knn_pq" -> ((s, d) =>
@@ -1229,6 +1244,30 @@ object SparkEntry {
       s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
       "c AS (SELECT crn - 1 AS code, embedding AS c_emb FROM ch " +
       s"WHERE crn <= ${Similarity.PqCodebookSize})"
+
+  /** Prefix-width squared-L2 (first `dims` elements) — the truncated-
+    * retrieval fold, same left-fold chain as l2BlockSql.
+    */
+  private def l2PrefixSql(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** knn_brute_l2_trunc oracle — the exact-L2 ranking over the vector
+    * prefix; shared by knn_trunc_recall's approx side.
+    */
+  private lazy val KnnBruteL2TruncSql: String =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+      s"CAST(floor(${l2PrefixSql("q.q_emb", "e.embedding", Similarity.TruncDims)} " +
+      "* 1000000.0) AS BIGINT) AS l2_fp " +
+      "FROM e, q WHERE e.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) AS rnk FROM s) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, l2_fp " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
   /** knn_brute_l2 oracle — exact squared-L2 ranking, full-width fold. */
   private lazy val KnnBruteL2Sql: String =
@@ -2846,6 +2885,8 @@ object SparkEntry {
     "knn_pq_recall" -> recallSql(KnnBruteL2Sql, KnnPqSql),
     "knn_ivf_pq" -> KnnIvfPqSql,
     "knn_ivf_pq_recall" -> recallSql(KnnBruteL2Sql, KnnIvfPqSql),
+    "knn_brute_l2_trunc" -> KnnBruteL2TruncSql,
+    "knn_trunc_recall" -> recallSql(KnnBruteL2Sql, KnnBruteL2TruncSql),
     "embedding_neardup" -> EmbNearDupSql,
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned

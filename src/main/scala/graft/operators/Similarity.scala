@@ -130,13 +130,19 @@ object Similarity {
     * `knnBrute`: one map stage over the corpus, TopKPerKey ranking.
     */
   def knnBruteL2(emb: DataFrame, k: Int = DefaultK,
-      nQueries: Long = DefaultQueries): DataFrame = {
+      nQueries: Long = DefaultQueries, dims: Int = 0): DataFrame = {
+    // dims > 0 ranks by the PREFIX of the vector only — the
+    // matryoshka-style truncated-retrieval evaluation (serve from the
+    // first dims dimensions, audit recall against the full width);
+    // 0 = full width
+    def v(c: org.apache.spark.sql.Column) =
+      if (dims > 0) slice(c, 1, dims) else c
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         floor(aggregate(
-          zip_with(col("q_emb"), col("embedding"), (a, b) => {
+          zip_with(v(col("q_emb")), v(col("embedding")), (a, b) => {
             val t = a.cast("double") - b.cast("double")
             t * t
           }),
@@ -146,6 +152,12 @@ object Similarity {
         Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "l2_fp")
   }
+
+  /** Truncated width for the matryoshka-retrieval gates (the first 16
+    * of the testdata's 64 dims). Same constant MUST appear in the
+    * oracle SQL.
+    */
+  val TruncDims = 16
 
   /** Shared banded-LSH top-k core: per band, each query probes its band
     * value XOR every mask in `masks`. The query side is broadcast, so

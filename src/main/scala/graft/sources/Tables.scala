@@ -108,6 +108,49 @@ object Tables {
   def edgesCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(edgeCsvSchema).option("header", "false").csv(path)
 
+  /** Schema of a JSONL documents corpus — the de-facto interchange
+    * format of LLM training data (one JSON object per line). Pinned
+    * here because a 100 TB read must NEVER infer schema (inference is
+    * an extra full scan, and a single malformed line silently widens a
+    * column to string for the whole corpus).
+    */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    // all-nullable on purpose: Spark's JSON reader forces every field
+    // nullable regardless of the requested schema (a missing key IS a
+    // null), so a non-null pin here would silently not hold anyway
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** Read a JSONL documents corpus with the PINNED schema and strict
+    * corruption accounting: `PERMISSIVE` with a corrupt-record column
+    * would silently null out bad lines — at training-data scale that
+    * is data loss with no alarm — so the default here is `FAILFAST`
+    * (a malformed line fails the read loudly). Pass
+    * `permissive = true` to keep bad lines as nulls + the raw line in
+    * `_corrupt_record` for a quarantine pass; splittable/parallel
+    * either way (JSONL is line-delimited).
+    */
+  def documentsJsonl(spark: SparkSession, path: String,
+      permissive: Boolean = false): DataFrame = {
+    val base = spark.read
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+    if (permissive)
+      base.schema(documentsJsonlSchema
+          .add(StructField("_corrupt_record", StringType, nullable = true)))
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    else base.schema(documentsJsonlSchema).json(path)
+  }
+
+  /** Write a documents relation as JSONL (one object per line,
+    * gzip-free by default so downstream reads stay splittable).
+    */
+  def writeDocumentsJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").json(path)
+
   /** Persist an edge relation as a BUCKETED table — the co-located-join
     * path for repeated graph queries at scale: both sides of a
     * self-join on the bucket key read pre-shuffled files, so the join

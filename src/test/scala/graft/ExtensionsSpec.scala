@@ -1362,6 +1362,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.15, s"IVFPQ recall collapsed: $rec")
   }
 
+  test("knnBruteL2 truncation: dims=width is identity; prefix-signal corpus recalls 1.0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(col("embedding")).head.getSeq[Float](0).size
+    val full = Similarity.knnBruteL2(emb).collect().map(_.toSeq).toSet
+    val same = Similarity.knnBruteL2(emb, dims = dim).collect().map(_.toSeq).toSet
+    assert(same === full)
+    // a corpus whose signal lives ENTIRELY in the first 4 dims: the
+    // tail is constant, so prefix retrieval must match full retrieval
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val prefixCorpus = (0L until 60L).map(i => (i,
+      (Array.fill(4)(rnd.nextFloat()) ++ Array.fill(12)(0.5f)).toSeq))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.knnBruteL2(prefixCorpus, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Similarity.knnBruteL2(prefixCorpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+    // on the real (untrained, near-uniform) embeddings the truncation
+    // audit reports honestly LOW recall — pin it stays a valid number
+    val rec = Similarity.recallAtK(
+        Similarity.knnBruteL2(emb, dims = Similarity.TruncDims),
+        Similarity.knnBruteL2(emb))
+      .collect()(0).getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
+
   test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(approx: org.apache.spark.sql.DataFrame): Double =

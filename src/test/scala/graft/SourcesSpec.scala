@@ -25,6 +25,37 @@ class SourcesSpec extends SparkSpec {
     assert(ev.count() > 0)
   }
 
+  test("JSONL documents round-trip exactly; FAILFAST raises, PERMISSIVE quarantines") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Tables.writeDocumentsJsonl(docs, dir)
+    val back = Tables.documentsJsonl(spark, dir)
+    assert(back.schema === Tables.documentsJsonlSchema)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+    // corruption contract: one malformed line among good ones
+    val badDir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
+    java.nio.file.Files.writeString(badDir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |this is not json
+        |{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}
+        |""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      Tables.documentsJsonl(spark, badDir.toString).collect()
+    }
+    // cache before filtering on the corrupt column — Spark disallows
+    // queries whose only referenced column is _corrupt_record on raw
+    // file scans (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val quarantined = Tables.documentsJsonl(spark, badDir.toString,
+      permissive = true).cache()
+    try {
+      assert(quarantined.filter(col("_corrupt_record").isNotNull).count() === 1L)
+      assert(quarantined.filter(col("_corrupt_record").isNull).count() === 2L)
+    } finally quarantined.unpersist()
+  }
+
   test("bucketed edges self-join plans without a shuffle Exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val e = edgeDf((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
