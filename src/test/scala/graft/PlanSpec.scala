@@ -391,6 +391,49 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("text_winnow is a shuffle-free generator projection reading (doc_id, text)") {
+    val plan = executedPlan("text_winnow")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Generate"), plan) // the explode generator
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
+  test("embedding_pq assigns codes in a map-only plan (no join, no shuffle)") {
+    val plan = executedPlan("embedding_pq")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan) // codebook ships as literals
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("knn_pq: the ADC pass joins nothing — codes relation + literal LUT lookups") {
+    val plan = executedPlan("knn_pq")
+    // TopKPerKey needs one hash exchange to group per query; the scan →
+    // codes → ADC chain itself must be join-free (LUTs are literals,
+    // the codes relation is the persisted barrier)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan) // the stored codes
+  }
+
+  test("knn_ivf_pq: broadcast probe join on cell, no corpus-wide join, TopKPerKey") {
+    val plan = executedPlan("knn_ivf_pq")
+    assert(plan.contains("BroadcastHashJoin"), plan) // index ⋈ probes
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("events_interarrival: ONE user-keyed exchange feeds window + aggregation") {
+    val plan = executedPlan("events_interarrival")
+    // the window partition and the groupBy share the user_id key — the
+    // final orderBy adds a range exchange, but only one hash exchange
+    // may appear
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <= 1 hash exchange, got $hashEx:\n$plan")
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
