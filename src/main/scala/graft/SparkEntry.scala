@@ -395,6 +395,11 @@ object SparkEntry {
       TextOps.quality(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // langid EVALUATION: confusion matrix vs the labeled lang column —
+    // per-language recall and the exact confusion structure
+    "text_lang_confusion" -> ((s, d) =>
+      TextOps.langConfusion(Tables.table(s, d, "documents"))
+        .orderBy("label", "lang_guess")),
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_vocab" -> ((s, d) =>
@@ -2133,6 +2138,22 @@ object SparkEntry {
       s"WITH s AS (SELECT doc_id, $scoreCols FROM documents), " +
         s"g AS (SELECT *, $best AS b FROM s) " +
         s"SELECT doc_id, COALESCE($cases, 'und') AS lang_guess FROM g"
+    },
+    // confusion oracle: the text_langid marker scoring joined back to
+    // the label column, counted per (label, guess) cell
+    "text_lang_confusion" -> {
+      val markers = graft.functions.TextFunctions.LangMarkers
+      val scoreCols = markers.map { case (l, re) =>
+        s"len(regexp_extract_all(text, '$re')) AS s_$l"
+      }.mkString(", ")
+      val cases = markers.map { case (l, _) =>
+        s"CASE WHEN s_$l = b AND b > 0 THEN '$l' END"
+      }.mkString(", ")
+      val best = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      s"WITH s AS (SELECT doc_id, lang AS label, $scoreCols FROM documents), " +
+        s"g AS (SELECT *, $best AS b FROM s) " +
+        s"SELECT label, COALESCE($cases, 'und') AS lang_guess, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2"
     },
     "text_fingerprint" ->
       (s"SELECT doc_id, CAST(${phSql("text")} AS BIGINT) AS fingerprint FROM documents"),

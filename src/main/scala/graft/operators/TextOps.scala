@@ -535,6 +535,21 @@ object TextOps {
       .toDF("doc_id", "decile")
   }
 
+  /** Language-ID CONFUSION MATRIX against a labeled column — the
+    * evaluation view for the `langId` heuristic (and for any upstream
+    * labeler being audited): one row per (label, guess) pair with its
+    * count. The diagonal over the row sum is per-language recall; off-
+    * diagonal mass shows exactly which languages the marker table
+    * confuses — the number that decides whether the n-gram heuristic
+    * is good enough before a pipeline filters by it. One
+    * map-side-combined aggregation over ≤ langs² groups.
+    */
+  def langConfusion(docs: DataFrame, labelCol: String = "lang"): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col(labelCol).as("label")), "doc_id")
+      .groupBy(col("label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
   /** Negatives per document for `negatives`. */
   val NegativesK = 4
 

@@ -1447,6 +1447,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("langConfusion: cells partition the corpus; fixture guesses land in-cell") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog with the hat", "en"),
+      (2L, "el gato y el perro con la que", "es"),
+      (3L, "zzz qqq xxx", "en")) // markerless → guessed und
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum === 3L)
+    assert(out(("en", "en")) === 1L)
+    assert(out(("es", "es")) === 1L)
+    assert(out(("en", "und")) === 1L)
+    // corpus law: cell counts partition the labeled corpus exactly
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = TextOps.langConfusion(real).agg(sum(col("n")))
+      .collect()(0).getLong(0)
+    assert(total === real.count())
+  }
+
   test("quality-by-source composition: monotone pcts, values from the source's set") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = TextOps.quality(docs).select(col("doc_id"), col("quality"))
