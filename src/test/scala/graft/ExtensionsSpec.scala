@@ -1447,6 +1447,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("second-wave operators are total on degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    val emptyDocs = docsDf()
+    // containment: empty corpus → empty relation, no exception
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0L)
+    // negatives: a single doc can only ever draw itself → empty out
+    assert(TextOps.negatives(docsDf((7L, "only"))).count() === 0L)
+    assert(TextOps.negatives(emptyDocs).count() === 0L)
+    // winnowing: all docs shorter than the gram width → empty out
+    assert(TextOps.winnowing(docsDf((1L, "ab"), (2L, ""))).count() === 0L)
+    // bigram LM: single-token docs contribute nothing
+    assert(TextOps.bigramLm(docsDf((1L, "solo"), (2L, ""))).count() === 0L)
+    // interArrival / anomaly / attribution on zero events
+    val noEvents = Seq.empty[(Long, Long, String)]
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("event_id")))
+    assert(graft.streaming.Sessionize.interArrival(noEvents).count() === 0L)
+    assert(graft.streaming.EventWindows.hourlyAnomaly(noEvents).count() === 0L)
+    assert(graft.streaming.EventWindows.attribution(noEvents).count() === 0L)
+    // PQ family: empty corpus → empty frames with the gate schemas
+    val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqCodes(noEmb).count() === 0L)
+    assert(Similarity.knnPq(noEmb).count() === 0L)
+    assert(Similarity.knnIvfPq(noEmb, corpusSize = 0L).count() === 0L)
+    assert(Similarity.knnBruteL2(noEmb).count() === 0L)
+    assert(Similarity.labelCentroids(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0L)
+    // SCD2 / PIT on an empty update stream
+    val noUpdates = Seq.empty[(Long, String, Long, Boolean)]
+      .toDF("doc_id", "text", "version", "deleted")
+    assert(operators.Snapshot.scd2History(noUpdates).count() === 0L)
+    // tie strength on an empty / self-loop-only graph
+    val selfOnly = Seq((3L, 3L)).toDF("src", "dst")
+    assert(operators.GraphOps.tieStrength(selfOnly).count() === 0L)
+    // lang confusion on empty docs
+    assert(TextOps.langConfusion(
+      emptyDocs.withColumn("lang", lit("en"))).count() === 0L)
+  }
+
   test("langConfusion: cells partition the corpus; fixture guesses land in-cell") {
     val s = spark
     import s.implicits._
