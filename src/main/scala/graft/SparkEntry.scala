@@ -1038,6 +1038,23 @@ object SparkEntry {
     "events_props" -> ((s, d) =>
       EventWindows.propsStats(Tables.table(s, d, "events"))
         .orderBy("event_type")),
+    // within-session event-type transition counts — the behavioral
+    // bigram (first-order Markov) matrix; cross-session adjacencies
+    // are severed at the same gap rule events_sessions groups by
+    "events_transitions" -> ((s, d) =>
+      graft.streaming.Sessionize.transitions(Tables.table(s, d, "events"))
+        .orderBy("prev_type", "event_type")),
+    // the k most common session journeys as `a>b>c` path strings —
+    // deterministic: (ts, event_id) ordering and a (count DESC, path
+    // ASC) total order at the top-k boundary on both engines
+    "events_paths" -> ((s, d) =>
+      graft.streaming.Sessionize.sessionPaths(Tables.table(s, d, "events"))),
+    // DAU / trailing-7d WAU / stickiness-ppm per epoch-aligned day —
+    // trailing distinct via ×7 fanout of the DISTINCT (day, user)
+    // pairs, never a per-user range join
+    "events_active_users" -> ((s, d) =>
+      EventWindows.activeUsers(Tables.table(s, d, "events"))
+        .orderBy("day_epoch")),
     // rate-anomaly statistics: hourly counts vs the trailing-24h
     // baseline per type — RANGE window over the hours-sized relation,
     // integer spike ratio, thresholding left to the consumer
@@ -3273,6 +3290,57 @@ object SparkEntry {
         "CAST(p.pct AS BIGINT) AS pct, CAST(dur AS DOUBLE) AS value_at " +
         s"FROM r JOIN (VALUES $pctsSql) p(pct) " +
         "ON r.rn = GREATEST(1, (p.pct * r.n + 99) // 100)"
+    },
+    // within-session transition counts: the same break rule as
+    // SessionsSql, with the (us, event_id) tiebreak making the lag
+    // sequence — and therefore the counts — deterministic under ties
+    "events_transitions" -> {
+      val gapUs = graft.streaming.Sessionize.GapUs
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
+        "event_type FROM events), " +
+        "o AS (SELECT event_type, lag(event_type) OVER w AS prev_type, " +
+        "us - lag(us) OVER w AS gap FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) " +
+        "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        s"FROM o WHERE prev_type IS NOT NULL AND gap < $gapUs " +
+        "GROUP BY 1, 2"
+    },
+    // top session paths: gaps-and-islands sids (the SessionsSql rule
+    // plus the event_id tiebreak), ordered string_agg per session,
+    // (count DESC, path ASC) total order at the LIMIT boundary
+    "events_paths" -> {
+      val gapUs = graft.streaming.Sessionize.GapUs
+      val k = graft.streaming.Sessionize.PathTopK
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
+        "event_type FROM events), " +
+        "o AS (SELECT user_id, us, event_id, event_type, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR " +
+        s"us - lag(us) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o), " +
+        "p AS (SELECT string_agg(event_type, '>' ORDER BY us, event_id) " +
+        "AS path FROM g GROUP BY user_id, sid) " +
+        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p " +
+        s"GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT $k"
+    },
+    // DAU/WAU/stickiness: epoch-aligned day grid (epoch_us // dayUs ·
+    // 86400 ≡ the window(ts,'1 day') start for positive epochs); the
+    // trailing distinct via the same ×7 fanout of distinct (day, user)
+    "events_active_users" -> {
+      val days = graft.streaming.EventWindows.ActiveTrailingDays
+      "WITH ud AS (SELECT DISTINCT " +
+        "(epoch_us(ts) // 86400000000) * 86400 AS day_epoch, user_id " +
+        "FROM events), " +
+        "dau AS (SELECT day_epoch, CAST(COUNT(*) AS BIGINT) AS dau " +
+        "FROM ud GROUP BY 1), " +
+        "fan AS (SELECT DISTINCT ud.day_epoch + k.k * 86400 AS day_epoch, " +
+        s"user_id FROM ud CROSS JOIN (SELECT unnest(range(0, $days)) AS k) k), " +
+        "wau AS (SELECT day_epoch, CAST(COUNT(*) AS BIGINT) AS wau " +
+        "FROM fan GROUP BY 1) " +
+        "SELECT CAST(d.day_epoch AS BIGINT) AS day_epoch, d.dau, w.wau, " +
+        "CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm " +
+        "FROM dau d JOIN wau w USING (day_epoch)"
     },
     "events_props" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

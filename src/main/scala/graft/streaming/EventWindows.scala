@@ -140,6 +140,57 @@ object EventWindows {
         .otherwise(expr(s"cnt * ${trailingHours}L * 1000000L div baseline_cnt")))
   }
 
+  /** Trailing window of `activeUsers`' wide distinct, in days. */
+  val ActiveTrailingDays = 7
+
+  /** DAILY ACTIVE-USER rollup: for every epoch-aligned UTC day with
+    * any activity, the exact distinct-user count that day (DAU), the
+    * exact distinct-user count over the trailing `trailingDays` days
+    * ending that day (WAU at the default 7), and the DAU/WAU
+    * stickiness ratio in ppm (truncating integer division — the
+    * float-parity rule) — the engagement triple every usage dashboard
+    * leads with. Day buckets are the epoch-aligned
+    * `window(ts, '1 day')` grid (timezone-independent, same reasoning
+    * as `hourly`'s hour grid), reported as the window start in epoch
+    * seconds.
+    *
+    * The trailing distinct is computed by FANOUT, not a range join:
+    * each distinct (day, user) activity pair covers days
+    * day..day+trailingDays−1, and a second distinct over the covered
+    * pairs makes each user count once per covered day. Cost is
+    * trailingDays× the DISTINCT activity-pair relation — already
+    * day-deduplicated, orders of magnitude under the event count —
+    * and every stage is a plain hash shuffle with map-side combine;
+    * a per-user range join or a day-window over per-user rows would
+    * re-sort activity-sized data instead. Days with zero activity
+    * don't report (their DAU is 0; a calendar spine is a consumer
+    * join), and the first trailingDays−1 days honestly report the
+    * partial-window distinct, like `hourlyAnomaly`'s cold start.
+    */
+  def activeUsers(events: DataFrame,
+      trailingDays: Int = ActiveTrailingDays): DataFrame = {
+    require(trailingDays >= 1,
+      s"trailingDays must be >= 1, got $trailingDays")
+    val daySec = 86400L
+    val ud = events
+      .select(window(col("ts"), "1 day").getField("start").cast("long")
+        .as("day_epoch"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day_epoch").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day_epoch"),
+          col("day_epoch") + lit((trailingDays - 1) * daySec),
+          lit(daySec))).as("day_epoch"), col("user_id"))
+      .distinct()
+      .groupBy("day_epoch").agg(count(lit(1)).as("wau"))
+    // inner join: only days with their own activity report (covered
+    // days past the data's end would otherwise emit WAU-only rows);
+    // both sides are days-sized — AQE broadcasts whichever is built
+    dau.join(wau, Seq("day_epoch"))
+      .select(col("day_epoch"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_ppm"))
+  }
+
   /** MULTI-TOUCH ATTRIBUTION summary: for every conversion (purchase
     * event), the click touches inside its trailing `windowUs`
     * attribution window — touch count plus the first- and last-touch

@@ -82,6 +82,87 @@ object Sessionize {
         sum(when(col("gap") < RapidGapUs, 1L).otherwise(0L)).as("n_rapid"))
   }
 
+  /** Within-session event-type TRANSITION counts — the first-order
+    * Markov (behavioral bigram) model over user journeys, the events
+    * twin of `TextOps.bigramLm`. A transition is counted for every
+    * pair of CONSECUTIVE events of one user (ordered by (ts,
+    * event_id) — event_id breaks same-microsecond ties, so the
+    * sequence and therefore the counts are deterministic) whose gap
+    * is under the session threshold: cross-session adjacencies are
+    * NOT journeys, so a ≥ `GapUs` gap severs the chain, exactly the
+    * break rule `sessions` groups by. Output one row per observed
+    * (prev_type, event_type) pair with its count — the transition
+    * matrix a journey model / next-event predictor is estimated from.
+    *
+    * Scale shape: ONE user-keyed shuffle (the window partition — same
+    * spill posture as `interArrival`), then a map-side-combinable
+    * aggregation whose key space is |types|² — the output is tiny no
+    * matter how large the corpus. No collect, no global window.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("prev_type").isNotNull && col("gap") < GapUs)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top session PATHS under `sessionPaths` — ranked most-common-first. */
+  val PathTopK = 20
+
+  /** The k most common session journeys: each session's event types
+    * concatenated in (ts, event_id) order into one `a>b>c` path
+    * string, counted across all sessions, top `k` by (count DESC,
+    * path ASC) — the "common user journeys" view product analytics
+    * reads next to the funnel, and a sequence-mining input. Session
+    * assignment is the same gaps-and-islands rule as `sessions`
+    * (break at gaps ≥ `GapUs`), made fully deterministic by the
+    * (us, event_id) tiebreak — same-microsecond events order by id on
+    * both engines, so the path STRINGS match byte-for-byte.
+    *
+    * Scale shape: one user-keyed shuffle for the session-id windows,
+    * one (user, session)-keyed aggregation building each path (state
+    * bounded by one session's events — the same per-key buffer
+    * session_window holds), one map-side-combinable count by path,
+    * then TakeOrdered for the top k (per-partition heaps of k — never
+    * a global sort). Path strings can approach #sessions in
+    * cardinality; only the count-by-path shuffle carries them, once
+    * each.
+    */
+  def sessionPaths(events: DataFrame, k: Int = PathTopK): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      // first event of a user has a null gap → `when` falls through to
+      // 1: a new session opens, matching the oracle's explicit IS NULL
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) < GapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      // array_sort on (us, event_id, type) structs: the unique
+      // (us, event_id) prefix decides, so collect_list order is moot
+      .agg(array_sort(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(evs, e -> e.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)

@@ -1467,6 +1467,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.streaming.Sessionize.interArrival(noEvents).count() === 0L)
     assert(graft.streaming.EventWindows.hourlyAnomaly(noEvents).count() === 0L)
     assert(graft.streaming.EventWindows.attribution(noEvents).count() === 0L)
+    assert(graft.streaming.Sessionize.transitions(noEvents).count() === 0L)
+    assert(graft.streaming.Sessionize.sessionPaths(noEvents).count() === 0L)
+    assert(graft.streaming.EventWindows.activeUsers(noEvents).count() === 0L)
     // PQ family: empty corpus → empty frames with the gate schemas
     val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqCodes(noEmb).count() === 0L)
@@ -1610,6 +1613,82 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 4L, 3L, 0L, 15L, 25L, 3L),
       (2L, 1L, 0L, -1L, -1L, 0L, 0L)))
+  }
+
+  test("transitions: session break severs, event_id tiebreak orders, counts sum") {
+    val s = spark
+    import s.implicits._
+    val gap = graft.streaming.Sessionize.GapUs
+    def ev(rows: (Long, Long, String, Long)*) = // (event_id, user, type, us)
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    val fix = ev(
+      // user 1: a>b>c chain, then a ≥gap break, then c>a — the break
+      // adjacency (c at 200, c at 200+gap) must NOT count
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 100L), (3L, 1L, "c", 200L),
+      (4L, 1L, "c", 200L + gap), (5L, 1L, "a", 200L + gap + 1L),
+      // user 2: same-us tie — ids 6,7 share us=50, so order is b(6)>a(7)
+      (6L, 2L, "b", 50L), (7L, 2L, "a", 50L), (8L, 2L, "b", 60L),
+      // user 3: singleton — contributes nothing
+      (9L, 3L, "a", 0L))
+    val got = graft.streaming.Sessionize.transitions(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (a,b) appears in user 1's first session AND as user 2's tail → 2
+    assert(got === Map(("a", "b") -> 2L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("b", "a") -> 1L))
+    // exactly a gap-1 adjacency (just inside) counts; a gap-exact one doesn't
+    val edge = ev((1L, 9L, "x", 0L), (2L, 9L, "y", gap - 1L),
+      (3L, 9L, "z", gap - 1L + gap))
+    val got2 = graft.streaming.Sessionize.transitions(edge).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got2 === Map(("x", "y") -> 1L))
+  }
+
+  test("sessionPaths: path strings, tie ordering and the top-k boundary") {
+    val s = spark
+    import s.implicits._
+    val gap = graft.streaming.Sessionize.GapUs
+    def ev(rows: (Long, Long, String, Long)*) =
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    val fix = ev(
+      // user 1, session 1: a>b ; session 2 (after break): b
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L), (3L, 1L, "b", 10L + gap),
+      // user 2: a>b again (path counted twice overall)
+      (4L, 2L, "a", 0L), (5L, 2L, "b", 5L),
+      // user 3: same-us tie, id order decides c(6) before a(7)
+      (6L, 3L, "c", 0L), (7L, 3L, "a", 0L))
+    val all = graft.streaming.Sessionize.sessionPaths(fix).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSeq === Seq(("a>b", 2L), ("b", 1L), ("c>a", 1L)))
+    // k=2 keeps the (count DESC, path ASC) prefix exactly
+    val top2 = graft.streaming.Sessionize.sessionPaths(fix, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.toSeq === Seq(("a>b", 2L), ("b", 1L)))
+  }
+
+  test("activeUsers: fanout distinct == brute trailing-window distinct") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L
+    def at(d: Long, u: Long) = (d * day * 1000000L + u, u) // us inside day d
+    val rnd = new scala.util.Random(1306)
+    val rows = Seq.fill(300)(at(rnd.nextInt(12).toLong, rnd.nextInt(9).toLong))
+    val ev = rows.toDF("us", "user_id")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.streaming.EventWindows.activeUsers(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val byDay = rows.map { case (us, u) => (us / 1000000L / day, u) }
+      .distinct.groupBy(_._1).map { case (d, es) => d -> es.map(_._2).toSet }
+    val want = byDay.map { case (d, users) =>
+      val wau = (d - 6L to d).flatMap(byDay.getOrElse(_, Set.empty)).toSet
+      (d * day) -> ((users.size.toLong, wau.size.toLong,
+        users.size.toLong * 1000000L / wau.size.toLong))
+    }
+    assert(got === want)
   }
 
   test("interArrival == brute sorted-diff stats on random event sets") {
