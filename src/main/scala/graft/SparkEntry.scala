@@ -406,6 +406,15 @@ object SparkEntry {
       TextOps.topTokens(Tables.table(s, d, "documents"))),
     "text_split" -> ((s, d) =>
       TextOps.hashSplit(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // leakage-free split: the same hash rule keyed by each doc's
+    // near-dup cluster ROOT (dedup_clusters labels), so a duplicate
+    // cluster never straddles the train/val boundary
+    "text_split_leakage" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      TextOps.hashSplitLeakageFree(docs,
+          Dedup.dupClusters(Dedup.ngramJaccard(docs)))
+        .orderBy("doc_id")
+    }),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
     // pre-embedding chunking: fixed 256-char windows, 64-char overlap
@@ -835,6 +844,12 @@ object SparkEntry {
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // reciprocated-edges filter over the kNN graph — the hub-robust
+    // symmetrization density clustering consumes; one self-join on
+    // the persisted ids+cosine relation, nothing vector-sized moves
+    "knn_mutual" -> ((s, d) =>
+      Similarity.mutualKnn(Similarity.knnGraph(Tables.table(s, d, "embeddings")))
+        .orderBy("vec_a", "vec_b")),
     // ANN HONESTY as a gate: recall@5 of the hash-anchored IVF index
     // against the exact brute-force ranking, one row — an index change
     // that keeps row counts stable while serving WORSE neighbors now
@@ -2177,6 +2192,21 @@ object SparkEntry {
     "text_split" ->
       (s"SELECT doc_id, CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 10 " +
         "THEN 'val' ELSE 'train' END AS split FROM documents"),
+    // text_split's hash rule keyed by the dedup_clusters root (the
+    // same recursive closure over NgramPairsSql); unpaired docs root
+    // as themselves via the COALESCE
+    "text_split_leakage" ->
+      (s"WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($NgramPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u) " +
+        "SELECT d.doc_id, CASE WHEN " +
+        phSql("CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)") +
+        " % 100 < 10 THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"),
     "text_vocab" ->
       ("SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM " +
         "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) " +
@@ -3011,6 +3041,15 @@ object SparkEntry {
         "FROM r WHERE rnk <= 5"
     },
     "knn_graph" -> KnnGraphSql,
+    // reciprocated pairs of the shared KnnGraphSql relation, canonical
+    // lo<hi; cosine from side a (bit-equal both ways — the graph
+    // scores each unordered pair once and mirrors)
+    "knn_mutual" ->
+      (s"WITH g AS (SELECT * FROM ($KnnGraphSql) t) " +
+        "SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b, " +
+        "a.cosine AS cosine FROM g a JOIN g b " +
+        "ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id " +
+        "WHERE a.query_id < a.neighbor_id"),
     // two-level IVF twin: fine cells = ⌊√N⌋ clamped, coarse anchors =
     // first ⌈√k⌉ of the same hash order; every argmax is a
     // (cos DESC, id ASC) row_number — bit-identical to the Scala

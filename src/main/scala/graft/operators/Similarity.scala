@@ -265,6 +265,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** MUTUAL-kNN edges: the (a, b) pairs where b is in a's top-k AND a
+    * is in b's top-k — the standard symmetrization that strips
+    * hub-induced one-way edges before density clustering or
+    * graph-based dedup (a hub vector appears in thousands of top-k
+    * lists while its own list holds only its true neighbors; keeping
+    * only reciprocated edges removes exactly those). Input is a
+    * directed top-k relation (`knnGraph` output — every vector a
+    * query); output one row per reciprocated unordered pair in
+    * canonical vec_a < vec_b orientation with its cosine (bit-equal
+    * on both directions, since `knnGraph` scores each unordered pair
+    * once and mirrors).
+    *
+    * Physical: the graph (≤ corpus × k rows) is persisted once and
+    * self-joined on the reversed key — one equi-join on
+    * (query_id, neighbor_id), never a recomputation of the LSH
+    * pipeline per side. At 100 TB the relation is k× corpus ids —
+    * the join shuffles ids and one double, nothing vector-sized.
+    */
+  def mutualKnn(graph: DataFrame): DataFrame = {
+    val g = graft.Caches.track(
+      graph.select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    g.as("a").join(g.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id") &&
+          col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("vec_a"),
+        col("a.neighbor_id").as("vec_b"), col("a.cosine").as("cosine"))
+  }
+
   // ---- ANN evaluation ----
 
   /** Recall@k of an approximate top-k relation against the exact one —

@@ -171,6 +171,36 @@ object TextOps {
       when(poly_hash(col("doc_id").cast("string")) % 100 < valPct, "val")
         .otherwise("train").as("split"))
 
+  /** LEAKAGE-FREE train/validation split: `hashSplit`'s deterministic
+    * hash rule applied to the doc's near-dup CLUSTER root instead of
+    * the doc itself, so every member of a duplicate cluster lands on
+    * the SAME side — the fix for the classic eval bug where a
+    * val-set document's near-copy sits in train and the held-out
+    * loss silently measures memorization. `clusters` is a
+    * (doc_id, cluster_id) relation (`Dedup.dupClusters` output —
+    * docs in no pair are absent and root as themselves, which is
+    * exactly `dupClusters`' min-id labeling extended to singletons);
+    * hashing the ROOT id keeps all of `hashSplit`'s stability
+    * properties (re-runs, re-partitioning, corpus growth) at cluster
+    * granularity — a cluster only switches sides if its min-id
+    * member changes.
+    *
+    * Scale shape: one left equi-join on doc_id (the cluster relation
+    * is pair-member-sized — usually far under the corpus; AQE
+    * broadcasts it when small) and a projection. The expensive part
+    * is producing `clusters`, which the dedup pipeline has already
+    * paid for by the time anyone splits.
+    */
+  def hashSplitLeakageFree(docs: DataFrame, clusters: DataFrame,
+      valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(poly_hash(coalesce(col("cluster_id"), col("doc_id"))
+            .cast("string")) % 100 < valPct, "val")
+          .otherwise("train").as("split"))
+
   /** Opt-in text canonicalization BEFORE dedup: Unicode NFC +
     * lowercase + whitespace collapse + trim, applied in place to
     * `textCol` with every other column preserved — so the near-dup

@@ -3517,4 +3517,56 @@ class ExtensionsSpec extends SparkSpec {
     val recall = (approx & truth).size.toDouble / truth.size
     assert(recall >= 0.3, s"knnGraph clustered-corpus recall $recall < 0.3")
   }
+
+  test("mutualKnn == reciprocated subset of the graph, canonical, hub edges dropped") {
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val graph = Similarity.knnGraph(emb, corpusSize = 400L)
+    val dir = graph.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val dirSet = dir.map(_._1).toSet
+    val got = Similarity.mutualKnn(graph).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // exactly the reciprocated unordered pairs, canonical lo < hi,
+    // carrying the (symmetric) cosine of the directed relation
+    val want = dir.filter { case ((a, b), _) =>
+      a < b && dirSet((b, a)) }.toMap
+    assert(got.toMap === want)
+    assert(got.map(_._1).distinct.length === got.length)
+    // one-way edges exist in a real kNN graph (hubness) — the filter
+    // must actually drop something, or this test pins nothing
+    assert(want.size < dirSet.size / 2,
+      s"fixture has no one-way edges to drop (${want.size} vs ${dirSet.size})")
+  }
+
+  test("hashSplitLeakageFree: clusters never straddle, singletons == hashSplit") {
+    val s = spark
+    import s.implicits._
+    // three exact-duplicate families + two singletons: ngramJaccard
+    // pairs every family internally
+    val fam = (0L until 9L).map(i => (i, s"shared dup family text ${i / 3} " +
+      "with enough tokens to shingle and verify"))
+    val singles = Seq((100L, "completely unrelated singleton alpha beta gamma"),
+      (101L, "another lonely document delta epsilon zeta eta"))
+    val docs = docsDf((fam ++ singles): _*)
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccard(docs))
+    val split = TextOps.hashSplitLeakageFree(docs, clusters).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size === 11)
+    // every cluster lands on ONE side
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+    cl.groupBy(_._2).foreach { case (root, members) =>
+      val sides = members.map(m => split(m._1)).distinct
+      assert(sides.length === 1, s"cluster $root straddles: $sides")
+    }
+    // docs outside every cluster keep hashSplit's own assignment
+    val solo = TextOps.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(100L, 101L).foreach(id => assert(split(id) === solo(id)))
+    // and a cluster's side IS its root's hashSplit side
+    cl.foreach { case (id, root) => assert(split(id) === solo(root)) }
+  }
 }
