@@ -417,6 +417,21 @@ object SparkEntry {
     }),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
+    // quality-weighted deterministic downsampling: keep probability =
+    // quality as ppm clamped to [floor, 1e6], coin = salted id hash —
+    // reproducible curation thinning, keep_ppm as the audit column
+    "text_sample_quality" -> ((s, d) =>
+      TextOps.sampleByQuality(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
+    // Deequ-style column profiles — the validation pass before
+    // trusting a data drop: per column n / n_null / exact n_distinct
+    // / numeric min-max, one unpivot + one aggregation
+    "docs_profile" -> ((s, d) =>
+      operators.Profile.profile(Tables.table(s, d, "documents"))
+        .orderBy("column")),
+    "events_profile" -> ((s, d) =>
+      operators.Profile.profile(Tables.table(s, d, "events"))
+        .orderBy("column")),
     // pre-embedding chunking: fixed 256-char windows, 64-char overlap
     // — shuffle-free generator projection, chunk text hash-compared
     "text_chunks" -> ((s, d) =>
@@ -1463,6 +1478,29 @@ object SparkEntry {
       "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
       "THEN 0.2 ELSE 0.0 END)"
 
+  /** docs_profile/events_profile oracle builder: one UNION ALL branch
+    * per column. `numExpr` = Some(numeric view) for numeric/timestamp
+    * columns (min/max over it), None for string columns (NULL
+    * min/max); the distinct/null counts run over the same view the
+    * Spark side profiles.
+    */
+  private def profileSql(table: String,
+      cols: Seq[(String, Option[String])]): String =
+    cols.map { case (c, numExpr) =>
+      val v = numExpr.getOrElse(c)
+      val (mn, mx) = numExpr match {
+        case Some(e) => (s"CAST(MIN($e) AS DOUBLE)", s"CAST(MAX($e) AS DOUBLE)")
+        case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(*) - COUNT($v) AS BIGINT) AS n_null, " +
+        s"CAST(COUNT(DISTINCT $v) AS BIGINT) AS n_distinct, " +
+        // HAVING aligns the empty-table edge with the Spark side: an
+        // empty input profiles to ZERO rows (no groups survive the
+        // unpivot), not to ncols rows of zeros
+        s"$mn AS min_num, $mx AS max_num FROM $table HAVING COUNT(*) > 0"
+    }.mkString(" UNION ALL ")
+
   /** dedup_ngram oracle — shared by dedup_clusters (its pairs input). */
   private val NgramPairsSql: String =
     s"WITH $HsCte, " +
@@ -2157,6 +2195,28 @@ object SparkEntry {
         "ns / GREATEST(nt, 1) AS avg_token_len, " +
         "st / GREATEST(nt, 1) AS stopword_ratio, " +
         s"$QualitySqlExpr AS quality FROM b"),
+    // the shared quality b/q chain with the clamp + salted-hash coin;
+    // constants from TextOps so the two engines can't drift
+    "text_sample_quality" -> {
+      val floorPpm = graft.operators.TextOps.SampleFloorPpm
+      "WITH b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        s"k AS (SELECT doc_id, GREATEST($floorPpm, LEAST(1000000, " +
+        "CAST(FLOOR(quality * 1000000.0) AS BIGINT))) AS keep_ppm FROM q) " +
+        "SELECT doc_id, keep_ppm FROM k WHERE " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':smp'")} % 1000000 < keep_ppm"
+    },
+    "docs_profile" -> profileSql("documents", Seq(
+      "doc_id" -> Some("doc_id"), "text" -> None, "lang" -> None,
+      "source" -> None, "n_chars" -> Some("n_chars"))),
+    "events_profile" -> profileSql("events", Seq(
+      "event_id" -> Some("event_id"), "ts" -> Some("epoch_us(ts)"),
+      "user_id" -> Some("user_id"), "event_type" -> None,
+      "value" -> Some("value"), "props" -> None)),
     "text_langid" -> {
       // the SAME marker table the Spark op uses — single source of truth
       val markers = graft.functions.TextFunctions.LangMarkers

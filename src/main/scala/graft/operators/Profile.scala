@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, TimestampType}
+
+/** Column-level data profiling — the validation pass a training
+  * pipeline runs BEFORE trusting a new data drop (the capability
+  * class tools like Deequ/Great Expectations provide): per column,
+  * row count, null count, exact distinct count, and numeric min/max.
+  * Completeness (1 − n_null/n) and uniqueness (n_distinct/n) ratios —
+  * the usual constraint inputs — are consumer arithmetic over these
+  * exact integers, per the repo's float-parity rule.
+  *
+  * Shape: the frame is unpivoted in a single generator projection
+  * (each row explodes to one (column, value) struct per profiled
+  * column — a map-stage ×ncols fanout, no shuffle), then ONE
+  * aggregation keyed by column name. Numeric values travel as
+  * doubles, everything else as strings, in separate slots — distinct
+  * counts must be over the VALUE domain, not a formatted rendering
+  * (two engines need not print doubles identically, and -0.0 vs 0.0
+  * would double-count as text while comparing equal as numbers).
+  *
+  * The exact distinct is the expensive leg: it shuffles every
+  * distinct (column, value) pair, i.e. up to ncols × corpus at
+  * 100 TB. That is the profiler's contract; when an estimate is
+  * enough, `TextOps.hllState` over the same unpivot is the bounded-
+  * state sibling (same trade as `EventWindows.hourly` vs
+  * `hourlyUsersHll`). Timestamp columns profile as their epoch-
+  * microsecond value (exact, engine-neutral).
+  */
+object Profile {
+
+  /** One row per profiled column: (column, n, n_null, n_distinct,
+    * min_num, max_num). An EMPTY input profiles to zero rows (no
+    * groups survive the unpivot) — not to ncols rows of zeros; the
+    * oracle SQL states the same edge via HAVING COUNT(*) > 0.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    names.foreach(n => require(df.schema.fieldNames.contains(n),
+      s"profile: no such column '$n' (have ${df.schema.fieldNames.mkString(", ")})"))
+    require(names.nonEmpty, "profile: no columns to profile")
+    val slots = names.map { n =>
+      val numericView = df.schema(n).dataType match {
+        case _: NumericType => Some(col(n).cast("double"))
+        case TimestampType => Some(unix_micros(col(n)).cast("double"))
+        case _ => None
+      }
+      struct(
+        lit(n).as("column"),
+        numericView.fold(col(n).cast("string"))(_ => lit(null).cast("string"))
+          .as("vs"),
+        numericView.getOrElse(lit(null).cast("double")).as("vn"))
+    }
+    df.select(explode(array(slots: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.vs").as("vs"),
+        col("p.vn").as("vn"))
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n"),
+        // exactly one slot is live per column, so "both null" ⇔ the
+        // profiled value was null
+        sum(when(col("vs").isNull && col("vn").isNull, 1L).otherwise(0L))
+          .as("n_null"),
+        // one of the two distinct counts is over an all-null slot (= 0)
+        (countDistinct(col("vs")) + countDistinct(col("vn")))
+          .as("n_distinct"),
+        min(col("vn")).as("min_num"),
+        max(col("vn")).as("max_num"))
+  }
+}

@@ -171,6 +171,45 @@ object TextOps {
       when(poly_hash(col("doc_id").cast("string")) % 100 < valPct, "val")
         .otherwise("train").as("split"))
 
+  /** Keep-rate floor of `sampleByQuality`, in ppm: even the worst
+    * document survives at 25% — quality heuristics are noisy, and a
+    * hard zero would silently delete whole content classes the score
+    * misprices. Same constant MUST appear in the oracle SQL.
+    */
+  val SampleFloorPpm = 250000L
+
+  /** QUALITY-WEIGHTED deterministic downsampling — the curation pass
+    * that thins low-quality data instead of hard-filtering it: each
+    * doc's keep probability is its quality score as ppm, clamped to
+    * [`floorPpm`, 1e6], and the doc survives iff
+    * `poly_hash(doc_id ‖ ":smp") mod 1e6 < keep_ppm`. The ":smp" salt
+    * decouples the sampling decision from `hashSplit`'s hash of the
+    * bare id — the two coins are independent, so sampling doesn't
+    * skew the train/val balance. Deterministic end to end (no RNG):
+    * re-runs, re-partitioning, and incremental corpus growth never
+    * flip a kept doc, so downstream shards are stable — the same
+    * stability contract as `hashSplit`/`mix`.
+    *
+    * `keep_ppm` rides along in the output as the audit column (the
+    * acceptance-rate report is one GROUP BY over it). Float parity:
+    * the quality double is the shared token-for-token expression the
+    * quality/quota/survivors gates pin, and the single ×1e6 multiply
+    * + floor lands it on exact integers. Pure map stage — the
+    * quality signal and the hash are per-row projections, no shuffle
+    * at any scale.
+    */
+  def sampleByQuality(docs: DataFrame,
+      floorPpm: Long = SampleFloorPpm): DataFrame = {
+    require(floorPpm >= 0L && floorPpm <= 1000000L,
+      s"floorPpm must be in [0, 1e6], got $floorPpm")
+    quality(docs).select(col("doc_id"),
+        greatest(lit(floorPpm), least(lit(1000000L),
+          floor(col("quality") * lit(1000000.0)).cast("long")))
+          .as("keep_ppm"))
+      .filter(poly_hash(concat(col("doc_id").cast("string"), lit(":smp")))
+        % 1000000L < col("keep_ppm"))
+  }
+
   /** LEAKAGE-FREE train/validation split: `hashSplit`'s deterministic
     * hash rule applied to the doc's near-dup CLUSTER root instead of
     * the doc itself, so every member of a duplicate cluster lands on

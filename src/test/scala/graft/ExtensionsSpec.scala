@@ -3518,6 +3518,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"knnGraph clustered-corpus recall $recall < 0.3")
   }
 
+  test("profile: nulls, distincts, numeric/string/timestamp views, empty edge") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Long)](
+        (1L, "a", 10L), (2L, "a", 10L), (3L, null, 30L),
+        (null, "b", null), (5L, "b", 10L))
+      .toDF("id", "tag", "v")
+      .withColumn("ts", when(col("v").isNotNull,
+        timestamp_micros(col("v") * 1000000L)))
+    val p = operators.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(p("id") === ((5L, 1L, 4L, Some(1.0), Some(5.0))))
+    assert(p("tag") === ((5L, 1L, 2L, None, None)))
+    assert(p("v") === ((5L, 1L, 2L, Some(10.0), Some(30.0))))
+    // timestamp profiles as epoch micros
+    assert(p("ts") === ((5L, 1L, 2L, Some(1.0e7), Some(3.0e7))))
+    // column subset + unknown-column raise
+    val sub = operators.Profile.profile(df, Seq("tag")).collect()
+    assert(sub.length === 1 && sub.head.getString(0) === "tag")
+    intercept[IllegalArgumentException] {
+      operators.Profile.profile(df, Seq("nope"))
+    }
+    // empty input → empty profile (the HAVING-aligned edge)
+    assert(operators.Profile.profile(df.filter(lit(false))).count() === 0L)
+  }
+
+  test("sampleByQuality: clamp arithmetic, coin agreement, determinism, floors") {
+    val s = spark
+    import s.implicits._
+    val docs = docsDf((1L, ""), (2L, "tiny"),
+      (3L, Seq.fill(60)("the quick brown fox jumps").mkString(" ")),
+      (4L, Seq.fill(200)("assorted high volume filler words here").mkString(" ")),
+      (5L, "a b c d e f g h i j k l m n o p q r s t"))
+    val out = TextOps.sampleByQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // keep_ppm must equal clamp(floor(quality·1e6)) of the quality op
+    val q = TextOps.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val floorPpm = TextOps.SampleFloorPpm
+    def ppm(d: Double) =
+      math.max(floorPpm, math.min(1000000L, math.floor(d * 1000000.0).toLong))
+    out.foreach { case (id, kp) => assert(kp === ppm(q(id)), s"doc $id") }
+    // the coin: kept set == {coin < keep_ppm} with the same salted hash
+    val coins = docs.select(col("doc_id"),
+        (graft.functions.PolyHashFunctions.poly_hash(
+          concat(col("doc_id").cast("string"), lit(":smp"))) % 1000000L)
+          .as("coin")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantKept = q.keySet.filter(id => coins(id) < ppm(q(id)))
+    assert(out.keySet === wantKept)
+    // floorPpm = 1e6 keeps everything; determinism across evaluations
+    assert(TextOps.sampleByQuality(docs, floorPpm = 1000000L).count() === 5L)
+    val again = TextOps.sampleByQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      TextOps.sampleByQuality(docs, floorPpm = 1000001L)
+    }
+  }
+
   test("mutualKnn == reciprocated subset of the graph, canonical, hub edges dropped") {
     val emb = spark.range(400).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 15), i -> cast(" +
