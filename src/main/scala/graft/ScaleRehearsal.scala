@@ -21,7 +21,14 @@ object ScaleRehearsal {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PHASE_ONLY=substr[,substr…] runs just the matching
+    // phases — the local dev loop for a new phase without the full
+    // rehearsal. Never set by the driver; fixtures are lazy DataFrame
+    // defs, so skipped phases cost nothing.
+    val phaseOnly = sys.env.get("SPARK_GRAFT_PHASE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def t[A](name: String)(f: => A): Unit = {
+      if (phaseOnly.exists(subs => !subs.exists(name.contains))) return
       val t0 = System.nanoTime()
       val r = f
       println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
@@ -858,6 +865,67 @@ object ScaleRehearsal {
       val nDocs = docs.count()
       require(pit == nDocs, s"PIT slice $pit != corpus $nDocs")
       s"history=$nHist pit=$pit"
+    })
+
+    // ---- round-13 third-wave additions: journeys, DAU/WAU, profiling,
+    // mutual-kNN, leakage-free split ----
+
+    // events with ids + 5 types on bigEvents' 30-day grid (1M users)
+    val jEvents = spark.range(10000000L).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(hash(col("id")), lit(720 * 3600))).as("ts"),
+      pmod(hash(col("id") * 13 + 5), lit(1000000)).cast("long").as("user_id"),
+      concat(lit("t"), pmod(hash(col("id") * 7 + 1), lit(5))).as("event_type"))
+    // transition matrix: output bounded by |types|² no matter the scale
+    t("transitions 10M events")({
+      val n = graft.streaming.Sessionize.transitions(jEvents).count()
+      require(n <= 25L, s"transition matrix $n rows > |types|²")
+      n
+    })
+    // top-20 journeys: count-by-path shuffle carries each distinct
+    // path once; TakeOrdered caps the result
+    t("session_paths 10M events")({
+      val n = graft.streaming.Sessionize.sessionPaths(jEvents).count()
+      require(n == graft.streaming.Sessionize.PathTopK.toLong,
+        s"expected a full top-k, got $n")
+      n
+    })
+    // DAU/WAU: the fanout runs over the DISTINCT (day, user) pairs —
+    // ~31 days × ≤1M users, far under the 10M event rows
+    t("active_users 10M events")({
+      val rows = graft.streaming.EventWindows.activeUsers(jEvents).collect()
+      require(rows.length == 31, s"expected 31 day buckets, got ${rows.length}")
+      // by day 8 every window is full: 5 distinct users per 1M-slot
+      // hash at 10M events saturates — WAU ≥ DAU always holds
+      rows.foreach(r => require(r.getLong(2) >= r.getLong(1), s"WAU < DAU: $r"))
+      rows.length
+    })
+    // exact per-column profile of the 10M-row relation (distinct user
+    // count = the expensive leg, by contract)
+    t("profile 10M events")({
+      val n = operators.Profile.profile(jEvents).count()
+      require(n == 4L, s"expected 4 column rows, got $n")
+      n
+    })
+    // mutual-kNN over the 20k replica corpus: the self-join sees
+    // corpus×k rows; clone ties make reciprocity common but not total
+    t("mutual_knn 20k vectors")(
+      operators.Similarity.mutualKnn(
+        operators.Similarity.knnGraph(emb, corpusSize = 20000L)).count())
+    // leakage-free split at 50k docs over the real clone clusters:
+    // every doc assigned, cluster-mates always on the same side
+    t("split_leakage 50k docs")({
+      val cl = operators.Dedup.dupClusters(operators.Dedup.minhashLsh(docs))
+      val sp = operators.TextOps.hashSplitLeakageFree(docs, cl)
+      val straddle = sp.join(cl, "doc_id")
+        .groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("sides"))
+        .filter(col("sides") > 1L).count()
+      require(straddle == 0L, s"$straddle clusters straddle the split")
+      val n = sp.count()
+      require(n == 50000L, s"split covered $n of 50000 docs")
+      n
     })
 
     spark.stop()

@@ -434,6 +434,46 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 1, s"expected <= 1 hash exchange, got $hashEx:\n$plan")
   }
 
+  test("events_transitions: ONE user-keyed exchange, then a tiny-key aggregation") {
+    val plan = executedPlan("events_transitions")
+    // the lag window partitions by user_id; the (prev_type, type)
+    // groupBy and the final orderBy add their own exchanges but only
+    // over |types|²-sized data — exactly 2 hash exchanges total
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"expected <= 2 hash exchanges, got $hashEx:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+      plan)
+  }
+
+  test("text_sample_quality is a shuffle-free pruned map stage") {
+    val plan = executedPlan("text_sample_quality")
+    // orderBy adds a range exchange; no hash exchange may appear —
+    // quality + clamp + coin are all per-row projections
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      plan)
+  }
+
+  test("docs_profile: generator unpivot straight into one aggregation") {
+    val plan = executedPlan("docs_profile")
+    // expect the expand for the two distinct aggregates + generate;
+    // no join anywhere — the profile is a single-relation pass
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("knn_mutual: the graph relation is reused (InMemory barrier), ids-only join") {
+    val plan = executedPlan("knn_mutual")
+    // both self-join sides must read the persisted graph, not rebuild
+    // the LSH pipeline twice
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2
+      || "TableCacheQueryStage".r.findAllIn(plan).size >= 2, plan)
+    // nothing vector-sized crosses the join: its output projection is
+    // exactly (ids, cosine) — embedding stays below the cache build
+    assert("Project \\[query_id#\\d+L AS vec_a#\\d+L, neighbor_id#\\d+L AS vec_b#\\d+L, cosine#\\d+\\]"
+      .r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
