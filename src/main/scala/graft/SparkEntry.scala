@@ -268,6 +268,12 @@ object SparkEntry {
         .orderBy("vertex")),
     "graph_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(GraphOps.edges(s, d)).orderBy("out_degree")),
+    // fragmentation profile: how many components have each size —
+    // two tiny-key aggregations over the components labeling
+    "graph_component_sizes" -> ((s, d) =>
+      GraphOps.componentSizes(GraphOps.components(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod)))
+        .orderBy("component_size")),
     // k-core: iterative degree-≥-k peeling of the undirected simple
     // graph to its fixpoint; the oracle unrolls KCoreMaxRounds peel
     // steps (identity past the fixpoint), the operator raises if it
@@ -803,6 +809,12 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
         .orderBy("vec_a", "vec_b")),
+    // the threshold-tuning curve BEHIND embedding_neardup's 0.30 cut:
+    // all candidate-pair cosines binned at 0.1 with cumulative ≥-bin
+    // counts — pick the threshold from this, not blind
+    "embedding_threshold_curve" -> ((s, d) =>
+      Similarity.cosineHistogram(Tables.table(s, d, "embeddings"))
+        .orderBy("bin")),
     // the vector twin of dedup_incremental_keys: odd vectors admitted
     // iff none of their hyperplane-LSH bands (at the PINNED width —
     // stored keys cannot re-widen with corpus growth) appear on an
@@ -1517,7 +1529,11 @@ object SparkEntry {
   /** embedding_neardup oracle — shared by embedding_clusters (its
     * pairs input), exactly as the ngram oracle feeds dedup_clusters.
     */
-  private val EmbNearDupSql: String = {
+  /** UNTHRESHOLDED LSH candidate pair cosines — the shared core of
+    * EmbNearDupSql (which applies the 0.30 cut) and the
+    * embedding_threshold_curve histogram (which bins everything).
+    */
+  private val EmbCandCosSql: String = {
     val bandJoins = (0 until Similarity.LshBands).map { j =>
       s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
         s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
@@ -1527,13 +1543,15 @@ object SparkEntry {
       s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
       s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
       s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)) " +
-      "SELECT vec_a, vec_b, cosine FROM (" +
       "SELECT c.vec_a, c.vec_b, " +
       s"${dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine " +
       "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a " +
-      "JOIN e eb ON eb.vec_id = c.vec_b) " +
-      "WHERE cosine >= 0.30"
+      "JOIN e eb ON eb.vec_id = c.vec_b"
   }
+
+  private val EmbNearDupSql: String =
+    s"SELECT vec_a, vec_b, cosine FROM ($EmbCandCosSql) cc " +
+      "WHERE cosine >= 0.30"
 
   /** knn_brute oracle body over an arbitrary query-set predicate —
     * the `vec_id < 10` instance is the knn_brute gate (shared by
@@ -1915,6 +1933,20 @@ object SparkEntry {
         "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
         "SELECT u AS vertex, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component " +
         "FROM reach GROUP BY u"),
+    // graph_components' closure rolled up twice: per-component sizes,
+    // then how many components share each size
+    "graph_component_sizes" ->
+      (s"WITH RECURSIVE base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0), " +
+        "sym AS (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "comp AS (SELECT u AS vertex, LEAST(u, MIN(v)) AS component " +
+        "FROM reach GROUP BY u), " +
+        "cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component) " +
+        "SELECT CAST(sz AS BIGINT) AS component_size, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY sz"),
     // unrolled peeling twin of GraphOps.kCore: e0 = the symmetrized
     // simple graph, then KCoreMaxRounds rounds of "keep edges whose
     // BOTH endpoints currently have degree >= k" — the peel step is
@@ -3016,6 +3048,19 @@ object SparkEntry {
     "knn_brute_l2_trunc" -> KnnBruteL2TruncSql,
     "knn_trunc_recall" -> recallSql(KnnBruteL2Sql, KnnBruteL2TruncSql),
     "embedding_neardup" -> EmbNearDupSql,
+    // the shared unthresholded candidate core binned at 2/bins width;
+    // NaN excluded on both engines (isnan here, !isnan in Spark)
+    "embedding_threshold_curve" -> {
+      val bins = Similarity.CosineHistBins
+      s"WITH p AS (SELECT cosine FROM ($EmbCandCosSql) cc " +
+        "WHERE NOT isnan(cosine)), " +
+        s"b AS (SELECT LEAST(${bins - 1}, CAST(FLOOR((cosine + 1.0) * " +
+        s"${bins / 2.0}) AS BIGINT)) AS bin FROM p), " +
+        "g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b " +
+        "GROUP BY bin) " +
+        "SELECT bin, n_pairs, CAST(SUM(n_pairs) OVER (ORDER BY bin DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ge FROM g"
+    },
     "embedding_incremental" -> {
       // first-claimant election over hyperplane bands at the pinned
       // width: "earlier" = (epoch, vec_id) lexicographic, exactly the

@@ -1378,6 +1378,21 @@ object GraphOps {
       .groupBy(col("n").as("out_degree"))
       .agg(count(lit(1)).as("n_vertices"))
 
+  /** Component-SIZE histogram over a (vertex, component) labeling
+    * (`components` output): how many components have each size — the
+    * fragmentation profile that distinguishes "one giant component
+    * plus dust" from "many mid-size islands" at a glance (the first
+    * question asked of any near-dup or social graph). Same two-stage
+    * shape as `degreeHistogram`: the first aggregation shuffles
+    * vertex-sized rows on the component key, the second at most one
+    * row per DISTINCT size — O(√V) distinct sizes at worst, so the
+    * histogram is driver-safe to collect at any corpus size.
+    */
+  def componentSizes(labels: DataFrame): DataFrame =
+    labels.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+
   /** Mutual-follow count: the number of unordered pairs {a, b} with
     * BOTH a→b and b→a present (a ≠ b; duplicate edges count once —
     * reciprocity is a property of the distinct edge set). The

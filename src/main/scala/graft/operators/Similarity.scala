@@ -265,6 +265,50 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Bin count of `cosineHistogram` — 20 bins of width 0.1 over
+    * [-1, 1]. Same constant MUST appear in the oracle SQL.
+    */
+  val CosineHistBins = 20
+
+  /** THRESHOLD-TUNING curve for embedding dedup: the cosine
+    * distribution of ALL LSH candidate pairs, binned at width
+    * 2/`bins` over [-1, 1], with the cumulative pair count at-or-
+    * above each bin — read it as "a threshold at bin b's lower edge
+    * keeps n_ge(b) pairs". This is the governance view a pipeline
+    * inspects BEFORE committing to `nearDupPairs`' 0.30 cut (the
+    * right threshold is corpus-dependent; picking it blind is how
+    * semantic dedup either misses everything or deletes a third of
+    * the corpus). NaN cosines (zero-norm vectors) are excluded
+    * explicitly on both engines — they belong to no threshold.
+    *
+    * Float parity: the cosine doubles are the shared candidate-pair
+    * expression every embedding gate pins; binning adds one +1.0,
+    * one ×(bins/2), and a floor — bit-stable. The cumulative window
+    * runs over ≤ `bins` rows (a single-partition sort of 20 rows —
+    * nothing corpus-sized reaches it; the candidate pairs collapse
+    * to bins in a map-side-combinable count first).
+    */
+  def cosineHistogram(emb: DataFrame, bins: Int = CosineHistBins,
+      bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
+      corpusSize: Long = -1L): DataFrame = {
+    require(bins >= 2 && bins % 2 == 0,
+      s"bins must be even and >= 2, got $bins")
+    // threshold -1.0 admits every candidate: NaN filtered explicitly
+    // (Spark orders NaN above -1.0, so the threshold alone keeps it)
+    val pairs = nearDupPairs(emb, threshold = -1.0, bands, bandBits,
+      corpusSize)
+    val h = pairs.filter(!isnan(col("cosine")))
+      .select(least(lit((bins - 1).toLong),
+        floor((col("cosine") + lit(1.0)) * lit(bins / 2.0)).cast("long"))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    h.withColumn("n_ge", sum(col("n_pairs")).over(w))
+  }
+
   /** MUTUAL-kNN edges: the (a, b) pairs where b is in a's top-k AND a
     * is in b's top-k — the standard symmetrization that strips
     * hub-induced one-way edges before density clustering or

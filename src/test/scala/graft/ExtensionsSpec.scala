@@ -3580,6 +3580,45 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cosineHistogram == brute binning of the candidate pairs; NaN excluded") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+      // one zero vector: its candidate cosines are NaN and must not bin
+      .unionByName(Seq((999L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+    val pairs = Similarity.nearDupPairs(emb, threshold = -1.0,
+        corpusSize = 301L).collect().map(_.getDouble(2))
+    val finite = pairs.filterNot(_.isNaN)
+    val want = finite.map(c => math.min(19L,
+        math.floor((c + 1.0) * 10.0).toLong))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val got = Similarity.cosineHistogram(emb, corpusSize = 301L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    // n_ge is the suffix sum: at each bin, pairs at-or-above it
+    got.foreach { case (b, _, ge) =>
+      assert(ge === want.filter(_._1 >= b).values.sum, s"bin $b")
+    }
+    assert(got.map(_._2).sum === finite.length.toLong)
+  }
+
+  test("componentSizes: size histogram conserves vertices") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} {10,11} {20,21} {30}
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+        (20L, 20L), (21L, 20L), (30L, 30L))
+      .toDF("vertex", "component")
+    val h = operators.GraphOps.componentSizes(labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
+    assert(h.map { case (sz, n) => sz * n }.sum === 8L)
+  }
+
   test("mutualKnn == reciprocated subset of the graph, canonical, hub edges dropped") {
     val emb = spark.range(400).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 15), i -> cast(" +
