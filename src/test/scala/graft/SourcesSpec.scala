@@ -79,4 +79,51 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS edges_bucketed")
     }
   }
+
+  test("writeRangeClustered: disjoint per-file key spans, pushed range filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val df = spark.range(10000).select(col("id").as("doc_id"),
+      (col("id") * 7L % 1000L).as("payload"))
+    graft.sources.Layout.writeRangeClustered(df, dir, "doc_id", 8)
+    val ranges = graft.sources.Layout.fileKeyRanges(spark, dir, "doc_id")
+    assert(ranges.length === 8)
+    // pairwise disjoint, covering the full domain
+    ranges.sliding(2).foreach {
+      case Seq((fa, _, maxA), (fb, minB, _)) =>
+        assert(maxA < minB, s"$fa span overlaps $fb")
+      case _ => ()
+    }
+    assert(ranges.head._2 === 0L && ranges.last._3 === 9999L)
+    // the range read: pushed to the scan, exact rows back
+    val q = spark.read.parquet(dir)
+      .filter(col("doc_id") >= 2500L && col("doc_id") < 2600L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(doc_id,2500)")
+      && plan.contains("LessThan(doc_id,2600)"), plan)
+    assert(q.count() === 100L)
+  }
+
+  test("compact: fewer files, identical content, clustering restorable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(20000).select(col("id").as("doc_id"),
+      concat(lit("payload-"), col("id")).as("text"))
+    // 40 arrival-order files (each spans the whole key domain)
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nBefore, nAfter) = graft.sources.Layout.compact(spark, dir,
+      targetBytes = total / 4, key = Some("doc_id"))
+    assert(nBefore === 40 && nAfter <= 6 && nAfter >= 3,
+      s"expected ~4-5 files, got $nAfter")
+    // content exactly preserved
+    val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(after === before)
+    // keyed compaction RESTORES disjoint clustering
+    val ranges = graft.sources.Layout.fileKeyRanges(spark, dir, "doc_id")
+    ranges.sliding(2).foreach {
+      case Seq((_, _, maxA), (_, minB, _)) => assert(maxA < minB)
+      case _ => ()
+    }
+  }
 }
