@@ -1086,6 +1086,18 @@ object SparkEntry {
     "events_transitions" -> ((s, d) =>
       graft.streaming.Sessionize.transitions(Tables.table(s, d, "events"))
         .orderBy("prev_type", "event_type")),
+    // the transition matrix's flatMapGroupsWithState twin — must be
+    // count-identical to events_transitions, whose oracle it shares
+    // (the funnel/funnel_stateful pairing)
+    "events_transitions_stateful" -> ((s, d) =>
+      graft.streaming.Sessionize.transitionsStateful(s,
+          Tables.table(s, d, "events"))
+        .orderBy("prev_type", "event_type")),
+    // RFM profile: recency-days vs the corpus anchor, frequency, and
+    // fixed-point monetary over finite values — all-integer, one
+    // user-keyed aggregation plus a 1-row broadcast anchor
+    "events_rfm" -> ((s, d) =>
+      EventWindows.rfm(Tables.table(s, d, "events")).orderBy("user_id")),
     // the k most common session journeys as `a>b>c` path strings —
     // deterministic: (ts, event_id) ordering and a (count DESC, path
     // ASC) total order at the top-k boundary on both engines
@@ -1644,6 +1656,23 @@ object SparkEntry {
       "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, " +
       s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
       "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
+  }
+
+  /** events_transitions oracle — SessionsSql's break rule with the
+    * (us, event_id) tiebreak; shared verbatim by
+    * events_transitions_stateful (the two implementations must be
+    * indistinguishable, the funnel/funnel_stateful pairing).
+    */
+  private val TransitionsSql: String = {
+    val gapUs = graft.streaming.Sessionize.GapUs
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
+      "event_type FROM events), " +
+      "o AS (SELECT event_type, lag(event_type) OVER w AS prev_type, " +
+      "us - lag(us) OVER w AS gap FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) " +
+      "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+      s"FROM o WHERE prev_type IS NOT NULL AND gap < $gapUs " +
+      "GROUP BY 1, 2"
   }
 
   /** docs_merge oracle — the synthetic change batch + latest-wins
@@ -3438,17 +3467,23 @@ object SparkEntry {
     // within-session transition counts: the same break rule as
     // SessionsSql, with the (us, event_id) tiebreak making the lag
     // sequence — and therefore the counts — deterministic under ties
-    "events_transitions" -> {
-      val gapUs = graft.streaming.Sessionize.GapUs
-      "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, " +
-        "event_type FROM events), " +
-        "o AS (SELECT event_type, lag(event_type) OVER w AS prev_type, " +
-        "us - lag(us) OVER w AS gap FROM e " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) " +
-        "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n " +
-        s"FROM o WHERE prev_type IS NOT NULL AND gap < $gapUs " +
-        "GROUP BY 1, 2"
-    },
+    "events_transitions" -> TransitionsSql,
+    // shares events_transitions' oracle VERBATIM — the window and the
+    // flatMapGroupsWithState implementations must be indistinguishable
+    "events_transitions_stateful" -> TransitionsSql,
+    // all-integer RFM: day-floor recency against the corpus anchor,
+    // fixed-point monetary over FINITE values (isfinite — the qsketch
+    // finiteness contract; NaN would ORDER as equal in DuckDB)
+    "events_rfm" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), " +
+        "a AS (SELECT MAX(us) AS anchor FROM e), " +
+        "u AS (SELECT user_id, MAX(us) AS last_us, " +
+        "CAST(COUNT(*) AS BIGINT) AS frequency, " +
+        "CAST(SUM(CASE WHEN isfinite(value) THEN " +
+        "CAST(FLOOR(value * 1000000.0) AS BIGINT) END) AS BIGINT) AS monetary_fp " +
+        "FROM e GROUP BY user_id) " +
+        "SELECT user_id, CAST((a.anchor - u.last_us) // 86400000000 " +
+        "AS BIGINT) AS recency_days, frequency, monetary_fp FROM u, a"),
     // top session paths: gaps-and-islands sids (the SessionsSql rule
     // plus the event_id tiebreak), ordered string_agg per session,
     // (count DESC, path ASC) total order at the LIMIT boundary

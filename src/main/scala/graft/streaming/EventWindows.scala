@@ -140,6 +140,39 @@ object EventWindows {
         .otherwise(expr(s"cnt * ${trailingHours}L * 1000000L div baseline_cnt")))
   }
 
+  /** RFM user profile — recency / frequency / monetary, the classic
+    * behavioral segmentation triple, computed all-integer: recency in
+    * whole days from each user's last event to the CORPUS's last
+    * event (a data-derived anchor, so re-running tomorrow on the same
+    * data gives the same answer — wall-clock anchors don't),
+    * frequency = event count, monetary = Σ ⌊value·1e6⌋ over FINITE
+    * values (per-row floor to fixed-point THEN an integer sum —
+    * order-independent, the float-parity rule; the finiteness guard
+    * is the qsketch contract). Null/non-finite-only users report a
+    * null monetary, honestly.
+    *
+    * Scale shape: one user-keyed aggregation with map-side combine;
+    * the anchor is a 1-row broadcast cross join. Bucketing into
+    * segments (quintiles etc.) is consumer arithmetic or the exact-
+    * rank machinery — not baked in here.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("value"))
+    val anchor = e.agg(max(col("us")).as("anchor"))
+    e.groupBy("user_id")
+      .agg(
+        max(col("us")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(when(abs(col("value")) < Double.PositiveInfinity,
+          floor(col("value") * lit(1000000.0)).cast("long")))
+          .as("monetary_fp"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr("(anchor - last_us) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary_fp"))
+  }
+
   /** Trailing window of `activeUsers`' wide distinct, in days. */
   val ActiveTrailingDays = 7
 

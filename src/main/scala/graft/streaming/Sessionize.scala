@@ -163,6 +163,53 @@ object Sessionize {
       .limit(k)
   }
 
+  case class TEv(user_id: Long, us: Long, event_id: Long, event_type: String)
+  case class LastEv(us: Long, event_id: Long, event_type: String)
+  case class Transition(prev_type: String, event_type: String)
+
+  /** `transitions` as explicit state-machine logic — the
+    * `flatMapGroupsWithState` form a STREAMING deployment of the
+    * transition matrix uses (state = the user's last event, carried
+    * across micro-batches so a session spanning two batches still
+    * counts its boundary transition). Run here in batch mode (each
+    * group visited once) and pinned count-identical to the window
+    * implementation: the driver gate `events_transitions_stateful`
+    * shares events_transitions' oracle, exactly the
+    * funnel/funnelStateful pairing. Incoming state (None in batch) is
+    * the previous event; ordering inside a group is (us, event_id) —
+    * the same deterministic tiebreak as the batch window.
+    */
+  def transitionsStateful(spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[TEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TEv], state: GroupState[LastEv]) =>
+          // batch iterators carry no order guarantee — sort within the
+          // group, bounded by one user's events (same buffer as the
+          // window partition's sort)
+          val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          var prev = state.getOption.orNull
+          evs.foreach { e =>
+            if (prev != null && e.us - prev.us < GapUs)
+              out += Transition(prev.event_type, e.event_type)
+            prev = LastEv(e.us, e.event_id, e.event_type)
+          }
+          // a streaming deployment would state.update(prev) here and
+          // let the watermark expire it; batch mode flushes
+          state.remove()
+          out.iterator
+      }
+    pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)

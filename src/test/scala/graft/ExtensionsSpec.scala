@@ -1470,6 +1470,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.streaming.Sessionize.transitions(noEvents).count() === 0L)
     assert(graft.streaming.Sessionize.sessionPaths(noEvents).count() === 0L)
     assert(graft.streaming.EventWindows.activeUsers(noEvents).count() === 0L)
+    assert(graft.streaming.Sessionize.transitionsStateful(s, noEvents)
+      .count() === 0L)
+    assert(graft.streaming.EventWindows.rfm(
+      noEvents.withColumn("value", lit(1.0))).count() === 0L)
     // PQ family: empty corpus → empty frames with the gate schemas
     val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqCodes(noEmb).count() === 0L)
@@ -1643,6 +1647,50 @@ class ExtensionsSpec extends SparkSpec {
     val got2 = graft.streaming.Sessionize.transitions(edge).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got2 === Map(("x", "y") -> 1L))
+  }
+
+  test("transitionsStateful == transitions on random event sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val gap = graft.streaming.Sessionize.GapUs
+    // gaps straddle the session threshold; ids unique; some us ties
+    val rows = (1L to 600L).map(i => (i, rnd.nextInt(15).toLong,
+      s"t${rnd.nextInt(4)}", rnd.nextInt(40).toLong * (gap / 10)))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = toMap(graft.streaming.Sessionize.transitions(ev))
+    val stateful = toMap(graft.streaming.Sessionize.transitionsStateful(s, ev))
+    assert(stateful === batch)
+    assert(batch.values.sum > 0L, "fixture produced no transitions")
+  }
+
+  test("rfm: anchor recency, finiteness guard, null monetary honesty") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+        // user 1: last at anchor-0 days, finite values 1.5 + 2.25
+        (1L, 1L, 10L * day, 1.5), (2L, 1L, 10L * day - 5L, 2.25),
+        // user 2: last 2.5 days before anchor → floors to 2; one NaN
+        // and one Inf are EXCLUDED from monetary, -0.7 floors to -1
+        (3L, 2L, (10L * day) - (5L * day / 2L), -0.7),
+        (4L, 2L, 5L * day, Double.NaN), (5L, 2L, 4L * day,
+          Double.PositiveInfinity),
+        // user 3: only non-finite values → monetary NULL, not 0
+        (6L, 3L, 10L * day - 1L, Double.NaN))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.streaming.EventWindows.rfm(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === ((0L, 2L, Some(3750000L))))
+    assert(out(2L) === ((2L, 3L, Some(-700000L))))
+    assert(out(3L) === ((0L, 1L, None)))
   }
 
   test("sessionPaths: path strings, tie ordering and the top-k boundary") {
