@@ -928,6 +928,14 @@ object ScaleRehearsal {
       n
     })
 
+    // synchronous LPA at 10M edges / 2M vertices: per-round cost is
+    // one edge join + two aggregations, state vertex-sized; checksum
+    // is an exact decimal sum (nondeterminism would move it)
+    t("lpa 10M edges 4 rounds")(
+      operators.GraphOps.labelPropagation(edges)
+        .agg(sum(col("community").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+
     // ---- storage layout: range clustering + compaction at 1M rows ----
     val layDir = java.nio.file.Files.createTempDirectory("graft_layout")
       .toString

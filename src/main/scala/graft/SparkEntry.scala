@@ -274,6 +274,13 @@ object SparkEntry {
       GraphOps.componentSizes(GraphOps.components(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod)))
         .orderBy("component_size")),
+    // deterministic synchronous label propagation on the sparsified
+    // slice — community detection at a fixed round budget both
+    // engines unroll (LPA has no guaranteed fixpoint)
+    "graph_lpa" -> ((s, d) =>
+      GraphOps.labelPropagation(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("vertex")),
     // k-core: iterative degree-≥-k peeling of the undirected simple
     // graph to its fixpoint; the oracle unrolls KCoreMaxRounds peel
     // steps (identity past the fixpoint), the operator raises if it
@@ -1976,6 +1983,33 @@ object SparkEntry {
         "cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component) " +
         "SELECT CAST(sz AS BIGINT) AS component_size, " +
         "CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY sz"),
+    // unrolled synchronous-LPA twin: LpaRounds rounds of per-vertex
+    // argmax (count DESC, label ASC) over the symmetrized simple
+    // slice; MATERIALIZED like the kcore unroll (each round CTE is
+    // referenced twice — inlining would go exponential in the depth)
+    "graph_lpa" -> {
+      val rounds = graft.operators.GraphOps.LpaRounds
+      val sb = new StringBuilder
+      sb.append("WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
+        s"FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), ")
+      sb.append("sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), ")
+      sb.append("l0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, " +
+        "u AS lab FROM sym), ")
+      (1 to rounds).foreach { i =>
+        sb.append(s"c$i AS MATERIALIZED (SELECT s.u AS vertex, l.lab, " +
+          s"COUNT(*) AS n FROM sym s JOIN l${i - 1} l ON l.vertex = s.v " +
+          "GROUP BY 1, 2), ")
+        sb.append(s"l$i AS MATERIALIZED (SELECT vertex, lab FROM " +
+          "(SELECT vertex, lab, row_number() OVER (PARTITION BY vertex " +
+          s"ORDER BY n DESC, lab ASC) AS rn FROM c$i) WHERE rn = 1), ")
+      }
+      sb.setLength(sb.length - 2)
+      sb.append(s" SELECT vertex, CAST(lab AS BIGINT) AS community " +
+        s"FROM l$rounds")
+      sb.toString
+    },
     // unrolled peeling twin of GraphOps.kCore: e0 = the symmetrized
     // simple graph, then KCoreMaxRounds rounds of "keep edges whose
     // BOTH endpoints currently have degree >= k" — the peel step is

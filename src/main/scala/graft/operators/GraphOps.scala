@@ -1378,6 +1378,56 @@ object GraphOps {
       .groupBy(col("n").as("out_degree"))
       .agg(count(lit(1)).as("n_vertices"))
 
+  /** Round budget of `labelPropagation`'s gate; the oracle unrolls
+    * exactly this, like the k-core/coreness pairing.
+    */
+  val LpaRounds = 4
+
+  /** Synchronous LABEL-PROPAGATION communities (Raghavan-Albert-Kumara
+    * 2007) with a fully DETERMINISTIC update rule: labels start as
+    * vertex ids, and each round every vertex simultaneously adopts
+    * its neighbors' argmax label by (count DESC, label ASC) over the
+    * undirected simple graph. Classic LPA breaks ties randomly and
+    * updates asynchronously — useless for a reproducible pipeline and
+    * impossible to oracle; the synchronous/deterministic form is a
+    * pure function of the edge set. LPA has NO guaranteed fixpoint
+    * (bipartite structures oscillate 2-cycles), so the contract is a
+    * FIXED round budget both engines unroll — not convergence.
+    *
+    * Scale shape per round: one edge⋈labels equi-join (labels is
+    * vertex-sized), a map-side-combinable (vertex, label) count, and
+    * the argmax as a single `max(struct(n, -label, label))`
+    * aggregation — NO rank window, nothing bigger than the edge
+    * relation shuffles, and the round state is a stats-free local
+    * checkpoint exactly like the other fixpoint loops (lineage and
+    * optimizer-stats growth are the real iterative-operator killers;
+    * see `ck`).
+    */
+  def labelPropagation(e: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagation: rounds must be in [1, 16], got $rounds")
+    val (und, _) = undSimple(e)
+    var labels = ck(und.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("lab")))
+    (1 to rounds).foreach { _ =>
+      val counts = und
+        .join(labels.select(col("vertex").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("n"))
+      // argmax by (n DESC, lab ASC): struct max compares n first, then
+      // -lab (max of the negation = min label), all exact longs
+      val next = counts.groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("lab")).as("neg"), col("lab")))
+          .as("m"))
+        .select(col("src").as("vertex"), col("m.lab").as("lab"))
+      val prev = labels
+      labels = ck(next)
+      drop(prev)
+    }
+    val out = labels.select(col("vertex"), col("lab").as("community"))
+    drop(und)
+    out
+  }
+
   /** Component-SIZE histogram over a (vertex, component) labeling
     * (`components` output): how many components have each size — the
     * fragmentation profile that distinguishes "one giant component

@@ -3654,6 +3654,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.map(_._2).sum === finite.length.toLong)
   }
 
+  test("labelPropagation == brute synchronous simulation; cliques collapse") {
+    val s = spark
+    import s.implicits._
+    // two 4-cliques bridged by one edge: each clique must adopt its
+    // own min id, and the bridge must not merge them in 4 rounds
+    val cliqueA = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val fix = (cliqueA ++ cliqueB :+ ((3L, 10L))).toDF("src", "dst")
+    val got = operators.GraphOps.labelPropagation(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach(v => assert(got(v) === 0L, s"vertex $v"))
+    (10L to 13L).foreach(v => assert(got(v) === 10L, s"vertex $v"))
+    // brute twin of the exact rule on a random digraph
+    val rnd = new scala.util.Random(813)
+    val redges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val sym = redges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    (1 to operators.GraphOps.LpaRounds).foreach { _ =>
+      lab = adj.map { case (u, vs) =>
+        val byLab = vs.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.length) }
+        u -> byLab.toSeq.maxBy { case (l, n) => (n.toLong, -l) }._1
+      }
+    }
+    val gotR = operators.GraphOps.labelPropagation(
+        redges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR === lab)
+  }
+
   test("componentSizes: size histogram conserves vertices") {
     val s = spark
     import s.implicits._
