@@ -442,6 +442,12 @@ object SparkEntry {
     "docs_profile" -> ((s, d) =>
       operators.Profile.profile(Tables.table(s, d, "documents"))
         .orderBy("column")),
+    // the bounded-state twin: per-column HLL distinct states (ncols ×
+    // 512 counters shuffle instead of every distinct pair) — integer-
+    // exact states, so even the sketch is hash-checked
+    "docs_profile_hll" -> ((s, d) =>
+      operators.Profile.profileHll(Tables.table(s, d, "documents"))
+        .orderBy("column")),
     "events_profile" -> ((s, d) =>
       operators.Profile.profile(Tables.table(s, d, "events"))
         .orderBy("column")),
@@ -2308,6 +2314,42 @@ object SparkEntry {
     "docs_profile" -> profileSql("documents", Seq(
       "doc_id" -> Some("doc_id"), "text" -> None, "lang" -> None,
       "source" -> None, "n_chars" -> Some("n_chars"))),
+    // the text_vocab_hll state machinery grouped by column name over
+    // the string-rendered unpivot (long→VARCHAR renders identically
+    // on both engines; doubles deliberately excluded — see profileHll)
+    "docs_profile_hll" -> {
+      val m = graft.operators.TextOps.HllBuckets
+      val cap = graft.operators.TextOps.HllCap
+      val p2 = (1L << cap).toDouble
+      val branches = Seq(
+        "doc_id" -> "CAST(doc_id AS VARCHAR)", "text" -> "text",
+        "lang" -> "lang", "source" -> "source",
+        "n_chars" -> "CAST(n_chars AS VARCHAR)")
+        .map { case (n, e) =>
+          s"SELECT '$n' AS c, $e AS item FROM documents WHERE $e IS NOT NULL"
+        }.mkString(" UNION ALL ")
+      // the pre-mix pass (see Profile.profileHll: short digit
+      // renderings are affine under PolyHash; re-render the combined
+      // hash so the in-sketch pass gets full mod-reduction mixing)
+      s"WITH raw_items AS ($branches), " +
+        s"items AS (SELECT c, CAST(${phSql("item")} * " +
+        s"${graft.functions.PolyHashUtil.Mod2} + ${phSql2("item")} " +
+        "AS VARCHAR) AS item FROM raw_items), " +
+        s"h AS (SELECT c, ${phSql("item")} * ${graft.functions.PolyHashUtil.Mod2} + " +
+        s"${phSql2("item")} AS h FROM items), " +
+        s"br AS (SELECT c, h % $m AS bucket, h // $m AS rest FROM h), " +
+        s"rh AS (SELECT c, bucket, CASE WHEN rest = 0 THEN $cap ELSE " +
+        s"LEAST($cap, bit_count((rest & (-rest)) - 1) + 1) END AS rho FROM br), " +
+        "mx AS (SELECT c, bucket, MAX(rho) AS mr FROM rh GROUP BY c, bucket), " +
+        "agg AS (SELECT c, COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM mx GROUP BY c) " +
+        s"SELECT c AS \"column\", CAST($m AS BIGINT) AS m, " +
+        s"CAST($m - nz AS BIGINT) AS n_empty, " +
+        s"CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS BIGINT) AS harmonic_scaled, " +
+        s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
+        s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
+        "FROM agg"
+    },
     "events_profile" -> profileSql("events", Seq(
       "event_id" -> Some("event_id"), "ts" -> Some("epoch_us(ts)"),
       "user_id" -> Some("user_id"), "event_type" -> None,

@@ -69,4 +69,63 @@ object Profile {
         min(col("vn")).as("min_num"),
         max(col("vn")).as("max_num"))
   }
+
+  /** The BOUNDED-STATE distinct profile: per column, the same
+    * `TextOps.hllState` HyperLogLog sketch the vocab estimator uses —
+    * `profile`'s exact n_distinct shuffles every distinct
+    * (column, value) pair (ncols × corpus at worst), this shuffles at
+    * most ncols × `HllBuckets` counter rows and the per-column states
+    * merge by bucket-wise MAX across data drops for free. Output per
+    * column: (m, n_empty, harmonic_scaled, est_raw) — the vocabHll
+    * contract (integer-exact state so even the sketch is
+    * hash-checkable; small-range correction left to the consumer).
+    *
+    * Restricted to STRING and integral columns: the sketch hashes the
+    * string RENDERING, and only those render identically across
+    * engines (doubles do not — "1.0E7" vs "10000000.0"); profile
+    * doubles exactly with `profile`, whose distinct runs on the value
+    * domain. Nulls are excluded (no rendering), matching COUNT
+    * DISTINCT semantics.
+    *
+    * PRE-MIX (measured necessity): short digit-dominated renderings —
+    * exactly what an id column produces — are AFFINE under PolyHash
+    * (≤4-char strings never trigger a mod reduction, so the combined
+    * hash is a linear function of the digit values and its residues
+    * mod 512 live in an index-2 lattice: half the buckets are
+    * UNREACHABLE and the estimator saturates — measured ~700 for 5k
+    * distinct ids). Hashing once and re-rendering the ~18-digit
+    * decimal forces full mod-reduction chains on the second (in-
+    * sketch) pass: measured est_raw within 6% from 2k to 100k
+    * distinct ids, and string columns unaffected in quality. The
+    * oracle applies the identical pre-mix expression.
+    */
+  def profileHll(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    names.foreach { n =>
+      require(df.schema.fieldNames.contains(n),
+        s"profileHll: no such column '$n'")
+      df.schema(n).dataType match {
+        case org.apache.spark.sql.types.StringType
+            | org.apache.spark.sql.types.LongType
+            | org.apache.spark.sql.types.IntegerType
+            | org.apache.spark.sql.types.ShortType
+            | org.apache.spark.sql.types.ByteType => ()
+        case dt => throw new IllegalArgumentException(
+          s"profileHll: column '$n' is $dt — only string/integral " +
+            "renderings are engine-stable; use profile() for doubles")
+      }
+    }
+    require(names.nonEmpty, "profileHll: no columns to profile")
+    val slots = names.map(n =>
+      struct(lit(n).as("column"), col(n).cast("string").as("item")))
+    import graft.functions.PolyHashFunctions.{poly_hash, poly_hash2}
+    val items = df.select(explode(array(slots: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.item").as("item"))
+      .filter(col("item").isNotNull)
+      .select(col("column"),
+        (poly_hash(col("item")) *
+          lit(graft.functions.PolyHashUtil.Mod2) +
+          poly_hash2(col("item"))).cast("string").as("item"))
+    TextOps.hllState(items, Seq("column"), col("item"))
+  }
 }

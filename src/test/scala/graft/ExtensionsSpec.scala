@@ -3594,6 +3594,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(operators.Profile.profile(df.filter(lit(false))).count() === 0L)
   }
 
+  test("profileHll: estimates track exact distincts; doubles refused") {
+    val s = spark
+    import s.implicits._
+    val df = spark.range(2000).select(col("id").as("k"),
+      (col("id") % 37L).as("rep"),
+      concat(lit("v"), col("id") % 500L).as("tag"))
+    // the vocabHllEstimate consumer contract: linear-counting
+    // correction in the small range, raw estimator past it
+    def corrected(r: org.apache.spark.sql.Row): Double = {
+      val m = r.getLong(1).toDouble
+      val v = r.getLong(2).toDouble
+      val raw = r.getDouble(4)
+      if (raw <= 2.5 * m && v > 0.0) m * math.log(m / v) else raw
+    }
+    val got = operators.Profile.profileHll(df).collect()
+      .map(r => r.getString(0) -> corrected(r)).toMap
+    // 512-bucket HLL: ~5% typical error; assert a generous 25% band
+    def near(est: Double, exact: Long) =
+      est > exact * 0.75 && est < exact * 1.25
+    assert(near(got("k"), 2000L), s"k est ${got("k")}")
+    assert(near(got("rep"), 37L), s"rep est ${got("rep")}")
+    assert(near(got("tag"), 500L), s"tag est ${got("tag")}")
+    // deterministic across evaluations (pure function of the data)
+    val again = operators.Profile.profileHll(df).collect()
+      .map(r => r.getString(0) -> corrected(r)).toMap
+    assert(again === got)
+    // engine-unstable renderings are refused, not silently profiled
+    intercept[IllegalArgumentException] {
+      operators.Profile.profileHll(df.withColumn("d", col("k") * 0.5))
+    }
+  }
+
   test("sampleByQuality: clamp arithmetic, coin agreement, determinism, floors") {
     val s = spark
     import s.implicits._
