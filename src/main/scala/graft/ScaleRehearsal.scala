@@ -936,6 +936,13 @@ object ScaleRehearsal {
         .agg(sum(col("community").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0))
 
+    // HITS at 10M edges: two edge joins + two normalizations per
+    // round; exact checksum over both scores
+    t("hits 10M edges 4 rounds")(
+      operators.GraphOps.hits(edges)
+        .agg(sum((col("hub_fp") + col("auth_fp")).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+
     // ---- storage layout: range clustering + compaction at 1M rows ----
     val layDir = java.nio.file.Files.createTempDirectory("graft_layout")
       .toString

@@ -281,6 +281,13 @@ object SparkEntry {
       GraphOps.labelPropagation(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
         .orderBy("vertex")),
+    // HITS hubs & authorities in exact ppb fixed-point — the directed
+    // complement of pagerank's relevance family, on the same
+    // sparsified slice at the same unrolled-round contract
+    "graph_hits" -> ((s, d) =>
+      GraphOps.hits(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("vertex")),
     // k-core: iterative degree-≥-k peeling of the undirected simple
     // graph to its fixpoint; the oracle unrolls KCoreMaxRounds peel
     // steps (identity past the fixpoint), the operator raises if it
@@ -1989,6 +1996,42 @@ object SparkEntry {
         "cs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component) " +
         "SELECT CAST(sz AS BIGINT) AS component_size, " +
         "CAST(COUNT(*) AS BIGINT) AS n_components FROM cs GROUP BY sz"),
+    // unrolled HITS twin: HitsRounds alternating auth/hub sweeps with
+    // ppb L1 normalization — HUGEINT-safe (SUM promotes; raw·scale
+    // stays under 2^63 by the Σ ≤ scale invariant), MATERIALIZED like
+    // every unrolled fixpoint oracle
+    "graph_hits" -> {
+      val rounds = graft.operators.GraphOps.HitsRounds
+      val scale = graft.operators.GraphOps.HitsScale
+      val sb = new StringBuilder
+      sb.append("WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
+        s"FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), ")
+      sb.append("verts AS MATERIALIZED (SELECT src AS v FROM base " +
+        "UNION SELECT dst FROM base), ")
+      sb.append("h0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS x " +
+        "FROM verts), ")
+      (1 to rounds).foreach { i =>
+        sb.append(s"ar$i AS MATERIALIZED (SELECT b.dst AS v, SUM(h.x) " +
+          s"AS raw FROM base b JOIN h${i - 1} h ON h.v = b.src GROUP BY 1), ")
+        sb.append(s"af$i AS MATERIALIZED (SELECT verts.v, " +
+          s"COALESCE(raw, 0) AS raw FROM verts LEFT JOIN ar$i USING (v)), ")
+        sb.append(s"a$i AS MATERIALIZED (SELECT v, CAST(CASE WHEN t.tot = 0 " +
+          s"THEN 0 ELSE raw * $scale // t.tot END AS BIGINT) AS x " +
+          s"FROM af$i, (SELECT SUM(raw) AS tot FROM af$i) t), ")
+        sb.append(s"hr$i AS MATERIALIZED (SELECT b.src AS v, SUM(a.x) " +
+          s"AS raw FROM base b JOIN a$i a ON a.v = b.dst GROUP BY 1), ")
+        sb.append(s"hf$i AS MATERIALIZED (SELECT verts.v, " +
+          s"COALESCE(raw, 0) AS raw FROM verts LEFT JOIN hr$i USING (v)), ")
+        sb.append(s"h$i AS MATERIALIZED (SELECT v, CAST(CASE WHEN t.tot = 0 " +
+          s"THEN 0 ELSE raw * $scale // t.tot END AS BIGINT) AS x " +
+          s"FROM hf$i, (SELECT SUM(raw) AS tot FROM hf$i) t), ")
+      }
+      sb.setLength(sb.length - 2)
+      sb.append(s" SELECT h.v AS vertex, h.x AS hub_fp, a.x AS auth_fp " +
+        s"FROM h$rounds h JOIN a$rounds a ON a.v = h.v")
+      sb.toString
+    },
     // unrolled synchronous-LPA twin: LpaRounds rounds of per-vertex
     // argmax (count DESC, label ASC) over the symmetrized simple
     // slice; MATERIALIZED like the kcore unroll (each round CTE is

@@ -1378,6 +1378,75 @@ object GraphOps {
       .groupBy(col("n").as("out_degree"))
       .agg(count(lit(1)).as("n_vertices"))
 
+  /** Round budget of `hits`' gate (the oracle unrolls exactly this)
+    * and its fixed-point scale: scores are parts-per-billion of the
+    * round's total, so every value is an exact long and the
+    * normalization invariant Σx ≤ HitsScale bounds all later
+    * arithmetic.
+    */
+  val HitsRounds = 4
+  val HitsScale = 1000000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
+    * arithmetic: `rounds` alternating sweeps of
+    * auth ← Σ hub(in-neighbors), hub ← Σ auth(out-neighbors), each
+    * L1-normalized to `HitsScale` ppb by truncating integer division
+    * — no floats anywhere, so the result is bit-identical across
+    * engines and partitionings (the pageRank playbook). Initial hub
+    * mass is 1 per vertex: the FIRST round's total is then ≤ V, and
+    * after any normalization Σx ≤ HitsScale, so every later product
+    * `raw · HitsScale` stays ≤ 1e18 — the long arithmetic holds to
+    * ~9e9 vertices/edges-per-total before a decimal sum would be
+    * needed. Vertices below 1 ppb of the round total truncate to 0 —
+    * HITS is a relevance ranking, and ppb is the resolution contract.
+    * Self-loops are dropped (a vertex must not feed its own score);
+    * duplicate edges count once. L1-vs-L2: Kleinberg normalizes by
+    * L2, but ANY per-round rescaling yields the same RANKING — L1 in
+    * integer ppb is the exactly-reproducible choice, same trade as
+    * pageRank's fixed-point.
+    *
+    * Scale shape per half-round: one edge⋈scores equi-join (scores
+    * vertex-sized), a map-side-combinable per-vertex sum, one 1-row
+    * broadcast total, and a projection; round state is stats-free
+    * locally checkpointed like every other fixpoint loop here.
+    */
+  def hits(e: DataFrame, rounds: Int = HitsRounds): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"hits: rounds must be in [1, 16], got $rounds")
+    val ed = ck(e.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct())
+    val verts = ck(ed.select(col("src").as("v"))
+      .union(ed.select(col("dst").as("v"))).distinct())
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val full = verts.join(raw, Seq("v"), "left")
+        .select(col("v"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val tot = full.agg(sum(col("raw")).as("tot"))
+      full.crossJoin(broadcast(tot))
+        .select(col("v"), when(col("tot") === 0L, lit(0L))
+          .otherwise(expr(s"raw * ${HitsScale}L div tot")).as(out))
+    }
+    var hub = ck(verts.select(col("v"), lit(1L).as("hub_fp")))
+    var auth: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val aRaw = ed
+        .join(hub.select(col("v").as("src"), col("hub_fp")), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("hub_fp")).as("raw"))
+      val nextAuth = ck(normalize(aRaw, "auth_fp"))
+      if (auth != null) drop(auth)
+      auth = nextAuth
+      val hRaw = ed
+        .join(auth.select(col("v").as("dst"), col("auth_fp")), "dst")
+        .groupBy(col("src").as("v")).agg(sum(col("auth_fp")).as("raw"))
+      val nextHub = ck(normalize(hRaw, "hub_fp"))
+      drop(hub)
+      hub = nextHub
+    }
+    val out = hub.join(auth, Seq("v"))
+      .select(col("v").as("vertex"), col("hub_fp"), col("auth_fp"))
+    drop(ed)
+    out
+  }
+
   /** Round budget of `labelPropagation`'s gate; the oracle unrolls
     * exactly this, like the k-core/coreness pairing.
     */

@@ -3718,6 +3718,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(gotR === lab)
   }
 
+  test("hits == brute fixed-point simulation; star ranks hub over leaves") {
+    val s = spark
+    import s.implicits._
+    // star: 0 → 1..5 plus a stray 1 → 2. Vertex 0 must be the top
+    // hub with zero authority; leaves carry the authority mass
+    val star = ((1L to 5L).map(v => (0L, v)) :+ ((1L, 2L))).toDF("src", "dst")
+    val got = operators.GraphOps.hits(star).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L)._1 > got(1L)._1 && got(0L)._2 === 0L)
+    assert(got(2L)._2 > got(3L)._2) // 2 has two in-links
+    assert((3L to 5L).map(got(_)._2).distinct.size === 1)
+    // brute twin of the exact integer rule on a random digraph
+    val rnd = new scala.util.Random(996)
+    val redges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val ed = redges.filter(e => e._1 != e._2).distinct
+    val vs = ed.flatMap(e => Seq(e._1, e._2)).distinct
+    val scale = operators.GraphOps.HitsScale
+    var hub = vs.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val full = vs.map(v => v -> raw.getOrElse(v, 0L)).toMap
+      val tot = full.values.sum
+      full.map { case (v, x) => v -> (if (tot == 0L) 0L else x * scale / tot) }
+    }
+    (1 to operators.GraphOps.HitsRounds).foreach { _ =>
+      auth = norm(ed.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum })
+      hub = norm(ed.groupBy(_._1).map { case (v, es) =>
+        v -> es.map(e => auth(e._2)).sum })
+    }
+    val gotR = operators.GraphOps.hits(ed.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotR === vs.map(v => v -> ((hub(v), auth(v)))).toMap)
+  }
+
   test("componentSizes: size histogram conserves vertices") {
     val s = spark
     import s.implicits._
