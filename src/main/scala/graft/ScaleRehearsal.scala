@@ -901,6 +901,14 @@ object ScaleRehearsal {
       rows.foreach(r => require(r.getLong(2) >= r.getLong(1), s"WAU < DAU: $r"))
       rows.length
     })
+    // the bounded-state WAU twin at 10M events: daily sketches merge
+    // by bucket-wise MAX — 31×512 counters shuffle, never the ×7
+    // distinct-pair fanout
+    t("active_users_hll 10M events")({
+      val n = graft.streaming.EventWindows.activeUsersHll(jEvents).count()
+      require(n == 31, s"expected 31 day buckets, got $n")
+      n
+    })
     // exact per-column profile of the 10M-row relation (distinct user
     // count = the expensive leg, by contract)
     t("profile 10M events")({

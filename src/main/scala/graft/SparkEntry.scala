@@ -1129,6 +1129,12 @@ object SparkEntry {
     "events_active_users" -> ((s, d) =>
       EventWindows.activeUsers(Tables.table(s, d, "events"))
         .orderBy("day_epoch")),
+    // the bounded-state twin: daily HLL user sketches, trailing WAU by
+    // bucket-wise MAX merge of the daily states — days × 512 counters
+    // shuffle instead of the ×7 distinct fanout
+    "events_wau_hll" -> ((s, d) =>
+      EventWindows.activeUsersHll(Tables.table(s, d, "events"))
+        .orderBy("day_epoch")),
     // rate-anomaly statistics: hourly counts vs the trailing-24h
     // baseline per type — RANGE window over the hours-sized relation,
     // integer spike ratio, thresholding left to the consumer
@@ -3639,6 +3645,38 @@ object SparkEntry {
         "SELECT CAST(d.day_epoch AS BIGINT) AS day_epoch, d.dau, w.wau, " +
         "CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm " +
         "FROM dau d JOIN wau w USING (day_epoch)"
+    },
+    // daily bucket-max HLL states (pre-mixed user ids, the
+    // docs_profile_hll pass) fanned ×7 and re-MAXed, finalized with
+    // the vocab_hll tail, reported only for days with own activity
+    "events_wau_hll" -> {
+      val m = graft.operators.TextOps.HllBuckets
+      val cap = graft.operators.TextOps.HllCap
+      val p2 = (1L << cap).toDouble
+      val days = graft.streaming.EventWindows.ActiveTrailingDays
+      val mod2 = graft.functions.PolyHashUtil.Mod2
+      "WITH e AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS d, " +
+        "CAST(user_id AS VARCHAR) AS u FROM events), " +
+        s"pm AS (SELECT d, CAST(${phSql("u")} * $mod2 + ${phSql2("u")} " +
+        "AS VARCHAR) AS item FROM e), " +
+        s"h AS (SELECT d, ${phSql("item")} * $mod2 + ${phSql2("item")} " +
+        "AS h FROM pm), " +
+        s"br AS (SELECT d, h % $m AS bucket, h // $m AS rest FROM h), " +
+        s"rh AS (SELECT d, bucket, CASE WHEN rest = 0 THEN $cap ELSE " +
+        s"LEAST($cap, bit_count((rest & (-rest)) - 1) + 1) END AS rho FROM br), " +
+        "mx AS (SELECT d, bucket, MAX(rho) AS mr FROM rh GROUP BY 1, 2), " +
+        "fan AS (SELECT mx.d + k.k * 86400 AS d, bucket, mr FROM mx " +
+        s"CROSS JOIN (SELECT unnest(range(0, $days)) AS k) k), " +
+        "mg AS (SELECT d, bucket, MAX(mr) AS mr FROM fan GROUP BY 1, 2), " +
+        "agg AS (SELECT d, COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM mg GROUP BY d), " +
+        "days AS (SELECT DISTINCT d FROM mx) " +
+        "SELECT CAST(agg.d AS BIGINT) AS day_epoch, " +
+        s"CAST($m AS BIGINT) AS m, CAST($m - nz AS BIGINT) AS n_empty, " +
+        s"CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS BIGINT) AS harmonic_scaled, " +
+        s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
+        s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
+        "FROM agg JOIN days ON days.d = agg.d"
     },
     "events_props" ->
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -745,6 +745,16 @@ object TextOps {
     * most `m` counters per group.
     */
   private[graft] def hllState(rel: DataFrame, groups: Seq[String],
+      item: org.apache.spark.sql.Column): DataFrame =
+    hllFinalize(hllBucketMax(rel, groups, item), groups)
+
+  /** The sketch's MERGEABLE half: per-(groups, bucket) max rank rows.
+    * Bucket-max relations for different slices of the same item
+    * stream merge by a further groupBy-MAX (max is associative and
+    * idempotent) — the rollup path `activeUsersHll` rides; feed the
+    * merged relation to `hllFinalize` for the state/estimate row.
+    */
+  private[graft] def hllBucketMax(rel: DataFrame, groups: Seq[String],
       item: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.PolyHashFunctions.poly_hash2
     val m = HllBuckets
@@ -752,7 +762,7 @@ object TextOps {
     val g = groups.map(col)
     // `div`, not `/`: h is up to ~2^60 and Column./ is DOUBLE division
     // (loses low bits past 2^53 — exactly the bits rho reads)
-    val mx = rel
+    rel
       .select(g :+ (poly_hash(item) *
         lit(graft.functions.PolyHashUtil.Mod2) +
         poly_hash2(item)).as("h"): _*)
@@ -765,6 +775,17 @@ object TextOps {
               .cast("int") + 1))
           .as("rho")): _*)
       .groupBy(g :+ col("bucket"): _*).agg(max(col("rho")).as("mr"))
+  }
+
+  /** Fold a (groups, bucket, mr) relation into the vocabHll-contract
+    * state row per group — split from `hllState` so merged bucket-max
+    * relations finalize through the identical expressions.
+    */
+  private[graft] def hllFinalize(mx: DataFrame,
+      groups: Seq[String]): DataFrame = {
+    val m = HllBuckets
+    val cap = HllCap
+    val g = groups.map(col)
     val agg = mx.groupBy(g: _*).agg(
       count(lit(1)).as("nz"),
       coalesce(sum(expr(s"shiftleft(1L, $cap - mr)")), lit(0L))

@@ -224,6 +224,46 @@ object EventWindows {
         expr("dau * 1000000L div wau").as("stickiness_ppm"))
   }
 
+  /** `activeUsers`' BOUNDED-STATE twin: per-day HLL sketches of the
+    * user set, with the trailing-`trailingDays` WAU obtained by
+    * MERGING the daily bucket-max states (max is associative and
+    * idempotent — the whole point of sketch state) instead of
+    * re-touching events. `activeUsers`' exact fanout shuffles the
+    * distinct (day, user) relation ×7; this shuffles days × 512
+    * counter rows, full stop — the 100 TB posture, and the same
+    * hourly/hourlyUsersHll pairing one level up the calendar.
+    * Output per active day: the merged trailing-window state
+    * (m, n_empty, harmonic_scaled, est_raw) under the vocabHll
+    * estimate/correction contract. User ids are PRE-MIXED exactly
+    * like `Profile.profileHll` (short digit renderings are affine
+    * under PolyHash — half the buckets would be unreachable).
+    */
+  def activeUsersHll(events: DataFrame,
+      trailingDays: Int = ActiveTrailingDays): DataFrame = {
+    require(trailingDays >= 1,
+      s"trailingDays must be >= 1, got $trailingDays")
+    import graft.functions.PolyHashFunctions.{poly_hash, poly_hash2}
+    val daySec = 86400L
+    val u = col("user_id").cast("string")
+    val rel = events.select(
+      window(col("ts"), "1 day").getField("start").cast("long")
+        .as("day_epoch"),
+      (poly_hash(u) * lit(graft.functions.PolyHashUtil.Mod2) +
+        poly_hash2(u)).cast("string").as("item"))
+    val daily = graft.Caches.track(
+      graft.operators.TextOps.hllBucketMax(rel, Seq("day_epoch"),
+          col("item"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val merged = graft.operators.TextOps.hllFinalize(
+      daily.select(explode(sequence(col("day_epoch"),
+          col("day_epoch") + lit((trailingDays - 1) * daySec),
+          lit(daySec))).as("day_epoch"), col("bucket"), col("mr"))
+        .groupBy("day_epoch", "bucket").agg(max(col("mr")).as("mr")),
+      Seq("day_epoch"))
+    // like activeUsers: only days with their OWN activity report
+    merged.join(daily.select("day_epoch").distinct(), Seq("day_epoch"))
+  }
+
   /** MULTI-TOUCH ATTRIBUTION summary: for every conversion (purchase
     * event), the click touches inside its trailing `windowUs`
     * attribution window — touch count plus the first- and last-touch

@@ -1717,6 +1717,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(top2.toSeq === Seq(("a>b", 2L), ("b", 1L)))
   }
 
+  test("activeUsersHll: merged states EXACTLY equal one-shot window states") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.PolyHashFunctions.{poly_hash, poly_hash2}
+    val day = 86400L
+    val rnd = new scala.util.Random(4107)
+    val rows = Seq.fill(2000)((rnd.nextInt(10).toLong * day * 1000000L +
+      rnd.nextInt(1000), rnd.nextInt(400).toLong))
+    val ev = rows.toDF("us", "user_id")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.streaming.EventWindows.activeUsersHll(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // for each reported day: the merged state must be BIT-IDENTICAL to
+    // sketching the window's raw items in one shot (max associativity)
+    val u = col("user_id").cast("string")
+    val premixed = ev.select(
+      (unix_micros(col("ts")) / lit(day * 1000000L)).cast("long").as("d"),
+      (poly_hash(u) * lit(graft.functions.PolyHashUtil.Mod2) +
+        poly_hash2(u)).cast("string").as("item"))
+    got.keySet.foreach { de =>
+      val d = de / day
+      val oneShot = operators.TextOps.hllState(
+        premixed.filter(col("d") >= d - 6L && col("d") <= d)
+          .select(lit(de).as("day_epoch"), col("item")),
+        Seq("day_epoch"), col("item")).collect()(0)
+      assert((oneShot.getLong(1), oneShot.getLong(2), oneShot.getLong(3),
+        oneShot.getDouble(4)) === got(de), s"day $de")
+    }
+    // corrected estimates track the exact trailing distincts
+    val exact = graft.streaming.EventWindows.activeUsers(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (de, (m, ne, _, raw)) =>
+      val est = if (raw <= 2.5 * m && ne > 0)
+        m * math.log(m.toDouble / ne) else raw
+      assert(est > exact(de) * 0.75 && est < exact(de) * 1.25,
+        s"day $de est $est vs exact ${exact(de)}")
+    }
+  }
+
   test("activeUsers: fanout distinct == brute trailing-window distinct") {
     val s = spark
     import s.implicits._
