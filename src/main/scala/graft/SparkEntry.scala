@@ -435,6 +435,22 @@ object SparkEntry {
           Dedup.dupClusters(Dedup.ngramJaccard(docs)))
         .orderBy("doc_id")
     }),
+    // the END-TO-END curation pipeline as ONE query: best-copy dedup
+    // survivors → quality-weighted sampling → leakage-free split —
+    // each stage the already-gated operator, composed unchanged (the
+    // cluster relation is built once and feeds both the survivor
+    // election and the split)
+    "docs_curation" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val clusters = Dedup.dupClusters(Dedup.ngramJaccard(docs))
+      val surv = Dedup.survivorsBest(docs, clusters,
+        TextOps.quality(docs).select("doc_id", "quality"))
+      val sampled = TextOps.sampleByQuality(docs)
+        .join(surv.select("doc_id"), "doc_id")
+      TextOps.hashSplitLeakageFree(sampled.select("doc_id"), clusters)
+        .join(sampled, "doc_id")
+        .select("doc_id", "split", "keep_ppm").orderBy("doc_id")
+    }),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
     // quality-weighted deterministic downsampling: keep probability =
@@ -3079,6 +3095,41 @@ object SparkEntry {
         "losers AS (SELECT doc_id FROM w WHERE rn > 1) " +
         "SELECT doc_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"),
+    // the dedup_survivors_best chain with the text_sample_quality and
+    // text_split_leakage tails spliced on — every CTE is the shared
+    // shape its standalone gate pins
+    "docs_curation" -> {
+      val floorPpm = graft.operators.TextOps.SampleFloorPpm
+      "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
+        s"($NgramPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
+        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
+        "losers AS (SELECT doc_id FROM w WHERE rn > 1), " +
+        "surv AS (SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)), " +
+        s"k AS (SELECT q.doc_id, GREATEST($floorPpm, LEAST(1000000, " +
+        "CAST(FLOOR(quality * 1000000.0) AS BIGINT))) AS keep_ppm " +
+        "FROM q JOIN surv ON surv.doc_id = q.doc_id), " +
+        "smp AS (SELECT doc_id, keep_ppm FROM k WHERE " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':smp'")} % 1000000 < keep_ppm) " +
+        "SELECT s.doc_id, CASE WHEN " +
+        phSql("CAST(COALESCE(cl.cluster_id, s.doc_id) AS VARCHAR)") +
+        " % 100 < 10 THEN 'val' ELSE 'train' END AS split, s.keep_ppm " +
+        "FROM smp s LEFT JOIN clus cl ON cl.doc_id = s.doc_id"
+    },
     // the cross-modal survivor policy: embedding-near-dup clusters
     // (EmbNearDupSql recursive closure — shared with
     // embedding_clusters) scored by QualitySqlExpr (shared with

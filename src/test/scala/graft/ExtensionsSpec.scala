@@ -3830,6 +3830,24 @@ class ExtensionsSpec extends SparkSpec {
       s"fixture has no one-way edges to drop (${want.size} vs ${dirSet.size})")
   }
 
+  test("docs_curation composes exactly from its three gated stages") {
+    val d = "/root/testdata/sf0.001"
+    def run(q: String) =
+      try SparkEntry.queries(q)(spark, d).collect()
+      finally Caches.clear(spark)
+    val cur = run("docs_curation")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val surv = run("dedup_survivors_best").map(_.getLong(0)).toSet
+    val smp = run("text_sample_quality")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = run("text_split_leakage")
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = smp.keySet.intersect(surv)
+      .map(id => id -> ((split(id), smp(id)))).toMap
+    assert(cur === want)
+    assert(cur.nonEmpty, "composition produced an empty corpus")
+  }
+
   test("hashSplitLeakageFree: clusters never straddle, singletons == hashSplit") {
     val s = spark
     import s.implicits._
