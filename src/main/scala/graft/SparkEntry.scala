@@ -558,6 +558,14 @@ object SparkEntry {
     // char-pair counts over the DISTINCT word vocabulary
     "text_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.table(s, d, "documents"))),
+    // CCNet-style bigram-surprisal quality scoring in exact bit-length
+    // integers — the perplexity-bucket filter without the float log
+    "text_surprisal" -> ((s, d) =>
+      TextOps.surprisal(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // BM25 keyword retrieval: probe docs (doc_id < 8) rank the corpus
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25(Tables.table(s, d, "documents"))
+        .orderBy("query_id", "rank")),
     // curriculum binning: per-doc quality-rank decile via the
     // distributed two-pass rank (no global window)
     "text_quality_deciles" -> ((s, d) =>
@@ -1625,6 +1633,44 @@ object SparkEntry {
 
   private val KnnBruteSql: String = knnBruteSqlFor("vec_id < 10")
 
+  /** text_bm25 oracle — the same all-integer fixed-point BM25 as
+    * `TextOps.bm25` (constants spliced from the SAME vals; idf via
+    * `length(bin(...))` exactly as Spark's `bin`, both engines emit
+    * minimal-width binary). Shared so a future fusion gate can splice
+    * the keyword ranking without drift.
+    */
+  private val Bm25Sql: String = {
+    val nq = TextOps.Bm25Queries
+    val k = TextOps.Bm25K
+    val k1 = TextOps.Bm25K1pm
+    val b = TextOps.Bm25Bpm
+    s"WITH corpus AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
+      s"FROM documents WHERE doc_id >= $nq), " +
+      "tok AS (SELECT doc_id, unnest(tk) AS token FROM corpus), " +
+      "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), " +
+      "lens AS (SELECT doc_id, len(tk)::BIGINT AS len_d FROM corpus), " +
+      "stats AS (SELECT COUNT(*)::BIGINT AS n_docs, " +
+      "CAST(SUM(len_d) AS BIGINT) * 1000000 // COUNT(*) AS avglen_ppm FROM lens), " +
+      "dfr AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1), " +
+      "idf AS (SELECT token, length(bin(CAST((2 * (s.n_docs - df) + 1) // " +
+      "(2 * df + 1) + 1 AS BIGINT)))::BIGINT AS idf_bits FROM dfr, stats s), " +
+      "qt AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, " +
+      "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents " +
+      s"WHERE doc_id < $nq)), " +
+      "con AS (SELECT qt.query_id, tf.doc_id, " +
+      s"idf.idf_bits * (tf.tf * ($k1 + 1000) * 1000 * 1000000 // " +
+      s"(tf.tf * 1000000 + $k1 * (1000 - $b) + " +
+      s"$k1 * $b * (l.len_d * 1000000000 // s.avglen_ppm) // 1000)) AS contrib " +
+      "FROM tf JOIN qt USING (token) JOIN idf USING (token) " +
+      "JOIN lens l ON l.doc_id = tf.doc_id, stats s), " +
+      "sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score " +
+      "FROM con GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk FROM sc) " +
+      s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, score " +
+      s"FROM r WHERE rnk <= $k"
+  }
+
   /** knn_lsh oracle — shared by knn_recall_lsh (its approximate side). */
   private val KnnLshSql: String = {
     val bandJoins = (0 until Similarity.LshBands).map { j =>
@@ -2550,6 +2596,27 @@ object SparkEntry {
     // bigram-LM oracle: adjacent pairs via unnest(generate_series)
     // (empty for single-token docs), counts, continuation counts over
     // the distinct-bigram relation, deterministic top-k total order
+    // exact bit-length surprisal: bin() emits minimal-width binary in
+    // BOTH engines, so length(bin(x)) = ⌊log2 x⌋+1 is integer-identical
+    "text_surprisal" ->
+      ("WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
+        "FROM documents), " +
+        "ix AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
+        "FROM t WHERE len(tk) >= 2), " +
+        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM ix), " +
+        "bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2), " +
+        "lm AS (SELECT bi.w1, bi.w2, bi.c12, u.c1 FROM bi JOIN " +
+        "(SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1) u " +
+        "USING (w1)), " +
+        "sc AS (SELECT doc_id, length(bin(c1)) - length(bin(c12)) AS surp " +
+        "FROM bg JOIN lm USING (w1, w2)), " +
+        "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, " +
+        "CAST(SUM(surp) AS BIGINT) AS surp_bits FROM sc GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(per.surp_bits, 0) AS surp_bits, " +
+        "CAST(COALESCE(per.surp_bits * 1000000 // per.n_bigrams, -1) AS BIGINT) " +
+        "AS surp_ppm FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"),
+    "text_bm25" -> Bm25Sql,
     "text_bigram_lm" -> {
       val k = graft.operators.TextOps.BigramTopK
       "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), " +

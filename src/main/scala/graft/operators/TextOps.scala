@@ -1274,4 +1274,116 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(expr("sw div n_tokens"), lit(0L)).as("imp_ppm"))
   }
+
+  /** Per-document bigram surprisal — the CCNet-style perplexity quality
+    * filter (Wenzek et al. 2020) in deterministic integer arithmetic.
+    * The corpus bigram LM assigns each in-document bigram (w1,w2) the
+    * surprisal −log2 P(w2|w1) ≈ bitlen(c(w1·)) − bitlen(c(w1,w2)),
+    * where bitlen(x) = ⌊log2 x⌋+1 comes from `length(bin(x))` — an
+    * EXACT integer in both engines, so the per-doc totals are long sums
+    * with no float aggregation (float-parity rule). Within ±1 bit per
+    * bigram of the true log ratio: exactly the fidelity a
+    * bucket-the-corpus-into-quality-tiers filter needs, with none of
+    * the cross-engine log/float risk.
+    *
+    * Shape at scale: one corpus-sized bigram shuffle to count, a
+    * vocabulary-sized join to attach the w1 context totals, one
+    * corpus-sized join keyed (w1,w2) to score (hot bigrams replicate a
+    * single LM row — no skew funnel), one doc-keyed aggregation. Docs
+    * with <2 tokens report (0, 0, −1): total function, sentinel ppm.
+    */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c(w1·) = occurrences of w1 as a non-final token — rolled up from
+    // the distinct-bigram relation, never a second corpus aggregation
+    val lm = bi.join(bi.groupBy("w1").agg(sum("c12").as("c1")), "w1")
+    val per = bg.join(lm, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        (length(bin(col("c1"))) - length(bin(col("c12")))).cast("long").as("surp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("surp").as("surp_bits"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surp_bits"), lit(0L)).as("surp_bits"),
+        coalesce(expr("surp_bits * 1000000 div n_bigrams"), lit(-1L))
+          .as("surp_ppm"))
+  }
+
+  /** BM25 parameters in per-mille fixed point (k1 = 1.2, b = 0.75) and
+    * the retrieval gate's fixture: docs with doc_id < Bm25Queries are
+    * the "queries", the rest are the searchable corpus. The SAME
+    * constants must appear in the oracle SQL.
+    */
+  val Bm25Queries = 8L
+  val Bm25K = 10
+  val Bm25K1pm = 1200L
+  val Bm25Bpm = 750L
+
+  /** BM25 keyword retrieval: top-k corpus docs per probe query, scored
+    * by the Okapi BM25 family in all-integer fixed point.
+    *
+    *  - idf_bits(t) = bitlen(⌊(2(N−df)+1)/(2df+1)⌋ + 1) — the
+    *    Robertson idf's log via exact integer bit length (same `bin`
+    *    device as `surprisal`); monotone in df, ≥1, ≈log2 of the
+    *    classic (N−df+0.5)/(df+0.5)+1.
+    *  - tf part: tf(k1+1)/(tf + k1(1−b+b·len/avglen)) with every
+    *    constant in per-mille and the division deferred to one final
+    *    ppm-scaled integer divide, so both engines floor identically.
+    *  - score = Σ_t idf_bits·tf_norm_ppm — a LONG sum; rank by
+    *    (score desc, doc_id asc) through TopKPerKey.
+    *
+    * Shape at scale: tf is the one corpus-sized shuffle (groupBy
+    * (doc_id, token)); df and the length stats roll up from tf and a
+    * map-side projection; the query-term side (≤ nQueries docs'
+    * vocabulary × idf) broadcasts, so scoring is tf ⋈ broadcast —
+    * candidate rows only for docs sharing a query term, then one
+    * (query, doc)-keyed aggregation and a k-bounded heap. No global
+    * sort, no cartesian corpus×queries product.
+    */
+  def bm25(docs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= nQueries)
+    val tf = corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val lens = corpus.select(col("doc_id"),
+      token_count(col("text")).cast("long").as("len_d"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum("len_d").as("total_tokens"))
+      .select(col("n_docs"),
+        expr("total_tokens * 1000000 div n_docs").as("avglen_ppm"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats).select(col("n_docs")))
+      .select(col("token"),
+        length(bin(expr("(2 * (n_docs - df) + 1) div (2 * df + 1) + 1")))
+          .cast("long").as("idf_bits"))
+    // query terms = DISTINCT tokens of each probe doc; terms absent
+    // from the corpus vocabulary drop at the idf join (contribute 0)
+    val qidf = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .join(idf, "token")
+    val scored = tf.join(broadcast(qidf), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats).select(col("avglen_ppm")))
+      .select(col("query_id"), col("doc_id"),
+        (col("idf_bits") *
+          expr(s"tf * (${Bm25K1pm} + 1000) * 1000 * 1000000 div " +
+            s"(tf * 1000000 + ${Bm25K1pm} * (1000 - ${Bm25Bpm}) + " +
+            s"${Bm25K1pm} * ${Bm25Bpm} * " +
+            s"(len_d * 1000000000 div avglen_ppm) div 1000)"))
+          .as("contrib"))
+      .groupBy("query_id", "doc_id").agg(sum("contrib").as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
 }

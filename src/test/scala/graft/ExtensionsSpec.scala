@@ -3875,4 +3875,55 @@ class ExtensionsSpec extends SparkSpec {
     // and a cluster's side IS its root's hashSplit side
     cl.foreach { case (id, root) => assert(split(id) === solo(root)) }
   }
+
+  test("surprisal: hand-computed fixture + totality on degenerate docs") {
+    // doc 0 bigrams: (a,b),(b,a),(a,c),(c,a),(a,b) — corpus counts
+    // c12(a,b)=2 c12(b,a)=1 c12(a,c)=1 c12(c,a)=1; contexts c1(a)=3
+    // c1(b)=1 c1(c)=1. Bit surprisals: (a,b)=2-2=0, (b,a)=0, (a,c)=2-1=1,
+    // (c,a)=0 → doc 0 total 1 over 5 bigrams = 200000 ppm.
+    val out = TextOps.surprisal(docsDf(
+        (0L, "a b a c a b"), (1L, "solo"), (2L, "")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((5L, 1L, 200000L)))
+    // <2-token docs are total: zero bigrams, sentinel ppm
+    assert(out(1L) === ((0L, 0L, -1L)))
+    assert(out(2L) === ((0L, 0L, -1L)))
+  }
+
+  test("surprisal: rare continuations out-score common ones") {
+    // 'x' is followed by 'common' 8× and by 'rare' once; the rare-tail
+    // doc must carry strictly higher surp_ppm than a common-tail doc
+    val docs = docsDf(
+      ((0L until 8L).map(i => i -> "x common"): Seq[(Long, String)]) :+
+        (8L -> "x rare"): _*)
+    val out = TextOps.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(8L) > out(0L))
+  }
+
+  test("bm25: rare-term targeting, length normalization, corpus restriction") {
+    val docs = docsDf(
+      (0L, "rare"), (1L, "common"), // probes (nQueries = 2)
+      (2L, "rare common common"), (3L, "common common"),
+      (4L, "filler filler"))
+    val rows = TextOps.bm25(docs, k = 10, nQueries = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    // query 0 ('rare'): only doc 2 contains it
+    assert(byQ(0L).map(_._3).toSet === Set(2L))
+    // query 1 ('common'): docs 2 and 3 hit, 4 doesn't; shorter doc 3
+    // wins on length normalization (same tf, same idf)
+    assert(byQ(1L).sortBy(_._2).map(_._3).toSeq === Seq(3L, 2L))
+    // probe docs are never results; scores are positive
+    assert(rows.forall(r => r._3 >= 2L && r._4 > 0L))
+  }
+
+  test("bm25: disjoint query vocabulary yields no rows for that query") {
+    val docs = docsDf((0L, "nomatch"), (1L, "alpha"),
+      (2L, "alpha beta"), (3L, "beta gamma"))
+    val rows = TextOps.bm25(docs, k = 5, nQueries = 2L).collect()
+    assert(rows.forall(_.getLong(0) != 0L))
+    assert(rows.exists(_.getLong(0) == 1L))
+  }
 }
