@@ -566,6 +566,17 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
+    // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
+    "search_hybrid" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.table(s, d, "documents"),
+          Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // filtered vector search: corpus pre-restricted to lang='en' docs
+    "knn_filtered" -> ((s, d) =>
+      Similarity.knnFiltered(Tables.table(s, d, "embeddings"),
+          Tables.table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en")
+        .orderBy("query_id", "rank")),
     // curriculum binning: per-doc quality-rank decile via the
     // distributed two-pass rank (no global window)
     "text_quality_deciles" -> ((s, d) =>
@@ -1639,9 +1650,8 @@ object SparkEntry {
     * minimal-width binary). Shared so a future fusion gate can splice
     * the keyword ranking without drift.
     */
-  private val Bm25Sql: String = {
+  private def bm25SqlFor(k: Int): String = {
     val nq = TextOps.Bm25Queries
-    val k = TextOps.Bm25K
     val k1 = TextOps.Bm25K1pm
     val b = TextOps.Bm25Bpm
     s"WITH corpus AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
@@ -1670,6 +1680,59 @@ object SparkEntry {
       s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, score " +
       s"FROM r WHERE rnk <= $k"
   }
+
+  private val Bm25Sql: String = bm25SqlFor(TextOps.Bm25K)
+
+  /** search_hybrid oracle: RRF fusion of the bm25 pool and the
+    * corpus-restricted cosine pool — both spliced whole so the fusion
+    * gate cannot drift from the modality gates' arithmetic.
+    */
+  private val HybridSql: String = {
+    val nq = TextOps.Bm25Queries
+    val pool = Similarity.RrfPool
+    val base = Similarity.RrfBase
+    val k = Similarity.HybridK
+    val vecSql =
+      s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+        s"q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < $nq), " +
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${dotSql("q_emb", "e.embedding")} / (sqrt(q_n2) * sqrt(e.n2)) AS cosine " +
+        s"FROM e, q WHERE e.vec_id >= $nq), " +
+        "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id " +
+        s"FROM r WHERE rnk <= $pool"
+    s"WITH kw AS (SELECT query_id, doc_id, \"rank\" AS kw_rank " +
+      s"FROM (${bm25SqlFor(pool)})), " +
+      "vec AS (SELECT query_id, neighbor_id AS doc_id, \"rank\" AS vec_rank " +
+      s"FROM ($vecSql)), " +
+      "f AS (SELECT COALESCE(kw.query_id, vec.query_id) AS query_id, " +
+      "COALESCE(kw.doc_id, vec.doc_id) AS doc_id, " +
+      s"COALESCE(1000000 // ($base + kw_rank), 0) + " +
+      s"COALESCE(1000000 // ($base + vec_rank), 0) AS rrf_ppm " +
+      "FROM kw FULL OUTER JOIN vec ON vec.query_id = kw.query_id " +
+      "AND vec.doc_id = kw.doc_id), " +
+      "r AS (SELECT query_id, doc_id, rrf_ppm, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS rnk FROM f) " +
+      s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, " +
+      s"CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM r WHERE rnk <= $k"
+  }
+
+  /** knn_filtered oracle — knnBruteSqlFor's shape with the corpus
+    * pre-restricted to lang='en' documents (the gate's predicate).
+    */
+  private val KnnFilteredSql: String =
+    s"WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+      "al AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
+      "c AS (SELECT e.vec_id, e.embedding, e.n2 FROM e JOIN al ON al.doc_id = e.vec_id), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10), " +
+      "scored AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+      s"${dotSql("q_emb", "c.embedding")} / (sqrt(q_n2) * sqrt(c.n2)) AS cosine " +
+      "FROM c, q WHERE c.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
 
   /** knn_lsh oracle — shared by knn_recall_lsh (its approximate side). */
   private val KnnLshSql: String = {
@@ -2617,6 +2680,8 @@ object SparkEntry {
         "CAST(COALESCE(per.surp_bits * 1000000 // per.n_bigrams, -1) AS BIGINT) " +
         "AS surp_ppm FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"),
     "text_bm25" -> Bm25Sql,
+    "search_hybrid" -> HybridSql,
+    "knn_filtered" -> KnnFilteredSql,
     "text_bigram_lm" -> {
       val k = graft.operators.TextOps.BigramTopK
       "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), " +

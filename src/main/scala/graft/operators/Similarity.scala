@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.PolyHashFunctions.poly_hash
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -1747,4 +1747,77 @@ object Similarity {
     graft.plans.TopK.perKey(scored, Seq("query_id"),
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+
+  /** Metadata-filtered vector search: exact top-k cosine neighbors
+    * restricted to the corpus rows whose document satisfies `pred`
+    * (modern "filtered ANN"). The filter composes BEFORE scoring as a
+    * left-semi join on the allowed-id relation — a post-filtered top-k
+    * would silently under-fill k whenever the filter and the neighbor-
+    * hood correlate, which is exactly when users filter. Queries are
+    * NOT filtered: any probe may search a restricted corpus. At scale
+    * the allowed-id side is ids-only (8 bytes/row); when `pred` rides a
+    * partition column the semi-join collapses into scan pruning.
+    */
+  def knnFiltered(emb: DataFrame, docs: DataFrame, pred: Column,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val allowed = docs.filter(pred).select(col("doc_id").as("vec_id"))
+    val corpus = withNorm(emb)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val scored = corpus.join(allowed, Seq("vec_id"), "left_semi")
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Hybrid-search constants: candidate pool depth per modality, the
+    * standard RRF dampening base (Cormack et al. 2009), and the fused
+    * top-k. The SAME values must appear in the oracle SQL.
+    */
+  val RrfPool = 20
+  val RrfBase = 60L
+  val HybridK = 10
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    * ranking and the embedding-cosine ranking for the same probe set
+    * (docs/vectors with id < nQueries query the id >= nQueries corpus).
+    * rrf_ppm = Σ_modality ⌊1e6/(RrfBase + rank)⌋ — integer quotients,
+    * so the fused score is engine-exact; docs surfaced by only one
+    * modality contribute that one term (FULL OUTER over the two
+    * pools). Each modality contributes its top `pool`; fusion then
+    * keeps the top k by (rrf_ppm desc, doc_id asc).
+    *
+    * Scale shape: both rankings are k-bounded relations (queries ×
+    * pool rows), so the fusion join and final heap are negligible next
+    * to the two underlying retrievals — the composition adds no
+    * corpus-sized stage of its own.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = HybridK,
+      pool: Int = RrfPool,
+      nQueries: Long = TextOps.Bm25Queries): DataFrame = {
+    val kw = TextOps.bm25(docs, pool, nQueries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("kw_rank"))
+    val corpus = withNorm(emb)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val vec = topK(corpus.filter(col("vec_id") >= nQueries)
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cosine")), pool)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfBase + kw_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfBase + vec_rank)"), lit(0L)))
+          .as("rrf_ppm"))
+    graft.plans.TopK.perKey(fused, Seq("query_id"),
+        Seq(col("rrf_ppm").desc, col("doc_id").asc), k)
+      .select("query_id", "rank", "doc_id", "rrf_ppm")
+  }
 }

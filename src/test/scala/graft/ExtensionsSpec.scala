@@ -3876,6 +3876,75 @@ class ExtensionsSpec extends SparkSpec {
     cl.foreach { case (id, root) => assert(split(id) === solo(root)) }
   }
 
+  test("knnFiltered: pre-filter fills k where post-filtering would starve") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    // query 0 at e0; vec 1-6 nearly parallel to it but DISALLOWED;
+    // 10-12 allowed, progressively farther. Post-filtering a top-3 of
+    // the unrestricted corpus would keep zero allowed rows; the
+    // pre-filtered operator must return exactly the 3 allowed ids in
+    // distance order.
+    def v(main: Int, eps: Float) =
+      Array.tabulate(8)(i => (if (i == 0) 1f else 0f) + (if (i == main % 8) eps else 0f))
+    val emb = (Seq(0L -> v(0, 0f)) ++
+      (1L to 6L).map(i => i -> v(i.toInt, 0.01f)) ++
+      Seq(10L -> v(1, 0.3f), 11L -> v(2, 0.6f), 12L -> v(3, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val docs = emb.select(col("vec_id").as("doc_id"),
+      when(col("vec_id") >= 10, "en").otherwise("zz").as("lang"))
+    val got = Similarity.knnFiltered(emb, docs, col("lang") === "en",
+        k = 3, nQueries = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L)))
+  }
+
+  test("hybridRrf equals the Scala-side fusion of its two modality rankings") {
+    val s = spark
+    import s.implicits._
+    import operators.{Similarity, TextOps}
+    val rnd = new scala.util.Random(7)
+    val docs = docsDf((0L until 30L).map { i =>
+      i -> (0 until 12).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+    }: _*)
+    val emb = (0L until 30L).map { i =>
+      i -> Array.fill(8)(rnd.nextFloat() - 0.5f)
+    }.toDF("vec_id", "embedding")
+    val nq = 3L
+    val pool = 5
+    val got = Similarity.hybridRrf(docs, emb, k = 4, pool = pool, nQueries = nq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference fusion: collect both rankings, fuse with integer RRF
+    val kw = TextOps.bm25(docs, pool, nq).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = (0L until 30L).zip((0L until 30L).map(i =>
+      emb.filter(col("vec_id") === i).collect()(0).getSeq[Float](1).toArray)).toMap
+    val vec = (0L until nq).flatMap { q =>
+      (nq until 30L).map(c => (q, c, cos(vecs(q), vecs(c))))
+        .sortBy { case (_, c, sc) => (-sc, c) }.take(pool).zipWithIndex
+        .map { case ((_, c, _), r) => (q, c) -> (r + 1L) }
+    }.toMap
+    val base = Similarity.RrfBase
+    val expect = (0L until nq).flatMap { q =>
+      val cands = (kw.keySet ++ vec.keySet).filter(_._1 == q).map(_._2)
+      cands.map { c =>
+        val sc = kw.get((q, c)).map(r => 1000000L / (base + r)).getOrElse(0L) +
+          vec.get((q, c)).map(r => 1000000L / (base + r)).getOrElse(0L)
+        (q, c, sc)
+      }.toSeq.sortBy { case (_, c, sc) => (-sc, c) }.take(4).zipWithIndex
+        .map { case ((qq, c, sc), r) => (qq, r + 1L, c, sc) }
+    }
+    assert(got.toSeq.sorted === expect.sorted)
+  }
+
   test("surprisal: hand-computed fixture + totality on degenerate docs") {
     // doc 0 bigrams: (a,b),(b,a),(a,c),(c,a),(a,b) — corpus counts
     // c12(a,b)=2 c12(b,a)=1 c12(a,c)=1 c12(c,a)=1; contexts c1(a)=3
