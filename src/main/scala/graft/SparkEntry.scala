@@ -370,6 +370,17 @@ object SparkEntry {
         .filter(col("v") < HopSeedMax).distinct()
       GraphOps.hopDistances(e, seeds, HopMax).orderBy("vertex")
     }),
+    // weighted SSSP: min path WEIGHT (edge multiplicity) over paths of
+    // ≤ SsspRounds edges from the same seed set as graph_hops —
+    // budget-truncated Bellman-Ford, exactly unrolled by the oracle
+    "graph_sssp" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = GraphOps.edges(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") < HopSeedMax).distinct()
+      GraphOps.ssspBudget(e, seeds).orderBy("vertex")
+    }),
     // DEEP-diameter BFS: the same operator with a 64-hop budget over a
     // long-chain graph (documents self-joined at stride HopDeepStep ⇒
     // 7 disjoint ~N/7-deep paths), so the frontier-delta sweep loop,
@@ -2389,6 +2400,26 @@ object SparkEntry {
         "CAST(b.lbl AS BIGINT) AS scc_dst " +
         "FROM base JOIN scc a ON a.vertex = base.src " +
         "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
+    "graph_sssp" -> {
+      // Bellman-Ford unrolled to EXACTLY SsspRounds min-combine rounds
+      // (MATERIALIZED — each round CTE is referenced twice; DuckDB
+      // would otherwise inline them exponentially, the kcore lesson).
+      // The Spark side's early exit is a fixpoint, so extra oracle
+      // rounds past convergence are identity.
+      val rounds = GraphOps.SsspRounds
+      val body = (1 to rounds).map { i =>
+        s"d$i AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (" +
+          s"SELECT v, dist FROM d${i - 1} UNION ALL " +
+          s"SELECT e.dst AS v, d${i - 1}.dist + e.w AS dist FROM d${i - 1} " +
+          s"JOIN e ON e.src = d${i - 1}.v) GROUP BY v)"
+      }.mkString(", ")
+      s"WITH e AS MATERIALIZED (SELECT src, dst, COUNT(*)::BIGINT AS w " +
+        s"FROM ($EdgesCte) GROUP BY 1, 2), " +
+        "seeds AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        s"UNION ALL SELECT dst FROM e) WHERE v < $HopSeedMax), " +
+        s"d0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM seeds), $body " +
+        s"SELECT v AS vertex, CAST(dist AS BIGINT) AS dist FROM d$rounds"
+    },
     "graph_hops" ->
       // bounded walk enumeration: every (vertex, depth ≤ HopMax) pair
       // on some path from a seed, MIN per vertex = BFS distance

@@ -1347,6 +1347,67 @@ object GraphOps {
     dist.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** Round budget for the weighted-SSSP gate — the oracle unrolls
+    * EXACTLY this many Bellman-Ford rounds as materialized CTEs, so the
+    * operator's contract is "min path weight over ≤ SsspRounds edges",
+    * well-defined on cyclic graphs and at any truncation point. Same
+    * constant MUST appear in oracleSql.
+    */
+  val SsspRounds = 6
+
+  /** Weighted single-source shortest paths, round-synchronous
+    * Bellman-Ford truncated at `maxRounds` relaxations: dist(v) = min
+    * total edge weight over directed paths from the seed set using at
+    * most `maxRounds` edges. Edge weight = bag multiplicity
+    * (`weightedEdges`), so parallel edges compress into one weighted
+    * row before any iteration — the hopDistances lesson applied to the
+    * weighted case.
+    *
+    * Per round: ONE state⋈edges join (state is vertex-sized, never
+    * path-sized) + one min-combine, on a checkpointed frame — O(V)
+    * state, O(rounds) jobs, no quadratic blowup on cycles because the
+    * min-combine collapses revisits. Early exit via the monotone
+    * (count, decimal-sum) signature of the state: reached only grows
+    * and dists only shrink, so an UNCHANGED pair ⇔ fixpoint (the SCC
+    * family's decSum device — a map-side aggregation, no join). At
+    * cluster scale the per-round shuffle is keyed by dst; a
+    * delta-stepping bucket refinement would cut rounds on
+    * high-diameter graphs but changes the truncation contract — this
+    * operator IS the budgeted form the oracle can state exactly.
+    */
+  def ssspBudget(e0: DataFrame, sources: DataFrame,
+      maxRounds: Int = SsspRounds): DataFrame = {
+    require(maxRounds >= 0 && maxRounds <= 64,
+      s"maxRounds must be in [0, 64], got $maxRounds")
+    val e = graft.Caches.track(weightedEdges(e0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = ck(sources.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)))
+    // one map-side aggregation yields BOTH monotone signals
+    def sigOf(d: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = d.agg(sum(col("dist").cast("decimal(38,0)")),
+        count(lit(1))).collect()(0)
+      (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0),
+        r.getLong(1))
+    }
+    var round = 0
+    var converged = false
+    var sig = sigOf(dist)
+    while (round < maxRounds && !converged) {
+      round += 1
+      val relax = dist.join(e, dist("v") === e("src"))
+        .select(e("dst").as("v"), (dist("dist") + e("w")).as("dist"))
+      val next = ck(dist.unionByName(relax)
+        .groupBy("v").agg(min("dist").as("dist")))
+      drop(dist)
+      dist = next
+      val nextSig = sigOf(dist)
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    dist.select(col("v").as("vertex"), col("dist"))
+  }
+
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
     * that is stable across runs, partitionings and engines (no RNG),

@@ -848,4 +848,46 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ssspBudget == brute budgeted Bellman-Ford on random weighted digraphs") {
+    // weights = bag multiplicities, so the brute side first compresses
+    // the edge bag exactly like weightedEdges
+    def brute(edges: Seq[(Long, Long)], seeds: Set[Long],
+        rounds: Int): Map[Long, Long] = {
+      val w = edges.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+      (1 to rounds).foreach { _ =>
+        val relax = dist.toSeq.flatMap { case (v, dv) =>
+          w.collect { case ((s, d), m) if s == v => d -> (dv + m) }
+        }
+        dist = (dist.toSeq ++ relax).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      dist
+    }
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(131)
+    (1 to 3).foreach { _ =>
+      // nextInt(12)² pairs → plenty of duplicate edges = weights > 1
+      val e = List.fill(80)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      val seeds = Set(0L, 1L)
+      for (rounds <- Seq(0, 1, 3, 12)) {
+        val got = GraphOps.ssspBudget(edgeDf(e: _*),
+            seeds.toSeq.toDF("v"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"edges=$e rounds=$rounds") {
+          assert(got === brute(e, seeds, rounds))
+        }
+      }
+    }
+    // unit-weight sanity: on a DISTINCT-edge graph with budget ≥
+    // diameter, SSSP distances == BFS hop distances
+    val chain = (0L until 6L).map(i => i -> (i + 1))
+    val bfs = GraphOps.hopDistances(edgeDf(chain: _*), Seq(0L).toDF("v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sssp = GraphOps.ssspBudget(edgeDf(chain: _*), Seq(0L).toDF("v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp === bfs)
+  }
 }
