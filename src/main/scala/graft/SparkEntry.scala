@@ -622,6 +622,12 @@ object SparkEntry {
     "text_source_overlap" -> ((s, d) =>
       TextOps.sourceVocabOverlap(Tables.table(s, d, "documents"))
         .orderBy("src_a", "src_b")),
+    // bounded-state twin of text_source_overlap: pairwise vocabulary
+    // overlap estimated by HLL set algebra (union = bucket-wise max,
+    // intersection = inclusion-exclusion)
+    "text_source_overlap_hll" -> ((s, d) =>
+      TextOps.sourceOverlapHll(Tables.table(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "dedup_spans" -> ((s, d) =>
@@ -2889,6 +2895,43 @@ object SparkEntry {
         s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * ${(m.toLong * m).toDouble} * " +
         s"$p2 / CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE) AS est_raw " +
         "FROM agg"
+    },
+    "text_source_overlap_hll" -> {
+      val m = graft.operators.TextOps.HllBuckets
+      val cap = graft.operators.TextOps.HllCap
+      val p2 = (1L << cap).toDouble
+      val mod2 = graft.functions.PolyHashUtil.Mod2
+      // one fixed-order float expression per estimate row — identical
+      // to hllFinalize's ((alpha · m²) · 2^cap) / harmonic chain
+      val estExpr = s"0.7213 / (1.0 + 1.079 / ${m.toDouble}) * " +
+        s"${(m.toLong * m).toDouble} * $p2 / " +
+        s"CAST(sp + ($m - nz) * (1::BIGINT << $cap) AS DOUBLE)"
+      s"WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) " +
+        "AS token FROM documents), " +
+        s"h AS (SELECT source, ${phSql("token")} * $mod2 + ${phSql2("token")} " +
+        "AS h FROM tok), " +
+        s"br AS (SELECT source, h % $m AS bucket, h // $m AS rest FROM h), " +
+        s"rh AS (SELECT source, bucket, CASE WHEN rest = 0 THEN $cap ELSE " +
+        s"LEAST($cap, bit_count((rest & (-rest)) - 1) + 1) END AS rho FROM br), " +
+        "mx AS (SELECT source, bucket, MAX(rho) AS mr FROM rh GROUP BY 1, 2), " +
+        "agg AS (SELECT source, COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM mx GROUP BY 1), " +
+        s"est AS (SELECT source, $estExpr AS est_raw FROM agg), " +
+        "srcs AS (SELECT DISTINCT source FROM mx), " +
+        "pairs AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a " +
+        "JOIN srcs b ON a.source < b.source), " +
+        "um AS (SELECT src_a, src_b, bucket, MAX(mr) AS mr FROM (" +
+        "SELECT p.src_a, p.src_b, mx.bucket, mx.mr FROM pairs p " +
+        "JOIN mx ON mx.source = p.src_a " +
+        "UNION ALL SELECT p.src_a, p.src_b, mx.bucket, mx.mr FROM pairs p " +
+        "JOIN mx ON mx.source = p.src_b) GROUP BY 1, 2, 3), " +
+        "uagg AS (SELECT src_a, src_b, COUNT(*) AS nz, " +
+        s"COALESCE(SUM(1::BIGINT << ($cap - mr)), 0) AS sp FROM um GROUP BY 1, 2), " +
+        s"uest AS (SELECT src_a, src_b, $estExpr AS est_union FROM uagg) " +
+        "SELECT u.src_a, u.src_b, ea.est_raw AS est_a, eb.est_raw AS est_b, " +
+        "u.est_union, ea.est_raw + eb.est_raw - u.est_union AS est_overlap " +
+        "FROM uest u JOIN est ea ON ea.source = u.src_a " +
+        "JOIN est eb ON eb.source = u.src_b"
     },
     "text_cooccur" -> {
       val k = graft.operators.TextOps.CooccurTopK

@@ -1386,4 +1386,46 @@ object TextOps {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select("query_id", "rank", "doc_id", "score")
   }
+
+  /** Estimated pairwise vocabulary overlap between sources via HLL
+    * set algebra — the bounded-state twin of `sourceVocabOverlap`
+    * (which is exact but shuffles real token sets). One corpus pass
+    * builds a per-source bucket-max sketch; a pair's union sketch is
+    * the bucket-wise MAX of the two (merge = max, exact — not an
+    * approximation on top of an approximation), and the intersection
+    * estimate is inclusion-exclusion est_a + est_b − est_union (may go
+    * ≤ 0 at sketch error scale — reported as-is; the consumer
+    * thresholds). All counter state is integer; the three estimates
+    * are each ONE fixed-order float expression per row (float-parity
+    * rule), sharing `hllFinalize` with every other HLL gate.
+    *
+    * Scale: state is ≤ m counters per source regardless of corpus
+    * size; the pair stage is (sources² / 2) · m slim integer rows —
+    * quadratic in SOURCES like any pairwise governance matrix, never
+    * in tokens or documents.
+    */
+  def sourceOverlapHll(docs: DataFrame): DataFrame = {
+    val mx = graft.Caches.track(hllBucketMax(
+        docs.select(col("source"), explode(tokens(col("text"))).as("token")),
+        Seq("source"), col("token"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val per = hllFinalize(mx, Seq("source"))
+    val srcs = mx.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    val merged = pairs.join(mx, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("bucket"), col("mr"))
+      .unionByName(pairs.join(mx, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("bucket"), col("mr")))
+      .groupBy("src_a", "src_b", "bucket").agg(max("mr").as("mr"))
+    hllFinalize(merged, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_raw").as("est_union"))
+      .join(per.select(col("source").as("src_a"), col("est_raw").as("est_a")),
+        "src_a")
+      .join(per.select(col("source").as("src_b"), col("est_raw").as("est_b")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+  }
 }

@@ -3945,6 +3945,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq.sorted === expect.sorted)
   }
 
+  test("sourceOverlapHll: identical sources collapse, merge dominates sides") {
+    val s = spark
+    import s.implicits._
+    import operators.TextOps
+    val rnd = new scala.util.Random(17)
+    def corpus(tag: String, n: Int) =
+      (0 until n).map(i => s"t${tag}_${rnd.nextInt(200)} w$i common").mkString(" ")
+    val docs = Seq(
+      (0L, corpus("a", 40), "sA"), (1L, corpus("a2", 40), "sA"),
+      // sB is an EXACT token-set copy of nothing — its own vocab
+      (2L, corpus("b", 40), "sB"),
+      // sC duplicates sA's doc 0 text exactly
+      (3L, Seq((0 until 40).map(i => s"ta_x"), Seq("fixed")).flatten.mkString(" "), "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapHll(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // union sketch dominates both sides for every pair
+    out.values.foreach { case (a, b, u, _) =>
+      assert(u >= math.max(a, b) - 1e-9)
+      assert(u <= a + b + 1e-9) // and never exceeds the sum (overlap ≥ ~0)
+    }
+    // identical token SETS (same source text twice under two names):
+    val two = docs.filter(col("source") === "sA")
+      .select(col("doc_id"), col("text"), lit("s1").as("source"))
+      .unionByName(docs.filter(col("source") === "sA")
+        .select((col("doc_id") + 10L).as("doc_id"), col("text"),
+          lit("s2").as("source")))
+    val eq = TextOps.sourceOverlapHll(two).collect()(0)
+    // union of two identical sketches IS the sketch: est_union == est_a
+    // == est_b and the estimated overlap equals the shared estimate
+    assert(eq.getDouble(2) === eq.getDouble(3))
+    assert(eq.getDouble(2) === eq.getDouble(4))
+    assert(eq.getDouble(5) === eq.getDouble(2))
+  }
+
   test("surprisal: hand-computed fixture + totality on degenerate docs") {
     // doc 0 bigrams: (a,b),(b,a),(a,c),(c,a),(a,b) — corpus counts
     // c12(a,b)=2 c12(b,a)=1 c12(a,c)=1 c12(c,a)=1; contexts c1(a)=3
