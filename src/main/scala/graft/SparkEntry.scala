@@ -588,6 +588,13 @@ object SparkEntry {
           Tables.table(s, d, "documents"),
           org.apache.spark.sql.functions.col("lang") === "en")
         .orderBy("query_id", "rank")),
+    // the same predicate on the IVF serving path: full-corpus index,
+    // allowed-id semi-join before assignment/scoring
+    "knn_ivf_filtered" -> ((s, d) =>
+      Similarity.knnIvfFiltered(Tables.table(s, d, "embeddings"),
+          Tables.table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en")
+        .orderBy("query_id", "rank")),
     // curriculum binning: per-doc quality-rank decile via the
     // distributed two-pass rank (no global window)
     "text_quality_deciles" -> ((s, d) =>
@@ -1950,6 +1957,24 @@ object SparkEntry {
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
 
+  /** knn_ivf_filtered oracle — KnnIvfSql's scoring tail with the
+    * candidate side semi-joined to the allowed documents. The index
+    * CTEs (cells, assignment, probes) are the SHARED IvfCoreCtes —
+    * layout is filter-independent by construction on both sides.
+    */
+  private val KnnIvfFilteredSql: String =
+    s"WITH $IvfCoreCtes, " +
+      "al AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cosine " +
+      "FROM assigned a JOIN al ON al.doc_id = a.vec_id " +
+      "JOIN probes p ON a.cell = p.cell " +
+      "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
+      "FROM r WHERE rnk <= 5"
+
   /** knn_ivf_pq oracle — the IVF core (cells + probes) with the PQ ADC
     * scoring tail: PQ codebook/codes/LUT CTEs renamed p* to avoid
     * colliding with the IVF chain's names, candidates restricted to
@@ -2719,6 +2744,7 @@ object SparkEntry {
     "text_bm25" -> Bm25Sql,
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
+    "knn_ivf_filtered" -> KnnIvfFilteredSql,
     "text_bigram_lm" -> {
       val k = graft.operators.TextOps.BigramTopK
       "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), " +

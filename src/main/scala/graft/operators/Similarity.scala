@@ -1084,7 +1084,8 @@ object Similarity {
     */
   private[graft] def ivfScored(emb: DataFrame,
       nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
-      nCells: Int = 0, corpusSize: Long = -1L): DataFrame = {
+      nCells: Int = 0, corpusSize: Long = -1L,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val corpus = withNorm(emb)
     val cells =
       if (nCells > 0) nCells
@@ -1118,7 +1119,7 @@ object Similarity {
     val centLocal = emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(centRows: _*), cents.schema)
     ivfFromCentroids(corpus, centIds, centEmb, centN2, centLocal,
-      nQueries, nProbe)
+      nQueries, nProbe, restrict)
   }
 
   /** The IVF machinery downstream of centroid choice — anchor layout,
@@ -1187,13 +1188,22 @@ object Similarity {
 
   private def ivfFromCentroids(corpus: DataFrame, centIds: Array[Long],
       centEmb: Array[Array[Double]], centN2: Array[Double],
-      centLocal: DataFrame, nQueries: Long, nProbe: Int): DataFrame = {
+      centLocal: DataFrame, nQueries: Long, nProbe: Int,
+      restrict: Option[DataFrame] = None): DataFrame = {
     // cell ASSIGNMENT is a per-row codegen expression over the in-task
     // centroid arrays: O(N) rows, ZERO shuffle, ~2·N^(1/4) dot products
     // per row via the coarse→fine split. (The broadcast-join + argmax
     // alternative materialized N·cells wide rows through a shuffle —
     // measured ~8× slower at 80k×256 and growing worse with N.)
-    val assigned = corpus.select(
+    // `restrict` (an allowed-vec_id relation) narrows the SEARCHED
+    // corpus before the assignment expression even runs — the filtered-
+    // ANN serving path: the index layout (centroids chosen above, from
+    // the FULL corpus) is filter-independent, queries stay unfiltered.
+    val base = restrict match {
+      case Some(r) => corpus.join(r, Seq("vec_id"), "left_semi")
+      case None => corpus
+    }
+    val assigned = base.select(
       assignCellExpr(centIds, centEmb, centN2).as("cell"),
       col("vec_id"), col("embedding"), col("n2"))
     probeAndScore(assigned, corpus, centLocal, nQueries, nProbe)
@@ -1771,6 +1781,23 @@ object Similarity {
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
           .as("cosine"))
     topK(scored, k)
+  }
+
+  /** Filtered ANN on the IVF serving path — the production filtered-
+    * search shape: the cell index is built over the FULL corpus (layout
+    * is filter-independent, so one index serves every predicate), the
+    * allowed-id semi-join narrows the searched rows BEFORE cell
+    * assignment/scoring, and probing is unchanged. Compare
+    * `knnFiltered` (exact brute twin): same contract, this one meets
+    * |allowed|·nProbe/cells candidates per query instead of |allowed|.
+    */
+  def knnIvfFiltered(emb: DataFrame, docs: DataFrame, pred: Column,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries,
+      nProbe: Int = IvfNProbe, nCells: Int = 0,
+      corpusSize: Long = -1L): DataFrame = {
+    val allowed = docs.filter(pred).select(col("doc_id").as("vec_id"))
+    topK(ivfScored(emb, nQueries, nProbe, nCells, corpusSize,
+      Some(allowed)), k)
   }
 
   /** Hybrid-search constants: candidate pool depth per modality, the

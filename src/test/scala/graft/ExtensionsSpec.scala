@@ -3899,6 +3899,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L)))
   }
 
+  test("knnIvfFiltered: TRUE-predicate identity and membership under a real filter") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 400L).map { i =>
+      i -> Array.fill(8)(rnd.nextFloat() - 0.5f)
+    }.toDF("vec_id", "embedding")
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 3 == 0) "en" else "zz")).toDF("doc_id", "lang")
+    // pred ≡ TRUE reproduces the unfiltered serving path byte-for-byte
+    val all = Similarity.knnIvf(emb, corpusSize = 400L).collect().toSeq
+    val allF = Similarity.knnIvfFiltered(emb, docs, lit(true),
+      corpusSize = 400L).collect().toSeq
+    assert(allF === all)
+    // under the real filter every neighbor satisfies the predicate and
+    // queries (unfiltered) still get served
+    val en = Similarity.knnIvfFiltered(emb, docs, col("lang") === "en",
+        corpusSize = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(en.nonEmpty)
+    assert(en.forall(_._2 % 3 == 0))
+    assert(en.map(_._1).distinct.length > 1)
+  }
+
   test("hybridRrf equals the Scala-side fusion of its two modality rankings") {
     val s = spark
     import s.implicits._
