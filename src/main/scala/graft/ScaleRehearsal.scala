@@ -1032,6 +1032,37 @@ object ScaleRehearsal {
       s"$b -> $a files"
     })
 
+    // ---- round-13 retrieval/scoring wave at the large tier ----
+    // 50k-doc replica corpus: BM25's tf shuffle, surprisal's bigram
+    // passes and the HLL pair matrix all meet real fanout; probes stay
+    // the original doc_id < 8 (replica ids are shifted by +k·1e6)
+    t("bm25 50k docs")(operators.TextOps.bm25(docs).count())
+    t("surprisal 50k docs")(operators.TextOps.surprisal(docs).count())
+    t("source_overlap_hll 50k/40src")(
+      operators.TextOps.sourceOverlapHll(docs.select(col("doc_id"),
+          col("text"),
+          concat(lit("s"), pmod(col("doc_id"), lit(40)).cast("string"))
+            .as("source")))
+        .count())
+    // weighted SSSP on the 10M-edge graph: 6 budget rounds, exact
+    // decimal checksum of the distance relation (drift would move it)
+    t("sssp 10M edges 6 rounds")({
+      val seeds = edges.select(col("src").as("v"))
+        .filter(col("v") < 5L).distinct()
+      operators.GraphOps.ssspBudget(edges, seeds)
+        .agg(sum(col("dist").cast("decimal(38,0)")), count(lit(1)))
+        .collect()(0).toSeq.mkString("/")
+    })
+    // filtered IVF at 80k vectors with a ~50% predicate: the index is
+    // full-corpus, the semi-join halves the searched rows
+    t("knn_ivf_filtered 80k")({
+      val e80 = embX(40)
+      val docs80 = e80.select(col("vec_id").as("doc_id"),
+        pmod(col("doc_id"), lit(2)).as("par"))
+      operators.Similarity.knnIvfFiltered(e80, docs80,
+        col("par") === 0L, corpusSize = 80000L).count()
+    })
+
     spark.stop()
   }
 }

@@ -474,6 +474,41 @@ class PlanSpec extends SparkSpec {
       .r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("bm25: query-term side broadcasts; no sort-merge join touches the corpus") {
+    val plan = executedPlan("text_bm25")
+    // the qidf and stats sides ride broadcast exchanges into the tf
+    // stream; scoring never shuffles the corpus against the queries
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // final ranking is the k-bounded heap, not a window sort
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("knn_filtered: allowed ids ride a semi-join; embeddings scan stays pruned") {
+    val plan = executedPlan("knn_filtered")
+    assert(plan.contains("LeftSemi"), plan)
+    // the documents side reads ONLY (doc_id, lang)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("knn_ivf_filtered: semi-join narrows the corpus BEFORE the assignment projection") {
+    val plan = executedPlan("knn_ivf_filtered")
+    assert(plan.contains("LeftSemi"), plan)
+    // serving still probes via broadcast, ranks via the heap
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_surprisal: corpus bigram stream joins the LM relation, never a cartesian") {
+    val plan = executedPlan("text_surprisal")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the text scan is pruned to (doc_id, text)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
