@@ -971,6 +971,15 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnLsh(emb), Similarity.knnBrute(emb))
     }),
+    // the FILTERED serving path priced against its exact filtered twin
+    // — recall loss from cell pruning under a metadata predicate
+    "knn_filtered_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val docs = Tables.table(s, d, "documents")
+      val pred = org.apache.spark.sql.functions.col("lang") === "en"
+      Similarity.recallAtK(Similarity.knnIvfFiltered(emb, docs, pred),
+        Similarity.knnFiltered(emb, docs, pred))
+    }),
     // the kNN GRAPH under the honesty gate: recall@5 against the
     // ALL-QUERIES brute ranking (every vector is a query — N² dots,
     // audit-scale by construction; at real corpus sizes this gate runs
@@ -3603,6 +3612,7 @@ object SparkEntry {
     // cannot drift), composed through the one recallSql shape
     "knn_recall" -> recallSql(KnnBruteSql, KnnIvfSql),
     "knn_recall_lsh" -> recallSql(KnnBruteSql, KnnLshSql),
+    "knn_filtered_recall" -> recallSql(KnnFilteredSql, KnnIvfFilteredSql),
     "knn_graph_recall" -> recallSql(knnBruteSqlFor("TRUE"), KnnGraphSql),
     // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
     // (strlen) and first_byte the UTF-8 leading byte — byte semantics

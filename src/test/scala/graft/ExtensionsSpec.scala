@@ -3899,6 +3899,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L)))
   }
 
+  test("knn_filtered_recall floor on sf0.001 — the filtered path's honesty bar") {
+    import operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val pred = col("lang") === "en"
+    val gate = Similarity.recallAtK(
+      Similarity.knnIvfFiltered(emb, docs, pred),
+      Similarity.knnFiltered(emb, docs, pred)).collect()(0)
+    assert(gate.getLong(2) === 50L) // 10 queries × k=5 exact pairs
+    assert(gate.getDouble(3) >= 0.3,
+      s"knn_filtered_recall fell below floor: ${gate.getDouble(3)}")
+  }
+
   test("knnIvfFiltered: TRUE-predicate identity and membership under a real filter") {
     val s = spark
     import s.implicits._
