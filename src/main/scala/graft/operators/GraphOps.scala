@@ -1408,6 +1408,67 @@ object GraphOps {
     dist.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** Walk geometry for the graph_walks gate — the oracle unrolls
+    * EXACTLY WalkLen steps; same constants MUST appear in oracleSql.
+    */
+  val WalkLen = 8
+  val WalksPerSeed = 4L
+
+  /** Deterministic "random" walks — the node2vec/DeepWalk corpus
+    * generator without an RNG: from each seed vertex, `perSeed` walks
+    * of ≤ `len` steps, where the move at position s from vertex v picks
+    * the out-neighbor ranked `1 + poly_hash(walk ":" s ":" v) mod
+    * out_deg(v)` in (dst asc) order. A pure function of the graph and
+    * the walk id: reproducible across runs, partitionings and engines
+    * — the same device as `TextOps.negatives` — while mixing enough
+    * that sibling walks diverge. Dead-end vertices simply end the walk
+    * (no self-loop padding); output is (walk_id, step, vertex) with
+    * step 0 = the seed.
+    *
+    * Shape: the ranked adjacency (rnk, deg per src — one vertex-
+    * partitioned window pass) is built once and persisted; each of the
+    * `len` rounds is ONE broadcast join of the walks frame against it.
+    * Broadcasting the WALK side is the few-seeds posture this gate
+    * runs; a walk set too big to broadcast flips to an equi-join
+    * shuffled on (vertex = src) — same plan text, drop the hint. State
+    * is checkpointed per round so the plan stays flat at any length.
+    */
+  def randomWalks(e0: DataFrame, sources: DataFrame, len: Int = WalkLen,
+      perSeed: Long = WalksPerSeed): DataFrame = {
+    require(len >= 0 && len <= 64, s"len must be in [0, 64], got $len")
+    require(perSeed >= 1L && perSeed <= 1024L,
+      s"perSeed must be in [1, 1024], got $perSeed")
+    import graft.functions.PolyHashFunctions.poly_hash
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val adj = graft.Caches.track(e0.select("src", "dst").distinct()
+      .withColumn("rnk", row_number().over(w.orderBy(col("dst"))))
+      .withColumn("deg", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var state = ck(sources.select(col("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
+      .select((col("v") * perSeed + col("j")).as("walk_id"),
+        col("v").as("vertex")))
+    val frames = scala.collection.mutable.ListBuffer(
+      state.select(col("walk_id"), lit(0L).as("step"), col("vertex")))
+    var step = 1
+    while (step <= len) {
+      val h = poly_hash(concat(
+        state("walk_id").cast("string"), lit(":"),
+        lit((step - 1).toString), lit(":"),
+        state("vertex").cast("string")))
+      val next = broadcast(state).join(adj,
+        adj("src") === state("vertex") &&
+          adj("rnk") === pmod(h, adj("deg")) + 1)
+      val stepped = ck(next.select(state("walk_id").as("walk_id"),
+        adj("dst").as("vertex")))
+      frames += stepped.select(col("walk_id"),
+        lit(step.toLong).as("step"), col("vertex"))
+      state = stepped
+      step += 1
+    }
+    frames.reduce(_.unionByName(_)).select("walk_id", "step", "vertex")
+  }
+
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
     * that is stable across runs, partitionings and engines (no RNG),

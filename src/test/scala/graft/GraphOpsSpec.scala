@@ -890,4 +890,49 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sssp === bfs)
   }
+
+  test("randomWalks == brute walk simulation on random digraphs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(s: String): Long =
+      graft.functions.PolyHashUtil.hash(UTF8String.fromString(s))
+    def brute(edges: Seq[(Long, Long)], seeds: Seq[Long], len: Int,
+        per: Long): Seq[(Long, Long, Long)] = {
+      val adj = edges.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      for {
+        v <- seeds; j <- 0L until per
+        walk = v * per + j
+        row <- {
+          var cur = v
+          var rows = List((walk, 0L, v))
+          var s = 0
+          var dead = false
+          while (s < len && !dead) {
+            adj.get(cur) match {
+              case Some(ns) =>
+                cur = ns((ph(s"$walk:$s:$cur") % ns.length).toInt)
+                s += 1
+                rows ::= ((walk, s.toLong, cur))
+              case None => dead = true
+            }
+          }
+          rows.reverse
+        }
+      } yield row
+    }
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(83)
+    (1 to 2).foreach { _ =>
+      // sparse digraph → dead ends actually occur
+      val e = List.fill(25)((rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+      val seeds = Seq(0L, 1L, 2L)
+      val got = GraphOps.randomWalks(edgeDf(e: _*), seeds.toDF("v"),
+          len = 6, perSeed = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      withClue(s"edges=$e") {
+        assert(got.sorted.toSeq === brute(e, seeds, 6, 3L).sorted)
+      }
+    }
+  }
 }
