@@ -380,6 +380,17 @@ object SparkEntry {
         .filter(col("v") < HopSeedMax).distinct()
       GraphOps.randomWalks(e, seeds).orderBy("walk_id", "step")
     }),
+    // skip-gram (center, context) pair counts from the same walks —
+    // the DeepWalk corpus → word2vec-examples step
+    "graph_walk_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = GraphOps.edges(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") < HopSeedMax).distinct()
+      GraphOps.walkPairs(GraphOps.randomWalks(e, seeds))
+        .orderBy("center", "context")
+    }),
     // weighted SSSP: min path WEIGHT (edge multiplicity) over paths of
     // ≤ SsspRounds edges from the same seed set as graph_hops —
     // budget-truncated Bellman-Ford, exactly unrolled by the oracle
@@ -1994,6 +2005,34 @@ object SparkEntry {
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
 
+  /** graph_walks oracle — the walk recurrence unrolled to WalkLen
+    * joins; the step-s hash string is "<walk_id>:<s-1>:<vertex>" in
+    * BOTH engines. Shared whole by graph_walk_pairs.
+    */
+  private lazy val GraphWalksSql: String = {
+    val len = GraphOps.WalkLen
+    val per = GraphOps.WalksPerSeed
+    val steps = (1 to len).map { s =>
+      s"w$s AS (SELECT p.walk_id, a.dst AS vertex FROM w${s - 1} p " +
+        "JOIN adj a ON a.src = p.vertex AND a.rnk = " +
+        phSql(s"CAST(p.walk_id AS VARCHAR) || ':${s - 1}:' || " +
+          "CAST(p.vertex AS VARCHAR)") +
+        " % a.deg + 1)"
+    }.mkString(", ")
+    val out = (0 to len).map(s =>
+      s"SELECT walk_id, CAST($s AS BIGINT) AS step, vertex FROM w$s")
+      .mkString(" UNION ALL ")
+    s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+      "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src " +
+      "ORDER BY dst) AS rnk, COUNT(*) OVER (PARTITION BY src) AS deg " +
+      "FROM e), " +
+      "seeds AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+      s"UNION ALL SELECT dst FROM e) WHERE v < $HopSeedMax), " +
+      s"w0 AS (SELECT v * $per + j AS walk_id, v AS vertex FROM seeds, " +
+      s"(SELECT unnest(range(0, $per)) AS j)) " +
+      s", $steps $out"
+  }
+
   /** knn_ivf_pq oracle — the IVF core (cells + probes) with the PQ ADC
     * scoring tail: PQ codebook/codes/LUT CTEs renamed p* to avoid
     * colliding with the IVF chain's names, candidates restricted to
@@ -2450,31 +2489,16 @@ object SparkEntry {
         "CAST(b.lbl AS BIGINT) AS scc_dst " +
         "FROM base JOIN scc a ON a.vertex = base.src " +
         "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
-    "graph_walks" -> {
-      // the walk recurrence unrolled to WalkLen joins; the step-s hash
-      // string is "<walk_id>:<s-1>:<vertex>" in BOTH engines
-      val len = GraphOps.WalkLen
-      val per = GraphOps.WalksPerSeed
-      val steps = (1 to len).map { s =>
-        s"w$s AS (SELECT p.walk_id, a.dst AS vertex FROM w${s - 1} p " +
-          "JOIN adj a ON a.src = p.vertex AND a.rnk = " +
-          phSql(s"CAST(p.walk_id AS VARCHAR) || ':${s - 1}:' || " +
-            "CAST(p.vertex AS VARCHAR)") +
-          " % a.deg + 1)"
-      }.mkString(", ")
-      val out = (0 to len).map(s =>
-        s"SELECT walk_id, CAST($s AS BIGINT) AS step, vertex FROM w$s")
-        .mkString(" UNION ALL ")
-      s"WITH e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
-        "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src " +
-        "ORDER BY dst) AS rnk, COUNT(*) OVER (PARTITION BY src) AS deg " +
-        "FROM e), " +
-        "seeds AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
-        s"UNION ALL SELECT dst FROM e) WHERE v < $HopSeedMax), " +
-        s"w0 AS (SELECT v * $per + j AS walk_id, v AS vertex FROM seeds, " +
-        s"(SELECT unnest(range(0, $per)) AS j)) " +
-        s", $steps $out"
-    },
+    "graph_walks" -> GraphWalksSql,
+    "graph_walk_pairs" ->
+      // skip-gram pairs over the SAME spliced walk corpus — the two
+      // gates cannot drift
+      (s"WITH w AS (SELECT * FROM ($GraphWalksSql)) " +
+        "SELECT a.vertex AS center, b.vertex AS context, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM w a JOIN w b ON b.walk_id = a.walk_id " +
+        "AND b.step <> a.step AND abs(a.step - b.step) <= " +
+        s"${GraphOps.WalkWindow} GROUP BY 1, 2"),
     "graph_sssp" -> {
       // Bellman-Ford unrolled to EXACTLY SsspRounds min-combine rounds
       // (MATERIALIZED — each round CTE is referenced twice; DuckDB

@@ -1469,6 +1469,33 @@ object GraphOps {
     frames.reduce(_.unionByName(_)).select("walk_id", "step", "vertex")
   }
 
+  /** Skip-gram context radius for walkPairs. Same constant MUST appear
+    * in oracleSql.
+    */
+  val WalkWindow = 2
+
+  /** Skip-gram training pairs from the walk corpus — the step that
+    * turns `randomWalks` output into word2vec-style (center, context)
+    * examples: within each walk, every ordered vertex pair at step
+    * distance 1..`window`, counted over all walks. One walk-keyed
+    * equi-join (walks are short, so the per-key fanout is ≤ 2·window·
+    * len rows) and one count aggregation keyed by the pair — at corpus
+    * scale both stages are bounded by walks × len × window, linear in
+    * the walk corpus, never in the graph.
+    */
+  def walkPairs(walks: DataFrame, window: Int = WalkWindow): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1, 16], got $window")
+    val a = walks.select(col("walk_id"), col("step").as("s_a"),
+      col("vertex").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("s_b"),
+      col("vertex").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("s_a") =!= col("s_b") &&
+        abs(col("s_a") - col("s_b")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic structural edge sampler: keeps the edges whose
     * `(src·31 + dst) mod m` is 0 — a fixed pseudo-random ~1/m slice
     * that is stable across runs, partitionings and engines (no RNG),
