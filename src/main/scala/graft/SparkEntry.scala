@@ -590,6 +590,11 @@ object SparkEntry {
     // char-pair counts over the DISTINCT word vocabulary
     "text_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.table(s, d, "documents"))),
+    // the BPE TRAINER loop: count → argmax → greedy merge, iterated;
+    // output is the merge table a tokenizer ships
+    "text_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.table(s, d, "documents"))
+        .orderBy("merge_rank")),
     // CCNet-style bigram-surprisal quality scoring in exact bit-length
     // integers — the perplexity-bucket filter without the float log
     "text_surprisal" -> ((s, d) =>
@@ -2789,6 +2794,36 @@ object SparkEntry {
     // bigram-LM oracle: adjacent pairs via unnest(generate_series)
     // (empty for single-token docs), counts, continuation counts over
     // the distinct-bigram relation, deterministic top-k total order
+    "text_bpe_train" -> {
+      // the merge loop unrolled: per round, pair counts over the
+      // double-space symbol strings, a 1-row argmax (MATERIALIZED —
+      // referenced by the apply step AND the final union), and the
+      // same boundary-preserving replace the Spark side runs. An
+      // exhausted round's empty argmax empties every later round —
+      // matching the operator's early exit.
+      val rounds = graft.operators.TextOps.BpeTrainRounds
+      val body = (1 to rounds).map { r =>
+        s"x$r AS (SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
+          s"FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM v${r - 1})), " +
+          s"p$r AS (SELECT tk[i] AS a, tk[i + 1] AS b, " +
+          s"CAST(SUM(freq) AS BIGINT) AS n FROM x$r GROUP BY 1, 2), " +
+          s"b$r AS MATERIALIZED (SELECT a, b, n FROM p$r " +
+          "ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
+          s"v$r AS MATERIALIZED (SELECT freq, replace(s, " +
+          s"' ' || b$r.a || '  ' || b$r.b || ' ', " +
+          s"' ' || b$r.a || b$r.b || ' ') AS s FROM v${r - 1}, b$r)"
+      }.mkString(", ")
+      val out = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, n FROM b$r")
+        .mkString(" UNION ALL ")
+      "WITH vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM " +
+        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word " +
+        "FROM documents) GROUP BY 1), " +
+        "v0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(" +
+        "list_transform(range(1, length(word) + 1), " +
+        "i -> substr(word, i, 1)), '  ') || ' ' AS s FROM vocab), " +
+        s"$body $out"
+    },
     // exact bit-length surprisal: bin() emits minimal-width binary in
     // BOTH engines, so length(bin(x)) = ⌊log2 x⌋+1 is integer-identical
     "text_surprisal" ->

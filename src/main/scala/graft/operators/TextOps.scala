@@ -1400,6 +1400,83 @@ object TextOps {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** Merge-round budget for the BPE trainer gate. Same constant MUST
+    * appear in the oracle SQL (which unrolls exactly this many rounds).
+    */
+  val BpeTrainRounds = 6
+
+  /** BPE tokenizer TRAINING — the actual merge loop, not just the
+    * pair-counting kernel (`bpePairCounts`): `rounds` iterations of
+    * count-pairs → pick the argmax pair (count desc, then (a, b) asc)
+    * → apply the merge greedily left-to-right to every vocabulary
+    * word. Output is the merge table (merge_rank, a, b, n) — the
+    * artifact a tokenizer ships.
+    *
+    * Symbol sequences are strings with DOUBLE-space boundaries and
+    * single sentinel spaces (" a  b  c "), legal because tokens are
+    * \S+ — so applying a merge is ONE non-regex
+    * `replace(s, " a  b ", " ab ")` whose left-to-right scan IS greedy
+    * BPE application, with identical semantics in Spark and DuckDB
+    * (the oracle unrolls the same replace). The double boundary is
+    * load-bearing: each match consumes one of the two spaces on each
+    * side, so CONSECUTIVE merge sites (" a  b  a  b ") still both
+    * match — a single-space layout consumes the shared boundary and
+    * silently under-merges (the recorded counterexample).
+    *
+    * Scale: everything after the one corpus-sized token count runs on
+    * the DISTINCT-word vocabulary (persisted once); each round is a
+    * vocabulary-sized pair explode + count, a driver-bounded 1-row
+    * argmax collect (exactly the IVF-centroid discipline), and a lazy
+    * per-word string replace — R driver round trips, vocab-bounded
+    * work, the corpus is never rescanned. Exhaustion (every word down
+    * to one symbol before `rounds`) ends the loop early and emits the
+    * merges found — the oracle's empty-argmax rounds degrade to the
+    * same shorter table.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    require(rounds >= 1 && rounds <= 24,
+      s"rounds must be in [1, 24], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = graft.Caches.track(docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        concat_ws("  ", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit(" ")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
+    var cur = vocab
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r.toLong, a, b, n))
+        cur = cur.select(col("freq"),
+          expr(s"replace(s, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')")
+            .as("s"))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "a", "b", "n")
+  }
+
   /** Estimated pairwise vocabulary overlap between sources via HLL
     * set algebra — the bounded-state twin of `sourceVocabOverlap`
     * (which is exact but shuffles real token sets). One corpus pass

@@ -4019,6 +4019,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(eq.getDouble(5) === eq.getDouble(2))
   }
 
+  test("bpeTrain == brute reference BPE, incl. consecutive sites and overlap") {
+    import operators.TextOps
+    // reference trainer over a token bag, greedy left-to-right apply
+    def brute(words: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((r.toLong, a, b, n))
+          vocab = vocab.map { case (syms, f) =>
+            val nb = scala.collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                nb += a + b; i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            nb.toVector -> f
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    // 'abab' forces consecutive merge sites; 'aaaa' forces overlap;
+    // weights tilt the argmax deterministically
+    val words = Seq.fill(5)("abab") ++ Seq.fill(3)("aaaa") ++
+      Seq.fill(4)("xaby") ++ Seq("ab")
+    val docs = docsDf((words.zipWithIndex.map { case (w, i) =>
+      i.toLong -> w
+    }): _*).select(col("doc_id"), col("text"))
+    val got = TextOps.bpeTrain(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq === brute(words, 4))
+    // exhaustion: single-char words run out of pairs and exit early
+    val tiny = TextOps.bpeTrain(docsDf((0L, "a b a b")), rounds = 6).collect()
+    assert(tiny.isEmpty)
+  }
+
   test("surprisal: hand-computed fixture + totality on degenerate docs") {
     // doc 0 bigrams: (a,b),(b,a),(a,c),(c,a),(a,b) — corpus counts
     // c12(a,b)=2 c12(b,a)=1 c12(a,c)=1 c12(c,a)=1; contexts c1(a)=3
