@@ -595,6 +595,10 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) =>
       TextOps.bpeTrain(Tables.table(s, d, "documents"))
         .orderBy("merge_rank")),
+    // the trained tokenizer APPLIED: per-doc token + subword counts
+    "text_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     // CCNet-style bigram-surprisal quality scoring in exact bit-length
     // integers — the perplexity-bucket filter without the float log
     "text_surprisal" -> ((s, d) =>
@@ -2010,6 +2014,35 @@ object SparkEntry {
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
 
+  /** The BPE trainer's CTE body, unrolled to `rounds` merge rounds:
+    * per round, pair counts over the double-space symbol strings, a
+    * 1-row argmax (MATERIALIZED — referenced by the apply step AND the
+    * consumers), and the same boundary-preserving replace the Spark
+    * side runs. An exhausted round's empty argmax empties every later
+    * round — matching the operator's early exit. The word column rides
+    * the whole chain so the encode oracle can join the final state.
+    */
+  private def bpeCtesSql(rounds: Int): String = {
+    val body = (1 to rounds).map { r =>
+      s"x$r AS (SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
+        s"FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM v${r - 1})), " +
+        s"p$r AS (SELECT tk[i] AS a, tk[i + 1] AS b, " +
+        s"CAST(SUM(freq) AS BIGINT) AS n FROM x$r GROUP BY 1, 2), " +
+        s"b$r AS MATERIALIZED (SELECT a, b, n FROM p$r " +
+        "ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
+        s"v$r AS MATERIALIZED (SELECT word, freq, replace(s, " +
+        s"' ' || b$r.a || '  ' || b$r.b || ' ', " +
+        s"' ' || b$r.a || b$r.b || ' ') AS s FROM v${r - 1}, b$r)"
+    }.mkString(", ")
+    "vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word " +
+      "FROM documents) GROUP BY 1), " +
+      "v0 AS MATERIALIZED (SELECT word, freq, ' ' || array_to_string(" +
+      "list_transform(range(1, length(word) + 1), " +
+      "i -> substr(word, i, 1)), '  ') || ' ' AS s FROM vocab), " +
+      body
+  }
+
   /** graph_walks oracle — the walk recurrence unrolled to WalkLen
     * joins; the step-s hash string is "<walk_id>:<s-1>:<vertex>" in
     * BOTH engines. Shared whole by graph_walk_pairs.
@@ -2795,34 +2828,30 @@ object SparkEntry {
     // (empty for single-token docs), counts, continuation counts over
     // the distinct-bigram relation, deterministic top-k total order
     "text_bpe_train" -> {
-      // the merge loop unrolled: per round, pair counts over the
-      // double-space symbol strings, a 1-row argmax (MATERIALIZED —
-      // referenced by the apply step AND the final union), and the
-      // same boundary-preserving replace the Spark side runs. An
-      // exhausted round's empty argmax empties every later round —
-      // matching the operator's early exit.
       val rounds = graft.operators.TextOps.BpeTrainRounds
-      val body = (1 to rounds).map { r =>
-        s"x$r AS (SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
-          s"FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM v${r - 1})), " +
-          s"p$r AS (SELECT tk[i] AS a, tk[i + 1] AS b, " +
-          s"CAST(SUM(freq) AS BIGINT) AS n FROM x$r GROUP BY 1, 2), " +
-          s"b$r AS MATERIALIZED (SELECT a, b, n FROM p$r " +
-          "ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
-          s"v$r AS MATERIALIZED (SELECT freq, replace(s, " +
-          s"' ' || b$r.a || '  ' || b$r.b || ' ', " +
-          s"' ' || b$r.a || b$r.b || ' ') AS s FROM v${r - 1}, b$r)"
-      }.mkString(", ")
       val out = (1 to rounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_rank, a, b, n FROM b$r")
         .mkString(" UNION ALL ")
-      "WITH vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM " +
-        "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word " +
-        "FROM documents) GROUP BY 1), " +
-        "v0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(" +
-        "list_transform(range(1, length(word) + 1), " +
-        "i -> substr(word, i, 1)), '  ') || ' ' AS s FROM vocab), " +
-        s"$body $out"
+      s"WITH ${bpeCtesSql(rounds)} $out"
+    },
+    "text_bpe_encode" -> {
+      // encode = the trainer's final vocabulary state joined back to
+      // the corpus token stream (same CTE builder — the two gates and
+      // the operator cannot drift). Assumes the corpus doesn't exhaust
+      // before BpeTrainRounds — which the trainer gate's full merge
+      // table hash-checks every run.
+      val rounds = graft.operators.TextOps.BpeTrainRounds
+      s"WITH ${bpeCtesSql(rounds)}, " +
+        "enc AS (SELECT word, len(string_split(trim(s), '  '))::BIGINT " +
+        s"AS n_sub FROM v$rounds), " +
+        "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) " +
+        "AS word FROM documents), " +
+        "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, " +
+        "CAST(SUM(n_sub) AS BIGINT) AS n_subwords FROM tok " +
+        "JOIN enc USING (word) GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens, " +
+        "COALESCE(per.n_subwords, 0) AS n_subwords " +
+        "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
     },
     // exact bit-length surprisal: bin() emits minimal-width binary in
     // BOTH engines, so length(bin(x)) = ⌊log2 x⌋+1 is integer-identical

@@ -1434,14 +1434,45 @@ object TextOps {
     * same shorter table.
     */
   def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    require(rounds >= 1 && rounds <= 24,
-      s"rounds must be in [1, 24], got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, rounds)._1.toDF("merge_rank", "a", "b", "n")
+  }
+
+  /** Apply the trained merges back to the corpus — the ENCODE step: per
+    * doc, token count and post-merge subword count (the statistic
+    * sequence-length planning and compression monitoring read). The
+    * merges are applied once to the DISTINCT-word vocabulary (the
+    * trainer's own final state, word column preserved); the corpus pass
+    * is just a token→encoded-vocab hash join — no per-document string
+    * work, so encode costs one corpus-token shuffle regardless of
+    * rounds. Zero-token docs report (0, 0): total function.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val enc = bpeCore(docs, rounds)._2
+      .select(col("word"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_subwords"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
+
+  /** The shared trainer core: returns the merge table AND the final
+    * vocabulary state (word, freq, s) the encode step reads.
+    */
+  private def bpeCore(docs: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 24,
+      s"rounds must be in [1, 24], got $rounds")
     val vocab = graft.Caches.track(docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(lit(" "),
+      .select(col("word"), col("freq"), concat(lit(" "),
         concat_ws("  ", expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
         lit(" ")).as("s"))
@@ -1468,13 +1499,13 @@ object TextOps {
         val (a, b, n) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((r.toLong, a, b, n))
-        cur = cur.select(col("freq"),
+        cur = cur.select(col("word"), col("freq"),
           expr(s"replace(s, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')")
             .as("s"))
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "a", "b", "n")
+    (merges.toSeq, cur)
   }
 
   /** Estimated pairwise vocabulary overlap between sources via HLL

@@ -4071,6 +4071,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(tiny.isEmpty)
   }
 
+  test("bpeEncode: bounds, round monotonicity, exact fixture, totality") {
+    import operators.TextOps
+    // 'abab'×5 + 'ab': round1 merges (a,b) → 'abab' = [ab, ab] (2),
+    // 'ab' = [ab] (1); round2 merges (ab, ab) → 'abab' = 1 subword
+    val docs = docsDf((0L until 5L).map(i => i -> "abab") :+ (5L -> "ab"): _*)
+    val r1 = TextOps.bpeEncode(docs, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r1(0L) === 2L && r1(5L) === 1L)
+    val r2 = TextOps.bpeEncode(docs, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r2(0L) === 1L && r2(5L) === 1L)
+    // bounds + monotonicity on a mixed corpus incl. an empty doc
+    val mixed = docsDf((0L, "alpha beta alpha"), (1L, "beta beta"), (2L, ""))
+    val e1 = TextOps.bpeEncode(mixed, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e3 = TextOps.bpeEncode(mixed, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    e1.sortBy(_._1).zip(e3).foreach { case ((_, t1, s1), (_, t3, s3)) =>
+      assert(t1 === t3)        // token counts don't depend on merges
+      assert(s3 <= s1)         // more merges never add subwords
+      assert(s3 >= t3)         // each word is >= 1 subword
+    }
+    assert(e3.find(_._1 == 2L).get === ((2L, 0L, 0L))) // empty doc total
+  }
+
   test("surprisal: hand-computed fixture + totality on degenerate docs") {
     // doc 0 bigrams: (a,b),(b,a),(a,c),(c,a),(a,b) — corpus counts
     // c12(a,b)=2 c12(b,a)=1 c12(a,c)=1 c12(c,a)=1; contexts c1(a)=3
