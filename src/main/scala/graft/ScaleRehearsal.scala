@@ -1063,6 +1063,23 @@ object ScaleRehearsal {
         col("par") === 0L, corpusSize = 80000L).count()
     })
 
+    // BPE trainer on the 50k replica corpus: the corpus token count is
+    // the only corpus-sized stage; 6 rounds of vocab-bounded work
+    t("bpe_train 50k docs")(
+      operators.TextOps.bpeTrain(docs).count())
+    t("bpe_encode 50k docs")(
+      operators.TextOps.bpeEncode(docs).count())
+    // walks on the 10M-edge graph: 64 seeds × 4 walks × 8 steps; the
+    // ranked adjacency window pass dominates, the walk joins are tiny
+    t("walks 10M edges 256 walks")({
+      val seeds = edges.select(col("src").as("v"))
+        .filter(col("v") < 64L).distinct()
+      val w = operators.GraphOps.randomWalks(edges, seeds)
+      val n = w.count()
+      val pairs = operators.GraphOps.walkPairs(w).count()
+      s"rows=$n pairs=$pairs"
+    })
+
     spark.stop()
   }
 }

@@ -380,6 +380,16 @@ object SparkEntry {
         .filter(col("v") < HopSeedMax).distinct()
       GraphOps.randomWalks(e, seeds).orderBy("walk_id", "step")
     }),
+    // weight-proportional walks: heavy edges are walked ∝ multiplicity
+    // via deterministic cumulative-range selection
+    "graph_walks_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = GraphOps.edges(s, d)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") < HopSeedMax).distinct()
+      GraphOps.randomWalksWeighted(e, seeds).orderBy("walk_id", "step")
+    }),
     // skip-gram (center, context) pair counts from the same walks —
     // the DeepWalk corpus → word2vec-examples step
     "graph_walk_pairs" -> ((s, d) => {
@@ -2528,6 +2538,34 @@ object SparkEntry {
         "FROM base JOIN scc a ON a.vertex = base.src " +
         "JOIN scc b ON b.vertex = base.dst WHERE a.lbl <> b.lbl"),
     "graph_walks" -> GraphWalksSql,
+    "graph_walks_weighted" -> {
+      // the cumulative-range transition: r = hash mod out-weight lands
+      // in exactly one neighbor's [lo, hi) range (running sums over
+      // unique dst per src — the frame is identical in both engines)
+      val len = GraphOps.WalkLen
+      val per = GraphOps.WalksPerSeed
+      val steps = (1 to len).map { s =>
+        val h = phSql(s"CAST(p.walk_id AS VARCHAR) || ':${s - 1}:' || " +
+          "CAST(p.vertex AS VARCHAR)")
+        s"w$s AS (SELECT p.walk_id, a.dst AS vertex FROM w${s - 1} p " +
+          s"JOIN adj a ON a.src = p.vertex AND $h % a.tot >= a.lo " +
+          s"AND $h % a.tot < a.hi)"
+      }.mkString(", ")
+      val out = (0 to len).map(s =>
+        s"SELECT walk_id, CAST($s AS BIGINT) AS step, vertex FROM w$s")
+        .mkString(" UNION ALL ")
+      s"WITH e AS (SELECT src, dst, COUNT(*)::BIGINT AS w " +
+        s"FROM ($EdgesCte) GROUP BY 1, 2), " +
+        "adj AS (SELECT src, dst, w, " +
+        "SUM(w) OVER (PARTITION BY src ORDER BY dst) AS hi, " +
+        "SUM(w) OVER (PARTITION BY src ORDER BY dst) - w AS lo, " +
+        "SUM(w) OVER (PARTITION BY src) AS tot FROM e), " +
+        "seeds AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        s"UNION ALL SELECT dst FROM e) WHERE v < $HopSeedMax), " +
+        s"w0 AS (SELECT v * $per + j AS walk_id, v AS vertex FROM seeds, " +
+        s"(SELECT unnest(range(0, $per)) AS j)) " +
+        s", $steps $out"
+    },
     "graph_walk_pairs" ->
       // skip-gram pairs over the SAME spliced walk corpus — the two
       // gates cannot drift

@@ -1469,6 +1469,56 @@ object GraphOps {
     frames.reduce(_.unionByName(_)).select("walk_id", "step", "vertex")
   }
 
+  /** Weight-proportional walks — the same deterministic device as
+    * `randomWalks`, but the step from v picks among out-neighbors with
+    * probability ∝ edge multiplicity: neighbors (in dst order) own
+    * disjoint cumulative-weight ranges [lo, hi) summing to
+    * out-weight(v), and the walk takes the neighbor whose range
+    * contains poly_hash(walk ":" s ":" v) mod out-weight(v). Heavy
+    * edges are walked proportionally more — the weighted node2vec
+    * transition — while staying a pure function of the graph and walk
+    * id. The range JOIN is per-src (equi-join on vertex = src, then a
+    * range predicate over that src's neighbor list): fanout per state
+    * row is out-degree(v), the same bound as the unweighted ranked
+    * join.
+    */
+  def randomWalksWeighted(e0: DataFrame, sources: DataFrame,
+      len: Int = WalkLen, perSeed: Long = WalksPerSeed): DataFrame = {
+    require(len >= 0 && len <= 64, s"len must be in [0, 64], got $len")
+    require(perSeed >= 1L && perSeed <= 1024L,
+      s"perSeed must be in [1, 1024], got $perSeed")
+    import graft.functions.PolyHashFunctions.poly_hash
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val adj = graft.Caches.track(weightedEdges(e0)
+      .withColumn("hi", sum(col("w")).over(w.orderBy(col("dst"))))
+      .withColumn("lo", col("hi") - col("w"))
+      .withColumn("tot", sum(col("w")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var state = ck(sources.select(col("v")).distinct()
+      .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
+      .select((col("v") * perSeed + col("j")).as("walk_id"),
+        col("v").as("vertex")))
+    val frames = scala.collection.mutable.ListBuffer(
+      state.select(col("walk_id"), lit(0L).as("step"), col("vertex")))
+    var step = 1
+    while (step <= len) {
+      val h = poly_hash(concat(
+        state("walk_id").cast("string"), lit(":"),
+        lit((step - 1).toString), lit(":"),
+        state("vertex").cast("string")))
+      val r = pmod(h, adj("tot"))
+      val next = broadcast(state).join(adj,
+        adj("src") === state("vertex") && r >= adj("lo") && r < adj("hi"))
+      val stepped = ck(next.select(state("walk_id").as("walk_id"),
+        adj("dst").as("vertex")))
+      frames += stepped.select(col("walk_id"),
+        lit(step.toLong).as("step"), col("vertex"))
+      state = stepped
+      step += 1
+    }
+    frames.reduce(_.unionByName(_)).select("walk_id", "step", "vertex")
+  }
+
   /** Skip-gram context radius for walkPairs. Same constant MUST appear
     * in oracleSql.
     */

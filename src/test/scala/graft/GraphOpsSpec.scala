@@ -891,6 +891,63 @@ class GraphOpsSpec extends SparkSpec {
     assert(sssp === bfs)
   }
 
+  test("randomWalksWeighted: brute simulation + simple-graph == unweighted law") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(s: String): Long =
+      graft.functions.PolyHashUtil.hash(UTF8String.fromString(s))
+    def brute(edges: Seq[(Long, Long)], seeds: Seq[Long], len: Int,
+        per: Long): Seq[(Long, Long, Long)] = {
+      // neighbor ranges in dst order, widths = multiplicities
+      val adj = edges.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      }.toMap
+      for {
+        v <- seeds; j <- 0L until per
+        walk = v * per + j
+        row <- {
+          var cur = v
+          var rows = List((walk, 0L, v))
+          var s = 0
+          var dead = false
+          while (s < len && !dead) {
+            adj.get(cur) match {
+              case Some(ns) =>
+                val tot = ns.map(_._2).sum
+                var r = ph(s"$walk:$s:$cur") % tot
+                var i = 0
+                while (r >= ns(i)._2) { r -= ns(i)._2; i += 1 }
+                cur = ns(i)._1
+                s += 1
+                rows ::= ((walk, s.toLong, cur))
+              case None => dead = true
+            }
+          }
+          rows.reverse
+        }
+      } yield row
+    }
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(59)
+    // duplicate-heavy bag → real multiplicities
+    val e = List.fill(60)((rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+    val seeds = Seq(0L, 1L)
+    val got = GraphOps.randomWalksWeighted(edgeDf(e: _*), seeds.toDF("v"),
+        len = 6, perSeed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq === brute(e, seeds, 6, 3L).sorted)
+    // on a SIMPLE graph (all multiplicities 1) the cumulative ranges
+    // degenerate to unit slots in dst order — weighted == unweighted
+    val simple = e.distinct
+    val a = GraphOps.randomWalksWeighted(edgeDf(simple: _*),
+        seeds.toDF("v"), len = 5, perSeed = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = GraphOps.randomWalks(edgeDf(simple: _*),
+        seeds.toDF("v"), len = 5, perSeed = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("randomWalks == brute walk simulation on random digraphs") {
     import org.apache.spark.unsafe.types.UTF8String
     def ph(s: String): Long =
