@@ -1354,12 +1354,9 @@ object TextOps {
     // the exploded rows INTO the (doc_id, token) aggregation (first()
     // over per-doc-constant values — deterministic), so scoring needs
     // no separate lens relation and no doc_id join at all. The
-    // persisted tf then feeds the df aggregation, the length total and
-    // the scoring join without re-scanning text (the fat column).
-    // Measured at the 50k-doc rehearsal tier: 15.9 s (3 text scans, 2
-    // joins) → 11.3 s (quiet-window floor; the remaining cost is the
-    // one exploded-corpus shuffle plus the df/idf rollups over the
-    // persisted tf).
+    // persisted tf then feeds everything downstream without
+    // re-scanning text (the fat column). Measured at the 50k-doc
+    // rehearsal tier: 15.9 s (3 text scans, 2 joins) → ~8 s.
     val tf = graft.Caches.track(corpus
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("len_d"),
@@ -1367,32 +1364,42 @@ object TextOps {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), first("len_d").as("len_d"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    // zero-token docs have no tf rows and match no query term — they
-    // only matter for n_docs, a doc_id-pruned count, never a text scan
-    val stats = corpus.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum("tf").as("total_tokens")))
-      .select(col("n_docs"),
-        expr("total_tokens * 1000000 div n_docs").as("avglen_ppm"))
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats).select(col("n_docs")))
-      .select(col("token"),
-        length(bin(expr("(2 * (n_docs - df) + 1) div (2 * df + 1) + 1")))
-          .cast("long").as("idf_bits"))
-    // query terms = DISTINCT tokens of each probe doc; terms absent
-    // from the corpus vocabulary drop at the idf join (contribute 0)
-    val qidf = docs.filter(col("doc_id") < nQueries)
+    // global stats COLLECT to two literals (1 row — the IVF-centroid
+    // driver-bound discipline): n_docs is a doc_id-pruned count
+    // (zero-token docs count here and nowhere else), total tokens
+    // rolls up from tf. Literals keep idf and scoring pure map stages
+    // instead of twice re-executing a stats subplan through crossJoins.
+    val nDocs = corpus.count()
+    val totalTokens = {
+      val r = tf.agg(sum("tf")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val avglenPpm = math.max(1L, if (nDocs == 0) 1L
+      else totalTokens * 1000000L / nDocs)
+    // df is aggregated ONLY over the query vocabulary — tf is
+    // prefiltered by the broadcast term set, so the df stage is bounded
+    // by (docs containing a query term), never the full vocabulary;
+    // terms absent from the corpus simply have no tf rows (score 0)
+    val qterms = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"),
         explode(tokens(col("text"))).as("token"))
       .distinct()
-      .join(idf, "token")
-    val scored = tf.join(broadcast(qidf), "token")
-      .crossJoin(broadcast(stats).select(col("avglen_ppm")))
+    val tfq = graft.Caches.track(
+      tf.join(broadcast(qterms.select("token").distinct()), "token")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val qidf = qterms.join(
+      tfq.groupBy("token").agg(count(lit(1)).as("df"))
+        .select(col("token"),
+          length(bin(expr(s"(2 * ($nDocs - df) + 1) div (2 * df + 1) + 1")))
+            .cast("long").as("idf_bits")),
+      "token")
+    val scored = tfq.join(broadcast(qidf), "token")
       .select(col("query_id"), col("doc_id"),
         (col("idf_bits") *
           expr(s"tf * (${Bm25K1pm} + 1000) * 1000 * 1000000 div " +
             s"(tf * 1000000 + ${Bm25K1pm} * (1000 - ${Bm25Bpm}) + " +
             s"${Bm25K1pm} * ${Bm25Bpm} * " +
-            s"(len_d * 1000000000 div avglen_ppm) div 1000)"))
+            s"(len_d * 1000000000 div $avglenPpm) div 1000)"))
           .as("contrib"))
       .groupBy("query_id", "doc_id").agg(sum("contrib").as("score"))
     graft.plans.TopK.perKey(scored, Seq("query_id"),
@@ -1469,7 +1476,7 @@ object TextOps {
       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 24,
       s"rounds must be in [1, 24], got $rounds")
-    val vocab = graft.Caches.track(docs
+    val vocab0 = graft.Caches.track(docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), concat(lit(" "),
@@ -1477,6 +1484,20 @@ object TextOps {
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
         lit(" ")).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    // RIGHT-SIZE the loop's base cache to the measured vocabulary (the
+    // hopDistances discipline): every round rescans this relation, and
+    // a tiny vocab cached at the session's 32 shuffle partitions pays
+    // 32 task launches per round for microseconds of work each
+    val nWords = vocab0.count()
+    val parts = math.max(1L, nWords / 32768L)
+    val vocab =
+      if (nWords < 131072L && parts < vocab0.rdd.getNumPartitions) {
+        val small = graft.Caches.track(vocab0.coalesce(parts.toInt)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        small.count()
+        vocab0.unpersist(blocking = false)
+        small
+      } else vocab0
     def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
     var cur = vocab
     val merges = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
