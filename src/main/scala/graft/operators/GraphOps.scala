@@ -1393,7 +1393,13 @@ object GraphOps {
     // the shortest-path tree expansion, not rounds×|E| — measured
     // 8.9 → 6.1 s on the sf0.1 gate, where the one-time weighted
     // compression of the 6M-row edge bag is most of the remaining
-    // floor. Empty delta = fixpoint = exit.
+    // floor. Empty delta = fixpoint = exit. The adversarial case is a
+    // DENSE random graph whose delta stays vertex-wide every round
+    // (the 10M-edge rehearsal): there the two extra vertex-sized
+    // frames per round cost ~1.5× the plain synchronous form — the
+    // posture trades that bounded dense-case overhead for the
+    // delta-shrinking win on the sparse/high-diameter graphs real
+    // road/citation/dependency SSSP runs on.
     var delta = dist
     var round = 0
     var fixed = false
