@@ -613,6 +613,11 @@ object SparkEntry {
     // integers — the perplexity-bucket filter without the float log
     "text_surprisal" -> ((s, d) =>
       TextOps.surprisal(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // do the two quality signals agree? joint decile histogram of the
+    // heuristic score vs the LM surprisal
+    "text_quality_calibration" -> ((s, d) =>
+      TextOps.qualityCalibration(Tables.table(s, d, "documents"))
+        .orderBy("q_decile", "s_decile")),
     // BM25 keyword retrieval: probe docs (doc_id < 8) rank the corpus
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(Tables.table(s, d, "documents"))
@@ -1723,6 +1728,28 @@ object SparkEntry {
     * minimal-width binary). Shared so a future fusion gate can splice
     * the keyword ranking without drift.
     */
+  /** text_surprisal oracle — the full per-doc statement, shared
+    * whole by text_quality_calibration.
+    */
+  private val SurprisalSql: String =
+    ("WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
+      "FROM documents), " +
+      "ix AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
+      "FROM t WHERE len(tk) >= 2), " +
+      "bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM ix), " +
+      "bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2), " +
+      "lm AS (SELECT bi.w1, bi.w2, bi.c12, u.c1 FROM bi JOIN " +
+      "(SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1) u " +
+      "USING (w1)), " +
+      "sc AS (SELECT doc_id, length(bin(c1)) - length(bin(c12)) AS surp " +
+      "FROM bg JOIN lm USING (w1, w2)), " +
+      "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, " +
+      "CAST(SUM(surp) AS BIGINT) AS surp_bits FROM sc GROUP BY 1) " +
+      "SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, " +
+      "COALESCE(per.surp_bits, 0) AS surp_bits, " +
+      "CAST(COALESCE(per.surp_bits * 1000000 // per.n_bigrams, -1) AS BIGINT) " +
+      "AS surp_ppm FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id")
+
   private def bm25SqlFor(k: Int): String = {
     val nq = TextOps.Bm25Queries
     val k1 = TextOps.Bm25K1pm
@@ -2893,24 +2920,25 @@ object SparkEntry {
     },
     // exact bit-length surprisal: bin() emits minimal-width binary in
     // BOTH engines, so length(bin(x)) = ⌊log2 x⌋+1 is integer-identical
-    "text_surprisal" ->
-      ("WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
+    "text_surprisal" -> SurprisalSql,
+    "text_quality_calibration" ->
+      // joint decile histogram: the quality_deciles rank CTE x the
+      // SAME spliced surprisal statement, both ranked (score, doc_id)
+      ("WITH b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
         "FROM documents), " +
-        "ix AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i " +
-        "FROM t WHERE len(tk) >= 2), " +
-        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM ix), " +
-        "bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2), " +
-        "lm AS (SELECT bi.w1, bi.w2, bi.c12, u.c1 FROM bi JOIN " +
-        "(SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1) u " +
-        "USING (w1)), " +
-        "sc AS (SELECT doc_id, length(bin(c1)) - length(bin(c12)) AS surp " +
-        "FROM bg JOIN lm USING (w1, w2)), " +
-        "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, " +
-        "CAST(SUM(surp) AS BIGINT) AS surp_bits FROM sc GROUP BY 1) " +
-        "SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, " +
-        "COALESCE(per.surp_bits, 0) AS surp_bits, " +
-        "CAST(COALESCE(per.surp_bits * 1000000 // per.n_bigrams, -1) AS BIGINT) " +
-        "AS surp_ppm FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"),
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "qr AS (SELECT doc_id, row_number() OVER (ORDER BY quality, doc_id) AS rn, " +
+        "COUNT(*) OVER () AS n FROM q), " +
+        "qd AS (SELECT doc_id, CAST((rn - 1) * 10 // n AS BIGINT) AS q_decile FROM qr), " +
+        s"sp AS (SELECT doc_id, surp_ppm FROM ($SurprisalSql)), " +
+        "sr AS (SELECT doc_id, row_number() OVER (ORDER BY surp_ppm, doc_id) AS rn, " +
+        "COUNT(*) OVER () AS n FROM sp), " +
+        "sd AS (SELECT doc_id, CAST((rn - 1) * 10 // n AS BIGINT) AS s_decile FROM sr) " +
+        "SELECT qd.q_decile, sd.s_decile, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM qd JOIN sd ON sd.doc_id = qd.doc_id GROUP BY 1, 2"),
     "text_bm25" -> Bm25Sql,
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,

@@ -572,13 +572,22 @@ object TextOps {
     * (quality itself is the sequential-fold float both engines compute
     * bit-identically — see the float-parity design rule).
     */
-  def qualityDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
+  def qualityDeciles(docs: DataFrame, buckets: Int = 10): DataFrame =
+    decileStamp(quality(docs).select(col("doc_id"),
+      col("quality").as("score")), buckets)
+
+  /** The shared per-row decile-stamp core behind `qualityDeciles` and
+    * `qualityCalibration`: dense rank of (score, doc_id) through the
+    * two-pass range-partition machinery (driver state = #partitions
+    * longs, no global window), bucketed `(rank−1)·buckets/n`.
+    */
+  private def decileStamp(scores: DataFrame, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = docs.sparkSession
+    val spark = scores.sparkSession
     import spark.implicits._
-    val parted = quality(docs).select(col("doc_id"), col("quality"))
-      .repartitionByRange(col("quality"), col("doc_id"))
-      .sortWithinPartitions("quality", "doc_id")
+    val parted = scores.select(col("doc_id"), col("score").cast("double"))
+      .repartitionByRange(col("score"), col("doc_id"))
+      .sortWithinPartitions("score", "doc_id")
       .as[(Long, Double)]
       .persist(StorageLevel.MEMORY_AND_DISK)
     graft.Caches.track(parted.toDF())
@@ -602,6 +611,28 @@ object TextOps {
         }
       }
       .toDF("doc_id", "decile")
+  }
+
+  /** CALIBRATION matrix between two independent quality signals — the
+    * joint decile histogram of the heuristic quality score and the
+    * bigram-LM surprisal: cell (q, s) counts docs in quality-decile q
+    * and surprisal-decile s. A well-calibrated pair concentrates mass
+    * near the diagonal's mirror (high quality ↔ LOW surprisal); a
+    * smeared matrix means the two filters disagree and a pipeline
+    * gating on both needs the thresholds re-examined. ≤ buckets² output
+    * rows; both stamps ride the same range-partition rank machinery,
+    * and surp_ppm's long→double cast is exact (ppm ≪ 2^53) so the
+    * ordering matches the oracle's integer sort bit-for-bit.
+    */
+  def qualityCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val qd = decileStamp(quality(docs).select(col("doc_id"),
+        col("quality").as("score")), buckets)
+      .select(col("doc_id"), col("decile").as("q_decile"))
+    val sd = decileStamp(surprisal(docs).select(col("doc_id"),
+        col("surp_ppm").as("score")), buckets)
+      .select(col("doc_id"), col("decile").as("s_decile"))
+    qd.join(sd, "doc_id")
+      .groupBy("q_decile", "s_decile").agg(count(lit(1)).as("n"))
   }
 
   /** Language-ID CONFUSION MATRIX against a labeled column — the

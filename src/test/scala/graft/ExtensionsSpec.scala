@@ -4019,6 +4019,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(eq.getDouble(5) === eq.getDouble(2))
   }
 
+  test("qualityCalibration: marginals recover each stamp's decile sizes") {
+    import operators.TextOps
+    val rnd = new scala.util.Random(41)
+    val docs = docsDf((0L until 60L).map { i =>
+      i -> (0 until 5 + rnd.nextInt(30))
+        .map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+    }: _*)
+    val m = TextOps.qualityCalibration(docs, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.map(_._3).sum === 60L)
+    // every q-decile marginal and s-decile marginal is exactly n/b
+    m.groupBy(_._1).values.foreach(g => assert(g.map(_._3).sum === 15L))
+    m.groupBy(_._2).values.foreach(g => assert(g.map(_._3).sum === 15L))
+  }
+
   test("bpeTrain == brute reference BPE, incl. consecutive sites and overlap") {
     import operators.TextOps
     // reference trainer over a token bag, greedy left-to-right apply
