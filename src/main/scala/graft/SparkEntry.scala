@@ -883,6 +883,12 @@ object SparkEntry {
     "knn_brute_l2" -> ((s, d) =>
       Similarity.knnBruteL2(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // mislabel detector: the k vectors farthest from their own label's
+    // centroid, exact ppm^2 integer distances
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.table(s, d, "embeddings"))
+        .orderBy(org.apache.spark.sql.functions.col("d2").desc,
+          org.apache.spark.sql.functions.col("vec_id"))),
     // matryoshka-style truncated retrieval: exact L2 over the first
     // TruncDims dims only — 4x less bandwidth per comparison
     "knn_brute_l2_trunc" -> ((s, d) =>
@@ -3663,6 +3669,22 @@ object SparkEntry {
     },
     // quantize-first centroid oracle: identical ⌊x·1e6⌋ chain, exact
     // integer sums; `//` == the operator's pmod-adjusted floor div
+    "embedding_outliers" -> {
+      val k = Similarity.OutlierK
+      "WITH v AS (SELECT vec_id, label, " +
+        "unnest(generate_series(1, len(embedding))) AS i, embedding " +
+        "FROM embeddings), " +
+        "x AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS dim, " +
+        "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM v), " +
+        "c AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) // COUNT(*) " +
+        "AS mean_ppm FROM x GROUP BY 1, 2), " +
+        "d AS (SELECT vec_id, x.label, " +
+        "CAST(SUM((q - mean_ppm) * (q - mean_ppm)) AS BIGINT) AS d2 " +
+        "FROM x JOIN c ON c.label = x.label AND c.dim = x.dim GROUP BY 1, 2), " +
+        "r AS (SELECT vec_id, label, d2, row_number() OVER " +
+        "(ORDER BY d2 DESC, vec_id ASC) AS rnk FROM d) " +
+        s"SELECT vec_id, label, d2 FROM r WHERE rnk <= $k"
+    },
     "embedding_centroids" ->
       ("WITH v AS (SELECT label, " +
         "unnest(generate_series(1, len(embedding))) AS i, embedding " +

@@ -822,6 +822,42 @@ object Similarity {
       // consumers wanting floor semantics derive it from sum + count
       .withColumn("mean_ppm", expr("sum_ppm div n_vecs"))
 
+  /** Result size for the embedding-outlier report. Same constant MUST
+    * appear in the oracle SQL.
+    */
+  val OutlierK = 20
+
+  /** Label-conditioned OUTLIER report — the mislabel/contamination
+    * detector: the k vectors farthest (squared distance, exact ppm²
+    * integer arithmetic) from their OWN label's centroid. A clean
+    * corpus puts class prototypes near their members; the top of this
+    * ranking is where mislabeled rows, corrupted vectors and
+    * out-of-distribution contamination surface first. Reuses the
+    * `labelCentroids` quantize-FIRST integer means, so there is no
+    * float aggregation anywhere: diff = q(x) − mean_ppm, d2 = Σ diff²
+    * (≤ 4e12 per dim — 64 dims stay far under 2^63).
+    *
+    * Shape: one exploded-corpus pass joined against the broadcast
+    * (labels × dims) centroid relation, one vec-keyed sum, one
+    * TakeOrdered top-k — no corpus self-join, no window.
+    */
+  def embeddingOutliers(emb: DataFrame, k: Int = OutlierK,
+      labelCol: String = "label"): DataFrame = {
+    val cents = labelCentroids(emb, labelCol)
+      .select(col("label"), col("dim"), col("mean_ppm"))
+    val x = emb.select(col("vec_id"), col(labelCol).cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(CentroidQuantPpm.toDouble))
+          .cast("long").as("q"))
+    val d2 = x.join(broadcast(cents), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("q") - col("mean_ppm")) * (col("q") - col("mean_ppm"))).as("dd"))
+      .groupBy("vec_id", "label").agg(sum("dd").as("d2"))
+    d2.orderBy(col("d2").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("label"), col("d2"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

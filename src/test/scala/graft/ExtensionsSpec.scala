@@ -4019,6 +4019,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(eq.getDouble(5) === eq.getDouble(2))
   }
 
+  test("embeddingOutliers surfaces the planted mislabel first") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    // two tight clusters; vec 99 carries cluster-B geometry under
+    // label 0 — the planted mislabel must rank first
+    def v(base: Float, eps: Float) = Array.tabulate(8)(i => base + eps * i)
+    val emb = ((0L until 20L).map(i => (i, v(1f, 0.001f * i.toInt), 0)) ++
+      (20L until 40L).map(i => (i, v(-1f, 0.001f * i.toInt), 1)) :+
+      ((99L, v(-1f, 0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.embeddingOutliers(emb, k = 3).collect()
+    assert(top(0).getLong(0) === 99L)
+    // and its distance dwarfs the runner-up's
+    assert(top(0).getLong(2) > 10L * top(1).getLong(2))
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
