@@ -1245,6 +1245,11 @@ object SparkEntry {
     // DAU / trailing-7d WAU / stickiness-ppm per epoch-aligned day —
     // trailing distinct via ×7 fanout of the DISTINCT (day, user)
     // pairs, never a per-user range join
+    // deterministic A/B read-out: hash-assigned arms, exposed users,
+    // purchase conversion + quantized revenue, all-long aggregation
+    "events_ab_lift" -> ((s, d) =>
+      graft.streaming.EventWindows.abLift(Tables.table(s, d, "events"))
+        .orderBy("variant")),
     "events_active_users" -> ((s, d) =>
       EventWindows.activeUsers(Tables.table(s, d, "events"))
         .orderBy("day_epoch")),
@@ -4135,6 +4140,21 @@ object SparkEntry {
     // DAU/WAU/stickiness: epoch-aligned day grid (epoch_us // dayUs ·
     // 86400 ≡ the window(ts,'1 day') start for positive epochs); the
     // trailing distinct via the same ×7 fanout of distinct (day, user)
+    "events_ab_lift" -> {
+      val v = graft.streaming.EventWindows.AbVariants
+      "WITH pu AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted, " +
+        "COALESCE(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL " +
+        "AND isfinite(value) THEN CAST(floor(value * 1000000.0) AS BIGINT) END), 0) " +
+        "AS rev_ppm FROM events GROUP BY 1), " +
+        s"a AS (SELECT ${phSql("CAST(user_id AS VARCHAR)")} % $v AS variant, " +
+        "converted, rev_ppm FROM pu WHERE exposed = 1) " +
+        "SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(converted) AS BIGINT) AS n_converted, " +
+        "CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm, " +
+        "CAST(SUM(rev_ppm) AS BIGINT) AS revenue_ppm FROM a GROUP BY 1"
+    },
     "events_active_users" -> {
       val days = graft.streaming.EventWindows.ActiveTrailingDays
       "WITH ud AS (SELECT DISTINCT " +

@@ -526,6 +526,52 @@ object EventWindows {
     * column and aggregate per event_type — integer aggregation only
     * (exact across engines). `get_json_object` runs codegen'd; no UDF.
     */
+  /** Variant count for the A/B gate. Same constant MUST appear in the
+    * oracle SQL.
+    */
+  val AbVariants = 2L
+
+  /** Deterministic experiment read-out: users are assigned to
+    * `variants` arms by `poly_hash(user_id) mod variants` (the
+    * hashSplit device — the assignment is reproducible across runs,
+    * engines and re-ingests, which is what makes an offline lift
+    * recomputation trustworthy), the population is every EXPOSED user
+    * (≥1 view), conversion is ≥1 purchase, and revenue sums the
+    * per-event ⌊value·1e6⌋ quantization — so all aggregation is long
+    * arithmetic (float-parity rule). One row per arm: (variant,
+    * n_users, n_converted, conv_ppm, revenue_ppm). The lift itself is
+    * consumer arithmetic over two rows — deliberately not baked in.
+    *
+    * Shape: one user-keyed aggregation over the events scan, then a
+    * ≤`variants`-row rollup. NaN/±Inf values are excluded from revenue
+    * by the same finiteness predicate the qsketch family documents.
+    */
+  def abLift(events: DataFrame, variants: Long = AbVariants): DataFrame = {
+    require(variants >= 2L && variants <= 64L,
+      s"variants must be in [2, 64], got $variants")
+    import graft.functions.PolyHashFunctions.poly_hash
+    val perUser = events.groupBy("user_id").agg(
+      max(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("exposed"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"),
+      coalesce(sum(when(col("event_type") === "purchase" &&
+          col("value").isNotNull && !col("value").isNaN &&
+          abs(col("value")) =!= Double.PositiveInfinity,
+        floor(col("value") * lit(1000000.0)).cast("long"))), lit(0L))
+        .as("rev_ppm"))
+    perUser.filter(col("exposed") === 1L)
+      .select(pmod(poly_hash(col("user_id").cast("string")), lit(variants))
+        .as("variant"), col("converted"), col("rev_ppm"))
+      .groupBy("variant").agg(
+        count(lit(1)).as("n_users"),
+        sum("converted").as("n_converted"),
+        sum("rev_ppm").as("revenue_ppm"))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conv_ppm"),
+        col("revenue_ppm"))
+  }
+
   def propsStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

@@ -4019,6 +4019,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(eq.getDouble(5) === eq.getDouble(2))
   }
 
+  test("abLift: exposure gating, conversion arithmetic, non-finite revenue excluded") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1700000000000L)
+    // users 1, 2 exposed (1 converts with one finite + one NaN value);
+    // user 3 purchases but was never exposed → OUT of the population
+    val ev = Seq(
+      (1L, t0, 1L, "view", 0.0), (2L, t0, 1L, "purchase", 2.5),
+      (3L, t0, 1L, "purchase", Double.NaN),
+      (4L, t0, 2L, "view", 0.0),
+      (5L, t0, 3L, "purchase", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = graft.streaming.EventWindows.abLift(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).sum === 2L)       // population = exposed users only
+    assert(rows.map(_._3).sum === 1L)       // one conversion
+    assert(rows.map(_._5).sum === 2500000L) // NaN purchase contributes 0
+    rows.foreach { case (_, u, c, ppm, _) =>
+      assert(ppm === (if (u == 0) 0L else c * 1000000L / u))
+    }
+  }
+
   test("embeddingOutliers surfaces the planted mislabel first") {
     val s = spark
     import s.implicits._
