@@ -281,6 +281,13 @@ object SparkEntry {
       GraphOps.labelPropagation(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
         .orderBy("vertex")),
+    // did LPA find real structure? Newman modularity decomposition of
+    // those communities on the same slice, exact integer pieces
+    "graph_modularity" -> ((s, d) => {
+      val sp = GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod)
+      GraphOps.modularity(sp, GraphOps.labelPropagation(sp))
+        .orderBy("community")
+    }),
     // HITS hubs & authorities in exact ppb fixed-point — the directed
     // complement of pagerank's relevance family, on the same
     // sparsified slice at the same unrolled-round contract
@@ -2091,6 +2098,31 @@ object SparkEntry {
       body
   }
 
+  /** graph_lpa oracle — shared whole by graph_modularity. */
+  private lazy val GraphLpaSql: String = {
+      val rounds = graft.operators.GraphOps.LpaRounds
+      val sb = new StringBuilder
+      sb.append("WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
+        s"FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), ")
+      sb.append("sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), ")
+      sb.append("l0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, " +
+        "u AS lab FROM sym), ")
+      (1 to rounds).foreach { i =>
+        sb.append(s"c$i AS MATERIALIZED (SELECT s.u AS vertex, l.lab, " +
+          s"COUNT(*) AS n FROM sym s JOIN l${i - 1} l ON l.vertex = s.v " +
+          "GROUP BY 1, 2), ")
+        sb.append(s"l$i AS MATERIALIZED (SELECT vertex, lab FROM " +
+          "(SELECT vertex, lab, row_number() OVER (PARTITION BY vertex " +
+          s"ORDER BY n DESC, lab ASC) AS rn FROM c$i) WHERE rn = 1), ")
+      }
+      sb.setLength(sb.length - 2)
+      sb.append(s" SELECT vertex, CAST(lab AS BIGINT) AS community " +
+        s"FROM l$rounds")
+      sb.toString
+    }
+
   /** graph_walks oracle — the walk recurrence unrolled to WalkLen
     * joins; the step-s hash string is "<walk_id>:<s-1>:<vertex>" in
     * BOTH engines. Shared whole by graph_walk_pairs.
@@ -2353,29 +2385,34 @@ object SparkEntry {
     // argmax (count DESC, label ASC) over the symmetrized simple
     // slice; MATERIALIZED like the kcore unroll (each round CTE is
     // referenced twice — inlining would go exponential in the depth)
-    "graph_lpa" -> {
-      val rounds = graft.operators.GraphOps.LpaRounds
-      val sb = new StringBuilder
-      sb.append("WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
-        s"FROM ($EdgesCte) " +
-        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), ")
-      sb.append("sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
-        "UNION SELECT dst, src FROM base), ")
-      sb.append("l0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, " +
-        "u AS lab FROM sym), ")
-      (1 to rounds).foreach { i =>
-        sb.append(s"c$i AS MATERIALIZED (SELECT s.u AS vertex, l.lab, " +
-          s"COUNT(*) AS n FROM sym s JOIN l${i - 1} l ON l.vertex = s.v " +
-          "GROUP BY 1, 2), ")
-        sb.append(s"l$i AS MATERIALIZED (SELECT vertex, lab FROM " +
-          "(SELECT vertex, lab, row_number() OVER (PARTITION BY vertex " +
-          s"ORDER BY n DESC, lab ASC) AS rn FROM c$i) WHERE rn = 1), ")
-      }
-      sb.setLength(sb.length - 2)
-      sb.append(s" SELECT vertex, CAST(lab AS BIGINT) AS community " +
-        s"FROM l$rounds")
-      sb.toString
-    },
+    "graph_lpa" -> GraphLpaSql,
+    "graph_modularity" ->
+      // the LPA labeling spliced whole; sym rebuilt with the identical
+      // sparsify/symmetrize expressions; each undirected intra edge
+      // appears exactly twice in the sym bag (hence // 2)
+      (s"WITH lpa AS MATERIALIZED (SELECT * FROM ($GraphLpaSql)), " +
+        s"base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), " +
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), " +
+        "mm AS (SELECT COUNT(*) // 2 AS m FROM sym), " +
+        "j AS MATERIALIZED (SELECT s.u, s.v, la.community AS c1, " +
+        "lb.community AS c2 FROM sym s " +
+        "JOIN lpa la ON la.vertex = s.u JOIN lpa lb ON lb.vertex = s.v), " +
+        "intra AS (SELECT c1 AS community, COUNT(*) // 2 AS e_intra " +
+        "FROM j WHERE c1 = c2 GROUP BY 1), " +
+        "deg AS (SELECT c1 AS community, COUNT(*)::BIGINT AS d_tot " +
+        "FROM j GROUP BY 1), " +
+        "nv AS (SELECT community, COUNT(*)::BIGINT AS n_vertices " +
+        "FROM lpa GROUP BY 1) " +
+        "SELECT nv.community, nv.n_vertices, " +
+        "CAST(COALESCE(intra.e_intra, 0) AS BIGINT) AS e_intra, " +
+        "CAST(COALESCE(deg.d_tot, 0) AS BIGINT) AS d_tot, " +
+        "CAST(mm.m AS BIGINT) AS m, " +
+        "CAST(4 * mm.m * COALESCE(intra.e_intra, 0) - " +
+        "COALESCE(deg.d_tot, 0) * COALESCE(deg.d_tot, 0) AS BIGINT) AS q_num " +
+        "FROM nv LEFT JOIN deg ON deg.community = nv.community " +
+        "LEFT JOIN intra ON intra.community = nv.community, mm"),
     // unrolled peeling twin of GraphOps.kCore: e0 = the symmetrized
     // simple graph, then KCoreMaxRounds rounds of "keep edges whose
     // BOTH endpoints currently have degree >= k" — the peel step is

@@ -1716,6 +1716,50 @@ object GraphOps {
     out
   }
 
+  /** Newman MODULARITY decomposition of a community labeling — the
+    * number that says whether `labelPropagation` (or any clustering)
+    * found real structure or noise. Per community: member count,
+    * intra-community undirected edge count, total degree, the shared
+    * edge total m, and the community's EXACT integer contribution
+    * `q_num = 4·m·e_intra − d_tot²` to Q·4m² — so
+    * Q = Σ q_num / (4m²) is one consumer division and the engine side
+    * stays all-long (fits while 2m < ~2^31; a 100 TB graph upgrades
+    * q_num to decimal(38,0) — the pieces columns already carry the
+    * exact inputs either way).
+    *
+    * Shape: the symmetrized simple graph joins the vertex-sized label
+    * relation twice (by src, by dst), then two map-side-combinable
+    * aggregations keyed by community — nothing wider than the edge
+    * relation shuffles, no windows.
+    */
+  def modularity(e: DataFrame, labels: DataFrame): DataFrame = {
+    val (und, nSym) = undSimple(e)
+    val m = nSym / 2L
+    val l = labels.select(col("vertex"), col("community"))
+    val j = und
+      .join(l.select(col("vertex").as("src"), col("community").as("c1")), "src")
+      .join(l.select(col("vertex").as("dst"), col("community").as("c2")), "dst")
+    // each undirected intra edge appears exactly twice in the sym bag
+    val intra = j.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(expr("count(1) div 2").as("e_intra"))
+    val deg = j.groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("d_tot"))
+    val nv = l.groupBy(col("community")).agg(count(lit(1)).as("n_vertices"))
+    val out = nv.join(deg, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"),
+        lit(m).as("m"))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("e_intra") - col("d_tot") * col("d_tot"))
+    // NOTE: `und` stays checkpointed — `out` is lazily derived from it
+    // (unlike labelPropagation, whose result only reads the label
+    // frame); the session's cache scope releases it after consumption
+    out
+  }
+
   /** Component-SIZE histogram over a (vertex, component) labeling
     * (`components` output): how many components have each size — the
     * fragmentation profile that distinguishes "one giant component

@@ -891,6 +891,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(sssp === bfs)
   }
 
+  test("modularity: textbook two-clique fixture and conservation laws") {
+    val s = spark
+    import s.implicits._
+    // two disjoint triangles, labeled by their component: the textbook
+    // perfectly-separated case with equal halves -> Q = 1/2 exactly
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("vertex", "community")
+    val rows = GraphOps.modularity(edgeDf(e: _*), labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val m = rows.head._5
+    assert(m === 6L)
+    assert(rows.map(_._4).sum === 2L * m)     // Σ d_tot = 2m
+    assert(rows.map(_._3).sum <= m)           // Σ e_intra ≤ m
+    assert(rows.map(_._6).sum === 2L * m * m) // Q·4m² = 2m² ⇔ Q = 1/2
+    // degenerate labeling (all one community): Q = 0 exactly
+    val one = labels.select(col("vertex"),
+      org.apache.spark.sql.functions.lit(0L).as("community"))
+    val total = GraphOps.modularity(edgeDf(e: _*), one).collect()
+      .map(_.getLong(5)).sum
+    assert(total === 0L)
+  }
+
   test("randomWalksWeighted: brute simulation + simple-graph == unweighted law") {
     import org.apache.spark.unsafe.types.UTF8String
     def ph(s: String): Long =
