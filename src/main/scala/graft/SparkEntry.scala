@@ -1117,6 +1117,12 @@ object SparkEntry {
     "media_dedup" -> ((s, d) =>
       Multimodal.mediaDedup(
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+    // byte-level NEAR-dup over payloads: SimHash on hex 4-byte grams,
+    // banded pairs at Hamming <= 3 — re-muxed/shifted copies surface
+    "media_simhash" -> ((s, d) =>
+      Multimodal.mediaSimhashPairs(
+        Multimodal.mediaTable(Tables.table(s, d, "documents")))
+        .orderBy("doc_a", "doc_b")),
     "media_decode" -> ((s, d) =>
       Multimodal.decodeStub(s,
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
@@ -3878,6 +3884,23 @@ object SparkEntry {
         s"CAST(${utf8LeadSql("unicode(substr(text, 1, 1))")} AS BIGINT) AS first_byte, " +
         "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
         "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
+    "media_simhash" -> {
+      // dedup_simhash's signature/banding SQL with tokens = uppercase
+      // hex 4-byte grams (DuckDB hex(VARCHAR) hexes the UTF-8 bytes —
+      // the payload — uppercase, exactly like Spark's hex(binary))
+      val bitSum = (0 until graft.operators.Dedup.SimBits).map { b =>
+        s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH th AS (SELECT doc_id, ${phSql("t")} + (${phSql2("t")} << 30) AS h FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(hex(text), '.{8}')) AS t " +
+        "FROM documents)), " +
+        s"sig AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM th GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    },
     // md5 over the UTF-8 payload bytes: DuckDB's md5(VARCHAR) hashes
     // the string's UTF-8 encoding — byte-identical to Spark's
     // md5(encode(text, 'UTF-8')); strlen = UTF-8 byte length

@@ -876,9 +876,23 @@ object Dedup {
     * Hamming ≤ 3 agrees on at least one of 4 bands, so the banding is
     * EXACT (no false negatives) while avoiding the all-pairs product.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(docs.select(col("doc_id"), tokens(col("text")).as("toks")),
+      maxHamming)
+
+  /** The banded SimHash pair core over an ALREADY-tokenized relation
+    * (doc_id, toks) — shared by the text form above (whitespace
+    * tokens) and `Multimodal.mediaSimhashPairs` (hex byte-grams of a
+    * binary payload). Same signature expression, same exact-by-
+    * pigeonhole banding.
+    */
+  def simhashPairsOf(toksRel: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = graft.Caches.track(
-      simhash(docs).persist(StorageLevel.MEMORY_AND_DISK))
+      toksRel.select(col("doc_id"),
+          graft.functions.ShingleHashFunctions.simhash(col("toks"), SimBits)
+            .as("simhash"))
+        .filter(col("simhash").isNotNull)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val bands = (0 until SimBands).map(j => (j * SimBandBits, SimBandBits))
     // Long format: one row per (doc, band) → a SINGLE equi-join on
     // (band_idx, band_val) replaces 4 separate self-joins (and 8

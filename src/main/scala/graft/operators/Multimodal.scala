@@ -71,6 +71,24 @@ object Multimodal {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "payload_md5", "n_bytes", "n_copies")
 
+  /** NEAR-dup detection over raw payload BYTES — the locality-sensitive
+    * complement of `mediaDedup` (which only catches bit-identical
+    * copies): SimHash over non-overlapping 4-byte grams of the
+    * payload's hex encoding, banded pairs at Hamming ≤ 3 through the
+    * SAME `Dedup.simhashPairsOf` core as the text family. A re-muxed
+    * or trailing-metadata-shifted copy shares most byte grams and
+    * surfaces here; the payload itself never shuffles (one map stage
+    * computes the 60-bit signature, then only (doc, band, signature)
+    * rows move). Hex grams (uppercase in BOTH engines) rather than raw
+    * byte slices keep the gram hash the ordinary string PolyHash the
+    * oracle can state.
+    */
+  def mediaSimhashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhashPairsOf(
+      media.select(col("doc_id"),
+        expr("regexp_extract_all(hex(payload), '.{8}', 0)").as("toks")),
+      maxHamming)
+
   /** Resize planning (stub): compute target dimensions capped at
     * `maxSide` with integer-exact proportional scaling — the metadata
     * half of a resize; the pixel half is the codec stub. Pure column

@@ -4019,6 +4019,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(eq.getDouble(5) === eq.getDouble(2))
   }
 
+  test("mediaSimhashPairs: identical payloads at hamming 0, near copies found, distinct far") {
+    val s = spark
+    import s.implicits._
+    import operators.Multimodal
+    val base = ("A" * 200) + ("B" * 200) + ("C" * 200)
+    val near = base.dropRight(8) + "XXXXXXXX" // tail-edited copy
+    val media = Seq(
+      (0L, base.getBytes("UTF-8")), (1L, base.getBytes("UTF-8")),
+      (2L, near.getBytes("UTF-8")),
+      (3L, (1 to 600).map(i => ('a' + i % 26).toChar).mkString.getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.mediaSimhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L)      // exact copy: hamming 0
+    assert(pairs.contains((0L, 2L)))    // tail-edited copy surfaces
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("abLift: exposure gating, conversion arithmetic, non-finite revenue excluded") {
     val s = spark
     import s.implicits._
