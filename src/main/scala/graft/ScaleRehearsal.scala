@@ -1080,6 +1080,30 @@ object ScaleRehearsal {
       s"rows=$n pairs=$pairs"
     })
 
+    // byte-level media near-dup at 50k payloads (10 exact replicas of
+    // each sf0.1 doc → dense hamming-0 mass): the band join must stay
+    // bounded, payloads must never shuffle
+    t("media_simhash 50k payloads")(
+      operators.Multimodal.mediaSimhashPairs(
+        docs.select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))).count())
+    // modularity of LPA communities on the sparse 10M/8 slice
+    t("modularity 10M/8 slice")({
+      val sp = operators.GraphOps.sparsifyEdges(edges, 8L)
+      operators.GraphOps.modularity(sp,
+          operators.GraphOps.labelPropagation(sp))
+        .agg(sum(col("q_num")), count(lit(1))).collect()(0).toSeq.mkString("/")
+    })
+    // A/B read-out over the 10M-event fixture (1M users)
+    t("ab_lift 10M events")(
+      graft.streaming.EventWindows.abLift(bigEvents
+          .withColumn("event_type",
+            when(pmod(col("user_id"), lit(3)) === 0L, "purchase")
+              .otherwise("view"))
+          .withColumn("value", col("user_id").cast("double") / 100.0)
+          .withColumn("event_id", col("user_id")))
+        .count())
+
     spark.stop()
   }
 }

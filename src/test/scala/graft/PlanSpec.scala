@@ -509,6 +509,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("media_simhash: payload bytes stay in the scan stage; bands shuffle slim rows") {
+    val plan = executedPlan("media_simhash")
+    // the signature map stage consumes payload; no sort-merge join of
+    // payload-carrying rows anywhere
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("embedding_outliers: broadcast centroid join, TakeOrdered top-k, no window") {
+    val plan = executedPlan("embedding_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("events_ab_lift: two aggregations, no join, value filter in the scan stage") {
+    val plan = executedPlan("events_ab_lift")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("poly_hash is SQL-callable after runtime registration") {
     graft.plans.GraftSql.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0)
