@@ -1459,11 +1459,17 @@ object GraphOps {
     require(perSeed >= 1L && perSeed <= 1024L,
       s"perSeed must be in [1, 1024], got $perSeed")
     import graft.functions.PolyHashFunctions.poly_hash
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // NO pre-ranked adjacency: ranking every src's neighbor list costs
+    // a full-graph window sort that the handful of visited vertices
+    // never amortizes (measured ~3 s of the 4.6 s gate). Instead each
+    // step joins the walk frame against the plain edge cache and ranks
+    // ONLY the joined candidates — one vertex per walk, so the
+    // per-walk_id window IS that vertex's neighbor ranking, over
+    // walks×degree rows. (A corpus of millions of walks revisiting
+    // most vertices flips the economics back to pre-ranking once.)
     val adj = graft.Caches.track(e0.select("src", "dst").distinct()
-      .withColumn("rnk", row_number().over(w.orderBy(col("dst"))))
-      .withColumn("deg", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
     var state = ck(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
       .select((col("v") * perSeed + col("j")).as("walk_id"),
@@ -1473,14 +1479,16 @@ object GraphOps {
     var step = 1
     while (step <= len) {
       val h = poly_hash(concat(
-        state("walk_id").cast("string"), lit(":"),
+        col("walk_id").cast("string"), lit(":"),
         lit((step - 1).toString), lit(":"),
-        state("vertex").cast("string")))
-      val next = broadcast(state).join(adj,
-        adj("src") === state("vertex") &&
-          adj("rnk") === pmod(h, adj("deg")) + 1)
-      val stepped = ck(next.select(state("walk_id").as("walk_id"),
-        adj("dst").as("vertex")))
+        col("vertex").cast("string")))
+      val stepped = ck(broadcast(state).join(adj,
+          adj("src") === state("vertex"))
+        .select(col("walk_id"), col("vertex"), col("dst"))
+        .withColumn("rnk", row_number().over(ww.orderBy(col("dst"))))
+        .withColumn("deg", count(lit(1)).over(ww))
+        .filter(col("rnk") === pmod(h, col("deg")) + 1)
+        .select(col("walk_id"), col("dst").as("vertex")))
       frames += stepped.select(col("walk_id"),
         lit(step.toLong).as("step"), col("vertex"))
       state = stepped
@@ -1508,12 +1516,12 @@ object GraphOps {
     require(perSeed >= 1L && perSeed <= 1024L,
       s"perSeed must be in [1, 1024], got $perSeed")
     import graft.functions.PolyHashFunctions.poly_hash
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // cumulative ranges computed per STEP over the joined candidates
+    // only (see randomWalks' no-pre-ranking note) — the weighted edge
+    // compression is the one full-graph pass, with no window on it
     val adj = graft.Caches.track(weightedEdges(e0)
-      .withColumn("hi", sum(col("w")).over(w.orderBy(col("dst"))))
-      .withColumn("lo", col("hi") - col("w"))
-      .withColumn("tot", sum(col("w")).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
     var state = ck(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
       .select((col("v") * perSeed + col("j")).as("walk_id"),
@@ -1523,14 +1531,18 @@ object GraphOps {
     var step = 1
     while (step <= len) {
       val h = poly_hash(concat(
-        state("walk_id").cast("string"), lit(":"),
+        col("walk_id").cast("string"), lit(":"),
         lit((step - 1).toString), lit(":"),
-        state("vertex").cast("string")))
-      val r = pmod(h, adj("tot"))
-      val next = broadcast(state).join(adj,
-        adj("src") === state("vertex") && r >= adj("lo") && r < adj("hi"))
-      val stepped = ck(next.select(state("walk_id").as("walk_id"),
-        adj("dst").as("vertex")))
+        col("vertex").cast("string")))
+      val stepped = ck(broadcast(state).join(adj,
+          adj("src") === state("vertex"))
+        .select(col("walk_id"), col("vertex"), col("dst"), col("w"))
+        .withColumn("hi", sum(col("w")).over(ww.orderBy(col("dst"))))
+        .withColumn("lo", col("hi") - col("w"))
+        .withColumn("tot", sum(col("w")).over(ww))
+        .filter(pmod(h, col("tot")) >= col("lo") &&
+          pmod(h, col("tot")) < col("hi"))
+        .select(col("walk_id"), col("dst").as("vertex")))
       frames += stepped.select(col("walk_id"),
         lit(step.toLong).as("step"), col("vertex"))
       state = stepped
