@@ -1258,6 +1258,10 @@ object SparkEntry {
     // DAU / trailing-7d WAU / stickiness-ppm per epoch-aligned day —
     // trailing distinct via ×7 fanout of the DISTINCT (day, user)
     // pairs, never a per-user range join
+    // dow x hour seasonality profile, pure integer UTC epoch math
+    "events_seasonality" -> ((s, d) =>
+      graft.streaming.EventWindows.seasonality(Tables.table(s, d, "events"))
+        .orderBy("dow", "hour")),
     // deterministic A/B read-out: hash-assigned arms, exposed users,
     // purchase conversion + quantized revenue, all-long aggregation
     "events_ab_lift" -> ((s, d) =>
@@ -4200,6 +4204,12 @@ object SparkEntry {
     // DAU/WAU/stickiness: epoch-aligned day grid (epoch_us // dayUs ·
     // 86400 ≡ the window(ts,'1 day') start for positive epochs); the
     // trailing distinct via the same ×7 fanout of distinct (day, user)
+    "events_seasonality" ->
+      ("SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hour, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1, 2"),
     "events_ab_lift" -> {
       val v = graft.streaming.EventWindows.AbVariants
       "WITH pu AS (SELECT user_id, " +

@@ -572,6 +572,24 @@ object EventWindows {
         col("revenue_ppm"))
   }
 
+  /** Day-of-week × hour-of-day activity profile — the seasonality
+    * fingerprint capacity planning and anomaly baselines read. Bucket
+    * arithmetic is pure integer epoch math in UTC (dow 0 = Sunday via
+    * the +4 Thursday-epoch offset; no calendar/timezone functions, so
+    * both engines agree by construction). Exact distinct users per
+    * cell: the shuffle carries (dow, hour, user) triples once —
+    * 168 × |users| worst case, the honest cost of exact counts (the
+    * HLL family is the bounded-state alternative).
+    */
+  def seasonality(events: DataFrame): DataFrame =
+    events.select(
+        (expr("(unix_seconds(ts) div 86400 + 4) % 7")).as("dow"),
+        (expr("(unix_seconds(ts) div 3600) % 24")).as("hour"),
+        col("user_id"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
   def propsStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

@@ -4037,6 +4037,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("seasonality: epoch-math dow/hour on known instants") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // 1970-01-01 (Thursday) 00:30Z → (dow 4, hour 0);
+    // 1970-01-04 (Sunday) 23:10Z → (dow 0, hour 23)
+    val ev = Seq(
+      (1L, new Timestamp(1800000L), 7L),
+      (2L, new Timestamp(3L * 86400000L + 83400000L), 7L),
+      (3L, new Timestamp(3L * 86400000L + 83410000L), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val got = graft.streaming.EventWindows.seasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map((4L, 0L) -> ((1L, 1L)), (0L, 23L) -> ((2L, 2L))))
+  }
+
   test("abLift: exposure gating, conversion arithmetic, non-finite revenue excluded") {
     val s = spark
     import s.implicits._
