@@ -1123,6 +1123,12 @@ object SparkEntry {
       Multimodal.mediaSimhashPairs(
         Multimodal.mediaTable(Tables.table(s, d, "documents")))
         .orderBy("doc_a", "doc_b")),
+    // byte-level near-dup CLUSTERS: the same star-contraction resolver
+    // as dedup_clusters over the media pair relation
+    "media_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Multimodal.mediaSimhashPairs(
+          Multimodal.mediaTable(Tables.table(s, d, "documents"))))
+        .orderBy("doc_id")),
     "media_decode" -> ((s, d) =>
       Multimodal.decodeStub(s,
         Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
@@ -2107,6 +2113,25 @@ object SparkEntry {
       "i -> substr(word, i, 1)), '  ') || ' ' AS s FROM vocab), " +
       body
   }
+
+  /** media_simhash oracle — shared whole by media_clusters. */
+  private lazy val MediaSimhashSql: String = {
+      // dedup_simhash's signature/banding SQL with tokens = uppercase
+      // hex 4-byte grams (DuckDB hex(VARCHAR) hexes the UTF-8 bytes —
+      // the payload — uppercase, exactly like Spark's hex(binary))
+      val bitSum = (0 until graft.operators.Dedup.SimBits).map { b =>
+        s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH th AS (SELECT doc_id, ${phSql("t")} + (${phSql2("t")} << 30) AS h FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(hex(text), '.{8}')) AS t " +
+        "FROM documents)), " +
+        s"sig AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM th GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    }
 
   /** graph_lpa oracle — shared whole by graph_modularity. */
   private lazy val GraphLpaSql: String = {
@@ -3888,23 +3913,19 @@ object SparkEntry {
         s"CAST(${utf8LeadSql("unicode(substr(text, 1, 1))")} AS BIGINT) AS first_byte, " +
         "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
         "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
-    "media_simhash" -> {
-      // dedup_simhash's signature/banding SQL with tokens = uppercase
-      // hex 4-byte grams (DuckDB hex(VARCHAR) hexes the UTF-8 bytes —
-      // the payload — uppercase, exactly like Spark's hex(binary))
-      val bitSum = (0 until graft.operators.Dedup.SimBits).map { b =>
-        s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
-          s"THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"WITH th AS (SELECT doc_id, ${phSql("t")} + (${phSql2("t")} << 30) AS h FROM " +
-        "(SELECT doc_id, unnest(regexp_extract_all(hex(text), '.{8}')) AS t " +
-        "FROM documents)), " +
-        s"sig AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM th GROUP BY doc_id) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
-        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
-    },
+    "media_simhash" -> MediaSimhashSql,
+    "media_clusters" ->
+      // near-dup cluster resolution over the byte-level pairs — the
+      // SAME recursive-reachability oracle shape as dedup_clusters,
+      // pairs spliced whole from MediaSimhashSql
+      ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
+        s"($MediaSimhashSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
+        "SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
+        "FROM reach GROUP BY u"),
     // md5 over the UTF-8 payload bytes: DuckDB's md5(VARCHAR) hashes
     // the string's UTF-8 encoding — byte-identical to Spark's
     // md5(encode(text, 'UTF-8')); strlen = UTF-8 byte length
