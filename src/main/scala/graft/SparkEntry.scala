@@ -896,6 +896,13 @@ object SparkEntry {
       Similarity.embeddingOutliers(Tables.table(s, d, "embeddings"))
         .orderBy(org.apache.spark.sql.functions.col("d2").desc,
           org.apache.spark.sql.functions.col("vec_id"))),
+    // clustering-quality audit: per-label simplified silhouette
+    // (centroid form) — integer a/b distances via the labelCentroids
+    // quantize-first pipeline, one ⌊(b−a)/max·1e6⌋ per vector;
+    // centroids ride as literals so the corpus pass is map-only
+    "embedding_silhouette" -> ((s, d) =>
+      Similarity.silhouetteByLabel(Tables.table(s, d, "embeddings"))
+        .orderBy("label")),
     // matryoshka-style truncated retrieval: exact L2 over the first
     // TruncDims dims only — 4x less bandwidth per comparison
     "knn_brute_l2_trunc" -> ((s, d) =>
@@ -3762,6 +3769,37 @@ object SparkEntry {
         "(ORDER BY d2 DESC, vec_id ASC) AS rnk FROM d) " +
         s"SELECT vec_id, label, d2 FROM r WHERE rnk <= $k"
     },
+    // silhouette oracle: same quantize-first centroids (the
+    // embedding_outliers CTE chain), every-label distances via the
+    // dim-join (the literal-free SQL twin of the operator's literal
+    // fold — integer-exact, so arithmetic shape may differ), then the
+    // identical per-row divide-then-scale double chain
+    "embedding_silhouette" ->
+      ("WITH v AS (SELECT vec_id, label, " +
+        "unnest(generate_series(1, len(embedding))) AS i, embedding " +
+        "FROM embeddings), " +
+        "x AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS dim, " +
+        "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM v), " +
+        "c AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) // COUNT(*) " +
+        "AS mean_ppm FROM x GROUP BY 1, 2), " +
+        "d AS (SELECT x.vec_id, x.label AS own, c.label AS clabel, " +
+        "CAST(SUM((q - mean_ppm) * (q - mean_ppm)) AS BIGINT) AS d2 " +
+        "FROM x JOIN c ON c.dim = x.dim GROUP BY 1, 2, 3), " +
+        "p AS (SELECT vec_id, own AS label, " +
+        "SUM(CASE WHEN clabel = own THEN d2 END) AS a, " +
+        "MIN(CASE WHEN clabel <> own THEN d2 END) AS b " +
+        "FROM d GROUP BY 1, 2), " +
+        "s AS (SELECT vec_id, label, a, b, " +
+        "CASE WHEN GREATEST(a, b) = 0 THEN 0 ELSE " +
+        "CAST(floor(CAST(b - a AS DOUBLE) / CAST(GREATEST(a, b) AS DOUBLE) " +
+        "* 1000000.0) AS BIGINT) END AS s_ppm " +
+        "FROM p WHERE b IS NOT NULL) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm, " +
+        "CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm, " +
+        "CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm, " +
+        "CAST(SUM(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_closer_other FROM s GROUP BY label"),
     "embedding_centroids" ->
       ("WITH v AS (SELECT label, " +
         "unnest(generate_series(1, len(embedding))) AS i, embedding " +

@@ -858,6 +858,110 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("d2"))
   }
 
+  /** Driver-side cap on labels × dims for `silhouetteByLabel`'s
+    * centroid collect — the same bounded-collect discipline as the IVF
+    * centroid export (a label taxonomy is a FIXED vocabulary, not a
+    * data-sized relation; blowing past this means the label column is
+    * not a label column).
+    */
+  val SilhouetteMaxCentroidCells = 65536
+
+  /** Per-LABEL simplified silhouette — the clustering-quality
+    * diagnostic that says whether a label taxonomy (or a k-means
+    * assignment re-stamped as labels) actually separates in embedding
+    * space: for each vector, `a` = squared distance to its OWN label
+    * centroid, `b` = min squared distance to any OTHER label centroid,
+    * and the silhouette is `(b − a) / max(a, b)` ∈ [−1, 1] (the
+    * "simplified" centroid form of Rousseeuw's statistic — the exact
+    * form needs all pairwise distances, O(n²) at corpus scale; the
+    * centroid form is the one production audits run). Output one row
+    * per label: member count, mean/min/max silhouette in ppm, and
+    * `n_closer_other` — members strictly closer to a foreign centroid
+    * (the mislabel-suspect count `embeddingOutliers` ranks
+    * individually).
+    *
+    * Arithmetic contract (float-parity rule): distances reuse the
+    * `labelCentroids` quantize-FIRST integer pipeline, so `a`, `b` are
+    * exact longs; the per-row silhouette is the fixed chain
+    * `⌊(b−a)/max(a,b) · 1e6⌋` — one double divide of exact longs
+    * (≤ dims·(2·1e6)² ≈ 2.6e14 < 2^53, so the long→double casts are
+    * exact and the IEEE divide is bit-deterministic) — and every
+    * cross-row aggregate is an integer SUM/MIN/MAX/COUNT. (A direct
+    * `(b−a)·1e6` long product would overflow at 64 dims — hence
+    * divide-then-scale, not scale-then-divide.) Vectors of a label
+    * with no OTHER label present never reach the output (b is
+    * undefined); a single-label corpus yields an empty relation, not
+    * an error.
+    *
+    * Scale shape: the (labels × dims) centroid relation collects to
+    * the driver (require-capped — labels are a vocabulary, not data)
+    * and comes back as LITERAL arrays, so the corpus pass is pure
+    * map: one `zip_with`/`aggregate` fold per label per row inside
+    * whole-stage codegen — no explode, no join, no shuffle until the
+    * final #labels-row aggregation (map-side combined). The exploded
+    * broadcast-join alternative (the `embeddingOutliers` shape)
+    * shuffles corpus·dims·labels partial rows; at 100 TB that is the
+    * difference between a scan and a shuffle.
+    */
+  def silhouetteByLabel(emb: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = labelCentroids(emb, labelCol)
+      .select(col("label"), col("dim"), col("mean_ppm")).collect()
+    require(cents.length <= SilhouetteMaxCentroidCells,
+      s"silhouetteByLabel: ${cents.length} (label, dim) centroid cells " +
+        s"exceed $SilhouetteMaxCentroidCells — the label column is " +
+        "data-sized, not a taxonomy")
+    val byLabel: Seq[(Long, Array[Long])] = cents
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    if (byLabel.size < 2) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("label", "n_vecs", "mean_s_ppm", "min_s_ppm", "max_s_ppm",
+          "n_closer_other")
+    }
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(CentroidQuantPpm.toDouble))
+        .cast("long"))
+    // one integer-exact fold per label. Width contract: vectors must
+    // match the centroid width (zip_with pads the short side with
+    // null, which nulls the whole fold) — a ragged vector surfaces as
+    // a null silhouette, never a silently-truncated distance.
+    val dists = array(byLabel.map { case (_, m) =>
+      aggregate(
+        zip_with(q, typedLit(m.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    val ownIdx = byLabel.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, ((l, _), i)) =>
+        when(col(labelCol).cast("long") === lit(l), lit(i)).otherwise(acc)
+      }
+    val a = element_at(col("ds"), col("own_idx") + 1)
+    val b = array_min(zip_with(col("ds"),
+      sequence(lit(0), lit(byLabel.size - 1)),
+      (d, i) => when(i === col("own_idx"), lit(Long.MaxValue)).otherwise(d)))
+    val sPpm = when(greatest(a, b) === 0L, lit(0L))
+      .otherwise(floor((b - a).cast("double") / greatest(a, b).cast("double")
+        * lit(1000000.0)).cast("long"))
+    emb
+      .select(col(labelCol).cast("long").as("label"), col("embedding"))
+      .withColumn("ds", dists).withColumn("own_idx", ownIdx)
+      // a label absent from the centroid relation cannot occur (the
+      // centroids came from this same relation) — but keep the guard
+      // total rather than undefined
+      .filter(col("own_idx") >= 0)
+      .select(col("label"), sPpm.as("s_ppm"),
+        (b < a).cast("long").as("closer_other"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+        min("s_ppm").as("min_s_ppm"), max("s_ppm").as("max_s_ppm"),
+        sum("closer_other").as("n_closer_other"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

@@ -4095,6 +4095,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(top(0).getLong(2) > 10L * top(1).getLong(2))
   }
 
+  test("silhouetteByLabel: tight separated clusters score near 1e6; " +
+      "the planted mislabel is the closer-other count") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    def v(base: Float, eps: Float) = Array.tabulate(8)(i => base + eps * i)
+    val emb = ((0L until 20L).map(i => (i, v(1f, 0.001f * i.toInt), 0)) ++
+      (20L until 40L).map(i => (i, v(-1f, 0.001f * i.toInt), 1)) :+
+      ((99L, v(-1f, 0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.silhouetteByLabel(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L))
+    assert(rows(0L)._1 === 21L && rows(1L)._1 === 20L)
+    // label 1 is tight and far from label 0's centroid → mean s ≈ 1
+    assert(rows(1L)._2 > 900000L)
+    // the planted mislabel (cluster-B geometry under label 0) is the
+    // only member closer to a foreign centroid
+    assert(rows(0L)._3 === 1L && rows(1L)._3 === 0L)
+    // degenerate: a single-label corpus has no "other" centroid —
+    // empty relation, not an error
+    assert(Similarity.silhouetteByLabel(
+      emb.filter($"label" === 0)).count() === 0L)
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
