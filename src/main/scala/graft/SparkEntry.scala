@@ -903,6 +903,25 @@ object SparkEntry {
     "embedding_silhouette" -> ((s, d) =>
       Similarity.silhouetteByLabel(Tables.table(s, d, "embeddings"))
         .orderBy("label")),
+    // JL dimensionality reduction: ±1 signs from the salted PolyHash
+    // parity, exact integer projections — literal sign matrix, pure
+    // map stage (the SQL twin derives the same matrix from the hash)
+    "embedding_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.table(s, d, "embeddings"))
+        .orderBy("vec_id", "pdim")),
+    // retrieval from the projected tier: exact long L2 over 16-long
+    // vectors — 4x less bandwidth per comparison than full width
+    "knn_project" -> ((s, d) =>
+      Similarity.knnProjected(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // projection honesty: recall@5 of the projected ranking vs the
+    // full-width exact-L2 ranking — the number that gates serving a
+    // first pass from the compressed tier
+    "knn_project_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnProjected(emb),
+        Similarity.knnBruteL2(emb))
+    }),
     // matryoshka-style truncated retrieval: exact L2 over the first
     // TruncDims dims only — 4x less bandwidth per comparison
     "knn_brute_l2_trunc" -> ((s, d) =>
@@ -1508,6 +1527,48 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), " +
       "(acc, x) -> acc + x)"
+
+  /** Shared CTEs for the random-projection family: `sg` = the
+    * (i, j) ±1 grid from the salted-PolyHash parity (the SQL twin of
+    * Similarity.rpSign — the matrix is DERIVED, not embedded), `pj` =
+    * the per-(vec_id, pdim) exact integer projections. Integer-exact
+    * end to end, so the join-the-grid shape here may differ from the
+    * operator's literal fold.
+    */
+  private lazy val RpProjCte: String = {
+    val d = Similarity.RpInDims
+    val p = Similarity.RpDims
+    val cell = "'rp:' || CAST(t.i AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)"
+    // the profileHll pre-mix: h1·Mod2 + h2 re-rendered and re-hashed
+    // (raw parity of a short-string rolling hash is affine in the
+    // trailing digit — see Similarity.rpSign)
+    val mixed = s"CAST((${phSql(cell)} * ${graft.functions.PolyHashUtil.Mod2} " +
+      s"+ ${phSql2(cell)}) AS VARCHAR)"
+    s"sg AS (SELECT t.i, u.j, CASE WHEN ${phSql(mixed)} % 2 = 0 " +
+      "THEN 1 ELSE -1 END AS sgn " +
+      s"FROM range(0, $d) t(i), range(0, $p) u(j)), " +
+      "q8 AS (SELECT vec_id, i - 1 AS dim, " +
+      "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM " +
+      "(SELECT vec_id, embedding, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings)), " +
+      "pj AS (SELECT vec_id, CAST(sg.j AS BIGINT) AS pdim, " +
+      "CAST(SUM(sgn * q) AS BIGINT) AS y " +
+      "FROM q8 JOIN sg ON sg.i = q8.dim GROUP BY 1, 2)"
+  }
+
+  /** knn_project oracle — exact long L2 ranking in projected space;
+    * shared by knn_project_recall's approx side.
+    */
+  private lazy val KnnProjSql: String =
+    s"WITH $RpProjCte, " +
+      "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "CAST(SUM((q.y - c.y) * (q.y - c.y)) AS BIGINT) AS pd2 " +
+      s"FROM pj q JOIN pj c ON q.vec_id < ${Similarity.DefaultQueries} " +
+      "AND c.vec_id <> q.vec_id AND c.pdim = q.pdim GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, pd2, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY pd2 ASC, neighbor_id ASC) AS rnk FROM s) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, pd2 " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
   /** knn_brute_l2_trunc oracle — the exact-L2 ranking over the vector
     * prefix; shared by knn_trunc_recall's approx side.
@@ -3810,6 +3871,11 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_ppm, " +
         "CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm " +
         "FROM q GROUP BY 1, 2"),
+    "embedding_project" -> s"WITH $RpProjCte SELECT vec_id, pdim, y FROM pj",
+    "knn_project" -> KnnProjSql,
+    // projection honesty: both sides SQL-derivable (the sign matrix
+    // regenerates from the hash), recall vs the full-width ranking
+    "knn_project_recall" -> recallSql(KnnBruteL2Sql, KnnProjSql),
     "knn_brute_l2" -> KnnBruteL2Sql,
     "knn_pq" -> KnnPqSql,
     // PQ honesty: both sides SQL-derivable (hash-anchored codebook),

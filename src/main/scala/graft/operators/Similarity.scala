@@ -962,6 +962,104 @@ object Similarity {
         sum("closer_other").as("n_closer_other"))
   }
 
+  /** Output width of `randomProject` (16 of the testdata's 64 dims —
+    * 4× less bandwidth per vector, the same compression the truncated
+    * `TruncDims` gates price by a different mechanism). Same constant
+    * MUST appear in the oracle SQL.
+    */
+  val RpDims = 16
+
+  /** DECLARED input width for `randomProject` — the sign matrix is a
+    * static (inDims × pdims) artifact, so the input width is part of
+    * the projection's identity (two corpora projected at different
+    * declared widths are not comparable). A vector shorter than the
+    * declared width surfaces as a NULL projection (zip_with pads with
+    * null and nulls the fold), never a silently-truncated one.
+    */
+  val RpInDims = 64
+
+  /** Sign cell (i, j) of the projection matrix: ±1 from the parity of
+    * the PRE-MIXED PolyHash over the salted cell name — deterministic,
+    * engine-reproducible (the oracle derives the SAME matrix in SQL),
+    * and independent of `hashSplit`/sampling hashes by the "rp:" salt.
+    *
+    * The pre-mix (`profileHll`'s device, same measured failure mode):
+    * adjacent cell names differ by a trailing digit, and a rolling
+    * hash of a short string is AFFINE in that digit — the raw parity
+    * column came out perfectly rank-1 (every j-column identical up to
+    * global sign; measured recall 0 where Rademacher gives 0.1).
+    * Combining both PolyHashes (`h1·Mod2 + h2`), re-rendering the
+    * ~18-digit decimal and hashing again forces full mod-reduction
+    * chains, and the measured matrix matches i.i.d. Rademacher
+    * statistics (max |column correlation| 0.34 at 64×16 — the ~2/√64
+    * a random matrix gives).
+    */
+  private[graft] def rpSign(i: Int, j: Int): Long = {
+    import graft.functions.PolyHashUtil.{hash, Mult2, Mod2}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val cell = u(s"rp:$i:$j")
+    val mixed = hash(cell) * Mod2 + hash(cell, Mult2, Mod2)
+    if (hash(u(mixed.toString)) % 2 == 0) 1L else -1L
+  }
+
+  /** Signed random projection (Achlioptas/JL): y_j = Σ_i s_ij · q_i
+    * over the ppm-quantized elements, s_ij ∈ {±1} from `rpSign` — the
+    * dimensionality-reduction primitive for cheap retrieval tiers and
+    * clustering sketches, entirely in EXACT integer arithmetic
+    * (|y| ≤ 64 · 2e6 ≈ 1.3e8, nowhere near overflow; no RNG — the
+    * matrix regenerates identically on every engine from the hash).
+    * Output one (vec_id, pdim, y) row per projected coordinate.
+    *
+    * Scale shape: the sign matrix is a compile-time literal (inDims ×
+    * pdims ≤ 1024 longs), so the projection is a pure map stage — one
+    * zip_with/aggregate fold per output dim inside whole-stage
+    * codegen; no shuffle, no join, no stats pass. (The SQL twin joins
+    * an exploded grid instead — integer-exact, so the arithmetic
+    * SHAPE may differ; only float chains must mirror token-for-token.)
+    */
+  def randomProject(emb: DataFrame, pdims: Int = RpDims,
+      inDims: Int = RpInDims): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(projArray(pdims, inDims)).as(Seq("pdim", "y")))
+      .select(col("vec_id"), col("pdim").cast("long").as("pdim"), col("y"))
+
+  /** The projected-vector array column (length `pdims`, exact longs). */
+  private def projArray(pdims: Int, inDims: Int): Column = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(CentroidQuantPpm.toDouble))
+        .cast("long"))
+    array((0 until pdims).map { j =>
+      val signs: Seq[Long] = (0 until inDims).map(i => rpSign(i, j))
+      aggregate(
+        zip_with(q, typedLit(signs), (a, s) => a * s),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+  }
+
+  /** Exact top-k by squared L2 in the PROJECTED space — the serving
+    * tier `randomProject` buys: 16-long vectors instead of 64 floats,
+    * distances in exact long arithmetic (pd2 ≤ 16 · (2.6e8)² ≈ 1e18 <
+    * 2^63 — no floats anywhere in this operator). Same broadcast-the-
+    * query-side scan + TopKPerKey shape as `knnBruteL2`; its recall
+    * against the full-width exact ranking is the `knn_project_recall`
+    * gate — the number that decides whether the 4× cheaper tier is
+    * usable as a first pass.
+    */
+  def knnProjected(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, pdims: Int = RpDims,
+      inDims: Int = RpInDims): DataFrame = {
+    val proj = emb.select(col("vec_id"), projArray(pdims, inDims).as("p"))
+    val queries = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("q_p"))
+    val scored = proj.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q_p"), col("p"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("pd2"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("pd2").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "pd2")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from the
     * banded LSH self-join. Ids-first plan: the band join shuffles ONLY
     * (band_idx, band_val, vec_id) — never embeddings — then the

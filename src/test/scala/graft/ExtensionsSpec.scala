@@ -4121,6 +4121,38 @@ class ExtensionsSpec extends SparkSpec {
       emb.filter($"label" === 0)).count() === 0L)
   }
 
+  test("randomProject preserves planted-cluster retrieval; the sign " +
+      "matrix is balanced, not rank-collapsed") {
+    val s = spark
+    import s.implicits._
+    import operators.Similarity
+    // sign-matrix sanity: the raw-parity bug made every column
+    // identical up to sign — pin per-column balance AND column
+    // diversity at the 64×16 production shape
+    val m = Array.tabulate(64, 16)((i, j) => Similarity.rpSign(i, j))
+    (0 until 16).foreach { j =>
+      val bal = (0 until 64).map(i => m(i)(j)).sum
+      assert(math.abs(bal) <= 20, s"column $j unbalanced: $bal")
+    }
+    val distinctCols = (0 until 16)
+      .map(j => (0 until 64).map(i => m(i)(j) * m(0)(j)).toVector)
+      .distinct.size
+    assert(distinctCols === 16, "sign columns collapsed to a low rank")
+    // planted clusters: 10 well-separated centers, 8 members each,
+    // queries 0..9 land one per cluster — projected retrieval must
+    // keep most true neighbors (JL distortion << cluster separation)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val emb = (0 until 80).map { v =>
+      val c = v % 10
+      (v.toLong, centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat), c)
+    }.toDF("vec_id", "embedding", "label")
+    val rec = Similarity.recallAtK(
+      Similarity.knnProjected(emb), Similarity.knnBruteL2(emb))
+      .collect()(0).getDouble(3)
+    assert(rec >= 0.8, s"clustered recall@5 only $rec")
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
