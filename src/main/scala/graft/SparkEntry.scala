@@ -1294,6 +1294,16 @@ object SparkEntry {
     "events_seasonality" -> ((s, d) =>
       graft.streaming.EventWindows.seasonality(Tables.table(s, d, "events"))
         .orderBy("dow", "hour")),
+    // multi-dim clustering audit: Morton-key "files" with their
+    // per-dimension zone maps — the footer stats a z-ordered write
+    // would carry; stats-to-literals + map-only interleave
+    "events_zorder" -> ((s, d) =>
+      graft.sources.Layout.zorderZoneMap(Tables.table(s, d, "events"))
+        .orderBy("bucket")),
+    // the pruning verdict: files touched by a derived user-range
+    // predicate under the z-order vs time-clustered layouts
+    "events_zorder_pruning" -> ((s, d) =>
+      graft.sources.Layout.zorderPruning(Tables.table(s, d, "events"))),
     // deterministic A/B read-out: hash-assigned arms, exposed users,
     // purchase conversion + quantized revenue, all-long aggregation
     "events_ab_lift" -> ((s, d) =>
@@ -1569,6 +1579,43 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY pd2 ASC, neighbor_id ASC) AS rnk FROM s) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, pd2 " +
       s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** Morton interleave in SQL — bit i of `a` to position 2i+1, of `b`
+    * to 2i (integer-exact twin of Layout.morton; `//`/`%` on the
+    * non-negative grid cells match the long shifts).
+    */
+  private def mortonSql(a: String, b: String): String =
+    (0 until graft.sources.Layout.ZBits).map { i =>
+      s"(($a // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($b // ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTEs for the z-order gates: corpus-wide min/max stats and
+    * the per-event grid cells (the SQL twin of Layout.gridCell's
+    * IntegralDivide normalization).
+    */
+  private lazy val ZGridCte: String = {
+    val g = 1L << graft.sources.Layout.ZBits
+    "st AS (SELECT MIN(user_id) AS umn, MAX(user_id) AS umx, " +
+      "MIN(epoch_us(ts)) AS tmn, MAX(epoch_us(ts)) AS tmx FROM events), " +
+      s"g AS (SELECT ((user_id - umn) * $g) // (umx - umn + 1) AS ub, " +
+      s"((epoch_us(ts) - tmn) * $g) // (tmx - tmn + 1) AS tb, " +
+      "user_id, epoch_us(ts) AS us FROM events, st)"
+  }
+
+  /** events_zorder oracle — Morton-bucket zone maps; shared by the
+    * pruning oracle's z side.
+    */
+  private lazy val ZZoneMapSql: String = {
+    val cut = 1L << (2 * graft.sources.Layout.ZBits -
+      graft.sources.Layout.ZBucketBits)
+    s"WITH $ZGridCte, " +
+      s"z AS (SELECT ${mortonSql("ub", "tb")} // $cut AS bucket, " +
+      "user_id, us FROM g) " +
+      "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "MIN(user_id) AS min_user, MAX(user_id) AS max_user, " +
+      "MIN(us) AS min_us, MAX(us) AS max_us FROM z GROUP BY bucket"
+  }
 
   /** knn_brute_l2_trunc oracle — the exact-L2 ranking over the vector
     * prefix; shared by knn_trunc_recall's approx side.
@@ -4335,6 +4382,34 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_events, " +
         "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM events GROUP BY 1, 2"),
+    "events_zorder" -> ZZoneMapSql,
+    // pruning verdict: zone-map intersection counts under both
+    // layouts + rows actually selected; the [span/4, span/2] slice
+    // derives from the same stats CTE on both engines
+    "events_zorder_pruning" -> {
+      val tcut = 1L << (graft.sources.Layout.ZBits -
+        graft.sources.Layout.ZBucketBits)
+      s"WITH $ZGridCte, " +
+        "pred AS (SELECT umn + (umx - umn + 1) // 4 AS lo, " +
+        "umn + (umx - umn + 1) // 2 AS hi FROM st), " +
+        s"zm AS (SELECT bucket, MIN(user_id) AS mn_u, MAX(user_id) AS mx_u " +
+        s"FROM (SELECT ${mortonSql("ub", "tb")} // " +
+        s"${1L << (2 * graft.sources.Layout.ZBits -
+          graft.sources.Layout.ZBucketBits)} AS bucket, user_id FROM g) " +
+        "GROUP BY bucket), " +
+        "zt AS (SELECT CAST(COUNT(*) AS BIGINT) AS z_files, " +
+        "CAST(SUM(CASE WHEN mn_u <= hi AND mx_u >= lo THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS z_touched FROM zm, pred), " +
+        s"tm AS (SELECT tb // $tcut AS bucket, MIN(user_id) AS mn_u, " +
+        "MAX(user_id) AS mx_u FROM g GROUP BY 1), " +
+        "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_files, " +
+        "CAST(SUM(CASE WHEN mn_u <= hi AND mx_u >= lo THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS t_touched FROM tm, pred), " +
+        "sel AS (SELECT CAST(SUM(CASE WHEN user_id BETWEEN lo AND hi " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS rows_selected FROM events, pred) " +
+        "SELECT z_files, z_touched, t_files, t_touched, rows_selected " +
+        "FROM zt, tt, sel"
+    },
     "events_ab_lift" -> {
       val v = graft.streaming.EventWindows.AbVariants
       "WITH pu AS (SELECT user_id, " +

@@ -126,4 +126,37 @@ class SourcesSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("zorder zone maps: both dims narrow per file; the pruning " +
+      "verdict beats the time-clustered control on a user predicate") {
+    val s = spark
+    import s.implicits._
+    // a (user, ts) grid with NO correlation between the dims — the
+    // adversarial case for single-dim clustering
+    val ev = (0 until 4096).map { i =>
+      val u = i % 64
+      val t = i / 64
+      (i.toLong, new java.sql.Timestamp(1700000000000L + t * 60000L),
+        u.toLong, "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val zm = graft.sources.Layout.zorderZoneMap(ev).collect()
+    assert(zm.map(_.getLong(1)).sum === 4096L)
+    // every z-file spans at most half of EACH dimension's domain —
+    // the property a single-dim layout cannot give you
+    zm.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 32L,
+        s"bucket ${r.getLong(0)} user span too wide")
+      assert(r.getLong(5) - r.getLong(4) <= 32L * 60000000L,
+        s"bucket ${r.getLong(0)} time span too wide")
+    }
+    val p = graft.sources.Layout.zorderPruning(ev).collect()(0)
+    val (zf, zt, tf, tt, sel) = (p.getLong(0), p.getLong(1),
+      p.getLong(2), p.getLong(3), p.getLong(4))
+    assert(zf === 64L && tf > 0L)
+    // time-clustered control: every time-file sees every user →
+    // touches everything; z-order skips at least half
+    assert(tt === tf, "control layout unexpectedly pruned")
+    assert(zt * 2 <= zf, s"z-order touched $zt of $zf")
+    assert(sel === (ev.filter($"user_id".between(16L, 32L)).count()))
+  }
 }
