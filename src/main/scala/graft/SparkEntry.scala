@@ -629,6 +629,11 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
+    // inverted-index construction: per-term df/cf + capped posting
+    // list via the token-keyed TopKPerKey heap; df >= 5 floor
+    "text_postings" -> ((s, d) =>
+      TextOps.postings(Tables.table(s, d, "documents"))
+        .orderBy("token", "rank")),
     // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
     "search_hybrid" -> ((s, d) =>
       Similarity.hybridRrf(Tables.table(s, d, "documents"),
@@ -3138,6 +3143,23 @@ object SparkEntry {
         "SELECT qd.q_decile, sd.s_decile, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM qd JOIN sd ON sd.doc_id = qd.doc_id GROUP BY 1, 2"),
     "text_bm25" -> Bm25Sql,
+    // inverted index: same \S+ tokens, df floor, (tf desc, doc_id)
+    // posting rank — row_number is the TopKPerKey twin
+    "text_postings" -> {
+      val k = TextOps.PostingsK
+      val minDf = TextOps.PostingsMinDf
+      "WITH tk AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
+        "tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM tk GROUP BY 1, 2), " +
+        "st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1 " +
+        s"HAVING COUNT(*) >= $minDf), " +
+        "r AS (SELECT token, doc_id, tf, row_number() OVER " +
+        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rnk FROM tf) " +
+        "SELECT st.token, df, cf, CAST(rnk AS BIGINT) AS \"rank\", " +
+        s"doc_id, tf FROM r JOIN st ON st.token = r.token WHERE rnk <= $k"
+    },
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
     "knn_ivf_filtered" -> KnnIvfFilteredSql,

@@ -159,6 +159,48 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Posting-list depth and document-frequency floor for `postings`.
+    * Same constants MUST appear in the oracle SQL.
+    */
+  val PostingsK = 10
+  val PostingsMinDf = 5L
+
+  /** INVERTED-INDEX construction: per term, its document frequency,
+    * corpus frequency, and the top-`k` posting rows ranked by
+    * (tf desc, doc_id asc) — the index a keyword-retrieval tier
+    * serves from (`bm25` SCORES against query docs; this gate builds
+    * the reusable per-term structure itself). Terms below `minDf`
+    * are dropped: hapax terms dominate any real vocabulary and an
+    * index entry that can only ever match its source doc is storage
+    * with no retrieval value (the dropped tail is still countable
+    * from `text_vocab`). Output exploded as (token, df, cf, rank,
+    * doc_id, tf) — hash-comparable, and a consumer regroups with
+    * one collect_list if it wants array-form lists.
+    *
+    * Shape at scale: one corpus-sized (token, doc_id) aggregation
+    * (map-side combined), then everything is token-keyed: the stats
+    * rollup, the TopKPerKey heap (k rows per partition per term — no
+    * global sort, no full posting materialization), and the final
+    * stats⋈top join co-partition on the same hash, so AQE reuses the
+    * exchange rather than re-shuffling. The vocabulary side never
+    * broadcasts — at 100 TB the vocabulary is itself a large
+    * relation.
+    */
+  def postings(docs: DataFrame, k: Int = PostingsK,
+      minDf: Long = PostingsMinDf): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf)
+    graft.plans.TopK.perKey(tf, Seq("token"),
+        Seq(col("tf").desc, col("doc_id").asc), k)
+      .join(stats, "token")
+      .select(col("token"), col("df"), col("cf"), col("rank"),
+        col("doc_id"), col("tf"))
+  }
+
   /** Deterministic train/validation split by id hash: stable across
     * runs, clusters and engines (no RNG, no sampling drift) — the
     * standard way to carve held-out sets from a training corpus. A doc

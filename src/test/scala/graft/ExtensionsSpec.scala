@@ -4153,6 +4153,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.8, s"clustered recall@5 only $rec")
   }
 
+  test("postings: df floor drops hapax terms, lists rank by " +
+      "(tf desc, doc_id) and cap at k") {
+    import operators.TextOps
+    // term "a" in all 5 docs with distinct tfs, "b" in 2 (below the
+    // floor), "c" in exactly minDf docs
+    val docs = docsDf(
+      0L -> "a a a a c b", 1L -> "a a a c", 2L -> "a a c b",
+      3L -> "a c", 4L -> "a")
+    val got = TextOps.postings(docs, k = 3, minDf = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(!got.exists(_._1 == "b"), "sub-floor term survived")
+    val a = got.filter(_._1 == "a").sortBy(_._4)
+    // capped at 3 of 5 postings, heaviest docs first
+    assert(a.map(x => (x._4, x._5, x._6)).toSeq ===
+      Seq((1L, 0L, 4L), (2L, 1L, 3L), (3L, 2L, 2L)))
+    assert(a.forall(x => x._2 === 5L && x._3 === 11L))
+    // ties (tf=1 everywhere) break by doc_id; the k cap still applies
+    val c = got.filter(_._1 == "c")
+    assert(c.map(_._5).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(c.forall(x => x._2 === 4L && x._3 === 4L && x._6 === 1L))
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
