@@ -1562,12 +1562,19 @@ object SparkEntry {
     s"sg AS (SELECT t.i, u.j, CASE WHEN ${phSql(mixed)} % 2 = 0 " +
       "THEN 1 ELSE -1 END AS sgn " +
       s"FROM range(0, $d) t(i), range(0, $p) u(j)), " +
-      "q8 AS (SELECT vec_id, i - 1 AS dim, " +
+      // vlen rides each row and the final CASE NULLs the projection of
+      // any vector whose width ≠ RpInDims — the operator's zip_with
+      // against the fixed-width sign literal nulls the whole fold for
+      // ragged input, and a dim-join that silently summed available
+      // dims would diverge from it; greatest(len, 1) keeps a
+      // zero-length vector's (all-NULL) rows present like posexplode
+      "q8 AS (SELECT vec_id, i - 1 AS dim, len(embedding)::BIGINT AS vlen, " +
       "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM " +
       "(SELECT vec_id, embedding, " +
-      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings)), " +
+      "unnest(generate_series(1, greatest(len(embedding), 1))) AS i " +
+      "FROM embeddings)), " +
       "pj AS (SELECT vec_id, CAST(sg.j AS BIGINT) AS pdim, " +
-      "CAST(SUM(sgn * q) AS BIGINT) AS y " +
+      s"CASE WHEN MAX(vlen) = $d THEN CAST(SUM(sgn * q) AS BIGINT) END AS y " +
       "FROM q8 JOIN sg ON sg.i = q8.dim GROUP BY 1, 2)"
   }
 
@@ -1913,8 +1920,13 @@ object SparkEntry {
       "tok AS (SELECT doc_id, unnest(tk) AS token FROM corpus), " +
       "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), " +
       "lens AS (SELECT doc_id, len(tk)::BIGINT AS len_d FROM corpus), " +
+      // degenerate-corpus guard mirroring the operator's
+      // max(1, ...) / nDocs==0 branches: an empty or zero-token corpus
+      // must yield avglen_ppm = 1, not NULL/division-by-zero
       "stats AS (SELECT COUNT(*)::BIGINT AS n_docs, " +
-      "CAST(SUM(len_d) AS BIGINT) * 1000000 // COUNT(*) AS avglen_ppm FROM lens), " +
+      "CASE WHEN COUNT(*) = 0 THEN 1 ELSE GREATEST(1, " +
+      "CAST(SUM(len_d) AS BIGINT) * 1000000 // COUNT(*)) END " +
+      "AS avglen_ppm FROM lens), " +
       "dfr AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1), " +
       "idf AS (SELECT token, length(bin(CAST((2 * (s.n_docs - df) + 1) // " +
       "(2 * df + 1) + 1 AS BIGINT)))::BIGINT AS idf_bits FROM dfr, stats s), " +
@@ -2221,9 +2233,15 @@ object SparkEntry {
         s"CAST(SUM(freq) AS BIGINT) AS n FROM x$r GROUP BY 1, 2), " +
         s"b$r AS MATERIALIZED (SELECT a, b, n FROM p$r " +
         "ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
-        s"v$r AS MATERIALIZED (SELECT word, freq, replace(s, " +
+        // LEFT JOIN + COALESCE: an EMPTY argmax (vocabulary exhausted
+        // before `rounds`) must FREEZE the state at v_{r-1}, exactly
+        // like the operator's early loop exit — a cross join would
+        // empty v_r and make every encode row report (0, 0) while the
+        // operator encodes from its real final state
+        s"v$r AS MATERIALIZED (SELECT word, freq, COALESCE(replace(s, " +
         s"' ' || b$r.a || '  ' || b$r.b || ' ', " +
-        s"' ' || b$r.a || b$r.b || ' ') AS s FROM v${r - 1}, b$r)"
+        s"' ' || b$r.a || b$r.b || ' '), s) AS s " +
+        s"FROM v${r - 1} LEFT JOIN b$r ON TRUE)"
     }.mkString(", ")
     "vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word " +
@@ -3105,9 +3123,9 @@ object SparkEntry {
     "text_bpe_encode" -> {
       // encode = the trainer's final vocabulary state joined back to
       // the corpus token stream (same CTE builder — the two gates and
-      // the operator cannot drift). Assumes the corpus doesn't exhaust
-      // before BpeTrainRounds — which the trainer gate's full merge
-      // table hash-checks every run.
+      // the operator cannot drift). Exhaustion before BpeTrainRounds
+      // is safe: the CTE builder's LEFT-JOIN fallback freezes v_r at
+      // the last real state, matching the operator's early loop exit.
       val rounds = graft.operators.TextOps.BpeTrainRounds
       s"WITH ${bpeCtesSql(rounds)}, " +
         "enc AS (SELECT word, len(string_split(trim(s), '  '))::BIGINT " +

@@ -167,8 +167,17 @@ object Layout {
     * aggregation with map-side combine. Nothing else moves; at 100 TB
     * the stats pass is a columnar min/max scan.
     */
-  def zorderZoneMap(events: DataFrame): DataFrame = {
-    val (umn, umx, tmn, tmx) = zStats(events)
+  def zorderZoneMap(events: DataFrame): DataFrame =
+    zoneMapFromStats(events, zStats(events))
+
+  /** `zorderZoneMap` from PRECOMPUTED corpus stats — `zorderPruning`
+    * already pays the 1-row min/max collect for its predicate bounds,
+    * so it hands the same tuple here instead of re-scanning the
+    * corpus for a second identical stats pass.
+    */
+  private def zoneMapFromStats(events: DataFrame,
+      stats: (Long, Long, Long, Long)): DataFrame = {
+    val (umn, umx, tmn, tmx) = stats
     val e = events.select(col("user_id"),
       unix_micros(col("ts")).as("us"))
     e.select(
@@ -197,11 +206,11 @@ object Layout {
     * than one axis.
     */
   def zorderPruning(events: DataFrame): DataFrame = {
-    val (umn, umx, tmn, tmx) = zStats(events)
+    val stats @ (umn, umx, tmn, tmx) = zStats(events)
     val span = umx - umn + 1L
     val lo = umn + span / 4L
     val hi = umn + span / 2L
-    val zTouched = zorderZoneMap(events)
+    val zTouched = zoneMapFromStats(events, stats)
       .agg(count(lit(1)).as("z_files"),
         sum((col("min_user") <= lit(hi) && col("max_user") >= lit(lo))
           .cast("long")).as("z_touched"))
