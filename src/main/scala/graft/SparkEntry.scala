@@ -961,6 +961,36 @@ object SparkEntry {
     "knn_pq_trained" -> ((s, d) =>
       Similarity.knnPqTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // the train-once/serve-many form of the trained-PQ path: fitted
+    // per-block codebooks round-trip disk as a relation (codebooksOf →
+    // parquet → knnPqFromStored) INSIDE the query — the store/reload/
+    // fingerprint machinery is what this gate drives. Rows-only like
+    // knn_pq_trained (Lloyd codebooks aren't SQL-derivable);
+    // byte-equality to in-session training is pinned in ExtensionsSpec
+    "knn_pq_stored" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val dir = ivfTmpDir(s, d, "pq_cbs")
+      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(dir)
+      Similarity.knnPqFromStored(s.read.parquet(dir), emb)
+        .orderBy("query_id", "rank")
+    }),
+    // the PAYOFF leg of the PQ train-once contract: codebooks AND the
+    // encoded corpus (blocks ints per vector — the ~64× compression)
+    // round-trip parquet, then the serve reads ONLY the stored codes;
+    // raw embeddings appear on the tiny query side alone. Rows-only
+    // like its siblings; byte-equality to knnPqFromStored and the
+    // stale-codes loud-error contract are pinned in ExtensionsSpec
+    "knn_pq_codes" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val cbDir = ivfTmpDir(s, d, "pq_cbs")
+      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(cbDir)
+      val cbs = s.read.parquet(cbDir)
+      val codesDir = ivfTmpDir(s, d, "pq_codes")
+      Similarity.pqCodesFromStored(cbs, emb).write.mode("overwrite")
+        .parquet(codesDir)
+      Similarity.knnPqFromCodes(cbs, s.read.parquet(codesDir), emb)
+        .orderBy("query_id", "rank")
+    }),
     // IVFPQ: the production composition — IVF cells prune the search,
     // PQ codes compress the candidates to LUT lookups; both quantizers
     // hash-anchored so the WHOLE layout is oracle-checked end to end

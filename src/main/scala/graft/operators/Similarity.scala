@@ -561,31 +561,66 @@ object Similarity {
       .filter(lit(false))
 
   /** ADC serving from explicit per-block codebooks — the single
-    * definition `knnPq` (hash-anchored) and `knnPqTrained` (per-block
-    * Lloyd) share, so the two layouts differ ONLY in codeword data.
+    * definition `knnPq` (hash-anchored), `knnPqTrained` (per-block
+    * Lloyd) and `knnPqFromStored` (reloaded relation) share, so the
+    * layouts differ ONLY in codeword data.
     */
   private def knnPqFrom(emb: DataFrame, cbs: Seq[Array[Array[Double]]],
       k: Int, nQueries: Long): DataFrame = {
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
     if (qRows.isEmpty) return knnPqEmpty(emb)
-    val blocks = cbs.length
-    val bw = cbs.head.head.length
-    val codeCols = pqBlockDists(col("embedding"), cbs)
-      .map(d => array_position(d, array_min(d)) - 1L)
     // MATERIALIZE the codes relation before the ADC projection — this
     // is the PQ index a real deployment stores (IVFPQ posting lists
-    // hold exactly these codes). Without the persist barrier Catalyst
-    // collapses the projections and re-inlines the full per-block
-    // assignment into EVERY query's lookup expression; higher-order
-    // array functions run interpreted (outside whole-stage codegen)
-    // with no cross-expression CSE, so the assignment re-ran
-    // queries×blocks times per row — measured 302 s for 80k×10 at
-    // rehearsal, ~3 s with the barrier.
+    // hold exactly these codes; `pqCodesFromStored` is the persist
+    // leg). Without the persist barrier Catalyst collapses the
+    // projections and re-inlines the full per-block assignment into
+    // EVERY query's lookup expression; higher-order array functions
+    // run interpreted (outside whole-stage codegen) with no
+    // cross-expression CSE, so the assignment re-ran queries×blocks
+    // times per row — measured 302 s for 80k×10 at rehearsal, ~3 s
+    // with the barrier.
     val codesWide = graft.Caches.track(
-      emb.select(col("vec_id"),
-        array(codeCols.map(c => (c + 1L).cast("int")): _*).as("codes"))
+      emb.select(col("vec_id"), pqCodeArray(cbs).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    adcServe(codesWide, qRows, cbs, k)
+  }
+
+  /** The per-row code vector under explicit codebooks: `blocks`
+    * 1-BASED codeword positions (stored directly as `element_at`
+    * indices — the layout `knnIvfPq`'s posting lists persist).
+    */
+  private def pqCodeArray(cbs: Seq[Array[Array[Double]]]): Column =
+    array(pqBlockDists(col("embedding"), cbs)
+      .map(d => array_position(d, array_min(d)).cast("int")): _*)
+
+  /** Cap on the query rows an ADC serve may collect: the per-query
+    * LUTs ship as LITERAL arrays inside one projection (expression
+    * size grows with queries × blocks × codebook), so the query batch
+    * must stay driver-small BY CONTRACT — loudly, like
+    * `IvfMaxStaticProbes`. Bulk query relations belong on the exact
+    * or IVF paths, not literal-LUT ADC.
+    */
+  val PqMaxStaticQueries = 65536
+
+  /** The shared ADC tail every PQ serve ends in: per-query LUTs from
+    * the raw query rows against the codebooks, summed over each
+    * candidate's stored 1-based codes. `codes` is `(vec_id,
+    * codes: array<int>)` — either the freshly-assigned persisted
+    * barrier (`knnPqFrom`) or a reloaded `pqCodesFromStored` relation
+    * (`knnPqFromCodes`); the arithmetic is identical, so the two
+    * serve modes are bit-identical by construction.
+    */
+  private def adcServe(codes: DataFrame,
+      qRows: Array[org.apache.spark.sql.Row],
+      cbs: Seq[Array[Array[Double]]], k: Int): DataFrame = {
+    require(qRows.length <= PqMaxStaticQueries,
+      s"ADC serve collected ${qRows.length} query rows — the cap is " +
+        s"PqMaxStaticQueries = $PqMaxStaticQueries (per-query literal " +
+        "LUTs must stay driver-small; use knnBrute/knnIvf for bulk " +
+        "query relations)")
+    val blocks = cbs.length
+    val bw = cbs.head.head.length
     val scored = qRows.sortBy(_.getLong(0)).toSeq.map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
@@ -602,7 +637,7 @@ object Similarity {
       }.foldLeft(lit(0L))(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc_fp"))
     }
-    val cand = codesWide.select(col("vec_id").as("neighbor_id"),
+    val cand = codes.select(col("vec_id").as("neighbor_id"),
         explode(array(scored: _*)).as("s"))
       .filter(col("s.query_id") =!= col("neighbor_id"))
       .select(col("s.query_id").as("query_id"), col("neighbor_id"),
@@ -670,6 +705,12 @@ object Similarity {
         col("vec_id"), array(codeCols: _*).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val probes = probeRank(corpus, centLocal, nQueries, nProbe)
+    // same literal-LUT contract as adcServe: the query batch must stay
+    // driver-small, loudly
+    require(qRows.length <= PqMaxStaticQueries,
+      s"knnIvfPq collected ${qRows.length} query rows — the cap is " +
+        s"PqMaxStaticQueries = $PqMaxStaticQueries (per-query literal " +
+        "LUTs must stay driver-small)")
     // per-query LUTs flattened to blocks×codebook longs (same
     // ascending += fold as everywhere in the PQ family)
     val lutMap: Map[Long, Seq[Long]] = qRows.map { r =>
@@ -784,6 +825,220 @@ object Similarity {
     val cbs = pqTrainCodebooks(emb, blocks, codebook)
     if (cbs.isEmpty) return knnPqEmpty(emb)
     knnPqFrom(emb, cbs, k, nQueries)
+  }
+
+  /** Fingerprint of every constant the STORED codebook relation's
+    * serving contract depends on: the schema version and the ADC
+    * fixed-point scale (a codebook exported under a different ppm
+    * grain would produce LUTs whose floors disagree). Lloyd's
+    * training knobs are deliberately ABSENT — they shape the codeword
+    * DATA, not the serving arithmetic (the `IvfParamsFingerprint`
+    * adjudication). Same canonical-string fold as the IVF/LSH
+    * fingerprints.
+    */
+  val PqParamsFingerprint: Long = {
+    val canonical = Seq("pq-codebooks-v1", 1000000L).mkString("|")
+    canonical.foldLeft(1125899906842597L)((h, c) => h * 31L + c.toLong)
+  }
+
+  /** Cap on the rows a stored codebook relation may carry — blocks ×
+    * codebook codewords; PQ codebooks are small by design (their whole
+    * point is that the LUTs fit anywhere), so a large relation here is
+    * a wrong-table error, not a scale need.
+    */
+  val PqMaxStoredCodewords = 16384
+
+  /** Train-once export of the fitted per-block PQ codebooks AS A
+    * RELATION — `(block, code, codeword: Array[Double],
+    * pq_params_fp)`, ≤ blocks × codebook rows — the PQ twin of
+    * `centroidsOf`: a production pipeline trains ONCE (this call: the
+    * sample collect + per-block driver Lloyd), persists the relation
+    * next to the posting-list codes it quantized (parquet double
+    * arrays round-trip exactly), and serves every later batch with
+    * `knnPqFromStored` / re-encodes fresh vectors with
+    * `pqCodesFromStored` — no per-query re-training. Codewords stay
+    * DOUBLES (the Lloyd means' native width): floats would re-round
+    * the fit and break the stored-serve ≡ in-session-trained
+    * byte-identity the round-trip spec pins. `pq_params_fp` stamps
+    * the serving constants on every row; loading raises on mismatch.
+    * EAGER evaluation semantics like `centroidsOf` (the training
+    * sample collects at build time).
+    */
+  def codebooksOf(emb: DataFrame, blocks: Int = PqBlocks,
+      codebook: Int = PqCodebookSize, iters: Int = PqLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame = {
+    val cbs = pqTrainCodebooks(emb, blocks, codebook, iters, sampleCap)
+    val s = emb.sparkSession
+    import s.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, b) =>
+      cb.zipWithIndex.map { case (cw, c) =>
+        (b.toLong, c.toLong, cw.toSeq, PqParamsFingerprint)
+      }
+    }.toSeq.toDF("block", "code", "codeword", "pq_params_fp")
+  }
+
+  /** ADC top-k SERVED FROM STORED CODEBOOKS — the reload half of the
+    * `codebooksOf` contract: collects the (≤ `PqMaxStoredCodewords`
+    * by contract, enforced) codebook relation, verifies every row's
+    * `pq_params_fp` against this build's constants, and runs the
+    * exact serving machinery `knnPqTrained` runs — same `knnPqFrom`
+    * plan, same LUT arithmetic, same tie-breaks — so results are
+    * bit-identical to serving the just-trained codebooks
+    * (round-trip-pinned). A bare 3-column relation (no fingerprint
+    * column) skips the check, like the stored-centroid loader.
+    */
+  def knnPqFromStored(codebooks: DataFrame, emb: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val cbs = loadStoredCodebooks(codebooks)
+    if (cbs.isEmpty) return knnPqEmpty(emb)
+    knnPqFrom(emb, cbs, k, nQueries)
+  }
+
+  /** The stored-codebook loader every consumer shares
+    * (`knnPqFromStored` serving, `pqCodesFromStored` ingest,
+    * `knnPqFromCodes` coded serving): bounded collect, loud
+    * fingerprint / cap / id-contiguity / ragged-shape guards,
+    * per-block double arrays in (block, code) order.
+    */
+  private def loadStoredCodebooks(
+      codebooks: DataFrame): Seq[Array[Array[Double]]] = {
+    val hasFp = codebooks.columns.contains("pq_params_fp")
+    val cols = Seq(col("block"), col("code"), col("codeword")) ++
+      (if (hasFp) Seq(col("pq_params_fp")) else Nil)
+    val rows = codebooks.select(cols: _*).collect()
+    require(rows.length <= PqMaxStoredCodewords,
+      s"stored codebook relation has ${rows.length} rows — the contract " +
+        s"caps it at PqMaxStoredCodewords = $PqMaxStoredCodewords (is " +
+        "this really a codebooksOf export?)")
+    if (hasFp) rows.foreach { r =>
+      val fp = r.getLong(3)
+      require(fp == PqParamsFingerprint,
+        s"stored codebooks were exported under pq_params_fp $fp != this " +
+          s"build's $PqParamsFingerprint — the serving constants " +
+          "changed; re-export codebooksOf with this build")
+    }
+    if (rows.isEmpty) return Seq.empty
+    val byBlock = rows.groupBy(_.getLong(0))
+    val blockIds = byBlock.keys.toSeq.sorted
+    blockIds.zipWithIndex.foreach { case (id, i) =>
+      require(id == i.toLong,
+        s"stored codebook block ids must be exactly 0..n-1 " +
+          s"(codebooksOf's layout); found block $id at position $i")
+    }
+    val cbs = blockIds.map { b =>
+      val inBlock = byBlock(b).sortBy(_.getLong(1))
+      inBlock.map(_.getLong(1)).zipWithIndex.foreach { case (c, i) =>
+        require(c == i.toLong,
+          s"stored codeword ids in block $b must be exactly 0..n-1; " +
+            s"found code $c at position $i")
+      }
+      inBlock.map(_.getSeq[Number](2).map(_.doubleValue()).toArray)
+    }
+    require(cbs.map(_.length).distinct.size == 1,
+      s"stored codebook blocks disagree on codeword count: " +
+        s"${cbs.map(_.length).mkString(", ")}")
+    require(cbs.flatMap(_.map(_.length)).distinct.size == 1,
+      "stored codewords disagree on width — a ragged export cannot " +
+        "have come from codebooksOf")
+    cbs
+  }
+
+  /** Content hash of a loaded codebook set — FNV-1a over the exact
+    * double BITS (plus shape), the PQ twin of `centroidContentFp`:
+    * two codebook relations hash equal iff they decode to identical
+    * codewords in identical (block, code) order. Stamped onto every
+    * `pqCodesFromStored` output row as `pq_cbs_fp` and verified at
+    * `knnPqFromCodes` serve time — codes persisted under re-trained
+    * codebooks would otherwise decode through LUTs that no longer
+    * mean the same thing and serve silently wrong neighbors.
+    */
+  private[graft] def pqCodebookContentFp(
+      cbs: Seq[Array[Array[Double]]]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(cbs.length.toLong)
+    cbs.foreach { cb =>
+      mix(cb.length.toLong)
+      cb.foreach { v =>
+        mix(v.length.toLong)
+        v.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+      }
+    }
+    h
+  }
+
+  /** INGEST-side PQ encoding from the stored codebooks — the persist
+    * leg of the train-once contract: `codebooksOf` (train + export) →
+    * `pqCodesFromStored` (encode every incoming vector to its
+    * posting-list codes at ingest, persist them instead of — or
+    * alongside — the raw vector) → `knnPqFromCodes` (serve ADC from
+    * the stored codes without ever touching corpus embeddings).
+    * Returns `(vec_id, codes: array<int>, pq_cbs_fp)`: `codes` is the
+    * 1-BASED per-block codeword positions — the EXACT array
+    * `knnPqFrom`'s materialization barrier computes (shared
+    * `pqCodeArray`), so persisted codes are bit-identical to the ones
+    * an in-session serve would assign; `pq_cbs_fp` is the content
+    * hash of the codebooks that minted them, the staleness stamp the
+    * serve verifies. One map stage over `emb`, zero shuffle; at 100
+    * TB this is the pass that shrinks a float corpus ~64× into the
+    * index that actually gets scanned.
+    */
+  def pqCodesFromStored(codebooks: DataFrame, emb: DataFrame): DataFrame = {
+    val cbs = loadStoredCodebooks(codebooks)
+    val fp = pqCodebookContentFp(cbs)
+    if (cbs.isEmpty)
+      return emb.select(col("vec_id"),
+        array().cast("array<int>").as("codes"), lit(fp).as("pq_cbs_fp"))
+        .filter(lit(false))
+    emb.select(col("vec_id"), pqCodeArray(cbs).as("codes"),
+      lit(fp).as("pq_cbs_fp"))
+  }
+
+  /** ADC top-k over a PRE-ENCODED corpus — the payoff leg of the PQ
+    * train-once contract: the corpus side of the serve reads ONLY the
+    * stored `(vec_id, codes)` relation (`blocks` ints per vector —
+    * the ~64× compression PQ exists for); raw embeddings appear only
+    * on the tiny query side (`queryEmb`, same `vec_id < nQueries`
+    * convention as every knn serve — pass the embeddings table, or
+    * any relation holding the query vectors). The LUT arithmetic,
+    * exclusion filter and tie-breaks are the exact `adcServe` objects
+    * `knnPqTrained` uses, so over codes stamped by
+    * `pqCodesFromStored` under the same codebooks the result is
+    * bit-identical to the in-session serve (spec-pinned).
+    *
+    * CONTRACT: `codes` must have been minted by `pqCodesFromStored`
+    * under this same codebook relation — and the contract is CHECKED:
+    * when the corpus carries the `pq_cbs_fp` stamp, every row's stamp
+    * is verified against the content hash of the codebooks NOW loaded
+    * (a per-row long compare riding the serve's own scan, wrapped
+    * around `codes` — never joined or filtered on, so no plan shape
+    * changes), raising loudly on the first stale row instead of
+    * decoding through re-trained LUTs that silently mean something
+    * else. Pre-stamp relations without the column skip the check.
+    */
+  def knnPqFromCodes(codebooks: DataFrame, codedCorpus: DataFrame,
+      queryEmb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    require(codedCorpus.columns.contains("codes"),
+      "codedCorpus must carry the persisted `codes` column from " +
+        "pqCodesFromStored — for a raw corpus use knnPqFromStored")
+    val cbs = loadStoredCodebooks(codebooks)
+    if (cbs.isEmpty) return knnPqEmpty(queryEmb)
+    val qRows = queryEmb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    if (qRows.isEmpty) return knnPqEmpty(queryEmb)
+    val guardedCodes: Column =
+      if (codedCorpus.columns.contains("pq_cbs_fp")) {
+        val expected = lit(pqCodebookContentFp(cbs))
+        when(col("pq_cbs_fp") === expected, col("codes"))
+          .otherwise(raise_error(format_string(
+            "graft: codedCorpus row stamped pq_cbs_fp=%s but the loaded " +
+              "codebooks hash to %s — stale PQ codes (re-trained " +
+              "codebooks?); re-run pqCodesFromStored",
+            col("pq_cbs_fp"), expected))).as("codes")
+      } else col("codes")
+    adcServe(codedCorpus.select(col("vec_id"), guardedCodes.as("codes")),
+      qRows, cbs, k)
   }
 
   /** Quantization grain for `labelCentroids` element sums (ppm). */

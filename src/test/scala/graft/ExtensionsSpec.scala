@@ -1415,6 +1415,104 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("codebooksOf → parquet → knnPqFromStored ≡ in-session knnPqTrained; stored codes serve identically") {
+    // the clustered corpus from the IVF stored test — the distribution
+    // where the Lloyd codebooks actually differ from the hash anchors
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val insession = rows(Similarity.knnPqTrained(emb))
+    assert(insession.nonEmpty)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pq_rt").toString
+    val cbs = Similarity.codebooksOf(emb)
+    assert(cbs.columns.toSeq ===
+      Seq("block", "code", "codeword", "pq_params_fp"))
+    assert(cbs.count() ===
+      Similarity.PqBlocks.toLong * Similarity.PqCodebookSize)
+    cbs.write.parquet(base + "/cbs")
+    val reloaded = spark.read.parquet(base + "/cbs")
+    // store/reload serve is BIT-identical to in-session training: same
+    // ids, ranks, and exact-integer adc_fp values
+    assert(rows(Similarity.knnPqFromStored(reloaded, emb)) === insession)
+    // fingerprint mismatch raises loudly
+    val tampered = reloaded.withColumn("pq_params_fp",
+      col("pq_params_fp") + 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnPqFromStored(tampered, emb)
+    }
+    assert(ex.getMessage.contains("pq_params_fp"))
+    // a bare pre-fingerprint relation (3 columns) skips the check
+    assert(rows(Similarity.knnPqFromStored(
+      reloaded.select("block", "code", "codeword"), emb)) === insession)
+    // non-contiguous codes are rejected (not silently re-indexed)
+    val holes = reloaded.filter(!(col("block") === 1L && col("code") === 3L))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.knnPqFromStored(holes, emb)
+    }
+    assert(ex2.getMessage.contains("0..n-1"))
+    // INGEST + CODED SERVE: codes persisted under the stored codebooks
+    // round-trip parquet and serve bit-identically — the corpus side
+    // reads only (vec_id, codes)
+    val coded = Similarity.pqCodesFromStored(reloaded, emb)
+    assert(coded.columns.toSeq === Seq("vec_id", "codes", "pq_cbs_fp"))
+    coded.write.parquet(base + "/codes")
+    val codedReloaded = spark.read.parquet(base + "/codes")
+    assert(rows(Similarity.knnPqFromCodes(reloaded, codedReloaded, emb))
+      === insession)
+    // incremental ingest: a fresh batch encoded SEPARATELY under the
+    // same codebooks unions with the earlier codes and serves
+    // identically — encoding is per-row, append-only, no re-indexing
+    val embA = emb.filter(col("vec_id") < 1500)
+    val embB = emb.filter(col("vec_id") >= 1500)
+    val codedInc = Similarity.pqCodesFromStored(reloaded, embA)
+      .unionByName(Similarity.pqCodesFromStored(reloaded, embB))
+    assert(rows(Similarity.knnPqFromCodes(reloaded, codedInc, emb))
+      === insession)
+    // an un-coded corpus raises instead of silently mis-serving
+    val exRaw = intercept[IllegalArgumentException] {
+      Similarity.knnPqFromCodes(reloaded, emb, emb)
+    }
+    assert(exRaw.getMessage.contains("codes"))
+  }
+
+  test("knnPqFromCodes raises on codes stamped under DIFFERENT codebooks (stale pq_cbs_fp)") {
+    // corpus A encoded under A's trained codebooks...
+    val embA = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val cbsA = Similarity.codebooksOf(embA)
+    val codedA = Similarity.pqCodesFromStored(cbsA, embA)
+    // ...then the codebooks are RE-TRAINED on a shifted corpus (same
+    // build constants → same pq_params_fp; different fitted codewords
+    // → different content hash). Decoding A's stored codes through B's
+    // LUTs must fail LOUDLY — the silent-wrong-neighbors scenario the
+    // stamp exists to kill.
+    val embB = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i + 1), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 98), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val cbsB = Similarity.codebooksOf(embB)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val exStale = intercept[Exception] {
+      Similarity.knnPqFromCodes(cbsB, codedA, embA).collect()
+    }
+    assert(chain(exStale).contains("pq_cbs_fp"), chain(exStale))
+    // and the MATCHING codebooks still serve: the guard is a stamp
+    // check, not a tax on the valid path
+    assert(Similarity.knnPqFromCodes(cbsA, codedA, embA).collect()
+      .nonEmpty)
+  }
+
   test("quantizeInt8: brute double reference on real embeddings; grid bounds") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.quantizeInt8(emb).collect()
