@@ -634,6 +634,24 @@ object SparkEntry {
     "text_postings" -> ((s, d) =>
       TextOps.postings(Tables.table(s, d, "documents"))
         .orderBy("token", "rank")),
+    // INCREMENTAL index maintenance: the stored (un-floored,
+    // fingerprint-stamped) index over 4/5 of the corpus round-trips
+    // parquet, the remaining fifth folds in as a fresh batch via
+    // postingsDelta — df/cf counter-additive, posting heaps
+    // re-elected only for touched terms, the stored side never
+    // shuffled (PlanSpec-guarded) — and the published result must
+    // hash-match the ONE-SHOT full rebuild: the oracle is
+    // text_postings' SQL verbatim, so chained ≡ one-shot is the gate
+    "text_postings_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val dir = ivfTmpDir(s, d, "postings_idx")
+      TextOps.postingsIndex(docs.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      TextOps.postingsPublish(TextOps.postingsDelta(s.read.parquet(dir),
+          docs.filter(col("doc_id") % 5 === 0)))
+        .orderBy("token", "rank")
+    }),
     // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
     "search_hybrid" -> ((s, d) =>
       Similarity.hybridRrf(Tables.table(s, d, "documents"),
@@ -1979,6 +1997,26 @@ object SparkEntry {
 
   private val Bm25Sql: String = bm25SqlFor(TextOps.Bm25K)
 
+  /** text_postings oracle — shared verbatim by
+    * text_postings_incremental (chained delta ≡ one-shot rebuild is
+    * exact, so the full-rebuild SQL gates both).
+    */
+  private lazy val PostingsSql: String = {
+    val k = TextOps.PostingsK
+    val minDf = TextOps.PostingsMinDf
+    "WITH tk AS (SELECT doc_id, " +
+      "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
+      "tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
+      "FROM tk GROUP BY 1, 2), " +
+      "st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+      "CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1 " +
+      s"HAVING COUNT(*) >= $minDf), " +
+      "r AS (SELECT token, doc_id, tf, row_number() OVER " +
+      "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rnk FROM tf) " +
+      "SELECT st.token, df, cf, CAST(rnk AS BIGINT) AS \"rank\", " +
+      s"doc_id, tf FROM r JOIN st ON st.token = r.token WHERE rnk <= $k"
+  }
+
   /** search_hybrid oracle: RRF fusion of the bm25 pool and the
     * corpus-restricted cosine pool — both spliced whole so the fusion
     * gate cannot drift from the modality gates' arithmetic.
@@ -3193,21 +3231,11 @@ object SparkEntry {
     "text_bm25" -> Bm25Sql,
     // inverted index: same \S+ tokens, df floor, (tf desc, doc_id)
     // posting rank — row_number is the TopKPerKey twin
-    "text_postings" -> {
-      val k = TextOps.PostingsK
-      val minDf = TextOps.PostingsMinDf
-      "WITH tk AS (SELECT doc_id, " +
-        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
-        "tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
-        "FROM tk GROUP BY 1, 2), " +
-        "st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
-        "CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1 " +
-        s"HAVING COUNT(*) >= $minDf), " +
-        "r AS (SELECT token, doc_id, tf, row_number() OVER " +
-        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rnk FROM tf) " +
-        "SELECT st.token, df, cf, CAST(rnk AS BIGINT) AS \"rank\", " +
-        s"doc_id, tf FROM r JOIN st ON st.token = r.token WHERE rnk <= $k"
-    },
+    "text_postings" -> PostingsSql,
+    // the incremental path is an execution detail (stored index +
+    // delta merge instead of a rescan) — chained ≡ one-shot is exact,
+    // so the full-rebuild SQL is the oracle verbatim
+    "text_postings_incremental" -> PostingsSql,
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
     "knn_ivf_filtered" -> KnnIvfFilteredSql,

@@ -201,6 +201,140 @@ object TextOps {
         col("doc_id"), col("tf"))
   }
 
+  /** Fingerprint of every constant a STORED postings index's merge
+    * contract depends on: the schema version and the posting-list
+    * depth `k`. `k` is load-bearing for merge EXACTNESS — the
+    * dominance argument that makes `postingsDelta` exact (any stored
+    * posting beyond the top-k is dominated by k stored entries
+    * already in the merge pool) only holds when both sides were
+    * built at the same depth; merging a k=5 index at k=10 would
+    * silently produce short lists. Same canonical-string fold as the
+    * IVF/PQ/LSH fingerprints.
+    */
+  def postingsParamsFp(k: Int): Long = {
+    val canonical = Seq("postings-index-v1", k).mkString("|")
+    canonical.foldLeft(1125899906842597L)((h, c) => h * 31L + c.toLong)
+  }
+
+  /** The STORED form of the inverted index — `postings` WITHOUT the
+    * publish-time df floor, stamped `postings_params_fp` on every
+    * row: `(token, df, cf, rank, doc_id, tf, postings_params_fp)`.
+    * Sub-floor terms MUST stay in the stored relation or incremental
+    * maintenance breaks — a term at df = minDf − 1 whose next batch
+    * brings one more document has to resurface with its full posting
+    * list, which a published (floored) index has already thrown
+    * away. `postingsPublish` applies the floor at read time;
+    * `postingsDelta` folds a fresh batch in. Same plan shape as
+    * `postings` (one corpus-sized (token, doc_id) aggregation, then
+    * token-keyed stats + TopKPerKey heaps).
+    */
+  def postingsIndex(docs: DataFrame, k: Int = PostingsK): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    graft.plans.TopK.perKey(tf, Seq("token"),
+        Seq(col("tf").desc, col("doc_id").asc), k)
+      .join(stats, "token")
+      .select(col("token"), col("df"), col("cf"), col("rank"),
+        col("doc_id"), col("tf"),
+        lit(postingsParamsFp(k)).as("postings_params_fp"))
+  }
+
+  /** The PUBLISH step of the stored index: apply the df floor and
+    * drop the fingerprint — the result is exactly what `postings`
+    * builds in one shot (spec-pinned), so retrieval consumers never
+    * see sub-floor terms while the stored relation keeps them for
+    * maintenance.
+    */
+  def postingsPublish(index: DataFrame,
+      minDf: Long = PostingsMinDf): DataFrame =
+    index.filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("cf"), col("rank"),
+        col("doc_id"), col("tf"))
+
+  /** INCREMENTAL index maintenance — fold a fresh batch of documents
+    * into a stored `postingsIndex` relation WITHOUT touching the
+    * existing corpus text: df/cf are counter-additive, and posting
+    * heaps are re-elected ONLY for terms the batch actually contains.
+    * This is the refresh path a retrieval tier runs per ingest cycle
+    * (the BM25 idf inputs — df and the corpus-frequency tail — ride
+    * the same counters), and the chained-≡-one-shot law is EXACT,
+    * not approximate: for a touched term, any stored posting below
+    * the stored top-k is dominated by k stored entries that are in
+    * the merge pool, so `top-k(stored top-k ∪ batch postings)` IS the
+    * top-k of the union corpus; for an untouched term every column
+    * is already final and the row passes through byte-unchanged.
+    *
+    * CONTRACT (the `dedup_incremental` discipline): the batch is
+    * APPEND-ONLY — its doc_ids are new to the corpus (a re-ingested
+    * doc would double-count df/cf), and the stored index was built at
+    * this same `k` — checked, not documented: the per-row
+    * `postings_params_fp` guard raises loudly on a depth/version
+    * mismatch (it rides `df`, which every output consumes and no join
+    * or filter keys on; bare pre-stamp relations skip the check).
+    *
+    * Scale shape — O(batch), plan-guarded: the batch's vocabulary
+    * (bounded by batch size) BROADCASTS into a semi/anti join pair,
+    * so the stored index — the 100 TB side — is scanned map-only and
+    * never shuffled; the only rows that re-enter exchanges are the
+    * touched subset (semi-join output) plus the batch's own tf
+    * relation, both batch-bounded. The untouched side is a
+    * scan → anti-join → union pass-through with no exchange at all.
+    */
+  def postingsDelta(storedIndex: DataFrame, batch: DataFrame,
+      k: Int = PostingsK): DataFrame = {
+    val expected = postingsParamsFp(k)
+    val guardDf: org.apache.spark.sql.Column =
+      if (storedIndex.columns.contains("postings_params_fp"))
+        when(col("postings_params_fp") === lit(expected), col("df"))
+          .otherwise(raise_error(format_string(
+            "graft: stored postings index stamped postings_params_fp=%s " +
+              s"but this merge expects $expected (depth k=$k) — an index " +
+              "built at a different posting depth cannot be merged " +
+              "exactly; rebuild with postingsIndex at this k",
+            col("postings_params_fp"))))
+      else col("df")
+    val stored = storedIndex.select(col("token"), guardDf.as("df"),
+      col("cf"), col("rank"), col("doc_id"), col("tf"))
+    // both persisted relations are BATCH-bounded (batch tf rows;
+    // touched terms × ≤ k+2 rows) — the barriers keep the batch text
+    // tokenized ONCE and the stored index scanned exactly twice (the
+    // semi feeding this cache + the anti pass-through) instead of
+    // once per lazy consumer
+    val batchTf = graft.Caches.track(batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val batchVocab = batchTf.select("token").distinct()
+    val touched = graft.Caches.track(
+      stored.join(broadcast(batchVocab), Seq("token"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val untouched = stored.join(broadcast(batchVocab), Seq("token"),
+      "left_anti")
+    // per-term stats: stored rows repeat (df, cf) on every posting, so
+    // one distinct over the TOUCHED subset recovers them; batch stats
+    // roll up from batch tf; union-sum is the counter-additive merge
+    // (a term new to the corpus simply has no stored row)
+    val mergedStats = touched.select(col("token"), col("df"), col("cf"))
+      .distinct()
+      .unionByName(batchTf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf")))
+      .groupBy("token").agg(sum("df").as("df"), sum("cf").as("cf"))
+    val mergedTop = graft.plans.TopK.perKey(
+      touched.select(col("token"), col("doc_id"), col("tf"))
+        .unionByName(batchTf.select(col("token"), col("doc_id"), col("tf"))),
+      Seq("token"), Seq(col("tf").desc, col("doc_id").asc), k)
+    mergedTop.join(mergedStats, "token")
+      .select(col("token"), col("df"), col("cf"), col("rank"),
+        col("doc_id"), col("tf"))
+      .unionByName(untouched)
+      .select(col("token"), col("df"), col("cf"), col("rank"),
+        col("doc_id"), col("tf"),
+        lit(expected).as("postings_params_fp"))
+  }
+
   /** Deterministic train/validation split by id hash: stable across
     * runs, clusters and engines (no RNG, no sampling drift) — the
     * standard way to carve held-out sets from a training corpus. A doc

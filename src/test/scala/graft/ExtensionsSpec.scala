@@ -4274,6 +4274,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(c.forall(x => x._2 === 4L && x._3 === 4L && x._6 === 1L))
   }
 
+  test("postingsDelta: chained delta ≡ one-shot rebuild; untouched terms pass through; depth mismatch raises") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // publish(index) ≡ the one-shot postings build
+    assert(rows(TextOps.postingsPublish(TextOps.postingsIndex(docs)))
+      === rows(TextOps.postings(docs)))
+    // ONE delta ≡ one-shot over the union — full 6-col set equality of
+    // the UN-floored index (sub-floor terms must merge exactly too)
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+    val b = docs.filter(col("doc_id") % 5 === 0)
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("token", "df", "cf", "rank", "doc_id", "tf"))
+    val oneShot = idxRows(TextOps.postingsIndex(docs))
+    // round-trip the stored index through parquet like a real cycle
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postings_rt").toString
+    TextOps.postingsIndex(a).write.parquet(dir + "/idx")
+    val storedA = spark.read.parquet(dir + "/idx")
+    assert(idxRows(TextOps.postingsDelta(storedA, b)) === oneShot)
+    // CHAINED: A → +B1 → +B2 ≡ one-shot (the dedup_incremental law)
+    val b1 = b.filter(col("doc_id") % 10 === 0)
+    val b2 = b.filter(col("doc_id") % 10 =!= 0)
+    assert(idxRows(TextOps.postingsDelta(
+      TextOps.postingsDelta(storedA, b1), b2)) === oneShot)
+    // untouched terms pass through byte-unchanged: every A-only term's
+    // rows (incl. rank and stats) appear verbatim in the merged index
+    val merged = idxRows(TextOps.postingsDelta(storedA, b))
+    val bVocab = b.select(explode(expr("split(text, '\\\\s+')")).as("t"))
+      .filter(col("t") =!= "").distinct().collect().map(_.getString(0)).toSet
+    idxRows(storedA).filterNot(r => bVocab(r._1)).foreach { r =>
+      assert(merged(r), s"untouched row $r lost or altered by the merge")
+    }
+    // a depth mismatch raises loudly (the fp guard rides the scan)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val exK = intercept[Exception] {
+      TextOps.postingsDelta(storedA, b, k = 7).collect()
+    }
+    assert(chain(exK).contains("postings_params_fp"), chain(exK))
+    // a bare pre-stamp relation (no fp column) skips the check
+    assert(idxRows(TextOps.postingsDelta(
+      storedA.drop("postings_params_fp"), b)) === oneShot)
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)

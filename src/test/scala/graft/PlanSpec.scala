@@ -253,6 +253,66 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
 
+  test("postingsDelta is O(batch): batch vocabulary broadcasts; one text scan (the batch); stored index read map-only twice") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_postings_plan").toString + "/idx"
+    graft.operators.TextOps.postingsIndex(
+        docs.filter(col("doc_id") % 5 =!= 0))
+      .write.mode("overwrite").parquet(idxDir)
+    val raw = graft.operators.TextOps.postingsDelta(
+        spark.read.parquet(idxDir), docs.filter(col("doc_id") % 5 === 0))
+      .queryExecution.executedPlan
+    // traverse the TREE, not the string: InMemoryTableScan leaves
+    // reprint their cached plan in toString (once per consumer), which
+    // double-counts scans that physically run once at cache fill. The
+    // traversal crosses adaptive wrappers and descends into each
+    // DISTINCT cache-fill plan exactly once (per-consumer cache reads
+    // share one fill execution).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seenFills = scala.collection.mutable.Set[Int]()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case c: InMemoryTableScanExec =>
+        // dedup fills by the SHARED cachedPlan — InMemoryRelation
+        // copies itself per consumer (re-aliased output), but every
+        // copy wraps the same physical fill plan object
+        c +: (if (seenFills.add(System.identityHashCode(c.relation.cachedPlan)))
+          nodes(c.relation.cachedPlan) else Nil)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val forest = nodes(raw)
+    def dump = forest.map(_.nodeName).mkString(" | ")
+    assert(forest.count(_.isInstanceOf[InMemoryTableScanExec]) >= 4, dump)
+    val fileScans = forest.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the batch text tokenizes exactly ONCE (the batch-tf cache fill);
+    // the stored corpus never re-tokenizes
+    assert(fileScans.count(_.schema.fieldNames.contains("text")) === 1,
+      fileScans.mkString("\n"))
+    // the stored index is read exactly TWICE per cycle: the touched
+    // semi-join inside the cache fill + the untouched anti pass-through
+    assert(fileScans.count(_.toString.contains("graft_postings_plan"))
+      === 2, fileScans.mkString("\n"))
+    // the batch vocabulary reaches the stored side as BROADCAST
+    // semi/anti joins — the stored index is filtered map-side, so the
+    // only rows entering exchanges are the touched subset + batch tf
+    val bhjTypes = forest.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType
+    }
+    assert(bhjTypes.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+      dump)
+    assert(bhjTypes.contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
+      dump)
+    assert(!forest.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      dump)
+  }
+
   test("nearDupIncrementalVec reads corpus band keys, never corpus embeddings") {
     val emb = sources.Tables.table(spark, sf, "embeddings")
     val keysDir = java.nio.file.Files
