@@ -657,6 +657,17 @@ object ScaleRehearsal {
       require(nAll >= n3, s"deep reach $nAll < 3-hop reach $n3")
       s"reached $nAll (3-hop $n3)"
     })
+    // sampled closeness on the same graph: 8 hash-chosen sources, 3
+    // hops each — k sequential frontier-delta BFS runs over ONE shared
+    // deduped edge cache (the per-run dedup would shuffle 10M edges
+    // 8×), then one vertex-keyed aggregation of the tagged layers
+    t("closeness sampled 10M, 8 seeds × 3 hops")({
+      val c = operators.GraphOps.closenessSampled(edges, k = 8,
+        maxHops = 3)
+      val n = c.count()
+      require(n > 0L, "closeness reached nothing")
+      s"vertices $n"
+    })
     // DEEP-DIAMETER regime, the one hopStride exists for: 1000
     // disjoint 128-deep chains (128k vertices). Narrow layers (1000
     // rows) make per-layer stage/job overhead the whole cost at

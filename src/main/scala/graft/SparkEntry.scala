@@ -377,6 +377,11 @@ object SparkEntry {
         .filter(col("v") < HopSeedMax).distinct()
       GraphOps.hopDistances(e, seeds, HopMax).orderBy("vertex")
     }),
+    // sampled closeness centrality (Eppstein-Wang): k hash-chosen
+    // sources, exact bounded BFS per source through hopDistances,
+    // per-vertex (n_reached, sum_dist, harmonic_ppm) over the sample
+    "graph_closeness" -> ((s, d) =>
+      GraphOps.closenessSampled(GraphOps.edges(s, d)).orderBy("vertex")),
     // deterministic node2vec-style walks from the hop seed set — the
     // graph-embedding corpus generator, RNG-free
     "graph_walks" -> ((s, d) => {
@@ -2922,6 +2927,29 @@ object SparkEntry {
         s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopMax) " +
         "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
         "FROM walk GROUP BY v"),
+    "graph_closeness" -> {
+      // per-SEED bounded walk enumeration (the walk state carries the
+      // seed column, so MIN per (seed, vertex) is that source's exact
+      // BFS layer), then the per-vertex sample aggregation; seeds are
+      // the k smallest (poly_hash(v), v) — the same hash-chosen
+      // sample the operator collects
+      val k = GraphOps.ClosenessSeeds
+      val h = GraphOps.ClosenessMaxHops
+      s"WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        "UNION ALL SELECT dst FROM e)), " +
+        "seeds AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(v AS VARCHAR)")}, v) AS rn FROM verts) " +
+        s"WHERE rn <= $k), " +
+        "walk(s, v, dd) AS (SELECT v, v, 0 FROM seeds " +
+        "UNION SELECT walk.s, e.dst, walk.dd + 1 FROM walk " +
+        s"JOIN e ON e.src = walk.v WHERE walk.dd < $h), " +
+        "d AS (SELECT s, v, MIN(dd) AS dist FROM walk GROUP BY 1, 2) " +
+        "SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached, " +
+        "CAST(SUM(dist) AS BIGINT) AS sum_dist, " +
+        "CAST(SUM(CASE WHEN dist >= 1 THEN 1000000 // dist ELSE 0 END) " +
+        "AS BIGINT) AS harmonic_ppm FROM d GROUP BY v"
+    },
     "graph_hops_deep" ->
       // same min-over-reachable-depths form at the 64-hop budget over
       // the stride-7 doc_id chain graph; UNION dedup bounds the state

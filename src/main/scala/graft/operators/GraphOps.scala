@@ -1229,7 +1229,22 @@ object GraphOps {
     * across union branches).
     */
   def hopDistances(e: DataFrame, sources: DataFrame,
-      maxHops: Int, hopStride: Int = 1): DataFrame = {
+      maxHops: Int, hopStride: Int = 1): DataFrame =
+    hopDistancesDeduped(graft.Caches.track(
+        e.select("src", "dst").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      sources, maxHops, hopStride, releaseInput = true)
+
+  /** The sweep loop over an ALREADY deduped-and-persisted edge
+    * relation — shared so a multi-run caller (`closenessSampled`'s k
+    * per-source BFS loops) pays the edge distinct/cache ONCE instead
+    * of once per run. `releaseInput = false` promises not to
+    * unpersist the caller's cache (the stride sizing pass then keeps
+    * its per-call coalesced copy alongside it).
+    */
+  private[graft] def hopDistancesDeduped(big: DataFrame,
+      sources: DataFrame, maxHops: Int, hopStride: Int,
+      releaseInput: Boolean): DataFrame = {
     require(maxHops >= 0 && maxHops <= 1000,
       s"maxHops must be in [0, 1000], got $maxHops")
     require(hopStride >= 1 && hopStride <= 64,
@@ -1246,9 +1261,6 @@ object GraphOps {
     // keeps the plain persist, zero extra jobs. Same sizing you'd do
     // on a cluster: partition count follows data size, not the
     // session default.
-    val big = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (edges, targetParts) =
       if (hopStride == 1) (big, 0L)
       else {
@@ -1258,7 +1270,7 @@ object GraphOps {
           val small = graft.Caches.track(big.coalesce(parts.toInt)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           small.count()
-          big.unpersist(blocking = false)
+          if (releaseInput) big.unpersist(blocking = false)
           (small, parts)
         } else (big, parts)
       }
@@ -1345,6 +1357,86 @@ object GraphOps {
       dist = compact
     }
     dist.select(col("v").as("vertex"), col("dist"))
+  }
+
+  /** Sample size for `closenessSampled` — the k hash-chosen BFS
+    * sources. Same constant MUST appear in oracleSql.
+    */
+  val ClosenessSeeds = 8
+
+  /** Hop budget for the closeness gate — bounds both the sweep loops
+    * and the oracle's recursive (seed, vertex, depth) state. Same
+    * constant MUST appear in oracleSql.
+    */
+  val ClosenessMaxHops = 8
+
+  /** SAMPLED CLOSENESS CENTRALITY (Eppstein & Wang, "Fast
+    * approximation of centrality", SODA 2001): run an exact bounded
+    * BFS from `k` deterministically HASH-CHOSEN sample sources — the
+    * vertices with the smallest `(poly_hash(v), v)`, the repo's
+    * standard RNG-free sample (IVF centroids, walk seeds) so the
+    * oracle reproduces the sample exactly — and report, per reached
+    * vertex, the in-closeness evidence over that sample:
+    * `n_reached` (sample sources that reach it within `maxHops`,
+    * including a sampled vertex reaching itself at 0), `sum_dist`
+    * (Σ of those exact BFS layers — the classic-closeness numerator;
+    * consumers normalize by n/k), and `harmonic_ppm`
+    * (Σ ⌊1e6 / d⌋ over d ≥ 1 — harmonic centrality, the form that
+    * handles disconnection without a convention; exact integer
+    * arithmetic per the float-parity rule). Exact per source — the
+    * approximation is ONLY the sampling, which is the published
+    * trade: avg-distance error O(1/√k) with high probability.
+    *
+    * Physical: `k` sequential `hopDistances` runs (each the
+    * frontier-delta sweep loop with checkpointed frontier-sized
+    * state), tagged by source and unioned, then ONE (vertex)-keyed
+    * aggregation of k·reached slim integer rows. k is a driver-loop
+    * bound (`require`d ≤ 64), NOT a data bound — each BFS is fully
+    * distributed, so the 100 TB shape is k sweeps of the same
+    * machinery the hops gates rehearse at 10M edges. A per-source
+    * label riding ONE multi-frontier loop would cut the k job chains
+    * to one at k× the per-sweep state — the flip worth making when k
+    * grows past the tens; at the published k ∈ [8, 32] the loop form
+    * reuses the proven operator unchanged.
+    */
+  def closenessSampled(e: DataFrame, k: Int = ClosenessSeeds,
+      maxHops: Int = ClosenessMaxHops, hopStride: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"closenessSampled runs k sequential BFS loops — k must be in " +
+        s"[1, 64], got $k")
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    // ≤ k-row ordered collect — the IVF-centroid driver-bound
+    // discipline; the sample is frozen at build time (EAGER like every
+    // hash-anchored fit)
+    val seedRows = verts
+      .withColumn("h", graft.functions.PolyHashFunctions.poly_hash(
+        col("v").cast("string")))
+      .orderBy(col("h"), col("v"))
+      .limit(k)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    if (seedRows.isEmpty)
+      return e.select(col("src").as("vertex"), lit(0L).as("n_reached"),
+        lit(0L).as("sum_dist"), lit(0L).as("harmonic_ppm"))
+        .filter(lit(false))
+    val s = e.sparkSession
+    import s.implicits._
+    // ONE edge dedup/cache shared by all k BFS runs (each run's sweep
+    // loop rescans it; re-dedup per source would shuffle the edge
+    // relation k times)
+    val dedup = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perSource = seedRows.toSeq.map { src =>
+      hopDistancesDeduped(dedup, Seq(src).toDF("v"), maxHops, hopStride,
+          releaseInput = false)
+        .select(col("vertex"), col("dist"))
+    }.reduce(_.unionByName(_))
+    perSource.groupBy("vertex")
+      .agg(count(lit(1)).as("n_reached"),
+        sum("dist").as("sum_dist"),
+        sum(when(col("dist") >= 1L,
+          expr("1000000 div dist")).otherwise(lit(0L))).as("harmonic_ppm"))
   }
 
   /** Round budget for the weighted-SSSP gate — the oracle unrolls

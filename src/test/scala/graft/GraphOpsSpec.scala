@@ -424,6 +424,45 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("closenessSampled == brute per-seed BFS over the hash-chosen sample") {
+    val s = spark
+    import s.implicits._
+    def bfs(edges: Seq[(Long, Long)], seed: Long,
+        maxHops: Int): Map[Long, Long] = {
+      val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map[Long, Long](seed -> 0L)
+      var frontier = Set(seed)
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(!dist.contains(_))
+        frontier.foreach(dist(_) = h.toLong)
+      }
+      dist.toMap
+    }
+    val rng = new scala.util.Random(83)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(70)((rng.nextInt(24).toLong, rng.nextInt(24).toLong))
+      val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+      for (k <- Seq(1, 4); hops <- Seq(1, 3)) {
+        // the reference derives the SAME hash-chosen sample the
+        // operator collects: k smallest (poly_hash(v), v)
+        val seeds = verts.sortBy(v => (graft.functions.PolyHashUtil.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)),
+          v)).take(k)
+        val per = seeds.flatMap(sd => bfs(e, sd, hops).toSeq)
+        val want = per.groupBy(_._1).map { case (v, ds) =>
+          v -> ((ds.size.toLong, ds.map(_._2).sum,
+            ds.map(d => if (d._2 >= 1L) 1000000L / d._2 else 0L).sum))
+        }
+        val got = GraphOps.closenessSampled(edgeDf(e: _*), k = k,
+            maxHops = hops).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        withClue(s"k=$k hops=$hops edges=$e") { assert(got === want) }
+      }
+    }
+  }
+
   test("hopDistances == brute bounded BFS on random digraphs") {
     def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
         maxHops: Int): Map[Long, Long] = {
