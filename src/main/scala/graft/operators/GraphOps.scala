@@ -1526,6 +1526,19 @@ object GraphOps {
   val WalkLen = 8
   val WalksPerSeed = 4L
 
+  /** Walk-count threshold at which the walk frame stops BROADCASTING
+    * into the per-step adjacency join and flips to a plain equi-join
+    * shuffled on (vertex = src). A walk-frame row is two longs (~48 B
+    * in an UnsafeRow + broadcast-collection overhead), so the default
+    * caps the per-step broadcast near ~50 MB — the few-seeds corpus
+    * posture the gates run stays broadcast; a millions-of-walks
+    * embedding corpus crosses the cap and shuffles instead of
+    * collecting the walk frame to every executor. The flip was
+    * previously PROSE in the docstring; the parameter makes it a
+    * checked contract (both postures spec-pinned identical).
+    */
+  val WalksBroadcastCap = 1000000L
+
   /** Deterministic "random" walks — the node2vec/DeepWalk corpus
     * generator without an RNG: from each seed vertex, `perSeed` walks
     * of ≤ `len` steps, where the move at position s from vertex v picks
@@ -1537,16 +1550,17 @@ object GraphOps {
     * (no self-loop padding); output is (walk_id, step, vertex) with
     * step 0 = the seed.
     *
-    * Shape: the ranked adjacency (rnk, deg per src — one vertex-
-    * partitioned window pass) is built once and persisted; each of the
-    * `len` rounds is ONE broadcast join of the walks frame against it.
-    * Broadcasting the WALK side is the few-seeds posture this gate
-    * runs; a walk set too big to broadcast flips to an equi-join
-    * shuffled on (vertex = src) — same plan text, drop the hint. State
-    * is checkpointed per round so the plan stays flat at any length.
+    * Shape: each of the `len` rounds is ONE join of the walks frame
+    * against the cached edge relation. Broadcasting the WALK side is
+    * the few-seeds posture this gate runs; a walk set larger than
+    * `broadcastCap` walks flips AUTOMATICALLY to an equi-join
+    * shuffled on (vertex = src) — same arithmetic, same result
+    * (spec-pinned), different physical posture. State is checkpointed
+    * per round so the plan stays flat at any length.
     */
   def randomWalks(e0: DataFrame, sources: DataFrame, len: Int = WalkLen,
-      perSeed: Long = WalksPerSeed): DataFrame = {
+      perSeed: Long = WalksPerSeed,
+      broadcastCap: Long = WalksBroadcastCap): DataFrame = {
     require(len >= 0 && len <= 64, s"len must be in [0, 64], got $len")
     require(perSeed >= 1L && perSeed <= 1024L,
       s"perSeed must be in [1, 1024], got $perSeed")
@@ -1562,10 +1576,15 @@ object GraphOps {
     val adj = graft.Caches.track(e0.select("src", "dst").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
-    var state = ck(sources.select(col("v")).distinct()
+    val (state0, nWalks) = ckCounted(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
       .select((col("v") * perSeed + col("j")).as("walk_id"),
         col("v").as("vertex")))
+    // the posture decides ONCE from the initial walk count (walks only
+    // die at dead ends, so later steps are never larger)
+    val hint: DataFrame => DataFrame =
+      if (nWalks <= broadcastCap) broadcast else identity
+    var state = state0
     val frames = scala.collection.mutable.ListBuffer(
       state.select(col("walk_id"), lit(0L).as("step"), col("vertex")))
     var step = 1
@@ -1574,7 +1593,7 @@ object GraphOps {
         col("walk_id").cast("string"), lit(":"),
         lit((step - 1).toString), lit(":"),
         col("vertex").cast("string")))
-      val stepped = ck(broadcast(state).join(adj,
+      val stepped = ck(hint(state).join(adj,
           adj("src") === state("vertex"))
         .select(col("walk_id"), col("vertex"), col("dst"))
         .withColumn("rnk", row_number().over(ww.orderBy(col("dst"))))
@@ -1603,7 +1622,8 @@ object GraphOps {
     * join.
     */
   def randomWalksWeighted(e0: DataFrame, sources: DataFrame,
-      len: Int = WalkLen, perSeed: Long = WalksPerSeed): DataFrame = {
+      len: Int = WalkLen, perSeed: Long = WalksPerSeed,
+      broadcastCap: Long = WalksBroadcastCap): DataFrame = {
     require(len >= 0 && len <= 64, s"len must be in [0, 64], got $len")
     require(perSeed >= 1L && perSeed <= 1024L,
       s"perSeed must be in [1, 1024], got $perSeed")
@@ -1614,10 +1634,13 @@ object GraphOps {
     val adj = graft.Caches.track(weightedEdges(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
-    var state = ck(sources.select(col("v")).distinct()
+    val (state0, nWalks) = ckCounted(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
       .select((col("v") * perSeed + col("j")).as("walk_id"),
         col("v").as("vertex")))
+    val hint: DataFrame => DataFrame =
+      if (nWalks <= broadcastCap) broadcast else identity
+    var state = state0
     val frames = scala.collection.mutable.ListBuffer(
       state.select(col("walk_id"), lit(0L).as("step"), col("vertex")))
     var step = 1
@@ -1626,7 +1649,7 @@ object GraphOps {
         col("walk_id").cast("string"), lit(":"),
         lit((step - 1).toString), lit(":"),
         col("vertex").cast("string")))
-      val stepped = ck(broadcast(state).join(adj,
+      val stepped = ck(hint(state).join(adj,
           adj("src") === state("vertex"))
         .select(col("walk_id"), col("vertex"), col("dst"), col("w"))
         .withColumn("hi", sum(col("w")).over(ww.orderBy(col("dst"))))

@@ -1055,4 +1055,29 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("walksBroadcastCap: the shuffle posture (cap = 0) walks identically to the broadcast posture, both variants") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(97)
+    // multigraph input so the weighted variant has non-trivial weights
+    val e = List.fill(80)((rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+    val seeds = Seq(0L, 1L, 2L, 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cap = 0 forces the equi-join shuffle posture for ANY walk count;
+    // the default (few seeds ≪ cap) broadcasts — results must be
+    // bit-identical: the posture is physical, the walk is the same
+    // pure function of graph and walk id
+    val bu = rows(GraphOps.randomWalks(edgeDf(e: _*), seeds.toDF("v")))
+    val su = rows(GraphOps.randomWalks(edgeDf(e: _*), seeds.toDF("v"),
+      broadcastCap = 0L))
+    assert(su === bu)
+    assert(bu.nonEmpty)
+    val bw = rows(GraphOps.randomWalksWeighted(edgeDf(e: _*), seeds.toDF("v")))
+    val sw = rows(GraphOps.randomWalksWeighted(edgeDf(e: _*), seeds.toDF("v"),
+      broadcastCap = 0L))
+    assert(sw === bw)
+    assert(bw.nonEmpty)
+  }
 }
