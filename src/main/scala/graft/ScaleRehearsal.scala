@@ -92,6 +92,23 @@ object ScaleRehearsal {
       operators.TextOps.cmsTokens(docs).count())
     t("salient_terms 50k docs")(
       operators.TextOps.salientTerms(docs).count())
+    // BPE at honest vocabulary depth: 64 merges over the 50k corpus —
+    // prices the per-round driver loop (one vocab-sized pair count +
+    // a 1-row argmax collect per round) where the 6-round gate only
+    // samples it; the per-round latency distribution is the record
+    // (a growing tail would mean the lazy replace chain needs
+    // periodic materialization)
+    t("bpe_train 50k docs 64 merges")({
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val merges = operators.TextOps.bpeTrain(docs, rounds = 64,
+        onRound = (_, s) => times += s).count()
+      val srt = times.sorted
+      def pct(p: Double) =
+        f"${srt(math.min(srt.size - 1, (p * srt.size).toInt))}%.2f"
+      s"merges=$merges rounds=${times.size} per-round s: " +
+        f"p50=${pct(0.5)} p90=${pct(0.9)} max=${srt.last}%.2f " +
+        f"first=${times.head}%.2f last=${times.last}%.2f"
+    })
     // per-hour HLL over 10M synthetic events (1M users, 30 days of
     // hours): the shuffle after partial agg is ≤ hours×512 counters
     val bigEvents = spark.range(10000000L).select(

@@ -1647,10 +1647,11 @@ object TextOps {
     * merges found — the oracle's empty-argmax rounds degrade to the
     * same shorter table.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+  def bpeTrain(docs: DataFrame, rounds: Int = BpeTrainRounds,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeCore(docs, rounds)._1.toDF("merge_rank", "a", "b", "n")
+    bpeCore(docs, rounds, onRound)._1.toDF("merge_rank", "a", "b", "n")
   }
 
   /** Apply the trained merges back to the corpus — the ENCODE step: per
@@ -1678,11 +1679,17 @@ object TextOps {
 
   /** The shared trainer core: returns the merge table AND the final
     * vocabulary state (word, freq, s) the encode step reads.
+    * `onRound(r, secs)` fires after each completed merge round — the
+    * per-round-latency probe the deep rehearsal tier records (each
+    * round is one vocabulary-sized pair count + a 1-row argmax
+    * collect, so the per-round cost IS the driver-loop price of real
+    * vocabulary depths).
     */
-  private def bpeCore(docs: DataFrame,
-      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    require(rounds >= 1 && rounds <= 24,
-      s"rounds must be in [1, 24], got $rounds")
+  private def bpeCore(docs: DataFrame, rounds: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ())
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 256,
+      s"rounds must be in [1, 256], got $rounds")
     val vocab0 = graft.Caches.track(docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -1711,6 +1718,7 @@ object TextOps {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
+      val t0 = System.nanoTime()
       val best = cur
         .select(col("freq"), split(trim(col("s")), "  ").as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -1730,6 +1738,7 @@ object TextOps {
         cur = cur.select(col("word"), col("freq"),
           expr(s"replace(s, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')")
             .as("s"))
+        onRound(r, (System.nanoTime() - t0) / 1e9)
         r += 1
       }
     }
