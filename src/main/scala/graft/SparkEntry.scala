@@ -483,28 +483,24 @@ object SparkEntry {
     // leakage-free split: the same hash rule keyed by each doc's
     // near-dup cluster ROOT (dedup_clusters labels), so a duplicate
     // cluster never straddles the train/val boundary
-    "text_split_leakage" -> ((s, d) => {
-      val docs = Tables.table(s, d, "documents")
-      TextOps.hashSplitLeakageFree(docs,
-          Dedup.dupClusters(Dedup.ngramJaccard(docs)))
-        .orderBy("doc_id")
-    }),
+    "text_split_leakage" -> ((s, d) =>
+      // the default-cluster overload (dupClusters(ngramJaccard)) —
+      // a pipeline with a precomputed cluster relation hands it to
+      // the 2-arg form instead (identity spec-pinned)
+      TextOps.hashSplitLeakageFree(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     // the END-TO-END curation pipeline as ONE query: best-copy dedup
     // survivors → quality-weighted sampling → leakage-free split —
     // each stage the already-gated operator, composed unchanged (the
     // cluster relation is built once and feeds both the survivor
     // election and the split)
-    "docs_curation" -> ((s, d) => {
-      val docs = Tables.table(s, d, "documents")
-      val clusters = Dedup.dupClusters(Dedup.ngramJaccard(docs))
-      val surv = Dedup.survivorsBest(docs, clusters,
-        TextOps.quality(docs).select("doc_id", "quality"))
-      val sampled = TextOps.sampleByQuality(docs)
-        .join(surv.select("doc_id"), "doc_id")
-      TextOps.hashSplitLeakageFree(sampled.select("doc_id"), clusters)
-        .join(sampled, "doc_id")
-        .select("doc_id", "split", "keep_ppm").orderBy("doc_id")
-    }),
+    "docs_curation" -> ((s, d) =>
+      // the pipeline operator with its default (build-once) clusters;
+      // a session holding a precomputed cluster relation passes it
+      // via `clusters` and pays zero re-clustering (identity
+      // spec-pinned)
+      TextOps.curation(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),
     // quality-weighted deterministic downsampling: keep probability =

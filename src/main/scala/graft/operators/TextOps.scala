@@ -416,6 +416,40 @@ object TextOps {
             .cast("string")) % 100 < valPct, "val")
           .otherwise("train").as("split"))
 
+  /** Default-cluster overload: derive the near-dup clusters from
+    * `docs` itself (`dupClusters(ngramJaccard(docs))` — the
+    * `text_split_leakage` composition). A pipeline that has ALREADY
+    * clustered (the expensive pass) hands its relation to the 2-arg
+    * form instead of re-clustering — identity spec-pinned.
+    */
+  def hashSplitLeakageFree(docs: DataFrame): DataFrame =
+    hashSplitLeakageFree(docs,
+      Dedup.dupClusters(Dedup.ngramJaccard(docs)))
+
+  /** The END-TO-END curation pipeline as one operator — best-copy
+    * dedup survivors → quality-weighted sampling → leakage-free
+    * split, each stage the already-gated operator composed unchanged:
+    * the output is each surviving, sampled doc's (doc_id, split,
+    * keep_ppm). The near-dup cluster relation — the expensive pass —
+    * is built ONCE here and feeds both the survivor election and the
+    * split; a session that already holds it (e.g. it also ran the
+    * dedup gates, or persisted clusters at ingest) passes it via
+    * `clusters` and pays zero re-clustering — passed-in ≡ rebuilt is
+    * identity spec-pinned.
+    */
+  def curation(docs: DataFrame,
+      clusters: Option[DataFrame] = None): DataFrame = {
+    val cl = clusters.getOrElse(
+      Dedup.dupClusters(Dedup.ngramJaccard(docs)))
+    val surv = Dedup.survivorsBest(docs, cl,
+      quality(docs).select("doc_id", "quality"))
+    val sampled = sampleByQuality(docs)
+      .join(surv.select("doc_id"), "doc_id")
+    hashSplitLeakageFree(sampled.select(col("doc_id")), cl)
+      .join(sampled, "doc_id")
+      .select("doc_id", "split", "keep_ppm")
+  }
+
   /** Opt-in text canonicalization BEFORE dedup: Unicode NFC +
     * lowercase + whitespace collapse + trim, applied in place to
     * `textCol` with every other column preserved — so the near-dup

@@ -4322,6 +4322,22 @@ class ExtensionsSpec extends SparkSpec {
       storedA.drop("postings_params_fp"), b)) === oneShot)
   }
 
+  test("curation/hashSplitLeakageFree: a passed-in cluster relation ≡ the default rebuild") {
+    import operators.{Dedup, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the relation a pipeline would hold from its own dedup pass —
+    // IDENTICAL composition to the operators' default
+    val pre = Dedup.dupClusters(Dedup.ngramJaccard(docs))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val rebuilt = rows(TextOps.curation(docs))
+    assert(rebuilt === rows(TextOps.curation(docs, Some(pre))))
+    assert(rebuilt.nonEmpty)
+    val split = rows(TextOps.hashSplitLeakageFree(docs))
+    assert(split === rows(TextOps.hashSplitLeakageFree(docs, pre)))
+    assert(split.nonEmpty)
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
