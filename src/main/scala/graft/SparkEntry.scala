@@ -653,6 +653,41 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0)))
         .orderBy("token", "rank")
     }),
+    // BM25 served ENTIRELY from the stored index: postings + forward
+    // index round-trip parquet, serving re-tokenizes only the query
+    // docs. Scores are exact; the depth cap prunes CANDIDATES (static
+    // index pruning) — the oracle applies the same top-PostingsK
+    // restriction to its tf relation, and the recall gate prices the
+    // pruning against the full-scan ranking
+    "text_bm25_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus).write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      TextOps.bm25FromIndex(s.read.parquet(idxDir),
+          s.read.parquet(lensDir), docs)
+        .orderBy("query_id", "rank")
+    }),
+    // honesty gate for the depth-capped serve: recall@k of the
+    // indexed ranking vs the full-scan bm25 ranking
+    "text_bm25_indexed_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus).write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      def ren(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("doc_id").as("neighbor_id"))
+      Similarity.recallAtK(
+        ren(TextOps.bm25FromIndex(s.read.parquet(idxDir),
+          s.read.parquet(lensDir), docs)),
+        ren(TextOps.bm25(docs)))
+    }),
     // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
     "search_hybrid" -> ((s, d) =>
       Similarity.hybridRrf(Tables.table(s, d, "documents"),
@@ -1960,14 +1995,28 @@ object SparkEntry {
       "CAST(COALESCE(per.surp_bits * 1000000 // per.n_bigrams, -1) AS BIGINT) " +
       "AS surp_ppm FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id")
 
-  private def bm25SqlFor(k: Int): String = {
+  /** `postingCap` > 0 restricts scoring contributions to each token's
+    * top-`cap` postings by (tf desc, doc_id asc) — the static
+    * index-pruning twin of `bm25FromIndex` serving from a
+    * depth-capped stored index; df stays the FULL document frequency
+    * (the index stores true df on every row), so each surviving
+    * posting's contribution is unchanged and a capped doc's score is
+    * a partial sum of its full score.
+    */
+  private def bm25SqlFor(k: Int, postingCap: Long = 0L): String = {
     val nq = TextOps.Bm25Queries
     val k1 = TextOps.Bm25K1pm
     val b = TextOps.Bm25Bpm
+    val candCte = if (postingCap <= 0L) "" else
+      ", tfr AS (SELECT token, doc_id, tf, row_number() OVER " +
+        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS prn FROM tf), " +
+        s"tfc AS (SELECT token, doc_id, tf FROM tfr WHERE prn <= $postingCap)"
+    val tfSrc = if (postingCap <= 0L) "tf" else "tfc"
     s"WITH corpus AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
       s"FROM documents WHERE doc_id >= $nq), " +
       "tok AS (SELECT doc_id, unnest(tk) AS token FROM corpus), " +
-      "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), " +
+      "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)" +
+      candCte + ", " +
       "lens AS (SELECT doc_id, len(tk)::BIGINT AS len_d FROM corpus), " +
       // degenerate-corpus guard mirroring the operator's
       // max(1, ...) / nDocs==0 branches: an empty or zero-token corpus
@@ -1982,12 +2031,12 @@ object SparkEntry {
       "qt AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, " +
       "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents " +
       s"WHERE doc_id < $nq)), " +
-      "con AS (SELECT qt.query_id, tf.doc_id, " +
-      s"idf.idf_bits * (tf.tf * ($k1 + 1000) * 1000 * 1000000 // " +
-      s"(tf.tf * 1000000 + $k1 * (1000 - $b) + " +
+      s"con AS (SELECT qt.query_id, $tfSrc.doc_id, " +
+      s"idf.idf_bits * ($tfSrc.tf * ($k1 + 1000) * 1000 * 1000000 // " +
+      s"($tfSrc.tf * 1000000 + $k1 * (1000 - $b) + " +
       s"$k1 * $b * (l.len_d * 1000000000 // s.avglen_ppm) // 1000)) AS contrib " +
-      "FROM tf JOIN qt USING (token) JOIN idf USING (token) " +
-      "JOIN lens l ON l.doc_id = tf.doc_id, stats s), " +
+      s"FROM $tfSrc JOIN qt USING (token) JOIN idf USING (token) " +
+      s"JOIN lens l ON l.doc_id = $tfSrc.doc_id, stats s), " +
       "sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score " +
       "FROM con GROUP BY 1, 2), " +
       "r AS (SELECT query_id, doc_id, score, row_number() OVER " +
@@ -3260,6 +3309,16 @@ object SparkEntry {
     // delta merge instead of a rescan) — chained ≡ one-shot is exact,
     // so the full-rebuild SQL is the oracle verbatim
     "text_postings_incremental" -> PostingsSql,
+    // the depth-capped stored-index serve: bm25's SQL with candidates
+    // restricted to each token's top-PostingsK postings (df stays
+    // full — every surviving candidate's score is unchanged)
+    "text_bm25_indexed" ->
+      bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.PostingsK.toLong),
+    "text_bm25_indexed_recall" -> recallSql(
+      s"SELECT query_id, doc_id AS neighbor_id FROM ($Bm25Sql)",
+      "SELECT query_id, doc_id AS neighbor_id FROM (" +
+        bm25SqlFor(TextOps.Bm25K,
+          postingCap = TextOps.PostingsK.toLong) + ")"),
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
     "knn_ivf_filtered" -> KnnIvfFilteredSql,

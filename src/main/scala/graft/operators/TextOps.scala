@@ -1648,6 +1648,70 @@ object TextOps {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** The FORWARD index next to the postings: `(doc_id, len_d)` —
+    * each doc's token count under the shared tokenizer, the one
+    * per-document statistic BM25's length normalization needs at
+    * serve time. A retrieval tier persists this once at ingest (a
+    * map-only projection; counter-appendable like the postings) so
+    * serving never re-tokenizes the corpus.
+    */
+  def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("len_d"))
+
+  /** BM25 SERVED ENTIRELY FROM THE STORED INDEX — the consumer the
+    * `postingsIndex`/`postingsDelta` maintenance loop exists for: the
+    * corpus is met ONLY through its persisted posting rows (`(token,
+    * df, doc_id, tf)`) and forward index (`docLengths`); serving
+    * re-tokenizes nothing but the ≤ `nQueries` query docs. Every
+    * surviving (term, doc) posting contributes the EXACT `bm25`
+    * integer arithmetic (df in the index is the true document
+    * frequency even though lists are depth-capped); what the cap
+    * costs is the PRUNED postings — a doc outside a term's top-k list
+    * loses that term's contribution entirely, so a capped doc's score
+    * is a partial (never larger, spec-pinned) sum of its full score.
+    * That is static index pruning (Carmel et al., SIGIR 2001): the
+    * recall gate prices it, and an index built with depth ≥ the max
+    * df serves bit-identically to `bm25` (spec-pinned).
+    *
+    * Scale shape: candidates = broadcast query vocabulary ⋈ posting
+    * rows (≤ query-vocab × depth rows — index-bounded, never
+    * corpus-bounded); the corpus-sized forward index streams past a
+    * BROADCAST of those candidates for len_d; the 1-row length stats
+    * collect to literals (the bm25 discipline). One (query, doc)
+    * aggregation and a k-bounded heap close it.
+    */
+  def bm25FromIndex(index: DataFrame, lens: DataFrame,
+      queryDocs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries): DataFrame = {
+    val st = lens.agg(count(lit(1)).as("n"),
+      coalesce(sum("len_d"), lit(0L)).as("t")).collect()(0)
+    val nDocs = st.getLong(0)
+    val totalTokens = st.getLong(1)
+    val avglenPpm = math.max(1L, if (nDocs == 0) 1L
+      else totalTokens * 1000000L / nDocs)
+    val qterms = queryDocs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val cand = index.select(col("token"), col("df"), col("doc_id"),
+        col("tf"))
+      .join(broadcast(qterms), "token")
+    val scored = lens.join(broadcast(cand), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (length(bin(expr(s"(2 * ($nDocs - df) + 1) div (2 * df + 1) + 1")))
+          .cast("long") *
+          expr(s"tf * (${Bm25K1pm} + 1000) * 1000 * 1000000 div " +
+            s"(tf * 1000000 + ${Bm25K1pm} * (1000 - ${Bm25Bpm}) + " +
+            s"${Bm25K1pm} * ${Bm25Bpm} * " +
+            s"(len_d * 1000000000 div $avglenPpm) div 1000)"))
+          .as("contrib"))
+      .groupBy("query_id", "doc_id").agg(sum("contrib").as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** Merge-round budget for the BPE trainer gate. Same constant MUST
     * appear in the oracle SQL (which unrolls exactly this many rounds).
     */

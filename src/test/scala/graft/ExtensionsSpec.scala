@@ -4322,6 +4322,44 @@ class ExtensionsSpec extends SparkSpec {
       storedA.drop("postings_params_fp"), b)) === oneShot)
   }
 
+  test("bm25FromIndex: uncapped depth ≡ full-scan bm25; capped serve scores exactly over pruned candidates") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rows(TextOps.bm25(docs))
+    assert(full.nonEmpty)
+    // an index DEEPER than any df keeps every posting → the stored
+    // serve is bit-identical to the full corpus scan (scores AND ranks)
+    val deep = TextOps.postingsIndex(corpus, k = 2000)
+    val lens = TextOps.docLengths(corpus)
+    assert(rows(TextOps.bm25FromIndex(deep, lens, docs)) === full)
+    // round-trip through parquet like a real serving tier
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    deep.write.parquet(dir + "/idx")
+    lens.write.parquet(dir + "/lens")
+    assert(rows(TextOps.bm25FromIndex(spark.read.parquet(dir + "/idx"),
+      spark.read.parquet(dir + "/lens"), docs)) === full)
+    // the depth-capped serve loses exactly the pruned (term, doc)
+    // CONTRIBUTIONS: each surviving posting scores bit-identically,
+    // so a capped doc's score is a partial sum of its full score —
+    // never larger, never invented (reference UNTRUNCATED: a pruned
+    // serve can surface a doc the full top-k cut off)
+    val capped = TextOps.bm25FromIndex(
+      TextOps.postingsIndex(corpus, k = 2), lens, docs)
+    val fullScores = rows(TextOps.bm25(docs, k = 100000))
+      .map(t => (t._1, t._3) -> t._4).toMap
+    capped.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val fs = fullScores.get(key)
+      assert(fs.nonEmpty, s"capped serve invented candidate $key")
+      assert(r.getLong(3) <= fs.get && r.getLong(3) > 0L,
+        s"capped score ${r.getLong(3)} outside (0, ${fs.get}] for $key")
+    }
+  }
+
   test("curation/hashSplitLeakageFree: a passed-in cluster relation ≡ the default rebuild") {
     import operators.{Dedup, TextOps}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
