@@ -664,7 +664,8 @@ object SparkEntry {
       val docs = Tables.table(s, d, "documents")
       val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
       val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus).write.mode("overwrite").parquet(idxDir)
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
       val lensDir = ivfTmpDir(s, d, "bm25_lens")
       TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
       TextOps.bm25FromIndex(s.read.parquet(idxDir),
@@ -678,7 +679,8 @@ object SparkEntry {
       val docs = Tables.table(s, d, "documents")
       val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
       val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus).write.mode("overwrite").parquet(idxDir)
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
       val lensDir = ivfTmpDir(s, d, "bm25_lens")
       TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
       def ren(df: org.apache.spark.sql.DataFrame) =
@@ -3313,12 +3315,12 @@ object SparkEntry {
     // restricted to each token's top-PostingsK postings (df stays
     // full — every surviving candidate's score is unchanged)
     "text_bm25_indexed" ->
-      bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.PostingsK.toLong),
+      bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.Bm25IndexDepth.toLong),
     "text_bm25_indexed_recall" -> recallSql(
       s"SELECT query_id, doc_id AS neighbor_id FROM ($Bm25Sql)",
       "SELECT query_id, doc_id AS neighbor_id FROM (" +
         bm25SqlFor(TextOps.Bm25K,
-          postingCap = TextOps.PostingsK.toLong) + ")"),
+          postingCap = TextOps.Bm25IndexDepth.toLong) + ")"),
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
     "knn_ivf_filtered" -> KnnIvfFilteredSql,

@@ -1659,6 +1659,19 @@ object TextOps {
     docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("len_d"))
 
+  /** Posting depth for the BM25 SERVING index — deliberately deeper
+    * than the `postings` GATE's display depth (`PostingsK` = 10, a
+    * browsing artifact): a pruned retrieval index keeps hundreds of
+    * postings per term so the dominant score contributions survive
+    * (Carmel et al. keep enough to bound score error). Measured on
+    * the sf0.01 recall gate: depth 10 → 0.04, 128 → 0.40, 256 →
+    * 0.55 — the synthetic corpus has little idf structure (score
+    * mass spreads across common terms), so pruning bites harder than
+    * on natural text; 256 still halves every common term's list.
+    * Same constant MUST appear in the oracle SQL.
+    */
+  val Bm25IndexDepth = 256
+
   /** BM25 SERVED ENTIRELY FROM THE STORED INDEX — the consumer the
     * `postingsIndex`/`postingsDelta` maintenance loop exists for: the
     * corpus is met ONLY through its persisted posting rows (`(token,
