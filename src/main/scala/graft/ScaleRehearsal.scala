@@ -685,6 +685,16 @@ object ScaleRehearsal {
       require(n > 0L, "closeness reached nothing")
       s"vertices $n"
     })
+    // stress centrality on the same graph: forward σ + backward τ
+    // layer passes per sampled source — every join layer-sized, path
+    // counts exact longs (3-hop budget keeps σ far from overflow even
+    // at this graph's 10k-degree celebrity vertices)
+    t("stress sampled 10M, 4 seeds × 3 hops")({
+      val n = operators.GraphOps.stressSampled(edges, k = 4,
+        maxHops = 3).count()
+      require(n > 0L, "stress found no internal vertices")
+      s"vertices $n"
+    })
     // DEEP-DIAMETER regime, the one hopStride exists for: 1000
     // disjoint 128-deep chains (128k vertices). Narrow layers (1000
     // rows) make per-layer stage/job overhead the whole cost at

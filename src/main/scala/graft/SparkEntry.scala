@@ -382,6 +382,15 @@ object SparkEntry {
     // per-vertex (n_reached, sum_dist, harmonic_ppm) over the sample
     "graph_closeness" -> ((s, d) =>
       GraphOps.closenessSampled(GraphOps.edges(s, d)).orderBy("vertex")),
+    // Brandes forward phase from a hash-chosen sample: exact BFS dist
+    // + exact shortest-path COUNTS per (seed, vertex) — all integer
+    "graph_path_counts" -> ((s, d) =>
+      GraphOps.shortestPathCounts(GraphOps.edges(s, d))
+        .orderBy("seed", "vertex")),
+    // budgeted stress centrality: σ·τ path-through counts summed over
+    // the sample — the all-integer member of the betweenness family
+    "graph_stress" -> ((s, d) =>
+      GraphOps.stressSampled(GraphOps.edges(s, d)).orderBy("vertex")),
     // deterministic node2vec-style walks from the hop seed set — the
     // graph-embedding corpus generator, RNG-free
     "graph_walks" -> ((s, d) => {
@@ -2148,6 +2157,75 @@ object SparkEntry {
     * reduce to one (n_queries, hits, total, recall) row. Integer
     * hits/total divide exactly in doubles → hash-comparable.
     */
+  /** Shared CTE chain for the path-count/stress oracles: the
+    * recursive min-dist relation `md` per hash-chosen seed, then
+    * PathHops forward σ layers (`g0..gH` — σ_i(v) = Σ σ_{i-1}(u)
+    * over edges into layer-i vertices) and, for stress, PathHops
+    * backward τ layers (`tH..t0` — τ_i(v) = Σ (τ_{i+1}(w) + 1) over
+    * DAG successors). Every CTE MATERIALIZED (each is referenced
+    * by the next layer AND the final union — DuckDB would otherwise
+    * inline them exponentially, the kcore lesson).
+    */
+  private def pathCtesSql(withTau: Boolean): String = {
+    val k = GraphOps.PathSeeds
+    val h = GraphOps.PathHops
+    val fwd = (1 to h).map { i =>
+      s"g$i AS MATERIALIZED (SELECT g${i - 1}.s, e.dst AS v, " +
+        s"CAST(SUM(g${i - 1}.sigma) AS BIGINT) AS sigma " +
+        s"FROM g${i - 1} JOIN e ON e.src = g${i - 1}.v " +
+        s"JOIN md ON md.s = g${i - 1}.s AND md.v = e.dst " +
+        s"AND md.dist = $i GROUP BY 1, 2)"
+    }.mkString(", ")
+    val bwd = if (!withTau) "" else {
+      val steps = (h - 1).to(0, -1).map { i =>
+        s"t$i AS MATERIALIZED (SELECT l.s, l.v, " +
+          s"CAST(COALESCE(SUM(t${i + 1}.tau + 1), 0) AS BIGINT) AS tau " +
+          s"FROM (SELECT s, v FROM md WHERE dist = $i) l " +
+          "LEFT JOIN e ON e.src = l.v " +
+          s"LEFT JOIN t${i + 1} ON t${i + 1}.s = l.s " +
+          s"AND t${i + 1}.v = e.dst GROUP BY 1, 2)"
+      }.mkString(", ")
+      s", t$h AS MATERIALIZED (SELECT s, v, CAST(0 AS BIGINT) AS tau " +
+        s"FROM md WHERE dist = $h), " + steps
+    }
+    s"RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+      "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+      "UNION ALL SELECT dst FROM e)), " +
+      "seeds AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(v AS VARCHAR)")}, v) AS rn FROM verts) " +
+      s"WHERE rn <= $k), " +
+      "walk(s, v, dd) AS (SELECT v, v, 0 FROM seeds " +
+      "UNION SELECT walk.s, e.dst, walk.dd + 1 FROM walk " +
+      s"JOIN e ON e.src = walk.v WHERE walk.dd < $h), " +
+      "md AS MATERIALIZED (SELECT s, v, MIN(dd) AS dist FROM walk " +
+      "GROUP BY 1, 2), " +
+      "g0 AS MATERIALIZED (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma " +
+      "FROM seeds), " + fwd + bwd
+  }
+
+  /** graph_path_counts oracle — the forward σ layers unioned. */
+  private lazy val PathCountsSql: String = {
+    val h = GraphOps.PathHops
+    val out = (0 to h).map(i =>
+      s"SELECT s AS seed, v AS vertex, CAST($i AS BIGINT) AS dist, " +
+        s"sigma FROM g$i").mkString(" UNION ALL ")
+    s"WITH ${pathCtesSql(withTau = false)} $out"
+  }
+
+  /** graph_stress oracle — σ·τ summed per vertex over internal
+    * layers (1..H−1; layer H has τ = 0, layer 0 is the source).
+    */
+  private lazy val StressSql: String = {
+    val h = GraphOps.PathHops
+    val layers = (1 until h).map(i =>
+      s"SELECT g$i.v, g$i.sigma * t$i.tau AS c FROM g$i " +
+        s"JOIN t$i ON t$i.s = g$i.s AND t$i.v = g$i.v")
+      .mkString(" UNION ALL ")
+    s"WITH ${pathCtesSql(withTau = true)} " +
+      s"SELECT v AS vertex, CAST(SUM(c) AS BIGINT) AS stress " +
+      s"FROM ($layers) GROUP BY v HAVING SUM(c) > 0"
+  }
+
   private def recallSql(exactSql: String, approxSql: String): String =
     s"WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)), " +
       s"ap AS (SELECT query_id, neighbor_id FROM ($approxSql)), " +
@@ -2974,6 +3052,8 @@ object SparkEntry {
         s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopMax) " +
         "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
         "FROM walk GROUP BY v"),
+    "graph_path_counts" -> PathCountsSql,
+    "graph_stress" -> StressSql,
     "graph_closeness" -> {
       // per-SEED bounded walk enumeration (the walk state carries the
       // seed column, so MIN per (seed, vertex) is that source's exact

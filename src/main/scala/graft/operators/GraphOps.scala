@@ -1439,13 +1439,158 @@ object GraphOps {
           expr("1000000 div dist")).otherwise(lit(0L))).as("harmonic_ppm"))
   }
 
-  /** Round budget for the weighted-SSSP gate — the oracle unrolls
-    * EXACTLY this many Bellman-Ford rounds as materialized CTEs, so the
-    * operator's contract is "min path weight over ≤ SsspRounds edges",
-    * well-defined on cyclic graphs and at any truncation point. Same
-    * constant MUST appear in oracleSql.
+  /** Sample size / hop budget for the path-count and stress gates —
+    * the oracle unrolls EXACTLY PathHops forward (and backward) layer
+    * CTEs per sample. Hops stay small deliberately: σ is a PATH COUNT
+    * and grows with branching^depth (a long overflows near depth
+    * ~log_b(2^63); the budget is the overflow contract, stated
+    * identically in both engines). Same constants MUST appear in
+    * oracleSql.
     */
-  val SsspRounds = 6
+  val PathSeeds = 4
+  val PathHops = 4
+
+  /** SHORTEST-PATH COUNTS from a deterministic source sample — the σ
+    * table of Brandes' betweenness machinery (Brandes, "A faster
+    * algorithm for betweenness centrality", 2001, forward phase):
+    * for each of `k` hash-chosen sources (the `closenessSampled`
+    * sample rule) and every vertex within `maxHops`, the EXACT BFS
+    * distance and the EXACT number of distinct shortest s→v paths.
+    * All integer; deterministic at any partitioning.
+    *
+    * Physical: per source, the BFS layers come from the shared
+    * `hopDistancesDeduped` sweep loop (one deduped edge cache across
+    * all k runs), then σ propagates layer by layer — σ_i(v) =
+    * Σ σ_{i-1}(u) over edges (u→v) with dist(v) = i — as ONE
+    * edge ⋈ layer join + aggregation per layer, each frame
+    * layer-sized and checkpointed, with early exit on an empty
+    * layer. k·maxHops bounded-size jobs; the per-source-label
+    * batching flip (k frames → one labeled frame) is the
+    * closenessSampled trade and applies identically here.
+    */
+  def shortestPathCounts(e: DataFrame, k: Int = PathSeeds,
+      maxHops: Int = PathHops): DataFrame = {
+    sigmaBySeed(e, k, maxHops)._1
+  }
+
+  /** The shared forward phase: returns (per-seed σ relation tagged
+    * (seed, vertex, dist, sigma), the per-seed layer frames for the
+    * backward pass, the shared edge cache).
+    */
+  private def sigmaBySeed(e: DataFrame, k: Int, maxHops: Int)
+      : (DataFrame, Seq[(Long, Seq[DataFrame])], DataFrame) = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(maxHops >= 0 && maxHops <= 32,
+      s"maxHops must be in [0, 32], got $maxHops (σ is a path count — " +
+        "deep budgets overflow long arithmetic on bushy graphs)")
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val seedRows = verts
+      .withColumn("h", graft.functions.PolyHashFunctions.poly_hash(
+        col("v").cast("string")))
+      .orderBy(col("h"), col("v"))
+      .limit(k)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    val s = e.sparkSession
+    import s.implicits._
+    val dedup = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val empty = e.select(col("src").as("seed"), col("src").as("vertex"),
+      lit(0L).as("dist"), lit(0L).as("sigma")).filter(lit(false))
+    if (seedRows.isEmpty) return (empty, Seq.empty, dedup)
+    val perSeed = seedRows.toSeq.map { seed =>
+      val dist = hopDistancesDeduped(dedup, Seq(seed).toDF("v"), maxHops,
+        1, releaseInput = false) // (vertex, dist) — checkpointed
+      // forward σ: layer 0 is the seed with one (empty) path; each
+      // next frame is one edge ⋈ previous-layer join, restricted to
+      // vertices FIRST reached at this layer (the shortest-path DAG)
+      var frames = List(ck(Seq((seed, 0L, 1L))
+        .toDF("vertex", "dist", "sigma")))
+      var i = 1
+      var exhausted = maxHops == 0
+      while (!exhausted) {
+        val (next, n) = ckCounted(frames.head
+          .join(dedup, dedup("src") === frames.head("vertex"))
+          .select(col("dst").as("vertex"), col("sigma"))
+          .join(dist.filter(col("dist") === lit(i.toLong)), "vertex")
+          .groupBy("vertex", "dist").agg(sum("sigma").as("sigma"))
+          .select(col("vertex"), col("dist"), col("sigma")))
+        if (n == 0L) exhausted = true
+        else {
+          frames ::= next
+          i += 1
+          if (i > maxHops) exhausted = true
+        }
+      }
+      (seed, frames.reverse)
+    }
+    val tagged = perSeed.map { case (seed, frames) =>
+      frames.reduce(_.unionByName(_))
+        .select(lit(seed).as("seed"), col("vertex"), col("dist"),
+          col("sigma"))
+    }.reduce(_.unionByName(_))
+    (tagged, perSeed, dedup)
+  }
+
+  /** BUDGETED STRESS CENTRALITY over the sampled sources — the
+    * all-integer member of the betweenness family (Shimbel 1953;
+    * Brandes 2008 §3.2 names it stress): stress(v) = Σ over sampled
+    * sources s and targets t of the number of shortest s→t paths (of
+    * length ≤ `maxHops`, the budget contract) passing THROUGH v
+    * (v ∉ {s, t}). Classic betweenness divides by σ_st — a ratio,
+    * which the float-parity rule bans from hash-checked outputs;
+    * stress keeps the same "who sits on the shortest routes" signal
+    * in exact long arithmetic.
+    *
+    * Decomposition: every shortest s→t path through v splits uniquely
+    * into a shortest s→v prefix (σ(v) choices, the forward phase) and
+    * a shortest-DAG suffix from v (τ(v) choices, where τ(v) =
+    * Σ_{w ∈ DAG-succ(v)} (1 + τ(w)) counts suffixes to EVERY strictly
+    * later target) — so the per-source contribution is σ(v)·τ(v),
+    * exact integers end to end. The backward τ pass mirrors the
+    * forward one: one layer-sized join per layer, descending.
+    */
+  def stressSampled(e: DataFrame, k: Int = PathSeeds,
+      maxHops: Int = PathHops): DataFrame = {
+    val (_, perSeed, dedup) = sigmaBySeed(e, k, maxHops)
+    val empty = e.select(col("src").as("vertex"), lit(0L).as("stress"))
+      .filter(lit(false))
+    if (perSeed.isEmpty) return empty
+    val contribs = perSeed.flatMap { case (_, frames) =>
+      // frames(i) = layer-i (vertex, dist, sigma); τ descends from the
+      // deepest reached layer, whose τ = 0 (no strictly-later targets
+      // within budget → zero contribution, so it joins no acc frame)
+      val deepest = frames.length - 1
+      var tau = frames(deepest)
+        .select(col("vertex").as("tv"), lit(0L).as("tau"))
+      val acc = scala.collection.mutable.ListBuffer[DataFrame]()
+      var i = deepest - 1
+      while (i >= 0) {
+        val succ = tau.select(col("tv").as("dst"), col("tau"))
+        val layer = frames(i).select(col("vertex").as("lv"), col("dist"),
+          col("sigma"))
+        tau = ck(layer.select(col("lv"))
+          .join(dedup, dedup("src") === col("lv"), "left")
+          .join(succ, Seq("dst"), "left")
+          .groupBy(col("lv"))
+          .agg(coalesce(sum(when(col("tau").isNotNull,
+            col("tau") + 1L)), lit(0L)).as("tau"))
+          .select(col("lv").as("tv"), col("tau")))
+        acc += layer
+          .join(tau, col("lv") === col("tv"))
+          .filter(col("dist") >= 1L) // v = s excluded (an endpoint)
+          .select(col("lv").as("vertex"),
+            (col("sigma") * col("tau")).as("c"))
+        i -= 1
+      }
+      acc.toSeq
+    }
+    if (contribs.isEmpty) return empty
+    contribs.reduce(_.unionByName(_))
+      .groupBy("vertex").agg(sum("c").as("stress"))
+      .filter(col("stress") > 0L)
+  }
 
   /** Weighted single-source shortest paths, round-synchronous
     * Bellman-Ford truncated at `maxRounds` relaxations: dist(v) = min
@@ -1467,6 +1612,14 @@ object GraphOps {
     * high-diameter graphs but changes the truncation contract — this
     * operator IS the budgeted form the oracle can state exactly.
     */
+  /** Round budget for the weighted-SSSP gate — the oracle unrolls
+    * EXACTLY this many Bellman-Ford rounds as materialized CTEs, so the
+    * operator's contract is "min path weight over ≤ SsspRounds edges",
+    * well-defined on cyclic graphs and at any truncation point. Same
+    * constant MUST appear in oracleSql.
+    */
+  val SsspRounds = 6
+
   def ssspBudget(e0: DataFrame, sources: DataFrame,
       maxRounds: Int = SsspRounds): DataFrame = {
     require(maxRounds >= 0 && maxRounds <= 64,

@@ -463,6 +463,70 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("shortestPathCounts/stressSampled == brute σ/τ DP over the hash-chosen sample") {
+    val s = spark
+    import s.implicits._
+    // brute per-seed: BFS dists, then σ forward / τ backward over the
+    // shortest-path DAG — the textbook Brandes phases in plain Scala
+    def bruteSeed(edges: Seq[(Long, Long)], seed: Long, maxHops: Int)
+        : (Map[Long, (Long, Long)], Map[Long, Long]) = {
+      val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map[Long, Long](seed -> 0L)
+      var frontier = Set(seed)
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(!dist.contains(_))
+        frontier.foreach(dist(_) = h.toLong)
+      }
+      val sigma = scala.collection.mutable.Map[Long, Long](seed -> 1L)
+      val maxD = dist.values.max
+      (1L to maxD).foreach { d =>
+        dist.filter(_._2 == d).keys.foreach { v =>
+          sigma(v) = edges.distinct.filter(e => e._2 == v &&
+            dist.get(e._1).contains(d - 1)).map(e => sigma(e._1)).sum
+        }
+      }
+      val tau = scala.collection.mutable.Map[Long, Long]()
+      (maxD.to(0L, -1L)).foreach { d =>
+        dist.filter(_._2 == d).keys.foreach { v =>
+          tau(v) = adj.getOrElse(v, Nil).distinct
+            .filter(w => dist.get(w).contains(d + 1))
+            .map(w => tau(w) + 1L).sum
+        }
+      }
+      (dist.keys.map(v => v -> ((dist(v), sigma(v)))).toMap, tau.toMap)
+    }
+    val rng = new scala.util.Random(89)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(70)((rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+      val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+      val k = 3
+      val hops = 3
+      val seeds = verts.sortBy(v => (graft.functions.PolyHashUtil.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)),
+        v)).take(k)
+      val wantSigma = seeds.flatMap { sd =>
+        bruteSeed(e, sd, hops)._1.map { case (v, (d, sg)) =>
+          (sd, v, d, sg)
+        }
+      }.toSet
+      val gotSigma = GraphOps.shortestPathCounts(edgeDf(e: _*), k = k,
+          maxHops = hops).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      withClue(s"edges=$e") { assert(gotSigma === wantSigma) }
+      val wantStress = seeds.flatMap { sd =>
+        val (ds, tau) = bruteSeed(e, sd, hops)
+        ds.collect { case (v, (d, sg)) if d >= 1L => v -> sg * tau(v) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter(_._2 > 0L)
+      val gotStress = GraphOps.stressSampled(edgeDf(e: _*), k = k,
+          maxHops = hops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"edges=$e") { assert(gotStress === wantStress) }
+    }
+  }
+
   test("hopDistances == brute bounded BFS on random digraphs") {
     def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
         maxHops: Int): Map[Long, Long] = {
