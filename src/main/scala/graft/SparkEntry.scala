@@ -1056,6 +1056,28 @@ object SparkEntry {
       Similarity.knnPqFromCodes(cbs, s.read.parquet(codesDir), emb)
         .orderBy("query_id", "rank")
     }),
+    // the FULL stored IVFPQ layout: trained centroids + codebooks +
+    // the (vec_id, cell, codes) posting-list relation all round-trip
+    // parquet; serving reads cells and codes only — corpus embeddings
+    // are never touched. Rows-only like every trained-quantizer gate;
+    // the probe-everything ≡ knnPqFromCodes law, cell pruning and
+    // both staleness stamps are pinned in ExtensionsSpec
+    "knn_ivf_pq_stored" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val centDir = ivfTmpDir(s, d, "ivfpq_cents")
+      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(centDir)
+      val cents = s.read.parquet(centDir)
+      val cbDir = ivfTmpDir(s, d, "ivfpq_cbs")
+      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(cbDir)
+      val cbs = s.read.parquet(cbDir)
+      val idxDir = ivfTmpDir(s, d, "ivfpq_idx")
+      Similarity.ivfAssignFromStored(cents, emb)
+        .join(Similarity.pqCodesFromStored(cbs, emb), "vec_id")
+        .write.mode("overwrite").parquet(idxDir)
+      Similarity.knnIvfPqFromStored(cents, cbs, s.read.parquet(idxDir),
+          emb)
+        .orderBy("query_id", "rank")
+    }),
     // IVFPQ: the production composition — IVF cells prune the search,
     // PQ codes compress the candidates to LUT lookups; both quantizers
     // hash-anchored so the WHOLE layout is oracle-checked end to end

@@ -711,20 +711,7 @@ object Similarity {
       s"knnIvfPq collected ${qRows.length} query rows — the cap is " +
         s"PqMaxStaticQueries = $PqMaxStaticQueries (per-query literal " +
         "LUTs must stay driver-small)")
-    // per-query LUTs flattened to blocks×codebook longs (same
-    // ascending += fold as everywhere in the PQ family)
-    val lutMap: Map[Long, Seq[Long]] = qRows.map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
-      qid -> (0 until blocks).flatMap { b =>
-        cbs(b).map { c =>
-          var acc = 0.0
-          var i = 0
-          while (i < bw) { val t = q(b * bw + i) - c(i); acc += t * t; i += 1 }
-          math.floor(acc * 1000000.0).toLong
-        }
-      }.toSeq
-    }.toMap
+    val lutMap = pqLutMap(qRows, cbs)
     val lutLit = typedlit(lutMap)
     val adc = (0 until blocks).map { b =>
       element_at(element_at(lutLit, col("query_id")),
@@ -737,6 +724,30 @@ object Similarity {
     graft.plans.TopK.perKey(cand, Seq("query_id"),
         Seq(col("adc_fp").asc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "adc_fp")
+  }
+
+  /** Per-query LUTs flattened to blocks×codebook longs, keyed by
+    * query id — the shape `element_at(element_at(lut, query_id),
+    * b·codebook + code)` consumes. Same ascending += fold as
+    * everywhere in the PQ family (bit-identical doubles before the
+    * per-cell floor).
+    */
+  private def pqLutMap(qRows: Array[org.apache.spark.sql.Row],
+      cbs: Seq[Array[Array[Double]]]): Map[Long, Seq[Long]] = {
+    val blocks = cbs.length
+    val bw = cbs.head.head.length
+    qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      qid -> (0 until blocks).flatMap { b =>
+        cbs(b).map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < bw) { val t = q(b * bw + i) - c(i); acc += t * t; i += 1 }
+          math.floor(acc * 1000000.0).toLong
+        }
+      }.toSeq
+    }.toMap
   }
 
   /** Lloyd iterations for the trained PQ codebooks. */
@@ -1039,6 +1050,103 @@ object Similarity {
       } else col("codes")
     adcServe(codedCorpus.select(col("vec_id"), guardedCodes.as("codes")),
       qRows, cbs, k)
+  }
+
+  /** The FULL stored IVFPQ serve — the production billion-scale ANN
+    * layout assembled entirely from persisted relations (FAISS's
+    * IndexIVFPQ on disk): `centroids` (`centroidsOf`) prune the
+    * search to each query's probed cells, `codebooks` (`codebooksOf`)
+    * decode the candidates, and `indexedCorpus` is the posting-list
+    * relation a real deployment stores — `(vec_id, cell, codes)` from
+    * `ivfAssignFromStored ⋈ pqCodesFromStored`, stamped by BOTH
+    * content fingerprints. Corpus embeddings are never read: cells
+    * were stamped at ingest, distances come from per-query LUTs
+    * against the stored codebooks. Raw vectors appear only on the
+    * tiny query side (`queryEmb`, the shared `vec_id < nQueries`
+    * convention).
+    *
+    * Exactness laws (spec-pinned): probing EVERY cell degenerates to
+    * `knnPqFromCodes` bit-exactly (same codes, same LUTs, same
+    * tie-breaks — the IVF layer prunes candidates and changes nothing
+    * else); at the default nProbe the candidate relation meets
+    * ~|corpus|·nProbe/cells rows. Both staleness stamps are verified
+    * PER ROW riding the `codes` column (never joined or filtered on):
+    * a corpus stamped under re-trained centroids OR re-trained
+    * codebooks raises loudly instead of serving neighbors whose cells
+    * or codes silently mean something else.
+    */
+  def knnIvfPqFromStored(centroids: DataFrame, codebooks: DataFrame,
+      indexedCorpus: DataFrame, queryEmb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe): DataFrame =
+    graft.plans.TopK.perKey(
+        ivfPqScoredFromStored(centroids, codebooks, indexedCorpus,
+          queryEmb, nQueries, nProbe),
+        Seq("query_id"), Seq(col("adc_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "adc_fp")
+
+  /** The pre-top-k candidate relation of `knnIvfPqFromStored` —
+    * exposed for the pruning-contract spec (candidates ≈
+    * |corpus|·nProbe/cells, the IVF promise).
+    */
+  private[graft] def ivfPqScoredFromStored(centroids: DataFrame,
+      codebooks: DataFrame, indexedCorpus: DataFrame, queryEmb: DataFrame,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe): DataFrame = {
+    require(indexedCorpus.columns.contains("cell") &&
+      indexedCorpus.columns.contains("codes"),
+      "indexedCorpus must carry the persisted `cell` and `codes` " +
+        "columns (ivfAssignFromStored ⋈ pqCodesFromStored)")
+    val centEmbF = loadStoredCentroids(centroids)
+    val cbs = loadStoredCodebooks(codebooks)
+    if (centEmbF.isEmpty || cbs.isEmpty) return knnPqEmpty(queryEmb)
+    val qRows = queryEmb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    if (qRows.isEmpty) return knnPqEmpty(queryEmb)
+    require(qRows.length <= PqMaxStaticQueries,
+      s"knnIvfPqFromStored collected ${qRows.length} query rows — the " +
+        s"cap is PqMaxStaticQueries = $PqMaxStaticQueries")
+    val blocks = cbs.length
+    val codebook = cbs.head.length
+    var codesCol: Column = col("codes")
+    if (indexedCorpus.columns.contains("ivf_cents_fp")) {
+      val expected = lit(centroidContentFp(centEmbF))
+      codesCol = when(col("ivf_cents_fp") === expected, codesCol)
+        .otherwise(raise_error(format_string(
+          "graft: indexedCorpus row stamped ivf_cents_fp=%s but the " +
+            "loaded centroids hash to %s — stale cell stamp " +
+            "(re-trained IVF?); re-run ivfAssignFromStored",
+          col("ivf_cents_fp"), expected)))
+    }
+    if (indexedCorpus.columns.contains("pq_cbs_fp")) {
+      val expected = lit(pqCodebookContentFp(cbs))
+      codesCol = when(col("pq_cbs_fp") === expected, codesCol)
+        .otherwise(raise_error(format_string(
+          "graft: indexedCorpus row stamped pq_cbs_fp=%s but the " +
+            "loaded codebooks hash to %s — stale PQ codes (re-trained " +
+            "codebooks?); re-run pqCodesFromStored",
+          col("pq_cbs_fp"), expected)))
+    }
+    val index = indexedCorpus.select(col("vec_id"), col("cell"),
+      codesCol.as("codes"))
+    val centN2 = centEmbF.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+    val s = queryEmb.sparkSession
+    import s.implicits._
+    val centLocal = centEmbF.indices.map(i =>
+        (i.toLong, centEmbF(i), centN2(i)))
+      .toDF("cent_id", "c_emb", "c_n2")
+    val probes = probeRank(withNorm(queryEmb), centLocal, nQueries, nProbe)
+    val lutLit = typedlit(pqLutMap(qRows, cbs))
+    val adc = (0 until blocks).map { b =>
+      element_at(element_at(lutLit, col("query_id")),
+        lit(b * codebook) + element_at(col("codes"), b + 1))
+    }.foldLeft(lit(0L))(_ + _)
+    index.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_fp"))
   }
 
   /** Quantization grain for `labelCentroids` element sums (ppm). */

@@ -1480,6 +1480,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(exRaw.getMessage.contains("codes"))
   }
 
+  test("knnIvfPqFromStored: probe-everything ≡ knnPqFromCodes; default probes cell-prune; both stamps guarded") {
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    val cents = Similarity.centroidsOf(emb, corpusSize = 2000L)
+    val cbs = Similarity.codebooksOf(emb)
+    val index = Similarity.ivfAssignFromStored(cents, emb)
+      .join(Similarity.pqCodesFromStored(cbs, emb), "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // probing EVERY cell degenerates to the pure stored-codes ADC
+    // serve bit-exactly — the IVF layer prunes candidates only
+    val nCells = cents.count().toInt
+    val allProbes = rows(Similarity.knnIvfPqFromStored(cents, cbs, index,
+      emb, nProbe = nCells))
+    val pureAdc = rows(Similarity.knnPqFromCodes(cbs,
+      Similarity.pqCodesFromStored(cbs, emb), emb))
+    assert(allProbes === pureAdc)
+    assert(allProbes.nonEmpty)
+    // round-trip through parquet like a real serving tier
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rt").toString
+    cents.write.parquet(base + "/cents")
+    cbs.write.parquet(base + "/cbs")
+    index.write.parquet(base + "/idx")
+    val rCents = spark.read.parquet(base + "/cents")
+    val rCbs = spark.read.parquet(base + "/cbs")
+    val rIdx = spark.read.parquet(base + "/idx")
+    assert(rows(Similarity.knnIvfPqFromStored(rCents, rCbs, rIdx, emb,
+      nProbe = nCells)) === pureAdc)
+    // default-probe serve: the candidate relation is cell-pruned to
+    // ~|corpus|·nProbe/cells (4× slack for cell-size skew)
+    val cand = Similarity.ivfPqScoredFromStored(rCents, rCbs, rIdx, emb)
+      .count()
+    val queries = Similarity.DefaultQueries
+    assert(cand <= queries * 2000L * Similarity.IvfNProbe / nCells * 4,
+      s"candidates $cand not pruned (corpus 2000, cells $nCells)")
+    // stale stamps raise loudly — retrain EACH quantizer on a shifted
+    // corpus and serve the old stamped index under it
+    val embB = spark.range(2000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i + 1), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 98), 100) / 1250.0 as float))")
+        .as("embedding"))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val exCents = intercept[Exception] {
+      Similarity.knnIvfPqFromStored(
+        Similarity.centroidsOf(embB, corpusSize = 2000L), cbs, index,
+        emb).collect()
+    }
+    assert(chain(exCents).contains("ivf_cents_fp"), chain(exCents))
+    val exCbs = intercept[Exception] {
+      Similarity.knnIvfPqFromStored(cents,
+        Similarity.codebooksOf(embB), index, emb).collect()
+    }
+    assert(chain(exCbs).contains("pq_cbs_fp"), chain(exCbs))
+  }
+
   test("knnPqFromCodes raises on codes stamped under DIFFERENT codebooks (stale pq_cbs_fp)") {
     // corpus A encoded under A's trained codebooks...
     val embA = spark.range(2000).select(col("id").as("vec_id"),
