@@ -61,6 +61,12 @@ object SparkEntry {
     */
   val ComponentsMod = 40L
 
+  /** Edge-slice modulus for the k-truss gate (denser than the
+    * ComponentsMod slice so real peeling happens). Same constant MUST
+    * appear in oracleSql.
+    */
+  val TrussMod = 5L
+
   /** Sparsifier modulus for the `graph_link_prediction` gate: ~1/4 of
     * edges keeps the capped common-neighbor candidate set around 124k
     * pairs at sf0.1 (measured) — non-trivial but cheap on both
@@ -309,6 +315,13 @@ object SparkEntry {
       GraphOps.coreness(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
         .orderBy("node_id")),
+    // k-truss: support-≥-k−2 peeling on the mod-5 slice (dense enough
+    // that the 5-truss actually peels: 1878 → 1087 edges at sf0.01);
+    // oracle unrolls KTrussMaxRounds support/filter rounds
+    "graph_ktruss" -> ((s, d) =>
+      GraphOps.kTruss(GraphOps.sparsifyEdges(GraphOps.edges(s, d),
+          TrussMod))
+        .orderBy("src", "dst")),
     // degree-mixing moment sums (Newman assortativity numerators):
     // all-integer one-row relation; r itself is consumer arithmetic
     "graph_assortativity" -> ((s, d) =>
@@ -3074,6 +3087,38 @@ object SparkEntry {
         s"JOIN e ON e.src = walk.v WHERE walk.dd < $HopMax) " +
         "SELECT v AS vertex, CAST(MIN(dd) AS BIGINT) AS dist " +
         "FROM walk GROUP BY v"),
+    // unrolled support-peeling twin of GraphOps.kTruss: each round
+    // counts every edge's common neighbors with one triangle join and
+    // keeps support ≥ k−2 (an edge in no triangle has no support row —
+    // dropped, exactly the operator's semi-join). Identity past the
+    // fixpoint; every CTE MATERIALIZED (the kcore exponential-inline
+    // lesson)
+    "graph_ktruss" -> {
+      val k = GraphOps.KTrussK
+      val rounds = GraphOps.KTrussMaxRounds
+      val cte = new StringBuilder
+      cte ++= "WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
+        s"FROM ($EdgesCte) WHERE (src * 31 + dst) % $TrussMod = 0 " +
+        "AND src <> dst), "
+      cte ++= "e0 AS MATERIALIZED " +
+        "(SELECT src, dst FROM base UNION SELECT dst, src FROM base)"
+      for (i <- 1 to rounds) {
+        cte ++= s", s$i AS MATERIALIZED (SELECT e.src, e.dst, " +
+          s"COUNT(*) AS sup FROM e${i - 1} e " +
+          s"JOIN e${i - 1} a ON a.src = e.src " +
+          s"JOIN e${i - 1} b ON b.src = e.dst AND b.dst = a.dst " +
+          "GROUP BY 1, 2)"
+        cte ++= s", e$i AS MATERIALIZED (SELECT src, dst FROM s$i " +
+          s"WHERE sup >= ${k - 2})"
+      }
+      cte ++= s", sfin AS (SELECT e.src, e.dst, COUNT(*) AS sup " +
+        s"FROM e$rounds e JOIN e$rounds a ON a.src = e.src " +
+        s"JOIN e$rounds b ON b.src = e.dst AND b.dst = a.dst " +
+        "GROUP BY 1, 2)"
+      cte ++= " SELECT src, dst, CAST(sup AS BIGINT) AS support " +
+        "FROM sfin WHERE src < dst"
+      cte.result()
+    },
     "graph_path_counts" -> PathCountsSql,
     "graph_stress" -> StressSql,
     "graph_closeness" -> {

@@ -596,6 +596,76 @@ object GraphOps {
     joined
   }
 
+  /** k-truss bounds: the truss level the gate peels to and the round
+    * budget (the oracle unrolls exactly these — the kCore contract).
+    */
+  val KTrussK = 5
+  val KTrussMaxRounds = 8
+
+  /** k-TRUSS of the undirected simple graph (Cohen 2008): the maximal
+    * subgraph in which every edge closes ≥ k−2 triangles WITHIN the
+    * subgraph — the edge-level analog of the k-core and the standard
+    * cohesive-community primitive (a k-core bounds degrees; a k-truss
+    * demands the degrees interlock into triangles). Returns one
+    * canonical `(src, dst, support)` row per surviving edge
+    * (src < dst) with its within-truss support (all ≥ k−2).
+    *
+    * Iterative peeling like `kCore`, with SUPPORT in place of degree:
+    * symmetrize + simplify once; each round counts every edge's
+    * common neighbors via one triangle equi-join over the current
+    * state, semi-joins the edge relation down to support ≥ k−2, and
+    * exits when the edge count stops falling (strictly decreasing
+    * while live). Raises past `maxRounds` — the unrolled-oracle
+    * soundness contract.
+    *
+    * Scale shape: the per-round cost IS triangle enumeration —
+    * Σ_u deg²(u) join rows, the same quadratic `trianglesRS` pays
+    * once — on a state that only shrinks, with checkpointed frames
+    * and no per-vertex neighborhood buffering. Production truss
+    * decompositions cut rounds with h-index iteration; the
+    * round-synchronous form here is the one an unrolled SQL oracle
+    * can state exactly.
+    */
+  def kTruss(e: DataFrame, k: Int = KTrussK,
+      maxRounds: Int = KTrussMaxRounds): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3 (k = 2 keeps every edge), got $k")
+    var (und, nEdges) = undSimple(e)
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k=$k truss peel did not reach a fixpoint in $maxRounds " +
+            "rounds — raise maxRounds (and the oracle's unroll with it)")
+      val keep = trussSupport(und)
+        .filter(col("sup") >= (k - 2).toLong)
+        .select(col("src"), col("dst"))
+      // an edge in NO triangle has no support row at all — the inner
+      // semi-join drops it, exactly the support-0 < k−2 rule
+      val (next, nNext) = ckCounted(
+        und.join(keep, Seq("src", "dst"), "left_semi"))
+      rounds += 1
+      converged = nNext == nEdges
+      drop(und)
+      und = next
+      nEdges = nNext
+    }
+    trussSupport(und).filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("sup").as("support"))
+  }
+
+  /** Per-edge triangle support over a SYMMETRIC simple edge relation:
+    * common-neighbor count of each directed row's endpoints — one
+    * equi-join chain (the trianglesRS shape), group by the edge.
+    */
+  private def trussSupport(und: DataFrame): DataFrame = {
+    val a = und.select(col("src").as("ua"), col("dst").as("wa"))
+    val b = und.select(col("src").as("ub"), col("dst").as("wb"))
+    und.join(a, col("src") === col("ua"))
+      .join(b, col("dst") === col("ub") && col("wa") === col("wb"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+  }
+
   /** linkPrediction defaults: middle-degree cap and top-k width. */
   val LinkPredMidCap = 100L
   val LinkPredK = 3

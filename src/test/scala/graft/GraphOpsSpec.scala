@@ -463,6 +463,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("kTruss == brute support peeling; clique/tree fixtures") {
+    val s = spark
+    import s.implicits._
+    def brute(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+      var und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct.toSet
+      var changed = true
+      def sup(e: (Long, Long), g: Set[(Long, Long)]): Long =
+        g.collect { case (u, w) if u == e._1 && g((e._2, w)) => w }.size.toLong
+      while (changed) {
+        val keep = und.filter(e => sup(e, und) >= k - 2)
+        changed = keep != und
+        und = keep
+      }
+      und.filter(e => e._1 < e._2).map(e => e -> sup(e, und)).toMap
+    }
+    def got(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] =
+      GraphOps.kTruss(edgeDf(edges: _*), k, maxRounds = 30).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a 5-clique is a 5-truss (every edge closes 3 triangles); the
+    // 6-truss of it is empty
+    val clique = for (a <- 0L until 5L; b <- 0L until 5L if a < b)
+      yield (a, b)
+    assert(got(clique, 5) === clique.map(e => e -> 3L).toMap)
+    assert(got(clique, 6) === Map.empty)
+    // a tree has no triangles — the 3-truss is empty
+    assert(got(Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L)), 3) === Map.empty)
+    // random digraphs (symmetrized internally), several k
+    val rng = new scala.util.Random(101)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(90)((rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+      for (k <- Seq(3, 4, 5)) {
+        withClue(s"edges=$e k=$k") { assert(got(e, k) === brute(e, k)) }
+      }
+    }
+  }
+
   test("shortestPathCounts/stressSampled == brute σ/τ DP over the hash-chosen sample") {
     val s = spark
     import s.implicits._
