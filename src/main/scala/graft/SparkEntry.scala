@@ -973,6 +973,29 @@ object SparkEntry {
     "knn_brute_l2" -> ((s, d) =>
       Similarity.knnBruteL2(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // SQ8 serving: the grid stats + int8 codes round-trip parquet and
+    // the serve dequantizes stored codes against raw queries — corpus
+    // embeddings never read; full-width scan (SQ8 trades precision,
+    // not candidates), exact fold, fully SQL-derivable
+    "knn_sq8" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val stDir = ivfTmpDir(s, d, "sq8_stats")
+      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
+      val cdDir = ivfTmpDir(s, d, "sq8_codes")
+      Similarity.quantizeInt8(emb).write.mode("overwrite").parquet(cdDir)
+      Similarity.knnSq8(s.read.parquet(stDir), s.read.parquet(cdDir), emb)
+        .orderBy("query_id", "rank")
+    }),
+    // SQ8 honesty: recall@k of the dequantized ranking vs exact L2 —
+    // prices exactly the quantization error (the err_ppm column's
+    // retrieval-level consequence)
+    "knn_sq8_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnSq8(Similarity.sq8Stats(emb),
+          Similarity.quantizeInt8(emb), emb),
+        Similarity.knnBruteL2(emb))
+    }),
     // mislabel detector: the k vectors farthest from their own label's
     // centroid, exact ppm^2 integer distances
     "embedding_outliers" -> ((s, d) =>
@@ -1788,6 +1811,39 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) AS rnk FROM s) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, l2_fp " +
       s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_sq8 oracle — the embedding_quantize grid/code CTEs, each
+    * vector reconstructed as `mn + code·(mx−mn)/255.0` (the err_ppm
+    * chain), then the knnBruteL2 fold over (query − recon)²; shared by
+    * knn_sq8_recall's approx side.
+    */
+  private lazy val KnnSq8Sql: String =
+    "WITH x AS (SELECT vec_id, embedding, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+      "v AS (SELECT vec_id, i - 1 AS dim, " +
+      "CAST(embedding[i] AS DOUBLE) AS x FROM x), " +
+      "st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY dim), " +
+      "q8 AS (SELECT vec_id, v.dim, mn, mx, " +
+      "CASE WHEN mx > mn THEN LEAST(CAST(floor((x - mn) * 255.0 / (mx - mn)) " +
+      "AS BIGINT), 255) ELSE 0 END AS code FROM v JOIN st ON st.dim = v.dim), " +
+      "rec AS (SELECT vec_id, dim, " +
+      "mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0 AS rx FROM q8), " +
+      "ra AS (SELECT vec_id, list(rx ORDER BY dim) AS rv FROM rec " +
+      "GROUP BY vec_id), " +
+      "qq AS (SELECT vec_id AS query_id, embedding AS q_emb " +
+      s"FROM embeddings WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "sc AS (SELECT qq.query_id, ra.vec_id AS neighbor_id, " +
+      "CAST(floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, len(q_emb) + 1), " +
+      "i -> (CAST(q_emb[i] AS DOUBLE) - rv[i]) * " +
+      "(CAST(q_emb[i] AS DOUBLE) - rv[i]))), " +
+      "(acc, y) -> acc + y) * 1000000.0) AS BIGINT) AS l2_fp " +
+      "FROM ra, qq WHERE ra.vec_id <> qq.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) " +
+      "AS rnk FROM sc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"l2_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
   /** knn_pq oracle — corpus codes (the embedding_pq argmin), per-query
     * block×code LUTs floored per cell, ADC = exact integer SUM of the
@@ -4254,6 +4310,8 @@ object SparkEntry {
     // regenerates from the hash), recall vs the full-width ranking
     "knn_project_recall" -> recallSql(KnnBruteL2Sql, KnnProjSql),
     "knn_brute_l2" -> KnnBruteL2Sql,
+    "knn_sq8" -> KnnSq8Sql,
+    "knn_sq8_recall" -> recallSql(KnnBruteL2Sql, KnnSq8Sql),
     "knn_pq" -> KnnPqSql,
     // PQ honesty: both sides SQL-derivable (hash-anchored codebook),
     // recall measured against the exact-L2 ranking ADC approximates

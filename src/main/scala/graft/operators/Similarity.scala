@@ -403,8 +403,8 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("xf").cast("double").as("x"))
-    val stats = x.groupBy("dim").agg(min(col("x")).as("mn"),
-      max(col("x")).as("mx"))
+    val stats = sq8Stats(emb) // the shared grid — codes and serving
+    // (knnSq8) quantize against the SAME relation by construction
     x.join(broadcast(stats), "dim")
       .withColumn("code", when(col("mx") > col("mn"),
         least(floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
@@ -413,6 +413,90 @@ object Similarity {
         floor(abs(col("x") - (col("mn") + col("code").cast("double") *
           (col("mx") - col("mn")) / lit(255.0))) * lit(1000000.0)).cast("long"))
       .select(col("vec_id"), col("dim"), col("code"), col("err_ppm"))
+  }
+
+  /** Per-dimension SQ8 grid bounds AS A RELATION — `(dim, mn, mx)`,
+    * the tiny stats table `quantizeInt8`'s grid derives from,
+    * exported so a serving tier can persist it next to the stored
+    * codes (the codebooksOf discipline applied to scalar
+    * quantization; min/max are order-free, so the relation is
+    * bit-stable at any partitioning).
+    */
+  def sq8Stats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Cap on the stored SQ8 stats relation — one row per dimension. */
+  val Sq8MaxDims = 4096
+
+  /** Exact squared-L2 top-k served from STORED SQ8 CODES — the
+    * scalar-quantized retrieval tier (FAISS's SQ8 storage class,
+    * completing the quantized-serving trio next to PQ and IVFPQ): the
+    * corpus is met only through its persisted `(vec_id, dim, code)`
+    * rows (`quantizeInt8` output — 1 byte of information per
+    * element, the 4× compression) plus the `sq8Stats` grid relation;
+    * each candidate DEQUANTIZES to `mn_d + code · (mx_d − mn_d) /
+    * 255.0` (token-for-token the reconstruction `err_ppm` audits, so
+    * the serve IS what the audit priced) and scores against the raw
+    * query vectors with the exact `knnBruteL2` fold. Unlike PQ's ADC
+    * this is a full-width scan — SQ8 trades no candidates, only
+    * precision; its recall gate prices exactly the quantization
+    * error.
+    *
+    * Scale shape: one (vec_id)-keyed assembly of the stored codes
+    * (map-side-combined collect_list, dims ints per vector), the
+    * per-dim grid ships as ≤ `Sq8MaxDims` double literals, queries
+    * broadcast — no corpus embedding is ever read.
+    */
+  def knnSq8(stats: DataFrame, codes: DataFrame, queryEmb: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val st = stats.select(col("dim"), col("mn"), col("mx")).collect()
+    require(st.length <= Sq8MaxDims,
+      s"stored SQ8 stats relation has ${st.length} rows — the contract " +
+        s"caps it at Sq8MaxDims = $Sq8MaxDims (one row per dimension)")
+    val empty = queryEmb.select(col("vec_id").as("query_id"),
+      lit(1L).as("rank"), col("vec_id").as("neighbor_id"),
+      lit(0L).as("l2_fp")).filter(lit(false))
+    if (st.isEmpty) return empty
+    val byDim = st.sortBy(_.getLong(0))
+    byDim.map(_.getLong(0)).zipWithIndex.foreach { case (d, i) =>
+      require(d == i.toLong,
+        s"SQ8 stats dims must be exactly 0..n-1; found dim $d at " +
+          s"position $i")
+    }
+    val mn = byDim.map(_.getDouble(1))
+    // the single subtraction is precomputed; the per-element chain
+    // stays `mn + (code · span) / 255.0` — the exact expression order
+    // the oracle (and err_ppm) uses
+    val span = byDim.map(r => r.getDouble(2) - r.getDouble(1))
+    val mnLit = lit(mn)
+    val spanLit = lit(span)
+    val corpus = codes
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("code"))))
+        .as("dc"))
+      .select(col("vec_id"),
+        expr("transform(dc, p -> p.code)").as("cds"))
+    val recon = transform(col("cds"), (c, i) =>
+      element_at(mnLit, i + 1) +
+        c.cast("double") * element_at(spanLit, i + 1) / lit(255.0))
+    val queries = queryEmb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(aggregate(
+          zip_with(col("q_emb"), recon, (a, b) => {
+            val t = a.cast("double") - b
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+          .cast("long").as("l2_fp"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
   }
 
   /** PQ geometry: subspace count and per-subspace codebook size.

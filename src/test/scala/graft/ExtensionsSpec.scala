@@ -1390,6 +1390,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.0 && rec <= 1.0)
   }
 
+  test("knnSq8: parquet round-trip ≡ in-session; recall holds the 8-bit floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val insession = rows(Similarity.knnSq8(Similarity.sq8Stats(emb),
+      Similarity.quantizeInt8(emb), emb))
+    assert(insession.nonEmpty)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sq8_rt").toString
+    Similarity.sq8Stats(emb).write.parquet(base + "/stats")
+    Similarity.quantizeInt8(emb).write.parquet(base + "/codes")
+    assert(rows(Similarity.knnSq8(spark.read.parquet(base + "/stats"),
+      spark.read.parquet(base + "/codes"), emb)) === insession)
+    // 8 bits per element on near-uniform data keeps ranking nearly
+    // exact — a collapse here means the dequantization chain drifted
+    val rec = Similarity.recallAtK(
+        Similarity.knnSq8(Similarity.sq8Stats(emb),
+          Similarity.quantizeInt8(emb), emb),
+        Similarity.knnBruteL2(emb))
+      .collect()(0).getAs[Double]("recall")
+    assert(rec >= 0.7, s"SQ8 recall collapsed: $rec")
+  }
+
   test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(approx: org.apache.spark.sql.DataFrame): Double =
