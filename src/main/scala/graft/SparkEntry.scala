@@ -694,6 +694,29 @@ object SparkEntry {
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
     }),
+    // HYBRID retrieval from stored indexes end to end: RRF of the
+    // stored-postings bm25 pool and the stored-SQ8-codes vector pool —
+    // the serving stack a production tier actually runs (no corpus
+    // text or embeddings read at query time)
+    "search_hybrid_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val emb = Tables.table(s, d, "embeddings")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val stDir = ivfTmpDir(s, d, "sq8_stats")
+      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
+      val cdDir = ivfTmpDir(s, d, "sq8_codes")
+      Similarity.quantizeInt8(emb).write.mode("overwrite").parquet(cdDir)
+      Similarity.hybridRrfIndexed(s.read.parquet(idxDir),
+          s.read.parquet(lensDir), s.read.parquet(stDir),
+          s.read.parquet(cdDir), docs, emb)
+        .orderBy("query_id", "rank")
+    }),
     // honesty gate for the depth-capped serve: recall@k of the
     // indexed ranking vs the full-scan bm25 ranking
     "text_bm25_indexed_recall" -> ((s, d) => {
@@ -1818,6 +1841,14 @@ object SparkEntry {
     * knn_sq8_recall's approx side.
     */
   private lazy val KnnSq8Sql: String =
+    knnSq8SqlFor(Similarity.DefaultK, Similarity.DefaultQueries)
+
+  /** Parameterized SQ8-serve SQL: top-`k` per query over queries
+    * `vec_id < nq`, corpus optionally restricted to
+    * `vec_id >= minCorpusId` (the hybrid gate's corpus split).
+    */
+  private def knnSq8SqlFor(k: Int, nq: Long,
+      minCorpusId: Long = -1L): String =
     "WITH x AS (SELECT vec_id, embedding, " +
       "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
       "v AS (SELECT vec_id, i - 1 AS dim, " +
@@ -1831,19 +1862,21 @@ object SparkEntry {
       "ra AS (SELECT vec_id, list(rx ORDER BY dim) AS rv FROM rec " +
       "GROUP BY vec_id), " +
       "qq AS (SELECT vec_id AS query_id, embedding AS q_emb " +
-      s"FROM embeddings WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      s"FROM embeddings WHERE vec_id < $nq), " +
       "sc AS (SELECT qq.query_id, ra.vec_id AS neighbor_id, " +
       "CAST(floor(list_reduce(list_prepend(0.0, " +
       "list_transform(range(1, len(q_emb) + 1), " +
       "i -> (CAST(q_emb[i] AS DOUBLE) - rv[i]) * " +
       "(CAST(q_emb[i] AS DOUBLE) - rv[i]))), " +
       "(acc, y) -> acc + y) * 1000000.0) AS BIGINT) AS l2_fp " +
-      "FROM ra, qq WHERE ra.vec_id <> qq.query_id), " +
+      "FROM ra, qq WHERE ra.vec_id <> qq.query_id" +
+      (if (minCorpusId >= 0L) s" AND ra.vec_id >= $minCorpusId" else "") +
+      "), " +
       "r AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) " +
       "AS rnk FROM sc) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
-      s"l2_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
+      s"l2_fp FROM r WHERE rnk <= $k"
 
   /** knn_pq oracle — corpus codes (the embedding_pq argmin), per-query
     * block×code LUTs floored per cell, ADC = exact integer SUM of the
@@ -3519,6 +3552,31 @@ object SparkEntry {
     // full — every surviving candidate's score is unchanged)
     "text_bm25_indexed" ->
       bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.Bm25IndexDepth.toLong),
+    // RRF splice of the two stored-tier oracles — the HybridSql shape
+    // with the posting-capped bm25 pool and the corpus-restricted SQ8
+    // pool
+    "search_hybrid_indexed" -> {
+      val nq = TextOps.Bm25Queries
+      val pool = Similarity.RrfPool
+      val base = Similarity.RrfBase
+      val k = Similarity.HybridK
+      s"WITH kw AS (SELECT query_id, doc_id, \"rank\" AS kw_rank " +
+        s"FROM (${bm25SqlFor(pool, postingCap = TextOps.Bm25IndexDepth.toLong)})" +
+        "), vec AS (SELECT query_id, neighbor_id AS doc_id, " +
+        "\"rank\" AS vec_rank " +
+        s"FROM (${knnSq8SqlFor(pool, nq, minCorpusId = nq)})), " +
+        "f AS (SELECT COALESCE(kw.query_id, vec.query_id) AS query_id, " +
+        "COALESCE(kw.doc_id, vec.doc_id) AS doc_id, " +
+        s"COALESCE(1000000 // ($base + kw_rank), 0) + " +
+        s"COALESCE(1000000 // ($base + vec_rank), 0) AS rrf_ppm " +
+        "FROM kw FULL OUTER JOIN vec ON vec.query_id = kw.query_id " +
+        "AND vec.doc_id = kw.doc_id), " +
+        "r AS (SELECT query_id, doc_id, rrf_ppm, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) " +
+        "AS rnk FROM f) " +
+        s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, " +
+        s"CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM r WHERE rnk <= $k"
+    },
     "text_bm25_indexed_recall" -> recallSql(
       s"SELECT query_id, doc_id AS neighbor_id FROM ($Bm25Sql)",
       "SELECT query_id, doc_id AS neighbor_id FROM (" +

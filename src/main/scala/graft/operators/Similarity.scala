@@ -2532,4 +2532,39 @@ object Similarity {
         Seq(col("rrf_ppm").desc, col("doc_id").asc), k)
       .select("query_id", "rank", "doc_id", "rrf_ppm")
   }
+
+  /** HYBRID retrieval served ENTIRELY FROM STORED INDEXES — the
+    * production serving stack closed end to end: the keyword pool
+    * comes from `TextOps.bm25FromIndex` (stored postings + forward
+    * index — corpus text never re-tokenized) and the vector pool from
+    * `knnSq8` (stored int8 codes + grid — corpus embeddings never
+    * read), fused with the same RRF arithmetic as `hybridRrf`. The
+    * vector pool ranks by dequantized L2 where the in-session hybrid
+    * ranks by exact cosine — RRF consumes RANKS, so the fusion is
+    * metric-agnostic by construction; what changes is the tier's
+    * candidates, which is exactly what the stored gates price.
+    * `sqCodes` should cover the CORPUS side only (`vec_id ≥
+    * nQueries`) — enforced by filter here, so passing full-corpus
+    * codes is safe.
+    */
+  def hybridRrfIndexed(index: DataFrame, lens: DataFrame,
+      sqStats: DataFrame, sqCodes: DataFrame, queryDocs: DataFrame,
+      queryEmb: DataFrame, k: Int = HybridK, pool: Int = RrfPool,
+      nQueries: Long = TextOps.Bm25Queries): DataFrame = {
+    val kw = TextOps.bm25FromIndex(index, lens, queryDocs, pool, nQueries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("kw_rank"))
+    val vec = knnSq8(sqStats,
+        sqCodes.filter(col("vec_id") >= nQueries), queryEmb, pool,
+        nQueries)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfBase + kw_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfBase + vec_rank)"), lit(0L)))
+          .as("rrf_ppm"))
+    graft.plans.TopK.perKey(fused, Seq("query_id"),
+        Seq(col("rrf_ppm").desc, col("doc_id").asc), k)
+      .select("query_id", "rank", "doc_id", "rrf_ppm")
+  }
 }
