@@ -253,6 +253,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
   }
 
+  test("bm25FromIndex serves without re-tokenizing the corpus: one text scan (the queries), index + forward-index reads") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >=
+      graft.operators.TextOps.Bm25Queries)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_plan").toString
+    graft.operators.TextOps.postingsIndex(corpus,
+        k = graft.operators.TextOps.Bm25IndexDepth)
+      .write.parquet(base + "/idx")
+    graft.operators.TextOps.docLengths(corpus).write.parquet(base + "/lens")
+    val plan = graft.operators.TextOps.bm25FromIndex(
+        spark.read.parquet(base + "/idx"),
+        spark.read.parquet(base + "/lens"), docs)
+      .queryExecution.executedPlan.toString
+    // the ONLY text scan is the tiny query side — the corpus enters as
+    // stored posting rows and forward-index lengths
+    assert("text:string".r.findAllIn(plan).size === 1, plan)
+    // the index scan is pruned to the serving columns (no rank, no
+    // cf, no fingerprint)
+    assert(plan.contains(
+      "ReadSchema: struct<token:string,df:bigint,doc_id:bigint,tf:bigint>"),
+      plan)
+  }
+
+  test("knnSq8 serves without reading corpus embeddings: codes scan pruned to (vec_id, dim, code)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sq8_plan").toString
+    graft.operators.Similarity.sq8Stats(emb).write.parquet(base + "/stats")
+    graft.operators.Similarity.quantizeInt8(emb).write.parquet(base + "/codes")
+    val plan = graft.operators.Similarity.knnSq8(
+        spark.read.parquet(base + "/stats"),
+        spark.read.parquet(base + "/codes"), emb)
+      .queryExecution.executedPlan.toString
+    // exactly ONE scan reads raw embeddings — the broadcast query side
+    // (vec_id < nQueries pushed down); the corpus is met only as codes
+    assert("embedding:array".r.findAllIn(plan).size === 1, plan)
+    // err_ppm is pruned off the stored-codes scan
+    assert(plan.contains(
+      "ReadSchema: struct<vec_id:bigint,dim:bigint,code:bigint>"), plan)
+  }
+
   test("postingsDelta is O(batch): batch vocabulary broadcasts; one text scan (the batch); stored index read map-only twice") {
     val docs = sources.Tables.table(spark, sf, "documents")
     val idxDir = java.nio.file.Files
