@@ -516,6 +516,12 @@ object SparkEntry {
     // each stage the already-gated operator, composed unchanged (the
     // cluster relation is built once and feeds both the survivor
     // election and the split)
+    // the dataset card over the curated corpus: per (source, split)
+    // doc/token totals + keep-rate evidence — one extra aggregation
+    // over the curated ids
+    "docs_manifest" -> ((s, d) =>
+      TextOps.datasetManifest(Tables.table(s, d, "documents"))
+        .orderBy("source", "split")),
     "docs_curation" -> ((s, d) =>
       // the pipeline operator with its default (build-once) clusters;
       // a session holding a precomputed cluster relation passes it
@@ -2350,6 +2356,43 @@ object SparkEntry {
       s"FROM ($layers) GROUP BY v HAVING SUM(c) > 0"
   }
 
+  /** docs_curation oracle — the full cluster→survivor→sample→split
+    * chain as one self-contained SELECT; docs_manifest wraps it as a
+    * derived table.
+    */
+  private lazy val CurationSql: String = {
+      val floorPpm = graft.operators.TextOps.SampleFloorPpm
+      "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
+        s"($NgramPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
+        "FROM reach GROUP BY u), " +
+        "b AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
+        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
+        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
+        "losers AS (SELECT doc_id FROM w WHERE rn > 1), " +
+        "surv AS (SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)), " +
+        s"k AS (SELECT q.doc_id, GREATEST($floorPpm, LEAST(1000000, " +
+        "CAST(FLOOR(quality * 1000000.0) AS BIGINT))) AS keep_ppm " +
+        "FROM q JOIN surv ON surv.doc_id = q.doc_id), " +
+        "smp AS (SELECT doc_id, keep_ppm FROM k WHERE " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':smp'")} % 1000000 < keep_ppm) " +
+        "SELECT s.doc_id, CASE WHEN " +
+        phSql("CAST(COALESCE(cl.cluster_id, s.doc_id) AS VARCHAR)") +
+        " % 100 < 10 THEN 'val' ELSE 'train' END AS split, s.keep_ppm " +
+        "FROM smp s LEFT JOIN clus cl ON cl.doc_id = s.doc_id"
+  }
+
   private def recallSql(exactSql: String, approxSql: String): String =
     s"WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)), " +
       s"ap AS (SELECT query_id, neighbor_id FROM ($approxSql)), " +
@@ -4170,38 +4213,18 @@ object SparkEntry {
     // the dedup_survivors_best chain with the text_sample_quality and
     // text_split_leakage tails spliced on — every CTE is the shared
     // shape its standalone gate pins
-    "docs_curation" -> {
-      val floorPpm = graft.operators.TextOps.SampleFloorPpm
-      "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
-        s"($NgramPairsSql) t), " +
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(u, v) AS (SELECT u, v FROM sym " +
-        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
-        "clus AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id " +
-        "FROM reach GROUP BY u), " +
-        "b AS (SELECT doc_id, " +
-        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
-        "len(regexp_extract_all(text, '\\S')) AS ns, " +
-        s"len(regexp_extract_all(text, '${graft.functions.TextFunctions.StopwordsRe}')) AS st " +
-        "FROM documents), " +
-        s"q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM b), " +
-        "w AS (SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id " +
-        "ORDER BY q.quality DESC, c.doc_id ASC) AS rn " +
-        "FROM clus c JOIN q ON q.doc_id = c.doc_id), " +
-        "losers AS (SELECT doc_id FROM w WHERE rn > 1), " +
-        "surv AS (SELECT doc_id FROM documents " +
-        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)), " +
-        s"k AS (SELECT q.doc_id, GREATEST($floorPpm, LEAST(1000000, " +
-        "CAST(FLOOR(quality * 1000000.0) AS BIGINT))) AS keep_ppm " +
-        "FROM q JOIN surv ON surv.doc_id = q.doc_id), " +
-        "smp AS (SELECT doc_id, keep_ppm FROM k WHERE " +
-        s"${phSql("CAST(doc_id AS VARCHAR) || ':smp'")} % 1000000 < keep_ppm) " +
-        "SELECT s.doc_id, CASE WHEN " +
-        phSql("CAST(COALESCE(cl.cluster_id, s.doc_id) AS VARCHAR)") +
-        " % 100 < 10 THEN 'val' ELSE 'train' END AS split, s.keep_ppm " +
-        "FROM smp s LEFT JOIN clus cl ON cl.doc_id = s.doc_id"
-    },
+    "docs_curation" -> CurationSql,
+    // one governance pass over the curated ids: the whole curation
+    // oracle rides as a derived table, joined back to documents for
+    // source and token counts
+    "docs_manifest" ->
+      ("SELECT d.source, c.split, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS BIGINT) " +
+        "AS total_tokens, " +
+        "CAST(SUM(c.keep_ppm) AS BIGINT) AS sum_keep_ppm, " +
+        "CAST(SUM(c.keep_ppm) // COUNT(*) AS BIGINT) AS mean_keep_ppm " +
+        s"FROM ($CurationSql) c JOIN documents d ON d.doc_id = c.doc_id " +
+        "GROUP BY 1, 2"),
     // the cross-modal survivor policy: embedding-near-dup clusters
     // (EmbNearDupSql recursive closure — shared with
     // embedding_clusters) scored by QualitySqlExpr (shared with

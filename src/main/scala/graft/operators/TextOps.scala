@@ -1725,6 +1725,29 @@ object TextOps {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** DATASET MANIFEST over the curated corpus — the "dataset card"
+    * summary a governance review (or a mixture designer) reads before
+    * training: per (source, split) of the `curation` output, the doc
+    * count, total token budget, and the keep-rate evidence
+    * (sum/integer-mean of the quality-derived `keep_ppm` — the audit
+    * trail of how hard sampling thinned each source). All integer
+    * (the float-parity rule); one doc-keyed join + one
+    * (source, split)-keyed aggregation on top of the already-gated
+    * pipeline, so at 100 TB the manifest costs one extra pass over
+    * the curated ids. Accepts the same optional precomputed cluster
+    * relation as `curation`.
+    */
+  def datasetManifest(docs: DataFrame,
+      clusters: Option[DataFrame] = None): DataFrame =
+    curation(docs, clusters)
+      .join(docs.select(col("doc_id"), col("source"),
+        token_count(col("text")).cast("long").as("nt")), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        sum("keep_ppm").as("sum_keep_ppm"),
+        expr("sum(keep_ppm) div count(1)").as("mean_keep_ppm"))
+
   /** Merge-round budget for the BPE trainer gate. Same constant MUST
     * appear in the oracle SQL (which unrolls exactly this many rounds).
     */
