@@ -4461,6 +4461,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(split.nonEmpty)
   }
 
+  test("postingsDelta under streaming foreachBatch ingest ≡ one-shot index") {
+    import operators.TextOps
+    // the refresh loop a streaming retrieval tier actually runs: the
+    // stored index lives on disk, each micro-batch folds in via
+    // postingsDelta and writes the next index generation (alternating
+    // dirs — never read-modify-write one path)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_postings_stream").toString
+    TextOps.postingsIndex(docs.filter(col("doc_id") % 5 =!= 0))
+      .write.parquet(base + "/idx0")
+    @volatile var gen = 0
+    val inDir = base + "/in"
+    docs.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(inDir)
+    val q = spark.readStream.schema(docs.schema).parquet(inDir)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          if (!b.isEmpty) {
+            val next = gen + 1
+            TextOps.postingsDelta(spark.read.parquet(s"$base/idx$gen"), b)
+              .write.parquet(s"$base/idx$next")
+            gen = next
+          }
+      }.start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 10 === 5).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(gen >= 1, "no micro-batch was folded in")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val streamed = rows(TextOps.postingsPublish(
+      spark.read.parquet(s"$base/idx$gen")))
+    assert(streamed === rows(TextOps.postings(docs)))
+    assert(streamed.nonEmpty)
+  }
+
   test("qualityCalibration: marginals recover each stamp's decile sizes") {
     import operators.TextOps
     val rnd = new scala.util.Random(41)
