@@ -1457,20 +1457,19 @@ object GraphOps {
     * approximation is ONLY the sampling, which is the published
     * trade: avg-distance error O(1/√k) with high probability.
     *
-    * Physical: `k` sequential `hopDistances` runs (each the
-    * frontier-delta sweep loop with checkpointed frontier-sized
-    * state), tagged by source and unioned, then ONE (vertex)-keyed
-    * aggregation of k·reached slim integer rows. k is a driver-loop
-    * bound (`require`d ≤ 64), NOT a data bound — each BFS is fully
-    * distributed, so the 100 TB shape is k sweeps of the same
-    * machinery the hops gates rehearse at 10M edges. A per-source
-    * label riding ONE multi-frontier loop would cut the k job chains
-    * to one at k× the per-sweep state — the flip worth making when k
-    * grows past the tens; at the published k ∈ [8, 32] the loop form
-    * reuses the proven operator unchanged.
+    * Physical: ONE labeled multi-frontier BFS loop
+    * (`labeledHopDistances`) carries all k sources — frontier state
+    * is `(seed, vertex)` rows, ≤ k× the single-source frontier, and
+    * the whole sample costs one sweep chain instead of k (a k-run
+    * form measured 9.6 s at sf0.1 from per-sweep stage overhead
+    * alone; the labeled loop is the same fix the walks family made).
+    * Then ONE (vertex)-keyed aggregation of k·reached slim integer
+    * rows. k is `require`d ≤ 64 — the labeled frontier is k-bounded,
+    * not data-bounded, and the hops rehearsal covers the sweep
+    * machinery at 10M edges.
     */
   def closenessSampled(e: DataFrame, k: Int = ClosenessSeeds,
-      maxHops: Int = ClosenessMaxHops, hopStride: Int = 1): DataFrame = {
+      maxHops: Int = ClosenessMaxHops): DataFrame = {
     require(k >= 1 && k <= 64,
       s"closenessSampled runs k sequential BFS loops — k must be in " +
         s"[1, 64], got $k")
@@ -1489,24 +1488,71 @@ object GraphOps {
       return e.select(col("src").as("vertex"), lit(0L).as("n_reached"),
         lit(0L).as("sum_dist"), lit(0L).as("harmonic_ppm"))
         .filter(lit(false))
-    val s = e.sparkSession
-    import s.implicits._
-    // ONE edge dedup/cache shared by all k BFS runs (each run's sweep
-    // loop rescans it; re-dedup per source would shuffle the edge
-    // relation k times)
+    // ONE labeled BFS carries all k sources in one sweep loop — k
+    // separate runs would pay k job chains (and k edge-cache scans
+    // per sweep) for frontiers that are each tiny; measured at sf0.1
+    // the 8-run form cost 9.6 s of almost pure stage overhead
     val dedup = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val perSource = seedRows.toSeq.map { src =>
-      hopDistancesDeduped(dedup, Seq(src).toDF("v"), maxHops, hopStride,
-          releaseInput = false)
-        .select(col("vertex"), col("dist"))
-    }.reduce(_.unionByName(_))
-    perSource.groupBy("vertex")
+    labeledHopDistances(dedup, seedRows.toSeq, maxHops)
+      .groupBy("vertex")
       .agg(count(lit(1)).as("n_reached"),
         sum("dist").as("sum_dist"),
         sum(when(col("dist") >= 1L,
           expr("1000000 div dist")).otherwise(lit(0L))).as("harmonic_ppm"))
+  }
+
+  /** Multi-source BFS with the SOURCE LABEL carried in the state —
+    * `(seed, vertex, dist)` per (source, reached vertex): the batched
+    * form the sampled-centrality family runs (k separate
+    * `hopDistances` loops would each pay the full per-sweep job chain
+    * for a frontier that is tiny at small k — the walks lesson). One
+    * edge ⋈ frontier join per sweep over the labeled frontier (≤ k×
+    * the single-source frontier), first-touch election per (seed,
+    * vertex), checkpointed layers with the `HopCompactLayers`
+    * compaction, early exit on an empty sweep. `edges` must be the
+    * deduped cached relation.
+    */
+  private def labeledHopDistances(edges: DataFrame, seeds: Seq[Long],
+      maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val seed0 = ck(seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("vertex"), lit(0L).as("dist")))
+    var layers = List(seed0)
+    var dist = seed0
+    var frontier = seed0
+    var hop = 0
+    var exhausted = maxHops == 0 || seeds.isEmpty
+    while (!exhausted) {
+      val (nl, n) = ckCounted(frontier
+        .select(col("seed"), col("vertex").as("src"))
+        .join(edges, "src")
+        .select(col("seed"), col("dst").as("vertex"))
+        .distinct()
+        .join(dist, Seq("seed", "vertex"), "left_anti")
+        .select(col("seed"), col("vertex"),
+          lit(hop + 1L).as("dist")))
+      hop += 1
+      layers ::= nl
+      dist = dist.unionByName(nl)
+      frontier = nl
+      if (layers.length >= HopCompactLayers) {
+        val compact = ck(dist)
+        layers.foreach(drop)
+        layers = List(compact)
+        dist = compact
+        frontier = compact.filter(col("dist") === lit(hop.toLong))
+      }
+      exhausted = hop == maxHops || n == 0L
+    }
+    if (layers.length > 1) {
+      val compact = ck(dist)
+      layers.foreach(drop)
+      dist = compact
+    }
+    dist
   }
 
   /** Sample size / hop budget for the path-count and stress gates —
@@ -1528,27 +1574,30 @@ object GraphOps {
     * distance and the EXACT number of distinct shortest s→v paths.
     * All integer; deterministic at any partitioning.
     *
-    * Physical: per source, the BFS layers come from the shared
-    * `hopDistancesDeduped` sweep loop (one deduped edge cache across
-    * all k runs), then σ propagates layer by layer — σ_i(v) =
-    * Σ σ_{i-1}(u) over edges (u→v) with dist(v) = i — as ONE
-    * edge ⋈ layer join + aggregation per layer, each frame
-    * layer-sized and checkpointed, with early exit on an empty
-    * layer. k·maxHops bounded-size jobs; the per-source-label
-    * batching flip (k frames → one labeled frame) is the
-    * closenessSampled trade and applies identically here.
+    * Physical: the BFS layers come from ONE labeled multi-frontier
+    * loop (`labeledHopDistances` — all k sources in one sweep chain),
+    * then σ propagates layer by layer over the SAME labeled frames —
+    * σ_i(s, v) = Σ σ_{i-1}(s, u) over edges (u→v) with
+    * dist_s(v) = i — as one edge ⋈ layer join + aggregation per
+    * LAYER (not per source per layer: the k-run form measured 8.9 s
+    * at sf0.1 of almost pure stage overhead), each frame
+    * layer-sized·k and checkpointed, early exit on an empty layer.
     */
   def shortestPathCounts(e: DataFrame, k: Int = PathSeeds,
       maxHops: Int = PathHops): DataFrame = {
-    sigmaBySeed(e, k, maxHops)._1
+    val (frames, dedup) = sigmaLayers(e, k, maxHops)
+    if (frames.isEmpty)
+      return e.select(col("src").as("seed"), col("src").as("vertex"),
+        lit(0L).as("dist"), lit(0L).as("sigma")).filter(lit(false))
+    frames.reduce(_.unionByName(_))
+      .select(col("seed"), col("vertex"), col("dist"), col("sigma"))
   }
 
-  /** The shared forward phase: returns (per-seed σ relation tagged
-    * (seed, vertex, dist, sigma), the per-seed layer frames for the
-    * backward pass, the shared edge cache).
+  /** The shared labeled forward phase: per-layer frames of
+    * `(seed, vertex, dist, sigma)` plus the shared edge cache.
     */
-  private def sigmaBySeed(e: DataFrame, k: Int, maxHops: Int)
-      : (DataFrame, Seq[(Long, Seq[DataFrame])], DataFrame) = {
+  private def sigmaLayers(e: DataFrame, k: Int, maxHops: Int)
+      : (Seq[DataFrame], DataFrame) = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
     require(maxHops >= 0 && maxHops <= 32,
       s"maxHops must be in [0, 32], got $maxHops (σ is a path count — " +
@@ -1566,41 +1615,30 @@ object GraphOps {
     val dedup = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val empty = e.select(col("src").as("seed"), col("src").as("vertex"),
-      lit(0L).as("dist"), lit(0L).as("sigma")).filter(lit(false))
-    if (seedRows.isEmpty) return (empty, Seq.empty, dedup)
-    val perSeed = seedRows.toSeq.map { seed =>
-      val dist = hopDistancesDeduped(dedup, Seq(seed).toDF("v"), maxHops,
-        1, releaseInput = false) // (vertex, dist) — checkpointed
-      // forward σ: layer 0 is the seed with one (empty) path; each
-      // next frame is one edge ⋈ previous-layer join, restricted to
-      // vertices FIRST reached at this layer (the shortest-path DAG)
-      var frames = List(ck(Seq((seed, 0L, 1L))
-        .toDF("vertex", "dist", "sigma")))
-      var i = 1
-      var exhausted = maxHops == 0
-      while (!exhausted) {
-        val (next, n) = ckCounted(frames.head
-          .join(dedup, dedup("src") === frames.head("vertex"))
-          .select(col("dst").as("vertex"), col("sigma"))
-          .join(dist.filter(col("dist") === lit(i.toLong)), "vertex")
-          .groupBy("vertex", "dist").agg(sum("sigma").as("sigma"))
-          .select(col("vertex"), col("dist"), col("sigma")))
-        if (n == 0L) exhausted = true
-        else {
-          frames ::= next
-          i += 1
-          if (i > maxHops) exhausted = true
-        }
+    if (seedRows.isEmpty) return (Seq.empty, dedup)
+    val dist = labeledHopDistances(dedup, seedRows.toSeq, maxHops)
+    var frames = List(ck(seedRows.toSeq.toDF("seed")
+      .select(col("seed"), col("seed").as("vertex"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))))
+    var i = 1
+    var exhausted = maxHops == 0
+    while (!exhausted) {
+      val (next, n) = ckCounted(frames.head
+        .select(col("seed"), col("vertex").as("src"), col("sigma"))
+        .join(dedup, "src")
+        .select(col("seed"), col("dst").as("vertex"), col("sigma"))
+        .join(dist.filter(col("dist") === lit(i.toLong)),
+          Seq("seed", "vertex"))
+        .groupBy("seed", "vertex", "dist").agg(sum("sigma").as("sigma"))
+        .select(col("seed"), col("vertex"), col("dist"), col("sigma")))
+      if (n == 0L) exhausted = true
+      else {
+        frames ::= next
+        i += 1
+        if (i > maxHops) exhausted = true
       }
-      (seed, frames.reverse)
     }
-    val tagged = perSeed.map { case (seed, frames) =>
-      frames.reduce(_.unionByName(_))
-        .select(lit(seed).as("seed"), col("vertex"), col("dist"),
-          col("sigma"))
-    }.reduce(_.unionByName(_))
-    (tagged, perSeed, dedup)
+    (frames.reverse, dedup)
   }
 
   /** BUDGETED STRESS CENTRALITY over the sampled sources — the
@@ -1619,69 +1657,51 @@ object GraphOps {
     * Σ_{w ∈ DAG-succ(v)} (1 + τ(w)) counts suffixes to EVERY strictly
     * later target) — so the per-source contribution is σ(v)·τ(v),
     * exact integers end to end. The backward τ pass mirrors the
-    * forward one: one layer-sized join per layer, descending.
+    * forward one: one LABELED layer-sized join per layer, descending
+    * (all k sources in each frame — the same batching as the forward
+    * phase; the per-seed form measured 11.4 s at sf0.1).
     */
   def stressSampled(e: DataFrame, k: Int = PathSeeds,
       maxHops: Int = PathHops): DataFrame = {
-    val (_, perSeed, dedup) = sigmaBySeed(e, k, maxHops)
+    val (frames, dedup) = sigmaLayers(e, k, maxHops)
     val empty = e.select(col("src").as("vertex"), lit(0L).as("stress"))
       .filter(lit(false))
-    if (perSeed.isEmpty) return empty
-    val contribs = perSeed.flatMap { case (_, frames) =>
-      // frames(i) = layer-i (vertex, dist, sigma); τ descends from the
-      // deepest reached layer, whose τ = 0 (no strictly-later targets
-      // within budget → zero contribution, so it joins no acc frame)
-      val deepest = frames.length - 1
-      var tau = frames(deepest)
-        .select(col("vertex").as("tv"), lit(0L).as("tau"))
-      val acc = scala.collection.mutable.ListBuffer[DataFrame]()
-      var i = deepest - 1
-      while (i >= 0) {
-        val succ = tau.select(col("tv").as("dst"), col("tau"))
-        val layer = frames(i).select(col("vertex").as("lv"), col("dist"),
-          col("sigma"))
-        tau = ck(layer.select(col("lv"))
-          .join(dedup, dedup("src") === col("lv"), "left")
-          .join(succ, Seq("dst"), "left")
-          .groupBy(col("lv"))
-          .agg(coalesce(sum(when(col("tau").isNotNull,
-            col("tau") + 1L)), lit(0L)).as("tau"))
-          .select(col("lv").as("tv"), col("tau")))
-        acc += layer
-          .join(tau, col("lv") === col("tv"))
-          .filter(col("dist") >= 1L) // v = s excluded (an endpoint)
-          .select(col("lv").as("vertex"),
-            (col("sigma") * col("tau")).as("c"))
-        i -= 1
-      }
-      acc.toSeq
+    if (frames.length <= 1) return empty
+    // frames(i) = labeled layer-i (seed, vertex, dist, sigma); τ
+    // descends from the deepest reached layer, whose τ = 0 (no
+    // strictly-later targets within budget → zero contribution)
+    val deepest = frames.length - 1
+    var tau = frames(deepest)
+      .select(col("seed").as("ts"), col("vertex").as("tv"),
+        lit(0L).as("tau"))
+    val acc = scala.collection.mutable.ListBuffer[DataFrame]()
+    var i = deepest - 1
+    while (i >= 0) {
+      val succ = tau.select(col("ts").as("seed"), col("tv").as("dst"),
+        col("tau"))
+      val layer = frames(i).select(col("seed"), col("vertex").as("lv"),
+        col("dist"), col("sigma"))
+      tau = ck(layer.select(col("seed"), col("lv"))
+        .join(dedup, dedup("src") === col("lv"), "left")
+        .join(succ, Seq("seed", "dst"), "left")
+        .groupBy(col("seed"), col("lv"))
+        .agg(coalesce(sum(when(col("tau").isNotNull,
+          col("tau") + 1L)), lit(0L)).as("tau"))
+        .select(col("seed").as("ts"), col("lv").as("tv"), col("tau")))
+      acc += layer
+        .join(tau, col("seed") === col("ts") && col("lv") === col("tv"))
+        .filter(col("dist") >= 1L) // v = s excluded (an endpoint)
+        .select(col("lv").as("vertex"),
+          (col("sigma") * col("tau")).as("c"))
+      i -= 1
     }
-    if (contribs.isEmpty) return empty
-    contribs.reduce(_.unionByName(_))
+    if (acc.isEmpty) return empty
+    acc.toSeq.reduce(_.unionByName(_))
       .groupBy("vertex").agg(sum("c").as("stress"))
       .filter(col("stress") > 0L)
   }
 
-  /** Weighted single-source shortest paths, round-synchronous
-    * Bellman-Ford truncated at `maxRounds` relaxations: dist(v) = min
-    * total edge weight over directed paths from the seed set using at
-    * most `maxRounds` edges. Edge weight = bag multiplicity
-    * (`weightedEdges`), so parallel edges compress into one weighted
-    * row before any iteration — the hopDistances lesson applied to the
-    * weighted case.
-    *
-    * Per round: ONE state⋈edges join (state is vertex-sized, never
-    * path-sized) + one min-combine, on a checkpointed frame — O(V)
-    * state, O(rounds) jobs, no quadratic blowup on cycles because the
-    * min-combine collapses revisits. Early exit via the monotone
-    * (count, decimal-sum) signature of the state: reached only grows
-    * and dists only shrink, so an UNCHANGED pair ⇔ fixpoint (the SCC
-    * family's decSum device — a map-side aggregation, no join). At
-    * cluster scale the per-round shuffle is keyed by dst; a
-    * delta-stepping bucket refinement would cut rounds on
-    * high-diameter graphs but changes the truncation contract — this
-    * operator IS the budgeted form the oracle can state exactly.
-    */
+
   /** Round budget for the weighted-SSSP gate — the oracle unrolls
     * EXACTLY this many Bellman-Ford rounds as materialized CTEs, so the
     * operator's contract is "min path weight over ≤ SsspRounds edges",
