@@ -98,6 +98,36 @@ object ScaleRehearsal {
     // samples it; the per-round latency distribution is the record
     // (a growing tail would mean the lazy replace chain needs
     // periodic materialization)
+    // incremental index maintenance at 50k docs: fold the 1-in-5
+    // batch into the stored 4/5 index and require EXACT equality with
+    // the one-shot rebuild (the pairing trick: every row must appear
+    // exactly twice in the union)
+    t("postings_delta 50k docs")({
+      val a = docs.filter(col("doc_id") % 5 =!= 0)
+      val b = docs.filter(col("doc_id") % 5 === 0)
+      val merged = operators.TextOps.postingsDelta(
+        operators.TextOps.postingsIndex(a), b)
+      val oneShot = operators.TextOps.postingsIndex(docs)
+      val cols = Seq("token", "df", "cf", "rank", "doc_id", "tf")
+      val diff = merged.select(cols.map(col): _*)
+        .unionByName(oneShot.select(cols.map(col): _*))
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count()
+      require(diff == 0L, s"$diff index rows diverged from the rebuild")
+      s"index rows=${merged.count()}"
+    })
+    // BM25 served from the stored index at 50k docs: candidates are
+    // query-vocab × depth posting rows, never the corpus
+    t("bm25_indexed 50k docs")({
+      val corpus = docs.filter(col("doc_id") >=
+        operators.TextOps.Bm25Queries)
+      val n = operators.TextOps.bm25FromIndex(
+        operators.TextOps.postingsIndex(corpus,
+          k = operators.TextOps.Bm25IndexDepth),
+        operators.TextOps.docLengths(corpus), docs).count()
+      require(n > 0L, "indexed bm25 returned nothing")
+      n
+    })
     t("bpe_train 50k docs 64 merges")({
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val merges = operators.TextOps.bpeTrain(docs, rounds = 64,
@@ -825,6 +855,15 @@ object ScaleRehearsal {
     // so this must come in well under the full-scan ADC above
     t("knn_ivf_pq 80k vectors")(
       operators.Similarity.knnIvfPq(embX(40), corpusSize = 80000L).count())
+    // SQ8 serving at 80k: the corpus enters ONLY as (vec_id, dim,
+    // code) rows + the per-dim grid — full-width dequantized scan,
+    // linear in N like the brute baseline it approximates
+    t("knn_sq8 80k vectors")({
+      val big = embX(40)
+      operators.Similarity.knnSq8(
+        operators.Similarity.sq8Stats(big),
+        operators.Similarity.quantizeInt8(big), big).count()
+    })
     // trained vs hash-anchored ADC recall on the 20k replica corpus.
     // NOT an ordering pin here: with 10 exact clones per vector both
     // layouts drown in adc_fp TIES among the zero-distance clones,
