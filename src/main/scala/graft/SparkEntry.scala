@@ -395,6 +395,12 @@ object SparkEntry {
     // per-vertex (n_reached, sum_dist, harmonic_ppm) over the sample
     "graph_closeness" -> ((s, d) =>
       GraphOps.closenessSampled(GraphOps.edges(s, d)).orderBy("vertex")),
+    // weighted closeness over the same sample: budget-truncated
+    // Bellman-Ford distances (edge weight = bag multiplicity),
+    // aggregated to per-vertex reach/sum/harmonic evidence
+    "graph_closeness_weighted" -> ((s, d) =>
+      GraphOps.closenessWeightedSampled(GraphOps.edges(s, d))
+        .orderBy("vertex")),
     // Brandes forward phase from a hash-chosen sample: exact BFS dist
     // + exact shortest-path COUNTS per (seed, vertex) — all integer
     "graph_path_counts" -> ((s, d) =>
@@ -3253,6 +3259,34 @@ object SparkEntry {
     },
     "graph_path_counts" -> PathCountsSql,
     "graph_stress" -> StressSql,
+    "graph_closeness_weighted" -> {
+      // labeled Bellman-Ford unrolled to EXACTLY SsspRounds
+      // min-combine rounds (each MATERIALIZED — the d_i CTEs are
+      // referenced twice), seeds = the k smallest (poly_hash(v), v);
+      // the operator's frontier-delta loop equals the synchronous
+      // unroll by min-combine idempotence (ssspBudget's pinned law)
+      val k = GraphOps.ClosenessSeeds
+      val rounds = GraphOps.SsspRounds
+      val body = (1 to rounds).map { i =>
+        s"wd$i AS MATERIALIZED (SELECT s, v, MIN(dist) AS dist FROM (" +
+          s"SELECT s, v, dist FROM wd${i - 1} UNION ALL " +
+          s"SELECT d.s, e.dst, d.dist + e.w FROM wd${i - 1} d " +
+          "JOIN e ON e.src = d.v) GROUP BY 1, 2)"
+      }.mkString(", ")
+      s"WITH e AS MATERIALIZED (SELECT src, dst, COUNT(*)::BIGINT AS w " +
+        s"FROM ($EdgesCte) GROUP BY 1, 2), " +
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        "UNION ALL SELECT dst FROM e)), " +
+        "seeds AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(v AS VARCHAR)")}, v) AS rn FROM verts) " +
+        s"WHERE rn <= $k), " +
+        "wd0 AS (SELECT v AS s, v, CAST(0 AS BIGINT) AS dist FROM seeds), " +
+        s"$body " +
+        "SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached, " +
+        s"CAST(SUM(dist) AS BIGINT) AS sum_wdist, " +
+        "CAST(SUM(CASE WHEN dist >= 1 THEN 1000000 // dist ELSE 0 END) " +
+        s"AS BIGINT) AS harmonic_ppm FROM wd$rounds GROUP BY v"
+    },
     "graph_closeness" -> {
       // per-SEED bounded walk enumeration (the walk state carries the
       // seed column, so MIN per (seed, vertex) is that source's exact

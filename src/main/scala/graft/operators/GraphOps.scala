@@ -1763,6 +1763,72 @@ object GraphOps {
     dist.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** WEIGHTED sampled closeness — `closenessSampled` over path
+    * WEIGHT instead of hop count: from the same k hash-chosen
+    * sources, budget-truncated Bellman-Ford distances (min total edge
+    * multiplicity over paths of ≤ `maxRounds` edges — `ssspBudget`'s
+    * exact contract), aggregated per vertex into `n_reached`,
+    * `sum_wdist` and integer `harmonic_ppm`. The labeled
+    * frontier-delta loop carries all k sources in one round chain
+    * (the closenessSampled batching), with ssspBudget's improved-only
+    * relaxation and monotone early exit; equality with per-source
+    * `ssspBudget` runs is spec-pinned, so the labeled loop inherits
+    * the budget-semantics property pins transitively.
+    */
+  def closenessWeightedSampled(e: DataFrame, k: Int = ClosenessSeeds,
+      maxRounds: Int = SsspRounds): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(maxRounds >= 0 && maxRounds <= 64,
+      s"maxRounds must be in [0, 64], got $maxRounds")
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val seedRows = verts
+      .withColumn("h", graft.functions.PolyHashFunctions.poly_hash(
+        col("v").cast("string")))
+      .orderBy(col("h"), col("v"))
+      .limit(k)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    val s = e.sparkSession
+    import s.implicits._
+    if (seedRows.isEmpty)
+      return e.select(col("src").as("vertex"), lit(0L).as("n_reached"),
+        lit(0L).as("sum_wdist"), lit(0L).as("harmonic_ppm"))
+        .filter(lit(false))
+    val we = graft.Caches.track(weightedEdges(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = ck(seedRows.toSeq.toDF("seed")
+      .select(col("seed"), col("seed").as("v"), lit(0L).as("dist")))
+    var delta = dist
+    var round = 0
+    var fixed = false
+    while (round < maxRounds && !fixed) {
+      round += 1
+      val cand = delta.join(we, delta("v") === we("src"))
+        .select(delta("seed"), we("dst").as("v"),
+          (delta("dist") + we("w")).as("nd"))
+        .groupBy("seed", "v").agg(min("nd").as("nd"))
+      val (improved, nImp) = ckCounted(
+        cand.join(dist, Seq("seed", "v"), "left_outer")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("seed"), col("v"), col("nd").as("dist")))
+      if (nImp == 0L) { fixed = true; drop(improved) }
+      else {
+        val next = ck(dist.unionByName(improved)
+          .groupBy("seed", "v").agg(min("dist").as("dist")))
+        drop(dist)
+        if (delta ne dist) drop(delta)
+        dist = next
+        delta = improved
+      }
+    }
+    if (delta ne dist) drop(delta)
+    dist.groupBy(col("v").as("vertex"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum("dist").as("sum_wdist"),
+        sum(when(col("dist") >= 1L,
+          expr("1000000 div dist")).otherwise(lit(0L))).as("harmonic_ppm"))
+  }
+
   /** Walk geometry for the graph_walks gate — the oracle unrolls
     * EXACTLY WalkLen steps; same constants MUST appear in oracleSql.
     */

@@ -463,6 +463,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("closenessWeightedSampled ≡ aggregated per-source ssspBudget runs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(107)
+    (1 to 3).foreach { _ =>
+      // multigraph: duplicate edges give non-unit weights
+      val e = List.fill(80)((rng.nextInt(16).toLong, rng.nextInt(16).toLong))
+      val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+      val k = 4
+      val seeds = verts.sortBy(v => (graft.functions.PolyHashUtil.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)),
+        v)).take(k)
+      // the labeled loop must equal the PROVEN per-source operator
+      // (ssspBudget carries the budget-semantics property pins), so
+      // equality here transfers those pins to the batched form
+      val per = seeds.flatMap { sd =>
+        GraphOps.ssspBudget(edgeDf(e: _*), Seq(sd).toDF("v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val want = per.groupBy(_._1).map { case (v, ds) =>
+        v -> ((ds.size.toLong, ds.map(_._2).sum,
+          ds.map(d => if (d._2 >= 1L) 1000000L / d._2 else 0L).sum))
+      }
+      val got = GraphOps.closenessWeightedSampled(edgeDf(e: _*), k = k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      withClue(s"edges=$e") { assert(got === want) }
+    }
+  }
+
   test("kTruss == brute support peeling; clique/tree fixtures") {
     val s = spark
     import s.implicits._
