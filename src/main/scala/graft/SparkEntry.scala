@@ -506,6 +506,11 @@ object SparkEntry {
       TextOps.fingerprints(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_vocab" -> ((s, d) =>
       TextOps.topTokens(Tables.table(s, d, "documents"))),
+    // deterministic training shards: salted-hash shard + exact
+    // within-shard position via the range-partition rank (no windows)
+    "text_shards" -> ((s, d) =>
+      TextOps.shardAssignment(Tables.table(s, d, "documents"))
+        .orderBy("shard", "pos")),
     "text_split" -> ((s, d) =>
       TextOps.hashSplit(Tables.table(s, d, "documents")).orderBy("doc_id")),
     // leakage-free split: the same hash rule keyed by each doc's
@@ -3473,6 +3478,19 @@ object SparkEntry {
     "text_split" ->
       (s"SELECT doc_id, CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 10 " +
         "THEN 'val' ELSE 'train' END AS split FROM documents"),
+    // shard = salted hash mod ShardCount; pos = exact rank within the
+    // shard under the (":pos"-salted hash, doc_id) order — the
+    // operator's range-partition rank equals the window rank exactly
+    "text_shards" -> {
+      val n = TextOps.ShardCount
+      s"WITH k AS (SELECT doc_id, " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':shard'")} % $n AS shard, " +
+        s"${phSql("CAST(doc_id AS VARCHAR) || ':pos'")} AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) " +
+        "AS BIGINT) AS pos FROM k"
+    },
     // text_split's hash rule keyed by the dedup_clusters root (the
     // same recursive closure over NgramPairsSql); unpaired docs root
     // as themselves via the COALESCE

@@ -734,6 +734,70 @@ object TextOps {
     * ⌊(r−1)·buckets/N⌋; all outputs are integers (min/max/sum of
     * longs), so the oracle comparison is exact.
     */
+  /** Shard count for the `text_shards` gate. Same constant MUST
+    * appear in the oracle SQL.
+    */
+  val ShardCount = 8
+
+  /** Deterministic TRAINING-SHARD assignment — the last step before a
+    * corpus becomes training files: each doc gets a `shard` (salted
+    * id-hash mod `nShards` — independent of the split/sampling coins
+    * by the ":shard" salt) and its exact `pos`ition within the shard
+    * under the (":pos"-salted hash, doc_id) order — a deterministic
+    * within-shard shuffle, so every engine/run/partitioning writes
+    * byte-identical shard files in byte-identical order (the
+    * reproducible-data-order property training reproducibility
+    * studies need). Shard membership and within-shard ORDER are
+    * append-stable (existing docs never reorder relative to each
+    * other); absolute positions renumber as a shard grows — consumers
+    * order by `pos`, they don't address it.
+    *
+    * Physical: the same range-partition + per-partition-offset exact
+    * rank as `lengthDeciles` (driver state = #partitions longs; NO
+    * global or per-shard window — a hot shard never funnels through
+    * one task), then per-shard start offsets (≤ nShards rows,
+    * broadcast) convert global ranks to within-shard positions.
+    */
+  def shardAssignment(docs: DataFrame,
+      nShards: Int = ShardCount): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs.select(col("doc_id"),
+        (poly_hash(concat(col("doc_id").cast("string"), lit(":shard")))
+          % nShards).as("shard"),
+        poly_hash(concat(col("doc_id").cast("string"), lit(":pos")))
+          .as("h"))
+      .repartitionByRange(col("shard"), col("h"), col("doc_id"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .as[(Long, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(parted.toDF())
+    val partCounts = parted
+      .mapPartitions { it =>
+        var c = 0L
+        it.foreach(_ => c += 1L)
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _).dropRight(1)
+    val offB = spark.sparkContext.broadcast(offsets)
+    val ranked = parted
+      .mapPartitions { it =>
+        var r = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, sh, _) =>
+          r += 1L
+          (id, sh, r)
+        }
+      }
+      .toDF("doc_id", "shard", "grank")
+    val starts = ranked.groupBy("shard").agg(min("grank").as("start"))
+    ranked.join(broadcast(starts), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("grank") - col("start") + 1L).as("pos"))
+  }
+
   def lengthDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -4445,6 +4445,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("shardAssignment: append-stable within-shard order; positions contiguous from 1") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ordered(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val full = ordered(TextOps.shardAssignment(docs))
+    // positions are 1..n per shard (the collect above would misorder
+    // on gaps/dups only if ranks collided — assert directly)
+    TextOps.shardAssignment(docs).collect()
+      .groupBy(_.getLong(1)).values.foreach { rows =>
+        assert(rows.map(_.getLong(2)).sorted.toSeq ===
+          (1L to rows.length.toLong))
+      }
+    // APPEND STABILITY: the half-corpus ordering is exactly the full
+    // ordering restricted to the half's docs — adding documents never
+    // reorders existing ones within a shard
+    val halfDocs = docs.filter(col("doc_id") % 2 === 0)
+    val halfIds = halfDocs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val half = ordered(TextOps.shardAssignment(halfDocs))
+    full.foreach { case (shard, order) =>
+      val restricted = order.filter(halfIds)
+      assert(half.getOrElse(shard, Seq.empty) === restricted,
+        s"shard $shard reordered under append")
+    }
+  }
+
   test("curation/hashSplitLeakageFree: a passed-in cluster relation ≡ the default rebuild") {
     import operators.{Dedup, TextOps}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
