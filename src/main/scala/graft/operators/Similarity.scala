@@ -431,6 +431,19 @@ object Similarity {
   /** Cap on the stored SQ8 stats relation — one row per dimension. */
   val Sq8MaxDims = 4096
 
+  /** Pack the exploded `quantizeInt8` audit rows into the SERVING
+    * layout — `(vec_id, codes: array<long>)` in dim order, one row
+    * per vector: the relation a retrieval tier persists (the exploded
+    * form is the per-element audit view; packing per serve would pay
+    * a corpus-keyed shuffle every query batch). One map-side-combined
+    * aggregation at ingest.
+    */
+  def sq8Pack(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("code"))))
+        .as("dc"))
+      .select(col("vec_id"), expr("transform(dc, p -> p.code)").as("codes"))
+
   /** Exact squared-L2 top-k served from STORED SQ8 CODES — the
     * scalar-quantized retrieval tier (FAISS's SQ8 storage class,
     * completing the quantized-serving trio next to PQ and IVFPQ): the
@@ -473,12 +486,14 @@ object Similarity {
     val span = byDim.map(r => r.getDouble(2) - r.getDouble(1))
     val mnLit = lit(mn)
     val spanLit = lit(span)
-    val corpus = codes
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("dim"), col("code"))))
-        .as("dc"))
-      .select(col("vec_id"),
-        expr("transform(dc, p -> p.code)").as("cds"))
+    // a PACKED relation (vec_id, codes array — `sq8Pack` at ingest)
+    // serves map-only; the exploded audit form pays one (vec_id)-keyed
+    // assembly shuffle per serve — fine interactively, but a serving
+    // tier persists the packed form once
+    val corpus =
+      if (codes.columns.contains("codes"))
+        codes.select(col("vec_id"), col("codes").as("cds"))
+      else sq8Pack(codes).select(col("vec_id"), col("codes").as("cds"))
     val recon = transform(col("cds"), (c, i) =>
       element_at(mnLit, i + 1) +
         c.cast("double") * element_at(spanLit, i + 1) / lit(255.0))

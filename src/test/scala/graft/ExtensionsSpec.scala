@@ -1403,6 +1403,12 @@ class ExtensionsSpec extends SparkSpec {
     Similarity.quantizeInt8(emb).write.parquet(base + "/codes")
     assert(rows(Similarity.knnSq8(spark.read.parquet(base + "/stats"),
       spark.read.parquet(base + "/codes"), emb)) === insession)
+    // the PACKED serving layout (sq8Pack persisted at ingest) serves
+    // bit-identically, with no per-serve assembly shuffle
+    Similarity.sq8Pack(spark.read.parquet(base + "/codes"))
+      .write.parquet(base + "/packed")
+    assert(rows(Similarity.knnSq8(spark.read.parquet(base + "/stats"),
+      spark.read.parquet(base + "/packed"), emb)) === insession)
     // 8 bits per element on near-uniform data keeps ranking nearly
     // exact — a collapse here means the dequantization chain drifted
     val rec = Similarity.recallAtK(
