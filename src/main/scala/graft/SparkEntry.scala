@@ -401,6 +401,15 @@ object SparkEntry {
     "graph_closeness_weighted" -> ((s, d) =>
       GraphOps.closenessWeightedSampled(GraphOps.edges(s, d))
         .orderBy("vertex")),
+    // per-source within-budget eccentricity over the same hash-chosen
+    // sample (max BFS layer per seed + reach count)
+    "graph_eccentricity" -> ((s, d) =>
+      GraphOps.eccentricitySampled(GraphOps.edges(s, d))
+        .orderBy("source")),
+    // 1-row diameter lower bound / radius estimate from the sampled
+    // eccentricities
+    "graph_diameter" -> ((s, d) =>
+      GraphOps.diameterSampled(GraphOps.edges(s, d))),
     // Brandes forward phase from a hash-chosen sample: exact BFS dist
     // + exact shortest-path COUNTS per (seed, vertex) — all integer
     "graph_path_counts" -> ((s, d) =>
@@ -3314,6 +3323,44 @@ object SparkEntry {
         "CAST(SUM(dist) AS BIGINT) AS sum_dist, " +
         "CAST(SUM(CASE WHEN dist >= 1 THEN 1000000 // dist ELSE 0 END) " +
         "AS BIGINT) AS harmonic_ppm FROM d GROUP BY v"
+    },
+    "graph_eccentricity" -> {
+      // same per-seed bounded walk enumeration as graph_closeness,
+      // aggregated per SEED: within-budget eccentricity + reach count
+      val k = GraphOps.ClosenessSeeds
+      val h = GraphOps.ClosenessMaxHops
+      s"WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        "UNION ALL SELECT dst FROM e)), " +
+        "seeds AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(v AS VARCHAR)")}, v) AS rn FROM verts) " +
+        s"WHERE rn <= $k), " +
+        "walk(s, v, dd) AS (SELECT v, v, 0 FROM seeds " +
+        "UNION SELECT walk.s, e.dst, walk.dd + 1 FROM walk " +
+        s"JOIN e ON e.src = walk.v WHERE walk.dd < $h), " +
+        "d AS (SELECT s, v, MIN(dd) AS dist FROM walk GROUP BY 1, 2) " +
+        "SELECT s AS source, CAST(MAX(dist) AS BIGINT) AS ecc, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_reached FROM d GROUP BY s"
+    },
+    "graph_diameter" -> {
+      // the per-seed eccentricity CTE collapsed to the 1-row
+      // diameter-lower-bound / radius-estimate summary
+      val k = GraphOps.ClosenessSeeds
+      val h = GraphOps.ClosenessMaxHops
+      s"WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesCte)), " +
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e " +
+        "UNION ALL SELECT dst FROM e)), " +
+        "seeds AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(v AS VARCHAR)")}, v) AS rn FROM verts) " +
+        s"WHERE rn <= $k), " +
+        "walk(s, v, dd) AS (SELECT v, v, 0 FROM seeds " +
+        "UNION SELECT walk.s, e.dst, walk.dd + 1 FROM walk " +
+        s"JOIN e ON e.src = walk.v WHERE walk.dd < $h), " +
+        "d AS (SELECT s, v, MIN(dd) AS dist FROM walk GROUP BY 1, 2), " +
+        "ec AS (SELECT s, MAX(dist) AS ecc FROM d GROUP BY s) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds, " +
+        "CAST(MAX(ecc) AS BIGINT) AS diameter_lb, " +
+        "CAST(MIN(ecc) AS BIGINT) AS radius_est FROM ec"
     },
     "graph_hops_deep" ->
       // same min-over-reachable-depths form at the 64-hop budget over

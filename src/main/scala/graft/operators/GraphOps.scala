@@ -1503,6 +1503,61 @@ object GraphOps {
           expr("1000000 div dist")).otherwise(lit(0L))).as("harmonic_ppm"))
   }
 
+  /** SAMPLED ECCENTRICITY — the per-source view of the same
+    * Eppstein-Wang sample `closenessSampled` reads: from the k hash-
+    * chosen sources, one labeled bounded BFS, then per SEED (not per
+    * reached vertex) the within-budget eccentricity `ecc` =
+    * max BFS layer and the reach count. With `maxHops` ≥ the true
+    * eccentricity this is the exact ecc(s); when the budget truncates,
+    * `ecc` = min(ecc(s), maxHops) — still a valid LOWER bound, which
+    * is the direction every sampled-diameter estimator uses (the max
+    * over any set of exact-or-truncated eccentricities lower-bounds
+    * the diameter; iFUB and the BoundingDiameters family are built on
+    * exactly this observation). Same sample, same loop, different
+    * aggregation key — the BFS cost is shared by construction with
+    * the closeness gate's plan shape, and at 100 TB the cost IS the
+    * k-labeled sweep chain already rehearsed at 10M edges.
+    */
+  def eccentricitySampled(e: DataFrame, k: Int = ClosenessSeeds,
+      maxHops: Int = ClosenessMaxHops): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val seedRows = verts
+      .withColumn("h", graft.functions.PolyHashFunctions.poly_hash(
+        col("v").cast("string")))
+      .orderBy(col("h"), col("v"))
+      .limit(k)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    if (seedRows.isEmpty)
+      return e.select(col("src").as("source"), lit(0L).as("ecc"),
+        lit(0L).as("n_reached")).filter(lit(false))
+    val dedup = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    labeledHopDistances(dedup, seedRows.toSeq, maxHops)
+      .groupBy(col("seed").as("source"))
+      .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
+  }
+
+  /** DIAMETER/RADIUS evidence from the eccentricity sample — the
+    * 1-row summary consumers actually page on: `diameter_lb` =
+    * max sampled ecc (a true lower bound on the graph diameter, exact
+    * when the budget didn't truncate the widest sampled BFS),
+    * `radius_est` = min sampled ecc (the Eppstein-Wang estimate of
+    * the radius — an UPPER bound on it when the minimizing vertex is
+    * in the sample, an estimate otherwise; the honest label is in the
+    * name), and the sample size that prices both claims. Physical: the
+    * per-seed relation above collapsed to one row — a ≤ k-row final
+    * aggregation on top of the shared labeled sweep.
+    */
+  def diameterSampled(e: DataFrame, k: Int = ClosenessSeeds,
+      maxHops: Int = ClosenessMaxHops): DataFrame =
+    eccentricitySampled(e, k, maxHops)
+      .agg(count(lit(1)).as("n_seeds"),
+        max("ecc").as("diameter_lb"),
+        min("ecc").as("radius_est"))
+
   /** Multi-source BFS with the SOURCE LABEL carried in the state —
     * `(seed, vertex, dist)` per (source, reached vertex): the batched
     * form the sampled-centrality family runs (k separate

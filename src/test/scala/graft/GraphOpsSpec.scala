@@ -463,6 +463,48 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("eccentricitySampled/diameterSampled == brute per-seed BFS extremes") {
+    val s = spark
+    import s.implicits._
+    def bfs(edges: Seq[(Long, Long)], seed: Long,
+        maxHops: Int): Map[Long, Long] = {
+      val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map[Long, Long](seed -> 0L)
+      var frontier = Set(seed)
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(!dist.contains(_))
+        frontier.foreach(dist(_) = h.toLong)
+      }
+      dist.toMap
+    }
+    val rng = new scala.util.Random(311)
+    (1 to 3).foreach { _ =>
+      val e = List.fill(70)((rng.nextInt(24).toLong, rng.nextInt(24).toLong))
+      val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+      for (k <- Seq(1, 4); hops <- Seq(1, 3)) {
+        val seeds = verts.sortBy(v => (graft.functions.PolyHashUtil.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)),
+          v)).take(k)
+        val want = seeds.map { sd =>
+          val d = bfs(e, sd, hops)
+          sd -> ((d.values.max, d.size.toLong))
+        }.toMap
+        val got = GraphOps.eccentricitySampled(edgeDf(e: _*), k = k,
+            maxHops = hops).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        withClue(s"k=$k hops=$hops edges=$e") { assert(got === want) }
+        val dia = GraphOps.diameterSampled(edgeDf(e: _*), k = k,
+          maxHops = hops).collect().head
+        withClue(s"k=$k hops=$hops edges=$e") {
+          assert(dia.getLong(0) === want.size.toLong)
+          assert(dia.getLong(1) === want.values.map(_._1).max)
+          assert(dia.getLong(2) === want.values.map(_._1).min)
+        }
+      }
+    }
+  }
+
   test("closenessWeightedSampled ≡ aggregated per-source ssspBudget runs") {
     val s = spark
     import s.implicits._
