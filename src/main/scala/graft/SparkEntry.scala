@@ -563,6 +563,13 @@ object SparkEntry {
     "docs_profile" -> ((s, d) =>
       operators.Profile.profile(Tables.table(s, d, "documents"))
         .orderBy("column")),
+    // the CONSTRAINT form of the profile: the documents admission
+    // suite (key completeness/uniqueness, non-empty text, known lang,
+    // consistent n_chars, source attribution) evaluated in one pass →
+    // one (rule, metric_ppm, threshold_ppm, pass) row per rule
+    "docs_expectations" -> ((s, d) =>
+      operators.Profile.docsExpectations(Tables.table(s, d, "documents"))
+        .orderBy("rule")),
     // the bounded-state twin: per-column HLL distinct states (ncols ×
     // 512 counters shuffle instead of every distinct pair) — integer-
     // exact states, so even the sketch is hash-checked
@@ -3450,6 +3457,40 @@ object SparkEntry {
     "docs_profile" -> profileSql("documents", Seq(
       "doc_id" -> Some("doc_id"), "text" -> None, "lang" -> None,
       "source" -> None, "n_chars" -> Some("n_chars"))),
+    "docs_expectations" -> {
+      // one aggregate CTE holds every rule's numerator; each rule is
+      // one SELECT over it (metric = ⌊num·1e6/n⌋, empty input passes
+      // vacuously — the operator's documented convention)
+      val langs = graft.operators.Profile.DocLangs
+        .map(l => s"'$l'").mkString(", ")
+      val rules = Seq(
+        "doc_id_not_null" ->
+          "SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)",
+        "doc_id_unique" -> "COUNT(DISTINCT doc_id)",
+        "text_nonempty" ->
+          ("SUM(CASE WHEN text IS NOT NULL AND length(text) >= 1 " +
+            "THEN 1 ELSE 0 END)"),
+        "lang_known" ->
+          s"SUM(CASE WHEN lang IN ($langs) THEN 1 ELSE 0 END)",
+        "n_chars_positive" ->
+          "SUM(CASE WHEN n_chars >= 1 THEN 1 ELSE 0 END)",
+        "n_chars_consistent" ->
+          "SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)",
+        "source_not_null" ->
+          ("SUM(CASE WHEN source IS NOT NULL AND source <> '' " +
+            "THEN 1 ELSE 0 END)"))
+      val aggs = rules.map { case (r, e) => s"$e AS m_$r" }.mkString(", ")
+      val sels = rules.map { case (r, _) =>
+        s"SELECT '$r' AS rule, CASE WHEN n = 0 THEN 1000000 ELSE " +
+          s"m_$r * 1000000 // n END AS metric_ppm FROM a"
+      }.mkString(" UNION ALL ")
+      s"WITH a AS (SELECT COUNT(*) AS n, $aggs FROM documents), " +
+        s"r AS ($sels) " +
+        "SELECT rule, CAST(metric_ppm AS BIGINT) AS metric_ppm, " +
+        "CAST(1000000 AS BIGINT) AS threshold_ppm, " +
+        "CAST(CASE WHEN metric_ppm >= 1000000 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS pass FROM r"
+    },
     // the text_vocab_hll state machinery grouped by column name over
     // the string-rendered unpivot (long→VARCHAR renders identically
     // on both engines; doubles deliberately excluded — see profileHll)

@@ -128,4 +128,99 @@ object Profile {
           poly_hash2(col("item"))).cast("string").as("item"))
     TextOps.hllState(items, Seq("column"), col("item"))
   }
+
+  /** A declared data-quality expectation over a relation — the
+    * constraint form of the `profile` evidence (what Deequ calls a
+    * Check and Great Expectations an expectation): either the ppm
+    * RATIO of rows satisfying a predicate, or the ppm UNIQUENESS of a
+    * key column (distinct/n). `thresholdPpm` is the pass bar the
+    * evaluated metric is compared against (≥), stated in the same ppm
+    * fixed point every ratio in this repo uses.
+    */
+  sealed trait Expectation {
+    def rule: String
+    def thresholdPpm: Long
+  }
+  final case class RatioExpectation(rule: String,
+      pred: org.apache.spark.sql.Column,
+      thresholdPpm: Long = 1000000L) extends Expectation
+  final case class UniqueExpectation(rule: String, column: String,
+      thresholdPpm: Long = 1000000L) extends Expectation
+
+  /** Evaluate a suite of expectations in ONE pass: every rule's
+    * numerator is a conditional sum (or exact distinct for uniqueness
+    * rules) inside a single global aggregation, then the 1-row result
+    * is unpivoted to one (rule, metric_ppm, threshold_ppm, pass) row
+    * per rule — the admission gate a pipeline reads before trusting a
+    * data drop. metric_ppm = ⌊num·1e6/n⌋; an EMPTY relation passes
+    * vacuously (metric_ppm = 1e6 for every rule — the Deequ
+    * convention for completeness on zero rows, stated identically in
+    * the oracle SQL). A null predicate evaluation counts as FAIL for
+    * its row (CASE WHEN semantics), so nulls can't sneak through a
+    * range rule.
+    *
+    * Shape at scale: one scan, map-side partial aggregation, a 1-row
+    * final state per ratio rule; each UNIQUE rule adds one exact
+    * (column-value)-keyed distinct shuffle — the `profile` n_distinct
+    * trade, priced the same way (the HLL profile is the bounded-state
+    * sibling when an estimate is enough). The unpivot is driver-free:
+    * explode over a rules-sized literal array.
+    */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "expectations: empty rule suite")
+    require(checks.map(_.rule).distinct.size == checks.size,
+      s"expectations: duplicate rule names in ${checks.map(_.rule)}")
+    checks.foreach { e =>
+      require(e.rule.matches("[a-z0-9_]+"),
+        s"expectations: rule name '${e.rule}' must be [a-z0-9_]+")
+      require(e.thresholdPpm >= 0L && e.thresholdPpm <= 1000000L,
+        s"expectations: thresholdPpm out of [0, 1e6] for '${e.rule}'")
+    }
+    val aggs = checks.map {
+      case RatioExpectation(r, p, _) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__m_$r")
+      case UniqueExpectation(r, c, _) =>
+        require(df.schema.fieldNames.contains(c),
+          s"expectations: no such column '$c' for rule '$r'")
+        countDistinct(col(c)).as(s"__m_$r")
+    }
+    val one = df.groupBy().agg(count(lit(1)).as("__n"), aggs: _*)
+    val slots = checks.map { e =>
+      struct(lit(e.rule).as("rule"),
+        when(col("__n") === 0L, lit(1000000L))
+          .otherwise(expr(s"__m_${e.rule} * 1000000 div __n"))
+          .as("metric_ppm"),
+        lit(e.thresholdPpm).as("threshold_ppm"))
+    }
+    one.select(explode(array(slots: _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.metric_ppm").as("metric_ppm"),
+        col("x.threshold_ppm").as("threshold_ppm"),
+        (col("x.metric_ppm") >= col("x.threshold_ppm")).cast("long")
+          .as("pass"))
+  }
+
+  /** Allowed language codes for the documents admission suite. The
+    * same set MUST appear in the oracle SQL.
+    */
+  val DocLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** The documents table's admission suite — the seven constraints a
+    * text-corpus drop must clear before entering the pipeline:
+    * key completeness + uniqueness, non-empty text, a known language
+    * code, a positive and text-consistent n_chars, and source
+    * attribution. Thresholds are all 1e6 (hard constraints); relaxed
+    * bars are a caller decision, not a fixture one.
+    */
+  def docsExpectations(docs: DataFrame): DataFrame =
+    expectations(docs, Seq(
+      RatioExpectation("doc_id_not_null", col("doc_id").isNotNull),
+      UniqueExpectation("doc_id_unique", "doc_id"),
+      RatioExpectation("text_nonempty",
+        col("text").isNotNull && length(col("text")) >= 1),
+      RatioExpectation("lang_known", col("lang").isin(DocLangs: _*)),
+      RatioExpectation("n_chars_positive", col("n_chars") >= 1L),
+      RatioExpectation("n_chars_consistent",
+        length(col("text")) === col("n_chars")),
+      RatioExpectation("source_not_null",
+        col("source").isNotNull && col("source") =!= "")))
 }

@@ -3823,6 +3823,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(operators.Profile.profile(df.filter(lit(false))).count() === 0L)
   }
 
+  test("expectations: ratio/unique metrics, failing rules, empty + guards") {
+    val s = spark
+    import s.implicits._
+    import operators.Profile.{RatioExpectation, UniqueExpectation}
+    val df = Seq[(java.lang.Long, String)](
+        (1L, "a"), (2L, "b"), (2L, null), (4L, "d"))
+      .toDF("id", "tag")
+    val suite = Seq(
+      RatioExpectation("tag_not_null", col("tag").isNotNull),
+      UniqueExpectation("id_unique", "id"),
+      RatioExpectation("id_small", col("id") <= 2L, thresholdPpm = 500000L))
+    val got = operators.Profile.expectations(df, suite).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 3/4 non-null tags → 750000 ppm, fails the 1e6 bar
+    assert(got("tag_not_null") === ((750000L, 1000000L, 0L)))
+    // 3 distinct ids over 4 rows → 750000 ppm, fails
+    assert(got("id_unique") === ((750000L, 1000000L, 0L)))
+    // 3/4 ids ≤ 2... ids (1,2,2) → 750000 ≥ 500000 passes
+    assert(got("id_small") === ((750000L, 500000L, 1L)))
+    // empty input → vacuous pass on every rule
+    val empty = operators.Profile.expectations(
+      df.filter(lit(false)), suite).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(empty === Set((1000000L, 1L)))
+    // guards: empty suite, duplicate rule, bad name, bad threshold,
+    // unknown unique column
+    intercept[IllegalArgumentException] {
+      operators.Profile.expectations(df, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Profile.expectations(df, Seq(
+        RatioExpectation("x", lit(true)), RatioExpectation("x", lit(true))))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Profile.expectations(df,
+        Seq(RatioExpectation("Bad Name", lit(true))))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Profile.expectations(df,
+        Seq(RatioExpectation("x", lit(true), thresholdPpm = 2000000L)))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Profile.expectations(df,
+        Seq(UniqueExpectation("u", "nope")))
+    }
+    // the documents fixture passes wholesale on the clean test corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fixture = operators.Profile.docsExpectations(docs).collect()
+    assert(fixture.length === 7 && fixture.forall(_.getLong(3) === 1L))
+  }
+
   test("profileHll: estimates track exact distincts; doubles refused") {
     val s = spark
     import s.implicits._
