@@ -685,6 +685,12 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
+    // hashed tf-idf sparse features (Weinberger et al. 2009): signed
+    // feature hashing × the exact-integer BM25 idf — the linear-model
+    // feature extractor
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfHashed(Tables.table(s, d, "documents"))
+        .orderBy("doc_id", "dim")),
     // inverted-index construction: per-term df/cf + capped posting
     // list via the token-keyed TopKPerKey heap; df >= 5 floor
     "text_postings" -> ((s, d) =>
@@ -3726,6 +3732,26 @@ object SparkEntry {
     // inverted index: same \S+ tokens, df floor, (tf desc, doc_id)
     // posting rank — row_number is the TopKPerKey twin
     "text_postings" -> PostingsSql,
+    "text_tfidf" -> {
+      // signed feature hashing over the tf relation; idf_bits is the
+      // bm25 oracle's exact-integer Robertson idf; zero-sum collision
+      // cancellations dropped (HAVING) per the operator contract
+      val dims = TextOps.TfidfDims
+      "WITH tk AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf " +
+        "FROM tk GROUP BY 1, 2), " +
+        "n AS (SELECT COUNT(*)::BIGINT AS n FROM documents), " +
+        "idf AS (SELECT token, length(bin(CAST((2 * (n.n - COUNT(*)) + 1) // " +
+        "(2 * COUNT(*) + 1) + 1 AS BIGINT)))::BIGINT AS idf_bits " +
+        "FROM tf, n GROUP BY token, n.n), " +
+        s"w AS (SELECT tf.doc_id, ${phSql("tf.token")} % $dims AS dim, " +
+        s"(1 - 2 * (${phSql2("tf.token")} % 2)) * tf.tf * idf.idf_bits AS w " +
+        "FROM tf JOIN idf USING (token)) " +
+        "SELECT doc_id, CAST(dim AS BIGINT) AS dim, " +
+        "CAST(SUM(w) AS BIGINT) AS w FROM w GROUP BY 1, 2 " +
+        "HAVING SUM(w) <> 0"
+    },
     // the incremental path is an execution detail (stored index +
     // delta merge instead of a rescan) — chained ≡ one-shot is exact,
     // so the full-rebuild SQL is the oracle verbatim

@@ -1984,4 +1984,50 @@ object TextOps {
         col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
   }
+
+  /** Feature-hashing dimensionality for `tfidfHashed`. Same constant
+    * MUST appear in the oracle SQL.
+    */
+  val TfidfDims = 512
+
+  /** HASHED TF-IDF document vectors — the feature-hashing trick
+    * (Weinberger et al., "Feature hashing for large scale multitask
+    * learning", ICML 2009): each token maps to dimension
+    * `poly_hash(token) mod dims` with a ±1 sign from a second hash
+    * (the unbiasedness device), and its weight is tf · idf_bits with
+    * the SAME exact-integer Robertson idf the BM25 family uses
+    * (bitlen via `length(bin(x))` — identical in both engines, no
+    * float logs). Output is the sparse triple form (doc_id, dim, w)
+    * with exact-zero collision cancellations dropped — the natural
+    * input to a linear quality classifier or the DSIR-style
+    * importance reweighting at corpus scale.
+    *
+    * Shape at scale: ONE corpus-sized (doc_id, token) shuffle for tf;
+    * df/idf roll up from the tf relation (vocabulary-sized, never a
+    * second corpus pass); the scoring join keys on token, so a hot
+    * token replicates a single idf row (no skew funnel); then one
+    * (doc_id, dim)-keyed aggregation whose output is capped at
+    * docs × dims. N_docs is read once as a driver literal (1-row, the
+    * bm25 literal-stats device).
+    */
+  def tfidfHashed(docs: DataFrame, dims: Int = TfidfDims): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 20),
+      s"dims must be in [2, 2^20], got $dims")
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .select(col("token"),
+        length(bin(expr(s"(2 * ($nDocs - df) + 1) div (2 * df + 1) + 1")))
+          .cast("long").as("idf_bits"))
+    import graft.functions.PolyHashFunctions.{poly_hash, poly_hash2}
+    tf.join(idf, "token")
+      .select(col("doc_id"),
+        pmod(poly_hash(col("token")), lit(dims.toLong)).as("dim"),
+        ((lit(1L) - lit(2L) * pmod(poly_hash2(col("token")), lit(2L))) *
+          col("tf") * col("idf_bits")).as("w"))
+      .groupBy("doc_id", "dim").agg(sum("w").as("w"))
+      .filter(col("w") =!= 0L)
+  }
 }

@@ -3875,6 +3875,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(fixture.length === 7 && fixture.forall(_.getLong(3) === 1L))
   }
 
+  test("tfidfHashed == brute signed feature hashing; zero-sums dropped") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.PolyHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def ph(t: String, mult: Long, mod: Long): Long =
+      PolyHashUtil.hash(UTF8String.fromString(t), mult, mod)
+    // doc 4 plants an exact cancellation at dims=7: "aaaaa"/"aaabc"
+    // share dim 3 with opposite signs and equal tf·idf — the (4, 3)
+    // row must be DROPPED there (and survive at dims=2, where their
+    // dims differ)
+    val docs = Seq(
+        (0L, "aa bb aa cc"), (1L, "bb cc dd"), (2L, "aa"), (3L, ""),
+        (4L, "aaaaa aaabc"))
+      .toDF("doc_id", "text")
+    for (dims <- Seq(2, 7)) {   // dims=2 forces collisions
+      val toks = Map(0L -> Seq("aa", "bb", "aa", "cc"),
+        1L -> Seq("bb", "cc", "dd"), 2L -> Seq("aa"), 3L -> Seq(),
+        4L -> Seq("aaaaa", "aaabc"))
+      val n = toks.size.toLong
+      val df = toks.values.flatMap(_.distinct).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      def idfBits(d: Long): Long =
+        java.lang.Long.toBinaryString((2L * (n - d) + 1L) / (2L * d + 1L)
+          + 1L).length.toLong
+      val want = toks.toSeq.flatMap { case (id, ts) =>
+        ts.groupBy(identity).toSeq.map { case (t, occ) =>
+          val sign = 1L - 2L * (ph(t, PolyHashUtil.Mult2,
+            PolyHashUtil.Mod2) % 2L)
+          ((id, ph(t, PolyHashUtil.Mult, PolyHashUtil.Mod) % dims),
+            sign * occ.size.toLong * idfBits(df(t)))
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter(_._2 != 0L)
+      val got = operators.TextOps.tfidfHashed(docs, dims = dims).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      withClue(s"dims=$dims") { assert(got === want) }
+      // the planted cancellation: doc 4 vanishes at dims=7 only
+      withClue(s"dims=$dims") {
+        assert(got.keys.exists(_._1 == 4L) === (dims == 2))
+      }
+    }
+    intercept[IllegalArgumentException] {
+      operators.TextOps.tfidfHashed(docs, dims = 1)
+    }
+  }
+
   test("profileHll: estimates track exact distincts; doubles refused") {
     val s = spark
     import s.implicits._
