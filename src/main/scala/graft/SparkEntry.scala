@@ -1526,6 +1526,12 @@ object SparkEntry {
       graft.sources.Layout.zorderPruning(Tables.table(s, d, "events"))),
     // deterministic A/B read-out: hash-assigned arms, exposed users,
     // purchase conversion + quantized revenue, all-long aggregation
+    // CUPED variance-reduced read-out (Deng et al. 2013): pre-period
+    // revenue as covariate, θ fitted on the pooled exposed users,
+    // per-arm adjusted mean in exact integer fixed point
+    "events_ab_cuped" -> ((s, d) =>
+      graft.streaming.EventWindows.abCuped(Tables.table(s, d, "events"))
+        .orderBy("variant")),
     "events_ab_lift" -> ((s, d) =>
       graft.streaming.EventWindows.abLift(Tables.table(s, d, "events"))
         .orderBy("variant")),
@@ -5044,6 +5050,43 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS rows_selected FROM events, pred) " +
         "SELECT z_files, z_touched, t_files, t_touched, rows_selected " +
         "FROM zt, tt, sel"
+    },
+    "events_ab_cuped" -> {
+      // the operator's exact integer chain: milli-quantized pre/post
+      // revenue per exposed user, HUGEINT moment sums (decimal(38,0)
+      // on the Spark side), truncating division everywhere
+      val v = graft.streaming.EventWindows.AbVariants
+      val split = graft.streaming.EventWindows.CupedSplitEpoch
+      "WITH pu AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'view' AND " +
+        s"epoch_us(ts) // 1000000 >= $split THEN 1 ELSE 0 END) AS exposed, " +
+        "COALESCE(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL " +
+        s"AND isfinite(value) AND epoch_us(ts) // 1000000 < $split " +
+        "THEN CAST(floor(value * 1000.0) AS BIGINT) END), 0) AS x_milli, " +
+        "COALESCE(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL " +
+        s"AND isfinite(value) AND epoch_us(ts) // 1000000 >= $split " +
+        "THEN CAST(floor(value * 1000.0) AS BIGINT) END), 0) AS y_milli " +
+        "FROM events GROUP BY 1), " +
+        s"a AS (SELECT ${phSql("CAST(user_id AS VARCHAR)")} % $v AS variant, " +
+        "x_milli, y_milli FROM pu WHERE exposed = 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, " +
+        "CAST(COALESCE(SUM(x_milli), 0) AS HUGEINT) AS sx, " +
+        "CAST(COALESCE(SUM(y_milli), 0) AS HUGEINT) AS sy, " +
+        "COALESCE(SUM(CAST(x_milli AS HUGEINT) * y_milli), 0) AS sxy, " +
+        "COALESCE(SUM(CAST(x_milli AS HUGEINT) * x_milli), 0) AS sxx FROM a), " +
+        "t AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE " +
+        "((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) END " +
+        "AS theta_ppm, CASE WHEN n = 0 THEN 0 ELSE (sx * 1000) // n END " +
+        "AS xbar_ppm FROM g), " +
+        "arm AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(x_milli) AS BIGINT) AS x_sum_milli, " +
+        "CAST(SUM(y_milli) AS BIGINT) AS y_sum_milli FROM a GROUP BY 1) " +
+        "SELECT variant, n_users, x_sum_milli, y_sum_milli, " +
+        "y_sum_milli * 1000 // n_users AS y_mean_ppm, " +
+        "CAST(y_sum_milli * 1000 // n_users - (t.theta_ppm * " +
+        "(x_sum_milli * 1000 // n_users - t.xbar_ppm)) // 1000000 " +
+        "AS BIGINT) AS yadj_mean_ppm, " +
+        "CAST(t.theta_ppm AS BIGINT) AS theta_ppm FROM arm, t"
     },
     "events_ab_lift" -> {
       val v = graft.streaming.EventWindows.AbVariants

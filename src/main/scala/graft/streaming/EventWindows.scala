@@ -572,6 +572,91 @@ object EventWindows {
         col("revenue_ppm"))
   }
 
+  /** Pre/post experiment boundary for the CUPED gate
+    * (2024-01-16T00:00:00Z — mid-corpus at every SF). Same constant
+    * MUST appear in the oracle SQL.
+    */
+  val CupedSplitEpoch = 1705363200L
+
+  /** CUPED variance-reduced experiment read-out (Deng, Xu, Kohavi &
+    * Walker, "Improving the sensitivity of online controlled
+    * experiments by utilizing pre-experiment data", WSDM 2013): the
+    * covariate X is each exposed user's PRE-period revenue, the
+    * metric Y their post-period revenue, and the adjusted per-arm
+    * mean is Ȳ_a − θ·(X̄_a − X̄) with θ = cov(X,Y)/var(X) fitted on
+    * the pooled exposed population. Exposure = ≥1 post-period view
+    * (the experiment runs in the post period; pre-period activity is
+    * covariate only — users missing a pre-period contribute X = 0,
+    * the standard treatment).
+    *
+    * Float-parity discipline: revenues quantize to MILLI units
+    * (⌊value·1e3⌋ longs); θ's moment sums accumulate in
+    * decimal(38,0) (long products of milli values overflow at
+    * population scale — HUGEINT on the oracle side), and
+    * θ_ppm = ⌊(n·Sxy − Sx·Sy)·1e6 / (n·Sxx − Sx²)⌋ with the
+    * truncation-toward-zero division all three arithmetics (Spark
+    * `div`, DuckDB `//`, BigInt `/`) share. Zero pre-period variance
+    * ⇒ θ = 0 (no adjustment), the degenerate-case convention.
+    *
+    * Shape at scale: ONE user-keyed aggregation over the events scan
+    * (pre and post legs ride the same pass as conditional sums), one
+    * 1-row moment collect (the bm25 literal-stats device — θ and X̄
+    * become literals, so the per-arm projection is map-side), and a
+    * ≤`variants`-row rollup. Two passes over the slim exposed-user
+    * relation, persisted between them.
+    */
+  def abCuped(events: DataFrame, variants: Long = AbVariants,
+      splitEpoch: Long = CupedSplitEpoch): DataFrame = {
+    require(variants >= 2L && variants <= 64L,
+      s"variants must be in [2, 64], got $variants")
+    import graft.functions.PolyHashFunctions.poly_hash
+    val finite = col("value").isNotNull && !col("value").isNaN &&
+      abs(col("value")) =!= Double.PositiveInfinity
+    val post = expr("unix_seconds(ts)") >= lit(splitEpoch)
+    def revMilli(in: org.apache.spark.sql.Column) = coalesce(
+      sum(when(col("event_type") === "purchase" && finite && in,
+        floor(col("value") * lit(1000.0)).cast("long"))), lit(0L))
+    val exposed = graft.Caches.track(events.groupBy("user_id").agg(
+        max(when(col("event_type") === "view" && post, 1L).otherwise(0L))
+          .as("exposed"),
+        revMilli(!post).as("x_milli"),
+        revMilli(post).as("y_milli"))
+      .filter(col("exposed") === 1L)
+      .select(pmod(poly_hash(col("user_id").cast("string")), lit(variants))
+        .as("variant"), col("x_milli"), col("y_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 1-row moment collect → θ/X̄ literals (exact BigInt arithmetic,
+    // truncation-toward-zero division; longValueExact is the loud
+    // overflow guard)
+    val g = exposed.agg(count(lit(1)).as("n"),
+      sum(col("x_milli").cast("decimal(38,0)")).as("sx"),
+      sum(col("y_milli").cast("decimal(38,0)")).as("sy"),
+      sum(col("x_milli").cast("decimal(38,0)") * col("y_milli")).as("sxy"),
+      sum(col("x_milli").cast("decimal(38,0)") * col("x_milli")).as("sxx"))
+      .collect().head
+    val n = BigInt(g.getLong(0))
+    def dec(i: Int): BigInt =
+      if (g.isNullAt(i)) BigInt(0) else g.getDecimal(i).toBigInteger
+    val (sx, sy, sxy, sxx) = (dec(1), dec(2), dec(3), dec(4))
+    val den = n * sxx - sx * sx
+    val thetaPpm = (if (den == BigInt(0)) BigInt(0)
+      else ((n * sxy - sx * sy) * BigInt(1000000)) / den)
+      .bigInteger.longValueExact()
+    val xbarPpm = (if (n == BigInt(0)) BigInt(0) else (sx * BigInt(1000)) / n)
+      .bigInteger.longValueExact()
+    exposed.groupBy("variant").agg(
+        count(lit(1)).as("n_users"),
+        sum("x_milli").as("x_sum_milli"),
+        sum("y_milli").as("y_sum_milli"))
+      .select(col("variant"), col("n_users"), col("x_sum_milli"),
+        col("y_sum_milli"),
+        expr("y_sum_milli * 1000 div n_users").as("y_mean_ppm"),
+        expr(s"y_sum_milli * 1000 div n_users - ($thetaPpm * " +
+          s"(x_sum_milli * 1000 div n_users - $xbarPpm)) div 1000000")
+          .as("yadj_mean_ppm"),
+        lit(thetaPpm).as("theta_ppm"))
+  }
+
   /** Day-of-week × hour-of-day activity profile — the seasonality
     * fingerprint capacity planning and anomaly baselines read. Bucket
     * arithmetic is pure integer epoch math in UTC (dow 0 = Sunday via

@@ -4366,6 +4366,65 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("abCuped: brute CUPED chain, exposure in post only, zero-variance θ=0") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val split = graft.streaming.EventWindows.CupedSplitEpoch
+    def pre(off: Long) = new Timestamp((split - 86400L + off) * 1000L)
+    def post(off: Long) = new Timestamp((split + off) * 1000L)
+    // users 1..4 exposed in post; user 5 viewed only PRE → excluded;
+    // user 2's NaN pre-purchase contributes X = 0
+    val ev = Seq(
+      (1L, pre(0), 1L, "purchase", 10.0), (2L, post(1), 1L, "view", 0.0),
+      (3L, post(2), 1L, "purchase", 20.0),
+      (4L, pre(0), 2L, "purchase", Double.NaN),
+      (5L, post(1), 2L, "view", 0.0), (6L, post(2), 2L, "purchase", 5.0),
+      (7L, pre(0), 3L, "purchase", 4.0), (8L, post(1), 3L, "view", 0.0),
+      (9L, pre(0), 4L, "purchase", 2.0), (10L, post(1), 4L, "view", 0.0),
+      (11L, post(2), 4L, "purchase", 1.5),
+      (12L, pre(0), 5L, "view", 0.0), (13L, post(1), 5L, "purchase", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.streaming.EventWindows.abCuped(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // brute: per-user (x, y) milli for users 1..4, θ over the pool
+    import graft.functions.PolyHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val xy = Map(1L -> ((10000L, 20000L)), 2L -> ((0L, 5000L)),
+      3L -> ((4000L, 0L)), 4L -> ((2000L, 1500L)))
+    val n = BigInt(xy.size)
+    val sx = BigInt(xy.values.map(_._1).sum)
+    val sy = BigInt(xy.values.map(_._2).sum)
+    val sxy = xy.values.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xy.values.map(p => BigInt(p._1) * p._1).sum
+    val theta = ((n * sxy - sx * sy) * 1000000) / (n * sxx - sx * sx)
+    val xbar = (sx * 1000) / n
+    val arms = xy.toSeq.groupBy { case (u, _) =>
+      PolyHashUtil.hash(UTF8String.fromString(u.toString)) % 2L }
+    val want = arms.map { case (v, us) =>
+      val nu = us.size.toLong
+      val (xs, ys) = (us.map(_._2._1).sum, us.map(_._2._2).sum)
+      val ym = ys * 1000L / nu
+      val yadj = ym - (theta.toLong * (xs * 1000L / nu - xbar.toLong)) /
+        1000000L
+      v -> ((nu, xs, ys, ym, yadj, theta.toLong))
+    }
+    assert(got === want)
+    // a constant covariate ⇒ var(X) = 0 ⇒ θ = 0 and yadj ≡ y_mean
+    val flat = Seq(
+      (1L, pre(0), 1L, "purchase", 3.0), (2L, post(1), 1L, "view", 0.0),
+      (3L, post(2), 1L, "purchase", 7.0),
+      (4L, pre(0), 2L, "purchase", 3.0), (5L, post(1), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val fr = graft.streaming.EventWindows.abCuped(flat).collect()
+    assert(fr.forall(_.getLong(6) === 0L))
+    assert(fr.forall(r => r.getLong(5) === r.getLong(4)))
+    // no exposed users → empty read-out
+    assert(graft.streaming.EventWindows.abCuped(
+      flat.filter(col("event_type") =!= "view")).count() === 0L)
+  }
+
   test("embeddingOutliers surfaces the planted mislabel first") {
     val s = spark
     import s.implicits._
