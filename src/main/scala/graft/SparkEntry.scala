@@ -733,6 +733,31 @@ object SparkEntry {
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
     }),
+    // the REFRESH CYCLE of the serving tier: stored depth-256 index +
+    // forward index over 4/5 of the corpus, the remaining fifth folds
+    // in as an O(batch) postingsDelta merge (+ appended lengths), and
+    // BM25 serves from the merged relations — must hash-match the
+    // ONE-SHOT indexed oracle (chained ≡ one-shot at the score level,
+    // inherited from the postingsDelta exactness law)
+    "text_bm25_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_inc_idx")
+      TextOps.postingsIndex(corpus.filter(col("doc_id") % 5 =!= 0),
+          k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_inc_lens")
+      TextOps.docLengths(corpus.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(lensDir)
+      val batch = corpus.filter(col("doc_id") % 5 === 0)
+      TextOps.bm25FromIndex(
+          TextOps.postingsDelta(s.read.parquet(idxDir), batch,
+            k = TextOps.Bm25IndexDepth),
+          s.read.parquet(lensDir).unionByName(TextOps.docLengths(batch)),
+          docs)
+        .orderBy("query_id", "rank")
+    }),
     // HYBRID retrieval from stored indexes end to end: RRF of the
     // stored-postings bm25 pool and the stored-SQ8-codes vector pool —
     // the serving stack a production tier actually runs (no corpus
@@ -3766,6 +3791,11 @@ object SparkEntry {
     // restricted to each token's top-PostingsK postings (df stays
     // full — every surviving candidate's score is unchanged)
     "text_bm25_indexed" ->
+      bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.Bm25IndexDepth.toLong),
+    // the incremental refresh is an execution detail (stored index +
+    // O(batch) delta merge instead of a rebuild) — the one-shot
+    // indexed SQL gates it verbatim, so chained ≡ one-shot IS the gate
+    "text_bm25_incremental" ->
       bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.Bm25IndexDepth.toLong),
     // RRF splice of the two stored-tier oracles — the HybridSql shape
     // with the posting-capped bm25 pool and the corpus-restricted SQ8

@@ -4609,6 +4609,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 incremental refresh: delta-merged index serves bit-identically to the one-shot rebuild") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // one-shot: the indexed serve over the whole corpus at depth 64
+    // (capped — so the law is checked on the PRUNED form too, not
+    // just the lossless deep index)
+    for (depth <- Seq(64, 2000)) {
+      val oneShot = rows(TextOps.bm25FromIndex(
+        TextOps.postingsIndex(corpus, k = depth),
+        TextOps.docLengths(corpus), docs))
+      assert(oneShot.nonEmpty)
+      // refresh cycle: stored 4/5 index + O(batch) delta of the fifth,
+      // forward index appended — scores must be BIT-identical
+      val base = corpus.filter(col("doc_id") % 5 =!= 0)
+      val batch = corpus.filter(col("doc_id") % 5 === 0)
+      val merged = TextOps.postingsDelta(
+        TextOps.postingsIndex(base, k = depth), batch, k = depth)
+      val lens = TextOps.docLengths(base)
+        .unionByName(TextOps.docLengths(batch))
+      withClue(s"depth=$depth") {
+        assert(rows(TextOps.bm25FromIndex(merged, lens, docs)) === oneShot)
+      }
+    }
+  }
+
   test("shardAssignment: append-stable within-shard order; positions contiguous from 1") {
     import operators.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
