@@ -1201,6 +1201,19 @@ object SparkEntry {
           emb)
         .orderBy("query_id", "rank")
     }),
+    // IVF×SQ8: the remaining cell of the FAISS index matrix — cells
+    // prune candidates, SQ8 reconstruction scores them with exact L2;
+    // both layers hash-anchored/grid-exact so the gate is ORACLED
+    "knn_ivf_sq8" -> ((s, d) =>
+      Similarity.knnIvfSq8(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // IVF×SQ8 honesty: recall@5 vs exact L2 — prices cell misses and
+    // quantization error together
+    "knn_ivf_sq8_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnIvfSq8(emb),
+        Similarity.knnBruteL2(emb))
+    }),
     // IVFPQ: the production composition — IVF cells prune the search,
     // PQ codes compress the candidates to LUT lookups; both quantizers
     // hash-anchored so the WHOLE layout is oracle-checked end to end
@@ -2616,6 +2629,42 @@ object SparkEntry {
       "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
       s"WHERE crank <= ${Similarity.IvfNProbe}), " +
       "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM e WHERE vec_id < 10)"
+
+  /** knn_ivf_sq8 oracle — the shared IVF layout CTEs with the
+    * KnnSq8Sql reconstruction spliced in as the scoring tail: each
+    * probed candidate is met through `mn + code·(mx−mn)/255.0` and
+    * scored by the exact squared-L2 list fold. Shared by
+    * knn_ivf_sq8_recall's approx side.
+    */
+  private lazy val KnnIvfSq8Sql: String =
+    s"WITH $IvfCoreCtes, " +
+      "sx AS (SELECT vec_id, embedding, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM e), " +
+      "sv AS (SELECT vec_id, i - 1 AS dim, " +
+      "CAST(embedding[i] AS DOUBLE) AS x FROM sx), " +
+      "sst AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM sv GROUP BY dim), " +
+      "sq8 AS (SELECT vec_id, sv.dim, mn, mx, " +
+      "CASE WHEN mx > mn THEN LEAST(CAST(floor((x - mn) * 255.0 / (mx - mn)) " +
+      "AS BIGINT), 255) ELSE 0 END AS code FROM sv JOIN sst ON sst.dim = sv.dim), " +
+      "srec AS (SELECT vec_id, dim, " +
+      "mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0 AS rx FROM sq8), " +
+      "sra AS (SELECT vec_id, list(rx ORDER BY dim) AS rv FROM srec " +
+      "GROUP BY vec_id), " +
+      "ssc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "CAST(floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, len(q.q_emb) + 1), " +
+      "i -> (CAST(q.q_emb[i] AS DOUBLE) - sra.rv[i]) * " +
+      "(CAST(q.q_emb[i] AS DOUBLE) - sra.rv[i]))), " +
+      "(acc, y) -> acc + y) * 1000000.0) AS BIGINT) AS l2_fp " +
+      "FROM assigned a JOIN sra ON sra.vec_id = a.vec_id " +
+      "JOIN probes p ON a.cell = p.cell " +
+      "JOIN q ON q.query_id = p.query_id " +
+      "WHERE a.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) AS rnk " +
+      "FROM ssc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, l2_fp " +
+      s"FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
   private val KnnIvfSql: String =
     s"WITH $IvfCoreCtes, " +
@@ -4601,6 +4650,8 @@ object SparkEntry {
     "knn_pq_recall" -> recallSql(KnnBruteL2Sql, KnnPqSql),
     "knn_ivf_pq" -> KnnIvfPqSql,
     "knn_ivf_pq_recall" -> recallSql(KnnBruteL2Sql, KnnIvfPqSql),
+    "knn_ivf_sq8" -> KnnIvfSq8Sql,
+    "knn_ivf_sq8_recall" -> recallSql(KnnBruteL2Sql, KnnIvfSq8Sql),
     "knn_brute_l2_trunc" -> KnnBruteL2TruncSql,
     "knn_trunc_recall" -> recallSql(KnnBruteL2Sql, KnnBruteL2TruncSql),
     "embedding_neardup" -> EmbNearDupSql,

@@ -463,27 +463,41 @@ object Similarity {
     * per-dim grid ships as ≤ `Sq8MaxDims` double literals, queries
     * broadcast — no corpus embedding is ever read.
     */
-  def knnSq8(stats: DataFrame, codes: DataFrame, queryEmb: DataFrame,
-      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+  /** The stored-grid loader every SQ8 consumer shares (`knnSq8`
+    * serving, `knnIvfSq8`'s inline quantization): bounded collect,
+    * loud cap / dim-contiguity guards; returns `(mn, span)` arrays in
+    * dim order (span = mx − mn precomputed driver-side — the exact
+    * same double the in-query subtraction yields), or None for an
+    * empty grid.
+    */
+  private def loadSq8Grid(
+      stats: DataFrame): Option[(Array[Double], Array[Double])] = {
     val st = stats.select(col("dim"), col("mn"), col("mx")).collect()
     require(st.length <= Sq8MaxDims,
       s"stored SQ8 stats relation has ${st.length} rows — the contract " +
         s"caps it at Sq8MaxDims = $Sq8MaxDims (one row per dimension)")
-    val empty = queryEmb.select(col("vec_id").as("query_id"),
-      lit(1L).as("rank"), col("vec_id").as("neighbor_id"),
-      lit(0L).as("l2_fp")).filter(lit(false))
-    if (st.isEmpty) return empty
+    if (st.isEmpty) return None
     val byDim = st.sortBy(_.getLong(0))
     byDim.map(_.getLong(0)).zipWithIndex.foreach { case (d, i) =>
       require(d == i.toLong,
         s"SQ8 stats dims must be exactly 0..n-1; found dim $d at " +
           s"position $i")
     }
-    val mn = byDim.map(_.getDouble(1))
+    Some((byDim.map(_.getDouble(1)),
+      byDim.map(r => r.getDouble(2) - r.getDouble(1))))
+  }
+
+  def knnSq8(stats: DataFrame, codes: DataFrame, queryEmb: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val empty = queryEmb.select(col("vec_id").as("query_id"),
+      lit(1L).as("rank"), col("vec_id").as("neighbor_id"),
+      lit(0L).as("l2_fp")).filter(lit(false))
+    val grid = loadSq8Grid(stats)
+    if (grid.isEmpty) return empty
     // the single subtraction is precomputed; the per-element chain
     // stays `mn + (code · span) / 255.0` — the exact expression order
     // the oracle (and err_ppm) uses
-    val span = byDim.map(r => r.getDouble(2) - r.getDouble(1))
+    val (mn, span) = grid.get
     val mnLit = lit(mn)
     val spanLit = lit(span)
     // a PACKED relation (vec_id, codes array — `sq8Pack` at ingest)
@@ -512,6 +526,94 @@ object Similarity {
     graft.plans.TopK.perKey(scored, Seq("query_id"),
         Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
+  /** IVF × SQ8 — the remaining cell of the FAISS index matrix
+    * (IVF_FLAT / IVF_PQ / IVF_SQ8): the hash-anchored IVF layout
+    * prunes CANDIDATES to the probed cells, and each candidate is met
+    * through its SQ8 reconstruction (`mn + code·span/255.0`, the
+    * exact err_ppm chain) scored with the exact squared-L2 fold — so
+    * the two prunings compose orthogonally: cells trade recall for
+    * candidate count (the IVF promise), SQ8 trades precision for 4×
+    * memory, and `nProbe ≥ cells` collapses the first pruning exactly
+    * onto `knnSq8` (spec-pinned — the probe-everything law the IVFPQ
+    * family established).
+    *
+    * Scale shape: the cell assignment is the shared codegen
+    * `ivf_assign2` expression (zero shuffle); quantization is FUSED
+    * into the candidate projection (grid ships as ≤ `Sq8MaxDims`
+    * double literals — codes never materialize, the stored-codes
+    * serving form is `knnSq8` over a cell-restricted corpus);
+    * candidates are the broadcast cell equi-join, |corpus|·nProbe/
+    * cells rows, closed by the k-bounded heap.
+    */
+  def knnIvfSq8(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L): DataFrame =
+    graft.plans.TopK.perKey(
+        ivfSq8Scored(emb, nQueries, nProbe, nCells, corpusSize),
+        Seq("query_id"), Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
+
+  private[graft] def ivfSq8Scored(emb: DataFrame,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L): DataFrame = {
+    val corpus = withNorm(emb)
+    val cells =
+      if (nCells > 0) nCells
+      else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
+    // the ivfScored centroid selection verbatim: deterministic
+    // hash-anchored sample via TakeOrdered, collected once
+    val cents = corpus
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val centRows = cents.collect().sortBy(_.getLong(0))
+    val empty = emb.select(col("vec_id").as("query_id"),
+      col("vec_id").as("neighbor_id"), lit(0L).as("l2_fp"))
+      .filter(lit(false))
+    if (centRows.isEmpty) return empty
+    val grid = loadSq8Grid(sq8Stats(emb))
+    if (grid.isEmpty) return empty
+    val (mn, span) = grid.get
+    val centIds = centRows.map(_.getLong(0))
+    val centEmb = centRows.map(
+      _.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val centN2 = centRows.map(_.getDouble(2))
+    val centLocal = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cents.schema)
+    val mnLit = lit(mn)
+    val spanLit = lit(span)
+    // quantize + dequantize fused per element: code =
+    // clamp(⌊(x − mn)·255/span⌋), recon = mn + code·span/255.0 —
+    // token-for-token the quantizeInt8/knnSq8 chain
+    val recon = transform(col("embedding"), (x, i) => {
+      val m = element_at(mnLit, i + 1)
+      val sp = element_at(spanLit, i + 1)
+      val code = when(sp > lit(0.0),
+        least(floor((x.cast("double") - m) * lit(255.0) / sp), lit(255L)))
+        .otherwise(lit(0L))
+      m + code.cast("double") * sp / lit(255.0)
+    })
+    val assigned = corpus.select(
+      assignCellExpr(centIds, centEmb, centN2).as("cell"),
+      col("vec_id"), recon.as("r_emb"))
+    val probes = probeRank(corpus, centLocal, nQueries, nProbe)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    assigned.join(broadcast(probes), "cell")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(aggregate(
+          zip_with(col("q_emb"), col("r_emb"), (a, b) => {
+            val t = a.cast("double") - b
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+          .cast("long").as("l2_fp"))
   }
 
   /** PQ geometry: subspace count and per-subspace codebook size.

@@ -1509,6 +1509,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(exRaw.getMessage.contains("codes"))
   }
 
+  test("knnIvfSq8: probe-everything ≡ knnSq8; default probes cell-prune the candidates") {
+    val emb = spark.range(1500).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(" +
+        "pmod(hash(id % 25 * 16 + i), 1000) / 499.5 - 1.0 + " +
+        "pmod(hash(id * 16 + i + 99), 100) / 1250.0 as float))")
+        .as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // probing EVERY cell collapses the IVF layer exactly onto the
+    // pure SQ8 serve (cells prune candidates, never change scores)
+    val nCells = math.floor(math.sqrt(1500.0)).toInt
+    val allProbes = rows(Similarity.knnIvfSq8(emb, nProbe = nCells))
+    val pureSq8 = rows(Similarity.knnSq8(Similarity.sq8Stats(emb),
+      Similarity.quantizeInt8(emb), emb))
+    assert(allProbes === pureSq8)
+    assert(allProbes.nonEmpty)
+    // the default probe setting meets strictly fewer candidates
+    val pruned = Similarity.ivfSq8Scored(emb).count()
+    val full = Similarity.knnSq8(Similarity.sq8Stats(emb),
+      Similarity.quantizeInt8(emb), emb, k = 1500).count()
+    assert(pruned < full,
+      s"default probes met $pruned candidates, full scan pairs $full")
+  }
+
   test("knnIvfPqFromStored: probe-everything ≡ knnPqFromCodes; default probes cell-prune; both stamps guarded") {
     val emb = spark.range(2000).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 15), i -> cast(" +
