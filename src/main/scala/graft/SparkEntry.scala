@@ -1026,6 +1026,18 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("doc_id", "version")
     }),
+    // retention vacuum over the SAME history: purge rows no PIT query
+    // at/after the watermark can reach; open rows (incl. tombstones)
+    // always survive — PIT-invariance spec-pinned
+    "docs_vacuum" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
+      Snapshot.scd2Vacuum(Snapshot.scd2History(cur.unionByName(changes)),
+          Snapshot.VacuumRetainFrom)
+        .select(col("doc_id"), col("version"), col("deleted"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("doc_id", "version")
+    }),
     // the point-in-time query SCD2 exists for: the corpus exactly as
     // it stood at PitVersion — upserts ≤ PitVersion applied, later
     // tombstones not yet; a range predicate over the history relation
@@ -4300,6 +4312,25 @@ object SparkEntry {
         s"ORDER BY version), $open) AS valid_to FROM u) " +
         "SELECT doc_id, version, deleted, valid_from, valid_to, " +
         s"(valid_to = $open AND NOT deleted) AS is_current FROM h"
+    },
+    "docs_vacuum" -> {
+      // the docs_scd2 chain with the single retention range test on
+      // top — the keep predicate IS the operator
+      val open = Snapshot.Scd2Open
+      val retain = Snapshot.VacuumRetainFrom
+      "WITH u AS (" +
+        "SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted " +
+        "FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), FALSE " +
+        "FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), TRUE " +
+        "FROM documents WHERE doc_id % 7 = 3), " +
+        "h AS (SELECT doc_id, version, deleted, version AS valid_from, " +
+        s"COALESCE(LEAD(version) OVER (PARTITION BY doc_id " +
+        s"ORDER BY version), $open) AS valid_to FROM u) " +
+        "SELECT doc_id, version, deleted, valid_from, valid_to, " +
+        s"(valid_to = $open AND NOT deleted) AS is_current FROM h " +
+        s"WHERE valid_to > $retain"
     },
     // diff audits the SAME merged relation (shared MergedSnapshotSql
     // body, so the two gates cannot drift); the oracle compares text

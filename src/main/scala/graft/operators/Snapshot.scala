@@ -140,6 +140,36 @@ object Snapshot {
         col("valid_to") === Scd2Open && !col(deletedCol))
   }
 
+  /** SCD2 RETENTION VACUUM — the logical half of what Delta/Iceberg
+    * VACUUM does to a versioned table: purge history rows that NO
+    * point-in-time query at or after the retention watermark can ever
+    * touch. The keep predicate is a single range test,
+    * `valid_to > retainFrom`: a row's interval [valid_from, valid_to)
+    * covers some t ≥ retainFrom iff its valid_to exceeds the
+    * watermark, so every kept row is still reachable and every purged
+    * row was only reachable from pre-watermark history. Open rows
+    * (valid_to = Scd2Open) — including open TOMBSTONES, which encode
+    * "currently absent" — always survive, so `is_current` filtering
+    * and the latest-state derivation are vacuum-invariant, and the
+    * as-of anchor AT the watermark survives (its interval covers
+    * retainFrom). The PIT-invariance law (any t ≥ retainFrom answers
+    * identically on the vacuumed history) is spec-pinned.
+    *
+    * Scale shape: a pushed-down range filter over the history scan —
+    * map-only, partition-prunable when the history is laid out by
+    * valid_to, which is exactly how a 100 TB versioned corpus wants
+    * its retention pass to run (no shuffle, no rewrite of surviving
+    * rows).
+    */
+  def scd2Vacuum(history: DataFrame, retainFrom: Long): DataFrame =
+    history.filter(col("valid_to") > lit(retainFrom))
+
+  /** Retention watermark for the vacuum gate: PIT queries at version
+    * ≥ 1 stay answerable; version-0 intervals closed before then are
+    * purged. Same constant MUST appear in the oracle SQL.
+    */
+  val VacuumRetainFrom = 1L
+
   /** Content diff between two snapshots of the same keyed relation:
     * one row per key whose membership or content changed, labeled
     * `added` (in `after` only), `removed` (in `before` only) or

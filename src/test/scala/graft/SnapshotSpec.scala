@@ -138,6 +138,41 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("scd2Vacuum: PIT-invariant at/after the watermark; open rows and tombstones survive") {
+    val updates = snap(
+      (1L, "one", 0L, false), (1L, "one-v3", 3L, false),
+      (2L, "two", 0L, false), (2L, "dead", 5L, true),
+      (3L, "three", 2L, false), (4L, "four-v1", 1L, false),
+      (4L, "four-v4", 4L, false), (4L, "four-v6", 6L, false))
+    val full = Snapshot.scd2History(updates)
+    def pit(h: DataFrame, t: Long): Set[(Long, String)] =
+      h.filter(org.apache.spark.sql.functions.expr(
+        s"valid_from <= $t AND valid_to > $t AND NOT deleted"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (watermark <- Seq(0L, 3L, 4L, 10L)) {
+      val vac = Snapshot.scd2Vacuum(full, watermark)
+      // PIT-invariance: every t ≥ watermark answers identically
+      for (t <- watermark to 8L) {
+        withClue(s"watermark=$watermark t=$t") {
+          assert(pit(vac, t) === pit(full, t))
+        }
+      }
+      // open rows — including the open TOMBSTONE (doc 2, "currently
+      // absent") — always survive, so is_current is vacuum-invariant
+      val curF = full.filter(org.apache.spark.sql.functions
+        .col("valid_to") === Snapshot.Scd2Open).count()
+      val curV = vac.filter(org.apache.spark.sql.functions
+        .col("valid_to") === Snapshot.Scd2Open).count()
+      assert(curF === curV)
+    }
+    // the purge is REAL: watermark 4 drops doc 4's v1 interval
+    // ([1, 4) ends at the watermark → unreachable from t ≥ 4) and
+    // doc 1's v0 ([0, 3)); a pre-watermark PIT visibly differs
+    val vac4 = Snapshot.scd2Vacuum(full, 4L)
+    assert(vac4.count() < full.count())
+    assert(pit(vac4, 1L) !== pit(full, 1L))
+  }
+
   test("latestState: streaming complete-mode state == batch over the same updates") {
     // updates arrive out of version order and across micro-batch
     // boundaries: upsert, tombstone, re-insert after tombstone,
