@@ -1067,6 +1067,12 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.table(s, d, "embeddings"))
         .orderBy("label", "dim")),
+    // ONE exact Lloyd round from the hash-anchored init — the k-means
+    // training STEP oracle-checked (flat L2 argmin assignment +
+    // quantize-first integer mean update)
+    "embedding_lloyd" -> ((s, d) =>
+      Similarity.lloydStep(Tables.table(s, d, "embeddings"))
+        .orderBy("cent_id", "dim")),
     // exact squared-L2 brute top-k — the Euclidean metric baseline
     // (knn_brute is cosine); integer l2_fp scores, broadcast queries
     "knn_brute_l2" -> ((s, d) =>
@@ -4667,6 +4673,30 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_ppm, " +
         "CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm " +
         "FROM q GROUP BY 1, 2"),
+    "embedding_lloyd" -> {
+      // hash-anchored init, flat (L2 asc, cent_id asc) argmin
+      // assignment, then the embedding_centroids quantize-first mean
+      val k = Similarity.LloydK
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+        "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+        s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+        s"c AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM ch " +
+        s"WHERE crn <= $k), " +
+        "ar AS (SELECT e.vec_id, c.cent_id, row_number() OVER " +
+        "(PARTITION BY e.vec_id ORDER BY " +
+        s"${l2BlockSql("e.embedding", "c.c_emb", 0, 1)} ASC, " +
+        "c.cent_id ASC) AS rn FROM e, c), " +
+        "asg AS (SELECT vec_id, cent_id FROM ar WHERE rn = 1), " +
+        "x AS (SELECT a.cent_id, " +
+        "unnest(generate_series(1, len(e.embedding))) AS i, e.embedding " +
+        "FROM e JOIN asg a ON a.vec_id = e.vec_id), " +
+        "q AS (SELECT cent_id, i - 1 AS dim, " +
+        "CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM x) " +
+        "SELECT cent_id, CAST(dim AS BIGINT) AS dim, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_ppm, " +
+        "CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm " +
+        "FROM q GROUP BY 1, 2"
+    },
     "embedding_project" -> s"WITH $RpProjCte SELECT vec_id, pdim, y FROM pj",
     "knn_project" -> KnnProjSql,
     // projection honesty: both sides SQL-derivable (the sign matrix

@@ -1386,6 +1386,71 @@ object Similarity {
       // consumers wanting floor semantics derive it from sum + count
       .withColumn("mean_ppm", expr("sum_ppm div n_vecs"))
 
+  /** Seed count for the oracled Lloyd-step gate. Same constant MUST
+    * appear in the oracle SQL.
+    */
+  val LloydK = 8
+
+  /** ONE EXACT LLOYD ROUND from the hash-anchored init — the k-means
+    * training STEP as an oracle-checkable relation. The trained-IVF
+    * family (`trainCentroids`/`centroidsOf`) runs this step iterated
+    * with driver-sampled state and is gated rows-only (fitted floats
+    * aren't SQL-derivable); THIS gate pins the step's arithmetic
+    * itself: init = the k smallest `(poly_hash(vec_id), vec_id)`
+    * corpus vectors (the repo's standard RNG-free sample), assignment
+    * = exact FLAT squared-L2 argmin (per-centroid sequential left
+    * fold, tie → smaller cent_id — deliberately flat, not the
+    * two-level serving kernel: a training step wants the exact
+    * partition), update = the `labelCentroids` quantize-FIRST integer
+    * mean (⌊x·1e6⌋ longs summed, truncating div), so every output
+    * cell is an exact integer both engines reproduce bit-for-bit.
+    * Output one row per (cent_id, dim): the updated centroid in ppm
+    * fixed point plus its member count.
+    *
+    * Scale shape: map-ONLY assignment (k centroid arrays ship as
+    * literals in the projection — k·dims doubles), then one
+    * (cent_id, dim)-keyed aggregation of quantized elements with
+    * map-side combine: k·dims groups. Nothing corpus-sized shuffles;
+    * iterating the step is k·dims-bounded driver state per round —
+    * exactly `trainCentroids`' contract, here priced per round.
+    */
+  def lloydStep(emb: DataFrame, k: Int = LloydK): DataFrame = {
+    require(k >= 1 && k <= IvfMaxCells,
+      s"lloydStep needs k in [1, $IvfMaxCells], got $k")
+    val init = emb
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+      .collect().sortBy(_.getLong(0))
+    if (init.isEmpty)
+      return emb.select(col("vec_id").as("cent_id"),
+        col("vec_id").as("dim"), col("vec_id").as("n_vecs"),
+        col("vec_id").as("sum_ppm"), col("vec_id").as("mean_ppm"))
+        .filter(lit(false))
+    def d2(cEmb: Array[Double]) = aggregate(
+      zip_with(col("embedding"), lit(cEmb), (a, b) => {
+        val t = a.cast("double") - b
+        t * t
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    // struct-min = (d2 asc, cent_id asc) argmin — the row_number
+    // tie-break in expression form (struct() names computed fields
+    // col1/col2, so the id is read back positionally)
+    val cell = array_min(array(init.map { r =>
+      struct(d2(r.getSeq[Number](1).map(_.doubleValue()).toArray),
+        lit(r.getLong(0)))
+    }: _*)).getField("col2")
+    emb.select(cell.as("cent_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("cent_id"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(CentroidQuantPpm.toDouble))
+          .cast("long").as("q"))
+      .groupBy("cent_id", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm div n_vecs"))
+  }
+
   /** Result size for the embedding-outlier report. Same constant MUST
     * appear in the oracle SQL.
     */

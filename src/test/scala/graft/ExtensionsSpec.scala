@@ -4449,6 +4449,47 @@ class ExtensionsSpec extends SparkSpec {
       flat.filter(col("event_type") =!= "view")).count() === 0L)
   }
 
+  test("lloydStep == brute flat-argmin assignment + quantize-first means") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.PolyHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(59)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(6)(d => (rng.nextInt(2000) - 1000) / 997.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    for (k <- Seq(1, 5)) {
+      val initIds = vecs.map(_._1).sortBy(id =>
+        (PolyHashUtil.hash(UTF8String.fromString(id.toString)), id)).take(k)
+      val init = initIds.sorted.map(id =>
+        id -> vecs.find(_._1 == id).get._2.map(_.toDouble))
+      def d2(a: Array[Float], c: Array[Double]): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) {
+          val t = a(i).toDouble - c(i); acc += t * t; i += 1
+        }
+        acc
+      }
+      val assign = vecs.map { case (id, v) =>
+        id -> init.minBy { case (cid, c) => (d2(v, c), cid) }._1
+      }.toMap
+      val want = vecs.flatMap { case (id, v) =>
+        v.zipWithIndex.map { case (x, d) =>
+          ((assign(id), d.toLong), math.floor(x.toDouble * 1e6).toLong)
+        }
+      }.groupBy(_._1).map { case (key, qs) =>
+        val sum = qs.map(_._2).sum
+        key -> ((qs.size.toLong, sum, sum / qs.size))
+      }
+      val got = Similarity.lloydStep(emb, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      withClue(s"k=$k") { assert(got === want) }
+    }
+    intercept[IllegalArgumentException] { Similarity.lloydStep(emb, k = 0) }
+  }
+
   test("embeddingOutliers surfaces the planted mislabel first") {
     val s = spark
     import s.implicits._
