@@ -294,6 +294,13 @@ object SparkEntry {
       GraphOps.modularity(sp, GraphOps.labelPropagation(sp))
         .orderBy("community")
     }),
+    // one synchronous Louvain round from singletons: integer ΔQ
+    // numerator argmax per vertex — the modularity-OPTIMIZATION step
+    // next to the metric gate above
+    "graph_louvain" -> ((s, d) =>
+      GraphOps.louvainRound(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("vertex")),
     // HITS hubs & authorities in exact ppb fixed-point — the directed
     // complement of pagerank's relevance family, on the same
     // sparsified slice at the same unrolled-round contract
@@ -3055,6 +3062,26 @@ object SparkEntry {
     // slice; MATERIALIZED like the kcore unroll (each round CTE is
     // referenced twice — inlining would go exponential in the depth)
     "graph_lpa" -> GraphLpaSql,
+    "graph_louvain" -> {
+      // the modularity oracle's sym construction; per-vertex argmax of
+      // the integer ΔQ numerator 2m·1 − k_u·k_v (gain desc, nbr asc),
+      // move iff positive, synchronous against the singleton state
+      s"WITH base AS (SELECT DISTINCT src, dst FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), " +
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY 1), " +
+        "mm AS (SELECT COUNT(*) // 2 AS m FROM sym), " +
+        "cand AS (SELECT s.u, s.v, 2 * mm.m - du.k * dv.k AS gain " +
+        "FROM sym s JOIN deg du ON du.u = s.u " +
+        "JOIN deg dv ON dv.u = s.v, mm), " +
+        "best AS (SELECT u, v, gain, row_number() OVER (PARTITION BY u " +
+        "ORDER BY gain DESC, v ASC) AS rn FROM cand) " +
+        "SELECT d.u AS vertex, CAST(CASE WHEN b.gain > 0 THEN b.v " +
+        "ELSE d.u END AS BIGINT) AS community, " +
+        "CAST(CASE WHEN b.gain > 0 THEN b.gain ELSE 0 END AS BIGINT) " +
+        "AS gain_num FROM deg d JOIN best b ON b.u = d.u AND b.rn = 1"
+    },
     "graph_modularity" ->
       // the LPA labeling spliced whole; sym rebuilt with the identical
       // sparsify/symmetrize expressions; each undirected intra edge

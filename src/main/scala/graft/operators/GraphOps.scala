@@ -2251,6 +2251,56 @@ object GraphOps {
     out
   }
 
+  /** ONE SYNCHRONOUS LOUVAIN ROUND from singleton communities — the
+    * modularity-OPTIMIZATION step (Blondel et al., "Fast unfolding of
+    * communities in large networks", 2008) next to the modularity
+    * METRIC above, in exact integer arithmetic: on the symmetrized
+    * simple graph, vertex u's gain for joining neighbor v's singleton
+    * community is ΔQ ∝ 2m·w_uv − k_u·k_v (the standard ΔQ numerator
+    * with the positive 1/(2m²) scale dropped — comparisons and the
+    * move-iff-positive test are exact on the integer numerator; w_uv
+    * = 1 on the simple graph). Each vertex takes the best positive
+    * move (gain desc, then smaller neighbor id) or keeps its own
+    * label; all decisions read the SINGLETON state (synchronous
+    * sweep), so the output is deterministic and oracle-checkable —
+    * the asynchronous visit-order variant of the published heuristic
+    * is not. Output (vertex, community, gain_num); iterating the
+    * full algorithm = contract each labeling (the `modularity`
+    * aggregation keys) into a weighted supergraph and repeat — the
+    * per-round machinery is THIS relation; LPA remains the repo's
+    * fixpoint community operator.
+    *
+    * Shape: degree relation + two vertex-keyed joins onto the edge
+    * bag, one (u)-keyed struct-min argmax — nothing wider than the
+    * edge relation shuffles, no windows. Gain fits a long while
+    * k_u·k_v < 2^63 (hub degrees ~1e9 at the extreme; the modularity
+    * docstring's decimal upgrade applies the same way).
+    */
+  def louvainRound(e: DataFrame): DataFrame = {
+    val (und, nSym) = undSimple(e)
+    val m = nSym / 2L
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
+    val cand = und
+      .join(deg.select(col("v").as("src"), col("k").as("ku")), "src")
+      .join(deg.select(col("v").as("dst"), col("k").as("kv")), "dst")
+      .select(col("src").as("u"), col("dst").as("nbr"),
+        (lit(2L * m) - col("ku") * col("kv")).as("gain"))
+    // struct-min = (gain desc, nbr asc) argmax without a window
+    // (the computed first field gets struct()'s col1 placeholder name;
+    // the plain column reference keeps its own)
+    val best = cand.groupBy("u")
+      .agg(min(struct(-col("gain"), col("nbr"))).as("b"))
+      .select(col("u"), (-col("b.col1")).as("gain"),
+        col("b.nbr").as("nbr"))
+    deg.select(col("v").as("vertex"))
+      .join(best.withColumnRenamed("u", "vertex"), Seq("vertex"), "left")
+      .select(col("vertex"),
+        when(col("gain") > 0L, col("nbr")).otherwise(col("vertex"))
+          .as("community"),
+        coalesce(when(col("gain") > 0L, col("gain")), lit(0L))
+          .as("gain_num"))
+  }
+
   /** Component-SIZE histogram over a (vertex, component) labeling
     * (`components` output): how many components have each size — the
     * fragmentation profile that distinguishes "one giant component

@@ -505,6 +505,41 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("louvainRound == brute synchronous ΔQ argmax from singletons") {
+    val s = spark
+    import s.implicits._
+    def brute(e: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val und = e.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, p.swap)).distinct
+      val m = und.size.toLong / 2L
+      val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      deg.keys.map { u =>
+        val nbrs = und.filter(_._1 == u).map(_._2)
+        val (bestGain, bestV) = nbrs
+          .map(v => (2L * m - deg(u) * deg(v), v))
+          .minBy { case (g, v) => (-g, v) }
+        u -> (if (bestGain > 0L) (bestV, bestGain) else (u, 0L))
+      }.toMap
+    }
+    val rng = new scala.util.Random(193)
+    // a hand case first: star 0-{1,2,3} + pendant pair 8-9 (m = 4).
+    // The pendant pair merges (gain 2m − 1·1 = 7); leaves join the
+    // hub (2m − 1·3 = 5); the hub's best leaf is 1 by the id
+    // tie-break
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (8L, 9L))
+    val got0 = GraphOps.louvainRound(edgeDf(star: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got0 === Map(0L -> ((1L, 5L)), 1L -> ((0L, 5L)),
+      2L -> ((0L, 5L)), 3L -> ((0L, 5L)), 8L -> ((9L, 7L)),
+      9L -> ((8L, 7L))))
+    (1 to 3).foreach { _ =>
+      val e = List.fill(60)((rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+      val got = GraphOps.louvainRound(edgeDf(e: _*)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      withClue(s"edges=$e") { assert(got === brute(e)) }
+    }
+  }
+
   test("closenessWeightedSampled ≡ aggregated per-source ssspBudget runs") {
     val s = spark
     import s.implicits._
