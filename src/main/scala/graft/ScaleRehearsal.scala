@@ -1181,6 +1181,48 @@ object ScaleRehearsal {
           .withColumn("event_id", col("user_id")))
         .count())
 
+    // ---- round-14 session-5 wave ----
+    // IVF×SQ8 at 80k: candidates per query drop to N·nProbe/cells
+    // BEFORE the dequantized scoring runs — the scored-pair count is
+    // asserted strictly under the full-scan SQ8 pair count, the same
+    // multiplicative-composition contract the IVFPQ phase pins
+    t("knn_ivf_sq8 80k vectors")({
+      val big = embX(40)
+      val pruned = operators.Similarity.ivfSq8Scored(big,
+        corpusSize = 80000L).count()
+      require(pruned < 10L * 79999L,
+        s"IVF×SQ8 met $pruned candidate pairs — not pruned vs full scan")
+      pruned
+    })
+    // one exact Lloyd round at 80k: map-only flat assignment (k
+    // centroid literals), k·dims output groups regardless of N
+    t("lloyd_step 80k vectors")({
+      val n = operators.Similarity.lloydStep(embX(40)).count()
+      require(n <= operators.Similarity.LloydK * 64L,
+        s"lloyd output $n rows — expected ≤ k·dims")
+      n
+    })
+    // hashed tf-idf at 50k docs: one tf shuffle + one (doc, dim)
+    // aggregation, output capped at docs × dims
+    t("tfidf 50k docs")(operators.TextOps.tfidfHashed(docs).count())
+    // one synchronous Louvain round on the sparse 10M/8 slice: edge
+    // joins + vertex-keyed argmax, no iteration
+    t("louvain 10M/8 slice")(
+      operators.GraphOps.louvainRound(
+        operators.GraphOps.sparsifyEdges(edges, 8L)).count())
+    // CUPED at 10M events / 1M users: the same one-pass user
+    // aggregation as ab_lift plus the 1-row moment collect; split
+    // mid-fixture so both periods are populated
+    t("ab_cuped 10M events")(
+      graft.streaming.EventWindows.abCuped(bigEvents
+          .withColumn("event_type",
+            when(pmod(col("user_id"), lit(3)) === 0L, "purchase")
+              .otherwise("view"))
+          .withColumn("value", col("user_id").cast("double") / 100.0)
+          .withColumn("event_id", col("user_id")),
+          splitEpoch = 1700000000L + 360L * 3600L)
+        .count())
+
     spark.stop()
   }
 }

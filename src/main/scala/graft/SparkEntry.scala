@@ -586,6 +586,11 @@ object SparkEntry {
     "events_profile" -> ((s, d) =>
       operators.Profile.profile(Tables.table(s, d, "events"))
         .orderBy("column")),
+    // the stream-side admission suite: key rules + known type +
+    // FINITE value + in-window timestamps, one pass
+    "events_expectations" -> ((s, d) =>
+      operators.Profile.eventsExpectations(Tables.table(s, d, "events"))
+        .orderBy("rule")),
     // pre-embedding chunking: fixed 256-char windows, 64-char overlap
     // — shuffle-free generator projection, chunk text hash-compared
     "text_chunks" -> ((s, d) =>
@@ -5219,6 +5224,39 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS rows_selected FROM events, pred) " +
         "SELECT z_files, z_touched, t_files, t_touched, rows_selected " +
         "FROM zt, tt, sel"
+    },
+    "events_expectations" -> {
+      // one aggregate CTE, one SELECT per rule — the docs_expectations
+      // oracle shape over the events table
+      val types = graft.operators.Profile.EventTypes
+        .map(t => s"'$t'").mkString(", ")
+      val ws = graft.operators.Profile.EventsWindowStart
+      val we = graft.operators.Profile.EventsWindowEnd
+      val rules = Seq(
+        "event_id_not_null" ->
+          "SUM(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)",
+        "event_id_unique" -> "COUNT(DISTINCT event_id)",
+        "user_id_not_null" ->
+          "SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)",
+        "type_known" ->
+          s"SUM(CASE WHEN event_type IN ($types) THEN 1 ELSE 0 END)",
+        "value_finite" ->
+          ("SUM(CASE WHEN value IS NOT NULL AND isfinite(value) " +
+            "THEN 1 ELSE 0 END)"),
+        "ts_in_window" ->
+          (s"SUM(CASE WHEN epoch_us(ts) // 1000000 >= $ws AND " +
+            s"epoch_us(ts) // 1000000 < $we THEN 1 ELSE 0 END)"))
+      val aggs = rules.map { case (r, e) => s"$e AS m_$r" }.mkString(", ")
+      val sels = rules.map { case (r, _) =>
+        s"SELECT '$r' AS rule, CASE WHEN n = 0 THEN 1000000 ELSE " +
+          s"m_$r * 1000000 // n END AS metric_ppm FROM a"
+      }.mkString(" UNION ALL ")
+      s"WITH a AS (SELECT COUNT(*) AS n, $aggs FROM events), " +
+        s"r AS ($sels) " +
+        "SELECT rule, CAST(metric_ppm AS BIGINT) AS metric_ppm, " +
+        "CAST(1000000 AS BIGINT) AS threshold_ppm, " +
+        "CAST(CASE WHEN metric_ppm >= 1000000 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS pass FROM r"
     },
     "events_ab_cuped" -> {
       // the operator's exact integer chain: milli-quantized pre/post

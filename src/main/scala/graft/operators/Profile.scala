@@ -223,4 +223,34 @@ object Profile {
         length(col("text")) === col("n_chars")),
       RatioExpectation("source_not_null",
         col("source").isNotNull && col("source") =!= "")))
+
+  /** Event types and the corpus time window for the events admission
+    * suite. Same constants MUST appear in the oracle SQL.
+    */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+  val EventsWindowStart = 1704067200L // 2024-01-01T00:00:00Z
+  val EventsWindowEnd = 1706745600L   // 2024-02-01T00:00:00Z
+
+  /** The events stream's admission suite — the stream-side twin of
+    * `docsExpectations`: key completeness + uniqueness, a known event
+    * type, a FINITE value (NaN/±Inf are how upstream float bugs
+    * arrive; the qsketch family's finiteness predicate as a gate),
+    * and timestamps inside the corpus window (clock skew and epoch-
+    * unit mixups land outside it). The value-finite rule passes nulls
+    * through as failures deliberately — a null value is not finite
+    * evidence.
+    */
+  def eventsExpectations(events: DataFrame): DataFrame =
+    expectations(events, Seq(
+      RatioExpectation("event_id_not_null", col("event_id").isNotNull),
+      UniqueExpectation("event_id_unique", "event_id"),
+      RatioExpectation("user_id_not_null", col("user_id").isNotNull),
+      RatioExpectation("type_known", col("event_type").isin(EventTypes: _*)),
+      RatioExpectation("value_finite",
+        col("value").isNotNull && !col("value").isNaN &&
+          abs(col("value")) =!= Double.PositiveInfinity),
+      RatioExpectation("ts_in_window",
+        expr("unix_seconds(ts)") >= lit(EventsWindowStart) &&
+          expr("unix_seconds(ts)") < lit(EventsWindowEnd))))
 }

@@ -3899,6 +3899,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(fixture.length === 7 && fixture.forall(_.getLong(3) === 1L))
   }
 
+  test("eventsExpectations: finite-value + window rules catch each dirt class") {
+    val s = spark
+    import s.implicits._
+    // 8 rows, one dirt class each: NaN value, +Inf value, null value,
+    // pre-window ts, post-window ts, unknown type, duplicate
+    // event_id, null user_id — plus one fully clean row
+    val inWin = operators.Profile.EventsWindowStart + 86400L
+    def r(id: java.lang.Long, ts: Long, uid: java.lang.Long, ty: String,
+          v: java.lang.Double) = (id, ts, uid, ty, v)
+    val df = Seq(
+        r(1L, inWin, 10L, "click", 1.0),
+        r(2L, inWin, 10L, "view", Double.NaN),
+        r(3L, inWin, 10L, "purchase", Double.PositiveInfinity),
+        r(4L, inWin, 10L, "signup", null),
+        r(5L, operators.Profile.EventsWindowStart - 1L, 10L, "error", 1.0),
+        r(6L, operators.Profile.EventsWindowEnd, 10L, "click", 1.0),
+        r(7L, inWin, 10L, "hover", 1.0),
+        r(7L, inWin, null, "view", 1.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = operators.Profile.eventsExpectations(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(3)))).toMap
+    assert(got("event_id_not_null") === ((1000000L, 1L)))
+    assert(got("event_id_unique") === ((875000L, 0L)))   // 7 distinct / 8
+    assert(got("user_id_not_null") === ((875000L, 0L)))
+    assert(got("type_known") === ((875000L, 0L)))        // "hover" fails
+    assert(got("value_finite") === ((625000L, 0L)))      // NaN, Inf, null
+    assert(got("ts_in_window") === ((750000L, 0L)))      // boundary is half-open
+    // the fixture passes wholesale on the clean test corpus (loaded
+    // through Tables.events — the NTZ→UTC ts normalization is part of
+    // the contract the window rule assumes)
+    val ev = sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val clean = operators.Profile.eventsExpectations(ev).collect()
+    assert(clean.length === 6 && clean.forall(_.getLong(3) === 1L))
+  }
+
   test("tfidfHashed == brute signed feature hashing; zero-sums dropped") {
     val s = spark
     import s.implicits._
