@@ -1194,6 +1194,15 @@ object ScaleRehearsal {
         s"IVF×SQ8 met $pruned candidate pairs — not pruned vs full scan")
       pruned
     })
+    // binary tier at 80k: pack (pure map, 2 longs per vector) then
+    // Hamming-serve + exact rerank — the float corpus is re-read for
+    // only queries × cand candidate rows
+    t("knn_hamming_rerank 80k vectors")({
+      val big = embX(40)
+      val st = operators.Similarity.sq8Stats(big)
+      operators.Similarity.knnHammingRerank(st,
+        operators.Similarity.binaryCodes(st, big), big, big).count()
+    })
     // one exact Lloyd round at 80k: map-only flat assignment (k
     // centroid literals), k·dims output groups regardless of N
     t("lloyd_step 80k vectors")({

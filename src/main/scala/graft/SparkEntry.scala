@@ -1113,6 +1113,53 @@ object SparkEntry {
           Similarity.quantizeInt8(emb), emb),
         Similarity.knnBruteL2(emb))
     }),
+    // binary (1-bit) quantization audit: sign bits against the SQ8
+    // grid MIDPOINTS packed 32 per word — the 32× compression tier's
+    // stored layout, exact integers, fully SQL-derivable
+    "embedding_binarize" -> ((s, d) =>
+      Similarity.binarize(Tables.table(s, d, "embeddings"))
+        .orderBy("vec_id", "word")),
+    // Hamming serving from STORED binary words: grid + packed words
+    // round-trip parquet and the serve popcounts stored words against
+    // in-plan-binarized queries — corpus embeddings never read
+    "knn_hamming" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val stDir = ivfTmpDir(s, d, "bin_stats")
+      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
+      val wDir = ivfTmpDir(s, d, "bin_words")
+      Similarity.binaryCodes(s.read.parquet(stDir), emb)
+        .write.mode("overwrite").parquet(wDir)
+      Similarity.knnHamming(s.read.parquet(stDir), s.read.parquet(wDir),
+          emb)
+        .orderBy("query_id", "rank")
+    }),
+    // binary honesty: recall@k of the raw Hamming ranking vs exact L2
+    // — prices the 1-bit tier's precision loss BEFORE rerank
+    "knn_hamming_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val st = Similarity.sq8Stats(emb)
+      Similarity.recallAtK(
+        Similarity.knnHamming(st, Similarity.binaryCodes(st, emb), emb),
+        Similarity.knnBruteL2(emb))
+    }),
+    // two-stage binary serving: Hamming shortlist (cand=32) → exact
+    // squared-L2 rerank over ONLY the candidates' raw embeddings
+    "knn_hamming_rerank" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val st = Similarity.sq8Stats(emb)
+      Similarity.knnHammingRerank(st, Similarity.binaryCodes(st, emb),
+          emb, emb)
+        .orderBy("query_id", "rank")
+    }),
+    // rerank honesty: recall@k the shortlist depth buys back
+    "knn_hamming_rerank_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      val st = Similarity.sq8Stats(emb)
+      Similarity.recallAtK(
+        Similarity.knnHammingRerank(st, Similarity.binaryCodes(st, emb),
+          emb, emb),
+        Similarity.knnBruteL2(emb))
+    }),
     // mislabel detector: the k vectors farthest from their own label's
     // centroid, exact ppm^2 integer distances
     "embedding_outliers" -> ((s, d) =>
@@ -1990,6 +2037,79 @@ object SparkEntry {
       "AS rnk FROM sc) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
       s"l2_fp FROM r WHERE rnk <= $k"
+
+  /** Shared CTE chain for the binary-quantization oracles: the
+    * sq8Stats grid → per-dim midpoint sign bits → 32-bit packed words
+    * per vector (Similarity.binaryCodes' exact layout: word w =
+    * Σ_{i<32} bit(32w+i)·2^i, vectors whose width disagrees with the
+    * grid dropped via the lv gate) → the Hamming scan over
+    * popcount(xor(word pairs)).
+    */
+  private lazy val HammingScanCte: String = {
+    val wb = Similarity.BinaryWordBits
+    "x AS (SELECT vec_id, embedding, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+      "v AS (SELECT vec_id, i - 1 AS dim, " +
+      "CAST(embedding[i] AS DOUBLE) AS x FROM x), " +
+      "st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY dim), " +
+      "lv AS (SELECT vec_id FROM embeddings " +
+      "WHERE len(embedding) = (SELECT COUNT(*) FROM st)), " +
+      "b AS (SELECT v.vec_id, v.dim, " +
+      "CASE WHEN x > (mn + (mx - mn) / 2.0) THEN 1 ELSE 0 END AS bit " +
+      "FROM v JOIN st ON st.dim = v.dim JOIN lv ON lv.vec_id = v.vec_id), " +
+      s"w AS (SELECT vec_id, dim // $wb AS word, " +
+      "CAST(SUM(CAST(bit AS BIGINT) << " +
+      s"CAST(dim % $wb AS INTEGER)) AS BIGINT) AS bits " +
+      "FROM b GROUP BY 1, 2), " +
+      "wa AS (SELECT vec_id, list(bits ORDER BY word) AS wv FROM w " +
+      "GROUP BY vec_id), " +
+      "qq AS (SELECT vec_id AS query_id, wv AS qv FROM wa " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "sc AS (SELECT qq.query_id, wa.vec_id AS neighbor_id, " +
+      "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, len(qv) + 1), " +
+      "i -> CAST(bit_count(xor(qv[i], wa.wv[i])) AS BIGINT))), " +
+      "(acc, y) -> acc + y) AS BIGINT) AS hamming " +
+      "FROM wa, qq WHERE wa.vec_id <> qq.query_id)"
+  }
+
+  /** embedding_binarize oracle — the packed-word audit rows. */
+  private lazy val BinarizeSql: String =
+    s"WITH $HammingScanCte " +
+      "SELECT vec_id, CAST(word AS BIGINT) AS word, bits FROM w"
+
+  /** knn_hamming oracle — top-k per query by (hamming, neighbor_id)
+    * over the packed-word scan; shared by knn_hamming_recall.
+    */
+  private lazy val KnnHammingSql: String =
+    s"WITH $HammingScanCte, " +
+      "r AS (SELECT query_id, neighbor_id, hamming, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) " +
+      "AS rnk FROM sc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"hamming FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_hamming_rerank oracle — the Hamming shortlist at
+    * HammingRerankCand depth, then the exact knnBruteL2 fold over only
+    * the candidates' raw embeddings.
+    */
+  private lazy val KnnHammingRerankSql: String =
+    s"WITH $HammingScanCte, " +
+      "hr AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) " +
+      "AS hrnk FROM sc), " +
+      "cd AS (SELECT query_id, neighbor_id FROM hr " +
+      s"WHERE hrnk <= ${Similarity.HammingRerankCand}), " +
+      "sc2 AS (SELECT cd.query_id, cd.neighbor_id, " +
+      s"CAST(floor(${l2BlockSql("qv.embedding", "nv.embedding", 0, 1)} " +
+      "* 1000000.0) AS BIGINT) AS l2_fp FROM cd " +
+      "JOIN embeddings qv ON qv.vec_id = cd.query_id " +
+      "JOIN embeddings nv ON nv.vec_id = cd.neighbor_id), " +
+      "r2 AS (SELECT query_id, neighbor_id, l2_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) " +
+      "AS rnk FROM sc2) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"l2_fp FROM r2 WHERE rnk <= ${Similarity.DefaultK}"
 
   /** knn_pq oracle — corpus codes (the embedding_pq argmin), per-query
     * block×code LUTs floored per cell, ADC = exact integer SUM of the
@@ -4735,6 +4855,12 @@ object SparkEntry {
     // regenerates from the hash), recall vs the full-width ranking
     "knn_project_recall" -> recallSql(KnnBruteL2Sql, KnnProjSql),
     "knn_brute_l2" -> KnnBruteL2Sql,
+    "embedding_binarize" -> BinarizeSql,
+    "knn_hamming" -> KnnHammingSql,
+    "knn_hamming_recall" -> recallSql(KnnBruteL2Sql, KnnHammingSql),
+    "knn_hamming_rerank" -> KnnHammingRerankSql,
+    "knn_hamming_rerank_recall" ->
+      recallSql(KnnBruteL2Sql, KnnHammingRerankSql),
     "knn_sq8" -> KnnSq8Sql,
     "knn_sq8_recall" -> recallSql(KnnBruteL2Sql, KnnSq8Sql),
     "knn_pq" -> KnnPqSql,

@@ -616,6 +616,162 @@ object Similarity {
           .cast("long").as("l2_fp"))
   }
 
+  // ---- binary (1-bit) quantization + Hamming serving ----
+
+  /** Bits packed per stored binary word. 32, not 64: word values stay
+    * in [0, 2^32), so `bit · 2^i` sums, XORs and popcounts are exact
+    * non-wrapping BIGINT arithmetic on BOTH engines (a 64-bit pack
+    * puts bit 63 at 2^63, which signed-overflows the oracle's checked
+    * BIGINT sum). Same constant MUST appear in the oracle SQL.
+    */
+  val BinaryWordBits = 32
+
+  /** Candidate depth for the Hamming → exact-L2 rerank tier. Same
+    * constant MUST appear in the oracle SQL.
+    */
+  val HammingRerankCand = 32
+
+  /** Per-dimension sign thresholds for the binary tier: the grid
+    * MIDPOINT `mn + span/2.0` derived from the SAME stored `sq8Stats`
+    * relation the SQ8 tier serves from — one persisted stats relation
+    * feeds both quantized tiers. Span is the precomputed `mx − mn`
+    * double from `loadSq8Grid`, so the midpoint expression order is
+    * fixed and mirrored token-for-token in the oracle.
+    */
+  private def binaryMids(stats: DataFrame): Option[Array[Double]] =
+    loadSq8Grid(stats).map { case (mn, span) =>
+      mn.zip(span).map { case (m, s) => m + s / 2.0 }
+    }
+
+  /** `(vec_id-free) embedding column → packed sign words`: bit i of
+    * word w is `x[32w+i] > mid[32w+i]`, word value Σ bit·2^i. The
+    * ragged-width case never reaches this expression — callers filter
+    * `size(embedding) == dims` first (the RpProjCte discipline: ragged
+    * vectors surface identically on both engines, here by exclusion).
+    */
+  private def binaryWordsExpr(embCol: Column,
+      mids: Array[Double]): Column = {
+    val midLit = lit(mids)
+    val pows = lit((0 until BinaryWordBits).map(i => 1L << i).toArray)
+    val nWords = (mids.length + BinaryWordBits - 1) / BinaryWordBits
+    val bits = zip_with(embCol, midLit, (x, m) =>
+      when(x.cast("double") > m, lit(1L)).otherwise(lit(0L)))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        zip_with(
+          slice(bits, w * lit(BinaryWordBits) + lit(1),
+            lit(BinaryWordBits)),
+          pows, (b, p) => coalesce(b * p, lit(0L))),
+        lit(0L), (acc, v) => acc + v))
+  }
+
+  /** Binary (1-bit) scalar quantization — the 32× compression tier
+    * under Hamming-distance retrieval (sign sketches per Charikar,
+    * STOC 2002, applied to coordinates against the stored grid's
+    * midpoints rather than random projections, so the fit is a
+    * RELATION, not a seed). Output the SERVING layout `(vec_id,
+    * words: array<long>)`, `BinaryWordBits` sign bits per word in dim
+    * order — what a retrieval tier persists next to the `sq8Stats`
+    * grid. Vectors whose width disagrees with the grid are DROPPED
+    * (identically in the oracle) rather than silently null-scored.
+    *
+    * Scale shape: pure map stage — the grid ships as ≤ `Sq8MaxDims`
+    * double literals, nothing shuffles; at 100 TB this is a streaming
+    * re-encode pass writing 2 longs per 64-float vector.
+    */
+  def binaryCodes(stats: DataFrame, emb: DataFrame): DataFrame = {
+    val mids = binaryMids(stats)
+    val empty = emb.select(col("vec_id"),
+      array(lit(0L)).as("words")).filter(lit(false))
+    if (mids.isEmpty) return empty
+    emb.filter(size(col("embedding")) === lit(mids.get.length))
+      .select(col("vec_id"),
+        binaryWordsExpr(col("embedding"), mids.get).as("words"))
+  }
+
+  /** The per-word AUDIT view of `binaryCodes` — one `(vec_id, word,
+    * bits)` row per packed word, plainly hash-comparable (the
+    * quantizeInt8-vs-sq8Pack split applied to the binary tier).
+    */
+  def binarize(emb: DataFrame): DataFrame =
+    binaryCodes(sq8Stats(emb), emb)
+      .select(col("vec_id"),
+        posexplode(col("words")).as(Seq("word", "bits")))
+      .select(col("vec_id"), col("word").cast("long").as("word"),
+        col("bits"))
+
+  /** Hamming top-k served from STORED binary words — the
+    * 1-bit-quantized retrieval tier: the corpus is met only through
+    * its persisted `(vec_id, words)` rows plus the `sq8Stats` grid;
+    * queries binarize in-plan against the same midpoints and distance
+    * is Σ popcount(xor(word pairs)) — exact integers end to end, so
+    * the gate is fully hash-checkable. Recall is priced by its own
+    * oracled gate (binary trades the most precision of the quantized
+    * family; its role at scale is CANDIDATE GENERATION for
+    * `knnHammingRerank`, not final ranking).
+    *
+    * Scale shape: queries broadcast; one map pass over the packed
+    * words (2 longs per 64-dim vector — 32× less scan bandwidth than
+    * the float corpus) closed by the k-bounded heap. No corpus
+    * embedding is ever read.
+    */
+  def knnHamming(stats: DataFrame, words: DataFrame, queryEmb: DataFrame,
+      k: Int = DefaultK, nQueries: Long = DefaultQueries): DataFrame = {
+    val empty = queryEmb.select(col("vec_id").as("query_id"),
+      lit(1L).as("rank"), col("vec_id").as("neighbor_id"),
+      lit(0L).as("hamming")).filter(lit(false))
+    val mids = binaryMids(stats)
+    if (mids.isEmpty) return empty
+    val queries = queryEmb.filter(col("vec_id") < nQueries)
+      .filter(size(col("embedding")) === lit(mids.get.length))
+      .select(col("vec_id").as("query_id"),
+        binaryWordsExpr(col("embedding"), mids.get).as("q_words"))
+    val scored = words
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("words"), col("q_words"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hamming"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("hamming").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "hamming")
+  }
+
+  /** Hamming-shortlist → exact-L2 rerank: the standard two-stage
+    * binary serving pattern — `knnHamming` generates `cand`
+    * candidates per query from the packed words, then ONLY those
+    * candidates' raw embeddings are read back for the exact
+    * squared-L2 fold (`knnBruteL2`'s expression verbatim, so `cand ≥
+    * corpus` collapses exactly onto the brute baseline — the
+    * probe-everything law, spec-pinned). At scale the float corpus is
+    * touched for queries × cand rows instead of the full scan:
+    * Hamming buys the bandwidth, the rerank buys back the precision.
+    */
+  def knnHammingRerank(stats: DataFrame, words: DataFrame,
+      emb: DataFrame, queryEmb: DataFrame, k: Int = DefaultK,
+      cand: Int = HammingRerankCand,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    val shortlist = knnHamming(stats, words, queryEmb, cand, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = queryEmb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rescored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(aggregate(
+          zip_with(col("q_emb"), col("n_emb"), (a, b) => {
+            val t = a.cast("double") - b.cast("double")
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+          .cast("long").as("l2_fp"))
+    graft.plans.TopK.perKey(rescored, Seq("query_id"),
+        Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
   /** PQ geometry: subspace count and per-subspace codebook size.
     * 4 blocks × 16 codewords compresses a 64-dim float vector to
     * 4 × 4 bits of codes — the 64× compression class (Jégou, Douze &

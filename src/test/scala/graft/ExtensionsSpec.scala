@@ -1419,6 +1419,76 @@ class ExtensionsSpec extends SparkSpec {
     assert(rec >= 0.7, s"SQ8 recall collapsed: $rec")
   }
 
+  test("binaryCodes: planted sign bits pack at 2^i; ragged widths drop") {
+    val s = spark
+    import s.implicits._
+    // 3 vectors × 34 dims so the pack spills into a ragged second
+    // word. Per-dim grid over {-1, 0, +1}: mn=-1, mx=+1, midpoint 0 —
+    // bit = (x > 0). v0 all -1 → words (0, 0); v1 all +1 → word 0 has
+    // all 32 bits (2^32−1), word 1 the low 2 bits (3); v2 alternates
+    // starting +1 → bits at even i: Σ 4^j = (4^16−1)/3, word 1 bit 0
+    val dims = 34
+    val v0 = Array.fill(dims)(-1.0f)
+    val v1 = Array.fill(dims)(1.0f)
+    val v2 = Array.tabulate(dims)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((0L, v0.toSeq), (1L, v1.toSeq), (2L, v2.toSeq),
+        (3L, Array.fill(7)(1.0f).toSeq)) // ragged — must drop
+      .toDF("vec_id", "embedding")
+    // the ragged row must not join the grid fit either (it would
+    // shift dim 0..6 stats) — stats over the well-formed prefix only
+    val stats = Similarity.sq8Stats(emb.filter($"vec_id" < 3))
+    val got = Similarity.binaryCodes(stats, emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L) === Seq(0L, 0L))
+    assert(got(1L) === Seq((1L << 32) - 1L, 3L))
+    assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
+  }
+
+  test("knnHammingRerank: cand ≥ corpus ≡ knnBruteL2; words round-trip; flip moves hamming by 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val stats = Similarity.sq8Stats(emb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // probe-everything law: a shortlist covering the whole corpus
+    // collapses the rerank exactly onto the brute baseline
+    val all = rows(Similarity.knnHammingRerank(stats,
+      Similarity.binaryCodes(stats, emb), emb, emb, cand = n))
+    assert(all === rows(Similarity.knnBruteL2(emb)))
+    // stored round-trip: parquet words serve bit-identically
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bin_rt").toString
+    Similarity.binaryCodes(stats, emb).write.parquet(base + "/words")
+    stats.write.parquet(base + "/stats")
+    val mem = rows(Similarity.knnHamming(stats,
+      Similarity.binaryCodes(stats, emb), emb))
+    assert(rows(Similarity.knnHamming(spark.read.parquet(base + "/stats"),
+      spark.read.parquet(base + "/words"), emb)) === mem)
+    // planted flip: moving ONE coordinate across its midpoint changes
+    // that pair's Hamming distance by exactly 1
+    val s = spark
+    import s.implicits._
+    val base3 = Seq(
+        (0L, Seq(-1.0f, -1.0f, 1.0f)),
+        (1L, Seq(-1.0f, 1.0f, 1.0f)),
+        (2L, Seq(1.0f, -1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val flip3 = Seq(
+        (0L, Seq(-1.0f, -1.0f, 1.0f)),
+        (1L, Seq(-1.0f, 1.0f, -1.0f)), // dim 2 crosses the midpoint
+        (2L, Seq(1.0f, -1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    def ham01(df: org.apache.spark.sql.DataFrame) = {
+      val st = Similarity.sq8Stats(df)
+      Similarity.knnHamming(st, Similarity.binaryCodes(st, df), df,
+          k = 2, nQueries = 1L)
+        .filter($"neighbor_id" === 1L).collect()(0).getLong(3)
+    }
+    assert(ham01(base3) === 1L)
+    assert(ham01(flip3) === 2L)
+  }
+
   test("knnPqTrained: Lloyd codebooks lift ADC recall over the hash-anchored fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(approx: org.apache.spark.sql.DataFrame): Double =

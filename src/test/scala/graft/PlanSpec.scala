@@ -375,6 +375,26 @@ class PlanSpec extends SparkSpec {
       "band_val:bigint,band_bits:int>"), plan)
   }
 
+  test("knnHamming serves from stored words — corpus embeddings never read") {
+    val emb = sources.Tables.table(spark, sf, "embeddings")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bin_plan").toString
+    val stats = graft.operators.Similarity.sq8Stats(emb)
+    stats.write.parquet(base + "/stats")
+    graft.operators.Similarity.binaryCodes(stats, emb)
+      .write.parquet(base + "/words")
+    val plan = graft.operators.Similarity.knnHamming(
+        spark.read.parquet(base + "/stats"),
+        spark.read.parquet(base + "/words"), emb)
+      .queryExecution.executedPlan.toString
+    // exactly one scan reads the embedding array (the broadcast query
+    // side); the corpus enters ONLY as the packed 2-longs-per-vector
+    // words relation — the 32× bandwidth contract
+    assert("embedding:array".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("struct<vec_id:bigint,words:array<bigint>>"),
+      plan)
+  }
+
   test("events_qsketch: map-side partial counts; null filter reaches the scan") {
     val plan = executedPlan("events_qsketch")
     // partial + final HashAggregate around one (group, bucket)
