@@ -1203,6 +1203,18 @@ object ScaleRehearsal {
       operators.Similarity.knnHammingRerank(st,
         operators.Similarity.binaryCodes(st, big), big, big).count()
     })
+    // graph-served beam at 80k: synthetic deterministic degree-16
+    // ring adjacency (the beam mechanics under test are the frontier
+    // broadcast + candidate-only embedding fetch per round — graph
+    // construction is priced by its own knnGraph phases)
+    t("knn_beam 80k vectors")({
+      val big = embX(40)
+      val adj = big.select(col("vec_id").as("src"),
+          explode(sequence(lit(1L), lit(16L))).as("j"))
+        .select(col("src"),
+          pmod(col("src") + col("j") * 4999L, lit(80000L)).as("dst"))
+      operators.Similarity.knnBeam(adj, big, big).count()
+    })
     // one exact Lloyd round at 80k: map-only flat assignment (k
     // centroid literals), k·dims output groups regardless of N
     t("lloyd_step 80k vectors")({

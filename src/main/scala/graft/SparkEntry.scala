@@ -1369,6 +1369,33 @@ object SparkEntry {
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // graph-served ANN: synchronous beam search over the STORED kNN
+    // graph (HNSW/DiskANN's search loop, fixed rounds so the oracle
+    // unrolls it) — adjacency round-trips parquet; per round one map
+    // pass over the 2-long edges + a candidate-only embedding fetch
+    "knn_beam" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      val gDir = ivfTmpDir(s, d, "beam_graph")
+      Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .write.mode("overwrite").parquet(gDir)
+      Similarity.knnBeam(s.read.parquet(gDir), emb, emb)
+        .orderBy("query_id", "rank")
+    }),
+    // graph-serving honesty: recall@k the beam walk reaches vs exact
+    // L2 — prices entry-point bias + graph connectivity together
+    "knn_beam_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(
+        Similarity.knnBeam(
+          Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+            .select(col("query_id").as("src"),
+              col("neighbor_id").as("dst")),
+          emb, emb),
+        Similarity.knnBruteL2(emb))
+    }),
     // reciprocated-edges filter over the kNN graph — the hub-robust
     // symmetrization density clustering consumes; one self-join on
     // the persisted ids+cosine relation, nothing vector-sized moves
@@ -2707,7 +2734,13 @@ object SparkEntry {
     * self-join in canonical lo<hi orientation, DISTINCT) scored once
     * per pair, mirrored, then ranked per query like KnnLshSql.
     */
-  private val KnnGraphSql: String = {
+  private val KnnGraphSql: String = knnGraphSqlFor(Similarity.DefaultK)
+
+  /** Parameterized kNN-graph SQL: per-vector top-`k` over the banded
+    * candidates — `k` = DefaultK for the knn_graph gate, BeamGraphDegree
+    * for the beam-search adjacency.
+    */
+  private def knnGraphSqlFor(k: Int): String = {
     val bandJoins = (0 until Similarity.LshBands).map { j =>
       s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
         s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
@@ -2726,7 +2759,53 @@ object SparkEntry {
       "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
-      "FROM r WHERE rnk <= 5"
+      s"FROM r WHERE rnk <= $k"
+  }
+
+  /** knn_beam oracle — the KnnGraphSql adjacency, then
+    * Similarity.BeamRounds beam rounds unrolled (each round: previous
+    * beam ∪ its out-neighbors, exact-L2 scored, top-BeamWidth per
+    * query by (l2, id)), final top-k of the last scored beam
+    * excluding the query itself. Scored CTEs MATERIALIZED (each is
+    * referenced by both the next round and the beam cut). Shared by
+    * knn_beam_recall's approx side.
+    */
+  private lazy val KnnBeamSql: String = {
+    val beam = Similarity.BeamWidth
+    val rounds = Similarity.BeamRounds
+    val roundCtes = (1 to rounds).map { i =>
+      s"c$i AS (SELECT DISTINCT query_id, vec_id FROM " +
+        s"(SELECT query_id, vec_id FROM b${i - 1} " +
+        s"UNION ALL SELECT b.query_id, g.dst AS vec_id FROM b${i - 1} b " +
+        "JOIN g ON g.src = b.vec_id)), " +
+        s"s$i AS MATERIALIZED (SELECT c.query_id, c.vec_id, " +
+        s"CAST(floor(${l2BlockSql("q.q_emb", "ne.embedding", 0, 1)} " +
+        "* 1000000.0) AS BIGINT) AS l2_fp " +
+        s"FROM c$i c JOIN e ne ON ne.vec_id = c.vec_id " +
+        "JOIN q ON q.query_id = c.query_id), " +
+        s"b$i AS (SELECT query_id, vec_id FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY l2_fp ASC, vec_id ASC) AS rn " +
+        s"FROM s$i) WHERE rn <= $beam)"
+    }.mkString(", ")
+    s"WITH g AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst " +
+      s"FROM (${knnGraphSqlFor(Similarity.BeamGraphDegree)})), " +
+      "e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb " +
+      s"FROM embeddings WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "ent AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+      s"(ORDER BY ${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn " +
+      s"FROM e) WHERE rn <= ${Similarity.BeamEntries}), " +
+      "b0 AS (SELECT query_id, ent.vec_id FROM q, ent), " +
+      s"$roundCtes, " +
+      s"fin AS (SELECT s.query_id, s.vec_id, s.l2_fp FROM s$rounds s " +
+      s"JOIN b$rounds b ON b.query_id = s.query_id " +
+      "AND b.vec_id = s.vec_id WHERE s.vec_id <> s.query_id), " +
+      "r AS (SELECT query_id, vec_id AS neighbor_id, l2_fp, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY l2_fp ASC, vec_id ASC) AS rnk FROM fin) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"l2_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
   }
 
   /** knn_ivf oracle — shared by knn_recall (its approximate side).
@@ -4972,6 +5051,8 @@ object SparkEntry {
         "FROM r WHERE rnk <= 5"
     },
     "knn_graph" -> KnnGraphSql,
+    "knn_beam" -> KnnBeamSql,
+    "knn_beam_recall" -> recallSql(KnnBruteL2Sql, KnnBeamSql),
     // reciprocated pairs of the shared KnnGraphSql relation, canonical
     // lo<hi; cosine from side a (bit-equal both ways — the graph
     // scores each unordered pair once and mirrors)

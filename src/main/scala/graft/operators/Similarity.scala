@@ -772,6 +772,99 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "l2_fp")
   }
 
+  // ---- graph-served ANN: beam search over the stored kNN graph ----
+
+  /** Beam geometry for the graph-served tier (HNSW/DiskANN's search
+    * loop run synchronously: a width-`BeamWidth` beam from
+    * `BeamEntries` hash-anchored entry points over a
+    * degree-`BeamGraphDegree` graph, expanded `BeamRounds` rounds).
+    * Chosen on the measured sf0.01 recall curve — degree dominates
+    * (5→0.10, 10→0.42, 16→0.80 at beam 32), then beam width
+    * (48→0.90); rounds beyond 4-5 add little once the width binds.
+    * Degree 16 is HNSW's usual M; beam 48 its usual efSearch order.
+    * Same constants MUST appear in the oracle SQL.
+    */
+  val BeamWidth = 48
+  val BeamRounds = 4
+  val BeamEntries = 8
+  val BeamGraphDegree = 16
+
+  /** Greedy beam search over a STORED proximity graph — the
+    * graph-based ANN serving paradigm (Malkov & Yashunin's HNSW /
+    * Subramanya et al.'s DiskANN search loop, run as a SYNCHRONOUS
+    * fixed-round beam so the result is deterministic and
+    * rounds-unrollable by the SQL oracle): all queries start at the
+    * `BeamEntries` hash-anchored entry vectors (the IVF
+    * centroid-selection discipline — smallest (poly_hash(vec_id),
+    * vec_id); multiple entries hedge a bad medoid and disconnected
+    * components, the same reason DiskANN searches from the medoid +
+    * random seeds); each round
+    * the beam's out-neighbors in `graph` (`src`/`dst` columns, e.g. a
+    * persisted `knnGraph`) join the beam, every candidate scores
+    * against the query with the exact `knnBruteL2` fold, and the best
+    * `beam` candidates (l2 asc, id asc) survive. Keeping the previous
+    * beam in the candidate set makes the per-query best distance
+    * MONOTONE in rounds (spec-pinned). The query vector itself may
+    * route the walk but is excluded from the final top-k.
+    *
+    * Scale shape: per round, the queries×beam frontier BROADCASTS
+    * against the adjacency (one map pass over 2-long edge rows) and
+    * the candidate list broadcasts against the embedding corpus (one
+    * map pass fetching only candidate floats) — `rounds` scans of
+    * each relation, never a corpus shuffle and never all-pairs. At
+    * 100 TB the embedding fetch is the point-lookup join a
+    * vec_id-bucketed layout prunes to candidate buckets; the beam
+    * state is queries × beam rows of driver-free executor data
+    * throughout.
+    */
+  def knnBeam(graph: DataFrame, emb: DataFrame, queryEmb: DataFrame,
+      k: Int = DefaultK, beam: Int = BeamWidth, rounds: Int = BeamRounds,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    val empty = queryEmb.select(col("vec_id").as("query_id"),
+      lit(1L).as("rank"), col("vec_id").as("neighbor_id"),
+      lit(0L).as("l2_fp")).filter(lit(false))
+    // hash-anchored entries: TakeOrdered, ≤ BeamEntries rows collected
+    val entryRows = emb
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id")).limit(BeamEntries)
+      .select("vec_id").collect()
+    if (entryRows.isEmpty) return empty
+    val entries = entryRows.map(_.getLong(0))
+    val queries = queryEmb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val adj = graph.select(col("src"), col("dst"))
+    def score(cands: DataFrame): DataFrame =
+      emb.select(col("vec_id"), col("embedding").as("n_emb"))
+        .join(broadcast(cands), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          floor(aggregate(
+            zip_with(col("q_emb"), col("n_emb"), (a, b) => {
+              val t = a.cast("double") - b.cast("double")
+              t * t
+            }),
+            lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+            .cast("long").as("l2_fp"))
+    var scoredBeam = score(queries.select(col("query_id"))
+      .withColumn("vec_id", explode(lit(entries))))
+    for (_ <- 1 to rounds) {
+      val frontier = scoredBeam.select(col("query_id"), col("vec_id"))
+      val expanded = broadcast(frontier.withColumnRenamed("vec_id", "src"))
+        .join(adj, "src")
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val cands = frontier.unionByName(expanded).distinct()
+      scoredBeam = graft.plans.TopK.perKey(score(cands), Seq("query_id"),
+          Seq(col("l2_fp").asc, col("vec_id").asc), beam)
+        .select("query_id", "vec_id", "l2_fp")
+    }
+    graft.plans.TopK.perKey(
+        scoredBeam.filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("l2_fp")),
+        Seq("query_id"), Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
   /** PQ geometry: subspace count and per-subspace codebook size.
     * 4 blocks × 16 codewords compresses a 64-dim float vector to
     * 4 × 4 bits of codes — the 64× compression class (Jégou, Douze &

@@ -1445,6 +1445,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("knnBeam: complete graph ≡ knnBruteL2; best distance monotone in rounds") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    // probe-everything analog: over the COMPLETE graph with beam ≥
+    // corpus, one round reaches everything — the walk collapses
+    // exactly onto the brute baseline
+    val ids = emb.select("vec_id")
+    val complete = ids.select($"vec_id".as("src"))
+      .join(ids.select($"vec_id".as("dst")), $"src" =!= $"dst")
+    val all = Similarity.knnBeam(complete, emb, emb, beam = n, rounds = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val brute = Similarity.knnBruteL2(emb).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(all === brute)
+    // monotone law: keeping the previous beam in the candidate set
+    // means each query's best reached distance never worsens with
+    // more rounds (the convergence direction HNSW's loop relies on)
+    val g = Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+      .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+    def best(rounds: Int): Map[Long, Long] =
+      Similarity.knnBeam(g, emb, emb, rounds = rounds)
+        .filter($"rank" === 1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (b1, b2, b3) = (best(1), best(2), best(3))
+    assert(b1.keySet === b2.keySet && b2.keySet === b3.keySet)
+    b1.keys.foreach { q =>
+      assert(b2(q) <= b1(q) && b3(q) <= b2(q),
+        s"query $q best distance not monotone: ${b1(q)} ${b2(q)} ${b3(q)}")
+    }
+  }
+
   test("knnHammingRerank: cand ≥ corpus ≡ knnBruteL2; words round-trip; flip moves hamming by 1") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = emb.count().toInt
