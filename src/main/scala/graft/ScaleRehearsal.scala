@@ -1231,6 +1231,14 @@ object ScaleRehearsal {
     t("louvain 10M/8 slice")(
       operators.GraphOps.louvainRound(
         operators.GraphOps.sparsifyEdges(edges, 8L)).count())
+    // CUSUM at 10M events / 720 hours: the event-sized work is one
+    // map-side-combined hourly count; spine + both prefix windows run
+    // over the 720×4-row hours relation
+    t("cusum 10M events")(
+      graft.streaming.EventWindows.cusum(bigEvents
+          .withColumn("event_type",
+            concat(lit("t"), pmod(col("user_id"), lit(4)))))
+        .count())
     // CUPED at 10M events / 1M users: the same one-pass user
     // aggregation as ab_lift plus the 1-row moment collect; split
     // mid-fixture so both periods are populated

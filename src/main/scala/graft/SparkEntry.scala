@@ -1692,6 +1692,13 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) =>
       EventWindows.hourlyAnomaly(Tables.table(s, d, "events"))
         .orderBy("event_type", "hour_epoch")),
+    // CUSUM drift detector: two one-sided reset-at-zero cumulative
+    // sums per type via the prefix identity S = P − min(0, min P) —
+    // two window functions over the zero-filled hours spine, exact
+    // milli-count integers, alarms at 5 mean-units
+    "events_cusum" -> ((s, d) =>
+      EventWindows.cusum(Tables.table(s, d, "events"))
+        .orderBy("event_type", "hour_epoch")),
     // multi-touch attribution: per conversion, the trailing-24h click
     // touches (count + first/last ids; zero-touch conversions report
     // with sentinels) — interval join, never a per-user cross product
@@ -5290,6 +5297,45 @@ object SparkEntry {
         "CAST(CASE WHEN baseline_cnt = 0 THEN -1 " +
         s"ELSE cnt * $t * 1000000 // baseline_cnt END AS BIGINT) AS ratio_ppm " +
         "FROM w"
+    },
+    // cusum oracle: the same zero-filled spine + two prefix-sum /
+    // prefix-min window pairs (S = P − min(0, min P)), all integer
+    // milli-counts
+    "events_cusum" -> {
+      val den = EventWindows.CusumSlackDen
+      val am = EventWindows.CusumAlarmMeans
+      "WITH h AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT event_type, MIN(hour_epoch) AS h0, " +
+        "MAX(hour_epoch) AS h1, SUM(cnt) AS total FROM h GROUP BY 1), " +
+        "spine AS (SELECT event_type, total, " +
+        "(h1 - h0) // 3600 + 1 AS n_hours, " +
+        "unnest(generate_series(h0, h1, 3600)) AS hour_epoch FROM sp), " +
+        "f AS (SELECT s.event_type, s.hour_epoch, " +
+        "COALESCE(h.cnt, 0) AS cnt, " +
+        "s.total * 1000 // s.n_hours AS mu_milli FROM spine s " +
+        "LEFT JOIN h ON h.event_type = s.event_type " +
+        "AND h.hour_epoch = s.hour_epoch), " +
+        s"g AS (SELECT *, mu_milli // $den AS slack_milli FROM f), " +
+        "p AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
+        "SUM(cnt * 1000 - mu_milli - slack_milli) OVER w AS p_hi, " +
+        "SUM(mu_milli - slack_milli - cnt * 1000) OVER w AS p_lo " +
+        "FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "c AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
+        "p_hi - LEAST(0, MIN(p_hi) OVER w) AS cusum_hi_milli, " +
+        "p_lo - LEAST(0, MIN(p_lo) OVER w) AS cusum_lo_milli " +
+        "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, hour_epoch, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(mu_milli AS BIGINT) AS mu_milli, " +
+        "CAST(cusum_hi_milli AS BIGINT) AS cusum_hi_milli, " +
+        "CAST(cusum_lo_milli AS BIGINT) AS cusum_lo_milli, " +
+        s"CAST(CASE WHEN cusum_hi_milli > $am * mu_milli THEN 1 ELSE 0 " +
+        "END AS BIGINT) AS alarm_hi, " +
+        s"CAST(CASE WHEN cusum_lo_milli > $am * mu_milli THEN 1 ELSE 0 " +
+        "END AS BIGINT) AS alarm_lo FROM c"
     },
     // attribution oracle: literal theta join for the touch pairing,
     // first/last via row_number over (click_us, click_id), zero-touch

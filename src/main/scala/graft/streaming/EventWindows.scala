@@ -140,6 +140,75 @@ object EventWindows {
         .otherwise(expr(s"cnt * ${trailingHours}L * 1000000L div baseline_cnt")))
   }
 
+  /** CUSUM geometry: allowance divisor (slack k = μ/`CusumSlackDen`,
+    * i.e. tuned to flag sustained ~50% shifts at den=4) and alarm
+    * threshold in mean-units (h = `CusumAlarmMeans`·μ). Same constants
+    * MUST appear in the oracle SQL.
+    */
+  val CusumSlackDen = 4L
+  val CusumAlarmMeans = 5L
+
+  /** CUSUM changepoint detection over the hourly event-rate series —
+    * the drift detector that catches SUSTAINED small shifts
+    * `hourlyAnomaly`'s single-bucket spike ratio can't (Page 1954):
+    * per event type, the two one-sided cumulative sums
+    * `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))` and
+    * `S⁻_t = max(0, S⁻_{t−1} + (μ − k − x_t))` with allowance
+    * k = μ/`CusumSlackDen`, alarmed when either exceeds
+    * h = `CusumAlarmMeans`·μ. The recurrence is NOT computed
+    * sequentially: `max(0, ·)`-reset running sums obey the prefix
+    * identity `S_t = P_t − min(0, min_{i≤t} P_i)` over the plain
+    * prefix sums P, so both sides are two WINDOW functions — exact,
+    * order-free integer arithmetic (milli-count units, integer μ =
+    * total·1000 div n_hours) that the oracle mirrors token for token.
+    * The hour spine is ZERO-FILLED per type between that type's first
+    * and last active hour (an outage is a run of zero counts — absent
+    * rows must drive S⁻ up, not silently vanish).
+    *
+    * Scale shape: the only event-sized operation is the map-side-
+    * combined (hour, type) count; the spine, prefix windows and alarm
+    * columns run over the HOURS-sized relation (8 760 rows/type/year).
+    * The per-type running windows are sequential WITHIN a type —
+    * inherent to any CUSUM — but types parallelize and nothing
+    * event-sized reaches a window.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val h = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"))
+    val span = h.groupBy("event_type").agg(
+      min("hour_epoch").as("h0"), max("hour_epoch").as("h1"),
+      sum("cnt").as("total"))
+    val spine = span.select(col("event_type"), col("total"),
+        expr("(h1 - h0) div 3600 + 1").as("n_hours"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L)))
+          .as("hour_epoch"))
+    val filled = spine.join(h, Seq("event_type", "hour_epoch"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("mu_milli", expr("total * 1000 div n_hours"))
+      .withColumn("slack_milli", expr(s"mu_milli div $CusumSlackDen"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Long.MinValue, 0L)
+    filled
+      .withColumn("p_hi",
+        sum(expr("cnt * 1000 - mu_milli - slack_milli")).over(win))
+      .withColumn("p_lo",
+        sum(expr("mu_milli - slack_milli - cnt * 1000")).over(win))
+      .withColumn("cusum_hi_milli",
+        col("p_hi") - least(lit(0L), min(col("p_hi")).over(win)))
+      .withColumn("cusum_lo_milli",
+        col("p_lo") - least(lit(0L), min(col("p_lo")).over(win)))
+      .select(col("event_type"), col("hour_epoch"), col("cnt"),
+        col("mu_milli"), col("cusum_hi_milli"), col("cusum_lo_milli"),
+        when(col("cusum_hi_milli") > expr(s"$CusumAlarmMeans * mu_milli"),
+          lit(1L)).otherwise(lit(0L)).as("alarm_hi"),
+        when(col("cusum_lo_milli") > expr(s"$CusumAlarmMeans * mu_milli"),
+          lit(1L)).otherwise(lit(0L)).as("alarm_lo"))
+  }
+
   /** RFM user profile — recency / frequency / monetary, the classic
     * behavioral segmentation triple, computed all-integer: recency in
     * whole days from each user's last event to the CORPUS's last

@@ -1445,6 +1445,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("cusum: window form ≡ sequential max(0,·) recurrence; outage + surge alarm; gaps zero-fill") {
+    val s = spark
+    import s.implicits._
+    // one type, 19 hours: calm(4×3) → surge(4×30) → calm → 6-hour
+    // OUTAGE (hours 12-17 have NO rows — the spine must zero-fill
+    // them; 6 hours of zeros outruns the surge-inflated mean)
+    val counts = Seq(3L, 3L, 3L, 3L, 30L, 30L, 30L, 30L, 3L, 3L, 3L, 3L,
+      0L, 0L, 0L, 0L, 0L, 0L, 3L)
+    val t0 = 1704067200L
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0L until c).map(j => (i * 100L + j, t0 + i * 3600L, j, "click", 1.0))
+    }
+    val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = graft.streaming.EventWindows.cusum(df)
+      .orderBy("hour_epoch").collect()
+    assert(got.length === 19) // zero hours present via the spine
+    // the naive per-step recurrence the window identity must equal
+    val total = counts.sum
+    val mu = total * 1000L / 19L
+    val k = mu / graft.streaming.EventWindows.CusumSlackDen
+    var (shi, slo) = (0L, 0L)
+    val expected = counts.map { c =>
+      shi = math.max(0L, shi + (c * 1000L - mu - k))
+      slo = math.max(0L, slo + (mu - k - c * 1000L))
+      (shi, slo)
+    }
+    got.zip(expected).zipWithIndex.foreach { case ((r, (ehi, elo)), i) =>
+      assert(r.getAs[Long]("cusum_hi_milli") === ehi, s"hi at hour $i")
+      assert(r.getAs[Long]("cusum_lo_milli") === elo, s"lo at hour $i")
+    }
+    // the surge trips the hi alarm, the outage run trips the lo alarm
+    assert(got.exists(r => r.getAs[Long]("alarm_hi") === 1L))
+    assert(got.filter(_.getAs[Long]("cnt") === 0L)
+      .exists(r => r.getAs[Long]("alarm_lo") === 1L))
+  }
+
   test("knnBeam: complete graph ≡ knnBruteL2; best distance monotone in rounds") {
     val s = spark
     import s.implicits._
