@@ -513,6 +513,12 @@ object SparkEntry {
       TextOps.quality(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // C4-style blocklist admission: per-doc blocked-token DENSITY
+    // against the declared term list + the worst offending term —
+    // broadcast dictionary, non-hits die in the map stage
+    "text_blocklist" -> ((s, d) =>
+      TextOps.blocklistTag(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     // langid EVALUATION: confusion matrix vs the labeled lang column —
     // per-language recall and the exact confusion structure
     "text_lang_confusion" -> ((s, d) =>
@@ -3781,6 +3787,35 @@ object SparkEntry {
         "ns / GREATEST(nt, 1) AS avg_token_len, " +
         "st / GREATEST(nt, 1) AS stopword_ratio, " +
         s"$QualitySqlExpr AS quality FROM b"),
+    // blocklist oracle: the same declared-terms join, per-(doc, term)
+    // counts, (c desc, term asc) argmax, integer ppm density
+    "text_blocklist" -> {
+      val ts = TextOps.BlocklistTerms
+        .map(t => s"'${t.toLowerCase}'").mkString(", ")
+      val mp = TextOps.BlocklistMaxPpm
+      s"WITH terms AS (SELECT DISTINCT t AS term FROM " +
+        s"(SELECT unnest([$ts]) AS t)), " +
+        "nt AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents), " +
+        "tok AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), " +
+        "b AS (SELECT doc_id, term, COUNT(*) AS c FROM tok " +
+        "JOIN terms ON term = lower(token) GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, SUM(c) AS n_blocked FROM b GROUP BY 1), " +
+        "tp AS (SELECT doc_id, term AS top_term FROM " +
+        "(SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, term ASC) AS rn FROM b) WHERE rn = 1), " +
+        "f AS (SELECT nt.doc_id, nt.n_tokens, " +
+        "COALESCE(agg.n_blocked, 0) AS n_blocked, tp.top_term FROM nt " +
+        "LEFT JOIN agg ON agg.doc_id = nt.doc_id " +
+        "LEFT JOIN tp ON tp.doc_id = nt.doc_id) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_blocked AS BIGINT) AS n_blocked, " +
+        "CAST(n_blocked * 1000000 // GREATEST(n_tokens, 1) AS BIGINT) " +
+        "AS blocked_ppm, top_term, " +
+        "CAST(CASE WHEN n_blocked * 1000000 // GREATEST(n_tokens, 1) " +
+        s"> $mp THEN 1 ELSE 0 END AS BIGINT) AS flagged FROM f"
+    },
     // the shared quality b/q chain with the clamp + salted-hash coin;
     // constants from TextOps so the two engines can't drift
     "text_sample_quality" -> {

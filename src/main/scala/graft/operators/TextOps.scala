@@ -503,6 +503,56 @@ object TextOps {
       case (c, (pat, tag)) => regexp_replace(c, pat, tag)
     })
 
+  /** Declared blocklist fixture for the documents gate and the
+    * admission threshold (blocked tokens per million). Same constants
+    * MUST appear in the oracle SQL.
+    */
+  val BlocklistTerms: Seq[String] = Seq("slow", "dup", "spark")
+  val BlocklistMaxPpm = 100000L
+
+  /** Dictionary (blocklist) tagging — the C4-style badword admission
+    * filter: per document, how many tokens hit a DECLARED term list
+    * (case-insensitive), the blocked-token rate in ppm, the most
+    * frequent offending term (count desc, term asc — the audit column
+    * a reviewer reads first), and the flag at `maxPpm`. Rate, not
+    * presence: one stray term shouldn't kill a long document, which
+    * is why C4 flags on density. Zero-token documents report 0 ppm
+    * (vacuously clean — the docs_expectations convention).
+    *
+    * Scale shape: the dictionary BROADCASTS (a real blocklist is
+    * thousands of terms, never corpus-sized); non-hits die inside the
+    * one corpus-sized map stage, so only actual hits reach the
+    * per-(doc, term) count shuffle, and the per-doc argmax is the
+    * k=1 TopKPerKey heap — no windows, nothing corpus-sized buffers.
+    */
+  def blocklistTag(docs: DataFrame, terms: Seq[String] = BlocklistTerms,
+      maxPpm: Long = BlocklistMaxPpm): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 100000,
+      s"blocklist must be 1..100000 declared terms, got ${terms.size}")
+    val s = docs.sparkSession
+    import s.implicits._
+    val dict = broadcast(terms.map(_.toLowerCase).distinct.toDF("term"))
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(dict, lower(col("token")) === col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val perDoc = hits.groupBy("doc_id").agg(sum(col("c")).as("n_blocked"))
+    val topTerm = graft.plans.TopK.perKey(hits, Seq("doc_id"),
+        Seq(col("c").desc, col("term").asc), 1)
+      .select(col("doc_id"), col("term").as("top_term"))
+    docs.select(col("doc_id"),
+        token_count(col("text")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(topTerm, Seq("doc_id"), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked_ppm",
+        expr("n_blocked * 1000000 div greatest(n_tokens, 1)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        col("blocked_ppm"), col("top_term"),
+        when(col("blocked_ppm") > lit(maxPpm), lit(1L))
+          .otherwise(lit(0L)).as("flagged"))
+  }
+
   /** Benchmark DECONTAMINATION: documents sharing ≥ 1 word-3-gram
     * shingle with any probe (evaluation-set) document, with the count
     * of distinct shared shingle hashes — the standard "remove eval

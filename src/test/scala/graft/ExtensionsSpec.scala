@@ -1445,6 +1445,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("blocklistTag: density flag, asc tie-break, case-fold, zero-token doc clean") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+        (1L, "join the fast row"),                  // clean
+        (2L, "slow slow spark join row merge"),     // 3/6 = 50% → flag
+        (3L, ""),                                   // zero tokens
+        (4L, "dup dup spark spark join row group hash key the " +
+          "table scan merge sort order part line data big value " +
+          "window batch column filter small query stream agg " +
+          "customer fast vector a slow x y z w q1 q2 q3 q4"),
+        (5L, "SLOW Slow join row merge value"))     // case-fold: 2/6
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.blocklistTag(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) === 0L && got(1L).getLong(5) === 0L &&
+      got(1L).isNullAt(4))
+    assert(got(2L).getLong(3) === 500000L && got(2L).getLong(5) === 1L &&
+      got(2L).getString(4) === "slow")
+    assert(got(3L).getLong(1) === 0L && got(3L).getLong(3) === 0L &&
+      got(3L).getLong(5) === 0L)
+    // doc 4: dup×2, spark×2, slow×1 → tie at 2 breaks term-asc to dup
+    assert(got(4L).getString(4) === "dup" && got(4L).getLong(2) === 5L)
+    assert(got(5L).getLong(2) === 2L && got(5L).getString(4) === "slow")
+  }
+
   test("cusum: window form ≡ sequential max(0,·) recurrence; outage + surge alarm; gaps zero-fill") {
     val s = spark
     import s.implicits._
