@@ -1226,6 +1226,9 @@ object ScaleRehearsal {
     // hashed tf-idf at 50k docs: one tf shuffle + one (doc, dim)
     // aggregation, output capped at docs × dims
     t("tfidf 50k docs")(operators.TextOps.tfidfHashed(docs).count())
+    // fuzzy edit-distance pairs at 50k docs: segment-bucket equi-join
+    // candidates, 24-char levenshtein verify on bucket-mates only
+    t("dedup_fuzzy 50k docs")(operators.Dedup.fuzzyPairs(docs).count())
     // one synchronous Louvain round on the sparse 10M/8 slice: edge
     // joins + vertex-keyed argmax, no iteration
     t("louvain 10M/8 slice")(

@@ -892,6 +892,12 @@ object SparkEntry {
         .orderBy("doc_id", "rank")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+    // edit-distance fuzzy matching: PassJoin aligned-segment blocking
+    // over 24-char normalized keys, levenshtein ≤ 2 verify on
+    // bucket-mates only — typo-class dups the shingle family misses
+    "dedup_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyPairs(Tables.table(s, d, "documents"))
+        .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_minhash" -> ((s, d) =>
@@ -4640,6 +4646,26 @@ object SparkEntry {
         "AND c.fp2 = f.fp2 AND c.len = f.len) " +
         "GROUP BY f.fingerprint, f.fp2, f.len"),
     "dedup_ngram" -> NgramPairsSql,
+    // the same normalized key, aligned-segment candidates, and
+    // levenshtein verify — constants from Dedup
+    "dedup_fuzzy" -> {
+      val (kc, ns, md) = (Dedup.FuzzyKeyChars, Dedup.FuzzySegments,
+        Dedup.FuzzyMaxDist)
+      val sl = kc / ns
+      val segIdx = (1 to ns).map(_.toString).mkString(", ")
+      s"WITH k AS (SELECT doc_id, substring(lower(" +
+        "regexp_replace(text, '\\s+', ' ', 'g')), 1, " + kc +
+        ") AS key FROM documents), " +
+        s"seg AS (SELECT doc_id, key, i AS seg_idx, " +
+        s"substring(key, (i - 1) * $sl + 1, $sl) AS seg FROM k, " +
+        s"unnest([$segIdx]) t(i)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, a.key AS key_a, " +
+        "b.doc_id AS id_b, b.key AS key_b FROM seg a JOIN seg b " +
+        "ON a.seg_idx = b.seg_idx AND a.seg = b.seg " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) " +
+        s"AS dist FROM cand WHERE levenshtein(key_a, key_b) <= $md"
+    },
     // text twin of knn_graph over the shared HsCte shingle relation:
     // rare-shingle (df <= maxDf) candidates, exact list_intersect
     // verify (the sorted-merge kernel's twin on distinct lists),

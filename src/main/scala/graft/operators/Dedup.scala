@@ -141,6 +141,63 @@ object Dedup {
     * cell. Two doc-keyed equi-joins against the (doc_id, source)
     * projection + one ≤sources²-group aggregation — text never moves.
     */
+  /** Fuzzy-key geometry: normalized-prefix width, aligned-segment
+    * count (PassJoin pigeonhole: distance ≤ segments − 1 on
+    * equal-width keys must leave ≥ 1 aligned segment untouched), and
+    * the edit-distance threshold. Same constants MUST appear in the
+    * oracle SQL.
+    */
+  val FuzzyKeyChars = 24
+  val FuzzySegments = 3
+  val FuzzyMaxDist = 2
+
+  /** Edit-distance (Levenshtein) near-dup pairs — the classic
+    * entity-resolution / fuzzy-match primitive the shingle family
+    * can't express (a one-character typo shifts every k-gram; edit
+    * distance counts it as 1). Keys are the first `FuzzyKeyChars`
+    * chars of the whitespace-collapsed lowercased text; candidates
+    * come from the PassJoin-style segment filter (Li, Deng & Feng,
+    * VLDB 2011): the key splits into `FuzzySegments` ALIGNED
+    * segments, and only pairs agreeing exactly on ≥ 1 segment at the
+    * same position meet the verifier. By pigeonhole this is LOSSLESS
+    * for pure substitutions at distance ≤ segments − 1; an indel
+    * shifts every following segment, so indel-heavy pairs can be
+    * missed — the spec pins blocked ≡ brute on the test corpus and
+    * the trade is the documented one (PPJoin's prefix filter makes
+    * the same candidates-only promise for Jaccard).
+    *
+    * Scale shape: candidate generation is a (seg_idx, seg) hash
+    * equi-join — 8-char segment buckets, the all-pairs N² never
+    * forms; only bucket-mates pay the O(k²) levenshtein verify, on
+    * 24-char keys, never on full documents; raw text never shuffles
+    * (keys are 24 B).
+    */
+  def fuzzyPairs(docs: DataFrame, keyChars: Int = FuzzyKeyChars,
+      segments: Int = FuzzySegments,
+      maxDist: Int = FuzzyMaxDist): DataFrame = {
+    require(segments > maxDist,
+      s"need segments > maxDist for the pigeonhole filter, got " +
+        s"$segments segments at distance $maxDist")
+    val segLen = keyChars / segments
+    val k = docs.select(col("doc_id"),
+      substring(lower(regexp_replace(col("text"), "\\s+", " ")),
+        1, keyChars).as("key"))
+    val seg = k.select(col("doc_id"), col("key"),
+        posexplode(array((0 until segments).map(i =>
+          substring(col("key"), i * segLen + 1, segLen)): _*))
+          .as(Seq("seg_idx", "seg")))
+    val cand = seg.as("a").join(seg.as("b"),
+        col("a.seg_idx") === col("b.seg_idx") &&
+          col("a.seg") === col("b.seg") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.key").as("key_a"),
+        col("b.doc_id").as("id_b"), col("b.key").as("key_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def pairSourceMatrix(pairs: DataFrame, docs: DataFrame,
       srcCol: String = "source"): DataFrame = {
     val src = docs.select(col("doc_id"), col(srcCol))

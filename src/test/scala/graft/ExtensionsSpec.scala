@@ -1445,6 +1445,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("fuzzyPairs: blocked ≡ brute on the corpus; typo found, distance-3 rejected") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = operators.Dedup.fuzzyPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side brute force over the same normalized keys — every
+    // within-distance pair must be found (the corpus' dups are the
+    // substitution class the pigeonhole is lossless for)
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ")
+      .take(operators.Dedup.FuzzyKeyChars)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val keys = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1)))
+    val brute = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && lev(ka, kb) <= operators.Dedup.FuzzyMaxDist
+    } yield (ia, ib) -> lev(ka, kb).toLong).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty) // the corpus must actually exercise it
+    // planted: one substitution typo is found at dist 1; three
+    // substitutions exceed the threshold and must NOT appear
+    val p = Seq(
+        (1000L, "the quick brown fox jumps over it"),
+        (1001L, "the quack brown fox jumps over it"),   // 1 sub
+        (1002L, "thX quick brXwn fox jumXs over it"))   // 3 subs vs 1000
+      .toDF("doc_id", "text")
+    val pp = operators.Dedup.fuzzyPairs(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pp.get((1000L, 1001L)) === Some(1L))
+    assert(!pp.contains((1000L, 1002L)))
+  }
+
   test("blocklistTag: density flag, asc tie-break, case-fold, zero-token doc clean") {
     val s = spark
     import s.implicits._
