@@ -1711,6 +1711,12 @@ object SparkEntry {
     "events_cusum" -> ((s, d) =>
       EventWindows.cusum(Tables.table(s, d, "events"))
         .orderBy("event_type", "hour_epoch")),
+    // season-relative deviation: hourly counts against their own
+    // (type, dow, hour-of-day) profile-cell mean — a Monday-9am spike
+    // that's normal FOR Monday-9am reports ~0 here; integer milli/ppm
+    "events_seasonal_resid" -> ((s, d) =>
+      EventWindows.seasonalResiduals(Tables.table(s, d, "events"))
+        .orderBy("event_type", "hour_epoch")),
     // multi-touch attribution: per conversion, the trailing-24h click
     // touches (count + first/last ids; zero-touch conversions report
     // with sentinels) — interval join, never a per-user cross product
@@ -5398,6 +5404,30 @@ object SparkEntry {
         s"CAST(CASE WHEN cusum_lo_milli > $am * mu_milli THEN 1 ELSE 0 " +
         "END AS BIGINT) AS alarm_lo FROM c"
     },
+    // seasonal-residual oracle: same hourly buckets, (type, dow, hod)
+    // cell means over present hours, sign-split integer ppm
+    "events_seasonal_resid" ->
+      ("WITH h AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "hh AS (SELECT *, (hour_epoch // 86400 + 4) % 7 AS dow, " +
+        "(hour_epoch // 3600) % 24 AS hod FROM h), " +
+        "cells AS (SELECT event_type, dow, hod, " +
+        "SUM(cnt) * 1000 // COUNT(*) AS cell_mean_milli FROM hh " +
+        "GROUP BY 1, 2, 3), " +
+        "j AS (SELECT hh.event_type, hh.hour_epoch, hh.dow, hh.hod, " +
+        "hh.cnt, c.cell_mean_milli, " +
+        "hh.cnt * 1000 - c.cell_mean_milli AS resid_milli FROM hh " +
+        "JOIN cells c ON c.event_type = hh.event_type " +
+        "AND c.dow = hh.dow AND c.hod = hh.hod) " +
+        "SELECT event_type, hour_epoch, CAST(dow AS BIGINT) AS dow, " +
+        "CAST(hod AS BIGINT) AS hod, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(cell_mean_milli AS BIGINT) AS cell_mean_milli, " +
+        "CAST(resid_milli AS BIGINT) AS resid_milli, " +
+        "CAST(CASE WHEN resid_milli < 0 THEN " +
+        "-((-resid_milli) * 1000000 // GREATEST(cell_mean_milli, 1)) " +
+        "ELSE resid_milli * 1000000 // GREATEST(cell_mean_milli, 1) " +
+        "END AS BIGINT) AS resid_ppm FROM j"),
     // attribution oracle: literal theta join for the touch pairing,
     // first/last via row_number over (click_us, click_id), zero-touch
     // conversions kept by the LEFT join with the same sentinels

@@ -744,6 +744,50 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Seasonally-adjusted hourly residuals — the third member of the
+    * monitoring triad (spike: `hourlyAnomaly`; sustained drift:
+    * `cusum`; season-relative deviation: this). Each (type, hour)
+    * bucket reports its count against the MEAN of its own
+    * (type, dow, hour-of-day) seasonality cell (the `seasonality`
+    * profile's grid, per type), as exact milli-count integers:
+    * `cell_mean_milli = cell_total·1000 div cell_n` over the cell's
+    * PRESENT hours, `resid_milli = cnt·1000 − cell_mean_milli`, plus
+    * the relative deviation in ppm of the cell mean (sign carried;
+    * `resid·1e6 div max(mean,1)`). Thresholding is the consumer's —
+    * this emits statistics, not policy (the hourlyAnomaly contract).
+    * A Monday-9am spike that's normal FOR Monday-9am reports near
+    * zero here while the raw spike ratio flags it; that's the point.
+    *
+    * Scale shape: the event-sized work is the one map-side-combined
+    * (hour, type) count; the 168-cell-per-type profile joins back
+    * BROADCAST, everything downstream is hours-sized.
+    */
+  def seasonalResiduals(events: DataFrame): DataFrame = {
+    val h = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"))
+      .withColumn("dow", expr("(hour_epoch div 86400 + 4) % 7"))
+      .withColumn("hod", expr("(hour_epoch div 3600) % 24"))
+    val cells = h.groupBy("event_type", "dow", "hod")
+      .agg(sum("cnt").as("cell_total"), count(lit(1)).as("cell_n"))
+      .select(col("event_type"), col("dow"), col("hod"),
+        expr("cell_total * 1000 div cell_n").as("cell_mean_milli"))
+    // the ppm ratio divides sign × magnitude explicitly: Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, so a
+    // negative residual must never reach either divider directly
+    h.join(broadcast(cells), Seq("event_type", "dow", "hod"))
+      .withColumn("resid_milli", expr("cnt * 1000 - cell_mean_milli"))
+      .select(col("event_type"), col("hour_epoch"), col("dow"),
+        col("hod"), col("cnt"), col("cell_mean_milli"),
+        col("resid_milli"),
+        expr("CASE WHEN resid_milli < 0 THEN " +
+          "-((-resid_milli) * 1000000 div greatest(cell_mean_milli, 1)) " +
+          "ELSE resid_milli * 1000000 div greatest(cell_mean_milli, 1) " +
+          "END").as("resid_ppm"))
+  }
+
   def propsStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),

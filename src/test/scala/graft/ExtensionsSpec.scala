@@ -1445,6 +1445,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("seasonalResiduals: cell means over present hours; negative ppm truncates toward zero") {
+    val s = spark
+    import s.implicits._
+    // two Mondays 09:00 UTC (2024-01-01 is a Monday): counts 10 and 4
+    // → cell mean 7000 milli, residuals ±3000; plus one lone Tuesday
+    // cell (residual exactly 0 — its own mean)
+    val mon1 = 1704099600L // 2024-01-01T09:00:00Z
+    val mon2 = mon1 + 7L * 86400L
+    val tue = mon1 + 86400L
+    val rows = (0 until 10).map(i => (i.toLong, mon1 + 60L * i)) ++
+      (0 until 4).map(i => (100L + i, mon2 + 60L * i)) ++
+      Seq((200L, tue))
+    val df = rows.toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .withColumn("event_type", lit("click"))
+    val got = graft.streaming.EventWindows.seasonalResiduals(df)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    // dow 1 = Monday (epoch+4 convention), hod 9
+    assert(got(mon1) === ((1L, 9L, 7000L, 3000L, 428571L)))
+    // negative residual: −(3000·1e6 div 7000) = −428571, NOT −428572
+    // (floor) — the sign-split truncation both engines share
+    assert(got(mon2) === ((1L, 9L, 7000L, -3000L, -428571L)))
+    assert(got(tue) === ((2L, 9L, 1000L, 0L, 0L)))
+  }
+
   test("fuzzyPairs: blocked ≡ brute on the corpus; typo found, distance-3 rejected") {
     val s = spark
     import s.implicits._
