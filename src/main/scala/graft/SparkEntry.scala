@@ -703,6 +703,12 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
+    // RM3-style pseudo-relevance feedback: top-3 feedback docs' terms
+    // (minus the query's own) ranked by fbtf×idf join the query, then
+    // a second pass over the SAME cached tf/stats — the recall move
+    "text_bm25_prf" -> ((s, d) =>
+      TextOps.bm25Prf(Tables.table(s, d, "documents"))
+        .orderBy("query_id", "rank")),
     // hashed tf-idf sparse features (Weinberger et al. 2009): signed
     // feature hashing × the exact-integer BM25 idf — the linear-model
     // feature extractor
@@ -2423,20 +2429,15 @@ object SparkEntry {
     * posting's contribution is unchanged and a capped doc's score is
     * a partial sum of its full score.
     */
-  private def bm25SqlFor(k: Int, postingCap: Long = 0L): String = {
+  /** The shared BM25 CTE core (corpus/tok/tf/lens/stats/dfr/idf/qt —
+    * no WITH prefix) used by bm25SqlFor and Bm25PrfSql.
+    */
+  private def bm25CoreCtes: String = {
     val nq = TextOps.Bm25Queries
-    val k1 = TextOps.Bm25K1pm
-    val b = TextOps.Bm25Bpm
-    val candCte = if (postingCap <= 0L) "" else
-      ", tfr AS (SELECT token, doc_id, tf, row_number() OVER " +
-        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS prn FROM tf), " +
-        s"tfc AS (SELECT token, doc_id, tf FROM tfr WHERE prn <= $postingCap)"
-    val tfSrc = if (postingCap <= 0L) "tf" else "tfc"
-    s"WITH corpus AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
+    s"corpus AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk " +
       s"FROM documents WHERE doc_id >= $nq), " +
       "tok AS (SELECT doc_id, unnest(tk) AS token FROM corpus), " +
-      "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)" +
-      candCte + ", " +
+      "tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), " +
       "lens AS (SELECT doc_id, len(tk)::BIGINT AS len_d FROM corpus), " +
       // degenerate-corpus guard mirroring the operator's
       // max(1, ...) / nDocs==0 branches: an empty or zero-token corpus
@@ -2450,19 +2451,75 @@ object SparkEntry {
       "(2 * df + 1) + 1 AS BIGINT)))::BIGINT AS idf_bits FROM dfr, stats s), " +
       "qt AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, " +
       "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents " +
-      s"WHERE doc_id < $nq)), " +
-      s"con AS (SELECT qt.query_id, $tfSrc.doc_id, " +
+      s"WHERE doc_id < $nq))"
+  }
+
+  /** One BM25 scoring tail (contrib/sum CTEs, unterminated — callers
+    * append the ranking) of `qtRel` against `tfSrc`, writing the
+    * summed relation as `scName`.
+    */
+  private def bm25ScoreCtes(tfSrc: String, qtRel: String,
+      scName: String): String = {
+    val k1 = TextOps.Bm25K1pm
+    val b = TextOps.Bm25Bpm
+    s"con$scName AS (SELECT $qtRel.query_id, $tfSrc.doc_id, " +
       s"idf.idf_bits * ($tfSrc.tf * ($k1 + 1000) * 1000 * 1000000 // " +
       s"($tfSrc.tf * 1000000 + $k1 * (1000 - $b) + " +
       s"$k1 * $b * (l.len_d * 1000000000 // s.avglen_ppm) // 1000)) AS contrib " +
-      s"FROM $tfSrc JOIN qt USING (token) JOIN idf USING (token) " +
+      s"FROM $tfSrc JOIN $qtRel USING (token) JOIN idf USING (token) " +
       s"JOIN lens l ON l.doc_id = $tfSrc.doc_id, stats s), " +
-      "sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score " +
-      "FROM con GROUP BY 1, 2), " +
+      s"$scName AS (SELECT query_id, doc_id, " +
+      s"CAST(SUM(contrib) AS BIGINT) AS score FROM con$scName GROUP BY 1, 2)"
+  }
+
+  private def bm25SqlFor(k: Int, postingCap: Long = 0L): String = {
+    val candCte = if (postingCap <= 0L) "" else
+      "tfr AS (SELECT token, doc_id, tf, row_number() OVER " +
+        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS prn FROM tf), " +
+        s"tfc AS (SELECT token, doc_id, tf FROM tfr WHERE prn <= $postingCap), "
+    val tfSrc = if (postingCap <= 0L) "tf" else "tfc"
+    s"WITH $bm25CoreCtes, " + candCte +
+      bm25ScoreCtes(tfSrc, "qt", "sc") + ", " +
       "r AS (SELECT query_id, doc_id, score, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk FROM sc) " +
       s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, score " +
       s"FROM r WHERE rnk <= $k"
+  }
+
+  /** text_bm25_prf oracle — the bm25 core + first-pass ranking, the
+    * feedback-doc term pool minus original query terms ranked by
+    * Σtf × idf_bits (full-vocabulary dfr = the operator's true-df
+    * values), top-PrfExpansionTerms per query joined back, second
+    * scoring pass over the expanded term set.
+    */
+  private lazy val Bm25PrfSql: String = {
+    val fb = TextOps.PrfFeedbackDocs
+    val ex = TextOps.PrfExpansionTerms
+    s"WITH $bm25CoreCtes, " +
+      bm25ScoreCtes("tf", "qt", "sc") + ", " +
+      "fbr AS (SELECT query_id, doc_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk " +
+      "FROM sc), " +
+      s"fbd AS (SELECT query_id, doc_id FROM fbr WHERE rnk <= $fb), " +
+      "cand AS (SELECT f.query_id, tf.token, " +
+      "CAST(SUM(tf.tf) AS BIGINT) AS fbtf FROM tf " +
+      "JOIN fbd f ON f.doc_id = tf.doc_id GROUP BY 1, 2), " +
+      "exr AS (SELECT c.query_id, c.token, c.fbtf * i.idf_bits AS w " +
+      "FROM cand c JOIN idf i USING (token) " +
+      "LEFT JOIN qt ON qt.query_id = c.query_id AND qt.token = c.token " +
+      "WHERE qt.token IS NULL), " +
+      "exp AS (SELECT query_id, token FROM (SELECT query_id, token, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      s"ORDER BY w DESC, token ASC) AS rn FROM exr) WHERE rn <= $ex), " +
+      "qt2 AS (SELECT DISTINCT query_id, token FROM " +
+      "(SELECT query_id, token FROM qt " +
+      "UNION ALL SELECT query_id, token FROM exp)), " +
+      bm25ScoreCtes("tf", "qt2", "sc2") + ", " +
+      "r2 AS (SELECT query_id, doc_id, score, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk " +
+      "FROM sc2) " +
+      s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, score " +
+      s"FROM r2 WHERE rnk <= ${TextOps.Bm25K}"
   }
 
   private val Bm25Sql: String = bm25SqlFor(TextOps.Bm25K)
@@ -4112,6 +4169,7 @@ object SparkEntry {
         "SELECT qd.q_decile, sd.s_decile, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM qd JOIN sd ON sd.doc_id = qd.doc_id GROUP BY 1, 2"),
     "text_bm25" -> Bm25Sql,
+    "text_bm25_prf" -> Bm25PrfSql,
     // inverted index: same \S+ tokens, df floor, (tf desc, doc_id)
     // posting rank — row_number is the TopKPerKey twin
     "text_postings" -> PostingsSql,

@@ -1704,6 +1704,21 @@ object TextOps {
     */
   def bm25(docs: DataFrame, k: Int = Bm25K,
       nQueries: Long = Bm25Queries): DataFrame = {
+    val c = bm25Corpus(docs, nQueries)
+    bm25Score(c, bm25QueryTerms(docs, nQueries), k)
+  }
+
+  /** The cached corpus state one BM25 session shares across scoring
+    * passes: the (doc_id, token, tf, len_d) relation plus the two
+    * stat literals. Factored from `bm25` so `bm25Prf`'s second pass
+    * reuses the SAME tf/stats (expression-for-expression identical —
+    * the gates' hashes depend on it).
+    */
+  private[graft] case class Bm25State(tf: DataFrame, nDocs: Long,
+    avglenPpm: Long)
+
+  private[graft] def bm25Corpus(docs: DataFrame,
+      nQueries: Long): Bm25State = {
     val corpus = docs.filter(col("doc_id") >= nQueries)
     // ONE corpus pass, ONE corpus-sized shuffle: the doc length rides
     // the exploded rows INTO the (doc_id, token) aggregation (first()
@@ -1731,16 +1746,32 @@ object TextOps {
     }
     val avglenPpm = math.max(1L, if (nDocs == 0) 1L
       else totalTokens * 1000000L / nDocs)
+    Bm25State(tf, nDocs, avglenPpm)
+  }
+
+  /** The distinct (query_id, token) relation of the query docs. */
+  private[graft] def bm25QueryTerms(docs: DataFrame,
+      nQueries: Long): DataFrame =
+    docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(tokens(col("text"))).as("token"))
+      .distinct()
+
+  /** One BM25 scoring pass of `qterms` against the shared corpus
+    * state — tf prefiltered by the broadcast term set, df only over
+    * the query vocabulary, the exact-integer contribution chain, and
+    * the k-bounded heap.
+    */
+  private[graft] def bm25Score(c: Bm25State, qterms: DataFrame,
+      k: Int): DataFrame = {
+    val nDocs = c.nDocs
+    val avglenPpm = c.avglenPpm
     // df is aggregated ONLY over the query vocabulary — tf is
     // prefiltered by the broadcast term set, so the df stage is bounded
     // by (docs containing a query term), never the full vocabulary;
     // terms absent from the corpus simply have no tf rows (score 0)
-    val qterms = docs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(tokens(col("text"))).as("token"))
-      .distinct()
     val tfq = graft.Caches.track(
-      tf.join(broadcast(qterms.select("token").distinct()), "token")
+      c.tf.join(broadcast(qterms.select("token").distinct()), "token")
         .persist(StorageLevel.MEMORY_AND_DISK))
     val qidf = qterms.join(
       tfq.groupBy("token").agg(count(lit(1)).as("df"))
@@ -1760,6 +1791,58 @@ object TextOps {
     graft.plans.TopK.perKey(scored, Seq("query_id"),
         Seq(col("score").desc, col("doc_id").asc), k)
       .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** PRF geometry: feedback depth and expansion-term count. Same
+    * constants MUST appear in the oracle SQL.
+    */
+  val PrfFeedbackDocs = 3
+  val PrfExpansionTerms = 5
+
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion,
+    * Lavrenko & Croft 2001 simplified to exact integers): a first
+    * BM25 pass retrieves each query's top-`fb` feedback docs; the
+    * terms of those docs — MINUS the original query terms — are
+    * ranked by Σtf(across the feedback docs) × idf_bits (true df) and
+    * the top `ex` join the query; the second BM25 pass scores the
+    * expanded term set with the exact same formula over the SAME
+    * cached tf/stats. Expansion surfaces docs sharing vocabulary with
+    * what the query RETRIEVES rather than what it SAYS — the recall
+    * move every serious keyword tier ships.
+    *
+    * Scale shape: two scoring passes over the shared cached tf (each
+    * the bm25 broadcast shape); between them, feedback docs are
+    * queries × fb rows (broadcast) and candidate terms are bounded by
+    * feedback-doc vocabulary — everything between the passes is
+    * query-sized, never corpus-sized.
+    */
+  def bm25Prf(docs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries, fb: Int = PrfFeedbackDocs,
+      ex: Int = PrfExpansionTerms): DataFrame = {
+    val c = bm25Corpus(docs, nQueries)
+    val qt = bm25QueryTerms(docs, nQueries)
+    // ex = 0 is the identity: no expansion, one scoring pass — the
+    // spec's collapse law (TopK's heap needs k ≥ 1, so short-circuit)
+    if (ex == 0) return bm25Score(c, qt, k)
+    val fbDocs = bm25Score(c, qt, fb).select(col("query_id"), col("doc_id"))
+    val cand = c.tf.join(broadcast(fbDocs), "doc_id")
+      .groupBy("query_id", "token").agg(sum("tf").as("fbtf"))
+    val idf = c.tf
+      .join(broadcast(cand.select("token").distinct()), "token")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .select(col("token"),
+        length(bin(expr(s"(2 * (${c.nDocs} - df) + 1) div (2 * df + 1) + 1")))
+          .cast("long").as("idf_bits"))
+    val expansion = graft.plans.TopK.perKey(
+        cand.join(broadcast(qt.withColumn("orig", lit(1L))),
+            Seq("query_id", "token"), "left")
+          .filter(col("orig").isNull)
+          .join(broadcast(idf), "token")
+          .select(col("query_id"), col("token"),
+            (col("fbtf") * col("idf_bits")).as("w")),
+        Seq("query_id"), Seq(col("w").desc, col("token").asc), ex)
+      .select("query_id", "token")
+    bm25Score(c, qt.unionByName(expansion).distinct(), k)
   }
 
   /** The FORWARD index next to the postings: `(doc_id, len_d)` —
