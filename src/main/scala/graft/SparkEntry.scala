@@ -1387,6 +1387,13 @@ object SparkEntry {
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // MMR diversity re-rank: greedy λ=0.7 marginal-relevance pass
+    // over the exact top-16 shortlist — rank IS selection order;
+    // after the shortlist everything is queries×cand²-sized
+    "knn_mmr" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.table(s, d, "embeddings"),
+          Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
     // graph-served ANN: synchronous beam search over the STORED kNN
     // graph (HNSW/DiskANN's search loop, fixed rounds so the oracle
     // unrolls it) — adjacency round-trips parquet; per round one map
@@ -2888,6 +2895,63 @@ object SparkEntry {
       "ORDER BY l2_fp ASC, vec_id ASC) AS rnk FROM fin) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
       s"l2_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
+  }
+
+  /** knn_mmr oracle — brute-L2 shortlist at MmrCandidates depth, the
+    * pairwise candidate-distance relation, then DefaultK−1 greedy MMR
+    * rounds unrolled: each round anti-joins the selected set, scores
+    * remaining candidates by (1000−λ)·min_sel_l2 − λ·l2q, and takes
+    * the (score desc, id asc) argmax. MATERIALIZED base/pair CTEs.
+    */
+  private lazy val KnnMmrSql: String = {
+    val cand = Similarity.MmrCandidates
+    val lam = Similarity.MmrLambdaPm
+    val k = Similarity.DefaultK
+    val rounds = (2 to k).map { r =>
+      val prev = s"t${r - 1}"
+      s"m$r AS (SELECT p.query_id, p.cand_id, MIN(p.pl2) AS msl " +
+        s"FROM pp p JOIN $prev t ON t.query_id = p.query_id " +
+        "AND t.neighbor_id = p.sel_id GROUP BY 1, 2), " +
+        s"s$r AS (SELECT query_id, neighbor_id, l2_fp, " +
+        s"CAST($r AS BIGINT) AS rnk FROM (" +
+        "SELECT b.query_id, b.neighbor_id, b.l2_fp, row_number() OVER " +
+        "(PARTITION BY b.query_id ORDER BY " +
+        s"(${1000L - lam} * m$r.msl - $lam * b.l2_fp) DESC, " +
+        "b.neighbor_id ASC) AS rn " +
+        s"FROM base b JOIN m$r ON m$r.query_id = b.query_id " +
+        s"AND m$r.cand_id = b.neighbor_id " +
+        s"LEFT JOIN $prev sel ON sel.query_id = b.query_id " +
+        "AND sel.neighbor_id = b.neighbor_id " +
+        "WHERE sel.neighbor_id IS NULL) WHERE rn = 1), " +
+        s"t$r AS (SELECT query_id, neighbor_id, l2_fp, rnk FROM $prev " +
+        s"UNION ALL SELECT query_id, neighbor_id, l2_fp, rnk FROM s$r)"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}), " +
+      "sa AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+      s"CAST(floor(${l2BlockSql("q.q_emb", "e.embedding", 0, 1)} " +
+      "* 1000000.0) AS BIGINT) AS l2_fp " +
+      "FROM e, q WHERE e.vec_id <> q.query_id), " +
+      "base AS MATERIALIZED (SELECT query_id, neighbor_id, l2_fp FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY l2_fp ASC, neighbor_id ASC) AS brn FROM sa) " +
+      s"WHERE brn <= $cand), " +
+      "pp AS MATERIALIZED (SELECT a.query_id, " +
+      "a.neighbor_id AS cand_id, b.neighbor_id AS sel_id, " +
+      s"CAST(floor(${l2BlockSql("ea.embedding", "eb.embedding", 0, 1)} " +
+      "* 1000000.0) AS BIGINT) AS pl2 " +
+      "FROM base a JOIN base b ON a.query_id = b.query_id " +
+      "AND a.neighbor_id <> b.neighbor_id " +
+      "JOIN e ea ON ea.vec_id = a.neighbor_id " +
+      "JOIN e eb ON eb.vec_id = b.neighbor_id), " +
+      "t1 AS (SELECT query_id, neighbor_id, l2_fp, " +
+      "CAST(1 AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY l2_fp ASC, neighbor_id ASC) " +
+      "AS rn FROM base) WHERE rn = 1), " +
+      s"$rounds " +
+      "SELECT query_id, rnk AS \"rank\", neighbor_id, l2_fp " +
+      s"FROM t$k"
   }
 
   /** knn_ivf oracle — shared by knn_recall (its approximate side).
@@ -5184,6 +5248,7 @@ object SparkEntry {
     },
     "knn_graph" -> KnnGraphSql,
     "knn_beam" -> KnnBeamSql,
+    "knn_mmr" -> KnnMmrSql,
     "knn_beam_recall" -> recallSql(KnnBruteL2Sql, KnnBeamSql),
     // reciprocated pairs of the shared KnnGraphSql relation, canonical
     // lo<hi; cosine from side a (bit-equal both ways — the graph

@@ -865,6 +865,97 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "l2_fp")
   }
 
+  // ---- MMR diversity re-ranking ----
+
+  /** MMR geometry: shortlist depth and λ in per-mille (700 = the
+    * classic 0.7 relevance weight). Same constants MUST appear in the
+    * oracle SQL.
+    */
+  val MmrCandidates = 16
+  val MmrLambdaPm = 700L
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity pass between retrieval and
+    * consumption: from each query's exact top-`cand` shortlist,
+    * greedily select `k` results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`, which in
+    * integer squared-L2 form is the argmax of
+    * `(1000−λpm)·min_sel_l2 − λpm·l2q` (sim = −distance; first pick =
+    * plain relevance argmin, ties → smaller id). Near-duplicate
+    * results burn shortlist slots; MMR spends them on coverage — the
+    * re-rank every RAG serving tier wants between ANN and the
+    * context window. `rank` is SELECTION ORDER (the diversity
+    * ordering), not distance order.
+    *
+    * Scale shape: the shortlist is queries × cand rows; its pairwise
+    * distance relation (queries × cand² rows, both tiny) is computed
+    * ONCE by broadcasting the shortlist against the embedding corpus
+    * (one map pass fetches candidate floats), then the k greedy
+    * rounds run driver-looped over those bounded relations — no
+    * corpus-sized work after the shortlist.
+    */
+  def mmrRerank(emb: DataFrame, queryEmb: DataFrame, k: Int = DefaultK,
+      cand: Int = MmrCandidates, lambdaPm: Long = MmrLambdaPm,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    require(lambdaPm >= 0L && lambdaPm <= 1000L,
+      s"lambdaPm must be in [0, 1000], got $lambdaPm")
+    val base = graft.Caches.track(
+      knnBruteL2(emb, cand, nQueries)
+        .select(col("query_id"), col("neighbor_id"), col("l2_fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // candidate floats fetched once; pairwise distances within each
+    // query's shortlist (queries × cand² rows — bounded)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val withEmb = base
+      .join(broadcast(base.select("neighbor_id").distinct())
+          .join(e, col("neighbor_id") === col("vec_id"))
+          .select(col("neighbor_id").as("nid"), col("embedding")),
+        col("neighbor_id") === col("nid"))
+      .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
+        col("embedding"))
+    val pairs = graft.Caches.track(withEmb.as("a")
+      .join(withEmb.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("cand_id"),
+        col("b.neighbor_id").as("sel_id"),
+        floor(aggregate(
+          zip_with(col("a.embedding"), col("b.embedding"), (x, y) => {
+            val t = x.cast("double") - y.cast("double")
+            t * t
+          }),
+          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
+          .cast("long").as("pl2"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // round 1: pure relevance argmin
+    var sel = graft.plans.TopK.perKey(base, Seq("query_id"),
+        Seq(col("l2_fp").asc, col("neighbor_id").asc), 1)
+      .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
+        lit(1L).as("rank"))
+    for (r <- 2 to k) {
+      val remaining = base.join(
+        sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val minSel = pairs
+        .join(sel.select(col("query_id"),
+          col("neighbor_id").as("sel_id")), Seq("query_id", "sel_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(min(col("pl2")).as("min_sel_l2"))
+        .withColumnRenamed("cand_id", "neighbor_id")
+      val scored = remaining.join(minSel, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr",
+          (lit(1000L) - lit(lambdaPm)) * col("min_sel_l2") -
+            lit(lambdaPm) * col("l2_fp"))
+      val pick = graft.plans.TopK.perKey(scored, Seq("query_id"),
+          Seq(col("mmr").desc, col("neighbor_id").asc), 1)
+        .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
+          lit(r.toLong).as("rank"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
   /** PQ geometry: subspace count and per-subspace codebook size.
     * 4 blocks × 16 codewords compresses a 64-dim float vector to
     * 4 × 4 bits of codes — the 64× compression class (Jégou, Douze &

@@ -1445,6 +1445,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("mmrRerank: λ=1 ≡ relevance order; planted near-clone skipped for diversity") {
+    val s = spark
+    import s.implicits._
+    // λ = 1000 (pure relevance): selection order IS the brute top-k
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Similarity.mmrRerank(emb, emb, lambdaPm = 1000L)) ===
+      rows(Similarity.knnBruteL2(emb)))
+    // planted: candidate 2 is a near-clone of candidate 1; at λ=0.7
+    // round 2 must skip the clone and take the diverse candidate 3
+    val tiny = Seq(
+        (0L, Seq(0.0f, 0.0f)),     // the query
+        (1L, Seq(1.0f, 0.0f)),     // nearest
+        (2L, Seq(1.001f, 0.0f)),   // near-clone of 1
+        (3L, Seq(0.0f, 1.2f)))     // farther but diverse
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(tiny, tiny, k = 3, nQueries = 1L)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got === Seq(1L, 3L, 2L))
+    // plain relevance would have ranked the clone second
+    val rel = Similarity.knnBruteL2(tiny, k = 3, nQueries = 1L)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(rel === Seq(1L, 2L, 3L))
+  }
+
   test("bm25Prf: ex=0 ≡ bm25; expansion changes some ranking; originals never expand") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
