@@ -904,6 +904,15 @@ object SparkEntry {
     "dedup_fuzzy" -> ((s, d) =>
       Dedup.fuzzyPairs(Tables.table(s, d, "documents"))
         .orderBy("id_a", "id_b")),
+    // entity resolution closed out: connected components over the
+    // fuzzy pairs through the SAME star-contraction machinery every
+    // other dedup family resolves with
+    "dedup_fuzzy_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dupClusters(Dedup.fuzzyPairs(Tables.table(s, d, "documents"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.table(s, d, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_minhash" -> ((s, d) =>
@@ -2527,6 +2536,28 @@ object SparkEntry {
       "FROM sc2) " +
       s"SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, score " +
       s"FROM r2 WHERE rnk <= ${TextOps.Bm25K}"
+  }
+
+  /** dedup_fuzzy oracle — normalized key, aligned-segment candidates,
+    * levenshtein verify; shared by dedup_fuzzy_clusters' closure.
+    */
+  private lazy val FuzzyPairsSql: String = {
+    val (kc, ns, md) = (Dedup.FuzzyKeyChars, Dedup.FuzzySegments,
+      Dedup.FuzzyMaxDist)
+    val sl = kc / ns
+    val segIdx = (1 to ns).map(_.toString).mkString(", ")
+    s"WITH k AS (SELECT doc_id, substring(lower(" +
+      "regexp_replace(text, '\\s+', ' ', 'g')), 1, " + kc +
+      ") AS key FROM documents), " +
+      s"seg AS (SELECT doc_id, key, i AS seg_idx, " +
+      s"substring(key, (i - 1) * $sl + 1, $sl) AS seg FROM k, " +
+      s"unnest([$segIdx]) t(i)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, a.key AS key_a, " +
+      "b.doc_id AS id_b, b.key AS key_b FROM seg a JOIN seg b " +
+      "ON a.seg_idx = b.seg_idx AND a.seg = b.seg " +
+      "AND a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) " +
+      s"AS dist FROM cand WHERE levenshtein(key_a, key_b) <= $md"
   }
 
   private val Bm25Sql: String = bm25SqlFor(TextOps.Bm25K)
@@ -4776,24 +4807,18 @@ object SparkEntry {
     "dedup_ngram" -> NgramPairsSql,
     // the same normalized key, aligned-segment candidates, and
     // levenshtein verify — constants from Dedup
-    "dedup_fuzzy" -> {
-      val (kc, ns, md) = (Dedup.FuzzyKeyChars, Dedup.FuzzySegments,
-        Dedup.FuzzyMaxDist)
-      val sl = kc / ns
-      val segIdx = (1 to ns).map(_.toString).mkString(", ")
-      s"WITH k AS (SELECT doc_id, substring(lower(" +
-        "regexp_replace(text, '\\s+', ' ', 'g')), 1, " + kc +
-        ") AS key FROM documents), " +
-        s"seg AS (SELECT doc_id, key, i AS seg_idx, " +
-        s"substring(key, (i - 1) * $sl + 1, $sl) AS seg FROM k, " +
-        s"unnest([$segIdx]) t(i)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, a.key AS key_a, " +
-        "b.doc_id AS id_b, b.key AS key_b FROM seg a JOIN seg b " +
-        "ON a.seg_idx = b.seg_idx AND a.seg = b.seg " +
-        "AND a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) " +
-        s"AS dist FROM cand WHERE levenshtein(key_a, key_b) <= $md"
-    },
+    "dedup_fuzzy" -> FuzzyPairsSql,
+    // connected components over the fuzzy pairs — the same recursive
+    // closure the dedup_clusters oracle runs over the ngram pairs
+    "dedup_fuzzy_clusters" ->
+      ("WITH RECURSIVE pairs AS (SELECT id_a AS doc_a, id_b AS doc_b " +
+        s"FROM ($FuzzyPairsSql) t), " +
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u) " +
+        "SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
+        "FROM reach GROUP BY u"),
     // text twin of knn_graph over the shared HsCte shingle relation:
     // rare-shingle (df <= maxDf) candidates, exact list_intersect
     // verify (the sorted-merge kernel's twin on distinct lists),
