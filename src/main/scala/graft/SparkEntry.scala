@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, Snapshot, TextOps}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, Snapshot, TextOps, Warehouse}
 import graft.sources.Tables
 import graft.streaming.EventWindows
 
@@ -506,6 +506,29 @@ object SparkEntry {
     "graph_clustering" -> ((s, d) =>
       GraphOps.clusteringCoefficient(GraphOps.edges(s, d), MaxRS)
         .orderBy("vertex")),
+    // ---- warehouse OLAP (TPC-H-shape plans over the star schema) ----
+    // Q1 shape: one scan-bound pass, pushed date filter, 6-group agg
+    "wh_pricing_summary" -> ((s, d) =>
+      Warehouse.pricingSummary(Tables.table(s, d, "lineitem"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // Q3 shape: segment dimension broadcast, fact-keyed revenue agg,
+    // TakeOrdered global top-10
+    "wh_top_orders" -> ((s, d) =>
+      Warehouse.topOrders(Tables.table(s, d, "customer"),
+        Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))),
+    // Q5 shape: snowflake dims broadcast, same-nation residual,
+    // one nation-keyed aggregate exchange
+    "wh_region_revenue" -> ((s, d) =>
+      Warehouse.regionRevenue(Tables.table(s, d, "region"),
+          Tables.table(s, d, "nation"), Tables.table(s, d, "customer"),
+          Tables.table(s, d, "supplier"), Tables.table(s, d, "orders"),
+          Tables.table(s, d, "lineitem"))
+        .orderBy("n_name")),
+    // Q4 shape: EXISTS as LEFT SEMI with a cross-table residual
+    "wh_order_priority" -> ((s, d) =>
+      Warehouse.orderPriority(Tables.table(s, d, "orders"),
+          Tables.table(s, d, "lineitem"))
+        .orderBy("o_orderpriority")),
     // ---- LLM-data-pipeline extensions (documents / embeddings / events) ----
     "text_tokens" -> ((s, d) =>
       TextOps.tokenCounts(Tables.table(s, d, "documents")).orderBy("doc_id")),
@@ -3953,6 +3976,59 @@ object SparkEntry {
         s"$QualitySqlExpr AS quality FROM b"),
     // blocklist oracle: the same declared-terms join, per-(doc, term)
     // counts, (c desc, term asc) argmax, integer ppm density
+    "wh_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) " +
+        "AS sum_base_cents, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_cents, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * " +
+        "(1.0 + l_tax) * 100.0) AS BIGINT)) AS BIGINT) AS sum_charge_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) * 1000000 // COUNT(*) " +
+        "AS BIGINT) AS avg_qty_ppm FROM lineitem " +
+        s"WHERE l_shipdate <= TIMESTAMP '${Warehouse.Q1Cutoff}' " +
+        "GROUP BY 1, 2"),
+    "wh_top_orders" ->
+      ("WITH cust AS (SELECT c_custkey FROM customer " +
+        s"WHERE c_mktsegment = '${Warehouse.Q3Segment}'), " +
+        "ord AS (SELECT o_orderkey FROM orders " +
+        "JOIN cust ON o_custkey = c_custkey " +
+        s"WHERE o_orderdate < TIMESTAMP '${Warehouse.Q3Date}'), " +
+        "li AS (SELECT l_orderkey, CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_c FROM lineitem " +
+        s"WHERE l_shipdate > TIMESTAMP '${Warehouse.Q3Date}'), " +
+        "agg AS (SELECT l_orderkey AS o_orderkey, " +
+        "CAST(SUM(rev_c) AS BIGINT) AS revenue_cents FROM li " +
+        "JOIN ord ON ord.o_orderkey = li.l_orderkey GROUP BY 1) " +
+        "SELECT o_orderkey, revenue_cents FROM agg " +
+        s"ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT ${Warehouse.Q3TopK}"),
+    "wh_region_revenue" ->
+      ("WITH nat AS (SELECT n_nationkey, n_name FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        s"WHERE r_name = '${Warehouse.Q5Region}'), " +
+        "cust AS (SELECT c_custkey, c_nationkey FROM customer " +
+        "JOIN nat ON c_nationkey = n_nationkey), " +
+        "supp AS (SELECT s_suppkey, s_nationkey FROM supplier " +
+        "JOIN nat ON s_nationkey = n_nationkey), " +
+        "ord AS (SELECT o_orderkey, c_nationkey FROM orders " +
+        "JOIN cust ON o_custkey = c_custkey " +
+        s"WHERE o_orderdate >= TIMESTAMP '${Warehouse.Q5Start}' " +
+        s"AND o_orderdate < TIMESTAMP '${Warehouse.Q5End}'), " +
+        "sn AS (SELECT s_suppkey, s_nationkey, n_name FROM supp " +
+        "JOIN nat ON s_nationkey = n_nationkey) " +
+        "SELECT n_name, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem " +
+        "JOIN ord ON l_orderkey = o_orderkey " +
+        "JOIN sn ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "GROUP BY 1"),
+    "wh_order_priority" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders " +
+        "FROM orders o " +
+        s"WHERE o_orderdate >= TIMESTAMP '${Warehouse.Q4Start}' " +
+        s"AND o_orderdate < TIMESTAMP '${Warehouse.Q4End}' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"),
     "text_blocklist" -> {
       val ts = TextOps.BlocklistTerms
         .map(t => s"'${t.toLowerCase}'").mkString(", ")

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Classic warehouse OLAP over the TPC-H-ish star schema
+  * (lineitem/orders/customer/supplier/nation/region) — the relational
+  * bread-and-butter a Spark analytics engine serves next to the
+  * graph/text/vector extensions. Four canonical plan shapes, each a
+  * TPC-H query skeleton adapted to the testdata's columns:
+  *
+  *   - Q1 (pricing summary): scan-heavy single-pass aggregate —
+  *     the pushed date filter + pruned ReadSchema + partial/final
+  *     HashAggregate plan IS the query; nothing else may appear.
+  *   - Q3 (top orders): selective dimension filter broadcast into the
+  *     fact table, one fact-keyed aggregation, TakeOrdered top-k.
+  *   - Q5 (region revenue): the multi-dim snowflake join — every
+  *     dimension broadcasts, the fact table never shuffles until the
+  *     final nation-keyed aggregate.
+  *   - Q4 (order priority): EXISTS as a LEFT SEMI join with a
+  *     cross-table residual condition.
+  *
+  * Float-parity rule: money is per-row floored to integer CENTS
+  * (`floor(expr · 100.0)`) before any aggregation — double sums are
+  * order-dependent, integer sums are not; every arithmetic chain is
+  * mirrored token-for-token in the oracle SQL.
+  *
+  * Timestamp robustness: the testdata's timestamp columns have shipped
+  * as both TIMESTAMP and TIMESTAMP_NTZ across harness generations (the
+  * events-loader lesson, Tables.scala) — `tsLit` types each literal to
+  * match the LOADED column so comparisons stay directly on the scan
+  * column (predicate pushdown) under either physical layout, and the
+  * UTC session makes the two layouts semantically identical.
+  */
+object Warehouse {
+
+  /** Declared query constants. Same values MUST appear in the oracle
+    * SQL.
+    */
+  val Q1Cutoff = "1998-09-01"
+  val Q3Segment = "BUILDING"
+  val Q3Date = "1997-01-01"
+  val Q5Region = "ASIA"
+  val Q5Start = "1997-01-01"
+  val Q5End = "1998-01-01"
+  val Q4Start = "1997-07-01"
+  val Q4End = "1997-10-01"
+  val Q3TopK = 10
+
+  private def tsLit(df: DataFrame, c: String, iso: String): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType => lit(iso).cast("timestamp_ntz")
+      case _ => lit(iso).cast("timestamp")
+    }
+
+  /** Revenue in cents: ⌊price · (1 − discount) · 100⌋ per row. */
+  private def revCents: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+
+  /** TPC-H Q1 shape — the pricing summary report: one pass over
+    * lineitem at the ship-date cutoff, grouped by (returnflag,
+    * linestatus), integer-cents sums and ppm means. Scale: THE
+    * scan-bound query — the date predicate reaches the parquet scan,
+    * ReadSchema carries only the 7 live columns, and the aggregate is
+    * 6 groups with map-side partials (plan-guarded).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= tsLit(lineitem, "l_shipdate", Q1Cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long")
+          .as("base_c"),
+        revCents.as("disc_c"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * lit(100.0)).cast("long")
+          .as("charge_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("qty").as("sum_qty"),
+        sum("base_c").as("sum_base_cents"),
+        sum("disc_c").as("sum_disc_cents"),
+        sum("charge_c").as("sum_charge_cents"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty_ppm", expr("sum_qty * 1000000 div n_rows"))
+
+  /** TPC-H Q3 shape — top unshipped-revenue orders for one market
+    * segment: the segment's customers (a selective dimension)
+    * BROADCAST into orders; the orders side of the fact join carries
+    * NO hint (fact-sized at scale — AQE broadcasts it when the filter
+    * makes it small, shuffles otherwise);
+    * one order-keyed revenue aggregation, global top-k by
+    * (revenue desc, orderkey asc) via TakeOrdered (driver-bounded
+    * k rows). The fact table never shuffles before its aggregate.
+    */
+  def topOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int = Q3TopK): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === lit(Q3Segment))
+      .select(col("c_custkey").as("o_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate") < tsLit(orders, "o_orderdate", Q3Date))
+      .join(broadcast(cust), "o_custkey")
+      .select(col("o_orderkey").as("l_orderkey"))
+    // orders is FACT-sized — no broadcast hint; at testdata scale AQE
+    // broadcasts the filtered side on its own, at 100 TB the
+    // l_orderkey equi-join shuffles (or co-buckets) both facts
+    lineitem
+      .filter(col("l_shipdate") > tsLit(lineitem, "l_shipdate", Q3Date))
+      .select(col("l_orderkey"), revCents.as("rev_c"))
+      .join(ord, "l_orderkey")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum("rev_c").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q5 shape — revenue by nation for one region's LOCAL trade
+    * (customer and supplier in the same nation), orders within one
+    * year: the region→nation dimension chain and both entity tables
+    * broadcast; the orders⋈lineitem fact join is unhinted (AQE
+    * broadcasts the year's orders when small, shuffles at scale) and
+    * only the (nation)-keyed aggregate adds an exchange after it.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val nat = nation
+      .join(broadcast(region.filter(col("r_name") === lit(Q5Region))
+          .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(nat),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier
+      .join(broadcast(nat),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= tsLit(orders, "o_orderdate", Q5Start) &&
+        col("o_orderdate") < tsLit(orders, "o_orderdate", Q5End))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("l_orderkey"), col("c_nationkey"))
+    // same fact-fact rule as topOrders: no hint on the orders side
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev_c"))
+      .join(ord, "l_orderkey")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_c").as("revenue_cents"))
+  }
+
+  /** TPC-H Q4 shape — order-priority check: orders in a one-quarter
+    * window having at least one lineitem shipped AFTER the order date
+    * (the testdata's "late shipment" stand-in for commit<receipt),
+    * counted by priority. EXISTS compiles to a LEFT SEMI join whose
+    * residual condition crosses both tables; the lineitem side
+    * carries only (orderkey, shipdate).
+    */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= tsLit(orders, "o_orderdate", Q4Start) &&
+        col("o_orderdate") < tsLit(orders, "o_orderdate", Q4End))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+}

@@ -395,6 +395,34 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("wh_pricing_summary: pushed date filter, pruned scan, partial+final agg, nothing else") {
+    val li = sources.Tables.table(spark, sf, "lineitem")
+    val q = graft.operators.Warehouse.pricingSummary(li)
+    val plan = q.queryExecution.executedPlan.toString
+    // the date predicate reaches the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), plan)
+    // only the 7 live columns are read — l_orderkey/partkey/suppkey/
+    // linenumber never leave the footer
+    assert(!plan.contains("l_orderkey"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("wh_region_revenue: dims broadcast, no cartesian, one agg exchange after the fact join") {
+    val plan = executedPlan("wh_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      plan)
+  }
+
+  test("wh_order_priority: EXISTS compiles to LEFT SEMI, never an aggregate-then-join") {
+    val plan = executedPlan("wh_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      plan)
+  }
+
   test("events_qsketch: map-side partial counts; null filter reaches the scan") {
     val plan = executedPlan("events_qsketch")
     // partial + final HashAggregate around one (group, bucket)
