@@ -524,6 +524,17 @@ object SparkEntry {
           Tables.table(s, d, "supplier"), Tables.table(s, d, "orders"),
           Tables.table(s, d, "lineitem"))
         .orderBy("n_name")),
+    // ROLLUP report: grouping-sets Expand plan — leaf + subtotal +
+    // grand-total rows in ONE pass, lvl = grouping_id
+    "wh_rollup" -> ((s, d) =>
+      Warehouse.revenueRollup(Tables.table(s, d, "lineitem"))
+        .orderBy("lvl", "l_returnflag", "l_linestatus")),
+    // Q17 shape: decorrelated scalar-agg join — per-part averages
+    // joined back to the fact on the same key, exact rational compare
+    "wh_small_qty" -> ((s, d) =>
+      Warehouse.smallQuantityRevenue(Tables.table(s, d, "part"),
+          Tables.table(s, d, "lineitem"))
+        .orderBy("p_brand")),
     // Q4 shape: EXISTS as LEFT SEMI with a cross-table residual
     "wh_order_priority" -> ((s, d) =>
       Warehouse.orderPriority(Tables.table(s, d, "orders"),
@@ -4021,6 +4032,24 @@ object SparkEntry {
         "JOIN ord ON l_orderkey = o_orderkey " +
         "JOIN sn ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
         "GROUP BY 1"),
+    "wh_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "wh_small_qty" ->
+      ("WITH li AS (SELECT l_partkey, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS qty, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_c FROM lineitem), " +
+        "pp AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_li FROM li GROUP BY 1) " +
+        "SELECT p_brand, CAST(SUM(rev_c) AS BIGINT) AS revenue_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_small FROM li " +
+        "JOIN pp ON pp.l_partkey = li.l_partkey " +
+        "JOIN part ON p_partkey = li.l_partkey " +
+        s"WHERE qty * ${Warehouse.Q17Den} * n_li < " +
+        s"sum_qty * ${Warehouse.Q17Num} GROUP BY 1"),
     "wh_order_priority" ->
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders " +
         "FROM orders o " +

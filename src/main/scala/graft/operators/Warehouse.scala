@@ -153,6 +153,59 @@ object Warehouse {
       .agg(sum("rev_c").as("revenue_cents"))
   }
 
+  /** Q17 small-quantity threshold: numerator/denominator of the 0.2
+    * fraction (exact rational compare — no float threshold). Same
+    * constants MUST appear in the oracle SQL.
+    */
+  val Q17Num = 1L
+  val Q17Den = 5L
+
+  /** ROLLUP report — revenue by (returnflag, linestatus) with the
+    * subtotal and grand-total rows (the Expand-operator plan class:
+    * GROUPING SETS materialize each row once per set, map-side
+    * combined — no self-union of re-scans). `lvl` is the grouping_id
+    * (0 = leaf, 1 = per-flag subtotal, 3 = grand total); NULL group
+    * keys are the standard rollup convention on both engines.
+    */
+  def revenueRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        revCents.as("rev_c"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("rev_c").as("revenue_cents"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("lvl"))
+
+  /** TPC-H Q17 shape — the decorrelated scalar-aggregate join:
+    * lineitems whose quantity is under `Q17Num/Q17Den` of their own
+    * part's average quantity, total value by brand. The correlated
+    * subquery `(SELECT avg(qty) FROM lineitem WHERE partkey = outer)`
+    * decorrelates into one per-part aggregate joined back to the
+    * fact — the aggregate-then-join class. The threshold compares
+    * exact integers: `qty · Den · n_part < Σqty_part · Num` (both
+    * sides from ⌊qty⌋ units) — no float average ever forms.
+    *
+    * Scale shape: one (partkey)-keyed aggregate over the fact + one
+    * equi-join back on the same key — co-partitioned, AQE reuses the
+    * exchange; part (a dimension) broadcasts for the brand label.
+    */
+  def smallQuantityRevenue(part: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      floor(col("l_quantity")).cast("long").as("qty"),
+      revCents.as("rev_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * lit(Q17Den) * col("n_li") <
+        col("sum_qty") * lit(Q17Num))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), "l_partkey")
+      .groupBy("p_brand")
+      .agg(sum("rev_c").as("revenue_cents"),
+        count(lit(1)).as("n_small"))
+  }
+
   /** TPC-H Q4 shape — order-priority check: orders in a one-quarter
     * window having at least one lineitem shipped AFTER the order date
     * (the testdata's "late shipment" stand-in for commit<receipt),

@@ -1445,6 +1445,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("smallQuantityRevenue: exact rational threshold, strict inequality") {
+    val s = spark
+    import s.implicits._
+    // part 1: qtys (1, 9) → avg 5, 0.2·avg = 1 — qty 1 is NOT < 1
+    // (strict), so no small rows; part 2: qtys (1, 100) → qty 1 IS
+    // under 101/10 — exactly one small row, exact integers both sides
+    val li = Seq(
+        (1L, 1.0, 100.0, 0.0), (1L, 9.0, 100.0, 0.0),
+        (2L, 1.0, 100.0, 0.0), (2L, 100.0, 100.0, 0.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val got = operators.Warehouse.smallQuantityRevenue(part, li)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("B2" -> 1L))
+  }
+
   test("mmrRerank: λ=1 ≡ relevance order; planted near-clone skipped for diversity") {
     val s = spark
     import s.implicits._

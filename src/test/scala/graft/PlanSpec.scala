@@ -423,6 +423,12 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("wh_rollup: grouping sets run through ONE Expand pass — no self-union of re-scans") {
+    val plan = executedPlan("wh_rollup")
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
+
   test("events_qsketch: map-side partial counts; null filter reaches the scan") {
     val plan = executedPlan("events_qsketch")
     // partial + final HashAggregate around one (group, bucket)
