@@ -1099,6 +1099,19 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("doc_id", "version")
     }),
+    // INCREMENTAL SCD2: the version-0 history round-trips parquet,
+    // then the v1/v2 batch folds in O(batch) — gated by the one-shot
+    // docs_scd2 SQL VERBATIM (chained ≡ one-shot IS the check)
+    "docs_scd2_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
+      val hDir = ivfTmpDir(s, d, "scd2_hist")
+      Snapshot.scd2History(cur).write.mode("overwrite").parquet(hDir)
+      Snapshot.scd2Apply(s.read.parquet(hDir), changes)
+        .select(col("doc_id"), col("version"), col("deleted"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("doc_id", "version")
+    }),
     // retention vacuum over the SAME history: purge rows no PIT query
     // at/after the watermark can reach; open rows (incl. tombstones)
     // always survive — PIT-invariance spec-pinned
@@ -2799,6 +2812,26 @@ object SparkEntry {
         phSql("CAST(COALESCE(cl.cluster_id, s.doc_id) AS VARCHAR)") +
         " % 100 < 10 THEN 'val' ELSE 'train' END AS split, s.keep_ppm " +
         "FROM smp s LEFT JOIN clus cl ON cl.doc_id = s.doc_id"
+  }
+
+  /** docs_scd2 oracle — the full change stream's SCD2 history in one
+    * window pass; shared VERBATIM by docs_scd2_apply (chained ≡
+    * one-shot).
+    */
+  private lazy val Scd2HistorySql: String = {
+    val open = Snapshot.Scd2Open
+    "WITH u AS (" +
+      "SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted " +
+      "FROM documents " +
+      "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), FALSE " +
+      "FROM documents WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), TRUE " +
+      "FROM documents WHERE doc_id % 7 = 3), " +
+      "h AS (SELECT doc_id, version, deleted, version AS valid_from, " +
+      s"COALESCE(LEAD(version) OVER (PARTITION BY doc_id " +
+      s"ORDER BY version), $open) AS valid_to FROM u) " +
+      "SELECT doc_id, version, deleted, valid_from, valid_to, " +
+      s"(valid_to = $open AND NOT deleted) AS is_current FROM h"
   }
 
   private def recallSql(exactSql: String, approxSql: String): String =
@@ -4847,21 +4880,11 @@ object SparkEntry {
     // change stream (the MergedSnapshotSql union without the side
     // column — SCD2 keys intervals by version alone); open intervals
     // carry the Scd2Open sentinel, is_current = open AND NOT deleted
-    "docs_scd2" -> {
-      val open = Snapshot.Scd2Open
-      "WITH u AS (" +
-        "SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted " +
-        "FROM documents " +
-        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), FALSE " +
-        "FROM documents WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), TRUE " +
-        "FROM documents WHERE doc_id % 7 = 3), " +
-        "h AS (SELECT doc_id, version, deleted, version AS valid_from, " +
-        s"COALESCE(LEAD(version) OVER (PARTITION BY doc_id " +
-        s"ORDER BY version), $open) AS valid_to FROM u) " +
-        "SELECT doc_id, version, deleted, valid_from, valid_to, " +
-        s"(valid_to = $open AND NOT deleted) AS is_current FROM h"
-    },
+    "docs_scd2" -> Scd2HistorySql,
+    // the incremental-apply gate shares the ONE-SHOT history SQL
+    // verbatim: chained(v0 stored, v1/v2 applied) ≡ one-shot IS the
+    // check (the postingsDelta/dedup_incremental discipline)
+    "docs_scd2_apply" -> Scd2HistorySql,
     "docs_vacuum" -> {
       // the docs_scd2 chain with the single retention range test on
       // top — the keep predicate IS the operator

@@ -140,6 +140,44 @@ object Snapshot {
         col("valid_to") === Scd2Open && !col(deletedCol))
   }
 
+  /** INCREMENTAL SCD2 apply — the production merge path (Delta's
+    * MERGE INTO a type-2 dimension): fold a batch of NEW versions
+    * into an existing `scd2History` relation WITHOUT rebuilding it.
+    * Per batch key: the stored open row (valid_to = Scd2Open,
+    * tombstones included) closes at that key's smallest batch
+    * version; stored closed rows pass through byte-identical; batch
+    * rows chain among themselves (the scd2History window, batch-sized
+    * only), last one open. Admission contract — every batch version
+    * is strictly greater than every stored version for its key (the
+    * postingsDelta batch-vocabulary discipline applied to versions);
+    * under it the chained law holds and is spec-pinned:
+    * `scd2Apply(scd2History(old), batch) ≡ scd2History(old ∪ batch)`.
+    *
+    * Scale shape: batch keys BROADCAST; the stored history is scanned
+    * map-only twice (touched semi-side + untouched anti pass-through)
+    * and never re-windowed — the only window partitions over batch
+    * rows. O(batch), not O(history): the property that makes type-2
+    * dimensions maintainable at 100 TB.
+    */
+  def scd2Apply(history: DataFrame, batch: DataFrame,
+      keyCol: String = "doc_id", versionCol: String = "version",
+      deletedCol: String = "deleted"): DataFrame = {
+    val firstNew = batch.groupBy(keyCol)
+      .agg(min(col(versionCol)).as("__first_new"))
+    val untouched = history.join(broadcast(firstNew.select(keyCol)),
+      Seq(keyCol), "left_anti")
+    val touched = history.join(broadcast(firstNew), Seq(keyCol))
+      .withColumn("is_current",
+        when(col("valid_to") === lit(Scd2Open), lit(false))
+          .otherwise(col("is_current")))
+      .withColumn("valid_to",
+        when(col("valid_to") === lit(Scd2Open), col("__first_new"))
+          .otherwise(col("valid_to")))
+      .drop("__first_new")
+    val fresh = scd2History(batch, keyCol, versionCol, deletedCol)
+    untouched.unionByName(touched).unionByName(fresh)
+  }
+
   /** SCD2 RETENTION VACUUM — the logical half of what Delta/Iceberg
     * VACUUM does to a versioned table: purge history rows that NO
     * point-in-time query at or after the retention watermark can ever

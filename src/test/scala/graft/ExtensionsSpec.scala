@@ -1445,6 +1445,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("scd2Apply: two chained batches ≡ one-shot history; tombstone closes; open rows survive untouched keys") {
+    val s = spark
+    import s.implicits._
+    val v0 = Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, false))
+      .toDF("doc_id", "version", "deleted")
+    val v1 = Seq((1L, 1L, false)).toDF("doc_id", "version", "deleted")
+    val v2 = Seq((1L, 2L, true), (2L, 2L, false))
+      .toDF("doc_id", "version", "deleted")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "version", "deleted", "valid_from",
+          "valid_to", "is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val oneShot = rows(operators.Snapshot.scd2History(
+      v0.unionByName(v1).unionByName(v2)))
+    val chained = rows(operators.Snapshot.scd2Apply(
+      operators.Snapshot.scd2Apply(
+        operators.Snapshot.scd2History(v0), v1), v2))
+    assert(chained === oneShot)
+    // key 3 never appears in a batch: its open row is byte-identical
+    val open = operators.Snapshot.Scd2Open
+    assert(chained.contains((3L, 0L, false, 0L, open, true)))
+    // key 1's tombstone is the open row but NOT current
+    assert(chained.contains((1L, 2L, true, 2L, open, false)))
+  }
+
   test("smallQuantityRevenue: exact rational threshold, strict inequality") {
     val s = spark
     import s.implicits._

@@ -423,6 +423,27 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("scd2Apply: stored history never re-windows — the only Window is batch-sized") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"))
+    val hist = graft.operators.Snapshot.scd2History(
+      docs.withColumn("version", lit(0L))
+        .withColumn("deleted", lit(false)))
+    val hDir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_plan").toString + "/hist"
+    hist.write.parquet(hDir)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+    val plan = graft.operators.Snapshot.scd2Apply(
+        spark.read.parquet(hDir), batch)
+      .queryExecution.executedPlan.toString
+    // exactly one Window (the batch chain); the stored history meets
+    // the batch keys as broadcast anti/equi joins, map-only
+    assert("Window".r.findAllIn(plan).size === 1, plan)
+    assert("graft_scd2_plan".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("wh_rollup: grouping sets run through ONE Expand pass — no self-union of re-scans") {
     val plan = executedPlan("wh_rollup")
     assert(plan.contains("Expand"), plan)
