@@ -1229,6 +1229,19 @@ object ScaleRehearsal {
     // fuzzy edit-distance pairs at 50k docs: segment-bucket equi-join
     // candidates, 24-char levenshtein verify on bucket-mates only
     t("dedup_fuzzy 50k docs")(operators.Dedup.fuzzyPairs(docs).count())
+
+    // warehouse facts at 60M rows (100 replicas of the sf0.1
+    // lineitem): Q1 prices the scan-bound aggregate, Q17 the
+    // decorrelated per-part agg + same-key join-back
+    val li60 = spark.range(100)
+      .crossJoin(spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"))
+      .drop("id")
+    t("wh_q1 60M rows")(
+      operators.Warehouse.pricingSummary(li60).count())
+    t("wh_small_qty 60M rows")(
+      operators.Warehouse.smallQuantityRevenue(
+        spark.read.parquet("/root/testdata/sf0.1/part.parquet"), li60)
+        .count())
     // one synchronous Louvain round on the sparse 10M/8 slice: edge
     // joins + vertex-keyed argmax, no iteration
     t("louvain 10M/8 slice")(
