@@ -1153,6 +1153,17 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.table(s, d, "embeddings"))
         .orderBy("label", "dim")),
+    // embedding drift: per-label centroid movement between the even/
+    // odd vec_id epochs — quantize-first integer centroids joined on
+    // (label, dim), exact Σ(Δmean_ppm)² — model/mix drift lands here
+    // before recall gates degrade
+    "embedding_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+        .orderBy("label")
+    }),
     // ONE exact Lloyd round from the hash-anchored init — the k-means
     // training STEP oracle-checked (flat L2 argmin assignment +
     // quantize-first integer mean update)
@@ -5253,6 +5264,15 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_ppm, " +
         "CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm " +
         "FROM q GROUP BY 1, 2"),
+    "embedding_drift" ->
+      ("WITH v0 AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings WHERE vec_id % 2 = 0), q0 AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim, CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM v0), c0 AS (SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm FROM q0 GROUP BY 1, 2), " +
+        "v1 AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding FROM embeddings WHERE vec_id % 2 = 1), q1 AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim, CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS q FROM v1), c1 AS (SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ppm FROM q1 GROUP BY 1, 2) " +
+        "SELECT c0.label, CAST(MAX(c0.n_vecs) AS BIGINT) AS n_old, " +
+        "CAST(MAX(c1.n_vecs) AS BIGINT) AS n_fresh, " +
+        "CAST(SUM((c1.mean_ppm - c0.mean_ppm) * " +
+        "(c1.mean_ppm - c0.mean_ppm)) AS BIGINT) AS drift_ppm2 " +
+        "FROM c0 JOIN c1 ON c1.label = c0.label AND c1.dim = c0.dim " +
+        "GROUP BY 1"),
     "embedding_lloyd" -> {
       // hash-anchored init, flat (L2 asc, cent_id asc) argmin
       // assignment, then the embedding_centroids quantize-first mean

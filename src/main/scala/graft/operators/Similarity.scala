@@ -1733,6 +1733,35 @@ object Similarity {
       // consumers wanting floor semantics derive it from sum + count
       .withColumn("mean_ppm", expr("sum_ppm div n_vecs"))
 
+  /** EMBEDDING DRIFT between two corpus epochs — the vector twin of
+    * the rate-monitoring family (spike/cusum/seasonal watch counts;
+    * this watches the GEOMETRY): per label, the squared L2 distance
+    * between the old and fresh epoch's quantize-first integer
+    * centroids (`labelCentroids` arithmetic verbatim on both sides),
+    * with both epochs' membership counts. An embedding-model upgrade,
+    * a data-mix shift, or an upstream encoder bug all land here as a
+    * per-label `drift_ppm2` step — BEFORE recall gates degrade.
+    * Labels present in only one epoch are omitted (no centroid to
+    * compare against; membership deltas are the profile family's
+    * job).
+    *
+    * Scale shape: two label×dim-keyed aggregations (map-side
+    * combined, #labels·dims groups) and a join ON that tiny relation
+    * — the corpora stream through once each, nothing vector-sized
+    * shuffles.
+    */
+  def embeddingDrift(old: DataFrame, fresh: DataFrame): DataFrame = {
+    val a = labelCentroids(old).select(col("label"), col("dim"),
+      col("mean_ppm").as("m0"), col("n_vecs").as("nv0"))
+    val b = labelCentroids(fresh).select(col("label"), col("dim"),
+      col("mean_ppm").as("m1"), col("n_vecs").as("nv1"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("nv0")).as("n_old"), max(col("nv1")).as("n_fresh"),
+        sum((col("m1") - col("m0")) * (col("m1") - col("m0")))
+          .as("drift_ppm2"))
+  }
+
   /** Seed count for the oracled Lloyd-step gate. Same constant MUST
     * appear in the oracle SQL.
     */

@@ -1445,6 +1445,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("embeddingDrift: planted shift measured exactly; stable label 0; one-epoch label omitted") {
+    val s = spark
+    import s.implicits._
+    def df(rows: (Long, Long, Seq[Float])*) =
+      rows.toDF("vec_id", "label", "embedding")
+    val old = df(
+      (0L, 1L, Seq(0.1f, 0.2f)), (2L, 1L, Seq(0.3f, 0.4f)),
+      (4L, 2L, Seq(0.5f, 0.5f)))
+    // label 1 mean shifts +0.1 in dim 0 only; label 2 unchanged;
+    // label 3 exists only in fresh → omitted
+    val fresh = df(
+      (1L, 1L, Seq(0.2f, 0.2f)), (3L, 1L, Seq(0.4f, 0.4f)),
+      (5L, 2L, Seq(0.5f, 0.5f)), (7L, 3L, Seq(0.9f, 0.9f)))
+    val got = operators.Similarity.embeddingDrift(old, fresh).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // dim-0 means: old ⌊(0.1+0.3)/2·1e6⌋-style integer chain — both
+    // epochs quantize per element first, so the shift is ~100000 ppm
+    val (n0, n1, d2) = got(1L)
+    assert(n0 === 2L && n1 === 2L)
+    assert(d2 > 9000000000L - 2000000L && d2 < 10000000000L + 2000000L,
+      s"drift_ppm2 $d2 not ≈ (1e5)²")
+    assert(got(2L) === ((1L, 1L, 0L)))
+  }
+
   test("scd2Apply: two chained batches ≡ one-shot history; tombstone closes; open rows survive untouched keys") {
     val s = spark
     import s.implicits._
