@@ -614,6 +614,27 @@ object SparkEntry {
     // suite (key completeness/uniqueness, non-empty text, known lang,
     // consistent n_chars, source attribution) evaluated in one pass →
     // one (rule, metric_ppm, threshold_ppm, pass) row per rule
+    // per-row quarantine view of the admission suite over a
+    // deterministically DIRTIED fixture (clean corpus → empty gate
+    // would check nothing): lang 'xx' on %97==1, n_chars+1 on %89==2,
+    // empty source on %83==3, duplicated %101==5 rows — each lands in
+    // exactly its own rule
+    "docs_violations" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val docs = Tables.table(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val dirty = docs
+        .withColumn("lang",
+          when(col("doc_id") % 97 === 1, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 89 === 2, col("n_chars") + 1L)
+            .otherwise(col("n_chars")))
+        .withColumn("source",
+          when(col("doc_id") % 83 === 3, lit("")).otherwise(col("source")))
+      val u = dirty.unionByName(dirty.filter(col("doc_id") % 101 === 5))
+      operators.Profile.violations(u, operators.Profile.DocsChecks)
+        .orderBy("key", "rule")
+    }),
     "docs_expectations" -> ((s, d) =>
       operators.Profile.docsExpectations(Tables.table(s, d, "documents"))
         .orderBy("rule")),
@@ -4147,6 +4168,31 @@ object SparkEntry {
     "docs_profile" -> profileSql("documents", Seq(
       "doc_id" -> Some("doc_id"), "text" -> None, "lang" -> None,
       "source" -> None, "n_chars" -> Some("n_chars"))),
+    "docs_violations" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "CASE WHEN doc_id % 97 = 1 THEN 'xx' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 83 = 3 THEN '' ELSE source END AS source, " +
+        "CASE WHEN doc_id % 89 = 2 THEN n_chars + 1 ELSE n_chars END " +
+        "AS n_chars FROM documents), " +
+        "u AS (SELECT * FROM base UNION ALL " +
+        "SELECT * FROM base WHERE doc_id % 101 = 5), " +
+        "r AS (" +
+        "SELECT doc_id AS key, 'doc_id_not_null' AS rule FROM u " +
+        "WHERE NOT COALESCE(doc_id IS NOT NULL, FALSE) " +
+        "UNION ALL SELECT doc_id, 'text_nonempty' FROM u " +
+        "WHERE NOT COALESCE(text IS NOT NULL AND length(text) >= 1, FALSE) " +
+        "UNION ALL SELECT doc_id, 'lang_known' FROM u " +
+        "WHERE NOT COALESCE(lang IN ('de', 'en', 'es', 'fr', 'zh'), FALSE) " +
+        "UNION ALL SELECT doc_id, 'n_chars_positive' FROM u " +
+        "WHERE NOT COALESCE(n_chars >= 1, FALSE) " +
+        "UNION ALL SELECT doc_id, 'n_chars_consistent' FROM u " +
+        "WHERE NOT COALESCE(length(text) = n_chars, FALSE) " +
+        "UNION ALL SELECT doc_id, 'source_not_null' FROM u " +
+        "WHERE NOT COALESCE(source IS NOT NULL AND source <> '', FALSE) " +
+        "UNION ALL SELECT u.doc_id, 'doc_id_unique' FROM u " +
+        "JOIN (SELECT doc_id FROM u WHERE doc_id IS NOT NULL " +
+        "GROUP BY 1 HAVING COUNT(*) > 1) d ON d.doc_id = u.doc_id) " +
+        "SELECT key, rule FROM r"),
     "docs_expectations" -> {
       // one aggregate CTE holds every rule's numerator; each rule is
       // one SELECT over it (metric = ⌊num·1e6/n⌋, empty input passes

@@ -212,17 +212,61 @@ object Profile {
     * bars are a caller decision, not a fixture one.
     */
   def docsExpectations(docs: DataFrame): DataFrame =
-    expectations(docs, Seq(
-      RatioExpectation("doc_id_not_null", col("doc_id").isNotNull),
-      UniqueExpectation("doc_id_unique", "doc_id"),
-      RatioExpectation("text_nonempty",
-        col("text").isNotNull && length(col("text")) >= 1),
-      RatioExpectation("lang_known", col("lang").isin(DocLangs: _*)),
-      RatioExpectation("n_chars_positive", col("n_chars") >= 1L),
-      RatioExpectation("n_chars_consistent",
-        length(col("text")) === col("n_chars")),
-      RatioExpectation("source_not_null",
-        col("source").isNotNull && col("source") =!= "")))
+    expectations(docs, DocsChecks)
+
+  /** The documents admission rules as a value, shared by the suite
+    * gate and the per-row `violations` view.
+    */
+  val DocsChecks: Seq[Expectation] = Seq(
+    RatioExpectation("doc_id_not_null", col("doc_id").isNotNull),
+    UniqueExpectation("doc_id_unique", "doc_id"),
+    RatioExpectation("text_nonempty",
+      col("text").isNotNull && length(col("text")) >= 1),
+    RatioExpectation("lang_known", col("lang").isin(DocLangs: _*)),
+    RatioExpectation("n_chars_positive", col("n_chars") >= 1L),
+    RatioExpectation("n_chars_consistent",
+      length(col("text")) === col("n_chars")),
+    RatioExpectation("source_not_null",
+      col("source").isNotNull && col("source") =!= ""))
+
+  /** Per-ROW violations — the actionable half of `expectations`:
+    * which keys fail which rule (the quarantine relation a pipeline
+    * anti-joins before admission; the suite gate only says THAT a
+    * rule failed). Ratio rules evaluate in ONE scan — each row
+    * explodes only its failing rule names (null predicate = FAIL, the
+    * expectations convention); each UNIQUE rule adds one value-keyed
+    * count + a join back flagging EVERY row of a duplicated non-null
+    * value (null keys are the not-null rule's finding, not a
+    * uniqueness one).
+    *
+    * Scale shape: one corpus scan for all ratio rules (the explode is
+    * over a rules-sized literal); per unique rule, the same exact
+    * distinct-count trade `expectations` already prices.
+    */
+  def violations(df: DataFrame, checks: Seq[Expectation],
+      keyCol: String = "doc_id"): DataFrame = {
+    require(checks.nonEmpty, "violations: empty rule suite")
+    val ratioSlots = checks.collect {
+      case RatioExpectation(r, p, _) =>
+        when(!coalesce(p, lit(false)), lit(r))
+    }
+    val ratio =
+      if (ratioSlots.isEmpty)
+        df.select(col(keyCol).as("key"), lit("").as("rule"))
+          .filter(lit(false))
+      else df.select(col(keyCol).as("key"),
+        explode(filter(array(ratioSlots: _*), c => c.isNotNull))
+          .as("rule"))
+    val uniq = checks.collect {
+      case UniqueExpectation(r, c, _) =>
+        val dups = df.filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1L).select(col(c))
+        df.join(dups, Seq(c))
+          .select(col(keyCol).as("key"), lit(r).as("rule"))
+    }
+    uniq.foldLeft(ratio)(_ unionByName _)
+  }
 
   /** Event types and the corpus time window for the events admission
     * suite. Same constants MUST appear in the oracle SQL.

@@ -1445,6 +1445,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("violations: each dirt class lands in exactly its rule; clean corpus empty; dups flag all members") {
+    val s = spark
+    import s.implicits._
+    def d(id: java.lang.Long, text: String, lang: String, src: String,
+        nc: java.lang.Long) = (id, text, lang, src, nc)
+    val df = Seq(
+        d(1L, "ok text", "en", "web", 7L),            // clean
+        d(null, "x", "en", "web", 1L),                // null key
+        d(3L, "", "en", "web", 0L),                   // empty text + nc 0
+        d(4L, "abc", "xx", "web", 3L),                // unknown lang
+        d(5L, "abcd", "en", "web", 5L),               // nc inconsistent
+        d(6L, "ab", "en", "", 2L),                    // empty source
+        d(7L, "dup", "en", "web", 3L),                // duplicated key…
+        d(7L, "dup2", "en", "web", 4L))               // …both flagged
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Profile.violations(df,
+        operators.Profile.DocsChecks).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getString(1))).toSet
+    assert(got === Set(
+      ("null", "doc_id_not_null"),
+      ("3", "text_nonempty"), ("3", "n_chars_positive"),
+      ("4", "lang_known"),
+      ("5", "n_chars_consistent"),
+      ("6", "source_not_null"),
+      ("7", "doc_id_unique")))
+    // multiset check: BOTH rows of the duplicated key are flagged
+    val dupRows = operators.Profile.violations(df,
+        operators.Profile.DocsChecks)
+      .filter($"rule" === "doc_id_unique").count()
+    assert(dupRows === 2L)
+    // a clean corpus quarantines nothing
+    val clean = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(operators.Profile.violations(clean,
+      operators.Profile.DocsChecks).count() === 0L)
+  }
+
   test("embeddingDrift: planted shift measured exactly; stable label 0; one-epoch label omitted") {
     val s = spark
     import s.implicits._
