@@ -535,6 +535,11 @@ object SparkEntry {
       Warehouse.smallQuantityRevenue(Tables.table(s, d, "part"),
           Tables.table(s, d, "lineitem"))
         .orderBy("p_brand")),
+    // join pre-flight: exact join cardinality + skew advisor over
+    // orders⋈lineitem — key-cardinality-sized work, 1-row verdict
+    "wh_join_stats" -> ((s, d) =>
+      Warehouse.joinStats(Tables.table(s, d, "orders"),
+        Tables.table(s, d, "lineitem"), "o_orderkey", "l_orderkey")),
     // Q4 shape: EXISTS as LEFT SEMI with a cross-table residual
     "wh_order_priority" -> ((s, d) =>
       Warehouse.orderPriority(Tables.table(s, d, "orders"),
@@ -4115,6 +4120,28 @@ object SparkEntry {
         "JOIN part ON p_partkey = li.l_partkey " +
         s"WHERE qty * ${Warehouse.Q17Den} * n_li < " +
         s"sum_qty * ${Warehouse.Q17Num} GROUP BY 1"),
+    "wh_join_stats" ->
+      ("WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders " +
+        "GROUP BY 1), " +
+        "rc AS (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem " +
+        "GROUP BY 1), " +
+        "ls AS (SELECT CAST(SUM(cl) AS BIGINT) AS n_left, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_left_keys, " +
+        "CAST(MAX(cl) AS BIGINT) AS max_left_key FROM lc), " +
+        "rs AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_right, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_right_keys, " +
+        "CAST(MAX(cr) AS BIGINT) AS max_right_key FROM rc), " +
+        "js AS (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) " +
+        "AS join_rows FROM lc JOIN rc ON rc.k = lc.k), " +
+        "c AS (SELECT *, CAST(CASE WHEN n_left >= n_right THEN " +
+        "max_left_key * 1000000 // GREATEST(n_left, 1) ELSE " +
+        "max_right_key * 1000000 // GREATEST(n_right, 1) END AS BIGINT) " +
+        "AS skew_ppm FROM ls, rs, js) " +
+        "SELECT n_left, n_right, n_left_keys, n_right_keys, join_rows, " +
+        "max_left_key, max_right_key, skew_ppm, " +
+        s"CASE WHEN skew_ppm > ${Warehouse.JoinSkewPpm} THEN 'salt' " +
+        s"WHEN LEAST(n_left, n_right) <= ${Warehouse.JoinBroadcastRows} " +
+        "THEN 'broadcast' ELSE 'shuffle' END AS hint FROM c"),
     "wh_order_priority" ->
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders " +
         "FROM orders o " +

@@ -845,17 +845,25 @@ object Similarity {
             }),
             lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
             .cast("long").as("l2_fp"))
-    var scoredBeam = score(queries.select(col("query_id"))
-      .withColumn("vec_id", explode(lit(entries))))
+    // each round's beam is PERSISTED (queries × beam rows): round r
+    // references it twice (frontier expansion + candidate union), so
+    // an uncached lineage re-walks the whole prefix 2^rounds times —
+    // the mmrRerank lesson applied to the beam loop
+    var scoredBeam = graft.Caches.track(score(
+        queries.select(col("query_id"))
+          .withColumn("vec_id", explode(lit(entries))))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     for (_ <- 1 to rounds) {
       val frontier = scoredBeam.select(col("query_id"), col("vec_id"))
       val expanded = broadcast(frontier.withColumnRenamed("vec_id", "src"))
         .join(adj, "src")
         .select(col("query_id"), col("dst").as("vec_id"))
       val cands = frontier.unionByName(expanded).distinct()
-      scoredBeam = graft.plans.TopK.perKey(score(cands), Seq("query_id"),
-          Seq(col("l2_fp").asc, col("vec_id").asc), beam)
-        .select("query_id", "vec_id", "l2_fp")
+      scoredBeam = graft.Caches.track(
+        graft.plans.TopK.perKey(score(cands), Seq("query_id"),
+            Seq(col("l2_fp").asc, col("vec_id").asc), beam)
+          .select("query_id", "vec_id", "l2_fp")
+          .persist(StorageLevel.MEMORY_AND_DISK))
     }
     graft.plans.TopK.perKey(
         scoredBeam.filter(col("vec_id") =!= col("query_id"))
@@ -1810,14 +1818,36 @@ object Similarity {
         t * t
       }),
       lit(0.0), (acc, v) => acc + v)
-    // struct-min = (d2 asc, cent_id asc) argmin — the row_number
-    // tie-break in expression form (struct() names computed fields
-    // col1/col2, so the id is read back positionally)
-    val cell = array_min(array(init.map { r =>
-      struct(d2(r.getSeq[Number](1).map(_.doubleValue()).toArray),
-        lit(r.getLong(0)))
-    }: _*)).getField("col2")
-    emb.select(cell.as("cent_id"),
+    // struct-min = (d2 asc, cent_id asc) argmin, built by ONE
+    // transform over the centroid-MATRIX literal rather than k
+    // inlined struct branches: the branch form blew past Janino's
+    // method limit and fell back to INTERPRETED evaluation — 415 s
+    // for the 80k rehearsal; the loop form codegens and runs it in
+    // seconds, with identical doubles and tie-breaks
+    val centIds = lit(init.map(_.getLong(0)))
+    val centMat = typedlit(init.map(
+      _.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq)
+    val cell = array_min(
+      transform(sequence(lit(0), lit(init.length - 1)), i =>
+        struct(
+          aggregate(
+            zip_with(col("embedding"), element_at(centMat, i + 1),
+              (a, b) => {
+                val t = a.cast("double") - b
+                t * t
+              }),
+            lit(0.0), (s, v) => s + v).as("d"),
+          element_at(centIds, i + 1).as("id"))))
+      .getField("id")
+    // MATERIALIZE the assignment before the explode — the knnPqFrom
+    // barrier lesson: without it Catalyst collapses the projections
+    // and re-inlines the k×dims argmin into EVERY exploded dim row
+    // (64× re-evaluation, interpreted); measured 415 s → ~9 s at the
+    // 80k rehearsal with the barrier
+    val assigned = graft.Caches.track(
+      emb.select(cell.as("cent_id"), col("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    assigned.select(col("cent_id"),
         posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("cent_id"), col("dim").cast("long").as("dim"),
         floor(col("xf").cast("double") * lit(CentroidQuantPpm.toDouble))

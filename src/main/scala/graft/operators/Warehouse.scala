@@ -206,6 +206,55 @@ object Warehouse {
         count(lit(1)).as("n_small"))
   }
 
+  /** Join-advisor thresholds: the broadcastable row bound and the
+    * skew bound (largest key's share of its side, ppm). Same
+    * constants MUST appear in the oracle SQL.
+    */
+  val JoinBroadcastRows = 1000000L
+  val JoinSkewPpm = 100000L
+
+  /** JOIN PRE-FLIGHT statistics — the planner-advisory relation a
+    * 100 TB shop computes BEFORE running an unfamiliar equi-join:
+    * exact per-side row/key counts, the EXACT join output cardinality
+    * `Σ_k c_left(k)·c_right(k)` (what a mis-estimated join explodes
+    * to), each side's largest key, the bigger side's skew share in
+    * ppm, and the strategy hint the numbers imply (`salt` when one
+    * key dominates past `JoinSkewPpm` — AQE's skew split handles
+    * sort-merge skew but not a broadcast-build OOM; `broadcast` when
+    * a side fits `JoinBroadcastRows`; else `shuffle`). One row —
+    * results-as-data, the SNK3 discipline.
+    *
+    * Scale shape: one key-keyed count per side (map-side combined),
+    * an equi-join of the two KEY relations (key-cardinality-sized,
+    * never row-sized), three 1-row aggregates broadcast together.
+    */
+  def joinStats(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("cr"))
+    val ls = lc.agg(sum("cl").as("n_left"),
+      count(lit(1)).as("n_left_keys"), max("cl").as("max_left_key"))
+    val rs = rc.agg(sum("cr").as("n_right"),
+      count(lit(1)).as("n_right_keys"), max("cr").as("max_right_key"))
+    val js = lc.join(rc, "k")
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows"))
+    ls.crossJoin(broadcast(rs)).crossJoin(broadcast(js))
+      .withColumn("skew_ppm",
+        when(col("n_left") >= col("n_right"),
+          expr("max_left_key * 1000000 div greatest(n_left, 1)"))
+          .otherwise(expr("max_right_key * 1000000 div greatest(n_right, 1)")))
+      .withColumn("hint",
+        when(col("skew_ppm") > lit(JoinSkewPpm), lit("salt"))
+          .when(least(col("n_left"), col("n_right")) <=
+            lit(JoinBroadcastRows), lit("broadcast"))
+          .otherwise(lit("shuffle")))
+      .select(col("n_left"), col("n_right"), col("n_left_keys"),
+        col("n_right_keys"), col("join_rows"), col("max_left_key"),
+        col("max_right_key"), col("skew_ppm"), col("hint"))
+  }
+
   /** TPC-H Q4 shape — order-priority check: orders in a one-quarter
     * window having at least one lineitem shipped AFTER the order date
     * (the testdata's "late shipment" stand-in for commit<receipt),

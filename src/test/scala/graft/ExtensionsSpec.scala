@@ -1445,6 +1445,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("joinStats: exact join cardinality; skew flips the hint to salt") {
+    val s = spark
+    import s.implicits._
+    // left: key 1×3, key 2×1; right: key 1×2, key 3×5 → join = 3·2 = 6
+    val l = Seq(1L, 1L, 1L, 2L).toDF("k1")
+    val r = Seq(1L, 1L, 3L, 3L, 3L, 3L, 3L).toDF("k2")
+    val row = operators.Warehouse.joinStats(l, r, "k1", "k2").collect()(0)
+    assert(row.getLong(0) === 4L && row.getLong(1) === 7L) // n_left/right
+    assert(row.getLong(2) === 2L && row.getLong(3) === 2L) // key counts
+    assert(row.getLong(4) === 6L)                          // exact join rows
+    // bigger side (right, 7 rows) has key 3 at 5/7 ≈ 714285 ppm > 10%
+    assert(row.getLong(7) === 714285L)
+    assert(row.getString(8) === "salt")
+    // balanced small sides → broadcast
+    val lb = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("k1")
+    val rb = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("k2")
+    val b = operators.Warehouse.joinStats(lb, rb, "k1", "k2").collect()(0)
+    assert(b.getLong(4) === 10L && b.getString(8) === "broadcast")
+  }
+
   test("violations: each dirt class lands in exactly its rule; clean corpus empty; dups flag all members") {
     val s = spark
     import s.implicits._
