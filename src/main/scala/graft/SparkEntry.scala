@@ -1795,6 +1795,11 @@ object SparkEntry {
     "events_ab_lift" -> ((s, d) =>
       graft.streaming.EventWindows.abLift(Tables.table(s, d, "events"))
         .orderBy("variant")),
+    // SRM health check: the same exposure/assignment chain as ab_lift,
+    // Pearson chi-square vs equal split in exact milli-units, flagged
+    // at the df=1 critical value — read BEFORE trusting any lift
+    "events_ab_srm" -> ((s, d) =>
+      EventWindows.abSrm(Tables.table(s, d, "events"))),
     "events_active_users" -> ((s, d) =>
       EventWindows.activeUsers(Tables.table(s, d, "events"))
         .orderBy("day_epoch")),
@@ -6022,6 +6027,27 @@ object SparkEntry {
         "CAST(SUM(converted) AS BIGINT) AS n_converted, " +
         "CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm, " +
         "CAST(SUM(rev_ppm) AS BIGINT) AS revenue_ppm FROM a GROUP BY 1"
+    },
+    "events_ab_srm" -> {
+      val v = graft.streaming.EventWindows.AbVariants
+      val crit = graft.streaming.EventWindows.SrmCritMilli
+      "WITH pu AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed " +
+        "FROM events GROUP BY 1), " +
+        s"a AS (SELECT ${phSql("CAST(user_id AS VARCHAR)")} % $v AS variant " +
+        "FROM pu WHERE exposed = 1), " +
+        "c AS (SELECT variant, COUNT(*) AS n FROM a GROUP BY 1), " +
+        "st AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_arms, " +
+        "CAST(SUM(n * n) AS BIGINT) AS ss FROM c), " +
+        s"x AS (SELECT n_total, n_arms, n_total // $v AS e, " +
+        s"(ss - 2 * (n_total // $v) * n_total + $v * (n_total // $v) * " +
+        s"(n_total // $v)) * 1000 // GREATEST(n_total // $v, 1) " +
+        "AS chi2_milli FROM st) " +
+        "SELECT n_total, n_arms, CAST(e AS BIGINT) AS expected_per_arm, " +
+        "CAST(chi2_milli AS BIGINT) AS chi2_milli, " +
+        s"CAST(CASE WHEN chi2_milli > $crit THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS srm FROM x"
     },
     "events_active_users" -> {
       val days = graft.streaming.EventWindows.ActiveTrailingDays

@@ -641,6 +641,55 @@ object EventWindows {
         col("revenue_ppm"))
   }
 
+  /** χ² critical value for the SRM gate in milli-units (3.841 =
+    * χ²₀.₀₅ at df = 1, the 2-arm case). Same constant MUST appear in
+    * the oracle SQL.
+    */
+  val SrmCritMilli = 3841L
+
+  /** SAMPLE-RATIO MISMATCH check — the experiment health gate every
+    * serious A/B platform runs BEFORE reading lift (Fabijan et al.
+    * 2019: a biased exposure path silently corrupts every downstream
+    * metric; an SRM is the smoke alarm): the same exposed-user →
+    * `poly_hash mod variants` assignment as `abLift`, Pearson's
+    * χ² = Σ(oᵢ−e)²/e against the equal-split expectation in exact
+    * milli-units (`(o−e)²·1000 div e`, e = n div variants — integer
+    * arithmetic end to end, so the verdict hash-checks), flagged at
+    * `SrmCritMilli`. One row — results-as-data. A fixed per-arm ppm
+    * bound would mis-scale (hash-split noise shrinks as 1/√n); the χ²
+    * form is n-aware.
+    *
+    * Scale shape: the abLift user rollup (map-side combined), then a
+    * variants-sized aggregation — nothing beyond the per-user pass
+    * touches event-sized data.
+    */
+  def abSrm(events: DataFrame, variants: Long = AbVariants): DataFrame = {
+    require(variants >= 2L && variants <= 64L,
+      s"variants must be in [2, 64], got $variants")
+    import graft.functions.PolyHashFunctions.poly_hash
+    val arms = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("exposed"))
+      .filter(col("exposed") === 1L)
+      .select(pmod(poly_hash(col("user_id").cast("string")),
+        lit(variants)).as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("n_users"))
+    arms.agg(sum("n_users").as("n_total"),
+        count(lit(1)).as("n_arms"),
+        sum(col("n_users") * col("n_users")).as("ss"))
+      .select(col("n_total"), col("n_arms"),
+        expr(s"n_total div $variants").as("expected_per_arm"),
+        // Σ(o−e)²·1000 div e with e constant = (Σo² − 2eΣo + ke²)·1000
+        // div e — the expanded form avoids a second pass
+        expr(s"(ss - 2 * (n_total div $variants) * n_total + " +
+          s"$variants * (n_total div $variants) * " +
+          s"(n_total div $variants)) * 1000 div " +
+          s"greatest(n_total div $variants, 1)").as("chi2_milli"))
+      .withColumn("srm",
+        when(col("chi2_milli") > lit(SrmCritMilli), lit(1L))
+          .otherwise(lit(0L)))
+  }
+
   /** Pre/post experiment boundary for the CUPED gate
     * (2024-01-16T00:00:00Z — mid-corpus at every SF). Same constant
     * MUST appear in the oracle SQL.

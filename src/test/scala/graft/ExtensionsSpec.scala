@@ -1445,6 +1445,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("abSrm: chi2 matches recomputation; biased exposure flags; absent arm counts as zero") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.PolyHashFunctions.poly_hash
+    val v = graft.streaming.EventWindows.AbVariants
+    def events(ids: Seq[Long]) = ids.toDF("user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("value", lit(1.0))
+      .withColumn("event_id", col("user_id"))
+    val ids = (0L until 400L)
+    val arms = events(ids)
+      .select(col("user_id"),
+        pmod(poly_hash(col("user_id").cast("string")), lit(v))
+          .as("variant"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def chi2Of(kept: Seq[Long]): Long = {
+      val counts = kept.groupBy(arms).view.mapValues(_.size.toLong).toMap
+      val n = kept.size.toLong
+      val e = n / v
+      val ss = (0L until v).map(a => {
+        val o = counts.getOrElse(a, 0L); (o - e) * (o - e)
+      }).sum
+      ss * 1000L / math.max(e, 1L)
+    }
+    def run(kept: Seq[Long]) = graft.streaming.EventWindows
+      .abSrm(events(kept)).collect()(0)
+    // near-balanced: chi2 matches the direct recomputation, no flag
+    val all = run(ids)
+    assert(all.getLong(3) === chi2Of(ids))
+    assert(all.getLong(4) === 0L)
+    // biased exposure: keep only 10% of one arm — flags
+    val arm0 = ids.filter(arms(_) == 0L)
+    val biased = ids.filterNot(arm0.drop(arm0.size / 10).toSet)
+    val b = run(biased)
+    assert(b.getLong(3) === chi2Of(biased) && b.getLong(4) === 1L)
+    // absent arm: drop arm 0 entirely — the expansion must count the
+    // missing arm as o = 0, not skip it
+    val only1 = ids.filter(arms(_) == 1L)
+    val a1 = run(only1)
+    assert(a1.getLong(1) === 1L) // one observed arm
+    assert(a1.getLong(3) === chi2Of(only1) && a1.getLong(4) === 1L)
+  }
+
   test("joinStats: exact join cardinality; skew flips the hint to salt") {
     val s = spark
     import s.implicits._
