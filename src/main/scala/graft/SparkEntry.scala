@@ -1822,6 +1822,14 @@ object SparkEntry {
     "events_cusum" -> ((s, d) =>
       EventWindows.cusum(Tables.table(s, d, "events"))
         .orderBy("event_type", "hour_epoch")),
+    // the STREAMING deployment of the same detector: frozen per-type
+    // reference + 12 B of state per type, run here in batch mode —
+    // shares the windowed gate's oracle verbatim
+    "events_cusum_stateful" -> ((s, d) => {
+      val ev = Tables.table(s, d, "events")
+      EventWindows.cusumStateful(s, ev, EventWindows.cusumReference(ev))
+        .orderBy("event_type", "hour_epoch")
+    }),
     // season-relative deviation: hourly counts against their own
     // (type, dow, hour-of-day) profile-cell mean — a Monday-9am spike
     // that's normal FOR Monday-9am reports ~0 here; integer milli/ppm
@@ -2875,6 +2883,47 @@ object SparkEntry {
       "SELECT doc_id, version, deleted, valid_from, valid_to, " +
       s"(valid_to = $open AND NOT deleted) AS is_current FROM h"
   }
+
+  /** events_cusum oracle — zero-filled spine + the two prefix-sum/
+    * prefix-min window pairs; shared VERBATIM by events_cusum_stateful
+    * (stateful ≡ windowed given the same derived μ).
+    */
+  private lazy val CusumSql: String = {
+      val den = EventWindows.CusumSlackDen
+      val am = EventWindows.CusumAlarmMeans
+      "WITH h AS (SELECT CAST(extract(epoch FROM " +
+        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT event_type, MIN(hour_epoch) AS h0, " +
+        "MAX(hour_epoch) AS h1, SUM(cnt) AS total FROM h GROUP BY 1), " +
+        "spine AS (SELECT event_type, total, " +
+        "(h1 - h0) // 3600 + 1 AS n_hours, " +
+        "unnest(generate_series(h0, h1, 3600)) AS hour_epoch FROM sp), " +
+        "f AS (SELECT s.event_type, s.hour_epoch, " +
+        "COALESCE(h.cnt, 0) AS cnt, " +
+        "s.total * 1000 // s.n_hours AS mu_milli FROM spine s " +
+        "LEFT JOIN h ON h.event_type = s.event_type " +
+        "AND h.hour_epoch = s.hour_epoch), " +
+        s"g AS (SELECT *, mu_milli // $den AS slack_milli FROM f), " +
+        "p AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
+        "SUM(cnt * 1000 - mu_milli - slack_milli) OVER w AS p_hi, " +
+        "SUM(mu_milli - slack_milli - cnt * 1000) OVER w AS p_lo " +
+        "FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "c AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
+        "p_hi - LEAST(0, MIN(p_hi) OVER w) AS cusum_hi_milli, " +
+        "p_lo - LEAST(0, MIN(p_lo) OVER w) AS cusum_lo_milli " +
+        "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, hour_epoch, CAST(cnt AS BIGINT) AS cnt, " +
+        "CAST(mu_milli AS BIGINT) AS mu_milli, " +
+        "CAST(cusum_hi_milli AS BIGINT) AS cusum_hi_milli, " +
+        "CAST(cusum_lo_milli AS BIGINT) AS cusum_lo_milli, " +
+        s"CAST(CASE WHEN cusum_hi_milli > $am * mu_milli THEN 1 ELSE 0 " +
+        "END AS BIGINT) AS alarm_hi, " +
+        s"CAST(CASE WHEN cusum_lo_milli > $am * mu_milli THEN 1 ELSE 0 " +
+        "END AS BIGINT) AS alarm_lo FROM c"
+    }
 
   private def recallSql(exactSql: String, approxSql: String): String =
     s"WITH ex AS (SELECT query_id, neighbor_id FROM ($exactSql)), " +
@@ -5742,42 +5791,8 @@ object SparkEntry {
     // cusum oracle: the same zero-filled spine + two prefix-sum /
     // prefix-min window pairs (S = P − min(0, min P)), all integer
     // milli-counts
-    "events_cusum" -> {
-      val den = EventWindows.CusumSlackDen
-      val am = EventWindows.CusumAlarmMeans
-      "WITH h AS (SELECT CAST(extract(epoch FROM " +
-        "time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_epoch, " +
-        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
-        "sp AS (SELECT event_type, MIN(hour_epoch) AS h0, " +
-        "MAX(hour_epoch) AS h1, SUM(cnt) AS total FROM h GROUP BY 1), " +
-        "spine AS (SELECT event_type, total, " +
-        "(h1 - h0) // 3600 + 1 AS n_hours, " +
-        "unnest(generate_series(h0, h1, 3600)) AS hour_epoch FROM sp), " +
-        "f AS (SELECT s.event_type, s.hour_epoch, " +
-        "COALESCE(h.cnt, 0) AS cnt, " +
-        "s.total * 1000 // s.n_hours AS mu_milli FROM spine s " +
-        "LEFT JOIN h ON h.event_type = s.event_type " +
-        "AND h.hour_epoch = s.hour_epoch), " +
-        s"g AS (SELECT *, mu_milli // $den AS slack_milli FROM f), " +
-        "p AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
-        "SUM(cnt * 1000 - mu_milli - slack_milli) OVER w AS p_hi, " +
-        "SUM(mu_milli - slack_milli - cnt * 1000) OVER w AS p_lo " +
-        "FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
-        "c AS (SELECT event_type, hour_epoch, cnt, mu_milli, " +
-        "p_hi - LEAST(0, MIN(p_hi) OVER w) AS cusum_hi_milli, " +
-        "p_lo - LEAST(0, MIN(p_lo) OVER w) AS cusum_lo_milli " +
-        "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-        "SELECT event_type, hour_epoch, CAST(cnt AS BIGINT) AS cnt, " +
-        "CAST(mu_milli AS BIGINT) AS mu_milli, " +
-        "CAST(cusum_hi_milli AS BIGINT) AS cusum_hi_milli, " +
-        "CAST(cusum_lo_milli AS BIGINT) AS cusum_lo_milli, " +
-        s"CAST(CASE WHEN cusum_hi_milli > $am * mu_milli THEN 1 ELSE 0 " +
-        "END AS BIGINT) AS alarm_hi, " +
-        s"CAST(CASE WHEN cusum_lo_milli > $am * mu_milli THEN 1 ELSE 0 " +
-        "END AS BIGINT) AS alarm_lo FROM c"
-    },
+    "events_cusum" -> CusumSql,
+    "events_cusum_stateful" -> CusumSql,
     // seasonal-residual oracle: same hourly buckets, (type, dow, hod)
     // cell means over present hours, sign-split integer ppm
     "events_seasonal_resid" ->

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Windowed aggregation over the `events` table — the streaming-shaped
   * extension (the reference itself is pure batch, SURVEY.md §2.7).
@@ -207,6 +207,94 @@ object EventWindows {
           lit(1L)).otherwise(lit(0L)).as("alarm_hi"),
         when(col("cusum_lo_milli") > expr(s"$CusumAlarmMeans * mu_milli"),
           lit(1L)).otherwise(lit(0L)).as("alarm_lo"))
+  }
+
+  case class CusumRow(event_type: String, hour_epoch: Long, cnt: Long,
+    mu_milli: Long, cusum_hi_milli: Long, cusum_lo_milli: Long,
+    alarm_hi: Long, alarm_lo: Long)
+  case class CusumState(last: Long, sHi: Long, sLo: Long)
+
+  /** The frozen CUSUM reference: per-type μ in milli-counts derived
+    * exactly as the windowed `cusum` derives it (total·1000 div
+    * span-hours over the zero-filled spine) — one ≤|types|-row
+    * driver collect. A deployment freezes this from a calibration
+    * window; deriving it from the scanned corpus keeps the
+    * stateful ≡ windowed law exact.
+    */
+  def cusumReference(events: DataFrame): Map[String, Long] =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"))
+      .groupBy("event_type")
+      .agg(min("hour_epoch").as("h0"), max("hour_epoch").as("h1"),
+        sum("cnt").as("total"))
+      .select(col("event_type"),
+        expr("total * 1000 div ((h1 - h0) div 3600 + 1)").as("mu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** CUSUM as an explicit per-type STATE MACHINE
+    * (`flatMapGroupsWithState`) — the STREAMING deployment of the
+    * drift detector: a frozen per-type reference μ (what a production
+    * monitor calibrates offline — the windowed `cusum` re-derives μ
+    * from the full span, which no stream can know), 12 bytes of state
+    * per type (last folded hour + both one-sided sums), zero-filled
+    * gaps folded on arrival so an outage raises S⁻ exactly as the
+    * batch spine does. Kept semantically identical to `cusum` given
+    * the same μ — the gate shares its oracle SQL VERBATIM, and the
+    * streaming micro-batch replay is spec-pinned chained ≡ one-shot.
+    *
+    * Admission contract: hours arrive in NON-DECREASING order across
+    * invocations per type (micro-batches of an append-only event log;
+    * within one invocation rows sort in-group) — a regression is a
+    * loud require, not silent corruption.
+    *
+    * Scale: state is O(1) per event type; each invocation buffers one
+    * micro-batch's (type, hour) pairs — bounded by the batch, never
+    * the history.
+    */
+  def cusumStateful(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, muMilliByType: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val slackDen = CusumSlackDen
+    val alarmMeans = CusumAlarmMeans
+    events
+      .select(col("event_type"),
+        expr("(unix_seconds(ts) div 3600) * 3600").as("hour_epoch"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val mu = muMilliByType.getOrElse(typ, 0L)
+        val slack = mu / slackDen
+        val alarmAt = alarmMeans * mu
+        val counts = rows.toArray.groupBy(_._2).view
+          .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        if (counts.isEmpty) Iterator.empty
+        else {
+          val first = counts.head._1
+          var st = state.getOption
+            .getOrElse(CusumState(first - 3600L, 0L, 0L))
+          require(first > st.last,
+            s"cusumStateful($typ): hours must arrive in non-decreasing " +
+              s"order; got $first after folded ${st.last}")
+          val byHour = counts.toMap
+          val lastHour = counts.last._1
+          val out = ((st.last + 3600L) to lastHour by 3600L).map { h =>
+            val cnt = byHour.getOrElse(h, 0L)
+            st = CusumState(h,
+              math.max(0L, st.sHi + (cnt * 1000L - mu - slack)),
+              math.max(0L, st.sLo + (mu - slack - cnt * 1000L)))
+            CusumRow(typ, h, cnt, mu, st.sHi, st.sLo,
+              if (st.sHi > alarmAt) 1L else 0L,
+              if (st.sLo > alarmAt) 1L else 0L)
+          }
+          state.update(st)
+          out.iterator
+        }
+      }
+      .toDF()
   }
 
   /** RFM user profile — recency / frequency / monetary, the classic

@@ -1445,6 +1445,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === Seq(((BigInt(4).pow(16) - 1) / 3).toLong, 1L))
   }
 
+  test("cusumStateful: streaming micro-batches ≡ one-shot ≡ windowed cusum; out-of-order hours refuse") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1704067200L
+    def batch(hours: Seq[(Long, Long)]) = // (hour idx, count)
+      hours.flatMap { case (h, c) =>
+        (0L until c).map(j => (h * 100L + j, t0 + h * 3600L))
+      }.toDF("event_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        .withColumn("event_type", lit("click"))
+    val b1 = Seq(0L -> 3L, 1L -> 3L, 2L -> 30L, 3L -> 30L)
+    val b2 = Seq(5L -> 3L, 6L -> 3L, 7L -> 3L) // hour 4 absent: gap fold
+    val all = batch(b1).unionByName(batch(b2))
+    val mus = graft.streaming.EventWindows.cusumReference(all)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "hour_epoch", "cnt", "mu_milli",
+        "cusum_hi_milli", "cusum_lo_milli", "alarm_hi", "alarm_lo")
+      .collect().map(_.toSeq).toSet
+    val oneShot = rows(
+      graft.streaming.EventWindows.cusumStateful(spark, all, mus))
+    // the stateful form equals the windowed prefix-identity form
+    assert(oneShot === rows(graft.streaming.EventWindows.cusum(all)))
+    // streaming replay: two in-order micro-batches through a real
+    // stream — identical rows, state carried across batches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cusum-stream").toString
+    batch(b1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.EventWindows.cusumStateful(spark,
+        spark.readStream.schema(schema).parquet(dir), mus)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      batch(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(rows(spark.sql("select * from cusum_out")) === oneShot)
+    } finally q.stop()
+    // regressing hours must refuse loudly, not corrupt the sums: a
+    // second micro-batch EARLIER than the folded frontier
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-cusum-ooo").toString
+    batch(Seq(9L -> 1L)).write.mode("append").parquet(dir2)
+    val q2 = graft.streaming.EventWindows.cusumStateful(spark,
+        spark.readStream.schema(schema).parquet(dir2), mus)
+      .writeStream.format("memory").queryName("cusum_ooo")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      batch(Seq(5L -> 1L)).write.mode("append").parquet(dir2)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        throw q2.exception.get
+      }
+      assert(ex.getMessage.contains("non-decreasing") ||
+        Option(ex.getCause).exists(_.getMessage.contains("non-decreasing")),
+        ex.getMessage)
+    } finally q2.stop()
+  }
+
   test("abSrm: chi2 matches recomputation; biased exposure flags; absent arm counts as zero") {
     val s = spark
     import s.implicits._
