@@ -842,6 +842,24 @@ object SparkEntry {
           docs)
         .orderBy("query_id", "rank")
     }),
+    // PRF served ENTIRELY from the stored tier — the production PRF
+    // shape: both scoring passes, the feedback-term pool, and the
+    // expansion idf all come from the persisted postings + forward
+    // index; corpus text never read at query time (only the 10 query
+    // docs tokenize — PlanSpec-guarded)
+    "text_bm25_prf_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
+          s.read.parquet(lensDir), docs)
+        .orderBy("query_id", "rank")
+    }),
     // HYBRID retrieval from stored indexes end to end: RRF of the
     // stored-postings bm25 pool and the stored-SQ8-codes vector pool —
     // the serving stack a production tier actually runs (no corpus
@@ -1329,20 +1347,19 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnPq(emb), Similarity.knnBruteL2(emb))
     }),
-    // DELIBERATELY no oracleSql entry (rows-only check): per-block
-    // Lloyd codebooks aren't SQL-derivable — the same adjudication as
-    // knn_ivf_trained; the recall improvement over the hash-anchored
-    // layout is pinned in ExtensionsSpec, and listing it here keeps a
-    // trained-path perf regression visible to the driver bench
+    // ORACLED since the exact-Lloyd training rewrite: per-block
+    // codebooks are ppm-integer fits DuckDB replays round for round;
+    // the recall improvement over the hash-anchored layout stays
+    // pinned in ExtensionsSpec
     "knn_pq_trained" -> ((s, d) =>
       Similarity.knnPqTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
     // the train-once/serve-many form of the trained-PQ path: fitted
     // per-block codebooks round-trip disk as a relation (codebooksOf →
     // parquet → knnPqFromStored) INSIDE the query — the store/reload/
-    // fingerprint machinery is what this gate drives. Rows-only like
-    // knn_pq_trained (Lloyd codebooks aren't SQL-derivable);
-    // byte-equality to in-session training is pinned in ExtensionsSpec
+    // fingerprint machinery is what this gate drives. ORACLED with
+    // knn_pq_trained's SQL: the stored serve is byte-identical to
+    // in-session training (the round-trip law ExtensionsSpec pins)
     "knn_pq_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val dir = ivfTmpDir(s, d, "pq_cbs")
@@ -1353,9 +1370,10 @@ object SparkEntry {
     // the PAYOFF leg of the PQ train-once contract: codebooks AND the
     // encoded corpus (blocks ints per vector — the ~64× compression)
     // round-trip parquet, then the serve reads ONLY the stored codes;
-    // raw embeddings appear on the tiny query side alone. Rows-only
-    // like its siblings; byte-equality to knnPqFromStored and the
-    // stale-codes loud-error contract are pinned in ExtensionsSpec
+    // raw embeddings appear on the tiny query side alone. ORACLED
+    // with knn_pq_trained's SQL (the coded serve ≡ stored serve ≡
+    // in-session law); the stale-codes loud-error contract stays
+    // pinned in ExtensionsSpec
     "knn_pq_codes" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val cbDir = ivfTmpDir(s, d, "pq_cbs")
@@ -1370,9 +1388,10 @@ object SparkEntry {
     // the FULL stored IVFPQ layout: trained centroids + codebooks +
     // the (vec_id, cell, codes) posting-list relation all round-trip
     // parquet; serving reads cells and codes only — corpus embeddings
-    // are never touched. Rows-only like every trained-quantizer gate;
-    // the probe-everything ≡ knnPqFromCodes law, cell pruning and
-    // both staleness stamps are pinned in ExtensionsSpec
+    // are never touched. ORACLED: the trained-IVF and trained-PQ
+    // CTE chains compose into one SQL twin; the probe-everything ≡
+    // knnPqFromCodes law, cell pruning and both staleness stamps
+    // stay pinned in ExtensionsSpec
     "knn_ivf_pq_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val centDir = ivfTmpDir(s, d, "ivfpq_cents")
@@ -1553,20 +1572,21 @@ object SparkEntry {
       Similarity.recallAtK(Similarity.knnGraph(emb),
         Similarity.knnBrute(emb, nQueries = Long.MaxValue))
     }),
-    // DELIBERATELY no oracleSql entry: the Lloyd-fitted centroids are
-    // not SQL-derivable, so the driver records a rows-only check — the
-    // point of listing it is bench visibility (a trained-path perf
-    // regression was previously invisible to the driver) plus the
-    // clustered-corpus recall test and rehearsal record
+    // ORACLED since the exact-Lloyd training rewrite: the fitted
+    // centroids are ppm-integer quantities (the lloydStep arithmetic,
+    // iterated), so the DuckDB twin unrolls the same rounds as CTEs
+    // and lands bit-identical floats — the whole trained serving path
+    // is hash-checked end to end, plus the clustered-corpus recall
+    // test and rehearsal record
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
     // the train-once/serve-many form: fitted centroids round-trip disk
     // as a relation (centroidsOf → parquet → knnIvfFromStored) INSIDE
     // the query — the store/reload/fingerprint machinery is what this
-    // gate drives. Like knn_ivf_trained, DELIBERATELY no oracleSql
-    // (fitted centroids aren't SQL-derivable): rows-only check here;
-    // byte-equality to in-session training is pinned in ExtensionsSpec
+    // gate drives. ORACLED with knn_ivf_trained's SQL: the stored
+    // serve is byte-identical to in-session training (the round-trip
+    // law ExtensionsSpec pins), so the same oracle covers both
     "knn_ivf_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val dir = ivfTmpDir(s, d, "cents")
@@ -1577,12 +1597,16 @@ object SparkEntry {
     // the INGEST leg of the same contract: every corpus vector's cell
     // under the trained index — the column a production corpus
     // persists/buckets by so serving probes become cell-pruned reads.
-    // Rows-only like its train/serve siblings (fitted centroids aren't
-    // SQL-derivable); the assignment is pinned against a driver-side
-    // two-level reference in ExtensionsSpec
+    // ORACLED since the exact-Lloyd training rewrite (the fitted
+    // centroids are now integer-derived, so DuckDB reproduces them
+    // bit-for-bit); the gate projects out the ivf_cents_fp stamp —
+    // a float-BITS content hash with no SQL twin — and keeps the
+    // (vec_id, cell, n2) columns the oracle can check. The stamp's
+    // staleness contract stays pinned in ExtensionsSpec
     "knn_ivf_assign" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.ivfAssignFromStored(Similarity.centroidsOf(emb), emb)
+        .select("vec_id", "cell", "n2")
         .orderBy("vec_id")
     }),
     // the PAYOFF leg of train-once: centroids AND the cell-stamped
@@ -1590,9 +1614,9 @@ object SparkEntry {
     // the corpus PARTITIONED BY cell, then the static-pruned serve
     // pushes the probed cells into the scan as a partition filter —
     // the corpus side runs NO assignment expression and READS only
-    // the probed cells' files (both PlanSpec-guarded). Rows-only like
-    // its siblings (fitted centroids aren't SQL-derivable);
-    // byte-equality to knnIvfFromStored is pinned in ExtensionsSpec
+    // the probed cells' files (both PlanSpec-guarded). ORACLED with
+    // knn_ivf_trained's SQL (the assigned-corpus serve is
+    // byte-identical to knnIvfFromStored — ExtensionsSpec pins it)
     "knn_ivf_pruned" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       val centDir = ivfTmpDir(s, d, "cents")
@@ -2603,20 +2627,32 @@ object SparkEntry {
     * feedback-doc term pool minus original query terms ranked by
     * Σtf × idf_bits (full-vocabulary dfr = the operator's true-df
     * values), top-PrfExpansionTerms per query joined back, second
-    * scoring pass over the expanded term set.
+    * scoring pass over the expanded term set. With `postingCap` > 0
+    * every corpus-side relation (both scoring passes AND the
+    * feedback-doc term pool) reads the depth-capped tfc instead — the
+    * stored-index twin `bm25PrfFromIndex` serves: a feedback doc's
+    * terms are the postings that RETAINED it, idf stays true-df (the
+    * index stores full df on every row).
     */
-  private lazy val Bm25PrfSql: String = {
+  private lazy val Bm25PrfSql: String = bm25PrfSqlFor()
+
+  private def bm25PrfSqlFor(postingCap: Long = 0L): String = {
     val fb = TextOps.PrfFeedbackDocs
     val ex = TextOps.PrfExpansionTerms
-    s"WITH $bm25CoreCtes, " +
-      bm25ScoreCtes("tf", "qt", "sc") + ", " +
+    val candCte = if (postingCap <= 0L) "" else
+      "tfr AS (SELECT token, doc_id, tf, row_number() OVER " +
+        "(PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS prn FROM tf), " +
+        s"tfc AS (SELECT token, doc_id, tf FROM tfr WHERE prn <= $postingCap), "
+    val tfSrc = if (postingCap <= 0L) "tf" else "tfc"
+    s"WITH $bm25CoreCtes, " + candCte +
+      bm25ScoreCtes(tfSrc, "qt", "sc") + ", " +
       "fbr AS (SELECT query_id, doc_id, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk " +
       "FROM sc), " +
       s"fbd AS (SELECT query_id, doc_id FROM fbr WHERE rnk <= $fb), " +
-      "cand AS (SELECT f.query_id, tf.token, " +
-      "CAST(SUM(tf.tf) AS BIGINT) AS fbtf FROM tf " +
-      "JOIN fbd f ON f.doc_id = tf.doc_id GROUP BY 1, 2), " +
+      s"cand AS (SELECT f.query_id, $tfSrc.token, " +
+      s"CAST(SUM($tfSrc.tf) AS BIGINT) AS fbtf FROM $tfSrc " +
+      s"JOIN fbd f ON f.doc_id = $tfSrc.doc_id GROUP BY 1, 2), " +
       "exr AS (SELECT c.query_id, c.token, c.fbtf * i.idf_bits AS w " +
       "FROM cand c JOIN idf i USING (token) " +
       "LEFT JOIN qt ON qt.query_id = c.query_id AND qt.token = c.token " +
@@ -2627,7 +2663,7 @@ object SparkEntry {
       "qt2 AS (SELECT DISTINCT query_id, token FROM " +
       "(SELECT query_id, token FROM qt " +
       "UNION ALL SELECT query_id, token FROM exp)), " +
-      bm25ScoreCtes("tf", "qt2", "sc2") + ", " +
+      bm25ScoreCtes(tfSrc, "qt2", "sc2") + ", " +
       "r2 AS (SELECT query_id, doc_id, score, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk " +
       "FROM sc2) " +
@@ -3258,6 +3294,249 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored) " +
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, cosine " +
       "FROM r WHERE rnk <= 5"
+
+  /** Integer squared-L2 between two BIGINT-list columns — the
+    * `lloydPpm` assignment distance. All-integer, so evaluation order
+    * is irrelevant; the left fold is just the idiom the other list
+    * folds use.
+    */
+  private def il2Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** The exact-Lloyd training rounds as CTEs — the SQL twin of
+    * `Similarity.lloydPpm`, unrolled like the SCC/hops/BPE oracles.
+    * Consumes a point CTE `smp(pid, grp, qv)` of ppm BIGINT lists
+    * (grp generalizes the per-block PQ training; a constant 0 for
+    * IVF) and an init state `{p}c0(grp, cent_id, cv)`; emits rounds
+    * `{p}c1..{p}cR`. Per round: integer-L2 argmin assignment (ties →
+    * lower cent_id), truncating-division integer means (`//` ≡ Scala
+    * Long `/` ≡ Spark `div` — all truncate toward zero), and a LEFT
+    * JOIN carry so an emptied cell keeps its previous state — each
+    * arithmetic step bit-identical to the driver loop because every
+    * value is a BIGINT.
+    */
+  private def lloydRoundsCtes(p: String, smp: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"${p}a$r AS (SELECT pid, grp, cent_id FROM (SELECT s.pid, s.grp, " +
+        "c.cent_id, row_number() OVER (PARTITION BY s.pid, s.grp ORDER BY " +
+        s"${il2Sql("s.qv", "c.cv")} ASC, c.cent_id ASC) AS rn " +
+        s"FROM $smp s JOIN ${p}c${r - 1} c ON c.grp = s.grp) WHERE rn = 1), " +
+        s"${p}x$r AS (SELECT a.grp, a.cent_id, " +
+        "unnest(generate_series(1, len(s.qv))) AS i, s.qv " +
+        s"FROM $smp s JOIN ${p}a$r a ON a.pid = s.pid AND a.grp = s.grp), " +
+        s"${p}m$r AS (SELECT grp, cent_id, list(q ORDER BY i) AS cv FROM " +
+        "(SELECT grp, cent_id, i, SUM(qv[i]) // COUNT(*) AS q " +
+        s"FROM ${p}x$r GROUP BY 1, 2, 3) GROUP BY 1, 2), " +
+        s"${p}c$r AS MATERIALIZED (SELECT c.grp, c.cent_id, " +
+        s"COALESCE(m.cv, c.cv) AS cv FROM ${p}c${r - 1} c " +
+        s"LEFT JOIN ${p}m$r m ON m.grp = c.grp AND m.cent_id = c.cent_id)"
+    }.mkString(", ")
+
+  /** The two-level IVF serving CTEs over an ARBITRARY centroid CTE
+    * `cn(cent_id, c_emb, c_n2)` — the stored/trained twin of
+    * IvfCoreCtes' tail: coarse anchors are RE-RANKED from
+    * poly_hash(cent_id) (`assignCellExpr` re-derives the anchor
+    * layout from the loaded ids, which for a centroidsOf export are
+    * 0..n-1 — not the corpus hash order IvfCoreCtes' `crn <= ⌈√k⌉`
+    * shortcut relies on), then the same coarse→fine assignment with
+    * the empty-group fallback, probe ranking, and query relation.
+    */
+  private def ivfServeTailCtes(cn: String): String =
+    s"ck AS (SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) " +
+      s"AS kc FROM $cn), " +
+      "co AS (SELECT cent_id AS a_id, c_emb AS a_emb, c_n2 AS a_n2 FROM " +
+      s"(SELECT $cn.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(cent_id AS VARCHAR)")}, cent_id) AS arn FROM $cn) t, " +
+      "ck WHERE arn <= kc), " +
+      s"fgr AS (SELECT f.cent_id, co.a_id, row_number() OVER " +
+      "(PARTITION BY f.cent_id ORDER BY " +
+      s"${dotSql("f.c_emb", "co.a_emb")} / (sqrt(f.c_n2) * sqrt(co.a_n2)) " +
+      s"DESC, co.a_id ASC) AS arnk FROM $cn f, co), " +
+      "fg AS (SELECT cent_id, a_id FROM fgr WHERE arnk = 1), " +
+      "vcr AS (SELECT e.vec_id, co.a_id, row_number() OVER " +
+      "(PARTITION BY e.vec_id ORDER BY " +
+      s"${dotSql("e.embedding", "co.a_emb")} / (sqrt(e.n2) * sqrt(co.a_n2)) " +
+      "DESC, co.a_id ASC) AS arnk FROM e, co), " +
+      "vc AS (SELECT vec_id, a_id FROM vcr WHERE arnk = 1), " +
+      "fcand AS (SELECT vc.vec_id, fg.cent_id FROM vc " +
+      "JOIN fg ON fg.a_id = vc.a_id " +
+      s"UNION ALL SELECT vc.vec_id, f.cent_id FROM vc, $cn f " +
+      "WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.a_id = vc.a_id)), " +
+      "far AS (SELECT e.vec_id, e.embedding, e.n2, f.cent_id, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"${dotSql("e.embedding", "f.c_emb")} / (sqrt(e.n2) * sqrt(f.c_n2)) " +
+      "DESC, f.cent_id ASC) AS crank " +
+      "FROM e JOIN fcand ON fcand.vec_id = e.vec_id " +
+      s"JOIN $cn f ON f.cent_id = fcand.cent_id), " +
+      "assigned AS (SELECT cent_id AS cell, vec_id, embedding, n2 " +
+      "FROM far WHERE crank = 1), " +
+      "pr AS (SELECT e.vec_id, f.cent_id, row_number() OVER " +
+      "(PARTITION BY e.vec_id ORDER BY " +
+      s"${dotSql("e.embedding", "f.c_emb")} / (sqrt(e.n2) * sqrt(f.c_n2)) " +
+      s"DESC, f.cent_id ASC) AS crank FROM e, $cn f " +
+      s"WHERE e.vec_id < ${Similarity.DefaultQueries}), " +
+      "probes AS (SELECT cent_id AS cell, vec_id AS query_id FROM pr " +
+      s"WHERE crank <= ${Similarity.IvfNProbe}), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 " +
+      s"FROM e WHERE vec_id < ${Similarity.DefaultQueries})"
+
+  /** The trained-IVF CTE chain — `trainCentroids` unrolled: corpus,
+    * cell budget, hash-rank order, the ppm training sample (the whole
+    * hash prefix up to max(k, sampleCap)), init = the first k sample
+    * vectors with cent_id = hash-rank − 1, `IvfLloydIters` exact-Lloyd
+    * rounds, then the fitted floats ((ppm/1e6) double → REAL → DOUBLE,
+    * the same IEEE ops as `(m.toDouble/1e6).toFloat.toDouble`) feeding
+    * the shared two-level serve tail. Shared verbatim by the
+    * knn_ivf_trained / _stored / _pruned oracles (stored-serve and
+    * static-pruned-serve are byte-identical to in-session training —
+    * spec-pinned — so one oracle covers all three) and, with its
+    * `assigned` CTE as the output, by knn_ivf_assign.
+    */
+  private lazy val IvfTrainedCtes: String = {
+    val iters = Similarity.IvfLloydIters
+    s"e AS (SELECT vec_id, embedding, " +
+      s"${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+      s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
+      "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
+      "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+      "tsmp AS MATERIALIZED (SELECT crn AS pid, 0 AS grp, " +
+      "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) " +
+      "AS BIGINT)) AS qv FROM ch, kk " +
+      s"WHERE crn <= GREATEST(k, ${Similarity.IvfTrainSampleCap})), " +
+      "tc0 AS MATERIALIZED (SELECT grp, pid - 1 AS cent_id, qv AS cv " +
+      "FROM tsmp, kk WHERE pid <= k), " +
+      lloydRoundsCtes("t", "tsmp", iters) + ", " +
+      s"ctr AS MATERIALIZED (SELECT cent_id, list_transform(cv, " +
+      "m -> CAST(CAST(CAST(m AS DOUBLE) / 1000000.0 AS REAL) AS DOUBLE)) " +
+      s"AS c_emb FROM tc$iters), " +
+      "cn AS MATERIALIZED (SELECT cent_id, c_emb, " +
+      s"${dotSql("c_emb", "c_emb")} AS c_n2 FROM ctr), " +
+      ivfServeTailCtes("cn")
+  }
+
+  /** knn_ivf_trained oracle — ALSO the knn_ivf_stored and
+    * knn_ivf_pruned oracle: the stored round-trip and the
+    * static-pruned assigned-corpus serve are byte-identical to
+    * in-session training (ExtensionsSpec pins both equalities), so
+    * the three gates share this one SQL.
+    */
+  private lazy val KnnIvfTrainedSql: String =
+    s"WITH $IvfTrainedCtes, " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) " +
+      "AS cosine FROM assigned a JOIN probes p ON a.cell = p.cell " +
+      "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) " +
+      "AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"cosine FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_ivf_assign oracle — the trained chain's `assigned` relation:
+    * every corpus vector's fine cell under the fitted centroids, plus
+    * the persisted norm.
+    */
+  private lazy val KnnIvfAssignSql: String =
+    s"WITH $IvfTrainedCtes " +
+      "SELECT vec_id, CAST(cell AS BIGINT) AS cell, n2 FROM assigned"
+
+  /** Block slice of full-width list `a` (block = SQL expression `blk`
+    * of `blocks` equal slices) vs an ALREADY-SLICED bw-length list
+    * `b` — the trained-PQ distance: fitted codewords are stored as
+    * subvectors, unlike the hash-anchored codebook's full corpus
+    * vectors. Same left fold and per-element double casts as
+    * l2BlockSql.
+    */
+  private def l2BlockVsSubSql(a: String, blk: String, blocks: Int,
+      b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($b) + 1), " +
+      s"i -> ($a[$blk * (len($a) // $blocks) + i]::DOUBLE - $b[i]::DOUBLE) * " +
+      s"($a[$blk * (len($a) // $blocks) + i]::DOUBLE - $b[i]::DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** The trained-PQ CTE chain — `pqTrainCodebooks` unrolled: the same
+    * hash-prefix sample, per-block ppm subvectors (grp = block), init
+    * = the first `PqCodebookSize` sample slices per block,
+    * `PqLloydIters` exact-Lloyd rounds, fitted codewords as
+    * (ppm/1e6) DOUBLES (the stored relation's native width — no REAL
+    * rounding, unlike the IVF centroids), then the corpus codes under
+    * the fitted codebooks. Assumes `e(vec_id, embedding, ...)` and
+    * `ch(.., crn)` are in scope so the chain composes with
+    * IvfTrainedCtes for the IVFPQ oracle.
+    */
+  private lazy val PqTrainedCtes: String = {
+    val blocks = Similarity.PqBlocks
+    val iters = Similarity.PqLloydIters
+    val cap = math.max(Similarity.PqCodebookSize,
+      Similarity.IvfTrainSampleCap)
+    s"psmp AS MATERIALIZED (SELECT crn AS pid, b.grp, " +
+      s"list_transform(range(b.grp * (len(embedding) // $blocks) + 1, " +
+      s"(b.grp + 1) * (len(embedding) // $blocks) + 1), " +
+      "i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)) AS qv " +
+      s"FROM ch CROSS JOIN (SELECT unnest(range(0, $blocks)) AS grp) b " +
+      s"WHERE crn <= $cap), " +
+      "pc0 AS MATERIALIZED (SELECT grp, pid - 1 AS cent_id, qv AS cv " +
+      s"FROM psmp WHERE pid <= ${Similarity.PqCodebookSize}), " +
+      lloydRoundsCtes("p", "psmp", iters) + ", " +
+      "cb AS MATERIALIZED (SELECT grp AS block, cent_id AS code, " +
+      "list_transform(cv, m -> CAST(m AS DOUBLE) / 1000000.0) AS cw " +
+      s"FROM pc$iters), " +
+      "pd AS (SELECT e.vec_id, cb.block, cb.code, " +
+      s"${l2BlockVsSubSql("e.embedding", "cb.block", blocks, "cb.cw")} " +
+      "AS d2 FROM e, cb), " +
+      "codes AS (SELECT vec_id, block, code FROM (SELECT vec_id, block, " +
+      "code, row_number() OVER (PARTITION BY vec_id, block " +
+      "ORDER BY d2 ASC, code ASC) AS rn FROM pd) WHERE rn = 1), " +
+      "plut AS (SELECT qq.query_id, cb.block, cb.code, CAST(floor(" +
+      s"${l2BlockVsSubSql("qq.q_emb", "cb.block", blocks, "cb.cw")} " +
+      "* 1000000.0) AS BIGINT) AS d_fp FROM " +
+      "(SELECT vec_id AS query_id, embedding AS q_emb FROM e " +
+      s"WHERE vec_id < ${Similarity.DefaultQueries}) qq, cb)"
+  }
+
+  /** knn_pq_trained oracle — ALSO the knn_pq_stored and knn_pq_codes
+    * oracle: the codebook round-trip and the stored-codes serve are
+    * byte-identical to in-session training (spec-pinned), so the
+    * three gates share this one SQL.
+    */
+  private lazy val KnnPqTrainedSql: String =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+      s"$PqTrainedCtes, " +
+      "adc AS (SELECT l.query_id, s.vec_id AS neighbor_id, " +
+      "CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp FROM codes s " +
+      "JOIN plut l ON l.block = s.block AND l.code = s.code " +
+      "WHERE s.vec_id <> l.query_id GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) " +
+      "AS rnk FROM adc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"adc_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_ivf_pq_stored oracle — the trained-IVF chain (cells, probes)
+    * composed with the trained-PQ chain (codes, LUTs): ADC scoring
+    * restricted to each query's probed cells, exactly
+    * `knnIvfPqFromStored` (whose store/reload serve is byte-identical
+    * to the in-session composition — spec-pinned).
+    */
+  private lazy val KnnIvfPqStoredSql: String =
+    s"WITH $IvfTrainedCtes, $PqTrainedCtes, " +
+      "adc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp " +
+      "FROM assigned a JOIN probes p ON a.cell = p.cell " +
+      "JOIN codes s ON s.vec_id = a.vec_id " +
+      "JOIN plut l ON l.query_id = p.query_id AND l.block = s.block " +
+      "AND l.code = s.code " +
+      "WHERE a.vec_id <> p.query_id GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) " +
+      "AS rnk FROM adc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"adc_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
   /** The BPE trainer's CTE body, unrolled to `rounds` merge rounds:
     * per round, pair counts over the double-space symbol strings, a
@@ -4578,6 +4857,11 @@ object SparkEntry {
     // indexed SQL gates it verbatim, so chained ≡ one-shot IS the gate
     "text_bm25_incremental" ->
       bm25SqlFor(TextOps.Bm25K, postingCap = TextOps.Bm25IndexDepth.toLong),
+    // the stored-tier PRF: the full PRF chain over the depth-capped
+    // posting relation — both passes, the feedback-term pool, and the
+    // true-df idf mirror the bm25PrfFromIndex serve exactly
+    "text_bm25_prf_indexed" ->
+      bm25PrfSqlFor(postingCap = TextOps.Bm25IndexDepth.toLong),
     // RRF splice of the two stored-tier oracles — the HybridSql shape
     // with the posting-capped bm25 pool and the corpus-restricted SQ8
     // pool
@@ -5444,6 +5728,19 @@ object SparkEntry {
     "knn_pq_recall" -> recallSql(KnnBruteL2Sql, KnnPqSql),
     "knn_ivf_pq" -> KnnIvfPqSql,
     "knn_ivf_pq_recall" -> recallSql(KnnBruteL2Sql, KnnIvfPqSql),
+    // the trained-quantizer family, hash-checked since the exact-Lloyd
+    // rewrite: training is the lloydStep arithmetic (all-integer ppm),
+    // so DuckDB unrolls the rounds and reproduces the fitted values
+    // bit-for-bit. The stored/coded/pruned siblings share their
+    // trainer gate's SQL — each equality is a spec-pinned byte law
+    "knn_pq_trained" -> KnnPqTrainedSql,
+    "knn_pq_stored" -> KnnPqTrainedSql,
+    "knn_pq_codes" -> KnnPqTrainedSql,
+    "knn_ivf_trained" -> KnnIvfTrainedSql,
+    "knn_ivf_stored" -> KnnIvfTrainedSql,
+    "knn_ivf_pruned" -> KnnIvfTrainedSql,
+    "knn_ivf_assign" -> KnnIvfAssignSql,
+    "knn_ivf_pq_stored" -> KnnIvfPqStoredSql,
     "knn_ivf_sq8" -> KnnIvfSq8Sql,
     "knn_ivf_sq8_recall" -> recallSql(KnnBruteL2Sql, KnnIvfSq8Sql),
     "knn_brute_l2_trunc" -> KnnBruteL2TruncSql,

@@ -882,6 +882,15 @@ object Similarity {
   val MmrCandidates = 16
   val MmrLambdaPm = 700L
 
+  /** Row shapes of the in-task MMR greedy (`mapGroups` needs encoders;
+    * the doubles are the pre-cast floats, so the in-task fold sees the
+    * exact values the former Catalyst pairwise expression saw).
+    */
+  private[graft] case class MmrCand(query_id: Long, neighbor_id: Long,
+    l2_fp: Long, embedding: Seq[Double])
+  private[graft] case class MmrPick(query_id: Long, rank: Long,
+    neighbor_id: Long, l2_fp: Long)
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998) — the diversity pass between retrieval and
     * consumption: from each query's exact top-`cand` shortlist,
@@ -895,80 +904,100 @@ object Similarity {
     * context window. `rank` is SELECTION ORDER (the diversity
     * ordering), not distance order.
     *
-    * Scale shape: the shortlist is queries × cand rows; its pairwise
-    * distance relation (queries × cand² rows, both tiny) is computed
-    * ONCE by broadcasting the shortlist against the embedding corpus
-    * (one map pass fetches candidate floats), then the k greedy
-    * rounds run driver-looped over those bounded relations — no
-    * corpus-sized work after the shortlist.
+    * Scale shape: the shortlist is queries × cand rows; ONE broadcast
+    * join fetches the candidate floats, then the ENTIRE k-round
+    * greedy selection runs inside a single `mapGroups` over each
+    * query's ≤ cand rows — pairwise distances (≤ cand² doubles) and
+    * the per-round argmax are plain in-task loops, so the whole
+    * re-rank is one job and one exchange after the shortlist, not
+    * ~3(k−1) driver-looped join/TopK/union rounds (the previous shape:
+    * measured ~5.9 s → sub-second at sf0.1, hashes unchanged — the
+    * in-task fold is the same IEEE sequence the Catalyst pairwise
+    * expression evaluated). No corpus-sized work after the shortlist.
     */
   def mmrRerank(emb: DataFrame, queryEmb: DataFrame, k: Int = DefaultK,
       cand: Int = MmrCandidates, lambdaPm: Long = MmrLambdaPm,
       nQueries: Long = DefaultQueries): DataFrame = {
     require(lambdaPm >= 0L && lambdaPm <= 1000L,
       s"lambdaPm must be in [0, 1000], got $lambdaPm")
-    val base = graft.Caches.track(
-      knnBruteL2(emb, cand, nQueries)
-        .select(col("query_id"), col("neighbor_id"), col("l2_fp"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    // candidate floats fetched once; pairwise distances within each
-    // query's shortlist (queries × cand² rows — bounded)
+    val base = knnBruteL2(emb, cand, nQueries)
+      .select(col("query_id"), col("neighbor_id"), col("l2_fp"))
+    // candidate floats fetched once (ids-first broadcast join); the
+    // double cast here is the exact cast the pairwise expression ran
     val e = emb.select(col("vec_id"), col("embedding"))
     val withEmb = base
-      .join(broadcast(base.select("neighbor_id").distinct())
+      .join(broadcast(broadcast(base.select("neighbor_id").distinct())
           .join(e, col("neighbor_id") === col("vec_id"))
-          .select(col("neighbor_id").as("nid"), col("embedding")),
+          .select(col("neighbor_id").as("nid"), col("embedding"))),
         col("neighbor_id") === col("nid"))
       .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
-        col("embedding"))
-    val pairs = graft.Caches.track(withEmb.as("a")
-      .join(withEmb.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.neighbor_id") =!= col("b.neighbor_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.neighbor_id").as("cand_id"),
-        col("b.neighbor_id").as("sel_id"),
-        floor(aggregate(
-          zip_with(col("a.embedding"), col("b.embedding"), (x, y) => {
-            val t = x.cast("double") - y.cast("double")
-            t * t
-          }),
-          lit(0.0), (acc, v) => acc + v) * lit(1000000.0))
-          .cast("long").as("pl2"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    // round 1: pure relevance argmin. Each round's selection is
-    // PERSISTED (queries × r rows): round r references sel three
-    // times (anti-join, min-sel join, union) and rounds nest, so an
-    // uncached lineage re-evaluates the whole prefix ~3^k times —
-    // measured 19 s → ~4 s at sf0.1 from this cache alone
-    var sel = graft.Caches.track(graft.plans.TopK.perKey(base,
-        Seq("query_id"),
-        Seq(col("l2_fp").asc, col("neighbor_id").asc), 1)
-      .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
-        lit(1L).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    for (r <- 2 to k) {
-      val remaining = base.join(
-        sel.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val minSel = pairs
-        .join(sel.select(col("query_id"),
-          col("neighbor_id").as("sel_id")), Seq("query_id", "sel_id"))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(min(col("pl2")).as("min_sel_l2"))
-        .withColumnRenamed("cand_id", "neighbor_id")
-      val scored = remaining.join(minSel, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr",
-          (lit(1000L) - lit(lambdaPm)) * col("min_sel_l2") -
-            lit(lambdaPm) * col("l2_fp"))
-      val pick = graft.plans.TopK.perKey(scored, Seq("query_id"),
-          Seq(col("mmr").desc, col("neighbor_id").asc), 1)
-        .select(col("query_id"), col("neighbor_id"), col("l2_fp"),
-          lit(r.toLong).as("rank"))
-      sel = graft.Caches.track(sel.unionByName(pick)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    }
-    sel.select("query_id", "rank", "neighbor_id", "l2_fp")
+        col("embedding").cast("array<double>").as("embedding"))
+    val s = emb.sparkSession
+    import s.implicits._
+    val lam = lambdaPm
+    withEmb.as[MmrCand].groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        // deterministic candidate order: (l2_fp asc, id asc) — the
+        // round-1 relevance argmin is then index 0
+        val cs = it.toArray.sortBy(c => (c.l2_fp, c.neighbor_id))
+        val n = cs.length
+        // pairwise ⌊Σ(xᵢ−yᵢ)²·1e6⌋ — the identical left fold (and
+        // floor-scale) the former zip_with/aggregate expression ran
+        val pl2 = Array.ofDim[Long](n, n)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val a = cs(i).embedding; val b = cs(j).embedding
+            var acc = 0.0
+            var d = 0
+            val dim = math.min(a.length, b.length)
+            while (d < dim) { val t = a(d) - b(d); acc += t * t; d += 1 }
+            val v = math.floor(acc * 1000000.0).toLong
+            pl2(i)(j) = v; pl2(j)(i) = v
+            j += 1
+          }
+          i += 1
+        }
+        val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+        val out = new scala.collection.mutable.ArrayBuffer[MmrPick](k)
+        if (n > 0) {
+          selected += 0
+          out += MmrPick(qid, 1L, cs(0).neighbor_id, cs(0).l2_fp)
+        }
+        var r = 2
+        while (r <= k && selected.length < n) {
+          // argmax of (1000−λ)·min_sel_l2 − λ·l2q over the remaining
+          // candidates, ties → smaller neighbor_id (candidates are
+          // id-ordered within equal l2_fp, so scan order suffices
+          // only with an explicit id compare — keep it explicit)
+          var best = -1
+          var bestMmr = Long.MinValue
+          var c = 0
+          while (c < n) {
+            if (!selected.contains(c)) {
+              var minSel = Long.MaxValue
+              selected.foreach { si =>
+                if (pl2(c)(si) < minSel) minSel = pl2(c)(si)
+              }
+              val mmr = (1000L - lam) * minSel - lam * cs(c).l2_fp
+              if (mmr > bestMmr ||
+                (mmr == bestMmr && best >= 0 &&
+                  cs(c).neighbor_id < cs(best).neighbor_id)) {
+                bestMmr = mmr; best = c
+              }
+            }
+            c += 1
+          }
+          selected += best
+          out += MmrPick(qid, r.toLong, cs(best).neighbor_id,
+            cs(best).l2_fp)
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF()
+      .select("query_id", "rank", "neighbor_id", "l2_fp")
   }
 
   /** PQ geometry: subspace count and per-subspace codebook size.
@@ -1314,13 +1343,18 @@ object Similarity {
     * deterministic hash-prefix sample `trainCentroids` uses — init =
     * the first `codebook` sample subvectors (the hash-anchored layout,
     * so zero iterations reproduce `knnPq` exactly), ties → lower code,
-    * an emptied cluster keeps its previous codeword. Driver-side and
-    * deterministic like the IVF Lloyd (fixed iteration order, no RNG):
-    * re-training on the same corpus is bit-identical.
+    * an emptied cluster keeps its previous codeword. The rounds run
+    * the same EXACT `lloydPpm` integer arithmetic as the IVF trainer
+    * (ppm-quantized argmin, truncating-division means), so the fitted
+    * codewords — `ppm/1e6` doubles, exact in IEEE — are
+    * SQL-derivable: DuckDB unrolls the identical rounds per block and
+    * lands the identical doubles, which is what lets the whole
+    * trained-PQ serving family carry hash-checked oracles.
     */
   private[graft] def pqTrainCodebooks(emb: DataFrame, blocks: Int = PqBlocks,
       codebook: Int = PqCodebookSize, iters: Int = PqLloydIters,
       sampleCap: Int = IvfTrainSampleCap): Seq[Array[Array[Double]]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     val cap = math.max(codebook, sampleCap)
     val sampleRows = emb
       .withColumn("ch", poly_hash(col("vec_id").cast("string")))
@@ -1331,52 +1365,15 @@ object Similarity {
     if (sampleRows.isEmpty) return Seq.empty
     val pts = sampleRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     pqSliceBlocks(pts, blocks).map { sub =>
-      lloydL2(sub, sub.take(math.min(codebook, sub.length)), iters)
+      val init = sub.take(math.min(codebook, sub.length))
+      if (iters == 0) init.map(_.clone())
+      else {
+        val q = sub.map(_.map(x =>
+          math.floor(x * CentroidQuantPpm.toDouble).toLong))
+        lloydPpm(q, q.take(init.length).map(_.clone()), iters)
+          .map(_.map(_.toDouble / CentroidQuantPpm.toDouble))
+      }
     }
-  }
-
-  /** Standard Lloyd under squared-L2: assign each point to its nearest
-    * centroid (first-min tie), recompute means; an empty cluster keeps
-    * its previous centroid. Deterministic — sequential arithmetic in
-    * fixed index order.
-    */
-  private def lloydL2(points: Array[Array[Double]],
-      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
-    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
-    val dim = points(0).length
-    var cents = init.map(_.clone())
-    var it = 0
-    while (it < iters) {
-      val assign = points.map { p =>
-        var best = 0
-        var bestD = Double.PositiveInfinity
-        var j = 0
-        while (j < cents.length) {
-          var acc = 0.0
-          var i = 0
-          while (i < dim) { val t = p(i) - cents(j)(i); acc += t * t; i += 1 }
-          if (acc < bestD) { bestD = acc; best = j }
-          j += 1
-        }
-        best
-      }
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Long](cents.length)
-      var p = 0
-      while (p < points.length) {
-        val tgt = sums(assign(p))
-        var i = 0
-        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
-        counts(assign(p)) += 1
-        p += 1
-      }
-      cents = cents.zipWithIndex.map { case (old, j) =>
-        if (counts(j) == 0L) old
-        else sums(j).map(_ / counts(j))
-      }
-      it += 1
-    }
-    cents
   }
 
   /** ADC top-k over the TRAINED per-block codebooks — `knnPq` with
@@ -2546,20 +2543,21 @@ object Similarity {
 
   /** IVF top-k over TRAINED centroids: same index machinery as
     * `knnIvf`, but the centroid set is refined with `lloydIters`
-    * rounds of driver-side spherical k-means over a deterministic
-    * corpus sample (the first `sampleCap` rows of the same
+    * rounds of EXACT-ARITHMETIC k-means over a deterministic corpus
+    * sample (the first `sampleCap` rows of the same
     * (poly_hash(id), id) order; initialization = the first `cells` of
     * them, i.e. exactly the untrained layout). On clustered real-world
     * embedding distributions hash-order anchors skew — dense regions
     * get too few cells, so their cells grow and probe-side candidate
     * counts with them; Lloyd moves centroids toward the density and
-    * evens the cells out. Everything stays deterministic (fixed
-    * iteration order, cosine ties break toward the lower cell index,
-    * empty cells keep their previous centroid), so two builds over the
-    * same input produce identical indexes — but the centroids are now
-    * FITTED data, not SQL-derivable hash picks, so this variant has no
-    * DuckDB oracle; `knnIvf` remains the hash-checked twin and the
-    * rehearsal harness measures this one's recall/candidate profile.
+    * evens the cells out. The rounds run the `lloydStep` arithmetic
+    * (ppm-quantized integer squared-L2 argmin with ties toward the
+    * lower cell index, truncating-division integer means, empty cells
+    * keep their previous centroid), so every fitted value is an exact
+    * integer-derived quantity BOTH engines reproduce bit-for-bit —
+    * this variant is ORACLED: the DuckDB twin unrolls the same
+    * `lloydIters` rounds as CTEs and serves through the same two-level
+    * SQL kernel `knnIvf`'s oracle uses.
     *
     * Same eager-evaluation semantics as `knnIvf` (a sizing count
     * unless pinned, plus the sample collect at build time).
@@ -2582,35 +2580,112 @@ object Similarity {
       nQueries, nProbe)
 
   /** The driver-side training core shared by `ivfScoredTrained` and
-    * `centroidsOf`: deterministic hash-prefix sample → Lloyd → FLOAT
-    * rounding (everything downstream — kernel arrays, probe relation,
-    * norms, the persisted relation — derives from the float values, so
+    * `centroidsOf`: deterministic hash-prefix sample → `lloydIters`
+    * rounds of the EXACT `lloydStep` arithmetic (driver-evaluated:
+    * the sample is cap-bounded, so the k·dims-bounded state never
+    * justifies a cluster round-trip per round) → FLOAT rounding
+    * (everything downstream — kernel arrays, probe relation, norms,
+    * the persisted relation — derives from the float values, so
     * in-session serving and a parquet round-trip see bit-identical
-    * centroids; float arrays round-trip parquet exactly). Returns the
-    * empty array on an empty corpus.
+    * centroids; float arrays round-trip parquet exactly).
+    *
+    * ORACLE-EXACT BY CONSTRUCTION: every round quantizes nothing new —
+    * points enter ppm fixed point ONCE (⌊x·1e6⌋, the `lloydStep`
+    * grain), assignment is an integer squared-L2 argmin (tie → lower
+    * cell index), the update is a truncating-division integer mean,
+    * and an empty cell carries its previous ppm state. Integer sums
+    * are order-independent, so the driver loop here and DuckDB's
+    * unrolled-CTE twin produce the SAME longs, and the final
+    * `(ppm/1e6).toFloat` rounding is the same IEEE operation on both
+    * engines. `lloydIters = 0` returns the raw sample prefix floats —
+    * exactly the untrained hash-anchored layout (the zero-iterations
+    * law the specs pin). Returns the empty array on an empty corpus.
     */
   private def trainCentroids(emb: DataFrame, nCells: Int,
       corpusSize: Long, lloydIters: Int,
       sampleCap: Int): Array[Array[Float]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
-    val corpus = withNorm(emb)
     val cells =
       if (nCells > 0) nCells
       else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
     // deterministic training sample: the same TakeOrdered hash-prefix
     // the untrained path selects centroids from, just deeper
     val cap = math.max(cells, sampleCap)
-    val sampleRows = corpus
+    val sampleRows = emb
       .withColumn("ch", poly_hash(col("vec_id").cast("string")))
       .orderBy(col("ch"), col("vec_id"))
       .limit(cap)
       .select(col("embedding"))
       .collect()
     if (sampleRows.isEmpty) return Array.empty
-    val pts = sampleRows.map(
-      _.getSeq[Number](0).map(_.doubleValue()).toArray)
-    lloydCosine(pts, pts.take(math.min(cells, pts.length)), lloydIters)
-      .map(_.map(_.toFloat))
+    val ptsF = sampleRows.map(
+      _.getSeq[Number](0).map(_.floatValue()).toArray)
+    if (lloydIters == 0) return ptsF.take(math.min(cells, ptsF.length))
+    val q = ptsF.map(_.map(f =>
+      math.floor(f.toDouble * CentroidQuantPpm.toDouble).toLong))
+    lloydPpm(q, q.take(math.min(cells, q.length)).map(_.clone()),
+        lloydIters)
+      .map(_.map(m => (m.toDouble / CentroidQuantPpm.toDouble).toFloat))
+  }
+
+  /** The `lloydStep` arithmetic iterated driver-side over a
+    * cap-bounded ppm-integer sample: assignment = exact integer
+    * squared-L2 argmin (strict `<`, so ties keep the lower cell
+    * index — the `(d2 asc, cent_id asc)` struct-min), update =
+    * truncating-division integer mean (Java `/` ≡ Spark `div` ≡
+    * DuckDB `//` on BIGINT), empty cells carry their previous state.
+    * All-integer → bit-reproducible regardless of evaluation order;
+    * the assignment scan parallelizes across points (writes only the
+    * per-point assign slot), the integer accumulation stays
+    * sequential (it is k·dims-bounded and order-free anyway).
+    */
+  private def lloydPpm(points: Array[Array[Long]],
+      init: Array[Array[Long]], iters: Int): Array[Array[Long]] = {
+    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
+    val dim = points(0).length
+    val flopsPerIter = points.length.toDouble * init.length * dim
+    if (flopsPerIter * iters > 1e10)
+      System.err.println(f"[graft] IVF training: ${points.length} pts × " +
+        f"${init.length} cells × $dim dims × $iters iters ≈ " +
+        f"${flopsPerIter * iters}%.1e integer ops on the driver (parallel)")
+    var cents = init.map(_.clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      val cur = cents
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { p =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var j = 0
+          while (j < cur.length) {
+            var d = 0L
+            var i = 0
+            while (i < dim) {
+              val t = points(p)(i) - cur(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          assign(p) = best
+        }
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      var p = 0
+      while (p < points.length) {
+        val tgt = sums(assign(p))
+        var i = 0
+        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
+        counts(assign(p)) += 1
+        p += 1
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0L) cents(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+      it += 1
+    }
+    cents
   }
 
   /** Serve the IVF index from an in-memory FLOAT centroid array
@@ -2941,82 +3016,6 @@ object Similarity {
     val probedCells = probeRows.map(_.getLong(0)).distinct.toSeq
     scoreCandidates(corpus.filter(col("cell").isin(probedCells: _*)),
       localProbes, queriesOf(corpus, nQueries))
-  }
-
-  /** Deterministic spherical-k-means refinement, driver-side: assign
-    * every sample point to its max-cosine centroid (ties and zero
-    * norms break toward the LOWER index), recompute each centroid as
-    * the plain mean of its members (cosine is scale-invariant, so the
-    * mean assigns identically to the normalized mean), and keep a
-    * centroid that attracted nothing — `iters` times, in fixed array
-    * order, with no randomness anywhere.
-    *
-    * The O(points × cells × dim) assignment loop dominates (up to
-    * ~8.6e10 FLOPs per iteration at the 16384 × 4096 × 256 worst
-    * case) and each point's argmax is independent, so it fans out
-    * over a parallel stream into a per-point assignment array;
-    * accumulation then runs sequentially in fixed index order, so the
-    * result is bit-identical to the single-threaded loop. Expensive
-    * trainings announce themselves on stderr instead of stalling the
-    * driver silently.
-    */
-  private def lloydCosine(points: Array[Array[Double]],
-      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
-    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
-    val dim = points(0).length
-    val flopsPerIter = points.length.toDouble * init.length * dim
-    if (flopsPerIter * iters > 1e10)
-      System.err.println(f"[graft] IVF training: ${points.length} pts × " +
-        f"${init.length} cells × $dim dims × $iters iters ≈ " +
-        f"${flopsPerIter * iters}%.1e FLOPs on the driver (parallel)")
-    var cents = init.map(_.clone())
-    def n2(v: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      acc
-    }
-    val pn = points.map(v => math.sqrt(n2(v)))
-    val assign = new Array[Int](points.length)
-    var it = 0
-    while (it < iters) {
-      val cn = cents.map(v => math.sqrt(n2(v)))
-      val cur = cents
-      java.util.stream.IntStream.range(0, points.length).parallel()
-        .forEach { p =>
-          var best = -1
-          var bestCos = Double.NegativeInfinity
-          var j = 0
-          while (j < cur.length) {
-            val denom = pn(p) * cn(j)
-            val cos =
-              if (denom == 0.0) -1.0
-              else {
-                var acc = 0.0; var i = 0
-                while (i < dim) { acc += points(p)(i) * cur(j)(i); i += 1 }
-                acc / denom
-              }
-            if (cos > bestCos) { bestCos = cos; best = j }
-            j += 1
-          }
-          assign(p) = best
-        }
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Long](cents.length)
-      var p = 0
-      while (p < points.length) {
-        val tgt = sums(assign(p))
-        var i = 0
-        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
-        counts(assign(p)) += 1
-        p += 1
-      }
-      cents = cents.indices.map { j =>
-        if (counts(j) == 0L) cents(j)
-        else sums(j).map(_ / counts(j))
-      }.toArray
-      it += 1
-    }
-    cents
   }
 
   /** Per-query rank-≤-k via the custom TopKPerKey operator: same hash

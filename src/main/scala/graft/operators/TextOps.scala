@@ -1894,16 +1894,33 @@ object TextOps {
   def bm25FromIndex(index: DataFrame, lens: DataFrame,
       queryDocs: DataFrame, k: Int = Bm25K,
       nQueries: Long = Bm25Queries): DataFrame = {
+    val (nDocs, avglenPpm) = lensStats(lens)
+    bm25ScoreFromIndex(index, lens, nDocs, avglenPpm,
+      bm25QueryTerms(queryDocs, nQueries), k)
+  }
+
+  /** The 1-row forward-index stats collect both stored-index serves
+    * share — the bm25 literal discipline (n_docs and avglen become
+    * plan constants, never a re-executed stats subplan).
+    */
+  private def lensStats(lens: DataFrame): (Long, Long) = {
     val st = lens.agg(count(lit(1)).as("n"),
       coalesce(sum("len_d"), lit(0L)).as("t")).collect()(0)
     val nDocs = st.getLong(0)
     val totalTokens = st.getLong(1)
-    val avglenPpm = math.max(1L, if (nDocs == 0) 1L
-      else totalTokens * 1000000L / nDocs)
-    val qterms = queryDocs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(tokens(col("text"))).as("token"))
-      .distinct()
+    (nDocs, math.max(1L, if (nDocs == 0) 1L
+      else totalTokens * 1000000L / nDocs))
+  }
+
+  /** One index-bounded BM25 scoring pass — the shared tail of
+    * `bm25FromIndex` and both `bm25PrfFromIndex` passes: candidates =
+    * broadcast query terms ⋈ posting rows (query-vocab × depth,
+    * never corpus-sized), len_d streamed in from the forward index,
+    * the exact `bm25` integer contribution chain, a k-bounded heap.
+    */
+  private def bm25ScoreFromIndex(index: DataFrame, lens: DataFrame,
+      nDocs: Long, avglenPpm: Long, qterms: DataFrame,
+      k: Int): DataFrame = {
     val cand = index.select(col("token"), col("df"), col("doc_id"),
         col("tf"))
       .join(broadcast(qterms), "token")
@@ -1920,6 +1937,62 @@ object TextOps {
     graft.plans.TopK.perKey(scored, Seq("query_id"),
         Seq(col("score").desc, col("doc_id").asc), k)
       .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** PSEUDO-RELEVANCE FEEDBACK SERVED ENTIRELY FROM THE STORED INDEX
+    * — the production PRF shape: BOTH scoring passes and the
+    * between-pass expansion run against the persisted posting rows
+    * and forward index; corpus text is never read (only the ≤
+    * `nQueries` query docs tokenize). The feedback-doc term pool is
+    * the index rows that RETAINED each feedback doc (`index ⋈
+    * broadcast(fbDocs)` — an index-bounded scan; a term whose
+    * depth-capped list pruned the doc contributes nothing, the same
+    * static-pruning semantics every capped contribution has), and
+    * expansion idf comes from the STORED per-row true df — no df
+    * recount anywhere. Expansion ranking and both scoring passes use
+    * the exact `bm25Prf` integer arithmetic, so with depth ≥ max df
+    * this serves bit-identically to `bm25Prf` (the uncapped-index
+    * law, spec-pinned); at production depth the oracle applies the
+    * same cap.
+    *
+    * Scale shape: everything between the passes is query-bounded
+    * (feedback docs = queries × fb broadcast, candidate terms ≤ the
+    * feedback docs' retained vocabulary); each pass is the
+    * `bm25FromIndex` broadcast shape. The forward index is the only
+    * corpus-sized relation touched, and only ever as the stream side
+    * of a broadcast join.
+    */
+  def bm25PrfFromIndex(index: DataFrame, lens: DataFrame,
+      queryDocs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries, fb: Int = PrfFeedbackDocs,
+      ex: Int = PrfExpansionTerms): DataFrame = {
+    val (nDocs, avglenPpm) = lensStats(lens)
+    val qt = bm25QueryTerms(queryDocs, nQueries)
+    // ex = 0 is the identity: no expansion, one pass — bm25Prf's law
+    if (ex == 0)
+      return bm25ScoreFromIndex(index, lens, nDocs, avglenPpm, qt, k)
+    val fbDocs = bm25ScoreFromIndex(index, lens, nDocs, avglenPpm, qt, fb)
+      .select(col("query_id"), col("doc_id"))
+    val cand = index.join(broadcast(fbDocs), "doc_id")
+      .groupBy("query_id", "token").agg(sum("tf").as("fbtf"))
+    // stored true df → idf, restricted to the candidate vocabulary
+    val idf = index
+      .join(broadcast(cand.select("token").distinct()), "token")
+      .groupBy("token").agg(first("df").as("df"))
+      .select(col("token"),
+        length(bin(expr(s"(2 * ($nDocs - df) + 1) div (2 * df + 1) + 1")))
+          .cast("long").as("idf_bits"))
+    val expansion = graft.plans.TopK.perKey(
+        cand.join(broadcast(qt.withColumn("orig", lit(1L))),
+            Seq("query_id", "token"), "left")
+          .filter(col("orig").isNull)
+          .join(broadcast(idf), "token")
+          .select(col("query_id"), col("token"),
+            (col("fbtf") * col("idf_bits")).as("w")),
+        Seq("query_id"), Seq(col("w").desc, col("token").asc), ex)
+      .select("query_id", "token")
+    bm25ScoreFromIndex(index, lens, nDocs, avglenPpm,
+      qt.unionByName(expansion).distinct(), k)
   }
 
   /** DATASET MANIFEST over the curated corpus — the "dataset card"

@@ -5236,6 +5236,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bm25PrfFromIndex: uncapped depth ≡ full bm25Prf; ex = 0 collapses to the indexed single pass") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // an index DEEPER than any df keeps every posting → the stored
+    // PRF serve (both passes, feedback pool, stored-df idf) is
+    // bit-identical to the full-scan bm25Prf — scores AND ranks
+    val deep = TextOps.postingsIndex(corpus, k = 2000)
+    val lens = TextOps.docLengths(corpus)
+    val full = rows(TextOps.bm25Prf(docs))
+    assert(full.nonEmpty)
+    assert(rows(TextOps.bm25PrfFromIndex(deep, lens, docs)) === full)
+    // no expansion terms → the identity law bm25Prf pins, here on the
+    // stored tier: one indexed scoring pass, exactly bm25FromIndex
+    assert(rows(TextOps.bm25PrfFromIndex(deep, lens, docs, ex = 0)) ===
+      rows(TextOps.bm25FromIndex(deep, lens, docs)))
+  }
+
   test("bm25 incremental refresh: delta-merged index serves bit-identically to the one-shot rebuild") {
     import operators.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

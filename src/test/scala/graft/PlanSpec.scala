@@ -277,6 +277,49 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("bm25PrfFromIndex: both passes and the expansion read the stored tier; corpus text never scanned") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >=
+      graft.operators.TextOps.Bm25Queries)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_prf_plan").toString
+    graft.operators.TextOps.postingsIndex(corpus,
+        k = graft.operators.TextOps.Bm25IndexDepth)
+      .write.parquet(base + "/idx")
+    graft.operators.TextOps.docLengths(corpus).write.parquet(base + "/lens")
+    val plan = graft.operators.TextOps.bm25PrfFromIndex(
+        spark.read.parquet(base + "/idx"),
+        spark.read.parquet(base + "/lens"), docs)
+      .queryExecution.executedPlan.toString
+    // the corpus-side predicate (doc_id >= nQueries) appears in NO
+    // scan: the corpus enters only as stored posting rows and forward
+    // lengths — PRF's second pass is posting-bounded, never a corpus
+    // re-tokenize
+    assert(!plan.contains("GreaterThanOrEqual(doc_id"), plan)
+    // every text scan is the pushed-down ≤ nQueries query side (qt is
+    // consumed by pass 1, the feedback pool, the expansion anti-join,
+    // and pass 2 — each a 10-doc scan)
+    val textScans = "text:string".r.findAllIn(plan).size
+    assert(textScans <= 4, s"$textScans text scans\n$plan")
+    assert(("LessThan\\(doc_id," + graft.operators.TextOps.Bm25Queries +
+      "\\)").r.findAllIn(plan).size >= textScans, plan)
+  }
+
+  test("mmrRerank: the k-round greedy is ONE MapGroups job — no per-round exchanges, no union lineage") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.operators.Similarity.mmrRerank(emb, emb)
+      .queryExecution.executedPlan.toString
+    // the whole greedy selection runs inside one MapGroups over the
+    // per-query shortlist groups; the former driver loop's ~3(k−1)
+    // join/TopK/union rounds are gone
+    assert("MapGroups".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Union"), plan)
+    // exchanges: the shortlist TopK's hash distribution, the groupByKey
+    // re-key, and AQE artifacts — bounded, NOT proportional to k
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"$exchanges exchanges\n$plan")
+  }
+
   test("knnSq8 serves without reading corpus embeddings: codes scan pruned to (vec_id, dim, code)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = java.nio.file.Files
