@@ -39,8 +39,20 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
           s"${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // ALWAYS-ON subset: any restricted run (the harness's rotating
+    // sample included) still times the 7 headline parity queries plus
+    // the historically slowest queries — a flagship or heavy-tail
+    // regression can never hide behind an unlucky rotation. A
+    // deliberately narrow dev loop that really wants a single query
+    // can filter the output; regression VISIBILITY wins the default.
+    val pinned = Set(
+      "edges", "path2_exact_total", "path2_triples", "path2_approx_total",
+      "triangles_rs", "triangles_rep", "triangles_vertex",
+      "text_bm25_prf", "graph_stress", "graph_path_counts",
+      "knn_mmr", "graph_hops_deep")
     val queries = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        SparkEntry.queries.filter(kv => names(kv._1) || pinned(kv._1))
       case None => SparkEntry.queries
     }
     val samples = sample(spark, sfDir, queries, reps)

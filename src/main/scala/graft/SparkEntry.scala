@@ -545,6 +545,21 @@ object SparkEntry {
       Warehouse.orderPriority(Tables.table(s, d, "orders"),
           Tables.table(s, d, "lineitem"))
         .orderBy("o_orderpriority")),
+    // Q21 shape: the correlated EXISTS / NOT EXISTS chain — LEFT SEMI
+    // + LEFT ANTI self-legs over the shared (order, supplier, late)
+    // relation, dims broadcast onto supplier-keyed counts
+    "wh_late_suppliers" -> ((s, d) =>
+      Warehouse.waitingSuppliers(Tables.table(s, d, "nation"),
+        Tables.table(s, d, "supplier"), Tables.table(s, d, "orders"),
+        Tables.table(s, d, "lineitem"))),
+    // Q9 shape: the 5-table product-line profit rollup by
+    // (supplier nation, order year) — dims broadcast, one co-keyed
+    // fact-fact join, one aggregate exchange
+    "wh_product_profit" -> ((s, d) =>
+      Warehouse.productProfit(Tables.table(s, d, "nation"),
+          Tables.table(s, d, "supplier"), Tables.table(s, d, "part"),
+          Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))
+        .orderBy("nation", "o_year")),
     // ---- LLM-data-pipeline extensions (documents / embeddings / events) ----
     "text_tokens" -> ((s, d) =>
       TextOps.tokenCounts(Tables.table(s, d, "documents")).orderBy("doc_id")),
@@ -2682,9 +2697,12 @@ object SparkEntry {
     s"WITH k AS (SELECT doc_id, substring(lower(" +
       "regexp_replace(text, '\\s+', ' ', 'g')), 1, " + kc +
       ") AS key FROM documents), " +
+      // the short-key guard: empty segments (position past the key)
+      // nominate nothing — mirrors Dedup.fuzzyPairs' filter
       s"seg AS (SELECT doc_id, key, i AS seg_idx, " +
       s"substring(key, (i - 1) * $sl + 1, $sl) AS seg FROM k, " +
-      s"unnest([$segIdx]) t(i)), " +
+      s"unnest([$segIdx]) t(i) " +
+      s"WHERE substring(key, (i - 1) * $sl + 1, $sl) <> ''), " +
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, a.key AS key_a, " +
       "b.doc_id AS id_b, b.key AS key_b FROM seg a JOIN seg b " +
       "ON a.seg_idx = b.seg_idx AND a.seg = b.seg " +
@@ -4483,6 +4501,47 @@ object SparkEntry {
         "AND EXISTS (SELECT 1 FROM lineitem l " +
         "WHERE l.l_orderkey = o.o_orderkey " +
         "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"),
+    // Q9 oracle: the same 5-table join, year via extract (UTC session
+    // ≡ DuckDB's naive timestamp year), integer-cents revenue
+    "wh_product_profit" ->
+      ("WITH p AS (SELECT p_partkey FROM part " +
+        s"WHERE p_name LIKE '%${Warehouse.Q9NameToken}%'), " +
+        "supp AS (SELECT s_suppkey, n_name FROM supplier " +
+        "JOIN nation ON n_nationkey = s_nationkey), " +
+        "li AS (SELECT l_orderkey, l_suppkey, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) " +
+        "AS BIGINT) AS rev_c FROM lineitem " +
+        "JOIN p ON p.p_partkey = lineitem.l_partkey) " +
+        "SELECT supp.n_name AS nation, " +
+        "CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(SUM(rev_c) AS BIGINT) AS profit_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_lineitems FROM li " +
+        "JOIN supp ON supp.s_suppkey = li.l_suppkey " +
+        "JOIN orders ON o_orderkey = li.l_orderkey " +
+        "GROUP BY 1, 2"),
+    // Q21 oracle: the literal correlated EXISTS / NOT EXISTS pair over
+    // the shared F-order (orderkey, suppkey, late) relation — the
+    // operator's semi/anti legs compile exactly this
+    "wh_late_suppliers" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey, " +
+        "l_shipdate > o_orderdate AS late FROM lineitem l " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o_orderstatus = 'F'), " +
+        "l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late), " +
+        "b AS (SELECT * FROM l1 WHERE EXISTS (SELECT 1 FROM li x " +
+        "WHERE x.l_orderkey = l1.l_orderkey " +
+        "AND x.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM li y " +
+        "WHERE y.l_orderkey = l1.l_orderkey " +
+        "AND y.l_suppkey <> l1.l_suppkey AND y.late)), " +
+        "c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM b GROUP BY 1) " +
+        "SELECT s.s_name, c.numwait FROM c " +
+        "JOIN supplier s ON s.s_suppkey = c.l_suppkey " +
+        "JOIN nation n ON n.n_nationkey = s.s_nationkey " +
+        s"AND n.n_name = '${Warehouse.Q21Nation}' " +
+        "ORDER BY numwait DESC, s_name ASC " +
+        s"LIMIT ${Warehouse.Q21TopK}"),
     "text_blocklist" -> {
       val ts = TextOps.BlocklistTerms
         .map(t => s"'${t.toLowerCase}'").mkString(", ")

@@ -171,6 +171,18 @@ object Dedup {
     * forms; only bucket-mates pay the O(k²) levenshtein verify, on
     * 24-char keys, never on full documents; raw text never shuffles
     * (keys are 24 B).
+    *
+    * SHORT-KEY POLICY: a key shorter than `keyChars` emits only its
+    * NON-EMPTY segments (a position entirely past the key nominates
+    * nothing). Without the guard every short document shares the
+    * ('', seg_idx) bucket with every other short document and the
+    * candidate join degenerates to all-pairs over the short-doc
+    * subset — the exact N² this operator exists to avoid. The trade:
+    * for keys with fewer than `segments` real segments the pigeonhole
+    * guarantee degrades to distance ≤ realSegments − 1 (two sub-8-char
+    * keys pair only on an exact first-segment match); empty-key docs
+    * never pair here at all — byte-identical short/empty docs are
+    * `dedupExact`'s domain. The oracle SQL applies the same guard.
     */
   def fuzzyPairs(docs: DataFrame, keyChars: Int = FuzzyKeyChars,
       segments: Int = FuzzySegments,
@@ -186,6 +198,7 @@ object Dedup {
         posexplode(array((0 until segments).map(i =>
           substring(col("key"), i * segLen + 1, segLen)): _*))
           .as(Seq("seg_idx", "seg")))
+      .filter(col("seg") =!= lit(""))
     val cand = seg.as("a").join(seg.as("b"),
         col("a.seg_idx") === col("b.seg_idx") &&
           col("a.seg") === col("b.seg") &&

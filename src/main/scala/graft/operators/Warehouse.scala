@@ -255,6 +255,105 @@ object Warehouse {
         col("max_right_key"), col("skew_ppm"), col("hint"))
   }
 
+  /** Q9 constant: the part-name token selecting the product line. Same
+    * value MUST appear in the oracle SQL.
+    */
+  val Q9NameToken = "red"
+
+  /** TPC-H Q9 shape — product-line profit by (supplier nation, order
+    * year): the 5-table line-order-part-supplier-nation join with a
+    * substring dimension filter and a date-derived group key (the
+    * testdata has no partsupp, so profit is the discounted revenue —
+    * the join TOPOLOGY is the query class, not the cost term).
+    * Revenue stays integer cents per row before any aggregation.
+    *
+    * Scale shape: part (filtered by the name token) and the
+    * supplier→nation chain broadcast into the fact; orders joins the
+    * fact on l_orderkey carrying only (orderkey, year) — at 100 TB
+    * that is the one fact-fact shuffle, co-keyed; the final
+    * (nation, year) aggregate is the only other exchange. No
+    * cartesian, no window (plan-guarded).
+    */
+  def productProfit(nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val p = part.filter(col("p_name").contains(lit(Q9NameToken)))
+      .select(col("p_partkey").as("l_partkey"))
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
+    val ord = orders.select(col("o_orderkey").as("l_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revCents.as("rev_c"))
+      .join(broadcast(p), "l_partkey")
+      .join(broadcast(supp), "l_suppkey")
+      .join(ord, "l_orderkey")
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum("rev_c").as("profit_cents"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Q21 constants: the blamed nation and the report depth. Same
+    * values MUST appear in the oracle SQL.
+    */
+  val Q21Nation = "NATION_9"
+  val Q21TopK = 10
+
+  /** TPC-H Q21 shape — suppliers who kept waiting: for finalized
+    * ('F') orders, the suppliers of one nation whose lineitem shipped
+    * LATE (shipdate after the order date — the testdata's
+    * commit<receipt stand-in, Q4's rule) on a MULTI-SUPPLIER order
+    * where they were the ONLY late supplier, counted per supplier.
+    * The correlated EXISTS-chain compiles to the classic join pair:
+    * EXISTS(other supplier on the order) → LEFT SEMI with the
+    * cross-relation `suppkey ≠` residual; NOT EXISTS(other LATE
+    * supplier) → LEFT ANTI with the same shape plus the late flag.
+    *
+    * Scale shape: all three EXISTS legs are the SAME derived
+    * (orderkey, suppkey, late) relation — lineitem ⋈ F-orders,
+    * computed once and persisted for the query; every self-leg joins
+    * on l_orderkey, so the semi and anti legs co-partition with the
+    * probe (one exchange each side, AQE reuses the repeat); the
+    * supplier/nation dimension chain broadcasts at the very end onto
+    * supplier-keyed counts (≤ |supplier| rows). No cartesian product
+    * anywhere (plan-guarded).
+    */
+  def waitingSuppliers(nation: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      k: Int = Q21TopK): DataFrame = {
+    val ord = orders.filter(col("o_orderstatus") === lit("F"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = graft.Caches.track(lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate")).as("late"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val l1 = li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("o2"),
+      col("l_suppkey").as("s2"), col("late").as("late2"))
+    val blamed = l1
+      .join(others, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(others.filter(col("late2")),
+        col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_anti")
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name") === lit(Q21Nation))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    blamed.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), "l_suppkey")
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
+
   /** TPC-H Q4 shape — order-priority check: orders in a one-quarter
     * window having at least one lineitem shipped AFTER the order date
     * (the testdata's "late shipment" stand-in for commit<receipt),

@@ -245,10 +245,16 @@ object EventWindows {
     * the same μ — the gate shares its oracle SQL VERBATIM, and the
     * streaming micro-batch replay is spec-pinned chained ≡ one-shot.
     *
-    * Admission contract: hours arrive in NON-DECREASING order across
-    * invocations per type (micro-batches of an append-only event log;
-    * within one invocation rows sort in-group) — a regression is a
-    * loud require, not silent corruption.
+    * Admission contract: each hour is WHOLLY CONTAINED in one
+    * micro-batch, and batches arrive in hour order per type (the
+    * shape an hourly-triggered ingestion of an append-only log
+    * produces). Strictly-increasing is the enforceable core of that:
+    * every emitted hour's row is FINAL (Append mode cannot retract),
+    * so a same-hour continuation in a later batch cannot fold
+    * additively into an already-emitted row — it is rejected by a
+    * loud require naming this contract, not silently double-counted
+    * or dropped. Callers batching on sub-hour triggers must
+    * pre-aggregate to closed hours upstream (the watermark pattern).
     *
     * Scale: state is O(1) per event type; each invocation buffers one
     * micro-batch's (type, hour) pairs — bounded by the batch, never
@@ -277,8 +283,12 @@ object EventWindows {
           var st = state.getOption
             .getOrElse(CusumState(first - 3600L, 0L, 0L))
           require(first > st.last,
-            s"cusumStateful($typ): hours must arrive in non-decreasing " +
-              s"order; got $first after folded ${st.last}")
+            s"cusumStateful($typ): each hour must be wholly contained " +
+              s"in one micro-batch and batches must advance in hour " +
+              s"order (emitted rows are final — Append mode cannot " +
+              s"retract); got hour $first after hour ${st.last} was " +
+              s"already folded and emitted. Pre-aggregate to closed " +
+              s"hours upstream if the trigger is sub-hour.")
           val byHour = counts.toMap
           val lastHour = counts.last._1
           val out = ((st.last + 3600L) to lastHour by 3600L).map { h =>
@@ -911,9 +921,12 @@ object EventWindows {
       .agg(sum("cnt").as("cell_total"), count(lit(1)).as("cell_n"))
       .select(col("event_type"), col("dow"), col("hod"),
         expr("cell_total * 1000 div cell_n").as("cell_mean_milli"))
-    // the ppm ratio divides sign × magnitude explicitly: Spark's
-    // `div` truncates toward zero while DuckDB's `//` floors, so a
-    // negative residual must never reach either divider directly
+    // the ppm ratio divides sign × magnitude explicitly. NOTE: both
+    // engines TRUNCATE toward zero on integer division (Spark `div`
+    // and DuckDB 1.x `//` alike — verified: -7 // 2 = -3), so the
+    // sign-split is defensive style, not a parity requirement; it
+    // also keeps the arithmetic well-defined under any future engine
+    // whose integer `/` floors
     h.join(broadcast(cells), Seq("event_type", "dow", "hod"))
       .withColumn("resid_milli", expr("cnt * 1000 - cell_mean_milli"))
       .select(col("event_type"), col("hour_epoch"), col("dow"),

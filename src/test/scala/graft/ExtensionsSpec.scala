@@ -1499,8 +1499,8 @@ class ExtensionsSpec extends SparkSpec {
         q2.processAllAvailable()
         throw q2.exception.get
       }
-      assert(ex.getMessage.contains("non-decreasing") ||
-        Option(ex.getCause).exists(_.getMessage.contains("non-decreasing")),
+      assert(ex.getMessage.contains("wholly contained") ||
+        Option(ex.getCause).exists(_.getMessage.contains("wholly contained")),
         ex.getMessage)
     } finally q2.stop()
   }
@@ -1802,6 +1802,27 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pp.get((1000L, 1001L)) === Some(1L))
     assert(!pp.contains((1000L, 1002L)))
+    // SHORT-KEY POLICY: empty segments nominate nothing, so unrelated
+    // short docs never bucket together (the former all-pairs
+    // degeneracy over the sub-keyChars subset); identical and
+    // first-segment-matching short docs still pair, and empty docs
+    // pair nowhere (dedupExact's domain)
+    val shorts = Seq(
+        (2000L, "alpha"), (2001L, "beta"),      // unrelated shorts
+        (2002L, "alpha"),                       // exact short dup of 2000
+        (2003L, "alphX"),                       // 1 sub inside segment 1
+        (2004L, ""), (2005L, ""))               // empty docs
+      .toDF("doc_id", "text")
+    val sp = operators.Dedup.fuzzyPairs(shorts).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sp.get((2000L, 2002L)) === Some(0L))
+    assert(!sp.contains((2000L, 2001L)), "unrelated shorts paired — " +
+      "the empty-segment bucket is back")
+    assert(!sp.contains((2004L, 2005L)), "empty docs must not pair here")
+    // the documented trade: a sub-segment key has ONE real segment, so
+    // a within-distance substitution inside it is not nominated —
+    // recall degrades to exact-first-segment for sub-8-char keys
+    assert(!sp.contains((2000L, 2003L)))
   }
 
   test("blocklistTag: density flag, asc tie-break, case-fold, zero-token doc clean") {

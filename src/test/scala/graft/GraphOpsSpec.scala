@@ -672,6 +672,58 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("sigma forward-phase memo: graph_stress reuses graph_path_counts' layers, results bit-identical") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (3L, 5L),
+      (0L, 4L), (5L, 0L))
+    val before = GraphOps.sigmaMemoHits.get()
+    val sigma1 = GraphOps.shortestPathCounts(edgeDf(e: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the back-to-back twin gate over the SAME graph must hit the memo
+    // (the shared forward phase is the point of the single-slot cache)
+    val stress1 = GraphOps.stressSampled(edgeDf(e: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraphOps.sigmaMemoHits.get() > before,
+      "stressSampled did not reuse the memoized forward phase")
+    // a memo-hit σ relation is the SAME relation: repeated calls are
+    // bit-identical, and a DIFFERENT graph must miss (no stale reuse)
+    assert(GraphOps.shortestPathCounts(edgeDf(e: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet === sigma1)
+    val e2 = e :+ (2L, 0L)
+    val hitsBefore2 = GraphOps.sigmaMemoHits.get()
+    val sigma2 = GraphOps.shortestPathCounts(edgeDf(e2: _*)).collect()
+    assert(GraphOps.sigmaMemoHits.get() === hitsBefore2,
+      "a different graph must not reuse the memoized layers")
+    assert(sigma2.length !== 0)
+    assert(stress1.nonEmpty)
+  }
+
+  test("labeled-BFS memo: eccentricity/diameter reuse closeness' sweep, results bit-identical; no stale reuse") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (3L, 5L),
+      (5L, 6L), (6L, 0L))
+    val close1 = GraphOps.closenessSampled(edgeDf(e: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val before = GraphOps.distMemoHits.get()
+    // the per-seed view over the SAME sample must hit the memo
+    val ecc1 = GraphOps.eccentricitySampled(edgeDf(e: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(GraphOps.distMemoHits.get() > before,
+      "eccentricitySampled did not reuse the memoized labeled sweep")
+    // repeated closeness is bit-identical through the memo
+    assert(GraphOps.closenessSampled(edgeDf(e: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet === close1)
+    // a different graph misses — no stale reuse
+    val e2 = e :+ (2L, 6L)
+    val hitsBefore2 = GraphOps.distMemoHits.get()
+    assert(GraphOps.closenessSampled(edgeDf(e2: _*)).collect().nonEmpty)
+    assert(GraphOps.distMemoHits.get() === hitsBefore2,
+      "a different graph must not reuse the memoized sweep")
+    assert(ecc1.nonEmpty)
+  }
+
   test("hopDistances == brute bounded BFS on random digraphs") {
     def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
         maxHops: Int): Map[Long, Long] = {

@@ -487,6 +487,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("wh_late_suppliers: EXISTS chain = LEFT SEMI + LEFT ANTI on the orderkey; dims broadcast; no cartesian") {
+    val plan = executedPlan("wh_late_suppliers")
+    // the correlated EXISTS / NOT EXISTS pair compiles to one semi and
+    // one anti self-leg over the shared (order, supplier, late) relation
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the supplier/nation dimension chain broadcasts onto the
+    // supplier-keyed counts — never a shuffle of the count relation
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      plan)
+    // the report is a TakeOrdered top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("wh_product_profit: dims broadcast into the fact, one co-keyed fact join, no cartesian/window") {
+    val plan = executedPlan("wh_product_profit")
+    // part (name-filtered) and supplier⋈nation broadcast; orders meets
+    // the fact co-keyed on l_orderkey
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+    // the name-token filter reaches the part scan as a pushed predicate
+    assert(plan.contains("StringContains(p_name"), plan)
+  }
+
   test("wh_rollup: grouping sets run through ONE Expand pass — no self-union of re-scans") {
     val plan = executedPlan("wh_rollup")
     assert(plan.contains("Expand"), plan)
