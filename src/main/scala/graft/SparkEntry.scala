@@ -1018,7 +1018,7 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
     "dedup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(Dedup.ngramJaccard(Tables.table(s, d, "documents")))
+      Dedup.defaultClusters(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(Tables.table(s, d, "documents"))
@@ -1030,7 +1030,7 @@ object SparkEntry {
     "dedup_survivors_best" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       Dedup.survivorsBest(docs,
-          Dedup.dupClusters(Dedup.ngramJaccard(docs)),
+          Dedup.defaultClusters(docs),
           TextOps.quality(docs).select("doc_id", "quality"))
         .select("doc_id").orderBy("doc_id")
     }),

@@ -693,6 +693,39 @@ object Dedup {
       labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, schema)
   }
 
+  /** Single-slot memo of the DEFAULT cluster relation —
+    * `dupClusters(ngramJaccard(docs))`, the labelling five gates and
+    * the curation/manifest/split pipelines all consume over the same
+    * corpus back to back. The memoized relation is
+    * statsFreeLocalCheckpoint-backed (session-lived executor blocks,
+    * not Caches-leased — the star loop's own RDD caches are released
+    * per query, but the checkpointed labels survive), so later
+    * consumers skip the whole shingle-join + star-contraction chain.
+    * Same keying discipline as GraphOps' sweeps: params string + the
+    * canonicalized plan OBJECT, so a stale reuse across corpora is
+    * structurally impossible. `clusterMemoHits` exists for the spec.
+    */
+  private val clusterMemo = new java.util.concurrent.atomic.AtomicReference[
+    (String, AnyRef, DataFrame)]()
+  private[graft] val clusterMemoHits =
+    new java.util.concurrent.atomic.AtomicLong
+
+  def defaultClusters(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val memoKey =
+      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}"
+    val memoPlan: AnyRef = docs.queryExecution.analyzed.canonicalized
+    val hit = clusterMemo.get()
+    if (hit != null && hit._1 == memoKey && hit._2 == memoPlan) {
+      clusterMemoHits.incrementAndGet()
+      return hit._3
+    }
+    val out = org.apache.spark.sql.graft.ColumnBridge
+      .statsFreeLocalCheckpoint(dupClusters(ngramJaccard(docs)))
+    clusterMemo.set((memoKey, memoPlan, out))
+    out
+  }
+
   /** The full dedup pipeline as one operator: exact dedup → MinHash-LSH
     * near-dup pairs over the exact survivors (exact copies would flood
     * every LSH bucket — the standard exact-then-near order) → connected

@@ -423,8 +423,7 @@ object TextOps {
     * form instead of re-clustering — identity spec-pinned.
     */
   def hashSplitLeakageFree(docs: DataFrame): DataFrame =
-    hashSplitLeakageFree(docs,
-      Dedup.dupClusters(Dedup.ngramJaccard(docs)))
+    hashSplitLeakageFree(docs, Dedup.defaultClusters(docs))
 
   /** The END-TO-END curation pipeline as one operator — best-copy
     * dedup survivors → quality-weighted sampling → leakage-free
@@ -439,8 +438,7 @@ object TextOps {
     */
   def curation(docs: DataFrame,
       clusters: Option[DataFrame] = None): DataFrame = {
-    val cl = clusters.getOrElse(
-      Dedup.dupClusters(Dedup.ngramJaccard(docs)))
+    val cl = clusters.getOrElse(Dedup.defaultClusters(docs))
     val surv = Dedup.survivorsBest(docs, cl,
       quality(docs).select("doc_id", "quality"))
     val sampled = sampleByQuality(docs)

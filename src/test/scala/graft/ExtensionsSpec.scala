@@ -282,6 +282,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("defaultClusters memo: repeated consumers reuse the checkpointed labelling; different corpus misses") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val first = Dedup.defaultClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first.nonEmpty)
+    val before = Dedup.clusterMemoHits.get()
+    // the second consumer over the SAME corpus hits and is identical
+    assert(Dedup.defaultClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === first)
+    assert(Dedup.clusterMemoHits.get() > before,
+      "second defaultClusters call did not reuse the memoized labelling")
+    // the memoized relation equals a fresh direct computation
+    assert(Dedup.dupClusters(Dedup.ngramJaccard(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === first)
+    // a different corpus (same session) must miss — no stale reuse
+    val hitsBefore2 = Dedup.clusterMemoHits.get()
+    Dedup.defaultClusters(docs.filter(col("doc_id") % 2 === 0)).count()
+    assert(Dedup.clusterMemoHits.get() === hitsBefore2,
+      "a different corpus must not reuse the memoized labelling")
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     val s = spark
     import s.implicits._
