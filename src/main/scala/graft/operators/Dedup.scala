@@ -705,26 +705,14 @@ object Dedup {
     * canonicalized plan OBJECT, so a stale reuse across corpora is
     * structurally impossible. `clusterMemoHits` exists for the spec.
     */
-  private val clusterMemo = new java.util.concurrent.atomic.AtomicReference[
-    (String, AnyRef, DataFrame)]()
-  private[graft] val clusterMemoHits =
-    new java.util.concurrent.atomic.AtomicLong
+  private val clusterMemo = new graft.PlanMemo[DataFrame](1)
+  private[graft] def clusterMemoHits = clusterMemo.hits
 
-  def defaultClusters(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    val memoKey =
-      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}"
-    val memoPlan: AnyRef = docs.queryExecution.analyzed.canonicalized
-    val hit = clusterMemo.get()
-    if (hit != null && hit._1 == memoKey && hit._2 == memoPlan) {
-      clusterMemoHits.incrementAndGet()
-      return hit._3
+  def defaultClusters(docs: DataFrame): DataFrame =
+    clusterMemo.getOrBuild(docs, "clusters") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(dupClusters(ngramJaccard(docs)))
     }
-    val out = org.apache.spark.sql.graft.ColumnBridge
-      .statsFreeLocalCheckpoint(dupClusters(ngramJaccard(docs)))
-    clusterMemo.set((memoKey, memoPlan, out))
-    out
-  }
 
   /** The full dedup pipeline as one operator: exact dedup → MinHash-LSH
     * near-dup pairs over the exact survivors (exact copies would flood

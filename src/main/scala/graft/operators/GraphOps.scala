@@ -1582,29 +1582,15 @@ object GraphOps {
     * LRU — enough for the centrality + σ interleavings one harness
     * pass produces without retaining every graph ever swept.
     */
-  private val distMemo =
-    new java.util.LinkedHashMap[String, (AnyRef, DataFrame)](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (AnyRef, DataFrame)]): Boolean =
-        size > 4
-    }
-  private[graft] val distMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val distMemo = new graft.PlanMemo[DataFrame](4)
+  private[graft] def distMemoHits = distMemo.hits
 
   private def labeledHopDistances(edges: DataFrame, seeds: Seq[Long],
       maxHops: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val memoKey =
-      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|" +
-        s"$maxHops|${seeds.mkString(",")}"
-    val memoPlan: AnyRef = edges.queryExecution.analyzed.canonicalized
-    distMemo.synchronized {
-      val hit = distMemo.get(memoKey)
-      if (hit != null && hit._1 == memoPlan) {
-        distMemoHits.incrementAndGet()
-        return hit._2
-      }
-    }
+    distMemo.getOrBuild(edges,
+        s"dist|$maxHops|${seeds.mkString(",")}") {
     val seed0 = ck(seeds.toDF("seed")
       .select(col("seed"), col("seed").as("vertex"), lit(0L).as("dist")))
     var layers = List(seed0)
@@ -1639,8 +1625,8 @@ object GraphOps {
       layers.foreach(drop)
       dist = compact
     }
-    distMemo.synchronized { distMemo.put(memoKey, (memoPlan, dist)) }
     dist
+    }
   }
 
   /** Sample size / hop budget for the path-count and stress gates —
@@ -1694,9 +1680,8 @@ object GraphOps {
     * retention to the latest graph's layers. `sigmaMemoHits` exists
     * for the spec that pins the reuse.
     */
-  private val sigmaMemo = new java.util.concurrent.atomic.AtomicReference[
-    (String, AnyRef, Seq[DataFrame])]()
-  private[graft] val sigmaMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val sigmaMemo = new graft.PlanMemo[Seq[DataFrame]](1)
+  private[graft] def sigmaMemoHits = sigmaMemo.hits
 
   /** The shared labeled forward phase: per-layer frames of
     * `(seed, vertex, dist, sigma)` plus the shared edge cache.
@@ -1712,18 +1697,17 @@ object GraphOps {
     val dedup = graft.Caches.track(
       e.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // params string + the canonicalized PLAN OBJECT (structural
-    // equality — LocalRelation compares its data, file relations their
-    // root paths; a plan's toString elides both, so string keys alias)
-    val memoKey =
-      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|" +
-        s"$k|$maxHops"
-    val memoPlan: AnyRef = e.queryExecution.analyzed.canonicalized
-    val hit = sigmaMemo.get()
-    if (hit != null && hit._1 == memoKey && hit._2 == memoPlan) {
-      sigmaMemoHits.incrementAndGet()
-      return (hit._3, dedup)
+    val frames = sigmaMemo.getOrBuild(e, s"sigma|$k|$maxHops") {
+      sigmaFrames(e, dedup, k, maxHops)
     }
+    (frames, dedup)
+  }
+
+  /** The uncached σ-layer build `sigmaLayers` memoizes. */
+  private def sigmaFrames(e: DataFrame, dedup: DataFrame, k: Int,
+      maxHops: Int): Seq[DataFrame] = {
+    val s = e.sparkSession
+    import s.implicits._
     val verts = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
     val seedRows = verts
@@ -1732,10 +1716,7 @@ object GraphOps {
       .orderBy(col("h"), col("v"))
       .limit(k)
       .select(col("v")).collect().map(_.getLong(0)).sorted
-    if (seedRows.isEmpty) {
-      sigmaMemo.set((memoKey, memoPlan, Seq.empty))
-      return (Seq.empty, dedup)
-    }
+    if (seedRows.isEmpty) return Seq.empty
     val dist = labeledHopDistances(dedup, seedRows.toSeq, maxHops)
     var frames = List(ck(seedRows.toSeq.toDF("seed")
       .select(col("seed"), col("seed").as("vertex"), lit(0L).as("dist"),
@@ -1758,9 +1739,7 @@ object GraphOps {
         if (i > maxHops) exhausted = true
       }
     }
-    val out = frames.reverse
-    sigmaMemo.set((memoKey, memoPlan, out))
-    (out, dedup)
+    frames.reverse
   }
 
   /** BUDGETED STRESS CENTRALITY over the sampled sources — the

@@ -235,9 +235,29 @@ object Similarity {
     * any stage. Vectors whose buckets contain no partner simply have
     * no rows (the recall trade every LSH index makes); recall follows
     * the same 1−(1−p^b)^L band curve as `knnLsh`.
+    *
+    * SESSION-MEMOIZED (the `PlanMemo` discipline): the graph is an
+    * index-like artifact its consumers arrive at back to back
+    * (`knn_graph`, `knn_mutual`, `knn_graph_recall` share the k=5
+    * build; the beam family shares the degree-`BeamGraphDegree`
+    * build), so one checkpoint-backed build per (corpus, params)
+    * serves them all — the train-once contract the stored-IVF family
+    * makes explicit, applied in-session. EAGER on first build (the
+    * checkpoint materializes the graph at call time).
     */
   def knnGraph(emb: DataFrame, k: Int = DefaultK, bands: Int = LshBands,
-      bandBits: Int = AdaptiveBandBits, corpusSize: Long = -1L): DataFrame = {
+      bandBits: Int = AdaptiveBandBits, corpusSize: Long = -1L): DataFrame =
+    knnGraphMemo.getOrBuild(emb,
+        s"knnGraph|$k|$bands|$bandBits|$corpusSize") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        knnGraphUncached(emb, k, bands, bandBits, corpusSize))
+    }
+
+  private val knnGraphMemo = new graft.PlanMemo[DataFrame](2)
+  private[graft] def knnGraphMemoHits = knnGraphMemo.hits
+
+  private def knnGraphUncached(emb: DataFrame, k: Int, bands: Int,
+      bandBits: Int, corpusSize: Long): DataFrame = {
     val bb = resolveBandBits(emb, bandBits, corpusSize)
     val sig = graft.Caches.track(withNorm(emb)
       .withColumn("sig", lshSignature(col("embedding"), bands * LshBandStride))
