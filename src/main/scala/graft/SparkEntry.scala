@@ -898,6 +898,25 @@ object SparkEntry {
           s.read.parquet(cdDir), docs, emb)
         .orderBy("query_id", "rank")
     }),
+    // honesty gate for the depth-capped PRF serve: recall@k of the
+    // stored-tier PRF ranking vs the exact full-scan PRF ranking —
+    // prices the pruning across BOTH passes and the feedback pool
+    "text_bm25_prf_indexed_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      def ren(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("doc_id").as("neighbor_id"))
+      Similarity.recallAtK(
+        ren(TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
+          s.read.parquet(lensDir), docs)),
+        ren(TextOps.bm25Prf(docs)))
+    }),
     // honesty gate for the depth-capped serve: recall@k of the
     // indexed ranking vs the full-scan bm25 ranking
     "text_bm25_indexed_recall" -> ((s, d) => {
@@ -4951,6 +4970,10 @@ object SparkEntry {
       "SELECT query_id, doc_id AS neighbor_id FROM (" +
         bm25SqlFor(TextOps.Bm25K,
           postingCap = TextOps.Bm25IndexDepth.toLong) + ")"),
+    "text_bm25_prf_indexed_recall" -> recallSql(
+      s"SELECT query_id, doc_id AS neighbor_id FROM ($Bm25PrfSql)",
+      "SELECT query_id, doc_id AS neighbor_id FROM (" +
+        bm25PrfSqlFor(postingCap = TextOps.Bm25IndexDepth.toLong) + ")"),
     "search_hybrid" -> HybridSql,
     "knn_filtered" -> KnnFilteredSql,
     "knn_ivf_filtered" -> KnnIvfFilteredSql,
