@@ -1388,6 +1388,19 @@ object SparkEntry {
     "knn_pq_trained" -> ((s, d) =>
       Similarity.knnPqTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // the PQ twin of knn_ivf_centroids: the fitted per-block codebook
+    // ARTIFACT hash-checked directly, per (block, code, dim) in
+    // floored micro-units
+    "knn_pq_codebooks" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, floor, lit, posexplode}
+      Similarity.codebooksOf(Tables.table(s, d, "embeddings"))
+        .select(col("block"), col("code"),
+          posexplode(col("codeword")).as(Seq("dim", "x")))
+        .select(col("block"), col("code"),
+          col("dim").cast("long").as("dim"),
+          floor(col("x") * lit(1000000.0)).cast("long").as("c_fp"))
+        .orderBy("block", "code", "dim")
+    }),
     // the train-once/serve-many form of the trained-PQ path: fitted
     // per-block codebooks round-trip disk as a relation (codebooksOf →
     // parquet → knnPqFromStored) INSIDE the query — the store/reload/
@@ -1642,6 +1655,21 @@ object SparkEntry {
       Similarity.ivfAssignFromStored(Similarity.centroidsOf(emb), emb)
         .select("vec_id", "cell", "n2")
         .orderBy("vec_id")
+    }),
+    // the fitted TRAINING ARTIFACT as its own gate: every centroid
+    // coordinate hash-checked directly (floored micro-units of the
+    // float — float→double is exact, both engines floor the same
+    // double), not just through the serving path that consumes it
+    "knn_ivf_centroids" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, floor, posexplode}
+      Similarity.centroidsOf(Tables.table(s, d, "embeddings"))
+        .select(col("cent_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cent_id"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") *
+            org.apache.spark.sql.functions.lit(1000000.0))
+            .cast("long").as("c_fp"))
+        .orderBy("cent_id", "dim")
     }),
     // the PAYOFF leg of train-once: centroids AND the cell-stamped
     // corpus (cell + n2 persisted at ingest) round-trip parquet with
@@ -3431,7 +3459,13 @@ object SparkEntry {
     * spec-pinned — so one oracle covers all three) and, with its
     * `assigned` CTE as the output, by knn_ivf_assign.
     */
-  private lazy val IvfTrainedCtes: String = {
+  private lazy val IvfTrainedCtes: String =
+    IvfTrainCtes + ", " + ivfServeTailCtes("cn")
+
+  /** The training-only prefix (corpus → rounds → fitted `cn`) — also
+    * the whole oracle of the knn_ivf_centroids artifact gate.
+    */
+  private lazy val IvfTrainCtes: String = {
     val iters = Similarity.IvfLloydIters
     s"e AS (SELECT vec_id, embedding, " +
       s"${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
@@ -3450,9 +3484,20 @@ object SparkEntry {
       "m -> CAST(CAST(CAST(m AS DOUBLE) / 1000000.0 AS REAL) AS DOUBLE)) " +
       s"AS c_emb FROM tc$iters), " +
       "cn AS MATERIALIZED (SELECT cent_id, c_emb, " +
-      s"${dotSql("c_emb", "c_emb")} AS c_n2 FROM ctr), " +
-      ivfServeTailCtes("cn")
+      s"${dotSql("c_emb", "c_emb")} AS c_n2 FROM ctr)"
   }
+
+  /** knn_ivf_centroids oracle — the fitted training ARTIFACT itself,
+    * hash-checked directly: per (cent_id, dim) the float centroid in
+    * floored micro-units (float → double is exact; both engines floor
+    * the same double).
+    */
+  private lazy val KnnIvfCentroidsSql: String =
+    s"WITH $IvfTrainCtes, " +
+      "cx AS (SELECT cent_id, unnest(generate_series(1, len(c_emb))) " +
+      "AS i, c_emb FROM cn) " +
+      "SELECT cent_id, CAST(i - 1 AS BIGINT) AS dim, " +
+      "CAST(floor(c_emb[i] * 1000000.0) AS BIGINT) AS c_fp FROM cx"
 
   /** knn_ivf_trained oracle — ALSO the knn_ivf_stored and
     * knn_ivf_pruned oracle: the stored round-trip and the
@@ -5822,6 +5867,18 @@ object SparkEntry {
     "knn_ivf_stored" -> KnnIvfTrainedSql,
     "knn_ivf_pruned" -> KnnIvfTrainedSql,
     "knn_ivf_assign" -> KnnIvfAssignSql,
+    "knn_ivf_centroids" -> KnnIvfCentroidsSql,
+    // the PQ codebook artifact: the trained chain's cb relation
+    // exploded to floored micro-units per coordinate
+    "knn_pq_codebooks" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+        "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+        phSql("CAST(vec_id AS VARCHAR)") + ", vec_id) AS crn FROM e), " +
+        PqTrainedCtes + ", " +
+        "cbx AS (SELECT block, code, " +
+        "unnest(generate_series(1, len(cw))) AS i, cw FROM cb) " +
+        "SELECT block, code, CAST(i - 1 AS BIGINT) AS dim, " +
+        "CAST(floor(cw[i] * 1000000.0) AS BIGINT) AS c_fp FROM cbx"),
     "knn_ivf_pq_stored" -> KnnIvfPqStoredSql,
     "knn_ivf_sq8" -> KnnIvfSq8Sql,
     "knn_ivf_sq8_recall" -> recallSql(KnnBruteL2Sql, KnnIvfSq8Sql),
