@@ -27,15 +27,30 @@ import org.apache.spark.sql.DataFrame
   * (last write wins, both values correct); the engine's own drivers
   * are single-threaded anyway.
   */
-final class PlanMemo[T](slots: Int) {
+final class PlanMemo[T](slots: Int,
+    release: T => Unit = (_: T) => ()) {
   require(slots >= 1, s"slots must be >= 1, got $slots")
+
+  PlanMemo.register(this)
 
   private val map =
     new java.util.LinkedHashMap[String, (AnyRef, T)](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (AnyRef, T)]): Boolean =
-        size > slots
+          e: java.util.Map.Entry[String, (AnyRef, T)]): Boolean = {
+        val evict = size > slots
+        if (evict) release(e.getValue._2)
+        evict
+      }
     }
+
+  /** Drop every entry (and release its checkpoint blocks) — the
+    * session-teardown / leak-audit hook `PlanMemo.releaseAll` drives.
+    */
+  def clear(): Unit = map.synchronized {
+    val it = map.values.iterator
+    while (it.hasNext) release(it.next()._2)
+    map.clear()
+  }
 
   /** Hit counter — exists so the reuse specs can pin that the twin
     * gate actually reused instead of silently rebuilding.
@@ -63,4 +78,25 @@ final class PlanMemo[T](slots: Int) {
     map.synchronized { map.put(key, (plan, v)) }
     v
   }
+}
+
+object PlanMemo {
+  private val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[PlanMemo[_]]()
+
+  private def register(m: PlanMemo[_]): Unit = instances.add(m)
+
+  /** Release every memo's entries across the process — the hook a
+    * leak audit (or an embedding host tearing a session down) calls;
+    * the memos otherwise hold their checkpoint blocks for the life of
+    * the session BY DESIGN (that reuse is their whole point).
+    */
+  def releaseAll(): Unit = instances.forEach(_.clear())
+
+  /** The standard release for DataFrame-valued memos: drop the
+    * checkpoint's cached blocks eagerly (GC-driven cleanup is lazy).
+    */
+  val releaseDf: org.apache.spark.sql.DataFrame => Unit =
+    df => try org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
+    catch { case scala.util.control.NonFatal(_) => () }
 }

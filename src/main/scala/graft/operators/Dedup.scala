@@ -705,7 +705,8 @@ object Dedup {
     * canonicalized plan OBJECT, so a stale reuse across corpora is
     * structurally impossible. `clusterMemoHits` exists for the spec.
     */
-  private val clusterMemo = new graft.PlanMemo[DataFrame](1)
+  private val clusterMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
   private[graft] def clusterMemoHits = clusterMemo.hits
 
   def defaultClusters(docs: DataFrame): DataFrame =

@@ -1582,7 +1582,8 @@ object GraphOps {
     * LRU — enough for the centrality + σ interleavings one harness
     * pass produces without retaining every graph ever swept.
     */
-  private val distMemo = new graft.PlanMemo[DataFrame](4)
+  private val distMemo =
+    new graft.PlanMemo[DataFrame](4, graft.PlanMemo.releaseDf)
   private[graft] def distMemoHits = distMemo.hits
 
   private def labeledHopDistances(edges: DataFrame, seeds: Seq[Long],
@@ -1680,7 +1681,8 @@ object GraphOps {
     * retention to the latest graph's layers. `sigmaMemoHits` exists
     * for the spec that pins the reuse.
     */
-  private val sigmaMemo = new graft.PlanMemo[Seq[DataFrame]](1)
+  private val sigmaMemo = new graft.PlanMemo[Seq[DataFrame]](1,
+    _.foreach(graft.PlanMemo.releaseDf))
   private[graft] def sigmaMemoHits = sigmaMemo.hits
 
   /** The shared labeled forward phase: per-layer frames of

@@ -253,11 +253,13 @@ object Similarity {
         knnGraphUncached(emb, k, bands, bandBits, corpusSize))
     }
 
-  private val knnGraphMemo = new graft.PlanMemo[DataFrame](2)
+  private val knnGraphMemo =
+    new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
   private[graft] def knnGraphMemoHits = knnGraphMemo.hits
 
-  private def knnGraphUncached(emb: DataFrame, k: Int, bands: Int,
-      bandBits: Int, corpusSize: Long): DataFrame = {
+  private[graft] def knnGraphUncached(emb: DataFrame, k: Int = DefaultK,
+      bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
+      corpusSize: Long = -1L): DataFrame = {
     val bb = resolveBandBits(emb, bandBits, corpusSize)
     val sig = graft.Caches.track(withNorm(emb)
       .withColumn("sig", lshSignature(col("embedding"), bands * LshBandStride))
@@ -1398,10 +1400,11 @@ object Similarity {
 
   /** ADC top-k over the TRAINED per-block codebooks — `knnPq` with
     * k-means codewords instead of the hash-anchored sample; the
-    * serving plan is byte-identical (same `knnPqFrom`). DELIBERATELY
-    * no SQL oracle (the Lloyd fit is not SQL-derivable — the same
-    * adjudication as `knnIvfTrained`); the recall-vs-hash-anchored
-    * improvement is pinned in ExtensionsSpec.
+    * serving plan is byte-identical (same `knnPqFrom`). ORACLED since
+    * the exact-Lloyd rewrite (the per-block fit is `lloydPpm`'s
+    * integer arithmetic — DuckDB unrolls the same rounds); the
+    * recall-vs-hash-anchored improvement stays pinned in
+    * ExtensionsSpec.
     */
   def knnPqTrained(emb: DataFrame, k: Int = DefaultK,
       nQueries: Long = DefaultQueries, blocks: Int = PqBlocks,
@@ -1793,10 +1796,13 @@ object Similarity {
   val LloydK = 8
 
   /** ONE EXACT LLOYD ROUND from the hash-anchored init — the k-means
-    * training STEP as an oracle-checkable relation. The trained-IVF
-    * family (`trainCentroids`/`centroidsOf`) runs this step iterated
-    * with driver-sampled state and is gated rows-only (fitted floats
-    * aren't SQL-derivable); THIS gate pins the step's arithmetic
+    * training STEP as an oracle-checkable relation, DISTRIBUTED (the
+    * map-only assignment + (cent, dim)-keyed aggregation shape a
+    * full-corpus training round runs at scale). The trained-IVF
+    * family (`trainCentroids`/`centroidsOf`) iterates this same
+    * arithmetic driver-side over its cap-bounded sample — since the
+    * exact-Lloyd rewrite the whole family is hash-ORACLED, with this
+    * gate as the step's distributed reference. It pins the arithmetic
     * itself: init = the k smallest `(poly_hash(vec_id), vec_id)`
     * corpus vectors (the repo's standard RNG-free sample), assignment
     * = exact FLAT squared-L2 argmin (per-centroid sequential left

@@ -69,7 +69,10 @@ class CliSpec extends SparkSpec {
     val losers = clusters.filter("doc_id != cluster_id").count()
     assert(survivors === docs - losers)
     // cache discipline: the end-to-end pipeline must not leak persisted
-    // blocks into the (shared, long-lived) session
+    // blocks into the (shared, long-lived) session — beyond the
+    // PlanMemo checkpoints, which are session-lived BY DESIGN and
+    // release on demand (the audit drains them first)
+    graft.PlanMemo.releaseAll()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked persistent RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
   }
@@ -84,6 +87,7 @@ class CliSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     graft.operators.Dedup.ngramJaccard(docs).count()
     graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll() // memo checkpoints are session-lived, not leaked
     // the host's cache survives; graft's tracked caches are gone
     assert(hostDf.storageLevel.useMemory, "host cache was evicted")
     assert(spark.sparkContext.getPersistentRDDs.size === 1,
@@ -103,7 +107,9 @@ class CliSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
         "scoped caches were drained by a foreign clear()")
     }
-    // scope exit released everything it tracked
+    // scope exit released everything it tracked (memo checkpoints are
+    // session-lived by design — drain them before the audit)
+    graft.PlanMemo.releaseAll()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"scoped lease leaked: ${spark.sparkContext.getPersistentRDDs.size}")
   }

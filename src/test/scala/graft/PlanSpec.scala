@@ -79,7 +79,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn_graph candidate self-join is ids-first (band keys, no embeddings)") {
-    val plan = SparkEntry.queries("knn_graph")(spark, sf)
+    // probe the UNCACHED build: the public knnGraph serves a
+    // checkpoint-backed memoized relation (an opaque LogicalRDD), so
+    // the plan contract lives on the build it memoizes
+    val plan = graft.operators.Similarity.knnGraphUncached(
+        sources.Tables.table(spark, sf, "embeddings"))
       .queryExecution.optimizedPlan.toString
     // same ids-first discipline as neardup: the band self-join output
     // carries ids only; embeddings re-enter via the two verify joins,
