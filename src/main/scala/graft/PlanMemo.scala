@@ -33,12 +33,17 @@ final class PlanMemo[T](slots: Int,
 
   PlanMemo.register(this)
 
+  // the PLAN participates in the MAP KEY (tuple equality → structural
+  // plan equality), so two different inputs under the same params are
+  // distinct ENTRIES — a value-side plan compare would silently
+  // overwrite one input's artifact with the other's and leak the
+  // replaced checkpoint without ever releasing it
   private val map =
-    new java.util.LinkedHashMap[String, (AnyRef, T)](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, AnyRef), T](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (AnyRef, T)]): Boolean = {
+          e: java.util.Map.Entry[(String, AnyRef), T]): Boolean = {
         val evict = size > slots
-        if (evict) release(e.getValue._2)
+        if (evict) release(e.getValue)
         evict
       }
     }
@@ -48,7 +53,7 @@ final class PlanMemo[T](slots: Int,
     */
   def clear(): Unit = map.synchronized {
     val it = map.values.iterator
-    while (it.hasNext) release(it.next()._2)
+    while (it.hasNext) release(it.next())
     map.clear()
   }
 
@@ -64,18 +69,21 @@ final class PlanMemo[T](slots: Int,
     */
   def getOrBuild(input: DataFrame, params: String)(build: => T): T = {
     val s = input.sparkSession
-    val key = s"${s.sparkContext.applicationId}|" +
-      s"${System.identityHashCode(s)}|$params"
-    val plan: AnyRef = input.queryExecution.analyzed.canonicalized
+    val key = (s"${s.sparkContext.applicationId}|" +
+      s"${System.identityHashCode(s)}|$params",
+      input.queryExecution.analyzed.canonicalized: AnyRef)
     map.synchronized {
-      val hit = map.get(key)
-      if (hit != null && hit._1 == plan) {
+      if (map.containsKey(key)) {
         hits.incrementAndGet()
-        return hit._2
+        return map.get(key)
       }
     }
     val v = build
-    map.synchronized { map.put(key, (plan, v)) }
+    map.synchronized {
+      val prev = map.put(key, v)
+      // a racing duplicate build of the same entry: release the loser
+      if (prev != null && !prev.equals(v)) release(prev)
+    }
     v
   }
 }

@@ -128,6 +128,19 @@ object ScaleRehearsal {
       require(n > 0L, "indexed bm25 returned nothing")
       n
     })
+    // PRF served from the stored tier at 50k docs: both passes, the
+    // feedback pool, and the expansion idf are index-bounded — the
+    // corpus text is read only to BUILD the index, never to serve
+    t("bm25_prf_indexed 50k docs")({
+      val corpus = docs.filter(col("doc_id") >=
+        operators.TextOps.Bm25Queries)
+      val n = operators.TextOps.bm25PrfFromIndex(
+        operators.TextOps.postingsIndex(corpus,
+          k = operators.TextOps.Bm25IndexDepth),
+        operators.TextOps.docLengths(corpus), docs).count()
+      require(n > 0L, "indexed PRF returned nothing")
+      n
+    })
     t("bpe_train 50k docs 64 merges")({
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val merges = operators.TextOps.bpeTrain(docs, rounds = 64,
@@ -1242,6 +1255,16 @@ object ScaleRehearsal {
       operators.Warehouse.smallQuantityRevenue(
         spark.read.parquet("/root/testdata/sf0.1/part.parquet"), li60)
         .count())
+    // Q21 at 60M fact rows: the EXISTS-chain's semi+anti self-legs
+    // over the shared (order, supplier, late) relation — the
+    // co-keyed fact-fact shape whose cost must track |lineitem|, not
+    // |lineitem|² (every leg joins on l_orderkey)
+    t("wh_late_suppliers 60M rows")(
+      operators.Warehouse.waitingSuppliers(
+        spark.read.parquet("/root/testdata/sf0.1/nation.parquet"),
+        spark.read.parquet("/root/testdata/sf0.1/supplier.parquet"),
+        spark.read.parquet("/root/testdata/sf0.1/orders.parquet"),
+        li60).count())
     // one synchronous Louvain round on the sparse 10M/8 slice: edge
     // joins + vertex-keyed argmax, no iteration
     t("louvain 10M/8 slice")(

@@ -282,6 +282,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("PlanMemo: hit on same plan+params, miss across inputs/params, LRU eviction and clear() release") {
+    val released = scala.collection.mutable.ArrayBuffer[Int]()
+    val memo = new graft.PlanMemo[Int](2, released += _)
+    val d1 = spark.range(1).toDF()
+    val d2 = spark.range(2).toDF()
+    val d3 = spark.range(3).toDF()
+    var builds = 0
+    def b(v: Int): Int = { builds += 1; v }
+    assert(memo.getOrBuild(d1, "p")(b(1)) === 1)
+    assert(memo.getOrBuild(d1, "p")(b(-1)) === 1) // hit: build not run
+    assert(memo.hits.get() === 1L)
+    assert(builds === 1)
+    // different params and different input plans are distinct entries
+    assert(memo.getOrBuild(d1, "q")(b(10)) === 10)
+    assert(memo.getOrBuild(d2, "p")(b(2)) === 2) // LRU evicts (d1,"p")
+    assert(released === Seq(1))
+    assert(memo.getOrBuild(d1, "p")(b(5)) === 5) // rebuilt after eviction
+    // clear() releases everything still held
+    released.clear()
+    memo.clear()
+    assert(released.sorted === Seq(2, 5))
+    assert(memo.getOrBuild(d3, "p")(b(3)) === 3)
+  }
+
   test("defaultClusters memo: repeated consumers reuse the checkpointed labelling; different corpus misses") {
     val s = spark
     import s.implicits._
