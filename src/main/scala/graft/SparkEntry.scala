@@ -1546,6 +1546,26 @@ object SparkEntry {
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // INCREMENTAL graph maintenance — the vector-tier postingsDelta:
+    // stored graph + stored band keys over 4/5 of the corpus, the
+    // fifth folds in as an O(batch) delta (batch keys ⋈ stored keys,
+    // candidate-only embedding fetch, top-k merge) — must hash-match
+    // the ONE-SHOT pinned-width rebuild (chained ≡ one-shot, exact)
+    "knn_graph_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.table(s, d, "embeddings")
+      val old = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val gDir = ivfTmpDir(s, d, "kg_inc_graph")
+      Similarity.knnGraph(old, bandBits = Similarity.LshBandBits)
+        .write.mode("overwrite").parquet(gDir)
+      val kDir = ivfTmpDir(s, d, "kg_inc_keys")
+      Similarity.vecBandKeysOf(old, Similarity.LshBandBits)
+        .write.mode("overwrite").parquet(kDir)
+      Similarity.knnGraphDelta(s.read.parquet(gDir),
+          s.read.parquet(kDir), emb, batch)
+        .orderBy("query_id", "rank")
+    }),
     // MMR diversity re-rank: greedy λ=0.7 marginal-relevance pass
     // over the exact top-16 shortlist — rank IS selection order;
     // after the shortlist everything is queries×cand²-sized
@@ -3119,13 +3139,18 @@ object SparkEntry {
     * candidates — `k` = DefaultK for the knn_graph gate, BeamGraphDegree
     * for the beam-search adjacency.
     */
-  private def knnGraphSqlFor(k: Int): String = {
+  private def knnGraphSqlFor(k: Int, pinnedBits: Int = 0): String = {
     val bandJoins = (0 until Similarity.LshBands).map { j =>
       s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
         s"ON ${lshBandSql("a.sig", j, "a.bb")} = ${lshBandSql("b.sig", j, "b.bb")} " +
         "AND a.vec_id < b.vec_id"
     }.mkString(" UNION ALL ")
-    s"WITH bbq AS (${lshBandBitsSql("embeddings")}), " +
+    // pinnedBits > 0: the stored-tier width (ingest-pinned, corpus-
+    // growth-independent) instead of the corpus-adaptive formula
+    val bbqCte =
+      if (pinnedBits > 0) s"bbq AS (SELECT $pinnedBits AS bb)"
+      else s"bbq AS (${lshBandBitsSql("embeddings")})"
+    s"WITH $bbqCte, " +
       s"e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2, " +
       s"${lshSigSql("embedding")} AS sig, bb FROM embeddings, bbq), " +
       s"cand AS (SELECT DISTINCT vec_a, vec_b FROM ($bandJoins)), " +
@@ -5946,6 +5971,13 @@ object SparkEntry {
         "SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id " +
         "FROM reach GROUP BY u"),
     "knn_brute" -> KnnBruteSql,
+    // the incremental graph refresh is an execution detail (stored
+    // graph + keys + O(batch) delta instead of a rebuild) — the
+    // one-shot PINNED-WIDTH rebuild SQL gates it verbatim, the
+    // text-index chained ≡ one-shot discipline on the vector tier
+    "knn_graph_incremental" ->
+      knnGraphSqlFor(Similarity.DefaultK,
+        pinnedBits = Similarity.LshBandBits),
     "knn_lsh" -> KnnLshSql,
     "knn_lsh_probe" -> {
       // per band j and per flipped bit b (plus the no-flip probe): an

@@ -257,6 +257,89 @@ object Similarity {
     new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
   private[graft] def knnGraphMemoHits = knnGraphMemo.hits
 
+  /** INCREMENTAL kNN-GRAPH MAINTENANCE — the vector-tier twin of
+    * `TextOps.postingsDelta`: fold a fresh vector batch into a STORED
+    * graph + band-key pair without rebuilding either. EXACT by the
+    * top-k merge law: for an existing vector, new candidates can only
+    * be (existing, fresh) band collisions, and top-k(stored top-k ∪
+    * new candidates) = top-k(all candidates); for a fresh vector the
+    * band join against (stored ∪ fresh) keys IS the rebuild's
+    * candidate set. So `knnGraphDelta(graph, keys, all, batch)` ≡
+    * `knnGraph(all)` at the SAME band width, bit for bit (spec- and
+    * gate-pinned) — the chained ≡ one-shot discipline the text index
+    * established.
+    *
+    * The band width is PINNED at ingest (stored keys cannot re-widen
+    * with corpus growth — the dedup family's contract): the stored
+    * relation's `band_bits` stamp is verified per row read, raising
+    * loudly on a mismatch rather than silently joining bands that
+    * mean different things. Corpus embeddings are read ONLY for ids
+    * that collided in some band (`vectors` joined ids-first after the
+    * key join) — with an id-bucketed vector store the per-batch cost
+    * is batch keys + point-shaped candidate fetches + the stored
+    * graph's slim (id, id, cosine) rows, never a corpus re-scan or
+    * re-banding.
+    *
+    * PRECONDITIONS: stored/batch vec_ids disjoint; `storedKeys` holds
+    * every band row of every vector in `storedGraph`'s universe at
+    * this width; `vectors` contains every id in either (the
+    * embedding store).
+    */
+  def knnGraphDelta(storedGraph: DataFrame, storedKeys: DataFrame,
+      vectors: DataFrame, batch: DataFrame, k: Int = DefaultK,
+      bandBits: Int = LshBandBits): DataFrame = {
+    require(bandBits >= 1 && bandBits <= LshBandStride,
+      s"bandBits must be in [1, $LshBandStride], got $bandBits")
+    val bv =
+      if (!storedKeys.columns.contains("band_bits")) col("band_val")
+      else when(col("band_bits") === lit(bandBits), col("band_val"))
+        .otherwise(raise_error(concat(
+          lit("stored vector band keys were exported at band_bits "),
+          col("band_bits").cast("string"),
+          lit(s" != this delta's $bandBits — the width is pinned at " +
+            "ingest; re-export vecBandKeysOf to change it"))))
+    val bk = graft.Caches.track(
+      vecBandKeysOf(batch, bandBits)
+        .select(col("vec_id"), col("band_idx"), col("band_val"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val allKeys = storedKeys
+      .select(col("vec_id"), col("band_idx"), bv.as("band_val"))
+      .unionByName(bk)
+    // new candidate pairs: every band collision touching the batch,
+    // canonical lo<hi so the (batch × batch) collisions dedupe with
+    // their mirrored generation
+    val cand = bk.as("a").join(allKeys.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    // embeddings fetched for collided ids only — ids-first, the
+    // candidate-only read every incremental operator in this family
+    // makes
+    val e = withNorm(vectors).select(col("vec_id"), col("embedding"),
+      col("n2"))
+    val half = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("n2").as("n2_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("n2").as("n2_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineFrom(dot(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b"))
+          .as("cosine"))
+    val fresh = half.select(col("vec_a").as("query_id"),
+        col("vec_b").as("neighbor_id"), col("cosine"))
+      .unionAll(half.select(col("vec_b").as("query_id"),
+        col("vec_a").as("neighbor_id"), col("cosine")))
+    // stored top-k rows merge with the fresh candidates; re-ranking
+    // the union IS the rebuild's ranking (no stored/fresh pair can
+    // coincide — stored rows never touch a batch id)
+    topK(storedGraph.select(col("query_id"), col("neighbor_id"),
+        col("cosine"))
+      .unionByName(fresh), k)
+  }
+
   private[graft] def knnGraphUncached(emb: DataFrame, k: Int = DefaultK,
       bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
       corpusSize: Long = -1L): DataFrame = {

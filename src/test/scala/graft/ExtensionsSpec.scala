@@ -306,6 +306,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(memo.getOrBuild(d3, "p")(b(3)) === 3)
   }
 
+  test("knnGraphDelta: delta-merged graph ≡ one-shot pinned-width rebuild; empty batch = re-ranked identity; width mismatch raises") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = Similarity.LshBandBits
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val g = Similarity.knnGraph(old, bandBits = bits)
+    val keys = Similarity.vecBandKeysOf(old, bits)
+    val oneShot = rows(Similarity.knnGraph(emb, bandBits = bits))
+    assert(oneShot.nonEmpty)
+    // the chained ≡ one-shot law, through a parquet round-trip like a
+    // real serving tier
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kg_delta").toString
+    g.write.parquet(base + "/graph")
+    keys.write.parquet(base + "/keys")
+    assert(rows(Similarity.knnGraphDelta(spark.read.parquet(base + "/graph"),
+      spark.read.parquet(base + "/keys"), emb, batch)) === oneShot)
+    // an EMPTY batch is the identity (ranks recomputed, rows unchanged)
+    assert(rows(Similarity.knnGraphDelta(g, keys, old,
+      batch.filter(lit(false)))) === rows(g))
+    // stored keys at a DIFFERENT pinned width refuse loudly
+    val ex = intercept[Exception] {
+      Similarity.knnGraphDelta(g,
+        Similarity.vecBandKeysOf(old, bits - 2), emb, batch).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(chain(ex).contains("band_bits"), chain(ex))
+  }
+
   test("defaultClusters memo: repeated consumers reuse the checkpointed labelling; different corpus misses") {
     val s = spark
     import s.implicits._

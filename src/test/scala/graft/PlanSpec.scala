@@ -94,6 +94,35 @@ class PlanSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("knnGraphDelta bands ONLY the batch: one signature kernel, stored side enters as keys") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val bits = graft.operators.Similarity.LshBandBits
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kg_delta_plan").toString
+    graft.operators.Similarity.knnGraph(old, bandBits = bits)
+      .write.parquet(base + "/graph")
+    graft.operators.Similarity.vecBandKeysOf(old, bits)
+      .write.parquet(base + "/keys")
+    val plan = graft.operators.Similarity.knnGraphDelta(
+        spark.read.parquet(base + "/graph"),
+        spark.read.parquet(base + "/keys"), emb, batch)
+      .queryExecution.executedPlan.toString
+    // the stored corpus is never re-signed: exactly ONE logical
+    // HyperplaneSig computation exists (the persisted batch-key
+    // relation — its cached plan prints once per consumption site, so
+    // count DISTINCT output exprIds, not prints); stored vectors
+    // enter as the narrow key relation and candidate-only fetches
+    val sigIds = "hyperplanesig\\([^)]*\\) AS sig#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(sigIds.size === 1, s"sig exprIds $sigIds\n$plan")
+    // the stored key scan is pruned to the join columns
+    assert(plan.contains(
+      "ReadSchema: struct<vec_id:bigint,band_idx:int,band_val:bigint," +
+        "band_bits:int>"), plan)
+  }
+
   test("text_normalize is a shuffle-free projection") {
     val plan = executedPlan("text_normalize")
     assert(!plan.contains("Exchange hashpartitioning"), plan)
