@@ -552,6 +552,15 @@ object SparkEntry {
       Warehouse.waitingSuppliers(Tables.table(s, d, "nation"),
         Tables.table(s, d, "supplier"), Tables.table(s, d, "orders"),
         Tables.table(s, d, "lineitem"))),
+    // co-located fact-fact join over bucketBy tables: the layout
+    // that deletes the shuffle from every repeated orderkey join —
+    // write once, join shuffle-free forever (PlanSpec-pinned with
+    // broadcast disabled); buckets are an execution detail, so the
+    // plain join SQL gates it
+    "wh_bucketed_join" -> ((s, d) =>
+      Warehouse.bucketedRevenue(s, ivfTmpDir(s, d, "bucketed"),
+          Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))
+        .orderBy("o_orderstatus")),
     // Q9 shape: the 5-table product-line profit rollup by
     // (supplier nation, order year) — dims broadcast, one co-keyed
     // fact-fact join, one aggregate exchange
@@ -4590,6 +4599,13 @@ object SparkEntry {
         "AND EXISTS (SELECT 1 FROM lineitem l " +
         "WHERE l.l_orderkey = o.o_orderkey " +
         "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"),
+    // bucketing is an execution layout — the oracle is the plain join
+    "wh_bucketed_join" ->
+      ("SELECT o_orderstatus, CAST(SUM(CAST(floor(l_extendedprice * " +
+        "(1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) " +
+        "AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_lineitems " +
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+        "GROUP BY 1"),
     // Q9 oracle: the same 5-table join, year via extract (UTC session
     // ≡ DuckDB's naive timestamp year), integer-cents revenue
     "wh_product_profit" ->

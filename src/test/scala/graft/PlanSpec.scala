@@ -547,6 +547,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("StringContains(p_name"), plan)
   }
 
+  test("wh_bucketed_join: co-located SortMergeJoin — bucketed scans, ZERO exchanges before the join") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_plan").toString
+    val orders = sources.Tables.table(spark, sf, "orders")
+    val lineitem = sources.Tables.table(spark, sf, "lineitem")
+    // disable broadcast so the co-location property is what's on
+    // trial (tiny testdata would otherwise broadcast and hide it)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Warehouse.bucketedRevenue(spark, dir,
+          orders, lineitem)
+        .queryExecution.executedPlan.toString
+      // the equi-join reads bucket i of each side into the same task:
+      // a SortMergeJoin with NO exchange under it — the bucketed scans
+      // announce their layout and the only exchange anywhere is the
+      // final status-keyed aggregate's
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange hashpartitioning\\(l_orderkey|Exchange hashpartitioning\\(o_orderkey".r
+        .findAllIn(plan).isEmpty, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("wh_rollup: grouping sets run through ONE Expand pass — no self-union of re-scans") {
     val plan = executedPlan("wh_rollup")
     assert(plan.contains("Expand"), plan)
