@@ -552,6 +552,24 @@ object SparkEntry {
       Warehouse.waitingSuppliers(Tables.table(s, d, "nation"),
         Tables.table(s, d, "supplier"), Tables.table(s, d, "orders"),
         Tables.table(s, d, "lineitem"))),
+    // MANUAL SKEW SALTING as a gated query — the mitigation the
+    // wh_join_stats advisor recommends when one key dominates: the
+    // probe spreads each key over 4 salts (whole-row hash — replays
+    // identically), the build replicates once per salt, and the
+    // result equals the plain join EXACTLY (bag semantics) — which is
+    // precisely what the plain-join oracle checks
+    "wh_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, floor, lit, sum}
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+      val ord = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      operators.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 4)
+        .groupBy("o_orderstatus")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+    }),
     // co-located fact-fact join over bucketBy tables: the layout
     // that deletes the shuffle from every repeated orderkey join —
     // write once, join shuffle-free forever (PlanSpec-pinned with
@@ -4599,6 +4617,14 @@ object SparkEntry {
         "AND EXISTS (SELECT 1 FROM lineitem l " +
         "WHERE l.l_orderkey = o.o_orderkey " +
         "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"),
+    // salting is an execution detail (salted ≡ plain, exactly) — the
+    // plain join gates it
+    "wh_salted_join" ->
+      ("SELECT o_orderstatus, CAST(SUM(CAST(floor(l_quantity) " +
+        "AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows " +
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+        "GROUP BY 1"),
     // bucketing is an execution layout — the oracle is the plain join
     "wh_bucketed_join" ->
       ("SELECT o_orderstatus, CAST(SUM(CAST(floor(l_extendedprice * " +
