@@ -689,21 +689,41 @@ object GraphOps {
     * ranking through TopKPerKey, each unordered pair scored once and
     * mirrored.
     */
-  def linkPrediction(e: DataFrame, midMaxDeg: Long = LinkPredMidCap,
-      k: Int = LinkPredK): DataFrame = {
+  /** Shared capped common-neighbor machinery — the (und, deg, counts)
+    * triple `linkPrediction` and `tieStrength` both derive from the
+    * same graph back to back: `counts(va, vb, shared)` is the
+    * expensive capped-middle self-join, session-memoized (the PlanMemo
+    * discipline — checkpoint-backed, plan-object-keyed); the
+    * undirected base and degrees are cheap per-call relations.
+    */
+  private val cnMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def cnMemoHits = cnMemo.hits
+
+  private def cappedCommonNeighbors(e: DataFrame, midMaxDeg: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sym = e.filter(col("src") =!= col("dst"))
     val und = graft.Caches.track(sym.select(col("src"), col("dst"))
       .union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
-    val mid = und
-      .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
-      .select(col("src").as("m"), col("dst").as("x"))
-    val cand = mid.as("a").join(mid.as("b"),
-        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
-      .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
-      .agg(count(lit(1)).as("shared"))
+    val counts = cnMemo.getOrBuild(e, s"ccn|$midMaxDeg") {
+      val mid = und
+        .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
+        .select(col("src").as("m"), col("dst").as("x"))
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        mid.as("a").join(mid.as("b"),
+            col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+          .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
+          .agg(count(lit(1)).as("shared")))
+    }
+    (und, deg, counts)
+  }
+
+  def linkPrediction(e: DataFrame, midMaxDeg: Long = LinkPredMidCap,
+      k: Int = LinkPredK): DataFrame = {
+    val (und, deg, cand) = cappedCommonNeighbors(e, midMaxDeg)
     // predicted links are NEW links: drop already-adjacent pairs
     val fresh = cand.join(
       und.select(col("src").as("va"), col("dst").as("vb")),
@@ -744,19 +764,8 @@ object GraphOps {
     * anti-join and TopKPerKey.
     */
   def tieStrength(e: DataFrame, midMaxDeg: Long = LinkPredMidCap): DataFrame = {
-    val sym = e.filter(col("src") =!= col("dst"))
-    val und = graft.Caches.track(sym.select(col("src"), col("dst"))
-      .union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
-    val mid = und
-      .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
-      .select(col("src").as("m"), col("dst").as("x"))
-    val cand = mid.as("a").join(mid.as("b"),
-        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
-      .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
-      .agg(count(lit(1)).as("sh"))
+    val (und, deg, cand0) = cappedCommonNeighbors(e, midMaxDeg)
+    val cand = cand0.withColumnRenamed("shared", "sh")
     val edgesC = und.filter(col("src") < col("dst"))
       .select(col("src").as("va"), col("dst").as("vb"))
     edgesC.join(cand, Seq("va", "vb"), "left")
