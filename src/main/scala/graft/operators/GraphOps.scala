@@ -690,16 +690,17 @@ object GraphOps {
     * mirrored.
     */
   /** Shared capped common-neighbor machinery — the (und, deg, counts)
-    * triple `linkPrediction` and `tieStrength` both derive from the
-    * same graph back to back: `counts(va, vb, shared)` is the
-    * expensive capped-middle self-join, session-memoized (the PlanMemo
-    * discipline — checkpoint-backed, plan-object-keyed); the
-    * undirected base and degrees are cheap per-call relations.
+    * triple `linkPrediction` and `tieStrength` both derive:
+    * `counts(va, vb, shared)` is the capped-middle self-join. Kept
+    * LAZY deliberately — a PlanMemo checkpoint was measured SLOWER
+    * here (link_prediction 4.3 → 9.6 s at sf0.1): the counts relation
+    * is pair-sized, so eagerly materializing it costs more than the
+    * cross-gate reuse saves, and the stats-free barrier also robs the
+    * downstream anti-join of its size estimate. The memo discipline
+    * pays only for artifacts that are SMALL relative to their build
+    * (graphs' top-k rows, cluster labels, σ layers) — not for wide
+    * intermediates that pipeline well.
     */
-  private val cnMemo =
-    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
-  private[graft] def cnMemoHits = cnMemo.hits
-
   private def cappedCommonNeighbors(e: DataFrame, midMaxDeg: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     val sym = e.filter(col("src") =!= col("dst"))
@@ -708,16 +709,13 @@ object GraphOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
-    val counts = cnMemo.getOrBuild(e, s"ccn|$midMaxDeg") {
-      val mid = und
-        .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
-        .select(col("src").as("m"), col("dst").as("x"))
-      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
-        mid.as("a").join(mid.as("b"),
-            col("a.m") === col("b.m") && col("a.x") < col("b.x"))
-          .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
-          .agg(count(lit(1)).as("shared")))
-    }
+    val mid = und
+      .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
+      .select(col("src").as("m"), col("dst").as("x"))
+    val counts = mid.as("a").join(mid.as("b"),
+        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("va"), col("b.x").as("vb"))
+      .agg(count(lit(1)).as("shared"))
     (und, deg, counts)
   }
 
