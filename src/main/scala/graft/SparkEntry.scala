@@ -789,6 +789,16 @@ object SparkEntry {
       TextOps.bpeTrain(Tables.table(s, d, "documents"))
         .orderBy("merge_rank")),
     // the trained tokenizer APPLIED: per-doc token + subword counts
+    // the BPE serve leg: the trained merge table round-trips parquet
+    // and the encode replays it with ZERO training jobs — must
+    // hash-match the in-session text_bpe_encode oracle verbatim
+    "text_bpe_encode_stored" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val dir = ivfTmpDir(s, d, "bpe_merges")
+      TextOps.bpeTrain(docs).write.mode("overwrite").parquet(dir)
+      TextOps.bpeEncodeFromStored(s.read.parquet(dir), docs)
+        .orderBy("doc_id")
+    }),
     "text_bpe_encode" -> ((s, d) =>
       TextOps.bpeEncode(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
@@ -3672,6 +3682,29 @@ object SparkEntry {
       "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
       s"adc_fp FROM r WHERE rnk <= ${Similarity.DefaultK}"
 
+  /** text_bpe_encode oracle — encode = the trainer's final vocabulary
+    * state joined back to the corpus token stream (same CTE builder —
+    * the gates and the operator cannot drift). Exhaustion before
+    * BpeTrainRounds is safe: the CTE builder's LEFT-JOIN fallback
+    * freezes v_r at the last real state, matching the operator's
+    * early loop exit. ALSO gates text_bpe_encode_stored (the
+    * stored-merges replay is byte-identical to in-session training).
+    */
+  private lazy val BpeEncodeSql: String = {
+    val rounds = graft.operators.TextOps.BpeTrainRounds
+    s"WITH ${bpeCtesSql(rounds)}, " +
+      "enc AS (SELECT word, len(string_split(trim(s), '  '))::BIGINT " +
+      s"AS n_sub FROM v$rounds), " +
+      "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) " +
+      "AS word FROM documents), " +
+      "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, " +
+      "CAST(SUM(n_sub) AS BIGINT) AS n_subwords FROM tok " +
+      "JOIN enc USING (word) GROUP BY 1) " +
+      "SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens, " +
+      "COALESCE(per.n_subwords, 0) AS n_subwords " +
+      "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
+  }
+
   /** The BPE trainer's CTE body, unrolled to `rounds` merge rounds:
     * per round, pair counts over the double-space symbol strings, a
     * 1-row argmax (MATERIALIZED — referenced by the apply step AND the
@@ -4968,25 +5001,10 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       s"WITH ${bpeCtesSql(rounds)} $out"
     },
-    "text_bpe_encode" -> {
-      // encode = the trainer's final vocabulary state joined back to
-      // the corpus token stream (same CTE builder — the two gates and
-      // the operator cannot drift). Exhaustion before BpeTrainRounds
-      // is safe: the CTE builder's LEFT-JOIN fallback freezes v_r at
-      // the last real state, matching the operator's early loop exit.
-      val rounds = graft.operators.TextOps.BpeTrainRounds
-      s"WITH ${bpeCtesSql(rounds)}, " +
-        "enc AS (SELECT word, len(string_split(trim(s), '  '))::BIGINT " +
-        s"AS n_sub FROM v$rounds), " +
-        "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) " +
-        "AS word FROM documents), " +
-        "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, " +
-        "CAST(SUM(n_sub) AS BIGINT) AS n_subwords FROM tok " +
-        "JOIN enc USING (word) GROUP BY 1) " +
-        "SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens, " +
-        "COALESCE(per.n_subwords, 0) AS n_subwords " +
-        "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
-    },
+        // the stored-merges serve is byte-identical to in-session
+    // training (the replayed replace chain) — one oracle gates both
+    "text_bpe_encode_stored" -> BpeEncodeSql,
+    "text_bpe_encode" -> BpeEncodeSql,
     // exact bit-length surprisal: bin() emits minimal-width binary in
     // BOTH engines, so length(bin(x)) = ⌊log2 x⌋+1 is integer-identical
     "text_surprisal" -> SurprisalSql,

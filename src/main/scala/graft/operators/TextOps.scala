@@ -2065,8 +2065,15 @@ object TextOps {
     * work, so encode costs one corpus-token shuffle regardless of
     * rounds. Zero-token docs report (0, 0): total function.
     */
-  def bpeEncode(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    val enc = bpeCore(docs, rounds)._2
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame =
+    encodeWithState(docs, bpeCore(docs, rounds)._2)
+
+  /** The shared encode tail: per doc, token count and post-merge
+    * subword count from a final vocabulary state `(word, s)`.
+    */
+  private def encodeWithState(docs: DataFrame,
+      state: DataFrame): DataFrame = {
+    val enc = state
       .select(col("word"),
         size(split(trim(col("s")), "  ")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
@@ -2077,6 +2084,49 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
+
+  /** ENCODE FROM STORED MERGES — the serve leg of the BPE train-once
+    * contract (`bpeTrain` IS the export: its `(merge_rank, a, b, n)`
+    * relation is the artifact a tokenizer ships): collect the ≤ 256
+    * merge rows (rank-contiguity enforced loudly — a hole means a
+    * corrupted export, not a shorter table), rebuild the vocabulary
+    * state by replaying the merges in rank order over the corpus's
+    * distinct-word vocabulary, and run the shared encode tail.
+    * Byte-identical to `bpeEncode(docs, rounds)` when the merges came
+    * from `bpeTrain(docs, rounds)` (the same replace chain in the
+    * same order — spec-pinned), but with ZERO training jobs: no
+    * per-round pair count, no argmax collect — serving cost is one
+    * vocabulary pass + the lazy replace chain + one corpus-token
+    * join, regardless of how many rounds the training ran. Exactly
+    * the stored-IVF/postings economics, on the tokenizer artifact.
+    */
+  def bpeEncodeFromStored(merges: DataFrame, docs: DataFrame): DataFrame = {
+    val rows = merges.select(col("merge_rank"), col("a"), col("b"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.length <= 256,
+      s"stored merge table has ${rows.length} rows — bpeTrain caps " +
+        "rounds at 256; is this really a merge table?")
+    rows.map(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+      require(r == i + 1L,
+        s"stored merge table must carry contiguous ranks 1..n " +
+          s"(bpeTrain's layout); found rank $r at position $i")
+    }
+    def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
+    var cur = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), concat(lit(" "),
+        concat_ws("  ", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit(" ")).as("s"))
+    rows.foreach { r =>
+      val (a, b) = (r.getString(1), r.getString(2))
+      cur = cur.select(col("word"), col("freq"),
+        expr(s"replace(s, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')")
+          .as("s"))
+    }
+    encodeWithState(docs, cur)
   }
 
   /** The shared trainer core: returns the merge table AND the final

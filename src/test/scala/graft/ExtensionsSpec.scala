@@ -339,6 +339,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(chain(ex).contains("band_bits"), chain(ex))
   }
 
+  test("bpeEncodeFromStored: stored merges replay ≡ in-session encode; holes and oversize tables refuse") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val insession = rows(TextOps.bpeEncode(docs))
+    assert(insession.nonEmpty)
+    val merges = TextOps.bpeTrain(docs)
+    // parquet round-trip like a real tokenizer artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_rt").toString + "/merges"
+    merges.write.parquet(dir)
+    assert(rows(TextOps.bpeEncodeFromStored(
+      spark.read.parquet(dir), docs)) === insession)
+    // a hole in the rank sequence refuses loudly (corrupted export)
+    val holes = spark.read.parquet(dir).filter(col("merge_rank") =!= 2L)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeFromStored(holes, docs)
+    }
+    assert(ex.getMessage.contains("contiguous"))
+  }
+
   test("defaultClusters memo: repeated consumers reuse the checkpointed labelling; different corpus misses") {
     val s = spark
     import s.implicits._
