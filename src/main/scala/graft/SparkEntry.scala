@@ -762,6 +762,19 @@ object SparkEntry {
         .filter(org.apache.spark.sql.functions.col("doc_id") >= 10)
         .orderBy("doc_id")
     }),
+    // decontamination from the STORED shingle index: the corpus is
+    // fingerprinted once to parquet; screening a new benchmark reads
+    // the slim (doc_id, h) rows and tokenizes only the probes
+    "text_contamination_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val dir = ivfTmpDir(s, d, "shingle_idx")
+      TextOps.docShingles(docs.filter(col("doc_id") >= 10))
+        .write.mode("overwrite").parquet(dir)
+      TextOps.contaminationFromIndex(s.read.parquet(dir),
+          docs.filter(col("doc_id") < 10))
+        .orderBy("doc_id")
+    }),
     "text_contamination_bloom" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       TextOps.contaminationBloom(docs,
@@ -5145,6 +5158,9 @@ object SparkEntry {
     // instead of a broadcast probe set; exact join removes every bloom
     // false positive) — same output, same oracle
     "text_contamination_bloom" -> contaminationOracle,
+    // the stored index is the same relation, read instead of
+    // recomputed — same output, same oracle
+    "text_contamination_indexed" -> contaminationOracle,
     "text_pack" ->
       ("WITH t AS (SELECT doc_id, " +
         "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), " +

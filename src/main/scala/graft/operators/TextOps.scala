@@ -564,12 +564,29 @@ object TextOps {
     * reach the per-doc count shuffle. The corpus is never shuffled and
     * never holds more than one row in flight.
     */
-  def contamination(docs: DataFrame, probes: DataFrame): DataFrame = {
-    def shingles(d: DataFrame) = d.select(col("doc_id"),
+  def contamination(docs: DataFrame, probes: DataFrame): DataFrame =
+    contaminationFromIndex(docShingles(docs), probes)
+
+  /** The persisted decontamination INDEX: every document's distinct
+    * word-shingle hashes as a slim `(doc_id, h)` relation — write it
+    * once per corpus drop and screen every future benchmark against
+    * the STORED rows instead of re-tokenizing the corpus (`text` is
+    * the fat column; the index is two longs per distinct shingle).
+    */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(array_distinct(graft.functions.ShingleHashFunctions
         .shingle_hash(tokens(col("text")), Dedup.ShingleN))).as("h"))
-    val probeShingles = shingles(probes).select("h").distinct()
-    shingles(docs)
+
+  /** Decontamination served from the stored shingle index — only the
+    * (tiny) probe side tokenizes; identical output to `contamination`
+    * over the same corpus by construction (it IS the same relation,
+    * read instead of recomputed).
+    */
+  def contaminationFromIndex(index: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val probeShingles = docShingles(probes).select("h").distinct()
+    index
       .join(broadcast(probeShingles), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
