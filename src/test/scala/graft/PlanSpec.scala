@@ -129,6 +129,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("nfcnormalize") || plan.contains("nfc_norm"), plan)
   }
 
+  test("contaminationFromIndex tokenizes ONLY the probes: corpus enters as stored (doc_id, h) rows") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_idx").toString + "/idx"
+    graft.operators.TextOps.docShingles(docs.filter(col("doc_id") >= 10))
+      .write.parquet(dir)
+    val plan = graft.operators.TextOps.contaminationFromIndex(
+        spark.read.parquet(dir), docs.filter(col("doc_id") < 10))
+      .queryExecution.executedPlan.toString
+    // one text scan — the pushed-down probe side; the corpus is met
+    // only as the slim stored fingerprint rows
+    assert("text:string".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("LessThan(doc_id,10)"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,h:bigint>"),
+      plan)
+  }
+
   test("contamination broadcasts the probe side; the corpus is never shuffled wide") {
     val docs = sources.Tables.table(spark, sf, "documents")
     val plan = operators.TextOps.contamination(docs,
