@@ -361,6 +361,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("contiguous"))
   }
 
+  test("knnGraphDelta property: the rebuild law holds across split ratios and batch shapes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = Similarity.LshBandBits
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val oneShot = rows(Similarity.knnGraph(emb, bandBits = bits))
+    // 1/2, 1/3 and 1/7 splits — including a batch LARGER than the
+    // stored corpus (mod 2) and a sliver batch (mod 7): the top-k
+    // merge law is ratio-independent
+    for (mod <- Seq(2, 3, 7)) {
+      val old = emb.filter(col("vec_id") % mod =!= 0)
+      val batch = emb.filter(col("vec_id") % mod === 0)
+      val got = rows(Similarity.knnGraphDelta(
+        Similarity.knnGraph(old, bandBits = bits),
+        Similarity.vecBandKeysOf(old, bits), emb, batch))
+      withClue(s"mod=$mod") { assert(got === oneShot) }
+    }
+  }
+
+  test("bpeEncodeFromStored law holds at other round budgets") {
+    import operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (r <- Seq(1, 3)) {
+      withClue(s"rounds=$r") {
+        assert(rows(TextOps.bpeEncodeFromStored(
+          TextOps.bpeTrain(docs, rounds = r), docs)) ===
+          rows(TextOps.bpeEncode(docs, rounds = r)))
+      }
+    }
+  }
+
   test("defaultClusters memo: repeated consumers reuse the checkpointed labelling; different corpus misses") {
     val s = spark
     import s.implicits._
