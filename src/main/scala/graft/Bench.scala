@@ -40,24 +40,47 @@ object Bench {
           s"${unknown.toSeq.sorted.mkString(", ")}")
     }
     // ALWAYS-ON subset: any restricted run (the harness's rotating
-    // sample included) still times the 7 headline parity queries plus
-    // the historically slowest queries — a flagship or heavy-tail
-    // regression can never hide behind an unlucky rotation. A
-    // deliberately narrow dev loop that really wants a single query
-    // can filter the output; regression VISIBILITY wins the default.
+    // sample included) still times this 12-name set — the 7 headline
+    // parity queries plus the historically slowest queries — so a
+    // flagship or heavy-tail regression can never hide behind an
+    // unlucky rotation. Regression VISIBILITY wins the default; a
+    // deliberately narrow dev loop that wants ONLY its named queries
+    // sets SPARK_GRAFT_BENCH_STRICT=1 to suppress the union. Any
+    // pinned additions are logged so a restricted run is never
+    // silently larger than asked.
     val pinned = Set(
       "edges", "path2_exact_total", "path2_triples", "path2_approx_total",
       "triangles_rs", "triangles_rep", "triangles_vertex",
       "text_bm25_prf", "graph_stress", "graph_path_counts",
       "knn_mmr", "graph_hops_deep")
+    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     val queries = only match {
+      case Some(names) if strict =>
+        SparkEntry.queries.filter(kv => names(kv._1))
       case Some(names) =>
+        val added = (pinned -- names).intersect(SparkEntry.queries.keySet)
+        if (added.nonEmpty) System.err.println(
+          "[bench] adding always-on pinned queries to the restricted " +
+            s"run (SPARK_GRAFT_BENCH_STRICT=1 to suppress): " +
+            added.toSeq.sorted.mkString(", "))
         SparkEntry.queries.filter(kv => names(kv._1) || pinned(kv._1))
       case None => SparkEntry.queries
     }
     val samples = sample(spark, sfDir, queries, reps)
     val (stdoutJson, json, allFailed) =
       render(queries.keys.toSeq, samples, reps, sfDir)
+    // WARM-REGRESSION ALARM: compare this run's warm medians against
+    // the committed mirror (BENCH_BASELINE.json, or the file named by
+    // SPARK_GRAFT_BENCH_BASELINE). The alarm is a loud stderr line per
+    // offender — not an exit code; box noise must not fail a green run
+    // — so a headline warm-path regression can't hide inside a
+    // 248-query total or behind a cold artifact build.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    for ((name, ratio, now, base) <-
+        regressions(warmMedians(queries.keys.toSeq, samples), baselinePath))
+      System.err.println(f"[bench] WARM REGRESSION $name: " +
+        f"$now%.2fs vs baseline $base%.2fs (${ratio}%.2fx)")
     // stop Spark BEFORE emitting, so no stray shutdown log line can land
     // after the JSON — the harness scrapes the log tail for it
     spark.stop()
@@ -116,20 +139,77 @@ object Bench {
       }
     }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Per-query WARM median — the median over reps 2..N's successes,
+    * i.e. with the first (cold) rep excluded, so one-time artifact
+    * builds (bucketed-table writes, stored-index fits) don't blur the
+    * serving-path signal. Falls back to the all-reps median when only
+    * the first rep succeeded or reps == 1; -1 when nothing succeeded.
+    */
+  private[graft] def warmMedians(names: Seq[String],
+      samples: Seq[Map[String, Option[Double]]]): Map[String, Double] =
+    names.map { n =>
+      val warm = samples.drop(1).flatMap(_(n))
+      val all = samples.flatMap(_(n))
+      n -> (if (warm.nonEmpty) median(warm)
+        else if (all.nonEmpty) median(all) else -1.0)
+    }.toMap
+
+  /** Warm medians that regressed vs the recorded baseline file:
+    * (name, ratio, now, baseline), worst first. A regression needs
+    * ratio > 1.5 AND an absolute delta > 0.25 s (a 0.02 → 0.04 s
+    * jitter is not a signal). Baseline JSON is the bench's own file
+    * form; `queries_warm` preferred, `queries` accepted for mirrors
+    * recorded before the field existed. A missing/unparseable
+    * baseline disables the alarm (first run, fresh clone).
+    */
+  private[graft] def regressions(warm: Map[String, Double],
+      baselinePath: String): Seq[(String, Double, Double, Double)] = {
+    val base: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(baselinePath))
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt)
+        val node = if (root.has("queries_warm")) root.get("queries_warm")
+          else root.get("queries")
+        if (node == null) Map.empty
+        else {
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+          }
+          b.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    warm.toSeq.flatMap { case (n, now) =>
+      base.get(n) match {
+        case Some(b) if b > 0 && now > 0 &&
+            now > b * 1.5 && now - b > 0.25 =>
+          Some((n, now / b, now, b))
+        case _ => None
+      }
+    }.sortBy(-_._2)
+  }
+
   /** Render the two JSON lines (short stdout form, full-precision file
     * form) + the names that failed every rep. Medians are over
     * SUCCESSFUL samples only; a query with zero successes reports -1
     * and shows up in the `errors` field (failure counts per query),
-    * which is always present so parsers need no fallback.
+    * which is always present so parsers need no fallback. The file
+    * form additionally carries `queries_warm` (cold rep excluded) and
+    * `build_s` (first-rep minus warm median, floored at 0 — the
+    * one-time artifact-build cost of the stored-tier gates).
     */
   private[graft] def render(names: Seq[String],
       samples: Seq[Map[String, Option[Double]]], reps: Int,
       sfDir: String): (String, String, Seq[String]) = {
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val okSamples: Map[String, Seq[Double]] =
       names.map(n => n -> samples.flatMap(_(n))).toMap
     val errCount: Map[String, Int] =
@@ -157,12 +237,27 @@ object Bench {
       if (xs.nonEmpty) s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
       else s"\"" + n + "\":[-1,-1]"
     }.mkString("{", ",", "}")
+    val warm = warmMedians(names, samples)
+    val warmJson = names.map(n => s"\"" + n + "\":" + warm(n))
+      .mkString("{", ",", "}")
+    // build cost = the first rep's excess over the warm median: the
+    // one-time layout/index writes (bucketed tables, stored postings,
+    // SQ8 codes) land in rep 1 and nowhere else
+    val buildS = names.map { n =>
+      val first = samples.headOption.flatMap(_(n))
+      val b = (first, warm(n)) match {
+        case (Some(f), w) if w >= 0 => math.max(0.0, f - w)
+        case _ => 0.0
+      }
+      s"\"" + n + "\":" + b
+    }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum
     val stdoutJson =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,""" +
         s""""errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_warm":$warmJson,"build_s":$buildS,""" +
         s""""queries_minmax":$minmax,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
     (stdoutJson, json, allFailed)
   }

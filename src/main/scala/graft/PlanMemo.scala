@@ -23,9 +23,16 @@ import org.apache.spark.sql.DataFrame
   * than merely improbable. `slots` bounds retention (LRU) so a long
   * session over many inputs cannot accumulate checkpoint blocks.
   *
-  * Builds run OUTSIDE the lock: a racing duplicate build is benign
-  * (last write wins, both values correct); the engine's own drivers
-  * are single-threaded anyway.
+  * Builds run OUTSIDE the lock. A racing duplicate build is resolved
+  * FIRST-WRITE-WINS: the loser releases the value IT just built —
+  * which no other caller can hold yet — and returns the incumbent,
+  * so a checkpoint that an earlier caller may still be reading is
+  * never destroyed from under it. LRU eviction (`slots`) CAN still
+  * release a value an in-flight plan in the same composite query
+  * holds — so `slots` must cover the maximal concurrent family
+  * footprint, and the engine's own drivers run the memoized families
+  * single-threaded (a hard assumption of the eviction policy, not a
+  * nicety).
   */
 final class PlanMemo[T](slots: Int,
     release: T => Unit = (_: T) => ()) {
@@ -80,11 +87,19 @@ final class PlanMemo[T](slots: Int,
     }
     val v = build
     map.synchronized {
-      val prev = map.put(key, v)
-      // a racing duplicate build of the same entry: release the loser
-      if (prev != null && !prev.equals(v)) release(prev)
+      val prev = map.get(key)
+      if (prev != null && prev != v) {
+        // racing duplicate build: FIRST write wins. The incumbent may
+        // already be held by the racer that stored it, so the only
+        // value that is provably unreferenced is the one WE just
+        // built and have not yet returned — release v, serve prev.
+        release(v)
+        prev
+      } else {
+        map.put(key, v)
+        v
+      }
     }
-    v
   }
 }
 

@@ -133,6 +133,38 @@ object SparkEntry {
     * safe point. Idempotent per path; recursive delete, children
     * first.
     */
+  /** Session memo of the STORED BM25 SERVING TIER's scratch dirs —
+    * five gates (`text_bm25_indexed(+_recall)`, `text_bm25_prf_indexed
+    * (+_recall)`, `search_hybrid_indexed`) serve from the identical
+    * depth-256 postings + forward index over the identical corpus,
+    * and each used to refit and rewrite both relations
+    * (`postingsIndex(...).write` ×5). The memo performs the build on
+    * the FIRST request per (session, corpus plan, depth) and hands
+    * every later gate the same dirs — exactly the train-once/
+    * serve-many economics the stored tier preaches. The value is a
+    * pair of dir paths (nothing to unpersist — the parquet files are
+    * the artifact, cleaned by the shutdown hook); keying by the
+    * canonicalized CORPUS plan means a different sf dir or corpus
+    * filter rebuilds rather than aliasing. 2 slots: the harness
+    * interleaves at most two sf dirs in one session (verify + spec).
+    */
+  private val bm25IdxMemo = new PlanMemo[(String, String)](2)
+  private[graft] def bm25IdxMemoHits = bm25IdxMemo.hits
+  private[graft] def bm25IndexDirs(s: SparkSession, d: String)
+      : (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.table(s, d, "documents")
+      .filter(col("doc_id") >= TextOps.Bm25Queries)
+    bm25IdxMemo.getOrBuild(corpus, s"bm25idx|${TextOps.Bm25IndexDepth}") {
+      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
+        .write.mode("overwrite").parquet(idxDir)
+      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      (idxDir, lensDir)
+    }
+  }
+
   private val tmpCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerTmpCleanup(f: java.io.File): Unit =
@@ -832,7 +864,7 @@ object SparkEntry {
     // (minus the query's own) ranked by fbtf×idf join the query, then
     // a second pass over the SAME cached tf/stats — the recall move
     "text_bm25_prf" -> ((s, d) =>
-      TextOps.bm25Prf(Tables.table(s, d, "documents"))
+      TextOps.bm25PrfShared(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
     // hashed tf-idf sparse features (Weinberger et al. 2009): signed
     // feature hashing × the exact-integer BM25 idf — the linear-model
@@ -870,14 +902,8 @@ object SparkEntry {
     // restriction to its tf relation, and the recall gate prices the
     // pruning against the full-scan ranking
     "text_bm25_indexed" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
-      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val (idxDir, lensDir) = bm25IndexDirs(s, d)
       TextOps.bm25FromIndex(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
@@ -913,14 +939,8 @@ object SparkEntry {
     // index; corpus text never read at query time (only the 10 query
     // docs tokenize — PlanSpec-guarded)
     "text_bm25_prf_indexed" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
-      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val (idxDir, lensDir) = bm25IndexDirs(s, d)
       TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
@@ -930,15 +950,9 @@ object SparkEntry {
     // the serving stack a production tier actually runs (no corpus
     // text or embeddings read at query time)
     "search_hybrid_indexed" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
       val emb = Tables.table(s, d, "embeddings")
-      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
-      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val (idxDir, lensDir) = bm25IndexDirs(s, d)
       val stDir = ivfTmpDir(s, d, "sq8_stats")
       Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
       val cdDir = ivfTmpDir(s, d, "sq8_codes")
@@ -954,30 +968,22 @@ object SparkEntry {
     "text_bm25_prf_indexed_recall" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
-      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val (idxDir, lensDir) = bm25IndexDirs(s, d)
       def ren(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("doc_id").as("neighbor_id"))
+      // the exact full-scan truth side is the memoized relation the
+      // text_bm25_prf gate also serves — built once per session
       Similarity.recallAtK(
         ren(TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)),
-        ren(TextOps.bm25Prf(docs)))
+        ren(TextOps.bm25PrfShared(docs)))
     }),
     // honesty gate for the depth-capped serve: recall@k of the
     // indexed ranking vs the full-scan bm25 ranking
     "text_bm25_indexed_recall" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
-      TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
-      TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
+      val (idxDir, lensDir) = bm25IndexDirs(s, d)
       def ren(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("doc_id").as("neighbor_id"))
       Similarity.recallAtK(

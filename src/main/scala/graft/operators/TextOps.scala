@@ -1860,6 +1860,32 @@ object TextOps {
     bm25Score(c, qt.unionByName(expansion).distinct(), k)
   }
 
+  /** Single-slot memo of the DEFAULT exact-PRF ranking — the suite's
+    * two most expensive gates (`text_bm25_prf` and the stored tier's
+    * honesty gate `text_bm25_prf_indexed_recall`) consume the
+    * IDENTICAL corpus-bounded `bm25Prf(docs)` relation back to back;
+    * before the memo each rebuilt it from scratch (~7 s apiece at
+    * sf0.1). The artifact is nQueries × k rows (80 by default) —
+    * tiny relative to its build, squarely inside the memo discipline
+    * (contrast the reverted GraphOps memo whose artifact rivaled its
+    * build). Checkpoint-backed so per-query `Caches.clear` can't
+    * evict it; keyed by the canonicalized docs plan + every PRF
+    * constant, so a stale reuse across corpora or parameters is
+    * structurally impossible. `prfMemoHits` exists for the reuse
+    * spec.
+    */
+  private val prfMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def prfMemoHits = prfMemo.hits
+
+  def bm25PrfShared(docs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries, fb: Int = PrfFeedbackDocs,
+      ex: Int = PrfExpansionTerms): DataFrame =
+    prfMemo.getOrBuild(docs, s"bm25prf|$k|$nQueries|$fb|$ex") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(bm25Prf(docs, k, nQueries, fb, ex))
+    }
+
   /** The FORWARD index next to the postings: `(doc_id, len_d)` —
     * each doc's token count under the shared tokenizer, the one
     * per-document statistic BM25's length normalization needs at

@@ -334,24 +334,50 @@ object Warehouse {
   }
 
   /** Stable catalog names for the bucketed externals at `dir` —
-    * suffixed with the dir's hash so two SF dirs never collide in one
-    * session's catalog.
+    * suffixed with a COLLISION-FREE digest of the full path (SHA-256,
+    * 16 hex chars) so two dirs can never alias one catalog entry the
+    * way a 32-bit `hashCode` could; `ensureBucketed` additionally
+    * verifies the surviving entry's files actually live under `dir`
+    * before trusting it, so a stale catalog entry pointing elsewhere
+    * is rebuilt, never silently served.
     */
-  private def bucketTable(dir: String, t: String): String =
-    s"graft_bucketed_${t}_${(dir.hashCode.toLong & 0xffffffffL).toString}"
+  private def bucketTable(dir: String, t: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    s"graft_bucketed_${t}_$digest"
+  }
+
+  /** Does the catalog table exist AND read its files from under the
+    * expected location? An entry whose files moved (or an external
+    * table left behind by a prior run against a different layout) is
+    * treated as absent and rewritten.
+    */
+  private def bucketTableAt(spark: org.apache.spark.sql.SparkSession,
+      table: String, expectedDir: String): Boolean =
+    spark.catalog.tableExists(table) && {
+      val want = new java.io.File(expectedDir).getAbsolutePath
+      val files = spark.table(table).inputFiles
+      files.nonEmpty && files.forall(f =>
+        f.stripPrefix("file:").startsWith(want))
+    }
 
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
       dir: String, orders: DataFrame, lineitem: DataFrame): Unit = {
     val oT = bucketTable(dir, "orders")
     val lT = bucketTable(dir, "lineitem")
-    if (!spark.catalog.tableExists(oT))
+    if (!bucketTableAt(spark, oT, s"$dir/orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $oT")
       orders.write.mode("overwrite").option("path", s"$dir/orders")
         .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(oT)
-    if (!spark.catalog.tableExists(lT))
+    }
+    if (!bucketTableAt(spark, lT, s"$dir/lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $lT")
       lineitem.write.mode("overwrite").option("path", s"$dir/lineitem")
         .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lT)
+    }
   }
 
   /** Q21 constants: the blamed nation and the report depth. Same

@@ -66,6 +66,53 @@ class BenchSpec extends SparkSpec {
     }
   }
 
+  test("warm medians exclude the cold rep; build_s is the first-rep excess") {
+    // samples: rep1 (cold, includes a one-time artifact build), then
+    // two warm reps — the warm median must ignore the 10.0 and the
+    // build cost must be its excess over the warm median
+    val samples = Seq(
+      Map("stored" -> Some(10.0), "plain" -> Some(1.0)),
+      Map("stored" -> Some(2.0), "plain" -> Some(1.2)),
+      Map("stored" -> Some(3.0), "plain" -> Some(0.8)))
+    val warm = Bench.warmMedians(Seq("stored", "plain"), samples)
+    assert(warm("stored") === 2.5)
+    assert(warm("plain") === 1.0)
+    val (_, fileJson, _) =
+      Bench.render(Seq("stored", "plain"), samples, 3, "sf-test")
+    assert(fileJson.contains("\"queries_warm\":{\"stored\":2.5,\"plain\":1.0}"),
+      fileJson)
+    assert(fileJson.contains("\"build_s\":{\"stored\":7.5,\"plain\":0.0}"),
+      fileJson)
+    // single-rep runs fall back to the only sample (build_s = 0)
+    val one = Seq(Map("q" -> Some(4.0)))
+    assert(Bench.warmMedians(Seq("q"), one)("q") === 4.0)
+    val (_, oneJson, _) = Bench.render(Seq("q"), one, 1, "sf-test")
+    assert(oneJson.contains("\"build_s\":{\"q\":0.0}"), oneJson)
+  }
+
+  test("the warm-regression alarm trips on >1.5x with absolute delta, stays quiet otherwise") {
+    val base = java.nio.file.Files.createTempFile("graft_bench_base", ".json")
+    java.nio.file.Files.writeString(base,
+      """{"queries_warm":{"slow":1.0,"fast":0.02,"gone":2.0,"ok":3.0}}""")
+    val got = Bench.regressions(
+      Map("slow" -> 2.0,   // 2.0x and +1.0s → trips
+        "fast" -> 0.2,     // 10x but +0.18s < 0.25s floor → quiet
+        "ok" -> 3.5,       // 1.17x → quiet
+        "new" -> 9.9),     // not in baseline → quiet
+      base.toString)
+    assert(got.map(_._1) === Seq("slow"), got.toString)
+    val (_, ratio, now, b) = got.head
+    assert(now === 2.0 && b === 1.0 && math.abs(ratio - 2.0) < 1e-9)
+    // a mirror recorded before queries_warm existed still works
+    val legacy = java.nio.file.Files.createTempFile("graft_bench_leg", ".json")
+    java.nio.file.Files.writeString(legacy, """{"queries":{"slow":1.0}}""")
+    assert(Bench.regressions(Map("slow" -> 2.0), legacy.toString)
+      .map(_._1) === Seq("slow"))
+    // a missing baseline disables the alarm rather than crashing
+    assert(Bench.regressions(Map("slow" -> 99.0),
+      "/nonexistent/graft.json").isEmpty)
+  }
+
   test("an all-green run renders an empty errors object") {
     val queries = Map("good" -> q(s => s.range(3).toDF()))
     val samples = Bench.sample(spark, "unused", queries, reps = 1)

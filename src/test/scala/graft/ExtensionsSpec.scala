@@ -306,6 +306,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(memo.getOrBuild(d3, "p")(b(3)) === 3)
   }
 
+  test("PlanMemo: a racing duplicate build resolves first-write-wins, releasing only the unreferenced loser") {
+    val released = scala.collection.mutable.ArrayBuffer[Int]()
+    val memo = new graft.PlanMemo[Int](2, released += _)
+    val d1 = spark.range(1).toDF()
+    // simulate the race reentrantly: the OUTER build runs outside the
+    // lock; while it is "in flight" an inner caller builds and stores
+    // 7 first. The outer caller must then serve 7 (the incumbent a
+    // racer may already hold) and release only its own 8 — the value
+    // no other caller can have seen.
+    val got = memo.getOrBuild(d1, "race") {
+      assert(memo.getOrBuild(d1, "race")(7) === 7)
+      8
+    }
+    assert(got === 7, "the incumbent (first write) must win the race")
+    assert(released === Seq(8),
+      "only the loser's own unreferenced value may be released")
+    assert(memo.getOrBuild(d1, "race")(99) === 7) // entry intact
+  }
+
+  test("bm25PrfShared memo: the recall gate's truth side reuses the text_bm25_prf relation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val first = rows(TextOps.bm25PrfShared(docs))
+    assert(first.nonEmpty)
+    val before = TextOps.prfMemoHits.get()
+    // the second consumer (the recall gate's exact side) must HIT and
+    // serve the identical relation
+    assert(rows(TextOps.bm25PrfShared(docs)) === first)
+    assert(TextOps.prfMemoHits.get() > before,
+      "second bm25PrfShared call rebuilt instead of reusing the memo")
+    // the memoized relation equals a fresh direct computation
+    assert(rows(TextOps.bm25Prf(docs)) === first)
+    // different PRF constants must MISS — no stale cross-param reuse
+    val hitsBefore2 = TextOps.prfMemoHits.get()
+    TextOps.bm25PrfShared(docs, ex = 0).count()
+    assert(TextOps.prfMemoHits.get() === hitsBefore2,
+      "different expansion constants must not reuse the memo")
+  }
+
+  test("bm25IndexDirs memo: the five stored-tier gates share ONE index build per session") {
+    val d = "/root/testdata/sf0.001"
+    val first = SparkEntry.bm25IndexDirs(spark, d)
+    val before = SparkEntry.bm25IdxMemoHits.get()
+    val second = SparkEntry.bm25IndexDirs(spark, d)
+    assert(second === first)
+    assert(SparkEntry.bm25IdxMemoHits.get() > before,
+      "second bm25IndexDirs call rebuilt the stored index")
+    // the dirs really hold the depth-256 index + forward index the
+    // serving path expects
+    assert(spark.read.parquet(first._1).columns.toSet ===
+      Set("token", "df", "cf", "rank", "doc_id", "tf",
+        "postings_params_fp"))
+    assert(spark.read.parquet(first._2)
+      .columns.toSet === Set("doc_id", "len_d"))
+  }
+
   test("knnGraphDelta: delta-merged graph ≡ one-shot pinned-width rebuild; empty batch = re-ranked identity; width mismatch raises") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bits = Similarity.LshBandBits
