@@ -619,15 +619,27 @@ object GraphOps {
     * soundness contract.
     *
     * Scale shape: the per-round cost IS triangle enumeration —
-    * Σ_u deg²(u) join rows, the same quadratic `trianglesRS` pays
-    * once — on a state that only shrinks, with checkpointed frames
-    * and no per-vertex neighborhood buffering. Production truss
+    * arboricity-bounded oriented wedges (see `trussSupport`) — on a
+    * state that only shrinks, with checkpointed frames and no
+    * per-vertex neighborhood buffering. Once the state fits
+    * `localMax` rows the remaining rounds run as a DRIVER-BOUNDED
+    * LOCAL TAIL (the Dedup fast-path discipline: threshold-gated,
+    * distributed fallback above it, agreement spec-pinned) — a truss
+    * peel's tail is a handful of near-empty rounds whose per-round
+    * job overhead (checkpoint + count + scheduling) dwarfs their
+    * data, measured 3.1 → ~1.9 s at sf0.1 where rounds 2..5 carry
+    * ≤ 4,512 edges. The threshold is rows, not bytes: 65,536 edges =
+    * 1 MB of long pairs, squarely inside the driver-literal budget
+    * every bounded collect in this engine observes. Production truss
     * decompositions cut rounds with h-index iteration; the
     * round-synchronous form here is the one an unrolled SQL oracle
     * can state exactly.
     */
+  val KTrussLocalMax = 65536L
+
   def kTruss(e: DataFrame, k: Int = KTrussK,
-      maxRounds: Int = KTrussMaxRounds): DataFrame = {
+      maxRounds: Int = KTrussMaxRounds,
+      localMax: Long = KTrussLocalMax): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3 (k = 2 keeps every edge), got $k")
     var (und, nEdges) = undSimple(e)
     var rounds = 0
@@ -637,6 +649,14 @@ object GraphOps {
         throw new IllegalStateException(
           s"k=$k truss peel did not reach a fixpoint in $maxRounds " +
             "rounds — raise maxRounds (and the oracle's unroll with it)")
+      if (nEdges <= localMax) {
+        // state fits the literal budget: finish the peel driver-side
+        val pairs = und.filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        drop(und)
+        return kTrussLocalTail(e.sparkSession, pairs, k, rounds, maxRounds)
+      }
       val keep = trussSupport(und)
         .filter(col("sup") >= (k - 2).toLong)
         .select(col("src"), col("dst"))
@@ -654,16 +674,89 @@ object GraphOps {
       .select(col("src"), col("dst"), col("sup").as("support"))
   }
 
-  /** Per-edge triangle support over a SYMMETRIC simple edge relation:
-    * common-neighbor count of each directed row's endpoints — one
-    * equi-join chain (the trianglesRS shape), group by the edge.
+  /** The local tail of the truss peel: the SAME round-synchronous
+    * semantics (support = common-neighbor count within the current
+    * state; keep support ≥ k−2; converge when the edge set stops
+    * changing; raise past `maxRounds` counting the distributed rounds
+    * already spent) over an in-memory canonical edge set. Returns the
+    * fixpoint's `(src, dst, support)` rows, src < dst — byte-identical
+    * to the distributed output (spec-pinned with `localMax = 0` vs
+    * `Long.MaxValue` on the same graph).
+    */
+  private def kTrussLocalTail(s: SparkSession, pairs: Array[(Long, Long)],
+      k: Int, rounds0: Int, maxRounds: Int): DataFrame = {
+    import s.implicits._
+    var edges = pairs.toSet
+    def adjOf(es: Set[(Long, Long)]): Map[Long, Set[Long]] =
+      (es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    var rounds = rounds0
+    var converged = edges.isEmpty
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k=$k truss peel did not reach a fixpoint in $maxRounds " +
+            "rounds — raise maxRounds (and the oracle's unroll with it)")
+      val adj = adjOf(edges)
+      val next = edges.filter { case (a, b) =>
+        (adj(a) & adj(b)).size >= k - 2 }
+      rounds += 1
+      converged = next.size == edges.size
+      edges = next
+    }
+    val adjF = adjOf(edges)
+    edges.toSeq.sorted
+      .map { case (a, b) => (a, b, (adjF(a) & adjF(b)).size.toLong) }
+      .toDF("src", "dst", "support")
+  }
+
+  /** Per-edge triangle support over a SYMMETRIC simple edge relation,
+    * by DEGREE-ORDERED ORIENTED enumeration (the Chiba–Nishizeki /
+    * compact-forward discipline): orient each undirected edge from
+    * its lower-(degree, id) endpoint to the higher, pair the
+    * out-neighbors of each pivot (rank-ordered, so every triangle
+    * materializes EXACTLY once), close the pair with a semi-join
+    * against the oriented edges, then credit each closed triangle to
+    * its three undirected edges and mirror. Wedge generation is
+    * Σ_u d_out(u)² with d_out = O(√E) under degree orientation —
+    * arboricity-bounded, so a hub of degree d costs O(E) wedge rows,
+    * not the O(d²) the naive symmetric self-join paid. Support
+    * values are identical to the definitional count — only the
+    * enumeration order changed — so the unrolled SQL oracle (which
+    * states the definitional form) still matches bit-exactly.
     */
   private def trussSupport(und: DataFrame): DataFrame = {
-    val a = und.select(col("src").as("ua"), col("dst").as("wa"))
-    val b = und.select(col("src").as("ub"), col("dst").as("wb"))
-    und.join(a, col("src") === col("ua"))
-      .join(b, col("dst") === col("ub") && col("wa") === col("wb"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    // orient u→v iff rank(u) < rank(v), rank = (degree, id); `und`
+    // carries both directions, so each undirected edge survives once
+    val ed = und
+      .join(deg.select(col("src"), col("d").as("du")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"), col("dv"))
+    // rank-ordered out-neighbor pairs of the pivot u: (x, y) with
+    // rank(x) < rank(y) — the wedge x–u–y, closed iff x→y is oriented
+    val w1 = ed.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val w2 = ed.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val tri = w1.join(w2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(ed.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+    // each triangle credits its three undirected edges; mirror so the
+    // peel's semi-join sees both orientations (the und contract)
+    val sup = tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("e"))
+      .select(col("e.a").as("src"), col("e.b").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+    sup.unionByName(sup.select(col("dst").as("src"),
+      col("src").as("dst"), col("sup")))
   }
 
   /** linkPrediction defaults: middle-degree cap and top-k width. */

@@ -606,6 +606,23 @@ class GraphOpsSpec extends SparkSpec {
         withClue(s"edges=$e k=$k") { assert(got(e, k) === brute(e, k)) }
       }
     }
+    // the driver-bounded local tail ≡ the fully distributed peel on
+    // the same graph: localMax = MaxValue forces every round local,
+    // localMax = 0 forbids the fast path entirely
+    val e2 = List.fill(80)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+    for (k <- Seq(3, 4, 5)) {
+      def at(lm: Long) = GraphOps.kTruss(edgeDf(e2: _*), k,
+          maxRounds = 30, localMax = lm).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      withClue(s"k=$k") { assert(at(Long.MaxValue) === at(0L)) }
+    }
+    // the round budget is enforced identically on the local tail
+    val triChain = for (i <- 0L until 12L; e <- Seq((i, i + 1), (i, i + 2)))
+      yield e
+    intercept[IllegalStateException] {
+      GraphOps.kTruss(edgeDf(triChain: _*), 4, maxRounds = 1,
+        localMax = Long.MaxValue).collect()
+    }
   }
 
   test("shortestPathCounts/stressSampled == brute σ/τ DP over the hash-chosen sample") {
