@@ -624,6 +624,22 @@ object SparkEntry {
       TextOps.tokenCounts(Tables.table(s, d, "documents")).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(Tables.table(s, d, "documents")).orderBy("doc_id")),
+    // TRAINED quality filter, fit gate: the integer batch-perceptron
+    // weights themselves (driver-fit over the hash-prefix sample, the
+    // lloydPpm discipline) — hash-checked like knn_ivf_centroids
+    "text_quality_model" -> ((s, d) =>
+      TextOps.qualityModel(Tables.table(s, d, "documents"))
+        .orderBy("dim")),
+    // serve gate: one codegen'd dot-product projection over the
+    // feature map — scan → project, no joins, the model-based filter
+    // every real curation pipeline runs
+    "text_quality_scored" -> ((s, d) =>
+      TextOps.qualityScored(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
+    // honesty gate: full-corpus agreement of the trained filter with
+    // its label rule — the distillation quality, priced in integers
+    "text_quality_model_agreement" -> ((s, d) =>
+      TextOps.qualityModelAgreement(Tables.table(s, d, "documents"))),
     "text_langid" -> ((s, d) =>
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
     // C4-style blocklist admission: per-doc blocked-token DENSITY
@@ -2586,6 +2602,74 @@ object SparkEntry {
     "LEAST(nt, 100) / 100.0 * 0.6 + st / GREATEST(nt, 1) * 0.2 + " +
       "(CASE WHEN ns / GREATEST(nt, 1) >= 3.0 AND ns / GREATEST(nt, 1) <= 8.0 " +
       "THEN 0.2 ELSE 0.0 END)"
+
+  /** The trained-quality-filter CTE chain — `TextOps.qualityModelFit`
+    * unrolled (the `IvfTrainCtes`/`lloydRoundsCtes` discipline):
+    * integer feature/label projection `qf` over the full corpus, the
+    * hash-prefix training sample `qs`, the per-dim Jacobi divisors
+    * `qdiv` (max(1, c·Σx_j²) over the sample), zero weights, then
+    * `QmEpochs` exact LMS gradient rounds — each epoch one
+    * residual-weighted SUM per dim (order-free integers, so DuckDB
+    * and the driver loop produce the same longs) stepped by
+    * `// D_j` (truncation toward zero on both engines, verified on
+    * negatives). Final weights land in `qw{QmEpochs}`.
+    */
+  private lazy val QmTrainCtes: String = {
+    val epochs = TextOps.QmEpochs
+    val dims = TextOps.QmDims
+    val epochCtes = (1 to epochs).map { e =>
+      s"qd$e AS (SELECT " +
+        (0 until dims).map(j =>
+          s"CAST(COALESCE(SUM((qs.y * ${TextOps.QmTarget} - (" +
+            (0 until dims).map(i => s"w.w$i * qs.x$i").mkString(" + ") +
+            s")) * qs.x$j), 0) AS BIGINT) AS g$j")
+          .mkString(", ") +
+        s" FROM qs, qw${e - 1} w), " +
+        s"qw$e AS MATERIALIZED (SELECT " +
+        (0 until dims).map(j =>
+          s"w.w$j + d.g$j // v.d$j AS w$j").mkString(", ") +
+        s" FROM qw${e - 1} w, qd$e d, qdiv v)"
+    }.mkString(", ")
+    "qb AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt, " +
+      "CAST(len(regexp_extract_all(text, '\\S')) AS BIGINT) AS ns, " +
+      "CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}-]')) " +
+      "AS BIGINT) AS np, " +
+      "CAST(len(regexp_extract_all(text, " +
+      s"'${graft.functions.TextFunctions.StopwordsRe}')) AS BIGINT) AS st, " +
+      "CAST(length(text) AS BIGINT) AS nc FROM documents), " +
+      "qf AS MATERIALIZED (SELECT doc_id, CAST(1000 AS BIGINT) AS x0, " +
+      "LEAST(nt, 1000) AS x1, st * 1000 // GREATEST(nt, 1) AS x2, " +
+      "LEAST(ns * 100 // GREATEST(nt, 1), 2000) AS x3, " +
+      "LEAST(np * 1000 // GREATEST(nt, 1), 2000) AS x4, " +
+      "CAST(CASE WHEN ns >= 3 * GREATEST(nt, 1) " +
+      "AND ns <= 8 * GREATEST(nt, 1) THEN 1000 ELSE 0 END " +
+      "AS BIGINT) AS x5, " +
+      "CAST(CASE WHEN 6 * LEAST(nt, 100) * GREATEST(nt, 1) + 200 * st " +
+      "+ 200 * GREATEST(nt, 1) * (CASE WHEN ns >= 3 * GREATEST(nt, 1) " +
+      "AND ns <= 8 * GREATEST(nt, 1) THEN 1 ELSE 0 END) " +
+      ">= 500 * GREATEST(nt, 1) THEN 1 ELSE -1 END AS BIGINT) AS y " +
+      "FROM qb), " +
+      "qs AS MATERIALIZED (SELECT * FROM (SELECT qf.*, row_number() " +
+      s"OVER (ORDER BY ${phSql("CAST(doc_id AS VARCHAR)")}, doc_id) " +
+      s"AS rn FROM qf) WHERE rn <= ${TextOps.QmSampleCap}), " +
+      "qdiv AS MATERIALIZED (SELECT " +
+      (0 until dims).map(j =>
+        s"GREATEST(1, CAST(${TextOps.QmStepScale} * SUM(x$j * x$j) " +
+          s"AS BIGINT)) AS d$j").mkString(", ") +
+      " FROM qs), " +
+      "qw0 AS (SELECT " +
+      (0 until dims).map(j => s"CAST(0 AS BIGINT) AS w$j")
+        .mkString(", ") + "), " +
+      epochCtes
+  }
+
+  /** The fitted-weight dot product over `qf` aliased `f` and the
+    * final weight row aliased `w` — shared by the scored and
+    * agreement oracles.
+    */
+  private def qmScoreSql: String =
+    (0 until TextOps.QmDims).map(j => s"w.w$j * f.x$j").mkString(" + ")
 
   /** docs_profile/events_profile oracle builder: one UNION ALL branch
     * per column. `numExpr` = Some(numeric view) for numeric/timestamp
@@ -4574,6 +4658,29 @@ object SparkEntry {
         "ns / GREATEST(nt, 1) AS avg_token_len, " +
         "st / GREATEST(nt, 1) AS stopword_ratio, " +
         s"$QualitySqlExpr AS quality FROM b"),
+    // trained quality filter: the fitted perceptron weights, unrolled
+    // epoch CTEs (the knn_ivf_centroids artifact-gate pattern)
+    "text_quality_model" ->
+      (s"WITH $QmTrainCtes SELECT * FROM (" +
+        (0 until TextOps.QmDims).map(j =>
+          s"SELECT CAST($j AS BIGINT) AS dim, w$j AS w " +
+            s"FROM qw${TextOps.QmEpochs}").mkString(" UNION ALL ") +
+        ")"),
+    "text_quality_scored" ->
+      (s"WITH $QmTrainCtes SELECT doc_id, m_score, " +
+        "CAST(CASE WHEN m_score >= 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS keep FROM (SELECT f.doc_id, " +
+        s"CAST($qmScoreSql AS BIGINT) AS m_score " +
+        s"FROM qf f, qw${TextOps.QmEpochs} w)"),
+    "text_quality_model_agreement" ->
+      (s"WITH $QmTrainCtes, sc AS (SELECT f.y, " +
+        s"CAST($qmScoreSql AS BIGINT) AS m_score " +
+        s"FROM qf f, qw${TextOps.QmEpochs} w) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN (m_score >= 0) = (y = 1) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_agree, " +
+        "CAST(SUM(CASE WHEN (m_score >= 0) = (y = 1) THEN 1 ELSE 0 END) " +
+        "* 1000000 // COUNT(*) AS BIGINT) AS agree_ppm FROM sc"),
     // blocklist oracle: the same declared-terms join, per-(doc, term)
     // counts, (c desc, term asc) argmax, integer ppm density
     "wh_pricing_summary" ->

@@ -348,6 +348,40 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("quality model: deterministic Jacobi-LMS fit, sign-consistent serving, memoized, better than majority class") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w1 = TextOps.qualityModelFit(docs)
+    assert(w1.length === TextOps.QmDims)
+    // the fit is memoized: a second consumer reuses the same array
+    val before = TextOps.qmMemoHits.get()
+    val w2 = TextOps.qualityModelFit(docs)
+    assert(w2.toSeq === w1.toSeq)
+    assert(TextOps.qmMemoHits.get() > before)
+    // serving = sign of the literal dot product over the feature map
+    val feats = TextOps.qmFeatures(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((1 to TextOps.QmDims).map(j => r.getLong(j)).toArray, r.getLong(7)))
+      .toMap
+    val scored = TextOps.qualityScored(docs).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val (x, _) = feats(r.getLong(0))
+      val s = (0 until TextOps.QmDims).map(j => w1(j) * x(j)).sum
+      assert(r.getLong(1) === s)
+      assert(r.getLong(2) === (if (s >= 0) 1L else 0L))
+    }
+    // the honesty gate's agreement beats the majority class — the
+    // trained filter actually learned the label structure (a
+    // degenerate all-keep/all-reject fit fails here)
+    val ag = TextOps.qualityModelAgreement(docs).collect()(0)
+    val n = ag.getLong(0)
+    val labelPos = feats.values.count(_._2 == 1L).toLong
+    val majority = math.max(labelPos, n - labelPos)
+    assert(ag.getLong(1) > majority,
+      s"agreement ${ag.getLong(1)}/$n does not beat majority $majority")
+    assert(ag.getLong(2) === ag.getLong(1) * 1000000L / n)
+  }
+
   test("bm25IndexDirs memo: the five stored-tier gates share ONE index build per session") {
     val d = "/root/testdata/sf0.001"
     val first = SparkEntry.bm25IndexDirs(spark, d)
