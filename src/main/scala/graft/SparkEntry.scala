@@ -837,6 +837,21 @@ object SparkEntry {
     "text_quota" -> ((s, d) =>
       TextOps.quotaSample(Tables.table(s, d, "documents"))
         .orderBy("lang", "rank")),
+    // DOMAIN-LEVEL GOVERNANCE: URL normalization (scheme/userinfo/
+    // port/path stripped, lowercased, www-dropped) over the messy-URL
+    // fixture, then the per-host accounting rollup — the C4-style
+    // per-domain budget relation
+    "text_domain_rollup" -> ((s, d) =>
+      TextOps.domainRollup(TextOps.withFixtureUrl(
+          Tables.table(s, d, "documents")))
+        .orderBy("host")),
+    // per-host quality quota through the bounded TopKPerKey heap — no
+    // window over a domain-sized partition, so a giant domain costs
+    // k heap slots, not a spill
+    "text_domain_quota" -> ((s, d) =>
+      TextOps.domainQuota(TextOps.withFixtureUrl(
+          Tables.table(s, d, "documents")))
+        .orderBy("host", "rank")),
     "text_mix" -> ((s, d) =>
       TextOps.mixCorpus(Tables.table(s, d, "documents"), MixPpm)
         .orderBy("doc_id", "epoch")),
@@ -2670,6 +2685,29 @@ object SparkEntry {
     */
   private def qmScoreSql: String =
     (0 until TextOps.QmDims).map(j => s"w.w$j * f.x$j").mkString(" + ")
+
+  /** The domain-governance CTE prefix: the messy-URL fixture
+    * (`TextOps.withFixtureUrl` restated) and the anchored-regex host
+    * normalization (`TextOps.urlHost` restated — every pattern
+    * matches at most once at position 0, so Spark replace-all and
+    * DuckDB replace-first coincide). Exposes `h(doc_id, lang, text,
+    * host)`.
+    */
+  private lazy val DomainHostCtes: String =
+    "uf AS (SELECT doc_id, lang, text, source, " +
+      "CASE WHEN length(source) % 2 = 0 THEN '.example.com' " +
+      "ELSE '.dataset.org' END AS sfx FROM documents), " +
+      "u AS (SELECT doc_id, lang, text, CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 0 THEN 'https://www.' || source || sfx || '/page/' || " +
+      "CAST(doc_id AS VARCHAR) " +
+      "WHEN 1 THEN 'http://' || source || upper(sfx) || ':8080/x?q=' || " +
+      "CAST(doc_id AS VARCHAR) " +
+      "WHEN 2 THEN 'HTTPS://user:pw@' || upper(source) || sfx || '/' " +
+      "ELSE '//' || source || sfx END AS url FROM uf), " +
+      "h AS (SELECT doc_id, lang, text, " +
+      "regexp_replace(lower(regexp_extract(regexp_replace(" +
+      "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://|^//', ''), " +
+      "'^[^/?#]*@', ''), '^[^:/?#]+', 0)), '^www\\.', '') AS host FROM u)"
 
   /** docs_profile/events_profile oracle builder: one UNION ALL branch
     * per column. `numExpr` = Some(numeric view) for numeric/timestamp
@@ -4672,6 +4710,27 @@ object SparkEntry {
         "AS keep FROM (SELECT f.doc_id, " +
         s"CAST($qmScoreSql AS BIGINT) AS m_score " +
         s"FROM qf f, qw${TextOps.QmEpochs} w)"),
+    "text_domain_rollup" ->
+      (s"WITH $DomainHostCtes " +
+        "SELECT host, regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) " +
+        "AS total_tokens, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs " +
+        "FROM h GROUP BY host"),
+    "text_domain_quota" ->
+      (s"WITH $DomainHostCtes, " +
+        "b AS (SELECT doc_id, host, " +
+        "len(regexp_extract_all(text, '\\S+')) AS nt, " +
+        "len(regexp_extract_all(text, '\\S')) AS ns, " +
+        "len(regexp_extract_all(text, " +
+        s"'${graft.functions.TextFunctions.StopwordsRe}')) AS st FROM h), " +
+        s"s2 AS (SELECT doc_id, host, $QualitySqlExpr AS quality FROM b), " +
+        "r AS (SELECT doc_id, host, quality, row_number() OVER " +
+        "(PARTITION BY host ORDER BY quality DESC, doc_id ASC) AS rnk " +
+        "FROM s2) " +
+        "SELECT doc_id, host, quality, CAST(rnk AS BIGINT) AS \"rank\" " +
+        s"FROM r WHERE rnk <= ${TextOps.DomainQuotaK}"),
     "text_quality_model_agreement" ->
       (s"WITH $QmTrainCtes, sc AS (SELECT f.y, " +
         s"CAST($qmScoreSql AS BIGINT) AS m_score " +

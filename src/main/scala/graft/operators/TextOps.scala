@@ -968,14 +968,94 @@ object TextOps {
       Seq(col("quality").desc, col("doc_id").asc), perLang)
   }
 
-  /** Exact decile (or any `buckets`-ile) statistics over per-doc token
-    * counts: global rank by (n_tokens, doc_id) via range partition +
-    * per-partition counts + a driver-side scan-left of offsets — the
-    * same two-pass distributed rank packSequences uses, NEVER a
-    * single-partition global window. Bucket of rank r (1-based) is
-    * ⌊(r−1)·buckets/N⌋; all outputs are integers (min/max/sum of
-    * longs), so the oracle comparison is exact.
+  /** Per-host quota width for `domainQuota`. Same constant MUST
+    * appear in the oracle SQL.
     */
+  val DomainQuotaK = 5
+
+  /** URL → NORMALIZED HOST: strip the scheme (or a protocol-relative
+    * `//`), userinfo, port, path, query and fragment; lowercase; drop
+    * a leading `www.`. Pure anchored-regex composition — every
+    * pattern matches at most once at position 0, so Spark's
+    * replace-all and DuckDB's replace-first semantics coincide, and
+    * the whole chain stays one codegen'd map expression (the C4 /
+    * RefinedWeb governance unit: quotas, dedup budgets and quality
+    * rollups key on the host, not the raw URL string).
+    */
+  def urlHost(url: Column): Column = {
+    val noScheme =
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://|^//", "")
+    val noUser = regexp_replace(noScheme, "^[^/?#]*@", "")
+    val host = regexp_extract(noUser, "^[^:/?#]+", 0)
+    regexp_replace(lower(host), "^www\\.", "")
+  }
+
+  /** Host → REGISTRABLE DOMAIN, the last-two-labels heuristic ("
+    * example.com" of "a.b.example.com"). A production pipeline loads
+    * the Public Suffix List for multi-label suffixes (co.uk); the
+    * heuristic is the standard PSL-free approximation and keeps the
+    * operator a single codegen'd regex.
+    */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "[^.]+\\.[^.]+$", 0)
+
+  /** The deterministic MESSY-URL fixture the domain-governance gates
+    * exercise normalization with (the docs_scd2 fixture discipline —
+    * the testdata's `source` column is a flat label, so the gate
+    * constructs the URL forms a crawl actually contains: scheme
+    * casing, `www.`, userinfo, ports, paths, queries,
+    * protocol-relative). Every variant of one source normalizes to
+    * the SAME host, which is exactly the property a host rollup needs
+    * and a raw-string groupBy gets wrong. Two TLD families keyed by
+    * the source label's length give the registrable-domain level
+    * something to collapse.
+    */
+  private[graft] def withFixtureUrl(docs: DataFrame): DataFrame =
+    docs.withColumn("sfx",
+        when(length(col("source")) % 2 === 0, lit(".example.com"))
+          .otherwise(lit(".dataset.org")))
+      .withColumn("url",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"), col("sfx"),
+            lit("/page/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("source"), upper(col("sfx")),
+            lit(":8080/x?q="), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://user:pw@"), upper(col("source")),
+            col("sfx"), lit("/")))
+        .otherwise(concat(lit("//"), col("source"), col("sfx"))))
+      .drop("sfx")
+
+  /** PER-HOST GOVERNANCE ROLLUP over a url column: normalized host,
+    * its registrable domain, doc count, total tokens, distinct
+    * languages — the per-domain budget/monitoring relation (C4's
+    * per-domain accounting). One map stage (host extraction) + one
+    * partial-agg'd groupBy(host); a hot domain is just a hot
+    * aggregation key, combiner-bounded, never a buffered window.
+    */
+  def domainRollup(docs: DataFrame): DataFrame =
+    docs.select(urlHost(col("url")).as("host"), col("lang"),
+        token_count(col("text")).cast("long").as("nt"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("host"), registrableDomain(col("host")).as("domain"),
+        col("n_docs"), col("total_tokens"), col("n_langs"))
+
+  /** PER-HOST QUALITY QUOTA: the `perHost` highest-quality docs per
+    * normalized host (the per-domain cap every crawl-mixing recipe
+    * applies so one giant domain cannot dominate the corpus).
+    * Shuffles once on host into the bounded TopKPerKey heap — per the
+    * `quotaSample` argument, NO window over a domain-sized partition,
+    * so the hottest domain costs `perHost` heap slots, not a spill.
+    */
+  def domainQuota(docs: DataFrame,
+      perHost: Int = DomainQuotaK): DataFrame =
+    quotaSample(docs.withColumn("host", urlHost(col("url"))),
+      perHost, keyCol = "host")
+
   /** Shard count for the `text_shards` gate. Same constant MUST
     * appear in the oracle SQL.
     */
@@ -1040,6 +1120,14 @@ object TextOps {
         (col("grank") - col("start") + 1L).as("pos"))
   }
 
+  /** Exact decile (or any `buckets`-ile) statistics over per-doc token
+    * counts: global rank by (n_tokens, doc_id) via range partition +
+    * per-partition counts + a driver-side scan-left of offsets — the
+    * same two-pass distributed rank packSequences uses, NEVER a
+    * single-partition global window. Bucket of rank r (1-based) is
+    * ⌊(r−1)·buckets/N⌋; all outputs are integers (min/max/sum of
+    * longs), so the oracle comparison is exact.
+    */
   def lengthDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

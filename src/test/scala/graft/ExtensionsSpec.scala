@@ -348,6 +348,37 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("urlHost normalizes scheme/userinfo/port/path/case/www; registrableDomain takes the last two labels") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "https://www.Example.COM/a/b?q=1#f" -> "example.com",
+      "http://sub.host.org:8080/path" -> "sub.host.org",
+      "HTTPS://user:pw@API.Site.NET/" -> "api.site.net",
+      "//cdn.thing.io" -> "cdn.thing.io",
+      "ftp://files.example.com/pub" -> "files.example.com",
+      "www.bare.example.com/no-scheme" -> "bare.example.com",
+      "host.only" -> "host.only",
+      "" -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextOps.urlHost(col("url")).as("host"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) === want, s"urlHost($u)") }
+    val dom = Seq("a.b.example.com", "example.com", "single", "")
+      .toDF("h").select(TextOps.registrableDomain(col("h")))
+      .collect().map(_.getString(0))
+    assert(dom.toSeq === Seq("example.com", "example.com", "", ""))
+    // the fixture's four URL variants of one source all normalize to
+    // ONE host — the property the rollup groupBy depends on
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hosts = TextOps.withFixtureUrl(docs)
+      .select(col("source"), TextOps.urlHost(col("url")).as("host"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1))
+    assert(hosts.groupBy(_._1).forall(_._2.length == 1),
+      "a source mapped to more than one normalized host")
+  }
+
   test("quality model: deterministic Jacobi-LMS fit, sign-consistent serving, memoized, better than majority class") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w1 = TextOps.qualityModelFit(docs)
