@@ -823,6 +823,28 @@ object SparkEntry {
           docs.filter(col("doc_id") < 10))
         .orderBy("doc_id")
     }),
+    // the REFRESH CYCLE of the decontamination tier: the stored index
+    // was built over 4/5 of the corpus PLUS the probes (an ingest
+    // that accidentally fingerprinted the eval set); one shinglesDelta
+    // pass folds in the remaining fifth AND drops the probe rows —
+    // stored side never re-tokenized (PlanSpec-guarded) — and the
+    // screen over the merged index must hash-match the ONE-SHOT
+    // rebuild (the oracle is text_contamination_indexed's SQL
+    // verbatim: chained ≡ one-shot)
+    "text_contamination_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.table(s, d, "documents")
+      val dir = ivfTmpDir(s, d, "shingle_inc_idx")
+      TextOps.docShingles(docs.filter(col("doc_id") < 10 ||
+          col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      val merged = TextOps.shinglesDelta(s.read.parquet(dir),
+        docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") < 10).select("doc_id"))
+      TextOps.contaminationFromIndex(merged,
+          docs.filter(col("doc_id") < 10))
+        .orderBy("doc_id")
+    }),
     "text_contamination_bloom" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       TextOps.contaminationBloom(docs,
@@ -5333,6 +5355,9 @@ object SparkEntry {
     // the stored index is the same relation, read instead of
     // recomputed — same output, same oracle
     "text_contamination_indexed" -> contaminationOracle,
+    // chained ≡ one-shot: the delta-merged index must screen exactly
+    // like a full rebuild, so the oracle is the rebuild SQL verbatim
+    "text_contamination_incremental" -> contaminationOracle,
     "text_pack" ->
       ("WITH t AS (SELECT doc_id, " +
         "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), " +

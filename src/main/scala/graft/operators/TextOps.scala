@@ -755,6 +755,35 @@ object TextOps {
       explode(array_distinct(graft.functions.ShingleHashFunctions
         .shingle_hash(tokens(col("text")), Dedup.ShingleN))).as("h"))
 
+  /** INCREMENTAL maintenance of the decontamination index — the
+    * `postingsDelta` treatment for `docShingles`: fold one refresh
+    * cycle's ADDS (new documents, tokenized here — the only text this
+    * op ever reads) and DROPS (doc_ids leaving the corpus: takedowns,
+    * re-ingests, or an eval set discovered inside the training index)
+    * into the stored `(doc_id, h)` relation. Exact by construction:
+    * shingle rows are per-doc independent, so drop = anti-join,
+    * add = union, and the merged relation IS the one-shot
+    * `docShingles` of the post-cycle corpus (chained ≡ one-shot, the
+    * established law — gated by the rebuild SQL verbatim).
+    *
+    * CONTRACT (the `postingsDelta` discipline): `addBatch` doc_ids
+    * are new to the stored index (a re-ingested doc must appear in
+    * `dropIds` too, or its old shingles double-count).
+    *
+    * Scale shape — O(batch), plan-guarded: the stored index (the
+    * 100 TB side) is scanned map-only past a BROADCAST of the
+    * batch-bounded drop-id set and unioned with the adds' shingles;
+    * no exchange touches the stored rows and no stored text is
+    * re-tokenized (there is none to read — the index is two longs per
+    * shingle).
+    */
+  def shinglesDelta(storedIndex: DataFrame, addBatch: DataFrame,
+      dropIds: DataFrame): DataFrame =
+    storedIndex
+      .join(broadcast(dropIds.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(docShingles(addBatch))
+
   /** Decontamination served from the stored shingle index — only the
     * (tiny) probe side tokenizes; identical output to `contamination`
     * over the same corpus by construction (it IS the same relation,

@@ -348,6 +348,34 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("shinglesDelta: chained ≡ one-shot across add/drop/re-ingest; empty cycle is the identity") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = TextOps.docShingles(
+      docs.filter(col("doc_id") < 10 || col("doc_id") % 5 =!= 0))
+    // adds fold in, drops leave: merged == one-shot over the final corpus
+    val merged = TextOps.shinglesDelta(stored,
+      docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") < 10).select("doc_id"))
+    assert(rows(merged) ===
+      rows(TextOps.docShingles(docs.filter(col("doc_id") >= 10))))
+    // RE-INGEST: a doc whose text changed is dropped and re-added in
+    // one cycle — the merged index carries its NEW shingles only
+    val reIngested = docs.filter(col("doc_id") === 20)
+      .withColumn("text", concat(col("text"), lit(" brand new suffix words")))
+    val cycled = TextOps.shinglesDelta(
+      TextOps.docShingles(docs.filter(col("doc_id") >= 10)),
+      reIngested, reIngested.select("doc_id"))
+    assert(rows(cycled) === rows(TextOps.docShingles(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") =!= 20)
+        .unionByName(reIngested))))
+    // an empty cycle is the identity
+    val empty = docs.filter(lit(false))
+    assert(rows(TextOps.shinglesDelta(stored, empty,
+      empty.select("doc_id"))) === rows(stored))
+  }
+
   test("urlHost normalizes scheme/userinfo/port/path/case/www; registrableDomain takes the last two labels") {
     val s = spark
     import s.implicits._

@@ -146,6 +146,33 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("shinglesDelta: stored rows pass map-only (broadcast anti-join, no exchange); only batch + probe text scans") {
+    val docs = sources.Tables.table(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shingle_delta").toString + "/idx"
+    graft.operators.TextOps.docShingles(
+        docs.filter(col("doc_id") < 10 || col("doc_id") % 5 =!= 0))
+      .write.parquet(dir)
+    val merged = graft.operators.TextOps.shinglesDelta(
+      spark.read.parquet(dir),
+      docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") < 10).select("doc_id"))
+    val plan = graft.operators.TextOps.contaminationFromIndex(merged,
+        docs.filter(col("doc_id") < 10))
+      .queryExecution.executedPlan.toString
+    // exactly two text scans: the add batch and the probes — the
+    // stored index is met only as its slim (doc_id, h) rows
+    assert("text:string".r.findAllIn(plan).size === 2, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,h:bigint>"),
+      plan)
+    // the drop set travels as a broadcast anti-join build side; the
+    // stored rows never enter a hash-partitioned exchange before the
+    // (hit-sized) count aggregation
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("contamination broadcasts the probe side; the corpus is never shuffled wide") {
     val docs = sources.Tables.table(spark, sf, "documents")
     val plan = operators.TextOps.contamination(docs,
