@@ -2698,6 +2698,19 @@ object Similarity {
     * in-session serving and a parquet round-trip see bit-identical
     * centroids; float arrays round-trip parquet exactly).
     *
+    * TRAIN/SERVE METRIC NOTE: training minimizes SQUARED-L2 over the
+    * raw (unnormalized) ppm-quantized sample — truncating-integer
+    * Lloyd, the form an unrolled SQL oracle can state exactly — while
+    * IVF assignment and probing rank by MAX COSINE. This is a
+    * deliberate mismatch, not an oversight: a spherical (cosine)
+    * k-means would need normalization and a float objective the
+    * integer-exact oracle discipline can't mirror, and FAISS itself
+    * ships L2-trained coarse quantizers behind inner-product serving.
+    * The cost is priced, not assumed: every trained tier has its own
+    * oracled recall gate (knn_ivf_trained_recall and friends), which
+    * is where a drift from the metric gap would surface — keep those
+    * thresholds under watch if the corpus distribution changes.
+    *
     * ORACLE-EXACT BY CONSTRUCTION: every round quantizes nothing new —
     * points enter ppm fixed point ONCE (⌊x·1e6⌋, the `lloydStep`
     * grain), assignment is an integer squared-L2 argmin (tie → lower
