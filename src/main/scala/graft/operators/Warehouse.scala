@@ -356,10 +356,22 @@ object Warehouse {
   private def bucketTableAt(spark: org.apache.spark.sql.SparkSession,
       table: String, expectedDir: String): Boolean =
     spark.catalog.tableExists(table) && {
+      // the session caches the table's file index — refresh first, or
+      // data moved out from under the entry is served from the stale
+      // listing instead of detected
+      spark.catalog.refreshTable(table)
       val want = new java.io.File(expectedDir).getAbsolutePath
       val files = spark.table(table).inputFiles
-      files.nonEmpty && files.forall(f =>
-        f.stripPrefix("file:").startsWith(want))
+      // inputFiles are URIs (file:///tmp/...) — compare PATHS, not
+      // prefixes of the raw string (a bare stripPrefix("file:") left
+      // the `//` authority marker and failed every compare, silently
+      // rewriting the tables on each call)
+      files.nonEmpty && files.forall { f =>
+        val p = try new java.net.URI(f).getPath catch {
+          case _: java.net.URISyntaxException => f
+        }
+        p != null && p.startsWith(want)
+      }
     }
 
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,

@@ -615,6 +615,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ensureBucketed: a second call reuses the written tables (no rewrite); a stale entry pointing elsewhere is rebuilt") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_reuse").toString
+    val orders = sources.Tables.table(spark, sf, "orders")
+    val lineitem = sources.Tables.table(spark, sf, "lineitem")
+    graft.operators.Warehouse.ensureBucketed(spark, dir, orders, lineitem)
+    def partFiles(sub: String): Set[String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    val before = (partFiles("orders"), partFiles("lineitem"))
+    // part-file names carry a write-UUID: identical sets == no rewrite
+    // (the file:// URI-vs-path compare bug silently rewrote here)
+    graft.operators.Warehouse.ensureBucketed(spark, dir, orders, lineitem)
+    assert((partFiles("orders"), partFiles("lineitem")) === before,
+      "second ensureBucketed rewrote the bucketed tables")
+    // stale catalog entry: the data moves out from under the table —
+    // the location check must notice and rebuild rather than serve it
+    val ordersDir = new java.io.File(s"$dir/orders")
+    val moved = new java.io.File(s"$dir/orders_moved")
+    assert(ordersDir.renameTo(moved))
+    try {
+      graft.operators.Warehouse.ensureBucketed(spark, dir, orders, lineitem)
+      assert(partFiles("orders").nonEmpty,
+        "stale entry was not rebuilt at the expected location")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(moved)
+    }
+  }
+
   test("wh_rollup: grouping sets run through ONE Expand pass — no self-union of re-scans") {
     val plan = executedPlan("wh_rollup")
     assert(plan.contains("Expand"), plan)
