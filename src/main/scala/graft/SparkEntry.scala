@@ -636,10 +636,24 @@ object SparkEntry {
     "text_quality_scored" -> ((s, d) =>
       TextOps.qualityScored(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
+    // the STORED-MODEL tier: the fitted weights round-trip parquet and
+    // serving derives the same literal projection from the loaded
+    // longs — byte-identical to in-session (shared oracle)
+    "text_quality_scored_stored" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val dir = ivfTmpDir(s, d, "quality_model")
+      TextOps.qualityModel(docs).write.mode("overwrite").parquet(dir)
+      TextOps.qualityScoredFromStored(s.read.parquet(dir), docs)
+        .orderBy("doc_id")
+    }),
     // honesty gate: full-corpus agreement of the trained filter with
     // its label rule — the distillation quality, priced in integers
     "text_quality_model_agreement" -> ((s, d) =>
       TextOps.qualityModelAgreement(Tables.table(s, d, "documents"))),
+    // the two error modes a curation budget actually prices — junk
+    // kept (fp) and good docs lost (fn) — each an oracled integer
+    "text_quality_model_confusion" -> ((s, d) =>
+      TextOps.qualityModelConfusion(Tables.table(s, d, "documents"))),
     "text_langid" -> ((s, d) =>
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
     // C4-style blocklist admission: per-doc blocked-token DENSITY
@@ -4732,6 +4746,28 @@ object SparkEntry {
         "AS keep FROM (SELECT f.doc_id, " +
         s"CAST($qmScoreSql AS BIGINT) AS m_score " +
         s"FROM qf f, qw${TextOps.QmEpochs} w)"),
+    // stored-serve ≡ in-session is byte-identical by construction
+    // (integer weights round-trip parquet exactly) — shared oracle
+    "text_quality_scored_stored" ->
+      (s"WITH $QmTrainCtes SELECT doc_id, m_score, " +
+        "CAST(CASE WHEN m_score >= 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS keep FROM (SELECT f.doc_id, " +
+        s"CAST($qmScoreSql AS BIGINT) AS m_score " +
+        s"FROM qf f, qw${TextOps.QmEpochs} w)"),
+    "text_quality_model_confusion" ->
+      (s"WITH $QmTrainCtes, sc AS (SELECT f.y, " +
+        s"CAST($qmScoreSql AS BIGINT) AS m_score " +
+        s"FROM qf f, qw${TextOps.QmEpochs} w), " +
+        "cm AS (SELECT " +
+        "CAST(SUM(CASE WHEN m_score >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN m_score >= 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN m_score < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN m_score < 0 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM sc) " +
+        "SELECT tp, fp, fn, tn, " +
+        "CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) " +
+        "END AS BIGINT) AS precision_ppm, " +
+        "CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) " +
+        "END AS BIGINT) AS recall_ppm FROM cm"),
     "text_domain_rollup" ->
       (s"WITH $DomainHostCtes " +
         "SELECT host, regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain, " +

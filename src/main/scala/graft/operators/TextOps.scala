@@ -206,6 +206,35 @@ object TextOps {
         "CAST(CASE WHEN m_score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep")
   }
 
+  /** SERVE FROM THE STORED MODEL — the train-once/serve-many tier:
+    * the weight relation (`qualityModel`'s `(dim, w)` rows) round-
+    * trips parquet and serving derives the SAME literal-coefficient
+    * projection from the loaded longs, so stored-serve is
+    * byte-identical to in-session serving (integer weights round-trip
+    * parquet exactly; gate shares `text_quality_scored`'s oracle
+    * verbatim). The collect is QmDims rows — a driver literal by
+    * construction. Raises loudly on a width mismatch (a model stored
+    * at a different feature count cannot score this projection).
+    */
+  def qualityScoredFromStored(storedModel: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val rows = storedModel.select("dim", "w").collect()
+    require(rows.length == QmDims,
+      s"stored quality model has ${rows.length} weights; this engine's " +
+        s"feature projection is $QmDims-dimensional — refit the model")
+    val w = new Array[Long](QmDims)
+    rows.foreach { r =>
+      val j = r.getLong(0)
+      require(j >= 0 && j < QmDims, s"stored weight dim $j out of range")
+      w(j.toInt) = r.getLong(1)
+    }
+    qmFeatures(docs).selectExpr("doc_id",
+      (0 until QmDims).map(j => s"${w(j)}L * x$j").mkString(" + ") +
+        " AS m_score")
+      .selectExpr("doc_id", "m_score",
+        "CAST(CASE WHEN m_score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep")
+  }
+
   /** HONESTY GATE for the trained filter: agreement of the model's
     * keep decision with the label rule over the FULL corpus (the
     * sample trained it; the corpus judges it) — `(n_docs, n_agree,
@@ -223,6 +252,36 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("agree").as("n_agree"))
       .selectExpr("n_docs", "n_agree",
         "n_agree * 1000000 div n_docs AS agree_ppm")
+  }
+
+  /** The trained filter's CONFUSION MATRIX over the full corpus —
+    * `(tp, fp, fn, tn, precision_ppm, recall_ppm)`, all integers:
+    * agreement alone can hide a filter that buys its accuracy on one
+    * side (keeping every borderline doc, say), so the two error modes
+    * a curation pipeline actually budgets — junk kept (fp) and good
+    * docs lost (fn) — are each their own oracled number. Positive =
+    * keep (m_score ≥ 0 vs label +1); ratios in ppm with the usual
+    * truncating div, 0 when the denominator is empty.
+    */
+  def qualityModelConfusion(docs: DataFrame): DataFrame = {
+    val w = qualityModelFit(docs)
+    qmFeatures(docs).selectExpr("y",
+      (0 until QmDims).map(j => s"${w(j)}L * x$j").mkString(" + ") +
+        " AS m_score")
+      .selectExpr(
+        "CAST(CASE WHEN m_score >= 0 AND y = 1 THEN 1 ELSE 0 END AS BIGINT) AS tp",
+        "CAST(CASE WHEN m_score >= 0 AND y = -1 THEN 1 ELSE 0 END AS BIGINT) AS fp",
+        "CAST(CASE WHEN m_score < 0 AND y = 1 THEN 1 ELSE 0 END AS BIGINT) AS fn",
+        "CAST(CASE WHEN m_score < 0 AND y = -1 THEN 1 ELSE 0 END AS BIGINT) AS tn")
+      .agg(coalesce(sum("tp"), lit(0L)).as("tp"),
+        coalesce(sum("fp"), lit(0L)).as("fp"),
+        coalesce(sum("fn"), lit(0L)).as("fn"),
+        coalesce(sum("tn"), lit(0L)).as("tn"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) " +
+          "END AS precision_ppm",
+        "CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) " +
+          "END AS recall_ppm")
   }
 
   /** Heuristic language ID (marker-word argmax; deterministic

@@ -439,6 +439,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(ag.getLong(1) > majority,
       s"agreement ${ag.getLong(1)}/$n does not beat majority $majority")
     assert(ag.getLong(2) === ag.getLong(1) * 1000000L / n)
+    // confusion ties out: tp+fp+fn+tn == n and tp+tn == n_agree
+    val cm = TextOps.qualityModelConfusion(docs).collect()(0)
+    assert((0 to 3).map(cm.getLong).sum === n)
+    assert(cm.getLong(0) + cm.getLong(3) === ag.getLong(1))
+    // stored-serve ≡ in-session, through a parquet round-trip
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qm_stored").toString + "/m"
+    TextOps.qualityModel(docs).write.parquet(dir)
+    assert(TextOps.qualityScoredFromStored(spark.read.parquet(dir), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === scored.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // a model stored at a different width refuses loudly
+    val s2 = spark
+    import s2.implicits._
+    val narrow = Seq((0L, 1L), (1L, 2L)).toDF("dim", "w")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.qualityScoredFromStored(narrow, docs)
+    }
+    assert(ex.getMessage.contains("refit"), ex.getMessage)
   }
 
   test("bm25IndexDirs memo: the five stored-tier gates share ONE index build per session") {
