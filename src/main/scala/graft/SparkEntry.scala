@@ -1771,6 +1771,32 @@ object SparkEntry {
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
+    // SPHERICAL training variant: normalize-then-quantize sample,
+    // renormalized integer means — the training objective matches the
+    // cosine serving metric (closes the documented L2-train gap);
+    // oracled end to end like the L2-trained tier
+    "knn_ivf_spherical" -> ((s, d) =>
+      Similarity.knnIvfSphericalTrained(Tables.table(s, d, "embeddings"))
+        .orderBy("query_id", "rank")),
+    // the spherically-fitted artifact, hash-checked directly
+    "knn_ivf_spherical_centroids" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, floor, posexplode}
+      Similarity.sphericalCentroidsOf(Tables.table(s, d, "embeddings"))
+        .select(col("cent_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cent_id"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") *
+            org.apache.spark.sql.functions.lit(1000000.0))
+            .cast("long").as("c_fp"))
+        .orderBy("cent_id", "dim")
+    }),
+    // honesty gate: recall of the spherically-trained serve vs the
+    // exact ranking — priced next to the L2-trained tier's
+    "knn_ivf_spherical_recall" -> ((s, d) => {
+      val emb = Tables.table(s, d, "embeddings")
+      Similarity.recallAtK(Similarity.knnIvfSphericalTrained(emb),
+        Similarity.knnBrute(emb))
+    }),
     // the train-once/serve-many form: fitted centroids round-trip disk
     // as a relation (centroidsOf → parquet → knnIvfFromStored) INSIDE
     // the query — the store/reload/fingerprint machinery is what this
@@ -3621,6 +3647,41 @@ object SparkEntry {
     * arithmetic step bit-identical to the driver loop because every
     * value is a BIGINT.
     */
+  /** The SPHERICAL Lloyd rounds — `lloydRoundsCtes` with the renorm
+    * m-step: integer truncating mean `q`, per-centroid norm
+    * `sqrt(Σ q²)` (q² ≤ 10¹², 64-dim sums < 2⁵³ → the double sum is
+    * exact in any order), then `⌊q/‖q‖·1e6⌋` per element — the same
+    * IEEE divide-multiply-floor chain `lloydPpmSpherical` executes.
+    * The all-zero mean (norm 0) carries unrenormalized; empty cells
+    * carry the previous state via the COALESCE, exactly the driver
+    * loop's rule.
+    */
+  private def lloydSphericalRoundsCtes(p: String, smp: String,
+      rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"${p}a$r AS (SELECT pid, grp, cent_id FROM (SELECT s.pid, s.grp, " +
+        "c.cent_id, row_number() OVER (PARTITION BY s.pid, s.grp ORDER BY " +
+        s"${il2Sql("s.qv", "c.cv")} ASC, c.cent_id ASC) AS rn " +
+        s"FROM $smp s JOIN ${p}c${r - 1} c ON c.grp = s.grp) WHERE rn = 1), " +
+        s"${p}x$r AS (SELECT a.grp, a.cent_id, " +
+        "unnest(generate_series(1, len(s.qv))) AS i, s.qv " +
+        s"FROM $smp s JOIN ${p}a$r a ON a.pid = s.pid AND a.grp = s.grp), " +
+        s"${p}mm$r AS (SELECT grp, cent_id, i, " +
+        s"SUM(qv[i]) // COUNT(*) AS q FROM ${p}x$r GROUP BY 1, 2, 3), " +
+        s"${p}nn$r AS (SELECT grp, cent_id, " +
+        "sqrt(SUM(CAST(q AS DOUBLE) * CAST(q AS DOUBLE))) AS nrm " +
+        s"FROM ${p}mm$r GROUP BY 1, 2), " +
+        s"${p}m$r AS (SELECT m.grp, m.cent_id, list(" +
+        "CASE WHEN n.nrm = 0 THEN q ELSE " +
+        "CAST(floor(CAST(q AS DOUBLE) / n.nrm * 1000000.0) AS BIGINT) " +
+        s"END ORDER BY i) AS cv FROM ${p}mm$r m " +
+        s"JOIN ${p}nn$r n ON n.grp = m.grp AND n.cent_id = m.cent_id " +
+        "GROUP BY 1, 2), " +
+        s"${p}c$r AS MATERIALIZED (SELECT c.grp, c.cent_id, " +
+        s"COALESCE(m.cv, c.cv) AS cv FROM ${p}c${r - 1} c " +
+        s"LEFT JOIN ${p}m$r m ON m.grp = c.grp AND m.cent_id = c.cent_id)"
+    }.mkString(", ")
+
   private def lloydRoundsCtes(p: String, smp: String, rounds: Int): String =
     (1 to rounds).map { r =>
       s"${p}a$r AS (SELECT pid, grp, cent_id FROM (SELECT s.pid, s.grp, " +
@@ -3733,6 +3794,65 @@ object SparkEntry {
     */
   private lazy val KnnIvfCentroidsSql: String =
     s"WITH $IvfTrainCtes, " +
+      "cx AS (SELECT cent_id, unnest(generate_series(1, len(c_emb))) " +
+      "AS i, c_emb FROM cn) " +
+      "SELECT cent_id, CAST(i - 1 AS BIGINT) AS dim, " +
+      "CAST(floor(c_emb[i] * 1000000.0) AS BIGINT) AS c_fp FROM cx"
+
+  /** The SPHERICAL trained-IVF training prefix —
+    * `trainCentroidsSpherical` unrolled: the sample is
+    * normalize-then-quantized (x/√n2 in double — n2 is the dotSql
+    * left fold the cosine gates already hash-prove — then the ppm
+    * floor; the zero vector quantizes to zeros), and the rounds
+    * renormalize each integer mean back to the ppm sphere
+    * (`lloydSphericalRoundsCtes`). Ends in the fitted float `cn`.
+    */
+  private lazy val SphericalTrainCtes: String = {
+    val iters = Similarity.IvfLloydIters
+    s"e AS (SELECT vec_id, embedding, " +
+      s"${dotSql("embedding", "embedding")} AS n2 FROM embeddings), " +
+      s"kk AS (SELECT LEAST(${Similarity.IvfMaxCells}, GREATEST(1, " +
+      "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k FROM e), " +
+      "ch AS (SELECT e.*, row_number() OVER (ORDER BY " +
+      s"${phSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS crn FROM e), " +
+      "tsmp AS MATERIALIZED (SELECT crn AS pid, 0 AS grp, " +
+      "CASE WHEN n2 = 0 THEN list_transform(embedding, " +
+      "x -> CAST(0 AS BIGINT)) " +
+      "ELSE list_transform(embedding, x -> CAST(floor(" +
+      "x::DOUBLE / sqrt(n2) * 1000000.0) AS BIGINT)) END AS qv " +
+      "FROM ch, kk " +
+      s"WHERE crn <= GREATEST(k, ${Similarity.IvfTrainSampleCap})), " +
+      "tc0 AS MATERIALIZED (SELECT grp, pid - 1 AS cent_id, qv AS cv " +
+      "FROM tsmp, kk WHERE pid <= k), " +
+      lloydSphericalRoundsCtes("t", "tsmp", iters) + ", " +
+      s"ctr AS MATERIALIZED (SELECT cent_id, list_transform(cv, " +
+      "m -> CAST(CAST(CAST(m AS DOUBLE) / 1000000.0 AS REAL) AS DOUBLE)) " +
+      s"AS c_emb FROM tc$iters), " +
+      "cn AS MATERIALIZED (SELECT cent_id, c_emb, " +
+      s"${dotSql("c_emb", "c_emb")} AS c_n2 FROM ctr)"
+  }
+
+  /** knn_ivf_spherical oracle — the spherical train prefix feeding
+    * the shared two-level serve tail and the trained-IVF scoring
+    * tail.
+    */
+  private lazy val KnnIvfSphericalSql: String =
+    s"WITH $SphericalTrainCtes, ${ivfServeTailCtes("cn")}, " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) " +
+      "AS cosine FROM assigned a JOIN probes p ON a.cell = p.cell " +
+      "JOIN q ON q.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) " +
+      "AS rnk FROM scored) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", neighbor_id, " +
+      s"cosine FROM r WHERE rnk <= ${Similarity.DefaultK}"
+
+  /** knn_ivf_spherical_centroids oracle — the spherically-fitted
+    * artifact in floored micro-units (the KnnIvfCentroidsSql form).
+    */
+  private lazy val KnnIvfSphericalCentroidsSql: String =
+    s"WITH $SphericalTrainCtes, " +
       "cx AS (SELECT cent_id, unnest(generate_series(1, len(c_emb))) " +
       "AS i, c_emb FROM cn) " +
       "SELECT cent_id, CAST(i - 1 AS BIGINT) AS dim, " +
@@ -6198,6 +6318,9 @@ object SparkEntry {
     "knn_pq_stored" -> KnnPqTrainedSql,
     "knn_pq_codes" -> KnnPqTrainedSql,
     "knn_ivf_trained" -> KnnIvfTrainedSql,
+    "knn_ivf_spherical" -> KnnIvfSphericalSql,
+    "knn_ivf_spherical_centroids" -> KnnIvfSphericalCentroidsSql,
+    "knn_ivf_spherical_recall" -> recallSql(KnnBruteSql, KnnIvfSphericalSql),
     "knn_ivf_stored" -> KnnIvfTrainedSql,
     "knn_ivf_pruned" -> KnnIvfTrainedSql,
     "knn_ivf_assign" -> KnnIvfAssignSql,

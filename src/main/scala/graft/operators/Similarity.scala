@@ -2810,6 +2810,160 @@ object Similarity {
     cents
   }
 
+  /** SPHERICAL (cosine) k-means training — the companion to
+    * `trainCentroids` that closes its documented train/serve metric
+    * gap: sample vectors are L2-NORMALIZED before ppm quantization
+    * and centroids are RENORMALIZED after every integer-mean update,
+    * so the training objective lives on the unit sphere the cosine
+    * serving path actually ranks in (spherical k-means, Dhillon &
+    * Modha 2001 — the metric FAISS's inner-product coarse quantizers
+    * train with when vectors are normalized).
+    *
+    * Still ORACLE-EXACT, with doubles allowed only where IEEE
+    * determinism holds cross-engine: the normalization denominators
+    * are sequential LEFT FOLDS (matching DuckDB `list_reduce` — the
+    * same order the cosine gates already hash-prove), centroid norms
+    * sum SQUARES OF PPM INTEGERS (each ≤ 10¹², 64-dim sums < 2⁵³ —
+    * exact in double in ANY order), sqrt and the single
+    * divide-multiply chain are correctly-rounded IEEE ops both
+    * engines execute identically, and floor lands back in integer
+    * ppm. Assignment stays the integer squared-L2 argmin of
+    * `lloydPpm` — on renormalized (≈ unit-ppm) centroids that is the
+    * cosine argmax up to the quantization grain, and it is the form
+    * the unrolled CTE oracle states exactly. Empty cells carry their
+    * previous ppm state UNCHANGED (no re-renormalization — the
+    * `lloydPpm` carry rule, mirrored by the oracle's COALESCE).
+    */
+  private def trainCentroidsSpherical(emb: DataFrame, nCells: Int,
+      corpusSize: Long, lloydIters: Int,
+      sampleCap: Int): Array[Array[Float]] = {
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    val cells =
+      if (nCells > 0) nCells
+      else ivfCells(if (corpusSize >= 0L) corpusSize else emb.count())
+    val cap = math.max(cells, sampleCap)
+    val sampleRows = emb
+      .withColumn("ch", poly_hash(col("vec_id").cast("string")))
+      .orderBy(col("ch"), col("vec_id"))
+      .limit(cap)
+      .select(col("embedding"))
+      .collect()
+    if (sampleRows.isEmpty) return Array.empty
+    val ptsF = sampleRows.map(
+      _.getSeq[Number](0).map(_.floatValue()).toArray)
+    // normalize-then-quantize: u = x/‖x‖ in double (left fold, the
+    // dotSql order), q = ⌊u·1e6⌋; the zero vector quantizes to zeros
+    val q = ptsF.map { v =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble; acc += d * d; i += 1
+      }
+      if (acc == 0.0) v.map(_ => 0L)
+      else {
+        val nrm = math.sqrt(acc)
+        v.map(f => math.floor(
+          f.toDouble / nrm * CentroidQuantPpm.toDouble).toLong)
+      }
+    }
+    if (lloydIters == 0)
+      return q.take(math.min(cells, q.length))
+        .map(_.map(m => (m.toDouble / CentroidQuantPpm.toDouble).toFloat))
+    lloydPpmSpherical(q, q.take(math.min(cells, q.length)).map(_.clone()),
+        lloydIters)
+      .map(_.map(m => (m.toDouble / CentroidQuantPpm.toDouble).toFloat))
+  }
+
+  /** `lloydPpm` with the spherical m-step: integer truncating mean,
+    * then renormalize to ppm scale — c'_i = ⌊m_i/‖m‖ · 1e6⌋ with ‖m‖
+    * the exact-in-double root of the integer square sum. Empty cells
+    * (and the all-zero mean) carry unchanged.
+    */
+  private def lloydPpmSpherical(points: Array[Array[Long]],
+      init: Array[Array[Long]], iters: Int): Array[Array[Long]] = {
+    if (init.isEmpty || points.isEmpty) return init.map(_.clone())
+    val dim = points(0).length
+    var cents = init.map(_.clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      val cur = cents
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { p =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var j = 0
+          while (j < cur.length) {
+            var d = 0L
+            var i = 0
+            while (i < dim) {
+              val t = points(p)(i) - cur(j)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          assign(p) = best
+        }
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      var p = 0
+      while (p < points.length) {
+        val tgt = sums(assign(p))
+        var i = 0
+        while (i < dim) { tgt(i) += points(p)(i); i += 1 }
+        counts(assign(p)) += 1
+        p += 1
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0L) cents(j)
+        else {
+          val mean = sums(j).map(_ / counts(j))
+          var acc = 0.0
+          var i = 0
+          while (i < dim) {
+            val d = mean(i).toDouble; acc += d * d; i += 1
+          }
+          if (acc == 0.0) mean
+          else {
+            val nrm = math.sqrt(acc)
+            mean.map(m => math.floor(
+              m.toDouble / nrm * CentroidQuantPpm.toDouble).toLong)
+          }
+        }
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Spherically-trained IVF serving — the same cosine kernel as
+    * `knnIvfTrained`, fed centroids whose training objective matches
+    * the serving metric. The recall gate prices the difference
+    * against the exact ranking next to the L2-trained tier's.
+    */
+  def knnIvfSphericalTrained(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, nProbe: Int = IvfNProbe,
+      nCells: Int = 0, corpusSize: Long = -1L,
+      lloydIters: Int = IvfLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame =
+    topK(serveFromCentroidArrays(emb,
+      trainCentroidsSpherical(emb, nCells, corpusSize, lloydIters,
+        sampleCap), nQueries, nProbe), k)
+
+  /** The spherically-fitted ARTIFACT as a relation (`cent_id`,
+    * `embedding`) — the artifact-gate twin of `centroidsOf`.
+    */
+  def sphericalCentroidsOf(emb: DataFrame, nCells: Int = 0,
+      corpusSize: Long = -1L, lloydIters: Int = IvfLloydIters,
+      sampleCap: Int = IvfTrainSampleCap): DataFrame = {
+    val cents = trainCentroidsSpherical(emb, nCells, corpusSize,
+      lloydIters, sampleCap)
+    val s = emb.sparkSession
+    import s.implicits._
+    cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cent_id", "embedding")
+  }
+
   /** Serve the IVF index from an in-memory FLOAT centroid array
     * (trained this session or reloaded from the stored relation):
     * cent_id = array index, every derived quantity computed from the

@@ -1059,6 +1059,15 @@ class ExtensionsSpec extends SparkSpec {
       s"trained candidates $candT vs untrained $candU")
     // sanity that the comparison is non-degenerate
     assert(rT >= 0.5, s"trained recall unexpectedly low: $rT")
+    // the SPHERICAL variant: deterministic, and its cosine-matched
+    // objective must hold the clustered-corpus recall bar too
+    val spherical = pairs(
+      Similarity.knnIvfSphericalTrained(emb, corpusSize = 2000L))
+    assert(spherical === pairs(
+      Similarity.knnIvfSphericalTrained(emb, corpusSize = 2000L)))
+    val rS = recallOf(spherical)
+    assert(rS >= rU, s"spherical recall $rS < untrained $rU")
+    assert(rS >= 0.5, s"spherical recall unexpectedly low: $rS")
   }
 
   test("centroidsOf → parquet → knnIvfFromStored ≡ in-session knnIvfTrained") {
