@@ -1159,6 +1159,21 @@ object SparkEntry {
       Dedup.pairSourceMatrix(Dedup.ngramJaccard(docs), docs)
         .orderBy("source_a", "source_b")
     }),
+    // the same governance matrix at HOST granularity — which domains
+    // syndicate which (cross-host near-dups are the boilerplate /
+    // content-syndication signal a crawl budget acts on); hosts from
+    // the normalized messy-URL fixture, pairs from the shared
+    // ngram-Jaccard relation
+    "dedup_cross_domain" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = TextOps.withFixtureUrl(Tables.table(s, d, "documents"))
+        .withColumn("host", TextOps.urlHost(col("url")))
+      Dedup.pairSourceMatrix(Dedup.ngramJaccard(docs), docs,
+          srcCol = "host")
+        .withColumnRenamed("source_a", "host_a")
+        .withColumnRenamed("source_b", "host_b")
+        .orderBy("host_a", "host_b")
+    }),
     "dedup_clusters" -> ((s, d) =>
       Dedup.defaultClusters(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
@@ -5990,6 +6005,15 @@ object SparkEntry {
         "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
         "FROM p JOIN documents sa ON sa.doc_id = p.doc_a " +
         "JOIN documents sb ON sb.doc_id = p.doc_b " +
+        "GROUP BY 1, 2"),
+    "dedup_cross_domain" ->
+      (s"WITH $DomainHostCtes, " +
+        s"p AS (SELECT doc_a, doc_b FROM ($NgramPairsSql) t) " +
+        "SELECT LEAST(ha.host, hb.host) AS host_a, " +
+        "GREATEST(ha.host, hb.host) AS host_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM p JOIN h ha ON ha.doc_id = p.doc_a " +
+        "JOIN h hb ON hb.doc_id = p.doc_b " +
         "GROUP BY 1, 2"),
     "dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM " +
