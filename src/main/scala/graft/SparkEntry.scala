@@ -466,7 +466,7 @@ object SparkEntry {
       val seeds = e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v")))
         .filter(col("v") < HopSeedMax).distinct()
-      GraphOps.randomWalks(e, seeds).orderBy("walk_id", "step")
+      GraphOps.randomWalksShared(e, seeds).orderBy("walk_id", "step")
     }),
     // weight-proportional walks: heavy edges are walked ∝ multiplicity
     // via deterministic cumulative-range selection
@@ -486,7 +486,7 @@ object SparkEntry {
       val seeds = e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v")))
         .filter(col("v") < HopSeedMax).distinct()
-      GraphOps.walkPairs(GraphOps.randomWalks(e, seeds))
+      GraphOps.walkPairs(GraphOps.randomWalksShared(e, seeds))
         .orderBy("center", "context")
     }),
     // weighted SSSP: min path WEIGHT (edge multiplicity) over paths of

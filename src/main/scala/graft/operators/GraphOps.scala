@@ -2120,6 +2120,31 @@ object GraphOps {
     frames.reduce(_.unionByName(_)).select("walk_id", "step", "vertex")
   }
 
+  /** Dual-slot memo of the walk relation — `graph_walks` and
+    * `graph_walk_pairs` (the DeepWalk corpus and its skip-gram
+    * consumer) build the IDENTICAL walk table back to back, and the
+    * artifact is walks × (len+1) rows of three longs — tiny relative
+    * to its 16-checkpoint build chain (the memo discipline's easy
+    * case). Keyed by the canonicalized plan of `e0 CROSS JOIN
+    * sources` — a never-executed plan object whose canonical form
+    * carries BOTH inputs' structure (file roots, LocalRelation data),
+    * so stale reuse across either input is structurally impossible —
+    * plus every walk constant. Checkpoint-backed: the per-query cache
+    * clear can't evict it.
+    */
+  private val walkMemo =
+    new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
+  private[graft] def walkMemoHits = walkMemo.hits
+
+  def randomWalksShared(e0: DataFrame, sources: DataFrame,
+      len: Int = WalkLen, perSeed: Long = WalksPerSeed,
+      broadcastCap: Long = WalksBroadcastCap): DataFrame =
+    walkMemo.getOrBuild(e0.crossJoin(sources),
+        s"walks|$len|$perSeed|$broadcastCap") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        randomWalks(e0, sources, len, perSeed, broadcastCap))
+    }
+
   /** Weight-proportional walks — the same deterministic device as
     * `randomWalks`, but the step from v picks among out-neighbors with
     * probability ∝ edge multiplicity: neighbors (in dst order) own

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.PolyHashFunctions.poly_hash
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Unit evidence for the LLM-pipeline extension operators. The real
@@ -346,6 +346,30 @@ class ExtensionsSpec extends SparkSpec {
     TextOps.bm25PrfShared(docs, ex = 0).count()
     assert(TextOps.prfMemoHits.get() === hitsBefore2,
       "different expansion constants must not reuse the memo")
+  }
+
+  test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 1L).toDF("v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = rows(GraphOps.randomWalksShared(e, seeds))
+    assert(first.nonEmpty)
+    val before = GraphOps.walkMemoHits.get()
+    assert(rows(GraphOps.randomWalksShared(e, seeds)) === first)
+    assert(GraphOps.walkMemoHits.get() > before,
+      "second randomWalksShared call rebuilt the walk table")
+    // identical to the unmemoized build
+    assert(rows(GraphOps.randomWalks(e, seeds)) === first)
+    // a different seed set must MISS — the cross-join key carries both
+    // inputs' structure
+    val hits2 = GraphOps.walkMemoHits.get()
+    GraphOps.randomWalksShared(e, Seq(2L).toDF("v")).count()
+    assert(GraphOps.walkMemoHits.get() === hits2,
+      "different seeds must not reuse the memoized walks")
   }
 
   test("shinglesDelta: chained ≡ one-shot across add/drop/re-ingest; empty cycle is the identity") {
