@@ -917,7 +917,8 @@ object SparkEntry {
     // CCNet-style bigram-surprisal quality scoring in exact bit-length
     // integers — the perplexity-bucket filter without the float log
     "text_surprisal" -> ((s, d) =>
-      TextOps.surprisal(Tables.table(s, d, "documents")).orderBy("doc_id")),
+      TextOps.surprisalShared(Tables.table(s, d, "documents"))
+        .orderBy("doc_id")),
     // do the two quality signals agree? joint decile histogram of the
     // heuristic score vs the LM surprisal
     "text_quality_calibration" -> ((s, d) =>

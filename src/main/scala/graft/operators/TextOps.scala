@@ -1320,12 +1320,29 @@ object TextOps {
     val qd = decileStamp(quality(docs).select(col("doc_id"),
         col("quality").as("score")), buckets)
       .select(col("doc_id"), col("decile").as("q_decile"))
-    val sd = decileStamp(surprisal(docs).select(col("doc_id"),
+    val sd = decileStamp(surprisalShared(docs).select(col("doc_id"),
         col("surp_ppm").as("score")), buckets)
       .select(col("doc_id"), col("decile").as("s_decile"))
     qd.join(sd, "doc_id")
       .groupBy("q_decile", "s_decile").agg(count(lit(1)).as("n"))
   }
+
+  /** Single-slot memo of the surprisal relation — `text_surprisal`
+    * and `qualityCalibration` both pay the corpus bigram-LM build
+    * (two corpus-sized shuffles) over the same docs back to back; the
+    * artifact is one 3-long row per doc (the `defaultClusters`
+    * precedent: per-doc label relations memoize well). Checkpoint-
+    * backed, keyed by the docs plan — the standard discipline.
+    */
+  private val surprisalMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def surprisalMemoHits = surprisalMemo.hits
+
+  def surprisalShared(docs: DataFrame): DataFrame =
+    surprisalMemo.getOrBuild(docs, "surprisal") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(surprisal(docs))
+    }
 
   /** Language-ID CONFUSION MATRIX against a labeled column — the
     * evaluation view for the `langId` heuristic (and for any upstream

@@ -348,6 +348,21 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("surprisalShared memo: calibration reuses the bigram-LM relation; equals the unmemoized build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bigrams", "surp_bits", "surp_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val first = rows(TextOps.surprisalShared(docs))
+    assert(first.nonEmpty)
+    val before = TextOps.surprisalMemoHits.get()
+    assert(rows(TextOps.surprisalShared(docs)) === first)
+    assert(TextOps.surprisalMemoHits.get() > before,
+      "second surprisalShared call rebuilt the bigram LM")
+    assert(rows(TextOps.surprisal(docs)) === first)
+  }
+
   test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
     val s = spark
     import s.implicits._
