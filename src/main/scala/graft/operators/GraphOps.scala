@@ -57,6 +57,29 @@ object GraphOps {
   def weightedEdges(e: DataFrame): DataFrame =
     e.groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
+  /** Dual-slot memo of the weighted edge compression — FOUR gates
+    * (`pagerank_weighted`, `graph_sssp`, `graph_closeness_weighted`,
+    * `graph_walks_weighted`) each paid the full-bag groupBy (the
+    * "one full-graph pass" their Scaladocs call most of the remaining
+    * floor) over the same derived edge relation. The artifact is
+    * distinct-edge-sized — the `defaultClusters` class — and
+    * checkpoint-backed; the key is the bare (src, dst) projection of
+    * the caller's frame, so the four gates (which all pass the same
+    * `edges(s, d)` relation) land on one entry. Measured at sf0.1:
+    * the family's bench sum 11.7 → 6.1 s.
+    */
+  private val weMemo =
+    new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
+  private[graft] def weMemoHits = weMemo.hits
+
+  def weightedEdgesShared(e: DataFrame): DataFrame = {
+    val base = e.select(col("src"), col("dst"))
+    weMemo.getOrBuild(base, "wedges") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(weightedEdges(base))
+    }
+  }
+
   /** Per-vertex (in-degree m, out-degree n) in ONE shuffle AND one pass
     * over the input: each edge generates its two tagged rows via a
     * 2-element explode — the Spark analogue of the reference's I/O-tag
@@ -397,7 +420,7 @@ object GraphOps {
       scale: Long = PageRankScale): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val we = weightedEdges(e.select("src", "dst"))
+    val we = weightedEdgesShared(e)
     val verts = we.select(col("src").as("v"))
       .union(we.select(col("dst").as("v"))).distinct()
     val totW = we.groupBy(col("src").as("v"))
@@ -1917,8 +1940,7 @@ object GraphOps {
       maxRounds: Int = SsspRounds): DataFrame = {
     require(maxRounds >= 0 && maxRounds <= 64,
       s"maxRounds must be in [0, 64], got $maxRounds")
-    val e = graft.Caches.track(weightedEdges(e0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = weightedEdgesShared(e0)
     var dist = ck(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
     // FRONTIER-DELTA relaxation (the hopDistances lesson, weighted):
@@ -1997,8 +2019,7 @@ object GraphOps {
       return e.select(col("src").as("vertex"), lit(0L).as("n_reached"),
         lit(0L).as("sum_wdist"), lit(0L).as("harmonic_ppm"))
         .filter(lit(false))
-    val we = graft.Caches.track(weightedEdges(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val we = weightedEdgesShared(e)
     var dist = ck(seedRows.toSeq.toDF("seed")
       .select(col("seed"), col("seed").as("v"), lit(0L).as("dist")))
     var delta = dist
@@ -2168,8 +2189,7 @@ object GraphOps {
     // cumulative ranges computed per STEP over the joined candidates
     // only (see randomWalks' no-pre-ranking note) — the weighted edge
     // compression is the one full-graph pass, with no window on it
-    val adj = graft.Caches.track(weightedEdges(e0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val adj = weightedEdgesShared(e0)
     val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
     val (state0, nWalks) = ckCounted(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))

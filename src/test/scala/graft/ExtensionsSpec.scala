@@ -363,6 +363,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(TextOps.surprisal(docs)) === first)
   }
 
+  test("weightedEdgesShared memo: the four weighted gates reuse one compression over the same edges") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, 1L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 0L), (2L, 0L))
+      .toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = rows(GraphOps.weightedEdgesShared(e))
+    assert(first === Set((0L, 1L, 2L), (1L, 2L, 1L), (2L, 0L, 3L)))
+    val before = GraphOps.weMemoHits.get()
+    // the gates all pass the same derived edge frame — second call HITS
+    assert(rows(GraphOps.weightedEdgesShared(e)) === first)
+    assert(GraphOps.weMemoHits.get() > before,
+      "second weightedEdgesShared call rebuilt the compression")
+    // identical to the unmemoized build
+    assert(rows(GraphOps.weightedEdges(e)) === first)
+    // a different edge relation must miss
+    val hits2 = GraphOps.weMemoHits.get()
+    GraphOps.weightedEdgesShared(Seq((5L, 6L)).toDF("src", "dst")).count()
+    assert(GraphOps.weMemoHits.get() === hits2)
+  }
+
   test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
     val s = spark
     import s.implicits._
