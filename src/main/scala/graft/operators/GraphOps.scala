@@ -519,12 +519,17 @@ object GraphOps {
   /** Peel a checkpointed undirected simple state to its k-core
     * fixpoint (degree-< k endpoints removed until stable). CONSUMES
     * the input state (its frame is dropped once superseded); returns
-    * the checkpointed fixpoint and its edge count. Raises past
-    * `maxRounds` — the oracle-unrolling soundness contract shared by
-    * `kCore` and `coreness`.
+    * the (checkpointed or driver-local) fixpoint and its edge count.
+    * Raises past `maxRounds` — the oracle-unrolling soundness
+    * contract shared by `kCore` and `coreness`. Once the state fits
+    * `localMax` symmetric rows the remaining rounds run driver-side
+    * (the kTruss local-tail discipline: a degree peel's tail is
+    * near-empty rounds whose per-round job overhead dwarfs their
+    * data; `coreness` pays that tail once per LEVEL).
     */
   private def peelTo(und0: DataFrame, nEdges0: Long, k: Int,
-      maxRounds: Int): (DataFrame, Long) = {
+      maxRounds: Int,
+      localMax: Long = KTrussLocalMax): (DataFrame, Long) = {
     var und = und0
     var nEdges = nEdges0
     var rounds = 0
@@ -534,6 +539,14 @@ object GraphOps {
         throw new IllegalStateException(
           s"k=$k peel did not reach a fixpoint in $maxRounds rounds — " +
             "raise maxRounds (and the oracle's unroll depth with it)")
+      if (nEdges <= localMax) {
+        val pairs = und.filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        drop(und)
+        return peelToLocalTail(und0.sparkSession, pairs, k, rounds,
+          maxRounds)
+      }
       val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       val (next, nNext) = ckCounted(
@@ -549,11 +562,48 @@ object GraphOps {
     (und, nEdges)
   }
 
+  /** The local tail of the degree peel — the SAME round-synchronous
+    * semantics (degree over the current state; both endpoints must
+    * keep degree ≥ k; converge when the edge set stops changing;
+    * raise past `maxRounds` counting the distributed rounds already
+    * spent) over an in-memory canonical edge set. Returns the
+    * SYMMETRIC fixpoint rows and their count — the `undSimple` state
+    * contract the callers continue with (spec-pinned local ≡
+    * distributed on both kCore and coreness).
+    */
+  private def peelToLocalTail(s: SparkSession, pairs: Array[(Long, Long)],
+      k: Int, rounds0: Int, maxRounds: Int): (DataFrame, Long) = {
+    import s.implicits._
+    var edges = pairs.toSet
+    var rounds = rounds0
+    var converged = edges.isEmpty
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k=$k peel did not reach a fixpoint in $maxRounds rounds — " +
+            "raise maxRounds (and the oracle's unroll depth with it)")
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      edges.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0) + 1
+        deg(b) = deg.getOrElse(b, 0) + 1
+      }
+      val next = edges.filter { case (a, b) =>
+        deg(a) >= k && deg(b) >= k }
+      rounds += 1
+      converged = next.size == edges.size
+      edges = next
+    }
+    val sym = edges.toSeq.sorted
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    (sym.toDF("src", "dst"), sym.size.toLong)
+  }
+
   def kCore(e: DataFrame, k: Int = KCoreK,
-      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+      maxRounds: Int = KCoreMaxRounds,
+      localMax: Long = KTrussLocalMax): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val (und0, n0) = undSimple(e)
-    val (und, _) = peelTo(und0, n0, k, maxRounds)
+    val (und, _) = peelTo(und0, n0, k, maxRounds, localMax)
     und.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node_id"), col("degree"))
   }
@@ -587,7 +637,8 @@ object GraphOps {
     * — ≤ maxK vertex-sized checkpoints.
     */
   def coreness(e: DataFrame, maxK: Int = CorenessMaxK,
-      maxRounds: Int = CorenessMaxRounds): DataFrame = {
+      maxRounds: Int = CorenessMaxRounds,
+      localMax: Long = KTrussLocalMax): DataFrame = {
     var (und, nEdges) = undSimple(e)
     // materialize the level-1 vertex set BEFORE peeling consumes the
     // state it derives from
@@ -599,7 +650,7 @@ object GraphOps {
         throw new IllegalStateException(
           s"coreness exceeds maxK=$maxK — raise maxK (and the " +
             "oracle's level unroll with it)")
-      val (next, nNext) = peelTo(und, nEdges, k, maxRounds)
+      val (next, nNext) = peelTo(und, nEdges, k, maxRounds, localMax)
       und = next
       nEdges = nNext
       if (nEdges > 0L)

@@ -1166,6 +1166,27 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("peel local tail ≡ distributed on kCore and coreness; round budget enforced locally") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(70)(
+      (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+    def kcAt(lm: Long) = GraphOps.kCore(edgeDf(edges: _*), k = 3,
+        maxRounds = 50, localMax = lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kcAt(Long.MaxValue) === kcAt(0L))
+    def coAt(lm: Long) = GraphOps.coreness(edgeDf(edges: _*),
+        maxK = 16, maxRounds = 50, localMax = lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(coAt(Long.MaxValue) === coAt(0L))
+    // the round budget raises identically on the local tail: a long
+    // chain cascades one peel round per vertex
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      GraphOps.kCore(edgeDf(chain: _*), k = 2, maxRounds = 2,
+        localMax = Long.MaxValue).collect()
+    }
+  }
+
   test("ssspBudget == brute budgeted Bellman-Ford on random weighted digraphs") {
     // weights = bag multiplicities, so the brute side first compresses
     // the edge bag exactly like weightedEdges
