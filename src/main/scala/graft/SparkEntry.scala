@@ -228,6 +228,14 @@ object SparkEntry {
   val MixPpm: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> 100000L * (i + 1)).toMap
 
+  /** Mix rates for the `text_domain_mix` gate — keyed by REGISTRABLE
+    * DOMAIN (the governance budget unit): half an epoch of
+    * example.com, 2.3 epochs of dataset.org. Shared by the Spark
+    * query AND the oracle generator.
+    */
+  val DomainMixPpm: Map[String, Long] =
+    Map("example.com" -> 500000L, "dataset.org" -> 2300000L)
+
   /** Funnel oracle: chained per-stage thresholds — s_i = each user's
     * earliest stage-i event strictly after their s_{i-1} threshold.
     * Shared verbatim by `events_funnel` and its state-machine twin
@@ -891,6 +899,18 @@ object SparkEntry {
     "text_mix" -> ((s, d) =>
       TextOps.mixCorpus(Tables.table(s, d, "documents"), MixPpm)
         .orderBy("doc_id", "epoch")),
+    // the same epoch-weighting machinery at the governance budget
+    // unit: rates keyed by REGISTRABLE DOMAIN (from the normalized
+    // fixture URLs) — down-sample one domain family, up-sample the
+    // other, deterministically per (doc, epoch)
+    "text_domain_mix" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = TextOps.withFixtureUrl(Tables.table(s, d, "documents"))
+        .withColumn("domain",
+          TextOps.registrableDomain(TextOps.urlHost(col("url"))))
+      TextOps.mixCorpus(docs, DomainMixPpm, keyCol = "domain")
+        .orderBy("doc_id", "epoch")
+    }),
     // BPE merge-candidate counting kernel: corpus-weighted adjacent
     // char-pair counts over the DISTINCT word vocabulary
     "text_bpe_pairs" -> ((s, d) =>
@@ -5587,6 +5607,28 @@ object SparkEntry {
         s"CASE WHEN h < ppm % $den THEN 1 ELSE 0 END AS n FROM p) " +
         "SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM " +
         "(SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM c WHERE n > 0)"
+    },
+    "text_domain_mix" -> {
+      import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
+      val den = TextOps.MixDen
+      val cases = DomainMixPpm.toSeq.sortBy(_._1)
+        .map { case (dm, p) => s"WHEN '$dm' THEN ${p}" }.mkString(" ")
+      s"WITH $DomainHostCtes, " +
+        "dm AS (SELECT doc_id, " +
+        "regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain FROM h), " +
+        "p0 AS (SELECT doc_id, domain, " +
+        s"CAST(CASE domain $cases ELSE $den END AS BIGINT) AS ppm, " +
+        s"${phSql2("('mix:' || CAST(doc_id AS VARCHAR))")} AS x0 FROM dm), " +
+        s"p1 AS (SELECT *, (x0 * $PlaneMul1) % $PlaneM31 AS x1 FROM p0), " +
+        "pp2 AS (SELECT *, xor(x1, x1 >> 15) AS x2 FROM p1), " +
+        s"p3 AS (SELECT *, (x2 * $PlaneMul2) % $PlaneM31 AS x3 FROM pp2), " +
+        "p4 AS (SELECT *, xor(x3, x3 >> 13) AS x4 FROM p3), " +
+        s"p AS (SELECT doc_id, domain, ppm, " +
+        s"((x4 * $PlaneMul3) % $PlaneM31) % $den AS hh FROM p4), " +
+        s"c AS (SELECT doc_id, domain, ppm // $den + " +
+        s"CASE WHEN hh < ppm % $den THEN 1 ELSE 0 END AS n FROM p) " +
+        "SELECT doc_id, domain, CAST(epoch AS BIGINT) AS epoch FROM " +
+        "(SELECT doc_id, domain, unnest(range(0, n)) AS epoch FROM c WHERE n > 0)"
     },
     // bucket of global rank r (1-based) = (r-1)*buckets // N — integer
     // outputs only, so the distributed two-pass rank is hash-exact

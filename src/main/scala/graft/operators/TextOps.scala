@@ -1702,13 +1702,13 @@ object TextOps {
     * + generator: no shuffle, one map stage at any scale.
     */
   def mixCorpus(docs: DataFrame, ratesPpm: Map[String, Long],
-      defaultPpm: Long = MixDen): DataFrame = {
+      defaultPpm: Long = MixDen, keyCol: String = "source"): DataFrame = {
     import graft.functions.PolyHashFunctions.poly_hash2
     require(ratesPpm.values.forall(_ >= 0L) && defaultPpm >= 0L,
       "mixCorpus rates must be non-negative ppm")
     val ppm =
       if (ratesPpm.isEmpty) lit(defaultPpm)
-      else coalesce(element_at(typedLit(ratesPpm), col("source")),
+      else coalesce(element_at(typedLit(ratesPpm), col(keyCol)),
         lit(defaultPpm))
     val h = {
       import graft.functions.VectorExprUtil.{PlaneM31, PlaneMul1, PlaneMul2, PlaneMul3}
@@ -1719,13 +1719,13 @@ object TextOps {
       val x4 = x3.bitwiseXOR(shiftright(x3, 13))
       x4 * PlaneMul3 % PlaneM31 % MixDen
     }
-    docs.select(col("doc_id"), col("source"), ppm.as("ppm"), h.as("h"))
-      .select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col(keyCol), ppm.as("ppm"), h.as("h"))
+      .select(col("doc_id"), col(keyCol),
         (expr(s"ppm div $MixDen") +
           when(col("h") < col("ppm") % MixDen, 1L).otherwise(0L))
           .as("n_copies"))
       .filter(col("n_copies") > 0L)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col(keyCol),
         explode(sequence(lit(0L), col("n_copies") - 1L)).as("epoch"))
   }
 
