@@ -882,7 +882,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_surprisal: corpus bigram stream joins the LM relation, never a cartesian") {
-    val plan = executedPlan("text_surprisal")
+    // guard the BUILD plan (the gate itself now serves the memoized
+    // checkpoint, whose plan is just the RDD scan)
+    val plan = operators.TextOps.surprisal(
+        sources.Tables.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // the text scan is pruned to (doc_id, text)
