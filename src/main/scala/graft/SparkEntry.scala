@@ -1410,7 +1410,7 @@ object SparkEntry {
     // exact squared-L2 brute top-k — the Euclidean metric baseline
     // (knn_brute is cosine); integer l2_fp scores, broadcast queries
     "knn_brute_l2" -> ((s, d) =>
-      Similarity.knnBruteL2(Tables.table(s, d, "embeddings"))
+      Similarity.knnBruteL2Shared(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
     // SQ8 serving: the grid stats + int8 codes round-trip parquet and
     // the serve dequantizes stored codes against raw queries — corpus
@@ -1433,7 +1433,7 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.knnSq8(Similarity.sq8Stats(emb),
           Similarity.quantizeInt8(emb), emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // binary (1-bit) quantization audit: sign bits against the SQ8
     // grid MIDPOINTS packed 32 per word — the 32× compression tier's
@@ -1462,7 +1462,7 @@ object SparkEntry {
       val st = Similarity.sq8Stats(emb)
       Similarity.recallAtK(
         Similarity.knnHamming(st, Similarity.binaryCodes(st, emb), emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // two-stage binary serving: Hamming shortlist (cand=32) → exact
     // squared-L2 rerank over ONLY the candidates' raw embeddings
@@ -1480,7 +1480,7 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.knnHammingRerank(st, Similarity.binaryCodes(st, emb),
           emb, emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // mislabel detector: the k vectors farthest from their own label's
     // centroid, exact ppm^2 integer distances
@@ -1512,12 +1512,12 @@ object SparkEntry {
     "knn_project_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnProjected(emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // matryoshka-style truncated retrieval: exact L2 over the first
     // TruncDims dims only — 4x less bandwidth per comparison
     "knn_brute_l2_trunc" -> ((s, d) =>
-      Similarity.knnBruteL2(Tables.table(s, d, "embeddings"),
+      Similarity.knnBruteL2Shared(Tables.table(s, d, "embeddings"),
           dims = Similarity.TruncDims)
         .orderBy("query_id", "rank")),
     // truncation honesty: recall@5 of prefix-dim retrieval against the
@@ -1526,8 +1526,8 @@ object SparkEntry {
     "knn_trunc_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(
-        Similarity.knnBruteL2(emb, dims = Similarity.TruncDims),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb, dims = Similarity.TruncDims),
+        Similarity.knnBruteL2Shared(emb))
     }),
     // PQ serving: ADC top-k — per-query LUTs over the codebook, each
     // candidate scored by `blocks` table lookups; map-only corpus pass
@@ -1538,7 +1538,7 @@ object SparkEntry {
     // metric PQ actually approximates) — one hash-checked row
     "knn_pq_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      Similarity.recallAtK(Similarity.knnPq(emb), Similarity.knnBruteL2(emb))
+      Similarity.recallAtK(Similarity.knnPq(emb), Similarity.knnBruteL2Shared(emb))
     }),
     // ORACLED since the exact-Lloyd training rewrite: per-block
     // codebooks are ppm-integer fits DuckDB replays round for round;
@@ -1625,7 +1625,7 @@ object SparkEntry {
     "knn_ivf_sq8_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnIvfSq8(emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // IVFPQ: the production composition — IVF cells prune the search,
     // PQ codes compress the candidates to LUT lookups; both quantizers
@@ -1638,7 +1638,7 @@ object SparkEntry {
     "knn_ivf_pq_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnIvfPq(emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     "embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"))
@@ -1688,7 +1688,7 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     "knn_brute" -> ((s, d) =>
-      Similarity.knnBrute(Tables.table(s, d, "embeddings"))
+      Similarity.knnBruteShared(Tables.table(s, d, "embeddings"))
         .orderBy("query_id", "rank")),
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.table(s, d, "embeddings"))
@@ -1757,7 +1757,7 @@ object SparkEntry {
             .select(col("query_id").as("src"),
               col("neighbor_id").as("dst")),
           emb, emb),
-        Similarity.knnBruteL2(emb))
+        Similarity.knnBruteL2Shared(emb))
     }),
     // reciprocated-edges filter over the kNN graph — the hub-robust
     // symmetrization density clustering consumes; one self-join on
@@ -1773,12 +1773,12 @@ object SparkEntry {
     // are SQL-derivable, unlike the Lloyd-trained family
     "knn_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      Similarity.recallAtK(Similarity.knnIvf(emb), Similarity.knnBrute(emb))
+      Similarity.recallAtK(Similarity.knnIvf(emb), Similarity.knnBruteShared(emb))
     }),
     // the banded-LSH index under the same honesty gate
     "knn_recall_lsh" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      Similarity.recallAtK(Similarity.knnLsh(emb), Similarity.knnBrute(emb))
+      Similarity.recallAtK(Similarity.knnLsh(emb), Similarity.knnBruteShared(emb))
     }),
     // the FILTERED serving path priced against its exact filtered twin
     // — recall loss from cell pruning under a metadata predicate
@@ -1796,7 +1796,7 @@ object SparkEntry {
     "knn_graph_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnGraph(emb),
-        Similarity.knnBrute(emb, nQueries = Long.MaxValue))
+        Similarity.knnBruteShared(emb, nQueries = Long.MaxValue))
     }),
     // ORACLED since the exact-Lloyd training rewrite: the fitted
     // centroids are ppm-integer quantities (the lloydStep arithmetic,
@@ -1831,7 +1831,7 @@ object SparkEntry {
     "knn_ivf_spherical_recall" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
       Similarity.recallAtK(Similarity.knnIvfSphericalTrained(emb),
-        Similarity.knnBrute(emb))
+        Similarity.knnBruteShared(emb))
     }),
     // the train-once/serve-many form: fitted centroids round-trip disk
     // as a relation (centroidsOf → parquet → knnIvfFromStored) INSIDE

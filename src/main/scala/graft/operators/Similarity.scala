@@ -119,6 +119,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Memo of the exact brute-force rankings — the honesty-gate TRUTH
+    * SIDES: a dozen recall gates each rescored the full corpus against
+    * the broadcast query set to produce the identical exact baseline
+    * (`knnBruteL2(emb)` alone had ~10 call sites). The artifact is
+    * nQueries × k rows; six slots cover the distinct (metric, k,
+    * nQueries, dims) flavors one harness pass requests. Same keying
+    * discipline as every PlanMemo: canonicalized input plan + every
+    * constant.
+    */
+  private val bruteMemo =
+    new graft.PlanMemo[DataFrame](6, graft.PlanMemo.releaseDf)
+  private[graft] def bruteMemoHits = bruteMemo.hits
+
+  def knnBruteShared(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries): DataFrame =
+    bruteMemo.getOrBuild(emb, s"brute|$k|$nQueries") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(knnBrute(emb, k, nQueries))
+    }
+
+  def knnBruteL2Shared(emb: DataFrame, k: Int = DefaultK,
+      nQueries: Long = DefaultQueries, dims: Int = 0): DataFrame =
+    bruteMemo.getOrBuild(emb, s"brutel2|$k|$nQueries|$dims") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(knnBruteL2(emb, k, nQueries, dims))
+    }
+
   /** Exact top-k by SQUARED-L2 distance — the Euclidean twin of
     * `knnBrute` (which ranks by cosine), and the exact baseline
     * `knnPq`'s ADC distances approximate: PQ recall must be judged

@@ -363,6 +363,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(TextOps.surprisal(docs)) === first)
   }
 
+  test("brute-ranking memo: recall gates share the exact truth side; metric/param flavors are distinct entries") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def cos(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = cos(Similarity.knnBruteShared(emb))
+    assert(first.nonEmpty)
+    val before = Similarity.bruteMemoHits.get()
+    assert(cos(Similarity.knnBruteShared(emb)) === first)
+    assert(Similarity.bruteMemoHits.get() > before,
+      "second knnBruteShared call rebuilt the exact ranking")
+    assert(cos(Similarity.knnBrute(emb)) === first)
+    // the L2 flavor is a DIFFERENT entry (no cross-metric aliasing),
+    // and it equals its own unmemoized build
+    val l2 = cos(Similarity.knnBruteL2Shared(emb))
+    assert(l2 === cos(Similarity.knnBruteL2(emb)))
+    // truncated-dims keys its own entry: first call misses (no hit
+    // increment), second call hits exactly once
+    val hits2 = Similarity.bruteMemoHits.get()
+    Similarity.knnBruteL2Shared(emb, dims = Similarity.TruncDims).count()
+    Similarity.knnBruteL2Shared(emb, dims = Similarity.TruncDims).count()
+    assert(Similarity.bruteMemoHits.get() === hits2 + 1,
+      "the dims flavor must memoize separately and then hit")
+  }
+
   test("weightedEdgesShared memo: the four weighted gates reuse one compression over the same edges") {
     val s = spark
     import s.implicits._
