@@ -141,6 +141,48 @@ object ScaleRehearsal {
       require(n > 0L, "indexed PRF returned nothing")
       n
     })
+    // trained quality filter at 50k docs: the fit is cap-bounded (256
+    // collected rows) regardless of corpus size; serving + the
+    // agreement audit are one codegen'd projection + one aggregation
+    t("quality_model 50k docs")({
+      val ag = operators.TextOps.qualityModelAgreement(docs).collect()(0)
+      require(ag.getLong(0) == docs.count(),
+        "agreement did not cover the corpus")
+      s"n=${ag.getLong(0)} agree_ppm=${ag.getLong(2)}"
+    })
+    // domain governance at 50k docs / 5k hosts: host extraction is a
+    // map stage; the rollup is one partial-agg'd groupBy; the quota is
+    // the bounded TopKPerKey heap (a hot host costs k slots)
+    t("domain_rollup+quota 50k")({
+      val urled = docs.withColumn("url",
+          concat(lit("https://www.h"), pmod(col("doc_id"), lit(5000)),
+            lit(".example.com/"), col("doc_id")))
+        .withColumn("lang", lit("en"))
+      val hosts = operators.TextOps.domainRollup(urled).count()
+      val quota = operators.TextOps.domainQuota(urled).count()
+      s"hosts=$hosts quota_rows=$quota"
+    })
+    // incremental decontamination at 50k docs: fold the 1-in-5 batch
+    // in, drop a 500-doc takedown set, and require EXACT equality with
+    // the one-shot index of the post-cycle corpus (the pairing trick)
+    t("shingles_delta 50k docs")({
+      val dropIds = docs.filter(col("doc_id") < 500).select("doc_id")
+      val stored = operators.TextOps.docShingles(
+        docs.filter(col("doc_id") % 5 =!= 0))
+      // the add batch excludes the takedown set (the append-only
+      // contract: an id may not be added and dropped in one cycle
+      // unless it is a re-ingest, which this fixture is not)
+      val merged = operators.TextOps.shinglesDelta(stored,
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 500),
+        dropIds)
+      val oneShot = operators.TextOps.docShingles(
+        docs.filter(col("doc_id") >= 500))
+      val diff = merged.unionByName(oneShot)
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count()
+      require(diff == 0L, s"$diff shingle rows diverged from the rebuild")
+      s"index rows=${merged.count()}"
+    })
     t("bpe_train 50k docs 64 merges")({
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val merges = operators.TextOps.bpeTrain(docs, rounds = 64,
@@ -282,6 +324,11 @@ object ScaleRehearsal {
       .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
     val emb = embX(10)
     t("knn_brute 20k vectors")(operators.Similarity.knnBrute(emb).count())
+    // spherical training at 20k vectors: the normalize-then-quantize
+    // sample is still cap-bounded; renorm rounds are k·dims driver work
+    t("ivf_spherical 20k vectors")(
+      operators.Similarity.knnIvfSphericalTrained(emb,
+        corpusSize = 20000L).count())
     t("knn_ivf 20k vectors")(
       operators.Similarity.knnIvf(emb, corpusSize = 20000L).count())
     t("knn_ivf 80k vectors")(
