@@ -40,7 +40,7 @@ object Bench {
           s"${unknown.toSeq.sorted.mkString(", ")}")
     }
     // ALWAYS-ON subset: any restricted run (the harness's rotating
-    // sample included) still times this 12-name set — the 7 headline
+    // sample included) still times this 15-name set — the 7 headline
     // parity queries plus the historically slowest queries — so a
     // flagship or heavy-tail regression can never hide behind an
     // unlucky rotation. Regression VISIBILITY wins the default; a
@@ -52,7 +52,9 @@ object Bench {
       "edges", "path2_exact_total", "path2_triples", "path2_approx_total",
       "triangles_rs", "triangles_rep", "triangles_vertex",
       "text_bm25_prf", "graph_stress", "graph_path_counts",
-      "knn_mmr", "graph_hops_deep")
+      "knn_mmr", "graph_hops_deep",
+      // the round-16 heavy tail: the suite's current slowest queries
+      "graph_link_prediction", "knn_beam", "knn_graph_recall")
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     val queries = only match {
       case Some(names) if strict =>
