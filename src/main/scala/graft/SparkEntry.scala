@@ -116,9 +116,16 @@ object SparkEntry {
     * location; the tmpdir round-trip is what the gate exercises.
     */
   private def ivfTmpDir(s: SparkSession, d: String, leaf: String): String = {
+    // collision-free dir token (the bucketTable lesson): a 32-bit
+    // hashCode collision between two sf dirs in one session would
+    // alias their scratch trees and serve one corpus's stored
+    // artifacts for the other
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivf_" + s.sparkContext.applicationId + "_" +
-        Integer.toHexString(d.hashCode) + "_" + leaf)
+        digest + "_" + leaf)
     registerTmpCleanup(f)
     f.getAbsolutePath
   }
