@@ -669,6 +669,12 @@ object SparkEntry {
     // kept (fp) and good docs lost (fn) — each an oracled integer
     "text_quality_model_confusion" -> ((s, d) =>
       TextOps.qualityModelConfusion(Tables.table(s, d, "documents"))),
+    // reliability diagram: label-positive rate per model-score decile
+    // — where threshold tuning is safe (monotone band) and where it
+    // is not, as oracled integers
+    "text_quality_model_calibration" -> ((s, d) =>
+      TextOps.qualityModelCalibration(Tables.table(s, d, "documents"))
+        .orderBy("m_decile")),
     "text_langid" -> ((s, d) =>
       TextOps.langId(Tables.table(s, d, "documents")).orderBy("doc_id")),
     // C4-style blocklist admission: per-doc blocked-token DENSITY
@@ -4952,6 +4958,19 @@ object SparkEntry {
         "FROM s2) " +
         "SELECT doc_id, host, quality, CAST(rnk AS BIGINT) AS \"rank\" " +
         s"FROM r WHERE rnk <= ${TextOps.DomainQuotaK}"),
+    "text_quality_model_calibration" ->
+      (s"WITH $QmTrainCtes, sc AS (SELECT f.doc_id, f.y, " +
+        s"CAST($qmScoreSql AS BIGINT) AS m_score " +
+        s"FROM qf f, qw${TextOps.QmEpochs} w), " +
+        "r AS (SELECT doc_id, y, row_number() OVER " +
+        "(ORDER BY m_score, doc_id) AS rn, COUNT(*) OVER () AS n FROM sc), " +
+        "dd AS (SELECT y, (rn - 1) * 10 // n AS m_decile FROM r) " +
+        "SELECT CAST(m_decile AS BIGINT) AS m_decile, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_label_pos, " +
+        "CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000 " +
+        "// COUNT(*) AS BIGINT) AS pos_ppm FROM dd GROUP BY 1"),
     "text_quality_model_agreement" ->
       (s"WITH $QmTrainCtes, sc AS (SELECT f.y, " +
         s"CAST($qmScoreSql AS BIGINT) AS m_score " +

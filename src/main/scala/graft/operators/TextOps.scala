@@ -222,6 +222,9 @@ object TextOps {
     require(rows.length == QmDims,
       s"stored quality model has ${rows.length} weights; this engine's " +
         s"feature projection is $QmDims-dimensional — refit the model")
+    require(rows.map(_.getLong(0)).distinct.length == QmDims,
+      "stored quality model has duplicate dims — a silently-zero " +
+        "weight would serve wrong scores; refit the model")
     val w = new Array[Long](QmDims)
     rows.foreach { r =>
       val j = r.getLong(0)
@@ -252,6 +255,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("agree").as("n_agree"))
       .selectExpr("n_docs", "n_agree",
         "n_agree * 1000000 div n_docs AS agree_ppm")
+  }
+
+  /** RELIABILITY DIAGRAM for the trained filter: per rank-decile of
+    * the model score (the `qualityDeciles` bucketing — two-pass exact
+    * rank, no global window), the label-positive rate in ppm. A
+    * well-ordered model shows `pos_ppm` rising with the decile; a
+    * flat or non-monotone band is where threshold tuning would move
+    * real documents the wrong way — the diagram every score-based
+    * filter gets audited with, as integers the oracle can hash.
+    */
+  def qualityModelCalibration(docs: DataFrame,
+      buckets: Int = 10): DataFrame = {
+    val w = qualityModelFit(docs)
+    val scored = qmFeatures(docs).selectExpr("doc_id", "y",
+      (0 until QmDims).map(j => s"${w(j)}L * x$j").mkString(" + ") +
+        " AS m_score")
+    decileStamp(scored.select(col("doc_id"), col("m_score").as("score")),
+        buckets)
+      .select(col("doc_id"), col("decile").as("m_decile"))
+      .join(scored.select(col("doc_id"), col("y")), "doc_id")
+      .groupBy("m_decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_label_pos"))
+      .selectExpr("m_decile", "n_docs", "n_label_pos",
+        "n_label_pos * 1000000 div n_docs AS pos_ppm")
   }
 
   /** The trained filter's CONFUSION MATRIX over the full corpus —
