@@ -2364,11 +2364,26 @@ object GraphOps {
     * broadcast total, and a projection; round state is stats-free
     * locally checkpointed like every other fixpoint loop here.
     */
-  def hits(e: DataFrame, rounds: Int = HitsRounds): DataFrame = {
+  def hits(e: DataFrame, rounds: Int = HitsRounds,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"hits: rounds must be in [1, 16], got $rounds")
-    val ed = ck(e.filter(col("src") =!= col("dst"))
+    // input-size-gated local fast path (the SCC union-find precedent):
+    // a power iteration's per-round cost is FIXED (2 joins + 2
+    // checkpoints + a broadcast total), so on a sub-threshold distinct
+    // edge set the scheduling overhead dominates — run the exact
+    // integer arithmetic driver-side (order-free sums, the same
+    // truncating div). Distributed loop above the bound; local ≡
+    // distributed is spec-pinned and the 10M-edge rehearsal drives
+    // the distributed path.
+    val (ed0, nEd) = ckCounted(e.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct())
+    if (nEd <= localThreshold) {
+      val pairs = ed0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      drop(ed0)
+      return hitsLocal(e.sparkSession, pairs, rounds)
+    }
+    val ed = ed0
     val verts = ck(ed.select(col("src").as("v"))
       .union(ed.select(col("dst").as("v"))).distinct())
     def normalize(raw: DataFrame, out: String): DataFrame = {
@@ -2399,6 +2414,44 @@ object GraphOps {
       .select(col("v").as("vertex"), col("hub_fp"), col("auth_fp"))
     drop(ed)
     out
+  }
+
+  /** The driver-side twin of the `hits` loop — the identical exact
+    * fixed-point arithmetic (order-free long sums per half-round, L1
+    * normalization by truncating division, zero-total rounds zero
+    * everything) over the collected distinct edge list.
+    */
+  private def hitsLocal(s: SparkSession, pairs: Array[(Long, Long)],
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val src = pairs.map(p => idx(p._1))
+    val dst = pairs.map(p => idx(p._2))
+    def normalize(x: Array[Long]): Unit = {
+      var tot = 0L
+      var i = 0
+      while (i < x.length) { tot += x(i); i += 1 }
+      i = 0
+      if (tot == 0L) java.util.Arrays.fill(x, 0L)
+      else while (i < x.length) { x(i) = x(i) * HitsScale / tot; i += 1 }
+    }
+    val hub = Array.fill(verts.length)(1L)
+    val auth = new Array[Long](verts.length)
+    var r = 0
+    while (r < rounds) {
+      java.util.Arrays.fill(auth, 0L)
+      var i = 0
+      while (i < pairs.length) { auth(dst(i)) += hub(src(i)); i += 1 }
+      normalize(auth)
+      java.util.Arrays.fill(hub, 0L)
+      i = 0
+      while (i < pairs.length) { hub(src(i)) += auth(dst(i)); i += 1 }
+      normalize(hub)
+      r += 1
+    }
+    verts.indices.map(i => (verts(i), hub(i), auth(i)))
+      .toDF("vertex", "hub_fp", "auth_fp")
   }
 
   /** Round budget of `labelPropagation`'s gate; the oracle unrolls

@@ -5087,6 +5087,12 @@ class ExtensionsSpec extends SparkSpec {
     val gotR = operators.GraphOps.hits(ed.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotR === vs.map(v => v -> ((hub(v), auth(v)))).toMap)
+    // local fast path ≡ the distributed loop (localThreshold = 0
+    // forces the loop — the SCC forcing discipline)
+    assert(operators.GraphOps.hits(ed.toDF("src", "dst"),
+        localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      === gotR)
   }
 
   test("componentSizes: size histogram conserves vertices") {
