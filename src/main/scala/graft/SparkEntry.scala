@@ -723,8 +723,8 @@ object SparkEntry {
       // the pipeline operator with its default (build-once) clusters;
       // a session holding a precomputed cluster relation passes it
       // via `clusters` and pays zero re-clustering (identity
-      // spec-pinned)
-      TextOps.curation(Tables.table(s, d, "documents"))
+      // spec-pinned); the manifest gate reuses this memoized relation
+      TextOps.curationShared(Tables.table(s, d, "documents"))
         .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextOps.corpusStats(Tables.table(s, d, "documents"))),

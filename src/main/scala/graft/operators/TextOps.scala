@@ -712,6 +712,25 @@ object TextOps {
       .select("doc_id", "split", "keep_ppm")
   }
 
+  /** Single-slot memo of the DEFAULT-clusters curation relation —
+    * `docs_curation` and `docs_manifest` both consume
+    * `curation(docs)` over the same corpus back to back (the cluster
+    * labelling inside it is already memoized; this covers the
+    * survivor election + sampling + split on top). Per-doc 3-column
+    * artifact — the `defaultClusters` class. The explicit-clusters
+    * overload stays unmemoized: its identity with this form is the
+    * spec-pinned law, not a reuse path.
+    */
+  private val curationMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def curationMemoHits = curationMemo.hits
+
+  def curationShared(docs: DataFrame): DataFrame =
+    curationMemo.getOrBuild(docs, "curation") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(curation(docs))
+    }
+
   /** Opt-in text canonicalization BEFORE dedup: Unicode NFC +
     * lowercase + whitespace collapse + trim, applied in place to
     * `textCol` with every other column preserved — so the near-dup
@@ -2448,7 +2467,8 @@ object TextOps {
     */
   def datasetManifest(docs: DataFrame,
       clusters: Option[DataFrame] = None): DataFrame =
-    curation(docs, clusters)
+    clusters.map(cl => curation(docs, Some(cl)))
+      .getOrElse(curationShared(docs))
       .join(docs.select(col("doc_id"), col("source"),
         token_count(col("text")).cast("long").as("nt")), "doc_id")
       .groupBy("source", "split")

@@ -348,6 +348,19 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("curationShared memo: the manifest gate reuses docs_curation's relation; equals the unmemoized build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val first = rows(TextOps.curationShared(docs))
+    assert(first.nonEmpty)
+    val before = TextOps.curationMemoHits.get()
+    assert(rows(TextOps.curationShared(docs)) === first)
+    assert(TextOps.curationMemoHits.get() > before,
+      "second curationShared call rebuilt the pipeline")
+    assert(rows(TextOps.curation(docs)) === first)
+  }
+
   test("surprisalShared memo: calibration reuses the bigram-LM relation; equals the unmemoized build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df
