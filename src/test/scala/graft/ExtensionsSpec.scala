@@ -194,7 +194,13 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(gotClean === expectedClean)
     assert(gotClean(3L) === fill3) // untouched doc passes through
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("spansRemovedKeepOne keeps the lexicographically-first copy of every span") {
@@ -744,7 +750,13 @@ class ExtensionsSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got === brute)
     assert(brute.contains((100L, 101L))) // the planted near-dup pair
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("dupClusters: a 25-deep near-dup chain lands in ONE cluster") {
@@ -760,7 +772,13 @@ class ExtensionsSpec extends SparkSpec {
     // cache discipline: everything but the final label round is released
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
       s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.size - before}")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("normalize: NFC + lowercase + whitespace collapse semantics") {
@@ -784,7 +802,13 @@ class ExtensionsSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccard(TextOps.normalize(docs))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L))) // normalized: identical docs
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("contamination: probe-shingle hits only, distinct-count semantics") {
@@ -821,7 +845,13 @@ class ExtensionsSpec extends SparkSpec {
     }.toMap
     assert(got === ref)
     assert(got.values.map(_._2).max > 10) // really spans many sequences
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("chunkDocs == brute sliding-window reference; empty doc yields one empty chunk") {
@@ -887,7 +917,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaJoin === viaBroadcast)
     assert(viaJoin(700L) === 0L) // star leaf → hub-rooted component
     assert(viaJoin(1029L) === 0L) // chain tail, linked via 501—1000
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("dupClusters: checkpointDir truncates lineage, labels unchanged") {
@@ -911,7 +947,13 @@ class ExtensionsSpec extends SparkSpec {
         Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
       assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("part-")),
         "no checkpoint files written")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
@@ -947,7 +989,13 @@ class ExtensionsSpec extends SparkSpec {
       assert(gotStar === expected,
         s"star path, trial $trial (n=$n, edges=${pairs.size})")
     }
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("dupClusters: hitting maxIter raises instead of returning wrong labels") {
@@ -957,7 +1005,13 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.dupClusters(pairs, maxIter = 1, localThreshold = 0L).collect()
     }
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // drain the engine's own leases and session memos — NEVER a
+    // blanket unpersist of every persistent RDD: that steals the
+    // checkpoint blocks of LIVE PlanMemo values whose map entries
+    // survive (measured: a later memo HIT then served an
+    // unrecomputable frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    graft.Caches.clear(spark)
+    graft.PlanMemo.releaseAll()
   }
 
   test("survivorsBest keeps the argmax-quality member per cluster (tie → min id)") {
