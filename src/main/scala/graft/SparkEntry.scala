@@ -533,7 +533,11 @@ object SparkEntry {
           (col("doc_id") + HopDeepStep).as("dst"))
       val seeds = docs.filter(col("doc_id") < HopDeepStep)
         .select(col("doc_id").as("v"))
-      GraphOps.hopDistances(e, seeds, HopDeepMax, hopStride = 4)
+      // localThreshold = 0: this gate EXISTS to drive the distributed
+      // sweep loop / stride compaction / budget exit (the shallow
+      // gate takes the gated local path)
+      GraphOps.hopDistances(e, seeds, HopDeepMax, hopStride = 4,
+          localThreshold = 0L)
         .orderBy("vertex")
     }),
     // dependency WAVES of the same condensation: SCC → condensation →

@@ -1473,11 +1473,47 @@ object GraphOps {
     * across union branches).
     */
   def hopDistances(e: DataFrame, sources: DataFrame,
-      maxHops: Int, hopStride: Int = 1): DataFrame =
-    hopDistancesDeduped(graft.Caches.track(
-        e.select("src", "dst").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-      sources, maxHops, hopStride, releaseInput = true)
+      maxHops: Int, hopStride: Int = 1,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
+    val big = graft.Caches.track(
+      e.select("src", "dst").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // input-size-gated local fast path (the SCC/hits discipline): a
+    // BFS sweep's per-round cost is fixed job overhead on a
+    // sub-threshold distinct edge set. The deep-diameter gate pins
+    // localThreshold = 0 so the DISTRIBUTED sweep loop, the stride
+    // compaction and the budget exit stay on the hash-checked path.
+    if (big.count() <= localThreshold) {
+      val pairs = big.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seeds = sources.select(col("v")).distinct().collect()
+        .map(_.getLong(0))
+      return hopsLocal(e.sparkSession, pairs, seeds, maxHops)
+    }
+    hopDistancesDeduped(big, sources, maxHops, hopStride,
+      releaseInput = true)
+  }
+
+  /** The driver-side twin of the BFS sweep: min hop distance from the
+    * seed SET over paths of ≤ `maxHops` edges — seeds at 0 (isolated
+    * seeds included, the distributed frame's contract), early exit on
+    * an empty frontier.
+    */
+  private def hopsLocal(s: SparkSession, pairs: Array[(Long, Long)],
+      seeds: Array[Long], maxHops: Int): DataFrame = {
+    import s.implicits._
+    val adj = pairs.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    seeds.foreach(dist(_) = 0L)
+    var frontier: Array[Long] = seeds.distinct
+    var h = 0
+    while (h < maxHops && frontier.nonEmpty) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = h + 1L)
+      h += 1
+    }
+    dist.toSeq.sorted.toDF("vertex", "dist")
+  }
 
   /** The sweep loop over an ALREADY deduped-and-persisted edge
     * relation — shared so a multi-run caller (`closenessSampled`'s k
@@ -1988,10 +2024,23 @@ object GraphOps {
   val SsspRounds = 6
 
   def ssspBudget(e0: DataFrame, sources: DataFrame,
-      maxRounds: Int = SsspRounds): DataFrame = {
+      maxRounds: Int = SsspRounds,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
     require(maxRounds >= 0 && maxRounds <= 64,
       s"maxRounds must be in [0, 64], got $maxRounds")
     val e = weightedEdgesShared(e0)
+    // input-size-gated local fast path (the SCC/hits/BFS discipline):
+    // synchronous budgeted Bellman-Ford driver-side under the bound —
+    // ≡ the frontier-delta loop by min-combine idempotence (the
+    // pinned law); property specs force localThreshold = 0 to keep
+    // the distributed loop covered.
+    if (e.count() <= localThreshold) {
+      val wedges = e.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val seeds = sources.select(col("v")).distinct().collect()
+        .map(_.getLong(0))
+      return ssspLocal(e0.sparkSession, wedges, seeds, maxRounds)
+    }
     var dist = ck(sources.select(col("v")).distinct()
       .withColumn("dist", lit(0L)))
     // FRONTIER-DELTA relaxation (the hopDistances lesson, weighted):
@@ -2037,6 +2086,33 @@ object GraphOps {
     // it (the fixpoint exit already did; round-0 delta IS dist)
     if (delta ne dist) drop(delta)
     dist.select(col("v").as("vertex"), col("dist"))
+  }
+
+  /** The driver-side twin of the budgeted Bellman-Ford: exactly
+    * `maxRounds` synchronous min-combine rounds (early exit on a
+    * round with no improvement — idempotence makes that identical),
+    * seeds at 0, min path WEIGHT over ≤ maxRounds edges.
+    */
+  private def ssspLocal(s: SparkSession,
+      wedges: Array[(Long, Long, Long)], seeds: Array[Long],
+      maxRounds: Int): DataFrame = {
+    import s.implicits._
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    seeds.foreach(dist(_) = 0L)
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      changed = false
+      val snapshot = dist.toMap
+      wedges.foreach { case (u, v, w) =>
+        snapshot.get(u).foreach { du =>
+          val nd = du + w
+          if (dist.get(v).forall(nd < _)) { dist(v) = nd; changed = true }
+        }
+      }
+      round += 1
+    }
+    dist.toSeq.sorted.toDF("vertex", "dist")
   }
 
   /** WEIGHTED sampled closeness — `closenessSampled` over path

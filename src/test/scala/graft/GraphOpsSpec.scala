@@ -768,20 +768,35 @@ class GraphOpsSpec extends SparkSpec {
       // must be invisible in the result on arbitrary digraphs — back
       // edges, diamonds and revisits land on the same exact layers
       for (hops <- Seq(0, 1, 3, 50); stride <- Seq(1, 3, 8)) {
+        // localThreshold = 0 forces the DISTRIBUTED sweep loop (the
+        // fixtures are under the fast-path bound)
         val got = GraphOps.hopDistances(edgeDf(e: _*),
-            seeds.toSeq.toDF("v"), hops, hopStride = stride)
+            seeds.toSeq.toDF("v"), hops, hopStride = stride,
+            localThreshold = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         withClue(s"edges=$e hops=$hops stride=$stride") {
           assert(got === bruteBfs(e, seeds, hops))
         }
+        // the gated local fast path must agree exactly
+        val loc = GraphOps.hopDistances(edgeDf(e: _*),
+            seeds.toSeq.toDF("v"), hops, hopStride = stride,
+            localThreshold = Long.MaxValue)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"local edges=$e hops=$hops") {
+          assert(loc === got)
+        }
       }
     }
     // a seed absent from the edge relation still reports dist 0; an
-    // unreached vertex is absent
-    val got = GraphOps.hopDistances(edgeDf((1L, 2L), (3L, 4L)),
-        Seq(1L, 99L).toDF("v"), 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L))
+    // unreached vertex is absent — on BOTH paths
+    for (lt <- Seq(0L, Long.MaxValue)) {
+      val got = GraphOps.hopDistances(edgeDf((1L, 2L), (3L, 4L)),
+          Seq(1L, 99L).toDF("v"), 2, localThreshold = lt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"localThreshold=$lt") {
+        assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L))
+      }
+    }
     // an 80-vertex chain crosses the 16-frame HopCompactLayers
     // boundary (4× at stride 1, once at stride 4) — the
     // layer-compaction path (including frontier recovery from the
@@ -789,7 +804,7 @@ class GraphOpsSpec extends SparkSpec {
     val chain = (0L until 79L).map(i => (i, i + 1L))
     for (stride <- Seq(1, 4)) {
       val deep = GraphOps.hopDistances(edgeDf(chain: _*), Seq(0L).toDF("v"),
-          100, hopStride = stride)
+          100, hopStride = stride, localThreshold = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"stride=$stride") {
         assert(deep === (0L to 79L).map(v => v -> v).toMap)
@@ -1211,11 +1226,20 @@ class GraphOpsSpec extends SparkSpec {
       val e = List.fill(80)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
       val seeds = Set(0L, 1L)
       for (rounds <- Seq(0, 1, 3, 12)) {
+        // localThreshold = 0 forces the distributed frontier-delta
+        // loop; the gated local path must agree exactly
         val got = GraphOps.ssspBudget(edgeDf(e: _*),
-            seeds.toSeq.toDF("v"), rounds)
+            seeds.toSeq.toDF("v"), rounds, localThreshold = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         withClue(s"edges=$e rounds=$rounds") {
           assert(got === brute(e, seeds, rounds))
+        }
+        val loc = GraphOps.ssspBudget(edgeDf(e: _*),
+            seeds.toSeq.toDF("v"), rounds,
+            localThreshold = Long.MaxValue)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"local edges=$e rounds=$rounds") {
+          assert(loc === got)
         }
       }
     }
