@@ -40,6 +40,8 @@ object Caches {
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     private[Caches] val rdds =
       new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+    private[Caches] val hooks =
+      new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
     /** Unpersist every entry tracked under this lease (and only those). */
     def release(): Unit = {
@@ -52,6 +54,11 @@ object Caches {
       while (rdd != null) {
         try rdd.unpersist(blocking = false) catch { case NonFatal(_) => () }
         rdd = rdds.poll()
+      }
+      var h = hooks.poll()
+      while (h != null) {
+        try h() catch { case NonFatal(_) => () }
+        h = hooks.poll()
       }
     }
   }
@@ -72,6 +79,14 @@ object Caches {
 
   /** Register an operator-persisted RDD for later release. */
   def trackRdd[T](rdd: RDD[T]): RDD[T] = { leaseNow.rdds.add(rdd); rdd }
+
+  /** Register a callback run when the current lease drains — the
+    * query-end signal for resources whose lifetime must outlast the
+    * call that handed them out (PlanMemo ref-counts ride on this: a
+    * memoized checkpoint handed to THIS query cannot be destroyed by
+    * LRU eviction until this lease releases).
+    */
+  def onRelease(f: () => Unit): Unit = leaseNow.hooks.add(f)
 
   /** Run `body` under a fresh per-invocation lease: caches tracked on
     * this thread inside the block are released when the block exits.

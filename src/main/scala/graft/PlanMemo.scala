@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.DataFrame
 
 /** Bounded memo of expensive relations keyed by (session, params,
@@ -23,16 +25,16 @@ import org.apache.spark.sql.DataFrame
   * than merely improbable. `slots` bounds retention (LRU) so a long
   * session over many inputs cannot accumulate checkpoint blocks.
   *
-  * Builds run OUTSIDE the lock. A racing duplicate build is resolved
-  * FIRST-WRITE-WINS: the loser releases the value IT just built —
-  * which no other caller can hold yet — and returns the incumbent,
-  * so a checkpoint that an earlier caller may still be reading is
-  * never destroyed from under it. LRU eviction (`slots`) CAN still
-  * release a value an in-flight plan in the same composite query
-  * holds — so `slots` must cover the maximal concurrent family
-  * footprint, and the engine's own drivers run the memoized families
-  * single-threaded (a hard assumption of the eviction policy, not a
-  * nicety).
+  * Lifetime is REF-COUNTED, so no eviction policy can destroy a value
+  * out from under a consumer: the map holds one reference per entry,
+  * and every `getOrBuild` return takes another, released when the
+  * caller's `Caches` lease drains (the query-end signal — `scoped`
+  * exit or `Caches.clear`). LRU eviction and `clear()` only drop the
+  * MAP's reference; the checkpoint blocks are actually released when
+  * the last in-flight query that was handed the value finishes. A
+  * racing duplicate build still resolves FIRST-WRITE-WINS — the loser
+  * releases the value IT just built (provably unreferenced) and
+  * serves the incumbent under a fresh reference.
   */
 final class PlanMemo[T](slots: Int,
     release: T => Unit = (_: T) => ()) {
@@ -40,27 +42,39 @@ final class PlanMemo[T](slots: Int,
 
   PlanMemo.register(this)
 
+  /** A memoized value plus its reference count. Starts at 1 — the
+    * map's own reference. `releaseRef` runs the destructor exactly
+    * once, when the count first reaches zero.
+    */
+  private final class Entry(val value: T) {
+    private val refs = new AtomicInteger(1)
+    def retain(): Unit = refs.incrementAndGet()
+    def releaseRef(): Unit =
+      if (refs.decrementAndGet() == 0) release(value)
+  }
+
   // the PLAN participates in the MAP KEY (tuple equality → structural
   // plan equality), so two different inputs under the same params are
   // distinct ENTRIES — a value-side plan compare would silently
   // overwrite one input's artifact with the other's and leak the
   // replaced checkpoint without ever releasing it
   private val map =
-    new java.util.LinkedHashMap[(String, AnyRef), T](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, AnyRef), Entry](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, AnyRef), T]): Boolean = {
+          e: java.util.Map.Entry[(String, AnyRef), Entry]): Boolean = {
         val evict = size > slots
-        if (evict) release(e.getValue)
+        if (evict) e.getValue.releaseRef() // drop the MAP's reference only
         evict
       }
     }
 
-  /** Drop every entry (and release its checkpoint blocks) — the
+  /** Drop every entry (releasing the MAP's reference on each; blocks
+    * held by an in-flight query survive until its lease drains) — the
     * session-teardown / leak-audit hook `PlanMemo.releaseAll` drives.
     */
   def clear(): Unit = map.synchronized {
     val it = map.values.iterator
-    while (it.hasNext) release(it.next())
+    while (it.hasNext) it.next().releaseRef()
     map.clear()
   }
 
@@ -69,10 +83,21 @@ final class PlanMemo[T](slots: Int,
     */
   val hits = new java.util.concurrent.atomic.AtomicLong
 
+  /** Hand `e`'s value to the calling query: one reference taken now,
+    * given back when the caller's Caches lease drains.
+    */
+  private def lend(e: Entry): T = {
+    e.retain()
+    Caches.onRelease(() => e.releaseRef())
+    e.value
+  }
+
   /** Return the memoized value for (input plan, params), building and
     * recording it on a miss. `input` is the relation whose canonical
     * plan identifies the data; `params` must carry every constant the
-    * built value depends on.
+    * built value depends on. The returned value is guaranteed alive
+    * until the calling query's lease drains, whatever later calls
+    * evict.
     */
   def getOrBuild(input: DataFrame, params: String)(build: => T): T = {
     val s = input.sparkSession
@@ -80,24 +105,26 @@ final class PlanMemo[T](slots: Int,
       s"${System.identityHashCode(s)}|$params",
       input.queryExecution.analyzed.canonicalized: AnyRef)
     map.synchronized {
-      if (map.containsKey(key)) {
+      val e = map.get(key)
+      if (e != null) {
         hits.incrementAndGet()
-        return map.get(key)
+        return lend(e)
       }
     }
     val v = build
     map.synchronized {
       val prev = map.get(key)
-      if (prev != null && prev != v) {
+      if (prev != null && prev.value != v) {
         // racing duplicate build: FIRST write wins. The incumbent may
         // already be held by the racer that stored it, so the only
         // value that is provably unreferenced is the one WE just
         // built and have not yet returned — release v, serve prev.
         release(v)
-        prev
+        lend(prev)
       } else {
-        map.put(key, v)
-        v
+        val e = new Entry(v)
+        map.put(key, e)
+        lend(e)
       }
     }
   }

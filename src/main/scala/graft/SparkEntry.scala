@@ -162,11 +162,19 @@ object SparkEntry {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.table(s, d, "documents")
       .filter(col("doc_id") >= TextOps.Bm25Queries)
+    // the scratch-dir LEAF carries a digest of the memo key (corpus
+    // plan + depth): a second, different corpus filter over the same
+    // sf dir gets DISTINCT dirs instead of overwriting the ones an
+    // older memo entry still serves — the dirs are as plan-keyed as
+    // the memo itself
+    val keyDigest = f"${scala.util.hashing.MurmurHash3.stringHash(
+      corpus.queryExecution.analyzed.canonicalized.toString +
+        "|" + TextOps.Bm25IndexDepth)}%08x"
     bm25IdxMemo.getOrBuild(corpus, s"bm25idx|${TextOps.Bm25IndexDepth}") {
-      val idxDir = ivfTmpDir(s, d, "bm25_idx")
+      val idxDir = ivfTmpDir(s, d, s"bm25_idx_$keyDigest")
       TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
         .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_lens")
+      val lensDir = ivfTmpDir(s, d, s"bm25_lens_$keyDigest")
       TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
       (idxDir, lensDir)
     }
@@ -1923,9 +1931,17 @@ object SparkEntry {
           staticPrune = true)
         .orderBy("query_id", "rank")
     }),
+    // REAL container decode, column-expression path: payloads carry
+    // actual BMP/WAV/AVI byte layouts; every output field is parsed
+    // back out of the bytes (substring/hex/conv little-endian reads)
+    // while the oracle states expected values independently from
+    // doc_id formulas — writer and parser errors cannot cancel out.
+    // Rows with doc_id % 97 == 0 are truncated mid-header and must
+    // surface as valid=0 sentinel rows, not errors.
     "media_features" -> ((s, d) =>
-      Multimodal.mediaFeaturesSql(
-        Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+      Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents")))
+        .orderBy("doc_id")),
     // binary twin of dedup_exact: only (md5, length) shuffles, the
     // payload bytes never leave the scan stage
     "media_dedup" -> ((s, d) =>
@@ -1943,16 +1959,24 @@ object SparkEntry {
       Dedup.dupClusters(Multimodal.mediaSimhashPairs(
           Multimodal.mediaTable(Tables.table(s, d, "documents"))))
         .orderBy("doc_id")),
+    // the same decode through the partition-iterator ByteBuffer path
+    // (the codec-binding shape) — identical schema and values to
+    // media_features, so both share one oracle: triple agreement
+    // between two independent parsers and the formula-stated truth
     "media_decode" -> ((s, d) =>
-      Multimodal.decodeStub(s,
-        Multimodal.mediaTable(Tables.table(s, d, "documents"))).toDF()
+      Multimodal.mediaDecodeBatch(s,
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))).toDF()
         .orderBy("doc_id")),
+    // resize planning over PARSED BMP headers (valid image rows only)
     "media_resize" -> ((s, d) =>
-      Multimodal.resizePlan(
-        Multimodal.mediaTable(Tables.table(s, d, "documents"))).orderBy("doc_id")),
+      Multimodal.resizePlan(Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+        .orderBy("doc_id")),
+    // frame sampling driven by the avih dwTotalFrames field parsed
+    // from the bytes; each frame gets its byte range in the data region
     "media_frames" -> ((s, d) =>
-      Multimodal.frameSample(
-        Multimodal.mediaTable(Tables.table(s, d, "documents")))
+      Multimodal.frameSample(Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
         .orderBy("doc_id", "frame_idx")),
     // sliding 1h/15min windows — each event fans into 4 windows in
     // the map stage, then the usual partial-agg counts
@@ -2665,23 +2689,6 @@ object SparkEntry {
       s"AS buckets FROM $src)"
   }
 
-  /** UTF-8 LEADING byte of code point `u` — pure integer arithmetic,
-    * so the oracle reproduces Spark's byte-level reads of the encoded
-    * BinaryType payload without any blob indexing.
-    */
-  private def utf8LeadSql(u: String): String =
-    s"(CASE WHEN $u < 128 THEN $u WHEN $u < 2048 THEN 192 + $u // 64 " +
-      s"WHEN $u < 65536 THEN 224 + $u // 4096 ELSE 240 + $u // 262144 END)"
-
-  /** Sum of ALL UTF-8 bytes of code point `u` (1–4 bytes). Modular
-    * addition is associative, so folding per-character sums mod 251
-    * equals the stub decoder's per-byte running mod.
-    */
-  private def utf8ByteSumSql(u: String): String =
-    s"(CASE WHEN $u < 128 THEN $u " +
-      s"WHEN $u < 2048 THEN 320 + $u // 64 + $u % 64 " +
-      s"WHEN $u < 65536 THEN 480 + $u // 4096 + ($u // 64) % 64 + $u % 64 " +
-      s"ELSE 624 + $u // 262144 + ($u // 4096) % 64 + ($u // 64) % 64 + $u % 64 END)"
 
   /** MinHash-LSH CTE chain (expects an `hs` CTE in scope) + the
     * verified-pairs SELECT over it — shared by dedup_minhash and the
@@ -4108,6 +4115,46 @@ object SparkEntry {
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
     }
+
+  /** Container-decode oracle — shared whole by media_features (column
+    * parse) and media_decode (ByteBuffer parse). The expected values are
+    * stated INDEPENDENTLY of the bytes, from the same doc_id formulas the
+    * synthesizer encodes: the Spark side writes the fields into real
+    * BMP/WAV/AVI headers and parses them back out, so a wrong byte offset
+    * on either side breaks the hash — writer and parser cannot cancel.
+    * doc_id % 97 == 0 rows are truncated mid-header by the synthesizer
+    * and must decode to the 'none'/0/-1 sentinel row.
+    */
+  private lazy val MediaDecodeOracleSql: String =
+    "WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, " +
+      "(doc_id % 97 = 0) AS bad, " +
+      "CAST(strlen(text) AS BIGINT) AS dlen, " +
+      // BMP dims (small: the pixel array is real) vs AVI dims
+      "CAST(doc_id % 300 + 2 AS BIGINT) AS wb, " +
+      "CAST(doc_id % 200 + 2 AS BIGINT) AS hb, " +
+      "CAST(doc_id % 640 + 1 AS BIGINT) AS w, " +
+      "CAST(doc_id % 480 + 1 AS BIGINT) AS h, " +
+      "CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+      "WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sr, " +
+      "CAST(doc_id % 2 + 1 AS BIGINT) AS ch, " +
+      "CAST(doc_id % 5 + 1 AS BIGINT) AS fr FROM documents) " +
+      "SELECT doc_id, " +
+      "CASE WHEN bad THEN 'none' WHEN k = 0 THEN 'bmp' " +
+      "WHEN k = 1 THEN 'wav' ELSE 'avi' END AS container, " +
+      "CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS valid, " +
+      "CAST(CASE WHEN bad OR k = 1 THEN -1 WHEN k = 0 THEN wb ELSE w END " +
+      "AS BIGINT) AS width, " +
+      "CAST(CASE WHEN bad OR k = 1 THEN -1 WHEN k = 0 THEN hb ELSE h END " +
+      "AS BIGINT) AS height, " +
+      "CAST(CASE WHEN bad OR k = 2 THEN -1 WHEN k = 0 THEN 24 ELSE 16 END " +
+      "AS BIGINT) AS bit_depth, " +
+      "CAST(CASE WHEN bad OR k <> 1 THEN -1 ELSE sr END AS BIGINT) AS sample_rate, " +
+      "CAST(CASE WHEN bad OR k <> 1 THEN -1 ELSE ch END AS BIGINT) AS channels, " +
+      "CAST(CASE WHEN bad OR k <> 2 THEN -1 ELSE fr END AS BIGINT) AS total_frames, " +
+      // BMP data_bytes = the 4-byte-aligned BI_RGB pixel array size
+      "CAST(CASE WHEN bad THEN -1 WHEN k = 0 THEN (wb * 3 + 3) // 4 * 4 * hb " +
+      "ELSE dlen END AS BIGINT) AS data_bytes " +
+      "FROM m"
 
   /** graph_lpa oracle — shared whole by graph_modularity. */
   private lazy val GraphLpaSql: String = {
@@ -6569,17 +6616,10 @@ object SparkEntry {
     "knn_recall_lsh" -> recallSql(KnnBruteSql, KnnLshSql),
     "knn_filtered_recall" -> recallSql(KnnFilteredSql, KnnIvfFilteredSql),
     "knn_graph_recall" -> recallSql(knnBruteSqlFor("TRUE"), KnnGraphSql),
-    // payload = encode(text,'UTF-8'): n_bytes is the BYTE length
-    // (strlen) and first_byte the UTF-8 leading byte — byte semantics
-    // exactly, not character semantics (they differ on non-ASCII text).
-    "media_features" ->
-      ("SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS kind, " +
-        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
-        s"CAST(${utf8LeadSql("unicode(substr(text, 1, 1))")} AS BIGINT) AS first_byte, " +
-        "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
-        "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents"),
+    // column-expression parse of real BMP/WAV/AVI headers; expected
+    // values stated independently from doc_id formulas (see
+    // MediaDecodeOracleSql scaladoc for the cannot-cancel argument)
+    "media_features" -> MediaDecodeOracleSql,
     "media_simhash" -> MediaSimhashSql,
     "media_clusters" ->
       // near-dup cluster resolution over the byte-level pairs — the
@@ -6602,36 +6642,31 @@ object SparkEntry {
         "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         "CAST(COUNT(*) AS BIGINT) AS n_copies " +
         "FROM documents GROUP BY 2, 3"),
-    // the stub decoder's outputs are all pure functions of the UTF-8
-    // bytes — reproduced from code points (see utf8*Sql), so even the
-    // mapPartitions path gets a full hash check
-    "media_decode" ->
-      ("SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS kind, " +
-        "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
-        "CAST(CASE WHEN strlen(text) = 0 THEN -1 ELSE " +
-        s"${utf8LeadSql("unicode(substr(text, 1, 1))")} END AS BIGINT) AS first_byte, " +
-        "CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE " +
-        "list_reduce(list_prepend(0::BIGINT, list_transform(split(text, ''), " +
-        s"c -> ${utf8ByteSumSql("unicode(c)::BIGINT")})), " +
-        "(a, x) -> (a + x) % 251) END AS BIGINT) AS byte_sum_mod " +
-        "FROM documents"),
+    // the ByteBuffer partition-iterator parse — same schema and values
+    // as media_features, so the SAME oracle: triple agreement between
+    // the two independent parsers and the formula-stated truth
+    "media_decode" -> MediaDecodeOracleSql,
+    // resize planning over parsed BMP widths/heights: valid image rows
+    // only (doc_id % 3 = 0, not truncated)
     "media_resize" ->
-      ("SELECT doc_id, kind, width, height, " +
-        "CAST(LEAST(width, 256) AS BIGINT) AS out_width, " +
-        "CAST(GREATEST(1, (height * LEAST(width, 256)) // width) AS BIGINT) AS out_height " +
-        "FROM (SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS kind, " +
-        "CAST(doc_id % 640 + 1 AS BIGINT) AS width, " +
-        "CAST(doc_id % 480 + 1 AS BIGINT) AS height FROM documents)"),
+      ("SELECT doc_id, " +
+        "CAST(doc_id % 300 + 2 AS BIGINT) AS width, " +
+        "CAST(doc_id % 200 + 2 AS BIGINT) AS height, " +
+        "CAST(LEAST(doc_id % 300 + 2, 256) AS BIGINT) AS out_width, " +
+        "CAST(GREATEST(1, ((doc_id % 200 + 2) * LEAST(doc_id % 300 + 2, 256)) " +
+        "// (doc_id % 300 + 2)) AS BIGINT) AS out_height " +
+        "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 <> 0"),
+    // frame byte-ranges from the parsed avih dwTotalFrames: valid video
+    // rows only; near-equal integer split of the data region
     "media_frames" ->
-      (s"SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
-        "CAST((ph * 31 + frame_idx) % 1000000007 AS BIGINT) AS frame_hash FROM " +
-        s"(SELECT doc_id, ${phSql("text")} AS ph, " +
+      ("SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+        "CAST((frame_idx * dlen) // fr AS BIGINT) AS frame_start, " +
+        "CAST(((frame_idx + 1) * dlen) // fr - (frame_idx * dlen) // fr " +
+        "AS BIGINT) AS frame_len FROM " +
+        "(SELECT doc_id, CAST(strlen(text) AS BIGINT) AS dlen, " +
+        "CAST(doc_id % 5 + 1 AS BIGINT) AS fr, " +
         "unnest(range(0, doc_id % 5 + 1)) AS frame_idx " +
-        "FROM documents WHERE doc_id % 3 = 2)"),
+        "FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 <> 0)"),
     "events_funnel" -> funnelOracle,
     // the state-machine form is an execution detail (per-user
     // mapGroupsWithState scan instead of chained joins) — same greedy

@@ -1487,6 +1487,11 @@ object GraphOps {
       val pairs = big.collect().map(r => (r.getLong(0), r.getLong(1)))
       val seeds = sources.select(col("v")).distinct().collect()
         .map(_.getLong(0))
+      // everything this cache feeds is collected — release eagerly,
+      // mirroring the distributed path's releaseInput = true (the
+      // lease would drain it eventually, but holding a whole edge
+      // cache until query end on every sub-threshold call is waste)
+      big.unpersist(blocking = false)
       return hopsLocal(e.sparkSession, pairs, seeds, maxHops)
     }
     hopDistancesDeduped(big, sources, maxHops, hopStride,

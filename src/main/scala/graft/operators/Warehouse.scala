@@ -366,11 +366,16 @@ object Warehouse {
       // prefixes of the raw string (a bare stripPrefix("file:") left
       // the `//` authority marker and failed every compare, silently
       // rewriting the tables on each call)
+      // boundary-safe containment: the file must live UNDER want (or
+      // be want itself) — a bare prefix compare would trust a stale
+      // catalog entry whose files sit in a sibling dir sharing the
+      // prefix (<dir>/ordersX vs <dir>/orders)
+      val wantDir = want + java.io.File.separator
       files.nonEmpty && files.forall { f =>
         val p = try new java.net.URI(f).getPath catch {
           case _: java.net.URISyntaxException => f
         }
-        p != null && p.startsWith(want)
+        p != null && (p == want || p.startsWith(wantDir))
       }
     }
 

@@ -296,20 +296,57 @@ class ExtensionsSpec extends SparkSpec {
     val d3 = spark.range(3).toDF()
     var builds = 0
     def b(v: Int): Int = { builds += 1; v }
-    assert(memo.getOrBuild(d1, "p")(b(1)) === 1)
-    assert(memo.getOrBuild(d1, "p")(b(-1)) === 1) // hit: build not run
-    assert(memo.hits.get() === 1L)
-    assert(builds === 1)
-    // different params and different input plans are distinct entries
-    assert(memo.getOrBuild(d1, "q")(b(10)) === 10)
-    assert(memo.getOrBuild(d2, "p")(b(2)) === 2) // LRU evicts (d1,"p")
-    assert(released === Seq(1))
-    assert(memo.getOrBuild(d1, "p")(b(5)) === 5) // rebuilt after eviction
-    // clear() releases everything still held
+    graft.Caches.scoped {
+      assert(memo.getOrBuild(d1, "p")(b(1)) === 1)
+      assert(memo.getOrBuild(d1, "p")(b(-1)) === 1) // hit: build not run
+      assert(memo.hits.get() === 1L)
+      assert(builds === 1)
+      // different params and different input plans are distinct entries
+      assert(memo.getOrBuild(d1, "q")(b(10)) === 10)
+      assert(memo.getOrBuild(d2, "p")(b(2)) === 2) // LRU evicts (d1,"p")
+      assert(memo.getOrBuild(d1, "p")(b(5)) === 5) // rebuilt; evicts (d1,"q")
+      // eviction dropped only the MAP's reference — this query still
+      // holds both evicted values, so nothing is released yet
+      assert(released.isEmpty)
+    }
+    // the lease drained: evicted values (and only those) released now
+    assert(released.sorted === Seq(1, 10))
     released.clear()
     memo.clear()
     assert(released.sorted === Seq(2, 5))
-    assert(memo.getOrBuild(d3, "p")(b(3)) === 3)
+    graft.Caches.scoped {
+      assert(memo.getOrBuild(d3, "p")(b(3)) === 3)
+    }
+  }
+
+  test("PlanMemo: LRU eviction cannot destroy a checkpoint an in-flight query holds") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val memo = new graft.PlanMemo[org.apache.spark.sql.DataFrame](
+      1, graft.PlanMemo.releaseDf)
+    val d1 = spark.range(100).toDF()
+    val d2 = spark.range(7).toDF()
+    var evictedRdd: org.apache.spark.rdd.RDD[_] = null
+    graft.Caches.scoped {
+      val a = memo.getOrBuild(d1, "cp")(
+        ColumnBridge.statsFreeLocalCheckpoint(d1))
+      evictedRdd = a.queryExecution.analyzed.collectLeaves().collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.get
+      // a second key evicts the first (slots = 1); under an
+      // immediate-release policy this would drop `a`'s checkpoint
+      // blocks HERE, and the count below would die with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the round-16 teardown bug
+      // class, made structural)
+      memo.getOrBuild(d2, "cp")(ColumnBridge.statsFreeLocalCheckpoint(d2))
+      assert(evictedRdd.getStorageLevel.useMemory,
+        "evicted value's blocks must survive while this query holds it")
+      assert(a.count() === 100L,
+        "the lazily-consumed evicted value must still serve")
+    }
+    // lease drained → the last reference is gone → blocks released
+    assert(evictedRdd.getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    memo.clear()
   }
 
   test("PlanMemo: a racing duplicate build resolves first-write-wins, releasing only the unreferenced loser") {
@@ -1522,17 +1559,92 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: decode stub preserves batch shape and features") {
-    val docs = docsDf((1L, "abc"), (2L, ""), (3L, "zz"))
-    val media = Multimodal.mediaTable(docs)
+  test("multimodal: real container headers round-trip through both decoders") {
+    // 3 → BMP, 4 → WAV, 5 → AVI, 97 → WAV truncated mid-header
+    val docs = docsDf((3L, "pixels here"), (4L, "pcm samples"),
+      (5L, "frame bytes!"), (97L, "never seen"))
+    val media = Multimodal.mediaContainers(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
-    val feats = Multimodal.decodeStub(spark, media).collect()
-      .map(f => f.doc_id -> f).toMap
-    assert(feats(1L).n_bytes === 3L)
-    assert(feats(1L).first_byte === 'a'.toLong)
-    assert(feats(1L).byte_sum_mod === (97L + 98L + 99L) % 251L)
-    assert(feats(2L).n_bytes === 0L)
-    assert(feats(2L).first_byte === -1L)
+    val cols = Multimodal.mediaDecodeCols(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bmp = cols(3L)
+    assert(bmp.getString(1) === "bmp" && bmp.getLong(2) === 1L)
+    assert(bmp.getLong(3) === 3L % 300 + 2)   // width parsed from bytes
+    assert(bmp.getLong(4) === 3L % 200 + 2)   // height
+    assert(bmp.getLong(5) === 24L)            // biBitCount
+    // biSizeImage = 4-byte-aligned stride × height (real pixel array)
+    assert(bmp.getLong(9) === ((5 * 3 + 3) / 4 * 4 * 5).toLong)
+    val wav = cols(4L)
+    assert(wav.getString(1) === "wav" && wav.getLong(2) === 1L)
+    assert(wav.getLong(5) === 16L)            // bitsPerSample
+    assert(wav.getLong(6) === 8000L)          // 4 % 4 = 0 → 8000 Hz
+    assert(wav.getLong(7) === 4L % 2 + 1)     // channels
+    assert(wav.getLong(9) === "pcm samples".length.toLong)
+    val avi = cols(5L)
+    assert(avi.getString(1) === "avi" && avi.getLong(2) === 1L)
+    assert(avi.getLong(3) === 5L % 640 + 1 && avi.getLong(4) === 5L % 480 + 1)
+    assert(avi.getLong(8) === 5L % 5 + 1)     // dwTotalFrames
+    assert(avi.getLong(9) === "frame bytes!".length.toLong)
+    val bad = cols(97L)
+    assert(bad.getString(1) === "none" && bad.getLong(2) === 0L)
+    assert((3 to 9).forall(i => bad.getLong(i) === -1L))
+    // the ByteBuffer batch path must agree bit-for-bit with the
+    // column-expression path on every row
+    val batch = Multimodal.mediaDecodeBatch(spark, media).toDF().collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    cols.foreach { case (id, r) => assert(batch(id) === r.toSeq, s"doc $id") }
+  }
+
+  test("multimodal: synthesized headers parse under the JDK's own readers") {
+    // independent third decoder: javax.imageio (BMP) and
+    // javax.sound.sampled (WAV) ship with the JDK and know nothing of
+    // our byte writers — if they read back the same metadata, the
+    // layout is genuinely the published one, not a private convention
+    val docs = docsDf((6L, "some pixel data"), (7L, "some pcm data"))
+    val media = Multimodal.mediaContainers(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media(6L)))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "JDK has no BMP reader?")
+    val reader = readers.next()
+    reader.setInput(iis)
+    assert(reader.getWidth(0) === (6 % 300 + 2))
+    assert(reader.getHeight(0) === (6 % 200 + 2))
+    reader.dispose()
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(media(7L))).getFormat
+    assert(fmt.getSampleRate === 44100f)      // 7 % 4 = 3 → 44100 Hz
+    assert(fmt.getChannels === (7 % 2 + 1))
+    assert(fmt.getSampleSizeInBits === 16)
+  }
+
+  test("multimodal: malformed payloads yield invalid rows, never task death") {
+    import Multimodal.decodeOne
+    val invalid = Seq[Array[Byte]](
+      Array.empty,
+      null,
+      Array.fill(200)(0x5a.toByte),                    // wrong magic, long
+      "BM".getBytes ++ Array.fill(10)(0.toByte),       // magic ok, short
+      "RIFF1234WAVE".getBytes,                          // WAVE, header cut
+      "RIFFxxxxAVI ".getBytes ++ Array.fill(40)(1.toByte)) // avih cut
+    invalid.foreach { b =>
+      val d = decodeOne(9L, b)
+      assert(d.valid === 0L && d.container === "none" && d.width === -1L)
+    }
+    // garbage past a complete well-formed-length header parses without
+    // throwing (fields are whatever the bytes say — that's a decode,
+    // not a validation, exactly like a real header reader)
+    val junk = decodeOne(9L, "BM".getBytes ++ Array.fill(60)(0x11.toByte))
+    assert(junk.valid === 1L && junk.container === "bmp")
+    // and the DataFrame path: a corrupt payload column flows through
+    // both decoders as sentinel rows with no task failure
+    val corrupt = docsDf((1L, "x")).select(col("doc_id"),
+      lit("not a container".getBytes).as("payload"))
+    val viaCols = Multimodal.mediaDecodeCols(corrupt).collect()(0)
+    assert(viaCols.getString(1) === "none" && viaCols.getLong(2) === 0L)
+    val viaBatch = Multimodal.mediaDecodeBatch(spark, corrupt).collect()(0)
+    assert(viaBatch.container === "none" && viaBatch.valid === 0L)
   }
 
   test("every engine function round-trips from pure SQL") {
@@ -1577,16 +1689,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(9) === 2L)
   }
 
-  test("multimodal: byte (not character) semantics on non-ASCII text") {
-    val docs = docsDf((1L, "héllo"), (2L, "érase"), (3L, "☃"))
-    val feats = Multimodal.mediaFeaturesSql(Multimodal.mediaTable(docs)).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
-    assert(feats(1L) === ((6L, 104L))) // é is 2 UTF-8 bytes; 'h' leads
-    assert(feats(2L) === ((6L, 195L))) // leading byte of é = 0xC3
-    assert(feats(3L) === ((3L, 226L))) // ☃ U+2603 = E2 98 83
-    val dec = Multimodal.decodeStub(spark, Multimodal.mediaTable(docs)).collect()
-      .map(f => f.doc_id -> f.byte_sum_mod).toMap
-    assert(dec(3L) === (0xE2L + 0x98L + 0x83L) % 251L)
+  test("multimodal: byte (not character) data sizes on non-ASCII text") {
+    // data_bytes is the BYTE length of the UTF-8 data region — byte
+    // semantics exactly, not character semantics (they differ here).
+    // WAV/AVI rows only: BMP pads its data region to the pixel array.
+    val docs = docsDf((4L, "érase"), (5L, "☃"), (7L, "héllo"))
+    val dec = Multimodal.mediaDecodeCols(Multimodal.mediaContainers(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(9)).toMap
+    assert(dec(4L) === 6L) // é is 2 UTF-8 bytes (WAV dataSize)
+    assert(dec(7L) === 6L) // (WAV dataSize)
+    assert(dec(5L) === 3L) // ☃ U+2603 = E2 98 83 (AVI riffSize - 80)
   }
 
   test("pqCodes: brute argmin reference on real embeddings; first-min tie rule") {
