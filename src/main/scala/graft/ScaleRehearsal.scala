@@ -27,11 +27,18 @@ object ScaleRehearsal {
     // defs, so skipped phases cost nothing.
     val phaseOnly = sys.env.get("SPARK_GRAFT_PHASE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // phase log → SCALE_LAST.json (the tracked 100-TB-posture artifact:
+    // phase → seconds → result), so scale cliffs are caught by the
+    // round-over-round diff, not only by the sf0.1 bench
+    val phaseLog =
+      scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
     def t[A](name: String)(f: => A): Unit = {
       if (phaseOnly.exists(subs => !subs.exists(name.contains))) return
       val t0 = System.nanoTime()
       val r = f
-      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
+      val dt = (System.nanoTime() - t0) / 1e9
+      phaseLog += ((name, dt, String.valueOf(r)))
+      println(f"SCALE $name%-28s $dt%8.2f s  -> $r")
       Caches.clear(spark) // each phase measured against a clean cache
     }
 
@@ -1339,5 +1346,48 @@ object ScaleRehearsal {
         .count())
 
     spark.stop()
+
+    // ---- artifact + regression alarm (full runs only: a PHASE_ONLY
+    // dev loop must neither overwrite the tracked file nor compare a
+    // quiet-box subset against full-run numbers) ----
+    if (phaseOnly.isEmpty) {
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val phasesJson = phaseLog.map { case (n, s, r) =>
+        s""""${esc(n)}":{"s":$s,"result":"${esc(r)}"}"""
+      }.mkString("{", ",", "}")
+      val total = phaseLog.map(_._2).sum
+      val json = s"""{"metric":"scale_total","value":$total,""" +
+        s""""unit":"sec","phases":$phasesJson}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), json + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale] could not write $out: ${e.getMessage}")
+      }
+      // alarm: a phase >1.5x its committed baseline AND >1s slower is a
+      // scale cliff to adjudicate; a changed result string is a
+      // CORRECTNESS drift at 20x and alarms unconditionally
+      val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASELINE",
+        "SCALE_BASELINE.json")
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(basePath)))
+        val ph = root.get("phases")
+        if (ph != null) phaseLog.foreach { case (n, s, r) =>
+          val b = ph.get(n)
+          if (b != null) {
+            val bs = b.get("s").asDouble(-1)
+            val br = Option(b.get("result")).map(_.asText()).getOrElse("")
+            if (br.nonEmpty && br != r) System.err.println(
+              s"[scale] RESULT DRIFT $n: '$r' vs baseline '$br'")
+            if (bs > 0 && s > bs * 1.5 && s - bs > 1.0) System.err.println(
+              f"[scale] PHASE REGRESSION $n: $s%.2fs vs baseline " +
+                f"$bs%.2fs (${s / bs}%.2fx)")
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () } // no baseline yet
+    }
   }
 }

@@ -543,7 +543,11 @@ object SparkEntry {
         .select(col("doc_id").as("v"))
       // localThreshold = 0: this gate EXISTS to drive the distributed
       // sweep loop / stride compaction / budget exit (the shallow
-      // gate takes the gated local path)
+      // gate takes the gated local path). Stride stays 4: the r17
+      // A/B measured stride 8 SLOWER (5.00 vs 4.55 s isolated warm —
+      // the 7 E_k precompute join jobs cost more than the 8 saved
+      // sweeps); the win came from narrowing the per-sweep plumbing
+      // instead (see hopDistancesDeduped's tiny-regime conf scope).
       GraphOps.hopDistances(e, seeds, HopDeepMax, hopStride = 4,
           localThreshold = 0L)
         .orderBy("vertex")

@@ -1559,6 +1559,36 @@ object GraphOps {
           (small, parts)
         } else (big, parts)
       }
+    // TINY-REGIME PLUMBING SCOPE: in the deep-stride regime over a
+    // sub-128k-edge relation the per-super-sweep cost is pure fixed
+    // overhead — 32-bucket shuffles and AQE's per-stage re-planning
+    // on single-partition data. Narrow both for the duration of the
+    // loop (1 shuffle partition, AQE off, whole-stage codegen off —
+    // the dominant cost was janino COMPILING fresh classes every
+    // sweep, since each sweep's plan embeds new hop literals and a
+    // wider dist union) and restore on exit; the returned relation is
+    // checkpointed, so downstream consumers plan under the caller's
+    // restored confs. Measured on the deep gate: 4.55 → 2.89 s
+    // isolated warm, identical rows (broadcast-hinting the frames and
+    // stride 8 were both tried and measured SLOWER — 4.38 / 5.00). A
+    // big-graph call (stride 1, or edges past the sizing bound) never
+    // enters this scope — there the shuffle width, AQE and codegen
+    // are load-bearing.
+    val sess = big.sparkSession
+    val tinyScope = hopStride > 1 && targetParts <= 2
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevShuf = sess.conf.get("spark.sql.shuffle.partitions", "32")
+    val prevWsc = sess.conf.get("spark.sql.codegen.wholeStage", "true")
+    if (tinyScope) {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions", "1")
+      // every sweep's plan embeds fresh literals (hop offset) and a
+      // wider dist union, so whole-stage codegen COMPILES new classes
+      // each sweep — janino time, not data time. Interpreted eval on
+      // a handful of rows is strictly cheaper here.
+      sess.conf.set("spark.sql.codegen.wholeStage", "false")
+    }
+    try {
     // the multi-hop relation for stride > 1 (see docstring): E_k =
     // distinct k-step pairs, each self-join materialized ONCE and
     // right-sized like the edge cache; the lazy union carries the k
@@ -1642,6 +1672,13 @@ object GraphOps {
       dist = compact
     }
     dist.select(col("v").as("vertex"), col("dist"))
+    } finally {
+      if (tinyScope) {
+        sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        sess.conf.set("spark.sql.shuffle.partitions", prevShuf)
+        sess.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      }
+    }
   }
 
   /** Sample size for `closenessSampled` — the k hash-chosen BFS

@@ -113,6 +113,51 @@ class BenchSpec extends SparkSpec {
       "/nonexistent/graft.json").isEmpty)
   }
 
+  test("the headline split: total_warm sums warm medians, build_total the rep-1 excess") {
+    val samples = Seq(
+      Map("stored" -> Some(10.0), "plain" -> Some(1.0)),
+      Map("stored" -> Some(2.0), "plain" -> Some(1.2)),
+      Map("stored" -> Some(3.0), "plain" -> Some(0.8)))
+    val (stdoutJson, fileJson, _) =
+      Bench.render(Seq("stored", "plain"), samples, 3, "sf-test")
+    // warm = 2.5 + 1.0; build = 7.5 + 0.0; value stays the raw total
+    assert(fileJson.contains("\"total_warm\":3.5"), fileJson)
+    assert(fileJson.contains("\"build_total\":7.5"), fileJson)
+    assert(stdoutJson.contains("\"total_warm\":3.5"), stdoutJson)
+    assert(stdoutJson.contains("\"build_total\":7.5"), stdoutJson)
+  }
+
+  test("the baseline ratchet lowers on >=20% improvement, seeds unseen, never raises") {
+    val base = java.nio.file.Files.createTempFile("graft_bench_rat", ".json")
+    java.nio.file.Files.writeString(base,
+      """{"metric":"total","value":9,""" +
+        """"queries_warm":{"big":2.0,"small":1.0,"worse":1.0}}""")
+    Bench.ratchet(Map(
+      "big" -> 1.0,    // 50% faster → lowered
+      "small" -> 0.9,  // 10% faster → sub-threshold, kept at 1.0
+      "worse" -> 5.0,  // regression → NEVER raised (the alarm's job)
+      "fresh" -> 0.3,  // unseen → seeded
+      "dead" -> -1.0), // failed query → ignored
+      base.toString)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(base))
+    val qw = root.get("queries_warm")
+    assert(qw.get("big").asDouble() === 1.0)
+    assert(qw.get("small").asDouble() === 1.0)
+    assert(qw.get("worse").asDouble() === 1.0)
+    assert(qw.get("fresh").asDouble() === 0.3)
+    assert(qw.get("dead") == null)
+    // the rest of the baseline file is preserved verbatim
+    assert(root.get("value").asInt() === 9)
+    // a missing file is created whole-cloth from the run
+    val fresh = java.nio.file.Files.createTempDirectory("graft_rat")
+      .resolve("b.json")
+    Bench.ratchet(Map("q" -> 0.5), fresh.toString)
+    val seeded = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(fresh))
+    assert(seeded.get("queries_warm").get("q").asDouble() === 0.5)
+  }
+
   test("an all-green run renders an empty errors object") {
     val queries = Map("good" -> q(s => s.range(3).toDF()))
     val samples = Bench.sample(spark, "unused", queries, reps = 1)
