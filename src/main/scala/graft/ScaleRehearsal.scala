@@ -82,6 +82,20 @@ object ScaleRehearsal {
 
     // decontamination at 50k docs vs a 500-doc "benchmark": probe side
     // broadcast, corpus in one map stage
+    // real-container decode at 50k payloads: synthesize BMP/WAV/AVI
+    // headers and parse them back — the column path (sum of parsed
+    // data bytes over valid rows as the checksum) and the ByteBuffer
+    // batch path (valid-row count) both exercised at 100× the sf0.01
+    // gate size
+    t("media_decode_cols 50k")(
+      operators.Multimodal.mediaDecodeCols(
+          operators.Multimodal.mediaContainers(docs))
+        .filter(col("valid") === 1L)
+        .agg(sum(col("data_bytes"))).collect()(0).getLong(0))
+    t("media_decode_batch 50k")(
+      operators.Multimodal.mediaDecodeBatch(spark,
+        operators.Multimodal.mediaContainers(docs)).filter(_.valid == 1L)
+        .count())
     t("contamination 50k docs")(
       operators.TextOps.contamination(docs,
         docs0.filter(col("doc_id") < 500)).count())

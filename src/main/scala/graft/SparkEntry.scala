@@ -1982,6 +1982,17 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.mediaDecodeCols(
         Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
         .orderBy("doc_id", "frame_idx")),
+    // keep/drop curation from PARSED metadata — the media twin of the
+    // text quality filter (invalid first, then per-medium floors)
+    "media_curation" -> ((s, d) =>
+      Multimodal.mediaCuration(Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+        .orderBy("doc_id")),
+    // per-container corpus rollup over decoded metadata
+    "media_stats" -> ((s, d) =>
+      Multimodal.mediaStats(Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+        .orderBy("container")),
     // sliding 1h/15min windows — each event fans into 4 windows in
     // the map stage, then the usual partial-agg counts
     "events_sliding" -> ((s, d) =>
@@ -6660,6 +6671,33 @@ object SparkEntry {
         "CAST(GREATEST(1, ((doc_id % 200 + 2) * LEAST(doc_id % 300 + 2, 256)) " +
         "// (doc_id % 300 + 2)) AS BIGINT) AS out_height " +
         "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 <> 0"),
+    // curation decisions restated over the decode oracle (constants
+    // from Multimodal.MediaMin*; reasons are first-match)
+    "media_curation" ->
+      ("SELECT doc_id, container, " +
+        "CASE WHEN valid = 0 THEN 'invalid' " +
+        "WHEN container = 'bmp' AND (width < 64 OR height < 64) " +
+        "THEN 'too_small' " +
+        "WHEN container = 'wav' AND sample_rate < 16000 " +
+        "THEN 'low_sample_rate' " +
+        "WHEN container = 'avi' AND total_frames < 2 " +
+        "THEN 'too_few_frames' ELSE 'ok' END AS reason, " +
+        "CAST(CASE WHEN valid = 1 " +
+        "AND NOT (container = 'bmp' AND (width < 64 OR height < 64)) " +
+        "AND NOT (container = 'wav' AND sample_rate < 16000) " +
+        "AND NOT (container = 'avi' AND total_frames < 2) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        s"FROM ($MediaDecodeOracleSql)"),
+    // per-container rollup spliced over the same decode oracle
+    "media_stats" ->
+      ("SELECT container, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN valid = 1 THEN data_bytes ELSE 0 END) " +
+        "AS BIGINT) AS data_bytes_total, " +
+        "CAST(MAX(width) AS BIGINT) AS max_width, " +
+        "CAST(MAX(height) AS BIGINT) AS max_height, " +
+        "CAST(MAX(sample_rate) AS BIGINT) AS max_sample_rate, " +
+        "CAST(MAX(total_frames) AS BIGINT) AS max_total_frames " +
+        s"FROM ($MediaDecodeOracleSql) GROUP BY container"),
     // frame byte-ranges from the parsed avih dwTotalFrames: valid video
     // rows only; near-equal integer split of the data region
     "media_frames" ->

@@ -879,6 +879,17 @@ object GraphOps {
     val mid = und
       .join(deg.filter(col("d") <= midMaxDeg).select(col("src")), "src")
       .select(col("src").as("m"), col("dst").as("x"))
+    // r17 A/B (the k-truss oriented-enumeration idea, adapted): wedge
+    // enumeration by group-and-emit — collect each capped middle's
+    // sorted neighbor list (bounded at midMaxDeg by the cap, so no
+    // celebrity-OOM hazard) and emit ordered pairs with one generator,
+    // saving one shuffle of `mid` vs this self-join. MEASURED EQUAL at
+    // sf0.1 isolated (link_prediction 3.81 vs 3.76 s, tie_strength
+    // 1.40 vs 1.29 s): unlike k-truss, where orientation shrinks the
+    // CANDIDATE set before the closure check, a wedge count's output
+    // IS the wedge set — both forms feed identical pair volume into
+    // the (va, vb) aggregation, which dominates. Kept the simpler
+    // join form; exact Jaccard cannot shrink that aggregation.
     val counts = mid.as("a").join(mid.as("b"),
         col("a.m") === col("b.m") && col("a.x") < col("b.x"))
       .groupBy(col("a.x").as("va"), col("b.x").as("vb"))

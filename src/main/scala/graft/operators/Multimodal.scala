@@ -272,6 +272,49 @@ object Multimodal {
         (expr("(frame_idx + 1) * data_bytes div total_frames") -
           expr("frame_idx * data_bytes div total_frames")).as("frame_len"))
 
+  /** Curation thresholds — minimum image side, audio sample rate and
+    * video frame count for `mediaCuration`. Same constants MUST appear
+    * in the oracle SQL.
+    */
+  val MediaMinSide = 64L
+  val MediaMinRate = 16000L
+  val MediaMinFrames = 2L
+
+  /** Keep/drop decision per payload from PARSED metadata — the media
+    * twin of the text quality filter: invalid containers drop first,
+    * then per-medium floors (image side, audio sample rate, video frame
+    * count). One codegen'd projection over the decode output; reasons
+    * are first-match (invalid wins over any threshold).
+    */
+  def mediaCuration(decoded: DataFrame, minSide: Long = MediaMinSide,
+      minRate: Long = MediaMinRate, minFrames: Long = MediaMinFrames)
+      : DataFrame =
+    decoded.select(col("doc_id"), col("container"),
+        when(col("valid") === 0L, "invalid")
+          .when(col("container") === "bmp" &&
+            (col("width") < minSide || col("height") < minSide), "too_small")
+          .when(col("container") === "wav" &&
+            col("sample_rate") < minRate, "low_sample_rate")
+          .when(col("container") === "avi" &&
+            col("total_frames") < minFrames, "too_few_frames")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep",
+        when(col("reason") === "ok", 1L).otherwise(0L))
+
+  /** Per-container corpus rollup over decoded metadata: row count,
+    * total valid data bytes, and the per-medium maxima — the profile a
+    * media-lake curation dashboard reads. Integer-only aggregates.
+    */
+  def mediaStats(decoded: DataFrame): DataFrame =
+    decoded.groupBy("container")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("valid") === 1L, col("data_bytes")).otherwise(0L))
+          .as("data_bytes_total"),
+        max("width").as("max_width"),
+        max("height").as("max_height"),
+        max("sample_rate").as("max_sample_rate"),
+        max("total_frames").as("max_total_frames"))
+
   // ---------------------------------------------------------------------
   // Opaque-bytes family (content addressing ignores containers).
   // ---------------------------------------------------------------------

@@ -901,6 +901,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("media_features: shuffle-free projection — synth+decode never leave the scan stage") {
+    // container synthesis and the little-endian parse are one fused
+    // projection over the pruned (doc_id, text) scan: zero exchanges,
+    // zero joins — the shape that makes the decode free at 100 TB
+    // (the only shuffle in the gate is the orderBy presentation sort)
+    val plan = operators.Multimodal.mediaDecodeCols(
+        operators.Multimodal.mediaContainers(
+          sources.Tables.table(spark, sf, "documents")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("embedding_outliers: broadcast centroid join, TakeOrdered top-k, no window") {
     val plan = executedPlan("embedding_outliers")
     assert(plan.contains("BroadcastHashJoin"), plan)
