@@ -32,6 +32,25 @@ object ScaleRehearsal {
     // round-over-round diff, not only by the sf0.1 bench
     val phaseLog =
       scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
+    // the artifact is (re)written after EVERY phase, not once at exit:
+    // a phase that kills the JVM (the reason this run exists is to
+    // find those) must still leave the completed phases' evidence
+    def writeArtifact(): Unit = if (phaseOnly.isEmpty) {
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val phasesJson = phaseLog.map { case (n, s, r) =>
+        s""""${esc(n)}":{"s":$s,"result":"${esc(r)}"}"""
+      }.mkString("{", ",", "}")
+      val total = phaseLog.map(_._2).sum
+      val json = s"""{"metric":"scale_total","value":$total,""" +
+        s""""unit":"sec","phases":$phasesJson}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), json + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale] could not write $out: ${e.getMessage}")
+      }
+    }
     def t[A](name: String)(f: => A): Unit = {
       if (phaseOnly.exists(subs => !subs.exists(name.contains))) return
       val t0 = System.nanoTime()
@@ -40,6 +59,7 @@ object ScaleRehearsal {
       phaseLog += ((name, dt, String.valueOf(r)))
       println(f"SCALE $name%-28s $dt%8.2f s  -> $r")
       Caches.clear(spark) // each phase measured against a clean cache
+      writeArtifact()
     }
 
     // 10M directed edges over 2M vertices, skewed dst (celebrities)
@@ -1311,6 +1331,17 @@ object ScaleRehearsal {
     // candidates, 24-char levenshtein verify on bucket-mates only
     t("dedup_fuzzy 50k docs")(operators.Dedup.fuzzyPairs(docs).count())
 
+    // the memoized families (walks, weighted edges, kNN graph, BM25
+    // indexes, σ layers) are past their last consumer here, but their
+    // checkpoint blocks are session-lived by design — release them
+    // before the 60M-row warehouse tier so the single local[32] heap
+    // (driver AND executors) prices the big scans, not 120 phases of
+    // retained state. This is exactly the session-boundary hook an
+    // embedding host calls; without it the Q17 broadcast build died
+    // with NOT_ENOUGH_MEMORY on an 8g heap (2/2 runs, r17).
+    PlanMemo.releaseAll()
+    Caches.clear(spark)
+
     // warehouse facts at 60M rows (100 replicas of the sf0.1
     // lineitem): Q1 prices the scan-bound aggregate, Q17 the
     // decorrelated per-part agg + same-key join-back
@@ -1361,24 +1392,11 @@ object ScaleRehearsal {
 
     spark.stop()
 
-    // ---- artifact + regression alarm (full runs only: a PHASE_ONLY
-    // dev loop must neither overwrite the tracked file nor compare a
-    // quiet-box subset against full-run numbers) ----
+    // ---- final artifact + regression alarm (full runs only: a
+    // PHASE_ONLY dev loop must neither overwrite the tracked file nor
+    // compare a quiet-box subset against full-run numbers) ----
     if (phaseOnly.isEmpty) {
-      def esc(s: String): String =
-        s.replace("\\", "\\\\").replace("\"", "\\\"")
-      val phasesJson = phaseLog.map { case (n, s, r) =>
-        s""""${esc(n)}":{"s":$s,"result":"${esc(r)}"}"""
-      }.mkString("{", ",", "}")
-      val total = phaseLog.map(_._2).sum
-      val json = s"""{"metric":"scale_total","value":$total,""" +
-        s""""unit":"sec","phases":$phasesJson}"""
-      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(out), json + "\n")
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[scale] could not write $out: ${e.getMessage}")
-      }
+      writeArtifact()
       // alarm: a phase >1.5x its committed baseline AND >1s slower is a
       // scale cliff to adjudicate; a changed result string is a
       // CORRECTNESS drift at 20x and alarms unconditionally

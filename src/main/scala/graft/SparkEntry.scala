@@ -1993,6 +1993,12 @@ object SparkEntry {
       Multimodal.mediaStats(Multimodal.mediaDecodeCols(
         Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
         .orderBy("container")),
+    // audio framing from the parsed WAV header: sample frames and
+    // integer-exact duration per valid audio payload
+    "media_audio" -> ((s, d) =>
+      Multimodal.audioFrames(Multimodal.mediaDecodeCols(
+        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+        .orderBy("doc_id")),
     // sliding 1h/15min windows — each event fans into 4 windows in
     // the map stage, then the usual partial-agg counts
     "events_sliding" -> ((s, d) =>
@@ -6688,6 +6694,16 @@ object SparkEntry {
         "AND NOT (container = 'avi' AND total_frames < 2) " +
         "THEN 1 ELSE 0 END AS BIGINT) AS keep " +
         s"FROM ($MediaDecodeOracleSql)"),
+    // audio framing restated over the decode oracle: floor-div frames
+    // (a trailing partial frame is not a frame), integer duration
+    "media_audio" ->
+      ("SELECT doc_id, sample_rate, channels, " +
+        "CAST(channels * 2 AS BIGINT) AS block_align, " +
+        "CAST(data_bytes // (channels * 2) AS BIGINT) AS n_frames, " +
+        "CAST((data_bytes // (channels * 2)) * 1000 // sample_rate " +
+        "AS BIGINT) AS duration_ms " +
+        s"FROM ($MediaDecodeOracleSql) " +
+        "WHERE container = 'wav' AND valid = 1"),
     // per-container rollup spliced over the same decode oracle
     "media_stats" ->
       ("SELECT container, CAST(COUNT(*) AS BIGINT) AS n, " +

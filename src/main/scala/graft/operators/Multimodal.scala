@@ -301,6 +301,20 @@ object Multimodal {
       .withColumn("keep",
         when(col("reason") === "ok", 1L).otherwise(0L))
 
+  /** Audio framing from PARSED WAV headers (valid audio rows only):
+    * block align = channels × 2 (16-bit PCM), sample frames =
+    * data_bytes div block_align (a trailing partial frame is not a
+    * frame — floor, exactly what a PCM reader plays), duration =
+    * frames·1000 div sample_rate, all integer-exact.
+    */
+  def audioFrames(decoded: DataFrame): DataFrame =
+    decoded.filter(col("container") === "wav" && col("valid") === 1L)
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        (col("channels") * 2).as("block_align"),
+        expr("data_bytes div (channels * 2)").as("n_frames"),
+        expr("(data_bytes div (channels * 2)) * 1000 div sample_rate")
+          .as("duration_ms"))
+
   /** Per-container corpus rollup over decoded metadata: row count,
     * total valid data bytes, and the per-medium maxima — the profile a
     * media-lake curation dashboard reads. Integer-only aggregates.
