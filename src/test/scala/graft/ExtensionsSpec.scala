@@ -619,6 +619,31 @@ class ExtensionsSpec extends SparkSpec {
       .columns.toSet === Set("doc_id", "len_d"))
   }
 
+  test("storedDir memo: write-once per (leaf, fit plan); plan-equal fits share a dir, distinct fits get distinct dirs") {
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(d + "/embeddings.parquet")
+    val first = SparkEntry.storedDir(d, "spec_cents",
+      Similarity.centroidsOf(emb))
+    val before = SparkEntry.storedDirMemoHits.get()
+    // a SECOND, independently constructed but plan-equal fit (the
+    // cross-gate sharing case: knn_ivf_stored / knn_ivf_pruned /
+    // knn_ivf_pq_stored all fit centroidsOf over the same corpus)
+    // must serve the SAME dir without rewriting
+    val second = SparkEntry.storedDir(d, "spec_cents",
+      Similarity.centroidsOf(spark.read.parquet(d + "/embeddings.parquet")))
+    assert(second === first)
+    assert(SparkEntry.storedDirMemoHits.get() > before,
+      "plan-equal second request rebuilt the stored artifact")
+    // the dir really holds the fitted relation
+    assert(spark.read.parquet(first).columns.contains("cent_id"))
+    // a DIFFERENT corpus under the same leaf must get a DISTINCT dir
+    // (the bm25IndexDirs aliasing lesson): same leaf, different plan
+    val other = SparkEntry.storedDir(d, "spec_cents",
+      Similarity.centroidsOf(emb.filter(col("vec_id") % 2 === 0)))
+    assert(other !== first,
+      "distinct corpus plans aliased one stored-artifact dir")
+  }
+
   test("knnGraphDelta: delta-merged graph ≡ one-shot pinned-width rebuild; empty batch = re-ranked identity; width mismatch raises") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bits = Similarity.LshBandBits
