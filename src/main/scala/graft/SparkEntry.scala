@@ -1020,7 +1020,7 @@ object SparkEntry {
         .orderBy("q_decile", "s_decile")),
     // BM25 keyword retrieval: probe docs (doc_id < 8) rank the corpus
     "text_bm25" -> ((s, d) =>
-      TextOps.bm25(Tables.table(s, d, "documents"))
+      TextOps.bm25Shared(Tables.table(s, d, "documents"))
         .orderBy("query_id", "rank")),
     // RM3-style pseudo-relevance feedback: top-3 feedback docs' terms
     // (minus the query's own) ranked by fbtf×idf join the query, then
@@ -1146,7 +1146,7 @@ object SparkEntry {
       Similarity.recallAtK(
         ren(TextOps.bm25FromIndex(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)),
-        ren(TextOps.bm25(docs)))
+        ren(TextOps.bm25Shared(docs)))
     }),
     // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
     "search_hybrid" -> ((s, d) =>

@@ -3400,7 +3400,7 @@ object Similarity {
   def hybridRrf(docs: DataFrame, emb: DataFrame, k: Int = HybridK,
       pool: Int = RrfPool,
       nQueries: Long = TextOps.Bm25Queries): DataFrame = {
-    val kw = TextOps.bm25(docs, pool, nQueries)
+    val kw = TextOps.bm25Shared(docs, pool, nQueries)
       .select(col("query_id"), col("doc_id"), col("rank").as("kw_rank"))
     val corpus = withNorm(emb)
     val queries = corpus.filter(col("vec_id") < nQueries)

@@ -2303,6 +2303,25 @@ object TextOps {
         .statsFreeLocalCheckpoint(bm25Prf(docs, k, nQueries, fb, ex))
     }
 
+  /** The memoized FULL-SCAN BM25 ranking — same economics as
+    * `bm25PrfShared`: three suite consumers arrive back to back over
+    * the same corpus (`text_bm25` itself, `search_hybrid`'s keyword
+    * pool at pool depth, and `text_bm25_indexed_recall`'s exact truth
+    * side), and each re-paid the corpus tokenize + tf shuffle. The
+    * ranking is a queries×k relation — a few hundred rows — so the
+    * checkpoint is ~free. 4 slots: 2 depths (k, pool) × 2 sf dirs.
+    */
+  private val bm25Memo =
+    new graft.PlanMemo[DataFrame](4, graft.PlanMemo.releaseDf)
+  private[graft] def bm25MemoHits = bm25Memo.hits
+
+  def bm25Shared(docs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries): DataFrame =
+    bm25Memo.getOrBuild(docs, s"bm25|$k|$nQueries") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(bm25(docs, k, nQueries))
+    }
+
   /** The FORWARD index next to the postings: `(doc_id, len_d)` —
     * each doc's token count under the shared tokenizer, the one
     * per-document statistic BM25's length normalization needs at

@@ -391,6 +391,27 @@ class ExtensionsSpec extends SparkSpec {
       "different expansion constants must not reuse the memo")
   }
 
+  test("bm25Shared memo: hybrid/recall consumers reuse the full-scan ranking; equals the unmemoized build; depth is keyed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val first = rows(TextOps.bm25Shared(docs))
+    assert(first.nonEmpty)
+    val before = TextOps.bm25MemoHits.get()
+    assert(rows(TextOps.bm25Shared(docs)) === first)
+    assert(TextOps.bm25MemoHits.get() > before,
+      "second bm25Shared call rebuilt instead of reusing the memo")
+    // the memoized relation equals a fresh direct computation
+    assert(rows(TextOps.bm25(docs)) === first)
+    // hybridRrf's pool depth is a different key — no cross-depth reuse
+    val hitsBefore2 = TextOps.bm25MemoHits.get()
+    TextOps.bm25Shared(docs, k = Similarity.RrfPool).count()
+    assert(TextOps.bm25MemoHits.get() === hitsBefore2,
+      "different ranking depth must not reuse the memo")
+  }
+
   test("curationShared memo: the manifest gate reuses docs_curation's relation; equals the unmemoized build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -855,7 +855,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bm25: query-term side broadcasts; no sort-merge join touches the corpus") {
-    val plan = executedPlan("text_bm25")
+    // inspect the UNCACHED builder: the text_bm25 gate now serves the
+    // bm25Shared checkpoint (a plain RDD scan) on memo hits
+    val plan = graft.operators.TextOps.bm25(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .queryExecution.executedPlan.toString
     // the qidf and stats sides ride broadcast exchanges into the tf
     // stream; scoring never shuffles the corpus against the queries
     assert(plan.contains("BroadcastHashJoin"), plan)
