@@ -35,6 +35,28 @@ object Sessionize {
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"))
 
+  /** STREAMING variant of `sessions`: the SAME session_window
+    * aggregation under a watermark, so closed sessions emit exactly
+    * once in Append mode. Spark's streaming session store MERGES a
+    * window still open in state with events arriving in later
+    * micro-batches (the cross-batch session-merge path the spec
+    * drives); a session only emits once the watermark passes its end.
+    * Output schema and session arithmetic are identical to the batch
+    * operator — streaming ≡ batch on the same events is spec-pinned.
+    */
+  def sessionsStreaming(events: DataFrame,
+      watermark: String = "60 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Gaps under this count as "rapid-fire" in `interArrival` — a
     * bot/scraper signal for data curation (a human browse session
     * rarely emits sub-second event trains). Same constant MUST appear

@@ -3276,6 +3276,53 @@ class ExtensionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: cross-batch session MERGE, watermark-closed emit, parity with batch operator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssess").toString
+    def batch(rows: (Long, String)*) =
+      rows.toDF("user_id", "ts_s")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    // batch 1: user 7 opens a session; user 8 a singleton
+    batch((7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),
+      (8L, "2024-01-01 10:50:00"))
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.streaming.Sessionize.sessionsStreaming(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("ssess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from ssess_out").count() === 0)
+      // batch 2: 10:25 falls INSIDE user 7's open session (last event
+      // 10:10 + 30min gap) — the streaming state store must MERGE it
+      // into the stored window, not open a new session; 13:00 starts
+      // a genuinely new one
+      batch((7L, "2024-01-01 10:25:00"), (7L, "2024-01-01 13:00:00"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 3: a sentinel far enough ahead to close everything real
+      batch((99L, "2024-01-02 10:00:00")).write.mode("append").parquet(dir)
+      q.processAllAvailable() // ingest + advance watermark
+      q.processAllAvailable() // emit closed sessions
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val got = rows(spark.sql("select * from ssess_out where user_id != 99"))
+      // the merged session surfaced as ONE 3-event window
+      assert(got.exists { case (u, _, _, n) => u == 7L && n == 3L }, got)
+      assert(got.size === 3, got) // 7: merged + 13:00 singleton; 8: singleton
+      // parity: streaming emit ≡ the batch operator on the same events
+      val all = batch((7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),
+        (8L, "2024-01-01 10:50:00"), (7L, "2024-01-01 10:25:00"),
+        (7L, "2024-01-01 13:00:00"))
+      assert(got === rows(graft.streaming.Sessionize.sessions(all)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicates across micro-batches") {
     val s = spark
     import s.implicits._
