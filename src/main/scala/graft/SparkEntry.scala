@@ -229,6 +229,21 @@ object SparkEntry {
     storedDirWith(d, leaf, fit)((df, dir) =>
       df.write.mode("overwrite").parquet(dir))
 
+  /** The synthesized container payloads MATERIALIZED once per session
+    * (via `storedDir`): a real media lake READS payload bytes from
+    * storage, so the seven container-aware media gates price
+    * scan + parse — not a per-invocation re-synthesis of the fixture's
+    * ~100 MB of pixel/sample bytes (which Catalyst's projection
+    * collapse additionally re-evaluated once per referencing decode
+    * expression). The opaque-bytes family (`mediaTable` — dedup /
+    * simhash / clusters) deliberately stays unmaterialized: its
+    * payloads are the raw text bytes the scan already holds.
+    */
+  private def mediaLake(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(storedDir(d, "media_containers",
+      operators.Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+
   private val tmpCleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def registerTmpCleanup(f: java.io.File): Unit =
@@ -1972,8 +1987,7 @@ object SparkEntry {
     // Rows with doc_id % 97 == 0 are truncated mid-header and must
     // surface as valid=0 sentinel rows, not errors.
     "media_features" -> ((s, d) =>
-      Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents")))
+      Multimodal.mediaDecodeCols(mediaLake(s, d))
         .orderBy("doc_id")),
     // binary twin of dedup_exact: only (md5, length) shuffles, the
     // payload bytes never leave the scan stage
@@ -1997,36 +2011,30 @@ object SparkEntry {
     // media_features, so both share one oracle: triple agreement
     // between two independent parsers and the formula-stated truth
     "media_decode" -> ((s, d) =>
-      Multimodal.mediaDecodeBatch(s,
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))).toDF()
+      Multimodal.mediaDecodeBatch(s, mediaLake(s, d)).toDF()
         .orderBy("doc_id")),
     // resize planning over PARSED BMP headers (valid image rows only)
     "media_resize" -> ((s, d) =>
-      Multimodal.resizePlan(Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+      Multimodal.resizePlan(Multimodal.mediaDecodeCols(mediaLake(s, d)))
         .orderBy("doc_id")),
     // frame sampling driven by the avih dwTotalFrames field parsed
     // from the bytes; each frame gets its byte range in the data region
     "media_frames" -> ((s, d) =>
-      Multimodal.frameSample(Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+      Multimodal.frameSample(Multimodal.mediaDecodeCols(mediaLake(s, d)))
         .orderBy("doc_id", "frame_idx")),
     // keep/drop curation from PARSED metadata — the media twin of the
     // text quality filter (invalid first, then per-medium floors)
     "media_curation" -> ((s, d) =>
-      Multimodal.mediaCuration(Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+      Multimodal.mediaCuration(Multimodal.mediaDecodeCols(mediaLake(s, d)))
         .orderBy("doc_id")),
     // per-container corpus rollup over decoded metadata
     "media_stats" -> ((s, d) =>
-      Multimodal.mediaStats(Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+      Multimodal.mediaStats(Multimodal.mediaDecodeCols(mediaLake(s, d)))
         .orderBy("container")),
     // audio framing from the parsed WAV header: sample frames and
     // integer-exact duration per valid audio payload
     "media_audio" -> ((s, d) =>
-      Multimodal.audioFrames(Multimodal.mediaDecodeCols(
-        Multimodal.mediaContainers(Tables.table(s, d, "documents"))))
+      Multimodal.audioFrames(Multimodal.mediaDecodeCols(mediaLake(s, d)))
         .orderBy("doc_id")),
     // sliding 1h/15min windows — each event fans into 4 windows in
     // the map stage, then the usual partial-agg counts
