@@ -1330,6 +1330,12 @@ object ScaleRehearsal {
     // fuzzy edit-distance pairs at 50k docs: segment-bucket equi-join
     // candidates, 24-char levenshtein verify on bucket-mates only
     t("dedup_fuzzy 50k docs")(operators.Dedup.fuzzyPairs(docs).count())
+    // containment re-ranks from the rare-shingle verified-pairs core
+    // the earlier doc_knn phase memoized (same corpus, same maxDf=60) —
+    // this number is the price of a SECOND consumer at 20x, not a
+    // rebuild; a rebuild-sized time here means the memo key broke
+    t("containment 50k (memo reuse)")(
+      operators.Dedup.containmentPairs(docs, maxDf = 60L).count())
 
     // the memoized families (walks, weighted edges, kNN graph, BM25
     // indexes, σ layers) are past their last consumer here, but their
