@@ -91,9 +91,23 @@ object Bench {
     // the ratchet's to absorb. Restricted runs don't ratchet:
     // isolated queries run measurably quieter than in-suite, and a
     // quiet-box median would set unattainable bars for full runs.
-    if (only.isEmpty &&
+    // REBASE: the one sanctioned way to RAISE a baseline entry — after
+    // a deliberate semantic change makes the old number unreachable
+    // (e.g. a stub decode replaced by real byte parsing), name the
+    // queries in SPARK_GRAFT_BENCH_REBASE and their entries reset to
+    // this run's warm medians, each announced loudly. Explicit names
+    // only, never automatic: a silent raise would be the alarm
+    // absorbing a regression. Allowed on restricted runs (the named
+    // queries' isolated medians are the cleanest measurement of the
+    // new steady state, and isolated-quieter is conservative for an
+    // alarm floor).
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if ((only.isEmpty || rebase.nonEmpty) &&
         !sys.env.get("SPARK_GRAFT_BENCH_NO_RATCHET").contains("1"))
-      ratchet(warm, baselinePath)
+      ratchet(if (only.isEmpty) warm else warm.view.filterKeys(rebase).toMap,
+        baselinePath, rebase)
     // stop Spark BEFORE emitting, so no stray shutdown log line can land
     // after the JSON — the harness scrapes the log tail for it
     spark.stop()
@@ -102,7 +116,12 @@ object Bench {
     // a human) can read without scraping the log tail. SPARK_GRAFT_BENCH_OUT
     // overrides the destination; BENCH_LAST.json in the cwd is always
     // written as the stable fallback path.
-    val outPaths = "BENCH_LAST.json" +: sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
+    // restricted (BENCH_ONLY) dev runs do NOT touch the BENCH_LAST.json
+    // fallback — a 3-query loop must not clobber the tracked full-suite
+    // mirror (it happened); they still write SPARK_GRAFT_BENCH_OUT
+    // when the caller names a destination
+    val outPaths = (if (only.isEmpty) Seq("BENCH_LAST.json") else Nil) ++
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
     outPaths.distinct.foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case scala.util.control.NonFatal(e) =>
@@ -219,7 +238,7 @@ object Bench {
     * checkout must not fail the bench.
     */
   private[graft] def ratchet(warm: Map[String, Double],
-      baselinePath: String): Unit =
+      baselinePath: String, rebase: Set[String] = Set.empty): Unit =
     try {
       val path = java.nio.file.Paths.get(baselinePath)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -238,16 +257,24 @@ object Bench {
       }
       var lowered = 0
       var seeded = 0
+      var rebased = 0
       for ((n, w) <- warm.toSeq.sortBy(_._1); if w >= 0) {
         val b = Option(qw.get(n)).map(_.asDouble(-1.0)).getOrElse(-1.0)
         if (b < 0) { qw.put(n, w); seeded += 1 }
+        else if (rebase(n) && w > b) {
+          // the explicit escape for deliberate semantic changes — the
+          // ONLY path that raises an entry, and it announces itself
+          System.err.println(
+            f"[bench] baseline REBASED $n: $b%.2fs -> $w%.2fs")
+          qw.put(n, w); rebased += 1
+        }
         else if (w < b * 0.8) { qw.put(n, w); lowered += 1 }
       }
-      if (lowered + seeded > 0) {
+      if (lowered + seeded + rebased > 0) {
         java.nio.file.Files.writeString(path,
           mapper.writeValueAsString(root) + "\n")
         System.err.println(s"[bench] baseline ratchet: $lowered lowered, " +
-          s"$seeded seeded in $baselinePath")
+          s"$seeded seeded, $rebased rebased in $baselinePath")
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -149,6 +149,15 @@ class BenchSpec extends SparkSpec {
     assert(qw.get("dead") == null)
     // the rest of the baseline file is preserved verbatim
     assert(root.get("value").asInt() === 9)
+    // an explicitly REBASED query is the one sanctioned raise (a
+    // deliberate semantic change made the old number unreachable);
+    // unnamed regressions stay unraised even in the same call
+    Bench.ratchet(Map("worse" -> 5.0, "big" -> 4.0), base.toString,
+      rebase = Set("worse"))
+    val root2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(base))
+    assert(root2.get("queries_warm").get("worse").asDouble() === 5.0)
+    assert(root2.get("queries_warm").get("big").asDouble() === 1.0)
     // a missing file is created whole-cloth from the run
     val fresh = java.nio.file.Files.createTempDirectory("graft_rat")
       .resolve("b.json")
