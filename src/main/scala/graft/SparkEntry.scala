@@ -1818,20 +1818,23 @@ object SparkEntry {
         Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
           .select(col("query_id").as("src"),
             col("neighbor_id").as("dst")))
-      Similarity.knnBeam(s.read.parquet(gDir), emb, emb)
+      Similarity.knnBeamShared(s.read.parquet(gDir), emb, emb)
         .orderBy("query_id", "rank")
     }),
     // graph-serving honesty: recall@k the beam walk reaches vs exact
-    // L2 — prices entry-point bias + graph connectivity together
+    // L2 — prices entry-point bias + graph connectivity together. The
+    // approx side audits the SAME stored graph the knn_beam gate
+    // serves from (plan-equal knnBeamShared call → one beam build per
+    // session feeds both gates)
     "knn_beam_recall" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.table(s, d, "embeddings")
+      val gDir = storedDir(d, "beam_graph",
+        Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+          .select(col("query_id").as("src"),
+            col("neighbor_id").as("dst")))
       Similarity.recallAtK(
-        Similarity.knnBeam(
-          Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
-            .select(col("query_id").as("src"),
-              col("neighbor_id").as("dst")),
-          emb, emb),
+        Similarity.knnBeamShared(s.read.parquet(gDir), emb, emb),
         Similarity.knnBruteL2Shared(emb))
     }),
     // reciprocated-edges filter over the kNN graph — the hub-robust

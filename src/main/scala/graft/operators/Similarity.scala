@@ -921,6 +921,18 @@ object Similarity {
   val BeamEntries = 8
   val BeamGraphDegree = 16
 
+  /** Corpus-size bound for `knnBeam`'s tiny-regime plumbing scope
+    * (the `hopDistancesDeduped` lesson applied to the beam loop): at
+    * or under this many corpus vectors the per-round cost is pure
+    * fixed overhead — 32-bucket shuffles on a few-thousand-row
+    * candidate set, AQE re-planning per stage, and janino compiling a
+    * fresh class per round (each round's plan is one union wider).
+    * Above it the shuffle width, AQE and codegen are load-bearing and
+    * the scope never opens (the 80k-vector rehearsal phase stays
+    * fully distributed).
+    */
+  val BeamTinyCorpus = 16384L
+
   /** Greedy beam search over a STORED proximity graph — the
     * graph-based ANN serving paradigm (Malkov & Yashunin's HNSW /
     * Subramanya et al.'s DiskANN search loop, run as a SYNCHRONOUS
@@ -1003,6 +1015,54 @@ object Similarity {
             col("l2_fp")),
         Seq("query_id"), Seq(col("l2_fp").asc, col("neighbor_id").asc), k)
       .select("query_id", "rank", "neighbor_id", "l2_fp")
+  }
+
+  /** The memoized beam ranking — the `bm25Shared` economics for the
+    * graph-served tier: `knn_beam` and `knn_beam_recall`'s approx side
+    * each re-ran the full `BeamRounds` loop per invocation. One
+    * checkpoint-backed build per (graph plan, corpus plan, geometry)
+    * serves both; the build itself runs inside a tiny-regime plumbing
+    * scope when the corpus is under `BeamTinyCorpus` vectors (1
+    * shuffle partition + AQE off for the loop's ~10 micro-shuffles;
+    * whole-stage codegen stays ON — unlike the hops loop, the per-row
+    * work here is a 64-dim float fold, and interpreted eval was
+    * MEASURED 3x slower than the 4 janino compiles it avoids). The
+    * corpus plan digest rides the params string because `PlanMemo`
+    * keys on ONE input plan (the graph's) — same device as the
+    * storedDir leaf digest, plan-OBJECT hashCode included.
+    */
+  private val beamMemo =
+    new graft.PlanMemo[DataFrame](4, graft.PlanMemo.releaseDf)
+  private[graft] def beamMemoHits = beamMemo.hits
+
+  def knnBeamShared(graph: DataFrame, emb: DataFrame, queryEmb: DataFrame,
+      k: Int = DefaultK, beam: Int = BeamWidth, rounds: Int = BeamRounds,
+      nQueries: Long = DefaultQueries): DataFrame = {
+    val embPlan = emb.queryExecution.analyzed.canonicalized
+    val qPlan = queryEmb.queryExecution.analyzed.canonicalized
+    val embKey = f"${scala.util.hashing.MurmurHash3
+      .stringHash(embPlan.toString)}%08x${embPlan.hashCode}%08x" +
+      f"${scala.util.hashing.MurmurHash3
+        .stringHash(qPlan.toString)}%08x${qPlan.hashCode}%08x"
+    beamMemo.getOrBuild(graph,
+        s"beam|$k|$beam|$rounds|$nQueries|$embKey") {
+      val sess = emb.sparkSession
+      val tinyScope = emb.count() <= BeamTinyCorpus
+      val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevShuf = sess.conf.get("spark.sql.shuffle.partitions", "32")
+      if (tinyScope) {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions", "1")
+      }
+      try org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        knnBeam(graph, emb, queryEmb, k, beam, rounds, nQueries))
+      finally {
+        if (tinyScope) {
+          sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          sess.conf.set("spark.sql.shuffle.partitions", prevShuf)
+        }
+      }
+    }
   }
 
   // ---- MMR diversity re-ranking ----
