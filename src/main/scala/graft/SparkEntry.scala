@@ -1080,7 +1080,7 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       val (idxDir, lensDir) = bm25IndexDirs(s, d)
-      TextOps.bm25FromIndex(s.read.parquet(idxDir),
+      TextOps.bm25FromIndexShared(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
     }),
@@ -1115,7 +1115,7 @@ object SparkEntry {
     "text_bm25_prf_indexed" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       val (idxDir, lensDir) = bm25IndexDirs(s, d)
-      TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
+      TextOps.bm25PrfFromIndexShared(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)
         .orderBy("query_id", "rank")
     }),
@@ -1146,7 +1146,7 @@ object SparkEntry {
       // the exact full-scan truth side is the memoized relation the
       // text_bm25_prf gate also serves — built once per session
       Similarity.recallAtK(
-        ren(TextOps.bm25PrfFromIndex(s.read.parquet(idxDir),
+        ren(TextOps.bm25PrfFromIndexShared(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)),
         ren(TextOps.bm25PrfShared(docs)))
     }),
@@ -1159,7 +1159,7 @@ object SparkEntry {
       def ren(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("doc_id").as("neighbor_id"))
       Similarity.recallAtK(
-        ren(TextOps.bm25FromIndex(s.read.parquet(idxDir),
+        ren(TextOps.bm25FromIndexShared(s.read.parquet(idxDir),
           s.read.parquet(lensDir), docs)),
         ren(TextOps.bm25Shared(docs)))
     }),

@@ -3501,7 +3501,8 @@ object Similarity {
       sqStats: DataFrame, sqCodes: DataFrame, queryDocs: DataFrame,
       queryEmb: DataFrame, k: Int = HybridK, pool: Int = RrfPool,
       nQueries: Long = TextOps.Bm25Queries): DataFrame = {
-    val kw = TextOps.bm25FromIndex(index, lens, queryDocs, pool, nQueries)
+    val kw = TextOps.bm25FromIndexShared(index, lens, queryDocs, pool,
+      nQueries)
       .select(col("query_id"), col("doc_id"), col("rank").as("kw_rank"))
     val vec = knnSq8(sqStats,
         sqCodes.filter(col("vec_id") >= nQueries), queryEmb, pool,

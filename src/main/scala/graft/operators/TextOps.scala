@@ -2322,6 +2322,46 @@ object TextOps {
         .statsFreeLocalCheckpoint(bm25(docs, k, nQueries))
     }
 
+  /** The memoized STORED-INDEX serves — same economics one tier down:
+    * `text_bm25_indexed` / `text_bm25_prf_indexed` and their recall
+    * twins' approx sides each re-ran the identical serve over the
+    * identical stored dirs (and `search_hybrid_indexed`'s keyword pool
+    * is a third consumer at its own depth). One checkpoint-backed
+    * ranking per (index plan, lens+queries plans, constants) serves
+    * them all; the extra input plans ride the params string as
+    * plan-OBJECT digests (`PlanMemo` keys on one plan — the index's).
+    * The INCREMENTAL serve deliberately stays unmemoized: the delta
+    * fold is that gate's measured operation, not a reusable artifact.
+    */
+  private val idxServeMemo =
+    new graft.PlanMemo[DataFrame](8, graft.PlanMemo.releaseDf)
+  private[graft] def idxServeMemoHits = idxServeMemo.hits
+
+  private def planDigest(dfs: DataFrame*): String = dfs.map { df =>
+    val p = df.queryExecution.analyzed.canonicalized
+    f"${scala.util.hashing.MurmurHash3
+      .stringHash(p.toString)}%08x${p.hashCode}%08x"
+  }.mkString
+
+  def bm25FromIndexShared(index: DataFrame, lens: DataFrame,
+      queryDocs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries): DataFrame =
+    idxServeMemo.getOrBuild(index,
+        s"bm25idx|$k|$nQueries|${planDigest(lens, queryDocs)}") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        bm25FromIndex(index, lens, queryDocs, k, nQueries))
+    }
+
+  def bm25PrfFromIndexShared(index: DataFrame, lens: DataFrame,
+      queryDocs: DataFrame, k: Int = Bm25K,
+      nQueries: Long = Bm25Queries, fb: Int = PrfFeedbackDocs,
+      ex: Int = PrfExpansionTerms): DataFrame =
+    idxServeMemo.getOrBuild(index,
+        s"prfidx|$k|$nQueries|$fb|$ex|${planDigest(lens, queryDocs)}") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        bm25PrfFromIndex(index, lens, queryDocs, k, nQueries, fb, ex))
+    }
+
   /** The FORWARD index next to the postings: `(doc_id, len_d)` —
     * each doc's token count under the shared tokenizer, the one
     * per-document statistic BM25's length normalization needs at
