@@ -412,6 +412,47 @@ class ExtensionsSpec extends SparkSpec {
       "different ranking depth must not reuse the memo")
   }
 
+  test("knnBeamShared / bm25FromIndexShared memos: second consumers reuse; memo equals the direct computation") {
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(d + "/embeddings.parquet")
+    val docs = spark.read.parquet(d + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // beam: the recall gate's approx side must reuse knn_beam's build
+    val g = Similarity.knnGraph(emb, k = Similarity.BeamGraphDegree)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val beam1 = rows(Similarity.knnBeamShared(g, emb, emb))
+    assert(beam1.nonEmpty)
+    val beamBefore = Similarity.beamMemoHits.get()
+    assert(rows(Similarity.knnBeamShared(g, emb, emb)) === beam1)
+    assert(Similarity.beamMemoHits.get() > beamBefore,
+      "second knnBeamShared call rebuilt instead of reusing")
+    assert(rows(Similarity.knnBeam(g, emb, emb)) === beam1)
+    // stored-index serve: recall twin + hybrid pool must reuse
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idx_serve").toString
+    TextOps.postingsIndex(docs.filter(col("doc_id") >= TextOps.Bm25Queries),
+        k = TextOps.Bm25IndexDepth)
+      .write.parquet(base + "/idx")
+    TextOps.docLengths(docs.filter(col("doc_id") >= TextOps.Bm25Queries))
+      .write.parquet(base + "/lens")
+    val idx = spark.read.parquet(base + "/idx")
+    val lens = spark.read.parquet(base + "/lens")
+    val serve1 = rows(TextOps.bm25FromIndexShared(idx, lens, docs))
+    assert(serve1.nonEmpty)
+    val idxBefore = TextOps.idxServeMemoHits.get()
+    assert(rows(TextOps.bm25FromIndexShared(idx, lens, docs)) === serve1)
+    assert(TextOps.idxServeMemoHits.get() > idxBefore,
+      "second bm25FromIndexShared call rebuilt instead of reusing")
+    assert(rows(TextOps.bm25FromIndex(idx, lens, docs)) === serve1)
+    // a different depth is a different key — no cross-depth reuse
+    val idxBefore2 = TextOps.idxServeMemoHits.get()
+    TextOps.bm25FromIndexShared(idx, lens, docs,
+      k = Similarity.RrfPool).count()
+    assert(TextOps.idxServeMemoHits.get() === idxBefore2,
+      "different serve depth must not reuse the memo")
+  }
+
   test("curationShared memo: the manifest gate reuses docs_curation's relation; equals the unmemoized build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
