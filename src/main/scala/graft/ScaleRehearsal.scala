@@ -231,9 +231,13 @@ object ScaleRehearsal {
       val srt = times.sorted
       def pct(p: Double) =
         f"${srt(math.min(srt.size - 1, (p * srt.size).toInt))}%.2f"
-      s"merges=$merges rounds=${times.size} per-round s: " +
+      // timings go to the LOG, not the result string — the artifact's
+      // result-drift alarm treats the string as a correctness signal,
+      // and embedded seconds made it cry wolf every run
+      println(s"[scale] bpe per-round s: " +
         f"p50=${pct(0.5)} p90=${pct(0.9)} max=${srt.last}%.2f " +
-        f"first=${times.head}%.2f last=${times.last}%.2f"
+        f"first=${times.head}%.2f last=${times.last}%.2f")
+      s"merges=$merges rounds=${times.size}"
     })
     // per-hour HLL over 10M synthetic events (1M users, 30 days of
     // hours): the shuffle after partial agg is ≤ hours×512 counters
@@ -849,8 +853,11 @@ object ScaleRehearsal {
       require(n1 == n8 && s1 == s8,
         s"stride changed the result: ($n1,$s1) vs ($n8,$s8)")
       require(n1 == 128000L, s"chain reach wrong: $n1")
-      f"stride1 $t1%.1f s, stride8 $t8%.1f s (${t1 / t8}%.1fx), " +
-        s"$n1 reached, dist-sum $s1"
+      // stride timings to the log; the result string stays
+      // deterministic for the drift alarm
+      println(f"[scale] hop chains: stride1 $t1%.1f s, " +
+        f"stride8 $t8%.1f s (${t1 / t8}%.1fx)")
+      s"$n1 reached, dist-sum $s1"
     })
     // source-vocabulary overlap at 50k docs × 20 synthetic sources:
     // per-source top-k through the bounded heap, pair stage ≤
