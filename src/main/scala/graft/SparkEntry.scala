@@ -2128,6 +2128,15 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       graft.streaming.Sessionize.sessions(Tables.table(s, d, "events"))
         .orderBy("user_id", "session_start_us")),
+    // the sessionizer's flatMapGroupsWithState twin — must be
+    // row-identical to events_sessions, whose oracle it shares (the
+    // funnel/funnel_stateful pairing); the real-streaming leg of the
+    // same state machine runs under a micro-batch StreamingQuery in
+    // the spec (cross-batch session merge + watermark-closed emit)
+    "events_sessions_stateful" -> ((s, d) =>
+      graft.streaming.Sessionize.sessionsStateful(s,
+          Tables.table(s, d, "events")).toDF()
+        .orderBy("user_id", "session_start_us")),
     // per-user burstiness profile: adjacent-gap stats over each user's
     // sorted timestamps — one user-keyed shuffle, all-integer output;
     // the automated-traffic signal a curation pass filters on
@@ -6977,6 +6986,9 @@ object SparkEntry {
     // gaps-and-islands twin of session_window: a session breaks when the
     // gap to the previous event is >= 30 min; end = last event + gap
     "events_sessions" -> SessionsSql,
+    // the stateful twin shares the oracle verbatim: stateful ≡
+    // windowed sessionization IS the gate
+    "events_sessions_stateful" -> SessionsSql,
     // lag-window twin of Sessionize.interArrival; gap multiset is
     // well-defined under timestamp ties (sorted sequence is unique),
     // -1 sentinels instead of engine nulls for single-event users
