@@ -919,6 +919,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("media gates serve from the STORED lake: parquet payload scan, no per-query re-synthesis") {
+    // the decode gates must read the materialized binary-column
+    // parquet (a real media lake READS payloads), not re-run the
+    // ~100 MB container synthesis — whose expression Catalyst's
+    // projection collapse re-evaluates once per referencing decode
+    // column (resize/frames/audio measured 4+ s warm on re-synthesis)
+    val plan = executedPlan("media_resize")
+    assert(plan.contains("Scan parquet"), plan)
+    assert(plan.contains("payload"), plan)
+    // synthesis reads (doc_id, text) from the documents table; a
+    // serving plan that still scans text is re-synthesizing
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
   test("embedding_outliers: broadcast centroid join, TakeOrdered top-k, no window") {
     val plan = executedPlan("embedding_outliers")
     assert(plan.contains("BroadcastHashJoin"), plan)
