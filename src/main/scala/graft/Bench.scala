@@ -68,9 +68,23 @@ object Bench {
         SparkEntry.queries.filter(kv => names(kv._1) || pinned(kv._1))
       case None => SparkEntry.queries
     }
+    // MEASUREMENT PROVENANCE: the driver's in-sbt run and the builder's
+    // standalone mirror run measure DIFFERENT regimes (sbt shares the
+    // JVM and its GC with the build; recorded deltas are 25%+ on the
+    // same commit). The fingerprint is stamped into every artifact and
+    // into the baseline on ratchet writes, so the ratchet/alarm can
+    // refuse cross-regime comparisons mechanically instead of by
+    // memory. `runner` comes from SPARK_GRAFT_BENCH_RUNNER (the mirror
+    // script sets "mirror"; the driver sets nothing → "unset").
+    val provenance = Map(
+      "runner" -> sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNNER", "unset"),
+      "cpus" -> cpus,
+      "reps" -> reps.toString,
+      "codegen" -> spark.conf
+        .get("spark.sql.codegen.wholeStage", "true"))
     val samples = sample(spark, sfDir, queries, reps)
     val (stdoutJson, json, allFailed) =
-      render(queries.keys.toSeq, samples, reps, sfDir)
+      render(queries.keys.toSeq, samples, reps, sfDir, provenance)
     // WARM-REGRESSION ALARM: compare this run's warm medians against
     // the committed mirror (BENCH_BASELINE.json, or the file named by
     // SPARK_GRAFT_BENCH_BASELINE). The alarm is a loud stderr line per
@@ -80,9 +94,28 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_BASELINE.json")
     val warm = warmMedians(queries.keys.toSeq, samples)
-    for ((name, ratio, now, base) <- regressions(warm, baselinePath))
-      System.err.println(f"[bench] WARM REGRESSION $name: " +
-        f"$now%.2fs vs baseline $base%.2fs (${ratio}%.2fx)")
+    // cross-regime guard: a baseline stamped with a DIFFERENT regime's
+    // fingerprint (runner or cpu count) is not comparable — neither the
+    // alarm (false regressions from sbt overhead) nor the ratchet
+    // (unattainable bars from the quieter regime) may run against it.
+    // An unstamped baseline (recorded before the field existed) stays
+    // comparable: refusing it would silence the alarm fleet-wide on
+    // the first deploy of this guard.
+    val regimeOk = baselineProvenance(baselinePath) match {
+      case Some(bp) =>
+        val ok = Seq("runner", "cpus").forall(k =>
+          bp.get(k).forall(_ == provenance(k)))
+        if (!ok) System.err.println(
+          s"[bench] baseline provenance mismatch (baseline $bp vs this " +
+            s"run ${provenance.view.filterKeys(Set("runner", "cpus")).toMap})" +
+            " — skipping regression alarm and ratchet for this run")
+        ok
+      case None => true
+    }
+    if (regimeOk)
+      for ((name, ratio, now, base) <- regressions(warm, baselinePath))
+        System.err.println(f"[bench] WARM REGRESSION $name: " +
+          f"$now%.2fs vs baseline $base%.2fs (${ratio}%.2fx)")
     // RATCHET: warm medians that improved >=20% on a FULL run lower
     // their baseline entries (and unseen queries are seeded), so the
     // alarm tracks the best known serving state instead of going
@@ -104,10 +137,16 @@ object Bench {
     val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    if ((only.isEmpty || rebase.nonEmpty) &&
+    if (regimeOk && (only.isEmpty || rebase.nonEmpty) &&
         !sys.env.get("SPARK_GRAFT_BENCH_NO_RATCHET").contains("1"))
+      // a restricted run may ONLY rebase: its isolated medians are
+      // measurably quieter than in-suite, so letting them seed or lower
+      // entries would set bars full runs can't meet (the exact problem
+      // the "restricted runs don't ratchet" rule exists to prevent —
+      // the rebase carve-out must not reopen it through the back door)
       ratchet(if (only.isEmpty) warm else warm.view.filterKeys(rebase).toMap,
-        baselinePath, rebase)
+        baselinePath, rebase, raiseOnly = only.nonEmpty,
+        provenance = provenance)
     // stop Spark BEFORE emitting, so no stray shutdown log line can land
     // after the JSON — the harness scrapes the log tail for it
     spark.stop()
@@ -120,8 +159,30 @@ object Bench {
     // fallback — a 3-query loop must not clobber the tracked full-suite
     // mirror (it happened); they still write SPARK_GRAFT_BENCH_OUT
     // when the caller names a destination
+    // full runs ALSO refresh the round-numbered mirror artifact
+    // (BENCH_r<N>_mirror.json): round 17 ended with a stale mid-round
+    // snapshot committed under the round name while the real final
+    // numbers lived only in BENCH_LAST.json — a reader diffing
+    // BENCH_r*_mirror.json across rounds got a wrong picture. Every
+    // full run now rewrites the current round's mirror, so the round
+    // artifact can't lag the final state. Round number: SPARK_GRAFT_ROUND
+    // if set, else 1 + the highest committed BENCH_r<n>.json (the
+    // driver writes that file at the END of round n, so during round
+    // n+1's session the max on disk is n).
+    val roundMirror = if (only.nonEmpty) Nil else {
+      val n = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .orElse {
+          val rx = "^BENCH_r(\\d+)\\.json$".r
+          val dir = new java.io.File(".").listFiles()
+          Option(dir).map(_.toSeq.flatMap(f => f.getName match {
+            case rx(d) => Some(d.toInt)
+            case _ => None
+          })).filter(_.nonEmpty).map(_.max + 1)
+        }
+      n.map(i => f"BENCH_r$i%02d_mirror.json").toSeq
+    }
     val outPaths = (if (only.isEmpty) Seq("BENCH_LAST.json") else Nil) ++
-      sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
+      roundMirror ++ sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
     outPaths.distinct.foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case scala.util.control.NonFatal(e) =>
@@ -230,15 +291,46 @@ object Bench {
     }.sortBy(-_._2)
   }
 
+  /** The `provenance` object of a baseline file, if stamped: the
+    * regime fingerprint ratchet writes record so later runs can refuse
+    * cross-regime comparisons. None for unstamped/missing baselines.
+    */
+  private[graft] def baselineProvenance(baselinePath: String)
+      : Option[Map[String, String]] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(baselinePath)))
+      root.get("provenance") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          val it = o.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asText("")
+          }
+          Some(b.result())
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Lower (or seed) baseline `queries_warm` entries from this run's
     * warm medians: an entry drops only on a ≥20% improvement (sub-20%
     * noise would churn the file every run), and a query the baseline
     * has never seen is recorded as-is. The rest of the baseline file
     * is preserved verbatim. Failures are non-fatal — a read-only
     * checkout must not fail the bench.
+    *
+    * `raiseOnly` (restricted runs): ONLY the explicit-rebase raise
+    * branch may touch the file — seeding and the 0.8× lowering are
+    * skipped, because an isolated query's quiet-box median would set
+    * bars full runs can't meet. `provenance` non-empty stamps the
+    * regime fingerprint into the file on any write, so the next run
+    * can refuse a cross-regime comparison.
     */
   private[graft] def ratchet(warm: Map[String, Double],
-      baselinePath: String, rebase: Set[String] = Set.empty): Unit =
+      baselinePath: String, rebase: Set[String] = Set.empty,
+      raiseOnly: Boolean = false,
+      provenance: Map[String, String] = Map.empty): Unit =
     try {
       val path = java.nio.file.Paths.get(baselinePath)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -260,7 +352,7 @@ object Bench {
       var rebased = 0
       for ((n, w) <- warm.toSeq.sortBy(_._1); if w >= 0) {
         val b = Option(qw.get(n)).map(_.asDouble(-1.0)).getOrElse(-1.0)
-        if (b < 0) { qw.put(n, w); seeded += 1 }
+        if (b < 0) { if (!raiseOnly) { qw.put(n, w); seeded += 1 } }
         else if (rebase(n) && w > b) {
           // the explicit escape for deliberate semantic changes — the
           // ONLY path that raises an entry, and it announces itself
@@ -268,9 +360,14 @@ object Bench {
             f"[bench] baseline REBASED $n: $b%.2fs -> $w%.2fs")
           qw.put(n, w); rebased += 1
         }
-        else if (w < b * 0.8) { qw.put(n, w); lowered += 1 }
+        else if (!raiseOnly && w < b * 0.8) { qw.put(n, w); lowered += 1 }
       }
       if (lowered + seeded + rebased > 0) {
+        if (provenance.nonEmpty) {
+          val p = mapper.createObjectNode()
+          provenance.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+          root.set[com.fasterxml.jackson.databind.JsonNode]("provenance", p)
+        }
         java.nio.file.Files.writeString(path,
           mapper.writeValueAsString(root) + "\n")
         System.err.println(s"[bench] baseline ratchet: $lowered lowered, " +
@@ -292,7 +389,8 @@ object Bench {
     */
   private[graft] def render(names: Seq[String],
       samples: Seq[Map[String, Option[Double]]], reps: Int,
-      sfDir: String): (String, String, Seq[String]) = {
+      sfDir: String, provenance: Map[String, String] = Map.empty)
+      : (String, String, Seq[String]) = {
     val okSamples: Map[String, Seq[Double]] =
       names.map(n => n -> samples.flatMap(_(n))).toMap
     val errCount: Map[String, Int] =
@@ -344,15 +442,24 @@ object Bench {
     // total_warm, not value.
     val totalWarm = names.map(warm).filter(_ >= 0).sum
     val buildTotal = buildVals.values.sum
+    // regime fingerprint, stamped into BOTH forms: adjudicating a
+    // number without knowing which regime produced it was the round-17
+    // trap (driver-tail single-rep in-sbt numbers read as movers that
+    // the warm-median mirror showed flat)
+    val prov = provenance.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val stdoutJson =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
         s""""total_warm":${r4(totalWarm)},"build_total":${r4(buildTotal)},""" +
-        s""""queries":$qsShort,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+        s""""queries":$qsShort,"errors":$errs,"reps":$reps,"sf":"$sfDir",""" +
+        s""""provenance":$prov}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""total_warm":$totalWarm,"build_total":$buildTotal,""" +
         s""""queries":$qs,"queries_warm":$warmJson,"build_s":$buildS,""" +
-        s""""queries_minmax":$minmax,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+        s""""queries_minmax":$minmax,"errors":$errs,"reps":$reps,""" +
+        s""""sf":"$sfDir","provenance":$prov}"""
     (stdoutJson, json, allFailed)
   }
 }

@@ -59,9 +59,9 @@ final class PlanMemo[T](slots: Int,
   // overwrite one input's artifact with the other's and leak the
   // replaced checkpoint without ever releasing it
   private val map =
-    new java.util.LinkedHashMap[(String, AnyRef), Entry](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, List[AnyRef]), Entry](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, AnyRef), Entry]): Boolean = {
+          e: java.util.Map.Entry[(String, List[AnyRef]), Entry]): Boolean = {
         val evict = size > slots
         if (evict) e.getValue.releaseRef() // drop the MAP's reference only
         evict
@@ -92,18 +92,25 @@ final class PlanMemo[T](slots: Int,
     e.value
   }
 
-  /** Return the memoized value for (input plan, params), building and
+  /** Return the memoized value for (input plans, params), building and
     * recording it on a miss. `input` is the relation whose canonical
-    * plan identifies the data; `params` must carry every constant the
-    * built value depends on. The returned value is guaranteed alive
-    * until the calling query's lease drains, whatever later calls
-    * evict.
+    * plan identifies the data; `extraInputs` are any FURTHER relations
+    * the built value depends on (a beam ranking depends on the graph
+    * AND the corpus AND the query batch) — every one participates in
+    * the key as a canonicalized plan OBJECT, so all inputs get the
+    * same structural-equality guarantee (digest strings in `params`
+    * would leave a hash collision silently serving the wrong value).
+    * `params` must carry every remaining constant the built value
+    * depends on. The returned value is guaranteed alive until the
+    * calling query's lease drains, whatever later calls evict.
     */
-  def getOrBuild(input: DataFrame, params: String)(build: => T): T = {
+  def getOrBuild(input: DataFrame, params: String,
+      extraInputs: Seq[DataFrame] = Nil)(build: => T): T = {
     val s = input.sparkSession
     val key = (s"${s.sparkContext.applicationId}|" +
       s"${System.identityHashCode(s)}|$params",
-      input.queryExecution.analyzed.canonicalized: AnyRef)
+      (input +: extraInputs).toList
+        .map(_.queryExecution.analyzed.canonicalized: AnyRef))
     map.synchronized {
       val e = map.get(key)
       if (e != null) {
@@ -145,8 +152,77 @@ object PlanMemo {
 
   /** The standard release for DataFrame-valued memos: drop the
     * checkpoint's cached blocks eagerly (GC-driven cleanup is lazy).
+    * Under the debug guard the release is also RECORDED, so any later
+    * job reading the dead checkpoint names this release site instead
+    * of failing with a bare missing-block error.
     */
   val releaseDf: org.apache.spark.sql.DataFrame => Unit =
-    df => try org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
-    catch { case scala.util.control.NonFatal(_) => () }
+    df => try {
+      if (MemoDebug.enabled) MemoDebug.recordRelease(df)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(df)
+    } catch { case scala.util.control.NonFatal(_) => () }
+}
+
+/** DEBUG-MODE use-after-release guard (`-Dgraft.memo.debug=1`, or
+  * `sys.props` in a spec). The ref-count makes eviction safe, but one
+  * hazard stays conventional: a served DataFrame that ESCAPES its
+  * query's lease and is executed after `Caches.clear` drains it would
+  * read checkpoint blocks `releaseDf` already dropped — at best an
+  * obscure CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND from deep inside the
+  * scan, at worst (blocks not yet evicted by the async unpersist) a
+  * silently-served stale read. No in-repo caller violates the
+  * convention; this guard exists so a future one fails LOUDLY and
+  * NAMED: every release records the checkpoint RDD ids plus the
+  * releasing stack, a SparkListener flags any later job that reads a
+  * released id, and specs (or a paranoid host app) assert
+  * `useAfterRelease` stayed null.
+  *
+  * Off by default: the per-release stack capture and per-job id sweep
+  * are debug-budget work, and the listener path is advisory (jobs are
+  * flagged, not aborted — a listener cannot veto a running query).
+  */
+object MemoDebug {
+  def enabled: Boolean = sys.props.get("graft.memo.debug").contains("1")
+
+  /** released checkpoint-RDD id → abbreviated release-site stack */
+  private val released =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val installed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** First violation seen (null = none) — the spec-facing signal. */
+  val useAfterRelease =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Forget recorded releases + any flagged violation (spec hygiene —
+    * one test's releases must not flag another's legitimate jobs).
+    */
+  def reset(): Unit = { released.clear(); useAfterRelease.set(null) }
+
+  private[graft] def recordRelease(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (installed.add(sc.applicationId)) sc.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          js.stageInfos.foreach(_.rddInfos.foreach { ri =>
+            val at = released.get(ri.id)
+            if (at != null) {
+              val msg = s"[memo] USE-AFTER-RELEASE: job ${js.jobId} reads " +
+                s"checkpoint RDD ${ri.id} (${ri.name}) whose memo entry " +
+                s"was released at: $at"
+              System.err.println(msg)
+              useAfterRelease.compareAndSet(null, msg)
+            }
+          })
+      })
+    val stack = Thread.currentThread().getStackTrace.iterator
+      .drop(1) // getStackTrace frame
+      .filterNot(f => f.getClassName.startsWith("graft.PlanMemo") ||
+        f.getClassName.startsWith("graft.MemoDebug"))
+      .take(10).mkString(" <- ")
+    org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(df)
+      .foreach(id => released.put(id, stack))
+  }
 }

@@ -27,23 +27,62 @@ object ScaleRehearsal {
     // defs, so skipped phases cost nothing.
     val phaseOnly = sys.env.get("SPARK_GRAFT_PHASE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // SPARK_GRAFT_SCALE_XL=1 adds the one-tier-up probes (100M-edge
+    // kernels, the forced-rounds lineage A/B) — "xl "-prefixed phases,
+    // EXCLUDED from the headline total so the committed baseline's
+    // figure stays comparable across runs with and without the tier
+    val xl = sys.env.get("SPARK_GRAFT_SCALE_XL").contains("1")
+    // Per-phase executor metrics: spill (memory+disk bytes), peak
+    // execution memory, and the longest single task — the skew /
+    // memory-pressure evidence next to each phase's seconds. Metrics
+    // land in the artifact as separate numeric fields (NOT in the
+    // result string: they are nondeterministic, and the result-drift
+    // alarm treats result strings as correctness signals).
+    final class PhaseMetrics extends org.apache.spark.scheduler.SparkListener {
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      val peak = new java.util.concurrent.atomic.AtomicLong
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+        if (te.taskInfo != null)
+          maxTaskMs.getAndUpdate(p => math.max(p, te.taskInfo.duration))
+      }
+      def reset(): Unit = { spill.set(0); peak.set(0); maxTaskMs.set(0) }
+      /** (spill MB, peak MB, max task s) after draining the bus. */
+      def snapshot(): (Long, Long, Double) = {
+        org.apache.spark.sql.graft.ColumnBridge.waitListeners(spark)
+        (spill.get() >> 20, peak.get() >> 20, maxTaskMs.get() / 1e3)
+      }
+    }
+    val metrics = new PhaseMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    final case class PhaseRec(name: String, s: Double, result: String,
+      spillMb: Long, peakMb: Long, maxTaskS: Double)
     // phase log → SCALE_LAST.json (the tracked 100-TB-posture artifact:
     // phase → seconds → result), so scale cliffs are caught by the
     // round-over-round diff, not only by the sf0.1 bench
-    val phaseLog =
-      scala.collection.mutable.ArrayBuffer[(String, Double, String)]()
+    val phaseLog = scala.collection.mutable.ArrayBuffer[PhaseRec]()
     // the artifact is (re)written after EVERY phase, not once at exit:
     // a phase that kills the JVM (the reason this run exists is to
     // find those) must still leave the completed phases' evidence
     def writeArtifact(): Unit = if (phaseOnly.isEmpty) {
       def esc(s: String): String =
         s.replace("\\", "\\\\").replace("\"", "\\\"")
-      val phasesJson = phaseLog.map { case (n, s, r) =>
-        s""""${esc(n)}":{"s":$s,"result":"${esc(r)}"}"""
+      val phasesJson = phaseLog.map { p =>
+        s""""${esc(p.name)}":{"s":${p.s},"result":"${esc(p.result)}",""" +
+          s""""spill_mb":${p.spillMb},"peak_mb":${p.peakMb},""" +
+          f""""max_task_s":${p.maxTaskS}%.3f}"""
       }.mkString("{", ",", "}")
-      val total = phaseLog.map(_._2).sum
+      val (xlPhases, corePhases) = phaseLog.partition(_.name.startsWith("xl "))
+      val total = corePhases.map(_.s).sum
+      val xlTotal = xlPhases.map(_.s).sum
       val json = s"""{"metric":"scale_total","value":$total,""" +
-        s""""unit":"sec","phases":$phasesJson}"""
+        s""""unit":"sec","xl_total":$xlTotal,"phases":$phasesJson}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out), json + "\n")
@@ -53,11 +92,15 @@ object ScaleRehearsal {
     }
     def t[A](name: String)(f: => A): Unit = {
       if (phaseOnly.exists(subs => !subs.exists(name.contains))) return
+      metrics.reset()
       val t0 = System.nanoTime()
       val r = f
       val dt = (System.nanoTime() - t0) / 1e9
-      phaseLog += ((name, dt, String.valueOf(r)))
-      println(f"SCALE $name%-28s $dt%8.2f s  -> $r")
+      val (spillMb, peakMb, maxTaskS) = metrics.snapshot()
+      phaseLog += PhaseRec(name, dt, String.valueOf(r), spillMb, peakMb,
+        maxTaskS)
+      println(f"SCALE $name%-28s $dt%8.2f s  -> $r  " +
+        f"[spill ${spillMb}MB, peak ${peakMb}MB, maxTask $maxTaskS%.1fs]")
       Caches.clear(spark) // each phase measured against a clean cache
       writeArtifact()
     }
@@ -1403,6 +1446,100 @@ object ScaleRehearsal {
           splitEpoch = 1700000000L + 360L * 3600L)
         .count())
 
+    // CELEBRITY-KEY window skew, measured: user 0 owns 10% of 10M
+    // events, so the flat interArrival funnels a 1M-event history
+    // through ONE task's sort while the bucketed escape hatch spreads
+    // it over ~720 hour-buckets. Results must be IDENTICAL (the hatch
+    // changes the shuffle shape, never the answer — same pin as the
+    // gate's shared oracle); the per-variant longest-task times go to
+    // the log, the deterministic checksum to the artifact.
+    t("interarrival celebrity 10M flat vs bucketed")({
+      val span = 720L * 3600L * 1000000L // 30 days in us
+      val celeb = spark.range(10000000L).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(hash(col("id") * 13 + 5), lit(1000000))
+            .cast("long")).as("user_id"),
+        timestamp_micros(pmod(col("id") * 1013904223L + 12345L, lit(span)))
+          .as("ts"))
+      def chk(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)), sum(col("n_events")),
+          sum(col("n_gaps")), sum(col("min_gap_us")),
+          sum(col("max_gap_us")), sum(col("span_us")), sum(col("n_rapid")))
+          .collect()(0)
+        (0 to 6).map(r.getLong).mkString(",")
+      }
+      def timed(df: => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double) = {
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val c = chk(df)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (_, _, maxTaskS) = metrics.snapshot()
+        (c, dt, maxTaskS)
+      }
+      val (cf, tf, mf) = timed(
+        graft.streaming.Sessionize.interArrival(celeb))
+      val (cb, tb, mb) = timed(
+        graft.streaming.Sessionize.interArrivalBucketed(celeb))
+      require(cf == cb, s"bucketed diverged: $cf vs $cb")
+      // skew evidence: the flat variant's longest task carries the
+      // celebrity sort; the bucketed one's tasks stay near-uniform
+      println(f"[scale] celebrity interArrival: flat $tf%.1fs " +
+        f"(maxTask $mf%.1fs) vs bucketed $tb%.1fs (maxTask $mb%.1fs)")
+      s"checksum $cf"
+    })
+
+    // ---- XL tier (SPARK_GRAFT_SCALE_XL=1): one-tier-up probes.
+    // 100M edges is 10x the standing rehearsal — the largest graph
+    // the 128 GiB sandbox runs comfortably; phases are "xl "-prefixed
+    // so the headline total stays baseline-comparable. ----
+    if (xl) {
+      val edgesXL = spark.range(100000000L).select(
+        pmod(hash(col("id")), lit(20000000)).cast("long").as("src"),
+        pmod(hash(col("id") * 31 + 7), lit(200000)).cast("long").as("dst"))
+      t("xl pagerank 100M edges 5 sweeps")(
+        operators.GraphOps.pageRank(edgesXL)
+          .agg(sum(col("rank_fp"))).collect()(0).getLong(0))
+      t("xl components 100M edges")(
+        operators.GraphOps.components(edgesXL)
+          .agg(countDistinct(col("component"))).collect()(0).getLong(0))
+      // the giant-cluster worst case at 1e8 members (10% direct hub
+      // links + a random recursive tree) — same shape as the 1e6
+      // standing phase, 100x the members
+      val giantXL = spark.range(1L, 100000000L).select(
+        col("id").as("doc_a"),
+        when(pmod(hash(col("id")), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(hash(col("id") * 17 + 3), col("id"))).as("doc_b"))
+      t("xl dup_clusters giant 1e8")(
+        operators.Dedup.dupClusters(giantXL, heavyDegree = 1000000L)
+          .filter(col("cluster_id") =!= 0L).count())
+      // FORCED-ROUNDS lineage A/B: round count is ~log2(diameter), so
+      // 40 NATURAL rounds would need a 2^40-vertex chain — instead the
+      // converged 400k chain is held spinning to round 40 (minRounds),
+      // isolating the per-round cost unbounded lineage adds (DAG walk
+      // + closure serialization grow with round number) at constant
+      // data size. Compare against the standing ~20-round phases.
+      val deepPathXL = spark.range(0L, 400000L).select(
+        col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      t("xl deep chain 400k, 40 rounds, no ckpt")({
+        val bad = operators.Dedup.dupClusters(deepPathXL, maxIter = 45,
+            minRounds = 40)
+          .filter(col("cluster_id") =!= 0L).count()
+        require(bad == 0L, s"$bad mislabeled")
+        s"mislabeled=0 rounds=${operators.Dedup.lastStarRounds.get}"
+      })
+      t("xl deep chain 400k, 40 rounds, ckpt@dflt")({
+        val dir = java.nio.file.Files.createTempDirectory("graft-xl-ckpt")
+        try {
+          val bad = operators.Dedup.dupClusters(deepPathXL, maxIter = 45,
+              checkpointDir = Some(dir.toString), minRounds = 40)
+            .filter(col("cluster_id") =!= 0L).count()
+          require(bad == 0L, s"$bad mislabeled")
+          s"mislabeled=0 rounds=${operators.Dedup.lastStarRounds.get}"
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      })
+    }
+
     spark.stop()
 
     // ---- final artifact + regression alarm (full runs only: a
@@ -1420,16 +1557,18 @@ object ScaleRehearsal {
           .readTree(java.nio.file.Files.readString(
             java.nio.file.Paths.get(basePath)))
         val ph = root.get("phases")
-        if (ph != null) phaseLog.foreach { case (n, s, r) =>
-          val b = ph.get(n)
+        if (ph != null) phaseLog.foreach { p =>
+          val b = ph.get(p.name)
           if (b != null) {
             val bs = b.get("s").asDouble(-1)
             val br = Option(b.get("result")).map(_.asText()).getOrElse("")
-            if (br.nonEmpty && br != r) System.err.println(
-              s"[scale] RESULT DRIFT $n: '$r' vs baseline '$br'")
-            if (bs > 0 && s > bs * 1.5 && s - bs > 1.0) System.err.println(
-              f"[scale] PHASE REGRESSION $n: $s%.2fs vs baseline " +
-                f"$bs%.2fs (${s / bs}%.2fx)")
+            if (br.nonEmpty && br != p.result) System.err.println(
+              s"[scale] RESULT DRIFT ${p.name}: '${p.result}' vs " +
+                s"baseline '$br'")
+            if (bs > 0 && p.s > bs * 1.5 && p.s - bs > 1.0)
+              System.err.println(
+                f"[scale] PHASE REGRESSION ${p.name}: ${p.s}%.2fs vs " +
+                  f"baseline $bs%.2fs (${p.s / bs}%.2fx)")
           }
         }
       } catch { case scala.util.control.NonFatal(_) => () } // no baseline yet

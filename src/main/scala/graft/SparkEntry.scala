@@ -171,10 +171,14 @@ object SparkEntry {
       corpus.queryExecution.analyzed.canonicalized.toString +
         "|" + TextOps.Bm25IndexDepth)}%08x"
     bm25IdxMemo.getOrBuild(corpus, s"bm25idx|${TextOps.Bm25IndexDepth}") {
-      val idxDir = ivfTmpDir(s, d, s"bm25_idx_$keyDigest")
+      // same per-build nonce rule as storedDirWith: an evicted entry's
+      // rebuild must land in a fresh dir, never overwrite one a lazy
+      // reader from the old entry may still be scanning
+      val n = storedDirNonce.incrementAndGet()
+      val idxDir = ivfTmpDir(s, d, s"bm25_idx_${keyDigest}_b$n")
       TextOps.postingsIndex(corpus, k = TextOps.Bm25IndexDepth)
         .write.mode("overwrite").parquet(idxDir)
-      val lensDir = ivfTmpDir(s, d, s"bm25_lens_$keyDigest")
+      val lensDir = ivfTmpDir(s, d, s"bm25_lens_${keyDigest}_b$n")
       TextOps.docLengths(corpus).write.mode("overwrite").parquet(lensDir)
       (idxDir, lensDir)
     }
@@ -198,12 +202,23 @@ object SparkEntry {
     * bm25IndexDirs ADVICE lesson). Values are path strings — nothing
     * to release; the parquet trees die with the JVM via the shutdown
     * hook. 64 slots ≫ the ~19 artifacts × 2 interleaved sf dirs a
-    * session can touch, so eviction (which would re-WRITE a dir a
-    * returned lazy reader may still be scanning) never fires in
-    * practice.
+    * session can touch, so eviction is not expected — and if it ever
+    * fires anyway, the per-build nonce below means the rebuild writes
+    * a FRESH dir rather than overwriting one a returned lazy reader
+    * may still be scanning.
     */
   private val storedDirMemo = new PlanMemo[String](64)
   private[graft] def storedDirMemoHits = storedDirMemo.hits
+  // per-BUILD nonce folded into every stored dir's leaf: unlike the
+  // DataFrame memos, path values get no ref-count protection, so if
+  // LRU eviction ever fired, a re-request would re-WRITE the evicted
+  // entry's deterministic dir in overwrite mode while a lazy reader
+  // returned from the old entry might still be scanning it. With the
+  // nonce, an eviction-then-rebuild writes a FRESH dir and the old
+  // tree stays readable until the session's shutdown hook sweeps it —
+  // correctness no longer leans on "64 slots ≫ live keys" holding
+  // forever.
+  private val storedDirNonce = new java.util.concurrent.atomic.AtomicLong
   private[graft] def storedDirWith(d: String, leaf: String,
       fit: org.apache.spark.sql.DataFrame)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): String = {
@@ -219,7 +234,8 @@ object SparkEntry {
     val keyDigest = f"${scala.util.hashing.MurmurHash3.stringHash(
       plan.toString + "|" + leaf)}%08x${plan.hashCode}%08x"
     storedDirMemo.getOrBuild(fit, s"storedDir|$leaf") {
-      val dir = ivfTmpDir(s, d, s"${leaf}_$keyDigest")
+      val dir = ivfTmpDir(s, d,
+        s"${leaf}_${keyDigest}_b${storedDirNonce.incrementAndGet()}")
       write(fit, dir)
       dir
     }
@@ -2143,6 +2159,14 @@ object SparkEntry {
     "events_interarrival" -> ((s, d) =>
       graft.streaming.Sessionize.interArrival(Tables.table(s, d, "events"))
         .orderBy("user_id")),
+    // the celebrity-key escape hatch WIRED: per-(user, hour-bucket)
+    // local gap aggregation + a bucket-row carry-in window, so one hot
+    // user's history spreads over #buckets tasks instead of one sort —
+    // must be row-identical to events_interarrival (shared oracle)
+    "events_interarrival_bucketed" -> ((s, d) =>
+      graft.streaming.Sessionize.interArrivalBucketed(
+          Tables.table(s, d, "events"))
+        .orderBy("user_id")),
     "events_props" -> ((s, d) =>
       EventWindows.propsStats(Tables.table(s, d, "events"))
         .orderBy("event_type")),
@@ -3461,6 +3485,25 @@ object SparkEntry {
       "SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us, " +
       s"CAST(MAX(us) + $gapUs AS BIGINT) AS session_end_us, " +
       "CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
+  }
+
+  /** events_interarrival oracle — lag-window twin of
+    * Sessionize.interArrival; shared VERBATIM by
+    * events_interarrival_bucketed (the flat window and the
+    * bucketed-carry-in implementations must be indistinguishable).
+    */
+  private val InterArrivalSql: String = {
+    val rapid = graft.streaming.Sessionize.RapidGapUs
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+      "g AS (SELECT user_id, us, us - lag(us) OVER " +
+      "(PARTITION BY user_id ORDER BY us) AS gap FROM e) " +
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "CAST(COUNT(gap) AS BIGINT) AS n_gaps, " +
+      "CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_us, " +
+      "CAST(COALESCE(MAX(gap), -1) AS BIGINT) AS max_gap_us, " +
+      "CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us, " +
+      s"CAST(SUM(CASE WHEN gap < $rapid THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_rapid FROM g GROUP BY user_id"
   }
 
   /** events_transitions oracle — SessionsSql's break rule with the
@@ -6992,19 +7035,12 @@ object SparkEntry {
     // lag-window twin of Sessionize.interArrival; gap multiset is
     // well-defined under timestamp ties (sorted sequence is unique),
     // -1 sentinels instead of engine nulls for single-event users
-    "events_interarrival" -> {
-      val rapid = graft.streaming.Sessionize.RapidGapUs
-      "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
-        "g AS (SELECT user_id, us, us - lag(us) OVER " +
-        "(PARTITION BY user_id ORDER BY us) AS gap FROM e) " +
-        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
-        "CAST(COUNT(gap) AS BIGINT) AS n_gaps, " +
-        "CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_us, " +
-        "CAST(COALESCE(MAX(gap), -1) AS BIGINT) AS max_gap_us, " +
-        "CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us, " +
-        s"CAST(SUM(CASE WHEN gap < $rapid THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_rapid FROM g GROUP BY user_id"
-    },
+    "events_interarrival" -> InterArrivalSql,
+    // shares events_interarrival's oracle VERBATIM — the flat window
+    // and the bucketed carry-in must be indistinguishable (the
+    // celebrity-key escape hatch changes the shuffle shape, never the
+    // answer)
+    "events_interarrival_bucketed" -> InterArrivalSql,
     // session-duration order statistics by hour-of-day of session
     // start: SessionsSql composed into the events_quantiles rank
     // machinery — same (pct·n + 99) // 100 target, same (value, id)

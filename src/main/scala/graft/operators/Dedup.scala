@@ -536,12 +536,29 @@ object Dedup {
     * then pure scheduling overhead. Star contraction remains the path
     * for everything larger; tests pin `localThreshold = 0` where they
     * exercise it explicitly.
+    *
+    * `minRounds` (default 0 — no effect) keeps the star loop running
+    * past convergence up to the given round count: the rehearsal's
+    * LINEAGE-GROWTH instrumentation. Round count is ~log₂(diameter),
+    * so no materializable input reaches 40 natural rounds (that would
+    * need a 2⁴⁰-vertex chain) — forcing extra rounds on the converged
+    * state isolates exactly the per-round cost unbounded lineage adds
+    * (DAG walk + closure serialization per job grows with round
+    * number) with the data size held constant. MEASURED CONCLUSION
+    * (SCALE_r18, 400k chain): ckpt ≈ no-ckpt at the natural ~20
+    * rounds AND at forced 40 — every round's RDD is persisted and
+    * materialized, so later rounds read blocks, never lineage; the
+    * driver-side DAG walk is microseconds per job at these depths.
+    * Reliable checkpointing here buys FAULT TOLERANCE (bounded
+    * recompute after executor loss), not speed; it is round-count-
+    * gated by `checkpointEvery` purely to bound that recompute window.
     */
   def dupClusters(pairs0: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = ClusterCheckpointEvery,
       heavyDegree: Long = 0L,
-      localThreshold: Long = ClusterLocalEdges): DataFrame = {
+      localThreshold: Long = ClusterLocalEdges,
+      minRounds: Int = 0): DataFrame = {
     // the fast path materializes up to localThreshold edges into ONE
     // task's LongMap (~48 B/entry with parent slots); bound it so a
     // caller can't aim a corpus-sized graph at a single executor.
@@ -649,7 +666,7 @@ object Dedup {
         var edges = raw
         var converged = false
         var iter = 0
-        while (!converged && iter < maxIter) {
+        while ((!converged || iter < minRounds) && iter < maxIter) {
           val (next, changed) = starRound(edges, iter)
           edges = next
           converged = changed == 0L

@@ -1036,9 +1036,10 @@ object Similarity {
     * whole-stage codegen stays ON — unlike the hops loop, the per-row
     * work here is a 64-dim float fold, and interpreted eval was
     * MEASURED 3x slower than the 4 janino compiles it avoids). The
-    * corpus plan digest rides the params string because `PlanMemo`
-    * keys on ONE input plan (the graph's) — same device as the
-    * storedDir leaf digest, plan-OBJECT hashCode included.
+    * corpus and query-batch plans ride the memo key as canonicalized
+    * plan OBJECTS (PlanMemo's multi-input keying), so every input gets
+    * the same structural-equality guarantee the graph plan has — a
+    * digest collision cannot silently serve the wrong ranking.
     */
   private val beamMemo =
     new graft.PlanMemo[DataFrame](4, graft.PlanMemo.releaseDf)
@@ -1047,14 +1048,8 @@ object Similarity {
   def knnBeamShared(graph: DataFrame, emb: DataFrame, queryEmb: DataFrame,
       k: Int = DefaultK, beam: Int = BeamWidth, rounds: Int = BeamRounds,
       nQueries: Long = DefaultQueries): DataFrame = {
-    val embPlan = emb.queryExecution.analyzed.canonicalized
-    val qPlan = queryEmb.queryExecution.analyzed.canonicalized
-    val embKey = f"${scala.util.hashing.MurmurHash3
-      .stringHash(embPlan.toString)}%08x${embPlan.hashCode}%08x" +
-      f"${scala.util.hashing.MurmurHash3
-        .stringHash(qPlan.toString)}%08x${qPlan.hashCode}%08x"
     beamMemo.getOrBuild(graph,
-        s"beam|$k|$beam|$rounds|$nQueries|$embKey") {
+        s"beam|$k|$beam|$rounds|$nQueries", Seq(emb, queryEmb)) {
       val sess = emb.sparkSession
       val tinyScope = emb.count() <= BeamTinyCorpus
       val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")

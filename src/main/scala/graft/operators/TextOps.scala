@@ -2328,8 +2328,10 @@ object TextOps {
     * identical stored dirs (and `search_hybrid_indexed`'s keyword pool
     * is a third consumer at its own depth). One checkpoint-backed
     * ranking per (index plan, lens+queries plans, constants) serves
-    * them all; the extra input plans ride the params string as
-    * plan-OBJECT digests (`PlanMemo` keys on one plan — the index's).
+    * them all; lens and query-batch plans participate in the memo key
+    * as canonicalized plan OBJECTS (PlanMemo's multi-input keying), so
+    * all inputs share the structural-equality guarantee — no digest
+    * collision can serve the wrong ranking.
     * The INCREMENTAL serve deliberately stays unmemoized: the delta
     * fold is that gate's measured operation, not a reusable artifact.
     */
@@ -2337,17 +2339,11 @@ object TextOps {
     new graft.PlanMemo[DataFrame](8, graft.PlanMemo.releaseDf)
   private[graft] def idxServeMemoHits = idxServeMemo.hits
 
-  private def planDigest(dfs: DataFrame*): String = dfs.map { df =>
-    val p = df.queryExecution.analyzed.canonicalized
-    f"${scala.util.hashing.MurmurHash3
-      .stringHash(p.toString)}%08x${p.hashCode}%08x"
-  }.mkString
-
   def bm25FromIndexShared(index: DataFrame, lens: DataFrame,
       queryDocs: DataFrame, k: Int = Bm25K,
       nQueries: Long = Bm25Queries): DataFrame =
     idxServeMemo.getOrBuild(index,
-        s"bm25idx|$k|$nQueries|${planDigest(lens, queryDocs)}") {
+        s"bm25idx|$k|$nQueries", Seq(lens, queryDocs)) {
       org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
         bm25FromIndex(index, lens, queryDocs, k, nQueries))
     }
@@ -2357,7 +2353,7 @@ object TextOps {
       nQueries: Long = Bm25Queries, fb: Int = PrfFeedbackDocs,
       ex: Int = PrfExpansionTerms): DataFrame =
     idxServeMemo.getOrBuild(index,
-        s"prfidx|$k|$nQueries|$fb|$ex|${planDigest(lens, queryDocs)}") {
+        s"prfidx|$k|$nQueries|$fb|$ex", Seq(lens, queryDocs)) {
       org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
         bm25PrfFromIndex(index, lens, queryDocs, k, nQueries, fb, ex))
     }

@@ -644,6 +644,46 @@ object EventWindows {
   def funnelStateful(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, stages: Seq[String] = FunnelStages): DataFrame = {
     import spark.implicits._
+    val reached = funnelReached(spark, events, stages)
+    // a user reaching stage r counts toward stages 0..r-1; the
+    // right-join against the stages.size-row relation restores
+    // zero-user stages (the join form emits them as 0, so must we)
+    val names = typedLit(stages)
+    val stageRel = spark.range(stages.size).select(
+      col("id").as("stage_idx"),
+      element_at(names, col("id").cast("int") + 1).as("stage"))
+    reached.toDF("user_id", "reached")
+      .filter(col("reached") > 0)
+      .select(explode(sequence(lit(0L), col("reached").cast("long") - 1L))
+        .as("stage_idx"))
+      .groupBy("stage_idx")
+      .agg(count(lit(1)).as("n_users"))
+      .join(stageRel, Seq("stage_idx"), "right")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
+  /** The funnel state machine itself: per user, the furthest stage
+    * reached under the greedy earliest-qualifying-event rule. The SAME
+    * function serves batch (`funnelStateful` above — each group
+    * visited once) and STREAMING (`mapGroupsWithState` keeps
+    * `FunnelProgress` per user in the state store, so a user whose
+    * stage-2 event arrives a micro-batch after their stage-1 event
+    * still advances — the cross-batch carry the spec drives under a
+    * real StreamingQuery in Update mode, where each batch re-emits the
+    * users it advanced; `reached` is monotone non-decreasing, so the
+    * final per-user value is the max over emissions).
+    *
+    * Streaming admission contract (the `cusumStateful` family): each
+    * user's events arrive in event-time order ACROSS micro-batches —
+    * the threshold in state is final once advanced, so an
+    * out-of-order earlier event cannot retroactively qualify. Within
+    * a batch the group sorts, so intra-batch disorder is fine.
+    */
+  def funnelReached(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, stages: Seq[String] = FunnelStages)
+      : org.apache.spark.sql.Dataset[(Long, Int)] = {
+    import spark.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got $stages")
@@ -651,7 +691,7 @@ object EventWindows {
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col("event_type") === s, lit(i)).otherwise(acc)
       }
-    val reached = events
+    events
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         stageIdx.as("stage_idx"))
@@ -671,22 +711,6 @@ object EventWindows {
         state.update(st)
         (user, st.reached)
       }
-    // a user reaching stage r counts toward stages 0..r-1; the
-    // right-join against the stages.size-row relation restores
-    // zero-user stages (the join form emits them as 0, so must we)
-    val names = typedLit(stages)
-    val stageRel = spark.range(stages.size).select(
-      col("id").as("stage_idx"),
-      element_at(names, col("id").cast("int") + 1).as("stage"))
-    reached.toDF("user_id", "reached")
-      .filter(col("reached") > 0)
-      .select(explode(sequence(lit(0L), col("reached").cast("long") - 1L))
-        .as("stage_idx"))
-      .groupBy("stage_idx")
-      .agg(count(lit(1)).as("n_users"))
-      .join(stageRel, Seq("stage_idx"), "right")
-      .select(col("stage_idx"), col("stage"),
-        coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /** Semi-structured extraction: pull `k` out of the JSON `props`

@@ -104,6 +104,84 @@ object Sessionize {
         sum(when(col("gap") < RapidGapUs, 1L).otherwise(0L)).as("n_rapid"))
   }
 
+  /** Time-bucket width for `interArrivalBucketed` — one hour in
+    * microseconds. A knob, not a semantic: any width gives identical
+    * output (spec-pinned); it only tunes how many tasks a celebrity
+    * user's history spreads over.
+    */
+  val InterArrivalBucketUs = 3600000000L
+
+  /** `interArrival` with the celebrity-key escape hatch WIRED — the
+    * `asofJoinBucketed`-style time-bucketed carry-in. The flat
+    * operator funnels a user's entire history through ONE task's
+    * window sort; a celebrity key (a bot account, a default/null user
+    * id) with 10% of all events makes that task the straggler and, far
+    * enough out, exceeds its spill budget. Here the per-event work is
+    * keyed by (user_id, time bucket) instead:
+    *
+    *   1. within each (user, bucket): sort locally, adjacent gaps,
+    *      aggregate to ONE row (count, gap count, min/max gap, rapid
+    *      count, first/last timestamp) — a celebrity's events spread
+    *      over #buckets tasks, each sorting only its slice;
+    *   2. per user over the BUCKET rows (orders of magnitude fewer
+    *      than events): one tiny window carries the previous
+    *      non-empty bucket's last timestamp in, turning each bucket
+    *      boundary into exactly one gap — the carry-in;
+    *   3. fold bucket aggregates: gaps are adjacent differences of
+    *      the sorted sequence, and bucket assignment is monotone in
+    *      the timestamp (equal timestamps share a bucket), so the
+    *      concatenation of per-bucket sorted slices IS the globally
+    *      sorted sequence — within-bucket gaps plus boundary gaps is
+    *      the exact gap multiset, and min/max/count/rapid all merge.
+    *
+    * Output is spec-pinned IDENTICAL to `interArrival` (and the gate
+    * shares its oracle SQL verbatim). Cost of the hatch: one extra
+    * (user-keyed) shuffle of bucket-sized rows — only worth it when a
+    * key can exceed a task; the flat form stays the default.
+    */
+  def interArrivalBucketed(events: DataFrame,
+      bucketUs: Long = InterArrivalBucketUs): DataFrame = {
+    require(bucketUs >= 1L, s"bucketUs must be >= 1, got $bucketUs")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "bkt").orderBy("us")
+    val perBucket = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      // floor-aligned bucket start (pmod is non-negative, so this
+      // floors for negative us too): monotone in us, and equal
+      // timestamps share a bucket — the two properties step 3 needs
+      .withColumn("bkt", col("us") - pmod(col("us"), lit(bucketUs)))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wb))
+      .groupBy("user_id", "bkt")
+      .agg(
+        count(lit(1)).as("n_b"),
+        count(col("gap")).as("n_gaps_b"),
+        min(col("gap")).as("min_gap_b"),
+        max(col("gap")).as("max_gap_b"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        sum(when(col("gap") < RapidGapUs, 1L).otherwise(0L))
+          .as("n_rapid_b"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bkt")
+    // the carry-in: each bucket's first event closes one gap against
+    // the previous non-empty bucket's last event (null for the first)
+    perBucket
+      .withColumn("bgap", col("first_us") - lag(col("last_us"), 1).over(wu))
+      .groupBy("user_id")
+      .agg(
+        sum(col("n_b")).as("n_events"),
+        (sum(col("n_gaps_b")) + count(col("bgap"))).as("n_gaps"),
+        // least/greatest skip nulls (all-null → null → the sentinel)
+        coalesce(least(min(col("min_gap_b")), min(col("bgap"))), lit(-1L))
+          .as("min_gap_us"),
+        coalesce(greatest(max(col("max_gap_b")), max(col("bgap"))), lit(-1L))
+          .as("max_gap_us"),
+        (max(col("last_us")) - min(col("first_us"))).as("span_us"),
+        (sum(col("n_rapid_b")) +
+          sum(when(col("bgap") < RapidGapUs, 1L).otherwise(0L)))
+          .as("n_rapid"))
+  }
+
   /** Within-session event-type TRANSITION counts — the first-order
     * Markov (behavioral bigram) model over user journeys, the events
     * twin of `TextOps.bigramLm`. A transition is counted for every
@@ -202,9 +280,31 @@ object Sessionize {
     * the same deterministic tiebreak as the batch window.
     */
   def transitionsStateful(spark: SparkSession,
-      events: DataFrame): DataFrame = {
+      events: DataFrame): DataFrame =
+    transitionPairs(spark, events, keepState = false)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The transition state machine itself: one `Transition` row per
+    * consecutive in-gap event pair. `keepState = false` is the batch
+    * mode (each group visited once, state flushed at group end);
+    * `keepState = true` is the STREAMING mode — the user's last event
+    * stays in the state store so a pair split across two micro-batches
+    * still counts its boundary transition (the cross-batch carry the
+    * spec drives under a real StreamingQuery).
+    *
+    * Streaming admission contract (same family as `cusumStateful`'s):
+    * each user's events must arrive in (us, event_id) order ACROSS
+    * micro-batches — emitted transitions are final (Append mode cannot
+    * retract), so an event older than the held state would create
+    * pairs the batch order never had. Within a batch the group sorts,
+    * so intra-batch disorder is fine; an hourly-triggered ingestion of
+    * an append-only log satisfies the cross-batch part by shape.
+    */
+  private[graft] def transitionPairs(spark: SparkSession,
+      events: DataFrame, keepState: Boolean): Dataset[Transition] = {
     import spark.implicits._
-    val pairs = events
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
       .as[TEv]
@@ -212,9 +312,10 @@ object Sessionize {
       .flatMapGroupsWithState[LastEv, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[TEv], state: GroupState[LastEv]) =>
-          // batch iterators carry no order guarantee — sort within the
+          // iterators carry no order guarantee — sort within the
           // group, bounded by one user's events (same buffer as the
-          // window partition's sort)
+          // window partition's sort; one micro-batch's worth when
+          // streaming)
           val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[Transition]()
           var prev = state.getOption.orNull
@@ -223,14 +324,26 @@ object Sessionize {
               out += Transition(prev.event_type, e.event_type)
             prev = LastEv(e.us, e.event_id, e.event_type)
           }
-          // a streaming deployment would state.update(prev) here and
-          // let the watermark expire it; batch mode flushes
-          state.remove()
+          if (keepState) {
+            // streaming: carry the last event across micro-batches so
+            // a session spanning two batches counts its boundary pair
+            if (prev != null) state.update(prev)
+          } else state.remove() // batch mode flushes
           out.iterator
       }
-    pairs.groupBy(col("prev_type"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
   }
+
+  /** STREAMING deployment of the transition matrix: the same state
+    * machine with the last event CARRIED across micro-batches, exposed
+    * as the `Transition` pair stream (aggregate downstream — a
+    * groupBy/count over this stream in Complete mode reproduces
+    * `transitions` exactly once every batch's pairs are in, which is
+    * what the spec pins). See `transitionPairs` for the cross-batch
+    * ordering contract.
+    */
+  def transitionsStreamingPairs(spark: SparkSession,
+      events: DataFrame): Dataset[Transition] =
+    transitionPairs(spark, events, keepState = true)
 
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,

@@ -117,4 +117,20 @@ object ColumnBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the listener bus (`listenerBus` is private[spark]) — lets
+    * a spec assert on listener-observed state without sleeping.
+    */
+  def waitListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The ids of the checkpoint-backing RDDs behind a
+    * `statsFreeLocalCheckpoint` frame (empty on anything else) — what
+    * the debug-mode use-after-release guard keys its released set by
+    * (`LogicalRDD` is private[sql], hence the shim).
+    */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
 }

@@ -167,6 +167,37 @@ class BenchSpec extends SparkSpec {
     assert(seeded.get("queries_warm").get("q").asDouble() === 0.5)
   }
 
+  test("raiseOnly ratchet (restricted-run rebase): only the explicit raise fires — no seeding, no lowering") {
+    val base = java.nio.file.Files.createTempFile("graft_bench_ro", ".json")
+    java.nio.file.Files.writeString(base,
+      """{"queries_warm":{"rebased":1.0,"quiet":2.0}}""")
+    // a restricted run's isolated medians are quieter than in-suite:
+    // "quiet" improved 5x and "fresh" is unseen, but neither may touch
+    // the file — only the named rebase raise
+    Bench.ratchet(
+      Map("rebased" -> 3.0, "quiet" -> 0.4, "fresh" -> 0.2),
+      base.toString, rebase = Set("rebased"), raiseOnly = true)
+    val qw = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(base)).get("queries_warm")
+    assert(qw.get("rebased").asDouble() === 3.0)
+    assert(qw.get("quiet").asDouble() === 2.0, "quiet-box median lowered the bar")
+    assert(qw.get("fresh") == null, "quiet-box median seeded an entry")
+  }
+
+  test("ratchet stamps provenance; baselineProvenance reads it back; unstamped baselines read None") {
+    val base = java.nio.file.Files.createTempFile("graft_bench_pv", ".json")
+    java.nio.file.Files.writeString(base, """{"queries_warm":{"q":5.0}}""")
+    assert(Bench.baselineProvenance(base.toString).isEmpty)
+    Bench.ratchet(Map("q" -> 1.0), base.toString,
+      provenance = Map("runner" -> "mirror", "cpus" -> "32",
+        "reps" -> "3", "codegen" -> "true"))
+    val got = Bench.baselineProvenance(base.toString)
+    assert(got === Some(Map("runner" -> "mirror", "cpus" -> "32",
+      "reps" -> "3", "codegen" -> "true")))
+    // a missing file also reads None (alarm/ratchet stay enabled)
+    assert(Bench.baselineProvenance("/nonexistent/p.json").isEmpty)
+  }
+
   test("an all-green run renders an empty errors object") {
     val queries = Map("good" -> q(s => s.range(3).toDF()))
     val samples = Bench.sample(spark, "unused", queries, reps = 1)

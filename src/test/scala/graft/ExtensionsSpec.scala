@@ -368,6 +368,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(memo.getOrBuild(d1, "race")(99) === 7) // entry intact
   }
 
+  test("PlanMemo debug guard: a value executed AFTER its lease drained is flagged loudly, by release site") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val memo = new graft.PlanMemo[org.apache.spark.sql.DataFrame](
+      2, graft.PlanMemo.releaseDf)
+    sys.props("graft.memo.debug") = "1"
+    graft.MemoDebug.reset()
+    try {
+      // VIOLATE the convention: let the served frame escape its lease
+      val escaped = graft.Caches.scoped {
+        memo.getOrBuild(spark.range(64).toDF(), "uar")(
+          ColumnBridge.statsFreeLocalCheckpoint(spark.range(64).toDF()))
+      }
+      memo.clear() // map ref also gone → the release destructor ran
+      assert(graft.MemoDebug.useAfterRelease.get() === null,
+        "no job has touched the released value yet — nothing to flag")
+      // executing the escaped frame now reads released checkpoint
+      // blocks: either the scan dies on the missing blocks (the
+      // built-in failure) or the async unpersist hasn't swept them
+      // yet and it silently serves — EITHER WAY the guard must name
+      // the release site
+      try escaped.count() catch { case _: org.apache.spark.SparkException => () }
+      // the listener fires asynchronously on the bus — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (graft.MemoDebug.useAfterRelease.get() == null &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val flagged = graft.MemoDebug.useAfterRelease.get()
+      assert(flagged != null, "use-after-release was not flagged")
+      assert(flagged.contains("USE-AFTER-RELEASE") &&
+        flagged.contains("released at"), flagged)
+      // a LEGITIMATE serve (new build, lease open) must not be flagged
+      graft.MemoDebug.reset()
+      graft.Caches.scoped {
+        val ok = memo.getOrBuild(spark.range(32).toDF(), "uar2")(
+          ColumnBridge.statsFreeLocalCheckpoint(spark.range(32).toDF()))
+        assert(ok.count() === 32L)
+      }
+      ColumnBridge.waitListeners(spark)
+      assert(graft.MemoDebug.useAfterRelease.get() === null,
+        "a legitimate in-lease execution must not be flagged")
+    } finally {
+      sys.props.remove("graft.memo.debug")
+      graft.MemoDebug.reset()
+      memo.clear()
+    }
+  }
+
   test("bm25PrfShared memo: the recall gate's truth side reuses the text_bm25_prf relation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df
@@ -3046,6 +3092,41 @@ class ExtensionsSpec extends SparkSpec {
       (2L, 1L, 0L, -1L, -1L, 0L, 0L)))
   }
 
+  test("interArrivalBucketed == interArrival: fixture edge cases and random sets across bucket widths") {
+    val s = spark
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    // fixture aimed at the carry-in seams: a gap that STRADDLES a
+    // bucket boundary (15→25 with width 20), a tie ON a boundary
+    // (both 40s share bucket 2), an empty bucket between events
+    // (25→95 skips bucket [60,80)), a singleton, and a user whose
+    // events all land in one bucket
+    val ev = Seq((1L, 0L), (1L, 15L), (1L, 25L), (1L, 40L), (1L, 40L),
+      (1L, 95L), (2L, 7L), (3L, 100L), (3L, 101L), (3L, 103L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    for (width <- Seq(1L, 3L, 20L, 1000000L)) {
+      val flat = rows(graft.streaming.Sessionize.interArrival(ev))
+      val bucketed = rows(
+        graft.streaming.Sessionize.interArrivalBucketed(ev, width))
+      assert(bucketed === flat, s"width=$width")
+    }
+    // random sets, default width, gaps straddling the rapid threshold
+    val rnd = new scala.util.Random(20260816)
+    val rapid = graft.streaming.Sessionize.RapidGapUs
+    val rev = (1 to 400).map { _ =>
+      (rnd.nextInt(12).toLong,
+        rnd.nextLong(4L * rapid) + (if (rnd.nextBoolean()) 0L
+          else graft.streaming.Sessionize.InterArrivalBucketUs))
+    }.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    assert(rows(graft.streaming.Sessionize.interArrivalBucketed(rev)) ===
+      rows(graft.streaming.Sessionize.interArrival(rev)))
+  }
+
   test("transitions: session break severs, event_id tiebreak orders, counts sum") {
     val s = spark
     import s.implicits._
@@ -3361,6 +3442,100 @@ class ExtensionsSpec extends SparkSpec {
         (8L, "2024-01-01 10:50:00"), (7L, "2024-01-01 10:25:00"),
         (7L, "2024-01-01 13:00:00"))
       assert(got === rows(graft.streaming.Sessionize.sessions(all)))
+    } finally q.stop()
+  }
+
+  test("streaming transitions: state carries the last event across micro-batches; final counts == batch operator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-strans").toString
+    def batch(rows: (Long, Long, String, Long)*) = // (event_id, user, type, us)
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    val gap = graft.streaming.Sessionize.GapUs
+    // batch 1: user 7 view→click in-gap; user 8 one view
+    val b1 = Seq((1L, 7L, "view", 0L), (2L, 7L, "click", 100L),
+      (3L, 8L, "view", 50L))
+    // batch 2: user 7's purchase lands IN-GAP after batch 1's click —
+    // the boundary pair (click, purchase) only exists if state carried;
+    // user 8's next event is ≥gap away, so its boundary pair must NOT
+    // count even though state carried it
+    val b2 = Seq((4L, 7L, "purchase", 200L), (5L, 8L, "view", 50L + gap))
+    batch(b1: _*).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val pairs = graft.streaming.Sessionize.transitionsStreamingPairs(
+      spark, spark.readStream.schema(schema).parquet(dir))
+    // the full transition-matrix pipeline under one StreamingQuery:
+    // state machine (Append) + groupBy/count, Complete-mode sink so
+    // each trigger re-emits the whole (tiny, |types|²-bounded) matrix
+    val q = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("strans_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts = spark.sql("select * from strans_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts === Map(("view", "click") -> 1L),
+        "batch-1 matrix wrong")
+      batch(b2: _*).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = counts
+      // the boundary pair counted exactly once, the ≥gap one not at all
+      assert(got === Map(("view", "click") -> 1L,
+        ("click", "purchase") -> 1L), got)
+      // parity: streaming end-state == the batch operator on all events
+      val batchGot = graft.streaming.Sessionize
+        .transitions(batch((b1 ++ b2): _*)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === batchGot)
+    } finally q.stop()
+  }
+
+  test("streaming funnel: per-user stage state advances across micro-batches; final counts == batch funnel") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfunnel").toString
+    def batch(rows: (Long, Long, String, Long)*) = // (event_id, user, type, us)
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    // batch 1: user 7 views; user 8 views+clicks; user 9 clicks only
+    // (no view — must never advance past stage 0's requirement)
+    val b1 = Seq((1L, 7L, "view", 0L), (2L, 8L, "view", 10L),
+      (3L, 8L, "click", 20L), (4L, 9L, "click", 30L))
+    // batch 2: user 7's click arrives a batch late — state must carry
+    // the view threshold; user 8 completes the funnel
+    val b2 = Seq((5L, 7L, "click", 100L), (6L, 8L, "purchase", 120L))
+    batch(b1: _*).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // mapGroupsWithState streams in Update mode: each batch re-emits
+    // the users it advanced; `reached` is monotone, so the final
+    // per-user value is the max over emissions
+    val q = graft.streaming.EventWindows.funnelReached(spark,
+        spark.readStream.schema(schema).parquet(dir))
+      .toDF("user_id", "reached")
+      .writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      batch(b2: _*).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val reached = spark.sql(
+        "select user_id, max(reached) from sfunnel_out group by user_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(reached === Map(7L -> 2, 8L -> 3, 9L -> 0), reached)
+      // parity: stage counts from the streaming end-state == the batch
+      // funnel (join form) on the same events
+      val stageCounts = reached.values.toSeq
+        .flatMap(r => 0 until r).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val batchGot = graft.streaming.EventWindows
+        .funnel(batch((b1 ++ b2): _*)).collect()
+        .map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+        .filter(_._2 > 0L)
+      assert(stageCounts === batchGot, s"$stageCounts vs $batchGot")
     } finally q.stop()
   }
 
