@@ -869,6 +869,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("memo-served gates: the SERVED plan is a bare checkpoint scan, not a rebuild") {
+    // the hit-counter specs pin THAT the memo reused; this pins the
+    // SHAPE the bench actually times — a memo-key drift that rebuilt
+    // the pipeline per invocation would keep the counters' twin-gate
+    // story plausible while the served plan silently regrew joins.
+    // First invocation builds + stores; the second must plan as the
+    // checkpoint's ExistingRDD scan with no join/aggregate above it
+    // (the gate's own orderBy is the only allowed addition).
+    for (gate <- Seq("text_bm25", "knn_beam")) {
+      SparkEntry.queries(gate)(spark, sf).count()
+      val plan = executedPlan(gate)
+      assert(plan.contains("Scan ExistingRDD"), s"$gate: $plan")
+      assert(!plan.toLowerCase.contains("join"), s"$gate served a rebuild: $plan")
+      assert(!plan.contains("HashAggregate"), s"$gate served a rebuild: $plan")
+      graft.Caches.clear(spark)
+    }
+  }
+
   test("knn_filtered: allowed ids ride a semi-join; embeddings scan stays pruned") {
     val plan = executedPlan("knn_filtered")
     assert(plan.contains("LeftSemi"), plan)
