@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[n] runs task threads in the driver JVM; deep Future/Promise
+  // completion chains (block-manager cleanup at the XL tier's block
+  // counts) overflow the 1 MB default stack — measured: the 1e8-member
+  // giant-cluster rehearsal died in an unbounded Promise.success chain
+  s"-Xss${sys.env.getOrElse("SPARK_DRIVER_STACK", "8m")}",
 )

