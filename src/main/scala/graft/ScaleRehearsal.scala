@@ -1504,7 +1504,41 @@ object ScaleRehearsal {
       // celebrity sort; the bucketed one's tasks stay near-uniform
       println(f"[scale] celebrity interArrival: flat $tf%.1fs " +
         f"(maxTask $mf%.1fs) vs bucketed $tb%.1fs (maxTask $mb%.1fs)")
-      s"checksum $cf"
+      // same fixture through the transitions twin pair (the second
+      // wired escape hatch): counts must be identical too. event_id
+      // comes from the range id — deterministic, unlike
+      // monotonically_increasing_id whose values depend on the
+      // partitioning at evaluation time (the tiebreak must not)
+      val celebT = spark.range(10000000L).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(hash(col("id") * 13 + 5), lit(1000000))
+            .cast("long")).as("user_id"),
+        timestamp_micros(pmod(col("id") * 1013904223L + 12345L, lit(span)))
+          .as("ts"),
+        col("id").as("event_id"),
+        concat(lit("t"), pmod(hash(col("id") * 31 + 5), lit(4)))
+          .as("event_type"))
+      def chkT(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)), sum(col("n"))).collect()(0)
+        s"${r.getLong(0)}:${r.getLong(1)}"
+      }
+      def timedT(df: => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double) = {
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val c = chkT(df)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (_, _, maxTaskS) = metrics.snapshot()
+        (c, dt, maxTaskS)
+      }
+      val (ctf, ttf, mtf) = timedT(
+        graft.streaming.Sessionize.transitions(celebT))
+      val (ctb, ttb, mtb) = timedT(
+        graft.streaming.Sessionize.transitionsBucketed(celebT))
+      require(ctf == ctb, s"transitions bucketed diverged: $ctf vs $ctb")
+      println(f"[scale] celebrity transitions: flat $ttf%.1fs " +
+        f"(maxTask $mtf%.1fs) vs bucketed $ttb%.1fs (maxTask $mtb%.1fs)")
+      s"checksum $cf transitions $ctf"
     })
 
     // ---- XL tier (SPARK_GRAFT_SCALE_XL=1): one-tier-up probes.

@@ -2183,6 +2183,14 @@ object SparkEntry {
       graft.streaming.Sessionize.transitionsStateful(s,
           Tables.table(s, d, "events"))
         .orderBy("prev_type", "event_type")),
+    // the transition matrix through the celebrity-key escape hatch:
+    // in-bucket pairs via (user, hour-bucket) windows + boundary pairs
+    // via one window over bucket rows — row-identical to
+    // events_transitions (shared oracle), different shuffle shape
+    "events_transitions_bucketed" -> ((s, d) =>
+      graft.streaming.Sessionize.transitionsBucketed(
+          Tables.table(s, d, "events"))
+        .orderBy("prev_type", "event_type")),
     // RFM profile: recency-days vs the corpus anchor, frequency, and
     // fixed-point monetary over finite values — all-integer, one
     // user-keyed aggregation plus a 1-row broadcast anchor
@@ -7067,6 +7075,9 @@ object SparkEntry {
     // shares events_transitions' oracle VERBATIM — the window and the
     // flatMapGroupsWithState implementations must be indistinguishable
     "events_transitions_stateful" -> TransitionsSql,
+    // third twin on the same oracle: the bucketed carry-in form (the
+    // celebrity-key escape hatch changes shuffle shape, not counts)
+    "events_transitions_bucketed" -> TransitionsSql,
     // all-integer RFM: day-floor recency against the corpus anchor,
     // fixed-point monetary over FINITE values (isfinite — the qsketch
     // finiteness contract; NaN would ORDER as equal in DuckDB)

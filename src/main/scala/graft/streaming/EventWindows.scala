@@ -620,7 +620,8 @@ object EventWindows {
   }
 
   case class FunnelEv(user_id: Long, us: Long, stage_idx: Int)
-  case class FunnelProgress(reached: Int, thr: Long)
+  case class FunnelProgress(reached: Int, thr: Long,
+    lastUs: Long = Long.MinValue)
 
   /** The funnel as an explicit per-user STATE MACHINE
     * (`mapGroupsWithState`) — the escape hatch for funnel logic the
@@ -678,7 +679,10 @@ object EventWindows {
     * user's events arrive in event-time order ACROSS micro-batches —
     * the threshold in state is final once advanced, so an
     * out-of-order earlier event cannot retroactively qualify. Within
-    * a batch the group sorts, so intra-batch disorder is fine.
+    * a batch the group sorts, so intra-batch disorder is fine. The
+    * contract is ENFORCED: the state carries the last folded
+    * timestamp, and a batch opening behind it fails a loud require
+    * naming the contract instead of silently under-counting stages.
     */
   def funnelReached(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, stages: Seq[String] = FunnelStages)
@@ -703,11 +707,23 @@ object EventWindows {
         // a same-ts later stage still fails the strict > threshold
         val sorted = rows.toArray.sortBy(e => (e.us, e.stage_idx))
         var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+        if (sorted.nonEmpty)
+          require(sorted.head.us >= st.lastUs,
+            s"funnelReached(user $user): events must arrive in " +
+              s"event-time order across micro-batches (the advanced " +
+              s"threshold is final — a late earlier event cannot " +
+              s"retroactively qualify); got us=${sorted.head.us} after " +
+              s"us=${st.lastUs} was already folded. Buffer/sort " +
+              "upstream (the watermark pattern) if the source " +
+              "delivers out of order.")
         sorted.foreach { e =>
           if (st.reached < stages.size && e.stage_idx == st.reached &&
               (st.reached == 0 || e.us > st.thr))
-            st = FunnelProgress(st.reached + 1, e.us)
+            st = FunnelProgress(st.reached + 1, e.us, st.lastUs)
         }
+        if (sorted.nonEmpty)
+          st = FunnelProgress(st.reached, st.thr,
+            math.max(st.lastUs, sorted.last.us))
         state.update(st)
         (user, st.reached)
       }

@@ -212,6 +212,53 @@ object Sessionize {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** `transitions` with the same celebrity-key escape hatch as
+    * `interArrivalBucketed`: per-(user, time-bucket) windows count the
+    * IN-BUCKET consecutive pairs (a hot user's history spreads over
+    * #buckets tasks), then one tiny window over the per-bucket
+    * first/last event rows adds exactly the BOUNDARY pair between
+    * adjacent non-empty buckets (gap rule applied there like
+    * anywhere). Correct for the same reason the interArrival merge
+    * is: bucket assignment is monotone in `us` and ties share a
+    * bucket, so the concatenation of bucket-sorted slices IS the
+    * global (us, event_id) order, and every consecutive pair is
+    * either within one bucket or a bucket boundary. first/last per
+    * bucket are `min`/`max` of the (us, event_id, type) struct — the
+    * unique (us, event_id) prefix decides, so both are deterministic.
+    * Output is pinned row-identical to `transitions` (shared oracle).
+    */
+  def transitionsBucketed(events: DataFrame,
+      bucketUs: Long = InterArrivalBucketUs): DataFrame = {
+    require(bucketUs >= 1L, s"bucketUs must be >= 1, got $bucketUs")
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("bkt", col("us") - pmod(col("us"), lit(bucketUs)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "bkt").orderBy("us", "event_id")
+    val inBucket = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wb))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wb))
+      .filter(col("prev_type").isNotNull && col("gap") < GapUs)
+      .select(col("prev_type"), col("event_type"))
+    val perBucket = e.groupBy("user_id", "bkt").agg(
+      min(struct(col("us"), col("event_id"), col("event_type")))
+        .as("first"),
+      max(struct(col("us"), col("event_id"), col("event_type")))
+        .as("last"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bkt")
+    val boundary = perBucket
+      .withColumn("p_last", lag(col("last"), 1).over(wu))
+      .filter(col("p_last").isNotNull &&
+        col("first.us") - col("p_last.us") < GapUs)
+      .select(col("p_last.event_type").as("prev_type"),
+        col("first.event_type").as("event_type"))
+    inBucket.unionByName(boundary)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Top session PATHS under `sessionPaths` — ranked most-common-first. */
   val PathTopK = 20
 
@@ -299,7 +346,10 @@ object Sessionize {
     * retract), so an event older than the held state would create
     * pairs the batch order never had. Within a batch the group sorts,
     * so intra-batch disorder is fine; an hourly-triggered ingestion of
-    * an append-only log satisfies the cross-batch part by shape.
+    * an append-only log satisfies the cross-batch part by shape. The
+    * contract is ENFORCED, not assumed: a batch opening behind the
+    * carried state fails a loud require naming it (the cusumStateful
+    * lesson — never silently emit pairs the batch order never had).
     */
   private[graft] def transitionPairs(spark: SparkSession,
       events: DataFrame, keepState: Boolean): Dataset[Transition] = {
@@ -319,6 +369,18 @@ object Sessionize {
           val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[Transition]()
           var prev = state.getOption.orNull
+          if (keepState && prev != null && evs.nonEmpty) {
+            val h = evs.head
+            require(h.us > prev.us ||
+              (h.us == prev.us && h.event_id >= prev.event_id),
+              s"transitionsStreaming(user): events must arrive in " +
+                s"(us, event_id) order across micro-batches (emitted " +
+                s"pairs are final — Append mode cannot retract); got " +
+                s"event (${h.us}, ${h.event_id}) after " +
+                s"(${prev.us}, ${prev.event_id}) was already folded. " +
+                "Buffer/sort upstream (the watermark pattern) if the " +
+                "source delivers out of order.")
+          }
           evs.foreach { e =>
             if (prev != null && e.us - prev.us < GapUs)
               out += Transition(prev.event_type, e.event_type)

@@ -3157,6 +3157,84 @@ class ExtensionsSpec extends SparkSpec {
     assert(got2 === Map(("x", "y") -> 1L))
   }
 
+  test("transitionsBucketed == transitions: break/tie fixture across bucket widths, and random sets") {
+    val s = spark
+    import s.implicits._
+    val gap = graft.streaming.Sessionize.GapUs
+    def ev(rows: (Long, Long, String, Long)*) = // (event_id, user, type, us)
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    // the transitions fixture: session break, same-us event_id tie,
+    // singleton — all the rules the bucketed merge must preserve,
+    // exercised at widths that put the tie inside one bucket, the
+    // break on a boundary, and everything in one bucket
+    val fix = ev(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 100L), (3L, 1L, "c", 200L),
+      (4L, 1L, "c", 200L + gap), (5L, 1L, "a", 200L + gap + 1L),
+      (6L, 2L, "b", 50L), (7L, 2L, "a", 50L), (8L, 2L, "b", 60L),
+      (9L, 3L, "a", 0L))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = m(graft.streaming.Sessionize.transitions(fix))
+    for (width <- Seq(1L, 60L, 100L, gap, 10L * gap)) {
+      assert(m(graft.streaming.Sessionize.transitionsBucketed(fix, width))
+        === want, s"width=$width")
+    }
+    // random sets: gaps straddle the threshold, ids unique, us ties
+    val rnd = new scala.util.Random(20260817)
+    val rev = ev((1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        "t" + rnd.nextInt(4),
+        rnd.nextLong(3L) * gap / 2L + rnd.nextInt(50).toLong)
+    }: _*)
+    assert(m(graft.streaming.Sessionize.transitionsBucketed(rev))
+      === m(graft.streaming.Sessionize.transitions(rev)))
+  }
+
+  test("streaming twins REJECT out-of-order cross-batch input loudly (admission contract)") {
+    val s = spark
+    import s.implicits._
+    def batch(rows: (Long, Long, String, Long)*) =
+      rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+    // transitions: batch 2 opens BEHIND the carried state — must fail
+    // the loud require, not silently emit pairs batch order never had
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-ooo-t").toString
+    batch((1L, 7L, "view", 1000L)).write.mode("append").parquet(dir1)
+    val schema = spark.read.parquet(dir1).schema
+    val q1 = graft.streaming.Sessionize.transitionsStreamingPairs(
+        spark, spark.readStream.schema(schema).parquet(dir1))
+      .writeStream.format("memory").queryName("ooo_t_out")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      batch((2L, 7L, "click", 500L)).write.mode("append").parquet(dir1)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("order across micro-batches"), ex.getMessage)
+    } finally q1.stop()
+    // funnel: same shape — a batch older than the folded timestamp
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ooo-f").toString
+    batch((1L, 7L, "view", 1000L)).write.mode("append").parquet(dir2)
+    val q2 = graft.streaming.EventWindows.funnelReached(spark,
+        spark.readStream.schema(schema).parquet(dir2))
+      .toDF("user_id", "reached")
+      .writeStream.format("memory").queryName("ooo_f_out")
+      .outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      batch((2L, 7L, "click", 500L)).write.mode("append").parquet(dir2)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("event-time order across micro-batches"),
+        ex.getMessage)
+    } finally q2.stop()
+  }
+
   test("transitionsStateful == transitions on random event sets") {
     val s = spark
     import s.implicits._
