@@ -169,20 +169,51 @@ object Bench {
     // if set, else 1 + the highest committed BENCH_r<n>.json (the
     // driver writes that file at the END of round n, so during round
     // n+1's session the max on disk is n).
+    // Round number comes from GIT-TRACKED BENCH_r<n>.json files, not
+    // the directory listing: once this session itself (or the driver,
+    // mid-round) drops an uncommitted BENCH_r<n>.json on disk, a disk
+    // max would mislabel every later full run as the NEXT round's
+    // mirror. `git ls-files` sees only what a round actually committed;
+    // the listing remains the fallback for a non-git checkout.
     val roundMirror = if (only.nonEmpty) Nil else {
+      val rx = "^BENCH_r(\\d+)\\.json$".r
+      val names: Seq[String] =
+        (try scala.sys.process.Process(
+            Seq("git", "ls-files", "BENCH_r*.json")).!!.linesIterator.toSeq
+         catch { case scala.util.control.NonFatal(_) =>
+           Option(new java.io.File(".").listFiles())
+             .map(_.toSeq.map(_.getName)).getOrElse(Nil)
+         })
       val n = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
         .orElse {
-          val rx = "^BENCH_r(\\d+)\\.json$".r
-          val dir = new java.io.File(".").listFiles()
-          Option(dir).map(_.toSeq.flatMap(f => f.getName match {
+          Some(names.flatMap {
             case rx(d) => Some(d.toInt)
             case _ => None
-          })).filter(_.nonEmpty).map(_.max + 1)
+          }).filter(_.nonEmpty).map(_.max + 1)
         }
       n.map(i => f"BENCH_r$i%02d_mirror.json").toSeq
     }
-    val outPaths = (if (only.isEmpty) Seq("BENCH_LAST.json") else Nil) ++
-      roundMirror ++ sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
+    // MIRROR-ARTIFACT PROTECTION: a non-mirror run (the driver's in-sbt
+    // regime — uniform ~1.4x drift) must not REPLACE a runner:mirror
+    // artifact: the ratchet already refuses the comparison, but the
+    // files were still getting clobbered, so a naive reader of the
+    // working tree saw the noisy number as the round's record. Default
+    // destinations owned by a mirror run are redirected to
+    // BENCH_DRIVER.json; an explicit SPARK_GRAFT_BENCH_OUT is the
+    // caller's own file and is honored as named.
+    def mirrorOwned(p: String): Boolean =
+      provenance("runner") != "mirror" &&
+        baselineProvenance(p).exists(_.get("runner").contains("mirror"))
+    val defaults = ((if (only.isEmpty) Seq("BENCH_LAST.json") else Nil) ++
+      roundMirror).map { p =>
+        if (mirrorOwned(p)) {
+          System.err.println(s"[bench] $p is a runner:mirror artifact — " +
+            s"this ${provenance("runner")} run writes BENCH_DRIVER.json " +
+            "instead (cross-regime protection)")
+          "BENCH_DRIVER.json"
+        } else p
+      }
+    val outPaths = defaults ++ sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
     outPaths.distinct.foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case scala.util.control.NonFatal(e) =>
@@ -231,6 +262,17 @@ object Bench {
         name -> (if (ok) Some(dt) else None)
       }
     }
+
+  /** JSON string escape for the hand-built artifact/stdout lines:
+    * quotes, backslashes, and control characters — enough for values
+    * sourced from env vars (runner names, paths).
+    */
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -362,7 +404,18 @@ object Bench {
         }
         else if (!raiseOnly && w < b * 0.8) { qw.put(n, w); lowered += 1 }
       }
-      if (lowered + seeded + rebased > 0) {
+      // provenance is stamped on EVERY ratchet invocation, not only
+      // when an entry moves: a steady-state baseline recorded before
+      // the field existed would otherwise stay unstamped forever, and
+      // unstamped baselines bypass the cross-regime guard — the
+      // mismatch protection would never engage on a mature baseline.
+      // Stamping here is safe: the caller already verified regimeOk.
+      val provStale = provenance.nonEmpty && {
+        val cur = root.get("provenance")
+        provenance.exists { case (k, v) =>
+          cur == null || cur.get(k) == null || cur.get(k).asText("") != v }
+      }
+      if (lowered + seeded + rebased > 0 || provStale) {
         if (provenance.nonEmpty) {
           val p = mapper.createObjectNode()
           provenance.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
@@ -371,7 +424,8 @@ object Bench {
         java.nio.file.Files.writeString(path,
           mapper.writeValueAsString(root) + "\n")
         System.err.println(s"[bench] baseline ratchet: $lowered lowered, " +
-          s"$seeded seeded, $rebased rebased in $baselinePath")
+          s"$seeded seeded, $rebased rebased in $baselinePath" +
+          (if (provStale) " (provenance stamped)" else ""))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -445,21 +499,23 @@ object Bench {
     // regime fingerprint, stamped into BOTH forms: adjudicating a
     // number without knowing which regime produced it was the round-17
     // trap (driver-tail single-rep in-sbt numbers read as movers that
-    // the warm-median mirror showed flat)
+    // the warm-median mirror showed flat). Values are ESCAPED — runner
+    // comes from an env var, and a quote or backslash in it would
+    // corrupt the artifact JSON and the stdout line the harness scrapes.
     val prov = provenance.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => s"\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val stdoutJson =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
         s""""total_warm":${r4(totalWarm)},"build_total":${r4(buildTotal)},""" +
-        s""""queries":$qsShort,"errors":$errs,"reps":$reps,"sf":"$sfDir",""" +
+        s""""queries":$qsShort,"errors":$errs,"reps":$reps,"sf":"${esc(sfDir)}",""" +
         s""""provenance":$prov}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""total_warm":$totalWarm,"build_total":$buildTotal,""" +
         s""""queries":$qs,"queries_warm":$warmJson,"build_s":$buildS,""" +
         s""""queries_minmax":$minmax,"errors":$errs,"reps":$reps,""" +
-        s""""sf":"$sfDir","provenance":$prov}"""
+        s""""sf":"${esc(sfDir)}","provenance":$prov}"""
     (stdoutJson, json, allFailed)
   }
 }

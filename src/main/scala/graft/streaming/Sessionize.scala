@@ -250,7 +250,12 @@ object Sessionize {
       .partitionBy("user_id").orderBy("bkt")
     val boundary = perBucket
       .withColumn("p_last", lag(col("last"), 1).over(wu))
+      // p_last.event_type must ALSO be non-null: the flat form's
+      // `prev_type.isNotNull` filter drops a pair whose lagged type is
+      // null, so a null-typed event closing a bucket must not leak a
+      // (null, type) boundary row the flat operator never emits
       .filter(col("p_last").isNotNull &&
+        col("p_last.event_type").isNotNull &&
         col("first.us") - col("p_last.us") < GapUs)
       .select(col("p_last.event_type").as("prev_type"),
         col("first.event_type").as("event_type"))
@@ -371,15 +376,22 @@ object Sessionize {
           var prev = state.getOption.orNull
           if (keepState && prev != null && evs.nonEmpty) {
             val h = evs.head
+            // STRICT tiebreak: event_ids are unique, so an event equal
+            // to the carried state is an exact redelivery of the
+            // already-folded event — admitting it would silently emit
+            // a duplicate zero-gap transition, the very double-count
+            // this contract exists to prevent
             require(h.us > prev.us ||
-              (h.us == prev.us && h.event_id >= prev.event_id),
+              (h.us == prev.us && h.event_id > prev.event_id),
               s"transitionsStreaming(user): events must arrive in " +
-                s"(us, event_id) order across micro-batches (emitted " +
-                s"pairs are final — Append mode cannot retract); got " +
+                s"STRICT (us, event_id) order across micro-batches " +
+                s"(emitted pairs are final — Append mode cannot " +
+                s"retract, and an event equal to the carried state is " +
+                s"a redelivery that would double-count); got " +
                 s"event (${h.us}, ${h.event_id}) after " +
                 s"(${prev.us}, ${prev.event_id}) was already folded. " +
-                "Buffer/sort upstream (the watermark pattern) if the " +
-                "source delivers out of order.")
+                "Buffer/sort/dedup upstream (the watermark pattern) " +
+                "if the source delivers out of order.")
           }
           evs.foreach { e =>
             if (prev != null && e.us - prev.us < GapUs)

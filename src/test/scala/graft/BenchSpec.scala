@@ -198,6 +198,38 @@ class BenchSpec extends SparkSpec {
     assert(Bench.baselineProvenance("/nonexistent/p.json").isEmpty)
   }
 
+  test("a steady-state ratchet still stamps provenance (the guard must engage on mature baselines)") {
+    val base = java.nio.file.Files.createTempFile("graft_bench_ss", ".json")
+    java.nio.file.Files.writeString(base, """{"queries_warm":{"q":1.0}}""")
+    // no entry moves (same warm median) — before the fix the file was
+    // left unstamped forever and the cross-regime guard never engaged
+    Bench.ratchet(Map("q" -> 1.0), base.toString,
+      provenance = Map("runner" -> "mirror", "cpus" -> "32"))
+    assert(Bench.baselineProvenance(base.toString) ===
+      Some(Map("runner" -> "mirror", "cpus" -> "32")))
+    // already-stamped and unchanged → no rewrite churn (mtime stable)
+    val before = java.nio.file.Files.getLastModifiedTime(base)
+    Thread.sleep(10)
+    Bench.ratchet(Map("q" -> 1.0), base.toString,
+      provenance = Map("runner" -> "mirror", "cpus" -> "32"))
+    assert(java.nio.file.Files.getLastModifiedTime(base) === before)
+  }
+
+  test("provenance values are JSON-escaped in both rendered forms") {
+    val samples = Seq(Map("q" -> Some(1.0)))
+    val (stdoutJson, fileJson, _) = Bench.render(Seq("q"), samples, 1,
+      "sf-\"quoted\"", provenance = Map("runner" -> "a\"b\\c"))
+    // both lines must stay parseable JSON with the hostile values intact
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (j <- Seq(stdoutJson, fileJson)) {
+      val root = m.readTree(j)
+      assert(root.get("provenance").get("runner").asText() === "a\"b\\c", j)
+      assert(root.get("sf").asText() === "sf-\"quoted\"", j)
+    }
+    assert(Bench.esc("plain") === "plain")
+    assert(Bench.esc("a\nb") === "a\\u000ab")
+  }
+
   test("an all-green run renders an empty errors object") {
     val queries = Map("good" -> q(s => s.range(3).toDF()))
     val samples = Bench.sample(spark, "unused", queries, reps = 1)
@@ -205,5 +237,35 @@ class BenchSpec extends SparkSpec {
       Bench.render(queries.keys.toSeq, samples, 1, "sf-test")
     assert(allFailed.isEmpty)
     assert(stdoutJson.contains("\"errors\":{}"), stdoutJson)
+  }
+
+  test("the committed bench mirror covers every registered gate (structural completeness)") {
+    // the round mirror has shipped N-1 gates stale two rounds running
+    // (a gate added after the final full bench). This pins the
+    // invariant mechanically: BENCH_LAST.json's warm-median key set ==
+    // SparkEntry.queries' key set — adding or removing a gate without
+    // re-running the full mirror (SPARK_GRAFT_BENCH_RUNNER=mirror,
+    // no BENCH_ONLY) fails the suite, so a stale mirror can't be
+    // committed green.
+    val path = java.nio.file.Paths.get("BENCH_LAST.json")
+    assert(java.nio.file.Files.exists(path),
+      "BENCH_LAST.json missing — run the full bench mirror")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(path))
+    val qw = root.get("queries_warm")
+    assert(qw != null, "BENCH_LAST.json has no queries_warm node")
+    val mirrored = {
+      val it = qw.fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val registered = SparkEntry.queries.keySet
+    val missing = (registered -- mirrored).toSeq.sorted
+    val extra = (mirrored -- registered).toSeq.sorted
+    assert(missing.isEmpty && extra.isEmpty,
+      s"bench mirror is stale vs SparkEntry.queries — " +
+        s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}; " +
+        "re-run the full bench mirror before committing")
   }
 }

@@ -3190,6 +3190,17 @@ class ExtensionsSpec extends SparkSpec {
     }: _*)
     assert(m(graft.streaming.Sessionize.transitionsBucketed(rev))
       === m(graft.streaming.Sessionize.transitions(rev)))
+    // NULL event_type closing a bucket: the flat form drops the pair
+    // (lagged type is null), so the bucketed boundary must drop it too
+    // — not emit a (null, type) row the shared oracle never produces.
+    // width=100 puts the null-typed event (us=90) last in bucket 0 and
+    // "b" (us=110) first in bucket 100, 20us apart (well inside gap).
+    val withNull = ev((1L, 1L, "a", 0L), (2L, 1L, null, 90L),
+      (3L, 1L, "b", 110L))
+    val wantNull = m(graft.streaming.Sessionize.transitions(withNull))
+    assert(wantNull === Map(("a", null) -> 1L)) // flat keeps only a→null
+    assert(m(graft.streaming.Sessionize.transitionsBucketed(withNull, 100L))
+      === wantNull)
   }
 
   test("streaming twins REJECT out-of-order cross-batch input loudly (admission contract)") {
@@ -3216,6 +3227,24 @@ class ExtensionsSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("order across micro-batches"), ex.getMessage)
     } finally q1.stop()
+    // EXACT REDELIVERY of the already-folded event in a later batch:
+    // the tiebreak is strict (event_ids are unique), so a duplicate of
+    // the carried state must fail the admission require — admitting it
+    // would silently emit a duplicate zero-gap transition
+    val dir1b = java.nio.file.Files.createTempDirectory("graft-ooo-td").toString
+    batch((1L, 7L, "view", 1000L)).write.mode("append").parquet(dir1b)
+    val q1b = graft.streaming.Sessionize.transitionsStreamingPairs(
+        spark, spark.readStream.schema(schema).parquet(dir1b))
+      .writeStream.format("memory").queryName("ooo_td_out")
+      .outputMode("append").start()
+    try {
+      q1b.processAllAvailable()
+      batch((1L, 7L, "view", 1000L)).write.mode("append").parquet(dir1b)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1b.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("redelivery"), ex.getMessage)
+    } finally q1b.stop()
     // funnel: same shape — a batch older than the folded timestamp
     val dir2 = java.nio.file.Files.createTempDirectory("graft-ooo-f").toString
     batch((1L, 7L, "view", 1000L)).write.mode("append").parquet(dir2)
