@@ -70,7 +70,7 @@ object ScaleRehearsal {
     val metrics = new PhaseMetrics
     spark.sparkContext.addSparkListener(metrics)
     final case class PhaseRec(name: String, s: Double, result: String,
-      spillMb: Long, peakMb: Long, maxTaskS: Double)
+      spillMb: Long, peakMb: Long, maxTaskS: Double, extraJson: String = "")
     // phase log → SCALE_LAST.json (the tracked 100-TB-posture artifact:
     // phase → seconds → result), so scale cliffs are caught by the
     // round-over-round diff, not only by the sf0.1 bench
@@ -89,7 +89,8 @@ object ScaleRehearsal {
       val phasesJson = phaseLog.map { p =>
         s""""${esc(p.name)}":{"s":${p.s},"result":"${esc(p.result)}",""" +
           s""""spill_mb":${p.spillMb},"peak_mb":${p.peakMb},""" +
-          f""""max_task_s":${p.maxTaskS}%.3f}"""
+          f""""max_task_s":${p.maxTaskS}%.3f""" +
+          (if (p.extraJson.nonEmpty) "," + p.extraJson else "") + "}"
       }.mkString("{", ",", "}")
       val (xlPhases, corePhases) = phaseLog.partition(_.name.startsWith("xl "))
       val total = corePhases.map(_.s).sum
@@ -108,7 +109,11 @@ object ScaleRehearsal {
         System.err.println(s"[scale] could not write $out: ${e.getMessage}")
       }
     }
-    def t[A](name: String)(f: => A): Unit = {
+    // `extra`: evaluated AFTER the phase body, returns a raw JSON
+    // fragment (e.g. `"rounds":[…]`) appended to the phase's artifact
+    // node — diagnostic fields live OUTSIDE the result string, which
+    // the drift alarm treats as a correctness signal.
+    def t[A](name: String, extra: () => String = () => "")(f: => A): Unit = {
       if (phaseOnly.exists(subs => !subs.exists(name.contains))) return
       metrics.reset()
       val t0 = System.nanoTime()
@@ -116,11 +121,21 @@ object ScaleRehearsal {
       val dt = (System.nanoTime() - t0) / 1e9
       val (spillMb, peakMb, maxTaskS) = metrics.snapshot()
       phaseLog += PhaseRec(name, dt, String.valueOf(r), spillMb, peakMb,
-        maxTaskS)
+        maxTaskS, extra())
       println(f"SCALE $name%-28s $dt%8.2f s  -> $r  " +
         f"[spill ${spillMb}MB, peak ${peakMb}MB, maxTask $maxTaskS%.1fs]")
       Caches.clear(spark) // each phase measured against a clean cache
       writeArtifact()
+    }
+    // per-round breakdown of the most recent dupClusters star loop —
+    // attached to the fixpoint phases so a slow total is explained
+    // round by round (round-bound vs data-bound)
+    def starRoundsJson(): String = {
+      val rs = operators.Dedup.lastRounds.get()
+      if (rs.isEmpty) ""
+      else rs.map(r => f"""{"round":${r.round},"edges":${r.edges},""" +
+        f""""changed":${r.changed},"s":${r.secs}%.2f}""")
+        .mkString("\"rounds\":[", ",", "]")
     }
 
     // 10M directed edges over 2M vertices, skewed dst (celebrities)
@@ -1541,6 +1556,189 @@ object ScaleRehearsal {
       s"checksum $cf transitions $ctf"
     })
 
+    // ---- STREAMING STATE at scale: the stateful twins run under real
+    // micro-batch StreamingQueries in the specs, but only at fixture
+    // scale with the default (heap) state store. This phase drives
+    // sessionsStreaming (~1e6 session-window state keys) and
+    // cusumStateful (~1e6 flatMapGroupsWithState keys) across 3
+    // file-source micro-batches on the RocksDB state store, recording
+    // per-batch latency, state rows, and emitted rows in the artifact.
+    val streamStats =
+      scala.collection.mutable.ArrayBuffer[(String, Int, Double, Long, Long)]()
+    def streamExtra(): String =
+      if (streamStats.isEmpty) ""
+      else streamStats.map { case (op, b, sec, stateRows, outRows) =>
+        f"""{"op":"$op","batch":$b,"s":$sec%.2f,""" +
+          f""""state_rows":$stateRows,"out_rows":$outRows}"""
+      }.mkString("\"batches\":[", ",", "]")
+    t("streaming state 1e6 keys, 3 batches", streamExtra _)({
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-scale")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val t0us = 1704067200000000L // 2024-01-01T00:00Z in micros
+        // drive one operator over 3 file-source batches; returns
+        // (total emitted rows, final state rows). Per-batch: two
+        // processAllAvailable calls (ingest, then the watermark-advance
+        // flush batch — the spec-established drive shape).
+        def drive(name: String,
+            mk: Int => org.apache.spark.sql.DataFrame,
+            q0: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (Long, Long) = {
+          val dir = base.resolve(name).toString
+          // each batch lands as ONE part file moved ATOMICALLY into
+          // the watched dir: the query's background trigger lists the
+          // directory continuously, and a multi-part write races the
+          // listing — one logical batch split across two micro-batches
+          // re-delivers an already-folded hour to cusum's admission
+          // require (observed live, not hypothetical)
+          def writeBatch(k: Int): Unit = {
+            val tmp = base.resolve(s"$name-tmp-$k")
+            mk(k).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet")).get
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(dir, f"batch-$k%03d.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          writeBatch(0)
+          val schema = spark.read.parquet(dir).schema
+          val q = q0(spark.readStream.schema(schema).parquet(dir))
+            .writeStream.format("noop")
+            .option("checkpointLocation", base.resolve(name + "-ck").toString)
+            .outputMode("append").start()
+          try {
+            var cumOut = 0L
+            var state = 0L
+            for (k <- 0 to 2) {
+              if (k > 0) writeBatch(k)
+              val tb = System.nanoTime()
+              q.processAllAvailable()
+              q.processAllAvailable()
+              val sec = (System.nanoTime() - tb) / 1e9
+              val progs = q.recentProgress
+              val totalOut = progs.map(p =>
+                math.max(0L, p.sink.numOutputRows)).sum
+              val outK = totalOut - cumOut
+              cumOut = totalOut
+              state = progs.reverse.find(_.stateOperators.nonEmpty)
+                .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+              streamStats += ((name, k, sec, state, outK))
+              println(f"[scale] streaming $name batch $k: $sec%.1fs, " +
+                f"state $state%,d rows, emitted $outK%,d")
+            }
+            (cumOut, state)
+          } finally q.stop()
+        }
+        // sessions: 2M events/batch over 1M users (2 events 5 min
+        // apart → one open session per user per batch); batches 2h
+        // apart, so the 60-min watermark closes the previous batch's
+        // sessions (end = last event + 30-min gap) during the next
+        val (sessOut, sessState) = drive("sess",
+          k => spark.range(2000000L).select(
+            pmod(col("id"), lit(1000000L)).as("user_id"),
+            timestamp_micros(lit(t0us + k * 7200000000L) +
+              expr("id div 1000000") * lit(300000000L) +
+              pmod(col("id"), lit(1000000L))).as("ts")),
+          df => graft.streaming.Sessionize.sessionsStreaming(df))
+        // cusum: 2M events/batch over 1M event types, one closed hour
+        // per batch advancing in order (the admission contract); the
+        // empty mu map exercises the getOrElse(0) default for every key
+        val (cusumOut, cusumState) = drive("cusum",
+          k => spark.range(2000000L).select(
+            concat(lit("t"), pmod(col("id"), lit(1000000L)))
+              .as("event_type"),
+            timestamp_micros(lit(t0us + k * 3600000000L) +
+              expr("id div 1000000")).as("ts")),
+          df => graft.streaming.EventWindows.cusumStateful(spark, df,
+            Map.empty))
+        s"sessions=$sessOut/$sessState cusum=$cusumOut/$cusumState"
+      } finally {
+        prevProv match {
+          case Some(p) => spark.conf.set(provKey, p)
+          case None => spark.conf.unset(provKey)
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      }
+    })
+
+    // ---- INTEGER-HEADROOM canary at sf1.0 CARDINALITY: the suite's
+    // oracle scales stop at sf0.1, and the m² families (modularity's
+    // q_num = 4·m·e_intra − d_tot², the Louvain gain 2m·w − k_u·k_v)
+    // are the entries whose long headroom shrinks QUADRATICALLY with
+    // the edge count. No sf1.0 testdata exists in this environment
+    // (the driver's generator is not reproducible here), so the
+    // overflow check runs on a synthetic graph at sf1.0's edge
+    // cardinality (~6M = 100x the proven sf0.01 oracle scale):
+    // recompute the long arithmetic in DECIMAL(38,0) — which cannot
+    // wrap — and count divergences; report the observed magnitude in
+    // bits next to the 63-bit ceiling. tfidf/bm25 are safe by
+    // construction (the df-division form keeps intermediates ≤ tf·1e6,
+    // see salientTerms' docstring); sketch positions/registers are
+    // LINEAR in n (2^63 needs ~9e18 rows) — excluded as non-risks.
+    t("headroom sf1-cardinality decimal twins")({
+      val e6 = spark.range(6000000L).select(
+        pmod(hash(col("id")), lit(1200000)).cast("long").as("src"),
+        pmod(hash(col("id") * 31 + 7), lit(1200000)).cast("long").as("dst"))
+      val dec = "decimal(38,0)"
+      // modularity: q_num recomputed from the SAME pieces columns in
+      // decimal — a wrapped long q_num would diverge
+      val lab = e6.select(col("src").as("vertex"))
+        .union(e6.select(col("dst").as("vertex"))).distinct()
+        .select(col("vertex"), pmod(col("vertex"), lit(997L)).as("community"))
+      val mod = operators.GraphOps.modularity(e6, lab)
+        .withColumn("q_dec",
+          lit(4).cast(dec) * col("m").cast(dec) * col("e_intra").cast(dec) -
+            col("d_tot").cast(dec) * col("d_tot").cast(dec))
+      val (qBad, qMaxBits) = {
+        val r = mod.agg(
+          sum(when(col("q_dec") =!= col("q_num").cast(dec), 1L)
+            .otherwise(0L)),
+          max(abs(col("q_num")))).collect()(0)
+        (r.getLong(0), java.lang.Long.numberOfTrailingZeros(
+          java.lang.Long.highestOneBit(math.max(1L, r.getLong(1)))))
+      }
+      // louvainRound gains: an INDEPENDENT decimal recomputation of
+      // (2m − k_u·k_v) argmax per vertex, joined against the operator
+      val undL = e6.filter(col("src") =!= col("dst"))
+      val symL = undL.select(col("src"), col("dst"))
+        .union(undL.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val mL = symL.count() / 2L
+      val degL = symL.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
+      val bestDec = symL
+        .join(degL.select(col("v").as("src"), col("k").as("ku")), "src")
+        .join(degL.select(col("v").as("dst"), col("k").as("kv")), "dst")
+        .select(col("src").as("u"), col("dst").as("nbr"),
+          (lit(2L * mL).cast(dec) - col("ku").cast(dec) * col("kv").cast(dec))
+            .as("gd"))
+        .groupBy("u")
+        .agg(max(struct(col("gd"), (-col("nbr")).as("nn"), col("nbr"))).as("b"))
+        .select(col("u").as("vertex"),
+          when(col("b.gd") > 0, col("b.nbr")).otherwise(col("u"))
+            .as("community_dec"),
+          when(col("b.gd") > 0, col("b.gd")).otherwise(lit(0).cast(dec))
+            .as("gain_dec"))
+      val lr = operators.GraphOps.louvainRound(e6)
+      val gBad = lr.join(bestDec, "vertex")
+        .filter(col("community") =!= col("community_dec") ||
+          col("gain_num").cast(dec) =!= col("gain_dec"))
+        .count()
+      // pagerank fixed-point: magnitude audit (linear family — the
+      // rank mass is L1-bounded; record the observed bits)
+      val prMax = operators.GraphOps.pageRank(e6)
+        .agg(max(abs(col("rank_fp")))).collect()(0).getLong(0)
+      val prBits = java.lang.Long.numberOfTrailingZeros(
+        java.lang.Long.highestOneBit(math.max(1L, prMax)))
+      s"q_mismatch=$qBad gain_mismatch=$gBad " +
+        s"q_bits=$qMaxBits pr_bits=$prBits of 63"
+    })
+
     // ---- XL tier (SPARK_GRAFT_SCALE_XL=1): one-tier-up probes.
     // 100M edges is 10x the standing rehearsal — the largest graph
     // the 128 GiB sandbox runs comfortably; phases are "xl "-prefixed
@@ -1552,7 +1750,30 @@ object ScaleRehearsal {
       t("xl pagerank 100M edges 5 sweeps")(
         operators.GraphOps.pageRank(edgesXL)
           .agg(sum(col("rank_fp"))).collect()(0).getLong(0))
-      t("xl components 100M edges")(
+      // PROBE: round-0's data volumes through Tungsten (two aggs, two
+      // joins, one distinct over the same 200M-row relations) — the
+      // go/no-go measurement for a DataFrame rewrite of the star loop
+      t("xl probe df star round0")({
+        val sym = edgesXL.filter(col("src") =!= col("dst"))
+          .select(col("src").as("u"), col("dst").as("v"))
+          .unionAll(edgesXL.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("u"), col("src").as("v")))
+        val agg = sym.groupBy("u")
+          .agg(min(col("v")).as("mn"), count(lit(1)).as("deg"))
+        val ls = sym.join(agg, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("a"), least(col("u"), col("mn")).as("b"))
+        val agg2 = ls.select(greatest(col("a"), col("b")).as("x"),
+            least(col("a"), col("b")).as("y"))
+          .groupBy("x").agg(min(col("y")).as("mn2"))
+        val next = ls.join(agg2, col("a") === col("x"))
+          .filter(col("b") =!= col("mn2"))
+          .select(col("b").as("p"), col("mn2").as("q"))
+          .unionAll(agg2.select(col("x").as("p"), col("mn2").as("q")))
+          .distinct()
+        next.count()
+      })
+      t("xl components 100M edges", starRoundsJson _)(
         operators.GraphOps.components(edgesXL)
           .agg(countDistinct(col("component"))).collect()(0).getLong(0))
       // FORCED-ROUNDS lineage A/B: round count is ~log2(diameter), so
@@ -1599,8 +1820,12 @@ object ScaleRehearsal {
           .otherwise(pmod(hash(col("id") * 17 + 3), col("id"))).as("doc_b"))
       val prevShufXL = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "128")
-      try t("xl dup_clusters giant 3e7")(
-        operators.Dedup.dupClusters(giantXL, heavyDegree = 500000L)
+      // heavyDegree is left at the DEFAULT 2E/(64·parts): the explicit
+      // 500k of earlier rounds predates the lowered default (≈7.3k
+      // here) — the giant hub AND the mid-size hubs contraction forms
+      // now all take the broadcast path
+      try t("xl dup_clusters giant 3e7", starRoundsJson _)(
+        operators.Dedup.dupClusters(giantXL)
           .filter(col("cluster_id") =!= 0L).count())
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShufXL)
     }

@@ -436,6 +436,15 @@ object SparkEntry {
       GraphOps.louvainRound(
           GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
         .orderBy("vertex")),
+    // FULL multi-level Louvain: mutual-best positive-gain matching per
+    // level on the running contraction, LouvainLevels levels unrolled
+    // by both engines (merge step is the identity once converged);
+    // Q is monotone per level by construction — spec-pinned against
+    // `modularity`
+    "graph_louvain_full" -> ((s, d) =>
+      GraphOps.louvain(
+          GraphOps.sparsifyEdges(GraphOps.edges(s, d), ComponentsMod))
+        .orderBy("vertex")),
     // HITS hubs & authorities in exact ppb fixed-point — the directed
     // complement of pagerank's relevance family, on the same
     // sparsified slice at the same unrolled-round contract
@@ -4584,6 +4593,49 @@ object SparkEntry {
         "ELSE d.u END AS BIGINT) AS community, " +
         "CAST(CASE WHEN b.gain > 0 THEN b.gain ELSE 0 END AS BIGINT) " +
         "AS gain_num FROM deg d JOIN best b ON b.u = d.u AND b.rn = 1"
+    },
+    // unrolled multi-level Louvain twin: LouvainLevels levels of
+    // (contract weights by current labeling → strengths → integer ΔQ
+    // gains → per-community argmax (gain DESC, partner ASC) among
+    // positives → MUTUAL pairs merge to the smaller id). MATERIALIZED
+    // per level like the kcore unroll (each CTE referenced 2-3x)
+    "graph_louvain_full" -> {
+      val levels = graft.operators.GraphOps.LouvainLevels
+      val sb = new StringBuilder
+      sb.append("WITH base AS MATERIALIZED (SELECT DISTINCT src, dst " +
+        s"FROM ($EdgesCte) " +
+        s"WHERE (src * 31 + dst) % $ComponentsMod = 0 AND src <> dst), ")
+      sb.append("sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM base " +
+        "UNION SELECT dst, src FROM base), ")
+      sb.append("mm AS MATERIALIZED (SELECT COUNT(*) // 2 AS m FROM sym), ")
+      sb.append("c0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, " +
+        "u AS community FROM sym), ")
+      for (i <- 1 to levels) {
+        val p = i - 1
+        sb.append(s"w$i AS MATERIALIZED (SELECT ca.community AS a, " +
+          "cb.community AS b, COUNT(*)::BIGINT AS w FROM sym s " +
+          s"JOIN c$p ca ON ca.vertex = s.u " +
+          s"JOIN c$p cb ON cb.vertex = s.v GROUP BY 1, 2), ")
+        sb.append(s"k$i AS MATERIALIZED (SELECT a, SUM(w)::BIGINT AS k " +
+          s"FROM w$i GROUP BY 1), ")
+        sb.append(s"g$i AS MATERIALIZED (SELECT wa.a, wa.b, " +
+          s"2 * mm.m * wa.w - ka.k * kb.k AS g FROM w$i wa " +
+          s"JOIN k$i ka ON ka.a = wa.a JOIN k$i kb ON kb.a = wa.b, mm " +
+          "WHERE wa.a <> wa.b), ")
+        sb.append(s"b$i AS MATERIALIZED (SELECT a, b AS nbr FROM " +
+          "(SELECT a, b, row_number() OVER (PARTITION BY a " +
+          s"ORDER BY g DESC, b ASC) AS rn FROM g$i WHERE g > 0) " +
+          "WHERE rn = 1), ")
+        sb.append(s"m$i AS MATERIALIZED (SELECT x.a AS frm, x.nbr AS toc " +
+          s"FROM b$i x JOIN b$i y ON y.a = x.nbr " +
+          "WHERE y.nbr = x.a AND x.a > x.nbr), ")
+        sb.append(s"c$i AS MATERIALIZED (SELECT c.vertex, " +
+          "CAST(COALESCE(mg.toc, c.community) AS BIGINT) AS community " +
+          s"FROM c$p c LEFT JOIN m$i mg ON mg.frm = c.community), ")
+      }
+      sb.setLength(sb.length - 2)
+      sb.append(s" SELECT vertex, community FROM c$levels")
+      sb.toString
     },
     "graph_modularity" ->
       // the LPA labeling spliced whole; sym rebuilt with the identical

@@ -372,6 +372,19 @@ object Dedup {
     */
   val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Per-round evidence from the most recent `dupClusters` star loop on
+    * this JVM: round number, edge count AFTER the round (the frontier
+    * the next round pays for), rewrite-change count, and wall seconds.
+    * The scale rehearsal attaches this to its phase artifact so a slow
+    * fixpoint is explained round by round (round-bound vs data-bound)
+    * instead of by one opaque total. Same caveats as `lastStarRounds`:
+    * diagnostic, not contract, not concurrency-safe.
+    */
+  final case class RoundStat(round: Int, edges: Long, changed: Long,
+    secs: Double)
+  val lastRounds =
+    new java.util.concurrent.atomic.AtomicReference[List[RoundStat]](Nil)
+
   /** Edge-count ceiling for `dupClusters`' single-task union-find fast
     * path — the same 250k edges (~4 MB of longs) the star loop's
     * partition sizing allots to one partition, so the fast path only
@@ -380,112 +393,6 @@ object Dedup {
     */
   val ClusterLocalEdges = 250000L
 
-  /** (min neighbor, degree) per key in one combine-safe pass — the
-    * shared aggregation of both star operations. Map-side partial
-    * aggregation means a billion-degree hub costs each MAP task O(1)
-    * state; the hub's reduce task receives one pre-combined pair per
-    * upstream partition, never the raw adjacency.
-    */
-  private def minAndDegree(
-      edges: org.apache.spark.rdd.RDD[(Long, Long)],
-      part: org.apache.spark.Partitioner)
-    : org.apache.spark.rdd.RDD[(Long, (Long, Long))] =
-    edges.aggregateByKey((Long.MaxValue, 0L), part)(
-      { case ((m, d), v) => (math.min(m, v), d + 1L) },
-      { case ((m1, d1), (m2, d2)) => (math.min(m1, m2), d1 + d2) })
-
-  /** One star rewrite: every edge (u, v) in `keyed` (grouped by u)
-    * becomes (v, m(u)) where m comes from `agg`; `emit` decides
-    * per-edge emission + change accounting. Keys with degree ≥
-    * `heavyDegree` take the BROADCAST path — their (few, ≤ 2E/H by
-    * counting) min-labels ship to every task and their edges rewrite
-    * map-side wherever they already sit, so no reduce partition ever
-    * receives a hub's full adjacency. Light keys take the ordinary
-    * co-partitioned join.
-    */
-  private def starRewrite(
-      keyed: org.apache.spark.rdd.RDD[(Long, Long)],
-      agg: org.apache.spark.rdd.RDD[(Long, (Long, Long))],
-      part: org.apache.spark.Partitioner,
-      heavyDegree: Long,
-      emit: (Long, Long, Long) => Iterator[(Long, Long)])
-    : (org.apache.spark.rdd.RDD[(Long, Long)],
-       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
-    val heavyB = keyed.sparkContext.broadcast(
-      agg.filter(_._2._2 >= heavyDegree)
-        .map { case (u, (mn, _)) => (u, mn) }
-        .collectAsMap().toMap)
-    val heavyOut = keyed.mapPartitions { it =>
-      val h = heavyB.value
-      it.flatMap { case (u, v) =>
-        h.get(u) match {
-          case Some(mn) => emit(u, v, mn)
-          case None => Iterator.empty
-        }
-      }
-    }
-    val lightOut = keyed
-      .mapPartitions { it =>
-        val h = heavyB.value
-        it.filter { case (u, _) => !h.contains(u) }
-      }
-      .join(agg, part)
-      .flatMap { case (u, (v, (mn, _))) => emit(u, v, mn) }
-    (heavyOut.union(lightOut), heavyB)
-  }
-
-  /** Large-star: every node u connects its strictly LARGER neighbors to
-    * m(u) = min(Γ(u) ∪ {u}). Replaces the whole edge set; preserves
-    * connectivity and the node set. Returns (output, persisted agg,
-    * heavy-key broadcast) — the CALLER unpersists the agg and destroys
-    * the broadcast once the output is materialized (the heavy-key
-    * collect inside already ran the agg once; dropping it earlier
-    * would recompute the aggregation for the light-key join).
-    */
-  private def largeStar(
-      edges: org.apache.spark.rdd.RDD[(Long, Long)],
-      part: org.apache.spark.Partitioner,
-      heavyDegree: Long,
-      changed: org.apache.spark.util.LongAccumulator)
-    : (org.apache.spark.rdd.RDD[(Long, Long)],
-       org.apache.spark.rdd.RDD[(Long, (Long, Long))],
-       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
-    val sym = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-    val agg = minAndDegree(sym, part).persist(StorageLevel.MEMORY_AND_DISK)
-    val (out, bc) = starRewrite(sym, agg, part, heavyDegree, { (u, v, mn) =>
-      if (v > u) {
-        val m = math.min(u, mn)
-        if (m != u) changed.add(1L)
-        Iterator((v, m))
-      } else Iterator.empty
-    })
-    (out, agg, bc)
-  }
-
-  /** Small-star: every node u connects its SMALLER neighbors (and
-    * itself) to m(u) = min of those neighbors. Grouping is by the
-    * LARGER endpoint, so a converged star's hub never owns a reduce
-    * group — its edges live in its leaves' singleton groups.
-    */
-  private def smallStar(
-      edges: org.apache.spark.rdd.RDD[(Long, Long)],
-      part: org.apache.spark.Partitioner,
-      heavyDegree: Long,
-      changed: org.apache.spark.util.LongAccumulator)
-    : (org.apache.spark.rdd.RDD[(Long, Long)],
-       org.apache.spark.rdd.RDD[(Long, (Long, Long))],
-       org.apache.spark.broadcast.Broadcast[Map[Long, Long]]) = {
-    val dir = edges.map { case (a, b) => if (a >= b) (a, b) else (b, a) }
-    val agg = minAndDegree(dir, part).persist(StorageLevel.MEMORY_AND_DISK)
-    // the (u, m(u)) star edge itself — one per group, straight from the
-    // aggregate (m(u) < u always: every group key has a smaller nbr)
-    val selfEdges = agg.map { case (u, (mn, _)) => (u, mn) }
-    val (out, bc) = starRewrite(dir, agg, part, heavyDegree, { (_, v, mn) =>
-      if (v != mn) { changed.add(1L); Iterator((v, mn)) }
-      else Iterator.empty // (mn, mn) self-loop; u—mn covered by selfEdges
-    })
-    (selfEdges.union(out), agg, bc)
-  }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     * components with cluster_id = min doc_id in the component — the
@@ -493,31 +400,49 @@ object Dedup {
     *
     * ALTERNATING STAR CONTRACTION (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round applies
-    * large-star (hook every node's larger neighbors to its
-    * neighborhood min) then small-star (hook its smaller neighbors to
-    * their min). Both operations preserve connectivity and only ever
-    * lower the smaller endpoint of an edge, so the fixpoint is exactly
-    * the per-component star rooted at the component's minimum id;
-    * convergence is O(log²) rounds in the worst case and ~5 in
-    * practice. Unlike min-label pointer doubling — whose converged
+    * small-star (hook every node's smaller neighbors to their min)
+    * then large-star (hook its larger neighbors to its neighborhood
+    * min) — small first, because it reads the state at canonical
+    * width while large-star symmetrizes, and round 0's input is the
+    * largest state of the run (see `starRound`). Both operations
+    * preserve connectivity and only ever lower the smaller endpoint
+    * of an edge, so the joint fixpoint is exactly the per-component
+    * star rooted at the component's minimum id regardless of which
+    * operation leads; convergence is O(log²) rounds in the worst case
+    * and ~5 in practice. Unlike min-label pointer doubling — whose converged
     * giant component funnels EVERY member's pointer-jump row through
     * the one partition owning the min label, every round — star
     * contraction has no per-round step keyed by the root: the
-    * neighborhood min uses map-side combining (aggregateByKey) and the
-    * edge rewrite broadcasts the few ≥`heavyDegree` hubs' labels so
-    * their edges rewrite in place (see `starRewrite`). The default
-    * threshold 2E/parts bounds the broadcast at ~2·parts entries by
-    * counting, while guaranteeing no reduce partition owns more than
-    * one light key's adjacency above the mean.
+    * neighborhood min is a map-side-combinable Tungsten aggregation,
+    * and the edge rewrite routes the few ≥`heavyDegree` hubs through a
+    * BROADCAST hash join (their rows rewrite in place wherever they
+    * sit) with the light keys on an ordinary shuffle join. The default
+    * threshold 2E/(64·parts) bounds the broadcast at ≤128·parts
+    * entries by counting (a few KB of longs), while capping any one
+    * light key's shuffle-join adjacency at ~1.6% of a mean partition.
+    * Round state is DEDUPLICATED each half-round: star contraction is
+    * defined on edge sets, the rewrite emits a multiset that inflates
+    * toward 2E rows carrying ~n distinct pairs once a component has
+    * mostly hooked to its root, and the next half-round's aggregation
+    * + join widths follow the distinct size (measured 120M → 25M on
+    * the 100M-edge fixture's round 0).
     *
-    * The iterative core is the engine's one deliberate RDD section: a
-    * Catalyst loop would re-reference the edge relation per round,
-    * doubling the logical plan each iteration (exponential analysis
-    * cost — measured as dominant in the old DataFrame form), and gives
-    * no handle to unpersist superseded rounds. Convergence detection
-    * rides on a LongAccumulator flagged during the rewrite itself
-    * (zero is reliable: a truly converged round increments in no task,
-    * so speculative re-runs cannot flip it), costing no extra job.
+    * The loop is DataFrame end to end — Tungsten aggregates and joins
+    * narrow long pairs ~10× faster per row than the boxed-tuple RDD
+    * form this replaced (measured round-0 aggregation 277 s RDD vs
+    * ~30 s DataFrame at 100M edges; Kryo, serialized caching, and
+    * partition-count changes all moved nothing because boxing was the
+    * floor). The classic iterative-DataFrame traps are handled by the
+    * same `statsFreeLocalCheckpoint` the GraphOps fixpoints use: each
+    * round's state is materialized to a fresh default-stats leaf, so
+    * neither the logical plan nor the computed sizeInBytes compound
+    * across rounds. CONVERGENCE is an exact set-equality test, not an
+    * accumulator: both states are distinct, so |next| == |cur| plus an
+    * empty next ∖ cur anti-join proves round(cur) == cur — and a
+    * round-function fixpoint IS the joint star fixpoint (each half is
+    * non-increasing in the potential Σ(a+b) over the distinct edge
+    * set, with equality only at its own fixpoint). The anti-join runs
+    * only when the counts already match.
     *
     * Throws IllegalStateException if `maxIter` rounds don't converge
     * (never silently returns wrong labels). `checkpointDir`, when set,
@@ -545,15 +470,15 @@ object Dedup {
     * state isolates exactly the per-round cost unbounded lineage adds
     * (DAG walk + closure serialization per job grows with round
     * number) with the data size held constant. MEASURED CONCLUSION
-    * (SCALE_r18, 400k chain): ckpt ≈ no-ckpt at the natural ~20
-    * rounds (106.3 vs 104.8 s, r17) AND at forced 40 (171.3 vs
-    * 182.9 s — per-round cost flat at ~4.5 s in both variants, no
-    * superlinear lineage term) — every round's RDD is persisted and
-    * materialized, so later rounds read blocks, never lineage; the
-    * driver-side DAG walk is microseconds per job at these depths.
-    * Reliable checkpointing here buys FAULT TOLERANCE (bounded
-    * recompute after executor loss), not speed; it is round-count-
-    * gated by `checkpointEvery` purely to bound that recompute window.
+    * (SCALE_r18, 400k chain, the RDD form): ckpt ≈ no-ckpt at the
+    * natural ~20 rounds AND at forced 40 — per-round cost flat, no
+    * superlinear lineage term; every round's state is materialized,
+    * so later rounds read blocks, never lineage. The DataFrame form
+    * keeps the same structure (each round's state is a forced
+    * checkpoint leaf). Reliable checkpointing buys FAULT TOLERANCE
+    * (bounded recompute after executor loss), not speed; it is
+    * round-count-gated by `checkpointEvery` purely to bound that
+    * recompute window.
     */
   def dupClusters(pairs0: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None,
@@ -579,149 +504,217 @@ object Dedup {
     // DOES assert a is its own singleton component — its id re-enters
     // the label set at the end (current in-repo producers emit strict
     // a < b pairs, but the operator must not depend on that).
-    val raw0 = pairs0.select(col("doc_a"), col("doc_b")).rdd
-      .map { r => (r.getLong(0), r.getLong(1)) }
+    import org.apache.spark.sql.graft.ColumnBridge
+    def ckR(df: DataFrame, reliable: Boolean): (DataFrame, Long) =
+      ColumnBridge.statsFreeCheckpointCounted(df, reliable)
+    def drop(df: DataFrame): Unit = ColumnBridge.unpersistCheckpoint(df)
+    val raw0 = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val raw = raw0
-      .flatMap { case (a, b) =>
-        if (a == b) Iterator.empty
-        else if (a < b) Iterator((a, b)) else Iterator((b, a))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val selfIds = raw0
-      .flatMap { case (a, b) => if (a == b) Iterator(a) else Iterator.empty }
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // size the loop's partitioner to the DATA, not the session default:
-    // every round runs ~4 jobs over the edge set, so a near-empty pair
-    // graph must not pay 32 tasks × rounds of scheduling overhead,
-    // while a large graph keeps full fan-out
+    val (raw, nEdges) = ckR(raw0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")), reliable = false)
+    val (selfIds, nSelf) = ckR(raw0.filter(col("a") === col("b"))
+      .select(col("a")).distinct(), reliable = false)
+    raw0.unpersist(blocking = false)
+    // the heavy-hub threshold is sized off the DATA (a near-empty pair
+    // graph should broadcast aggressively is moot — AQE coalesces its
+    // shuffles anyway); `parts` mirrors the partitioner sizing the RDD
+    // form used, now only as the threshold's scale denominator
     val maxParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val nEdges = raw.count()
-    val nSelf = selfIds.count() // materialize both splits, then drop raw0
-    raw0.unpersist(blocking = false)
     val parts = math.max(1,
       math.min(maxParts.toLong, nEdges / 250000L + 1L).toInt)
-    val part = new org.apache.spark.HashPartitioner(parts)
+    // Heavy-hub broadcast threshold: 2E/(64·parts). The broadcast side
+    // stays counting-bounded — at most 2E/hvy = 128·parts entries (a
+    // few KB of longs) — while every key above ~1.6% of a mean
+    // partition's rows rewrites through a broadcast hash join, so no
+    // shuffle-join task owns an adjacency more than a sliver above the
+    // mean. The contracted giant component's root (degree ≈ its
+    // member count) always crosses this.
     val hvy =
       if (heavyDegree > 0L) heavyDegree
-      else math.max(1024L, 2L * nEdges / parts)
-    // one large-star + small-star round: materializes the next edge
-    // set, releases the previous round's caches AND the two heavy-key
-    // broadcasts (GC-driven ContextCleaner is too lazy for a
-    // many-round loop), returns (next, changed-count)
-    def starRound(cur: org.apache.spark.rdd.RDD[(Long, Long)], iterNo: Int)
-      : (org.apache.spark.rdd.RDD[(Long, Long)], Long) = {
-      val acc = sc.longAccumulator(s"graft.dupClusters.changed.$iterNo")
-      val (ls0, lsAgg, lsB) = largeStar(cur, part, hvy, acc)
-      val ls = ls0.persist(StorageLevel.MEMORY_AND_DISK)
-      val (next0, ssAgg, ssB) = smallStar(ls, part, hvy, acc)
-      val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
-      if (checkpointDir.isDefined &&
-        (iterNo + 1) % math.max(1, checkpointEvery) == 0) next.checkpoint()
-      next.count() // materialize (and checkpoint); accumulator now set
-      // unpersist, NOT destroy: `next`'s lineage still references the
-      // broadcasts (task closures re-serialize them whenever a cached
-      // block is lost or a later action re-walks the chain), and a
-      // destroyed broadcast fails that serialization outright.
-      // unpersist frees every executor-side copy now — the dominant
-      // cost ADVICE flagged — and leaves the driver value re-fetchable.
-      lsB.unpersist(blocking = false)
-      ssB.unpersist(blocking = false)
-      lsAgg.unpersist(blocking = false)
+      else math.max(1024L, 2L * nEdges / parts / 64L)
+    val roundLog = scala.collection.mutable.ListBuffer[RoundStat]()
+    // One small-star + large-star round over the checkpointed state
+    // (a, b): returns (next state, |next|, changed) where `changed` is
+    // the EXACT count of next-rows absent from cur when |next| == |cur|
+    // (both are distinct sets, so equal counts make one anti-join a
+    // complete set-equality test) and -1 otherwise (counts differ ⇒
+    // trivially not converged — no join spent). changed == 0 ⇔
+    // round(cur) == cur ⇔ joint star fixpoint: both operations are
+    // non-increasing in the potential Σ(a+b) over the distinct edge
+    // set with equality only at their own fixpoints, so a round that
+    // returns its input verbatim was fixed under BOTH halves.
+    def starRound(cur: DataFrame, nCur: Long, iterNo: Int)
+        : (DataFrame, Long, Long) = {
+      val tR0 = System.nanoTime()
+      def lap(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+      val reliableDue = checkpointDir.isDefined &&
+        (iterNo + 1) % math.max(1, checkpointEvery) == 0
+      // SMALL-STAR leads: it reads the state at canonical width (the
+      // (max, min) orientation — |cur| rows, not the 2|cur|
+      // symmetrization large-star aggregates over), so the cheaper
+      // operation runs on the LARGEST state the loop ever sees (the
+      // raw round-0 input) and hands large-star an already-contracted
+      // relation. Both operations preserve connectivity and the joint
+      // fixpoint is order-independent (Kiveris et al. §3), so
+      // alternation starting with either is the same algorithm.
+      val dir = cur.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val ssAgg = dir.groupBy("u")
+        .agg(min(col("v")).as("mn"), count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ssHeavy = ssAgg.filter(col("deg") >= hvy)
+        .select(col("u"), col("mn"))
+      val ssHeavyOut = dir.join(broadcast(ssHeavy), "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("a"), col("mn").as("b"))
+      val ssLight = dir
+        .join(broadcast(ssHeavy.select(col("u"))), Seq("u"), "left_anti")
+        .join(ssAgg.select(col("u"), col("mn")), "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("a"), col("mn").as("b"))
+      // the (u, m(u)) star edge itself — one per group, straight from
+      // the aggregate (m(u) < u always: every group key has a smaller
+      // neighbor). SET SEMANTICS between half-rounds: the rewrite
+      // emits a multiset (once most of a component points at its
+      // root, every vertex re-emits (v, root) once per original
+      // neighbor), and large-star symmetrizes whatever it is given —
+      // the distinct here means it aggregates 2·|distinct| rows, not
+      // 2·|multiset| (measured 120M → 25M on the 100M-edge fixture's
+      // round 0).
+      val ssSelf = ssAgg.select(col("u").as("a"), col("mn").as("b"))
+      val (ss, _) = ckR(
+        ssSelf.unionByName(ssHeavyOut).unionByName(ssLight).distinct(),
+        reliable = false)
+      val tSS = lap(tR0)
+      // LARGE-STAR: m(x) = min(Γ(x) ∪ {x}) needs the symmetrized
+      // neighborhood, but the REWRITE joins only the canonical
+      // (lo, hi) half — the emit fires exactly once per undirected
+      // edge instance, keyed by its smaller endpoint, and only m(lo)
+      // is ever consumed. A hub appearing as the LARGER endpoint needs
+      // no broadcast at all (its rows are keyed by its neighbors and
+      // spread by construction); a hub as the smaller endpoint —
+      // every contracted root — takes the broadcast path.
+      val tL0 = System.nanoTime()
+      val sym = ss.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(ss.select(col("b").as("x"), col("a").as("y")))
+      val lsAgg = sym.groupBy("x")
+        .agg(min(col("y")).as("mn"), count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lsHeavy = lsAgg.filter(col("deg") >= hvy)
+        .select(col("x"), col("mn"))
+      val can = ss.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("v"))
+      val lsHeavyOut = can.join(broadcast(lsHeavy), "x")
+        .select(col("v").as("a"), least(col("x"), col("mn")).as("b"))
+      val lsLight = can
+        .join(broadcast(lsHeavy.select(col("x"))), Seq("x"), "left_anti")
+        .join(lsAgg.select(col("x"), col("mn")), "x")
+        .select(col("v").as("a"), least(col("x"), col("mn")).as("b"))
+      val (next, nAfter) = ckR(
+        lsHeavyOut.unionByName(lsLight).distinct(), reliable = reliableDue)
+      val tLS = lap(tL0)
+      val changed =
+        if (nAfter != nCur) -1L
+        else next.join(cur, Seq("a", "b"), "left_anti").count()
       ssAgg.unpersist(blocking = false)
-      ls.unpersist(blocking = false)
-      cur.unpersist(blocking = false)
-      (next, acc.value)
+      lsAgg.unpersist(blocking = false)
+      drop(ss)
+      drop(cur)
+      val secs = lap(tR0)
+      roundLog += RoundStat(iterNo, nAfter, changed, secs)
+      println(f"[dupClusters] round=$iterNo edges=$nAfter " +
+        f"changed=$changed ${secs}%.1fs " +
+        f"(smallStar $tSS%.1fs, largeStar $tLS%.1fs, equality " +
+        f"${secs - tSS - tLS}%.1fs)")
+      (next, nAfter, changed)
     }
-    // which cached RDD still needs releasing once `labels` materializes
-    var releaseAfter: org.apache.spark.rdd.RDD[_] = raw
-    val withRoots: org.apache.spark.rdd.RDD[(Long, Long)] =
+    // which checkpointed frame still needs releasing once `labels`
+    // materializes
+    var releaseAfter: DataFrame = raw
+    val withRoots: DataFrame =
       if (nEdges <= localThreshold) {
         lastStarRounds.set(0)
+        lastRounds.set(Nil)
         // SMALL-GRAPH FAST PATH — one union-find pass in one task.
         // Min-id union (parent(max-root) := min-root) makes every root
         // its component's minimum, exactly the star fixpoint's labels.
-        raw.coalesce(1).mapPartitions { it =>
-          val parent = scala.collection.mutable.LongMap.empty[Long]
-          def find(x: Long): Long = {
-            var r = x
-            var p = parent.getOrElse(r, r)
-            while (p != r) { r = p; p = parent.getOrElse(r, r) }
-            var c = x // path compression
-            while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
-            r
-          }
-          it.foreach { case (a, b) =>
-            if (!parent.contains(a)) parent.update(a, a)
-            if (!parent.contains(b)) parent.update(b, b)
-            val ra = find(a)
-            val rb = find(b)
-            if (ra != rb) {
-              if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        val lab = raw.rdd
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .coalesce(1).mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              var p = parent.getOrElse(r, r)
+              while (p != r) { r = p; p = parent.getOrElse(r, r) }
+              var c = x // path compression
+              while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
+              r
             }
+            it.foreach { case (a, b) =>
+              if (!parent.contains(a)) parent.update(a, a)
+              if (!parent.contains(b)) parent.update(b, b)
+              val ra = find(a)
+              val rb = find(b)
+              if (ra != rb) {
+                if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+              }
+            }
+            parent.keys.toArray.iterator.map(k => (k, find(k)))
           }
-          parent.keys.toArray.iterator.map(k => (k, find(k)))
-        }
+        spark.createDataFrame(
+          lab.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType, nullable = false))))
       } else {
         var edges = raw
+        var nCur = nEdges
         var converged = false
         var iter = 0
         while ((!converged || iter < minRounds) && iter < maxIter) {
-          val (next, changed) = starRound(edges, iter)
+          val (next, nAfter, changed) = starRound(edges, nCur, iter)
           edges = next
+          nCur = nAfter
           converged = changed == 0L
           iter += 1
         }
         if (!converged) {
-          // the accumulator only PROVES convergence at zero — task
-          // retries, speculation, or recomputation of evicted blocks
-          // can inflate a non-zero count past reality. Before declaring
-          // failure, spend one recheck round: if it reports zero, the
-          // loop had in fact converged and the extra round changed
-          // nothing.
-          val (next, changed) = starRound(edges, iter)
-          edges = next
-          converged = changed == 0L
-          iter += 1
-        }
-        if (!converged) {
-          edges.unpersist(blocking = false)
-          selfIds.unpersist(blocking = false)
+          drop(edges)
+          drop(selfIds)
           throw new IllegalStateException(
             s"dupClusters did not converge after $maxIter star rounds — " +
               "the pair input is unstable or degenerate; raise maxIter")
         }
         lastStarRounds.set(iter)
+        lastRounds.set(roundLog.toList)
         releaseAfter = edges
-        // converged edge set = {(member, root)} stars: members from the
-        // star edges, roots labeled to themselves (the final reduce
-        // collapses the multiset duplicates star rounds leave behind)
-        val members = edges.reduceByKey(part, math.min(_, _))
-        members.union(members.map { case (_, r) => (r, r) })
+        // converged edge set = {(member, root)} stars oriented
+        // (larger, smaller): members from the star edges, roots
+        // labeled to themselves
+        val members = edges.groupBy(col("a")).agg(min(col("b")).as("b"))
+        members.unionByName(
+          members.select(col("b").as("a"), col("b").as("b")))
       }
     // self-pair-only docs re-enter as their own singleton components
     // (min keeps the real root when a self-paired doc also has edges:
     // root ≤ every member id)
-    val labels = (if (nSelf > 0L) withRoots.union(selfIds.map(i => (i, i)))
-                  else withRoots)
-      .reduceByKey(part, math.min(_, _))
+    val labels = (if (nSelf > 0L)
+        withRoots.unionByName(selfIds.select(col("a"), col("a").as("b")))
+      else withRoots)
+      .groupBy(col("a")).agg(min(col("b")).as("b"))
+      .select(col("a").as("doc_id"), col("b").as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize so the inputs can be dropped
-    releaseAfter.unpersist(blocking = false)
-    selfIds.unpersist(blocking = false)
-    // back to SQL land: (doc_id, cluster_id). The final labels RDD
-    // stays persisted for the consumer's action; graft.Caches.clear
-    // releases it afterwards (it is tracked below).
-    graft.Caches.trackRdd(labels)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cluster_id",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(
-      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, schema)
+    drop(releaseAfter)
+    drop(selfIds)
+    // the labels frame stays persisted for the consumer's action;
+    // graft.Caches.clear releases it afterwards (tracked here)
+    graft.Caches.track(labels)
+    labels
   }
 
   /** Single-slot memo of the DEFAULT cluster relation —

@@ -2752,6 +2752,90 @@ object GraphOps {
           .as("gain_num"))
   }
 
+  /** Level budget of `louvain`'s gate; the oracle unrolls exactly this
+    * many levels (k-core/LPA convention). The merge step is the
+    * IDENTITY once no positive-gain mutual pair exists, so running the
+    * budget past convergence is harmless — equal-by-unrolling is sound.
+    */
+  val LouvainLevels = 6
+
+  /** FULL multi-level LOUVAIN (Blondel et al. 2008), deterministic
+    * matching form: each level, on the current contraction, every
+    * community points at its best positive-ΔQ merge partner
+    * (gain DESC, partner ASC; gain = the exact integer numerator
+    * `2m·w_AB − k_A·k_B` of the weighted singleton-merge ΔQ), and a
+    * pair merges iff the choice is MUTUAL — the matching-based
+    * coarsening of the published heuristic. Mutual pairs are disjoint,
+    * so the level's total modularity change is the SUM of the pair
+    * deltas `2·gain`, each positive — Q is STRICTLY increasing while
+    * any merge happens and the labeling is a fixpoint afterwards
+    * (spec-pinned: monotone Q per level via `modularity`, and
+    * level-(L+1) == level-L after convergence). The published
+    * sequential sweep visits vertices in arbitrary order and is
+    * unreproducible across engines; mutual-best matching is a pure
+    * function of the edge set AND keeps the per-move Q-improvement
+    * guarantee the synchronous all-move sweep loses (two stale moves
+    * can jointly decrease Q; two disjoint mutual merges cannot).
+    *
+    * The contraction never materializes a supergraph: each level
+    * recomputes `w(A,B)` by joining the base symmetrized simple
+    * relation against the vertex-sized labeling twice — self-pairs
+    * w(A,A) = 2·e_intra land in the strength sum k_A exactly as the
+    * weighted algorithm requires, and m (the undirected base edge
+    * count) is level-invariant. Merged pair label = the smaller
+    * community id.
+    *
+    * Shape per level: two vertex-keyed joins onto the edge bag, two
+    * map-side-combinable aggregations (pair weights, strengths), a
+    * struct-min argmax (no window), one self-join of the
+    * community-sized `best` relation, one vertex-sized relabel —
+    * nothing wider than the edge relation shuffles; round state is the
+    * stats-free local checkpoint (`ck`) like every fixpoint loop here.
+    * Exact long arithmetic: |gain| ≤ max(2m·w, k²) < (2m)², fine while
+    * 2m < ~2^31 (the `modularity` decimal-upgrade caveat applies).
+    */
+  def louvain(e: DataFrame, levels: Int = LouvainLevels): DataFrame = {
+    require(levels >= 1 && levels <= 16,
+      s"louvain: levels must be in [1, 16], got $levels")
+    val (und, nSym) = undSimple(e)
+    val m = nSym / 2L
+    var labels = ck(und.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("community")))
+    (1 to levels).foreach { _ =>
+      val w = und
+        .join(labels.select(col("vertex").as("src"), col("community").as("a")),
+          "src")
+        .join(labels.select(col("vertex").as("dst"), col("community").as("b")),
+          "dst")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val k = w.groupBy(col("a")).agg(sum(col("w")).as("k"))
+      val g = w.filter(col("a") =!= col("b"))
+        .join(k.select(col("a"), col("k").as("ka")), "a")
+        .join(k.select(col("a").as("b"), col("k").as("kb")), "b")
+        .select(col("a"), col("b"),
+          (lit(2L * m) * col("w") - col("ka") * col("kb")).as("g"))
+      // argmax by (g DESC, b ASC) among POSITIVE gains, windowless
+      val best = g.filter(col("g") > 0L)
+        .groupBy(col("a"))
+        .agg(min(struct((-col("g")).as("ng"), col("b"))).as("bst"))
+        .select(col("a"), col("bst.b").as("nbr"))
+      // mutual-best: best(best(A)) == A; the larger id joins the smaller
+      val by = best.select(col("a").as("ya"), col("nbr").as("ynbr"))
+      val mutual = best.join(by, best("nbr") === by("ya"))
+        .filter(col("ynbr") === best("a") && best("a") > best("nbr"))
+        .select(best("a").as("frm"), best("nbr").as("to"))
+      val prev = labels
+      labels = ck(prev.join(mutual, prev("community") === mutual("frm"),
+          "left")
+        .select(prev("vertex"),
+          coalesce(col("to"), prev("community")).as("community")))
+      drop(prev)
+    }
+    val out = labels
+    drop(und)
+    out
+  }
+
   /** Component-SIZE histogram over a (vertex, component) labeling
     * (`components` output): how many components have each size — the
     * fragmentation profile that distinguishes "one giant component

@@ -96,12 +96,29 @@ object ColumnBridge {
     * of paying a separate counting job per sweep.
     */
   def statsFreeLocalCheckpointCounted(df: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, Long) = {
+      : (org.apache.spark.sql.DataFrame, Long) =
+    statsFreeCheckpointCounted(df, reliable = false)
+
+  /** `statsFreeLocalCheckpointCounted` with an optional RELIABLE
+    * checkpoint: when `reliable` (and the context has a checkpoint
+    * dir), the materialized rows are persisted then written to the
+    * reliable store — the fault-tolerance variant an iterative loop
+    * uses every Nth round to bound its recompute horizon. The persist
+    * keeps the checkpoint write from recomputing the plan; the
+    * blocks remain releasable afterwards (reads fall back to the
+    * checkpoint files), so `unpersistCheckpoint` stays safe — safer,
+    * in fact, than on a local checkpoint.
+    */
+  def statsFreeCheckpointCounted(df: org.apache.spark.sql.DataFrame,
+      reliable: Boolean): (org.apache.spark.sql.DataFrame, Long) = {
     val cdf = df
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cdf.sparkSession
     val rdd = cdf.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
+    if (reliable) {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else rdd.localCheckpoint()
     val n = rdd.count()
     (spark.internalCreateDataFrame(rdd, cdf.schema), n)
   }

@@ -540,6 +540,68 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("louvain: == brute mutual-best matching; Q monotone per level; idempotent at fixpoint") {
+    val s = spark
+    import s.implicits._
+    // driver-side reference of the SAME deterministic matching rule
+    def brute(e: Seq[(Long, Long)], levels: Int): Map[Long, Long] = {
+      val und = e.filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+      val m = und.size.toLong / 2L
+      var lab: Map[Long, Long] = und.map(_._1).distinct.map(v => v -> v).toMap
+      (1 to levels).foreach { _ =>
+        val w = und.groupBy(p => (lab(p._1), lab(p._2)))
+          .view.mapValues(_.size.toLong).toMap
+        val k = w.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+        val gains = w.toSeq.collect { case ((a, b), wab) if a != b =>
+          (a, b, 2L * m * wab - k(a) * k(b)) }
+        val best = gains.filter(_._3 > 0L).groupBy(_._1)
+          .view.mapValues(gs => gs.minBy(t => (-t._3, t._2))._2).toMap
+        val merges = best.collect {
+          case (a, nb) if best.get(nb).contains(a) && a > nb => a -> nb }
+        lab = lab.view.mapValues(c => merges.getOrElse(c, c)).toMap
+      }
+      lab
+    }
+    def got(e: Seq[(Long, Long)], levels: Int): Map[Long, Long] =
+      GraphOps.louvain(edgeDf(e: _*), levels).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def qnum(e: Seq[(Long, Long)], lab: Map[Long, Long]): Long =
+      GraphOps.modularity(edgeDf(e: _*),
+          lab.toSeq.toDF("vertex", "community"))
+        .agg(org.apache.spark.sql.functions.sum(col("q_num")))
+        .head().getLong(0)
+    // hand fixture: two triangles joined by one bridge — level 1 pairs
+    // up inside each triangle, level 2 completes both triangles; the
+    // bridge never merges them (gain of joining across is negative)
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val conv = got(twoTri, 6)
+    assert(conv.values.toSet.size === 2, conv.toString)
+    assert(conv(0L) === conv(1L) && conv(1L) === conv(2L), conv.toString)
+    assert(conv(3L) === conv(4L) && conv(4L) === conv(5L), conv.toString)
+    // idempotence at the fixpoint: more levels change nothing (the
+    // oracle's fixed unroll depends on this)
+    assert(got(twoTri, 9) === conv)
+    // == brute at every level, on the fixture and random multigraphs
+    val rng = new scala.util.Random(317)
+    val cases = twoTri +: List.fill(3)(
+      List.fill(60)((rng.nextInt(14).toLong, rng.nextInt(14).toLong)))
+    for (e <- cases; l <- 1 to 4)
+      withClue(s"levels=$l edges=$e") { assert(got(e, l) === brute(e, l)) }
+    // MONOTONE Q: each level's accepted merges are disjoint mutual
+    // positive-gain pairs, so Σ q_num must never decrease level over
+    // level (and must strictly improve somewhere on these fixtures)
+    for (e <- cases) {
+      val und = e.filter(p => p._1 != p._2)
+      val singletons = und.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> v).toMap
+      val qs = qnum(e, singletons) +: (1 to 5).map(l => qnum(e, brute(e, l)))
+      assert(qs.zip(qs.tail).forall { case (a, b) => b >= a },
+        s"Q decreased: $qs edges=$e")
+      assert(qs.last > qs.head, s"no improvement at all: $qs edges=$e")
+    }
+  }
+
   test("closenessWeightedSampled ≡ aggregated per-source ssspBudget runs") {
     val s = spark
     import s.implicits._
