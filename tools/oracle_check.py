@@ -10,7 +10,7 @@ gate is driver-side. With jsonOut, additionally writes a per-query
 artifact in the driver's CORRECTNESS shape (rows/schema/hash match) —
 used for the committed off-scale passes (e.g. the sf0.1 sweep).
 """
-import sys, json, glob
+import os, sys, json, glob
 import duckdb
 import pandas as pd
 
@@ -19,7 +19,12 @@ TABLES = ["orders", "lineitem", "customer", "supplier", "nation",
 
 
 def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
-    con = duckdb.connect()
+    # DUCKDB_THREADS caps the oracle's parallelism so a long compare can
+    # run beside a timed Spark drive without stealing its cores; unset =
+    # duckdb's default (all cores) — the driver's standalone usage.
+    threads = os.environ.get("DUCKDB_THREADS")
+    con = duckdb.connect(
+        config={"threads": int(threads)} if threads else {})
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
