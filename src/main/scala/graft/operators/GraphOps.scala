@@ -2791,6 +2791,9 @@ object GraphOps {
     * community-sized `best` relation, one vertex-sized relabel —
     * nothing wider than the edge relation shuffles; round state is the
     * stats-free local checkpoint (`ck`) like every fixpoint loop here.
+    * A merge-free level ends the loop early — the remaining budget is
+    * the identity, so the output equals the full unroll's (the
+    * oracle's fixed depth stays sound).
     * Exact long arithmetic: |gain| ≤ max(2m·w, k²) < (2m)², fine while
     * 2m < ~2^31 (the `modularity` decimal-upgrade caveat applies).
     */
@@ -2801,7 +2804,8 @@ object GraphOps {
     val m = nSym / 2L
     var labels = ck(und.select(col("src").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("community")))
-    (1 to levels).foreach { _ =>
+    var live = true
+    (1 to levels).foreach { _ => if (live) {
       val w = und
         .join(labels.select(col("vertex").as("src"), col("community").as("a")),
           "src")
@@ -2824,13 +2828,24 @@ object GraphOps {
       val mutual = best.join(by, best("nbr") === by("ya"))
         .filter(col("ynbr") === best("a") && best("a") > best("nbr"))
         .select(best("a").as("frm"), best("nbr").as("to"))
-      val prev = labels
-      labels = ck(prev.join(mutual, prev("community") === mutual("frm"),
-          "left")
-        .select(prev("vertex"),
-          coalesce(col("to"), prev("community")).as("community")))
-      drop(prev)
-    }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EARLY EXIT, output-identical: a merge-free level leaves the
+      // labeling untouched, and every later level recomputes the same
+      // gains from the same contraction — the identity. Skipping the
+      // remaining budget returns exactly what the full unroll (and the
+      // oracle) computes; the mutual relation is community-sized, so
+      // the emptiness probe is cheap.
+      if (mutual.isEmpty) { live = false; mutual.unpersist(blocking = false) }
+      else {
+        val prev = labels
+        labels = ck(prev.join(mutual, prev("community") === mutual("frm"),
+            "left")
+          .select(prev("vertex"),
+            coalesce(col("to"), prev("community")).as("community")))
+        drop(prev)
+        mutual.unpersist(blocking = false)
+      }
+    }}
     val out = labels
     drop(und)
     out
