@@ -76,13 +76,33 @@ object Bench {
     // refuse cross-regime comparisons mechanically instead of by
     // memory. `runner` comes from SPARK_GRAFT_BENCH_RUNNER (the mirror
     // script sets "mirror"; the driver sets nothing → "unset").
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    // SUB-SECOND CREDIBILITY PASSES: gates whose baseline warm entry is
+    // under 1 s showed min/max spreads up to 5x at reps=3 (one GC pause
+    // is a whole sample at this duration), so the per-query ratchet and
+    // alarm were firing on noise. Gates with a sub-second baseline get
+    // SPARK_GRAFT_BENCH_SUB_REPS (default 4) EXTRA warm passes after
+    // the base round-robin — their warm median is then over 6 samples
+    // instead of 2 — at ~spare-change wall cost (the gates are sub-
+    // second by construction). Baseline-unseen queries keep base reps:
+    // their first entry is a seed, not a ratchet decision.
+    val subExtra = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUB_REPS", "4").toInt)
+    val subSecond: Set[String] =
+      if (subExtra == 0 || reps < 2) Set.empty
+      else {
+        val bw = baselineWarm(baselinePath)
+        queries.keySet.filter(n => bw.get(n).exists(b => b > 0 && b < 1.0))
+      }
     val provenance = Map(
       "runner" -> sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNNER", "unset"),
       "cpus" -> cpus,
       "reps" -> reps.toString,
+      "reps_sub" -> (if (subSecond.isEmpty) "0" else subExtra.toString),
       "codegen" -> spark.conf
         .get("spark.sql.codegen.wholeStage", "true"))
-    val samples = sample(spark, sfDir, queries, reps)
+    val samples = sample(spark, sfDir, queries, reps, subSecond, subExtra)
     val (stdoutJson, json, allFailed) =
       render(queries.keys.toSeq, samples, reps, sfDir, provenance)
     // WARM-REGRESSION ALARM: compare this run's warm medians against
@@ -91,8 +111,6 @@ object Bench {
     // offender — not an exit code; box noise must not fail a green run
     // — so a headline warm-path regression can't hide inside a
     // 248-query total or behind a cold artifact build.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      "BENCH_BASELINE.json")
     val warm = warmMedians(queries.keys.toSeq, samples)
     // cross-regime guard: a baseline stamped with a DIFFERENT regime's
     // fingerprint (runner or cpu count) is not comparable — neither the
@@ -239,12 +257,20 @@ object Bench {
     * generated class) must be RECORDED and the remaining queries still
     * timed — only truly process-fatal errors, where continuing would
     * measure a corrupted JVM, abort the whole run.
+    *
+    * After the base `reps` full passes, `extraPasses` PARTIAL passes
+    * cover only the `extraFor` names (the sub-second-baseline gates) —
+    * partial-pass maps simply omit the other queries, so every
+    * aggregator downstream reads samples with `.get(name).flatten`,
+    * never a direct apply.
     */
   private[graft] def sample(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      reps: Int): Seq[Map[String, Option[Double]]] =
-    (1 to reps).map { _ =>
-      queries.map { case (name, fn) =>
+      reps: Int, extraFor: Set[String] = Set.empty,
+      extraPasses: Int = 0): Seq[Map[String, Option[Double]]] = {
+    def pass(qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+        : Map[String, Option[Double]] =
+      qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -261,7 +287,10 @@ object Bench {
         Caches.clear(spark)
         name -> (if (ok) Some(dt) else None)
       }
-    }
+    val sub = queries.view.filterKeys(extraFor).toMap
+    (1 to reps).map(_ => pass(queries)) ++
+      (if (sub.isEmpty) Nil else (1 to extraPasses).map(_ => pass(sub)))
+  }
 
   /** JSON string escape for the hand-built artifact/stdout lines:
     * quotes, backslashes, and control characters — enough for values
@@ -289,8 +318,8 @@ object Bench {
   private[graft] def warmMedians(names: Seq[String],
       samples: Seq[Map[String, Option[Double]]]): Map[String, Double] =
     names.map { n =>
-      val warm = samples.drop(1).flatMap(_(n))
-      val all = samples.flatMap(_(n))
+      val warm = samples.drop(1).flatMap(_.get(n).flatten)
+      val all = samples.flatMap(_.get(n).flatten)
       n -> (if (warm.nonEmpty) median(warm)
         else if (all.nonEmpty) median(all) else -1.0)
     }.toMap
@@ -303,26 +332,34 @@ object Bench {
     * recorded before the field existed. A missing/unparseable
     * baseline disables the alarm (first run, fresh clone).
     */
+  /** The baseline file's per-query warm entries (`queries_warm`
+    * preferred, `queries` accepted for mirrors recorded before the
+    * field existed); empty on a missing/unparseable baseline. Shared
+    * by the regression alarm and the sub-second-reps selection.
+    */
+  private[graft] def baselineWarm(baselinePath: String)
+      : Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt)
+      val node = if (root.has("queries_warm")) root.get("queries_warm")
+        else root.get("queries")
+      if (node == null) Map.empty
+      else {
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+        }
+        b.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   private[graft] def regressions(warm: Map[String, Double],
       baselinePath: String): Seq[(String, Double, Double, Double)] = {
-    val base: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(
-          java.nio.file.Paths.get(baselinePath))
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(txt)
-        val node = if (root.has("queries_warm")) root.get("queries_warm")
-          else root.get("queries")
-        if (node == null) Map.empty
-        else {
-          val it = node.fields()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) {
-            val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
-          }
-          b.result()
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val base = baselineWarm(baselinePath)
     warm.toSeq.flatMap { case (n, now) =>
       base.get(n) match {
         case Some(b) if b > 0 && now > 0 &&
@@ -410,10 +447,18 @@ object Bench {
       // unstamped baselines bypass the cross-regime guard — the
       // mismatch protection would never engage on a mature baseline.
       // Stamping here is safe: the caller already verified regimeOk.
+      // STALENESS is judged on the regime-GUARDED keys only (runner,
+      // cpus — the ones the cross-regime guard reads): a no-movement
+      // run whose reps/codegen happen to differ (the driver's
+      // codegen-off or reps=1 regimes) must not rewrite the tracked
+      // file just to restamp fields the guard ignores — reps/codegen
+      // stay as recorded by the run that last moved an entry.
       val provStale = provenance.nonEmpty && {
         val cur = root.get("provenance")
-        provenance.exists { case (k, v) =>
-          cur == null || cur.get(k) == null || cur.get(k).asText("") != v }
+        Seq("runner", "cpus").exists { k =>
+          provenance.get(k).exists(v =>
+            cur == null || cur.get(k) == null || cur.get(k).asText("") != v)
+        }
       }
       if (lowered + seeded + rebased > 0 || provStale) {
         if (provenance.nonEmpty) {
@@ -446,9 +491,12 @@ object Bench {
       sfDir: String, provenance: Map[String, String] = Map.empty)
       : (String, String, Seq[String]) = {
     val okSamples: Map[String, Seq[Double]] =
-      names.map(n => n -> samples.flatMap(_(n))).toMap
+      names.map(n => n -> samples.flatMap(_.get(n).flatten)).toMap
+    // a name ABSENT from a pass (the partial sub-second passes omit
+    // the rest of the suite) was not sampled — only a present-but-None
+    // entry is a recorded failure
     val errCount: Map[String, Int] =
-      names.map(n => n -> samples.count(_(n).isEmpty)).toMap
+      names.map(n => n -> samples.count(_.get(n).exists(_.isEmpty))).toMap
     val med = names.map { n =>
       n -> (if (okSamples(n).nonEmpty) median(okSamples(n)) else -1.0)
     }.toMap
@@ -467,8 +515,15 @@ object Bench {
     val errs = names.filter(errCount(_) > 0)
       .map(n => s"\"" + n + "\":" + errCount(n))
       .mkString("{", ",", "}")
+    // min/max over the WARM samples only (rep-1 cold excluded, falling
+    // back to all samples on single-rep runs): rep 1 carries the
+    // one-time artifact builds (already split out as build_s), so
+    // including it read as 5x "spread" on gates that are steady warm —
+    // the spread figure should describe the serving path the ratchet
+    // and alarm act on
     val minmax = names.map { n =>
-      val xs = okSamples(n)
+      val warm = samples.drop(1).flatMap(_.get(n).flatten)
+      val xs = if (warm.nonEmpty) warm else okSamples(n)
       if (xs.nonEmpty) s"\"" + n + "\":[" + xs.min + "," + xs.max + "]"
       else s"\"" + n + "\":[-1,-1]"
     }.mkString("{", ",", "}")
@@ -479,7 +534,7 @@ object Bench {
     // one-time layout/index writes (bucketed tables, stored postings,
     // SQ8 codes) land in rep 1 and nowhere else
     val buildVals: Map[String, Double] = names.map { n =>
-      val first = samples.headOption.flatMap(_(n))
+      val first = samples.headOption.flatMap(_.get(n).flatten)
       n -> ((first, warm(n)) match {
         case (Some(f), w) if w >= 0 => math.max(0.0, f - w)
         case _ => 0.0

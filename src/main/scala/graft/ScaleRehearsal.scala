@@ -1560,9 +1560,13 @@ object ScaleRehearsal {
     // micro-batch StreamingQueries in the specs, but only at fixture
     // scale with the default (heap) state store. This phase drives
     // sessionsStreaming (~1e6 session-window state keys) and
-    // cusumStateful (~1e6 flatMapGroupsWithState keys) across 3
+    // cusumStateful (~1e6 flatMapGroupsWithState keys) across 5
     // file-source micro-batches on the RocksDB state store, recording
     // per-batch latency, state rows, and emitted rows in the artifact.
+    // FIVE batches, not three: the r19 3-batch run showed sessions
+    // latency 5.33 → 5.51 → 6.62 s (+24% by batch 3) at CONSTANT state
+    // rows — the longer tail distinguishes RocksDB compaction settling
+    // (flat after the first batches) from monotone growth (a leak).
     val streamStats =
       scala.collection.mutable.ArrayBuffer[(String, Int, Double, Long, Long)]()
     def streamExtra(): String =
@@ -1571,7 +1575,7 @@ object ScaleRehearsal {
         f"""{"op":"$op","batch":$b,"s":$sec%.2f,""" +
           f""""state_rows":$stateRows,"out_rows":$outRows}"""
       }.mkString("\"batches\":[", ",", "]")
-    t("streaming state 1e6 keys, 3 batches", streamExtra _)({
+    t("streaming state 1e6 keys, 5 batches", streamExtra _)({
       val base = java.nio.file.Files.createTempDirectory("graft-stream-scale")
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProv = spark.conf.getOption(provKey)
@@ -1579,7 +1583,7 @@ object ScaleRehearsal {
         "state.RocksDBStateStoreProvider")
       try {
         val t0us = 1704067200000000L // 2024-01-01T00:00Z in micros
-        // drive one operator over 3 file-source batches; returns
+        // drive one operator over 5 file-source batches; returns
         // (total emitted rows, final state rows). Per-batch: two
         // processAllAvailable calls (ingest, then the watermark-advance
         // flush batch — the spec-established drive shape).
@@ -1615,7 +1619,7 @@ object ScaleRehearsal {
           try {
             var cumOut = 0L
             var state = 0L
-            for (k <- 0 to 2) {
+            for (k <- 0 to 4) {
               if (k > 0) writeBatch(k)
               val tb = System.nanoTime()
               q.processAllAvailable()

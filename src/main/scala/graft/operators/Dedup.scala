@@ -374,7 +374,10 @@ object Dedup {
 
   /** Per-round evidence from the most recent `dupClusters` star loop on
     * this JVM: round number, edge count AFTER the round (the frontier
-    * the next round pays for), rewrite-change count, and wall seconds.
+    * the next round pays for), the round's progress indicator
+    * (`changed` = −1 when the edge count moved, else the exact
+    * potential drop Σ(a+b) cur − next capped to Long range; 0 ⇔ the
+    * round was the identity, i.e. converged), and wall seconds.
     * The scale rehearsal attaches this to its phase artifact so a slow
     * fixpoint is explained round by round (round-bound vs data-bound)
     * instead of by one opaque total. Same caveats as `lastStarRounds`:
@@ -436,13 +439,12 @@ object Dedup {
     * same `statsFreeLocalCheckpoint` the GraphOps fixpoints use: each
     * round's state is materialized to a fresh default-stats leaf, so
     * neither the logical plan nor the computed sizeInBytes compound
-    * across rounds. CONVERGENCE is an exact set-equality test, not an
-    * accumulator: both states are distinct, so |next| == |cur| plus an
-    * empty next ∖ cur anti-join proves round(cur) == cur — and a
-    * round-function fixpoint IS the joint star fixpoint (each half is
-    * non-increasing in the potential Σ(a+b) over the distinct edge
-    * set, with equality only at its own fixpoint). The anti-join runs
-    * only when the counts already match.
+    * across rounds. CONVERGENCE is an exact potential test (count +
+    * decimal Σ(a+b) — see the potential paragraph below), not an
+    * accumulator and not a join — and a round-function fixpoint IS
+    * the joint star fixpoint (each half is non-increasing in the
+    * shifted potential over the distinct edge set, with equality only
+    * at its own fixpoint).
     *
     * Throws IllegalStateException if `maxIter` rounds don't converge
     * (never silently returns wrong labels). `checkpointDir`, when set,
@@ -479,6 +481,25 @@ object Dedup {
     * (bounded recompute after executor loss), not speed; it is
     * round-count-gated by `checkpointEvery` purely to bound that
     * recompute window.
+    *
+    * CONVERGENCE is an exact POTENTIAL test, no join: with the shift
+    * Φ'(S) = Σ_{(a,b)∈S} (a + b + 2⁶⁴) — i.e. |S| and Σ(a+b) in
+    * decimal, which the loop tracks — Φ'(round(S)) ≤ Φ'(S) with
+    * equality IFF round(S) = S. Proof: small-star maps each state row
+    * bijectively (the group-min row to ssSelf's identical (u, m(u)),
+    * every other (u, v) to (v, m(u)) whose shifted row-potential is
+    * strictly smaller since m(u) < u), large-star maps each canonical
+    * row (x, v) to (v, least(x, m(x))) — identity or strictly
+    * smaller — and the between-half `distinct` only removes rows,
+    * each of strictly positive shifted potential (a ≠ b forces
+    * a + b + 2⁶⁴ ≥ 1 even at the signed-long extremes). Equality
+    * therefore forces every per-row map to be the identity AND no
+    * merging: next = cur exactly, no hash-collision caveat. This
+    * replaced the |next|-sized anti-join converged rounds used to pay
+    * to certify `changed` (measured: the equality probe cost more
+    * than the contraction it certified on the converged 19.9M-edge
+    * XL state) with one map-side-combined decimal aggregation per
+    * round.
     */
   def dupClusters(pairs0: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None,
@@ -510,9 +531,19 @@ object Dedup {
     def drop(df: DataFrame): Unit = ColumnBridge.unpersistCheckpoint(df)
     val raw0 = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // DISTINCT at round 0: star contraction is defined on edge SETS,
+    // and every later state is deduplicated between half-rounds — a
+    // duplicated pair input (the 100M-edge rehearsal fixture carries
+    // ~2x multiplicity) would otherwise (a) inflate `nEdges`, which
+    // sizes `parts`, the heavy-hub threshold, and the fast-path
+    // cutoff, off the multiset instead of the graph, and (b) hand
+    // round 0's small-star aggregation AND rewrite join the full
+    // multiset — one guaranteed extra round of work on data the first
+    // dedup would have dropped. The exchange this distinct adds is
+    // strictly narrower than the round-0 join it replaces feeding.
     val (raw, nEdges) = ckR(raw0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")), reliable = false)
+        greatest(col("a"), col("b")).as("b")).distinct(), reliable = false)
     val (selfIds, nSelf) = ckR(raw0.filter(col("a") === col("b"))
       .select(col("a")).distinct(), reliable = false)
     raw0.unpersist(blocking = false)
@@ -535,18 +566,34 @@ object Dedup {
       if (heavyDegree > 0L) heavyDegree
       else math.max(1024L, 2L * nEdges / parts / 64L)
     val roundLog = scala.collection.mutable.ListBuffer[RoundStat]()
+    // EXACT potential Σ(a+b) of a distinct state, in decimal(38,0) so
+    // ids anywhere in long range cannot wrap (|a+b| < 2⁶⁵ per row;
+    // 10¹⁸ rows stay under the 38-digit ceiling). One map-side-
+    // combined aggregation over the just-checkpointed state — the
+    // convergence probe, replacing the anti-join (see the Scaladoc's
+    // potential proof). Null on a non-empty state would mean decimal
+    // overflow — impossible at any materializable size, guarded loud.
+    def phi(df: DataFrame, n: Long): java.math.BigDecimal = {
+      val r = df.agg(sum(col("a").cast("decimal(38,0)") +
+        col("b").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) {
+        require(n == 0L, "potential sum overflowed decimal(38,0) — " +
+          "cannot certify convergence")
+        java.math.BigDecimal.ZERO
+      } else r.getDecimal(0)
+    }
     // One small-star + large-star round over the checkpointed state
-    // (a, b): returns (next state, |next|, changed) where `changed` is
-    // the EXACT count of next-rows absent from cur when |next| == |cur|
-    // (both are distinct sets, so equal counts make one anti-join a
-    // complete set-equality test) and -1 otherwise (counts differ ⇒
-    // trivially not converged — no join spent). changed == 0 ⇔
-    // round(cur) == cur ⇔ joint star fixpoint: both operations are
-    // non-increasing in the potential Σ(a+b) over the distinct edge
-    // set with equality only at their own fixpoints, so a round that
-    // returns its input verbatim was fixed under BOTH halves.
-    def starRound(cur: DataFrame, nCur: Long, iterNo: Int)
-        : (DataFrame, Long, Long) = {
+    // (a, b): returns (next state, |next|, Φ(next), changed) where
+    // `changed` is -1 when |next| != |cur| (trivially not converged)
+    // and otherwise the exact potential drop Φ'(cur) − Φ'(next) =
+    // Φ(cur) − Φ(next) (counts equal ⇒ the 2⁶⁴ shifts cancel), capped
+    // to Long for the round log. changed == 0 ⇔ Φ'(next) == Φ'(cur) ⇔
+    // round(cur) == cur ⇔ joint star fixpoint — exact, no join, no
+    // probabilistic hashing (Scaladoc: the per-row bijection makes Φ'
+    // strictly decreasing off the fixpoint).
+    def starRound(cur: DataFrame, nCur: Long,
+        phiCur: java.math.BigDecimal, iterNo: Int)
+        : (DataFrame, Long, java.math.BigDecimal, Long) = {
       val tR0 = System.nanoTime()
       def lap(t0: Long): Double = (System.nanoTime() - t0) / 1e9
       val reliableDue = checkpointDir.isDefined &&
@@ -615,9 +662,16 @@ object Dedup {
       val (next, nAfter) = ckR(
         lsHeavyOut.unionByName(lsLight).distinct(), reliable = reliableDue)
       val tLS = lap(tL0)
+      val phiNext = phi(next, nAfter)
       val changed =
         if (nAfter != nCur) -1L
-        else next.join(cur, Seq("a", "b"), "left_anti").count()
+        else {
+          val d = phiCur.subtract(phiNext)
+          // exact potential drop, capped into the Long diagnostic slot
+          if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0)
+            Long.MaxValue
+          else d.longValueExact()
+        }
       ssAgg.unpersist(blocking = false)
       lsAgg.unpersist(blocking = false)
       drop(ss)
@@ -626,9 +680,9 @@ object Dedup {
       roundLog += RoundStat(iterNo, nAfter, changed, secs)
       println(f"[dupClusters] round=$iterNo edges=$nAfter " +
         f"changed=$changed ${secs}%.1fs " +
-        f"(smallStar $tSS%.1fs, largeStar $tLS%.1fs, equality " +
+        f"(smallStar $tSS%.1fs, largeStar $tLS%.1fs, potential " +
         f"${secs - tSS - tLS}%.1fs)")
-      (next, nAfter, changed)
+      (next, nAfter, phiNext, changed)
     }
     // which checkpointed frame still needs releasing once `labels`
     // materializes
@@ -673,12 +727,15 @@ object Dedup {
       } else {
         var edges = raw
         var nCur = nEdges
+        var phiCur = phi(raw, nEdges)
         var converged = false
         var iter = 0
         while ((!converged || iter < minRounds) && iter < maxIter) {
-          val (next, nAfter, changed) = starRound(edges, nCur, iter)
+          val (next, nAfter, phiNext, changed) =
+            starRound(edges, nCur, phiCur, iter)
           edges = next
           nCur = nAfter
+          phiCur = phiNext
           converged = changed == 0L
           iter += 1
         }

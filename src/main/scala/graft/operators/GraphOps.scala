@@ -516,6 +516,29 @@ object GraphOps {
         .distinct())
   }
 
+  /** Memo of `undSimple` — the `weightedEdgesShared` treatment for the
+    * UNDIRECTED-simple family: `kCore`, `coreness`, `kTruss`,
+    * `labelPropagation`, `modularity`, `louvainRound`, and `louvain`
+    * each derive the same symmetrize+simplify relation from the same
+    * edge bag (the modularity gate even derived it twice — once inside
+    * its LPA input, once itself), and the derivation is a full-bag
+    * filter + union + distinct shuffle per call. Three slots = the
+    * three live suite keys (the ComponentsMod slice, the unsparsified
+    * kCore bag, the TrussMod slice); values are checkpoint-backed and
+    * session-lived like every PlanMemo. The returned frame is
+    * MEMO-OWNED: consumers must never `drop` it — the peel loops
+    * guard their supersede-drop against the shared frame by reference
+    * (`protect`), and the label loops simply leave it to the memo.
+    */
+  private val undMemo = new graft.PlanMemo[(DataFrame, Long)](3,
+    { case (df, _) => graft.PlanMemo.releaseDf(df) })
+  private[graft] def undMemoHits = undMemo.hits
+
+  private def undSimpleShared(e: DataFrame): (DataFrame, Long) = {
+    val base = e.select(col("src"), col("dst"))
+    undMemo.getOrBuild(base, "undsimple")(undSimple(base))
+  }
+
   /** Peel a checkpointed undirected simple state to its k-core
     * fixpoint (degree-< k endpoints removed until stable). CONSUMES
     * the input state (its frame is dropped once superseded); returns
@@ -529,7 +552,12 @@ object GraphOps {
     */
   private def peelTo(und0: DataFrame, nEdges0: Long, k: Int,
       maxRounds: Int,
-      localMax: Long = KTrussLocalMax): (DataFrame, Long) = {
+      localMax: Long = KTrussLocalMax,
+      protect: DataFrame = null): (DataFrame, Long) = {
+    // `protect`: a MEMO-OWNED input frame (undSimpleShared) this loop
+    // must not release when superseding it — every later round's state
+    // is loop-owned and dropped as before
+    def dropOwned(df: DataFrame): Unit = if (df ne protect) drop(df)
     var und = und0
     var nEdges = nEdges0
     var rounds = 0
@@ -543,7 +571,7 @@ object GraphOps {
         val pairs = und.filter(col("src") < col("dst"))
           .select(col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
-        drop(und)
+        dropOwned(und)
         return peelToLocalTail(und0.sparkSession, pairs, k, rounds,
           maxRounds)
       }
@@ -555,7 +583,7 @@ object GraphOps {
           .select(col("src"), col("dst")))
       rounds += 1
       converged = nNext == nEdges
-      drop(und)
+      dropOwned(und)
       und = next
       nEdges = nNext
     }
@@ -602,8 +630,8 @@ object GraphOps {
       maxRounds: Int = KCoreMaxRounds,
       localMax: Long = KTrussLocalMax): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    val (und0, n0) = undSimple(e)
-    val (und, _) = peelTo(und0, n0, k, maxRounds, localMax)
+    val (und0, n0) = undSimpleShared(e)
+    val (und, _) = peelTo(und0, n0, k, maxRounds, localMax, protect = und0)
     und.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node_id"), col("degree"))
   }
@@ -639,7 +667,9 @@ object GraphOps {
   def coreness(e: DataFrame, maxK: Int = CorenessMaxK,
       maxRounds: Int = CorenessMaxRounds,
       localMax: Long = KTrussLocalMax): DataFrame = {
-    var (und, nEdges) = undSimple(e)
+    val (undShared, nShared) = undSimpleShared(e)
+    var und = undShared
+    var nEdges = nShared
     // materialize the level-1 vertex set BEFORE peeling consumes the
     // state it derives from
     val verts1 = ck(und.select(col("src").as("node_id")).distinct())
@@ -650,7 +680,8 @@ object GraphOps {
         throw new IllegalStateException(
           s"coreness exceeds maxK=$maxK — raise maxK (and the " +
             "oracle's level unroll with it)")
-      val (next, nNext) = peelTo(und, nEdges, k, maxRounds, localMax)
+      val (next, nNext) =
+        peelTo(und, nEdges, k, maxRounds, localMax, protect = undShared)
       und = next
       nEdges = nNext
       if (nEdges > 0L)
@@ -715,7 +746,11 @@ object GraphOps {
       maxRounds: Int = KTrussMaxRounds,
       localMax: Long = KTrussLocalMax): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3 (k = 2 keeps every edge), got $k")
-    var (und, nEdges) = undSimple(e)
+    val (undShared, nShared) = undSimpleShared(e)
+    var und = undShared
+    var nEdges = nShared
+    // the memo owns the shared round-0 frame; only loop-built states drop
+    def dropOwned(df: DataFrame): Unit = if (df ne undShared) drop(df)
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged) {
@@ -728,7 +763,7 @@ object GraphOps {
         val pairs = und.filter(col("src") < col("dst"))
           .select(col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
-        drop(und)
+        dropOwned(und)
         return kTrussLocalTail(e.sparkSession, pairs, k, rounds, maxRounds)
       }
       val keep = trussSupport(und)
@@ -740,7 +775,7 @@ object GraphOps {
         und.join(keep, Seq("src", "dst"), "left_semi"))
       rounds += 1
       converged = nNext == nEdges
-      drop(und)
+      dropOwned(und)
       und = next
       nEdges = nNext
     }
@@ -2636,7 +2671,7 @@ object GraphOps {
   def labelPropagation(e: DataFrame, rounds: Int = LpaRounds): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"labelPropagation: rounds must be in [1, 16], got $rounds")
-    val (und, _) = undSimple(e)
+    val (und, _) = undSimpleShared(e)
     var labels = ck(und.select(col("src").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("lab")))
     (1 to rounds).foreach { _ =>
@@ -2654,7 +2689,8 @@ object GraphOps {
       drop(prev)
     }
     val out = labels.select(col("vertex"), col("lab").as("community"))
-    drop(und)
+    // `und` is memo-owned (undSimpleShared) — the memo's LRU/refcount
+    // releases it, not this loop
     out
   }
 
@@ -2675,7 +2711,7 @@ object GraphOps {
     * relation shuffles, no windows.
     */
   def modularity(e: DataFrame, labels: DataFrame): DataFrame = {
-    val (und, nSym) = undSimple(e)
+    val (und, nSym) = undSimpleShared(e)
     val m = nSym / 2L
     val l = labels.select(col("vertex"), col("community"))
     val j = und
@@ -2698,7 +2734,8 @@ object GraphOps {
         lit(4L) * col("m") * col("e_intra") - col("d_tot") * col("d_tot"))
     // NOTE: `und` stays checkpointed — `out` is lazily derived from it
     // (unlike labelPropagation, whose result only reads the label
-    // frame); the session's cache scope releases it after consumption
+    // frame); it is memo-owned (undSimpleShared), released by the
+    // memo's LRU/refcount, never by this operator
     out
   }
 
@@ -2728,7 +2765,7 @@ object GraphOps {
     * docstring's decimal upgrade applies the same way).
     */
   def louvainRound(e: DataFrame): DataFrame = {
-    val (und, nSym) = undSimple(e)
+    val (und, nSym) = undSimpleShared(e)
     val m = nSym / 2L
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
     val cand = und
@@ -2800,7 +2837,7 @@ object GraphOps {
   def louvain(e: DataFrame, levels: Int = LouvainLevels): DataFrame = {
     require(levels >= 1 && levels <= 16,
       s"louvain: levels must be in [1, 16], got $levels")
-    val (und, nSym) = undSimple(e)
+    val (und, nSym) = undSimpleShared(e)
     val m = nSym / 2L
     var labels = ck(und.select(col("src").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("community")))
@@ -2847,7 +2884,7 @@ object GraphOps {
       }
     }}
     val out = labels
-    drop(und)
+    // `und` is memo-owned (undSimpleShared): the memo releases it
     out
   }
 

@@ -100,10 +100,15 @@ object ColumnBridge {
     statsFreeCheckpointCounted(df, reliable = false)
 
   /** `statsFreeLocalCheckpointCounted` with an optional RELIABLE
-    * checkpoint: when `reliable` (and the context has a checkpoint
-    * dir), the materialized rows are persisted then written to the
+    * checkpoint: when `reliable` AND the context has a checkpoint
+    * dir, the materialized rows are persisted then written to the
     * reliable store — the fault-tolerance variant an iterative loop
-    * uses every Nth round to bound its recompute horizon. The persist
+    * uses every Nth round to bound its recompute horizon. A reliable
+    * request WITHOUT a checkpoint dir falls back to the local
+    * checkpoint (announced on stderr) instead of letting
+    * `rdd.checkpoint()` throw from deep inside the loop — the caller
+    * asked for lineage truncation either way, and only the
+    * fault-tolerance upgrade needs the directory. The persist
     * keeps the checkpoint write from recomputing the plan; the
     * blocks remain releasable afterwards (reads fall back to the
     * checkpoint files), so `unpersistCheckpoint` stays safe — safer,
@@ -115,7 +120,13 @@ object ColumnBridge {
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cdf.sparkSession
     val rdd = cdf.queryExecution.toRdd.map(_.copy())
-    if (reliable) {
+    val reliableOk = reliable &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    if (reliable && !reliableOk)
+      System.err.println("[ck] reliable checkpoint requested but the " +
+        "SparkContext has no checkpoint dir — falling back to " +
+        "localCheckpoint (lineage truncated, no executor-loss recovery)")
+    if (reliableOk) {
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.checkpoint()
     } else rdd.localCheckpoint()

@@ -90,6 +90,38 @@ class BenchSpec extends SparkSpec {
     assert(oneJson.contains("\"build_s\":{\"q\":0.0}"), oneJson)
   }
 
+  test("sub-second extra passes: partial maps, absent names are not errors, warm stats fold the extras, minmax is warm-only") {
+    // sample() appends extraPasses partial passes covering only
+    // extraFor names — the other queries are simply absent, never an
+    // error entry
+    val queries = Map(
+      "a" -> q(s => s.range(2).toDF()),
+      "b" -> q(s => s.range(2).toDF()))
+    val got = Bench.sample(spark, "unused", queries, reps = 2,
+      extraFor = Set("a"), extraPasses = 2)
+    assert(got.size === 4)
+    assert(got.take(2).forall(m => m.contains("a") && m.contains("b")))
+    assert(got.drop(2).forall(m => m.contains("a") && !m.contains("b")))
+    // hand-built samples: 1 cold + 2 warm full passes, 2 extra partial
+    val samples = Seq(
+      Map("sub" -> Some(9.0), "big" -> Some(5.0)),
+      Map("sub" -> Some(0.5), "big" -> Some(5.0)),
+      Map("sub" -> Some(0.75), "big" -> Some(5.0)),
+      Map("sub" -> Some(0.25)),
+      Map("sub" -> Some(1.0)))
+    val warm = Bench.warmMedians(Seq("sub", "big"), samples)
+    assert(warm("sub") === 0.625) // median of 0.25, 0.5, 0.75, 1.0
+    assert(warm("big") === 5.0)
+    val (_, fileJson, allFailed) =
+      Bench.render(Seq("sub", "big"), samples, 3, "sf-test")
+    assert(allFailed.isEmpty)
+    assert(fileJson.contains("\"errors\":{}"), fileJson)
+    // minmax describes the WARM serving path: the cold 9.0 is build
+    // territory (build_s), not spread
+    assert(fileJson.contains("\"sub\":[0.25,1.0]"), fileJson)
+    assert(fileJson.contains("\"big\":[5.0,5.0]"), fileJson)
+  }
+
   test("the warm-regression alarm trips on >1.5x with absolute delta, stays quiet otherwise") {
     val base = java.nio.file.Files.createTempFile("graft_bench_base", ".json")
     java.nio.file.Files.writeString(base,

@@ -574,6 +574,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraphOps.weMemoHits.get() === hits2)
   }
 
+  test("undSimpleShared memo: the undirected family reuses one symmetrize+simplify and peel loops never drop the shared frame") {
+    val s = spark
+    import s.implicits._
+    // triangle + pendant, with duplicate and self edges to simplify away
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L),
+      (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val before = GraphOps.undMemoHits.get()
+    assert(GraphOps.labelPropagation(e, rounds = 2).collect().nonEmpty)
+    // a second family member over the SAME edges hits the memo (the
+    // modularity gate even hits twice: once in its LPA input, once
+    // itself)
+    assert(GraphOps.modularity(e,
+      GraphOps.labelPropagation(e, rounds = 2)).collect().nonEmpty)
+    assert(GraphOps.undMemoHits.get() > before,
+      "the undirected family rebuilt undSimple instead of reusing it")
+    // the peel loops guard their supersede-drop against the memo-owned
+    // frame: kCore must run green TWICE over the same edges — if the
+    // first run had dropped the shared checkpoint, the second run's
+    // memo HIT would read released blocks and fail — and agree with
+    // itself and with louvain's vertex set
+    def core(k: Int) = GraphOps.kCore(e, k = k, localMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k1 = core(2)
+    assert(k1 === core(2) && k1.nonEmpty)
+    assert(k1.map(_._1) === Set(0L, 1L, 2L)) // the triangle is the 2-core
+    // a different edge relation must miss
+    val hits2 = GraphOps.undMemoHits.get()
+    GraphOps.kCore(Seq((7L, 8L)).toDF("src", "dst"), k = 1,
+      localMax = 0L).count()
+    assert(GraphOps.undMemoHits.get() === hits2)
+  }
+
   test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
     val s = spark
     import s.implicits._

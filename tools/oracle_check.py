@@ -20,11 +20,19 @@ TABLES = ["orders", "lineitem", "customer", "supplier", "nation",
 
 def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
     # DUCKDB_THREADS caps the oracle's parallelism so a long compare can
-    # run beside a timed Spark drive without stealing its cores; unset =
-    # duckdb's default (all cores) — the driver's standalone usage.
+    # run beside a timed Spark drive without stealing its cores; unset or
+    # malformed (e.g. an empty string exported by a wrapper) = duckdb's
+    # default (all cores) — a bad value must not fail the sweep before
+    # any query runs.
     threads = os.environ.get("DUCKDB_THREADS")
+    try:
+        threads = int(threads) if threads else None
+    except ValueError:
+        print(f"DUCKDB_THREADS={threads!r} is not an int; "
+              "using duckdb's default thread count", file=sys.stderr)
+        threads = None
     con = duckdb.connect(
-        config={"threads": int(threads)} if threads else {})
+        config={"threads": threads} if threads else {})
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
