@@ -453,11 +453,14 @@ object Dedup {
     * run can recompute all the way back to the pair join (persisted
     * rounds help only as far as surviving blocks).
     *
-    * SMALL-GRAPH FAST PATH: when the canonical edge count is ≤
-    * `localThreshold` (default `ClusterLocalEdges` = the same 250k
-    * edges the loop's partition sizing allots to ONE partition, ~4 MB)
-    * the component resolution runs as a single union-find pass in one
-    * task instead of ~log² rounds × 4 distributed jobs each — after
+    * SMALL-GRAPH FAST PATH: when the canonical edge MULTISET count is
+    * ≤ `localThreshold` (default `ClusterLocalEdges` = the same 250k
+    * edges the loop's partition sizing allots to ONE partition, ~4 MB;
+    * gating on the multiset is conservative for the single-task cap,
+    * and the union-find dedups implicitly — the small case pays no
+    * distinct exchange) the component resolution runs as a single
+    * union-find pass in one task instead of ~log² rounds × 4
+    * distributed jobs each — after
     * LSH banding + verification, real pair graphs are typically tiny
     * even when the corpus is not, and the iterative path's cost is
     * then pure scheduling overhead. Star contraction remains the path
@@ -531,40 +534,20 @@ object Dedup {
     def drop(df: DataFrame): Unit = ColumnBridge.unpersistCheckpoint(df)
     val raw0 = pairs0.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // DISTINCT at round 0: star contraction is defined on edge SETS,
-    // and every later state is deduplicated between half-rounds — a
-    // duplicated pair input (the 100M-edge rehearsal fixture carries
-    // ~2x multiplicity) would otherwise (a) inflate `nEdges`, which
-    // sizes `parts`, the heavy-hub threshold, and the fast-path
-    // cutoff, off the multiset instead of the graph, and (b) hand
-    // round 0's small-star aggregation AND rewrite join the full
-    // multiset — one guaranteed extra round of work on data the first
-    // dedup would have dropped. The exchange this distinct adds is
-    // strictly narrower than the round-0 join it replaces feeding.
-    val (raw, nEdges) = ckR(raw0.filter(col("a") =!= col("b"))
+    // The canonical MULTISET, checkpointed once off the (possibly
+    // expensive) pair pipeline. The fast-path decision reads its
+    // count: gating on the multiset is conservative for the
+    // single-task cap (multiset ≥ distinct), and the union-find
+    // dedups implicitly — so the small case pays NO distinct exchange
+    // at all (measured: the unconditional round-0 distinct added
+    // ~0.2 s to every sub-second cluster gate at sf0.1 while buying
+    // nothing the one-task pass needed).
+    val (rawAll, nRawAll) = ckR(raw0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct(), reliable = false)
+        greatest(col("a"), col("b")).as("b")), reliable = false)
     val (selfIds, nSelf) = ckR(raw0.filter(col("a") === col("b"))
       .select(col("a")).distinct(), reliable = false)
     raw0.unpersist(blocking = false)
-    // the heavy-hub threshold is sized off the DATA (a near-empty pair
-    // graph should broadcast aggressively is moot — AQE coalesces its
-    // shuffles anyway); `parts` mirrors the partitioner sizing the RDD
-    // form used, now only as the threshold's scale denominator
-    val maxParts = math.max(1,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val parts = math.max(1,
-      math.min(maxParts.toLong, nEdges / 250000L + 1L).toInt)
-    // Heavy-hub broadcast threshold: 2E/(64·parts). The broadcast side
-    // stays counting-bounded — at most 2E/hvy = 128·parts entries (a
-    // few KB of longs) — while every key above ~1.6% of a mean
-    // partition's rows rewrites through a broadcast hash join, so no
-    // shuffle-join task owns an adjacency more than a sliver above the
-    // mean. The contracted giant component's root (degree ≈ its
-    // member count) always crosses this.
-    val hvy =
-      if (heavyDegree > 0L) heavyDegree
-      else math.max(1024L, 2L * nEdges / parts / 64L)
     val roundLog = scala.collection.mutable.ListBuffer[RoundStat]()
     // EXACT potential Σ(a+b) of a distinct state, in decimal(38,0) so
     // ids anywhere in long range cannot wrap (|a+b| < 2⁶⁵ per row;
@@ -592,7 +575,7 @@ object Dedup {
     // probabilistic hashing (Scaladoc: the per-row bijection makes Φ'
     // strictly decreasing off the fixpoint).
     def starRound(cur: DataFrame, nCur: Long,
-        phiCur: java.math.BigDecimal, iterNo: Int)
+        phiCur: java.math.BigDecimal, iterNo: Int, hvy: Long)
         : (DataFrame, Long, java.math.BigDecimal, Long) = {
       val tR0 = System.nanoTime()
       def lap(t0: Long): Double = (System.nanoTime() - t0) / 1e9
@@ -686,15 +669,15 @@ object Dedup {
     }
     // which checkpointed frame still needs releasing once `labels`
     // materializes
-    var releaseAfter: DataFrame = raw
+    var releaseAfter: DataFrame = rawAll
     val withRoots: DataFrame =
-      if (nEdges <= localThreshold) {
+      if (nRawAll <= localThreshold) {
         lastStarRounds.set(0)
         lastRounds.set(Nil)
         // SMALL-GRAPH FAST PATH — one union-find pass in one task.
         // Min-id union (parent(max-root) := min-root) makes every root
         // its component's minimum, exactly the star fixpoint's labels.
-        val lab = raw.rdd
+        val lab = rawAll.rdd
           .map(r => (r.getLong(0), r.getLong(1)))
           .coalesce(1).mapPartitions { it =>
             val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -725,6 +708,36 @@ object Dedup {
             org.apache.spark.sql.types.StructField("b",
               org.apache.spark.sql.types.LongType, nullable = false))))
       } else {
+        // STAR-LOOP entry: deduplicate to the edge SET first — the
+        // contraction is defined on sets, every later state is
+        // deduplicated between half-rounds, and `nEdges` (which sizes
+        // `parts`, the heavy-hub threshold, and round 0's aggregation
+        // + rewrite-join width) must describe the graph, not the
+        // input multiset (the 100M-edge rehearsal fixture carries ~2x
+        // multiplicity; its round 0 dropped 151 -> ~102 s warm).
+        val (raw, nEdges) = ckR(rawAll.distinct(), reliable = false)
+        drop(rawAll)
+        releaseAfter = raw
+        // the heavy-hub threshold is sized off the DATA (a near-empty
+        // pair graph should broadcast aggressively is moot — AQE
+        // coalesces its shuffles anyway); `parts` mirrors the
+        // partitioner sizing the RDD form used, now only as the
+        // threshold's scale denominator
+        val maxParts = math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        val parts = math.max(1,
+          math.min(maxParts.toLong, nEdges / 250000L + 1L).toInt)
+        // Heavy-hub broadcast threshold: 2E/(64·parts). The broadcast
+        // side stays counting-bounded — at most 2E/hvy = 128·parts
+        // entries (a few KB of longs) — while every key above ~1.6%
+        // of a mean partition's rows rewrites through a broadcast
+        // hash join, so no shuffle-join task owns an adjacency more
+        // than a sliver above the mean. The contracted giant
+        // component's root (degree ≈ its member count) always
+        // crosses this.
+        val hvy =
+          if (heavyDegree > 0L) heavyDegree
+          else math.max(1024L, 2L * nEdges / parts / 64L)
         var edges = raw
         var nCur = nEdges
         var phiCur = phi(raw, nEdges)
@@ -732,7 +745,7 @@ object Dedup {
         var iter = 0
         while ((!converged || iter < minRounds) && iter < maxIter) {
           val (next, nAfter, phiNext, changed) =
-            starRound(edges, nCur, phiCur, iter)
+            starRound(edges, nCur, phiCur, iter, hvy)
           edges = next
           nCur = nAfter
           phiCur = phiNext

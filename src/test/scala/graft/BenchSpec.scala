@@ -117,9 +117,15 @@ class BenchSpec extends SparkSpec {
     assert(allFailed.isEmpty)
     assert(fileJson.contains("\"errors\":{}"), fileJson)
     // minmax describes the WARM serving path: the cold 9.0 is build
-    // territory (build_s), not spread
+    // territory (build_s), not spread; at 4 warm samples no trim yet
     assert(fileJson.contains("\"sub\":[0.25,1.0]"), fileJson)
     assert(fileJson.contains("\"big\":[5.0,5.0]"), fileJson)
+    // with >=5 warm samples the single worst is trimmed from the max
+    // (one GC pause of 6 is noise, not spread); min is untouched
+    val five = samples ++ Seq(Map("sub" -> Some(0.5)))
+    val (_, fiveJson, _) = Bench.render(Seq("sub", "big"), five, 3, "sf")
+    assert(fiveJson.contains("\"sub\":[0.25,0.75]"), fiveJson)
+    assert(fiveJson.contains("\"big\":[5.0,5.0]"), fiveJson)
   }
 
   test("the warm-regression alarm trips on >1.5x with absolute delta, stays quiet otherwise") {
