@@ -34,7 +34,12 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
     con = duckdb.connect(
         config={"threads": threads} if threads else {})
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships one file per table; Spark-written
+        # tables (e.g. the MakeSf 10x replica set) are DIRECTORIES of
+        # part files — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     report = {}
