@@ -2796,6 +2796,77 @@ object GraphOps {
     */
   val LouvainLevels = 6
 
+  /** `louvain` small-graph fast-path gate (the `sccComponents` /
+    * `dupClusters` pattern): at or below this many SYMMETRIC simple
+    * rows the whole multi-level matching loop runs in ONE task —
+    * measured at sf0.1 (≈30k rows), the distributed loop's 6 levels
+    * cost ~0.75 s EACH in pure stage-scheduling overhead (~10
+    * exchanges per level over kilobyte data). Equality with the
+    * distributed loop is property-pinned (`localThreshold = 0` forces
+    * the loop in tests).
+    */
+  val LouvainLocalEdges = 250000L
+
+  /** Single-task twin of `louvain`'s level loop: identical integer
+    * math (gain = 2m·w − k_a·k_b on the current contraction, best =
+    * (gain DESC, partner ASC) among positive gains, mutual-best
+    * merges, smaller id wins, early exit on a merge-free level) over
+    * hash maps instead of relations. Input: the symmetric simple edge
+    * iterator (so |it| = nSym and m = |it|/2 exactly as the
+    * distributed form's `nSym / 2`).
+    */
+  private def louvainLocal(it: Iterator[(Long, Long)],
+      levels: Int): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val edges = it.toArray
+    val m = edges.length / 2
+    var w = mutable.HashMap.empty[(Long, Long), Long]
+    edges.foreach { ab => w.update(ab, w.getOrElse(ab, 0L) + 1L) }
+    val verts = edges.iterator.map(_._1).toArray.distinct.sorted
+    val label = mutable.HashMap.empty[Long, Long]
+    verts.foreach(v => label(v) = v)
+    var live = true
+    var lvl = 0
+    while (live && lvl < levels) {
+      lvl += 1
+      val k = mutable.HashMap.empty[Long, Long]
+      w.foreach { case ((a, _), wt) => k(a) = k.getOrElse(a, 0L) + wt }
+      // best positive-gain partner per community: (g DESC, b ASC)
+      val best = mutable.HashMap.empty[Long, (Long, Long)]
+      w.foreach { case ((a, b), wt) =>
+        if (a != b) {
+          val g = 2L * m * wt - k(a) * k(b)
+          if (g > 0L) best.get(a) match {
+            case Some((bg, bb)) if bg > g || (bg == g && bb < b) => ()
+            case _ => best(a) = (g, b)
+          }
+        }
+      }
+      val mutual = mutable.HashMap.empty[Long, Long]
+      best.foreach { case (a, (_, b)) =>
+        if (a > b) best.get(b) match {
+          case Some((_, ba)) if ba == a => mutual(a) = b
+          case _ => ()
+        }
+      }
+      if (mutual.isEmpty) live = false
+      else {
+        val w2 = mutable.HashMap.empty[(Long, Long), Long]
+        w.foreach { case ((a, b), wt) =>
+          val key = (mutual.getOrElse(a, a), mutual.getOrElse(b, b))
+          w2.update(key, w2.getOrElse(key, 0L) + wt)
+        }
+        w = w2
+        verts.foreach { v =>
+          val c = label(v)
+          val nc = mutual.getOrElse(c, c)
+          if (nc != c) label(v) = nc
+        }
+      }
+    }
+    verts.iterator.map(v => (v, label(v)))
+  }
+
   /** FULL multi-level LOUVAIN (Blondel et al. 2008), deterministic
     * matching form: each level, on the current contraction, every
     * community points at its best positive-ΔQ merge partner
@@ -2814,41 +2885,91 @@ object GraphOps {
     * guarantee the synchronous all-move sweep loses (two stale moves
     * can jointly decrease Q; two disjoint mutual merges cannot).
     *
-    * The contraction never materializes a supergraph: each level
-    * recomputes `w(A,B)` by joining the base symmetrized simple
-    * relation against the vertex-sized labeling twice — self-pairs
-    * w(A,A) = 2·e_intra land in the strength sum k_A exactly as the
-    * weighted algorithm requires, and m (the undirected base edge
-    * count) is level-invariant. Merged pair label = the smaller
-    * community id.
+    * The contraction MAINTAINS the supergraph's pair-weight relation
+    * incrementally instead of recomputing it from the base edges
+    * every level. Correctness is an exact identity: with
+    * w_i(A,B) = |{(u,v) ∈ sym : c_i(u)=A ∧ c_i(v)=B}| and
+    * c_{i+1} = r ∘ c_i for the level's merge relabel r (frm→to, else
+    * identity), partitioning the sym pairs by their level-i labels
+    * gives w_{i+1}(A',B') = Σ_{r(A)=A', r(B)=B'} w_i(A,B) — so
+    * relabeling w's two keys through the (tiny, broadcastable) mutual
+    * relation and re-aggregating yields EXACTLY the w the
+    * two-joins-onto-the-base-bag form computes, level by level
+    * (the DuckDB oracle keeps the recompute form; hash-equal by this
+    * identity). Level 1's w needs no join at all: on singleton
+    * communities w(u,v) = 1 per symmetric simple edge — the edge
+    * relation itself. Self-pairs w(A,A) = 2·e_intra land in the
+    * strength sum k_A exactly as the weighted algorithm requires, and
+    * m (the undirected base edge count) is level-invariant. Merged
+    * pair label = the smaller community id.
     *
-    * Shape per level: two vertex-keyed joins onto the edge bag, two
-    * map-side-combinable aggregations (pair weights, strengths), a
+    * Shape per level: two map-side-combinable aggregations over the
+    * COMMUNITY-PAIR relation (strengths, then the gain join), a
     * struct-min argmax (no window), one self-join of the
-    * community-sized `best` relation, one vertex-sized relabel —
-    * nothing wider than the edge relation shuffles; round state is the
-    * stats-free local checkpoint (`ck`) like every fixpoint loop here.
+    * community-sized `best` relation, and the pair-relation
+    * contraction (two merge-map lookups + one re-aggregation) — after
+    * level 1 nothing edge-bag-sized shuffles at all. The vertex-sized
+    * relabel is DEFERRED out of the loop entirely: the loop's only
+    * state is w, each level's merge map is kept (persisted,
+    * community-pair-sized), and the final labeling composes them as a
+    * chain of left joins over the vertex relation in ONE materialized
+    * job — c_L(v) = (r_L ∘ … ∘ r_1)(v), exactly the per-level
+    * relabel's composition. ONE Spark action per level: the
+    * contraction is checkpoint-materialized WITH its row count
+    * (ckCounted), and that count is the convergence probe — relabel
+    * only merges keys, so |w'| = |w| ⇔ the mutual matching was empty
+    * ⇔ the level was the identity (a mutual pair collapses (A,B) and
+    * (B,A) into one self-pair, strictly shrinking w). At bench scale
+    * the level cost is job overhead, not data, so halving the actions
+    * and dropping the per-level vertex relabel is the win; at 100 TB
+    * scale the win is the edge-bag joins disappearing from every
+    * level but the first.
     * A merge-free level ends the loop early — the remaining budget is
     * the identity, so the output equals the full unroll's (the
     * oracle's fixed depth stays sound).
     * Exact long arithmetic: |gain| ≤ max(2m·w, k²) < (2m)², fine while
     * 2m < ~2^31 (the `modularity` decimal-upgrade caveat applies).
     */
-  def louvain(e: DataFrame, levels: Int = LouvainLevels): DataFrame = {
+  def louvain(e: DataFrame, levels: Int = LouvainLevels,
+      localThreshold: Long = LouvainLocalEdges): DataFrame = {
     require(levels >= 1 && levels <= 16,
       s"louvain: levels must be in [1, 16], got $levels")
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold " +
+        "(the single-task matching loop holds the contraction in one " +
+        "JVM; use the distributed loop for more)")
+    val profT0 = System.nanoTime()
+    var profLast = profT0
+    def prof(name: String): Unit =
+      if (sys.env.contains("GRAFT_LOUVAIN_PROF")) {
+        val now = System.nanoTime()
+        System.err.println(f"LOUVPROF $name%-14s ${(now - profLast) / 1e9}%6.3f s (total ${(now - profT0) / 1e9}%6.3f)")
+        profLast = now
+      }
     val (und, nSym) = undSimpleShared(e)
+    prof("und")
+    if (nSym <= localThreshold) {
+      val spark = und.sparkSession
+      import spark.implicits._
+      // one task over the memo-owned checkpointed frame; nSym is
+      // already counted by the memo, so the gate costs nothing
+      return und.select(col("src"), col("dst")).as[(Long, Long)]
+        .rdd.coalesce(1)
+        .mapPartitions(it => louvainLocal(it, levels))
+        .toDF("vertex", "community")
+    }
     val m = nSym / 2L
-    var labels = ck(und.select(col("src").as("vertex")).distinct()
-      .select(col("vertex"), col("vertex").as("community")))
+    // Level-1 pair weights: singleton communities make w the simple
+    // symmetric edge relation with weight 1 — a projection of the
+    // memo-owned checkpointed frame, NOT loop-owned (wOwned guards the
+    // supersede-drop exactly like peelTo's `protect`). |w| = nSym.
+    var w = und.select(col("src").as("a"), col("dst").as("b"),
+      lit(1L).as("w"))
+    var wOwned = false
+    var nW = nSym
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var live = true
     (1 to levels).foreach { _ => if (live) {
-      val w = und
-        .join(labels.select(col("vertex").as("src"), col("community").as("a")),
-          "src")
-        .join(labels.select(col("vertex").as("dst"), col("community").as("b")),
-          "dst")
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       val k = w.groupBy(col("a")).agg(sum(col("w")).as("k"))
       val g = w.filter(col("a") =!= col("b"))
         .join(k.select(col("a"), col("k").as("ka")), "a")
@@ -2872,18 +2993,52 @@ object GraphOps {
       // remaining budget returns exactly what the full unroll (and the
       // oracle) computes; the mutual relation is community-sized, so
       // the emptiness probe is cheap.
-      if (mutual.isEmpty) { live = false; mutual.unpersist(blocking = false) }
-      else {
-        val prev = labels
-        labels = ck(prev.join(mutual, prev("community") === mutual("frm"),
-            "left")
-          .select(prev("vertex"),
-            coalesce(col("to"), prev("community")).as("community")))
-        drop(prev)
-        mutual.unpersist(blocking = false)
-      }
+      // Contract the pair relation through the merge map:
+      // w'(r(a), r(b)) = Σ w(a, b) — the exact identity in the
+      // docstring. The contraction is checkpoint-materialized with its
+      // row count in ONE job (ckCounted: the forcing action IS a
+      // count), and that count doubles as the convergence probe:
+      // relabeling only ever MERGES keys, so |w'| ≤ |w| always, and a
+      // mutual pair (A,B) collapses the two rows (A,B),(B,A) into the
+      // one self-pair — |w'| = |w| ⇔ mutual is empty ⇔ the level was
+      // the identity. No separate emptiness job, no lazy-persist
+      // lineage growth (the checkpoint truncates the logical plan,
+      // which otherwise multiplies ~13× per level through mutual's
+      // reuse of w).
+      val prevW = w
+      val prevOwned = wOwned
+      val (wCk, nNext) = ckCounted(prevW
+        .join(mutual.select(col("frm").as("a"), col("to").as("na")),
+          Seq("a"), "left")
+        .join(mutual.select(col("frm").as("b"), col("to").as("nb")),
+          Seq("b"), "left")
+        .groupBy(coalesce(col("na"), col("a")).as("a"),
+          coalesce(col("nb"), col("b")).as("b"))
+        .agg(sum(col("w")).as("w")))
+      w = wCk
+      wOwned = true
+      if (prevOwned) drop(prevW)
+      if (nNext == nW) { live = false; mutual.unpersist(blocking = false) }
+      else { merges += mutual; nW = nNext }
+      prof(s"level |w'|=$nNext")
     }}
-    val out = labels
+    // Final labeling: compose the merge maps over the vertex relation —
+    // exactly the old per-level relabel, folded into one job. Each
+    // join key is the RUNNING community value, the merge maps are
+    // cached (known-size) community-pair relations, and the chain is
+    // materialized once (ck) before the loop state is released.
+    var labels = und.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("community"))
+    merges.foreach { mu =>
+      val prev = labels
+      labels = prev.join(mu, prev("community") === mu("frm"), "left")
+        .select(prev("vertex"),
+          coalesce(mu("to"), prev("community")).as("community"))
+    }
+    val out = ck(labels)
+    prof("final-labels")
+    merges.foreach(_.unpersist(blocking = false))
+    if (wOwned) drop(w)
     // `und` is memo-owned (undSimpleShared): the memo releases it
     out
   }

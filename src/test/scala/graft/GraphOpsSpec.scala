@@ -562,8 +562,9 @@ class GraphOpsSpec extends SparkSpec {
       }
       lab
     }
-    def got(e: Seq[(Long, Long)], levels: Int): Map[Long, Long] =
-      GraphOps.louvain(edgeDf(e: _*), levels).collect()
+    def got(e: Seq[(Long, Long)], levels: Int,
+        localThreshold: Long = GraphOps.LouvainLocalEdges): Map[Long, Long] =
+      GraphOps.louvain(edgeDf(e: _*), levels, localThreshold).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def qnum(e: Seq[(Long, Long)], lab: Map[Long, Long]): Long =
       GraphOps.modularity(edgeDf(e: _*),
@@ -588,6 +589,13 @@ class GraphOpsSpec extends SparkSpec {
       List.fill(60)((rng.nextInt(14).toLong, rng.nextInt(14).toLong)))
     for (e <- cases; l <- 1 to 4)
       withClue(s"levels=$l edges=$e") { assert(got(e, l) === brute(e, l)) }
+    // the DISTRIBUTED loop (localThreshold = 0 forces it past the
+    // single-task fast path) must match the same reference — the
+    // fast-path gate may never change what either path computes
+    for (e <- cases; l <- Seq(1, 4))
+      withClue(s"distributed levels=$l edges=$e") {
+        assert(got(e, l, 0L) === brute(e, l))
+      }
     // MONOTONE Q: each level's accepted merges are disjoint mutual
     // positive-gain pairs, so Σ q_num must never decrease level over
     // level (and must strictly improve somewhere on these fixtures)
