@@ -1102,8 +1102,23 @@ object GraphOps {
     * dominates tiny graphs. Same min-id labels by construction;
     * equality with the distributed loop is property-pinned
     * (`localThreshold = 0` forces the loop in tests).
+    *
+    * Bound rationale (shared by every SccLocalEdges-gated operator:
+    * scc, topoLevels, hopDistances, ssspBudget, hits): the gate asks
+    * "is the WHOLE distinct edge set less work than one normal scan
+    * partition" — 2M edges ≈ 32 MB of long pairs (48 with weights),
+    * i.e. a quarter of a default 128 MB split, collected once and
+    * processed in one JVM in tens of milliseconds, versus
+    * rounds × (2–10 exchanges) of fixed scheduling overhead in the
+    * distributed loop (~40 ms per exchange under AQE — measured on
+    * the hop gates). Transient adjacency maps stay a few hundred MB,
+    * far under the 8g floor every regime here runs with; the hard
+    * `require` cap (1 << 25) still bounds the collect. The earlier
+    * 250k bound predates the per-exchange overhead measurement and
+    * left 0.5–6M-edge graphs paying seconds of scheduling for
+    * milliseconds of work.
     */
-  val SccLocalEdges = 250000L
+  val SccLocalEdges = 2000000L
 
   /** EAGER stats-free lineage truncation for iterative loop states:
     * `Dataset.localCheckpoint` would hand each LogicalRDD the origin
