@@ -2103,11 +2103,48 @@ object GraphOps {
     * phase; the per-seed form measured 11.4 s at sf0.1).
     */
   def stressSampled(e: DataFrame, k: Int = PathSeeds,
-      maxHops: Int = PathHops): DataFrame = {
+      maxHops: Int = PathHops,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
     val (frames, dedup) = sigmaLayers(e, k, maxHops)
     val empty = e.select(col("src").as("vertex"), lit(0L).as("stress"))
       .filter(lit(false))
     if (frames.length <= 1) return empty
+    // Input-size-gated local fast path (the SCC/BFS discipline) for
+    // the BACKWARD τ recursion only — the forward σ phase stays the
+    // shared memoized relation (`sigmaLayers`, reused by
+    // graph_path_counts). The backward loop is maxHops checkpointed
+    // join-rounds over frames that are (layer × seeds)-sized, i.e.
+    // pure stage overhead under the gate; the τ recursion over
+    // collected layers is the relational loop's exact arithmetic
+    // (left joins contribute only matched successors, coalesce 0),
+    // order-free on exact longs. `localThreshold = 0` keeps the
+    // distributed loop spec-covered.
+    if (dedup.count() <= localThreshold) {
+      val s = e.sparkSession
+      import s.implicits._
+      val adj = dedup.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val lf = frames.map(_.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      var tauNext = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      lf.last.foreach { case (sd, v, _, _) => tauNext((sd, v)) = 0L }
+      val acc = scala.collection.mutable.Map.empty[Long, Long]
+      var i = lf.length - 2
+      while (i >= 0) {
+        val tauCur = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        lf(i).foreach { case (sd, lv, d, sigma) =>
+          var t = 0L
+          adj.getOrElse(lv, Array.empty[Long]).foreach { dst =>
+            tauNext.get((sd, dst)).foreach(tn => t += tn + 1L)
+          }
+          tauCur((sd, lv)) = t
+          if (d >= 1L && t > 0L) acc(lv) = acc.getOrElse(lv, 0L) + sigma * t
+        }
+        tauNext = tauCur
+        i -= 1
+      }
+      return acc.toSeq.filter(_._2 > 0L).sorted.toDF("vertex", "stress")
+    }
     // frames(i) = labeled layer-i (seed, vertex, dist, sigma); τ
     // descends from the deepest reached layer, whose τ = 0 (no
     // strictly-later targets within budget → zero contribution)
@@ -2256,7 +2293,8 @@ object GraphOps {
     * the budget-semantics property pins transitively.
     */
   def closenessWeightedSampled(e: DataFrame, k: Int = ClosenessSeeds,
-      maxRounds: Int = SsspRounds): DataFrame = {
+      maxRounds: Int = SsspRounds,
+      localThreshold: Long = SccLocalEdges): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
     require(maxRounds >= 0 && maxRounds <= 64,
       s"maxRounds must be in [0, 64], got $maxRounds")
@@ -2275,6 +2313,47 @@ object GraphOps {
         lit(0L).as("sum_wdist"), lit(0L).as("harmonic_ppm"))
         .filter(lit(false))
     val we = weightedEdgesShared(e)
+    // Input-size-gated local fast path (the ssspBudget discipline, per
+    // seed): synchronous improved-only min-combine with updates
+    // APPLIED AFTER each sweep — the per-round snapshot the relational
+    // loop's delta-join gives for free; applying in place would let a
+    // same-round improvement propagate a (budget+1)-edge path. The
+    // aggregation is the same order-free exact-long fold.
+    // `localThreshold = 0` keeps the distributed labeled loop
+    // spec-covered.
+    if (we.count() <= localThreshold) {
+      val adj = we.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(t => (t._2, t._3)) }
+      val agg = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      seedRows.foreach { sd =>
+        val dist = scala.collection.mutable.Map[Long, Long](sd -> 0L)
+        var frontier: Seq[Long] = Seq(sd)
+        var round = 0
+        while (round < maxRounds && frontier.nonEmpty) {
+          val updates = scala.collection.mutable.Map.empty[Long, Long]
+          frontier.foreach { u =>
+            val du = dist(u)
+            adj.getOrElse(u, Array.empty[(Long, Long)]).foreach {
+              case (v, w) =>
+                val nd = du + w
+                if (dist.get(v).forall(nd < _) &&
+                    updates.get(v).forall(nd < _)) updates(v) = nd
+            }
+          }
+          updates.foreach { case (v, nd) => dist(v) = nd }
+          frontier = updates.keys.toSeq
+          round += 1
+        }
+        dist.foreach { case (v, dv) =>
+          val (n, sm, h) = agg.getOrElse(v, (0L, 0L, 0L))
+          agg(v) = (n + 1L, sm + dv,
+            h + (if (dv >= 1L) 1000000L / dv else 0L))
+        }
+      }
+      return agg.toSeq.map { case (v, t) => (v, t._1, t._2, t._3) }
+        .sorted.toDF("vertex", "n_reached", "sum_wdist", "harmonic_ppm")
+    }
     var dist = ck(seedRows.toSeq.toDF("seed")
       .select(col("seed"), col("seed").as("v"), lit(0L).as("dist")))
     var delta = dist

@@ -633,11 +633,16 @@ class GraphOpsSpec extends SparkSpec {
         v -> ((ds.size.toLong, ds.map(_._2).sum,
           ds.map(d => if (d._2 >= 1L) 1000000L / d._2 else 0L).sum))
       }
-      val got = GraphOps.closenessWeightedSampled(edgeDf(e: _*), k = k)
-        .collect()
-        .map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-      withClue(s"edges=$e") { assert(got === want) }
+      // both the single-task fast path (default gate) and the
+      // distributed labeled loop (localThreshold = 0) must agree
+      Seq(GraphOps.SccLocalEdges, 0L).foreach { th =>
+        val got = GraphOps.closenessWeightedSampled(edgeDf(e: _*), k = k,
+            localThreshold = th)
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        withClue(s"threshold=$th edges=$e") { assert(got === want) }
+      }
     }
   }
 
@@ -752,10 +757,16 @@ class GraphOpsSpec extends SparkSpec {
         ds.collect { case (v, (d, sg)) if d >= 1L => v -> sg * tau(v) }
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
         .filter(_._2 > 0L)
-      val gotStress = GraphOps.stressSampled(edgeDf(e: _*), k = k,
-          maxHops = hops).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      withClue(s"edges=$e") { assert(gotStress === wantStress) }
+      // both the single-task τ fast path (default gate) and the
+      // distributed backward loop (localThreshold = 0) must agree
+      Seq(GraphOps.SccLocalEdges, 0L).foreach { th =>
+        val gotStress = GraphOps.stressSampled(edgeDf(e: _*), k = k,
+            maxHops = hops, localThreshold = th).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"threshold=$th edges=$e") {
+          assert(gotStress === wantStress)
+        }
+      }
     }
   }
 
