@@ -83,6 +83,38 @@ object Dedup {
     * boilerplate-heavy corpora.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    // SESSION-MEMOIZED verified pairs (the clusterMemo discipline one
+    // stage earlier): dedup_ngram, the two cross-source matrices and
+    // defaultClusters' build all run the identical
+    // tokenize→shingle→prefix-join→verify chain over the same corpus
+    // back to back — the dominant cost of each. Keyed on the PROJECTED
+    // (doc_id, text) input, NOT the caller's frame: the cross-source
+    // gates decorate docs with url/host columns the shingle pipeline
+    // never reads, and the projection makes those decorated frames hit
+    // the same slot. The projection is passed through the OPTIMIZER
+    // before keying (ofRows of the optimized plan): PlanMemo keys on
+    // the ANALYZED canonical plan, where Project(doc_id, text) over
+    // Project(*, host) over the scan is a DIFFERENT tree than the
+    // undecorated projection — CollapseProject/ColumnPruning fold both
+    // to the same pruned scan, which is exactly the "reads the same
+    // bytes" equivalence the memo wants. Value is
+    // statsFreeLocalCheckpoint-backed; `pairsMemoHits` exists for the
+    // spec.
+    val proj = docs.select(col("doc_id"), col("text"))
+    val key = org.apache.spark.sql.graft.ColumnBridge.ofRows(
+      docs.sparkSession, proj.queryExecution.optimizedPlan)
+    pairsMemo.getOrBuild(key, "ngramJaccard") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(ngramJaccardUncached(key))
+    }
+  }
+
+  private val pairsMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def pairsMemoHits = pairsMemo.hits
+
+  /** The uncached verified-pair build `ngramJaccard` memoizes. */
+  private def ngramJaccardUncached(docs: DataFrame): DataFrame = {
     // the shingle-hash pass feeds BOTH the frequency aggregation and
     // the per-doc re-sort — pin it so tokenize+shingle (the dominant
     // scalar cost) runs once, not twice

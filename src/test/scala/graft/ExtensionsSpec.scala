@@ -895,6 +895,30 @@ class ExtensionsSpec extends SparkSpec {
       "a different corpus must not reuse the memoized labelling")
   }
 
+  test("ngramJaccard memo: decorated frames hit the projected-input slot; different corpus misses") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = rows(Dedup.ngramJaccard(docs).select("doc_a", "doc_b"))
+    val before = Dedup.pairsMemoHits.get()
+    // a DECORATED frame over the same corpus (the cross-source gates'
+    // shape) must hit — the memo keys on the projected (doc_id, text)
+    val decorated = docs.withColumn("host",
+      org.apache.spark.sql.functions.concat(lit("h"),
+        (col("doc_id") % 3).cast("string")))
+    assert(rows(Dedup.ngramJaccard(decorated).select("doc_a", "doc_b"))
+      === first)
+    assert(Dedup.pairsMemoHits.get() > before,
+      "decorated same-corpus call did not reuse the memoized pairs")
+    // a different corpus (same session) must miss — no stale reuse
+    val hitsBefore2 = Dedup.pairsMemoHits.get()
+    Dedup.ngramJaccard(docs.filter(col("doc_id") % 2 === 0)).count()
+    assert(Dedup.pairsMemoHits.get() === hitsBefore2,
+      "a different corpus must not reuse the memoized pairs")
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     val s = spark
     import s.implicits._
