@@ -848,6 +848,28 @@ object Dedup {
     * surviving rows of `docs` unchanged.
     */
   def survivors(docs: DataFrame): DataFrame = {
+    // SESSION-MEMOIZED survivor IDS (the clusterMemo discipline): the
+    // exact pass + MinHash-LSH + star contraction is the whole cost of
+    // the gate and is identical across back-to-back calls. The memo
+    // holds the (doc_id) relation, NOT the surviving rows — ids are
+    // id-sized at any corpus scale, where checkpointing the text
+    // columns would pin a corpus-sized copy in executor memory. Each
+    // call re-derives the rows with one semi-join against `docs`
+    // (same rows as the anti-join form: survivors ⊆ exact survivors ⊆
+    // docs, keyed by doc_id). `survivorsMemoHits` exists for the spec.
+    val ids = survivorsMemo.getOrBuild(docs, "survivorIds") {
+      org.apache.spark.sql.graft.ColumnBridge
+        .statsFreeLocalCheckpoint(survivorIdsUncached(docs))
+    }
+    docs.join(ids, Seq("doc_id"), "left_semi")
+  }
+
+  private val survivorsMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def survivorsMemoHits = survivorsMemo.hits
+
+  /** The uncached survivor-id build `survivors` memoizes. */
+  private def survivorIdsUncached(docs: DataFrame): DataFrame = {
     // the exact-dedup pass (full-corpus aggregation + semi-join) feeds
     // BOTH the near-dup stage and the final anti-join — pin it
     val exactSurvivors = graft.Caches.track(docs.join(
@@ -857,6 +879,7 @@ object Dedup {
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** QUALITY-AWARE survivor selection: given a cluster labelling

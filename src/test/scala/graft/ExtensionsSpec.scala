@@ -919,6 +919,24 @@ class ExtensionsSpec extends SparkSpec {
       "a different corpus must not reuse the memoized pairs")
   }
 
+  test("survivors memo: repeat call reuses the checkpointed id set; different corpus misses") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val first = Dedup.survivors(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(first.nonEmpty)
+    val before = Dedup.survivorsMemoHits.get()
+    assert(Dedup.survivors(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === first)
+    assert(Dedup.survivorsMemoHits.get() > before,
+      "second survivors call did not reuse the memoized id set")
+    val hitsBefore2 = Dedup.survivorsMemoHits.get()
+    Dedup.survivors(docs.filter(col("doc_id") % 2 === 0)).count()
+    assert(Dedup.survivorsMemoHits.get() === hitsBefore2,
+      "a different corpus must not reuse the memoized id set")
+  }
+
   test("dupClusters resolves transitive chains to min-id components") {
     val s = spark
     import s.implicits._
