@@ -80,6 +80,38 @@ object GraphOps {
     }
   }
 
+  /** Dual-slot memo of the DISTINCT DIRECTED edge relation — the
+    * `weightedEdgesShared` treatment for the simple-digraph family:
+    * `pageRank`, `pageRankPersonalized`, `stronglyConnectedComponents`
+    * (and through it the condensation gates), `hopDistances`,
+    * `closenessSampled`, `eccentricitySampled`, `sigmaLayers`
+    * (stress/path_counts), `randomWalks` and `hits` each derived
+    * `e.select(src, dst).distinct()` from the same edge bag per call —
+    * a full-bag projection + 2-Exchange distinct each (~0.5 s warm at
+    * sf0.1), ten times per bench pass. The artifact is
+    * distinct-edge-sized, checkpoint-backed, and counted once (the
+    * count feeds every consumer's local-fast-path gate probe for
+    * free). The returned frame is MEMO-OWNED: consumers must never
+    * `drop`/`unpersist` it — lifetime is the memo's ref-count,
+    * drained by the per-query `Caches` lease like every PlanMemo.
+    * SIX slots = the live suite keys plus headroom (the knnGraphMemo
+    * sizing lesson, round 17): one bench pass keys at least the raw
+    * `edges(s, d)` projection, the SCC gates' sparsified slice, and
+    * `graph_hops_deep`'s synthetic chain — a 2-slot LRU evicted the
+    * edges entry mid-pass, and every rebuild mints a NEW checkpoint
+    * LogicalRDD, churning the distMemo keys downstream (measured:
+    * `graph_diameter` 2.79 s in the eviction regime vs 0.6-0.8 s with
+    * stable keys).
+    */
+  private val deMemo = new graft.PlanMemo[(DataFrame, Long)](6,
+    { case (df, _) => graft.PlanMemo.releaseDf(df) })
+  private[graft] def deMemoHits = deMemo.hits
+
+  private[graft] def distinctEdgesShared(e: DataFrame): (DataFrame, Long) = {
+    val base = e.select(col("src"), col("dst"))
+    deMemo.getOrBuild(base, "dedges")(ckCounted(base.distinct()))
+  }
+
   /** Per-vertex (in-degree m, out-degree n) in ONE shuffle AND one pass
     * over the input: each edge generates its two tagged rows via a
     * 2-element explode — the Spark analogue of the reference's I/O-tag
@@ -321,7 +353,7 @@ object GraphOps {
       scale: Long = PageRankScale): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val dedges = e.select("src", "dst").distinct()
+    val (dedges, _) = distinctEdgesShared(e)
     val verts = dedges.select(col("src").as("v"))
       .union(dedges.select(col("dst").as("v"))).distinct()
     val deg = dedges.groupBy(col("src").as("v"))
@@ -371,7 +403,7 @@ object GraphOps {
       iters: Int = PageRankIters, scale: Long = PageRankScale): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val dedges = e.select("src", "dst").distinct()
+    val (dedges, _) = distinctEdgesShared(e)
     val verts = dedges.select(col("src").as("v"))
       .union(dedges.select(col("dst").as("v"))).distinct()
     val deg = dedges.groupBy(col("src").as("v"))
@@ -1153,10 +1185,10 @@ object GraphOps {
         "(the single-task Tarjan holds the whole edge list in one JVM; " +
         "use the distributed refinement loop for more)")
     val spark = e.sparkSession
-    val edges = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    if (edges.count() <= localThreshold) {
+    // memo-owned distinct relation: the count is already banked, so
+    // the local-fast-path gate probe costs nothing
+    val (edges, nEdges) = distinctEdgesShared(e)
+    if (nEdges <= localThreshold) {
       import spark.implicits._
       return edges.as[(Long, Long)].rdd.coalesce(1)
         .mapPartitions(it => tarjanLocal(it))
@@ -1358,7 +1390,7 @@ object GraphOps {
     * labeling is a relation like every other state in this engine).
     */
   def sccCondensation(e: DataFrame, scc: DataFrame): DataFrame =
-    e.select("src", "dst").distinct()
+    distinctEdgesShared(e)._1
       .join(scc.select(col("vertex").as("src"), col("scc").as("scc_src")),
         "src")
       .join(scc.select(col("vertex").as("dst"), col("scc").as("scc_dst")),
@@ -1561,27 +1593,23 @@ object GraphOps {
   def hopDistances(e: DataFrame, sources: DataFrame,
       maxHops: Int, hopStride: Int = 1,
       localThreshold: Long = SccLocalEdges): DataFrame = {
-    val big = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // memo-owned distinct relation (shared with scc/pagerank/closeness/
+    // walks/σ); its banked count makes the gate probe free, and
+    // ownership moves to the memo — no per-call persist/unpersist
+    val (big, nBig) = distinctEdgesShared(e)
     // input-size-gated local fast path (the SCC/hits discipline): a
     // BFS sweep's per-round cost is fixed job overhead on a
     // sub-threshold distinct edge set. The deep-diameter gate pins
     // localThreshold = 0 so the DISTRIBUTED sweep loop, the stride
     // compaction and the budget exit stay on the hash-checked path.
-    if (big.count() <= localThreshold) {
+    if (nBig <= localThreshold) {
       val pairs = big.collect().map(r => (r.getLong(0), r.getLong(1)))
       val seeds = sources.select(col("v")).distinct().collect()
         .map(_.getLong(0))
-      // everything this cache feeds is collected — release eagerly,
-      // mirroring the distributed path's releaseInput = true (the
-      // lease would drain it eventually, but holding a whole edge
-      // cache until query end on every sub-threshold call is waste)
-      big.unpersist(blocking = false)
       return hopsLocal(e.sparkSession, pairs, seeds, maxHops)
     }
     hopDistancesDeduped(big, sources, maxHops, hopStride,
-      releaseInput = true)
+      releaseInput = false)
   }
 
   /** The driver-side twin of the BFS sweep: min hop distance from the
@@ -1830,9 +1858,7 @@ object GraphOps {
     // separate runs would pay k job chains (and k edge-cache scans
     // per sweep) for frontiers that are each tiny; measured at sf0.1
     // the 8-run form cost 9.6 s of almost pure stage overhead
-    val dedup = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (dedup, _) = distinctEdgesShared(e)
     labeledHopDistances(dedup, seedRows.toSeq, maxHops)
       .groupBy("vertex")
       .agg(count(lit(1)).as("n_reached"),
@@ -1870,9 +1896,7 @@ object GraphOps {
     if (seedRows.isEmpty)
       return e.select(col("src").as("source"), lit(0L).as("ecc"),
         lit(0L).as("n_reached")).filter(lit(false))
-    val dedup = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (dedup, _) = distinctEdgesShared(e)
     labeledHopDistances(dedup, seedRows.toSeq, maxHops)
       .groupBy(col("seed").as("source"))
       .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
@@ -2034,9 +2058,7 @@ object GraphOps {
         "deep budgets overflow long arithmetic on bushy graphs)")
     val s = e.sparkSession
     import s.implicits._
-    val dedup = graft.Caches.track(
-      e.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (dedup, _) = distinctEdgesShared(e)
     val frames = sigmaMemo.getOrBuild(e, s"sigma|$k|$maxHops") {
       sigmaFrames(e, dedup, k, maxHops)
     }
@@ -2440,8 +2462,7 @@ object GraphOps {
     // per-walk_id window IS that vertex's neighbor ranking, over
     // walks×degree rows. (A corpus of millions of walks revisiting
     // most vertices flips the economics back to pre-ranking once.)
-    val adj = graft.Caches.track(e0.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (adj, _) = distinctEdgesShared(e0)
     val ww = org.apache.spark.sql.expressions.Window.partitionBy("walk_id")
     val (state0, nWalks) = ckCounted(sources.select(col("v")).distinct()
       .select(col("v"), explode(sequence(lit(0L), lit(perSeed - 1))).as("j"))
@@ -2659,8 +2680,12 @@ object GraphOps {
     // truncating div). Distributed loop above the bound; local ≡
     // distributed is spec-pinned and the 10M-edge rehearsal drives
     // the distributed path.
-    val (ed0, nEd) = ckCounted(e.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct())
+    // self-loop-free distinct set, DERIVED from the shared distinct
+    // memo: the filter is shuffle-free on the checkpointed relation,
+    // so only a loop-free copy is materialized — the full-bag distinct
+    // itself is paid once per session, not per gate
+    val (ed0, nEd) = ckCounted(distinctEdgesShared(e)._1
+      .filter(col("src") =!= col("dst")))
     if (nEd <= localThreshold) {
       val pairs = ed0.collect().map(r => (r.getLong(0), r.getLong(1)))
       drop(ed0)

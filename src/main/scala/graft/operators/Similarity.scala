@@ -2303,7 +2303,39 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.30,
       bands: Int = LshBands, bandBits: Int = AdaptiveBandBits,
       corpusSize: Long = -1L): DataFrame = {
-    val bb = resolveBandBits(emb, bandBits, corpusSize)
+    // SESSION-MEMOIZED verified cosine relation (the ngramJaccard
+    // discipline one modality over): `embedding_neardup`,
+    // `embedding_clusters`, `embedding_survivors_best` and the
+    // threshold curve's -1.0 sweep all run the identical
+    // sign-LSH band join + exact-cosine verify over the same corpus —
+    // the dominant cost of each. The THRESHOLD is applied per call
+    // over the memoized unfiltered relation (identical semantics,
+    // including Spark's NaN-above-threshold ordering), so the 0.30
+    // gates and the curve share one build. Keyed on the
+    // optimizer-collapsed (vec_id, embedding) projection plus the
+    // band-geometry params; band-bit resolution (which counts the
+    // corpus in the adaptive default) happens INSIDE the build, so a
+    // memo hit also skips that count. `nearDupMemoHits` exists for
+    // the spec.
+    val proj = emb.select(col("vec_id"), col("embedding"))
+    val key = org.apache.spark.sql.graft.ColumnBridge.ofRows(
+      emb.sparkSession, proj.queryExecution.optimizedPlan)
+    nearDupMemo.getOrBuild(key, s"neardup|$bands|$bandBits|$corpusSize") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        nearDupPairsUncached(key, bands,
+          resolveBandBits(key, bandBits, corpusSize)))
+    }.filter(col("cosine") >= threshold)
+  }
+
+  private val nearDupMemo =
+    new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
+  private[graft] def nearDupMemoHits = nearDupMemo.hits
+
+  /** The uncached, UNTHRESHOLDED verified-pair build `nearDupPairs`
+    * memoizes: every band-collision candidate with its exact cosine.
+    */
+  private[graft] def nearDupPairsUncached(emb: DataFrame, bands: Int,
+      bb: Int): DataFrame = {
     // signature pipeline feeds the band join AND both verify joins —
     // compute once (consumers release via graft.Caches.clear)
     val sig = graft.Caches.track(withNorm(emb)
@@ -2325,7 +2357,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         cosineFrom(dot(col("emb_a"), col("emb_b")), col("n2_a"), col("n2_b"))
           .as("cosine"))
-      .filter(col("cosine") >= threshold)
   }
 
   /** Ingest-time export of hyperplane-LSH band keys for INCREMENTAL

@@ -606,6 +606,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraphOps.undMemoHits.get() === hits2)
   }
 
+  test("distinctEdgesShared memo: the simple-digraph family reuses one distinct build and local fast paths never drop the shared frame") {
+    val s = spark
+    import s.implicits._
+    // cycle + tail, with duplicate edges to dedup away
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 2L), (2L, 3L),
+      (3L, 4L)).toDF("src", "dst")
+    val before = GraphOps.deMemoHits.get()
+    // hops takes the LOCAL path (collects the shared frame) — it must
+    // not release the memo's checkpoint
+    val seeds = Seq(0L).toDF("v")
+    val h1 = GraphOps.hopDistances(e, seeds, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h1 === Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    // scc over the SAME edges hits the memo and reads the same blocks
+    val scc = GraphOps.stronglyConnectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scc === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L)))
+    assert(GraphOps.deMemoHits.get() > before,
+      "the simple-digraph family rebuilt the distinct relation instead of reusing it")
+    // the DISTRIBUTED consumers share the frame too: rerunning hops
+    // distributed (localThreshold = 0) over the memoized relation must
+    // agree with the local twin
+    val h2 = GraphOps.hopDistances(e, seeds, 4, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h2 === h1)
+    // a different edge relation must miss
+    val hits2 = GraphOps.deMemoHits.get()
+    GraphOps.hopDistances(Seq((7L, 8L)).toDF("src", "dst"),
+      Seq(7L).toDF("v"), 2).count()
+    assert(GraphOps.deMemoHits.get() === hits2)
+  }
+
+  test("nearDupPairs memo: one verified build serves every threshold; a different corpus misses") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = rows(Similarity.nearDupPairs(emb, threshold = -1.0))
+    assert(all.nonEmpty)
+    val before = Similarity.nearDupMemoHits.get()
+    // the 0.30 default re-serves the memoized unfiltered relation;
+    // expected = the Spark NaN-above-threshold semantics
+    val cut = rows(Similarity.nearDupPairs(emb))
+    assert(Similarity.nearDupMemoHits.get() > before,
+      "the 0.30 call rebuilt the verified relation instead of reusing it")
+    assert(cut === all.filter(t => t._3.isNaN || t._3 >= 0.30))
+    // a different corpus must MISS (and not serve the old pairs)
+    val hits2 = Similarity.nearDupMemoHits.get()
+    val half = rows(Similarity.nearDupPairs(
+      emb.filter(col("vec_id") % 2 === 0), threshold = -1.0))
+    assert(Similarity.nearDupMemoHits.get() === hits2)
+    assert(half.subsetOf(all) && half != all)
+  }
+
   test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
     val s = spark
     import s.implicits._

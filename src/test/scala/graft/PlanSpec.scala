@@ -71,7 +71,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH band joins shuffle band keys, never embeddings (neardup)") {
-    val plan = SparkEntry.queries("embedding_neardup")(spark, sf)
+    // probe the UNCACHED build (the knnGraph discipline): the public
+    // nearDupPairs serves a checkpoint-backed memoized relation (an
+    // opaque LogicalRDD), so the plan contract lives on the build it
+    // memoizes
+    val plan = graft.operators.Similarity.nearDupPairsUncached(
+        sources.Tables.table(spark, sf, "embeddings"),
+        graft.operators.Similarity.LshBands, 8)
       .queryExecution.optimizedPlan.toString
     // candidate generation is ids-first: the band self-join's output
     // carries only ids — embeddings re-enter via the verify joins
