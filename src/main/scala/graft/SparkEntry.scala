@@ -898,7 +898,7 @@ object SparkEntry {
     "text_quality_by_source" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.table(s, d, "documents")
-      val q = TextOps.quality(docs).select(col("doc_id"), col("quality"))
+      val q = TextOps.qualityShared(docs)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       TextOps.groupedQuantiles(q, "source", "quality", "doc_id")
         .orderBy("source", "pct")
@@ -1318,7 +1318,7 @@ object SparkEntry {
       val docs = Tables.table(s, d, "documents")
       Dedup.survivorsBest(docs,
           Dedup.defaultClusters(docs),
-          TextOps.quality(docs).select("doc_id", "quality"))
+          TextOps.qualityShared(docs))
         .select("doc_id").orderBy("doc_id")
     }),
     // the same quality-argmax survivor policy applied CROSS-MODAL:
@@ -1336,7 +1336,7 @@ object SparkEntry {
       Dedup.survivorsBest(embedded,
           Dedup.dupClusters(Similarity.nearDupPairs(emb)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
-          TextOps.quality(docs).select("doc_id", "quality"))
+          TextOps.qualityShared(docs))
         .select("doc_id").orderBy("doc_id")
     }),
     // SemDeDup (Abbas et al. 2023): semantic dedup through the
@@ -1356,7 +1356,7 @@ object SparkEntry {
       val embedded = docs.join(
         emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       Dedup.survivorsBest(embedded, Dedup.dupClusters(pairs),
-          TextOps.quality(docs).select("doc_id", "quality"))
+          TextOps.qualityShared(docs))
         .select("doc_id").orderBy("doc_id")
     }),
     // the streaming near-dup filter's batch twin, with arrival order =

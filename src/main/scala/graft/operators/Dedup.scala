@@ -222,6 +222,28 @@ object Dedup {
     require(segments > maxDist,
       s"need segments > maxDist for the pigeonhole filter, got " +
         s"$segments segments at distance $maxDist")
+    // SESSION-MEMOIZED verified pairs (the ngramJaccard discipline):
+    // `dedup_fuzzy` and `dedup_fuzzy_clusters` run the identical
+    // segment-join + levenshtein verify back to back — the dominant
+    // cost of both. Keyed on the optimizer-collapsed (doc_id, text)
+    // projection plus the pigeonhole params. `fuzzyMemoHits` exists
+    // for the spec.
+    val proj = docs.select(col("doc_id"), col("text"))
+    val key = org.apache.spark.sql.graft.ColumnBridge.ofRows(
+      docs.sparkSession, proj.queryExecution.optimizedPlan)
+    fuzzyMemo.getOrBuild(key, s"fuzzy|$keyChars|$segments|$maxDist") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        fuzzyPairsUncached(key, keyChars, segments, maxDist))
+    }
+  }
+
+  private val fuzzyMemo =
+    new graft.PlanMemo[DataFrame](1, graft.PlanMemo.releaseDf)
+  private[graft] def fuzzyMemoHits = fuzzyMemo.hits
+
+  /** The uncached verified-pair build `fuzzyPairs` memoizes. */
+  private def fuzzyPairsUncached(docs: DataFrame, keyChars: Int,
+      segments: Int, maxDist: Int): DataFrame = {
     val segLen = keyChars / segments
     val k = docs.select(col("doc_id"),
       substring(lower(regexp_replace(col("text"), "\\s+", " ")),

@@ -48,6 +48,33 @@ object TextOps {
         .as("quality"))
   }
 
+  /** SESSION-MEMOIZED (doc_id, quality) relation for the JOIN-side
+    * consumers (`text_quality_by_source`, the three survivors-best
+    * gates, `curation`): each re-ran the regex-kernel quality
+    * projection over the whole corpus per call just to join two
+    * id-sized columns. Keyed on the optimizer-collapsed
+    * (doc_id, text) projection (the ngramJaccard discipline — a
+    * decorated frame lands on the same slot as the bare corpus). The
+    * SCAN-SHAPED gates (`text_quality`, `text_sample_quality`,
+    * deciles, calibration) deliberately keep the direct projection:
+    * their PlanSpec contracts pin the one-pass pruned-scan shape, and
+    * a per-row map consumer gains nothing from a checkpoint.
+    * `qualityMemoHits` exists for the spec.
+    */
+  private val qualityMemo =
+    new graft.PlanMemo[DataFrame](2, graft.PlanMemo.releaseDf)
+  private[graft] def qualityMemoHits = qualityMemo.hits
+
+  def qualityShared(docs: DataFrame): DataFrame = {
+    val proj = docs.select(col("doc_id"), col("text"))
+    val key = org.apache.spark.sql.graft.ColumnBridge.ofRows(
+      docs.sparkSession, proj.queryExecution.optimizedPlan)
+    qualityMemo.getOrBuild(key, "quality") {
+      org.apache.spark.sql.graft.ColumnBridge.statsFreeLocalCheckpoint(
+        quality(key).select(col("doc_id"), col("quality")))
+    }
+  }
+
   /** Quality-MODEL geometry: feature count (bias + 5 integer stats),
     * gradient epochs, the deterministic training-sample cap, the
     * label target scale T, and the JACOBI step scale c — the per-dim
@@ -704,7 +731,7 @@ object TextOps {
       clusters: Option[DataFrame] = None): DataFrame = {
     val cl = clusters.getOrElse(Dedup.defaultClusters(docs))
     val surv = Dedup.survivorsBest(docs, cl,
-      quality(docs).select("doc_id", "quality"))
+      qualityShared(docs))
     val sampled = sampleByQuality(docs)
       .join(surv.select("doc_id"), "doc_id")
     hashSplitLeakageFree(sampled.select(col("doc_id")), cl)

@@ -659,6 +659,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(half.subsetOf(all) && half != all)
   }
 
+  test("fuzzyPairs memo: the fuzzy gates reuse one segment-join+verify; a different corpus misses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = rows(Dedup.fuzzyPairs(docs))
+    val before = Dedup.fuzzyMemoHits.get()
+    assert(rows(Dedup.fuzzyPairs(docs)) === first)
+    assert(Dedup.fuzzyMemoHits.get() > before,
+      "second fuzzyPairs call rebuilt the verified pairs")
+    // a different corpus must miss
+    val hits2 = Dedup.fuzzyMemoHits.get()
+    Dedup.fuzzyPairs(docs.filter(col("doc_id") % 2 === 0)).count()
+    assert(Dedup.fuzzyMemoHits.get() === hits2)
+  }
+
+  test("qualityShared memo: join-side consumers reuse one (doc_id, quality) build, decorated frames hit the same slot") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val direct = rows(TextOps.quality(docs).select("doc_id", "quality"))
+    val shared = rows(TextOps.qualityShared(docs))
+    assert(shared === direct && shared.nonEmpty)
+    val before = TextOps.qualityMemoHits.get()
+    // a DECORATED frame (extra column the quality kernels never read)
+    // collapses to the same pruned projection and must HIT
+    assert(rows(TextOps.qualityShared(
+      docs.withColumn("extra", col("doc_id") + 1))) === direct)
+    assert(TextOps.qualityMemoHits.get() > before,
+      "the decorated frame rebuilt quality instead of hitting the memo")
+    // a genuinely different corpus must miss
+    val hits2 = TextOps.qualityMemoHits.get()
+    TextOps.qualityShared(docs.filter(col("doc_id") % 2 === 0)).count()
+    assert(TextOps.qualityMemoHits.get() === hits2)
+  }
+
   test("randomWalksShared memo: the skip-gram consumer reuses the walk table; different seeds miss") {
     val s = spark
     import s.implicits._
