@@ -2787,10 +2787,44 @@ object GraphOps {
     * optimizer-stats growth are the real iterative-operator killers;
     * see `ck`).
     */
-  def labelPropagation(e: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+  def labelPropagation(e: DataFrame, rounds: Int = LpaRounds,
+      localThreshold: Long = LouvainLocalEdges): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"labelPropagation: rounds must be in [1, 16], got $rounds")
-    val (und, _) = undSimpleShared(e)
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold")
+    val (und, nSym) = undSimpleShared(e)
+    // input-size-gated single-task twin (the louvain/stress
+    // discipline): each distributed round is an edge join + two
+    // aggregations — pure stage overhead below the gate. The twin is
+    // the same synchronous argmax by (count DESC, label ASC) over the
+    // collected symmetric simple adjacency; the memo's banked count
+    // makes the gate probe free. `localThreshold = 0` keeps the
+    // distributed loop spec-covered.
+    if (nSym <= localThreshold) {
+      val s = e.sparkSession
+      import s.implicits._
+      val adj = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val lab = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.foreach(v => lab(v) = v)
+      (1 to rounds).foreach { _ =>
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        adj.foreach { case (v, ns) =>
+          val cnt = scala.collection.mutable.Map.empty[Long, Long]
+          ns.foreach { u =>
+            val l = lab(u); cnt(l) = cnt.getOrElse(l, 0L) + 1L
+          }
+          var bl = Long.MaxValue; var bn = 0L
+          cnt.foreach { case (l, n) =>
+            if (n > bn || (n == bn && l < bl)) { bn = n; bl = l }
+          }
+          next(v) = bl
+        }
+        next.foreach { case (v, l) => lab(v) = l }
+      }
+      return lab.toSeq.sorted.toDF("vertex", "community")
+    }
     var labels = ck(und.select(col("src").as("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("lab")))
     (1 to rounds).foreach { _ =>
@@ -2829,10 +2863,44 @@ object GraphOps {
     * aggregations keyed by community — nothing wider than the edge
     * relation shuffles, no windows.
     */
-  def modularity(e: DataFrame, labels: DataFrame): DataFrame = {
+  def modularity(e: DataFrame, labels: DataFrame,
+      localThreshold: Long = LouvainLocalEdges): DataFrame = {
+    require(localThreshold >= 0L && localThreshold <= (1L << 25),
+      s"localThreshold must be in [0, ${1L << 25}], got $localThreshold")
     val (und, nSym) = undSimpleShared(e)
     val m = nSym / 2L
     val l = labels.select(col("vertex"), col("community"))
+    // input-size-gated single-task twin (the louvain/lpa discipline):
+    // two edge joins + three aggregations of stage overhead below the
+    // gate. The label relation is the same graph's vertex set (LPA /
+    // Louvain output), so the collect is vertex-sized whenever the
+    // edge gate admits. Exact long arithmetic, order-free sums;
+    // `localThreshold = 0` keeps the distributed shape spec-covered.
+    if (nSym <= localThreshold) {
+      val s = e.sparkSession
+      import s.implicits._
+      val lab = l.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val acc = scala.collection.mutable.Map
+        .empty[Long, (Long, Long, Long)] // community -> (nv, intra2, dtot)
+      lab.valuesIterator.foreach { c =>
+        val (nv, i2, dt) = acc.getOrElse(c, (0L, 0L, 0L))
+        acc(c) = (nv + 1L, i2, dt)
+      }
+      und.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (lab.get(a), lab.get(b)) match {
+          case (Some(c1), Some(c2)) =>
+            val (nv, i2, dt) = acc.getOrElse(c1, (0L, 0L, 0L))
+            acc(c1) = (nv, if (c1 == c2) i2 + 1L else i2, dt + 1L)
+          case _ => ()
+        }
+      }
+      return acc.toSeq.map { case (c, (nv, i2, dt)) =>
+        val ei = i2 / 2L
+        (c, nv, ei, dt, m, 4L * m * ei - dt * dt)
+      }.sorted.toDF("community", "n_vertices", "e_intra", "d_tot", "m",
+        "q_num")
+    }
     val j = und
       .join(l.select(col("vertex").as("src"), col("community").as("c1")), "src")
       .join(l.select(col("vertex").as("dst"), col("community").as("c2")), "dst")

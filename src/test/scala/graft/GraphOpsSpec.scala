@@ -1334,6 +1334,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(sssp === bfs)
   }
 
+  test("lpa and modularity single-task twins == the distributed loops on random multigraphs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(4201)
+    val cases = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L), (6L, 6L)) +: List.fill(3)(
+      List.fill(70)((rng.nextInt(16).toLong, rng.nextInt(16).toLong)))
+    for (e <- cases; r <- Seq(1, 4)) {
+      // localThreshold = 0 forces the DISTRIBUTED loop; the gate may
+      // never change what either path computes
+      def lpa(th: Long) = GraphOps.labelPropagation(edgeDf(e: _*),
+          rounds = r, localThreshold = th).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val local = lpa(GraphOps.LouvainLocalEdges)
+      withClue(s"rounds=$r edges=$e") { assert(local === lpa(0L)) }
+      // modularity over those labels: twin == distributed, and both
+      // conservation laws hold on the twin's output
+      val labels = local.toSeq.toDF("vertex", "community")
+      def mod(th: Long) = GraphOps.modularity(edgeDf(e: _*), labels,
+          localThreshold = th).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getLong(4), x.getLong(5))).toSet
+      val mLocal = mod(GraphOps.LouvainLocalEdges)
+      withClue(s"modularity rounds=$r edges=$e") {
+        assert(mLocal === mod(0L))
+        val m = mLocal.head._5
+        assert(mLocal.toSeq.map(_._4).sum === 2L * m)
+        assert(mLocal.toSeq.map(_._3).sum <= m)
+      }
+    }
+  }
+
   test("modularity: textbook two-clique fixture and conservation laws") {
     val s = spark
     import s.implicits._
